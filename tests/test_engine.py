@@ -1,0 +1,352 @@
+"""End-to-end engine tests: DuckDB-dialect statements through DuckSparkSession.
+
+Statement shapes mirror the reference gold queries
+(/root/reference/eval/data/dev.json, cited per test)."""
+
+import os
+
+import pytest
+
+
+def test_simple_select(loaded_engine):
+    # dev.json:28 shape
+    df = loaded_engine.execute("SELECT n_name FROM nation WHERE n_regionkey = 0")
+    assert df.count() == 5
+
+
+def test_join_group_topk(loaded_engine):
+    # dev.json:12 shape: join + group + order/limit
+    df = loaded_engine.execute(
+        """
+        SELECT c.c_name, count(*) AS n
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_name ORDER BY n DESC, c.c_name LIMIT 5
+        """
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert rows[0]["n"] >= rows[-1]["n"]
+
+
+def test_group_by_all_order_by_all(loaded_engine):
+    # dev.json:268,588
+    df = loaded_engine.execute(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
+        "GROUP BY ALL ORDER BY ALL"
+    )
+    assert df.count() >= 3
+
+
+def test_star_exclude(loaded_engine):
+    # dev.json:180
+    df = loaded_engine.execute("SELECT * EXCLUDE (r_name) FROM region")
+    assert df.columns == ["r_regionkey"]
+
+
+def test_star_replace(loaded_engine):
+    # dev.json:404
+    df = loaded_engine.execute(
+        "SELECT * REPLACE (upper(r_name) AS r_name) FROM region"
+    )
+    assert df.columns == ["r_regionkey", "r_name"]
+    assert all(r["r_name"] == r["r_name"].upper() for r in df.collect())
+
+
+def test_columns_regex(loaded_engine):
+    # dev.json:164
+    df = loaded_engine.execute("SELECT COLUMNS('^l_ship') FROM lineitem LIMIT 1")
+    assert df.columns == ["l_shipdate"]
+
+
+def test_columns_regex_wrapped(loaded_engine):
+    # dev.json:396
+    df = loaded_engine.execute("SELECT length(COLUMNS('name$')) FROM nation LIMIT 1")
+    # dev.json:396 shape — per-column expansion aliased to the column name
+    assert df.columns == ["n_name"]
+    assert df.collect()[0][0] > 0
+
+
+def test_from_first(loaded_engine):
+    # dev.json:284 terminal statement
+    df = loaded_engine.execute("FROM region")
+    assert df.count() == 5
+
+
+def test_cte_scalar_subquery(loaded_engine):
+    # dev.json:284 shape
+    df = loaded_engine.execute(
+        """
+        WITH per_nation AS (
+            SELECT n_nationkey, count(*) AS cnt
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_nationkey
+        )
+        SELECT * FROM per_nation WHERE cnt = (SELECT max(cnt) FROM per_nation)
+        """
+    )
+    assert df.count() >= 1
+
+
+def test_string_slice_and_index(loaded_engine):
+    # dev.json:292,460
+    df = loaded_engine.execute(
+        "SELECT c_name, c_name[1] AS first_ch, c_name[:8] AS prefix "
+        "FROM customer LIMIT 3"
+    )
+    for r in df.collect():
+        assert r["first_ch"] == r["c_name"][0]
+        assert r["prefix"] == r["c_name"][:8]
+
+
+def test_array_index_one_based(loaded_engine):
+    # dev.json:436 — embedding is ARRAY<FLOAT>
+    df = loaded_engine.execute(
+        "SELECT vec_id, embedding[1] AS e1 FROM embeddings LIMIT 2"
+    )
+    import math
+
+    rows = df.collect()
+    full = loaded_engine.execute("SELECT embedding FROM embeddings LIMIT 2").collect()
+    for r, f in zip(rows, full):
+        assert math.isclose(r["e1"], f["embedding"][0], rel_tol=1e-6)
+
+
+def test_struct_and_list_literals(engine):
+    # dev.json:476,484
+    df = engine.execute("SELECT {'a':1, 'b':2, 'c':3} AS s, [1,2,3] AS l")
+    row = df.collect()[0]
+    assert row["s"]["a"] == 1 and row["l"] == [1, 2, 3]
+
+
+def test_json_arrow(engine):
+    # dev.json:540
+    df = engine.execute("""SELECT '{"from":"pavel@toledo.com"}'->>'from' AS f""")
+    assert df.collect()[0]["f"] == "pavel@toledo.com"
+
+
+def test_datediff_minute(engine):
+    # dev.json:276 — boundary counting
+    df = engine.execute(
+        "SELECT datediff('minute', TIMESTAMP '2020-01-01 00:00:59', "
+        "TIMESTAMP '2020-01-01 00:01:01') AS m"
+    )
+    assert df.collect()[0]["m"] == 1
+
+
+def test_using_sample(loaded_engine):
+    # dev.json:172
+    df = loaded_engine.execute("SELECT * FROM lineitem USING SAMPLE 10%")
+    n = df.count()
+    assert 0 < n < 6100
+
+
+def test_ddl_dml_roundtrip(engine):
+    # dev.json:228,236,252 shapes
+    engine.execute(
+        "CREATE TABLE IF NOT EXISTS products (maker varchar(10), "
+        "model varchar(10), type varchar(10))"
+    )
+    engine.execute("INSERT INTO products VALUES ('A', '1001', 'pc')")
+    engine.execute("INSERT INTO products VALUES ('B', '1002', 'laptop')")
+    df = engine.execute("SELECT * FROM products ORDER BY model")
+    assert [r["maker"] for r in df.collect()] == ["A", "B"]
+    info = engine.execute("PRAGMA table_info('products')")
+    assert [r["name"] for r in info.collect()] == ["maker", "model", "type"]
+
+
+def test_update_delete(engine):
+    engine.execute("CREATE TABLE t_upd (id INTEGER, v VARCHAR)")
+    engine.execute("INSERT INTO t_upd VALUES (1,'a'), (2,'b')")
+    engine.execute("UPDATE t_upd SET v = NULL WHERE id = 2")
+    rows = {r["id"]: r["v"] for r in engine.execute("SELECT * FROM t_upd").collect()}
+    assert rows == {1: "a", 2: None}
+    engine.execute("DELETE FROM t_upd WHERE id = 1")
+    assert engine.execute("SELECT count(*) AS n FROM t_upd").collect()[0]["n"] == 1
+
+
+def test_alter_add_column_list(engine):
+    # dev.json:452 — ADD COLUMN phone_numbers VARCHAR[]
+    engine.execute("CREATE TABLE t_alt (id INTEGER)")
+    engine.execute("INSERT INTO t_alt VALUES (1)")
+    engine.execute("ALTER TABLE t_alt ADD COLUMN phone_numbers VARCHAR[]")
+    engine.execute("INSERT INTO t_alt VALUES (2, ['12312323', '23123344'])")
+    desc = {r["column_name"]: r["column_type"]
+            for r in engine.execute("DESCRIBE t_alt").collect()}
+    assert desc["phone_numbers"] == "VARCHAR[]"
+    rows = engine.execute(
+        "SELECT phone_numbers[1] AS p1 FROM t_alt WHERE id = 2"
+    ).collect()
+    assert rows[0]["p1"] == "12312323"
+
+
+def test_alter_column_type(engine):
+    # dev.json:524
+    engine.execute("CREATE TABLE t_ty (email VARCHAR)")
+    engine.execute("ALTER TABLE t_ty ALTER COLUMN email SET DATA TYPE VARCHAR")
+    desc = engine.execute("DESCRIBE t_ty").collect()
+    assert desc[0]["column_type"] == "VARCHAR"
+
+
+def test_fixed_array_create(engine):
+    # dev.json:492 — CREATE TABLE test (embeddings FLOAT[100])
+    engine.execute("CREATE TABLE t_fix (embeddings FLOAT[100])")
+    desc = engine.execute("DESCRIBE t_fix").collect()
+    assert desc[0]["column_type"] == "FLOAT[]"
+    with pytest.raises(Exception):
+        engine.execute("INSERT INTO t_fix VALUES ([1.0, 2.0])")
+
+
+def test_struct_column_ddl(engine):
+    # dev.json:500,508
+    engine.execute(
+        "CREATE TABLE t_struct (person STRUCT(name VARCHAR, id INTEGER))"
+    )
+    engine.execute("INSERT INTO t_struct VALUES ({'name':'Alice', 'id': 1})")
+    row = engine.execute("SELECT person.name AS n FROM t_struct").collect()[0]
+    assert row["n"] == "Alice"
+
+
+def test_copy_roundtrip_csv(engine, tmp_path):
+    # dev.json:324-333
+    engine.execute("CREATE TABLE c_csv (id INTEGER, name VARCHAR)")
+    engine.execute("INSERT INTO c_csv VALUES (1,'x'), (2,'y')")
+    p = str(tmp_path / "out.csv")
+    engine.execute(f"COPY c_csv TO '{p}'")
+    assert os.path.exists(p)
+    engine.execute(f"COPY c_csv FROM '{p}'")
+    assert engine.execute("SELECT count(*) AS n FROM c_csv").collect()[0]["n"] == 4
+
+
+def test_copy_query_to_parquet(engine, tmp_path):
+    # dev.json:204
+    engine.execute("CREATE TABLE c_pq (id INTEGER)")
+    engine.execute("INSERT INTO c_pq VALUES (1), (2), (3)")
+    p = str(tmp_path / "out.parquet")
+    engine.execute(f"COPY (SELECT * FROM c_pq WHERE id > 1) TO '{p}' (FORMAT 'parquet')")
+    df = engine.execute(f"SELECT * FROM read_parquet('{p}')")
+    assert df.count() == 2
+
+
+def test_copy_partitioned_parquet(engine, tmp_path):
+    # dev.json:340-341
+    engine.execute("CREATE TABLE c_part (id INTEGER, city VARCHAR)")
+    engine.execute(
+        "INSERT INTO c_part VALUES (1,'Amsterdam'), (2,'Rotterdam'), (3,'Amsterdam')"
+    )
+    root = str(tmp_path / "part_out")
+    engine.execute(
+        f"COPY c_part TO '{root}' (FORMAT PARQUET, PARTITION_BY (city), OVERWRITE_OR_IGNORE)"
+    )
+    df = engine.execute(f"SELECT * FROM read_parquet('{root}/city=Amsterdam/*.parquet')")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(r["city"] == "Amsterdam" for r in rows)
+
+
+def test_read_csv_auto_with_columns(engine, tmp_path):
+    # dev.json:372
+    p = str(tmp_path / "test.csv")
+    with open(p, "w") as f:
+        f.write("customer_id,firstname\n10,jo\n11,mary\n")
+    df = engine.execute(
+        f"SELECT * FROM read_csv_auto('{p}', columns={{'customer_id': 'VARCHAR', 'firstname': 'VARCHAR'}})"
+    )
+    rows = df.collect()
+    assert rows[0]["customer_id"] == "10"  # VARCHAR, not INT
+
+
+def test_ctas_from_file(engine, tmp_path):
+    # dev.json:212
+    p = str(tmp_path / "titanic.csv")
+    with open(p, "w") as f:
+        f.write("id,age\n1,22\n2,38\n")
+    engine.execute(f"CREATE TABLE titanic AS (SELECT * FROM read_csv_auto('{p}'))")
+    assert engine.execute("SELECT count(*) AS n FROM titanic").collect()[0]["n"] == 2
+
+
+def test_pragma_set_current_setting(engine):
+    # dev.json:564-574,220
+    engine.execute("SET threads = 10")
+    df = engine.execute("SELECT current_setting('threads') AS threads")
+    assert df.collect()[0]["threads"] == 10
+    engine.execute("SET memory_limit='20G'")
+    df = engine.execute("SELECT current_setting('memory_limit') AS m")
+    assert df.collect()[0]["m"] == "20G"
+    engine.execute("PRAGMA default_null_order='NULLS LAST'")
+    assert engine.settings["default_null_order"] == "nulls_last"
+
+
+def test_null_order_default(engine):
+    engine.execute("CREATE TABLE t_null (v INTEGER)")
+    engine.execute("INSERT INTO t_null VALUES (2), (NULL), (1)")
+    rows = engine.execute("SELECT v FROM t_null ORDER BY v").collect()
+    assert [r["v"] for r in rows] == [1, 2, None]  # DuckDB default NULLS LAST
+
+
+def test_version(engine):
+    # dev.json:244
+    df = engine.execute("CALL pragma_version()")
+    assert df.columns == ["library_version", "source_id"]
+
+
+def test_show_tables_and_databases(engine):
+    engine.execute("CREATE TABLE show_me (x INTEGER)")
+    names = [r["name"] for r in engine.execute("PRAGMA show_tables").collect()]
+    assert "show_me" in names
+    dbs = [r["database_name"] for r in engine.execute("SHOW DATABASES").collect()]
+    assert "memory" in dbs
+
+
+def test_summarize(loaded_engine):
+    # dev.json:188,548
+    df = loaded_engine.execute("SUMMARIZE orders")
+    rows = {r["column_name"]: r for r in df.collect()}
+    assert set(rows) == {"o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice", "o_orderdate", "o_orderpriority"}
+    assert rows["o_totalprice"]["avg"] is not None
+    assert rows["o_orderstatus"]["avg"] is None
+
+
+def test_explain(loaded_engine):
+    # dev.json:412
+    df = loaded_engine.execute("EXPLAIN SELECT count(*) FROM lineitem")
+    assert df.count() >= 1
+
+
+def test_attach_duckdb_file(engine, tmp_path):
+    # dev.json:596
+    import duckdb
+
+    p = str(tmp_path / "who.ddb")
+    con = duckdb.connect(p)
+    con.execute("CREATE TABLE ambient AS SELECT 1 AS x, 'a' AS y")
+    con.close()
+    engine.execute(f"ATTACH '{p}'")
+    dbs = [r["database_name"] for r in engine.execute("SHOW DATABASES").collect()]
+    assert "who" in dbs
+    df = engine.execute("SELECT * FROM who.ambient")
+    assert df.collect()[0]["x"] == 1
+
+
+def test_multi_statement(engine):
+    df = engine.execute(
+        "CREATE TABLE ms (x INTEGER); INSERT INTO ms VALUES (1); SELECT * FROM ms"
+    )
+    assert df.collect()[0]["x"] == 1
+
+
+def test_quoted_alias_with_space(loaded_engine):
+    # dev.json:76
+    df = loaded_engine.execute(
+        "SELECT o_totalprice/0.85 AS 'price (USD)' FROM orders LIMIT 1"
+    )
+    assert df.columns == ["price (USD)"]
+
+
+def test_having_on_alias(loaded_engine):
+    # dev.json:20
+    df = loaded_engine.execute(
+        "SELECT o_custkey, sum(o_totalprice) AS balance FROM orders "
+        "GROUP BY o_custkey HAVING balance > 0 LIMIT 5"
+    )
+    assert df.count() == 5

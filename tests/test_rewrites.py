@@ -1,0 +1,185 @@
+"""Unit tests for the DuckDB->Spark SQL rewrite passes (no Spark session)."""
+
+import re
+
+import pytest
+
+from duckdb_nsql_spark.frontend.rewrites import NullResolver, rewrite_sql
+
+
+class FakeResolver(NullResolver):
+    def __init__(self, kinds=None, tables=None, settings=None):
+        self.kinds = kinds or {}
+        self.tables = tables or {}
+        self.settings = settings or {}
+
+    def column_kind(self, name):
+        return self.kinds.get(name)
+
+    def table_columns(self, name):
+        return self.tables.get(name)
+
+    def setting(self, name):
+        return self.settings.get(name)
+
+
+def norm(s):
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def test_exclude_to_except():
+    out = rewrite_sql("SELECT * EXCLUDE (customer_id) FROM customers")
+    assert norm(out) == "SELECT * EXCEPT (customer_id) FROM customers"
+
+
+def test_struct_literal():
+    out = rewrite_sql("SELECT {'a': 1, 'b': 2, 'c': 3} AS s")
+    assert norm(out) == "SELECT named_struct('a', 1, 'b', 2, 'c', 3) AS s"
+
+
+def test_struct_literal_nested():
+    out = rewrite_sql("SELECT {'a': {'x': 1}, 'b': [1,2]}")
+    assert "named_struct('a', named_struct('x', 1), 'b', array(1,2))" in out
+
+
+def test_array_literal():
+    out = rewrite_sql("SELECT [1, 2, 3]")
+    assert norm(out) == "SELECT array(1, 2, 3)"
+
+
+def test_array_literal_in_insert():
+    out = rewrite_sql("INSERT INTO t VALUES ('a', ['1','2'])")
+    assert "array('1','2')" in out
+
+
+def test_string_index():
+    r = FakeResolver(kinds={"firstname": "string"})
+    out = rewrite_sql("SELECT firstname[1] FROM customers", r)
+    assert norm(out) == "SELECT substring(firstname, 1, 1) FROM customers"
+
+
+def test_string_slice_open_start():
+    r = FakeResolver(kinds={"email": "string"})
+    out = rewrite_sql("SELECT * FROM t WHERE email[:4] = 'test'", r)
+    assert "substring(email, 1, (4)-(1)+1)" in out
+
+
+def test_array_index_one_based():
+    r = FakeResolver(kinds={"phone_numbers": "array"})
+    out = rewrite_sql("SELECT phone_numbers[1] FROM customers", r)
+    assert norm(out) == "SELECT element_at(phone_numbers, 1) FROM customers"
+
+
+def test_array_slice():
+    r = FakeResolver(kinds={"phone_numbers": "array"})
+    out = rewrite_sql("SELECT phone_numbers[:2] FROM customers", r)
+    assert "slice(phone_numbers, 1, (2)-(1)+1)" in out
+
+
+def test_qualified_array_index():
+    r = FakeResolver(kinds={"embedding": "array"})
+    out = rewrite_sql("SELECT e.embedding[3] FROM embeddings e", r)
+    assert "element_at(e.embedding, 3)" in out
+
+
+def test_index_on_cast():
+    r = FakeResolver(kinds={"who_region": "string"})
+    out = rewrite_sql("SELECT who_region[1]::INT FROM t", r)
+    assert "substring(who_region, 1, 1)::INT" in out
+
+
+def test_json_arrow():
+    out = rewrite_sql("SELECT email->>'from' FROM customers")
+    assert norm(out) == "SELECT get_json_object(email, '$.from') FROM customers"
+
+
+def test_json_arrow_on_literal():
+    out = rewrite_sql("""SELECT '{"a":1}'->>'a'""")
+    assert "get_json_object('{\"a\":1}', '$.a')" in out
+
+
+def test_datediff_minute():
+    out = rewrite_sql("SELECT datediff('minute', t1, t2) FROM taxi")
+    assert (
+        "timestampdiff(MINUTE, date_trunc('MINUTE', t1), date_trunc('MINUTE', t2))"
+        in out
+    )
+
+
+def test_datediff_plain_two_arg_untouched():
+    out = rewrite_sql("SELECT datediff(d1, d2) FROM t")
+    assert "datediff(d1, d2)" in out
+
+
+def test_columns_regex_bare():
+    r = FakeResolver(tables={"rideshare": ["trip_miles", "trip_time", "tips"]})
+    out = rewrite_sql("SELECT COLUMNS('^trip_') FROM rideshare", r)
+    assert norm(out) == "SELECT trip_miles, trip_time FROM rideshare"
+
+
+def test_columns_regex_wrapped():
+    r = FakeResolver(tables={"customers": ["firstname", "lastname", "city"]})
+    out = rewrite_sql("SELECT LENGTH(COLUMNS('name$')) FROM customers", r)
+    assert norm(out) == (
+        "SELECT LENGTH(firstname) AS firstname, LENGTH(lastname) AS lastname"
+        " FROM customers"
+    )
+
+
+def test_star_replace():
+    r = FakeResolver(tables={"customers": ["customer_id", "city"]})
+    out = rewrite_sql(
+        "SELECT * REPLACE (upper(city) AS city) FROM customers", r
+    )
+    assert norm(out) == "SELECT customer_id, upper(city) AS city FROM customers"
+
+
+def test_using_sample_percent():
+    out = rewrite_sql("SELECT * FROM rideshare USING SAMPLE 1%")
+    assert norm(out) == "SELECT * FROM rideshare TABLESAMPLE (1 PERCENT)"
+
+
+def test_using_sample_reservoir():
+    out = rewrite_sql("SELECT * FROM t USING SAMPLE 10% (reservoir)")
+    assert norm(out) == "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+
+
+def test_current_setting():
+    r = FakeResolver(settings={"threads": "10"})
+    out = rewrite_sql("SELECT current_setting('threads') AS threads", r)
+    assert norm(out) == "SELECT 10 AS threads"
+
+
+def test_quoted_alias():
+    out = rewrite_sql("SELECT price/0.85 AS 'price (USD)' FROM laptops")
+    assert "AS `price (USD)`" in out
+
+
+def test_double_quoted_ident():
+    out = rewrite_sql('SELECT "my col" FROM t')
+    assert "`my col`" in out
+
+
+def test_string_split():
+    out = rewrite_sql("SELECT string_split(text, ' ') FROM documents")
+    assert "split(text" in out and "'\\ '" in out
+
+
+def test_regexp_matches():
+    out = rewrite_sql("SELECT * FROM t WHERE regexp_matches(s, 'ab+')")
+    assert "(s RLIKE 'ab+')" in out
+
+
+def test_trailing_semicolon_stripped():
+    out = rewrite_sql("SELECT 1;")
+    assert not out.rstrip().endswith(";")
+
+
+def test_keywords_not_mangled():
+    sql = "SELECT a FROM t WHERE x IN (SELECT y FROM u) AND b BETWEEN 1 AND 2"
+    assert norm(rewrite_sql(sql)) == norm(sql)
+
+
+def test_case_expression_passthrough():
+    sql = "SELECT CASE WHEN a > 1 THEN 'x' ELSE 'y' END AS c FROM t"
+    assert norm(rewrite_sql(sql)) == norm(sql)
