@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+The real registry lives in ``duckdb_nsql_spark.workload``:
+- ENGINE_SQL entries execute DuckDB-dialect SQL through the engine's own
+  frontend (most oracles are the *same SQL text* run on DuckDB).
+- OPERATORS entries are Spark-first pipelines (dedup / similarity / text /
+  asof / streaming) with hand-matched oracle SQL where cross-engine
+  determinism allows, rows-only otherwise.
 """
 
 from __future__ import annotations
@@ -13,26 +19,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from duckdb_nsql_spark import workload
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape in DuckDB dialect, GROUP BY ALL /
+    ORDER BY ALL) on /root/testdata/sf0.001 through the engine frontend."""
+    eng = workload.engine_for(spark, "/root/testdata/sf0.001")
+    return eng.execute(workload.ENGINE_SQL["q01_pricing_summary"][0])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return workload.build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return workload.build_oracles()

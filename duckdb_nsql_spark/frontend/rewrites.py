@@ -731,13 +731,46 @@ def pass_using_sample(tokens: list[Token]) -> list[Token]:
 
 
 # ---------------------------------------------------------------------------
+# :: integer casts — DuckDB rounds doubles, Spark truncates
+# ---------------------------------------------------------------------------
+
+_INT_CAST_TYPES = {"INTEGER", "INT", "INT4", "BIGINT", "INT8", "SMALLINT",
+                   "INT2", "TINYINT", "INT1", "HUGEINT"}
+
+
+def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
+    """``x::INTEGER`` — DuckDB rounds (half away from zero) when casting
+    float/double to integer (dev.json:428 ``speed::INTEGER``); Spark CAST
+    truncates. Rewrite to ``CAST(round(x) AS type)`` (Spark round is also
+    half-away-from-zero), preserving DuckDB's answer for fractional input
+    and a no-op for integral input."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == OP and t.text == "::":
+            ty = next_sig(tokens, i)
+            if ty < len(tokens) and tokens[ty].kind == IDENT and tokens[ty].upper in _INT_CAST_TYPES:
+                start = primary_start(tokens, i)
+                base = tokens[start:i]
+                new = (
+                    [_ident("CAST"), _punct("("), _ident("round"), _punct("(")]
+                    + base
+                    + [_punct(")"), _ws(), _ident("AS"), _ws(), _ident(tokens[ty].text), _punct(")")]
+                )
+                tokens = tokens[:start] + new + tokens[ty + 1 :]
+                i = start + len(new)
+                continue
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
 # function renames
 # ---------------------------------------------------------------------------
 
 _SIMPLE_RENAMES = {
     # DuckDB name -> Spark name (argument-compatible)
     "LIST_CONTAINS": "array_contains",
-    "ARRAY_LENGTH": "size",
     "LIST_VALUE": "array",
     "STRFTIME": "date_format",
     "TO_TIMESTAMP": "timestamp_seconds",  # DuckDB to_timestamp(sec) (dev.json gold surface uses epoch secs)
@@ -746,7 +779,40 @@ _SIMPLE_RENAMES = {
 }
 
 
-def pass_function_renames(tokens: list[Token]) -> list[Token]:
+_ARRAY_FUNCS = frozenset(
+    "ARRAY SLICE SPLIT SEQUENCE COLLECT_LIST ARRAY_AGG STRING_SPLIT STR_SPLIT "
+    "LIST_VALUE ARRAY_DISTINCT ARRAY_SORT SORT_ARRAY TRANSFORM FLATTEN "
+    "REGEXP_EXTRACT_ALL MAP_KEYS MAP_VALUES".split()
+)
+
+
+def _span_is_array(tokens: list[Token], lo: int, hi: int, resolver: Resolver) -> bool:
+    """Best-effort: does tokens[lo:hi] evaluate to an array?"""
+    sig = [tk for tk in tokens[lo:hi] if tk.kind not in (WS, COMMENT)]
+    if not sig:
+        return False
+    if sig[0].kind == PUNCT and sig[0].text == "[":
+        return True
+    if sig[0].kind == IDENT and sig[0].upper in _ARRAY_FUNCS:
+        return True
+    # dotted column chain -> resolver on the last identifier
+    name = None
+    for tk in sig:
+        if tk.kind == IDENT:
+            name = tk.text
+        elif tk.kind in (QIDENT, BIDENT):
+            name = tk.text[1:-1]
+        elif tk.kind == PUNCT and tk.text == ".":
+            continue
+        else:
+            break
+    if name is not None:
+        return resolver.column_kind(name.lower()) == "array"
+    return False
+
+
+def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = None) -> list[Token]:
+    resolver = resolver or NullResolver()
     out = list(tokens)
     i = 0
     while i < len(out):
@@ -756,8 +822,14 @@ def pass_function_renames(tokens: list[Token]) -> list[Token]:
             is_call = n < len(out) and out[n].kind == PUNCT and out[n].text == "("
             if is_call:
                 up = t.upper
-                if up == "LEN":
-                    out[i] = _ident("length")
+                if up in ("LEN", "LENGTH", "ARRAY_LENGTH", "CARDINALITY"):
+                    # DuckDB len/length are polymorphic; Spark needs size()
+                    # for arrays/maps and length() for strings
+                    c = match_forward(out, n, "(", ")")
+                    if _span_is_array(out, n + 1, c, resolver):
+                        out[i] = _ident("size")
+                    elif up in ("LEN",):
+                        out[i] = _ident("length")
                 elif up == "STRING_SPLIT" or up == "STR_SPLIT":
                     # split(s, sep) in Spark takes a regex -> quote the literal
                     c = match_forward(out, n, "(", ")")
@@ -811,5 +883,6 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_columns_regex(tokens, resolver)
     tokens = pass_star_replace(tokens, resolver)
     tokens = pass_using_sample(tokens)
-    tokens = pass_function_renames(tokens)
+    tokens = pass_int_cast_rounds(tokens)
+    tokens = pass_function_renames(tokens, resolver)
     return render(tokens)

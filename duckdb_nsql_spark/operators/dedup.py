@@ -1,0 +1,356 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all expressed as DataFrame pipelines that scale by
+shuffle-on-key (no driver-side loops, no collect):
+
+- exact:            hash-groupBy on a normalized fingerprint
+- minhash_lsh:      shingle → md5 minhash signature → banded LSH join
+- ngram_jaccard:    exact Jaccard over word n-gram shingles via shingle join
+- simhash:          64-bit simhash + banded hamming blocking
+- embedding_cosine: blocked cosine near-dup over an embedding column
+
+The minhash construction uses md5 (byte-identical in DuckDB), so the LSH
+candidate pairs are exactly reproducible in the oracle's SQL — see
+``__spark_entry__.oracle_sql``. xxhash64-based simhash is Spark-native
+(no cross-engine oracle; covered by unit tests instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, fingerprint
+
+DEFAULT_NUM_PERM = 16
+DEFAULT_BANDS = 4
+SHINGLE_WORDS = 3
+
+
+def _persist_small(df: DataFrame) -> DataFrame:
+    """Persist a derived table that a pair-join reads twice.
+
+    Signature/shingle tables are tiny relative to the corpus (a few
+    hashes per document), and without persistence the self-join's two
+    branches each recompute the full text pipeline AND the combined
+    plan lands in one enormous whole-stage-codegen region (tens of
+    seconds of janino compilation before the first row moves). At
+    cluster scale the equivalent is materializing the signature table
+    before the join — same design, different durability. Materialized
+    eagerly so both join branches read the cache instead of racing to
+    fill it (and so the join's codegen region only sees the cached
+    scan, not the full text pipeline)."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
+def shingles(col: Column, n: int = SHINGLE_WORDS) -> Column:
+    """Distinct word n-gram shingles of the normalized text.
+
+    Documents shorter than ``n`` words contribute their whole normalized
+    text as a single shingle, so no document silently drops out.
+    """
+    words = F.split(normalize_text(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: groups of identical normalized text.
+
+    Returns (canonical_id, doc_id) for every member of a >1-sized group.
+    Single shuffle on the 128-bit fingerprint; group sizes are naturally
+    bounded, and AQE handles residual skew from boilerplate documents.
+    """
+    fp = df.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    groups = (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return (
+        fp.join(groups, "fp")
+        .select("canonical_id", "doc_id")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+    )
+
+
+def _py_shingles(norm: str, n: int = SHINGLE_WORDS) -> list[str]:
+    """Python twin of ``shingles()`` (identical output on identical input;
+    asserted by tests). Used inside Arrow-batched UDFs."""
+    words = norm.split(" ")
+    count = max(len(words) - (n - 1), 1)
+    out = [" ".join(words[i : i + n]) for i in range(count)]
+    return list(dict.fromkeys(out))
+
+
+def minhash_bands_udf(
+    num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS
+) -> Column:
+    """Factory: pandas UDF normalized_text -> array of ``bands`` band-
+    signature md5s.
+
+    The construction (md5 per (permutation, shingle), string-min per
+    permutation, md5 over '|'-joined band slices) is byte-identical in
+    Python hashlib, JVM md5 and DuckDB md5 — which is what makes the LSH
+    candidate set exactly reproducible by the oracle SQL. It runs as an
+    Arrow-batched UDF because Spark evaluates higher-order-function
+    lambdas interpreted, and the nested perm×shingle loop measured ~100x
+    slower as column expressions than as a hashlib loop.
+    """
+    import hashlib
+
+    rows = num_perm // bands
+
+    def one(norm: str) -> list[str]:
+        sh = _py_shingles(norm)
+        sig = [
+            min(hashlib.md5(f"{p}:{s}".encode()).hexdigest() for s in sh)
+            for p in range(num_perm)
+        ]
+        return [
+            hashlib.md5("|".join(sig[b * rows : (b + 1) * rows]).encode()).hexdigest()
+            for b in range(bands)
+        ]
+
+    @F.pandas_udf("array<string>")
+    def bands_fn(norm: pd.Series) -> pd.Series:
+        return norm.map(one)
+
+    return bands_fn
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) via banded minhash LSH.
+
+    Plan shape: map (signature) → explode bands → shuffle on band key →
+    self-equi-join inside buckets → distinct. The join key (band index +
+    band hash) is high-cardinality, so the shuffle partitions evenly; a
+    pathological bucket (mass-duplicated boilerplate) is exactly the AQE
+    skew-join case. No O(n²) stage anywhere.
+    """
+    bands_fn = minhash_bands_udf(num_perm, bands)
+    with_bands = df.select(
+        F.col(id_col).alias("doc_id"),
+        bands_fn(normalize_text(F.col(text_col))).alias("bands"),
+    )
+    banded = _persist_small(
+        with_bands.select(
+            "doc_id", F.posexplode("bands").alias("band", "bandsig")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandsig") == F.col("b.bandsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard ≥ t).
+
+    Inverted-index join: explode distinct shingles, join docs sharing a
+    shingle, count intersections, derive |A∪B| from per-doc sizes. The
+    shuffle key is the shingle; ``max_df`` drops stop-shingles that appear
+    in more than ``max_df`` documents (the classic hot-key guard — at
+    100 TB a shingle like "of the and" would otherwise fan into a
+    quadratic bucket while contributing nothing to precision).
+    """
+    sh = _persist_small(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col))).alias("shingle"),
+        ).distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+            F.col("df") > max_df
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "sh"
+) -> DataFrame:
+    """Add a 64-bit SimHash column over word 3-gram shingles.
+
+    Bit b of the result is the sign of Σ_shingles (±1 depending on bit b
+    of the shingle's xxhash64). The shingle hashing stays JVM-side
+    (codegen); the 64-bit vote fold runs as an Arrow-batched pandas UDF
+    with numpy bit-parallel ops — expressing it as nested SQL lambdas
+    costs ~64×|shingles| *interpreted* expression evals per document,
+    which measured two orders of magnitude slower. Map-only either way.
+    """
+    @F.pandas_udf("long")
+    def fold(hash_arrays: pd.Series) -> pd.Series:
+        out = np.empty(len(hash_arrays), dtype=np.int64)
+        bits_idx = np.arange(64, dtype=np.uint64)
+        for i, hs in enumerate(hash_arrays):
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                out[i] = 0
+                continue
+            bits = (h[:, None] >> bits_idx) & np.uint64(1)  # |sh| x 64
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - h.size
+            word = np.uint64(0)
+            for b in range(63, -1, -1):
+                word = (word << np.uint64(1)) | np.uint64(1 if votes[b] > 0 else 0)
+            out[i] = word.astype(np.int64) if word < 2**63 else np.int64(word - 2**64)
+        return pd.Series(out)
+
+    hashes = F.transform(shingles(F.col(text_col)), lambda s: F.xxhash64(s))
+    return (
+        df.withColumn("__sh_hashes", hashes)
+        .withColumn(out_col, fold(F.col("__sh_hashes")))
+        .drop("__sh_hashes")
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidates: block on equality of any 16-bit chunk
+    (catches all pairs within hamming distance 3 of the 64-bit hash)."""
+    sim = with_simhash(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), text_col, "sh"
+    ).select("doc_id", "sh")
+    n_chunks = 64 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    chunked = _persist_small(sim.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "sh", "cv.chunk", "cv.val"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming"))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ threshold.
+
+    Blocked self-join: only pairs sharing ``block_col`` are compared,
+    keeping the quadratic term local to each block (at scale the block
+    would be an LSH bucket — see similarity.lsh_partition). Cosine is a
+    zip_with dot product — codegen'd, no UDF.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over an embedding column (ARRAY<FLOAT>).
+
+- brute_force_topk: exact cosine top-k. One map over the table + a
+  TakeOrderedAndProject — the correct baseline at any scale (top-k is
+  per-partition then merged on the driver; no global sort materialized).
+- lsh_partition / lsh_topk: random-hyperplane LSH bucketing — the scale
+  path. Buckets are computed with deterministic seeded hyperplanes so
+  repeated runs (and tests) agree; query probes its own bucket plus
+  optional multi-probe neighbors, turning a full scan into a
+  partition-pruned scan when the table is written partitioned by bucket.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query vector is a plan literal (broadcast by construction);
+    ordering ties break on id so results are deterministic.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def _hyperplane(seed: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (splitmix64-style mix);
+    reproducible across runs/engines without any RNG state."""
+    vals = []
+    for d in range(dim):
+        x = (seed * 0x9E3779B97F4A7C15 + plane * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        # map to (-1, 1)
+        vals.append((x / 2**63) - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_bucket(
+    vec: Column, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket id in [0, 2^n_planes)."""
+    out = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(seed, p, dim)])
+        bit = F.when(_dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        out = out + (bit * F.lit(1 << p))
+    return out
+
+
+def lsh_partition(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every vector its LSH bucket. At 100 TB this column is the
+    table's partition key (``write.partitionBy('bucket')``), making
+    queries partition-pruned scans of ~1/2^n_planes of the data."""
+    return df.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+
+
+def _probe_buckets(query_vec: list[float], n_planes: int, seed: int, multiprobe: int) -> list[int]:
+    dim = len(query_vec)
+    bits = []
+    for p in range(n_planes):
+        plane = _hyperplane(seed, p, dim)
+        bits.append(1 if sum(a * b for a, b in zip(query_vec, plane)) >= 0 else 0)
+    base = sum(b << i for i, b in enumerate(bits))
+    buckets = [base]
+    if multiprobe > 0:
+        # probe hamming-1 neighbors (flip each bit) — standard multi-probe
+        buckets += [base ^ (1 << i) for i in range(min(multiprobe, n_planes))]
+    return buckets
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket(s).
+
+    Filter-first plan: the bucket predicate prunes before any cosine is
+    computed (and prunes partitions if the table is bucket-partitioned).
+    """
+    dim = len(query_vec)
+    bucketed = lsh_partition(df, dim, vec_col, n_planes, seed)
+    probes = _probe_buckets(query_vec, n_planes, seed, multiprobe)
+    candidates = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(candidates, query_vec, k, vec_col, id_col)

@@ -1,0 +1,119 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All of these are pure built-in-function column pipelines (JVM-side,
+whole-stage codegen, no Python UDFs) — they scale linearly with no
+shuffle; at 100 TB they are map-only passes over the documents table.
+
+Designed to be cross-checkable against DuckDB: every expression uses
+functions with identical semantics in both engines (md5, regexp_*,
+length, split), so the driver's oracle comparison can hash-match values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# word-splitting regex shared by all operators (and mirrored in oracle SQL)
+WORD_SPLIT_RE = r"\s+"
+
+# tiny per-language stopword markers for the n-gram language heuristic;
+# chosen to be unambiguous across the three languages
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+}
+
+# BPE-ish token pattern: runs of letters, runs of digits, or single
+# non-space symbols — a cheap stand-in for a real tokenizer's pre-split
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form used for fingerprinting and exact dedup:
+    lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 of normalized text).
+
+    md5 is byte-identical in Spark and DuckDB, so fingerprints computed by
+    either engine agree — this is what makes the dedup operators
+    oracle-checkable.
+    """
+    return F.md5(normalize_text(col))
+
+
+def word_count(col: Column) -> Column:
+    return F.size(F.split(F.trim(col), WORD_SPLIT_RE))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenization regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), 4)
+
+
+def upper_ratio(col: Column) -> Column:
+    n_upper = F.length(col) - F.length(F.regexp_replace(col, r"[A-Z]", ""))
+    return F.round(n_upper / F.greatest(F.length(col), F.lit(1)), 4)
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of words that are (english) stopwords — quality signal."""
+    stops = F.size(F.regexp_extract_all(F.lower(col), F.lit(LANG_MARKERS["en"]), F.lit(0)))
+    return F.round(stops / F.greatest(word_count(col), F.lit(1)), 4)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: longer docs with low punctuation
+    noise and a natural stopword rate score higher. Deterministic
+    arithmetic only, reproducible in ANSI SQL."""
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3.0, 4)
+
+
+def lang_id(col: Column) -> Column:
+    """n-gram-marker language heuristic over {en, de, fr}; 'und' = unknown.
+
+    Ties break by marker order (en > de > fr) via strictly-greater
+    comparisons, matching the oracle SQL's CASE ordering.
+    """
+    low = F.lower(col)
+    scores = {
+        lang: F.size(F.regexp_extract_all(low, F.lit(rx), F.lit(0)))
+        for lang, rx in LANG_MARKERS.items()
+    }
+    en, de, fr = scores["en"], scores["de"], scores["fr"]
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass profile of a documents table: counts, ratios, quality,
+    language, fingerprint. Map-only — no shuffle at any scale."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        word_count(c).alias("n_words"),
+        token_count_bpe(c).alias("n_tokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        upper_ratio(c).alias("upper_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,699 @@
+"""The benchmark workload: named queries over the driver's testdata tables,
+each paired with DuckDB oracle SQL for the correctness gate
+(CORRECTNESS_r{N}.json — row-count + schema + order-insensitive value hash).
+
+Two families:
+
+- ENGINE_SQL: DuckDB-dialect statements executed through the engine's own
+  frontend (DuckSparkSession.execute). For these the *same SQL text* is the
+  oracle — the strongest possible parity statement: the engine accepts
+  DuckDB's dialect and produces DuckDB's answers. Shapes mirror the
+  reference gold queries (/root/reference/eval/data/dev.json, cited).
+
+- DataFrame operators (dedup/similarity/text/asof/streaming): Spark-first
+  pipelines from duckdb_nsql_spark.operators, with hand-matched oracle SQL
+  built on cross-engine-identical primitives (md5, regexp_*, concat_ws,
+  1-based list ops). Non-reproducible ops (xxhash simhash, LSH ANN,
+  sampling, multimodal) ship without an oracle — the driver records the
+  weaker rows-only check, and unit tests pin their semantics.
+
+Float discipline for hash-matching: every floating-point output column is
+round()ed (2-6 digits) on BOTH sides, and Spark-side float arrays are cast
+to double before arithmetic so the sequential fold matches DuckDB's
+double-precision evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import asof as asof_ops
+from .operators import dedup, multimodal, similarity
+from .operators import text as text_ops
+from .session import DuckSparkSession
+
+_ENGINES: dict = {}
+
+
+def engine_for(spark: SparkSession, sf_dir: str) -> DuckSparkSession:
+    key = (id(spark), os.path.abspath(sf_dir))
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = DuckSparkSession(spark=spark)
+        eng.register_parquet_dir(sf_dir)
+        _ENGINES[key] = eng
+    return eng
+
+
+# ---------------------------------------------------------------------------
+# family 1: DuckDB-dialect SQL through the engine (oracle = same text)
+# ---------------------------------------------------------------------------
+
+# name -> (engine_sql, oracle_sql_override or None meaning "same text")
+ENGINE_SQL: dict[str, tuple[str, Optional[str]]] = {}
+
+
+def _sql(name: str, sql: str, oracle: Optional[str] = "same") -> None:
+    ENGINE_SQL[name] = (sql, sql if oracle == "same" else oracle)
+
+
+# --- scan / filter / project (dev.json:28,36,44 shapes; TPC-H Q1/Q6) ------
+_sql(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+
+_sql(
+    "q02_filter_predicates",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity >= 49 AND l_discount > 0.05 AND l_returnflag <> 'N'
+          AND l_shipdate IS NOT NULL
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+
+_sql(
+    "q03_like_filter",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_orderpriority LIKE '%URGENT%'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+_sql(
+    "q04_arithmetic_alias",
+    """
+    SELECT o_orderkey, round(o_totalprice / 0.85, 2) AS price_usd
+    FROM orders WHERE o_totalprice > 400000 ORDER BY o_orderkey
+    """,
+)
+
+# --- joins (dev.json:12,316 shapes) ---------------------------------------
+_sql(
+    "q05_join_group_topk",
+    """
+    SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS total_spent
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spent DESC, c.c_custkey LIMIT 10
+    """,
+)
+
+_sql(
+    "q06_multiway_join",
+    """
+    SELECT r.r_name, n.n_name, count(*) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+
+_sql(
+    "q07_self_join_alias",
+    """
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    ORDER BY nation_a, nation_b
+    """,
+)
+
+# --- aggregation (dev.json:20,84,268,580) ---------------------------------
+_sql(
+    "q08_having_on_alias",
+    """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS balance
+    FROM orders GROUP BY o_custkey
+    HAVING balance > 1500000 ORDER BY o_custkey
+    """,
+)
+
+_sql(
+    "q09_group_by_all_exclude",
+    """
+    SELECT * EXCLUDE (n_nationkey, n_name), count(*) AS n
+    FROM nation GROUP BY ALL ORDER BY ALL
+    """,
+)
+
+_sql(
+    "q10_scalar_aggs",
+    """
+    SELECT round(avg(p_retailprice), 4) AS avg_price,
+           round(max(p_retailprice), 2) AS max_price,
+           round(min(p_retailprice), 2) AS min_price,
+           count(*) AS n, count(DISTINCT p_brand) AS n_brands
+    FROM part
+    """,
+)
+
+_sql(
+    "q11_distinct_order",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY ALL",
+)
+
+# --- DuckDB-isms (dev.json:164,396,404,460,292,308,436,468,476,484) -------
+_sql(
+    "q12_columns_regex",
+    "SELECT COLUMNS('^l_(order|line)') FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50",
+    oracle="SELECT l_orderkey, l_linenumber, l_linestatus FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50",
+)
+
+_sql(
+    "q13_columns_fn_wrap",
+    "SELECT length(COLUMNS('_name$')) FROM nation ORDER BY n_nationkey LIMIT 5",
+    oracle="SELECT length(n_name) AS n_name FROM nation ORDER BY n_nationkey LIMIT 5",
+)
+
+_sql(
+    "q14_star_replace",
+    "SELECT * REPLACE (upper(r_name) AS r_name) FROM region ORDER BY r_regionkey",
+    oracle="SELECT r_regionkey, upper(r_name) AS r_name FROM region ORDER BY r_regionkey",
+)
+
+_sql(
+    "q15_string_index_slice",
+    """
+    SELECT c_custkey, c_name[1] AS first_ch, c_name[:9] AS prefix,
+           upper(c_mktsegment) AS seg
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+    oracle="""
+    SELECT c_custkey, c_name[1] AS first_ch, c_name[:9] AS prefix,
+           upper(c_mktsegment) AS seg
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+)
+
+_sql(
+    "q16_list_ops",
+    """
+    SELECT vec_id, round(embedding[1], 4) AS e1,
+           round(embedding[64], 4) AS e_last,
+           len(embedding) AS dim
+    FROM embeddings ORDER BY vec_id LIMIT 100
+    """,
+    oracle="""
+    SELECT vec_id, round(embedding[1], 4) AS e1,
+           round(embedding[64], 4) AS e_last,
+           CAST(len(embedding) AS INTEGER) AS dim
+    FROM embeddings ORDER BY vec_id LIMIT 100
+    """,
+)
+
+_sql(
+    "q17_cast_ops",
+    """
+    SELECT l_orderkey, l_quantity::INTEGER AS qty_int,
+           (l_extendedprice / 100)::BIGINT AS price_h,
+           l_returnflag || l_linestatus AS flags
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+
+_sql(
+    "q18_struct_list_literals",
+    """
+    SELECT {'name': 'duckdb-nsql-spark', 'major': 1}.name AS engine_name,
+           [10, 20, 30][2] AS second,
+           len([1, 2, 3, 4]) AS list_len
+    """,
+    oracle="""
+    SELECT {'name': 'duckdb-nsql-spark', 'major': 1}.name AS engine_name,
+           [10, 20, 30][2] AS second,
+           CAST(len([1, 2, 3, 4]) AS INTEGER) AS list_len
+    """,
+)
+
+_sql(
+    "q19_json_extract",
+    """
+    SELECT CAST(props->>'k' AS INTEGER) AS k, count(*) AS n
+    FROM events GROUP BY k ORDER BY k LIMIT 50
+    """,
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
+    FROM events GROUP BY k ORDER BY k LIMIT 50
+    """,
+)
+
+_sql(
+    "q20_datediff_minute",
+    """
+    SELECT user_id,
+           datediff('minute', min(ts), max(ts)) AS active_minutes,
+           count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id LIMIT 200
+    """,
+    oracle="""
+    SELECT user_id,
+           date_diff('minute', min(ts), max(ts)) AS active_minutes,
+           count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id LIMIT 200
+    """,
+)
+
+_sql(
+    "q21_regexp_extract",
+    """
+    SELECT doc_id, regexp_extract(text, '[A-Za-z]+', 0) AS first_word
+    FROM documents ORDER BY doc_id LIMIT 200
+    """,
+)
+
+# --- subqueries / CTEs / set ops (dev.json:284; SURVEY §2.6-2.7) ----------
+_sql(
+    "q22_cte_scalar_subquery",
+    """
+    WITH per_nation AS (
+        SELECT n.n_name, round(avg(c.c_acctbal), 4) AS avg_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    max_nation AS (
+        SELECT n_name FROM per_nation
+        WHERE avg_bal = (SELECT max(avg_bal) FROM per_nation)
+    )
+    SELECT * FROM per_nation WHERE n_name IN (FROM max_nation)
+    """,
+    oracle="""
+    WITH per_nation AS (
+        SELECT n.n_name, round(avg(c.c_acctbal), 4) AS avg_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    max_nation AS (
+        SELECT n_name FROM per_nation
+        WHERE avg_bal = (SELECT max(avg_bal) FROM per_nation)
+    )
+    SELECT * FROM per_nation WHERE n_name IN (SELECT n_name FROM max_nation)
+    """,
+)
+
+_sql(
+    "q23_exists_subquery",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM nation n
+                  WHERE n.n_nationkey = s.s_nationkey AND n.n_regionkey = 1)
+    ORDER BY s_suppkey
+    """,
+)
+
+_sql(
+    "q24_in_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    ORDER BY c_custkey LIMIT 100
+    """,
+)
+
+_sql(
+    "q25_union",
+    """
+    SELECT n_name AS name FROM nation WHERE n_regionkey = 0
+    UNION
+    SELECT r_name AS name FROM region
+    ORDER BY name
+    """,
+)
+
+_sql(
+    "q26_intersect_except",
+    """
+    SELECT x FROM (
+        SELECT n_regionkey AS x FROM nation INTERSECT SELECT r_regionkey AS x FROM region
+    ) ORDER BY x
+    """,
+)
+
+# --- window functions (SURVEY §2.5 — free extension) ----------------------
+_sql(
+    "q27_window_topk_per_group",
+    """
+    SELECT n_nationkey, c_custkey, c_acctbal FROM (
+        SELECT n.n_nationkey, c.c_custkey, c.c_acctbal,
+               row_number() OVER (PARTITION BY n.n_nationkey
+                                  ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rn <= 3 ORDER BY n_nationkey, c_custkey
+    """,
+)
+
+_sql(
+    "q28_window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+    FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey
+    """,
+)
+
+_sql(
+    "q29_window_lag_lead",
+    """
+    SELECT user_id, event_id,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+    FROM events WHERE user_id < 20 ORDER BY user_id, event_id
+    """,
+)
+
+# --- grouping sets / rollup / cube (SURVEY §2.4 — free extension) ---------
+_sql(
+    "q30_rollup",
+    """
+    SELECT r_name, n_name, count(*) AS n
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+
+_sql(
+    "q31_conditional_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+_sql(
+    "q32_case_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+
+# --- date/time ------------------------------------------------------------
+_sql(
+    "q33_date_trunc_extract",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+           count(*) AS n
+    FROM orders GROUP BY ALL ORDER BY month
+    """,
+)
+
+# --- sampling (dev.json:172,556 — nondeterministic, rows-only check) ------
+_sql("q34_sample_percent", "SELECT * FROM lineitem USING SAMPLE 5%", oracle=None)
+
+
+# ---------------------------------------------------------------------------
+# family 2: operator pipelines (DataFrame API) with matched oracles
+# ---------------------------------------------------------------------------
+
+# shared oracle fragments mirroring operators/text.py + operators/dedup.py
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SHINGLES = f"""
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])
+           )) AS shingles
+    FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+"""
+
+ORACLE_DEDUP_EXACT = f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+g AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY fp HAVING count(*) > 1)
+SELECT g.canonical_id, fp.doc_id
+FROM fp JOIN g ON fp.fp = g.fp
+WHERE fp.doc_id <> g.canonical_id
+"""
+
+ORACLE_MINHASH_LSH = f"""
+WITH sh AS ({_SHINGLES}),
+sigs AS (
+    SELECT doc_id,
+           list_transform(range(0, 16),
+               p -> list_min(list_transform(shingles, s -> md5(p || ':' || s)))) AS sig
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, b.band AS band,
+           md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS bandsig
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+"""
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS ({_SHINGLES}),
+flat AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM flat GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM flat a JOIN flat b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+"""
+
+ORACLE_TEXT_PROFILE = f"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) /
+             greatest(length(text), 1), 4) AS punct_ratio,
+       md5({_NORM}) AS fingerprint
+FROM documents
+"""
+
+ORACLE_EMBED_COSINE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.9
+"""
+
+ORACLE_SIM_TOPK = """
+SELECT vec_id,
+       round(list_cosine_similarity(
+           embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(
+           embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+         vec_id
+LIMIT 10
+"""
+
+ORACLE_STREAM_TUMBLING = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY window_start, event_type
+"""
+
+ORACLE_ASOF = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       round(e.value, 4) AS event_value, e.ts AS event_ts
+FROM orders o
+ASOF LEFT JOIN events e
+  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+WHERE o.o_custkey <= 500
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return engine_for(spark, sf_dir).table("documents")
+
+
+def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return engine_for(spark, sf_dir).table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+
+
+def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_candidates(_docs(spark, sf_dir))
+
+
+def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_cosine_pairs(_embeds(spark, sf_dir), threshold=0.9)
+
+
+def op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = text_ops.text_profile(_docs(spark, sf_dir))
+    return prof.select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "punct_ratio",
+        "fingerprint",
+    )
+
+
+def op_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = text_ops.text_profile(_docs(spark, sf_dir))
+    return prof.select("doc_id", "quality", "lang_pred", "stopword_ratio")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _embeds(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return list(row["embedding"])
+
+
+def op_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec = _query_vec(spark, sf_dir)
+    out = similarity.brute_force_topk(_embeds(spark, sf_dir), vec, k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def op_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec = _query_vec(spark, sf_dir)
+    return similarity.lsh_topk(_embeds(spark, sf_dir), vec, k=10).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.synth_assets(spark, _docs(spark, sf_dir))
+    feats = multimodal.extract_features(assets)
+    return feats.select("asset_id", "kind", "n_bytes", "sha1", "decode_ok")
+
+
+def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = engine_for(spark, sf_dir)
+    orders = eng.table("orders").filter(F.col("o_custkey") <= 500).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = eng.table("events").select("user_id", "ts", "value")
+    joined = asof_ops.asof_join(
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        events,
+        key="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("user_id").alias("o_custkey"),
+        "o_orderdate",
+        F.round("value", 4).alias("event_value"),
+        F.col("ts_matched").alias("event_ts"),
+    )
+
+
+def op_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = sw.tumbling_agg(stream, window="1 hour", watermark="2 hours")
+    name = f"stream_tumbling_{abs(hash(sf_dir)) % 10_000}"
+    return sw.run_stream_to_memory(agg, name, mode="complete")
+
+
+def op_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = sw.session_agg(stream, gap="30 minutes", watermark="2 hours")
+    name = f"stream_session_{abs(hash(sf_dir)) % 10_000}"
+    return sw.run_stream_to_memory(agg, name, mode="complete")
+
+
+OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
+    "op_dedup_exact": (op_dedup_exact, ORACLE_DEDUP_EXACT),
+    "op_dedup_minhash_lsh": (op_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
+    "op_dedup_ngram_jaccard": (op_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "op_dedup_simhash": (op_dedup_simhash, None),  # xxhash64: Spark-native
+    "op_dedup_embedding": (op_dedup_embedding, ORACLE_EMBED_COSINE),
+    "op_text_profile": (op_text_profile, ORACLE_TEXT_PROFILE),
+    "op_text_quality_lang": (op_text_quality_lang, None),  # pinned by unit tests
+    "op_similarity_topk": (op_similarity_topk, ORACLE_SIM_TOPK),
+    "op_similarity_lsh_topk": (op_similarity_lsh_topk, None),  # ANN: approximate
+    "op_multimodal_features": (op_multimodal_features, None),  # binary plumbing
+    "op_asof_join": (op_asof_join, ORACLE_ASOF),
+    "op_stream_tumbling": (op_stream_tumbling, ORACLE_STREAM_TUMBLING),
+    "op_stream_session": (op_stream_session, None),  # streaming-only semantics
+}
+
+
+# ---------------------------------------------------------------------------
+# public registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (sql, _oracle) in ENGINE_SQL.items():
+        def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+            return engine_for(spark, sf_dir).execute(_sql)
+
+        out[name] = run
+    for name, (fn, _oracle) in OPERATORS.items():
+        out[name] = fn
+    return out
+
+
+def build_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, (_sql, oracle) in ENGINE_SQL.items():
+        if oracle is not None:
+            out[name] = oracle
+    for name, (_fn, oracle) in OPERATORS.items():
+        if oracle is not None:
+            out[name] = oracle
+    return out

@@ -1,0 +1,89 @@
+"""Local mirror of the driver's correctness gate: every workload query runs
+on Spark AND its oracle SQL on DuckDB over the same parquet; results must
+match as order-insensitive multisets (exact for ints/strings, rounded
+values are compared as produced since both sides round explicitly).
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def canon(rows, colnames):
+    """Sort columns by name, normalize cell values, return sorted multiset."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def cell(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.6g}"
+        if isinstance(v, bool):
+            return str(v)
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append(tuple(cell(vals[i]) for i in order))
+    return sorted(out)
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+ORACLED = sorted(n for n in QUERIES if n in ORACLES)
+ROWS_ONLY = sorted(n for n in QUERIES if n not in ORACLES)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(name, spark, ddb):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    res = ddb.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), (
+        f"{name}: row count {len(srows)} (spark) vs {len(orows)} (duckdb)"
+    )
+    sc, oc = canon(srows, scols), canon(orows, ocols)
+    if sc != oc:
+        diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

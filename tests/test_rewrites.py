@@ -83,9 +83,30 @@ def test_qualified_array_index():
 
 
 def test_index_on_cast():
+    # DuckDB ::INT rounds doubles (dev.json:428) -> CAST(round(..) AS INT)
     r = FakeResolver(kinds={"who_region": "string"})
     out = rewrite_sql("SELECT who_region[1]::INT FROM t", r)
-    assert "substring(who_region, 1, 1)::INT" in out
+    assert "CAST(round(substring(who_region, 1, 1)) AS INT)" in out
+
+
+def test_int_cast_rounds():
+    out = rewrite_sql("SELECT speed::INTEGER AS s FROM laptops")
+    assert "CAST(round(speed) AS INTEGER)" in out
+
+
+def test_non_int_cast_untouched():
+    out = rewrite_sql("SELECT x::VARCHAR, y::DOUBLE FROM t")
+    assert "x::VARCHAR" in out and "y::DOUBLE" in out
+
+
+def test_len_on_array_literal():
+    out = rewrite_sql("SELECT len([1,2,3])")
+    assert "size(array(1,2,3))" in out
+
+
+def test_len_on_string():
+    out = rewrite_sql("SELECT len(name) FROM t")
+    assert "length(name)" in out
 
 
 def test_json_arrow():
