@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query best-of-2 sec...}, "sf": <sf>}
+
+Query keys map onto BASELINE.md rows (B1..B12 measured on DuckDB at the
+same scale factor) plus the pipeline-operator headliners. Timings force
+full materialization through the noop sink — count() alone lets Catalyst
+prune the very computation being measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+RUNS = 2
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_nsql_spark import workload  # noqa: E402
+from duckdb_nsql_spark.session import build_spark  # noqa: E402
+
+# baseline row -> workload query (BASELINE.md §2)
+BENCH_QUERIES = {
+    "q1_pricing_summary": "q01_pricing_summary",        # B1
+    "q2_join_group_topk": "q05_join_group_topk",        # B2
+    "q3_having_alias": "q08_having_on_alias",           # B3
+    "q4_cte_subquery": "q22_cte_scalar_subquery",       # B4
+    "q5_regexp_extract": "q21_regexp_extract",          # B5
+    "q6_datediff_minute": "q20_datediff_minute",        # B6
+    "q7_group_by_all": "q09_group_by_all_exclude",      # B7
+    "q8_order_by_all": "q11_distinct_order",            # B8
+    "q9_sample": "q34_sample_percent",                  # B9
+    "q11_list_literal_index": "q16_list_ops",           # B11
+    "q12_window_topk": "q27_window_topk_per_group",     # B12
+    "q13_multiway_join": "q06_multiway_join",
+    "op_dedup_minhash": "op_dedup_minhash_lsh",
+    "op_text_profile": "op_text_profile",
+    "op_similarity_topk": "op_similarity_topk",
+    "op_asof_join": "op_asof_join",
+}
+SUMMARIZE_KEY = "q10_summarize"  # B10 — routed through the engine directly
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = build_spark(app_name="bench", cpus=CPUS)
+    queries = workload.build_queries()
+    eng = workload.engine_for(spark, SF_DIR)
+
+    # warm-up: JVM/codegen/Python-worker spin-up outside the timings
+    materialize(eng.table("lineitem").limit(1000))
+    materialize(queries["q01_pricing_summary"](spark, SF_DIR))
+
+    results: dict[str, float] = {}
+    for key, qname in BENCH_QUERIES.items():
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            materialize(queries[qname](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        results[key] = round(best, 4)
+
+    best = float("inf")
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        materialize(eng.execute("SUMMARIZE orders"))
+        best = min(best, time.perf_counter() - t0)
+    results[SUMMARIZE_KEY] = round(best, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_latency",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_val,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -110,9 +110,10 @@ def summarize_df(spark: SparkSession, df: DataFrame) -> DataFrame:
             aggs += [
                 F.avg(c).cast("double").alias(f"avg_{i}"),
                 F.stddev(c).cast("double").alias(f"std_{i}"),
-                F.percentile_approx(c, 0.25).cast("double").alias(f"q25_{i}"),
-                F.percentile_approx(c, 0.5).cast("double").alias(f"q50_{i}"),
-                F.percentile_approx(c, 0.75).cast("double").alias(f"q75_{i}"),
+                # one sketch for all three quantiles, not three sketches
+                F.percentile_approx(c, [0.25, 0.5, 0.75])
+                .cast("array<double>")
+                .alias(f"qs_{i}"),
             ]
         aggs.append(F.count(c).alias(f"cnt_{i}"))
     row = df.agg(*aggs).collect()[0]
@@ -122,6 +123,7 @@ def summarize_df(spark: SparkSession, df: DataFrame) -> DataFrame:
         is_num = isinstance(f.dataType, _NUMERIC)
         cnt = row[f"cnt_{i}"]
         null_pct = round(100.0 * (n - cnt) / n, 2) if n else 0.0
+        qs = row[f"qs_{i}"] if is_num else None
         out_rows.append(
             (
                 f.name,
@@ -131,9 +133,9 @@ def summarize_df(spark: SparkSession, df: DataFrame) -> DataFrame:
                 row[f"uniq_{i}"],
                 float(row[f"avg_{i}"]) if is_num and row[f"avg_{i}"] is not None else None,
                 float(row[f"std_{i}"]) if is_num and row[f"std_{i}"] is not None else None,
-                float(row[f"q25_{i}"]) if is_num and row[f"q25_{i}"] is not None else None,
-                float(row[f"q50_{i}"]) if is_num and row[f"q50_{i}"] is not None else None,
-                float(row[f"q75_{i}"]) if is_num and row[f"q75_{i}"] is not None else None,
+                float(qs[0]) if qs else None,
+                float(qs[1]) if qs else None,
+                float(qs[2]) if qs else None,
                 n,
                 null_pct,
             )
