@@ -108,6 +108,21 @@ def _trim(span: list[Token]) -> list[Token]:
 # ---------------------------------------------------------------------------
 
 
+def pass_escape_backslashes(tokens: list[Token]) -> list[Token]:
+    """DuckDB string literals are raw (no backslash escapes); Spark
+    processes ``\\x`` escapes inside ``'...'``. Double every backslash so
+    Spark sees the bytes DuckDB would — critical for regex patterns like
+    ``'...\\.[a-zA-Z]{2,}'`` (dev.json:292). DuckDB ``E'...'`` escape
+    strings are passed through (both dialects process those)."""
+    out = []
+    for t in tokens:
+        if t.kind == STRING and "\\" in t.text and not t.text[0] in "eE":
+            out.append(Token(STRING, t.text.replace("\\", "\\\\")))
+        else:
+            out.append(t)
+    return out
+
+
 def pass_strip_semicolon(tokens: list[Token]) -> list[Token]:
     j = len(tokens) - 1
     while j >= 0 and tokens[j].kind in (WS, COMMENT):
@@ -871,6 +886,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     """Run all passes over a DuckDB-dialect statement -> Spark SQL text."""
     resolver = resolver or NullResolver()
     tokens = tokenize(sql)
+    tokens = pass_escape_backslashes(tokens)
     tokens = pass_strip_semicolon(tokens)
     tokens = pass_quoted_idents(tokens)
     tokens = pass_exclude_to_except(tokens)

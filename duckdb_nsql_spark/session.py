@@ -968,8 +968,9 @@ class DuckSparkSession:
             except (ValueError, TypeError):
                 pass
         if k in ("memory_limit", "max_memory"):
-            self.settings["memory_limit"] = v
-            self.settings["max_memory"] = v
+            norm = _format_memory(v)
+            self.settings["memory_limit"] = norm
+            self.settings["max_memory"] = norm
 
     def _summarize(self, sql: str) -> DataFrame:
         body = re.sub(r"^\s*SUMMARIZE\s+", "", sql, flags=re.IGNORECASE).strip().rstrip(";")
@@ -1009,6 +1010,30 @@ class DuckSparkSession:
 
     def _count_df(self, n: int) -> DataFrame:
         return self.spark.createDataFrame([(n,)], "Count bigint")
+
+
+_MEM_UNITS = {
+    "": 1, "B": 1,
+    "K": 10**3, "KB": 10**3, "M": 10**6, "MB": 10**6,
+    "G": 10**9, "GB": 10**9, "T": 10**12, "TB": 10**12,
+    "KIB": 2**10, "MIB": 2**20, "GIB": 2**30, "TIB": 2**40,
+}
+
+
+def _format_memory(v: str) -> str:
+    """Normalize a memory setting the way DuckDB renders it back from
+    ``current_setting`` ('20G' -> '18.6 GiB'; dev.json:572-574)."""
+    m = re.match(r"^\s*([0-9]*\.?[0-9]+)\s*([A-Za-z]*)\s*$", v)
+    if not m:
+        return v
+    mult = _MEM_UNITS.get(m.group(2).upper())
+    if mult is None:
+        return v
+    nbytes = float(m.group(1)) * mult
+    for unit, size in (("TiB", 2**40), ("GiB", 2**30), ("MiB", 2**20), ("KiB", 2**10)):
+        if nbytes >= size:
+            return f"{round(nbytes / size, 1):.1f} {unit}"
+    return f"{nbytes:.0f} bytes"
 
 
 def _split_top_commas(s: str) -> list[str]:

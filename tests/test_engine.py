@@ -271,7 +271,7 @@ def test_pragma_set_current_setting(engine):
     assert df.collect()[0]["threads"] == 10
     engine.execute("SET memory_limit='20G'")
     df = engine.execute("SELECT current_setting('memory_limit') AS m")
-    assert df.collect()[0]["m"] == "20G"
+    assert df.collect()[0]["m"] == "18.6 GiB"  # DuckDB's own normalization
     engine.execute("PRAGMA default_null_order='NULLS LAST'")
     assert engine.settings["default_null_order"] == "nulls_last"
 

@@ -1,0 +1,53 @@
+"""Parse/bind-only validator (port of examples/validate_sql.py semantics)."""
+
+import pytest
+
+from duckdb_nsql_spark.validate import validate_sql
+
+
+@pytest.fixture()
+def loaded(loaded_engine):
+    return loaded_engine
+
+
+def test_valid_query(loaded):
+    r = validate_sql(loaded, "SELECT n_name FROM nation WHERE n_regionkey = 0")
+    assert r.ok
+
+
+def test_valid_duckdbism(loaded):
+    r = validate_sql(loaded, "SELECT * EXCLUDE (r_name) FROM region")
+    assert r.ok
+
+
+def test_parser_error(loaded):
+    r = validate_sql(loaded, "SELEC broken FROM nowhere")
+    assert not r.ok and r.category == "parser"
+
+
+def test_catalog_error(loaded):
+    r = validate_sql(loaded, "SELECT * FROM no_such_table_xyz")
+    assert not r.ok and r.category == "catalog"
+
+
+def test_binder_error(loaded):
+    r = validate_sql(loaded, "SELECT no_such_col FROM region")
+    assert not r.ok and r.category == "binder"
+
+
+def test_no_execution_side_effects(loaded):
+    # validation of a query must not run a job — check it completes fast
+    # and doesn't require data access (blocked external access)
+    r = validate_sql(
+        loaded, "SELECT * FROM read_csv_auto('http://example.com/x.csv')"
+    )
+    assert not r.ok  # external access denied during validation
+
+
+def test_dml_against_missing_table(loaded):
+    r = validate_sql(loaded, "INSERT INTO missing_tbl VALUES (1)")
+    assert not r.ok and r.category == "catalog"
+
+
+def test_empty(loaded):
+    assert not validate_sql(loaded, "   ").ok
