@@ -693,6 +693,96 @@ def pass_star_replace(tokens: list[Token], resolver: Resolver) -> list[Token]:
 
 
 # ---------------------------------------------------------------------------
+# QUALIFY — window-predicate clause (DuckDB has it; Spark does not)
+# ---------------------------------------------------------------------------
+
+
+def pass_qualify(tokens: list[Token]) -> list[Token]:
+    """``SELECT ... QUALIFY pred [ORDER BY ...]`` ->
+    ``SELECT * EXCEPT (__q) FROM (SELECT ..., (pred) AS __q FROM ...)
+    WHERE __q [ORDER BY ...]``.
+
+    The predicate (which may contain window functions) becomes a hidden
+    boolean column in a subquery — valid anywhere Spark allows window
+    expressions — and the outer filter applies it.
+    """
+    # find a top-level QUALIFY
+    depth = 0
+    q_i = None
+    for i, t in enumerate(tokens):
+        if t.kind == PUNCT and t.text in "([{":
+            depth += 1
+        elif t.kind == PUNCT and t.text in ")]}":
+            depth -= 1
+        elif depth == 0 and t.is_kw("QUALIFY"):
+            q_i = i
+            break
+    if q_i is None:
+        return tokens
+    # predicate extends until top-level ORDER/LIMIT/OFFSET/end
+    depth = 0
+    p_end = len(tokens)
+    for j in range(q_i + 1, len(tokens)):
+        t = tokens[j]
+        if t.kind == PUNCT and t.text in "([{":
+            depth += 1
+        elif t.kind == PUNCT and t.text in ")]}":
+            depth -= 1
+        elif depth == 0 and t.is_kw("ORDER", "LIMIT", "OFFSET"):
+            p_end = j
+            break
+    pred = _trim(tokens[q_i + 1 : p_end])
+    tail = tokens[p_end:]
+    # walk back to the SELECT this QUALIFY belongs to (top-level)
+    depth = 0
+    s_i = 0
+    for j in range(q_i, -1, -1):
+        t = tokens[j]
+        if t.kind == PUNCT and t.text in ")]}":
+            depth += 1
+        elif t.kind == PUNCT and t.text in "([{":
+            depth -= 1
+        elif depth == 0 and t.is_kw("SELECT"):
+            s_i = j
+            break
+    prefix = tokens[:s_i]  # e.g. WITH ... ,
+    inner = tokens[s_i:q_i]
+    # inject ", (pred) AS __q" before the inner query's top-level FROM
+    depth = 0
+    f_i = None
+    for j, t in enumerate(inner):
+        if t.kind == PUNCT and t.text in "([{":
+            depth += 1
+        elif t.kind == PUNCT and t.text in ")]}":
+            depth -= 1
+        elif depth == 0 and t.is_kw("FROM"):
+            f_i = j
+            break
+    if f_i is None:
+        raise ValueError("QUALIFY without FROM clause")
+    injected = (
+        inner[:f_i]
+        + [_punct(","), _ws(), _punct("(")]
+        + pred
+        + [_punct(")"), _ws(), _ident("AS"), _ws(), _ident("__q"), _ws()]
+        + inner[f_i:]
+    )
+    new = (
+        prefix
+        + [
+            _ident("SELECT"), _ws(), Token(OP, "*"), _ws(), _ident("EXCEPT"),
+            _ws(), _punct("("), _ident("__q"), _punct(")"), _ws(),
+            _ident("FROM"), _ws(), _punct("("),
+        ]
+        + injected
+        + [_punct(")"), _ws(), _ident("WHERE"), _ws(), _ident("__q"), _ws()]
+        + tail
+    )
+    # handle nested/multiple QUALIFYs recursively
+    return pass_qualify(new)
+
+
+# ---------------------------------------------------------------------------
 # USING SAMPLE
 # ---------------------------------------------------------------------------
 
@@ -787,10 +877,39 @@ _SIMPLE_RENAMES = {
     # DuckDB name -> Spark name (argument-compatible)
     "LIST_CONTAINS": "array_contains",
     "LIST_VALUE": "array",
+    "LIST_TRANSFORM": "transform",
+    "LIST_FILTER": "filter",
+    "LIST_MIN": "array_min",
+    "LIST_MAX": "array_max",
+    "LIST_SORT": "sort_array",
+    "LIST_DISTINCT": "array_distinct",
+    "LIST_CONCAT": "concat",
+    "ARRAY_TO_STRING": "array_join",
+    "STRING_AGG": "listagg",
     "STRFTIME": "date_format",
-    "TO_TIMESTAMP": "timestamp_seconds",  # DuckDB to_timestamp(sec) (dev.json gold surface uses epoch secs)
-    "LIST_DOT_PRODUCT": "vector_dot",  # provided as helper view/UDF by session
-    "REGEXP_MATCHES": "rlike_fn",  # handled below via rlike rewrite
+    "TO_TIMESTAMP": "timestamp_seconds",  # DuckDB to_timestamp(sec)
+    "STRING_SPLIT_REGEX": "split",
+    "REGEXP_SPLIT_TO_ARRAY": "split",
+    "EDITDIST3": "levenshtein",
+}
+
+# macros expanded into pure Spark expressions over the argument spans
+_DOT_MACRO = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (s, x) -> s + x)"
+)
+_NORM_MACRO = (
+    "sqrt(aggregate({a}, CAST(0 AS DOUBLE), "
+    "(s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+_FN_MACROS = {
+    "LIST_DOT_PRODUCT": _DOT_MACRO,
+    "LIST_INNER_PRODUCT": _DOT_MACRO,
+    "LIST_COSINE_SIMILARITY": (
+        f"({_DOT_MACRO} / ({_NORM_MACRO} * "
+        + _NORM_MACRO.replace("{a}", "{b}")
+        + "))"
+    ),
 }
 
 
@@ -871,7 +990,16 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         )
                         out = out[:i] + new + out[c + 1 :]
                         continue
-                elif up in _SIMPLE_RENAMES and up not in ("REGEXP_MATCHES",):
+                elif up in _FN_MACROS:
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        a_txt = render(_trim(out[spans[0][0] : spans[0][1]]))
+                        b_txt = render(_trim(out[spans[1][0] : spans[1][1]]))
+                        expanded = _FN_MACROS[up].replace("{a}", a_txt).replace("{b}", b_txt)
+                        out = out[:i] + tokenize(expanded) + out[c + 1 :]
+                        continue
+                elif up in _SIMPLE_RENAMES:
                     out[i] = _ident(_SIMPLE_RENAMES[up])
         i += 1
     return out
@@ -898,6 +1026,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_datediff(tokens)
     tokens = pass_columns_regex(tokens, resolver)
     tokens = pass_star_replace(tokens, resolver)
+    tokens = pass_qualify(tokens)
     tokens = pass_using_sample(tokens)
     tokens = pass_int_cast_rounds(tokens)
     tokens = pass_function_renames(tokens, resolver)

@@ -106,6 +106,98 @@ def _probe_buckets(query_vec: list[float], n_planes: int, seed: int, multiprobe:
     return buckets
 
 
+def ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic mini-kmeans for IVF coarse quantization.
+
+    Init = the first ``k`` vectors by id (deterministic, no RNG); each
+    Lloyd iteration is a distributed assign (map) + per-centroid/dim mean
+    (one shuffle of k×dim partial sums); only the k×dim centroid matrix
+    ever reaches the driver — the pattern scales to any table size.
+    """
+    from pyspark.sql import functions as F
+
+    cents = [
+        list(r[vec_col])
+        for r in df.orderBy(id_col).limit(k).select(vec_col).collect()
+    ]
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(vec_col).alias("v"),
+            _nearest_centroid(F.col(vec_col), cents).alias("c"),
+        )
+        sums = (
+            assigned.select("c", F.posexplode("v").alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [[0.0] * dim for _ in range(len(cents))]
+        counts = [0] * len(cents)
+        for r in sums:
+            new[r["c"]][r["pos"]] = r["s"] / r["n"]
+            counts[r["c"]] = r["n"]
+        cents = [
+            new[i] if counts[i] else cents[i] for i in range(len(cents))
+        ]
+    return cents
+
+
+def _nearest_centroid(vec, cents: list[list[float]]):
+    from pyspark.sql import functions as F
+
+    best_idx = F.lit(0)
+    best_d = _sqdist(vec, cents[0])
+    for i, c in enumerate(cents[1:], start=1):
+        d = _sqdist(vec, c)
+        cond = d < best_d
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return best_idx
+
+
+def _sqdist(vec, cent: list[float]):
+    from pyspark.sql import functions as F
+
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only vectors whose nearest centroid is among the
+    query's ``nprobe`` closest centroids. With the table written
+    partitioned by centroid id, this is a partition-pruned scan."""
+    from pyspark.sql import functions as F
+
+    def dist(c):
+        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+    probes = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:nprobe]
+    assigned = df.withColumn(
+        "__cent", _nearest_centroid(F.col(vec_col), centroids)
+    )
+    cand = assigned.filter(F.col("__cent").isin(probes))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

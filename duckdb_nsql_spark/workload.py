@@ -434,6 +434,39 @@ _sql(
 # --- sampling (dev.json:172,556 — nondeterministic, rows-only check) ------
 _sql("q34_sample_percent", "SELECT * FROM lineitem USING SAMPLE 5%", oracle=None)
 
+# --- QUALIFY (DuckDB clause; rewritten to hidden-column subquery) ----------
+_sql(
+    "q35_qualify",
+    """
+    SELECT n_nationkey, s_suppkey, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    QUALIFY row_number() OVER (PARTITION BY n_nationkey
+                               ORDER BY s_acctbal DESC, s_suppkey) <= 2
+    ORDER BY n_nationkey, s_suppkey
+    """,
+)
+
+# --- list_cosine_similarity macro through the engine frontend --------------
+_sql(
+    "q36_list_cosine_sql",
+    """
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding, embedding), 4) AS self_sim,
+           round(list_dot_product(embedding, embedding), 2) AS self_dot
+    FROM embeddings ORDER BY vec_id LIMIT 100
+    """,
+)
+
+# --- ILIKE / string functions ---------------------------------------------
+_sql(
+    "q37_ilike_concat",
+    """
+    SELECT o_orderkey, concat(o_orderstatus, '-', o_orderpriority) AS tag
+    FROM orders WHERE o_orderpriority ILIKE '%urgent%'
+    ORDER BY o_orderkey LIMIT 100
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
@@ -527,6 +560,20 @@ ORACLE_STREAM_TUMBLING = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
        count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY window_start, event_type
+"""
+
+ORACLE_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total
+FROM events GROUP BY user_id
+"""
+
+ORACLE_RANGE_JOIN = """
+SELECT a.p_partkey AS left_part, b.p_partkey AS right_part
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND b.p_retailprice >= a.p_retailprice - 10
+ AND b.p_retailprice <= a.p_retailprice + 10
+ AND a.p_partkey <> b.p_partkey
 """
 
 ORACLE_ASOF = """
@@ -636,6 +683,60 @@ def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeds(spark, sf_dir)
+    dim = len(_query_vec(spark, sf_dir))
+    vec = _query_vec(spark, sf_dir)
+    cents = similarity.ivf_centroids(emb, dim, k=8, iters=1)
+    return similarity.ivf_topk(emb, vec, cents, k=10).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = engine_for(spark, sf_dir)
+    part = eng.table("part")
+    left = part.select(
+        F.col("p_partkey").alias("left_part"),
+        "p_brand",
+        (F.col("p_retailprice") - 10).alias("lo"),
+        (F.col("p_retailprice") + 10).alias("hi"),
+    )
+    right = part.select(
+        F.col("p_partkey").alias("right_part"),
+        F.col("p_brand").alias("r_brand"),
+        F.col("p_retailprice").alias("price"),
+    ).withColumnRenamed("r_brand", "p_brand")
+    joined = asof_ops.range_join(
+        left, right, key="p_brand", left_lo="lo", left_hi="hi",
+        right_val="price", bucket_width=10.0,
+    )
+    return joined.filter(F.col("left_part") != F.col("right_part")).select(
+        "left_part", "right_part"
+    ).distinct()
+
+
+def op_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import stateful as st
+    from .streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = st.running_user_stats(stream)
+    name = f"stream_stateful_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # single availableNow pass over a finite source -> one row per user;
+    # drop the ema column for the oracle compare (EMA is order-dependent
+    # within a batch and has no SQL equivalent)
+    return spark.table(name).select("user_id", "n_events", "total")
+
+
 def op_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import windows as sw
 
@@ -664,10 +765,13 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_text_quality_lang": (op_text_quality_lang, None),  # pinned by unit tests
     "op_similarity_topk": (op_similarity_topk, ORACLE_SIM_TOPK),
     "op_similarity_lsh_topk": (op_similarity_lsh_topk, None),  # ANN: approximate
+    "op_similarity_ivf_topk": (op_similarity_ivf_topk, None),  # ANN: approximate
     "op_multimodal_features": (op_multimodal_features, None),  # binary plumbing
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
+    "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
     "op_stream_tumbling": (op_stream_tumbling, ORACLE_STREAM_TUMBLING),
     "op_stream_session": (op_stream_session, None),  # streaming-only semantics
+    "op_stream_stateful": (op_stream_stateful, ORACLE_STREAM_STATEFUL),
 }
 
 

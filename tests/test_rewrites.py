@@ -201,6 +201,35 @@ def test_keywords_not_mangled():
     assert norm(rewrite_sql(sql)) == norm(sql)
 
 
+def test_qualify_rewrite():
+    out = rewrite_sql(
+        "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t QUALIFY rn = 1"
+    )
+    assert "EXCEPT (__q)" in out and "WHERE __q" in out
+    assert "QUALIFY" not in out.upper().replace("__Q", "")
+
+
+def test_qualify_with_tail():
+    out = rewrite_sql("SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) <= 2 ORDER BY a LIMIT 5")
+    assert out.strip().endswith("LIMIT 5")
+    assert "WHERE __q" in out
+
+
+def test_list_cosine_macro():
+    out = rewrite_sql("SELECT list_cosine_similarity(a, b) FROM t")
+    assert "zip_with(a, b" in out and "sqrt" in out
+
+
+def test_list_fn_renames():
+    out = rewrite_sql("SELECT list_transform(l, x -> x+1), list_min(l) FROM t")
+    assert "transform(l" in out and "array_min(l)" in out
+
+
+def test_backslash_doubling():
+    out = rewrite_sql(r"SELECT regexp_extract(s, 'a\.b', 0) FROM t")
+    assert r"'a\\.b'" in out
+
+
 def test_case_expression_passthrough():
     sql = "SELECT CASE WHEN a > 1 THEN 'x' ELSE 'y' END AS c FROM t"
     assert norm(rewrite_sql(sql)) == norm(sql)
