@@ -151,14 +151,57 @@ def pass_quoted_idents(tokens: list[Token]) -> list[Token]:
     return out
 
 
-def pass_exclude_to_except(tokens: list[Token]) -> list[Token]:
-    """``* EXCLUDE (...)`` -> ``* EXCEPT (...)`` (dev.json:180,380,580)."""
+def pass_exclude_to_except(tokens: list[Token], resolver: Optional[Resolver] = None) -> list[Token]:
+    """``* EXCLUDE (...)`` -> ``* EXCEPT (...)`` (dev.json:180,380,580).
+
+    When the statement also uses GROUP BY ALL (dev.json:580), Spark's
+    GROUP BY ALL keys on the *table*'s columns while DuckDB keys on the
+    reduced select list — so the star is expanded to explicit columns
+    via the catalog instead.
+    """
+    resolver = resolver or NullResolver()
+    has_group_all = False
+    for i, t in enumerate(tokens):
+        if t.is_kw("GROUP"):
+            b = next_sig(tokens, i)
+            a = next_sig(tokens, b) if b < len(tokens) else len(tokens)
+            if (
+                b < len(tokens)
+                and tokens[b].is_kw("BY")
+                and a < len(tokens)
+                and tokens[a].is_kw("ALL")
+            ):
+                has_group_all = True
     out = list(tokens)
-    for i, t in enumerate(out):
+    i = 0
+    while i < len(out):
+        t = out[i]
         if t.is_kw("EXCLUDE"):
             p = prev_sig(out, i)
             if p >= 0 and out[p].kind == OP and out[p].text == "*":
+                o = next_sig(out, i)
+                cols = None
+                if has_group_all and o < len(out) and out[o].text == "(":
+                    c = match_forward(out, o, "(", ")")
+                    excluded = {
+                        tk.text.strip('"`').lower()
+                        for tk in out[o + 1 : c]
+                        if tk.kind in (IDENT, QIDENT, BIDENT)
+                    }
+                    table = _from_table(out)
+                    cols = resolver.table_columns(table) if table else None
+                    if cols is not None:
+                        keep = [x for x in cols if x.lower() not in excluded]
+                        new: list[Token] = []
+                        for n_i, col in enumerate(keep):
+                            if n_i:
+                                new.extend([_punct(","), _ws()])
+                            new.append(_ident(col))
+                        out = out[:p] + new + out[c + 1 :]
+                        i = p + len(new)
+                        continue
                 out[i] = _ident("EXCEPT")
+        i += 1
     return out
 
 
@@ -1017,7 +1060,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_escape_backslashes(tokens)
     tokens = pass_strip_semicolon(tokens)
     tokens = pass_quoted_idents(tokens)
-    tokens = pass_exclude_to_except(tokens)
+    tokens = pass_exclude_to_except(tokens, resolver)
     tokens = pass_current_setting(tokens, resolver)
     tokens = pass_struct_literals(tokens)
     tokens = pass_index_slice(tokens, resolver)

@@ -33,6 +33,7 @@ from .frontend.tokenizer import (
     NUMBER,
     OP,
     PUNCT,
+    QIDENT,
     STRING,
     WS,
     Token,
@@ -129,9 +130,17 @@ class _CatalogResolver:
         return self.session.settings.get(name.lower())
 
 
+_SESSION_COUNTER = iter(range(1, 10**9))
+
+
 class DuckSparkSession:
     def __init__(self, spark: Optional[SparkSession] = None, **spark_kwargs):
         self.spark = spark or build_spark(**spark_kwargs)
+        # Sessions are isolated catalogs (like duckdb.connect()): every
+        # registered table's temp view is prefixed with the session id and
+        # query-time table references are rewritten to the prefixed names,
+        # so two DuckSparkSessions on one SparkSession never collide.
+        self._sid = next(_SESSION_COUNTER)
         self.settings: dict[str, str] = dict(DEFAULT_SETTINGS)
         self._tables: dict[str, DataFrame] = {}
         self._fixed_arrays: dict[str, dict[str, int]] = {}
@@ -256,9 +265,12 @@ class DuckSparkSession:
     def _rewrite_query(self, sql: str) -> str:
         tokens = tokenize(sql)
         tokens = self._expand_table_functions(tokens)
-        tokens = self._flatten_qualified_names(tokens)
+        tokens = self._exact_reservoir(tokens)
+        # dialect passes see the user's table names (COLUMNS / * REPLACE
+        # resolve via the catalog); view-name flattening happens after
         text = rewrites.rewrite_sql(render(tokens), self._resolver)
-        text = self._apply_null_order(text)
+        tokens = self._flatten_qualified_names(tokenize(text))
+        text = self._apply_null_order(render(tokens))
         return text
 
     def _apply_null_order(self, text: str) -> str:
@@ -367,35 +379,181 @@ class DuckSparkSession:
 
     def _fresh_view(self, df: DataFrame) -> str:
         self._tf_counter += 1
-        name = f"_ddb_tf_{self._tf_counter}"
+        name = f"ddbs{self._sid}_tf_{self._tf_counter}"
         df.createOrReplaceTempView(name)
         return name
 
+    def _exact_reservoir(self, tokens: list[Token]) -> list[Token]:
+        """DuckDB reservoir sampling returns an EXACT row count
+        (``USING SAMPLE 10% (reservoir)``, dev.json:556 — validated by
+        count(*)), and ``USING SAMPLE n ROWS`` is exact too. Bernoulli
+        TABLESAMPLE is proportional-only, so exact forms on a plain table
+        become ``(SELECT * FROM t ORDER BY rand() LIMIT k) AS t``. The
+        LIMIT needs |t| for percent forms — one count() at plan time
+        (cheap: count is metadata-pruned). A global rand() sort is the
+        honest cost of exact reservoir semantics; proportional sampling
+        (the scale path) stays the default TABLESAMPLE rewrite."""
+        import math
+
+        i = 0
+        while i < len(tokens):
+            t = tokens[i]
+            if not t.is_kw("USING"):
+                i += 1
+                continue
+            s = next_sig(tokens, i)
+            if s >= len(tokens) or not tokens[s].is_kw("SAMPLE"):
+                i += 1
+                continue
+            j = next_sig(tokens, s)
+            if j >= len(tokens) or tokens[j].kind != NUMBER:
+                i += 1
+                continue
+            num = float(tokens[j].text)
+            k_next = next_sig(tokens, j)
+            unit = "rows"
+            end = j
+            if k_next < len(tokens) and (
+                (tokens[k_next].kind == OP and tokens[k_next].text == "%")
+                or tokens[k_next].is_kw("PERCENT")
+            ):
+                unit = "percent"
+                end = k_next
+            elif k_next < len(tokens) and tokens[k_next].is_kw("ROWS"):
+                end = k_next
+            method = None
+            m = next_sig(tokens, end)
+            if m < len(tokens) and tokens[m].kind == PUNCT and tokens[m].text == "(":
+                c = match_forward(tokens, m, "(", ")")
+                inner = [tk for tk in tokens[m + 1 : c] if tk.kind == IDENT]
+                if inner:
+                    method = inner[0].text.lower()
+                m_end = c
+            else:
+                m_end = end
+            exact = method == "reservoir" or (unit == "rows" and method in (None, "reservoir"))
+            if not exact:
+                i += 1
+                continue
+            # preceding plain table ref
+            p = prev_sig(tokens, i)
+            chain_end = p
+            parts = []
+            while p >= 0 and tokens[p].kind in (IDENT, QIDENT):
+                parts.insert(0, tokens[p].text.strip('"'))
+                q = prev_sig(tokens, p)
+                if q >= 0 and tokens[q].kind == PUNCT and tokens[q].text == ".":
+                    p = prev_sig(tokens, q)
+                else:
+                    break
+            tname = ".".join(parts)
+            if not parts or self._resolve_table_key(tname) is None:
+                i += 1
+                continue
+            if unit == "percent":
+                total = self.table(tname).count()
+                k = int(math.ceil(num / 100.0 * total))
+            else:
+                k = int(num)
+            alias = parts[-1]
+            repl = tokenize(
+                f"(SELECT * FROM {self._view_name(self._resolve_table_key(tname))} "
+                f"ORDER BY rand() LIMIT {k}) AS {alias}"
+            )
+            tokens = tokens[:p] + repl + tokens[m_end + 1 :]
+            i = p + len(repl)
+        return tokens
+
     def _flatten_qualified_names(self, tokens: list[Token]) -> list[Token]:
-        """``db.table`` for attached/known dbs -> mangled view name
-        (S2, dev.json:276,308; ATTACH at :596)."""
+        """Rewrite table references to this session's prefixed temp views.
+
+        Covers bare names (``FROM sales``) and qualified ``db.table``
+        (S2, dev.json:276,308; ATTACH at :596). References are only
+        rewritten in table-ref position (after FROM/JOIN/comma in a FROM
+        list), so CTE names and aliases shadow naturally. A mapped ref
+        without an explicit alias gains ``AS <original-name>`` so
+        ``table.column`` qualifiers keep resolving.
+        """
         self._ensure_information_schema()
         out = list(tokens)
+        self._cte_names = _collect_cte_names(out)
         i = 0
+        in_from_list = False
         while i < len(out):
             t = out[i]
-            if t.kind == IDENT and t.text.lower() in {d.lower() for d in self._databases}:
-                d = next_sig(out, i)
-                if d < len(out) and out[d].kind == PUNCT and out[d].text == ".":
-                    n = next_sig(out, d)
-                    if n < len(out) and out[n].kind == IDENT:
-                        p = prev_sig(out, i)
-                        prev_is_dot = (
-                            p >= 0 and out[p].kind == PUNCT and out[p].text == "."
-                        )
-                        if not prev_is_dot:
-                            qual = f"{t.text}.{out[n].text}"
-                            key = self._resolve_table_key(qual)
-                            if key is not None or t.text.lower() == "information_schema":
-                                mangled = self._view_name(key or qual)
-                                out[i : n + 1] = [Token(IDENT, mangled)]
+            if t.kind == IDENT and t.upper in ("FROM", "JOIN"):
+                in_from_list = t.upper == "FROM"
+                j = next_sig(out, i)
+                out, i = self._map_table_ref(out, j)
+                continue
+            if in_from_list and t.kind == PUNCT and t.text == ",":
+                j = next_sig(out, i)
+                out, i = self._map_table_ref(out, j)
+                continue
+            if t.kind == IDENT and t.upper in (
+                "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "SELECT",
+                "WINDOW", "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "ON",
+            ):
+                in_from_list = False
             i += 1
         return out
+
+    def _map_table_ref(self, out: list[Token], j: int) -> tuple[list[Token], int]:
+        """Try to map the identifier chain starting at j; returns (tokens,
+        index-to-continue-from)."""
+        if j >= len(out) or out[j].kind not in (IDENT, QIDENT):
+            return out, j
+        if out[j].kind == IDENT and out[j].upper in ("LATERAL", "UNNEST", "VALUES"):
+            return out, j
+        parts = [out[j].text.strip('"')]
+        end = j
+        k = next_sig(out, j)
+        while (
+            k < len(out)
+            and out[k].kind == PUNCT
+            and out[k].text == "."
+        ):
+            n = next_sig(out, k)
+            if n < len(out) and out[n].kind in (IDENT, QIDENT):
+                parts.append(out[n].text.strip('"'))
+                end = n
+                k = next_sig(out, n)
+            else:
+                break
+        name = ".".join(parts)
+        if len(parts) == 1 and name.lower() in self._cte_names:
+            return out, j  # CTE shadows the catalog table (DuckDB scoping)
+        key = self._resolve_table_key(name)
+        if key is None and parts[0].lower() == "information_schema":
+            key = name
+        if key is None:
+            return out, j
+        # a call like fn(...) is not a table ref
+        nxt = next_sig(out, end)
+        if nxt < len(out) and out[nxt].kind == PUNCT and out[nxt].text == "(":
+            return out, j
+        mangled = self._view_name(key)
+        alias_follows = nxt < len(out) and (
+            out[nxt].is_kw("AS")
+            or (
+                out[nxt].kind in (IDENT, QIDENT)
+                and out[nxt].upper not in (
+                    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "JOIN",
+                    "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "SEMI", "ANTI",
+                    "ON", "USING", "UNION", "INTERSECT", "EXCEPT", "QUALIFY",
+                    "WINDOW", "TABLESAMPLE", "NATURAL", "ASOF", "OFFSET",
+                )
+            )
+        )
+        sample_follows = nxt < len(out) and (
+            out[nxt].is_kw("USING") or out[nxt].is_kw("TABLESAMPLE")
+        )
+        repl: list[Token] = [Token(IDENT, mangled)]
+        if not alias_follows and not sample_follows:
+            repl += [Token(WS, " "), Token(IDENT, "AS"), Token(WS, " "),
+                     Token(IDENT, parts[-1])]
+        out[j : end + 1] = repl
+        return out, j + len(repl)
 
     def _ensure_information_schema(self) -> None:
         """U9: information_schema.tables / .columns views
@@ -429,16 +587,16 @@ class DuckSparkSession:
             T.StructField("is_nullable", T.StringType()),
         ])
         self.spark.createDataFrame(rows_t, st).createOrReplaceTempView(
-            "information_schema__tables"
+            self._view_name("information_schema.tables")
         )
         self.spark.createDataFrame(rows_c, sc).createOrReplaceTempView(
-            "information_schema__columns"
+            self._view_name("information_schema.columns")
         )
 
     # ------------------------------------------------------------- catalog
 
     def _view_name(self, name: str) -> str:
-        return name.replace(".", "__")
+        return f"ddbs{self._sid}__" + name.replace(".", "__")
 
     def _resolve_table_key(self, name: str) -> Optional[str]:
         name = name.strip('"`')
@@ -1034,6 +1192,31 @@ def _format_memory(v: str) -> str:
         if nbytes >= size:
             return f"{round(nbytes / size, 1):.1f} {unit}"
     return f"{nbytes:.0f} bytes"
+
+
+def _collect_cte_names(tokens: list[Token]) -> set[str]:
+    """Names bound by ``WITH name [(cols)] AS (...)`` anywhere in the
+    statement (nested included) — these shadow catalog tables."""
+    names: set[str] = set()
+    for i, t in enumerate(tokens):
+        if t.kind != IDENT or t.upper in ("AS", "WITH"):
+            continue
+        p = prev_sig(tokens, i)
+        if p < 0 or not (
+            tokens[p].is_kw("WITH", "RECURSIVE")
+            or (tokens[p].kind == PUNCT and tokens[p].text == ",")
+        ):
+            continue
+        j = next_sig(tokens, i)
+        if j < len(tokens) and tokens[j].kind == PUNCT and tokens[j].text == "(":
+            # optional column list: name (c1, c2) AS (
+            c = match_forward(tokens, j, "(", ")")
+            j = next_sig(tokens, c)
+        if j < len(tokens) and tokens[j].is_kw("AS"):
+            k = next_sig(tokens, j)
+            if k < len(tokens) and tokens[k].kind == PUNCT and tokens[k].text == "(":
+                names.add(t.text.lower())
+    return names
 
 
 def _split_top_commas(s: str) -> list[str]:

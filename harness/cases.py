@@ -126,6 +126,15 @@ LAPTOP_CASES = [
     Case("copy_to_csv_and_back", "laptop",
          "COPY customers TO '{tmp}/customers_export.csv'",
          validation_sql="SELECT count(*) AS n FROM '{tmp}/customers_export.csv'"),
+    Case("sample_reservoir_exact_count", "laptop",  # dev.json:556-558
+         "SELECT * FROM laptops USING SAMPLE 50% (reservoir)",
+         validation_sql="SELECT count(*) AS n FROM ddb_benchmark_result"),
+    Case("sample_rows_exact_count", "laptop",
+         "SELECT * FROM pcs USING SAMPLE 4 ROWS",
+         validation_sql="SELECT count(*) AS n FROM ddb_benchmark_result"),
+    Case("group_by_all_exclude_combo", "laptop",  # dev.json:580
+         "SELECT * EXCLUDE (quantity, paid, day), sum(paid) AS total "
+         "FROM sales GROUP BY ALL ORDER BY ALL"),
     Case("copy_query_to_parquet", "laptop",  # dev.json:204
          "COPY (SELECT model, price FROM laptops WHERE price > 1000) "
          "TO '{tmp}/expensive.parquet' (FORMAT 'parquet')",
