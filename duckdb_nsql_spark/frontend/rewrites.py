@@ -885,6 +885,26 @@ def pass_using_sample(tokens: list[Token]) -> list[Token]:
 _INT_CAST_TYPES = {"INTEGER", "INT", "INT4", "BIGINT", "INT8", "SMALLINT",
                    "INT2", "TINYINT", "INT1", "HUGEINT"}
 
+_STRINGY_TYPES = {"VARCHAR", "TEXT", "BPCHAR", "JSON", "UUID"}
+
+
+def pass_cast_type_names(tokens: list[Token]) -> list[Token]:
+    """Bare ``VARCHAR``/``TEXT`` in cast position -> ``STRING`` (Spark
+    requires a length for VARCHAR; DuckDB's is unbounded)."""
+    out = list(tokens)
+    for i, t in enumerate(out):
+        if t.kind == IDENT and t.upper in _STRINGY_TYPES:
+            n = next_sig(out, i)
+            if n < len(out) and out[n].kind == PUNCT and out[n].text == "(":
+                continue  # VARCHAR(10) is fine
+            p = prev_sig(out, i)
+            if p >= 0 and (
+                out[p].is_kw("AS")
+                or (out[p].kind == OP and out[p].text == "::")
+            ):
+                out[i] = _ident("STRING")
+    return out
+
 
 def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
     """``x::INTEGER`` — DuckDB rounds (half away from zero) when casting
@@ -934,6 +954,10 @@ _SIMPLE_RENAMES = {
     "STRING_SPLIT_REGEX": "split",
     "REGEXP_SPLIT_TO_ARRAY": "split",
     "EDITDIST3": "levenshtein",
+    "STARTS_WITH": "startswith",
+    "ENDS_WITH": "endswith",
+    "PREFIX": "startswith",
+    "SUFFIX": "endswith",
 }
 
 # macros expanded into pure Spark expressions over the argument spans
@@ -1072,5 +1096,6 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_qualify(tokens)
     tokens = pass_using_sample(tokens)
     tokens = pass_int_cast_rounds(tokens)
+    tokens = pass_cast_type_names(tokens)
     tokens = pass_function_renames(tokens, resolver)
     return render(tokens)

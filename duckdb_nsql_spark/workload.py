@@ -467,6 +467,98 @@ _sql(
     """,
 )
 
+_sql(
+    "q38_window_rank_family",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey LIMIT 200
+    """,
+)
+
+_sql(
+    "q39_grouping_sets",
+    """
+    SELECT r_name, n_name, count(*) AS n
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+
+_sql(
+    "q40_string_function_batch",
+    """
+    SELECT c_custkey,
+           lower(c_name) AS lname,
+           reverse(c_name) AS rname,
+           replace(c_name, 'Customer', 'Cust') AS shortname,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           trim('  x  ') AS trimmed,
+           repeat('ab', 3) AS rep,
+           left(c_name, 4) AS l4, right(c_name, 4) AS r4,
+           contains(c_name, '1') AS has1,
+           starts_with(c_name, 'Customer') AS sw
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+)
+
+_sql(
+    "q41_date_function_batch",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS d,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+           date_format(o_orderdate, 'yyyy-MM') AS ym
+    FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           dayofmonth(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           weekofyear(o_orderdate) AS woy,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+)
+
+_sql(
+    "q42_approx_and_stats",
+    """
+    SELECT l_returnflag,
+           approx_count_distinct(l_orderkey) AS approx_orders,
+           round(stddev(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    oracle=None,  # approx_count_distinct sketches differ across engines
+)
+
+_sql(
+    "q43_exact_stats",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           round(stddev(l_quantity), 4) AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           round(median(l_quantity), 1) AS med_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
