@@ -242,6 +242,8 @@ class DuckSparkSession:
             "CALL": self._call,
             "SET": self._set,
             "RESET": self._reset,
+            "PIVOT": self._pivot,
+            "UNPIVOT": self._unpivot,
             "SUMMARIZE": self._summarize,
             "DESCRIBE": self._describe,
             "DESC": self._describe,
@@ -1129,6 +1131,69 @@ class DuckSparkSession:
             norm = _format_memory(v)
             self.settings["memory_limit"] = norm
             self.settings["max_memory"] = norm
+
+    def _pivot(self, sql: str) -> DataFrame:
+        """DuckDB ``PIVOT tbl ON col [USING agg(x)] [GROUP BY g, ...]``.
+
+        Maps onto DataFrame ``groupBy(g).pivot(col).agg(...)`` — the
+        distinct pivot values are discovered by Spark (one extra pass),
+        same as DuckDB's dynamic PIVOT.
+        """
+        m = re.match(
+            r"\s*PIVOT\s+([\w.\"`]+)\s+ON\s+([\w.\"`]+)"
+            r"(?:\s+USING\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported PIVOT: {sql[:80]}")
+        tbl, on_col = m.group(1).strip('"`'), m.group(2).strip('"`')
+        df = self.table(tbl)
+        group_cols = (
+            [c.strip().strip('"`') for c in m.group(4).split(",")]
+            if m.group(4)
+            else [c for c in df.columns if c != on_col]
+        )
+        if m.group(3):
+            agg_sql = rewrites.rewrite_sql(m.group(3).strip(), self._resolver)
+            agg_expr = F.expr(agg_sql)
+            # when USING is given without GROUP BY, group on the remaining
+            # non-aggregated columns (DuckDB's default)
+            if not m.group(4):
+                used = {on_col}
+                agg_cols = re.findall(r"\w+", agg_sql)
+                group_cols = [
+                    c for c in df.columns
+                    if c != on_col and c not in agg_cols
+                ]
+        else:
+            agg_expr = F.count(F.lit(1))
+        out = df.groupBy(*group_cols).pivot(on_col).agg(agg_expr)
+        # DuckDB renders absent count() cells as 0, not NULL
+        is_count = m.group(3) is None or re.match(
+            r"\s*count\s*\(", m.group(3), re.IGNORECASE
+        )
+        if is_count:
+            value_cols = [c for c in out.columns if c not in group_cols]
+            out = out.na.fill(0, subset=value_cols)
+        return out
+
+    def _unpivot(self, sql: str) -> DataFrame:
+        """DuckDB ``UNPIVOT tbl ON c1, c2 INTO NAME n VALUE v``."""
+        m = re.match(
+            r"\s*UNPIVOT\s+([\w.\"`]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+([\w\"`]+)"
+            r"\s+VALUE\s+([\w\"`]+)\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported UNPIVOT: {sql[:80]}")
+        tbl = m.group(1).strip('"`')
+        on_cols = [c.strip().strip('"`') for c in m.group(2).split(",")]
+        name_col, value_col = m.group(3).strip('"`'), m.group(4).strip('"`')
+        df = self.table(tbl)
+        ids = [c for c in df.columns if c not in on_cols]
+        return df.unpivot(ids, on_cols, name_col, value_col)
 
     def _summarize(self, sql: str) -> DataFrame:
         body = re.sub(r"^\s*SUMMARIZE\s+", "", sql, flags=re.IGNORECASE).strip().rstrip(";")

@@ -654,6 +654,15 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
 FROM events GROUP BY window_start, event_type
 """
 
+# sliding windows: each event lands in window starts {trunc30(ts) - k*30m}
+ORACLE_STREAM_SLIDING = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) - (o.k * INTERVAL '30 minutes')
+           AS window_start,
+       event_type, count(*) AS n
+FROM events, (SELECT unnest([0, 1]) AS k) o
+GROUP BY window_start, event_type
+"""
+
 ORACLE_STREAM_STATEFUL = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total
 FROM events GROUP BY user_id
@@ -838,6 +847,24 @@ def op_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.run_stream_to_memory(agg, name, mode="complete")
 
 
+def op_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import windows as sw
+
+    stream = sw.read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = sw.sliding_agg(stream, window="1 hour", slide="30 minutes",
+                         watermark="2 hours")
+    name = f"stream_sliding_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def op_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import windows as sw
 
@@ -862,6 +889,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
     "op_stream_tumbling": (op_stream_tumbling, ORACLE_STREAM_TUMBLING),
+    "op_stream_sliding": (op_stream_sliding, ORACLE_STREAM_SLIDING),
     "op_stream_session": (op_stream_session, None),  # streaming-only semantics
     "op_stream_stateful": (op_stream_stateful, ORACLE_STREAM_STATEFUL),
 }

@@ -142,5 +142,17 @@ LAPTOP_CASES = [
 ]
 
 
+PIVOT_CASES = [
+    Case("pivot_on_type", "laptop",
+         "PIVOT products ON type USING count(*) GROUP BY maker",
+         validation_sql="SELECT maker, laptop, pc, printer FROM ddb_benchmark_result"),
+    Case("unpivot_laptops", "laptop",
+         "UNPIVOT laptops ON speed, screen INTO NAME metric VALUE val",
+         validation_sql="SELECT model, metric, val FROM ddb_benchmark_result"),
+]
+
+LAPTOP_CASES.extend(PIVOT_CASES)
+
+
 def all_cases() -> list[Case]:
     return LAPTOP_CASES
