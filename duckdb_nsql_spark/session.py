@@ -72,6 +72,31 @@ DEFAULT_SETTINGS = {
 }
 
 
+RUNTIME_CONFS = {
+    # Everything the engine's semantics depend on that is runtime-settable —
+    # applied defensively to FOREIGN SparkSessions too (the verification
+    # driver constructs its own bare session and hands it to us).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",  # events.parquet TIMESTAMP(NANOS)
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16MB",
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — non-settable conf on this build
+            pass
+
+
 def build_spark(
     app_name: str = "duckdb-nsql-spark",
     cpus: Optional[int] = None,
@@ -136,6 +161,7 @@ _SESSION_COUNTER = iter(range(1, 10**9))
 class DuckSparkSession:
     def __init__(self, spark: Optional[SparkSession] = None, **spark_kwargs):
         self.spark = spark or build_spark(**spark_kwargs)
+        apply_runtime_confs(self.spark)
         # Sessions are isolated catalogs (like duckdb.connect()): every
         # registered table's temp view is prefixed with the session id and
         # query-time table references are rewritten to the prefixed names,
