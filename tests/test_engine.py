@@ -343,6 +343,18 @@ def test_quoted_alias_with_space(loaded_engine):
     assert df.columns == ["price (USD)"]
 
 
+def test_runtime_confs_restored_on_attach(spark):
+    # the driver hands the engine a foreign session — semantics-critical
+    # confs must be (re)applied on attach
+    from duckdb_nsql_spark import DuckSparkSession
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    DuckSparkSession(spark=spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+
+
 def test_having_on_alias(loaded_engine):
     # dev.json:20
     df = loaded_engine.execute(
