@@ -113,10 +113,16 @@ def pass_escape_backslashes(tokens: list[Token]) -> list[Token]:
     processes ``\\x`` escapes inside ``'...'``. Double every backslash so
     Spark sees the bytes DuckDB would — critical for regex patterns like
     ``'...\\.[a-zA-Z]{2,}'`` (dev.json:292). DuckDB ``E'...'`` escape
-    strings are passed through (both dialects process those)."""
+    strings DO process escapes — drop the E prefix and let Spark's
+    (identical) escape processing handle the body."""
     out = []
     for t in tokens:
-        if t.kind == STRING and "\\" in t.text and not t.text[0] in "eE":
+        if t.kind != STRING:
+            out.append(t)
+            continue
+        if t.text[0] in "eE":
+            out.append(Token(STRING, t.text[1:]))
+        elif "\\" in t.text:
             out.append(Token(STRING, t.text.replace("\\", "\\\\")))
         else:
             out.append(t)
@@ -949,7 +955,6 @@ _SIMPLE_RENAMES = {
     "LIST_CONCAT": "concat",
     "ARRAY_TO_STRING": "array_join",
     "STRING_AGG": "listagg",
-    "STRFTIME": "date_format",
     "TO_TIMESTAMP": "timestamp_seconds",  # DuckDB to_timestamp(sec)
     "STRING_SPLIT_REGEX": "split",
     "REGEXP_SPLIT_TO_ARRAY": "split",
@@ -1012,6 +1017,42 @@ def _span_is_array(tokens: list[Token], lo: int, hi: int, resolver: Resolver) ->
     return False
 
 
+# C-style strftime directives -> Java SimpleDateFormat (order matters: %% first)
+_STRFTIME_MAP = [
+    ("%%", "%"), ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"), ("%f", "SSSSSS"),
+    ("%g", "SSS"), ("%j", "DDD"), ("%a", "EEE"), ("%A", "EEEE"),
+    ("%b", "MMM"), ("%B", "MMMM"), ("%p", "a"), ("%Z", "zzz"),
+]
+
+
+def _convert_strftime(fmt: str) -> str:
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush() -> None:
+        if literal:
+            run = "".join(literal)
+            # quote runs containing letters (Java reserves all letters);
+            # pure punctuation/digits/spaces can stay bare
+            out.append(f"'{run}'" if any(c.isalpha() for c in run) else run)
+            literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        for pat, repl in _STRFTIME_MAP:
+            if fmt.startswith(pat, i):
+                flush()
+                out.append(repl)
+                i += len(pat)
+                break
+        else:
+            literal.append(fmt[i])
+            i += 1
+    flush()
+    return "".join(out)
+
+
 def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = None) -> list[Token]:
     resolver = resolver or NullResolver()
     out = list(tokens)
@@ -1057,6 +1098,16 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         )
                         out = out[:i] + new + out[c + 1 :]
                         continue
+                elif up == "STRFTIME":
+                    # strftime(ts, '%Y-%m') -> date_format(ts, 'yyyy-MM')
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        blo, bhi = spans[1]
+                        sig2 = [tk for tk in out[blo:bhi] if tk.kind not in (WS, COMMENT)]
+                        if len(sig2) == 1 and sig2[0].kind == STRING:
+                            out[blo:bhi] = [_sql_str(_convert_strftime(_str_value(sig2[0])))]
+                    out[i] = _ident("date_format")
                 elif up in _FN_MACROS:
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)

@@ -142,6 +142,16 @@ LAPTOP_CASES = [
 ]
 
 
+EXTRA_CASES = [
+    Case("strftime_format", "laptop",
+         "SELECT model, strftime(day, '%Y/%m/%d') AS ymd, "
+         "strftime(day, '%d %b %Y') AS pretty FROM sales ORDER BY model"),
+    Case("escape_string_literal", "laptop",
+         r"SELECT E'a\tb' AS tabbed, length(E'x\ny') AS len3"),
+]
+
+LAPTOP_CASES.extend(EXTRA_CASES)
+
 PIVOT_CASES = [
     Case("pivot_on_type", "laptop",
          "PIVOT products ON type USING count(*) GROUP BY maker",

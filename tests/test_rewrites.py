@@ -232,6 +232,22 @@ def test_backslash_doubling():
     assert r"'a\\.b'" in out
 
 
+def test_strftime_conversion():
+    out = rewrite_sql("SELECT strftime(d, '%Y-%m-%d %H:%M:%S') FROM t")
+    assert "date_format" in out and "'yyyy-MM-dd HH:mm:ss'" in out
+
+
+def test_strftime_literal_letters_quoted():
+    # java patterns need literal letters quoted; the SQL literal doubles them
+    out = rewrite_sql("SELECT strftime(d, '%YT%m') FROM t")
+    assert "'yyyy''T''MM'" in out
+
+
+def test_escape_string_prefix_dropped():
+    out = rewrite_sql(r"SELECT E'a\tb'")
+    assert r"'a\tb'" in out and "E'" not in out
+
+
 def test_case_expression_passthrough():
     sql = "SELECT CASE WHEN a > 1 THEN 'x' ELSE 'y' END AS c FROM t"
     assert norm(rewrite_sql(sql)) == norm(sql)
