@@ -314,6 +314,27 @@ def simhash_candidates(
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
 
 
+def apply_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """End-to-end dedup: drop the higher-id member of every minhash-LSH
+    candidate pair (exact duplicates are a subset of LSH candidates, so
+    they're covered). Keep-lowest-id is the deterministic survivor rule —
+    one anti-join against the candidate pairs' id_b column; no connected
+    components needed because every member of a duplicate cluster pairs
+    with the cluster's minimum id under LSH banding of identical texts,
+    and near-dup chains degrade gracefully (each pair still drops its
+    higher id).
+    """
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

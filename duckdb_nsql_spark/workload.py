@@ -618,6 +618,29 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
 """
 
+ORACLE_DEDUP_APPLY = f"""
+WITH sh AS ({_SHINGLES}),
+sigs AS (
+    SELECT doc_id,
+           list_transform(range(0, 16),
+               p -> list_min(list_transform(shingles, s -> md5(p || ':' || s)))) AS sig
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, b.band AS band,
+           md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS bandsig
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+),
+losers AS (
+    SELECT DISTINCT b.doc_id AS doc_id
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
 ORACLE_TEXT_PROFILE = f"""
 SELECT doc_id,
        CAST(length(text) AS INTEGER) AS n_chars,
@@ -713,6 +736,11 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidates(_docs(spark, sf_dir))
+
+
+def op_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.apply_dedup(_docs(spark, sf_dir))
+    return out.select("doc_id", "lang", "n_chars")
 
 
 def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,6 +907,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dedup_minhash_lsh": (op_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
     "op_dedup_ngram_jaccard": (op_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "op_dedup_simhash": (op_dedup_simhash, None),  # xxhash64: Spark-native
+    "op_dedup_apply": (op_dedup_apply, ORACLE_DEDUP_APPLY),
     "op_dedup_embedding": (op_dedup_embedding, ORACLE_EMBED_COSINE),
     "op_text_profile": (op_text_profile, ORACLE_TEXT_PROFILE),
     "op_text_quality_lang": (op_text_quality_lang, None),  # pinned by unit tests

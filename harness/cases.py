@@ -143,6 +143,20 @@ LAPTOP_CASES = [
 
 
 EXTRA_CASES = [
+    Case("in_list_between", "laptop",  # predicate shapes
+         "SELECT model FROM pcs WHERE speed BETWEEN 2.0 AND 3.0 "
+         "AND ram IN (512, 1024) ORDER BY model"),
+    Case("case_with_null", "laptop",
+         "SELECT customer_id, CASE WHEN email IS NULL THEN 'missing' "
+         "ELSE substring(email, 1, 3) END AS e3 FROM customers ORDER BY customer_id"),
+    Case("order_by_with_nulls", "laptop",  # default NULLS LAST both engines
+         "SELECT customer_id, address FROM customers ORDER BY address, customer_id"),
+    Case("copy_tab_delimited", "laptop",  # dev.json:333
+         "COPY customers TO '{tmp}/tabbed.csv' (DELIMITER '\\t', HEADER)",
+         validation_sql="SELECT count(*) AS n FROM read_csv_auto('{tmp}/tabbed.csv', delim='\\t')"),
+    Case("json_export_import", "laptop",  # dev.json:356-357
+         "COPY (SELECT model, price FROM laptops WHERE price > 2000) TO '{tmp}/l.json'",
+         validation_sql="SELECT * FROM read_json_auto('{tmp}/l.json') ORDER BY model"),
     Case("strftime_format", "laptop",
          "SELECT model, strftime(day, '%Y/%m/%d') AS ymd, "
          "strftime(day, '%d %b %Y') AS pretty FROM sales ORDER BY model"),
