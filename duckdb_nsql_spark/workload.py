@@ -559,6 +559,22 @@ _sql(
     """,
 )
 
+# --- recursive CTE (DuckDB WITH RECURSIVE; Spark 4 UnionLoop) -------------
+_sql(
+    "q44_recursive_cte",
+    """
+    WITH RECURSIVE seq(n) AS (
+        SELECT 1
+        UNION ALL
+        SELECT n + 1 FROM seq WHERE n < 10
+    )
+    SELECT s.n AS bucket, count(*) AS cnt,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM seq s JOIN orders o ON (o.o_orderkey % 10) + 1 = s.n
+    GROUP BY s.n ORDER BY s.n
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
