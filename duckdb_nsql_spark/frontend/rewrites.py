@@ -955,6 +955,12 @@ _SIMPLE_RENAMES = {
     "LIST_CONCAT": "concat",
     "ARRAY_TO_STRING": "array_join",
     "STRING_AGG": "listagg",
+    "ARG_MAX": "max_by",
+    "ARG_MIN": "min_by",
+    "ARGMAX": "max_by",
+    "ARGMIN": "min_by",
+    "MAX_BY": "max_by",
+    "MIN_BY": "min_by",
     "TO_TIMESTAMP": "timestamp_seconds",  # DuckDB to_timestamp(sec)
     "STRING_SPLIT_REGEX": "split",
     "REGEXP_SPLIT_TO_ARRAY": "split",

@@ -174,6 +174,7 @@ class DuckSparkSession:
         self._current_db = "memory"
         self._resolver = _CatalogResolver(self)
         self._kind_cache: Optional[dict[str, str]] = None
+        self._infoschema_dirty = True
         self._tf_counter = 0
 
     # ------------------------------------------------------------------ API
@@ -207,6 +208,7 @@ class DuckSparkSession:
         self._tables[name] = df
         df.createOrReplaceTempView(self._view_name(name))
         self._kind_cache = None
+        self._infoschema_dirty = True
 
     def register_parquet_dir(self, sf_dir: str) -> None:
         """Register every ``<dir>/<table>.parquet`` as a base table."""
@@ -585,7 +587,13 @@ class DuckSparkSession:
 
     def _ensure_information_schema(self) -> None:
         """U9: information_schema.tables / .columns views
-        (/root/reference/examples/utils.py:16-27)."""
+        (/root/reference/examples/utils.py:16-27).
+
+        Rebuilt lazily: only when the table map changed since the last
+        build (a per-SELECT rebuild cost ~70 ms/query in py4j round
+        trips — measured at sf0.1, bench q1)."""
+        if not self._infoschema_dirty:
+            return
         rows_t, rows_c = [], []
         for name, df in self._tables.items():
             db, _, tbl = name.rpartition(".")
@@ -620,6 +628,7 @@ class DuckSparkSession:
         self.spark.createDataFrame(rows_c, sc).createOrReplaceTempView(
             self._view_name("information_schema.columns")
         )
+        self._infoschema_dirty = False
 
     # ------------------------------------------------------------- catalog
 
@@ -767,6 +776,7 @@ class DuckSparkSession:
         del self._tables[key]
         self.spark.catalog.dropTempView(self._view_name(key))
         self._kind_cache = None
+        self._infoschema_dirty = True
         return None
 
     # ------------------------------------------------------------------ DML
@@ -1070,6 +1080,7 @@ class DuckSparkSession:
             for k in [k for k in self._tables if k.startswith(db + ".")]:
                 del self._tables[k]
             self._kind_cache = None
+            self._infoschema_dirty = True
         return None
 
     def _use(self, sql: str) -> None:

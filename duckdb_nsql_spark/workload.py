@@ -559,6 +559,19 @@ _sql(
     """,
 )
 
+# --- arg_max/arg_min (DuckDB) -> max_by/min_by; tie-free via unique key ---
+_sql(
+    "q45_arg_max_min",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_custkey, o_orderkey) AS last_cust,
+           arg_min(o_custkey, o_orderkey) AS first_cust,
+           bool_or(o_totalprice > 300000) AS has_big,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
 # --- recursive CTE (DuckDB WITH RECURSIVE; Spark 4 UnionLoop) -------------
 _sql(
     "q44_recursive_cte",
