@@ -955,6 +955,9 @@ _SIMPLE_RENAMES = {
     "LIST_CONCAT": "concat",
     "ARRAY_TO_STRING": "array_join",
     "STRING_AGG": "listagg",
+    # single unnest per select (DuckDB zips parallel unnests; Spark allows
+    # one generator per select — multiple unnests err loudly, never wrong)
+    "UNNEST": "explode",
     "ARG_MAX": "max_by",
     "ARG_MIN": "min_by",
     "ARGMAX": "max_by",

@@ -110,8 +110,12 @@ def summarize_df(spark: SparkSession, df: DataFrame) -> DataFrame:
             aggs += [
                 F.avg(c).cast("double").alias(f"avg_{i}"),
                 F.stddev(c).cast("double").alias(f"std_{i}"),
-                # one sketch for all three quantiles, not three sketches
-                F.percentile_approx(c, [0.25, 0.5, 0.75])
+                # one sketch for all three quantiles, not three sketches;
+                # accuracy 1000 (~0.1% rank error) — DuckDB SUMMARIZE
+                # quantiles are approximate too, and the default 10000
+                # dominated the whole statement's runtime (~0.5 s of
+                # 0.9 s on 150k-row orders at sf0.1)
+                F.percentile_approx(c, [0.25, 0.5, 0.75], 1000)
                 .cast("array<double>")
                 .alias(f"qs_{i}"),
             ]

@@ -572,6 +572,20 @@ _sql(
     """,
 )
 
+# --- UNNEST (DuckDB list flatten -> Spark explode generator) --------------
+_sql(
+    "q46_unnest_words",
+    """
+    SELECT w, count(*) AS n
+    FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE doc_id <= 50
+    )
+    WHERE length(w) >= 8
+    GROUP BY w ORDER BY n DESC, w LIMIT 20
+    """,
+)
+
 # --- recursive CTE (DuckDB WITH RECURSIVE; Spark 4 UnionLoop) -------------
 _sql(
     "q44_recursive_cte",
