@@ -958,6 +958,10 @@ _SIMPLE_RENAMES = {
     # single unnest per select (DuckDB zips parallel unnests; Spark allows
     # one generator per select — multiple unnests err loudly, never wrong)
     "UNNEST": "explode",
+    # select-position generate_series returns the inclusive list, exactly
+    # Spark's sequence(); FROM-position is expanded to an exploded derived
+    # table in session._expand_table_functions before this pass runs
+    "GENERATE_SERIES": "sequence",
     "ARG_MAX": "max_by",
     "ARG_MIN": "min_by",
     "ARGMAX": "max_by",

@@ -316,6 +316,28 @@ class DuckSparkSession:
         i = 0
         while i < len(tokens):
             t = tokens[i]
+            if t.kind == IDENT and t.upper == "GENERATE_SERIES":
+                # FROM generate_series(a, b[, step]) -> derived table of
+                # exploded sequence (both inclusive of the end bound).
+                # Select-position occurrences are left for the rename pass
+                # (-> sequence, DuckDB's list-returning form).
+                p = prev_sig(tokens, i)
+                o = next_sig(tokens, i)
+                if (
+                    p >= 0
+                    and tokens[p].kind == IDENT
+                    and tokens[p].upper in ("FROM", "JOIN")
+                    and o < len(tokens)
+                    and tokens[o].text == "("
+                ):
+                    c = match_forward(tokens, o, "(", ")")
+                    args = render(tokens[o + 1 : c])
+                    repl = tokenize(
+                        f"(SELECT explode(sequence({args})) AS generate_series)"
+                    )
+                    tokens = tokens[:i] + repl + tokens[c + 1 :]
+                    i += len(repl)
+                    continue
             if t.kind == IDENT and t.upper in _TABLE_FUNCS:
                 o = next_sig(tokens, i)
                 if o < len(tokens) and tokens[o].text == "(":

@@ -572,6 +572,19 @@ _sql(
     """,
 )
 
+# --- generate_series spine + anti-join gap detection ----------------------
+# (CAST: DuckDB's series is BIGINT, Spark's sequence(int,int) is INT)
+_sql(
+    "q47_series_gaps",
+    """
+    SELECT CAST(s.generate_series AS BIGINT) AS k
+    FROM generate_series(1, 200) s
+    LEFT JOIN orders o ON o.o_orderkey = s.generate_series
+    WHERE o.o_orderkey IS NULL
+    ORDER BY k
+    """,
+)
+
 # --- UNNEST (DuckDB list flatten -> Spark explode generator) --------------
 _sql(
     "q46_unnest_words",
