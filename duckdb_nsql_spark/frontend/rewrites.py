@@ -997,6 +997,23 @@ _FN_MACROS = {
     ),
 }
 
+# single-argument macros (Spark 4 has its own dayname() -> 'Mon'; DuckDB
+# returns the full 'Monday' — must expand before Spark resolves the name)
+_FN_MACROS_1 = {
+    "DAYNAME": "date_format({a}, 'EEEE')",
+    "MONTHNAME": "date_format({a}, 'MMMM')",
+}
+
+# date_part fields whose numbering differs between the dialects:
+# DuckDB dow is Sunday=0..Saturday=6; isodow is Monday=1..Sunday=7
+_DATE_PART_MACROS = {
+    "dow": "(dayofweek({x}) - 1)",
+    "dayofweek": "(dayofweek({x}) - 1)",
+    "isodow": "(weekday({x}) + 1)",
+    "doy": "dayofyear({x})",
+    "dayofyear": "dayofyear({x})",
+}
+
 
 _ARRAY_FUNCS = frozenset(
     "ARRAY SLICE SPLIT SEQUENCE COLLECT_LIST ARRAY_AGG STRING_SPLIT STR_SPLIT "
@@ -1121,6 +1138,40 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         if len(sig2) == 1 and sig2[0].kind == STRING:
                             out[blo:bhi] = [_sql_str(_convert_strftime(_str_value(sig2[0])))]
                     out[i] = _ident("date_format")
+                elif up == "STRPTIME":
+                    # strptime(s, '%Y-%m-%d') -> to_timestamp(s, 'yyyy-MM-dd')
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        blo, bhi = spans[1]
+                        sig2 = [tk for tk in out[blo:bhi] if tk.kind not in (WS, COMMENT)]
+                        if len(sig2) == 1 and sig2[0].kind == STRING:
+                            out[blo:bhi] = [_sql_str(_convert_strftime(_str_value(sig2[0])))]
+                    out[i] = _ident("to_timestamp")
+                elif up in ("DATE_PART", "DATEPART"):
+                    # numbering-convention fields expand to explicit Spark
+                    # expressions; everything else passes through to Spark's
+                    # own date_part
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        sig1 = [tk for tk in out[spans[0][0] : spans[0][1]]
+                                if tk.kind not in (WS, COMMENT)]
+                        if len(sig1) == 1 and sig1[0].kind == STRING:
+                            part = _str_value(sig1[0]).lower()
+                            macro = _DATE_PART_MACROS.get(part)
+                            if macro is not None:
+                                x_txt = render(_trim(out[spans[1][0] : spans[1][1]]))
+                                out = out[:i] + tokenize(macro.replace("{x}", x_txt)) + out[c + 1 :]
+                                continue
+                elif up in _FN_MACROS_1:
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 1:
+                        a_txt = render(_trim(out[spans[0][0] : spans[0][1]]))
+                        expanded = _FN_MACROS_1[up].replace("{a}", a_txt)
+                        out = out[:i] + tokenize(expanded) + out[c + 1 :]
+                        continue
                 elif up in _FN_MACROS:
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)

@@ -572,6 +572,17 @@ _sql(
     """,
 )
 
+# --- date_part convention fields + dayname (CAST: duck bigint vs int) -----
+_sql(
+    "q48_date_part_dayname",
+    """
+    SELECT CAST(date_part('isodow', o_orderdate) AS INT) AS dw,
+           dayname(o_orderdate) AS dn,
+           count(*) AS n
+    FROM orders GROUP BY ALL ORDER BY dw
+    """,
+)
+
 # --- generate_series spine + anti-join gap detection ----------------------
 # (CAST: DuckDB's series is BIGINT, Spark's sequence(int,int) is INT)
 _sql(

@@ -251,3 +251,28 @@ def test_escape_string_prefix_dropped():
 def test_case_expression_passthrough():
     sql = "SELECT CASE WHEN a > 1 THEN 'x' ELSE 'y' END AS c FROM t"
     assert norm(rewrite_sql(sql)) == norm(sql)
+
+
+def test_strptime_conversion():
+    out = rewrite_sql("SELECT strptime(s, '%Y-%m-%d %H:%M:%S') FROM t")
+    assert "to_timestamp" in out and "'yyyy-MM-dd HH:mm:ss'" in out
+
+
+def test_date_part_dow_conventions():
+    out = rewrite_sql("SELECT date_part('dow', d) FROM t")
+    assert "dayofweek" in out and "- 1" in out
+    out = rewrite_sql("SELECT date_part('isodow', d) FROM t")
+    assert "weekday" in out and "+ 1" in out
+    # non-convention fields pass through to Spark's own date_part
+    out = rewrite_sql("SELECT date_part('year', d) FROM t")
+    assert "date_part" in out
+
+
+def test_dayname_monthname_expand():
+    out = rewrite_sql("SELECT dayname(d), monthname(d) FROM t")
+    assert "'EEEE'" in out and "'MMMM'" in out and "dayname" not in out.lower()
+
+
+def test_arg_max_rename():
+    out = rewrite_sql("SELECT arg_max(a, b) FROM t")
+    assert "max_by" in out
