@@ -953,8 +953,13 @@ _SIMPLE_RENAMES = {
     "LIST_SORT": "sort_array",
     "LIST_DISTINCT": "array_distinct",
     "LIST_CONCAT": "concat",
+    "LIST_APPEND": "array_append",
+    "ARRAY_APPEND": "array_append",
+    "LIST_REVERSE": "reverse",
+    "ARRAY_LENGTH": "size",
+    "LIST_HAS_ANY": "arrays_overlap",
+    "STRPOS": "instr",
     "ARRAY_TO_STRING": "array_join",
-    "STRING_AGG": "listagg",
     # single unnest per select (DuckDB zips parallel unnests; Spark allows
     # one generator per select — multiple unnests err loudly, never wrong)
     "UNNEST": "explode",
@@ -995,13 +1000,23 @@ _FN_MACROS = {
         + _NORM_MACRO.replace("{a}", "{b}")
         + "))"
     ),
+    # DuckDB list_prepend(elem, list) vs Spark array_prepend(list, elem)
+    "LIST_PREPEND": "array_prepend({b}, {a})",
 }
+
+_SUM_FOLD = "aggregate({a}, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE))"
 
 # single-argument macros (Spark 4 has its own dayname() -> 'Mon'; DuckDB
 # returns the full 'Monday' — must expand before Spark resolves the name)
 _FN_MACROS_1 = {
     "DAYNAME": "date_format({a}, 'EEEE')",
     "MONTHNAME": "date_format({a}, 'MMMM')",
+    # double-precision folds (DuckDB keeps integer types for int lists;
+    # values agree, stated type is DOUBLE)
+    "LIST_SUM": _SUM_FOLD,
+    "LIST_AVG": f"({_SUM_FOLD} / size({{a}}))",
+    # DuckDB list_unique = COUNT of distinct elements, not the list
+    "LIST_UNIQUE": "size(array_distinct({a}))",
 }
 
 # date_part fields whose numbering differs between the dialects:
@@ -1164,6 +1179,36 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                                 x_txt = render(_trim(out[spans[1][0] : spans[1][1]]))
                                 out = out[:i] + tokenize(macro.replace("{x}", x_txt)) + out[c + 1 :]
                                 continue
+                elif up in ("STRING_AGG", "LISTAGG"):
+                    # DuckDB puts ORDER BY inside the call; Spark's listagg
+                    # takes it as WITHIN GROUP (ORDER BY ...)
+                    c = match_forward(out, n, "(", ")")
+                    depth = 0
+                    p = None
+                    for k in range(n + 1, c):
+                        tk = out[k]
+                        if tk.kind == PUNCT and tk.text in "([{":
+                            depth += 1
+                        elif tk.kind == PUNCT and tk.text in ")]}":
+                            depth -= 1
+                        elif depth == 0 and tk.kind == IDENT and tk.upper == "ORDER":
+                            p = k
+                            break
+                    if p is not None:
+                        inner = _trim(out[n + 1 : p])
+                        order = _trim(out[p:c])
+                        new = (
+                            [_ident("listagg"), _punct("(")]
+                            + inner
+                            + [_punct(")"), _ws(), _ident("WITHIN"), _ws(),
+                               _ident("GROUP"), _ws(), _punct("(")]
+                            + order
+                            + [_punct(")")]
+                        )
+                        out = out[:i] + new + out[c + 1 :]
+                        i += len(new)
+                        continue
+                    out[i] = _ident("listagg")
                 elif up in _FN_MACROS_1:
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)

@@ -572,6 +572,15 @@ _sql(
     """,
 )
 
+# --- ordered string_agg -> listagg WITHIN GROUP ---------------------------
+_sql(
+    "q49_string_agg_ordered",
+    """
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+
 # --- date_part convention fields + dayname (CAST: duck bigint vs int) -----
 _sql(
     "q48_date_part_dayname",

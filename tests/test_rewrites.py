@@ -276,3 +276,21 @@ def test_dayname_monthname_expand():
 def test_arg_max_rename():
     out = rewrite_sql("SELECT arg_max(a, b) FROM t")
     assert "max_by" in out
+
+
+def test_string_agg_order_by_within_group():
+    out = rewrite_sql("SELECT string_agg(x, '|' ORDER BY x) FROM t")
+    assert "listagg" in out and "WITHIN GROUP" in out
+    # plain form: simple rename, no WITHIN GROUP
+    out = rewrite_sql("SELECT string_agg(x, ',') FROM t")
+    assert "listagg" in out and "WITHIN GROUP" not in out
+
+
+def test_list_prepend_arg_swap():
+    out = rewrite_sql("SELECT list_prepend(0, [1,2]) FROM t")
+    assert "array_prepend(array(1,2), 0)" in out
+
+
+def test_list_unique_is_count():
+    out = rewrite_sql("SELECT list_unique(a) FROM t")
+    assert "size(array_distinct(a))" in out
