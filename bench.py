@@ -21,7 +21,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-RUNS = 2
+RUNS = 3  # best-of-3: single-machine noise at these latencies is ±0.5s
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
