@@ -599,7 +599,7 @@ _sql(
     """
     SELECT CAST(s.generate_series AS BIGINT) AS k
     FROM generate_series(1, 200) s
-    LEFT JOIN orders o ON o.o_orderkey = s.generate_series
+    LEFT JOIN orders o ON o.o_orderkey = s.generate_series * 97
     WHERE o.o_orderkey IS NULL
     ORDER BY k
     """,
@@ -614,7 +614,7 @@ _sql(
         SELECT unnest(string_split(lower(text), ' ')) AS w
         FROM documents WHERE doc_id <= 50
     )
-    WHERE length(w) >= 8
+    WHERE length(w) >= 5
     GROUP BY w ORDER BY n DESC, w LIMIT 20
     """,
 )
