@@ -489,8 +489,93 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
 # ---------------------------------------------------------------------------
 
 
+_LAMBDA_HOFS = {
+    # DuckDB list HOFs (before the rename pass) and Spark HOFs (users may
+    # write Spark names directly); both take `param -> body` lambdas whose
+    # body may begin with a string/number literal.
+    "LIST_TRANSFORM", "LIST_APPLY", "APPLY", "ARRAY_TRANSFORM",
+    "LIST_FILTER", "ARRAY_FILTER", "LIST_REDUCE", "ARRAY_REDUCE",
+    "LIST_SORT", "ARRAY_SORT",
+    "TRANSFORM", "FILTER", "AGGREGATE", "REDUCE", "EXISTS", "FORALL",
+    "ZIP_WITH", "MAP_FILTER", "MAP_ZIP_WITH", "TRANSFORM_KEYS",
+    "TRANSFORM_VALUES",
+}
+
+
+def _enclosing_call_fn(tokens: list[Token], pos: int) -> Optional[str]:
+    """Uppercased name of the function call whose argument list contains
+    ``pos``, or None when pos is not inside a call's parentheses."""
+    depth = 0
+    j = pos - 1
+    while j >= 0:
+        t = tokens[j]
+        if t.kind == PUNCT and t.text in ")]}":
+            depth += 1
+        elif t.kind == PUNCT and t.text in "([{":
+            if depth == 0:
+                if t.text == "(":
+                    k = prev_sig(tokens, j)
+                    if k >= 0 and tokens[k].kind == IDENT:
+                        return tokens[k].upper
+                return None
+            depth -= 1
+        j -= 1
+    return None
+
+
+def _is_lambda_arrow(tokens: list[Token], start: int, i: int) -> bool:
+    """True when the ``->`` at ``i`` is a lambda arrow, not a JSON extract:
+    its left side is a bare parameter name (or a parenthesized parameter
+    list) sitting in argument position of a known higher-order function."""
+    base = [t for t in tokens[start:i] if t.kind not in (WS, COMMENT)]
+    if len(base) == 1 and base[0].kind == IDENT:
+        pass  # single bare parameter: x -> ...
+    elif (
+        len(base) >= 3
+        and base[0].kind == PUNCT and base[0].text == "("
+        and base[-1].kind == PUNCT and base[-1].text == ")"
+        and base[1].kind == IDENT
+        and all(
+            t.kind == IDENT or (t.kind == PUNCT and t.text == ",")
+            for t in base[1:-1]
+        )
+    ):
+        pass  # parenthesized parameter list: (x, i) -> ...
+    else:
+        return False
+    p = prev_sig(tokens, start)
+    if p < 0 or not (tokens[p].kind == PUNCT and tokens[p].text in "(,"):
+        return False
+    return _enclosing_call_fn(tokens, start) in _LAMBDA_HOFS
+
+
+def pass_lambda_single_param_parens(tokens: list[Token]) -> list[Token]:
+    """``hof(l, (x) -> body)`` -> ``hof(l, x -> body)``.
+
+    DuckDB accepts a parenthesized single lambda parameter; Spark's
+    parser only allows parens around *multi*-parameter lists."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == OP and t.text == "->":
+            start = primary_start(tokens, i)
+            if _is_lambda_arrow(tokens, start, i):
+                base = [t2 for t2 in tokens[start:i] if t2.kind not in (WS, COMMENT)]
+                if len(base) == 3 and base[1].kind == IDENT:
+                    tokens = tokens[:start] + [base[1], _ws()] + tokens[i:]
+                    i = start + 2
+                    continue
+        i += 1
+    return tokens
+
+
 def pass_json_arrows(tokens: list[Token]) -> list[Token]:
-    """``j ->> 'k'`` / ``j -> 'k'`` -> ``get_json_object(j, '$.k')`` (dev.json:540)."""
+    """``j ->> 'k'`` / ``j -> 'k'`` -> ``get_json_object(j, '$.k')`` (dev.json:540).
+
+    Lambda arrows are left untouched: ``list_filter(l, x -> 5 < x)`` and
+    ``list_transform(l, x -> 'N/A')`` keep their ``->`` even though the
+    body starts with a literal, because the left side is a lambda
+    parameter of a known HOF (see _is_lambda_arrow)."""
     i = 0
     while i < len(tokens):
         t = tokens[i]
@@ -500,7 +585,10 @@ def pass_json_arrows(tokens: list[Token]) -> list[Token]:
                 break
             key_tok = tokens[k]
             start = primary_start(tokens, i)
-            base = tokens[start:i]
+            if _is_lambda_arrow(tokens, start, i):
+                i += 1
+                continue
+            base = _trim(tokens[start:i])
             if key_tok.kind == STRING:
                 path = "$." + _str_value(key_tok)
             elif key_tok.kind == NUMBER:
@@ -912,15 +1000,66 @@ def pass_cast_type_names(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def _is_single_round_call(expr: list[Token]) -> bool:
+    """True when ``expr`` is exactly ``round(<one arg>)`` — the shape this
+    pass generates; re-wrapping it would be a useless no-op. A user's
+    ``round(x, 2)`` (two args, can still be fractional) returns False."""
+    if not (expr and expr[0].kind == IDENT and expr[0].upper == "ROUND"):
+        return False
+    o = next_sig(expr, 0)
+    if o >= len(expr) or expr[o].text != "(":
+        return False
+    c = match_forward(expr, o, "(", ")")
+    if c != len(expr) - 1:
+        return False
+    return len(split_args(expr, o + 1, c)) == 1
+
+
 def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
-    """``x::INTEGER`` — DuckDB rounds (half away from zero) when casting
-    float/double to integer (dev.json:428 ``speed::INTEGER``); Spark CAST
-    truncates. Rewrite to ``CAST(round(x) AS type)`` (Spark round is also
-    half-away-from-zero), preserving DuckDB's answer for fractional input
-    and a no-op for integral input."""
+    """``x::INTEGER`` / ``CAST(x AS INTEGER)`` — DuckDB rounds (half away
+    from zero) when casting float/double to integer (dev.json:428
+    ``speed::INTEGER``); Spark CAST truncates. Rewrite to
+    ``CAST(round(x) AS type)`` (Spark round is also half-away-from-zero),
+    preserving DuckDB's answer for fractional input and a no-op for
+    integral input. Covers both cast spellings."""
     i = 0
     while i < len(tokens):
         t = tokens[i]
+        if t.kind == IDENT and t.upper == "CAST":
+            o = next_sig(tokens, i)
+            if o < len(tokens) and tokens[o].kind == PUNCT and tokens[o].text == "(":
+                c = match_forward(tokens, o, "(", ")")
+                depth = 0
+                a = None
+                for k in range(o + 1, c):
+                    tk = tokens[k]
+                    if tk.kind == PUNCT and tk.text in "([{":
+                        depth += 1
+                    elif tk.kind == PUNCT and tk.text in ")]}":
+                        depth -= 1
+                    elif depth == 0 and tk.kind == IDENT and tk.upper == "AS":
+                        a = k  # last top-level AS separates expr from type
+                if a is not None:
+                    ty = next_sig(tokens, a)
+                    if (
+                        ty < c
+                        and tokens[ty].kind == IDENT
+                        and tokens[ty].upper in _INT_CAST_TYPES
+                        and next_sig(tokens, ty) == c
+                    ):
+                        expr = _trim(tokens[o + 1 : a])
+                        if not _is_single_round_call(expr):
+                            new = (
+                                [_ident("CAST"), _punct("("), _ident("round"), _punct("(")]
+                                + expr
+                                + [_punct(")"), _ws(), _ident("AS"), _ws(),
+                                   _ident(tokens[ty].text), _punct(")")]
+                            )
+                            tokens = tokens[:i] + new + tokens[c + 1 :]
+                            # re-examine from i: the guard above stops a
+                            # re-wrap; nested casts inside expr still get
+                            # visited as the scan advances
+                            continue
         if t.kind == OP and t.text == "::":
             ty = next_sig(tokens, i)
             if ty < len(tokens) and tokens[ty].kind == IDENT and tokens[ty].upper in _INT_CAST_TYPES:
@@ -1250,6 +1389,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_index_slice(tokens, resolver)
     tokens = pass_array_literals(tokens)
     tokens = pass_json_arrows(tokens)
+    tokens = pass_lambda_single_param_parens(tokens)
     tokens = pass_datediff(tokens)
     tokens = pass_columns_regex(tokens, resolver)
     tokens = pass_star_replace(tokens, resolver)

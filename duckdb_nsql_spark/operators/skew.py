@@ -66,8 +66,19 @@ def salted_join(
     right side replicates its hot-key rows once per salt value, so
     every (key, salt) pair still meets its matches. Non-hot keys use
     salt 0 on both sides — no replication, no behavior change. Result
-    is row-identical to the plain join.
+    is row-identical to the plain join for ``inner`` and ``left`` joins.
+
+    ``right``/``full`` joins are rejected: an *unmatched* hot right row
+    is replicated once per salt and each replica would emit its own
+    null-extended output row, duplicating results. Swap the inputs and
+    use a left join, or rely on AQE's skew-join handling instead.
     """
+    if how.lower().replace("_", "") not in ("inner", "left", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full outer would duplicate unmatched hot right rows "
+            "(one per salt replica)"
+        )
     hot = F.array(*[F.lit(k) for k in hot_keys])
     l_salted = left.withColumn(
         "__salt",

@@ -176,6 +176,9 @@ class DuckSparkSession:
         self._kind_cache: Optional[dict[str, str]] = None
         self._infoschema_dirty = True
         self._tf_counter = 0
+        # when validate_sql is active this is a list collecting temp views
+        # registered during analysis so they can be dropped afterwards
+        self._created_views_log: Optional[list] = None
 
     # ------------------------------------------------------------------ API
 
@@ -292,10 +295,15 @@ class DuckSparkSession:
     def _query(self, sql: str) -> DataFrame:
         return self.spark.sql(self._rewrite_query(sql))
 
-    def _rewrite_query(self, sql: str) -> str:
+    def _rewrite_query(self, sql: str, validate_only: bool = False) -> str:
         tokens = tokenize(sql)
         tokens = self._expand_table_functions(tokens)
-        tokens = self._exact_reservoir(tokens)
+        if not validate_only:
+            # exact-reservoir rewrite runs a count() for percent forms;
+            # validation must not launch jobs — the later USING SAMPLE
+            # pass still produces an analyzable (proportional) TABLESAMPLE
+            # with the identical schema, so binder checks are unaffected
+            tokens = self._exact_reservoir(tokens)
         # dialect passes see the user's table names (COLUMNS / * REPLACE
         # resolve via the catalog); view-name flattening happens after
         text = rewrites.rewrite_sql(render(tokens), self._resolver)
@@ -433,6 +441,8 @@ class DuckSparkSession:
         self._tf_counter += 1
         name = f"ddbs{self._sid}_tf_{self._tf_counter}"
         df.createOrReplaceTempView(name)
+        if self._created_views_log is not None:
+            self._created_views_log.append(name)
         return name
 
     def _exact_reservoir(self, tokens: list[Token]) -> list[Token]:
@@ -709,8 +719,9 @@ class DuckSparkSession:
         kind = words[j]  # TABLE | VIEW | DATABASE | SCHEMA
         j += 1
         if kind in ("DATABASE", "SCHEMA"):
-            self._databases.add(tokens[sig[j + (2 if words[j] == "IF" else 0)]].text
-                                if words[j] == "IF" else tokens[sig[j]].text)
+            # name follows IF NOT EXISTS (3 tokens) when present
+            j2 = j + 3 if words[j] == "IF" else j
+            self._databases.add(tokens[sig[j2]].text.strip('"`'))
             return None
         if words[j] == "IF":  # IF NOT EXISTS
             j += 3

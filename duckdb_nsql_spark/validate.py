@@ -44,11 +44,16 @@ def validate_sql(session, sql: str) -> ValidationResult:
 
     if head in QUERY_HEADS:
         # sandbox: no external reads during validation (mirrors
-        # enable_external_access=False in the reference's validator)
+        # enable_external_access=False in the reference's validator).
+        # validate_only=True skips the exact-reservoir count() (no Spark
+        # jobs beyond file schema inference), and any temp views the
+        # rewrite registers for file table functions are dropped on exit.
         prev = session.settings.get("enable_external_access", "true")
         session.settings["enable_external_access"] = "false"
+        prev_log = session._created_views_log
+        session._created_views_log = []
         try:
-            text = session._rewrite_query(stripped)
+            text = session._rewrite_query(stripped, validate_only=True)
             df = session.spark.sql(text)
             df.schema  # forces analysis; no action, no job
             return ValidationResult(True)
@@ -58,6 +63,12 @@ def validate_sql(session, sql: str) -> ValidationResult:
             return ValidationResult(False, _classify(e), str(e).split("\n")[0][:500])
         finally:
             session.settings["enable_external_access"] = prev
+            for view in session._created_views_log:
+                try:
+                    session.spark.catalog.dropTempView(view)
+                except Exception:  # noqa: BLE001 — cleanup is best-effort
+                    pass
+            session._created_views_log = prev_log
 
     # non-query statements: structural check without applying side effects
     try:

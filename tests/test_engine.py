@@ -362,3 +362,13 @@ def test_having_on_alias(loaded_engine):
         "GROUP BY o_custkey HAVING balance > 0 LIMIT 5"
     )
     assert df.count() == 5
+
+
+def test_create_schema_if_not_exists(engine):
+    # ADVICE r1: name index landed on EXISTS instead of the schema name
+    engine.execute("CREATE SCHEMA IF NOT EXISTS s2")
+    dbs = [r["database_name"] for r in engine.execute("SHOW DATABASES").collect()]
+    assert "s2" in dbs and "EXISTS" not in dbs
+    engine.execute("CREATE SCHEMA plain_schema")
+    dbs = [r["database_name"] for r in engine.execute("SHOW DATABASES").collect()]
+    assert "plain_schema" in dbs

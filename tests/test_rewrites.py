@@ -294,3 +294,52 @@ def test_list_prepend_arg_swap():
 def test_list_unique_is_count():
     out = rewrite_sql("SELECT list_unique(a) FROM t")
     assert "size(array_distinct(a))" in out
+
+
+def test_lambda_arrow_not_json_mangled():
+    # lambda bodies that BEGIN with a literal must keep their arrow
+    # (ADVICE r1: these were rewritten to get_json_object — wrong results)
+    out = rewrite_sql("SELECT list_filter(l, x -> 5 < x) FROM t")
+    assert "get_json_object" not in out
+    assert "x -> 5 < x" in out.replace("  ", " ")
+    out = rewrite_sql("SELECT list_transform(l, x -> 'N/A') FROM t")
+    assert "get_json_object" not in out
+    out = rewrite_sql("SELECT aggregate(l, 0, (s, x) -> 1 + s) FROM t")
+    assert "get_json_object" not in out
+
+
+def test_json_arrow_still_rewrites():
+    out = rewrite_sql("SELECT j ->> 'k' FROM t")
+    assert "get_json_object(j, '$.k')" in out
+    out = rewrite_sql("SELECT j -> 2 FROM t")
+    assert "get_json_object(j, '$[2]')" in out
+    # json extract on a lambda *parameter* inside a HOF body still works:
+    # the inner arrow's left side is not in argument position
+    out = rewrite_sql("SELECT list_transform(l, x -> x ->> 'k') FROM t")
+    assert "get_json_object(x, '$.k')" in out
+
+
+def test_cast_as_integer_rounds():
+    # ADVICE r1: CAST(x AS INTEGER) must round like ::INTEGER does
+    out = rewrite_sql("SELECT CAST(speed AS INTEGER) FROM t")
+    assert "CAST(round(speed) AS INTEGER)" in out
+    out = rewrite_sql("SELECT cast(a + b AS BIGINT) FROM t")
+    assert "round" in out
+    # no double-wrap of the generated shape / of user round(x)
+    out = rewrite_sql("SELECT CAST(round(x) AS INT) FROM t")
+    assert out.count("round") == 1
+    # round(x, 2) can still be fractional -> must get wrapped
+    out = rewrite_sql("SELECT CAST(round(x, 2) AS INT) FROM t")
+    assert out.count("round") == 2
+    # non-int CAST untouched
+    out = rewrite_sql("SELECT CAST(x AS DOUBLE) FROM t")
+    assert "round" not in out
+
+
+def test_lambda_single_param_parens_stripped():
+    # DuckDB allows (x) -> body; Spark's parser requires bare x for one param
+    out = rewrite_sql("SELECT list_transform(l, (x) -> 'N/A') FROM t")
+    assert "(x) ->" not in out and "x -> 'N/A'" in out
+    # multi-param parens stay
+    out = rewrite_sql("SELECT aggregate(l, 0, (s, x) -> s + x) FROM t")
+    assert "(s, x) -> s + x" in out.replace("( ", "(").replace(" ,", ",")

@@ -45,3 +45,14 @@ def test_salted_join_equals_plain(spark, sf_dir):
     p = sorted((r["o_orderkey"], r["l_quantity"], r["o_custkey"])
                for r in plain.collect())
     assert s == p
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    import pytest
+    from duckdb_nsql_spark.operators import skew
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner.*left"):
+        skew.salted_join(df, df, "k", hot_keys=[1], how="right")
+    with pytest.raises(ValueError):
+        skew.salted_join(df, df, "k", hot_keys=[1], how="full")

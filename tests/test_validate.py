@@ -51,3 +51,26 @@ def test_dml_against_missing_table(loaded):
 
 def test_empty(loaded):
     assert not validate_sql(loaded, "   ").ok
+
+
+def test_validate_reservoir_sample_no_count(loaded, monkeypatch):
+    # ADVICE r1: validation must not run the exact-reservoir count() job
+    import pyspark.sql
+
+    def boom(self):
+        raise AssertionError("count() ran during validation")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "count", boom)
+    r = validate_sql(loaded, "SELECT * FROM orders USING SAMPLE 10% (reservoir)")
+    assert r.ok
+
+
+def test_validate_file_table_fn_drops_views(loaded, tmp_path):
+    # temp views registered while analyzing file table functions are dropped
+    p = tmp_path / "v.csv"
+    p.write_text("a,b\n1,2\n")
+    before = {t.name for t in loaded.spark.catalog.listTables()}
+    r = validate_sql(loaded, f"SELECT a FROM read_csv_auto('{p}')")
+    assert r.ok
+    after = {t.name for t in loaded.spark.catalog.listTables()}
+    assert after == before
