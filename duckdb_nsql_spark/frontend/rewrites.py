@@ -211,6 +211,97 @@ def pass_exclude_to_except(tokens: list[Token], resolver: Optional[Resolver] = N
     return out
 
 
+def pass_distinct_on(tokens: list[Token]) -> list[Token]:
+    """``SELECT DISTINCT ON (keys) sel FROM ... [ORDER BY o] [LIMIT n]``
+    -> row_number window keeping the first row per key group
+    (DuckDB/PostgreSQL semantics; Spark has no DISTINCT ON).
+
+    Rewrites to::
+
+        SELECT sel FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY keys ORDER BY o-or-keys) AS __don_rn
+          FROM ...) __don
+        WHERE __don_rn = 1 [ORDER BY o] [LIMIT n]
+
+    With no ORDER BY the kept row is arbitrary — same as DuckDB. The
+    window is a single shuffle on the keys; at scale this is the right
+    plan (no global sort, partial top-1 per partition via rank pushdown).
+    """
+    while True:
+        # depth before each token
+        depths: list[int] = []
+        d = 0
+        for t in tokens:
+            depths.append(d)
+            if t.kind == PUNCT and t.text in "([{":
+                d += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                d -= 1
+        occ = None
+        for i in range(len(tokens) - 1, -1, -1):  # innermost-last first
+            if tokens[i].is_kw("SELECT"):
+                a = next_sig(tokens, i)
+                b = next_sig(tokens, a) if a < len(tokens) else len(tokens)
+                p = next_sig(tokens, b) if b < len(tokens) else len(tokens)
+                if (
+                    a < len(tokens) and tokens[a].is_kw("DISTINCT")
+                    and b < len(tokens) and tokens[b].is_kw("ON")
+                    and p < len(tokens) and tokens[p].text == "("
+                ):
+                    occ = (i, p)
+                    break
+        if occ is None:
+            return tokens
+        s, p = occ
+        c = match_forward(tokens, p, "(", ")")
+        keys = render(tokens[p + 1 : c]).strip()
+        base = depths[s]
+        end = len(tokens)
+        from_i = order_i = limit_i = None
+        j = c + 1
+        while j < len(tokens):
+            t = tokens[j]
+            if depths[j] < base:
+                end = j
+                break
+            if depths[j] == base and t.kind == IDENT:
+                up = t.upper
+                if up == "FROM" and from_i is None:
+                    from_i = j
+                elif up == "ORDER" and order_i is None:
+                    order_i = j
+                elif up in ("LIMIT", "OFFSET") and limit_i is None:
+                    limit_i = j
+                elif up in ("UNION", "INTERSECT"):
+                    end = j
+                    break
+            j += 1
+        if from_i is None:
+            return tokens  # constant relation — DISTINCT ON is a no-op-ish
+        sel = render(tokens[c + 1 : from_i]).strip()
+        body_end = min(x for x in (order_i, limit_i, end) if x is not None)
+        body = render(tokens[from_i:body_end]).strip()
+        ord_txt = ""
+        if order_i is not None:
+            by = next_sig(tokens, order_i)  # BY
+            ord_end = limit_i if limit_i is not None else end
+            ord_txt = render(tokens[by + 1 : ord_end]).strip()
+        tail = render(tokens[limit_i:end]).strip() if limit_i is not None else ""
+        outer_sel = "* EXCEPT (__don_rn)" if sel == "*" else sel
+        window_ord = ord_txt or keys
+        rebuilt = (
+            f"SELECT {outer_sel} FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {keys} ORDER BY {window_ord}) AS __don_rn "
+            f"{body}) __don WHERE __don_rn = 1"
+        )
+        if ord_txt:
+            rebuilt += f" ORDER BY {ord_txt}"
+        if tail:
+            rebuilt += f" {tail}"
+        tokens = tokens[:s] + tokenize(rebuilt) + tokens[end:]
+
+
 _SETTING_RE = re.compile(r"current_setting", re.IGNORECASE)
 
 
@@ -980,6 +1071,7 @@ _INT_CAST_TYPES = {"INTEGER", "INT", "INT4", "BIGINT", "INT8", "SMALLINT",
                    "INT2", "TINYINT", "INT1", "HUGEINT"}
 
 _STRINGY_TYPES = {"VARCHAR", "TEXT", "BPCHAR", "JSON", "UUID"}
+_CAST_TYPE_MAP = {"BLOB": "BINARY", "BYTEA": "BINARY"}
 
 
 def pass_cast_type_names(tokens: list[Token]) -> list[Token]:
@@ -987,7 +1079,7 @@ def pass_cast_type_names(tokens: list[Token]) -> list[Token]:
     requires a length for VARCHAR; DuckDB's is unbounded)."""
     out = list(tokens)
     for i, t in enumerate(out):
-        if t.kind == IDENT and t.upper in _STRINGY_TYPES:
+        if t.kind == IDENT and (t.upper in _STRINGY_TYPES or t.upper in _CAST_TYPE_MAP):
             n = next_sig(out, i)
             if n < len(out) and out[n].kind == PUNCT and out[n].text == "(":
                 continue  # VARCHAR(10) is fine
@@ -996,7 +1088,7 @@ def pass_cast_type_names(tokens: list[Token]) -> list[Token]:
                 out[p].is_kw("AS")
                 or (out[p].kind == OP and out[p].text == "::")
             ):
-                out[i] = _ident("STRING")
+                out[i] = _ident(_CAST_TYPE_MAP.get(t.upper, "STRING"))
     return out
 
 
@@ -1120,6 +1212,14 @@ _SIMPLE_RENAMES = {
     "ENDS_WITH": "endswith",
     "PREFIX": "startswith",
     "SUFFIX": "endswith",
+    "PRINTF": "format_string",  # same %-style formatting
+    "CHR": "char",
+    "RANDOM": "rand",
+    # DuckDB array_agg/list aggregate -> collect_list (both orderless)
+    "ARRAY_AGG": "collect_list",
+    "LIST": "collect_list",
+    "TO_BASE64": "base64",
+    "FROM_BASE64": "unbase64",
 }
 
 # macros expanded into pure Spark expressions over the argument spans
@@ -1141,7 +1241,39 @@ _FN_MACROS = {
     ),
     # DuckDB list_prepend(elem, list) vs Spark array_prepend(list, elem)
     "LIST_PREPEND": "array_prepend({b}, {a})",
+    # exact interpolated quantile: DuckDB quantile_cont == Spark percentile
+    # (both take a scalar or an array of fractions)
+    "QUANTILE_CONT": "percentile({a}, {b})",
+    # discrete quantile: smallest value with cume_dist >= p in both engines
+    "QUANTILE_DISC": "percentile_disc({b}) WITHIN GROUP (ORDER BY {a})",
+    "QUANTILE": "percentile_disc({b}) WITHIN GROUP (ORDER BY {a})",
 }
+
+# DuckDB regexp_replace replaces the FIRST match unless the 'g' option is
+# given; Spark's regexp_replace always replaces all. First-match shape:
+# splice the replaced match between the unmatched prefix and suffix. The
+# inner regexp_replace runs on just the matched substring so backrefs
+# ($1 after conversion) still work.
+_REGEXP_REPLACE_FIRST = (
+    "CASE WHEN regexp_instr({a}, {b}) > 0 THEN concat("
+    "substring({a}, 1, regexp_instr({a}, {b}) - 1), "
+    "regexp_replace(regexp_extract({a}, {b}, 0), {b}, {c}), "
+    "substring({a}, regexp_instr({a}, {b}) + length(regexp_extract({a}, {b}, 0)))"
+    ") ELSE {a} END"
+)
+
+
+def _convert_regexp_replacement(tok: Token) -> Token:
+    """DuckDB backrefs ``\\1`` -> Java/Spark ``$1``; literal ``$`` escaped.
+
+    The token arrives backslash-DOUBLED (pass_escape_backslashes ran
+    first), so undo that, transform, and re-escape."""
+    raw = tok.text[1:-1]
+    orig = raw.replace("\\\\", "\\")
+    orig = orig.replace("$", "\\$")
+    orig = re.sub(r"\\(\d)", r"$\1", orig)
+    sql = orig.replace("\\", "\\\\")
+    return Token(STRING, "'" + sql + "'")
 
 _SUM_FOLD = "aggregate({a}, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE))"
 
@@ -1156,6 +1288,10 @@ _FN_MACROS_1 = {
     "LIST_AVG": f"({_SUM_FOLD} / size({{a}}))",
     # DuckDB list_unique = COUNT of distinct elements, not the list
     "LIST_UNIQUE": "size(array_distinct({a}))",
+    # epoch(ts) -> seconds as double (DuckDB keeps sub-second precision;
+    # 1e6 not 1000000.0 — Spark parses the latter as a DECIMAL literal)
+    "EPOCH": "(unix_micros({a}) / 1e6)",
+    "EPOCH_MS": "unix_millis({a})",
 }
 
 # date_part fields whose numbering differs between the dialects:
@@ -1348,6 +1484,61 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         i += len(new)
                         continue
                     out[i] = _ident("listagg")
+                elif up == "LOG":
+                    # DuckDB log(x) is base-10; Spark log(x) is ln.
+                    # 2-arg log(base, x) agrees in both engines.
+                    c = match_forward(out, n, "(", ")")
+                    if len(split_args(out, n + 1, c)) == 1:
+                        out[i] = _ident("log10")
+                elif up == "REGEXP_REPLACE":
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) not in (3, 4):
+                        i += 1
+                        continue
+                    flags = None
+                    if len(spans) == 4:
+                        fsig = _trim(out[spans[3][0] : spans[3][1]])
+                        if len(fsig) == 1 and fsig[0].kind == STRING:
+                            flags = _str_value(fsig[0])
+                        else:
+                            i += 1  # non-literal options: pass through
+                            continue
+                    # recurse into the args first: the expansion below is
+                    # final Spark text and is NOT re-scanned (the inner
+                    # regexp_replace must keep replace-all semantics)
+                    a_txt = render(
+                        pass_function_renames(
+                            _trim(out[spans[0][0] : spans[0][1]]), resolver
+                        )
+                    )
+                    b_span = _trim(out[spans[1][0] : spans[1][1]])
+                    b_txt = render(b_span)
+                    if flags and "i" in flags:
+                        if len(b_span) == 1 and b_span[0].kind == STRING:
+                            b_txt = "'(?i)" + b_span[0].text[1:-1] + "'"
+                        # non-literal pattern: can't fold the flag; the
+                        # global path below still applies it as-is
+                    c_span = _trim(out[spans[2][0] : spans[2][1]])
+                    if len(c_span) == 1 and c_span[0].kind == STRING:
+                        c_txt = _convert_regexp_replacement(c_span[0]).text
+                    else:
+                        c_txt = render(
+                            pass_function_renames(list(c_span), resolver)
+                        )
+                    if flags and "g" in flags:
+                        expanded = f"regexp_replace({a_txt}, {b_txt}, {c_txt})"
+                    else:
+                        expanded = (
+                            _REGEXP_REPLACE_FIRST
+                            .replace("{a}", a_txt)
+                            .replace("{b}", b_txt)
+                            .replace("{c}", c_txt)
+                        )
+                    new_toks = tokenize(expanded)
+                    out = out[:i] + new_toks + out[c + 1 :]
+                    i += len(new_toks)
+                    continue
                 elif up in _FN_MACROS_1:
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
@@ -1383,6 +1574,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_escape_backslashes(tokens)
     tokens = pass_strip_semicolon(tokens)
     tokens = pass_quoted_idents(tokens)
+    tokens = pass_distinct_on(tokens)
     tokens = pass_exclude_to_except(tokens, resolver)
     tokens = pass_current_setting(tokens, resolver)
     tokens = pass_struct_literals(tokens)

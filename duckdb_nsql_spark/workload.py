@@ -635,6 +635,84 @@ _sql(
     """,
 )
 
+# --- DISTINCT ON -> row_number window (pass_distinct_on, round 2) ---------
+_sql(
+    "q50_distinct_on",
+    """
+    SELECT DISTINCT ON (o_custkey % 10)
+           CAST(o_custkey % 10 AS BIGINT) AS bucket, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_custkey % 10, o_totalprice DESC, o_orderkey
+    """,
+)
+
+# --- regexp_replace: DuckDB replaces FIRST match by default; 'g'/'i' flags
+# and \N backrefs (-> Spark $N) ---------------------------------------------
+_sql(
+    "q51_regexp_replace_first",
+    r"""
+    SELECT doc_id,
+           regexp_replace(text, 'the', '#') AS first_rep,
+           regexp_replace(text, 'the', '#', 'g') AS all_rep,
+           regexp_replace(lang, '^(\w)(\w*)$', '\2\1') AS swapped,
+           regexp_replace(source, 'WEB', '<w>', 'i') AS ci_rep
+    FROM documents WHERE doc_id <= 200 ORDER BY doc_id
+    """,
+)
+
+# --- exact quantiles: quantile_cont -> percentile, quantile_disc ->
+# percentile_disc WITHIN GROUP, median (exact, interpolated in both) -------
+_sql(
+    "q52_quantiles_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           quantile_disc(l_extendedprice, 0.25) AS q25d,
+           round(median(l_extendedprice), 4) AS med,
+           round(quantile_cont(l_quantity, 0.9), 4) AS q90
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+# --- scalar math/string batch: log is base-10 in DuckDB (ln in Spark),
+# chr/printf/epoch ----------------------------------------------------------
+_sql(
+    "q53_math_string_batch",
+    """
+    SELECT o_orderkey,
+           round(log(o_totalprice), 6) AS lg10,
+           round(log(2, o_totalprice), 6) AS lg2,
+           chr(65 + CAST(o_orderkey % 26 AS INT)) AS letter,
+           printf('%s/%04d', o_orderpriority, CAST(o_orderkey % 1000 AS INT)) AS tag,
+           epoch(CAST(o_orderdate AS TIMESTAMP)) AS ep
+    FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+    """,
+)
+
+# --- bit/bool aggregates + mode (all native Spark names) ------------------
+_sql(
+    "q54_bit_bool_aggs",
+    """
+    SELECT bit_and(o_orderkey) AS ba, bit_or(o_orderkey) AS bo,
+           bit_xor(o_orderkey) AS bx,
+           bool_and(o_totalprice > 0) AS all_pos,
+           bool_or(o_totalprice > 400000) AS any_big,
+           mode(o_orderstatus) AS status_mode
+    FROM orders
+    """,
+)
+
+# --- array_agg / list -> collect_list (order pinned via list_sort) --------
+_sql(
+    "q55_array_agg",
+    """
+    SELECT n_regionkey,
+           list_sort(array_agg(n_name)) AS names,
+           list_sort(list(n_nationkey)) AS keys
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles

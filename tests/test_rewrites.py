@@ -343,3 +343,52 @@ def test_lambda_single_param_parens_stripped():
     # multi-param parens stay
     out = rewrite_sql("SELECT aggregate(l, 0, (s, x) -> s + x) FROM t")
     assert "(s, x) -> s + x" in out.replace("( ", "(").replace(" ,", ",")
+
+
+def test_distinct_on_rewrite():
+    out = rewrite_sql(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC"
+    )
+    assert "DISTINCT ON" not in out.upper()
+    assert "row_number() OVER (PARTITION BY k ORDER BY k, v DESC)" in out
+    assert "__don_rn = 1" in out
+    assert out.rstrip().endswith("ORDER BY k, v DESC")
+    # star select excludes the helper column
+    out = rewrite_sql("SELECT DISTINCT ON (k) * FROM t")
+    assert "* EXCEPT (__don_rn)" in out
+    # LIMIT survives after the filter
+    out = rewrite_sql("SELECT DISTINCT ON (k) k FROM t ORDER BY k LIMIT 5")
+    assert out.rstrip().endswith("LIMIT 5")
+    # plain DISTINCT untouched
+    out = rewrite_sql("SELECT DISTINCT k FROM t")
+    assert "row_number" not in out
+
+
+def test_regexp_replace_first_match():
+    out = rewrite_sql("SELECT regexp_replace(s, 'a', 'b') FROM t")
+    assert "regexp_instr" in out and "CASE WHEN" in out
+    # 'g' flag -> plain Spark regexp_replace (replace-all), flag dropped
+    out = rewrite_sql("SELECT regexp_replace(s, 'a', 'b', 'g') FROM t")
+    assert out == "SELECT regexp_replace(s, 'a', 'b') FROM t"
+    # backrefs \N -> $N
+    out = rewrite_sql(r"SELECT regexp_replace(s, '(\w+)', '\1!', 'g') FROM t")
+    assert "'$1!'" in out
+    # 'i' folds into the pattern
+    out = rewrite_sql("SELECT regexp_replace(s, 'x', 'y', 'gi') FROM t")
+    assert "(?i)x" in out
+
+
+def test_round2_function_renames():
+    out = rewrite_sql("SELECT log(x), log(2, x) FROM t")
+    assert "log10(x)" in out and "log(2, x)" in out
+    out = rewrite_sql("SELECT chr(65), printf('%d', x), random() FROM t")
+    assert "char(65)" in out and "format_string" in out and "rand()" in out
+    out = rewrite_sql("SELECT quantile_cont(x, 0.5), quantile_disc(x, 0.5) FROM t")
+    assert "percentile(x, 0.5)" in out
+    assert "percentile_disc(0.5) WITHIN GROUP (ORDER BY x)" in out
+    out = rewrite_sql("SELECT array_agg(x), list(x) FROM t")
+    assert out.count("collect_list") == 2
+    out = rewrite_sql("SELECT epoch(ts), epoch_ms(ts) FROM t")
+    assert "unix_micros(ts) / 1e6" in out and "unix_millis(ts)" in out
+    out = rewrite_sql("SELECT to_base64(b), x::BLOB FROM t")
+    assert "base64(b)" in out and "::BINARY" in out
