@@ -1194,10 +1194,6 @@ _SIMPLE_RENAMES = {
     # single unnest per select (DuckDB zips parallel unnests; Spark allows
     # one generator per select — multiple unnests err loudly, never wrong)
     "UNNEST": "explode",
-    # select-position generate_series returns the inclusive list, exactly
-    # Spark's sequence(); FROM-position is expanded to an exploded derived
-    # table in session._expand_table_functions before this pass runs
-    "GENERATE_SERIES": "sequence",
     "ARG_MAX": "max_by",
     "ARG_MIN": "min_by",
     "ARGMAX": "max_by",
@@ -1248,6 +1244,84 @@ _FN_MACROS = {
     "QUANTILE_DISC": "percentile_disc({b}) WITHIN GROUP (ORDER BY {a})",
     "QUANTILE": "percentile_disc({b}) WITHIN GROUP (ORDER BY {a})",
 }
+
+def _series_sequence_sql(args: list[str], inclusive: bool) -> str:
+    """Guarded Spark ``sequence()`` for DuckDB range/generate_series.
+
+    DuckDB: range end is EXCLUSIVE, generate_series INCLUSIVE; both return
+    an EMPTY list when the bounds face away from the step. Spark sequence
+    is inclusive and *infers a negative step* for start > stop — so both
+    the end bound and the emptiness need explicit handling."""
+    if len(args) == 1:
+        a, b, c = "0", args[0], "1"
+    elif len(args) == 2:
+        a, b, c = args[0], args[1], "1"
+    else:
+        a, b, c = args[0], args[1], args[2]
+    end = f"({b})" if inclusive else f"(({b}) - CAST(sign({c}) AS INT))"
+    return (
+        f"CASE WHEN (({c}) > 0 AND ({a}) <= {end}) OR "
+        f"(({c}) < 0 AND ({a}) >= {end}) "
+        f"THEN sequence({a}, {end}, {c}) "
+        f"ELSE slice(sequence(({a}), ({a})), 1, 0) END"
+    )
+
+
+_TIME_BUCKET_ORIGIN = 946857600  # 2000-01-03 00:00:00 UTC (DuckDB default)
+
+_INTERVAL_UNIT_SECONDS = {
+    "SECOND": 1, "SECONDS": 1, "SEC": 1, "SECS": 1,
+    "MINUTE": 60, "MINUTES": 60, "MIN": 60, "MINS": 60,
+    "HOUR": 3600, "HOURS": 3600,
+    "DAY": 86400, "DAYS": 86400,
+    "WEEK": 604800, "WEEKS": 604800,
+}
+_INTERVAL_UNIT_MONTHS = {
+    "MONTH": 1, "MONTHS": 1, "MON": 1,
+    "YEAR": 12, "YEARS": 12,
+}
+
+
+def _parse_interval_literal(span: list[Token]) -> Optional[tuple[int, int]]:
+    """``INTERVAL '15 minutes'`` / ``INTERVAL 15 MINUTE`` -> (months, secs);
+    None when the span is not a recognizable fixed interval literal."""
+    sig = [t for t in span if t.kind not in (WS, COMMENT)]
+    if not sig or not sig[0].is_kw("INTERVAL"):
+        return None
+    if len(sig) == 2 and sig[1].kind == STRING:
+        m = re.fullmatch(r"\s*(\d+)\s+([A-Za-z]+)\s*", _str_value(sig[1]))
+        if not m:
+            return None
+        qty, unit = int(m.group(1)), m.group(2).upper()
+    elif len(sig) == 3 and sig[1].kind == NUMBER and sig[2].kind == IDENT:
+        qty, unit = int(sig[1].text), sig[2].upper
+    else:
+        return None
+    if unit in _INTERVAL_UNIT_SECONDS:
+        return (0, qty * _INTERVAL_UNIT_SECONDS[unit])
+    if unit in _INTERVAL_UNIT_MONTHS:
+        return (qty * _INTERVAL_UNIT_MONTHS[unit], 0)
+    return None
+
+
+def _time_bucket_sql(months: int, secs: int, ts: str) -> str:
+    """DuckDB ``time_bucket(INTERVAL, ts)``: floor ts to the bucket
+    anchored at 2000-01-03 (Monday — so '7 days' buckets are ISO weeks).
+    Fixed-width intervals bucket on epoch seconds; month multiples on
+    months_between."""
+    if secs:
+        o, s = _TIME_BUCKET_ORIGIN, secs
+        return (
+            f"timestamp_seconds(CAST(floor((unix_seconds({ts}) - {o}) / {s}) "
+            f"AS BIGINT) * {s} + {o})"
+        )
+    n = months
+    return (
+        f"CAST(add_months(to_date('2000-01-01'), CAST(floor("
+        f"months_between(date_trunc('month', {ts}), to_date('2000-01-01')) "
+        f"/ {n}) * {n} AS INT)) AS TIMESTAMP)"
+    )
+
 
 # DuckDB regexp_replace replaces the FIRST match unless the 'g' option is
 # given; Spark's regexp_replace always replaces all. First-match shape:
@@ -1308,7 +1382,10 @@ _DATE_PART_MACROS = {
 _ARRAY_FUNCS = frozenset(
     "ARRAY SLICE SPLIT SEQUENCE COLLECT_LIST ARRAY_AGG STRING_SPLIT STR_SPLIT "
     "LIST_VALUE ARRAY_DISTINCT ARRAY_SORT SORT_ARRAY TRANSFORM FLATTEN "
-    "REGEXP_EXTRACT_ALL MAP_KEYS MAP_VALUES".split()
+    "REGEXP_EXTRACT_ALL MAP_KEYS MAP_VALUES "
+    "RANGE GENERATE_SERIES LIST_TRANSFORM LIST_FILTER LIST_SORT "
+    "LIST_DISTINCT LIST_CONCAT LIST_APPEND LIST_PREPEND LIST_REVERSE "
+    "FILTER REVERSE_ARRAY ARRAY_APPEND ARRAY_PREPEND".split()
 )
 
 
@@ -1484,6 +1561,48 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         i += len(new)
                         continue
                     out[i] = _ident("listagg")
+                elif up in ("GENERATE_SERIES", "RANGE"):
+                    # select-position list forms; FROM-position occurrences
+                    # were already expanded by session._expand_table_functions.
+                    # range is end-EXCLUSIVE, generate_series INCLUSIVE, and
+                    # both are empty when bounds face away from the step.
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if 1 <= len(spans) <= 3:
+                        args = [
+                            render(
+                                pass_function_renames(
+                                    _trim(out[lo:hi]), resolver
+                                )
+                            )
+                            for lo, hi in spans
+                        ]
+                        expanded = _series_sequence_sql(
+                            args, inclusive=(up == "GENERATE_SERIES")
+                        )
+                        new_toks = tokenize(expanded)
+                        out = out[:i] + new_toks + out[c + 1 :]
+                        i += len(new_toks)
+                        continue
+                elif up == "TIME_BUCKET":
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        iv = _parse_interval_literal(
+                            _trim(out[spans[0][0] : spans[0][1]])
+                        )
+                        if iv is not None:
+                            ts_txt = render(
+                                pass_function_renames(
+                                    _trim(out[spans[1][0] : spans[1][1]]),
+                                    resolver,
+                                )
+                            )
+                            expanded = _time_bucket_sql(iv[0], iv[1], ts_txt)
+                            new_toks = tokenize(expanded)
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
                 elif up == "LOG":
                     # DuckDB log(x) is base-10; Spark log(x) is ln.
                     # 2-arg log(base, x) agrees in both engines.

@@ -158,17 +158,53 @@ def write_copy_to(
         else:
             writer.json(path)
         return -1
-    pdf = df.toPandas()
-    if f == "parquet":
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+    # single-file target: distributed write of ONE part (executors do the
+    # encode; the driver only renames) — never materializes the result in
+    # driver memory the way a toPandas() funnel would at scale
+    import shutil
+    import tempfile
 
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
-    elif f == "csv":
-        pdf.to_csv(path, index=False, sep=delimiter or ",", header=header)
-    else:
-        pdf.to_json(path, orient="records", lines=True, date_format="iso")
-    return len(pdf)
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    tmp = tempfile.mkdtemp(dir=parent, prefix=".copy_tmp_")
+    try:
+        writer = df.coalesce(1).write.mode("overwrite")
+        if f == "parquet":
+            writer.parquet(tmp)
+        elif f == "csv":
+            writer.option("header", str(header).lower()).option(
+                "sep", delimiter or ","
+            ).csv(tmp)
+        else:
+            writer.json(tmp)
+        parts = sorted(globmod.glob(os.path.join(tmp, "part-*")))
+        if not parts:  # zero-partition frame: emit an empty file
+            open_mode = "w"
+            with open(os.path.join(tmp, "part-00000"), open_mode):
+                pass
+            parts = [os.path.join(tmp, "part-00000")]
+        os.replace(parts[0], path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _count_rows_in_file(path, f, header)
+
+
+def _count_rows_in_file(path: str, fmt: str, header: bool) -> int:
+    """Row count of a just-written single file (DuckDB COPY reports it).
+    Parquet: footer metadata (no data read). Text: buffered line count."""
+    if fmt == "parquet":
+        try:
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(path).metadata.num_rows
+        except Exception:  # noqa: BLE001
+            return -1
+    n = 0
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            n += chunk.count(b"\n")
+    if fmt == "csv" and header and n > 0:
+        n -= 1
+    return n
 
 
 def attach_duckdb_file(spark: SparkSession, path: str) -> dict[str, DataFrame]:

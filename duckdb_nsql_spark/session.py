@@ -293,7 +293,74 @@ class DuckSparkSession:
     # ---------------------------------------------------------------- query
 
     def _query(self, sql: str) -> DataFrame:
+        ubn = self._union_by_name(sql)
+        if ubn is not None:
+            return ubn
         return self.spark.sql(self._rewrite_query(sql))
+
+    def _union_by_name(self, sql: str) -> Optional[DataFrame]:
+        """DuckDB ``A UNION [ALL] BY NAME B``: match columns by name, NULL-
+        filling ones missing from either side (result = left's columns then
+        right's extras). Spark SQL has no BY NAME — run the sides and
+        combine with DataFrame.unionByName. Splits at the LAST top-level
+        occurrence so chained unions stay left-associative via recursion;
+        a trailing ORDER BY/LIMIT applies to the whole union (DuckDB
+        scoping) and is re-run through the dialect pipeline on a temp view.
+        """
+        tokens = tokenize(sql)
+        depth = 0
+        occ = None
+        for i, t in enumerate(tokens):
+            if t.kind == PUNCT and t.text in "([{":
+                depth += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                depth -= 1
+            elif depth == 0 and t.kind == IDENT and t.upper == "UNION":
+                j = next_sig(tokens, i)
+                is_all = False
+                k = j
+                if j < len(tokens) and tokens[j].is_kw("ALL"):
+                    is_all = True
+                    k = next_sig(tokens, j)
+                m = next_sig(tokens, k) if k < len(tokens) else len(tokens)
+                if (
+                    k < len(tokens) and tokens[k].is_kw("BY")
+                    and m < len(tokens) and tokens[m].is_kw("NAME")
+                ):
+                    occ = (i, m, is_all)
+        if occ is None:
+            return None
+        i, m, is_all = occ
+        left_sql = render(tokens[:i]).strip()
+        right_tokens = tokens[m + 1 :]
+        depth = 0
+        tail_start = None
+        for j, t in enumerate(right_tokens):
+            if t.kind == PUNCT and t.text in "([{":
+                depth += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                depth -= 1
+            elif (
+                depth == 0
+                and t.kind == IDENT
+                and t.upper in ("ORDER", "LIMIT", "OFFSET")
+            ):
+                tail_start = j
+                break
+        tail = ""
+        if tail_start is not None:
+            tail = render(right_tokens[tail_start:]).strip()
+            right_tokens = right_tokens[:tail_start]
+        right_sql = render(right_tokens).strip()
+        out = self._query(left_sql).unionByName(
+            self._query(right_sql), allowMissingColumns=True
+        )
+        if not is_all:
+            out = out.dropDuplicates()
+        if tail:
+            view = self._fresh_view(out)
+            out = self._query(f"SELECT * FROM {view} {tail}")
+        return out
 
     def _rewrite_query(self, sql: str, validate_only: bool = False) -> str:
         tokens = tokenize(sql)
@@ -324,11 +391,12 @@ class DuckSparkSession:
         i = 0
         while i < len(tokens):
             t = tokens[i]
-            if t.kind == IDENT and t.upper == "GENERATE_SERIES":
-                # FROM generate_series(a, b[, step]) -> derived table of
-                # exploded sequence (both inclusive of the end bound).
-                # Select-position occurrences are left for the rename pass
-                # (-> sequence, DuckDB's list-returning form).
+            if t.kind == IDENT and t.upper in ("GENERATE_SERIES", "RANGE"):
+                # FROM generate_series(a, b[, step]) / FROM range(...) ->
+                # derived table of exploded guarded sequence (range is
+                # end-exclusive; both empty when bounds face away from the
+                # step — see rewrites._series_sequence_sql). Select-position
+                # occurrences are handled by the rename pass instead.
                 p = prev_sig(tokens, i)
                 o = next_sig(tokens, i)
                 if (
@@ -339,9 +407,16 @@ class DuckSparkSession:
                     and tokens[o].text == "("
                 ):
                     c = match_forward(tokens, o, "(", ")")
-                    args = render(tokens[o + 1 : c])
+                    spans = split_args(tokens, o + 1, c)
+                    args = [
+                        render(tokens[lo:hi]).strip() for lo, hi in spans
+                    ]
+                    colname = t.text.lower()
+                    seq = rewrites._series_sequence_sql(
+                        args, inclusive=(t.upper == "GENERATE_SERIES")
+                    )
                     repl = tokenize(
-                        f"(SELECT explode(sequence({args})) AS generate_series)"
+                        f"(SELECT explode({seq}) AS {colname})"
                     )
                     tokens = tokens[:i] + repl + tokens[c + 1 :]
                     i += len(repl)

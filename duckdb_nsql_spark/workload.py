@@ -713,6 +713,45 @@ _sql(
     """,
 )
 
+# --- range (end-exclusive) / generate_series: FROM-position table fn and
+# select-position list forms, incl. descending step and empty bounds ------
+_sql(
+    "q56_range_series",
+    """
+    SELECT CAST(r.range AS BIGINT) AS k, count(*) AS n,
+           len(range(5, 1)) AS empty_n,
+           list_sum(generate_series(5, 1, -2)) AS desc_sum
+    FROM range(0, 50) r JOIN orders o ON o.o_orderkey % 50 = r.range
+    GROUP BY 1 ORDER BY k
+    """,
+)
+
+# --- time_bucket: epoch-aligned fixed buckets anchored at 2000-01-03
+# (ISO-week alignment for '7 days'), month multiples on month arithmetic --
+_sql(
+    "q57_time_bucket",
+    """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS d,
+           min(time_bucket(INTERVAL '15 minutes', ts)) AS q15,
+           min(time_bucket(INTERVAL '7 days', ts)) AS wk,
+           min(time_bucket(INTERVAL '1 month', ts)) AS mo,
+           count(*) AS n
+    FROM events GROUP BY ALL ORDER BY d
+    """,
+)
+
+# --- UNION ALL BY NAME: match by column name, NULL-fill missing ----------
+_sql(
+    "q58_union_by_name",
+    """
+    SELECT n_regionkey AS k, count(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    UNION ALL BY NAME
+    SELECT r_regionkey AS k, r_name FROM region
+    ORDER BY k, n_nations NULLS FIRST, r_name
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles

@@ -372,3 +372,22 @@ def test_create_schema_if_not_exists(engine):
     engine.execute("CREATE SCHEMA plain_schema")
     dbs = [r["database_name"] for r in engine.execute("SHOW DATABASES").collect()]
     assert "plain_schema" in dbs
+
+
+def test_union_by_name(loaded_engine):
+    df = loaded_engine.execute(
+        "SELECT n_regionkey AS k, count(*) AS n FROM nation GROUP BY n_regionkey "
+        "UNION ALL BY NAME "
+        "SELECT r_regionkey AS k, r_name FROM region ORDER BY k, n NULLS FIRST"
+    )
+    assert df.columns == ["k", "n", "r_name"]
+    rows = df.collect()
+    assert len(rows) == 10
+    # region rows NULL-fill n; nation rows NULL-fill r_name
+    assert sum(1 for r in rows if r["n"] is None) == 5
+    assert sum(1 for r in rows if r["r_name"] is None) == 5
+    # non-ALL variant dedups
+    df2 = loaded_engine.execute(
+        "SELECT 1 AS a UNION BY NAME SELECT 1 AS a UNION BY NAME SELECT 2 AS a"
+    )
+    assert sorted(r["a"] for r in df2.collect()) == [1, 2]

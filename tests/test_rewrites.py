@@ -392,3 +392,23 @@ def test_round2_function_renames():
     assert "unix_micros(ts) / 1e6" in out and "unix_millis(ts)" in out
     out = rewrite_sql("SELECT to_base64(b), x::BLOB FROM t")
     assert "base64(b)" in out and "::BINARY" in out
+
+
+def test_range_series_rewrites():
+    # range is end-exclusive; Spark sequence is inclusive AND infers a
+    # negative step for start > stop, so both need guards
+    out = rewrite_sql("SELECT range(1, 5) FROM t")
+    assert "sequence" in out and "CASE WHEN" in out
+    out = rewrite_sql("SELECT generate_series(3) FROM t")
+    assert "sequence(0, (3)" in out.replace("  ", " ")
+    out = rewrite_sql("SELECT range(5, 1, -2) FROM t")
+    assert "-2" in out and "CASE WHEN" in out
+
+
+def test_time_bucket_rewrite():
+    out = rewrite_sql("SELECT time_bucket(INTERVAL '15 minutes', ts) FROM t")
+    assert "unix_seconds" in out and "946857600" in out and "900" in out
+    out = rewrite_sql("SELECT time_bucket(INTERVAL '1 month', ts) FROM t")
+    assert "add_months" in out and "months_between" in out
+    out = rewrite_sql("SELECT time_bucket(INTERVAL 2 HOUR, ts) FROM t")
+    assert "7200" in out
