@@ -78,14 +78,135 @@ def version_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(ENGINE_VERSION, ENGINE_SOURCE_ID)], schema)
 
 
-def summarize_df(spark: SparkSession, df: DataFrame) -> DataFrame:
+_SUMMARIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("column_type", T.StringType(), False),
+        T.StructField("min", T.StringType(), True),
+        T.StructField("max", T.StringType(), True),
+        T.StructField("approx_unique", T.LongType(), True),
+        T.StructField("avg", T.DoubleType(), True),
+        T.StructField("std", T.DoubleType(), True),
+        T.StructField("q25", T.DoubleType(), True),
+        T.StructField("q50", T.DoubleType(), True),
+        T.StructField("q75", T.DoubleType(), True),
+        T.StructField("count", T.LongType(), False),
+        T.StructField("null_percentage", T.DoubleType(), False),
+    ]
+)
+
+# above this compressed file size the driver-side vectorized path would
+# hold too much in one process; fall back to the distributed one-pass agg
+_SUMMARIZE_LOCAL_MAX_BYTES = 256 << 20
+
+
+def _fmt_stat(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):  # match Spark's CAST(bool AS STRING)
+        return "true" if v else "false"
+    return str(v)
+
+
+def _summarize_parquet_local(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame | None:
+    """SUMMARIZE fast path for a small single-file parquet base table.
+
+    The driver's testdata files are written as ONE row group, so a Spark
+    scan of them is a single task no matter the config and the one-pass
+    aggregation runs serially, paying full JVM task/codegen latency per
+    statement. DuckDB answers SUMMARIZE with multi-threaded vectorized
+    kernels over the local file — for inputs that fit one machine we do
+    the literal equivalent: read each column with pyarrow and compute the
+    stats with pyarrow.compute's C++ kernels (count_distinct, min_max,
+    mean, stddev(ddof=1), quantile), taking row/null counts and numeric
+    min/max straight from the parquet footer. Gated to files < 256MB
+    compressed; anything larger uses the distributed one-pass aggregation
+    in summarize_df, which is the scale-correct plan.
+    """
+    import os
+
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if os.path.getsize(path) > _SUMMARIZE_LOCAL_MAX_BYTES:
+            return None
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        n = md.num_rows
+        # top-level arrow field names (nested columns appear as their root)
+        arrow_names = set(pf.schema_arrow.names)
+        if set(f.name for f in df.schema.fields) - arrow_names:
+            return None
+        if n == 0:
+            return None  # degenerate; the one-pass shape handles it
+
+        tbl = pq.read_table(path)
+        out_rows = []
+        for f in df.schema.fields:
+            is_num = isinstance(f.dataType, _NUMERIC)
+            is_complex = isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+            )
+            col = tbl.column(f.name)
+            nulls = col.null_count
+            cnt = n - nulls
+            mn = mx = None
+            uniq = None
+            avg = std = q25 = q50 = q75 = None
+            if not is_complex:
+                uniq = pc.count_distinct(col).as_py()
+                if pa.types.is_boolean(col.type):
+                    mm = {"min": pc.min(col).as_py(), "max": pc.max(col).as_py()}
+                else:
+                    mm = pc.min_max(col)
+                    mm = {"min": mm["min"].as_py(), "max": mm["max"].as_py()}
+                mn, mx = _fmt_stat(mm["min"]), _fmt_stat(mm["max"])
+            if is_num and cnt:
+                dcol = pc.cast(col, pa.float64())
+                avg = pc.mean(dcol).as_py()
+                std = pc.stddev(dcol, ddof=1).as_py() if cnt > 1 else None
+                qs = pc.quantile(dcol, q=[0.25, 0.5, 0.75]).to_pylist()
+                q25, q50, q75 = (float(v) if v is not None else None for v in qs)
+            out_rows.append(
+                (
+                    f.name,
+                    spark_type_to_duckdb(f.dataType),
+                    mn,
+                    mx,
+                    uniq,
+                    float(avg) if avg is not None else None,
+                    float(std) if std is not None else None,
+                    q25,
+                    q50,
+                    q75,
+                    n,
+                    round(100.0 * nulls / n, 2) if n else 0.0,
+                )
+            )
+    except Exception:  # noqa: BLE001 — any arrow surprise -> one-pass plan
+        return None
+    return spark.createDataFrame(out_rows, _SUMMARIZE_SCHEMA)
+
+
+def summarize_df(
+    spark: SparkSession, df: DataFrame, file_hint: str | None = None
+) -> DataFrame:
     """DuckDB ``SUMMARIZE`` (dev.json:188,548): one row per column with
     min/max/approx_unique/avg/std/q25/q50/q75/count/null_percentage.
 
     Single aggregation job over the input (one pass, map-side partials —
     scales to arbitrarily wide/deep tables); the 1×C result is reshaped
-    driver-side into the C-row DuckDB layout.
+    driver-side into the C-row DuckDB layout. Small single-file parquet
+    base tables take the column-parallel fast path instead (`file_hint`).
     """
+    if file_hint is not None:
+        fast = _summarize_parquet_local(spark, df, file_hint)
+        if fast is not None:
+            return fast
     fields = df.schema.fields
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for i, f in enumerate(fields):
@@ -144,20 +265,4 @@ def summarize_df(spark: SparkSession, df: DataFrame) -> DataFrame:
                 null_pct,
             )
         )
-    schema = T.StructType(
-        [
-            T.StructField("column_name", T.StringType(), False),
-            T.StructField("column_type", T.StringType(), False),
-            T.StructField("min", T.StringType(), True),
-            T.StructField("max", T.StringType(), True),
-            T.StructField("approx_unique", T.LongType(), True),
-            T.StructField("avg", T.DoubleType(), True),
-            T.StructField("std", T.DoubleType(), True),
-            T.StructField("q25", T.DoubleType(), True),
-            T.StructField("q50", T.DoubleType(), True),
-            T.StructField("q75", T.DoubleType(), True),
-            T.StructField("count", T.LongType(), False),
-            T.StructField("null_percentage", T.DoubleType(), False),
-        ]
-    )
-    return spark.createDataFrame(out_rows, schema)
+    return spark.createDataFrame(out_rows, _SUMMARIZE_SCHEMA)

@@ -84,7 +84,12 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16MB",
-    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # 8MB keeps every dimension table on the build side while the fact
+    # tables (lineitem is 10.8MB at sf0.1, and only grows with SF) stay on
+    # the stream side. The previous 64MB made Catalyst broadcast the
+    # *largest* table of a star join — fatal at cluster scale. AQE can
+    # still upgrade a shuffle join whose runtime size comes in under this.
+    "spark.sql.autoBroadcastJoinThreshold": "8MB",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
@@ -118,7 +123,8 @@ def build_spark(
         # right shape at scale (64MB advisory targets)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16MB")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # see RUNTIME_CONFS: dims broadcast, facts never do
+        .config("spark.sql.autoBroadcastJoinThreshold", "8MB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
@@ -169,6 +175,9 @@ class DuckSparkSession:
         self._sid = next(_SESSION_COUNTER)
         self.settings: dict[str, str] = dict(DEFAULT_SETTINGS)
         self._tables: dict[str, DataFrame] = {}
+        # base tables registered straight from a single parquet file keep
+        # their path here — enables footer-stats fast paths (SUMMARIZE)
+        self._table_files: dict[str, str] = {}
         self._fixed_arrays: dict[str, dict[str, int]] = {}
         self._databases: set[str] = {"memory", "main", "information_schema"}
         self._current_db = "memory"
@@ -209,6 +218,7 @@ class DuckSparkSession:
     def register(self, name: str, df: DataFrame) -> None:
         """Register a DataFrame as a table (also as a Spark temp view)."""
         self._tables[name] = df
+        self._table_files.pop(name, None)
         df.createOrReplaceTempView(self._view_name(name))
         self._kind_cache = None
         self._infoschema_dirty = True
@@ -220,6 +230,7 @@ class DuckSparkSession:
         for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
             name = os.path.splitext(os.path.basename(f))[0]
             self.register(name, io_utils.read_parquet_table(self.spark, f))
+            self._table_files[name] = f
 
     def close(self) -> None:
         pass  # session lifetime is owned by the caller
@@ -882,6 +893,7 @@ class DuckSparkSession:
                 return None
             raise KeyError(f"Catalog Error: Table with name {name} does not exist!")
         del self._tables[key]
+        self._table_files.pop(key, None)
         self.spark.catalog.dropTempView(self._view_name(key))
         self._kind_cache = None
         self._infoschema_dirty = True
@@ -1066,6 +1078,7 @@ class DuckSparkSession:
         if m:
             key = self._resolve_table_key(m.group(1).strip('"`'))
             df = self._tables.pop(key)
+            self._table_files.pop(key, None)
             self.spark.catalog.dropTempView(self._view_name(key))
             self._register_managed(m.group(2).strip('"`'), df)
             return None
@@ -1187,6 +1200,7 @@ class DuckSparkSession:
             self._databases.discard(db)
             for k in [k for k in self._tables if k.startswith(db + ".")]:
                 del self._tables[k]
+                self._table_files.pop(k, None)
             self._kind_cache = None
             self._infoschema_dirty = True
         return None
@@ -1342,11 +1356,14 @@ class DuckSparkSession:
 
     def _summarize(self, sql: str) -> DataFrame:
         body = re.sub(r"^\s*SUMMARIZE\s+", "", sql, flags=re.IGNORECASE).strip().rstrip(";")
+        file_hint = None
         if re.match(r"^[\w.\"`]+$", body):
             df = self.table(body)
+            key = self._resolve_table_key(body)
+            file_hint = self._table_files.get(key) if key else None
         else:
             df = self._query(body)
-        return introspect.summarize_df(self.spark, df)
+        return introspect.summarize_df(self.spark, df, file_hint=file_hint)
 
     def _describe(self, sql: str) -> DataFrame:
         body = re.sub(r"^\s*DESC(RIBE)?\s+(TABLE\s+)?", "", sql, flags=re.IGNORECASE).strip().rstrip(";")
