@@ -188,6 +188,11 @@ class DuckSparkSession:
         # when validate_sql is active this is a list collecting temp views
         # registered during analysis so they can be dropped afterwards
         self._created_views_log: Optional[list] = None
+        # CTE-materialization state: name -> temp view routing for the
+        # statement being planned, plus persisted DataFrames to release
+        # when the next statement starts
+        self._cte_overrides: dict[str, str] = {}
+        self._cte_persisted: list[DataFrame] = []
 
     # ------------------------------------------------------------------ API
 
@@ -297,6 +302,14 @@ class DuckSparkSession:
         if handler is None:
             # fall through to the query path (e.g. parenthesized query)
             handler = self._query
+        # release the previous statement's materialized CTEs (their views
+        # stay resolvable; an unpersisted view just recomputes on reuse)
+        for df in self._cte_persisted:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001
+                pass
+        self._cte_persisted.clear()
         out = handler(sql)
         self._last = out
         return out
@@ -304,10 +317,161 @@ class DuckSparkSession:
     # ---------------------------------------------------------------- query
 
     def _query(self, sql: str) -> DataFrame:
+        mat = self._materialize_repeated_ctes(sql)
+        if mat is not None:
+            return mat
         ubn = self._union_by_name(sql)
         if ubn is not None:
             return ubn
         return self.spark.sql(self._rewrite_query(sql))
+
+    def _materialize_repeated_ctes(self, sql: str) -> Optional[DataFrame]:
+        """DuckDB materializes a WITH-clause CTE referenced more than once;
+        Spark inlines every reference, recomputing the subplan N times
+        (the dev.json:284 shape recomputes a join+agg three times). Mirror
+        DuckDB: evaluate such CTEs once into a persisted temp view
+        (MEMORY_AND_DISK — spills, never OOMs) and route the remaining
+        references there. Single-reference or scan-only CTEs stay inline
+        where Catalyst can push filters/pruning into them. ``AS
+        MATERIALIZED`` forces the behavior; ``WITH RECURSIVE`` is left to
+        Spark's native UnionLoop untouched."""
+        tokens = tokenize(sql)
+        i = next_sig(tokens, -1)
+        if i >= len(tokens) or not tokens[i].is_kw("WITH"):
+            return None
+        j = next_sig(tokens, i)
+        if j >= len(tokens) or tokens[j].is_kw("RECURSIVE"):
+            return None
+        ctes: list[dict] = []
+        k = j
+        main_start = None
+        while k < len(tokens):
+            if tokens[k].kind not in (IDENT, QIDENT):
+                return None
+            name = tokens[k].text.strip('"')
+            def_lo = k
+            m = next_sig(tokens, k)
+            cols = None
+            if m < len(tokens) and tokens[m].kind == PUNCT and tokens[m].text == "(":
+                c = match_forward(tokens, m, "(", ")")
+                cols = [
+                    t.text.strip('"')
+                    for t in tokens[m + 1 : c]
+                    if t.kind in (IDENT, QIDENT)
+                ]
+                m = next_sig(tokens, c)
+            if m >= len(tokens) or not tokens[m].is_kw("AS"):
+                return None
+            m = next_sig(tokens, m)
+            forced = False
+            if m < len(tokens) and tokens[m].is_kw("NOT"):
+                m2 = next_sig(tokens, m)
+                if m2 < len(tokens) and tokens[m2].is_kw("MATERIALIZED"):
+                    m = next_sig(tokens, m2)
+            elif m < len(tokens) and tokens[m].is_kw("MATERIALIZED"):
+                forced = True
+                m = next_sig(tokens, m)
+            if m >= len(tokens) or tokens[m].kind != PUNCT or tokens[m].text != "(":
+                return None
+            c = match_forward(tokens, m, "(", ")")
+            ctes.append(
+                {
+                    "name": name,
+                    "cols": cols,
+                    "body": (m + 1, c),
+                    "span": (def_lo, c),
+                    "forced": forced,
+                }
+            )
+            nx = next_sig(tokens, c)
+            if nx < len(tokens) and tokens[nx].kind == PUNCT and tokens[nx].text == ",":
+                k = next_sig(tokens, nx)
+                continue
+            main_start = nx
+            break
+        if main_start is None:
+            return None
+
+        def ref_count(name: str, self_span: tuple[int, int]) -> int:
+            low = name.lower()
+            lo, hi = self_span
+            cnt = 0
+            for idx, t in enumerate(tokens):
+                if lo <= idx <= hi or t.kind not in (IDENT, QIDENT):
+                    continue
+                if t.text.strip('"').lower() != low:
+                    continue
+                p = prev_sig(tokens, idx)
+                if p >= 0 and tokens[p].kind == PUNCT and tokens[p].text == ".":
+                    continue
+                n = next_sig(tokens, idx)
+                if (
+                    n < len(tokens)
+                    and tokens[n].kind == PUNCT
+                    and tokens[n].text in (".", "(")
+                ):
+                    continue
+                cnt += 1
+            return cnt
+
+        work_kws = {
+            "JOIN", "GROUP", "DISTINCT", "OVER", "UNION", "INTERSECT",
+            "EXCEPT", "QUALIFY", "ORDER",
+        }
+        mat_names: set[str] = set()
+        for cte in ctes:
+            lo, hi = cte["body"]
+            nontrivial = bool(
+                {t.upper for t in tokens[lo:hi] if t.kind == IDENT} & work_kws
+            )
+            if cte["forced"] or (
+                nontrivial and ref_count(cte["name"], cte["span"]) >= 2
+            ):
+                mat_names.add(cte["name"].lower())
+        if not mat_names:
+            return None
+
+        def render_def(c2: dict) -> str:
+            cols = f" ({', '.join(c2['cols'])})" if c2["cols"] else ""
+            body = render(tokens[c2["body"][0] : c2["body"][1]])
+            return f"{c2['name']}{cols} AS ({body})"
+
+        from pyspark import StorageLevel
+
+        added: list[str] = []
+        try:
+            for idx, cte in enumerate(ctes):
+                if cte["name"].lower() not in mat_names:
+                    continue
+                body_sql = render(tokens[cte["body"][0] : cte["body"][1]])
+                earlier = [
+                    render_def(c2)
+                    for c2 in ctes[:idx]
+                    if c2["name"].lower() not in mat_names
+                ]
+                if earlier:
+                    body_sql = "WITH " + ", ".join(earlier) + " " + body_sql
+                df = self._query(body_sql)
+                if cte["cols"]:
+                    df = df.toDF(*cte["cols"])
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                view = self._fresh_view(df)
+                self._cte_overrides[cte["name"].lower()] = view
+                added.append(cte["name"].lower())
+                self._cte_persisted.append(df)
+            keep = [
+                render_def(c2)
+                for c2 in ctes
+                if c2["name"].lower() not in mat_names
+            ]
+            main_sql = render(tokens[main_start:])
+            new_sql = (
+                "WITH " + ", ".join(keep) + " " + main_sql if keep else main_sql
+            )
+            return self._query(new_sql)
+        finally:
+            for n in added:
+                self._cte_overrides.pop(n, None)
 
     def _union_by_name(self, sql: str) -> Optional[DataFrame]:
         """DuckDB ``A UNION [ALL] BY NAME B``: match columns by name, NULL-
@@ -669,18 +833,24 @@ class DuckSparkSession:
             else:
                 break
         name = ".".join(parts)
-        if len(parts) == 1 and name.lower() in self._cte_names:
+        mangled = None
+        if len(parts) == 1 and name.lower() in self._cte_overrides:
+            # reference to a CTE this statement materialized to a view
+            mangled = self._cte_overrides[name.lower()]
+        elif len(parts) == 1 and name.lower() in self._cte_names:
             return out, j  # CTE shadows the catalog table (DuckDB scoping)
-        key = self._resolve_table_key(name)
-        if key is None and parts[0].lower() == "information_schema":
-            key = name
-        if key is None:
-            return out, j
+        if mangled is None:
+            key = self._resolve_table_key(name)
+            if key is None and parts[0].lower() == "information_schema":
+                key = name
+            if key is None:
+                return out, j
         # a call like fn(...) is not a table ref
         nxt = next_sig(out, end)
         if nxt < len(out) and out[nxt].kind == PUNCT and out[nxt].text == "(":
             return out, j
-        mangled = self._view_name(key)
+        if mangled is None:
+            mangled = self._view_name(key)
         alias_follows = nxt < len(out) and (
             out[nxt].is_kw("AS")
             or (

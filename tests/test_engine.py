@@ -391,3 +391,36 @@ def test_union_by_name(loaded_engine):
         "SELECT 1 AS a UNION BY NAME SELECT 1 AS a UNION BY NAME SELECT 2 AS a"
     )
     assert sorted(r["a"] for r in df2.collect()) == [1, 2]
+
+
+def test_cte_materialization_repeated_ref(loaded_engine):
+    # DuckDB materializes a CTE referenced 2+ times; mirror via persisted
+    # temp view routing (session._materialize_repeated_ctes). Mixed case:
+    # `base` stays inline (single ref from agg), `agg` materializes.
+    df = loaded_engine.execute(
+        """
+        WITH base AS (
+            SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 0
+        ),
+        agg (k, tot) AS (
+            SELECT o_custkey, sum(o_totalprice) FROM base GROUP BY o_custkey
+        )
+        SELECT a.k, a.tot FROM agg a JOIN agg b ON a.k = b.k
+        WHERE a.tot > (SELECT avg(tot) FROM agg)
+        ORDER BY a.tot DESC, a.k LIMIT 5
+        """
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert rows[0]["tot"] >= rows[-1]["tot"]
+    # override must not leak: `agg` unresolvable afterwards
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        loaded_engine.execute("SELECT * FROM agg").collect()
+    # forced AS MATERIALIZED on a single-ref CTE still works
+    df2 = loaded_engine.execute(
+        "WITH m AS MATERIALIZED (SELECT count(*) AS n FROM nation) "
+        "SELECT n + 0 AS n FROM m"
+    )
+    assert df2.collect()[0]["n"] == 25
