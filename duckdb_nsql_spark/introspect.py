@@ -28,10 +28,21 @@ _NUMERIC = (
 )
 
 
-def describe_df(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _type_name(f: T.StructField, fixed: dict | None) -> str:
+    """DuckDB type text; fixed-size arrays (FLOAT[100], dev.json:492) keep
+    their declared length, which Spark's ArrayType cannot carry."""
+    name = spark_type_to_duckdb(f.dataType)
+    if fixed and f.name in fixed and name.endswith("[]"):
+        name = f"{name[:-2]}[{fixed[f.name]}]"
+    return name
+
+
+def describe_df(
+    spark: SparkSession, df: DataFrame, fixed: dict | None = None
+) -> DataFrame:
     """DuckDB ``DESCRIBE`` shape: column_name, column_type, null, key, default, extra."""
     rows = [
-        (f.name, spark_type_to_duckdb(f.dataType), "YES" if f.nullable else "NO", None, None, None)
+        (f.name, _type_name(f, fixed), "YES" if f.nullable else "NO", None, None, None)
         for f in df.schema.fields
     ]
     schema = T.StructType(
@@ -47,11 +58,13 @@ def describe_df(spark: SparkSession, df: DataFrame) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def table_info_df(spark: SparkSession, df: DataFrame) -> DataFrame:
+def table_info_df(
+    spark: SparkSession, df: DataFrame, fixed: dict | None = None
+) -> DataFrame:
     """DuckDB ``PRAGMA table_info('t')`` shape (dev.json:252):
     cid, name, type, notnull, dflt_value, pk."""
     rows = [
-        (i, f.name, spark_type_to_duckdb(f.dataType), not f.nullable, None, False)
+        (i, f.name, _type_name(f, fixed), not f.nullable, None, False)
         for i, f in enumerate(df.schema.fields)
     ]
     schema = T.StructType(

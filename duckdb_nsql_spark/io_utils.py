@@ -22,6 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 _STAGING: dict[str, str] = {}
 
 
+def localize_path(path: str) -> str:
+    """Resolve a relative local path against the *Python* cwd. Spark hands
+    paths to Hadoop, which resolves them against the JVM's user.dir — fixed
+    at JVM start — so DuckDB's cwd-relative COPY/read semantics break for
+    any caller that chdirs after connect()."""
+    if re.match(r"^[a-z][a-z0-9+.-]*://", path) or os.path.isabs(path):
+        return path
+    return os.path.abspath(path)
+
+
 def stage_if_remote(path: str, allow_external: bool = True) -> str:
     """Download an http(s) source once to a local spool file."""
     if not re.match(r"^https?://", path):
@@ -70,9 +80,10 @@ def read_parquet_table(spark: SparkSession, path: str, base_path: str | None = N
     micros — same as Arrow/DuckDB do on read)."""
     from pyspark.sql import functions as F
 
+    path = localize_path(path)
     reader = spark.read
     if base_path:
-        reader = reader.option("basePath", base_path)
+        reader = reader.option("basePath", localize_path(base_path))
     df = reader.parquet(path)
     nanos_cols = _nanos_timestamp_columns(path)
     for c in nanos_cols:
@@ -109,7 +120,7 @@ def read_file_table(
     allow_external: bool = True,
 ) -> DataFrame:
     """The engine's read_csv_auto / read_json_auto / read_parquet."""
-    path = stage_if_remote(path, allow_external)
+    path = localize_path(stage_if_remote(path, allow_external))
     f = infer_format(path, fmt)
     if f == "parquet":
         return read_parquet_table(spark, path, base_path=hive_base_path(path))
@@ -119,6 +130,14 @@ def read_file_table(
         df = spark.read.json(path)
         if df.columns == ["_corrupt_record"]:
             df = spark.read.option("multiLine", True).json(path)
+        # Spark alphabetizes inferred JSON columns; DuckDB keeps the key
+        # order of the document. Recover it from the first record.
+        order = _json_key_order(path)
+        if order:
+            cols = [c for c in order if c in df.columns]
+            cols += [c for c in df.columns if c not in set(cols)]
+            if cols != df.columns:
+                df = df.select(*cols)
         return df
     reader = spark.read.option("header", str(header).lower())
     if delimiter:
@@ -126,6 +145,33 @@ def read_file_table(
     if schema_ddl:
         return reader.schema(schema_ddl).csv(path)
     return reader.option("inferSchema", "true").csv(path)
+
+
+def _json_key_order(path: str) -> list[str] | None:
+    """Top-level key order of the first JSON record in the first file."""
+    import json as jsonmod
+
+    try:
+        files = sorted(globmod.glob(path)) if any(
+            ch in path for ch in "*?["
+        ) else [path]
+        if files and os.path.isdir(files[0]):
+            files = sorted(globmod.glob(os.path.join(files[0], "*")))
+        if not files:
+            return None
+        with open(files[0], "r", encoding="utf-8", errors="replace") as fh:
+            head = fh.read(1 << 20).lstrip()
+        if head.startswith("["):
+            doc = jsonmod.loads(head, object_pairs_hook=list)
+            first = doc[0] if isinstance(doc, list) and doc else None
+        else:
+            line = head.splitlines()[0] if head else ""
+            first = jsonmod.loads(line, object_pairs_hook=list) if line else None
+        if isinstance(first, list) and first and isinstance(first[0], tuple):
+            return [k for k, _ in first]
+    except Exception:  # noqa: BLE001
+        return None
+    return None
 
 
 def write_copy_to(
@@ -147,6 +193,7 @@ def write_copy_to(
     at cluster scale should pass partition_by or write a directory.
     Returns the row count written (DuckDB COPY reports it).
     """
+    path = localize_path(path)
     f = infer_format(path, fmt)
     if partition_by:
         writer = df.write.mode("overwrite" if overwrite else "errorifexists")

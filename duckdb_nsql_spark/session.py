@@ -228,6 +228,12 @@ class DuckSparkSession:
         self._kind_cache = None
         self._infoschema_dirty = True
 
+    def name_primary_database(self, name: str) -> None:
+        """Give the primary catalog a database name, mirroring DuckDB where
+        ``connect('nyc.duckdb')`` names the catalog ``nyc`` — then both
+        ``taxi`` and ``nyc.taxi`` resolve, and SHOW DATABASES lists it."""
+        self._databases.add(name)
+
     def register_parquet_dir(self, sf_dir: str) -> None:
         """Register every ``<dir>/<table>.parquet`` as a base table."""
         import glob
@@ -323,7 +329,104 @@ class DuckSparkSession:
         ubn = self._union_by_name(sql)
         if ubn is not None:
             return ubn
+        wrapped = self._where_alias_wrap(sql)
+        if wrapped is not None:
+            sql = wrapped
         return self.spark.sql(self._rewrite_query(sql))
+
+    def _where_alias_wrap(self, sql: str) -> Optional[str]:
+        """DuckDB lets WHERE reference a SELECT-list alias (``SELECT *,
+        regexp_extract(..) email FROM hn WHERE email[:4]='test'``,
+        dev.json:292/:4); Spark resolves lateral aliases in the select list
+        only. When a simple top-level SELECT's WHERE references an alias
+        that is not a column of any registered table, hoist the filter over
+        a subquery. Catalyst pushes the predicate back down beneath the
+        projection where legal, so the plan is unchanged at scale."""
+        tokens = tokenize(sql)
+        i = next_sig(tokens, -1)
+        if i >= len(tokens) or not tokens[i].is_kw("SELECT"):
+            return None
+        # top-level clause boundaries (bail on shapes where alias-in-WHERE
+        # can't occur or grouping changes the semantics)
+        bounds: dict[str, int] = {}
+        j = i
+        while j < len(tokens):
+            t = tokens[j]
+            if t.kind == PUNCT and t.text == "(":
+                j = match_forward(tokens, j, "(", ")") + 1
+                continue
+            if t.kind == IDENT and t.upper in (
+                "FROM", "WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
+                "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+            ):
+                if t.upper in ("GROUP", "HAVING", "QUALIFY", "WINDOW",
+                               "UNION", "INTERSECT", "EXCEPT"):
+                    return None
+                bounds.setdefault(t.upper, j)
+            j += 1
+        if "FROM" not in bounds or "WHERE" not in bounds:
+            return None
+        if bounds["WHERE"] < bounds["FROM"]:
+            return None
+        # aliases defined in the select list
+        sel_items = split_args(tokens, i + 1, bounds["FROM"])
+        aliases: set[str] = set()
+        for lo, hi in sel_items:
+            sig = [k for k in range(lo, hi)
+                   if tokens[k].kind not in (WS, COMMENT)]
+            if len(sig) < 2:
+                continue
+            last = tokens[sig[-1]]
+            if last.kind not in (IDENT, QIDENT):
+                continue
+            before = tokens[sig[-2]]
+            if before.is_kw("AS") or (
+                before.kind in (IDENT, QIDENT, STRING, NUMBER)
+                or (before.kind == PUNCT and before.text in (")", "]"))
+            ):
+                if not last.is_kw("AS"):
+                    aliases.add(last.text.strip('"').lower())
+        if not aliases:
+            return None
+        # real columns shadow aliases in WHERE (DuckDB binds base columns
+        # first) — only aliases with no base column force the wrap
+        base_cols = {
+            f.name.lower()
+            for df in self._tables.values()
+            for f in df.schema.fields
+        }
+        aliases -= base_cols
+        if not aliases:
+            return None
+        tail_start = min(
+            (bounds[k] for k in ("ORDER", "LIMIT", "OFFSET") if k in bounds),
+            default=len(tokens),
+        )
+        where_lo, where_hi = bounds["WHERE"], tail_start
+        used = False
+        k = where_lo
+        while k < where_hi:
+            t = tokens[k]
+            if t.kind == IDENT and t.text.lower() in aliases:
+                p, n = prev_sig(tokens, k), next_sig(tokens, k)
+                dotted = (p >= 0 and tokens[p].kind == PUNCT
+                          and tokens[p].text == ".") or (
+                    n < len(tokens) and tokens[n].kind == PUNCT
+                    and tokens[n].text in (".", "(")
+                )
+                if not dotted:
+                    used = True
+                    break
+            k += 1
+        if not used:
+            return None
+        inner = render(tokens[i:where_lo])
+        pred = render(tokens[where_lo + 1 : where_hi])
+        tail = render(tokens[tail_start:]) if tail_start < len(tokens) else ""
+        return (
+            f"SELECT * FROM ({inner}) AS __lateral_where "
+            f"WHERE {pred} {tail}"
+        ).rstrip().rstrip(";")
 
     def _materialize_repeated_ctes(self, sql: str) -> Optional[DataFrame]:
         """DuckDB materializes a WITH-clause CTE referenced more than once;
@@ -933,6 +1036,15 @@ class DuckSparkSession:
         qual = f"{self._current_db}.{name}"
         if qual.lower() in lowered:
             return lowered[qual.lower()]
+        # DuckDB resolves catalog-qualified names for ANY attached database,
+        # including the primary one (connect('nyc.duckdb') makes both `taxi`
+        # and `nyc.taxi` valid, dev.json:276). Strip a known database
+        # qualifier and retry against the plain registrations.
+        parts = name.split(".")
+        if len(parts) >= 2 and parts[0].lower() in {
+            d.lower() for d in self._databases
+        }:
+            return self._resolve_table_key(".".join(parts[1:]))
         return None
 
     def _column_kinds(self) -> dict[str, str]:
@@ -1400,7 +1512,11 @@ class DuckSparkSession:
         if m:
             name, arg = m.group(1).lower(), m.group(2)
             if name == "table_info":
-                return introspect.table_info_df(self.spark, self.table(arg))
+                return introspect.table_info_df(
+                    self.spark,
+                    self.table(arg),
+                    fixed=self._fixed_arrays.get(self._resolve_table_key(arg) or ""),
+                )
             if name == "storage_info":
                 return None
             raise ValueError(f"unsupported PRAGMA function: {name}")
@@ -1418,7 +1534,11 @@ class DuckSparkSession:
         if fn == "pragma_version":
             return introspect.version_df(self.spark)
         if fn == "pragma_table_info":
-            return introspect.table_info_df(self.spark, self.table(arg))
+            return introspect.table_info_df(
+                self.spark,
+                self.table(arg),
+                fixed=self._fixed_arrays.get(self._resolve_table_key(arg) or ""),
+            )
         if fn == "pragma_show_tables":
             return self._tables_df()
         raise ValueError(f"unsupported CALL: {fn}")
@@ -1537,11 +1657,14 @@ class DuckSparkSession:
 
     def _describe(self, sql: str) -> DataFrame:
         body = re.sub(r"^\s*DESC(RIBE)?\s+(TABLE\s+)?", "", sql, flags=re.IGNORECASE).strip().rstrip(";")
+        fixed = None
         if re.match(r"^[\w.\"`]+$", body):
             df = self.table(body)
+            key = self._resolve_table_key(body)
+            fixed = self._fixed_arrays.get(key) if key else None
         else:
             df = self._query(body)
-        return introspect.describe_df(self.spark, df)
+        return introspect.describe_df(self.spark, df, fixed=fixed)
 
     def _show(self, sql: str) -> DataFrame:
         s = re.sub(r"\s+", " ", sql).strip().rstrip(";").upper()

@@ -116,6 +116,39 @@ def _split_top(s: str) -> list[str]:
     return [x for x in out if x.strip()]
 
 
+_DUCK_KEYWORDS: set | None = None
+
+
+def _duck_keywords() -> set:
+    """DuckDB quotes struct field names that collide with ANY keyword
+    (verified: STRUCT(name ..) renders as STRUCT("name" ..) while id/x2
+    stay bare). The live keyword list beats hand-maintaining one."""
+    global _DUCK_KEYWORDS
+    if _DUCK_KEYWORDS is None:
+        try:
+            import duckdb
+
+            _DUCK_KEYWORDS = {
+                r[0]
+                for r in duckdb.execute(
+                    "select keyword_name from duckdb_keywords()"
+                ).fetchall()
+            }
+        except Exception:  # noqa: BLE001
+            _DUCK_KEYWORDS = set()
+    return _DUCK_KEYWORDS
+
+
+def _quote_field(name: str) -> str:
+    import re as _re
+
+    if name.lower() in _duck_keywords() or not _re.match(
+        r"^[a-z_][a-z0-9_]*$", name
+    ):
+        return '"' + name.replace('"', '""') + '"'
+    return name
+
+
 def spark_type_to_duckdb(dt: T.DataType) -> str:
     """Render a Spark type using DuckDB's names (for DESCRIBE/table_info,
     matching the shapes the reference's harness introspects,
@@ -148,7 +181,8 @@ def spark_type_to_duckdb(dt: T.DataType) -> str:
         return spark_type_to_duckdb(dt.elementType) + "[]"
     if isinstance(dt, T.StructType):
         inner = ", ".join(
-            f"{f.name} {spark_type_to_duckdb(f.dataType)}" for f in dt.fields
+            f"{_quote_field(f.name)} {spark_type_to_duckdb(f.dataType)}"
+            for f in dt.fields
         )
         return f"STRUCT({inner})"
     if isinstance(dt, T.MapType):

@@ -191,7 +191,7 @@ def test_fixed_array_create(engine):
     # dev.json:492 — CREATE TABLE test (embeddings FLOAT[100])
     engine.execute("CREATE TABLE t_fix (embeddings FLOAT[100])")
     desc = engine.execute("DESCRIBE t_fix").collect()
-    assert desc[0]["column_type"] == "FLOAT[]"
+    assert desc[0]["column_type"] == "FLOAT[100]"  # DuckDB keeps the length
     with pytest.raises(Exception):
         engine.execute("INSERT INTO t_fix VALUES ([1.0, 2.0])")
 
