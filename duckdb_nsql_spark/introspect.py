@@ -17,6 +17,48 @@ from .types import spark_type_to_duckdb
 ENGINE_VERSION = "v1.0.0-spark"
 ENGINE_SOURCE_ID = "duckdb-nsql-spark"
 
+
+def _sql_literal(v, dt: T.DataType) -> str:
+    import math as _math
+
+    ddl = dt.simpleString()
+    if v is None:
+        return f"CAST(NULL AS {ddl})"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and (_math.isnan(v) or _math.isinf(v)):
+        return f"CAST('{v}' AS DOUBLE)"
+    if isinstance(v, (int, float)):
+        return f"CAST({v!r} AS {ddl})"
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    return f"CAST('{s}' AS {ddl})"
+
+
+def local_df(spark: SparkSession, rows: list, schema: T.StructType) -> DataFrame:
+    """Build a tiny driver-side relation as a VALUES clause.
+
+    ``spark.createDataFrame`` parallelizes Python rows into an
+    ExistingRDD scan — every downstream action then launches one task
+    *per default partition*, each spinning a Python worker to unpickle a
+    handful of rows (~0.25 s per statement for a 9-row SUMMARIZE, 32
+    partitions). A VALUES literal becomes a LocalTableScan: pure JVM,
+    zero tasks (~0.05 s)."""
+    if not rows:
+        nulls = ", ".join(f"CAST(NULL AS {f.dataType.simpleString()})"
+                          for f in schema.fields)
+        cols = ", ".join(f"`{f.name}`" for f in schema.fields)
+        return spark.sql(
+            f"SELECT * FROM (VALUES ({nulls})) AS t({cols}) WHERE 1 = 0"
+        )
+    vals = ", ".join(
+        "(" + ", ".join(
+            _sql_literal(v, f.dataType) for v, f in zip(r, schema.fields)
+        ) + ")"
+        for r in rows
+    )
+    cols = ", ".join(f"`{f.name}`" for f in schema.fields)
+    return spark.sql(f"SELECT * FROM (VALUES {vals}) AS t({cols})")
+
 _NUMERIC = (
     T.ByteType,
     T.ShortType,
@@ -55,7 +97,7 @@ def describe_df(
             T.StructField("extra", T.StringType(), True),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def table_info_df(
@@ -77,7 +119,7 @@ def table_info_df(
             T.StructField("pk", T.BooleanType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def version_df(spark: SparkSession) -> DataFrame:
@@ -88,7 +130,7 @@ def version_df(spark: SparkSession) -> DataFrame:
             T.StructField("source_id", T.StringType(), False),
         ]
     )
-    return spark.createDataFrame([(ENGINE_VERSION, ENGINE_SOURCE_ID)], schema)
+    return local_df(spark, [(ENGINE_VERSION, ENGINE_SOURCE_ID)], schema)
 
 
 _SUMMARIZE_SCHEMA = T.StructType(
@@ -202,7 +244,7 @@ def _summarize_parquet_local(
             )
     except Exception:  # noqa: BLE001 — any arrow surprise -> one-pass plan
         return None
-    return spark.createDataFrame(out_rows, _SUMMARIZE_SCHEMA)
+    return local_df(spark, out_rows, _SUMMARIZE_SCHEMA)
 
 
 def summarize_df(
@@ -278,4 +320,4 @@ def summarize_df(
                 null_pct,
             )
         )
-    return spark.createDataFrame(out_rows, _SUMMARIZE_SCHEMA)
+    return local_df(spark, out_rows, _SUMMARIZE_SCHEMA)

@@ -90,6 +90,14 @@ RUNTIME_CONFS = {
     # *largest* table of a star join — fatal at cluster scale. AQE can
     # still upgrade a shuffle join whose runtime size comes in under this.
     "spark.sql.autoBroadcastJoinThreshold": "8MB",
+    # Spark estimates a scan as file_size x column fraction, but parquet
+    # compresses ~4x, so a 600k-row pruned fact scan "fits" under the
+    # broadcast threshold and Catalyst builds a single-threaded hash
+    # relation of the FACT table. Correcting the estimate keeps dims on
+    # the build side and facts (orders JOIN lineitem) on a shuffled
+    # sort-merge join — the plan that survives a 1000-executor scale-up.
+    # AQE can still downgrade to broadcast from *runtime* sizes.
+    "spark.sql.sources.fileCompressionFactor": "4.0",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
@@ -125,6 +133,8 @@ def build_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16MB")
         # see RUNTIME_CONFS: dims broadcast, facts never do
         .config("spark.sql.autoBroadcastJoinThreshold", "8MB")
+        # see RUNTIME_CONFS: undo parquet-compression underestimates
+        .config("spark.sql.sources.fileCompressionFactor", "4.0")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
@@ -1506,7 +1516,10 @@ class DuckSparkSession:
                 return self._databases_df()
             val = self.settings.get(name)
             if val is not None:
-                return self.spark.createDataFrame([(val,)], f"`{name}` string")
+                return introspect.local_df(
+                    self.spark, [(val,)],
+                    T.StructType([T.StructField(name, T.StringType())]),
+                )
             return None
         m = re.match(r"\s*PRAGMA\s+(\w+)\s*\(\s*'?([^')]*)'?\s*\)\s*$", s, re.IGNORECASE)
         if m:
@@ -1678,16 +1691,23 @@ class DuckSparkSession:
 
     def _tables_df(self) -> DataFrame:
         names = sorted({k.rpartition(".")[2] for k in self._tables})
-        return self.spark.createDataFrame([(n,) for n in names], "name string")
+        return introspect.local_df(
+            self.spark, [(n,) for n in names],
+            T.StructType([T.StructField("name", T.StringType())]),
+        )
 
     def _databases_df(self) -> DataFrame:
         dbs = sorted(self._databases - {"information_schema", "main"})
-        return self.spark.createDataFrame(
-            [(d,) for d in dbs], "database_name string"
+        return introspect.local_df(
+            self.spark, [(d,) for d in dbs],
+            T.StructType([T.StructField("database_name", T.StringType())]),
         )
 
     def _count_df(self, n: int) -> DataFrame:
-        return self.spark.createDataFrame([(n,)], "Count bigint")
+        return introspect.local_df(
+            self.spark, [(n,)],
+            T.StructType([T.StructField("Count", T.LongType())]),
+        )
 
 
 _MEM_UNITS = {
