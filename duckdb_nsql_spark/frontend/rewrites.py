@@ -1243,6 +1243,9 @@ _FN_MACROS = {
     # discrete quantile: smallest value with cume_dist >= p in both engines
     "QUANTILE_DISC": "percentile_disc({b}) WITHIN GROUP (ORDER BY {a})",
     "QUANTILE": "percentile_disc({b}) WITHIN GROUP (ORDER BY {a})",
+    # DuckDB xor() function -> Spark's ^ operator (safe AFTER
+    # pass_caret_power has claimed user-written carets as exponentiation)
+    "XOR": "({a} ^ {b})",
 }
 
 def _series_sequence_sql(args: list[str], inclusive: bool) -> str:
@@ -1366,6 +1369,8 @@ _FN_MACROS_1 = {
     # 1e6 not 1000000.0 — Spark parses the latter as a DECIMAL literal)
     "EPOCH": "(unix_micros({a}) / 1e6)",
     "EPOCH_MS": "unix_millis({a})",
+    # Spark spells it sha2(expr, bits)
+    "SHA256": "sha2({a}, 256)",
 }
 
 # date_part fields whose numbering differs between the dialects:
@@ -1448,6 +1453,122 @@ def _convert_strftime(fmt: str) -> str:
             i += 1
     flush()
     return "".join(out)
+
+
+_NON_FN_KEYWORDS = {
+    "AND", "OR", "NOT", "WHERE", "SELECT", "FROM", "WHEN", "THEN", "ELSE",
+    "ON", "BY", "IN", "AS", "CASE", "END", "JOIN", "HAVING", "GROUP",
+    "ORDER", "LIMIT", "OFFSET", "UNION", "ALL", "DISTINCT", "BETWEEN",
+    "LIKE", "ILIKE", "IS", "NULL", "EXISTS", "ANY", "SOME", "VALUES",
+    "SET", "RETURNING", "INTERVAL", "OVER",
+}
+
+
+def _match_backward(tokens: list[Token], i: int) -> int:
+    """Index of the opener matching the closer at ``i`` (-1 if none)."""
+    depth = 0
+    k = i
+    while k >= 0:
+        t = tokens[k]
+        if t.kind == PUNCT and t.text in (")", "]"):
+            depth += 1
+        elif t.kind == PUNCT and t.text in ("(", "["):
+            depth -= 1
+            if depth == 0:
+                return k
+        k -= 1
+    return -1
+
+
+def _primary_start(tokens: list[Token], e: int) -> Optional[int]:
+    """Start index of the primary expression ENDING at ``e``: a literal,
+    identifier, dotted chain, function call, or bracketed group."""
+    j = e
+    while True:
+        t = tokens[j]
+        if t.kind == PUNCT and t.text in (")", "]"):
+            k = _match_backward(tokens, j)
+            if k < 0:
+                return None
+            j = k
+            p = prev_sig(tokens, k)
+            if (
+                p >= 0
+                and tokens[p].kind in (IDENT, QIDENT)
+                and tokens[p].upper not in _NON_FN_KEYWORDS
+            ):
+                j = p  # function name / indexed base
+        elif t.kind not in (IDENT, QIDENT, NUMBER, STRING):
+            return None
+        p = prev_sig(tokens, j)
+        if p >= 0 and tokens[p].kind == PUNCT and tokens[p].text == ".":
+            p2 = prev_sig(tokens, p)
+            if p2 >= 0 and tokens[p2].kind in (IDENT, QIDENT):
+                j = p2
+                continue
+        return j
+
+
+def _primary_end(tokens: list[Token], s: int) -> Optional[int]:
+    """End index of the primary expression STARTING at ``s`` (allows one
+    leading unary +/-), including call/index/field postfixes."""
+    j = s
+    if tokens[j].kind == OP and tokens[j].text in ("+", "-"):
+        j = next_sig(tokens, j)
+        if j >= len(tokens):
+            return None
+    t = tokens[j]
+    if t.kind == PUNCT and t.text == "(":
+        j = match_forward(tokens, j, "(", ")")
+    elif t.kind in (IDENT, QIDENT, NUMBER, STRING):
+        pass
+    else:
+        return None
+    while True:
+        n = next_sig(tokens, j)
+        if n < len(tokens) and tokens[n].kind == PUNCT and tokens[n].text == "(":
+            j = match_forward(tokens, n, "(", ")")
+            continue
+        if n < len(tokens) and tokens[n].kind == PUNCT and tokens[n].text == "[":
+            j = match_forward(tokens, n, "[", "]")
+            continue
+        if n < len(tokens) and tokens[n].kind == PUNCT and tokens[n].text == ".":
+            n2 = next_sig(tokens, n)
+            if n2 < len(tokens) and tokens[n2].kind in (IDENT, QIDENT):
+                j = n2
+                continue
+        return j
+
+
+def pass_caret_power(tokens: list[Token]) -> list[Token]:
+    """DuckDB ``^`` and ``**`` are EXPONENTIATION; Spark parses ``^`` as
+    bitwise XOR — a silent value divergence (2 ^ 3 = 8.0 vs 1). Rewrite the
+    binary operator over its adjacent primaries to power(l, r). DuckDB's
+    xor() *function* is mapped separately after this pass has claimed all
+    user-written carets."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == OP and t.text in ("^", "**"):
+            lp = prev_sig(out, i)
+            rp = next_sig(out, i)
+            if lp < 0 or rp >= len(out):
+                i += 1
+                continue
+            lstart = _primary_start(out, lp)
+            rend = _primary_end(out, rp)
+            if lstart is None or rend is None:
+                i += 1
+                continue
+            l_txt = render(out[lstart : lp + 1])
+            r_txt = render(out[rp : rend + 1])
+            new = tokenize(f"power({l_txt}, {r_txt})")
+            out = out[:lstart] + new + out[rend + 1 :]
+            i = lstart + len(new)
+            continue
+        i += 1
+    return out
 
 
 def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = None) -> list[Token]:
@@ -1658,6 +1779,47 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                     out = out[:i] + new_toks + out[c + 1 :]
                     i += len(new_toks)
                     continue
+                elif up == "STRUCT_PACK":
+                    # struct_pack(name := expr, ...) -> named_struct
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    parts = []
+                    ok = bool(spans)
+                    for lo, hi in spans:
+                        sig = [
+                            k for k in range(lo, hi)
+                            if out[k].kind not in (WS, COMMENT)
+                        ]
+                        if (
+                            len(sig) >= 4
+                            and out[sig[0]].kind in (IDENT, QIDENT)
+                            and out[sig[1]].kind == PUNCT
+                            and out[sig[1]].text == ":"
+                            and out[sig[2]].kind == OP
+                            and out[sig[2]].text == "="
+                        ):
+                            nm = out[sig[0]].text.strip('"').replace("'", "''")
+                            val = render(_trim(out[sig[2] + 1 : hi]))
+                            parts.append(f"'{nm}', {val}")
+                        else:
+                            ok = False
+                            break
+                    if ok:
+                        expanded = "named_struct(" + ", ".join(parts) + ")"
+                        out = out[:i] + tokenize(expanded) + out[c + 1 :]
+                        continue
+                elif up == "STRUCT_EXTRACT":
+                    # struct_extract(e, 'f') -> (e).`f`
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        a_txt = render(_trim(out[spans[0][0] : spans[0][1]]))
+                        btoks = _trim(out[spans[1][0] : spans[1][1]])
+                        if len(btoks) == 1 and btoks[0].kind == STRING:
+                            fld = btoks[0].text[1:-1].replace("''", "'")
+                            expanded = f"(({a_txt}).`{fld}`)"
+                            out = out[:i] + tokenize(expanded) + out[c + 1 :]
+                            continue
                 elif up in _FN_MACROS_1:
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
@@ -1708,5 +1870,6 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_using_sample(tokens)
     tokens = pass_int_cast_rounds(tokens)
     tokens = pass_cast_type_names(tokens)
+    tokens = pass_caret_power(tokens)
     tokens = pass_function_renames(tokens, resolver)
     return render(tokens)

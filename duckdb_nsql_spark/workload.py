@@ -752,6 +752,169 @@ _sql(
     """,
 )
 
+# --- round-2 breadth: join family, null semantics, windows frames, -------
+# --- scalar batches (dev.json exercises none of these beyond inner join; -
+# --- free Spark extensions per SURVEY §2.3/§2.5 notes) -------------------
+
+_sql(
+    "q59_outer_joins",
+    """
+    SELECT n.n_name, count(c.c_custkey) AS n_cust
+    FROM nation n LEFT JOIN customer c
+      ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000
+    GROUP BY n.n_name ORDER BY n_cust DESC, n.n_name LIMIT 10
+    """,
+)
+
+_sql(
+    "q60_semi_anti_joins",
+    """
+    SELECT
+      (SELECT count(*) FROM part p WHERE EXISTS
+         (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+          AND l.l_quantity > 45)) AS with_bulk,
+      (SELECT count(*) FROM part p WHERE NOT EXISTS
+         (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+          AND l.l_quantity > 45)) AS without_bulk
+    """,
+)
+
+_sql(
+    "q61_full_outer",
+    """
+    SELECT a.k AS k_left, b.k AS k_right, a.n AS n_a, b.n AS n_b
+    FROM (SELECT n_regionkey AS k, count(*) AS n FROM nation
+          WHERE n_nationkey < 20 GROUP BY n_regionkey) a
+    FULL OUTER JOIN (SELECT n_regionkey + 2 AS k, count(*) AS n FROM nation
+          GROUP BY n_regionkey) b
+      ON a.k = b.k
+    ORDER BY k_left NULLS LAST, k_right NULLS LAST
+    """,
+)
+
+_sql(
+    "q62_try_cast_nullif",
+    """
+    SELECT c_custkey,
+           TRY_CAST(c_name[3:7] AS INTEGER) AS cast_fail,
+           TRY_CAST(c_custkey::VARCHAR AS INTEGER) AS cast_ok,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'redacted') AS seg,
+           GREATEST(c_acctbal, 0) AS pos_bal,
+           LEAST(c_custkey, 100) AS capped,
+           IFNULL(NULL, c_custkey) AS fallback
+    FROM customer ORDER BY c_custkey LIMIT 50
+    """,
+)
+
+_sql(
+    "q63_interval_arith",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due,
+           o_orderdate - INTERVAL 1 MONTH AS prior_month,
+           CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS next_year
+    FROM orders ORDER BY o_orderkey LIMIT 50
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due,
+           o_orderdate - INTERVAL 1 MONTH AS prior_month,
+           CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS next_year
+    FROM orders ORDER BY o_orderkey LIMIT 50
+    """,
+)
+
+_sql(
+    "q64_struct_functions",
+    """
+    SELECT c_custkey,
+           struct_pack(name := c_name, seg := c_mktsegment).name AS nm,
+           struct_extract(struct_pack(name := c_name, seg := c_mktsegment),
+                          'seg') AS seg2
+    FROM customer ORDER BY c_custkey LIMIT 20
+    """,
+)
+
+_sql(
+    "q65_window_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll3,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING), 2) AS lead_avg
+    FROM orders WHERE o_custkey < 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+
+_sql(
+    "q66_lateral_where_alias",
+    """
+    SELECT c_custkey, upper(c_mktsegment[1:4]) AS seg4
+    FROM customer
+    WHERE seg4 = 'AUTO' ORDER BY c_custkey LIMIT 30
+    """,
+)
+
+_sql(
+    "q67_is_distinct_from",
+    """
+    SELECT count(*) AS n_distinct_pairs
+    FROM (SELECT n_regionkey AS a FROM nation) x,
+         (SELECT r_regionkey AS b FROM region) y
+    WHERE x.a IS DISTINCT FROM y.b
+    """,
+)
+
+_sql(
+    "q68_rank_distribution",
+    """
+    SELECT n_nationkey,
+           ntile(4) OVER (ORDER BY n_nationkey) AS quartile,
+           round(percent_rank() OVER (ORDER BY n_nationkey), 4) AS pr,
+           round(cume_dist() OVER (ORDER BY n_nationkey), 4) AS cd
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+_sql(
+    "q69_string_pad_repeat",
+    """
+    SELECT s_suppkey,
+           lpad(s_suppkey::VARCHAR, 8, '0') AS padded,
+           rpad(s_name, 30, '.') AS dotted,
+           repeat('ab', 3) AS rep,
+           reverse(s_name) AS rev,
+           left(s_name, 4) AS l4,
+           right(s_name, 4) AS r4
+    FROM supplier ORDER BY s_suppkey LIMIT 40
+    """,
+)
+
+_sql(
+    "q70_bitwise",
+    """
+    SELECT n_nationkey,
+           n_nationkey & 3 AS band,
+           n_nationkey | 8 AS bor,
+           xor(n_nationkey, 5) AS bxor,
+           n_nationkey << 2 AS shl,
+           n_nationkey >> 1 AS shr
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+_sql(
+    "q71_hash_digests",
+    """
+    SELECT r_regionkey, md5(r_name) AS h_md5, sha256(r_name) AS h_sha
+    FROM region ORDER BY r_regionkey
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
@@ -957,11 +1120,26 @@ def op_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.select("doc_id", "quality", "lang_pred", "stopword_ratio")
 
 
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = (
-        _embeds(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").first()
-    )
-    return list(row["embedding"])
+    """The query point (vec_id=0) is a plan literal, not data — fetch it
+    driver-side from the parquet footer's first rows instead of spending a
+    full Spark job on a one-row filter."""
+    key = os.path.abspath(sf_dir)
+    if key not in _QUERY_VEC_CACHE:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        idx = tbl.column("vec_id").to_pylist().index(0)
+        _QUERY_VEC_CACHE[key] = [
+            float(x) for x in tbl.column("embedding")[idx].as_py()
+        ]
+    return _QUERY_VEC_CACHE[key]
 
 
 def op_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

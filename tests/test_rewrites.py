@@ -412,3 +412,31 @@ def test_time_bucket_rewrite():
     assert "add_months" in out and "months_between" in out
     out = rewrite_sql("SELECT time_bucket(INTERVAL 2 HOUR, ts) FROM t")
     assert "7200" in out
+
+
+def test_caret_is_power():
+    # DuckDB ^ / ** are exponentiation; Spark's ^ is XOR (2^3 = 8.0 vs 1)
+    assert rewrite_sql("SELECT 2 ^ 3") == "SELECT power(2, 3)"
+    assert rewrite_sql("SELECT 2 ** 3") == "SELECT power(2, 3)"
+    out = rewrite_sql("SELECT (x + 1) ^ f(y) FROM t")
+    assert "power((x + 1), f(y))" in out
+    # left-assoc chain: 2 ^ 3 ^ 2 = power(power(2,3),2)
+    assert rewrite_sql("SELECT 2 ^ 3 ^ 2") == "SELECT power(power(2, 3), 2)"
+    # carets inside regex strings are untouched
+    out = rewrite_sql("SELECT regexp_extract(s, '^ab', 0) FROM t")
+    assert "'^ab'" in out
+
+
+def test_xor_function_maps_to_operator():
+    assert rewrite_sql("SELECT xor(5, 3)") == "SELECT (5 ^ 3)"
+
+
+def test_struct_pack_extract():
+    out = rewrite_sql("SELECT struct_pack(a := 1, b := x + 1) FROM t")
+    assert "named_struct('a', 1, 'b', x + 1)" in out
+    out = rewrite_sql("SELECT struct_extract(s, 'f1') FROM t")
+    assert "(s).`f1`" in out.replace("( s", "(s")
+
+
+def test_sha256_maps_to_sha2():
+    assert rewrite_sql("SELECT sha256(x) FROM t") == "SELECT sha2(x, 256) FROM t"
