@@ -109,6 +109,59 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         return []
 
 
+_RESPOOL_CACHE: dict[str, str] = {}
+_RESPOOL_MIN_BYTES = 2 << 20
+_RESPOOL_MAX_BYTES = 512 << 20
+_RESPOOL_ROWS_PER_FILE = 25_000
+
+
+def parallel_scan_path(path: str, max_files: int = 32) -> str:
+    """Make a base-table parquet file scannable in parallel.
+
+    Spark's scan split unit is the file (sliced by byte ranges that bind
+    to whole row groups), so a single-file single-row-group table — the
+    shape the driver's testdata ships in — reads as ONE task no matter
+    how many cores or executors exist, and every downstream stage
+    serializes behind it. DuckDB parallelizes inside a row group at
+    vector granularity, so it does not suffer this. Rewrite such files
+    once per process into an N-file spool with identical rows/schema; at
+    production scale ingest already lands many files/row groups and this
+    path is a no-op (gated to 2MB..512MB single-row-group local files).
+    """
+    p = os.path.abspath(path)
+    hit = _RESPOOL_CACHE.get(p)
+    if hit is not None:
+        return hit
+    try:
+        size = os.path.getsize(p)
+        if not (_RESPOOL_MIN_BYTES <= size <= _RESPOOL_MAX_BYTES):
+            _RESPOOL_CACHE[p] = p
+            return p
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(p)
+        if pf.metadata.num_row_groups > max(
+            2, pf.metadata.num_rows // _RESPOOL_ROWS_PER_FILE // 2
+        ):
+            _RESPOOL_CACHE[p] = p  # already splittable enough
+            return p
+        tbl = pq.read_table(p)
+        n = tbl.num_rows
+        nfiles = max(2, min(max_files, n // _RESPOOL_ROWS_PER_FILE + 1))
+        spool = tempfile.mkdtemp(prefix="ddbspark_spool_")
+        step = (n + nfiles - 1) // nfiles
+        for i in range(nfiles):
+            chunk = tbl.slice(i * step, step)
+            if chunk.num_rows == 0:
+                break
+            pq.write_table(chunk, os.path.join(spool, f"part-{i:04d}.parquet"))
+        _RESPOOL_CACHE[p] = spool
+        return spool
+    except Exception:  # noqa: BLE001
+        _RESPOOL_CACHE[p] = p
+        return p
+
+
 def read_file_table(
     spark: SparkSession,
     path: str,

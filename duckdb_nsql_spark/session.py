@@ -250,7 +250,9 @@ class DuckSparkSession:
 
         for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
             name = os.path.splitext(os.path.basename(f))[0]
-            self.register(name, io_utils.read_parquet_table(self.spark, f))
+            scan = io_utils.parallel_scan_path(f)
+            self.register(name, io_utils.read_parquet_table(self.spark, scan))
+            # original single file: SUMMARIZE's footer fast path keys off it
             self._table_files[name] = f
 
     def close(self) -> None:
