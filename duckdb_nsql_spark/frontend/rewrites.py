@@ -344,7 +344,13 @@ def pass_struct_literals(tokens: list[Token]) -> list[Token]:
             close = match_forward(tokens, i, "{", "}")
             inner = tokens[i + 1 : close]
             spans = split_args(inner, 0, len(inner))
-            new: list[Token] = [_ident("named_struct"), _punct("(")]
+            # ``MAP {'a': 1}`` (DuckDB map literal) -> map('a', 1, ...)
+            p = prev_sig(tokens, i)
+            is_map = p >= 0 and tokens[p].kind == IDENT and tokens[p].upper == "MAP"
+            if is_map:
+                i = p  # consume the MAP keyword too
+            fn = "map" if is_map else "named_struct"
+            new: list[Token] = [_ident(fn), _punct("(")]
             for n, (lo, hi) in enumerate(spans):
                 # each item:  key ':' value
                 k = lo
@@ -372,7 +378,10 @@ def pass_struct_literals(tokens: list[Token]) -> list[Token]:
                 if n:
                     new.append(_punct(","))
                     new.append(_ws())
-                new.append(_sql_str(key))
+                if is_map and key_tok.kind == NUMBER:
+                    new.append(Token(NUMBER, key_tok.text))
+                else:
+                    new.append(_sql_str(key))
                 new.append(_punct(","))
                 new.extend(inner[colon + 1 : hi])
             new.append(_punct(")"))
@@ -476,18 +485,45 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
                 in ("ARRAY", "SLICE", "SPLIT", "SEQUENCE", "COLLECT_LIST",
                     "ARRAY_AGG", "STRING_SPLIT", "STR_SPLIT", "LIST_VALUE",
                     "ARRAY_DISTINCT", "ARRAY_SORT", "SORT_ARRAY", "TRANSFORM",
-                    "FLATTEN", "ELEMENT_AT")
+                    "FLATTEN", "ELEMENT_AT", "MAP_EXTRACT", "MAP_KEYS",
+                    "MAP_VALUES")
                 and len(sig_base) > 1
                 and sig_base[1].kind == PUNCT
                 and sig_base[1].text == "("
             ):
                 kind = "array"
+        if kind is None and sig_base:
+            if (
+                sig_base[0].kind == IDENT
+                and sig_base[0].upper == "MAP"
+                and len(sig_base) > 1
+                and sig_base[1].kind == PUNCT
+                and sig_base[1].text == "("
+            ):
+                kind = "map"
         if kind is None and base_name is not None:
             kind = resolver.column_kind(base_name)
-        if kind is None:
-            kind = "string"
 
         inner = tokens[i + 1 : close]
+        sig_inner = [tk for tk in inner if tk.kind not in (WS, COMMENT)]
+        if len(sig_inner) == 1 and sig_inner[0].kind == STRING:
+            # subscript by KEY, not position. DuckDB: map['k'] yields the
+            # LIST of values for the key ([] when absent); struct['f'] is
+            # plain field access, which Spark's ['f'] already matches.
+            if kind == "map":
+                b = render(base)
+                k = render(sig_inner)
+                new = tokenize(
+                    f"(CASE WHEN map_contains_key({b}, {k}) THEN "
+                    f"array(({b})[{k}]) ELSE array() END)"
+                )
+                tokens = tokens[:start] + new + tokens[close + 1 :]
+                i = start + len(new)
+            else:
+                i = close + 1
+            continue
+        if kind is None:
+            kind = "string"
         # find top-level ':'
         colon = None
         depth = 0
@@ -1246,6 +1282,14 @@ _FN_MACROS = {
     # DuckDB xor() function -> Spark's ^ operator (safe AFTER
     # pass_caret_power has claimed user-written carets as exponentiation)
     "XOR": "({a} ^ {b})",
+    # DuckDB map_extract returns the LIST of values for the key
+    # ([] when absent) — not a scalar. Spelled with Spark's native map
+    # subscript, NOT element_at: an element_at in the expansion would
+    # re-trigger the ELEMENT_AT branch below and expand forever.
+    "MAP_EXTRACT": (
+        "(CASE WHEN map_contains_key({a}, {b}) "
+        "THEN array(({a})[{b}]) ELSE array() END)"
+    ),
 }
 
 def _series_sequence_sql(args: list[str], inclusive: bool) -> str:
@@ -1540,6 +1584,112 @@ def _primary_end(tokens: list[Token], s: int) -> Optional[int]:
         return j
 
 
+def _glob_to_regex(pat: str) -> str:
+    """DuckDB GLOB pattern (* ? [seq] [!seq], full match) -> Java regex."""
+    out = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = pat.find("]", i + 1)
+            if j < 0:
+                out.append(re.escape(c))
+            else:
+                seq = pat[i + 1 : j]
+                if seq.startswith("!"):
+                    seq = "^" + seq[1:]
+                out.append("[" + seq + "]")
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+def _is_binary_left(tokens: list[Token], i: int) -> bool:
+    p = prev_sig(tokens, i)
+    if p < 0:
+        return False
+    t = tokens[p]
+    if t.kind == IDENT:
+        return t.upper not in _NON_FN_KEYWORDS
+    return t.kind in (QIDENT, STRING, NUMBER) or (
+        t.kind == PUNCT and t.text in (")", "]")
+    )
+
+
+def _anchored_rlike(tokens: list[Token], i: int, ps: int, neg: bool) -> tuple:
+    """Replace tokens[i..pattern_end] with an anchored RLIKE (DuckDB's
+    ``~``/``SIMILAR TO`` are FULL-match regex — verified live: 'abc' ~
+    '^ab' is false, 'abc' ~ 'ab.' is true)."""
+    pe = _primary_end(tokens, ps) if ps < len(tokens) else None
+    if pe is None:
+        return tokens, None
+    p_txt = render(tokens[ps : pe + 1])
+    prefix = " NOT" if neg else ""
+    new = tokenize(f"{prefix} RLIKE concat('^(?:', {p_txt}, ')$')")
+    return tokens[:i] + new + tokens[pe + 1 :], i + len(new)
+
+
+def pass_regex_operators(tokens: list[Token]) -> list[Token]:
+    """Match operators Spark lacks: ``s ~ re`` / ``s !~ re`` and
+    ``SIMILAR TO`` (all FULL-match regex in DuckDB), ``GLOB`` (shell
+    pattern, full match). Spark parses a binary ``~`` as bitwise-NOT
+    garbage — silent misparse without this pass."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == OP and t.text == "~" and _is_binary_left(out, i):
+            ps = next_sig(out, i)
+            out2, ni = _anchored_rlike(out, i, ps, neg=False)
+            if ni is not None:
+                out, i = out2, ni
+                continue
+        if t.kind == OP and t.text == "!" and _is_binary_left(out, i):
+            n = next_sig(out, i)
+            if n < len(out) and out[n].kind == OP and out[n].text == "~":
+                ps = next_sig(out, n)
+                out2, ni = _anchored_rlike(out, i, ps, neg=True)
+                if ni is not None:
+                    out, i = out2, ni
+                    continue
+        if (
+            t.kind == IDENT
+            and t.upper == "SIMILAR"
+            and _is_binary_left(out, i)
+        ):
+            n = next_sig(out, i)
+            if n < len(out) and out[n].kind == IDENT and out[n].upper == "TO":
+                ps = next_sig(out, n)
+                pe = _primary_end(out, ps) if ps < len(out) else None
+                if pe is not None:
+                    p_txt = render(out[ps : pe + 1])
+                    new = tokenize(
+                        f" RLIKE concat('^(?:', {p_txt}, ')$')"
+                    )
+                    out = out[:i] + new + out[pe + 1 :]
+                    i += len(new)
+                    continue
+        if t.kind == IDENT and t.upper == "GLOB" and _is_binary_left(out, i):
+            ps = next_sig(out, i)
+            if ps < len(out) and out[ps].kind == STRING:
+                rx = _glob_to_regex(_str_value(out[ps]))
+                new = [_ws(), _ident("RLIKE"), _ws(), _sql_str(rx)]
+                out = out[:i] + new + out[ps + 1 :]
+                i += len(new)
+                continue
+            raise ValueError(
+                "GLOB requires a string-literal pattern in this engine"
+            )
+        i += 1
+    return out
+
+
 def pass_caret_power(tokens: list[Token]) -> list[Token]:
     """DuckDB ``^`` and ``**`` are EXPONENTIATION; Spark parses ``^`` as
     bitwise XOR — a silent value divergence (2 ^ 3 = 8.0 vs 1). Rewrite the
@@ -1808,6 +1958,27 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         expanded = "named_struct(" + ", ".join(parts) + ")"
                         out = out[:i] + tokenize(expanded) + out[c + 1 :]
                         continue
+                elif up == "ELEMENT_AT":
+                    # DuckDB element_at is a MAP accessor returning the
+                    # list of values for the key; only a string-literal key
+                    # marks that form (numeric second args are the array
+                    # element_at our own index rewrite emits — leave those)
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        btoks = _trim(out[spans[1][0] : spans[1][1]])
+                        if len(btoks) == 1 and btoks[0].kind == STRING:
+                            a_txt = render(_trim(out[spans[0][0] : spans[0][1]]))
+                            b_txt = render(btoks)
+                            # native subscript, not element_at — see
+                            # MAP_EXTRACT note (self-retrigger)
+                            expanded = (
+                                f"(CASE WHEN map_contains_key({a_txt}, {b_txt}) "
+                                f"THEN array(({a_txt})[{b_txt}]) "
+                                f"ELSE array() END)"
+                            )
+                            out = out[:i] + tokenize(expanded) + out[c + 1 :]
+                            continue
                 elif up == "STRUCT_EXTRACT":
                     # struct_extract(e, 'f') -> (e).`f`
                     c = match_forward(out, n, "(", ")")
@@ -1871,5 +2042,6 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_int_cast_rounds(tokens)
     tokens = pass_cast_type_names(tokens)
     tokens = pass_caret_power(tokens)
+    tokens = pass_regex_operators(tokens)
     tokens = pass_function_renames(tokens, resolver)
     return render(tokens)

@@ -292,7 +292,7 @@ class DuckSparkSession:
             "VALUES": self._query,
             "FROM": self._query,
             "TABLE": self._query,
-            "EXPLAIN": self._query,
+            "EXPLAIN": self._explain,
             "CREATE": self._create,
             "INSERT": self._insert,
             "UPDATE": self._update,
@@ -1070,6 +1070,10 @@ class DuckSparkSession:
                     if isinstance(f.dataType, T.ArrayType)
                     else "string"
                     if isinstance(f.dataType, T.StringType)
+                    else "map"
+                    if isinstance(f.dataType, T.MapType)
+                    else "struct"
+                    if isinstance(f.dataType, T.StructType)
                     else "other"
                 )
                 prev = kinds.get(f.name.lower())
@@ -1077,7 +1081,9 @@ class DuckSparkSession:
                     kinds[f.name.lower()] = k
                 # conflicting kinds across tables: keep first (best effort)
         self._kind_cache = {
-            k: v for k, v in kinds.items() if v in ("array", "string")
+            k: v
+            for k, v in kinds.items()
+            if v in ("array", "string", "map", "struct")
         }
         return self._kind_cache
 
@@ -1669,6 +1675,27 @@ class DuckSparkSession:
         else:
             df = self._query(body)
         return introspect.summarize_df(self.spark, df, file_hint=file_hint)
+
+    def _explain(self, sql: str) -> DataFrame:
+        """EXPLAIN passes through to Spark; EXPLAIN ANALYZE (DuckDB
+        profiling form) executes the query and returns the executed plan
+        in DuckDB's (explain_key, explain_value) shape."""
+        m = re.match(r"\s*EXPLAIN\s+ANALYZE\s+(.*)$", sql,
+                     re.IGNORECASE | re.DOTALL)
+        if not m:
+            return self._query(sql)
+        df = self._query(m.group(1))
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        schema = T.StructType(
+            [
+                T.StructField("explain_key", T.StringType(), False),
+                T.StructField("explain_value", T.StringType(), False),
+            ]
+        )
+        return introspect.local_df(
+            self.spark, [("analyzed_plan", plan)], schema
+        )
 
     def _describe(self, sql: str) -> DataFrame:
         body = re.sub(r"^\s*DESC(RIBE)?\s+(TABLE\s+)?", "", sql, flags=re.IGNORECASE).strip().rstrip(";")

@@ -915,6 +915,46 @@ _sql(
     """,
 )
 
+_sql(
+    "q72_map_ops",
+    """
+    SELECT r_regionkey,
+           map_extract(MAP {'k': r_name, 'n': 'x'}, 'k')[1] AS v,
+           map_extract(MAP {'k': r_name}, 'missing') AS empty_list,
+           CAST(cardinality(MAP {'a': 1, 'b': 2}) AS INTEGER) AS n,
+           map_keys(MAP {'a': 1, 'b': 2}) AS ks
+    FROM region ORDER BY r_regionkey
+    """,
+    oracle="""
+    SELECT r_regionkey,
+           map_extract(MAP {'k': r_name, 'n': 'x'}, 'k')[1] AS v,
+           map_extract(MAP {'k': r_name}, 'missing') AS empty_list,
+           CAST(cardinality(MAP {'a': 1, 'b': 2}) AS INTEGER) AS n,
+           map_keys(MAP {'a': 1, 'b': 2}) AS ks
+    FROM region ORDER BY r_regionkey
+    """,
+)
+
+_sql(
+    "q73_regex_operators",
+    """
+    SELECT c_custkey,
+           c_name ~ '0{3}1[0-9]$' AS m1,
+           c_name !~ '9$' AS m2,
+           c_mktsegment SIMILAR TO '[A-Z]+' AS m3,
+           c_name GLOB 'Customer#*1' AS m4
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+)
+
+_sql(
+    "q74_power_operator",
+    """
+    SELECT n_nationkey, n_nationkey ^ 2 AS sq, 2 ** n_regionkey AS p2
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles

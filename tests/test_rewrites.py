@@ -440,3 +440,33 @@ def test_struct_pack_extract():
 
 def test_sha256_maps_to_sha2():
     assert rewrite_sql("SELECT sha256(x) FROM t") == "SELECT sha2(x, 256) FROM t"
+
+
+def test_map_literal_and_extract():
+    out = rewrite_sql("SELECT MAP {'a': 1, 'b': 2} AS m")
+    assert "map('a', 1, 'b', 2)" in out and "MAP" not in out
+    out = rewrite_sql("SELECT map_extract(m, 'a') FROM t")
+    # DuckDB map_extract returns the LIST of values for the key
+    assert "map_contains_key" in out and "array((m)['a'])" in out.replace(
+        "( m", "(m"
+    )
+    out = rewrite_sql("SELECT element_at(m, 'a') FROM t")
+    assert "map_contains_key" in out
+    # numeric second arg (our own array form) is left alone
+    out = rewrite_sql("SELECT element_at(arr, 2) FROM t")
+    assert out == "SELECT element_at(arr, 2) FROM t"
+
+
+def test_regex_match_operators():
+    # DuckDB ~ / !~ / SIMILAR TO are FULL-match regex (verified live:
+    # 'abc' ~ '^ab' is false, 'abc' ~ 'ab.' is true)
+    out = rewrite_sql("SELECT x FROM t WHERE s ~ 'p'")
+    assert "RLIKE concat('^(?:', 'p', ')$')" in out
+    out = rewrite_sql("SELECT x FROM t WHERE s !~ 'p'")
+    assert "NOT RLIKE concat" in out.replace("NOT  RLIKE", "NOT RLIKE")
+    out = rewrite_sql("SELECT s SIMILAR TO 'ab.' FROM t")
+    assert "RLIKE concat('^(?:', 'ab.', ')$')" in out
+    out = rewrite_sql("SELECT s GLOB 'a?[!0-9]*' FROM t")
+    assert "RLIKE '^(?:a.[^0-9].*)$'" in out
+    # unary bitwise NOT untouched
+    assert rewrite_sql("SELECT ~5") == "SELECT ~5"
