@@ -99,7 +99,15 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         import pyarrow.dataset as ds
         import pyarrow as pa
 
-        schema = ds.dataset(globmod.glob(path) or path, format="parquet").schema
+        # ds.dataset accepts a dir/file path directly but NOT a dir inside
+        # a list — only glob-expand when the path actually has wildcards
+        # (a respool dir passed through a glob list silently lost nanos
+        # detection, leaving events.ts a raw BIGINT at sf>=0.1)
+        if any(ch in path for ch in "*?["):
+            src = globmod.glob(path) or path
+        else:
+            src = path
+        schema = ds.dataset(src, format="parquet").schema
         return [
             f.name
             for f in schema

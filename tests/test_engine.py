@@ -424,3 +424,34 @@ def test_cte_materialization_repeated_ref(loaded_engine):
         "SELECT n + 0 AS n FROM m"
     )
     assert df2.collect()[0]["n"] == 25
+
+
+def test_respool_preserves_nanos_timestamp_cast(spark, tmp_path):
+    """A >2MB single-row-group parquet with TIMESTAMP(NANOS) columns gets
+    respooled into a directory; nanos detection must still fire on the
+    directory so ts surfaces as TIMESTAMP, not epoch-nanos BIGINT
+    (regression: sf0.1 events.parquet)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from duckdb_nsql_spark import io_utils
+
+    n = 400_000
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [1_700_000_000_000_000_000 + i * 1_000_000_000 for i in range(n)],
+                type=pa.timestamp("ns"),
+            ),
+            "pad": pa.array([f"row-{i:020d}" for i in range(n)]),
+        }
+    )
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(tbl, p, row_group_size=n)
+    scan = io_utils.parallel_scan_path(p)
+    assert scan != p and os.path.isdir(scan)  # actually respooled
+    df = io_utils.read_parquet_table(spark, scan)
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    first = df.orderBy("ts").first()
+    assert first.ts.year == 2023
