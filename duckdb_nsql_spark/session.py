@@ -83,7 +83,7 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16MB",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1MB",
     # 8MB keeps every dimension table on the build side while the fact
     # tables (lineitem is 10.8MB at sf0.1, and only grows with SF) stay on
     # the stream side. The previous 64MB made Catalyst broadcast the
@@ -126,11 +126,11 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # coalesce aggressively toward few large post-shuffle partitions:
-        # cuts task-scheduling overhead ~25% on small SFs and is also the
-        # right shape at scale (64MB advisory targets)
+        # 64MB advisory post-shuffle partitions at scale; minPartitionSize
+        # stays at Spark's 1MB default so parallelismFirst keeps small
+        # shuffles wide locally (16MB collapsed sub-16MB reduces to 1 task)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16MB")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB")
         # see RUNTIME_CONFS: dims broadcast, facts never do
         .config("spark.sql.autoBroadcastJoinThreshold", "8MB")
         # see RUNTIME_CONFS: undo parquet-compression underestimates
