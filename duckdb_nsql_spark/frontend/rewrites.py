@@ -1217,7 +1217,6 @@ _SIMPLE_RENAMES = {
     "LIST_FILTER": "filter",
     "LIST_MIN": "array_min",
     "LIST_MAX": "array_max",
-    "LIST_SORT": "sort_array",
     "LIST_DISTINCT": "array_distinct",
     "LIST_CONCAT": "concat",
     "LIST_APPEND": "array_append",
@@ -1252,6 +1251,25 @@ _SIMPLE_RENAMES = {
     "LIST": "collect_list",
     "TO_BASE64": "base64",
     "FROM_BASE64": "unbase64",
+    "TO_HEX": "hex",
+    "FROM_HEX": "unhex",
+    "UNHEX": "unhex",
+    "UNICODE": "ascii",
+    "ORD": "ascii",
+    # DuckDB list_position/list_indexof return 0 on a miss, like Spark
+    "LIST_POSITION": "array_position",
+    "LIST_INDEXOF": "array_position",
+    "LIST_ZIP": "arrays_zip",
+    "LIST_INTERSECT": "array_intersect",
+    "ARBITRARY": "any_value",
+    # Kahan-compensated float aggs: Spark's sum/avg (values agree; the
+    # compensation is a single-node numerical nicety, meaningless once the
+    # sum is a distributed two-phase merge)
+    "FSUM": "sum",
+    "SUMKAHAN": "sum",
+    "KAHAN_SUM": "sum",
+    "FAVG": "avg",
+    "APPROX_QUANTILE": "approx_percentile",
 }
 
 # macros expanded into pure Spark expressions over the argument spans
@@ -1356,6 +1374,7 @@ def _time_bucket_sql(months: int, secs: int, ts: str) -> str:
     anchored at 2000-01-03 (Monday — so '7 days' buckets are ISO weeks).
     Fixed-width intervals bucket on epoch seconds; month multiples on
     months_between."""
+    ts = f"CAST({ts} AS TIMESTAMP)"  # DATE args work too (DuckDB accepts both)
     if secs:
         o, s = _TIME_BUCKET_ORIGIN, secs
         return (
@@ -1425,6 +1444,93 @@ _DATE_PART_MACROS = {
     "isodow": "(weekday({x}) + 1)",
     "doy": "dayofyear({x})",
     "dayofyear": "dayofyear({x})",
+    "century": "CAST(ceil(year({x}) / 100.0) AS BIGINT)",
+    "decade": "CAST(floor(year({x}) / 10) AS BIGINT)",
+    "millennium": "CAST(ceil(year({x}) / 1000.0) AS BIGINT)",
+    "isoyear": "extract(YEAROFWEEK FROM {x})",
+    "epoch": "(unix_micros(CAST({x} AS TIMESTAMP)) / 1e6)",
+}
+
+# Arity-dispatched macros producing FINAL Spark text: argument spans are
+# pre-rewritten recursively, then the expansion is spliced in and the scan
+# advances PAST it (never re-scanned) — so templates may safely mention
+# names that are themselves dialect-mapped (skewness, weekday, trim, ...).
+# DuckDB semantics verified against duckdb 1.x (see tests/test_rewrites.py).
+_FN_MACROS_N: dict[str, dict[int, str]] = {
+    # char-set trims (DuckDB trim(s, chars); Spark needs TRIM(BOTH..FROM..))
+    "TRIM": {2: "TRIM(BOTH {1} FROM {0})"},
+    "LTRIM": {2: "TRIM(LEADING {1} FROM {0})"},
+    "RTRIM": {2: "TRIM(TRAILING {1} FROM {0})"},
+    # numbers
+    "TO_BASE": {2: "conv({0}, 10, {1})"},
+    "EVEN": {1: "(ceil(abs({0}) / 2) * 2 * (CASE WHEN ({0}) < 0 THEN -1 ELSE 1 END))"},
+    # Spark NaN = NaN is TRUE, so equality IS the NaN test (and NULL
+    # propagates, matching DuckDB — Spark's own isnan(NULL) is false)
+    "ISNAN": {1: "(({0}) = double('NaN'))"},
+    "ISINF": {1: "(abs(CAST(({0}) AS DOUBLE)) = double('Infinity'))"},
+    "ISFINITE": {
+        1: "(CASE WHEN ({0}) = double('NaN') THEN false "
+           "ELSE abs(CAST(({0}) AS DOUBLE)) <> double('Infinity') END)"
+    },
+    # 1-arg trunc: toward-zero truncation keeping the numeric value
+    "TRUNC": {1: "(floor(abs({0})) * CASE WHEN ({0}) < 0 THEN -1 ELSE 1 END)"},
+    # DuckDB fdiv/fmod are FLOORED division/modulo (sign of divisor)
+    "FDIV": {2: "floor(({0}) / ({1}))"},
+    "FMOD": {2: "(({0}) - floor(({0}) / ({1})) * ({1}))"},
+    # dates
+    "YEARWEEK": {1: "(extract(YEAROFWEEK FROM {0}) * 100 + weekofyear({0}))"},
+    "CENTURY": {1: "CAST(ceil(year({0}) / 100.0) AS BIGINT)"},
+    "DECADE": {1: "CAST(floor(year({0}) / 10) AS BIGINT)"},
+    "MILLENNIUM": {1: "CAST(ceil(year({0}) / 1000.0) AS BIGINT)"},
+    "ISOYEAR": {1: "extract(YEAROFWEEK FROM {0})"},
+    # DuckDB dayofweek/weekday: Sunday=0..Saturday=6; isodow: Mon=1..Sun=7
+    "DAYOFWEEK": {1: "(dayofweek({0}) - 1)"},
+    "WEEKDAY": {1: "(dayofweek({0}) - 1)"},
+    "ISODOW": {1: "(weekday({0}) + 1)"},
+    # lists
+    "LIST_REVERSE_SORT": {1: "sort_array({0}, false)"},
+    "LIST_SLICE": {3: "slice({0}, {1}, greatest(({2}) - ({1}) + 1, 0))"},
+    "ARRAY_SLICE": {3: "slice({0}, {1}, greatest(({2}) - ({1}) + 1, 0))"},
+    "LIST_REDUCE": {
+        2: "aggregate(slice({0}, 2, greatest(size({0}) - 1, 0)), "
+           "try_element_at({0}, 1), {1})"
+    },
+    "LIST_ANY_VALUE": {1: "try_element_at(filter({0}, x -> x IS NOT NULL), 1)"},
+    # indices that would sort the list ascending, nulls last (APL grade-up)
+    "LIST_GRADE_UP": {
+        1: "transform(array_sort(zip_with({0}, sequence(1, size({0})), "
+           "(v, i) -> struct(v AS v, i AS i)), "
+           "(x, y) -> CASE WHEN x.v IS NULL AND y.v IS NULL THEN 0 "
+           "WHEN x.v IS NULL THEN 1 WHEN y.v IS NULL THEN -1 "
+           "WHEN x.v < y.v THEN -1 WHEN x.v > y.v THEN 1 ELSE 0 END), "
+           "s -> s.i)"
+    },
+    "LIST_HAS_ALL": {2: "forall({1}, x -> array_contains({0}, x))"},
+    # aggregates
+    "GEOMEAN": {1: "exp(avg(ln({0})))"},
+    "GEOMETRIC_MEAN": {1: "exp(avg(ln({0})))"},
+    # DuckDB reports SAMPLE-corrected moments (G1/G2); Spark population g1/g2
+    "SKEWNESS": {
+        1: "(skewness({0}) * sqrt(count({0}) * (count({0}) - 1.0)) / (count({0}) - 2))"
+    },
+    "KURTOSIS": {
+        1: "((count({0}) - 1.0) / ((count({0}) - 2) * (count({0}) - 3)) "
+           "* ((count({0}) + 1) * kurtosis({0}) + 6))"
+    },
+    "KURTOSIS_POP": {1: "kurtosis({0})"},
+    "RESERVOIR_QUANTILE": {
+        2: "approx_percentile({0}, {1})",
+        3: "approx_percentile({0}, {1})",
+    },
+    # value-frequency map ordered by key (small-group collect_list scan;
+    # DuckDB histogram returns MAP(key -> count))
+    "HISTOGRAM": {
+        1: "map_from_entries(transform(array_sort(array_distinct("
+           "collect_list({0}))), v -> struct(v, "
+           "size(filter(collect_list({0}), y -> y = v)))))"
+    },
+    # engine typename, translated to DuckDB spelling by a registered UDF
+    "TYPEOF": {1: "duckdb_typename(typeof({0}))"},
 }
 
 
@@ -1700,6 +1806,12 @@ def pass_caret_power(tokens: list[Token]) -> list[Token]:
     i = 0
     while i < len(out):
         t = out[i]
+        if t.kind == OP and t.text == "//":
+            # DuckDB floor-division -> Spark's integral `div` (same
+            # precedence tier; truncation matches for integer operands)
+            out[i : i + 1] = [_ws(), _ident("div"), _ws()]
+            i += 3
+            continue
         if t.kind == OP and t.text in ("^", "**"):
             lp = prev_sig(out, i)
             rp = next_sig(out, i)
@@ -1716,6 +1828,75 @@ def pass_caret_power(tokens: list[Token]) -> list[Token]:
             new = tokenize(f"power({l_txt}, {r_txt})")
             out = out[:lstart] + new + out[rend + 1 :]
             i = lstart + len(new)
+            continue
+        i += 1
+    return out
+
+
+def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
+    """DuckDB ``DATE +/- INTERVAL`` yields a TIMESTAMP (even for day
+    intervals); Spark keeps DATE. Wrap the left operand of a ``+ INTERVAL``
+    / ``- INTERVAL`` in CAST(.. AS TIMESTAMP) — a no-op when it is already
+    a timestamp, the DuckDB promotion when it is a date or date-string.
+
+    Skipped when the left side is itself an interval (interval+interval),
+    a keyword (unary ``- INTERVAL`` after SELECT/comma/BETWEEN/AND), or
+    absent."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "INTERVAL":
+            op_i = prev_sig(out, i)
+            if not (
+                op_i >= 0
+                and out[op_i].kind == OP
+                and out[op_i].text in ("+", "-")
+            ):
+                i += 1
+                continue
+            lstart = primary_start(out, op_i)
+            # extend over ::-cast chains (x::DATE + INTERVAL ..) and a
+            # leading CAST/TRY_CAST keyword the primary walk won't swallow
+            while True:
+                k = prev_sig(out, lstart)
+                if k >= 0 and out[k].kind == OP and out[k].text == "::":
+                    lstart = primary_start(out, k)
+                elif (
+                    k >= 0
+                    and out[k].kind == IDENT
+                    and out[k].upper in ("CAST", "TRY_CAST")
+                    and out[lstart].kind == PUNCT
+                    and out[lstart].text == "("
+                ):
+                    lstart = k
+                elif (
+                    k >= 0
+                    and out[k].kind == IDENT
+                    and out[k].upper in ("DATE", "TIMESTAMP", "TIMESTAMPTZ", "TIME")
+                    and out[lstart].kind == STRING
+                ):
+                    lstart = k  # typed literal: DATE '2024-01-31'
+                else:
+                    break
+            from .tokenizer import _KEYWORDS
+
+            lexpr = _trim(out[lstart:op_i])
+            if (
+                not lexpr
+                or (lexpr[0].kind == IDENT and lexpr[0].upper in _KEYWORDS)
+                or lexpr[0].is_kw("INTERVAL")
+            ):
+                i += 1
+                continue
+            new = (
+                [_ident("CAST"), _punct("(")]
+                + lexpr
+                + [_ws(), _ident("AS"), _ws(), _ident("TIMESTAMP"), _punct(")"), _ws()]
+            )
+            out = out[:lstart] + new + out[op_i:]
+            i = i + (len(new) - (op_i - lstart))
+            i += 1
             continue
         i += 1
     return out
@@ -1799,9 +1980,47 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             part = _str_value(sig1[0]).lower()
                             macro = _DATE_PART_MACROS.get(part)
                             if macro is not None:
-                                x_txt = render(_trim(out[spans[1][0] : spans[1][1]]))
-                                out = out[:i] + tokenize(macro.replace("{x}", x_txt)) + out[c + 1 :]
+                                # pre-rewrite the arg, splice FINAL text and
+                                # advance: the expansions mention weekday/
+                                # dayofweek, which are themselves dialect-
+                                # mapped names (re-scan would double-shift)
+                                x_txt = render(
+                                    pass_function_renames(
+                                        _trim(out[spans[1][0] : spans[1][1]]),
+                                        resolver,
+                                    )
+                                )
+                                new_toks = tokenize(macro.replace("{x}", x_txt))
+                                out = out[:i] + new_toks + out[c + 1 :]
+                                i += len(new_toks)
                                 continue
+                elif up == "EXTRACT":
+                    # extract(dow FROM x) — same numbering conventions as
+                    # date_part; non-divergent fields pass through native
+                    c = match_forward(out, n, "(", ")")
+                    sig = [k for k in range(n + 1, c)
+                           if out[k].kind not in (WS, COMMENT)]
+                    if (
+                        len(sig) >= 3
+                        and out[sig[0]].kind in (IDENT, STRING)
+                        and out[sig[1]].is_kw("FROM")
+                    ):
+                        part = (
+                            _str_value(out[sig[0]])
+                            if out[sig[0]].kind == STRING
+                            else out[sig[0]].text
+                        ).lower()
+                        macro = _DATE_PART_MACROS.get(part)
+                        if macro is not None:
+                            x_txt = render(
+                                pass_function_renames(
+                                    _trim(out[sig[1] + 1 : c]), resolver
+                                )
+                            )
+                            new_toks = tokenize(macro.replace("{x}", x_txt))
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
                 elif up in ("STRING_AGG", "LISTAGG"):
                     # DuckDB puts ORDER BY inside the call; Spark's listagg
                     # takes it as WITHIN GROUP (ORDER BY ...)
@@ -1991,6 +2210,155 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             expanded = f"(({a_txt}).`{fld}`)"
                             out = out[:i] + tokenize(expanded) + out[c + 1 :]
                             continue
+                elif up in ("FIRST", "LAST"):
+                    # DuckDB first/last with in-call ORDER BY -> min_by /
+                    # max_by (single reduction, no sort — the scale-correct
+                    # plan). Orderless first/last pass through to Spark's.
+                    c = match_forward(out, n, "(", ")")
+                    depth = 0
+                    p = None
+                    for k in range(n + 1, c):
+                        tk = out[k]
+                        if tk.kind == PUNCT and tk.text in "([{":
+                            depth += 1
+                        elif tk.kind == PUNCT and tk.text in ")]}":
+                            depth -= 1
+                        elif depth == 0 and tk.kind == IDENT and tk.upper == "ORDER":
+                            p = k
+                            break
+                    if p is not None:
+                        by = next_sig(out, p)
+                        if by < c and out[by].is_kw("BY"):
+                            keys, dirs = [], []
+                            bad = False
+                            for klo, khi in split_args(out, by + 1, c):
+                                ktoks = _trim(out[klo:khi])
+                                d = "ASC"
+                                if ktoks and ktoks[-1].kind == IDENT and \
+                                        ktoks[-1].upper in ("ASC", "DESC"):
+                                    d = ktoks[-1].upper
+                                    ktoks = _trim(ktoks[:-1])
+                                if not ktoks:
+                                    bad = True
+                                    break
+                                keys.append(render(
+                                    pass_function_renames(ktoks, resolver)))
+                                dirs.append(d)
+                            if not bad and len(set(dirs)) == 1:
+                                v_txt = render(pass_function_renames(
+                                    _trim(out[n + 1 : p]), resolver))
+                                k_txt = (keys[0] if len(keys) == 1
+                                         else "struct(" + ", ".join(keys) + ")")
+                                takes_min = (up == "FIRST") == (dirs[0] == "ASC")
+                                fn = "min_by" if takes_min else "max_by"
+                                new_toks = tokenize(f"{fn}({v_txt}, {k_txt})")
+                                out = out[:i] + new_toks + out[c + 1 :]
+                                i += len(new_toks)
+                                continue
+                elif up == "FORMAT":
+                    # DuckDB fmt-style format('{} x {}', ...) ->
+                    # format_string('%s x %s', ...); positional {N} -> %N+1$s
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    fsig = _trim(out[spans[0][0] : spans[0][1]]) if spans else []
+                    if (
+                        len(spans) >= 2
+                        and len(fsig) == 1
+                        and fsig[0].kind == STRING
+                        and not re.search(r"\{[^}]*:", fsig[0].text)
+                    ):
+                        fmt = _str_value(fsig[0]).replace("%", "%%")
+                        fmt = re.sub(r"\{(\d+)\}", lambda m: f"%{int(m.group(1)) + 1}$s", fmt)
+                        fmt = fmt.replace("{}", "%s")
+                        args = [
+                            render(pass_function_renames(_trim(out[lo:hi]), resolver))
+                            for lo, hi in spans[1:]
+                        ]
+                        expanded = (
+                            "format_string('" + fmt.replace("'", "''") + "', "
+                            + ", ".join(args) + ")"
+                        )
+                        new_toks = tokenize(expanded)
+                        out = out[:i] + new_toks + out[c + 1 :]
+                        i += len(new_toks)
+                        continue
+                elif up == "LIST_SORT":
+                    # DuckDB list_sort: nulls LAST both directions. Spark:
+                    # array_sort = asc nulls last; sort_array(x,false) =
+                    # desc nulls last.
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    dir_up = "ASC"
+                    ok = len(spans) == 1
+                    if len(spans) == 2:
+                        dsig = _trim(out[spans[1][0] : spans[1][1]])
+                        if len(dsig) == 1 and dsig[0].kind == STRING:
+                            dir_up = _str_value(dsig[0]).strip().upper()
+                            ok = True
+                    if ok:
+                        a_txt = render(pass_function_renames(
+                            _trim(out[spans[0][0] : spans[0][1]]), resolver))
+                        expanded = (
+                            f"sort_array({a_txt}, false)"
+                            if dir_up.startswith("DESC")
+                            else f"array_sort({a_txt})"
+                        )
+                        new_toks = tokenize(expanded)
+                        out = out[:i] + new_toks + out[c + 1 :]
+                        i += len(new_toks)
+                        continue
+                elif up in ("LIST_AGGREGATE", "LIST_AGGR", "ARRAY_AGGREGATE",
+                            "ARRAY_AGGR"):
+                    # list_aggregate(l, 'sum') -> list_sum(l), re-scanned so
+                    # the list_* macro battery applies
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        fsig = _trim(out[spans[1][0] : spans[1][1]])
+                        if len(fsig) == 1 and fsig[0].kind == STRING:
+                            fn = _str_value(fsig[0]).strip().lower()
+                            if re.fullmatch(r"[a-z_][a-z0-9_]*", fn):
+                                a_toks = _trim(out[spans[0][0] : spans[0][1]])
+                                new = (
+                                    [_ident("list_" + fn), _punct("(")]
+                                    + a_toks
+                                    + [_punct(")")]
+                                )
+                                out = out[:i] + new + out[c + 1 :]
+                                continue
+                elif up == "DATE_ADD":
+                    # DuckDB date_add(date, INTERVAL ..) -> TIMESTAMP; with
+                    # an integer second arg both engines mean day-add
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        bsig = _trim(out[spans[1][0] : spans[1][1]])
+                        if bsig and bsig[0].is_kw("INTERVAL"):
+                            a_txt = render(pass_function_renames(
+                                _trim(out[spans[0][0] : spans[0][1]]), resolver))
+                            b_txt = render(bsig)
+                            new_toks = tokenize(
+                                f"(CAST({a_txt} AS TIMESTAMP) + {b_txt})"
+                            )
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
+                elif up in _FN_MACROS_N:
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    tmpl = _FN_MACROS_N[up].get(len(spans))
+                    if tmpl is not None:
+                        args = [
+                            render(pass_function_renames(_trim(out[lo:hi]), resolver))
+                            for lo, hi in spans
+                        ]
+                        expanded = re.sub(
+                            r"\{(\d)\}", lambda m: args[int(m.group(1))], tmpl
+                        )
+                        new_toks = tokenize(expanded)
+                        out = out[:i] + new_toks + out[c + 1 :]
+                        i += len(new_toks)
+                        continue
                 elif up in _FN_MACROS_1:
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
@@ -2043,5 +2411,6 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_cast_type_names(tokens)
     tokens = pass_caret_power(tokens)
     tokens = pass_regex_operators(tokens)
+    tokens = pass_date_interval_arith(tokens)
     tokens = pass_function_renames(tokens, resolver)
     return render(tokens)

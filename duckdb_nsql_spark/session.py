@@ -178,6 +178,9 @@ class DuckSparkSession:
     def __init__(self, spark: Optional[SparkSession] = None, **spark_kwargs):
         self.spark = spark or build_spark(**spark_kwargs)
         apply_runtime_confs(self.spark)
+        from .functions import register_python_functions
+
+        register_python_functions(self.spark)
         # Sessions are isolated catalogs (like duckdb.connect()): every
         # registered table's temp view is prefixed with the session id and
         # query-time table references are rewritten to the prefixed names,
@@ -344,7 +347,31 @@ class DuckSparkSession:
         wrapped = self._where_alias_wrap(sql)
         if wrapped is not None:
             sql = wrapped
-        return self.spark.sql(self._rewrite_query(sql))
+        return self._coerce_day_intervals(
+            self.spark.sql(self._rewrite_query(sql))
+        )
+
+    @staticmethod
+    def _coerce_day_intervals(df: DataFrame) -> DataFrame:
+        """DuckDB ``DATE - DATE`` is a BIGINT day count; Spark produces
+        ``INTERVAL DAY``. A day-to-day interval column arises exactly from
+        date subtraction, so cast those result columns to their day count.
+        (Sub-day intervals — timestamp arithmetic — stay intervals, as in
+        DuckDB.) Schema-only inspection: no job is triggered."""
+        try:
+            from pyspark.sql.types import DayTimeIntervalType
+        except ImportError:  # pragma: no cover
+            return df
+        hits = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, DayTimeIntervalType)
+            and f.dataType.startField == DayTimeIntervalType.DAY
+            and f.dataType.endField == DayTimeIntervalType.DAY
+        ]
+        for name in hits:
+            df = df.withColumn(name, df[name].cast("bigint"))
+        return df
 
     def _where_alias_wrap(self, sql: str) -> Optional[str]:
         """DuckDB lets WHERE reference a SELECT-list alias (``SELECT *,

@@ -955,6 +955,142 @@ _sql(
     """,
 )
 
+_sql(
+    "q75_trim_char_sets",
+    """
+    SELECT c_custkey,
+           trim(c_name, 'Custoemr#0') AS t,
+           ltrim(c_name, 'Custome') AS lt,
+           rtrim(c_name, '0123456789') AS rt,
+           trim('  pad  ') AS plain
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+)
+
+_sql(
+    "q76_math_edge_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(even(l_quantity / 7) AS DOUBLE) AS ev,
+           CAST(trunc(l_extendedprice / 1000) AS BIGINT) AS tr,
+           CAST(fdiv(l_extendedprice, l_quantity + 1) AS BIGINT) AS fd,
+           round(fmod(l_extendedprice, l_quantity + 1), 6) AS fm,
+           l_orderkey // 3 AS intdiv,
+           to_base(CAST(l_orderkey AS INTEGER), 2) AS b2,
+           to_hex(CAST(l_orderkey AS INTEGER)) AS hx,
+           isnan(CAST('NaN' AS DOUBLE)) AS nan_t,
+           isinf(CAST('Infinity' AS DOUBLE)) AS inf_t,
+           isfinite(l_extendedprice) AS fin_t,
+           signbit(0.0 - l_extendedprice) AS sb
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200
+    """,
+)
+
+_sql(
+    "q77_first_last_ordered",
+    """
+    SELECT o_orderpriority,
+           first(o_orderstatus ORDER BY o_orderdate, o_orderkey) AS first_clerk,
+           last(o_orderstatus ORDER BY o_orderdate, o_orderkey) AS last_clerk,
+           first(o_totalprice ORDER BY o_orderkey DESC) AS newest_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+_sql(
+    "q78_moment_aggs",
+    """
+    SELECT o_orderpriority,
+           round(skewness(o_totalprice), 6) AS skew,
+           round(kurtosis(o_totalprice), 6) AS kurt,
+           round(geomean(o_totalprice), 4) AS geo,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+# Arrow-batched python aggregates (Spark can't nest aggregation in one
+# level: entropy/mad need the group's full value distribution). Grouped-agg
+# pandas UDFs can't mix with JVM aggregates in one GROUP BY, hence the
+# separate query.
+_sql(
+    "q83_python_aggs",
+    """
+    SELECT o_orderpriority,
+           round(entropy(o_orderstatus), 6) AS ent,
+           round(mad(o_totalprice), 4) AS mad_v,
+           CAST(product(CASE WHEN o_orderkey % 500 = 0 THEN 2 ELSE 1 END)
+                AS DOUBLE) AS prod
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+_sql(
+    "q79_list_function_batch",
+    """
+    SELECT n_nationkey,
+           list_sort(string_split(n_name, 'A'), 'DESC') AS parts_desc,
+           list_slice([1, 2, 3, 4, 5], 2, n_nationkey % 5 + 1) AS sl,
+           list_reduce([1, 2, 3, n_nationkey], (a, b) -> a + b) AS red,
+           list_any_value([NULL, n_nationkey, 99]) AS anyv,
+           list_grade_up([n_nationkey % 3, 10 - n_nationkey % 4, 5]) AS gup,
+           CAST(list_aggregate([n_nationkey, 2, 3], 'sum') AS DOUBLE) AS lsum,
+           list_position([5, n_nationkey, 7], 7) AS pos,
+           list_has_all([1, 2, 3, 4], [2, n_nationkey % 4]) AS hasall
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+_sql(
+    "q80_string_distances",
+    """
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000001') AS lev,
+           damerau_levenshtein(substr(c_name, 10), '000000001') AS dlev,
+           round(jaccard(c_name, c_mktsegment), 6) AS jac,
+           round(jaro_similarity(c_name, c_mktsegment), 6) AS jaro,
+           round(jaro_winkler_similarity(c_name, c_mktsegment), 6) AS jw,
+           hamming(substr(c_name, 1, 8), 'Customer') AS ham,
+           nfc_normalize(c_name) AS nfc,
+           strip_accents(c_mktsegment || 'é') AS sa
+    FROM customer ORDER BY c_custkey LIMIT 200
+    """,
+)
+
+_sql(
+    "q81_date_conventions",
+    """
+    SELECT o_orderkey,
+           CAST(yearweek(o_orderdate) AS BIGINT) AS yw,
+           CAST(century(o_orderdate) AS BIGINT) AS cen,
+           CAST(decade(o_orderdate) AS BIGINT) AS dcd,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dw,
+           CAST(isodow(o_orderdate) AS BIGINT) AS idw,
+           CAST(extract(dow FROM o_orderdate) AS BIGINT) AS dw2,
+           CAST(date_part('isoyear', o_orderdate) AS BIGINT) AS iy,
+           o_orderdate + INTERVAL 10 DAY AS plus10,
+           o_orderdate - DATE '1995-01-01' AS days_since,
+           CAST(time_bucket(INTERVAL 1 WEEK, CAST(o_orderdate AS TIMESTAMP))
+                AS DATE) AS wk
+    FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+)
+
+_sql(
+    "q82_format_typeof_bar",
+    """
+    SELECT r_regionkey,
+           format('{} -> {}', r_name, r_regionkey) AS f1,
+           format('{1}/{0}', r_name, r_regionkey) AS f2,
+           typeof(r_name) AS t1,
+           typeof(r_regionkey) AS t2,
+           typeof([1, 2]) AS t3,
+           bar(r_regionkey, 0, 4, 10) AS b
+    FROM region ORDER BY r_regionkey
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles

@@ -217,12 +217,20 @@ AGG_EXPRS: list[tuple[str, str]] = [
 
 
 def canon(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return f"{v:.9g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict) and set(v) == {"key", "value"} and \
+            isinstance(v.get("key"), list):
+        # duckdb's python client renders MAP as {'key': [...], 'value': [...]}
+        v = dict(zip(v["key"], v["value"]))
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
     if isinstance(v, bytes):

@@ -470,3 +470,114 @@ def test_regex_match_operators():
     assert "RLIKE '^(?:a.[^0-9].*)$'" in out
     # unary bitwise NOT untouched
     assert rewrite_sql("SELECT ~5") == "SELECT ~5"
+
+
+def test_trim_char_set_forms():
+    out = rewrite_sql("SELECT trim(s, 'x') FROM t")
+    assert "TRIM(BOTH 'x' FROM s)" in out
+    out = rewrite_sql("SELECT ltrim(s, 'x'), rtrim(s, 'y') FROM t")
+    assert "TRIM(LEADING 'x' FROM s)" in out
+    assert "TRIM(TRAILING 'y' FROM s)" in out
+    # 1-arg forms pass through to Spark's own trim family
+    assert rewrite_sql("SELECT trim(s) FROM t") == "SELECT trim(s) FROM t"
+
+
+def test_floor_division_operator():
+    out = rewrite_sql("SELECT 7//2, a // b FROM t")
+    assert "7 div 2" in out and "a  div  b" in out.replace("a   div", "a  div")
+
+
+def test_first_last_order_by():
+    out = rewrite_sql("SELECT first(x ORDER BY k) FROM t")
+    assert "min_by(x, k)" in out
+    out = rewrite_sql("SELECT first(x ORDER BY k DESC) FROM t")
+    assert "max_by(x, k)" in out
+    out = rewrite_sql("SELECT last(x ORDER BY k) FROM t")
+    assert "max_by(x, k)" in out
+    out = rewrite_sql("SELECT last(p + 1 ORDER BY k1, k2 DESC) FROM t")
+    # mixed directions are left alone (errs loudly downstream)
+    assert "last(" in out
+    out = rewrite_sql("SELECT first(v ORDER BY a, b) FROM t")
+    assert "min_by(v, struct(a, b))" in out
+    # orderless first/last stay native
+    assert rewrite_sql("SELECT first(x) FROM t") == "SELECT first(x) FROM t"
+
+
+def test_date_interval_promotes_to_timestamp():
+    out = rewrite_sql("SELECT d + INTERVAL 1 MONTH FROM t")
+    assert "CAST(d AS TIMESTAMP) + INTERVAL 1 MONTH" in out
+    out = rewrite_sql("SELECT DATE '2024-01-31' + INTERVAL 1 DAY")
+    assert "CAST(DATE '2024-01-31' AS TIMESTAMP)" in out
+    out = rewrite_sql("SELECT d::DATE - INTERVAL 3 DAY FROM t")
+    assert "CAST(CAST(round(d) AS" not in out  # DATE is not an int cast
+    assert "- INTERVAL 3 DAY" in out and "AS TIMESTAMP)" in out
+    # interval + interval untouched
+    out = rewrite_sql("SELECT INTERVAL 1 DAY + INTERVAL 2 DAY")
+    assert "CAST(INTERVAL" not in out
+    # unary minus (no left operand) untouched
+    out = rewrite_sql("SELECT - INTERVAL 1 DAY")
+    assert "CAST" not in out
+    # date_add with an interval second arg
+    out = rewrite_sql("SELECT date_add(d, INTERVAL 1 MONTH) FROM t")
+    assert "(CAST(d AS TIMESTAMP) + INTERVAL 1 MONTH)" in out
+    # date_add(d, int) stays native (same day-add semantics both engines)
+    assert rewrite_sql("SELECT date_add(d, 3)") == "SELECT date_add(d, 3)"
+
+
+def test_dow_convention_functions():
+    out = rewrite_sql("SELECT dayofweek(d), isodow(d) FROM t")
+    assert "(dayofweek(d) - 1)" in out and "(weekday(d) + 1)" in out
+    out = rewrite_sql("SELECT extract(dow FROM d) FROM t")
+    assert "(dayofweek(d) - 1)" in out
+    out = rewrite_sql("SELECT yearweek(d) FROM t")
+    assert "YEAROFWEEK" in out and "* 100 + weekofyear(d)" in out
+
+
+def test_list_sort_null_order():
+    # DuckDB list_sort: nulls LAST both directions
+    out = rewrite_sql("SELECT list_sort(l) FROM t")
+    assert "array_sort(l)" in out
+    out = rewrite_sql("SELECT list_sort(l, 'DESC') FROM t")
+    assert "sort_array(l, false)" in out
+    out = rewrite_sql("SELECT list_reverse_sort(l) FROM t")
+    assert "sort_array(l, false)" in out
+
+
+def test_list_macro_batch():
+    out = rewrite_sql("SELECT list_slice(l, 2, 3) FROM t")
+    assert "slice(l, 2, greatest((3) - (2) + 1, 0))" in out
+    out = rewrite_sql("SELECT list_reduce(l, (a, b) -> a + b) FROM t")
+    assert "aggregate(slice(l, 2," in out and "try_element_at(l, 1)" in out
+    out = rewrite_sql("SELECT list_aggregate(l, 'sum') FROM t")
+    assert "aggregate(l, CAST(0 AS DOUBLE)" in out  # via list_sum fold
+    out = rewrite_sql("SELECT list_any_value(l) FROM t")
+    assert "filter(l, x -> x IS NOT NULL)" in out
+    out = rewrite_sql("SELECT list_position(l, 3) FROM t")
+    assert "array_position(l, 3)" in out
+
+
+def test_moment_agg_corrections():
+    out = rewrite_sql("SELECT skewness(x) FROM t")
+    assert "skewness(x) * sqrt(count(x)" in out
+    out = rewrite_sql("SELECT kurtosis(x) FROM t")
+    assert "kurtosis(x) + 6" in out and "count(x) - 3" in out
+    out = rewrite_sql("SELECT geomean(x) FROM t")
+    assert "exp(avg(ln(x)))" in out
+
+
+def test_format_to_format_string():
+    out = rewrite_sql("SELECT format('{} x {}', a, b) FROM t")
+    assert "format_string('%s x %s', a, b)" in out
+    out = rewrite_sql("SELECT format('{1}/{0}', a, b) FROM t")
+    assert "format_string('%2$s/%1$s', a, b)" in out
+    # format specs are left alone (loud error rather than silent wrong)
+    out = rewrite_sql("SELECT format('{:.2f}', a) FROM t")
+    assert "format(" in out
+
+
+def test_typeof_and_nan_macros():
+    out = rewrite_sql("SELECT typeof(x) FROM t")
+    assert "duckdb_typename(typeof(x))" in out
+    out = rewrite_sql("SELECT isnan(x), isinf(y), isfinite(z) FROM t")
+    assert "(x) = double('NaN')" in out
+    assert "abs(CAST((y) AS DOUBLE)) = double('Infinity')" in out
