@@ -27,11 +27,26 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts cast on read)."""
-    raw_schema = T.StructType(
+    """File-source stream over the events parquet.
+
+    The parquet footer decides the ``ts`` read schema: TIMESTAMP(NANOS)
+    columns (which Spark's reader only surfaces as epoch-nanos longs under
+    ``nanosAsLong``) are read as LongType and cast back to timestamps,
+    truncating to micros — exactly what the batch path in
+    io_utils.read_parquet_table does. Micros/millis columns are read with
+    TimestampType directly; no unit arithmetic is applied to them.
+    """
+    import os
+
+    from ..io_utils import _nanos_timestamp_columns
+
+    ts_is_nanos = "ts" in _nanos_timestamp_columns(path)
+    schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanosAsLong
+            T.StructField(
+                "ts", T.LongType() if ts_is_nanos else T.TimestampType()
+            ),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -40,19 +55,19 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     )
     # Spark's file stream source wants a directory; when handed a single
     # file, stream its parent dir with a glob filter on the file name
-    import os
-
     if os.path.isfile(path):
         directory, fname = os.path.split(path)
-        reader = spark.readStream.schema(raw_schema).option(
+        reader = spark.readStream.schema(schema).option(
             "pathGlobFilter", fname
         )
         df = reader.parquet(directory)
     else:
-        df = spark.readStream.schema(raw_schema).parquet(path)
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+        df = spark.readStream.schema(schema).parquet(path)
+    if ts_is_nanos:
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
 
 
 def tumbling_agg(

@@ -1223,6 +1223,30 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total
 FROM events GROUP BY user_id
 """
 
+# batch gaps-and-islands equivalent of Spark's session_window(ts, gap):
+# a session breaks when the next event is >= gap after the previous one
+# (Spark merges only on overlap — the window [ts, ts+gap) is half-open),
+# and session_end = last event ts + gap.
+ORACLE_STREAM_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id, count(*) AS n_events, round(sum(value), 4) AS total
+FROM numbered GROUP BY user_id, sid
+"""
+
 ORACLE_RANGE_JOIN = """
 SELECT a.p_partkey AS left_part, b.p_partkey AS right_part
 FROM part a JOIN part b
@@ -1466,7 +1490,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
     "op_stream_tumbling": (op_stream_tumbling, ORACLE_STREAM_TUMBLING),
     "op_stream_sliding": (op_stream_sliding, ORACLE_STREAM_SLIDING),
-    "op_stream_session": (op_stream_session, None),  # streaming-only semantics
+    "op_stream_session": (op_stream_session, ORACLE_STREAM_SESSION),
     "op_stream_stateful": (op_stream_stateful, ORACLE_STREAM_STATEFUL),
 }
 
@@ -1476,15 +1500,35 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 # ---------------------------------------------------------------------------
 
 
+def _registry_order() -> list[str]:
+    """Registry emission order, tuned for the driver's correctness window.
+
+    The driver compares the FIRST 50 ``queries()`` entries against their
+    oracles each round, so entries the driver has never witnessed must come
+    first: the operator pipelines with cross-engine oracles, then the
+    dialect queries past q50 (none of which had a CORRECTNESS_r02 row),
+    then the rows-only operators, and finally q01–q50, which the driver
+    verified green in rounds 1–2.
+    """
+    oracled_ops = [n for n, (_f, o) in OPERATORS.items() if o is not None]
+    rows_only_ops = [n for n, (_f, o) in OPERATORS.items() if o is None]
+    new_sql = [n for n in ENGINE_SQL if n >= "q51"]
+    old_sql = [n for n in ENGINE_SQL if n < "q51"]
+    return oracled_ops + new_sql + rows_only_ops + old_sql
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, (sql, _oracle) in ENGINE_SQL.items():
-        def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
-            return engine_for(spark, sf_dir).execute(_sql)
+    for name in _registry_order():
+        if name in OPERATORS:
+            out[name] = OPERATORS[name][0]
+        else:
+            sql = ENGINE_SQL[name][0]
 
-        out[name] = run
-    for name, (fn, _oracle) in OPERATORS.items():
-        out[name] = fn
+            def run(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+                return engine_for(spark, sf_dir).execute(_sql)
+
+            out[name] = run
     return out
 
 
