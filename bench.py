@@ -59,9 +59,15 @@ def main() -> None:
     queries = workload.build_queries()
     eng = workload.engine_for(spark, SF_DIR)
 
-    # warm-up: JVM/codegen/Python-worker spin-up outside the timings
+    # warm-up: JVM/codegen/Python-worker spin-up outside the timings.
+    # One untimed pass over every headline query — whole-stage-codegen
+    # compilation and JIT dominate first execution at these latencies
+    # (round-2 post-mortem: 30-80% "regressions" on sub-400ms queries were
+    # first-run compile cost landing inside an n=2 minimum, docs/PLANS.md).
     materialize(eng.table("lineitem").limit(1000))
-    materialize(queries["q01_pricing_summary"](spark, SF_DIR))
+    for qname in BENCH_QUERIES.values():
+        materialize(queries[qname](spark, SF_DIR))
+    materialize(eng.execute("SUMMARIZE orders"))
 
     results: dict[str, float] = {}
     for key, qname in BENCH_QUERIES.items():

@@ -102,6 +102,28 @@ RUNTIME_CONFS = {
 }
 
 
+# Persisting a repeated CTE only pays once its body re-scans this much
+# input; below it the recompute is cheaper than the persist round-trip.
+# (~256MB ≈ a few seconds of single-stage scan — the break-even against a
+# persist's extra stage, serialization, and lost pushdown.)
+CTE_MATERIALIZE_MIN_INPUT_BYTES = 256 << 20
+
+
+def _plan_input_bytes(df: DataFrame) -> int:
+    """Catalyst's estimate of the bytes the plan's leaf relations scan
+    (plan-time statistics — no job). Unknown ⇒ assume huge so DuckDB's
+    materialize-repeated-CTEs semantics win at scale."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        # py4j maps scala.math.BigInt to a Python int
+        return sum(
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.size())
+        )
+    except Exception:  # noqa: BLE001 — py4j surface varies across builds
+        return 1 << 62
+
+
 def apply_runtime_confs(spark: SparkSession) -> None:
     for k, v in RUNTIME_CONFS.items():
         try:
@@ -474,9 +496,18 @@ class DuckSparkSession:
         DuckDB: evaluate such CTEs once into a persisted temp view
         (MEMORY_AND_DISK — spills, never OOMs) and route the remaining
         references there. Single-reference or scan-only CTEs stay inline
-        where Catalyst can push filters/pruning into them. ``AS
-        MATERIALIZED`` forces the behavior; ``WITH RECURSIVE`` is left to
-        Spark's native UnionLoop untouched."""
+        where Catalyst can push filters/pruning into them.
+
+        The persist is gated on the CTE body's estimated *input* size
+        (sum of leaf-relation plan stats): materialization trades a
+        persist round-trip + job barrier + lost pushdown for saved
+        recomputes, a trade that only pays when the recomputed subtree
+        scans real data. Below CTE_MATERIALIZE_MIN_INPUT_BYTES the
+        references stay inline — recomputing a few MB is cheaper than
+        the extra stage, and at cluster scale any fact-table CTE clears
+        the bar anyway. ``AS MATERIALIZED`` forces the behavior
+        regardless of size; ``WITH RECURSIVE`` is left to Spark's native
+        UnionLoop untouched."""
         tokens = tokenize(sql)
         i = next_sig(tokens, -1)
         if i >= len(tokens) or not tokens[i].is_kw("WITH"):
@@ -596,11 +627,20 @@ class DuckSparkSession:
                 df = self._query(body_sql)
                 if cte["cols"]:
                     df = df.toDF(*cte["cols"])
+                if not cte["forced"] and _plan_input_bytes(
+                    df
+                ) < CTE_MATERIALIZE_MIN_INPUT_BYTES:
+                    # small input: recomputing the body N times is cheaper
+                    # than a persist round-trip + job barrier; leave inline
+                    mat_names.discard(cte["name"].lower())
+                    continue
                 df = df.persist(StorageLevel.MEMORY_AND_DISK)
                 view = self._fresh_view(df)
                 self._cte_overrides[cte["name"].lower()] = view
                 added.append(cte["name"].lower())
                 self._cte_persisted.append(df)
+            if not added:
+                return None
             keep = [
                 render_def(c2)
                 for c2 in ctes

@@ -395,8 +395,10 @@ def test_union_by_name(loaded_engine):
 
 def test_cte_materialization_repeated_ref(loaded_engine):
     # DuckDB materializes a CTE referenced 2+ times; mirror via persisted
-    # temp view routing (session._materialize_repeated_ctes). Mixed case:
-    # `base` stays inline (single ref from agg), `agg` materializes.
+    # temp view routing (session._materialize_repeated_ctes), gated on the
+    # body's estimated input size — the sf0.001 fixtures sit far below
+    # CTE_MATERIALIZE_MIN_INPUT_BYTES, so `agg` stays inline here (no
+    # persist job) while results stay DuckDB-identical.
     df = loaded_engine.execute(
         """
         WITH base AS (
@@ -413,17 +415,39 @@ def test_cte_materialization_repeated_ref(loaded_engine):
     rows = df.collect()
     assert len(rows) == 5
     assert rows[0]["tot"] >= rows[-1]["tot"]
-    # override must not leak: `agg` unresolvable afterwards
+    # _cte_persisted holds only the current statement's persists
+    assert len(loaded_engine._cte_persisted) == 0  # gated: inline
+    # `agg` must not leak into the catalog either way
     import pytest as _pytest
 
     with _pytest.raises(Exception):
         loaded_engine.execute("SELECT * FROM agg").collect()
-    # forced AS MATERIALIZED on a single-ref CTE still works
+    # forced AS MATERIALIZED bypasses the size gate, even single-ref
     df2 = loaded_engine.execute(
         "WITH m AS MATERIALIZED (SELECT count(*) AS n FROM nation) "
         "SELECT n + 0 AS n FROM m"
     )
     assert df2.collect()[0]["n"] == 25
+    assert len(loaded_engine._cte_persisted) == 1
+
+
+def test_cte_materialization_fires_above_size_gate(loaded_engine, monkeypatch):
+    # With the gate lowered to zero the repeated-ref CTE persists — the
+    # path a fact-table CTE takes at cluster scale.
+    from duckdb_nsql_spark import session as sess
+
+    monkeypatch.setattr(sess, "CTE_MATERIALIZE_MIN_INPUT_BYTES", 0)
+    df = loaded_engine.execute(
+        """
+        WITH agg (k, tot) AS (
+            SELECT o_custkey, sum(o_totalprice) FROM orders GROUP BY o_custkey
+        )
+        SELECT a.k, a.tot FROM agg a JOIN agg b ON a.k = b.k
+        ORDER BY a.tot DESC, a.k LIMIT 5
+        """
+    )
+    assert len(df.collect()) == 5
+    assert len(loaded_engine._cte_persisted) == 1
 
 
 def test_respool_preserves_nanos_timestamp_cast(spark, tmp_path):
