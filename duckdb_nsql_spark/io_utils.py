@@ -315,18 +315,56 @@ def _count_rows_in_file(path: str, fmt: str, header: bool) -> int:
     return n
 
 
+_ATTACH_BATCH_ROWS = 65_536
+_ATTACH_SPOOL_FILE_ROWS = 1_048_576
+
+
 def attach_duckdb_file(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """ATTACH 'db.duckdb' (dev.json:596): open the DuckDB file and expose its
-    tables as DataFrames (arrow transfer). Read-only connector."""
+    tables as DataFrames. Read-only connector.
+
+    Each table streams out as arrow record batches into a multi-file
+    parquet spool which Spark then reads distributed — driver memory is
+    bounded by one 64k-row batch regardless of table size (the previous
+    ``to_pandas()`` → ``createDataFrame`` funnel held the whole table).
+    At cluster scale the spool directory would live on the shared object
+    store; the read path is identical.
+    """
     import duckdb
+    import pyarrow.parquet as pq
 
     con = duckdb.connect(path, read_only=True)
     try:
         names = [r[0] for r in con.execute("SHOW TABLES").fetchall()]
         out = {}
         for t in names:
-            tbl = con.execute(f'SELECT * FROM "{t}"').fetch_arrow_table()
-            out[t] = spark.createDataFrame(tbl.to_pandas())
+            spool = tempfile.mkdtemp(prefix=f"ddbspark_attach_{t}_")
+            reader = con.execute(f'SELECT * FROM "{t}"').fetch_record_batch(
+                _ATTACH_BATCH_ROWS
+            )
+            writer = None
+            fidx = rows_in_file = 0
+            try:
+                for batch in reader:
+                    if writer is None or rows_in_file >= _ATTACH_SPOOL_FILE_ROWS:
+                        if writer is not None:
+                            writer.close()
+                        writer = pq.ParquetWriter(
+                            os.path.join(spool, f"part-{fidx:04d}.parquet"),
+                            reader.schema,
+                        )
+                        fidx += 1
+                        rows_in_file = 0
+                    writer.write_batch(batch)
+                    rows_in_file += batch.num_rows
+                if writer is None:  # empty table: keep the schema
+                    writer = pq.ParquetWriter(
+                        os.path.join(spool, "part-0000.parquet"), reader.schema
+                    )
+            finally:
+                if writer is not None:
+                    writer.close()
+            out[t] = spark.read.parquet(spool)
         return out
     finally:
         con.close()

@@ -188,19 +188,33 @@ def ngram_jaccard_pairs(
     in more than ``max_df`` documents (the classic hot-key guard — at
     100 TB a shingle like "of the and" would otherwise fan into a
     quadratic bucket while contributing nothing to precision).
+
+    Shuffle budget (the r2 version spent 11): ``shingles()`` is already
+    array_distinct per document, so the exploded (doc_id, shingle) rows
+    need no distinct, and |A| rides along map-side as ``size(shingles)``
+    — both former shuffles deleted. The per-doc size joins are deleted
+    too: sz_a/sz_b travel through the self-join and come out of the pair
+    aggregation as ``first()``. What remains: the self-join exchange
+    (hash-partition on shingle — identical subplans, so Spark reuses one
+    exchange for both sides), the pair-count aggregation, and with
+    ``max_df`` one doc-frequency aggregation whose hot-shingle output is
+    broadcast into the anti-join. 2 shuffles (3 with max_df).
     """
-    sh = _persist_small(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles(F.col(text_col))).alias("shingle"),
-        ).distinct()
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col)).alias("shs"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh = base.select(
+        "doc_id",
+        F.size("shs").alias("sz"),  # |A| before any stop-shingle drop
+        F.explode("shs").alias("shingle"),
+    )
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
             F.col("df") > max_df
         )
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = _persist_small(sh)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -209,14 +223,14 @@ def ngram_jaccard_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4

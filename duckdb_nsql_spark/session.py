@@ -228,6 +228,8 @@ class DuckSparkSession:
         # when the next statement starts
         self._cte_overrides: dict[str, str] = {}
         self._cte_persisted: list[DataFrame] = []
+        # per-table DML re-registration depth (lineage-truncation cadence)
+        self._dml_depth: dict[str, int] = {}
 
     # ------------------------------------------------------------------ API
 
@@ -1155,6 +1157,19 @@ class DuckSparkSession:
         return self._kind_cache
 
     def _register_managed(self, name: str, df: DataFrame) -> None:
+        # Each DML re-registration stacks a union/projection on the table's
+        # plan; unbounded, the analyzer cost grows linearly per statement
+        # (quadratic over a bulk-load loop). Every 16th write truncates the
+        # lineage with an eager localCheckpoint — the executor-block
+        # equivalent of a table rewrite. (A real table format — Delta/
+        # Iceberg — is the cluster answer; in-session DML tables are small.)
+        depth = self._dml_depth.get(name, 0) + 1
+        self._dml_depth[name] = depth
+        if depth % 16 == 0:
+            try:
+                df = df.localCheckpoint(eager=True)
+            except Exception:  # noqa: BLE001 — keep the lazy plan on failure
+                pass
         self.register(name, df)
 
     # ------------------------------------------------------------------ DDL
@@ -1300,9 +1315,11 @@ class DuckSparkSession:
         key = self._resolve_table_key(name)
         aligned = self._align_insert(src, target, cols)
         self._check_fixed_arrays(key, aligned)
-        count = aligned.count()
         self._register_managed(key, target.unionByName(aligned))
-        return self._count_df(count)
+        # DuckDB reports the inserted row count; keep it lazy — a count job
+        # per INSERT serializes bulk-load loops, and callers that ignore the
+        # result (the common case) should pay zero jobs
+        return aligned.agg(F.count(F.lit(1)).alias("Count"))
 
     def _align_insert(
         self, src: DataFrame, target: DataFrame, cols: Optional[list[str]]

@@ -154,6 +154,38 @@ def test_ddl_dml_roundtrip(engine):
     assert [r["name"] for r in info.collect()] == ["maker", "model", "type"]
 
 
+def test_insert_runs_no_eager_job(engine):
+    # the inserted-row Count is lazy: an INSERT whose result is ignored —
+    # the bulk-load loop shape — must launch zero Spark jobs
+    sc = engine.spark.sparkContext
+    engine.execute("CREATE TABLE t_lazyins (x INTEGER, y VARCHAR)")
+    sc.setJobGroup("ins_probe", "insert probe")
+    try:
+        res = engine.execute("INSERT INTO t_lazyins VALUES (1,'a'), (2,'b')")
+        jobs = sc.statusTracker().getJobIdsForGroup("ins_probe")
+        assert list(jobs) == [], f"INSERT launched jobs: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # collecting the result still reports DuckDB's inserted-row count
+    assert res.collect()[0]["Count"] == 2
+    n = engine.execute("SELECT count(*) AS n FROM t_lazyins").collect()[0]["n"]
+    assert n == 2
+
+
+def test_dml_lineage_truncation(engine):
+    # 20 INSERTs cross the localCheckpoint cadence (16): results stay
+    # correct and the registered plan no longer stacks 20 unions
+    engine.execute("CREATE TABLE t_chain (x INTEGER)")
+    for i in range(20):
+        engine.execute(f"INSERT INTO t_chain VALUES ({i})")
+    rows = engine.execute(
+        "SELECT count(*) AS n, sum(x) AS s FROM t_chain"
+    ).collect()
+    assert rows[0]["n"] == 20 and rows[0]["s"] == sum(range(20))
+    plan = engine.table("t_chain")._jdf.queryExecution().analyzed().toString()
+    assert "Union" not in plan.split("LogicalRDD")[0] or plan.count("Union") < 8
+
+
 def test_update_delete(engine):
     engine.execute("CREATE TABLE t_upd (id INTEGER, v VARCHAR)")
     engine.execute("INSERT INTO t_upd VALUES (1,'a'), (2,'b')")
@@ -253,6 +285,47 @@ def test_read_csv_auto_with_columns(engine, tmp_path):
     )
     rows = df.collect()
     assert rows[0]["customer_id"] == "10"  # VARCHAR, not INT
+
+
+def test_read_csv_auto_http_staging(engine, tmp_path):
+    # dev.json:196 — read_csv_auto('https://…') via httpfs. No network in
+    # CI, so serve the fixture from an in-process loopback http.server;
+    # the staging path (io_utils.stage_if_remote) is byte-identical for a
+    # real remote URL.
+    import http.server
+    import threading
+
+    (tmp_path / "fixture.csv").write_text("id,name\n1,ada\n2,grace\n")
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/fixture.csv"
+        df = engine.execute(f"SELECT * FROM read_csv_auto('{url}') ORDER BY id")
+        rows = df.collect()
+        assert [r["name"] for r in rows] == ["ada", "grace"]
+        assert rows[0]["id"] == 1  # schema inferred, not all-VARCHAR
+        # staging is cached per-URL: a second read must not re-download
+        from duckdb_nsql_spark import io_utils
+
+        staged = io_utils._STAGING[url]
+        assert engine.execute(
+            f"SELECT count(*) AS n FROM read_csv_auto('{url}')"
+        ).collect()[0]["n"] == 2
+        assert io_utils._STAGING[url] == staged
+        # enable_external_access=false must refuse remote sources
+        engine.execute("SET enable_external_access = false")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="external"):
+            engine.execute(f"SELECT * FROM read_csv_auto('{url}')")
+        engine.execute("SET enable_external_access = true")
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_ctas_from_file(engine, tmp_path):

@@ -56,6 +56,36 @@ def test_topk_uses_take_ordered(loaded_engine):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ngram_jaccard_shuffle_budget(loaded_engine, spark):
+    # r2 spent 11 exchanges on this pipeline; the rewrite budgets 2
+    # without max_df (self-join exchange [reused on the other side] +
+    # pair-count agg) and 3 with it (+ doc-frequency agg, hot set
+    # broadcast into the anti-join). Count Exchange operators in the
+    # formatted plan — ReusedExchange must not count.
+    from duckdb_nsql_spark.operators import dedup
+
+    docs = loaded_engine.table("documents")
+    plan = plan_of(dedup.ngram_jaccard_pairs(docs))
+    n_ex = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(")
+        and " Exchange" in line
+        and "ReusedExchange" not in line
+    )
+    assert n_ex <= 2, f"ngram_jaccard shuffles regressed: {n_ex}\n{plan}"
+    plan_hot = plan_of(dedup.ngram_jaccard_pairs(docs, max_df=50))
+    n_ex_hot = sum(
+        1
+        for line in plan_hot.splitlines()
+        if line.strip().startswith("(")
+        and " Exchange" in line
+        and "ReusedExchange" not in line
+    )
+    assert n_ex_hot <= 3, f"max_df path shuffles regressed: {n_ex_hot}"
+    assert "BroadcastHashJoin" in plan_hot  # hot set must broadcast
+
+
 def test_whole_stage_codegen_covers_filter_agg(loaded_engine):
     df = loaded_engine.execute(
         "SELECT l_returnflag, count(*) AS n FROM lineitem "
