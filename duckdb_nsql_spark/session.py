@@ -1126,6 +1126,15 @@ class DuckSparkSession:
             d.lower() for d in self._databases
         }:
             return self._resolve_table_key(".".join(parts[1:]))
+        # DuckDB's catalog search path also resolves a bare name against
+        # every attached database when unambiguous (ATTACH 'ext.duckdb';
+        # SELECT * FROM people → ext.people). Ambiguous stays unresolved,
+        # as DuckDB errors there too.
+        if len(parts) == 1:
+            suffix = "." + name.lower()
+            hits = [k for k in self._tables if k.lower().endswith(suffix)]
+            if len(hits) == 1:
+                return hits[0]
         return None
 
     def _column_kinds(self) -> dict[str, str]:

@@ -27,8 +27,12 @@ tuples, not column names) over an order-insensitive multiset, floats at
 - ``setting`` — value text compared case/underscore-insensitively
   (DuckDB renders 'nulls_last', the dialect accepts 'NULLS LAST')
 
-HTTP-source cases (24, 25, 26) are skipped offline: staging works
-(io_utils.stage_if_remote) but this container has no network.
+HTTP-source cases (24, 25, 26) run against an in-process loopback
+http.server serving a deterministic titanic-shaped fixture: the engine
+reads it over real HTTP (io_utils.stage_if_remote — the same code path a
+remote URL takes), while the DuckDB oracle reads the same bytes from
+disk (httpfs cannot install offline). Both sides see identical content,
+so the comparison stays meaningful.
 """
 
 from __future__ import annotations
@@ -44,7 +48,43 @@ from typing import Optional
 DEV_JSON = "/root/reference/eval/data/dev.json"
 DB_DIR = "/root/reference/eval/data/databases"
 
-SKIP_OFFLINE = {24, 25, 26}
+TITANIC_URL = (
+    "https://raw.githubusercontent.com/datasciencedojo/datasets/"
+    "master/titanic.csv"
+)
+_HTTP: dict = {"port": None, "path": None}
+
+
+def _loopback_titanic() -> tuple[str, str]:
+    """(url, local_path) of the titanic fixture on a loopback server."""
+    if _HTTP["port"] is None:
+        import http.server
+        import tempfile
+        import threading
+
+        d = tempfile.mkdtemp(prefix="devjson_http_")
+        rows = ["PassengerId,Survived,Pclass,Name,Sex,Age,SibSp,Parch,"
+                "Ticket,Fare,Cabin,Embarked"]
+        for i in range(1, 101):
+            age = "" if i % 10 == 0 else f"{18 + i % 40}.5"
+            cabin = "" if i % 4 else f"C{i}"
+            rows.append(
+                f"{i},{i % 2},{1 + i % 3},Passenger {i},"
+                f"{'male' if i % 2 else 'female'},{age},{i % 3},{i % 2},"
+                f"T{1000 + i},{round(7.25 + i * 1.37, 2)},{cabin},"
+                f"{'SCQ'[i % 3]}"
+            )
+        path = os.path.join(d, "titanic.csv")
+        with open(path, "w") as fh:
+            fh.write("\n".join(rows) + "\n")
+        handler = lambda *a, **kw: __import__(  # noqa: E731
+            "http.server", fromlist=["SimpleHTTPRequestHandler"]
+        ).SimpleHTTPRequestHandler(*a, directory=d, **kw)
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        _HTTP["port"] = srv.server_address[1]
+        _HTTP["path"] = path
+    return f"http://127.0.0.1:{_HTTP['port']}/titanic.csv", _HTTP["path"]
 
 # case index -> loose-comparison kind (see module docstring)
 LOOSE = {
@@ -234,8 +274,6 @@ class EngineDB:
 def run_case(spark, idx: int, case: dict, workroot: str, cache_root: str) -> CaseResult:
     db_id = case["db_id"]
     cat = case.get("category", "")
-    if idx in SKIP_OFFLINE:
-        return CaseResult(idx, db_id, cat, "skip", "http source; no network")
     loose = LOOSE.get(idx, "")
     tables = dump_db(db_id, cache_root)
     parquet_dir = os.path.join(cache_root, db_id)
@@ -259,8 +297,15 @@ def run_case(spark, idx: int, case: dict, workroot: str, cache_root: str) -> Cas
             oracle.run(setup)
             engine.run(setup)
         q = case["query"]
+        eq = q
+        if TITANIC_URL in q:
+            # engine fetches over loopback HTTP (real staging path);
+            # oracle reads the identical bytes from disk (no httpfs offline)
+            url, local = _loopback_titanic()
+            eq = q.replace(TITANIC_URL, url)
+            q = q.replace(TITANIC_URL, local)
         o_rows, o_cols = oracle.run(q)
-        e_rows, e_cols = engine.run(q)
+        e_rows, e_cols = engine.run(eq)
         oracle.materialize_result()
         engine.materialize_result()
         v = (case.get("validation_sql") or "").strip()
@@ -354,8 +399,8 @@ def main() -> None:
         "ddb_benchmark_result -> validation_sql), engine vs DuckDB oracle "
         "per case. See harness/devjson.py.",
         "",
-        f"**{ok}/{ran} executed cases match** "
-        f"({len(results) - ran} skipped: HTTP sources, offline container).",
+        f"**{ok}/{ran} executed cases match** (HTTP-source cases run "
+        "against a loopback fixture server; see module docstring).",
         "",
         "| # | db | category | status | loose | detail |",
         "|---|---|---|---|---|---|",

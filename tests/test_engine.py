@@ -399,6 +399,10 @@ def test_attach_duckdb_file(engine, tmp_path):
     assert "who" in dbs
     df = engine.execute("SELECT * FROM who.ambient")
     assert df.collect()[0]["x"] == 1
+    # DuckDB's catalog search path: unambiguous bare names resolve across
+    # attached databases too
+    df2 = engine.execute("SELECT y FROM ambient WHERE x = 1")
+    assert df2.collect()[0]["y"] == "a"
 
 
 def test_multi_statement(engine):
