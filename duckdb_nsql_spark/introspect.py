@@ -122,6 +122,83 @@ def table_info_df(
     return local_df(spark, rows, schema)
 
 
+def storage_info_df(
+    spark: SparkSession,
+    df: DataFrame,
+    file_hint: str | None = None,
+    fixed: dict | None = None,
+) -> DataFrame:
+    """``PRAGMA storage_info('t')``: one row per (row_group, column) of the
+    table's at-rest parquet, straight from the footers — no Spark job.
+
+    DuckDB reports its native block layout; the parquet row group is this
+    engine's storage unit, so the shape maps: row_group_id, column_name,
+    segment_type, count, compression, plus the footer's min/max stats
+    (the stats DuckDB's zone maps serve). In-memory tables (DML results
+    not yet copied out) report a single pseudo-group with NULL counts.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("row_group_id", T.LongType(), False),
+            T.StructField("column_name", T.StringType(), False),
+            T.StructField("segment_type", T.StringType(), False),
+            T.StructField("count", T.LongType(), True),
+            T.StructField("compression", T.StringType(), True),
+            T.StructField("stats_min", T.StringType(), True),
+            T.StructField("stats_max", T.StringType(), True),
+            T.StructField("has_null", T.BooleanType(), True),
+        ]
+    )
+    rows: list[tuple] = []
+    type_of = {f.name: _type_name(f, fixed) for f in df.schema.fields}
+    if file_hint:
+        try:
+            import glob as globmod
+            import os
+
+            import pyarrow.parquet as pq
+
+            if any(ch in file_hint for ch in "*?["):
+                files = sorted(globmod.glob(file_hint))
+            elif os.path.isdir(file_hint):
+                files = sorted(
+                    globmod.glob(os.path.join(file_hint, "**", "*.parquet"),
+                                 recursive=True)
+                )
+            else:
+                files = [file_hint]
+            gid = 0
+            for fp in files:
+                meta = pq.ParquetFile(fp).metadata
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema.split(".")[0]
+                        st = col.statistics
+                        rows.append(
+                            (
+                                gid,
+                                name,
+                                type_of.get(name, str(col.physical_type)),
+                                col.num_values,
+                                str(col.compression),
+                                str(st.min) if st and st.has_min_max else None,
+                                str(st.max) if st and st.has_min_max else None,
+                                bool(st.null_count) if st else None,
+                            )
+                        )
+                    gid += 1
+        except Exception:  # noqa: BLE001 — fall through to schema-only rows
+            rows = []
+    if not rows:
+        rows = [
+            (0, f.name, type_of[f.name], None, "UNCOMPRESSED", None, None, None)
+            for f in df.schema.fields
+        ]
+    return local_df(spark, rows, schema)
+
+
 def version_df(spark: SparkSession) -> DataFrame:
     """``PRAGMA version`` / ``CALL pragma_version()`` shape (dev.json:244)."""
     schema = T.StructType(

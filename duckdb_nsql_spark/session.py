@@ -1632,7 +1632,13 @@ class DuckSparkSession:
                     fixed=self._fixed_arrays.get(self._resolve_table_key(arg) or ""),
                 )
             if name == "storage_info":
-                return None
+                key = self._resolve_table_key(arg)
+                return introspect.storage_info_df(
+                    self.spark,
+                    self.table(arg),
+                    file_hint=self._table_files.get(key) if key else None,
+                    fixed=self._fixed_arrays.get(key or ""),
+                )
             raise ValueError(f"unsupported PRAGMA function: {name}")
         m = re.match(r"\s*PRAGMA\s+(\w+)\s*=\s*(.+)$", s, re.IGNORECASE)
         if m:

@@ -1247,6 +1247,12 @@ SELECT min(ts) AS session_start,
 FROM numbered GROUP BY user_id, sid
 """
 
+ORACLE_BUCKETED_JOIN = """
+SELECT o_custkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o_custkey HAVING count(*) > 20
+"""
+
 ORACLE_RANGE_JOIN = """
 SELECT a.p_partkey AS left_part, b.p_partkey AS right_part
 FROM part a JOIN part b
@@ -1416,6 +1422,32 @@ def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def op_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join over bucketed-at-rest tables (zero
+    exchanges on the join — asserted by tests/test_plans.py). The bucket
+    write itself shuffles once; every subsequent join on the key is free."""
+    from .sources import bucketed
+
+    eng = engine_for(spark, sf_dir)
+    orders = eng.table("orders").select(
+        F.col("o_orderkey").alias("k"), "o_custkey"
+    )
+    li = eng.table("lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    bo = bucketed.write_bucketed(orders, "wl_bkt_orders", ["k"], 8)
+    bl = bucketed.write_bucketed(li, "wl_bkt_lineitem", ["k"], 8)
+    j = bucketed.colocated_join(bo, bl, on=["k"])
+    return (
+        j.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .filter(F.col("n_items") > 20)
+    )
+
+
 def op_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import stateful as st
     from .streaming import windows as sw
@@ -1488,6 +1520,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_multimodal_features": (op_multimodal_features, None),  # binary plumbing
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
+    "op_bucketed_join": (op_bucketed_join, ORACLE_BUCKETED_JOIN),
     "op_stream_tumbling": (op_stream_tumbling, ORACLE_STREAM_TUMBLING),
     "op_stream_sliding": (op_stream_sliding, ORACLE_STREAM_SLIDING),
     "op_stream_session": (op_stream_session, ORACLE_STREAM_SESSION),

@@ -405,6 +405,22 @@ def test_attach_duckdb_file(engine, tmp_path):
     assert df2.collect()[0]["y"] == "a"
 
 
+def test_pragma_storage_info(loaded_engine):
+    # parquet-backed table: one row per (row_group, column) with footer
+    # min/max stats; job-free (VALUES relation)
+    rows = loaded_engine.execute("PRAGMA storage_info('orders')").collect()
+    assert len(rows) >= 6
+    cols = {r["column_name"] for r in rows}
+    assert "o_orderkey" in cols and "o_totalprice" in cols
+    ok = next(r for r in rows if r["column_name"] == "o_orderkey")
+    assert ok["count"] and ok["stats_min"] is not None
+    # in-memory table: schema-only pseudo-group
+    loaded_engine.execute("CREATE TABLE t_si (x INTEGER)")
+    mem = loaded_engine.execute("PRAGMA storage_info('t_si')").collect()
+    assert [r["column_name"] for r in mem] == ["x"]
+    assert mem[0]["count"] is None
+
+
 def test_multi_statement(engine):
     df = engine.execute(
         "CREATE TABLE ms (x INTEGER); INSERT INTO ms VALUES (1); SELECT * FROM ms"

@@ -86,6 +86,39 @@ def test_ngram_jaccard_shuffle_budget(loaded_engine, spark):
     assert "BroadcastHashJoin" in plan_hot  # hot set must broadcast
 
 
+def test_bucketed_join_has_no_exchange(loaded_engine, spark):
+    # two tables bucketed on the join key with the same bucket count join
+    # with ZERO exchanges — the co-located fact-to-fact join layout
+    from duckdb_nsql_spark.sources import bucketed
+
+    orders = loaded_engine.table("orders").select("o_orderkey", "o_custkey")
+    li = loaded_engine.table("lineitem").select("l_orderkey", "l_quantity")
+    bo = bucketed.write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "k"), "t_bkt_orders", ["k"], 8
+    )
+    bl = bucketed.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "k"), "t_bkt_lineitem", ["k"], 8
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed.colocated_join(bo, bl, on=["k"])
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # per-bucket sortBy lets the join skip its Sort too
+        assert "Bucketed: true" in plan
+        n = joined.count()
+        assert n == loaded_engine.execute(
+            "SELECT count(*) AS n FROM orders o JOIN lineitem l "
+            "ON o.o_orderkey = l.l_orderkey"
+        ).collect()[0]["n"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
+
+
 def test_whole_stage_codegen_covers_filter_agg(loaded_engine):
     df = loaded_engine.execute(
         "SELECT l_returnflag, count(*) AS n FROM lineitem "
