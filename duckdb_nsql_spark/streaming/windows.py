@@ -26,8 +26,14 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events parquet.
+
+    ``max_files_per_trigger`` bounds each micro-batch (respected by
+    availableNow triggers too) — the knob that turns a file backlog into
+    an incremental replay instead of one giant batch.
 
     The parquet footer decides the ``ts`` read schema: TIMESTAMP(NANOS)
     columns (which Spark's reader only surfaces as epoch-nanos longs under
@@ -55,14 +61,14 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     )
     # Spark's file stream source wants a directory; when handed a single
     # file, stream its parent dir with a glob filter on the file name
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
         directory, fname = os.path.split(path)
-        reader = spark.readStream.schema(schema).option(
-            "pathGlobFilter", fname
-        )
-        df = reader.parquet(directory)
+        df = reader.option("pathGlobFilter", fname).parquet(directory)
     else:
-        df = spark.readStream.schema(schema).parquet(path)
+        df = reader.parquet(path)
     if ts_is_nanos:
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))

@@ -1224,14 +1224,15 @@ FROM events GROUP BY user_id
 """
 
 # batch gaps-and-islands equivalent of Spark's session_window(ts, gap):
-# a session breaks when the next event is >= gap after the previous one
-# (Spark merges only on overlap — the window [ts, ts+gap) is half-open),
-# and session_end = last event ts + gap.
+# a session breaks only when the next event is STRICTLY more than gap
+# after the previous one — an event landing exactly on prev_ts + gap
+# still merges (pinned by tests/test_streaming_semantics.py's boundary
+# test), and session_end = last event ts + gap.
 ORACLE_STREAM_SESSION = """
 WITH marked AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

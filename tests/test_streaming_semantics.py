@@ -1,0 +1,131 @@
+"""Incremental-trigger semantics of the streaming windows: watermark
+advancement across micro-batches, append-mode window finalization, and
+late-data dropping — the behaviors a single availableNow batch (the
+oracle-parity tests) cannot observe. Also pins the session-window merge
+boundary that ORACLE_STREAM_SESSION's gaps-and-islands SQL assumes.
+"""
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_nsql_spark.streaming import windows as sw
+
+
+def _write_events(path: str, rows: list[tuple[int, str]]) -> None:
+    """rows: (event_id, 'HH:MM') on a fixed day, schema of events.parquet."""
+    ts = [
+        dt.datetime(2024, 3, 1, int(h), int(m), tzinfo=dt.timezone.utc)
+        for h, m in (t.split(":") for _, t in rows)
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([i for i, _ in rows], pa.int64()),
+            "ts": pa.array([t.replace(tzinfo=None) for t in ts],
+                           pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_append_mode_watermark_closes_windows_and_drops_late(spark, tmp_path):
+    # two availableNow runs over a shared checkpoint: run 2 restores the
+    # watermark (12:00) and window state from run 1 — the restart shape a
+    # production job takes — so the late event must drop and only the
+    # windows the restored watermark closed may emit
+    d = str(tmp_path / "stream_in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        acc = []
+        stream = sw.read_events_stream(spark, d)
+        agg = sw.tumbling_agg(stream, window="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _epoch: acc.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {r["window_start"].strftime("%H:%M"): r["n"] for r in acc}
+
+    # run 1: windows 10:00 (x2), 11:00 (x1), 13:00 (x1); availableNow
+    # finalizes the watermark (13:00 - 1h = 12:00) before terminating, so
+    # the two closed windows emit within this run; [13,14) stays open
+    _write_events(os.path.join(d, "a.parquet"),
+                  [(1, "10:05"), (2, "10:45"), (3, "11:10"), (4, "13:00")])
+    assert run_once() == {"10:00": 2, "11:00": 1}
+
+    # run 2 restores watermark 12:00 from the checkpoint: 10:30 is LATE
+    # (its window already closed and emitted) and must vanish — were it
+    # accepted, window 10:00 would re-emit. 16:00 pushes the watermark to
+    # 15:00, closing [13,14) with run 1's restored state.
+    _write_events(os.path.join(d, "b.parquet"),
+                  [(5, "10:30"), (6, "16:00")])
+    r2 = run_once()
+    assert r2 == {"13:00": 1}, r2  # no 10:00 re-emission, no open 16:00
+
+
+@pytest.mark.parametrize(
+    "minute_b,expect_sessions",
+    [(30, 1), (31, 2)],  # gap=30m: boundary-inclusive merge, split past gap
+)
+def test_session_window_gap_boundary(spark, tmp_path, minute_b, expect_sessions):
+    # pins the boundary ORACLE_STREAM_SESSION's lag() SQL assumes: an event
+    # at exactly prev_ts + gap still merges; only a STRICTLY larger gap
+    # starts a new session
+    d = str(tmp_path / f"sess_{minute_b}")
+    os.makedirs(d)
+    _write_events(os.path.join(d, "x.parquet"),
+                  [(1, "10:00"), (2, f"10:{minute_b}")])
+    stream = sw.read_events_stream(spark, d)
+    agg = sw.session_agg(stream, gap="30 minutes", watermark="2 hours")
+    out = sw.run_stream_to_memory(agg, f"t_sess_{minute_b}", mode="complete")
+    assert out.count() == expect_sessions
+    if expect_sessions == 1:
+        row = out.collect()[0]
+        # session_end = last event + gap
+        assert row["session_end"].minute == (minute_b + 30) % 60
+
+
+def test_stateful_accumulates_across_restarts(spark, tmp_path):
+    # running_user_stats state survives a checkpointed restart and keeps
+    # accumulating — not resetting per run
+    from duckdb_nsql_spark.streaming import stateful as st
+
+    d = str(tmp_path / "stateful_in")
+    ckpt = str(tmp_path / "state_ckpt")
+    os.makedirs(d)
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        acc = []
+        stream = sw.read_events_stream(spark, d)
+        out = st.running_user_stats(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _epoch: acc.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return acc
+
+    _write_events(os.path.join(d, "a.parquet"), [(1, "10:00"), (2, "10:10")])
+    r1 = run_once()
+    assert [r["n_events"] for r in r1] == [2]
+    _write_events(os.path.join(d, "b.parquet"), [(3, "10:20")])
+    r2 = run_once()
+    assert [r["n_events"] for r in r2] == [3]  # restored 2 + 1 new
