@@ -35,8 +35,20 @@ def write_bucketed(
     join: pick ~(table size / 128MB) at scale, and the SAME number for
     every table that will join on these keys.
     """
+    import os
+    import shutil
+
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # DROP only clears the catalog entry; a previous session's files at
+    # the managed location make saveAsTable fail with
+    # LOCATION_ALREADY_EXISTS. Clear a local leftover (no-op for object
+    # stores, where the path isn't a local dir).
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    local = wh[len("file:"):] if wh.startswith("file:") else wh
+    leftover = os.path.join(local, name.lower())
+    if os.path.isdir(leftover):
+        shutil.rmtree(leftover, ignore_errors=True)
     writer = (
         df.write.format("parquet")
         .mode(mode)
