@@ -102,11 +102,38 @@ RUNTIME_CONFS = {
 }
 
 
+def _substitute_macro_params(body: str, params: list[str], args: list[str]) -> str:
+    """Token-wise positional substitution of macro parameters; each
+    argument is parenthesized so ``a + b`` expands safely into arbitrary
+    expression context. Dotted references (``t.a``) never substitute."""
+    toks = tokenize(body)
+    pmap = dict(zip(params, args))
+    out: list[str] = []
+    for idx, tk in enumerate(toks):
+        if tk.kind == IDENT and tk.text.lower() in pmap:
+            p = prev_sig(toks, idx)
+            n = next_sig(toks, idx)
+            # `t.x` keeps its qualifier; `x(...)` is a function, not a param;
+            # `x.field` DOES substitute — (arg).field stays valid
+            qualified = p >= 0 and toks[p].kind == PUNCT and toks[p].text == "."
+            fncall = n < len(toks) and toks[n].kind == PUNCT and toks[n].text == "("
+            if not qualified and not fncall:
+                out.append(f"({pmap[tk.text.lower()]})")
+                continue
+        out.append(tk.text)
+    return "".join(out)
+
+
 # Persisting a repeated CTE only pays once its body re-scans this much
 # input; below it the recompute is cheaper than the persist round-trip.
 # (~256MB ≈ a few seconds of single-stage scan — the break-even against a
 # persist's extra stage, serialization, and lost pushdown.)
 CTE_MATERIALIZE_MIN_INPUT_BYTES = 256 << 20
+
+# A trailing ORDER BY runs as a single-partition local sort (no range
+# sampling, no exchange) when the plan scans at most this much estimated
+# input; bigger inputs keep Spark's distributed range sort.
+SMALL_SORT_MAX_INPUT_BYTES = 64 << 20
 
 
 def _plan_input_bytes(df: DataFrame) -> int:
@@ -230,6 +257,8 @@ class DuckSparkSession:
         self._cte_persisted: list[DataFrame] = []
         # per-table DML re-registration depth (lineage-truncation cadence)
         self._dml_depth: dict[str, int] = {}
+        # CREATE MACRO name -> (params, body expression text)
+        self._macros: dict[str, tuple[list[str], str]] = {}
 
     # ------------------------------------------------------------------ API
 
@@ -362,6 +391,7 @@ class DuckSparkSession:
     # ---------------------------------------------------------------- query
 
     def _query(self, sql: str) -> DataFrame:
+        sql = self._expand_macros(sql)
         mat = self._materialize_repeated_ctes(sql)
         if mat is not None:
             return mat
@@ -371,9 +401,123 @@ class DuckSparkSession:
         wrapped = self._where_alias_wrap(sql)
         if wrapped is not None:
             sql = wrapped
-        return self._coerce_day_intervals(
-            self.spark.sql(self._rewrite_query(sql))
-        )
+        text = self._rewrite_query(sql)
+        df = self._small_sort(text)
+        if df is None:
+            df = self.spark.sql(text)
+        return self._coerce_day_intervals(df)
+
+    def _small_sort(self, text: str) -> Optional[DataFrame]:
+        """Execute a trailing top-level ORDER BY (no LIMIT/OFFSET) as a
+        single-partition local sort when the plan's input is small.
+
+        Spark's global sort range-partitions: a separate sampling pass over
+        the child plus a shuffle — ~100 ms of fixed latency that dominates
+        small results (DuckDB just sorts in-process). When the leaf-stat
+        input estimate is under SMALL_SORT_MAX_INPUT_BYTES the same total
+        order comes from coalesce(1) + sortWithinPartitions: one narrow
+        stage, no sampling, no exchange. Large inputs keep the distributed
+        range sort — the only shape that scales. Any parse/resolution
+        wrinkle falls back to native ORDER BY (returns None).
+        """
+        tokens = tokenize(text.rstrip().rstrip(";"))
+        depth = 0
+        order_at = None
+        for i, t in enumerate(tokens):
+            if t.kind == PUNCT and t.text in "([{":
+                depth += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                depth -= 1
+            elif depth == 0 and t.kind == IDENT and t.upper == "ORDER":
+                b = next_sig(tokens, i)
+                if b < len(tokens) and tokens[b].is_kw("BY"):
+                    order_at = (i, b)
+        if order_at is None:
+            return None
+        i, b = order_at
+        # items until end; any depth-0 terminator (LIMIT/OFFSET/...) means
+        # ORDER BY is not the final clause -> native path
+        items: list[tuple[int, int]] = []
+        item_start = next_sig(tokens, b)
+        k = item_start
+        depth = 0
+        while k < len(tokens):
+            tk = tokens[k]
+            if tk.kind == PUNCT and tk.text in "([{":
+                depth += 1
+            elif tk.kind == PUNCT and tk.text in ")]}":
+                if depth == 0:
+                    return None
+                depth -= 1
+            elif depth == 0 and tk.kind == IDENT and tk.upper in (
+                "LIMIT", "OFFSET", "FETCH", "UNION", "INTERSECT", "EXCEPT",
+                "WINDOW",
+            ):
+                return None
+            elif depth == 0 and tk.kind == PUNCT and tk.text == ",":
+                items.append((item_start, k))
+                item_start = next_sig(tokens, k)
+            k += 1
+        items.append((item_start, len(tokens)))
+        try:
+            inner = self.spark.sql(render(tokens[:i]))
+            if _plan_input_bytes(inner) > SMALL_SORT_MAX_INPUT_BYTES:
+                return None
+            cols = self._sort_columns(inner, tokens, items)
+            if cols is None:
+                return None
+            return inner.coalesce(1).sortWithinPartitions(*cols)
+        except Exception:  # noqa: BLE001 — native ORDER BY is always valid
+            return None
+
+    def _sort_columns(self, df, tokens, items):
+        nulls_default = self.settings.get("default_null_order", "nulls_last")
+        cols = []
+        for lo, hi in items:
+            span = [x for x in tokens[lo:hi] if x.kind not in (WS, COMMENT)]
+            if not span:
+                return None
+            if len(span) == 1 and span[0].kind == IDENT and span[0].upper == "ALL":
+                # ORDER BY ALL: every output column, left to right, ASC
+                for c in df.columns:
+                    cols.append(
+                        F.col(c).asc_nulls_last()
+                        if nulls_default == "nulls_last"
+                        else F.col(c).asc_nulls_first()
+                    )
+                continue
+            nulls = None
+            if (
+                len(span) >= 2
+                and span[-2].kind == IDENT
+                and span[-2].upper == "NULLS"
+                and span[-1].upper in ("FIRST", "LAST")
+            ):
+                nulls = span[-1].upper
+                span = span[:-2]
+            desc = False
+            if span and span[-1].kind == IDENT and span[-1].upper in ("ASC", "DESC"):
+                desc = span[-1].upper == "DESC"
+                span = span[:-1]
+            if not span:
+                return None
+            expr_text = render(span).strip()
+            if re.fullmatch(r"\d+", expr_text):  # ordinal ORDER BY 2
+                idx = int(expr_text) - 1
+                if not (0 <= idx < len(df.columns)):
+                    return None
+                col = F.col(df.columns[idx])
+            else:
+                col = F.expr(expr_text)
+            if nulls is None:
+                nulls = "LAST" if nulls_default == "nulls_last" else "FIRST"
+            col = (
+                (col.desc_nulls_first() if nulls == "FIRST" else col.desc_nulls_last())
+                if desc
+                else (col.asc_nulls_first() if nulls == "FIRST" else col.asc_nulls_last())
+            )
+            cols.append(col)
+        return cols
 
     @staticmethod
     def _coerce_day_intervals(df: DataFrame) -> DataFrame:
@@ -1193,8 +1337,10 @@ class DuckSparkSession:
         if words[j] == "OR" and words[j + 1] == "REPLACE":
             or_replace = True
             j += 2
-        kind = words[j]  # TABLE | VIEW | DATABASE | SCHEMA
+        kind = words[j]  # TABLE | VIEW | DATABASE | SCHEMA | MACRO
         j += 1
+        if kind in ("MACRO", "FUNCTION"):  # CREATE FUNCTION is DuckDB's alias
+            return self._create_macro(tokens, sig, j, or_replace)
         if kind in ("DATABASE", "SCHEMA"):
             # name follows IF NOT EXISTS (3 tokens) when present
             j2 = j + 3 if words[j] == "IF" else j
@@ -1232,6 +1378,97 @@ class DuckSparkSession:
             self._register_managed(name, empty)
             return None
         raise ValueError(f"unsupported CREATE statement: {sql[:80]}")
+
+    def _create_macro(
+        self, tokens: list[Token], sig: list[int], j: int, or_replace: bool
+    ) -> None:
+        """CREATE [OR REPLACE] MACRO name(params) AS <expr> — DuckDB scalar
+        macros, expanded inline at parse time (exactly DuckDB's own model:
+        a macro is a stored expression template, not a runtime function).
+        Table macros (``AS TABLE``) and parameter defaults are rejected
+        loudly rather than mis-executed."""
+        name = tokens[sig[j]].text.strip('"`').lower()
+        j += 1
+        if j >= len(sig) or tokens[sig[j]].text != "(":
+            raise ValueError("CREATE MACRO requires a parameter list")
+        c = match_forward(tokens, sig[j], "(", ")")
+        params: list[str] = []
+        for lo, hi in split_args(tokens, sig[j] + 1, c):
+            ps = [tk for tk in tokens[lo:hi] if tk.kind not in (WS, COMMENT)]
+            if not ps:
+                continue
+            if len(ps) != 1 or ps[0].kind not in (IDENT, QIDENT):
+                raise ValueError(
+                    "only simple positional macro parameters are supported "
+                    "(no := defaults)"
+                )
+            params.append(ps[0].text.strip('"').lower())
+        k = next_sig(tokens, c)
+        if k >= len(tokens) or not tokens[k].is_kw("AS"):
+            raise ValueError("CREATE MACRO ... AS <expression>")
+        b = next_sig(tokens, k)
+        if b < len(tokens) and tokens[b].is_kw("TABLE"):
+            raise ValueError("table macros (AS TABLE ...) are not supported")
+        body = render(tokens[k + 1 :]).strip().rstrip(";").strip()
+        if name in self._macros and not or_replace:
+            raise ValueError(f"Catalog Error: macro {name!r} already exists")
+        self._macros[name] = (params, body)
+        return None
+
+    def _drop_macro(self, name: str, if_exists: bool) -> None:
+        if self._macros.pop(name.lower(), None) is None and not if_exists:
+            raise KeyError(f"Catalog Error: Macro with name {name} does not exist!")
+        return None
+
+    def _expand_macros(self, sql: str) -> str:
+        """Inline-substitute macro calls (bounded rounds: macros may call
+        macros, cycles terminate with the original text plus an eventual
+        Spark parse error naming the unresolved function)."""
+        if not self._macros:
+            return sql
+        for _ in range(8):
+            tokens = tokenize(sql)
+            out: list[Token] = []
+            changed = False
+            i = 0
+            while i < len(tokens):
+                t = tokens[i]
+                if t.kind == IDENT and t.text.lower() in self._macros:
+                    p = prev_sig(tokens, i)
+                    dotted = p >= 0 and tokens[p].kind == PUNCT and tokens[p].text == "."
+                    jx = next_sig(tokens, i)
+                    if (
+                        not dotted
+                        and jx < len(tokens)
+                        and tokens[jx].kind == PUNCT
+                        and tokens[jx].text == "("
+                    ):
+                        c = match_forward(tokens, jx, "(", ")")
+                        params, body = self._macros[t.text.lower()]
+                        args = [
+                            render(tokens[lo:hi]).strip()
+                            for lo, hi in split_args(tokens, jx + 1, c)
+                        ]
+                        if args == [""]:
+                            args = []
+                        if len(args) != len(params):
+                            raise ValueError(
+                                f"macro {t.text} expects {len(params)} "
+                                f"argument(s), got {len(args)}"
+                            )
+                        sub = _substitute_macro_params(body, params, args)
+                        out.append(Token(PUNCT, "("))
+                        out.extend(tokenize(sub))
+                        out.append(Token(PUNCT, ")"))
+                        i = c + 1
+                        changed = True
+                        continue
+                out.append(t)
+                i += 1
+            if not changed:
+                return sql
+            sql = render(out)
+        return sql
 
     def _parse_coldefs(self, tokens: list[Token], table: str) -> T.StructType:
         fields = []
@@ -1271,13 +1508,15 @@ class DuckSparkSession:
 
     def _drop(self, sql: str) -> None:
         m = re.match(
-            r"\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?(.+?)\s*;?\s*$",
+            r"\s*DROP\s+(TABLE|VIEW|MACRO|FUNCTION)\s+(IF\s+EXISTS\s+)?(.+?)\s*;?\s*$",
             sql,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"unsupported DROP: {sql[:80]}")
         name = m.group(3).strip().strip('"`')
+        if m.group(1).upper() in ("MACRO", "FUNCTION"):
+            return self._drop_macro(name, bool(m.group(2)))
         key = self._resolve_table_key(name)
         if key is None:
             if m.group(2):

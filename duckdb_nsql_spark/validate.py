@@ -53,7 +53,9 @@ def validate_sql(session, sql: str) -> ValidationResult:
         prev_log = session._created_views_log
         session._created_views_log = []
         try:
-            text = session._rewrite_query(stripped, validate_only=True)
+            text = session._rewrite_query(
+                session._expand_macros(stripped), validate_only=True
+            )
             df = session.spark.sql(text)
             df.schema  # forces analysis; no action, no job
             return ValidationResult(True)

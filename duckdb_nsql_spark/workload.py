@@ -1091,6 +1091,21 @@ _sql(
     """,
 )
 
+# CREATE MACRO: stored expression templates, inline-expanded (DuckDB docs
+# "macros"; not used by dev.json but part of the everyday dialect). Same
+# multi-statement text runs verbatim on the DuckDB oracle.
+_sql(
+    "q84_create_macro",
+    """
+    CREATE OR REPLACE MACRO disc_price(p, d) AS p * (1 - d);
+    CREATE OR REPLACE MACRO taxed(p, d, t) AS disc_price(p, d) * (1 + t);
+    SELECT l_returnflag,
+           round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue,
+           round(sum(taxed(l_extendedprice, l_discount, l_tax)), 2) AS taxed_rev
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles

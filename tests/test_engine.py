@@ -421,6 +421,42 @@ def test_pragma_storage_info(loaded_engine):
     assert mem[0]["count"] is None
 
 
+def test_create_macro_scalar(loaded_engine):
+    import pytest as _pytest
+
+    loaded_engine.execute("CREATE MACRO one() AS 1")
+    loaded_engine.execute(
+        "CREATE MACRO disc_price(p, d) AS p * (1 - d)"
+    )
+    # macro-calls-macro, argument is an expression (parenthesized safely)
+    loaded_engine.execute(
+        "CREATE OR REPLACE MACRO disc_plus(p, d) AS disc_price(p, d) + one()"
+    )
+    df = loaded_engine.execute(
+        "SELECT round(sum(disc_price(l_extendedprice, l_discount)), 2) AS rev, "
+        "       max(disc_plus(l_extendedprice, l_discount / 2 + 0)) AS m "
+        "FROM lineitem"
+    )
+    row = df.collect()[0]
+    oracle = loaded_engine.execute(
+        "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev, "
+        "       max(l_extendedprice * (1 - (l_discount / 2 + 0)) + 1) AS m "
+        "FROM lineitem"
+    ).collect()[0]
+    assert row["rev"] == oracle["rev"] and row["m"] == oracle["m"]
+    # wrong arity is a loud error
+    with _pytest.raises(Exception, match="expects 2"):
+        loaded_engine.execute("SELECT disc_price(1) AS x")
+    # duplicate without OR REPLACE refuses; DROP MACRO removes
+    with _pytest.raises(Exception, match="already exists"):
+        loaded_engine.execute("CREATE MACRO one() AS 2")
+    loaded_engine.execute("DROP MACRO one")
+    with _pytest.raises(Exception):
+        loaded_engine.execute("SELECT one() AS x").collect()
+    loaded_engine.execute("DROP MACRO IF EXISTS one")  # idempotent
+    loaded_engine.execute("DROP MACRO disc_price; DROP MACRO disc_plus")
+
+
 def test_multi_statement(engine):
     df = engine.execute(
         "CREATE TABLE ms (x INTEGER); INSERT INTO ms VALUES (1); SELECT * FROM ms"

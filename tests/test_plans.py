@@ -119,6 +119,33 @@ def test_bucketed_join_has_no_exchange(loaded_engine, spark):
         spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
 
 
+def test_small_sort_skips_range_exchange(loaded_engine, spark):
+    # a trailing ORDER BY over a small input runs as coalesce(1) +
+    # local sort — no rangepartitioning exchange, no sampling pass
+    df = loaded_engine.execute(
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY ALL ORDER BY ALL"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan
+    assert "Coalesce" in plan
+    # with the gate forced to zero the distributed range sort returns —
+    # the shape every big input keeps
+    from duckdb_nsql_spark import session as sess
+
+    old = sess.SMALL_SORT_MAX_INPUT_BYTES
+    sess.SMALL_SORT_MAX_INPUT_BYTES = 0
+    try:
+        df2 = loaded_engine.execute(
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "GROUP BY ALL ORDER BY ALL"
+        )
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan2
+    finally:
+        sess.SMALL_SORT_MAX_INPUT_BYTES = old
+
+
 def test_whole_stage_codegen_covers_filter_agg(loaded_engine):
     df = loaded_engine.execute(
         "SELECT l_returnflag, count(*) AS n FROM lineitem "

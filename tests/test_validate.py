@@ -74,3 +74,13 @@ def test_validate_file_table_fn_drops_views(loaded, tmp_path):
     assert r.ok
     after = {t.name for t in loaded.spark.catalog.listTables()}
     assert after == before
+
+
+def test_validate_expands_macros(loaded):
+    loaded.execute("CREATE OR REPLACE MACRO v_half(x) AS x / 2")
+    r = validate_sql(loaded, "SELECT v_half(o_totalprice) AS h FROM orders")
+    assert r.ok, r
+    # a genuinely unknown function still fails as before
+    r2 = validate_sql(loaded, "SELECT no_such_fn(o_totalprice) FROM orders")
+    assert not r2.ok
+    loaded.execute("DROP MACRO v_half")
