@@ -70,9 +70,14 @@ _NUMERIC = (
 )
 
 
-def _type_name(f: T.StructField, fixed: dict | None) -> str:
+def _type_name(
+    f: T.StructField, fixed: dict | None, overrides: dict | None = None
+) -> str:
     """DuckDB type text; fixed-size arrays (FLOAT[100], dev.json:492) keep
-    their declared length, which Spark's ArrayType cannot carry."""
+    their declared length, and declared ENUM/alias types their rendering —
+    neither of which Spark's type system can carry."""
+    if overrides and f.name in overrides:
+        return overrides[f.name]
     name = spark_type_to_duckdb(f.dataType)
     if fixed and f.name in fixed and name.endswith("[]"):
         name = f"{name[:-2]}[{fixed[f.name]}]"
@@ -80,11 +85,15 @@ def _type_name(f: T.StructField, fixed: dict | None) -> str:
 
 
 def describe_df(
-    spark: SparkSession, df: DataFrame, fixed: dict | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    fixed: dict | None = None,
+    overrides: dict | None = None,
 ) -> DataFrame:
     """DuckDB ``DESCRIBE`` shape: column_name, column_type, null, key, default, extra."""
     rows = [
-        (f.name, _type_name(f, fixed), "YES" if f.nullable else "NO", None, None, None)
+        (f.name, _type_name(f, fixed, overrides), "YES" if f.nullable else "NO",
+         None, None, None)
         for f in df.schema.fields
     ]
     schema = T.StructType(
@@ -101,12 +110,15 @@ def describe_df(
 
 
 def table_info_df(
-    spark: SparkSession, df: DataFrame, fixed: dict | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    fixed: dict | None = None,
+    overrides: dict | None = None,
 ) -> DataFrame:
     """DuckDB ``PRAGMA table_info('t')`` shape (dev.json:252):
     cid, name, type, notnull, dflt_value, pk."""
     rows = [
-        (i, f.name, _type_name(f, fixed), not f.nullable, None, False)
+        (i, f.name, _type_name(f, fixed, overrides), not f.nullable, None, False)
         for i, f in enumerate(df.schema.fields)
     ]
     schema = T.StructType(

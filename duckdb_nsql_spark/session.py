@@ -259,6 +259,13 @@ class DuckSparkSession:
         self._dml_depth: dict[str, int] = {}
         # CREATE MACRO name -> (params, body expression text)
         self._macros: dict[str, tuple[list[str], str]] = {}
+        # CREATE TYPE name AS ENUM(...) -> allowed values (lowercase keys)
+        self._enum_types: dict[str, list[str]] = {}
+        # table -> column -> allowed enum values (INSERT-time enforcement)
+        self._enum_cols: dict[str, dict[str, list[str]]] = {}
+        # table -> column -> declared type text (ENUM rendering in
+        # DESCRIBE / table_info, which Spark's StringType cannot carry)
+        self._type_overrides: dict[str, dict[str, str]] = {}
 
     # ------------------------------------------------------------------ API
 
@@ -1341,6 +1348,8 @@ class DuckSparkSession:
         j += 1
         if kind in ("MACRO", "FUNCTION"):  # CREATE FUNCTION is DuckDB's alias
             return self._create_macro(tokens, sig, j, or_replace)
+        if kind == "TYPE":  # CREATE TYPE mood AS ENUM ('sad', ...)
+            return self._create_type(tokens, sig, j, or_replace)
         if kind in ("DATABASE", "SCHEMA"):
             # name follows IF NOT EXISTS (3 tokens) when present
             j2 = j + 3 if words[j] == "IF" else j
@@ -1413,6 +1422,37 @@ class DuckSparkSession:
         if name in self._macros and not or_replace:
             raise ValueError(f"Catalog Error: macro {name!r} already exists")
         self._macros[name] = (params, body)
+        return None
+
+    def _create_type(
+        self, tokens: list[Token], sig: list[int], j: int, or_replace: bool
+    ) -> None:
+        """CREATE TYPE name AS ENUM ('v1', 'v2', ...). Enum columns store
+        as VARCHAR with the member list enforced at INSERT and the
+        declared rendering preserved for DESCRIBE/table_info."""
+        name = tokens[sig[j]].text.strip('"`').lower()
+        k = next_sig(tokens, sig[j])
+        if k >= len(tokens) or not tokens[k].is_kw("AS"):
+            raise ValueError("CREATE TYPE ... AS ENUM (...)")
+        k = next_sig(tokens, k)
+        if k >= len(tokens) or not (
+            tokens[k].kind == IDENT and tokens[k].upper == "ENUM"
+        ):
+            raise ValueError("only ENUM types are supported by CREATE TYPE")
+        k = next_sig(tokens, k)
+        if k >= len(tokens) or tokens[k].text != "(":
+            raise ValueError("ENUM requires a value list")
+        c = match_forward(tokens, k, "(", ")")
+        vals = [
+            tk.text[1:-1].replace("''", "'")
+            for tk in tokens[k + 1 : c]
+            if tk.kind == STRING
+        ]
+        if not vals:
+            raise ValueError("ENUM requires at least one value")
+        if name in self._enum_types and not or_replace:
+            raise ValueError(f"Catalog Error: type {name!r} already exists")
+        self._enum_types[name] = vals
         return None
 
     def _drop_macro(self, name: str, if_exists: bool) -> None:
@@ -1497,7 +1537,16 @@ class DuckSparkSession:
                 for tk in ty_tokens
             ).strip()
             ty_str = re.sub(r"\s+", " ", ty_str).replace("( ", "(").replace(" )", ")")
-            dt = parse_duckdb_type(ty_str)
+            enum_vals = self._enum_values_for_type(ty_str)
+            if enum_vals is not None:
+                dt: T.DataType = T.StringType()
+                self._enum_cols.setdefault(table, {})[col] = enum_vals
+                rendered = "ENUM(" + ", ".join(
+                    "'" + v.replace("'", "''") + "'" for v in enum_vals
+                ) + ")"
+                self._type_overrides.setdefault(table, {})[col] = rendered
+            else:
+                dt = parse_duckdb_type(ty_str)
             fl = fixed_array_length(ty_str)
             if fl:
                 fixed[col] = fl
@@ -1506,9 +1555,21 @@ class DuckSparkSession:
             self._fixed_arrays[table] = fixed
         return T.StructType(fields)
 
+    def _enum_values_for_type(self, ty_str: str) -> Optional[list[str]]:
+        """Member list when ty_str is an inline ENUM(...) or a CREATE TYPE
+        enum alias; None for every ordinary type."""
+        m = re.match(r"^ENUM\s*\((.*)\)$", ty_str, re.IGNORECASE | re.DOTALL)
+        if m:
+            return [
+                v.strip()[1:-1].replace("''", "'")
+                for v in _split_top_commas(m.group(1))
+                if v.strip().startswith("'")
+            ]
+        return self._enum_types.get(ty_str.strip().lower())
+
     def _drop(self, sql: str) -> None:
         m = re.match(
-            r"\s*DROP\s+(TABLE|VIEW|MACRO|FUNCTION)\s+(IF\s+EXISTS\s+)?(.+?)\s*;?\s*$",
+            r"\s*DROP\s+(TABLE|VIEW|MACRO|FUNCTION|TYPE)\s+(IF\s+EXISTS\s+)?(.+?)\s*;?\s*$",
             sql,
             re.IGNORECASE | re.DOTALL,
         )
@@ -1517,6 +1578,12 @@ class DuckSparkSession:
         name = m.group(3).strip().strip('"`')
         if m.group(1).upper() in ("MACRO", "FUNCTION"):
             return self._drop_macro(name, bool(m.group(2)))
+        if m.group(1).upper() == "TYPE":
+            if self._enum_types.pop(name.lower(), None) is None and not m.group(2):
+                raise KeyError(
+                    f"Catalog Error: Type with name {name} does not exist!"
+                )
+            return None
         key = self._resolve_table_key(name)
         if key is None:
             if m.group(2):
@@ -1563,6 +1630,7 @@ class DuckSparkSession:
         key = self._resolve_table_key(name)
         aligned = self._align_insert(src, target, cols)
         self._check_fixed_arrays(key, aligned)
+        self._check_enums(key, aligned)
         self._register_managed(key, target.unionByName(aligned))
         # DuckDB reports the inserted row count; keep it lazy — a count job
         # per INSERT serializes bulk-load loops, and callers that ignore the
@@ -1608,6 +1676,28 @@ class DuckSparkSession:
         if bad.limit(1).count() > 0:
             lens = ", ".join(f"{c}={n}" for c, n in fixed.items())
             raise ValueError(f"fixed-size array length violation (expected {lens})")
+
+    def _check_enums(self, table: str, df: DataFrame) -> None:
+        """Enforce ENUM membership at insert (DuckDB raises a Conversion
+        Error on values outside the member list)."""
+        enums = self._enum_cols.get(table)
+        if not enums:
+            return
+        conds = [
+            (F.col(c).isNotNull() & ~F.col(c).isin(vals))
+            for c, vals in enums.items()
+            if c in df.columns
+        ]
+        if not conds:
+            return
+        bad = conds[0]
+        for c in conds[1:]:
+            bad = bad | c
+        if df.filter(bad).limit(1).count() > 0:
+            allowed = "; ".join(f"{c} in {v}" for c, v in enums.items())
+            raise ValueError(
+                f"Conversion Error: value not a member of ENUM ({allowed})"
+            )
 
     def _update(self, sql: str) -> DataFrame:
         m = re.match(
@@ -1869,6 +1959,9 @@ class DuckSparkSession:
                     self.spark,
                     self.table(arg),
                     fixed=self._fixed_arrays.get(self._resolve_table_key(arg) or ""),
+                    overrides=self._type_overrides.get(
+                        self._resolve_table_key(arg) or ""
+                    ),
                 )
             if name == "storage_info":
                 key = self._resolve_table_key(arg)
@@ -1897,6 +1990,9 @@ class DuckSparkSession:
                 self.spark,
                 self.table(arg),
                 fixed=self._fixed_arrays.get(self._resolve_table_key(arg) or ""),
+                overrides=self._type_overrides.get(
+                    self._resolve_table_key(arg) or ""
+                ),
             )
         if fn == "pragma_show_tables":
             return self._tables_df()
@@ -2037,14 +2133,15 @@ class DuckSparkSession:
 
     def _describe(self, sql: str) -> DataFrame:
         body = re.sub(r"^\s*DESC(RIBE)?\s+(TABLE\s+)?", "", sql, flags=re.IGNORECASE).strip().rstrip(";")
-        fixed = None
+        fixed = overrides = None
         if re.match(r"^[\w.\"`]+$", body):
             df = self.table(body)
             key = self._resolve_table_key(body)
             fixed = self._fixed_arrays.get(key) if key else None
+            overrides = self._type_overrides.get(key) if key else None
         else:
             df = self._query(body)
-        return introspect.describe_df(self.spark, df, fixed=fixed)
+        return introspect.describe_df(self.spark, df, fixed=fixed, overrides=overrides)
 
     def _show(self, sql: str) -> DataFrame:
         s = re.sub(r"\s+", " ", sql).strip().rstrip(";").upper()

@@ -421,6 +421,40 @@ def test_pragma_storage_info(loaded_engine):
     assert mem[0]["count"] is None
 
 
+def test_enum_types(engine):
+    import pytest as _pytest
+
+    engine.execute("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    engine.execute(
+        "CREATE TABLE person (name VARCHAR, current_mood mood, "
+        "tag ENUM('a', 'b'))"
+    )
+    engine.execute("INSERT INTO person VALUES ('alice', 'happy', 'a')")
+    engine.execute("INSERT INTO person VALUES ('bob', NULL, 'b')")
+    rows = {r["name"]: r["current_mood"]
+            for r in engine.execute("SELECT * FROM person").collect()}
+    assert rows == {"alice": "happy", "bob": None}
+    # DESCRIBE renders the member list, DuckDB-style
+    desc = {r["column_name"]: r["column_type"]
+            for r in engine.execute("DESCRIBE person").collect()}
+    assert desc["current_mood"] == "ENUM('sad', 'ok', 'happy')"
+    assert desc["tag"] == "ENUM('a', 'b')"
+    # out-of-members value refuses, DuckDB Conversion Error style
+    with _pytest.raises(Exception, match="Conversion Error"):
+        engine.execute("INSERT INTO person VALUES ('eve', 'angry', 'a')")
+    # enum compares as its string value
+    n = engine.execute(
+        "SELECT count(*) AS n FROM person WHERE current_mood = 'happy'"
+    ).collect()[0]["n"]
+    assert n == 1
+    with _pytest.raises(Exception, match="already exists"):
+        engine.execute("CREATE TYPE mood AS ENUM ('x')")
+    engine.execute("DROP TYPE mood")
+    engine.execute("DROP TYPE IF EXISTS mood")
+    with _pytest.raises(Exception):
+        engine.execute("DROP TYPE mood")
+
+
 def test_create_macro_scalar(loaded_engine):
     import pytest as _pytest
 
