@@ -511,14 +511,15 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
             # LIST of values for the key ([] when absent); struct['f'] is
             # plain field access, which Spark's ['f'] already matches.
             if kind == "map":
+                # emit the map_extract() form: the _FN_MACROS pass expands
+                # it to the CASE construct, and a chained subscript
+                # (m['k'][1]) structurally infers ARRAY from the
+                # MAP_EXTRACT name instead of falling back to string
                 b = render(base)
                 k = render(sig_inner)
-                new = tokenize(
-                    f"(CASE WHEN map_contains_key({b}, {k}) THEN "
-                    f"array(({b})[{k}]) ELSE array() END)"
-                )
+                new = tokenize(f"map_extract({b}, {k})")
                 tokens = tokens[:start] + new + tokens[close + 1 :]
-                i = start + len(new)
+                i = start
             else:
                 i = close + 1
             continue

@@ -421,6 +421,21 @@ def test_pragma_storage_info(loaded_engine):
     assert mem[0]["count"] is None
 
 
+def test_map_column_type(engine):
+    # MAP(K, V) columns: declared type parses, literals insert, and
+    # bracket access reads back (map expressions are covered by q72)
+    engine.execute("CREATE TABLE kv (id INTEGER, m MAP(VARCHAR, INTEGER))")
+    engine.execute("INSERT INTO kv VALUES (1, MAP {'a': 1, 'b': 2})")
+    # DuckDB map extraction yields a LIST ([2]); [1] unwraps the value
+    row = engine.execute(
+        "SELECT m['b'] AS b, m['b'][1] AS v FROM kv WHERE id = 1"
+    ).collect()[0]
+    assert list(row["b"]) == [2] and row["v"] == 2
+    desc = {r["column_name"]: r["column_type"]
+            for r in engine.execute("DESCRIBE kv").collect()}
+    assert desc["m"] == "MAP(VARCHAR, INTEGER)"
+
+
 def test_enum_types(engine):
     import pytest as _pytest
 
