@@ -102,6 +102,20 @@ RUNTIME_CONFS = {
 }
 
 
+def _attach_cursor_api(df: DataFrame) -> None:
+    """Instance-attach DuckDB's cursor-style fetch methods to a result
+    DataFrame so ``execute(...).fetchdf()`` chains work verbatim."""
+    df.fetchdf = df.toPandas  # type: ignore[attr-defined]
+    df.df = df.toPandas  # type: ignore[attr-defined]
+    df.fetchall = lambda: [tuple(r) for r in df.collect()]  # type: ignore[attr-defined]
+    df.fetchone = lambda: next(  # type: ignore[attr-defined]
+        (tuple(r) for r in df.limit(1).collect()), None
+    )
+    df.fetch_arrow_table = lambda: __import__("pyarrow").Table.from_pandas(  # type: ignore[attr-defined]
+        df.toPandas()
+    )
+
+
 def _substitute_macro_params(body: str, params: list[str], args: list[str]) -> str:
     """Token-wise positional substitution of macro parameters; each
     argument is parenthesized so ``a + b`` expands safely into arbitrary
@@ -271,12 +285,20 @@ class DuckSparkSession:
 
     def execute(self, sql: str) -> Optional[DataFrame]:
         """Execute one or more ``;``-separated statements; returns the last
-        statement's result DataFrame (or None for pure session statements)."""
+        statement's result DataFrame (or None for pure session statements).
+
+        The returned DataFrame additionally answers DuckDB's cursor-style
+        chain — ``con.execute(sql).fetchdf()`` / ``.fetchall()`` /
+        ``.fetchone()`` / ``.df()`` (the exact shape the reference's
+        harness uses, examples/utils.py:16-22) — while remaining a plain
+        Spark DataFrame for everything else."""
         result = None
         for stmt in self._split_statements(sql):
             out = self._execute_one(stmt)
             if out is not None:
                 result = out
+        if result is not None:
+            _attach_cursor_api(result)
         return result
 
     # aliases matching duckdb.Connection usage in the reference
@@ -286,6 +308,17 @@ class DuckSparkSession:
     def fetchdf(self, sql: Optional[str] = None):
         df = self.execute(sql) if sql is not None else self._last
         return df.toPandas() if df is not None else None
+
+    def fetchall(self, sql: Optional[str] = None) -> list[tuple]:
+        df = self.execute(sql) if sql is not None else self._last
+        return [tuple(r) for r in df.collect()] if df is not None else []
+
+    def fetchone(self, sql: Optional[str] = None) -> Optional[tuple]:
+        df = self.execute(sql) if sql is not None else self._last
+        if df is None:
+            return None
+        rows = df.limit(1).collect()
+        return tuple(rows[0]) if rows else None
 
     def table(self, name: str) -> DataFrame:
         key = self._resolve_table_key(name)

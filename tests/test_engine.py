@@ -421,6 +421,20 @@ def test_pragma_storage_info(loaded_engine):
     assert mem[0]["count"] is None
 
 
+def test_cursor_style_chaining(loaded_engine):
+    # the reference consumes DuckDB as connection.execute(sql).fetchdf()
+    # (examples/utils.py:16-22); the chain must work verbatim here
+    res = loaded_engine.execute("SELECT n_name FROM nation ORDER BY n_name")
+    pdf = res.fetchdf()
+    assert len(pdf) == 25 and list(pdf.columns) == ["n_name"]
+    rows = loaded_engine.execute("SELECT 1 AS a, 'x' AS b").fetchall()
+    assert rows == [(1, "x")]
+    one = loaded_engine.execute("SELECT 42 AS v").fetchone()
+    assert one == (42,)
+    # still a plain Spark DataFrame
+    assert res.columns == ["n_name"]
+
+
 def test_map_column_type(engine):
     # MAP(K, V) columns: declared type parses, literals insert, and
     # bracket access reads back (map expressions are covered by q72)
