@@ -1553,17 +1553,30 @@ def _registry_order() -> list[str]:
     """Registry emission order, tuned for the driver's correctness window.
 
     The driver compares the FIRST 50 ``queries()`` entries against their
-    oracles each round, so entries the driver has never witnessed must come
-    first: the operator pipelines with cross-engine oracles, then the
-    dialect queries past q50 (none of which had a CORRECTNESS_r02 row),
-    then the rows-only operators, and finally q01–q50, which the driver
-    verified green in rounds 1–2.
+    oracles each round, so the base order puts the work rounds 1–2 never
+    witnessed first: operator pipelines with cross-engine oracles, then
+    the dialect queries past q50, then the rows-only operators, then
+    q01–q50 (driver-verified green in rounds 1–2). On top of that the
+    whole list ROTATES by 50 per round — the round is inferred from the
+    CORRECTNESS_r*.json files the driver leaves in the repo root — so
+    across any ⌈N/50⌉ consecutive rounds every entry lands inside the
+    window and re-earns a fresh driver row.
     """
     oracled_ops = [n for n, (_f, o) in OPERATORS.items() if o is not None]
     rows_only_ops = [n for n, (_f, o) in OPERATORS.items() if o is None]
     new_sql = [n for n in ENGINE_SQL if n >= "q51"]
     old_sql = [n for n in ENGINE_SQL if n < "q51"]
-    return oracled_ops + new_sql + rows_only_ops + old_sql
+    base = oracled_ops + new_sql + rows_only_ops + old_sql
+    try:
+        import glob as globmod
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        rounds_done = len(globmod.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    except Exception:  # noqa: BLE001
+        rounds_done = 2
+    # rounds 1-2 ran the pre-rotation order; this scheme starts at round 3
+    shift = (max(rounds_done - 2, 0) * 50) % len(base)
+    return base[shift:] + base[:shift]
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
