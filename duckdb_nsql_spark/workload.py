@@ -702,13 +702,16 @@ _sql(
     """,
 )
 
-# --- array_agg / list -> collect_list (order pinned via list_sort) --------
+# --- array_agg / list -> collect_list (order pinned via list_sort).
+# Outputs stringified (array_to_string / to_json) so the driver's
+# canonicalizer can sort+hash them — raw-array variants stay pinned in
+# pytest (test_oracle_parity handles array columns locally). ------------
 _sql(
     "q55_array_agg",
     """
     SELECT n_regionkey,
-           list_sort(array_agg(n_name)) AS names,
-           list_sort(list(n_nationkey)) AS keys
+           array_to_string(list_sort(array_agg(n_name)), ',') AS names,
+           to_json(list_sort(list(n_nationkey))) AS keys
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 )
@@ -835,16 +838,26 @@ _sql(
     """,
 )
 
+# Frame sums accumulate over DECIMAL(12,2), not DOUBLE: double sliding-frame
+# sums diverge between Spark's frame re-evaluation and DuckDB's segment tree
+# (accumulation order flips round(x,2) at half-cent boundaries — the r3
+# wrong-answer). Decimal window sums are exact in both engines; casting the
+# exact sum to DOUBLE is deterministic, and the avg is expressed as
+# exact-sum / count so no engine's decimal-division or round-on-double
+# semantics are in play.
 _sql(
     "q65_window_frames",
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll3,
-           round(avg(o_totalprice) OVER (
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING), 2) AS lead_avg
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+             / count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS lead_avg
     FROM orders WHERE o_custkey < 50
     ORDER BY o_custkey, o_orderkey
     """,
@@ -915,22 +928,16 @@ _sql(
     """,
 )
 
+# map outputs stringified for the driver canonicalizer (to_json keeps the
+# empty-list case: DuckDB array_to_string('[]') is NULL, Spark's is '')
 _sql(
     "q72_map_ops",
     """
     SELECT r_regionkey,
            map_extract(MAP {'k': r_name, 'n': 'x'}, 'k')[1] AS v,
-           map_extract(MAP {'k': r_name}, 'missing') AS empty_list,
+           to_json(map_extract(MAP {'k': r_name}, 'missing')) AS empty_list,
            CAST(cardinality(MAP {'a': 1, 'b': 2}) AS INTEGER) AS n,
-           map_keys(MAP {'a': 1, 'b': 2}) AS ks
-    FROM region ORDER BY r_regionkey
-    """,
-    oracle="""
-    SELECT r_regionkey,
-           map_extract(MAP {'k': r_name, 'n': 'x'}, 'k')[1] AS v,
-           map_extract(MAP {'k': r_name}, 'missing') AS empty_list,
-           CAST(cardinality(MAP {'a': 1, 'b': 2}) AS INTEGER) AS n,
-           map_keys(MAP {'a': 1, 'b': 2}) AS ks
+           array_to_string(map_keys(MAP {'a': 1, 'b': 2}), ',') AS ks
     FROM region ORDER BY r_regionkey
     """,
 )
@@ -1026,15 +1033,19 @@ _sql(
     """,
 )
 
+# list outputs stringified for the driver canonicalizer (sl can be empty
+# -> to_json, not array_to_string; see q72 note)
 _sql(
     "q79_list_function_batch",
     """
     SELECT n_nationkey,
-           list_sort(string_split(n_name, 'A'), 'DESC') AS parts_desc,
-           list_slice([1, 2, 3, 4, 5], 2, n_nationkey % 5 + 1) AS sl,
+           array_to_string(list_sort(string_split(n_name, 'A'), 'DESC'), ',')
+               AS parts_desc,
+           to_json(list_slice([1, 2, 3, 4, 5], 2, n_nationkey % 5 + 1)) AS sl,
            list_reduce([1, 2, 3, n_nationkey], (a, b) -> a + b) AS red,
            list_any_value([NULL, n_nationkey, 99]) AS anyv,
-           list_grade_up([n_nationkey % 3, 10 - n_nationkey % 4, 5]) AS gup,
+           to_json(list_grade_up([n_nationkey % 3, 10 - n_nationkey % 4, 5]))
+               AS gup,
            CAST(list_aggregate([n_nationkey, 2, 3], 'sum') AS DOUBLE) AS lsum,
            list_position([5, n_nationkey, 7], 7) AS pos,
            list_has_all([1, 2, 3, 4], [2, n_nationkey % 4]) AS hasall
@@ -1550,33 +1561,24 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 
 def _registry_order() -> list[str]:
-    """Registry emission order, tuned for the driver's correctness window.
+    """Registry emission order: FIXED and fully deterministic.
 
-    The driver compares the FIRST 50 ``queries()`` entries against their
-    oracles each round, so the base order puts the work rounds 1–2 never
-    witnessed first: operator pipelines with cross-engine oracles, then
-    the dialect queries past q50, then the rows-only operators, then
-    q01–q50 (driver-verified green in rounds 1–2). On top of that the
-    whole list ROTATES by 50 per round — the round is inferred from the
-    CORRECTNESS_r*.json files the driver leaves in the repo root — so
-    across any ⌈N/50⌉ consecutive rounds every entry lands inside the
-    window and re-earns a fresh driver row.
+    Earlier rounds rotated this list against the driver's first-50
+    correctness window; round-3 review correctly flagged that scheme as
+    nondeterministic (it sniffed evaluator artifacts) and self-defeating
+    (verified entries rotated out of the window, so a regression could
+    hide for a round). The order is now a pure function of the registry
+    contents: the canonical q01–q50 block first (re-earning a fresh
+    driver row every round), then the cross-engine-oracled operator
+    pipelines, then q51+, then the rows-only operators. Entries past the
+    window are re-proven every round by tests/test_oracle_parity.py,
+    which runs the SAME engine-vs-DuckDB compare at the driver's sf0.01.
     """
     oracled_ops = [n for n, (_f, o) in OPERATORS.items() if o is not None]
     rows_only_ops = [n for n, (_f, o) in OPERATORS.items() if o is None]
     new_sql = [n for n in ENGINE_SQL if n >= "q51"]
     old_sql = [n for n in ENGINE_SQL if n < "q51"]
-    base = oracled_ops + new_sql + rows_only_ops + old_sql
-    try:
-        import glob as globmod
-
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        rounds_done = len(globmod.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    except Exception:  # noqa: BLE001
-        rounds_done = 2
-    # rounds 1-2 ran the pre-rotation order; this scheme starts at round 3
-    shift = (max(rounds_done - 2, 0) * 50) % len(base)
-    return base[shift:] + base[:shift]
+    return old_sql + oracled_ops + new_sql + rows_only_ops
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
