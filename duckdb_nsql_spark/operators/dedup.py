@@ -242,16 +242,22 @@ def ngram_jaccard_pairs(
 
 
 def with_simhash(
-    df: DataFrame, text_col: str = "text", out_col: str = "sh"
+    df: DataFrame, text_col: str = "text", out_col: str = "sh",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Add a 64-bit SimHash column over word 3-gram shingles.
 
     Bit b of the result is the sign of Σ_shingles (±1 depending on bit b
-    of the shingle's xxhash64). The shingle hashing stays JVM-side
+    of the shingle's 64-bit hash). The shingle hashing stays JVM-side
     (codegen); the 64-bit vote fold runs as an Arrow-batched pandas UDF
     with numpy bit-parallel ops — expressing it as nested SQL lambdas
     costs ~64×|shingles| *interpreted* expression evals per document,
     which measured two orders of magnitude slower. Map-only either way.
+
+    ``hash_fn``: 'xxhash64' (default — fastest, Spark-native) or 'md5'
+    (first 64 bits of md5, big-endian). md5 is byte-identical in DuckDB,
+    which makes the whole pipeline cross-engine oracle-checkable; the
+    vote fold, blocking, and hamming algebra are hash-agnostic.
     """
     @F.pandas_udf("long")
     def fold(hash_arrays: pd.Series) -> pd.Series:
@@ -270,7 +276,15 @@ def with_simhash(
             out[i] = word.astype(np.int64) if word < 2**63 else np.int64(word - 2**64)
         return pd.Series(out)
 
-    hashes = F.transform(shingles(F.col(text_col)), lambda s: F.xxhash64(s))
+    if hash_fn == "md5":
+        def h64(s):
+            hx = F.md5(s)
+            hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+        hashes = F.transform(shingles(F.col(text_col)), h64)
+    else:
+        hashes = F.transform(shingles(F.col(text_col)), lambda s: F.xxhash64(s))
     return (
         df.withColumn("__sh_hashes", hashes)
         .withColumn(out_col, fold(F.col("__sh_hashes")))
@@ -283,11 +297,13 @@ def simhash_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_bits: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup candidates: block on equality of any 16-bit chunk
     (catches all pairs within hamming distance 3 of the 64-bit hash)."""
     sim = with_simhash(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), text_col, "sh"
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), text_col, "sh",
+        hash_fn=hash_fn,
     ).select("doc_id", "sh")
     n_chunks = 64 // chunk_bits
     mask = (1 << chunk_bits) - 1

@@ -204,17 +204,30 @@ def lsh_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 8,
+    n_planes: int = 6,
     seed: int = 42,
-    multiprobe: int = 8,
+    multiprobe: int = 3,
+    n_tables: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket(s).
+    """Approximate top-k via multi-table random-hyperplane LSH.
 
-    Filter-first plan: the bucket predicate prunes before any cosine is
-    computed (and prunes partitions if the table is bucket-partitioned).
+    Single-table LSH caps recall when true neighbors sit at wide angles
+    (cosine ~0.3 → each plane disagrees with p≈0.4), so this runs ``L =
+    n_tables`` independent hash tables (re-seeded hyperplanes) and takes
+    the union of their probe buckets — the standard LSH-forest recall
+    fix. The union is ONE OR-of-memberships predicate, so the plan stays
+    a single map-only scan with no shuffle or self-union; at rest, store
+    the L bucket columns and partition by table-0's bucket (partition
+    prunes table 0; the other memberships evaluate as cheap codegen'd
+    filters or data-skipping stats).
     """
     dim = len(query_vec)
-    bucketed = lsh_partition(df, dim, vec_col, n_planes, seed)
-    probes = _probe_buckets(query_vec, n_planes, seed, multiprobe)
-    candidates = bucketed.filter(F.col("bucket").isin(probes))
+    cond = None
+    for t in range(n_tables):
+        st = seed + 7919 * t
+        bucket = lsh_bucket(F.col(vec_col), dim, n_planes, st)
+        probes = _probe_buckets(query_vec, n_planes, st, multiprobe)
+        member = bucket.isin(probes)
+        cond = member if cond is None else (cond | member)
+    candidates = df.filter(cond)
     return brute_force_topk(candidates, query_vec, k, vec_col, id_col)

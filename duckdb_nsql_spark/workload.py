@@ -1210,6 +1210,77 @@ SELECT doc_id,
 FROM documents
 """
 
+# DuckDB twin of operators/text.py quality_score + lang_id +
+# stopword_ratio — the heuristics are pure deterministic arithmetic over
+# regexp counts, so the SQL mirrors every intermediate round() exactly.
+ORACLE_TEXT_QUALITY = r"""
+WITH base AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split_regex(trim(text), '\s+')) AS wc,
+           round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) /
+                 greatest(length(text), 1), 4) AS punct_ratio,
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS n_en,
+           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS n_de,
+           len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS n_fr
+    FROM documents
+), ratios AS (
+    SELECT doc_id, n_chars, punct_ratio, n_en, n_de, n_fr,
+           round(n_en / greatest(wc, 1), 4) AS stopword_ratio
+    FROM base
+)
+SELECT doc_id,
+       round((least(n_chars / 500.0, 1.0)
+              + (1.0 - least(punct_ratio * 5, 1.0))
+              + least(stopword_ratio * 4, 1.0)) / 3.0, 4) AS quality,
+       CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+            WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+            WHEN n_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       stopword_ratio
+FROM ratios
+"""
+
+# DuckDB twin of the md5-mode SimHash pipeline (operators/dedup.py
+# with_simhash/simhash_candidates): per-shingle 64-bit hash = first 16 hex
+# chars of md5 (big-endian; bit b lives in hex char 16 - b//4, bit b%4 of
+# that nibble), per-bit majority vote, 16-bit-chunk blocking, hamming via
+# bitvector disagreement count. Hash-agnostic algebra identical to the
+# Spark side; md5 makes the hashes byte-identical across engines.
+ORACLE_SIMHASH = f"""
+WITH sh AS ({_SHINGLES}),
+h AS (
+    SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh
+),
+bits AS (
+    SELECT doc_id,
+           list_transform(range(0, 64), b ->
+               CASE WHEN 2 * list_sum(list_transform(hs, x ->
+                        ((strpos('0123456789abcdef',
+                                 substr(x, 16 - b // 4, 1)) - 1)
+                         >> (b % 4)) & 1)) > len(hs)
+                    THEN 1 ELSE 0 END) AS bv
+    FROM h
+),
+chunked AS (
+    SELECT doc_id, bv, c.chunk AS chunk,
+           list_sum(list_transform(range(0, 16),
+               j -> bv[c.chunk * 16 + j + 1] << j)) AS val
+    FROM bits, (SELECT unnest(range(0, 4)) AS chunk) c
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.bv AS bv_a, b.bv AS bv_b
+    FROM chunked a JOIN chunked b
+      ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN bv_a[i] <> bv_b[i] THEN 1 ELSE 0 END))
+           AS INTEGER) AS hamming
+FROM pairs
+"""
+
 ORACLE_EMBED_COSINE = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
@@ -1227,6 +1298,29 @@ ORDER BY list_cosine_similarity(
            embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
          vec_id
 LIMIT 10
+"""
+
+# Recall oracle for the approximate-NN entries: DuckDB recomputes the
+# EXACT cosine top-k (the ground truth) and pins recall_ok=true. The
+# Spark side computes the same exact top-k (brute force), joins the ANN
+# candidates against it, and emits recall_ok = (|ANN ∩ exact| >= ceil).
+# exact_ids is genuinely cross-checked value-by-value; recall_ok turns
+# the pinned-threshold recall assertion into a hash-comparable cell (an
+# ANN regression flips it to false -> driver red).
+ORACLE_SIM_RECALL = """
+WITH exact AS (
+    SELECT vec_id
+    FROM embeddings
+    ORDER BY list_cosine_similarity(
+                 embedding,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+             vec_id
+    LIMIT 10
+)
+SELECT count(*) AS n_exact,
+       array_to_string(list_sort(list(vec_id)), ',') AS exact_ids,
+       TRUE AS recall_ok
+FROM exact
 """
 
 ORACLE_STREAM_TUMBLING = """
@@ -1324,7 +1418,10 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_candidates(_docs(spark, sf_dir))
+    # md5-mode hash so the DuckDB oracle can reproduce the pipeline
+    # byte-for-byte; the xxhash64 fast path stays default for users and
+    # is pinned result-identical-in-shape by unit tests.
+    return dedup.simhash_candidates(_docs(spark, sf_dir), hash_fn="md5")
 
 
 def op_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1381,11 +1478,33 @@ def op_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
-def op_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vec = _query_vec(spark, sf_dir)
-    return similarity.lsh_topk(_embeds(spark, sf_dir), vec, k=10).select(
-        "vec_id", F.round("cosine", 4).alias("cosine")
+def _recall_relation(ann: DataFrame, exact: DataFrame, min_hits: int) -> DataFrame:
+    """1-row relation binding an ANN result to the exact top-k ground
+    truth: exact_ids cross-checks the brute-force set against DuckDB,
+    recall_ok asserts |ANN ∩ exact| >= min_hits."""
+    ann_ids = ann.select(F.col("vec_id").alias("ann_id"))
+    joined = exact.join(ann_ids, exact["vec_id"] == ann_ids["ann_id"], "left")
+    return joined.agg(
+        F.count("*").alias("n_exact"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("vec_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("exact_ids"),
+        (F.count("ann_id") >= F.lit(min_hits)).alias("recall_ok"),
     )
+
+
+def op_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeds(spark, sf_dir)
+    vec = _query_vec(spark, sf_dir)
+    ann = similarity.lsh_topk(emb, vec, k=10)
+    exact = similarity.brute_force_topk(emb, vec, k=10).select("vec_id")
+    # multi-table LSH hits 8/10 on this data (wide-angle neighbors,
+    # cosine≈0.3 — see lsh_topk docstring); pin >=7 with margin 1
+    return _recall_relation(ann, exact, min_hits=7)
 
 
 def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,14 +1535,14 @@ def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def op_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def op_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeds(spark, sf_dir)
     dim = len(_query_vec(spark, sf_dir))
     vec = _query_vec(spark, sf_dir)
     cents = similarity.ivf_centroids(emb, dim, k=8, iters=1)
-    return similarity.ivf_topk(emb, vec, cents, k=10).select(
-        "vec_id", F.round("cosine", 4).alias("cosine")
-    )
+    ann = similarity.ivf_topk(emb, vec, cents, k=10)
+    exact = similarity.brute_force_topk(emb, vec, k=10).select("vec_id")
+    return _recall_relation(ann, exact, min_hits=9)
 
 
 def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1536,14 +1655,14 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dedup_exact": (op_dedup_exact, ORACLE_DEDUP_EXACT),
     "op_dedup_minhash_lsh": (op_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
     "op_dedup_ngram_jaccard": (op_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
-    "op_dedup_simhash": (op_dedup_simhash, None),  # xxhash64: Spark-native
+    "op_dedup_simhash": (op_dedup_simhash, ORACLE_SIMHASH),
     "op_dedup_apply": (op_dedup_apply, ORACLE_DEDUP_APPLY),
     "op_dedup_embedding": (op_dedup_embedding, ORACLE_EMBED_COSINE),
     "op_text_profile": (op_text_profile, ORACLE_TEXT_PROFILE),
-    "op_text_quality_lang": (op_text_quality_lang, None),  # pinned by unit tests
+    "op_text_quality_lang": (op_text_quality_lang, ORACLE_TEXT_QUALITY),
     "op_similarity_topk": (op_similarity_topk, ORACLE_SIM_TOPK),
-    "op_similarity_lsh_topk": (op_similarity_lsh_topk, None),  # ANN: approximate
-    "op_similarity_ivf_topk": (op_similarity_ivf_topk, None),  # ANN: approximate
+    "op_similarity_lsh_recall": (op_similarity_lsh_recall, ORACLE_SIM_RECALL),
+    "op_similarity_ivf_recall": (op_similarity_ivf_recall, ORACLE_SIM_RECALL),
     "op_multimodal_features": (op_multimodal_features, None),  # binary plumbing
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
