@@ -319,7 +319,9 @@ _ATTACH_BATCH_ROWS = 65_536
 _ATTACH_SPOOL_FILE_ROWS = 1_048_576
 
 
-def attach_duckdb_file(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+def attach_duckdb_file(
+    spark: SparkSession, path: str
+) -> tuple[dict[str, DataFrame], list[str]]:
     """ATTACH 'db.duckdb' (dev.json:596): open the DuckDB file and expose its
     tables as DataFrames. Read-only connector.
 
@@ -329,16 +331,25 @@ def attach_duckdb_file(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     ``to_pandas()`` → ``createDataFrame`` funnel held the whole table).
     At cluster scale the spool directory would live on the shared object
     store; the read path is identical.
+
+    Returns ``(tables, spool_dirs)``; the caller owns the spool dirs and
+    must delete them when the attachment is released (DETACH / session
+    close) — they back the returned DataFrames until then. A failure
+    mid-spool cleans up everything this call created before re-raising.
     """
+    import shutil
+
     import duckdb
     import pyarrow.parquet as pq
 
     con = duckdb.connect(path, read_only=True)
+    spools: list[str] = []
     try:
         names = [r[0] for r in con.execute("SHOW TABLES").fetchall()]
         out = {}
         for t in names:
             spool = tempfile.mkdtemp(prefix=f"ddbspark_attach_{t}_")
+            spools.append(spool)
             reader = con.execute(f'SELECT * FROM "{t}"').fetch_record_batch(
                 _ATTACH_BATCH_ROWS
             )
@@ -365,7 +376,11 @@ def attach_duckdb_file(spark: SparkSession, path: str) -> dict[str, DataFrame]:
                 if writer is not None:
                     writer.close()
             out[t] = spark.read.parquet(spool)
-        return out
+        return out, spools
+    except BaseException:
+        for d in spools:
+            shutil.rmtree(d, ignore_errors=True)
+        raise
     finally:
         con.close()
 

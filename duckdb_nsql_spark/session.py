@@ -237,6 +237,17 @@ class _CatalogResolver:
 _SESSION_COUNTER = iter(range(1, 10**9))
 
 
+def _cleanup_spools_weak(ref) -> None:
+    """atexit fallback: delete ATTACH spool dirs of a session that was
+    never close()d. Weakref so registration doesn't pin the session."""
+    sess = ref()
+    if sess is not None:
+        try:
+            sess.close()
+        except Exception:  # noqa: BLE001 — exit path, best effort
+            pass
+
+
 class DuckSparkSession:
     def __init__(self, spark: Optional[SparkSession] = None, **spark_kwargs):
         self.spark = spark or build_spark(**spark_kwargs)
@@ -280,6 +291,14 @@ class DuckSparkSession:
         # table -> column -> declared type text (ENUM rendering in
         # DESCRIBE / table_info, which Spark's StringType cannot carry)
         self._type_overrides: dict[str, dict[str, str]] = {}
+        # attached-db alias -> parquet spool dirs backing its DataFrames;
+        # released on DETACH/close, with a process-exit fallback so
+        # abandoned sessions don't leak disk for the process lifetime
+        self._attach_spools: dict[str, list[str]] = {}
+        import atexit
+        import weakref
+
+        atexit.register(_cleanup_spools_weak, weakref.ref(self))
 
     # ------------------------------------------------------------------ API
 
@@ -352,7 +371,16 @@ class DuckSparkSession:
             self._table_files[name] = f
 
     def close(self) -> None:
-        pass  # session lifetime is owned by the caller
+        # session lifetime is owned by the caller; release what WE own:
+        # the parquet spool dirs backing ATTACHed duckdb databases
+        for db in list(self._attach_spools):
+            self._drop_attach_spools(db)
+
+    def _drop_attach_spools(self, db: str) -> None:
+        import shutil
+
+        for d in self._attach_spools.pop(db, []):
+            shutil.rmtree(d, ignore_errors=True)
 
     # --------------------------------------------------------------- routing
 
@@ -1312,11 +1340,22 @@ class DuckSparkSession:
             return self._resolve_table_key(".".join(parts[1:]))
         # DuckDB's catalog search path also resolves a bare name against
         # every attached database when unambiguous (ATTACH 'ext.duckdb';
-        # SELECT * FROM people → ext.people). Ambiguous stays unresolved,
-        # as DuckDB errors there too.
+        # SELECT * FROM people → ext.people). Only TOP-LEVEL tables of
+        # attached databases participate (key shape db.table with a known
+        # db) — a bare name must not silently capture schema-qualified
+        # tables DuckDB would reject without a search_path entry.
+        # Ambiguous stays unresolved, as DuckDB errors there too.
         if len(parts) == 1:
-            suffix = "." + name.lower()
-            hits = [k for k in self._tables if k.lower().endswith(suffix)]
+            dbs = {d.lower() for d in self._databases}
+            target = name.lower()
+            hits = [
+                k
+                for k in self._tables
+                if (kp := k.lower().split("."))
+                and len(kp) == 2
+                and kp[0] in dbs
+                and kp[1] == target
+            ]
             if len(hits) == 1:
                 return hits[0]
         return None
@@ -1400,8 +1439,12 @@ class DuckSparkSession:
             j += 2
         name = ".".join(name_parts)
         j += 1
-        if self._resolve_table_key(name) and if_not_exists:
+        existing = self._resolve_table_key(name)
+        if existing and if_not_exists:
             return None
+        # fresh table definition: drop any constraint state left by a
+        # previous same-name table (CREATE OR REPLACE / recreate-after-DROP)
+        self._clear_table_meta(name, *( [existing] if existing else [] ))
         nxt = words[j] if j < len(sig) else ""
         if nxt == "AS":
             inner = render(tokens[sig[j] + 1 :]).strip()
@@ -1624,10 +1667,23 @@ class DuckSparkSession:
             raise KeyError(f"Catalog Error: Table with name {name} does not exist!")
         del self._tables[key]
         self._table_files.pop(key, None)
+        self._clear_table_meta(key, name)
         self.spark.catalog.dropTempView(self._view_name(key))
         self._kind_cache = None
         self._infoschema_dirty = True
         return None
+
+    def _clear_table_meta(self, *names: str) -> None:
+        """Forget per-table constraint/type state (ENUM members, rendered
+        type overrides, fixed-array lengths, DML lineage depth) so a
+        recreated same-name table doesn't inherit the old table's
+        constraints (false 'Conversion Error' on valid INSERTs, stale
+        DESCRIBE rendering)."""
+        for n in names:
+            self._enum_cols.pop(n, None)
+            self._type_overrides.pop(n, None)
+            self._fixed_arrays.pop(n, None)
+            self._dml_depth.pop(n, None)
 
     # ------------------------------------------------------------------ DML
 
@@ -1941,7 +1997,10 @@ class DuckSparkSession:
             raise ValueError(f"unsupported ATTACH: {sql[:80]}")
         path, alias = m.group(1), m.group(2)
         db = alias or os.path.splitext(os.path.basename(path))[0]
-        tables = io_utils.attach_duckdb_file(self.spark, path)
+        tables, spools = io_utils.attach_duckdb_file(self.spark, path)
+        # re-ATTACH under the same alias: release the old spool dirs
+        self._drop_attach_spools(db)
+        self._attach_spools[db] = spools
         for t, df in tables.items():
             self.register(f"{db}.{t}", df)
             df.createOrReplaceTempView(self._view_name(f"{db}.{t}"))
@@ -1956,6 +2015,7 @@ class DuckSparkSession:
             for k in [k for k in self._tables if k.startswith(db + ".")]:
                 del self._tables[k]
                 self._table_files.pop(k, None)
+            self._drop_attach_spools(db)
             self._kind_cache = None
             self._infoschema_dirty = True
         return None

@@ -39,16 +39,23 @@ def write_bucketed(
     import shutil
 
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    # DROP only clears the catalog entry; a previous session's files at
-    # the managed location make saveAsTable fail with
-    # LOCATION_ALREADY_EXISTS. Clear a local leftover (no-op for object
-    # stores, where the path isn't a local dir).
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    local = wh[len("file:"):] if wh.startswith("file:") else wh
-    leftover = os.path.join(local, name.lower())
-    if os.path.isdir(leftover):
-        shutil.rmtree(leftover, ignore_errors=True)
+    if mode == "overwrite":
+        if spark.catalog.tableExists(name):
+            # registered managed table: DROP removes both the catalog
+            # entry and its files at the table's true location
+            spark.sql(f"DROP TABLE {name}")
+        elif "." not in name:
+            # no catalog entry, but a previous PROCESS's files at the
+            # default managed location would fail saveAsTable with
+            # LOCATION_ALREADY_EXISTS. Clear only that orphaned default
+            # path, only for unqualified names (a qualified or custom-
+            # LOCATION table never lands at <warehouse>/<name>), and
+            # only under overwrite — append must never delete data.
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            local = wh[len("file:"):] if wh.startswith("file:") else wh
+            leftover = os.path.join(local, name.lower())
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover, ignore_errors=True)
     writer = (
         df.write.format("parquet")
         .mode(mode)

@@ -671,3 +671,73 @@ def test_respool_preserves_nanos_timestamp_cast(spark, tmp_path):
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     first = df.orderBy("ts").first()
     assert first.ts.year == 2023
+
+
+def test_drop_table_clears_enum_and_type_state(spark):
+    """DROP TABLE / recreate must not inherit the old table's ENUM
+    constraints: valid INSERTs into the new table raised a false
+    'Conversion Error' and DESCRIBE rendered the stale ENUM type
+    (round-3 advisory)."""
+    from duckdb_nsql_spark import DuckSparkSession
+
+    eng = DuckSparkSession(spark=spark)
+    eng.execute("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    eng.execute("CREATE TABLE moods (m mood)")
+    eng.execute("DROP TABLE moods")
+    eng.execute("CREATE TABLE moods (m VARCHAR)")
+    eng.execute("INSERT INTO moods VALUES ('not_a_mood')")  # must not raise
+    desc = {r["column_name"]: r["column_type"] for r in eng.execute("DESCRIBE moods").collect()}
+    assert desc["m"] == "VARCHAR"
+    # CREATE OR REPLACE takes the same path
+    eng.execute("CREATE TABLE m2 (m mood)")
+    eng.execute("CREATE OR REPLACE TABLE m2 (m VARCHAR)")
+    eng.execute("INSERT INTO m2 VALUES ('whatever')")
+
+
+def test_bare_name_does_not_capture_schema_qualified(spark):
+    """A bare name resolves across attached dbs' TOP-LEVEL tables only —
+    a schema-qualified registration must not be silently captured."""
+    from duckdb_nsql_spark import DuckSparkSession
+
+    eng = DuckSparkSession(spark=spark)
+    eng.register("myschema.people", spark.range(3).toDF("x"))
+    try:
+        eng.execute("SELECT * FROM people")
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "bare name silently resolved a schema-qualified table"
+
+
+def test_attach_spools_cleaned_on_detach(spark, tmp_path):
+    """ATTACH spool dirs are tracked per alias and deleted on DETACH
+    (round-3 advisory: they leaked for the process lifetime)."""
+    import duckdb
+
+    from duckdb_nsql_spark import DuckSparkSession
+
+    p = str(tmp_path / "leakcheck.ddb")
+    con = duckdb.connect(p)
+    con.execute("CREATE TABLE t1 AS SELECT 42 AS x")
+    con.close()
+    eng = DuckSparkSession(spark=spark)
+    eng.execute(f"ATTACH '{p}' AS leakdb")
+    spools = list(eng._attach_spools.get("leakdb", []))
+    assert spools and all(os.path.isdir(d) for d in spools)
+    assert eng.execute("SELECT x FROM leakdb.t1").collect()[0]["x"] == 42
+    eng.execute("DETACH leakdb")
+    assert not eng._attach_spools.get("leakdb")
+    assert all(not os.path.isdir(d) for d in spools)
+
+
+def test_write_bucketed_append_preserves_data(spark):
+    """write_bucketed(mode='append') must not drop the existing table or
+    delete its files (round-3 advisory: unconditional rmtree)."""
+    from duckdb_nsql_spark.sources import bucketed
+
+    df1 = spark.range(0, 100).toDF("k")
+    df2 = spark.range(100, 150).toDF("k")
+    bucketed.write_bucketed(df1, "bkt_append_t", ["k"], 4)
+    out = bucketed.write_bucketed(df2, "bkt_append_t", ["k"], 4, mode="append")
+    assert out.count() == 150
+    spark.sql("DROP TABLE IF EXISTS bkt_append_t")

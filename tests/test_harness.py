@@ -29,25 +29,20 @@ def test_case(case, runners, tmp_path):
     runner.run_case(case, tmp_dir=str(tmp_path))
 
 
-def test_registry_rotation_covers_all_entries():
-    # the driver checks only the first 50 queries() entries per round; the
-    # order rotates by 50 per round (round inferred from CORRECTNESS_r*
-    # files) so every entry is witnessed within ceil(N/50) rounds
-    import glob as globmod
-
+def test_registry_order_fixed_and_complete():
+    # The registry order is a pure function of the registry contents —
+    # deterministic, no dependence on files in the repo root (the r3
+    # rotation scheme was flagged as harness-gaming and removed). The
+    # canonical q01–q50 block leads; every entry appears exactly once.
     import duckdb_nsql_spark.workload as w
 
-    real_glob = globmod.glob
-    windows: set[str] = set()
-    base_len = len(w._registry_order())
-    try:
-        for n_files in (2, 3, 4):
-            globmod.glob = lambda pat, _n=n_files: (
-                ["x"] * _n if "CORRECTNESS_r" in pat else real_glob(pat)
-            )
-            order = w._registry_order()
-            assert len(order) == base_len  # rotation permutes, never drops
-            windows |= set(order[:50])
-    finally:
-        globmod.glob = real_glob
-    assert len(windows) == base_len
+    order = w._registry_order()
+    assert order == w._registry_order()  # stable across calls
+    assert len(order) == len(set(order))  # no dups, nothing dropped
+    assert len(order) == len(w.ENGINE_SQL) + len(w.OPERATORS)
+    head = order[:50]
+    # q01–q50 in registration order (the exact order rounds 1–2 ran)
+    assert head == [n for n in w.ENGINE_SQL if n < "q51"]
+    # everything outside the driver's 50-entry window must still carry a
+    # pytest-side oracle or rows-only check (test_oracle_parity runs all)
+    assert set(order[50:]) == (set(w.ENGINE_SQL) | set(w.OPERATORS)) - set(head)
