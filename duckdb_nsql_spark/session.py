@@ -249,7 +249,12 @@ def _cleanup_spools_weak(ref) -> None:
 
 
 class DuckSparkSession:
-    def __init__(self, spark: Optional[SparkSession] = None, **spark_kwargs):
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        database: Optional[str] = None,
+        **spark_kwargs,
+    ):
         self.spark = spark or build_spark(**spark_kwargs)
         apply_runtime_confs(self.spark)
         from .functions import register_python_functions
@@ -299,6 +304,26 @@ class DuckSparkSession:
         import weakref
 
         atexit.register(_cleanup_spools_weak, weakref.ref(self))
+        # durable managed tables: connect(database='/path/dir') mirrors
+        # duckdb.connect('file.duckdb') — tables persist across sessions
+        # via a copy-on-write parquet warehouse (sources/warehouse.py)
+        self._warehouse = None
+        if database and database != ":memory:":
+            from .sources.warehouse import DurableWarehouse
+
+            self._warehouse = DurableWarehouse(database)
+            db_name = os.path.splitext(os.path.basename(database.rstrip("/")))[0]
+            if db_name:
+                self._databases.add(db_name)
+            for tname, ent in self._warehouse.tables().items():
+                self.register(tname, self._warehouse.load_df(self.spark, tname))
+                meta = ent.get("meta") or {}
+                if meta.get("enum_cols"):
+                    self._enum_cols[tname] = meta["enum_cols"]
+                if meta.get("type_overrides"):
+                    self._type_overrides[tname] = meta["type_overrides"]
+                if meta.get("fixed_arrays"):
+                    self._fixed_arrays[tname] = meta["fixed_arrays"]
 
     # ------------------------------------------------------------------ API
 
@@ -1389,6 +1414,18 @@ class DuckSparkSession:
         return self._kind_cache
 
     def _register_managed(self, name: str, df: DataFrame) -> None:
+        if self._warehouse is not None:
+            # durable mode: copy-on-write parquet commit; the re-read scan
+            # also truncates lineage, so no checkpoint cadence is needed
+            meta = {
+                "enum_cols": self._enum_cols.get(name),
+                "type_overrides": self._type_overrides.get(name),
+                "fixed_arrays": self._fixed_arrays.get(name),
+            }
+            self.register(name, self._warehouse.save_table(
+                self.spark, name, df, meta
+            ))
+            return
         # Each DML re-registration stacks a union/projection on the table's
         # plan; unbounded, the analyzer cost grows linearly per statement
         # (quadratic over a bulk-load loop). Every 16th write truncates the
@@ -1668,6 +1705,8 @@ class DuckSparkSession:
         del self._tables[key]
         self._table_files.pop(key, None)
         self._clear_table_meta(key, name)
+        if self._warehouse is not None:
+            self._warehouse.drop_table(key)
         self.spark.catalog.dropTempView(self._view_name(key))
         self._kind_cache = None
         self._infoschema_dirty = True
@@ -2434,7 +2473,15 @@ def _pass_order_by_nulls(tokens: list[Token], order: str) -> list[Token]:
 
 
 def connect(
-    spark: Optional[SparkSession] = None, **spark_kwargs
+    spark: Optional[SparkSession] = None,
+    database: Optional[str] = None,
+    **spark_kwargs,
 ) -> DuckSparkSession:
-    """Engine entry point, mirroring ``duckdb.connect()``."""
-    return DuckSparkSession(spark=spark, **spark_kwargs)
+    """Engine entry point, mirroring ``duckdb.connect()``.
+
+    ``database=':memory:'`` (or None) keeps the catalog in-session;
+    ``database='/path/dir'`` makes managed tables durable across
+    sessions via the copy-on-write parquet warehouse
+    (sources/warehouse.py), mirroring ``duckdb.connect('file.duckdb')``.
+    """
+    return DuckSparkSession(spark=spark, database=database, **spark_kwargs)

@@ -741,3 +741,44 @@ def test_write_bucketed_append_preserves_data(spark):
     out = bucketed.write_bucketed(df2, "bkt_append_t", ["k"], 4, mode="append")
     assert out.count() == 150
     spark.sql("DROP TABLE IF EXISTS bkt_append_t")
+
+
+def test_durable_tables_survive_session_restart(spark, tmp_path):
+    """connect(database=dir): managed tables persist across sessions via
+    the copy-on-write parquet warehouse — data, DML results, ENUM
+    constraint metadata, and DESCRIBE rendering all survive a restart."""
+    from duckdb_nsql_spark import connect
+
+    wh = str(tmp_path / "wh")
+    eng = connect(spark=spark, database=wh)
+    eng.execute("CREATE TYPE mood AS ENUM ('sad', 'happy')")
+    eng.execute("CREATE TABLE people (name VARCHAR, m mood)")
+    eng.execute("INSERT INTO people VALUES ('ada', 'happy'), ('bob', 'sad')")
+    eng.execute("UPDATE people SET m = 'happy' WHERE name = 'bob'")
+    eng.execute("ALTER TABLE people ADD COLUMN age INTEGER")
+    eng.execute("CREATE TABLE empty_t (x INTEGER)")  # empty-table edge
+    eng.close()
+
+    eng2 = connect(spark=spark, database=wh)  # fresh session, same dir
+    rows = sorted(tuple(r) for r in eng2.execute("SELECT * FROM people").collect())
+    assert rows == [("ada", "happy", None), ("bob", "happy", None)]
+    desc = {r["column_name"]: r["column_type"]
+            for r in eng2.execute("DESCRIBE people").collect()}
+    assert desc["m"].startswith("ENUM(")  # constraint metadata survived
+    assert eng2.execute("SELECT count(*) AS n FROM empty_t").collect()[0]["n"] == 0
+    # the restored ENUM still enforces on INSERT
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng2.execute("INSERT INTO people VALUES ('eve', 'not_a_mood', 1)")
+    # DML in the second session persists to a third
+    eng2.execute("INSERT INTO people VALUES ('eve', 'sad', 30)")
+    eng2.close()
+    eng3 = connect(spark=spark, database=wh)
+    assert eng3.execute("SELECT count(*) AS n FROM people").collect()[0]["n"] == 3
+    # DROP removes durably
+    eng3.execute("DROP TABLE empty_t")
+    eng3.close()
+    eng4 = connect(spark=spark, database=wh)
+    with _pytest.raises(Exception):
+        eng4.execute("SELECT * FROM empty_t")
