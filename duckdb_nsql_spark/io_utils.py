@@ -120,7 +120,12 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 _RESPOOL_CACHE: dict[str, str] = {}
 _RESPOOL_MIN_BYTES = 2 << 20
 _RESPOOL_MAX_BYTES = 512 << 20
-_RESPOOL_ROWS_PER_FILE = 25_000
+# ~75k rows/file ≈ 1-2MB chunks: enough files for one full task wave on
+# local[32] without drowning sub-second queries in per-task scheduling
+# (25k-row chunks measured ~10% slower on the headline joins/aggs; the
+# respool itself only fires on the 2MB..512MB single-row-group local
+# pathology — production multi-file ingest never takes this path)
+_RESPOOL_ROWS_PER_FILE = 75_000
 
 
 def parallel_scan_path(path: str, max_files: int = 32) -> str:

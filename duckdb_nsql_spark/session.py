@@ -737,16 +737,18 @@ class DuckSparkSession:
         references there. Single-reference or scan-only CTEs stay inline
         where Catalyst can push filters/pruning into them.
 
-        The persist is gated on the CTE body's estimated *input* size
-        (sum of leaf-relation plan stats): materialization trades a
-        persist round-trip + job barrier + lost pushdown for saved
-        recomputes, a trade that only pays when the recomputed subtree
-        scans real data. Below CTE_MATERIALIZE_MIN_INPUT_BYTES the
-        references stay inline — recomputing a few MB is cheaper than
-        the extra stage, and at cluster scale any fact-table CTE clears
-        the bar anyway. ``AS MATERIALIZED`` forces the behavior
-        regardless of size; ``WITH RECURSIVE`` is left to Spark's native
-        UnionLoop untouched."""
+        Output-REDUCING bodies (GROUP BY / DISTINCT / set ops at the top
+        level) always materialize: the barrier blocks predicate pushdown
+        regardless, so inlining buys nothing and recomputes the
+        aggregation N times (q22's shape: 3 evaluations → 1, measured
+        0.58s → 0.36s at sf0.1). Non-reducing bodies are gated on the
+        body's estimated *input* size (sum of leaf-relation plan stats):
+        there, materialization genuinely trades lost pushdown for saved
+        recomputes, which only pays when the subtree scans real data
+        (>= CTE_MATERIALIZE_MIN_INPUT_BYTES; at cluster scale any
+        fact-table CTE clears the bar). ``AS MATERIALIZED`` forces the
+        behavior regardless of size; ``WITH RECURSIVE`` is left to
+        Spark's native UnionLoop untouched."""
         tokens = tokenize(sql)
         i = next_sig(tokens, -1)
         if i >= len(tokens) or not tokens[i].is_kw("WITH"):
@@ -830,7 +832,26 @@ class DuckSparkSession:
             "JOIN", "GROUP", "DISTINCT", "OVER", "UNION", "INTERSECT",
             "EXCEPT", "QUALIFY", "ORDER",
         }
+        # output-reducing barriers at the body's TOP paren level: an
+        # aggregated/deduplicated CTE blocks predicate pushdown anyway, so
+        # inlining buys nothing and recomputes the barrier N times — these
+        # materialize regardless of input size (persist is lazy: all
+        # references share one evaluation inside the same action)
+        reduce_kws = {"GROUP", "DISTINCT", "UNION", "INTERSECT", "EXCEPT"}
+
+        def reduces_at_top(lo: int, hi: int) -> bool:
+            depth = 0
+            for t in tokens[lo:hi]:
+                if t.kind == PUNCT and t.text == "(":
+                    depth += 1
+                elif t.kind == PUNCT and t.text == ")":
+                    depth -= 1
+                elif depth == 0 and t.kind == IDENT and t.upper in reduce_kws:
+                    return True
+            return False
+
         mat_names: set[str] = set()
+        reducing: set[str] = set()
         for cte in ctes:
             lo, hi = cte["body"]
             nontrivial = bool(
@@ -840,6 +861,8 @@ class DuckSparkSession:
                 nontrivial and ref_count(cte["name"], cte["span"]) >= 2
             ):
                 mat_names.add(cte["name"].lower())
+                if reduces_at_top(lo, hi):
+                    reducing.add(cte["name"].lower())
         if not mat_names:
             return None
 
@@ -866,11 +889,14 @@ class DuckSparkSession:
                 df = self._query(body_sql)
                 if cte["cols"]:
                     df = df.toDF(*cte["cols"])
-                if not cte["forced"] and _plan_input_bytes(
-                    df
-                ) < CTE_MATERIALIZE_MIN_INPUT_BYTES:
-                    # small input: recomputing the body N times is cheaper
-                    # than a persist round-trip + job barrier; leave inline
+                if (
+                    not cte["forced"]
+                    and cte["name"].lower() not in reducing
+                    and _plan_input_bytes(df) < CTE_MATERIALIZE_MIN_INPUT_BYTES
+                ):
+                    # small-input NON-reducing body: references stay inline
+                    # where Catalyst can still push filters/pruning into
+                    # them; recomputing a few MB beats the lost pushdown
                     mat_names.discard(cte["name"].lower())
                     continue
                 df = df.persist(StorageLevel.MEMORY_AND_DISK)

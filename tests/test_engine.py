@@ -587,10 +587,11 @@ def test_union_by_name(loaded_engine):
 
 def test_cte_materialization_repeated_ref(loaded_engine):
     # DuckDB materializes a CTE referenced 2+ times; mirror via persisted
-    # temp view routing (session._materialize_repeated_ctes), gated on the
-    # body's estimated input size — the sf0.001 fixtures sit far below
-    # CTE_MATERIALIZE_MIN_INPUT_BYTES, so `agg` stays inline here (no
-    # persist job) while results stay DuckDB-identical.
+    # temp view routing (session._materialize_repeated_ctes). `agg` is
+    # output-REDUCING (GROUP BY at the top level): it materializes
+    # regardless of input size — the aggregation barrier blocks pushdown
+    # anyway, so inlining would only recompute it 3x. `base` (scan+filter,
+    # non-reducing, small input) stays inline where filters can push.
     df = loaded_engine.execute(
         """
         WITH base AS (
@@ -607,8 +608,9 @@ def test_cte_materialization_repeated_ref(loaded_engine):
     rows = df.collect()
     assert len(rows) == 5
     assert rows[0]["tot"] >= rows[-1]["tot"]
-    # _cte_persisted holds only the current statement's persists
-    assert len(loaded_engine._cte_persisted) == 0  # gated: inline
+    # _cte_persisted holds only the current statement's persists:
+    # `agg` (reducing, 3 refs) persisted; `base` (non-reducing) inline
+    assert len(loaded_engine._cte_persisted) == 1
     # `agg` must not leak into the catalog either way
     import pytest as _pytest
 
