@@ -101,6 +101,29 @@ def lang_id(col: Column) -> Column:
     )
 
 
+def fingerprint_sketch(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """k-min document fingerprint sketch: the ``k`` lexicographically
+    smallest md5 digests of the document's word 3-gram shingles.
+
+    This is the min-hash/winnowing family of document fingerprints (two
+    documents' sketch overlap estimates their shingle containment);
+    md5 stands in for a rolling hash so the sketch is byte-identical in
+    DuckDB and the driver can cross-check it. Map-only — no shuffle at
+    any scale; the sketch column is what a near-dup index would join on.
+    """
+    from .dedup import shingles
+
+    c = F.col(text_col)
+    hx = F.array_sort(F.transform(shingles(c), lambda s: F.md5(s)))
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.slice(hx, 1, k), ",").alias("fp_sketch"),
+        F.size(hx).alias("n_shingles"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass profile of a documents table: counts, ratios, quality,
     language, fingerprint. Map-only — no shuffle at any scale."""

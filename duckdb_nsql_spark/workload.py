@@ -1306,6 +1306,34 @@ ORDER BY list_cosine_similarity(
 LIMIT 10
 """
 
+# k-min fingerprint sketch twin (operators/text.py fingerprint_sketch):
+# same shingle set as _SHINGLES, same md5, same lexicographic min-k —
+# byte-identical across engines
+ORACLE_TEXT_FINGERPRINT = f"""
+WITH sh AS ({_SHINGLES})
+SELECT doc_id,
+       array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:5],
+                       ',') AS fp_sketch,
+       CAST(len(shingles) AS INTEGER) AS n_shingles
+FROM sh
+"""
+
+# Salted-operator oracles: salting must be RESULT-IDENTICAL to the plain
+# shapes, so the oracle is simply the unsalted SQL — the driver row
+# proves the two-stage/replicated plans change nothing but the shuffle.
+ORACLE_SKEW_AGG = """
+SELECT l_returnflag, count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS qty,
+       CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLE_SKEW_JOIN = """
+SELECT o.o_orderpriority, count(*) AS n, CAST(sum(l.l_quantity) AS DOUBLE) AS qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
 # Recall oracle for the approximate-NN entries: DuckDB recomputes the
 # EXACT cosine top-k (the ground truth) and pins recall_ok=true. The
 # Spark side computes the same exact top-k (brute force), joins the ANN
@@ -1454,6 +1482,53 @@ def op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = text_ops.text_profile(_docs(spark, sf_dir))
     return prof.select("doc_id", "quality", "lang_pred", "stopword_ratio")
+
+
+def op_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.fingerprint_sketch(_docs(spark, sf_dir))
+
+
+def op_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import skew
+
+    li = engine_for(spark, sf_dir).table("lineitem")
+    out = skew.salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("l_quantity", "count"),
+            "qty": ("l_quantity", "sum"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("qty").cast("double").alias("qty"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+def op_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import skew
+
+    eng = engine_for(spark, sf_dir)
+    li = eng.table("lineitem").select("l_orderkey", "l_quantity")
+    orders = eng.table("orders").select("o_orderkey", "o_orderpriority")
+    joined = skew.salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        key="k",
+        hot_keys=[1, 2, 3, 4, 5, 6, 7],
+        salt_buckets=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("double").alias("qty"),
+    )
 
 
 _QUERY_VEC_CACHE: dict[str, list[float]] = {}
@@ -1666,6 +1741,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dedup_embedding": (op_dedup_embedding, ORACLE_EMBED_COSINE),
     "op_text_profile": (op_text_profile, ORACLE_TEXT_PROFILE),
     "op_text_quality_lang": (op_text_quality_lang, ORACLE_TEXT_QUALITY),
+    "op_text_fingerprint": (op_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+    "op_skew_salted_agg": (op_skew_salted_agg, ORACLE_SKEW_AGG),
+    "op_skew_salted_join": (op_skew_salted_join, ORACLE_SKEW_JOIN),
     "op_similarity_topk": (op_similarity_topk, ORACLE_SIM_TOPK),
     "op_similarity_lsh_recall": (op_similarity_lsh_recall, ORACLE_SIM_RECALL),
     "op_similarity_ivf_recall": (op_similarity_ivf_recall, ORACLE_SIM_RECALL),
