@@ -2178,6 +2178,60 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         expanded = "named_struct(" + ", ".join(parts) + ")"
                         out = out[:i] + tokenize(expanded) + out[c + 1 :]
                         continue
+                elif up == "UNION_VALUE":
+                    # union_value(tag := expr) -> the union's struct
+                    # encoding: named_struct('__utag','tag','tag',expr)
+                    # (types.py UNION(...) parse; inactive members of a
+                    # TYPED union column are NULL-filled at INSERT by
+                    # session._align_insert's struct widening)
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 1:
+                        lo, hi = spans[0]
+                        sig = [
+                            k for k in range(lo, hi)
+                            if out[k].kind not in (WS, COMMENT)
+                        ]
+                        if (
+                            len(sig) >= 4
+                            and out[sig[0]].kind in (IDENT, QIDENT)
+                            and out[sig[1]].kind == PUNCT
+                            and out[sig[1]].text == ":"
+                            and out[sig[2]].kind == OP
+                            and out[sig[2]].text == "="
+                        ):
+                            nm = out[sig[0]].text.strip('"').replace("'", "''")
+                            val = render(_trim(out[sig[2] + 1 : hi]))
+                            expanded = (
+                                f"named_struct('__utag', '{nm}', '{nm}', {val})"
+                            )
+                            out = out[:i] + tokenize(expanded) + out[c + 1 :]
+                            continue
+                elif up == "UNION_TAG":
+                    # union_tag(u) -> u.__utag
+                    c = match_forward(out, n, "(", ")")
+                    a_txt = render(_trim(out[n + 1 : c]))
+                    out = out[:i] + tokenize(f"(({a_txt}).__utag)") + out[c + 1 :]
+                    continue
+                elif up == "UNION_EXTRACT":
+                    # union_extract(u, 'tag') -> NULL unless 'tag' is active
+                    # (matches DuckDB: extracting an inactive member gives
+                    # NULL; inactive members are stored NULL, but the guard
+                    # also covers values built by ad-hoc union_value)
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        btoks = _trim(out[spans[1][0] : spans[1][1]])
+                        if len(btoks) == 1 and btoks[0].kind == STRING:
+                            a_txt = render(_trim(out[spans[0][0] : spans[0][1]]))
+                            tag = btoks[0].text[1:-1].replace("''", "'")
+                            member = tag.replace("`", "")
+                            expanded = (
+                                f"(CASE WHEN ({a_txt}).__utag = '{tag}' "
+                                f"THEN ({a_txt}).`{member}` END)"
+                            )
+                            out = out[:i] + tokenize(expanded) + out[c + 1 :]
+                            continue
                 elif up == "ELEMENT_AT":
                     # DuckDB element_at is a MAP accessor returning the
                     # list of values for the key; only a string-literal key

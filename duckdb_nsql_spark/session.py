@@ -1686,6 +1686,13 @@ class DuckSparkSession:
                 self._type_overrides.setdefault(table, {})[col] = rendered
             else:
                 dt = parse_duckdb_type(ty_str)
+                if re.match(r"^UNION\s*\(", ty_str, re.IGNORECASE):
+                    # keep the declared UNION(...) text for DESCRIBE /
+                    # table_info — the Spark struct encoding can't carry it
+                    rendered = re.sub(r"^UNION\s*\(", "UNION(", ty_str,
+                                      flags=re.IGNORECASE)
+                    rendered = re.sub(r"\s*,\s*", ", ", rendered)
+                    self._type_overrides.setdefault(table, {})[col] = rendered
             fl = fixed_array_length(ty_str)
             if fl:
                 fixed[col] = fl
@@ -1779,8 +1786,11 @@ class DuckSparkSession:
                 j_pos = sig[j]
         else:
             j_pos = sig[j]
-        src = self._query(render(tokens[j_pos:]))
         target = self.table(name)
+        src_sql = self._expand_union_values_for_insert(
+            render(tokens[j_pos:]), target, cols
+        )
+        src = self._query(src_sql)
         key = self._resolve_table_key(name)
         aligned = self._align_insert(src, target, cols)
         self._check_fixed_arrays(key, aligned)
@@ -1791,25 +1801,120 @@ class DuckSparkSession:
         # result (the common case) should pay zero jobs
         return aligned.agg(F.count(F.lit(1)).alias("Count"))
 
+    def _expand_union_values_for_insert(
+        self, src_sql: str, target: DataFrame, cols: Optional[list[str]]
+    ) -> str:
+        """Widen ``union_value(tag := v)`` calls inside an INSERT's VALUES
+        rows to the target union column's FULL struct shape.
+
+        Each union_value alone encodes only its active member, so two rows
+        activating different members produce differently-shaped structs and
+        Spark's inline-table resolution rejects them (DuckDB unifies via
+        the declared column type). The insert path knows that type, so the
+        call expands to named_struct over every member with typed NULLs."""
+        if "union_value" not in src_sql.lower():
+            return src_sql
+        tfields = target.schema.fields
+        if cols is not None:
+            by_name = {f.name.lower(): f for f in tfields}
+            pos_fields = [by_name.get(c.lower()) for c in cols]
+        else:
+            pos_fields = list(tfields)
+        toks = tokenize(src_sql)
+        sig = [i for i, t in enumerate(toks) if t.kind not in (WS, COMMENT)]
+        if not sig or not toks[sig[0]].is_kw("VALUES"):
+            return src_sql
+        out_rows: list[str] = []
+        k = next_sig(toks, sig[0])
+        while k < len(toks) and toks[k].kind == PUNCT and toks[k].text == "(":
+            c = match_forward(toks, k, "(", ")")
+            exprs = []
+            for idx, (lo, hi) in enumerate(split_args(toks, k + 1, c)):
+                txt = render(toks[lo:hi]).strip()
+                f = pos_fields[idx] if idx < len(pos_fields) else None
+                m = re.match(
+                    r"^union_value\s*\(\s*(\w+)\s*:=\s*(.*)\)\s*$",
+                    txt,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if (
+                    m
+                    and f is not None
+                    and isinstance(f.dataType, T.StructType)
+                    and f.dataType.fields
+                    and f.dataType.fields[0].name == "__utag"
+                ):
+                    tag, val = m.group(1), m.group(2).strip()
+                    parts = [f"'__utag', '{tag}'"]
+                    for mf in f.dataType.fields[1:]:
+                        if mf.name.lower() == tag.lower():
+                            parts.append(f"'{mf.name}', {val}")
+                        else:
+                            parts.append(
+                                f"'{mf.name}', CAST(NULL AS {mf.dataType.simpleString()})"
+                            )
+                    txt = "named_struct(" + ", ".join(parts) + ")"
+                exprs.append(txt)
+            out_rows.append("(" + ", ".join(exprs) + ")")
+            k = next_sig(toks, c)
+            if k < len(toks) and toks[k].kind == PUNCT and toks[k].text == ",":
+                k = next_sig(toks, k)
+            else:
+                break
+        if not out_rows:
+            return src_sql
+        return "VALUES " + ", ".join(out_rows)
+
     def _align_insert(
         self, src: DataFrame, target: DataFrame, cols: Optional[list[str]]
     ) -> DataFrame:
         tfields = target.schema.fields
+        src_types = {c: f.dataType for c, f in zip(src.columns, src.schema.fields)}
+
+        def coerce(src_col: str, tgt: T.StructField):
+            col = F.col(src_col)
+            st = src_types.get(src_col)
+            # struct widening: a value struct whose fields are a subset of
+            # the target's (e.g. union_value's single-member encoding into
+            # a UNION column) NULL-fills the missing members — Spark's
+            # struct cast requires equal field counts
+            if (
+                isinstance(tgt.dataType, T.StructType)
+                and isinstance(st, T.StructType)
+                and len(st.fields) < len(tgt.dataType.fields)
+            ):
+                have = {f.name.lower(): f.name for f in st.fields}
+                if set(have) <= {f.name.lower() for f in tgt.dataType.fields}:
+                    parts = []
+                    for f in tgt.dataType.fields:
+                        if f.name.lower() in have:
+                            parts.append(
+                                col.getField(have[f.name.lower()])
+                                .cast(f.dataType)
+                                .alias(f.name)
+                            )
+                        else:
+                            parts.append(
+                                F.lit(None).cast(f.dataType).alias(f.name)
+                            )
+                    return F.when(col.isNotNull(), F.struct(*parts)).alias(
+                        tgt.name
+                    )
+            return col.cast(tgt.dataType).alias(tgt.name)
+
         if cols is None:
             if len(src.columns) != len(tfields):
                 raise ValueError(
                     f"INSERT width mismatch: {len(src.columns)} vs {len(tfields)}"
                 )
-            exprs = [
-                F.col(s).cast(f.dataType).alias(f.name)
-                for s, f in zip(src.columns, tfields)
-            ]
-            return src.select(*exprs)
+            return src.select(
+                *[coerce(s, f) for s, f in zip(src.columns, tfields)]
+            )
         by_name = {c.lower(): s for c, s in zip([c.lower() for c in cols], src.columns)}
         exprs = []
         for f in tfields:
             if f.name.lower() in by_name:
-                exprs.append(F.col(by_name[f.name.lower()]).cast(f.dataType).alias(f.name))
+                exprs.append(coerce(by_name[f.name.lower()], f))
             else:
                 exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
         return src.select(*exprs)

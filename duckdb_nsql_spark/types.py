@@ -88,6 +88,21 @@ def parse_duckdb_type(s: str) -> T.DataType:
     m = re.match(r"^MAP\s*\((.*),(.*)\)$", s, re.IGNORECASE | re.DOTALL)
     if m:
         return T.MapType(parse_duckdb_type(m.group(1)), parse_duckdb_type(m.group(2)))
+    m = re.match(r"^UNION\s*\((.*)\)$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        # DuckDB tagged union -> struct<__utag:string, member fields...>:
+        # the active member holds its value, the rest are NULL, __utag
+        # names the active member (union_value/union_tag/union_extract
+        # rewrite onto this encoding; frontend/rewrites.py)
+        fields = [T.StructField("__utag", T.StringType(), True)]
+        for item in _split_top(m.group(1)):
+            item = item.strip()
+            fm = re.match(r'^("(?:[^"]|"")+"|\w+)\s+(.*)$', item, re.DOTALL)
+            if not fm:
+                raise ValueError(f"bad union member: {item!r}")
+            name = fm.group(1).strip('"')
+            fields.append(T.StructField(name, parse_duckdb_type(fm.group(2)), True))
+        return T.StructType(fields)
     key = re.sub(r"\s+", " ", s).upper()
     if key in _SIMPLE:
         return _SIMPLE[key]

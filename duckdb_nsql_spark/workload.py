@@ -1108,6 +1108,26 @@ _sql(
     """,
 )
 
+# UNION column type (tagged union): struct<__utag, members...> encoding
+# Spark-side (types.py), union_value/union_tag/union_extract rewrites,
+# INSERT widens single-member values to the declared shape. The oracle is
+# the same multi-statement text run natively by DuckDB (union_tag cast to
+# VARCHAR: DuckDB returns an ENUM, Spark a plain string).
+_sql(
+    "q85_union_type",
+    """
+    CREATE OR REPLACE TABLE u_demo (id INTEGER, u UNION(num INTEGER, s VARCHAR));
+    INSERT INTO u_demo VALUES (1, union_value(num := 42)),
+                              (2, union_value(s := 'hello')),
+                              (3, union_value(num := 7));
+    SELECT id, CAST(union_tag(u) AS VARCHAR) AS tag,
+           union_extract(u, 'num') AS num_val,
+           union_extract(u, 's') AS str_val,
+           u.num AS dot_num
+    FROM u_demo ORDER BY id
+    """,
+)
+
 # CREATE MACRO: stored expression templates, inline-expanded (DuckDB docs
 # "macros"; not used by dev.json but part of the everyday dialect). Same
 # multi-statement text runs verbatim on the DuckDB oracle.

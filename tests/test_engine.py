@@ -784,3 +784,29 @@ def test_durable_tables_survive_session_restart(spark, tmp_path):
     eng4 = connect(spark=spark, database=wh)
     with _pytest.raises(Exception):
         eng4.execute("SELECT * FROM empty_t")
+
+
+def test_union_column_type(spark):
+    """UNION(tag TYPE, ...) tagged-union columns: struct<__utag,...>
+    encoding, union_value/union_tag/union_extract, dotted access, INSERT
+    widening of single-member values, and DuckDB DESCRIBE rendering."""
+    from duckdb_nsql_spark import DuckSparkSession
+
+    eng = DuckSparkSession(spark=spark)
+    eng.execute("CREATE TABLE ut (id INTEGER, u UNION(num INTEGER, s VARCHAR))")
+    eng.execute(
+        "INSERT INTO ut VALUES (1, union_value(num := 42)), "
+        "(2, union_value(s := 'hello'))"
+    )
+    rows = eng.execute(
+        "SELECT id, union_tag(u) AS tag, union_extract(u, 'num') AS n, "
+        "union_extract(u, 's') AS sv, u.num AS dot_n FROM ut ORDER BY id"
+    ).fetchall()
+    assert rows == [(1, "num", 42, None, 42), (2, "s", None, "hello", None)]
+    desc = {r["column_name"]: r["column_type"] for r in eng.execute("DESCRIBE ut").collect()}
+    assert desc["u"] == "UNION(num INTEGER, s VARCHAR)"
+    # inactive-member extraction guards even ad-hoc values
+    one = eng.execute(
+        "SELECT union_extract(union_value(num := 5), 'num') AS v"
+    ).fetchall()
+    assert one == [(5,)]
