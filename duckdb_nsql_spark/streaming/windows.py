@@ -133,6 +133,52 @@ def session_agg(
     )
 
 
+def stream_stream_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each ``right_type``
+    event to the ``left_type`` events of the same user in the preceding
+    ``within`` interval (the click→purchase attribution shape).
+
+    Both sides carry watermarks and the join condition carries the time
+    bound — the two ingredients Spark needs to age join state out instead
+    of buffering both streams forever; at scale the state store holds only
+    ``watermark`` worth of events per side. Append-mode output: each
+    matched pair is emitted exactly once, so the finite-input replay is
+    row-identical to the batch join (the DuckDB oracle).
+    """
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("left_id"),
+            "user_id",
+            F.col("ts").alias("left_ts"),
+        )
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("right_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
+    return joined.select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:

@@ -1392,6 +1392,18 @@ FROM events, (SELECT unnest([0, 1]) AS k) o
 GROUP BY window_start, event_type
 """
 
+# batch twin of the watermarked stream-stream inner join: append-mode
+# emits each matched pair exactly once over finite input, so the plain
+# time-bounded join is row-identical
+ORACLE_STREAM_JOIN = """
+SELECT a.event_id AS left_id, b.event_id AS right_id, a.user_id,
+       a.ts AS left_ts, b.ts AS right_ts
+FROM events a JOIN events b
+  ON a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.user_id = a.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+"""
+
 ORACLE_STREAM_STATEFUL = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total
 FROM events GROUP BY user_id
@@ -1743,6 +1755,24 @@ def op_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def op_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import windows as sw
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = sw.read_events_stream(spark, path)
+    joined = sw.stream_stream_join(stream, within="30 minutes")
+    name = f"stream_join_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def op_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import windows as sw
 
@@ -1774,6 +1804,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_stream_tumbling": (op_stream_tumbling, ORACLE_STREAM_TUMBLING),
     "op_stream_sliding": (op_stream_sliding, ORACLE_STREAM_SLIDING),
     "op_stream_session": (op_stream_session, ORACLE_STREAM_SESSION),
+    "op_stream_join": (op_stream_join, ORACLE_STREAM_JOIN),
     "op_stream_stateful": (op_stream_stateful, ORACLE_STREAM_STATEFUL),
 }
 
