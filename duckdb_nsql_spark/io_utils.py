@@ -271,34 +271,79 @@ def write_copy_to(
         else:
             writer.json(path)
         return -1
-    # single-file target: distributed write of ONE part (executors do the
-    # encode; the driver only renames) — never materializes the result in
-    # driver memory the way a toPandas() funnel would at scale
+    # single-file target: the ENCODE stays fully distributed (every
+    # partition writes its own part in parallel); only the byte-level
+    # stitch is serial on the driver — CSV/JSON parts concatenate as raw
+    # bytes (headerless parts + one driver-written header line), parquet
+    # parts stream through a row-group merge in bounded memory. Strictly
+    # better than the previous coalesce(1) funnel, which serialized the
+    # whole final stage (encode included) into one task.
     import shutil
     import tempfile
 
     parent = os.path.dirname(os.path.abspath(path)) or "."
     tmp = tempfile.mkdtemp(dir=parent, prefix=".copy_tmp_")
     try:
-        writer = df.coalesce(1).write.mode("overwrite")
+        writer = df.write.mode("overwrite")
         if f == "parquet":
             writer.parquet(tmp)
         elif f == "csv":
-            writer.option("header", str(header).lower()).option(
+            writer.option("header", "false").option(
                 "sep", delimiter or ","
             ).csv(tmp)
         else:
             writer.json(tmp)
         parts = sorted(globmod.glob(os.path.join(tmp, "part-*")))
-        if not parts:  # zero-partition frame: emit an empty file
-            open_mode = "w"
-            with open(os.path.join(tmp, "part-00000"), open_mode):
-                pass
-            parts = [os.path.join(tmp, "part-00000")]
-        os.replace(parts[0], path)
+        if f == "parquet":
+            _merge_parquet_parts(parts, path, df)
+        else:
+            with open(path, "wb") as out:
+                if f == "csv" and header:
+                    sep = delimiter or ","
+                    out.write(
+                        sep.join(
+                            _csv_quote(c, sep) for c in df.columns
+                        ).encode("utf-8")
+                        + b"\n"
+                    )
+                for p in parts:
+                    with open(p, "rb") as src:
+                        shutil.copyfileobj(src, out, 1 << 20)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return _count_rows_in_file(path, f, header)
+
+
+def _csv_quote(name: str, sep: str) -> str:
+    if any(ch in name for ch in (sep, '"', "\n", "\r")):
+        return '"' + name.replace('"', '""') + '"'
+    return name
+
+
+def _merge_parquet_parts(parts: list[str], path: str, df: DataFrame) -> None:
+    """Stitch distributed parquet parts into one file by streaming row
+    groups — driver memory is bounded by one record batch, and the parts
+    arrive already encoded/compressed in parallel."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = None
+    for p in parts:
+        pf = pq.ParquetFile(p)
+        if pf.metadata.num_rows > 0 or schema is None:
+            schema = pf.schema_arrow
+        if pf.metadata.num_rows > 0:
+            break
+    if schema is None:  # zero parts: derive the arrow schema from the plan
+        schema = to_arrow_schema(df.schema)
+    with pq.ParquetWriter(path, schema) as w:
+        for p in parts:
+            pf = pq.ParquetFile(p)
+            if pf.metadata.num_rows == 0:
+                continue
+            for batch in pf.iter_batches():
+                w.write_batch(batch)
 
 
 def _count_rows_in_file(path: str, fmt: str, header: bool) -> int:
