@@ -129,3 +129,75 @@ def test_stateful_accumulates_across_restarts(spark, tmp_path):
     _write_events(os.path.join(d, "b.parquet"), [(3, "10:20")])
     r2 = run_once()
     assert [r["n_events"] for r in r2] == [3]  # restored 2 + 1 new
+
+
+def _write_typed_events(path: str, rows: list[tuple[int, str, str]]) -> None:
+    """rows: (event_id, 'HH:MM', event_type) on the fixed day."""
+    ts = [
+        dt.datetime(2024, 3, 1, int(h), int(m))
+        for h, m in (t.split(":") for _, t, _ty in rows)
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([i for i, _, _ty in rows], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([ty for _, _, ty in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_stream_stream_join_state_ages_out(spark, tmp_path):
+    """Inner stream-stream join state lifecycle over one continuous run
+    (maxFilesPerTrigger=1 -> one file per micro-batch): in-bound matches
+    always emit; once the watermark passes a row's join window the state
+    is swept at the end of the next batch that ran with that watermark —
+    a too-late arrival may brush not-yet-swept state (best-effort drop,
+    Spark's documented contract) but after the sweep an equally-late
+    arrival finds NOTHING. The sweep is what bounds join state at ~one
+    watermark interval per side. (Across availableNow restarts the
+    dual-watermark query does not advance its restored watermark on this
+    build, so the lifecycle is pinned within a single run.)"""
+    d = str(tmp_path / "join_in")
+    os.makedirs(d)
+    files = [
+        # b0: click+purchase pair up; click 13:00 will drive the watermark
+        ("a.parquet", [(1, "10:00", "click"), (2, "10:10", "purchase"),
+                       (3, "13:00", "click")]),
+        # b1: purchase 13:10 joins click 3; watermark after: 12:00
+        ("b.parquet", [(5, "13:10", "purchase")]),
+        # b2: late-day click advances the clicks-side max -> wm 12:10
+        ("c.parquet", [(7, "16:00", "click")]),
+        # b3: too-late purchase -- may brush unswept click-1 state
+        ("e.parquet", [(6, "10:25", "purchase")]),
+        # b4: equally-late purchase -- state swept, must find nothing
+        ("f.parquet", [(8, "10:26", "purchase")]),
+    ]
+    for i, (fname, rows) in enumerate(files):
+        path = os.path.join(d, fname)
+        _write_typed_events(path, rows)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    per_batch: dict[int, list] = {}
+    stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
+    joined = sw.stream_stream_join(stream, within="30 minutes", watermark="1 hour")
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, epoch: per_batch.setdefault(int(epoch), []).extend(
+                sorted((r["left_id"], r["right_id"]) for r in df.collect())
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert per_batch.get(0) == [(1, 2)]
+    assert per_batch.get(1) == [(3, 5)]
+    assert per_batch.get(2, []) == []
+    assert set(per_batch.get(3, [])) <= {(1, 6)}  # best-effort late drop
+    assert per_batch.get(4, []) == []  # state swept: no (1, 8)
