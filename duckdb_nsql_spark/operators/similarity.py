@@ -198,6 +198,68 @@ def ivf_topk(
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> None:
+    """Materialize the multi-table LSH index AT REST: one partitioned
+    copy of the table per hash table (``<path>/table_<t>/bucket=<b>/``),
+    the standard LSH-forest layout.
+
+    A single copy with L bucket columns cannot help at scale — the query
+    predicate is an OR across tables, which defeats partition pruning.
+    L copies cost L× storage but turn every probe into a TRUE
+    partition-pruned scan: the query touches ~L·(1+multiprobe)/2^planes
+    of the data and nothing else (plan-asserted in tests). Write once,
+    query forever — the right trade for a read-mostly 100 TB corpus.
+    """
+    for t in range(n_tables):
+        st = seed + 7919 * t
+        (
+            df.withColumn("bucket", lsh_bucket(F.col(vec_col), dim, n_planes, st))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/table_{t}")
+        )
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 42,
+    multiprobe: int = 3,
+) -> DataFrame:
+    """Approximate top-k over a :func:`write_lsh_index` layout.
+
+    Each hash table contributes only its probe partitions (partition
+    pruning does the skipping — no full scan anywhere); candidates union,
+    dedup on id, then exact cosine top-k. Same hyperplanes as
+    :func:`lsh_topk`, so the candidate set matches the in-memory
+    multi-table scan exactly.
+    """
+    cand = None
+    for t in range(n_tables):
+        st = seed + 7919 * t
+        probes = _probe_buckets(query_vec, n_planes, st, multiprobe)
+        part = spark.read.parquet(f"{path}/table_{t}").filter(
+            F.col("bucket").isin(probes)
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    dedup = cand.dropDuplicates([id_col]).drop("bucket")
+    return brute_force_topk(dedup, query_vec, k, vec_col, id_col)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -156,3 +156,45 @@ def test_whole_stage_codegen_covers_filter_agg(loaded_engine):
     # formatted mode marks codegen'd operators "* Op" / "[codegen id : N]"
     assert "codegen id" in plan
     assert "* Filter" in plan and "* HashAggregate" in plan
+
+
+def test_lsh_index_partition_prunes(loaded_engine, spark, tmp_path):
+    """The at-rest LSH forest (write_lsh_index) must answer probes via
+    TRUE partition pruning — each per-table scan reads only its probe
+    bucket directories, never the full copy — and return the same
+    candidates as the in-memory multi-table scan (same hyperplanes)."""
+    import shutil
+    import tempfile
+
+    from duckdb_nsql_spark.operators import similarity as S
+    from duckdb_nsql_spark.workload import _embeds, _query_vec
+
+    sf = "/root/testdata/sf0.001"
+    emb = _embeds(spark, sf)
+    vec = _query_vec(spark, sf)
+    # short path: Spark truncates long Location strings in plan text,
+    # which would hide the index dirs from the assertions below
+    root = tempfile.mkdtemp(prefix="lshix_")
+    idx = root + "/lsh_idx"
+    S.write_lsh_index(emb, idx, dim=len(vec), n_tables=3)
+
+    out = S.lsh_topk_indexed(spark, idx, vec, k=10, n_tables=3)
+    mem_rows = sorted(
+        (r["vec_id"], r["cosine"])
+        for r in S.lsh_topk(emb, vec, k=10, n_tables=3).collect()
+    )
+    idx_rows = sorted((r["vec_id"], r["cosine"]) for r in out.collect())
+    assert idx_rows == mem_rows
+
+    # plan check: every parquet scan carries a bucket partition filter
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = [seg for seg in plan.split("FileScan parquet") if "lsh_idx" in seg]
+        assert len(scans) >= 3, plan[:500]
+        for seg in scans:
+            head = seg.split("ReadSchema")[0]
+            assert "PartitionFilters: [" in head
+            pf = head.split("PartitionFilters: [", 1)[1]
+            assert "bucket" in pf.split("]")[0], pf[:120]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
