@@ -260,6 +260,46 @@ def lsh_topk_indexed(
     return brute_force_topk(dedup, query_vec, k, vec_col, id_col)
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF coarse index AT REST: the table partitioned by
+    nearest-centroid id (``<path>/cent=<c>/``). One copy (unlike the LSH
+    forest) — IVF probes are a plain IN-list over one partition column,
+    so a single partitioned layout prunes perfectly."""
+    (
+        df.withColumn("cent", _nearest_centroid(F.col(vec_col), centroids))
+        .write.mode("overwrite")
+        .partitionBy("cent")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search over a :func:`write_ivf_index` layout: reads ONLY the
+    ``nprobe`` nearest-centroid partitions (partition pruning, no full
+    scan), then exact cosine top-k over the candidates."""
+
+    def dist(c):
+        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+    probes = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:nprobe]
+    cand = spark.read.parquet(path).filter(F.col("cent").isin(probes))
+    return brute_force_topk(cand.drop("cent"), query_vec, k, vec_col, id_col)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -198,3 +198,39 @@ def test_lsh_index_partition_prunes(loaded_engine, spark, tmp_path):
             assert "bucket" in pf.split("]")[0], pf[:120]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ivf_index_partition_prunes(loaded_engine, spark, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: the probe reads only the
+    nprobe nearest-centroid partitions (PartitionFilters on cent) and
+    matches the in-memory ivf_topk exactly (same centroids)."""
+    import shutil
+    import tempfile
+
+    from duckdb_nsql_spark.operators import similarity as S
+    from duckdb_nsql_spark.workload import _embeds, _query_vec
+
+    sf = "/root/testdata/sf0.001"
+    emb = _embeds(spark, sf)
+    vec = _query_vec(spark, sf)
+    cents = S.ivf_centroids(emb, dim=len(vec), k=8, iters=1)
+    root = tempfile.mkdtemp(prefix="ivfix_")
+    idx = root + "/ivf_idx"
+    try:
+        S.write_ivf_index(emb, idx, cents)
+        out = S.ivf_topk_indexed(spark, idx, vec, cents, k=10)
+        mem = sorted(
+            (r["vec_id"], r["cosine"])
+            for r in S.ivf_topk(emb, vec, cents, k=10).collect()
+        )
+        got = sorted((r["vec_id"], r["cosine"]) for r in out.collect())
+        assert got == mem
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = [s_ for s_ in plan.split("FileScan parquet") if "ivf_idx" in s_]
+        assert len(scans) >= 1, plan[:500]
+        for seg in scans:
+            head = seg.split("ReadSchema")[0]
+            assert "PartitionFilters: [" in head
+            assert "cent" in head.split("PartitionFilters: [", 1)[1].split("]")[0]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
