@@ -485,6 +485,9 @@ class DuckSparkSession:
 
     def _query(self, sql: str) -> DataFrame:
         sql = self._expand_macros(sql)
+        asof = self._asof_rewrite(sql)
+        if asof is not None:
+            sql = asof
         mat = self._materialize_repeated_ctes(sql)
         if mat is not None:
             return mat
@@ -1133,6 +1136,250 @@ class DuckSparkSession:
                 ty = kv[2].text[1:-1] if kv[2].kind == STRING else kv[2].text
                 fields.append(T.StructField(name, parse_duckdb_type(ty), True))
         return T.StructType(fields)
+
+    def _asof_rewrite(self, sql: str) -> Optional[str]:
+        """DuckDB ``ASOF [LEFT] JOIN`` SQL -> operators/asof.py plan.
+
+        Supported shape (raises loudly on anything else so ASOF never
+        silently mis-executes): top-level
+        ``FROM t1 [alias] ASOF [LEFT] JOIN t2 [alias] ON a.k = b.k AND
+        b.ts <= a.ts`` — exactly one equality key and one non-strict
+        inequality; the inequality direction picks backward/forward. The
+        join itself runs through asof_ops.asof_join (union + running
+        window — one shuffle, the DuckDB-oracled formulation) into a temp
+        view, and the remaining statement text is remapped onto the
+        view's columns (right-side payload collisions carry the
+        ``_right`` suffix; ``b.<ts>`` reads the matched timestamp;
+        ``b.<key>`` NULLs out on unmatched LEFT rows, as DuckDB).
+        """
+        if "asof" not in sql.lower():  # free fast path for every other query
+            return None
+        from .operators import asof as asof_ops
+
+        tokens = tokenize(sql)
+        depth = 0
+        at = None
+        for i, t in enumerate(tokens):
+            if t.kind == PUNCT and t.text in "([{":
+                depth += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                depth -= 1
+            elif depth == 0 and t.kind == IDENT and t.upper == "ASOF":
+                at = i
+                break
+        if at is None:
+            return None
+
+        def bad(msg: str):
+            raise ValueError(f"unsupported ASOF JOIN shape: {msg}")
+
+        sig = [k for k, t in enumerate(tokens) if t.kind not in (WS, COMMENT)]
+        pos = {k: n for n, k in enumerate(sig)}
+
+        def table_ref(span: list[int]):
+            """[name_parts..., optional AS, optional alias] -> (name, alias)."""
+            toks = [tokens[k] for k in span]
+            j = 0
+            parts = []
+            if j >= len(toks) or toks[j].kind not in (IDENT, QIDENT):
+                bad("expected a plain table name")
+            parts.append(toks[j].text.strip('"`'))
+            j += 1
+            while j + 1 < len(toks) and toks[j].kind == PUNCT and toks[j].text == ".":
+                parts.append(toks[j + 1].text.strip('"`'))
+                j += 2
+            alias = None
+            if j < len(toks) and toks[j].kind == IDENT and toks[j].upper == "AS":
+                j += 1
+            if j < len(toks):
+                if toks[j].kind not in (IDENT, QIDENT) or j != len(toks) - 1:
+                    bad("expected `name [AS] alias`")
+                alias = toks[j].text.strip('"`')
+            name = ".".join(parts)
+            return name, (alias or name)
+
+        # left side: tokens between depth-0 FROM and ASOF
+        from_i = None
+        d2 = 0
+        for k in range(at):
+            t = tokens[k]
+            if t.kind == PUNCT and t.text in "([{":
+                d2 += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                d2 -= 1
+            elif d2 == 0 and t.kind == IDENT and t.upper == "FROM":
+                from_i = k
+        if from_i is None:
+            bad("no FROM before ASOF")
+        left_span = [k for k in sig if from_i < k < at]
+        lname, lalias = table_ref(left_span)
+
+        # JOIN kind + right side
+        j = pos[at] + 1
+        how_left = False
+        if tokens[sig[j]].kind == IDENT and tokens[sig[j]].upper == "LEFT":
+            how_left = True
+            j += 1
+        if not (tokens[sig[j]].kind == IDENT and tokens[sig[j]].upper == "JOIN"):
+            bad("expected JOIN after ASOF")
+        j += 1
+        r_start = j
+        while j < len(sig) and not (
+            tokens[sig[j]].kind == IDENT and tokens[sig[j]].upper == "ON"
+        ):
+            j += 1
+        if j >= len(sig):
+            bad("missing ON")
+        rname, ralias = table_ref(sig[r_start:j])
+        on_i = sig[j]
+
+        # condition tokens: up to the next depth-0 clause keyword
+        end_kws = {"WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING",
+                   "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "WINDOW"}
+        d2 = 0
+        cond_end = len(tokens)
+        for k in range(on_i + 1, len(tokens)):
+            t = tokens[k]
+            if t.kind == PUNCT and t.text in "([{":
+                d2 += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                d2 -= 1
+            elif d2 == 0 and t.kind == IDENT and t.upper in end_kws:
+                cond_end = k
+                break
+            elif d2 == 0 and t.kind == IDENT and t.upper in ("JOIN", "ASOF"):
+                bad("only a single ASOF join is supported")
+        cond = [t for t in tokens[on_i + 1 : cond_end] if t.kind not in (WS, COMMENT)]
+
+        # split on AND; each conjunct must be `ref OP ref`
+        conjs: list[list[Token]] = [[]]
+        d2 = 0
+        for t in cond:
+            if t.kind == PUNCT and t.text in "([{":
+                d2 += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                d2 -= 1
+            if d2 == 0 and t.kind == IDENT and t.upper == "AND":
+                conjs.append([])
+            else:
+                conjs[-1].append(t)
+
+        left_df = self.table(lname)
+        right_df = self.table(rname)
+
+        def ref(ts: list[Token]):
+            """(side, col) for `alias.col` or a bare unique column name."""
+            if len(ts) == 3 and ts[1].text == ".":
+                al, col = ts[0].text.strip('"`'), ts[2].text.strip('"`')
+                if al.lower() == lalias.lower():
+                    return "l", col
+                if al.lower() == ralias.lower():
+                    return "r", col
+                bad(f"unknown alias {al!r}")
+            if len(ts) == 1 and ts[0].kind in (IDENT, QIDENT):
+                col = ts[0].text.strip('"`')
+                inl = col in left_df.columns
+                inr = col in right_df.columns
+                if inl == inr:
+                    bad(f"ambiguous or unknown column {col!r}")
+                return ("l" if inl else "r"), col
+            bad("join condition operands must be column references")
+
+        eqs, ineq = [], None
+        for c in conjs:
+            ops = [n for n, t in enumerate(c) if t.kind == OP and t.text in
+                   ("=", "<=", ">=", "<", ">")]
+            if len(ops) != 1:
+                bad("each conjunct must be `col OP col`")
+            n = ops[0]
+            a, b = ref(c[:n]), ref(c[n + 1 :])
+            op = c[n].text
+            if op == "=":
+                eqs.append((a, b))
+            else:
+                if ineq is not None:
+                    bad("exactly one inequality allowed")
+                ineq = (a, op, b)
+        if len(eqs) != 1 or ineq is None:
+            bad("need exactly one equality key and one inequality")
+        (s1, k1), (s2, k2) = eqs[0]
+        if {s1, s2} != {"l", "r"}:
+            bad("equality must relate the two tables")
+        lkey = k1 if s1 == "l" else k2
+        rkey = k2 if s1 == "l" else k1
+        (sa, ca), op, (sb, cb) = ineq
+        if {sa, sb} != {"l", "r"}:
+            bad("inequality must relate the two tables")
+        if op in ("<", ">"):
+            bad("strict inequalities are not supported (use <= / >=)")
+        # normalize to `right_ts OP left_ts`
+        if sa == "r":
+            rts, lts, rop = ca, cb, op
+        else:
+            rts, lts, rop = cb, ca, {"<=": ">=", ">=": "<="}[op]
+        direction = "backward" if rop == "<=" else "forward"
+
+        if rkey != lkey:
+            right_df = right_df.withColumnRenamed(rkey, lkey)
+        joined = asof_ops.asof_join(
+            left_df, right_df, key=lkey, left_ts=lts, right_ts=rts,
+            direction=direction,
+        )
+        matched = f"{rts}_matched"
+        if not how_left:  # DuckDB plain ASOF JOIN is inner
+            joined = joined.filter(F.col(matched).isNotNull())
+        view = self._fresh_view(joined)
+
+        payload = [c for c in right_df.columns if c not in (lkey, rts)]
+        rmap = {c: (f"{c}_right" if c in left_df.columns else c) for c in payload}
+        rmap[rts] = matched
+
+        # splice: keep everything before FROM, swap the join span for the
+        # view, keep everything from the clause keyword on
+        out: list[str] = []
+        k = 0
+        while k < len(tokens):
+            out.append(tokens[k].text)
+            if k == from_i:  # just emitted FROM
+                out.append(f" {view} ")
+                k = cond_end
+                continue
+            k += 1
+        text = "".join(out)
+        # remap alias-qualified references in the remaining text
+        toks2 = tokenize(text)
+        out2: list[str] = []
+        k = 0
+        while k < len(toks2):
+            t = toks2[k]
+            if (
+                t.kind in (IDENT, QIDENT)
+                and k + 2 < len(toks2)
+                and toks2[k + 1].kind == PUNCT
+                and toks2[k + 1].text == "."
+                and toks2[k + 2].kind in (IDENT, QIDENT)
+            ):
+                al = t.text.strip('"`').lower()
+                col = toks2[k + 2].text.strip('"`')
+                if al == lalias.lower() and col in left_df.columns:
+                    out2.append(col)
+                    k += 3
+                    continue
+                if al == ralias.lower():
+                    if col == rkey:
+                        out2.append(
+                            f"(CASE WHEN {matched} IS NULL THEN NULL "
+                            f"ELSE {lkey} END)"
+                        )
+                    elif col in rmap:
+                        out2.append(rmap[col])
+                    else:
+                        bad(f"unknown right column {col!r}")
+                    k += 3
+                    continue
+            out2.append(t.text)
+            k += 1
+        return "".join(out2)
 
     def _fresh_view(self, df: DataFrame) -> str:
         self._tf_counter += 1

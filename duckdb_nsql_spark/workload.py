@@ -1128,6 +1128,20 @@ _sql(
     """,
 )
 
+# ASOF JOIN as SQL (session._asof_rewrite -> operators/asof.py union+window
+# plan): DuckDB runs the identical text natively as the oracle.
+_sql(
+    "q86_asof_join_sql",
+    """
+    SELECT o.o_orderkey, o.o_custkey, round(e.value, 4) AS ev,
+           e.ts AS matched_ts
+    FROM orders o ASOF LEFT JOIN events e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    WHERE o.o_custkey <= 500
+    ORDER BY o.o_orderkey
+    """,
+)
+
 # CREATE MACRO: stored expression templates, inline-expanded (DuckDB docs
 # "macros"; not used by dev.json but part of the everyday dialect). Same
 # multi-statement text runs verbatim on the DuckDB oracle.

@@ -810,3 +810,34 @@ def test_union_column_type(spark):
         "SELECT union_extract(union_value(num := 5), 'num') AS v"
     ).fetchall()
     assert one == [(5,)]
+
+
+def test_asof_join_sql(loaded_engine):
+    """DuckDB ASOF [LEFT] JOIN SQL through the engine: backward match,
+    qualified right-side refs remap to matched values, and unsupported
+    shapes fail loudly instead of mis-executing."""
+    df = loaded_engine.execute(
+        """
+        SELECT o.o_orderkey, round(e.value, 4) AS ev, e.ts AS mts
+        FROM orders o ASOF LEFT JOIN events e
+          ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+        WHERE o.o_custkey <= 100 ORDER BY o.o_orderkey LIMIT 20
+        """
+    )
+    rows = df.collect()
+    assert len(rows) == 20
+    assert df.columns == ["o_orderkey", "ev", "mts"]
+    # unsupported shapes raise loudly (never silently wrong)
+    import pytest as _pytest
+
+    for bad in [
+        # strict inequality
+        "SELECT 1 FROM orders o ASOF JOIN events e "
+        "ON o.o_custkey = e.user_id AND e.ts < o.o_orderdate",
+        # two inequalities
+        "SELECT 1 FROM orders o ASOF JOIN events e "
+        "ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate "
+        "AND e.ts >= o.o_orderdate",
+    ]:
+        with _pytest.raises(ValueError, match="ASOF"):
+            loaded_engine.execute(bad)
