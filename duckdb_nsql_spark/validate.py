@@ -53,9 +53,23 @@ def validate_sql(session, sql: str) -> ValidationResult:
         prev_log = session._created_views_log
         session._created_views_log = []
         try:
-            text = session._rewrite_query(
-                session._expand_macros(stripped), validate_only=True
-            )
+            # the same SQL-level pre-passes _query applies — without them
+            # the validator rejects statements the engine executes
+            # (ASOF JOIN, UNION BY NAME, WHERE-on-select-alias). CTE
+            # materialization is deliberately skipped: it is a pure
+            # performance transform and the inline form analyzes the same.
+            text_sql = session._expand_macros(stripped)
+            asof = session._asof_rewrite(text_sql)
+            if asof is not None:
+                text_sql = asof
+            ubn = session._union_by_name(text_sql)
+            if ubn is not None:
+                ubn.schema  # plan already built; analysis is the check
+                return ValidationResult(True)
+            wrapped = session._where_alias_wrap(text_sql)
+            if wrapped is not None:
+                text_sql = wrapped
+            text = session._rewrite_query(text_sql, validate_only=True)
             df = session.spark.sql(text)
             df.schema  # forces analysis; no action, no job
             return ValidationResult(True)

@@ -84,3 +84,31 @@ def test_validate_expands_macros(loaded):
     r2 = validate_sql(loaded, "SELECT no_such_fn(o_totalprice) FROM orders")
     assert not r2.ok
     loaded.execute("DROP MACRO v_half")
+
+
+def test_validate_covers_engine_prepass_shapes(loaded_engine):
+    """Statements the engine executes via SQL-level pre-passes (ASOF
+    JOIN, UNION BY NAME, WHERE on a select alias) must validate too —
+    round-4 regression: the validator bypassed those passes and rejected
+    valid statements."""
+    from duckdb_nsql_spark import validate
+
+    ok_stmts = [
+        "SELECT o.o_orderkey, e.value FROM orders o ASOF LEFT JOIN events e "
+        "ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate",
+        "SELECT n_regionkey AS k, count(*) AS n FROM nation GROUP BY 1 "
+        "UNION ALL BY NAME SELECT count(*) AS n, r_regionkey AS k "
+        "FROM region GROUP BY 2",
+        "SELECT c_custkey, upper(c_mktsegment[1:4]) AS seg4 FROM customer "
+        "WHERE seg4 = 'AUTO'",
+    ]
+    for stmt in ok_stmts:
+        res = validate.validate_sql(loaded_engine, stmt)
+        assert res.ok, (stmt, res.category, res.error)
+    # and a broken ASOF shape is still rejected (loudly classified)
+    res = validate.validate_sql(
+        loaded_engine,
+        "SELECT 1 FROM orders o ASOF JOIN events e "
+        "ON o.o_custkey = e.user_id AND e.ts < o.o_orderdate",
+    )
+    assert not res.ok
