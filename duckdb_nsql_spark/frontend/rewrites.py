@@ -414,6 +414,55 @@ def _bracket_is_subscript(tokens: list[Token], i: int) -> bool:
     return False
 
 
+def pass_list_comprehensions(tokens: list[Token]) -> list[Token]:
+    """DuckDB list comprehensions -> Spark higher-order functions:
+    ``[expr FOR x IN lst]`` -> ``transform(lst, x -> expr)`` and
+    ``[expr FOR x IN lst IF cond]`` ->
+    ``transform(filter(lst, x -> cond), x -> expr)``.
+    Runs before pass_array_literals (which would mangle the bracket);
+    nested comprehensions resolve on the outer pass's re-scan."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if not (t.kind == PUNCT and t.text == "[" and not _bracket_is_subscript(tokens, i)):
+            i += 1
+            continue
+        close = match_forward(tokens, i, "[", "]")
+        # top-level FOR / IN / IF positions inside the bracket
+        depth = 0
+        for_i = in_i = if_i = None
+        for k in range(i + 1, close):
+            tk = tokens[k]
+            if tk.kind == PUNCT and tk.text in "([{":
+                depth += 1
+            elif tk.kind == PUNCT and tk.text in ")]}":
+                depth -= 1
+            elif depth == 0 and tk.kind == IDENT:
+                up = tk.upper
+                if up == "FOR" and for_i is None:
+                    for_i = k
+                elif up == "IN" and for_i is not None and in_i is None:
+                    in_i = k
+                elif up == "IF" and in_i is not None and if_i is None:
+                    if_i = k
+        if for_i is None or in_i is None:
+            i += 1
+            continue
+        expr = render(tokens[i + 1 : for_i]).strip()
+        var = render(tokens[for_i + 1 : in_i]).strip()
+        lst_end = if_i if if_i is not None else close
+        lst = render(tokens[in_i + 1 : lst_end]).strip()
+        if if_i is not None:
+            cond = render(tokens[if_i + 1 : close]).strip()
+            src = f"filter({lst}, {var} -> ({cond}))"
+        else:
+            src = lst
+        new = tokenize(f"transform({src}, {var} -> ({expr}))")
+        tokens = tokens[:i] + new + tokens[close + 1 :]
+        # re-scan from i: the spliced text may hold nested comprehensions
+    return tokens
+
+
 def pass_array_literals(tokens: list[Token]) -> list[Token]:
     """``[1, 2, 3]`` -> ``array(1, 2, 3)`` in value position (dev.json:484,444)."""
     i = 0
@@ -2453,6 +2502,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_exclude_to_except(tokens, resolver)
     tokens = pass_current_setting(tokens, resolver)
     tokens = pass_struct_literals(tokens)
+    tokens = pass_list_comprehensions(tokens)
     tokens = pass_index_slice(tokens, resolver)
     tokens = pass_array_literals(tokens)
     tokens = pass_json_arrows(tokens)

@@ -1142,6 +1142,19 @@ _sql(
     """,
 )
 
+# DuckDB list comprehensions -> transform/filter higher-order functions
+# (rewrites.pass_list_comprehensions); DuckDB runs the same text natively.
+_sql(
+    "q87_list_comprehension",
+    """
+    SELECT n_nationkey,
+           to_json([x * 2 FOR x IN [1, 2, n_nationkey] IF x > 1]) AS dbl,
+           array_to_string([upper(p) FOR p IN string_split(n_name, '_')], '|')
+               AS parts_up
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
 # CREATE MACRO: stored expression templates, inline-expanded (DuckDB docs
 # "macros"; not used by dev.json but part of the everyday dialect). Same
 # multi-statement text runs verbatim on the DuckDB oracle.

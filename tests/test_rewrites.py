@@ -581,3 +581,30 @@ def test_typeof_and_nan_macros():
     out = rewrite_sql("SELECT isnan(x), isinf(y), isfinite(z) FROM t")
     assert "(x) = double('NaN')" in out
     assert "abs(CAST((y) AS DOUBLE)) = double('Infinity')" in out
+
+
+def test_list_comprehension_rewrite():
+    from duckdb_nsql_spark.frontend.rewrites import (
+        pass_list_comprehensions,
+        render,
+    )
+    from duckdb_nsql_spark.frontend.tokenizer import tokenize
+
+    out = render(pass_list_comprehensions(tokenize(
+        "SELECT [x * 2 FOR x IN [1,2,3] IF x > 1] AS l"
+    )))
+    assert "transform(filter([1,2,3], x -> (x > 1)), x -> (x * 2))" in out
+    out2 = render(pass_list_comprehensions(tokenize(
+        "SELECT [upper(s) FOR s IN names] FROM t"
+    )))
+    assert "transform(names, s -> (upper(s)))" in out2
+    # nested comprehensions resolve inside-out on the re-scan
+    out3 = render(pass_list_comprehensions(tokenize(
+        "SELECT [[y FOR y IN x] FOR x IN m]"
+    )))
+    assert out3.count("transform(") == 2
+    # plain literals and subscripts are untouched
+    out4 = render(pass_list_comprehensions(tokenize(
+        "SELECT [1,2,3], arr[2], s[1:4] FROM t"
+    )))
+    assert "[1,2,3]" in out4 and "arr[2]" in out4
