@@ -529,6 +529,14 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
             ):
                 kind = "array"  # array literal: [1,2,3][1]
             elif (
+                sig_base[0].kind == PUNCT
+                and sig_base[0].text == "("
+                and len(sig_base) > 1
+                and sig_base[1].kind == PUNCT
+                and sig_base[1].text == "["
+            ):
+                kind = "array"  # parenthesized literal: ([1,2,3])[1]
+            elif (
                 sig_base[0].kind == IDENT
                 and sig_base[0].upper
                 in ("ARRAY", "SLICE", "SPLIT", "SEQUENCE", "COLLECT_LIST",
@@ -586,76 +594,86 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
                 colon = j
                 break
 
+        def _lit(txt: str) -> Optional[int]:
+            txt = txt.strip()
+            neg = txt.startswith("-")
+            body = txt[1:].strip() if neg else txt
+            return (-int(body) if neg else int(body)) if body.isdigit() else None
+
+        b_txt = render(base)
+        ln = f"size({b_txt})" if kind == "array" else f"length({b_txt})"
         if colon is None:
-            # index
+            # index. DuckDB: 1-based, negative counts from the end
+            # (element_at/substring take negatives natively), 0 yields
+            # NULL (list) / '' (string) — guarded only when needed.
+            idx = render(inner).strip()
+            lit = _lit(idx)
             if kind == "array":
-                new = (
-                    [_ident("element_at"), _punct("(")]
-                    + base
-                    + [_punct(","), _ws()]
-                    + inner
-                    + [_punct(")")]
-                )
+                if lit == 0:
+                    new_txt = "NULL"
+                elif lit is not None:
+                    new_txt = f"element_at({b_txt}, {idx})"
+                else:
+                    new_txt = (
+                        f"(CASE WHEN ({idx}) = 0 THEN NULL "
+                        f"ELSE element_at({b_txt}, {idx}) END)"
+                    )
             else:
-                new = (
-                    [_ident("substring"), _punct("(")]
-                    + base
-                    + [_punct(","), _ws()]
-                    + inner
-                    + [_punct(","), _ws(), Token(NUMBER, "1"), _punct(")")]
-                )
+                if lit == 0:
+                    new_txt = "''"
+                elif lit is not None:
+                    new_txt = f"substring({b_txt}, {idx}, 1)"
+                else:
+                    new_txt = (
+                        f"(CASE WHEN ({idx}) = 0 THEN '' "
+                        f"ELSE substring({b_txt}, {idx}, 1) END)"
+                    )
         else:
             lo_span = [tk for tk in inner[:colon] if tk.kind not in (WS, COMMENT)]
             hi_span = [tk for tk in inner[colon + 1 :] if tk.kind not in (WS, COMMENT)]
-            lo_tokens = lo_span or [Token(NUMBER, "1")]
-            if kind == "array":
-                if hi_span:
-                    # slice(base, lo, hi - lo + 1)
-                    new = (
-                        [_ident("slice"), _punct("(")]
-                        + base
-                        + [_punct(","), _ws()]
-                        + lo_tokens
-                        + [_punct(","), _ws(), _punct("(")]
-                        + hi_span
-                        + [_punct(")"), Token(OP, "-"), _punct("(")]
-                        + lo_tokens
-                        + [_punct(")"), Token(OP, "+"), Token(NUMBER, "1"), _punct(")")]
+            # DuckDB slice bounds: 1-based inclusive; a NEGATIVE bound b
+            # means len + b + 1 (so [:-1] is the whole value and [2:-2]
+            # drops one element each side); 0 clamps to 1; hi > len
+            # clamps; hi < lo is empty. Literal non-negative bounds keep
+            # the tight arithmetic-free templates; anything else goes
+            # through the CASE normalization.
+            lo_txt = render(lo_span).strip() if lo_span else "1"
+            hi_txt = render(hi_span).strip() if hi_span else None
+            fn = "slice" if kind == "array" else "substring"
+            lo_lit = _lit(lo_txt)
+            hi_lit = _lit(hi_txt) if hi_txt is not None else None
+            if lo_lit is not None and lo_lit >= 0 and (
+                hi_txt is None or (hi_lit is not None and hi_lit >= 0)
+            ):
+                lo_eff = max(lo_lit, 1)
+                if hi_txt is None:
+                    # greatest guard: a past-end start makes the length
+                    # negative, which slice() rejects (DuckDB yields empty)
+                    new_txt = (
+                        f"{fn}({b_txt}, {lo_eff}, "
+                        f"greatest({ln}-({lo_eff})+1, 0))"
                     )
                 else:
-                    # slice(base, lo, size(base) - lo + 1)
-                    new = (
-                        [_ident("slice"), _punct("(")]
-                        + base
-                        + [_punct(","), _ws()]
-                        + lo_tokens
-                        + [_punct(","), _ws(), _ident("size"), _punct("(")]
-                        + base
-                        + [_punct(")"), Token(OP, "-"), _punct("(")]
-                        + lo_tokens
-                        + [_punct(")"), Token(OP, "+"), Token(NUMBER, "1"), _punct(")")]
+                    new_txt = (
+                        f"{fn}({b_txt}, {lo_eff}, "
+                        f"{max(hi_lit - lo_eff + 1, 0)})"
                     )
             else:
-                if hi_span:
-                    new = (
-                        [_ident("substring"), _punct("(")]
-                        + base
-                        + [_punct(","), _ws()]
-                        + lo_tokens
-                        + [_punct(","), _ws(), _punct("(")]
-                        + hi_span
-                        + [_punct(")"), Token(OP, "-"), _punct("(")]
-                        + lo_tokens
-                        + [_punct(")"), Token(OP, "+"), Token(NUMBER, "1"), _punct(")")]
-                    )
-                else:
-                    new = (
-                        [_ident("substring"), _punct("(")]
-                        + base
-                        + [_punct(","), _ws()]
-                        + lo_tokens
-                        + [_punct(")")]
-                    )
+                loe = (
+                    f"(CASE WHEN ({lo_txt}) < 0 "
+                    f"THEN greatest({ln} + ({lo_txt}) + 1, 1) "
+                    f"WHEN ({lo_txt}) = 0 THEN 1 ELSE ({lo_txt}) END)"
+                )
+                hie = (
+                    f"(CASE WHEN ({hi_txt}) < 0 "
+                    f"THEN {ln} + ({hi_txt}) + 1 ELSE ({hi_txt}) END)"
+                    if hi_txt is not None
+                    else ln
+                )
+                new_txt = (
+                    f"{fn}({b_txt}, {loe}, greatest({hie} - {loe} + 1, 0))"
+                )
+        new = tokenize(new_txt)
         tokens = tokens[:start] + new + tokens[close + 1 :]
         i = start
     return tokens

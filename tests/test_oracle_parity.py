@@ -87,3 +87,39 @@ def test_rows_only_runs(name, spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_index_slice_grid_matches_duckdb(spark, ddb):
+    """Exhaustive literal index/slice grid over strings and lists —
+    negative bounds count from the end (len + b + 1), 0 clamps/NULLs,
+    past-end clamps, hi < lo is empty — every cell must equal DuckDB
+    (one wide row per engine, so the 147 cases cost two queries).
+    Runtime (non-literal) bounds ride the CASE-normalized templates."""
+    import __spark_entry__ as em  # noqa: F401  (engine import side effects)
+
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    exprs = []
+    for base in ["'hello'", "([10,20,30])"]:
+        for idx in [-4, -3, -1, 0, 1, 2, 5, 6]:
+            exprs.append(f"{base}[{idx}]")
+        for lo in [None, -4, -2, 0, 1, 2, 4, 7]:
+            for hi in [None, -5, -2, -1, 0, 2, 3, 9]:
+                l = "" if lo is None else str(lo)
+                h = "" if hi is None else str(hi)
+                exprs.append(f"{base}[{l}:{h}]")
+    exprs += [
+        "'hello'[(1+1):(0-3)]",
+        "([10,20,30])[(0-1)]",
+        "([10,20,30])[(1+0):(0-1)]",
+    ]
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    srow = [tuple(r) for r in eng.execute(sql).collect()][0]
+    drow = ddb.execute(sql).fetchall()[0]
+    diffs = [
+        (exprs[i], srow[i], drow[i])
+        for i in range(len(exprs))
+        if srow[i] != drow[i]
+    ]
+    assert not diffs, diffs[:5]

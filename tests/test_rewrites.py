@@ -61,7 +61,8 @@ def test_string_index():
 def test_string_slice_open_start():
     r = FakeResolver(kinds={"email": "string"})
     out = rewrite_sql("SELECT * FROM t WHERE email[:4] = 'test'", r)
-    assert "substring(email, 1, (4)-(1)+1)" in out
+    # literal bounds fold to a constant length at rewrite time
+    assert "substring(email, 1, 4)" in out
 
 
 def test_array_index_one_based():
@@ -73,7 +74,7 @@ def test_array_index_one_based():
 def test_array_slice():
     r = FakeResolver(kinds={"phone_numbers": "array"})
     out = rewrite_sql("SELECT phone_numbers[:2] FROM customers", r)
-    assert "slice(phone_numbers, 1, (2)-(1)+1)" in out
+    assert "slice(phone_numbers, 1, 2)" in out
 
 
 def test_qualified_array_index():
