@@ -1178,6 +1178,80 @@ _STRINGY_TYPES = {"VARCHAR", "TEXT", "BPCHAR", "JSON", "UUID"}
 _CAST_TYPE_MAP = {"BLOB": "BINARY", "BYTEA": "BINARY"}
 
 
+def pass_cast_composite_types(tokens: list[Token]) -> list[Token]:
+    """DuckDB composite type text in cast position — ``INTEGER[]``,
+    ``STRUCT(a INT)``, ``MAP(K, V)``, ``UNION(...)`` — to Spark DDL
+    (``array<int>``, ``struct<a:int>``, ...). Runs before the
+    array-literal/subscript passes, which would otherwise mangle the
+    ``[]`` suffix as a subscript. Simple scalar type names pass through
+    untouched (pass_cast_type_names handles their spelling)."""
+    from ..types import parse_duckdb_type
+
+    def type_span_end(start: int) -> Optional[int]:
+        """Maximal type span from ``start``: IDENT, optional (args),
+        repeated [n?] suffixes. Returns exclusive end or None."""
+        j = start
+        if j >= len(tokens) or tokens[j].kind != IDENT:
+            return None
+        j += 1
+        n = next_sig(tokens, j - 1)
+        if n < len(tokens) and tokens[n].kind == PUNCT and tokens[n].text == "(":
+            j = match_forward(tokens, n, "(", ")") + 1
+        while True:
+            n = next_sig(tokens, j - 1)
+            if n < len(tokens) and tokens[n].kind == PUNCT and tokens[n].text == "[":
+                j = match_forward(tokens, n, "[", "]") + 1
+            else:
+                return j
+
+    def maybe_rewrite(start: int, end: int) -> Optional[list[Token]]:
+        txt = render(tokens[start:end]).strip()
+        head = txt.split("(")[0].split("[")[0].strip().upper()
+        if "[" not in txt and head not in ("STRUCT", "MAP", "UNION"):
+            return None  # plain scalar: leave to pass_cast_type_names
+        try:
+            spark_ty = parse_duckdb_type(txt).simpleString()
+        except Exception:  # noqa: BLE001 — not a type we know; leave as-is
+            return None
+        return tokenize(spark_ty)
+
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == OP and t.text == "::":
+            start = next_sig(tokens, i)
+            end = type_span_end(start)
+            if end is not None:
+                new = maybe_rewrite(start, end)
+                if new is not None:
+                    tokens = tokens[:start] + new + tokens[end:]
+                    i = start + len(new)
+                    continue
+        elif t.kind == IDENT and t.upper == "CAST":
+            o = next_sig(tokens, i)
+            if o < len(tokens) and tokens[o].kind == PUNCT and tokens[o].text == "(":
+                c = match_forward(tokens, o, "(", ")")
+                depth = 0
+                as_i = None
+                for k in range(o + 1, c):
+                    tk = tokens[k]
+                    if tk.kind == PUNCT and tk.text in "([{":
+                        depth += 1
+                    elif tk.kind == PUNCT and tk.text in ")]}":
+                        depth -= 1
+                    elif depth == 0 and tk.kind == IDENT and tk.upper == "AS":
+                        as_i = k
+                if as_i is not None:
+                    start = next_sig(tokens, as_i)
+                    new = maybe_rewrite(start, c)
+                    if new is not None:
+                        tokens = tokens[:start] + new + tokens[c:]
+                        i = start + len(new)
+                        continue
+        i += 1
+    return tokens
+
+
 def pass_cast_type_names(tokens: list[Token]) -> list[Token]:
     """Bare ``VARCHAR``/``TEXT`` in cast position -> ``STRING`` (Spark
     requires a length for VARCHAR; DuckDB's is unbounded)."""
@@ -1463,9 +1537,9 @@ def _time_bucket_sql(months: int, secs: int, ts: str) -> str:
 # inner regexp_replace runs on just the matched substring so backrefs
 # ($1 after conversion) still work.
 _REGEXP_REPLACE_FIRST = (
-    "CASE WHEN regexp_instr({a}, {b}) > 0 THEN concat("
-    "substring({a}, 1, regexp_instr({a}, {b}) - 1), "
-    "regexp_replace(regexp_extract({a}, {b}, 0), {b}, {c}), "
+    "CASE WHEN regexp_instr({a}, {b}) > 0 THEN ("
+    "substring({a}, 1, regexp_instr({a}, {b}) - 1) || "
+    "regexp_replace(regexp_extract({a}, {b}, 0), {b}, {c}) || "
     "substring({a}, regexp_instr({a}, {b}) + length(regexp_extract({a}, {b}, 0)))"
     ") ELSE {a} END"
 )
@@ -1483,7 +1557,11 @@ def _convert_regexp_replacement(tok: Token) -> Token:
     sql = orig.replace("\\", "\\\\")
     return Token(STRING, "'" + sql + "'")
 
-_SUM_FOLD = "aggregate({a}, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE))"
+# empty list -> NULL (DuckDB list_sum/list_avg semantics), else the fold
+_SUM_FOLD = (
+    "(CASE WHEN size({a}) = 0 THEN NULL ELSE "
+    "aggregate({a}, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE)) END)"
+)
 
 # single-argument macros (Spark 4 has its own dayname() -> 'Mon'; DuckDB
 # returns the full 'Monday' — must expand before Spark resolves the name)
@@ -1599,6 +1677,23 @@ _FN_MACROS_N: dict[str, dict[int, str]] = {
     },
     # engine typename, translated to DuckDB spelling by a registered UDF
     "TYPEOF": {1: "duckdb_typename(typeof({0}))"},
+    # DuckDB left/right accept NEGATIVE counts: all-but-last-n /
+    # all-but-first-n (Spark returns ''); spelled via substring so the
+    # expansion never re-triggers itself
+    "LEFT": {
+        2: "(CASE WHEN ({1}) < 0 "
+           "THEN substring({0}, 1, greatest(length({0}) + ({1}), 0)) "
+           "ELSE substring({0}, 1, {1}) END)"
+    },
+    "RIGHT": {
+        2: "(CASE WHEN ({1}) < 0 THEN substring({0}, 1 - ({1})) "
+           "WHEN ({1}) = 0 THEN '' "
+           "ELSE substring({0}, greatest(0 - ({1}), 0 - length({0}))) END)"
+    },
+    # DuckDB sign() returns an integer; Spark's returns DOUBLE
+    "SIGN": {1: "CAST(signum({0}) AS INTEGER)"},
+    # DuckDB age(): timestamp difference as an interval
+    "AGE": {2: "(({0}) - ({1}))", 1: "(current_timestamp() - ({0}))"},
 }
 
 
@@ -1805,7 +1900,7 @@ def _anchored_rlike(tokens: list[Token], i: int, ps: int, neg: bool) -> tuple:
         return tokens, None
     p_txt = render(tokens[ps : pe + 1])
     prefix = " NOT" if neg else ""
-    new = tokenize(f"{prefix} RLIKE concat('^(?:', {p_txt}, ')$')")
+    new = tokenize(f"{prefix} RLIKE ('^(?:' || {p_txt} || ')$')")
     return tokens[:i] + new + tokens[pe + 1 :], i + len(new)
 
 
@@ -1844,7 +1939,7 @@ def pass_regex_operators(tokens: list[Token]) -> list[Token]:
                 if pe is not None:
                     p_txt = render(out[ps : pe + 1])
                     new = tokenize(
-                        f" RLIKE concat('^(?:', {p_txt}, ')$')"
+                        f" RLIKE ('^(?:' || {p_txt} || ')$')"
                     )
                     out = out[:i] + new + out[pe + 1 :]
                     i += len(new)
@@ -2245,6 +2340,23 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         expanded = "named_struct(" + ", ".join(parts) + ")"
                         out = out[:i] + tokenize(expanded) + out[c + 1 :]
                         continue
+                elif up == "CONCAT":
+                    # DuckDB concat() is STRING concatenation that SKIPS
+                    # NULL arguments and stringifies non-strings — even
+                    # lists render as text ('[1, 2]'); list concatenation
+                    # is spelled list_concat/|| instead. concat_ws('')
+                    # over string-cast args matches exactly (Spark casts
+                    # arrays to the same '[1, 2]' rendering).
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if spans:
+                        args = ", ".join(
+                            f"CAST({render(_trim(out[lo:hi]))} AS STRING)"
+                            for lo, hi in spans
+                        )
+                        expanded = f"concat_ws('', {args})"
+                        out = out[:i] + tokenize(expanded) + out[c + 1 :]
+                        continue
                 elif up == "UNION_VALUE":
                     # union_value(tag := expr) -> the union's struct
                     # encoding: named_struct('__utag','tag','tag',expr)
@@ -2520,6 +2632,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_exclude_to_except(tokens, resolver)
     tokens = pass_current_setting(tokens, resolver)
     tokens = pass_struct_literals(tokens)
+    tokens = pass_cast_composite_types(tokens)
     tokens = pass_list_comprehensions(tokens)
     tokens = pass_index_slice(tokens, resolver)
     tokens = pass_array_literals(tokens)

@@ -123,3 +123,36 @@ def test_index_slice_grid_matches_duckdb(spark, ddb):
         if srow[i] != drow[i]
     ]
     assert not diffs, diffs[:5]
+
+
+def test_function_edge_grid_matches_duckdb(spark, ddb):
+    """Cross-engine grid of function edge cases fixed in round 4:
+    negative-count left/right, integer sign(), age() intervals,
+    NULL-skipping stringifying concat(), empty-list list_sum/avg,
+    composite types in cast position. Every cell must equal DuckDB."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    exprs = [
+        "left('hello', -2)", "right('hello', -2)", "left('hello', 2)",
+        "right('hello', 2)", "right('hello', 9)", "right('hello', 0)",
+        "left('hello', 0)", "sign(-3)", "sign(0)",
+        "age(TIMESTAMP '2024-03-05 00:00:00', TIMESTAMP '2024-01-01 00:00:00')",
+        "concat('a', NULL, 'b')", "concat('x', 1, 'y')",
+        "concat([1,2], [3])",  # DuckDB concat stringifies lists
+        "list_concat([1,2], [3])", "[1] || [2,3]", "'a' || NULL",
+        "list_sum(CAST([] AS INTEGER[]))", "list_avg([1.0,2.0,3.0])",
+        "CAST([1,2] AS BIGINT[])", "CAST(NULL AS VARCHAR[])",
+        "lpad('ab', 5, 'xy')", "split_part('a,b,c', ',', 5)",
+        "round(2.5)", "round(-2.5)", "mod(-7, 3)", "(0-7) // 2",
+        "greatest(1, NULL, 3)", "least(1, NULL, 3)",
+    ]
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    srow = [tuple(r) for r in eng.execute(sql).collect()][0]
+    drow = ddb.execute(sql).fetchall()[0]
+    diffs = [
+        (exprs[i], srow[i], drow[i])
+        for i in range(len(exprs))
+        if str(srow[i]) != str(drow[i])
+    ]
+    assert not diffs, diffs[:6]
