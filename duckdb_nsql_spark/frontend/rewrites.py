@@ -1412,6 +1412,8 @@ _SIMPLE_RENAMES = {
     "KAHAN_SUM": "sum",
     "FAVG": "avg",
     "APPROX_QUANTILE": "approx_percentile",
+    "WEEK": "weekofyear",
+    "WEEKOFYEAR": "weekofyear",
 }
 
 # macros expanded into pure Spark expressions over the argument spans

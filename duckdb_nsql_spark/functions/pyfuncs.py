@@ -269,6 +269,69 @@ def register_python_functions(spark: SparkSession) -> None:
     def duckdb_typename(t: pd.Series) -> pd.Series:
         return t.map(lambda v: None if v is None else _duckdb_typename(v))
 
+    # -- JSON battery (DuckDB json_* surface beyond the -> / ->> arrows) ---
+
+    @pandas_udf("string")
+    def json_extract(j: pd.Series, p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_json_extract(a, b, as_text=False) for a, b in zip(j, p)],
+            dtype="object",
+        )
+
+    @pandas_udf("string")
+    def json_extract_string(j: pd.Series, p: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_json_extract(a, b, as_text=True) for a, b in zip(j, p)],
+            dtype="object",
+        )
+
+    @pandas_udf("boolean")
+    def json_valid(j: pd.Series) -> pd.Series:
+        import json as _json
+
+        def f(v):
+            if v is None:
+                return None
+            try:
+                _json.loads(v)
+                return True
+            except Exception:  # noqa: BLE001
+                return False
+
+        return j.map(f)
+
+    @pandas_udf("array<string>")
+    def json_keys(j: pd.Series) -> pd.Series:
+        import json as _json
+
+        def f(v):
+            if v is None:
+                return None
+            try:
+                doc = _json.loads(v)
+            except Exception:  # noqa: BLE001
+                return None
+            return list(doc.keys()) if isinstance(doc, dict) else None
+
+        return j.map(f)
+
+    @pandas_udf("string")
+    def json_structure(j: pd.Series) -> pd.Series:
+        import json as _json
+
+        def f(v):
+            if v is None:
+                return None
+            try:
+                doc = _json.loads(v)
+            except Exception:  # noqa: BLE001
+                return None
+            return _json.dumps(
+                _json_struct(doc), separators=(",", ":"), ensure_ascii=False
+            )
+
+        return j.map(f)
+
     # -- grouped aggregates Spark can't express in one level ---------------
     # (nested aggregation over the group's value distribution)
 
@@ -321,8 +384,101 @@ def register_python_functions(spark: SparkSession) -> None:
         ("bar", bar),
         ("duckdb_typename", duckdb_typename),
         ("product", product),
+        ("json_extract", json_extract),
+        ("json_extract_string", json_extract_string),
+        ("json_extract_path", json_extract),
+        ("json_extract_path_text", json_extract_string),
+        ("json_valid", json_valid),
+        ("json_keys", json_keys),
+        ("json_structure", json_structure),
     ]:
         spark.udf.register(name, fn)
+
+
+# ---------------------------------------------------------------------------
+# JSON helpers (DuckDB json_extract / json_structure semantics)
+# ---------------------------------------------------------------------------
+
+
+def _json_path_steps(path: str):
+    """'$.a."b c"[1]', '/a/b/1', or a bare key -> list of steps (str keys
+    and int indexes); None for unsupported (wildcard) paths."""
+    import re as _re
+
+    p = (path or "").strip()
+    if p.startswith("$"):
+        body = p[1:]
+        steps = []
+        for m in _re.finditer(
+            r'\.\s*"((?:[^"\\]|\\.)*)"|\.([^.\[\]]+)|\[(\d+)\]|(\*)', body
+        ):
+            if m.group(4) is not None:
+                return None  # wildcard: unsupported
+            if m.group(3) is not None:
+                steps.append(int(m.group(3)))
+            else:
+                steps.append(m.group(1) if m.group(1) is not None else m.group(2))
+        return steps
+    if p.startswith("/"):
+        return [
+            int(seg) if seg.isdigit() else seg
+            for seg in p.split("/")[1:]
+            if seg != ""
+        ]
+    return [p]
+
+
+def _json_extract(doc_text, path, as_text: bool):
+    import json as _json
+
+    if doc_text is None or path is None:
+        return None
+    try:
+        doc = _json.loads(doc_text)
+    except Exception:  # noqa: BLE001
+        return None
+    steps = _json_path_steps(path)
+    if steps is None:
+        return None
+    for s in steps:
+        if isinstance(s, int):
+            if not isinstance(doc, list) or s >= len(doc):
+                return None
+            doc = doc[s]
+        else:
+            if not isinstance(doc, dict) or s not in doc:
+                return None
+            doc = doc[s]
+    if as_text:
+        if doc is None:
+            return None
+        if isinstance(doc, str):
+            return doc
+        return _json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+    return _json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+
+
+def _json_struct(doc):
+    """DuckDB json_structure type tree: UBIGINT for non-negative ints,
+    BIGINT negative, DOUBLE floats, VARCHAR strings, BOOLEAN bools,
+    "NULL" nulls; arrays unify to the one element structure or "JSON"."""
+    if doc is None:
+        return "NULL"
+    if isinstance(doc, bool):
+        return "BOOLEAN"
+    if isinstance(doc, int):
+        return "UBIGINT" if doc >= 0 else "BIGINT"
+    if isinstance(doc, float):
+        return "DOUBLE"
+    if isinstance(doc, str):
+        return "VARCHAR"
+    if isinstance(doc, list):
+        if not doc:
+            return ["NULL"]
+        elems = [_json_struct(x) for x in doc]
+        first = elems[0]
+        return [first] if all(e == first for e in elems) else ["JSON"]
+    return {k: _json_struct(v) for k, v in doc.items()}
 
 
 # ---------------------------------------------------------------------------

@@ -146,6 +146,14 @@ def test_function_edge_grid_matches_duckdb(spark, ddb):
         "lpad('ab', 5, 'xy')", "split_part('a,b,c', ',', 5)",
         "round(2.5)", "round(-2.5)", "mod(-7, 3)", "(0-7) // 2",
         "greatest(1, NULL, 3)", "least(1, NULL, 3)",
+        # JSON battery (python-UDF-backed, exact DuckDB rendering)
+        """json_extract('{"a":1,"b":{"c":[10,20]},"s":"t"}', '$.b.c[1]')""",
+        """json_extract('{"a":1,"s":"t"}', '$.s')""",  # quoted string leaf
+        """json_extract_string('{"s":"t"}', '$.s')""",
+        """json_valid('{"a":1}')""", "json_valid('nope')",
+        """json_keys('{"a":1,"b":2}')""",
+        """json_structure('{"a":1,"b":{"c":[10,20]},"s":"t"}')""",
+        "week(DATE '2024-01-01')",
     ]
     sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
     srow = [tuple(r) for r in eng.execute(sql).collect()][0]
