@@ -296,6 +296,18 @@ class DuckSparkSession:
         # table -> column -> declared type text (ENUM rendering in
         # DESCRIBE / table_info, which Spark's StringType cannot carry)
         self._type_overrides: dict[str, dict[str, str]] = {}
+        # CREATE SEQUENCE name -> mutable counter state (DuckDB sequences
+        # are serial objects; state lives on the connection, like DuckDB's
+        # catalog entry)
+        self._sequences: dict[str, dict] = {}
+        self._seq_result: Optional[DataFrame] = None
+        self._seq_pending: Optional[str] = None
+        # table -> PRIMARY KEY / UNIQUE column lists (conflict targets for
+        # INSERT OR REPLACE / ON CONFLICT); first entry is the primary key
+        self._unique_keys: dict[str, list[list[str]]] = {}
+        # open-transaction snapshot: None when autocommitting, else the
+        # catalog + metadata state captured at BEGIN (restored on ROLLBACK)
+        self._txn_snapshot: Optional[dict] = None
         # attached-db alias -> parquet spool dirs backing its DataFrames;
         # released on DETACH/close, with a process-exit fallback so
         # abandoned sessions don't leak disk for the process lifetime
@@ -327,15 +339,28 @@ class DuckSparkSession:
 
     # ------------------------------------------------------------------ API
 
-    def execute(self, sql: str) -> Optional[DataFrame]:
+    def execute(
+        self, sql: str, parameters: Optional[object] = None
+    ) -> Optional[DataFrame]:
         """Execute one or more ``;``-separated statements; returns the last
         statement's result DataFrame (or None for pure session statements).
+
+        ``parameters`` binds DuckDB-style prepared-statement placeholders —
+        ``?`` positional (list/tuple), ``$1`` numbered (list/tuple), or
+        ``$name`` named (dict) — exactly the ``con.execute(sql, params)``
+        signature of duckdb.Connection. Binding is literal splicing through
+        the dialect tokenizer (frontend/params.py), so placeholders inside
+        strings/comments are never touched.
 
         The returned DataFrame additionally answers DuckDB's cursor-style
         chain — ``con.execute(sql).fetchdf()`` / ``.fetchall()`` /
         ``.fetchone()`` / ``.df()`` (the exact shape the reference's
         harness uses, examples/utils.py:16-22) — while remaining a plain
         Spark DataFrame for everything else."""
+        if parameters is not None:
+            from .frontend.params import bind_parameters
+
+            sql = bind_parameters(sql, parameters)
         result = None
         for stmt in self._split_statements(sql):
             out = self._execute_one(stmt)
@@ -348,6 +373,17 @@ class DuckSparkSession:
     # aliases matching duckdb.Connection usage in the reference
     sql = execute
     query = execute
+
+    def executemany(
+        self, sql: str, parameter_sets: "list[object]"
+    ) -> Optional[DataFrame]:
+        """duckdb.Connection.executemany: run ``sql`` once per parameter
+        set. Returns the last statement's result (DuckDB keeps only the
+        final cursor state too)."""
+        result = None
+        for params in parameter_sets:
+            result = self.execute(sql, params)
+        return result
 
     def fetchdf(self, sql: Optional[str] = None):
         df = self.execute(sql) if sql is not None else self._last
@@ -430,6 +466,13 @@ class DuckSparkSession:
         return stmts
 
     def _execute_one(self, sql: str) -> Optional[DataFrame]:
+        if re.search(r"\b(?:nextval|currval)\s*\(", sql, re.IGNORECASE):
+            expanded = self._expand_sequence_calls(sql)
+            if expanded is None:  # FROM-driven nextval: already executed
+                out, self._seq_result = self._seq_result, None
+                self._last = out
+                return out
+            sql = expanded
         tokens = tokenize(sql)
         i = next_sig(tokens, -1)
         if i >= len(tokens):
@@ -462,9 +505,24 @@ class DuckSparkSession:
             "DESCRIBE": self._describe,
             "DESC": self._describe,
             "SHOW": self._show,
-            "BEGIN": lambda s: None,
-            "COMMIT": lambda s: None,
-            "ROLLBACK": lambda s: None,
+            "BEGIN": self._begin,
+            "START": self._begin,  # START TRANSACTION
+            "COMMIT": self._commit,
+            "END": self._commit,
+            "ROLLBACK": self._rollback,
+            "ABORT": self._rollback,
+            "TRUNCATE": self._truncate,
+            "MERGE": self._merge,
+            "EXPORT": self._export_database,
+            "IMPORT": self._import_database,
+            # CHECKPOINT/VACUUM/ANALYZE: storage maintenance; every write
+            # here is already durably committed (copy-on-write warehouse)
+            # or in-session, so these are well-defined no-ops, as in
+            # DuckDB for an in-memory database.
+            "CHECKPOINT": lambda s: None,
+            "FORCE": lambda s: None,  # FORCE CHECKPOINT
+            "VACUUM": lambda s: None,
+            "ANALYZE": lambda s: None,
         }.get(kw)
         if handler is None:
             # fall through to the query path (e.g. parenthesized query)
@@ -478,6 +536,10 @@ class DuckSparkSession:
                 pass
         self._cte_persisted.clear()
         out = handler(sql)
+        if self._seq_pending is not None:
+            nm, self._seq_pending = self._seq_pending, None
+            rows = out.collect() if out is not None else []
+            self._seq_advance_by(nm, rows[0][0] if rows else 0)
         self._last = out
         return out
 
@@ -1732,6 +1794,8 @@ class DuckSparkSession:
             return self._create_macro(tokens, sig, j, or_replace)
         if kind == "TYPE":  # CREATE TYPE mood AS ENUM ('sad', ...)
             return self._create_type(tokens, sig, j, or_replace)
+        if kind == "SEQUENCE":
+            return self._create_sequence(tokens, sig, j, or_replace)
         if kind in ("DATABASE", "SCHEMA"):
             # name follows IF NOT EXISTS (3 tokens) when present
             j2 = j + 3 if words[j] == "IF" else j
@@ -1907,7 +1971,27 @@ class DuckSparkSession:
             if head.kind == IDENT and head.upper in (
                 "PRIMARY", "FOREIGN", "UNIQUE", "CHECK", "CONSTRAINT",
             ):
-                continue  # table-level constraint — informational only
+                # table-level constraint: record PRIMARY KEY / UNIQUE
+                # column sets (conflict targets for INSERT OR REPLACE /
+                # ON CONFLICT); FK/CHECK stay informational
+                text = " ".join(tk.text for tk in sig)
+                km = re.match(
+                    r"(?:CONSTRAINT\s+\S+\s+)?(PRIMARY\s+KEY|UNIQUE)\s*\("
+                    r"([^)]*)\)",
+                    text,
+                    re.IGNORECASE,
+                )
+                if km:
+                    keycols = [
+                        c.strip().strip('"`')
+                        for c in km.group(2).split(",") if c.strip()
+                    ]
+                    keys = self._unique_keys.setdefault(table, [])
+                    if km.group(1).upper().startswith("PRIMARY"):
+                        keys.insert(0, keycols)
+                    else:
+                        keys.append(keycols)
+                continue
             col = head.text.strip('"`')
             # type tokens: until a constraint keyword
             ty_tokens = []
@@ -1918,6 +2002,13 @@ class DuckSparkSession:
                 ):
                     break
                 ty_tokens.append(tk)
+            tail_kws = {
+                tk.upper for tk in sig[1 + len(ty_tokens):] if tk.kind == IDENT
+            }
+            if "PRIMARY" in tail_kws:
+                self._unique_keys.setdefault(table, []).insert(0, [col])
+            elif "UNIQUE" in tail_kws:
+                self._unique_keys.setdefault(table, []).append([col])
             ty_str = "".join(
                 (" " + tk.text + " ") if tk.kind == IDENT else tk.text
                 for tk in ty_tokens
@@ -1962,7 +2053,7 @@ class DuckSparkSession:
 
     def _drop(self, sql: str) -> None:
         m = re.match(
-            r"\s*DROP\s+(TABLE|VIEW|MACRO|FUNCTION|TYPE)\s+(IF\s+EXISTS\s+)?(.+?)\s*;?\s*$",
+            r"\s*DROP\s+(TABLE|VIEW|MACRO|FUNCTION|TYPE|SEQUENCE)\s+(IF\s+EXISTS\s+)?(.+?)\s*;?\s*$",
             sql,
             re.IGNORECASE | re.DOTALL,
         )
@@ -1975,6 +2066,12 @@ class DuckSparkSession:
             if self._enum_types.pop(name.lower(), None) is None and not m.group(2):
                 raise KeyError(
                     f"Catalog Error: Type with name {name} does not exist!"
+                )
+            return None
+        if m.group(1).upper() == "SEQUENCE":
+            if self._sequences.pop(name.lower(), None) is None and not m.group(2):
+                raise KeyError(
+                    f"Catalog Error: Sequence with name {name} does not exist!"
                 )
             return None
         key = self._resolve_table_key(name)
@@ -2003,14 +2100,49 @@ class DuckSparkSession:
             self._type_overrides.pop(n, None)
             self._fixed_arrays.pop(n, None)
             self._dml_depth.pop(n, None)
+            self._unique_keys.pop(n, None)
 
     # ------------------------------------------------------------------ DML
 
     def _insert(self, sql: str) -> DataFrame:
         tokens = tokenize(sql)
         sig = [i for i, t in enumerate(tokens) if t.kind not in (WS, COMMENT)]
-        # INSERT INTO name [(cols)] <query>
-        j = 2  # INSERT INTO
+        # INSERT [OR REPLACE|OR IGNORE] INTO name [(cols)] <query>
+        # [ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET ...]
+        conflict_mode: Optional[str] = None  # "replace" | "ignore" | "update"
+        conflict_cols: Optional[list[str]] = None
+        conflict_set: Optional[str] = None
+        j = 1
+        if tokens[sig[j]].is_kw("OR"):
+            word = tokens[sig[j + 1]].upper
+            conflict_mode = {"REPLACE": "replace", "IGNORE": "ignore"}.get(word)
+            if conflict_mode is None:
+                raise ValueError(f"unsupported INSERT OR {word}")
+            j += 2
+        if not tokens[sig[j]].is_kw("INTO"):
+            raise ValueError(f"unsupported INSERT: {sql[:80]}")
+        # trailing ON CONFLICT clause: split it off the source query text
+        depth = 0
+        for p, i in enumerate(sig):
+            t = tokens[i]
+            if t.text in "([{":
+                depth += 1
+            elif t.text in ")]}":
+                depth -= 1
+            elif (
+                depth == 0
+                and t.is_kw("ON")
+                and p + 1 < len(sig)
+                and tokens[sig[p + 1]].is_kw("CONFLICT")
+            ):
+                clause = render(tokens[i:]).strip().rstrip(";")
+                conflict_mode, conflict_cols, conflict_set = (
+                    self._parse_on_conflict(clause)
+                )
+                tokens = tokens[:i]
+                sig = sig[:p]
+                break
+        j += 1  # past INTO
         name_parts = [tokens[sig[j]].text.strip('"`')]
         while j + 2 < len(sig) and tokens[sig[j + 1]].text == ".":
             name_parts.append(tokens[sig[j + 2]].text.strip('"`'))
@@ -2042,11 +2174,137 @@ class DuckSparkSession:
         aligned = self._align_insert(src, target, cols)
         self._check_fixed_arrays(key, aligned)
         self._check_enums(key, aligned)
+        if conflict_mode is not None:
+            return self._apply_conflict_insert(
+                key, target, aligned, conflict_mode, conflict_cols,
+                conflict_set,
+            )
         self._register_managed(key, target.unionByName(aligned))
         # DuckDB reports the inserted row count; keep it lazy — a count job
         # per INSERT serializes bulk-load loops, and callers that ignore the
         # result (the common case) should pay zero jobs
         return aligned.agg(F.count(F.lit(1)).alias("Count"))
+
+    def _parse_on_conflict(
+        self, clause: str
+    ) -> tuple[str, Optional[list[str]], Optional[str]]:
+        """``ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET <list>``."""
+        m = re.match(
+            r"ON\s+CONFLICT\s*(\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+"
+            r"(.*))\s*$",
+            clause,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported ON CONFLICT clause: {clause[:80]}")
+        cols = (
+            [c.strip().strip('"`') for c in m.group(2).split(",") if c.strip()]
+            if m.group(2)
+            else None
+        )
+        if m.group(3).upper() == "NOTHING":
+            return "ignore", cols, None
+        return "update", cols, m.group(4).strip()
+
+    def _apply_conflict_insert(
+        self,
+        key: str,
+        target: DataFrame,
+        aligned: DataFrame,
+        mode: str,
+        conflict_cols: Optional[list[str]],
+        set_sql: Optional[str],
+    ) -> DataFrame:
+        """INSERT OR REPLACE / OR IGNORE / ON CONFLICT semantics as ONE
+        shuffled join pass (no per-row lookups): the conflict key drives a
+        hash join between the incoming batch and the table — at cluster
+        scale both sides shuffle on the key, the same plan a MERGE takes.
+
+        Incoming rows that conflict with EACH OTHER keep one winner via
+        ``dropDuplicates(keys)`` (DuckDB raises on that case for DO
+        UPDATE; the looser behavior is documented rather than hidden)."""
+        keys = conflict_cols or (
+            self._unique_keys.get(key, [None]) or [None]
+        )[0]
+        if not keys:
+            raise ValueError(
+                "Binder Error: ON CONFLICT requires a PRIMARY KEY / UNIQUE "
+                "constraint or an explicit conflict target"
+            )
+        incoming = aligned.dropDuplicates(keys)
+        if mode == "ignore":
+            fresh = incoming.join(
+                target.select(*keys).distinct(), keys, "left_anti"
+            )
+            self._register_managed(key, target.unionByName(fresh))
+            return self._count_df(-1)
+        if mode == "replace":
+            kept = target.join(
+                incoming.select(*keys).distinct(), keys, "left_anti"
+            )
+            self._register_managed(key, kept.unionByName(incoming))
+            return self._count_df(-1)
+        # DO UPDATE SET: evaluate set expressions with Postgres/DuckDB
+        # scoping — unqualified names are the TARGET row, ``excluded.c``
+        # is the incoming row
+        marker = "__conflict_marker__"
+        exc = incoming.withColumn(marker, F.lit(1))
+        exc_view = self._fresh_view(exc)
+        tgt_view = self._view_name(key)
+        tcols = [f.name for f in target.schema.fields]
+        set_map = self._parse_conflict_set(set_sql, tcols)
+        on = " AND ".join(f"__tgt.{k} <=> excluded.{k}" for k in keys)
+        proj = []
+        for c in tcols:
+            if c in set_map:
+                proj.append(
+                    f"CASE WHEN excluded.{marker} IS NOT NULL "
+                    f"THEN ({set_map[c]}) ELSE __tgt.{c} END AS {c}"
+                )
+            else:
+                proj.append(f"__tgt.{c} AS {c}")
+        kept_sql = (
+            f"SELECT {', '.join(proj)} FROM {tgt_view} AS __tgt "
+            f"LEFT JOIN {exc_view} AS excluded ON {on}"
+        )
+        kept = self._query(kept_sql)
+        fresh = incoming.join(
+            target.select(*keys).distinct(), keys, "left_anti"
+        )
+        self._register_managed(
+            key, kept.unionByName(fresh, allowMissingColumns=False)
+        )
+        return self._count_df(-1)
+
+    def _parse_conflict_set(
+        self, set_sql: str, target_cols: list[str]
+    ) -> dict[str, str]:
+        """Parse ``a = expr, b = expr`` qualifying unqualified target-column
+        references with the ``__tgt`` alias (excluded.* stays as written)."""
+        from .operators.merge import _parse_set_list
+
+        raw = _parse_set_list(set_sql)
+        lowered = {c.lower(): c for c in target_cols}
+        out: dict[str, str] = {}
+        for col, expr in raw.items():
+            toks = tokenize(expr)
+            pieces: list[str] = []
+            for i, t in enumerate(toks):
+                if (
+                    t.kind == IDENT
+                    and t.text.lower() in lowered
+                    and t.text.lower() != "excluded"
+                ):
+                    p = prev_sig(toks, i)
+                    n = next_sig(toks, i)
+                    prev_dot = p >= 0 and toks[p].text == "."
+                    next_call = n < len(toks) and toks[n].text == "("
+                    if not prev_dot and not next_call:
+                        pieces.append(f"__tgt.{t.text}")
+                        continue
+                pieces.append(t.text)
+            out[lowered.get(col.lower(), col)] = "".join(pieces)
+        return out
 
     def _expand_union_values_for_insert(
         self, src_sql: str, target: DataFrame, cols: Optional[list[str]]
@@ -2259,6 +2517,353 @@ class DuckSparkSession:
             new = df.limit(0)
         self._register_managed(key, new)
         return self._count_df(-1)
+
+    def _truncate(self, sql: str) -> None:
+        """TRUNCATE [TABLE] name — DuckDB's alias for unqualified DELETE."""
+        m = re.match(
+            r"\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"`]+)\s*;?\s*$", sql, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"unsupported TRUNCATE: {sql[:80]}")
+        name = m.group(1).strip('"`')
+        key = self._resolve_table_key(name)
+        if key is None:
+            raise KeyError(f"Catalog Error: Table with name {name} does not exist!")
+        self._register_managed(key, self._tables[key].limit(0))
+        return None
+
+    # --------------------------------------------------------- transactions
+
+    _TXN_STATE = (
+        "_table_files", "_fixed_arrays", "_enum_cols", "_type_overrides",
+        "_macros", "_enum_types", "_unique_keys", "_sequences", "_databases",
+    )
+
+    def _begin(self, sql: str) -> None:
+        """BEGIN [TRANSACTION] — snapshot the catalog so ROLLBACK can
+        restore it. DataFrames are immutable plans, so a shallow copy of
+        the table map IS a consistent snapshot (DuckDB MVCC's equivalent
+        here: the old plan objects simply keep existing). Durable-warehouse
+        state snapshots the catalog pointer; rolled-back table versions
+        become unreferenced directories, exactly like aborted copy-on-write
+        commits."""
+        import copy
+
+        if self._txn_snapshot is not None:
+            raise RuntimeError(
+                "TransactionContext Error: cannot start a transaction "
+                "within a transaction"
+            )
+        snap: dict = {"_tables": dict(self._tables),
+                      "_current_db": self._current_db}
+        for attr in self._TXN_STATE:
+            snap[attr] = copy.deepcopy(getattr(self, attr))
+        if self._warehouse is not None:
+            snap["_warehouse_catalog"] = self._warehouse._read_catalog()
+        self._txn_snapshot = snap
+        return None
+
+    def _commit(self, sql: str) -> None:
+        if self._txn_snapshot is None:
+            raise RuntimeError(
+                "TransactionContext Error: cannot commit - no transaction "
+                "is active"
+            )
+        self._txn_snapshot = None
+        return None
+
+    def _rollback(self, sql: str) -> None:
+        if self._txn_snapshot is None:
+            raise RuntimeError(
+                "TransactionContext Error: cannot rollback - no "
+                "transaction is active"
+            )
+        snap = self._txn_snapshot
+        self._txn_snapshot = None
+        created = set(self._tables) - set(snap["_tables"])
+        self._tables = snap["_tables"]
+        self._current_db = snap["_current_db"]
+        for attr in self._TXN_STATE:
+            setattr(self, attr, snap[attr])
+        if self._warehouse is not None and "_warehouse_catalog" in snap:
+            self._warehouse._write_catalog(snap["_warehouse_catalog"])
+        # re-point every temp view at the snapshot plan and unregister
+        # views for tables created inside the transaction
+        for name, df in self._tables.items():
+            df.createOrReplaceTempView(self._view_name(name))
+        for name in created:
+            try:
+                self.spark.catalog.dropTempView(self._view_name(name))
+            except Exception:  # noqa: BLE001
+                pass
+        self._kind_cache = None
+        self._infoschema_dirty = True
+        return None
+
+    # --------------------------------------------------------------- merge
+
+    def _merge(self, sql: str) -> DataFrame:
+        from .operators.merge import run_merge
+
+        return run_merge(self, sql)
+
+    # ------------------------------------------------------- export/import
+
+    def _export_database(self, sql: str) -> None:
+        """EXPORT DATABASE 'dir' [(FORMAT parquet|csv)] — writes every
+        managed table plus DuckDB's three manifest files (schema.sql,
+        load.sql, and the data files), so a real DuckDB can IMPORT the
+        result and vice versa."""
+        m = re.match(
+            r"\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+'?(\w+)'?"
+            r"[^)]*\))?\s*;?\s*$",
+            sql,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"unsupported EXPORT DATABASE: {sql[:80]}")
+        from .types import spark_type_to_duckdb
+
+        target, fmt = m.group(1), (m.group(2) or "csv").lower()
+        os.makedirs(target, exist_ok=True)
+        schema_lines: list[str] = []
+        load_lines: list[str] = []
+        for name in sorted(self._tables):
+            df = self._tables[name]
+            fname = name.replace(".", "_")
+            ext = "parquet" if fmt == "parquet" else "csv"
+            path = os.path.join(target, f"{fname}.{ext}")
+            io_utils.write_copy_to(df, path, fmt=fmt)
+            cols = ", ".join(
+                f'"{f.name}" '
+                + self._type_overrides.get(name, {}).get(
+                    f.name, spark_type_to_duckdb(f.dataType)
+                )
+                for f in df.schema.fields
+            )
+            schema_lines.append(f"CREATE TABLE {name}({cols});")
+            if fmt == "parquet":
+                load_lines.append(
+                    f"COPY {name} FROM '{path}' (FORMAT 'parquet');"
+                )
+            else:
+                load_lines.append(
+                    f"COPY {name} FROM '{path}' (FORMAT 'csv', header 1);"
+                )
+        with open(os.path.join(target, "schema.sql"), "w") as fh:
+            fh.write("\n".join(schema_lines) + "\n")
+        with open(os.path.join(target, "load.sql"), "w") as fh:
+            fh.write("\n".join(load_lines) + "\n")
+        return None
+
+    def _import_database(self, sql: str) -> None:
+        """IMPORT DATABASE 'dir' — replays schema.sql + load.sql, i.e.
+        the exact manifest protocol DuckDB itself writes."""
+        m = re.match(
+            r"\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$", sql, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"unsupported IMPORT DATABASE: {sql[:80]}")
+        src = m.group(1)
+        for script in ("schema.sql", "load.sql"):
+            path = os.path.join(src, script)
+            if os.path.exists(path):
+                with open(path) as fh:
+                    text = fh.read()
+                if text.strip():
+                    self.execute(text)
+        return None
+
+    # ----------------------------------------------------------- sequences
+
+    def _create_sequence(
+        self, tokens: list[Token], sig: list[int], j: int, or_replace: bool
+    ) -> None:
+        """CREATE SEQUENCE name [START [WITH] n] [INCREMENT [BY] n]
+        [MINVALUE n] [MAXVALUE n] [CYCLE|NO CYCLE]. A sequence is a serial
+        connection-scoped counter, as in DuckDB — it intentionally does
+        NOT distribute (each ``nextval`` advances one shared state)."""
+        sig_toks = [t for t in tokens[sig[j]:] if t.kind not in (WS, COMMENT)]
+        k = 0
+        if sig_toks and sig_toks[k].upper == "IF":  # IF NOT EXISTS
+            k += 3
+            if_not_exists = True
+        else:
+            if_not_exists = False
+        name = sig_toks[k].text.strip('"`').lower()
+        k += 1
+        start = None
+        inc = 1
+        minv = None
+        maxv = None
+        cycle = False
+        while k < len(sig_toks):
+            w = sig_toks[k].upper
+            if w == "START":
+                k += 1
+                if k < len(sig_toks) and sig_toks[k].upper == "WITH":
+                    k += 1
+                start = self._seq_int(sig_toks, k); k += self._seq_width(sig_toks, k)
+            elif w == "INCREMENT":
+                k += 1
+                if k < len(sig_toks) and sig_toks[k].upper == "BY":
+                    k += 1
+                inc = self._seq_int(sig_toks, k); k += self._seq_width(sig_toks, k)
+            elif w == "MINVALUE":
+                k += 1
+                minv = self._seq_int(sig_toks, k); k += self._seq_width(sig_toks, k)
+            elif w == "MAXVALUE":
+                k += 1
+                maxv = self._seq_int(sig_toks, k); k += self._seq_width(sig_toks, k)
+            elif w == "NO":
+                k += 2  # NO CYCLE / NO MINVALUE / NO MAXVALUE
+            elif w == "CYCLE":
+                cycle = True
+                k += 1
+            else:
+                k += 1
+        if inc == 0:
+            raise ValueError("Catalog Error: increment must not be zero")
+        if minv is None:
+            minv = 1 if inc > 0 else -(2**63) + 1
+        if maxv is None:
+            maxv = 2**63 - 1 if inc > 0 else -1
+        if start is None:
+            start = minv if inc > 0 else maxv
+        if name in self._sequences and not (or_replace or if_not_exists):
+            raise RuntimeError(
+                f"Catalog Error: Sequence with name \"{name}\" already exists!"
+            )
+        if name in self._sequences and if_not_exists and not or_replace:
+            return None
+        self._sequences[name] = {
+            "next": start, "inc": inc, "min": minv, "max": maxv,
+            "cycle": cycle, "last": None,
+        }
+        return None
+
+    @staticmethod
+    def _seq_int(toks: list[Token], k: int) -> int:
+        if toks[k].text == "-":
+            return -int(toks[k + 1].text)
+        return int(toks[k].text)
+
+    @staticmethod
+    def _seq_width(toks: list[Token], k: int) -> int:
+        return 2 if toks[k].text == "-" else 1
+
+    def _seq_nextval(self, name: str) -> int:
+        seq = self._sequences.get(name.lower())
+        if seq is None:
+            raise KeyError(
+                f"Catalog Error: Sequence with name {name} does not exist!"
+            )
+        v = seq["next"]
+        if v > seq["max"] or v < seq["min"]:
+            if not seq["cycle"]:
+                raise RuntimeError(
+                    f"Sequence Error: nextval: reached maximum value of "
+                    f"sequence \"{name}\" ({seq['max']})"
+                )
+            v = seq["min"] if seq["inc"] > 0 else seq["max"]
+        seq["next"] = v + seq["inc"]
+        seq["last"] = v
+        return v
+
+    def _seq_advance_by(self, name: str, n: int) -> None:
+        seq = self._sequences[name.lower()]
+        if n:
+            seq["last"] = seq["next"] + seq["inc"] * (n - 1)
+            seq["next"] = seq["next"] + seq["inc"] * n
+
+    def _seq_currval(self, name: str) -> int:
+        seq = self._sequences.get(name.lower())
+        if seq is None:
+            raise KeyError(
+                f"Catalog Error: Sequence with name {name} does not exist!"
+            )
+        if seq["last"] is None:
+            raise RuntimeError(
+                f"Sequence Error: currval: sequence \"{name}\" is not yet "
+                "defined in this session"
+            )
+        return seq["last"]
+
+    def _expand_sequence_calls(self, sql: str) -> str:
+        """Replace each ``nextval('s')`` / ``currval('s')`` occurrence with
+        its value. Each textual occurrence advances once per VALUES row it
+        appears in (DuckDB's own semantics for multi-row VALUES: the
+        sequence advances per emitted row). For ``nextval`` applied across
+        a FROM-driven row set, the single-occurrence case rewrites to
+        ``base + row_number()`` and advances by the (eagerly counted)
+        result size — the serial object is the one deliberate
+        non-distributed piece, exactly as in DuckDB."""
+        tokens = tokenize(sql)
+        sig = [i for i, t in enumerate(tokens) if t.kind not in (WS, COMMENT)]
+        has_from = any(
+            tokens[i].kind == IDENT and tokens[i].upper == "FROM" for i in sig
+        )
+        calls: list[tuple[int, int, str, str]] = []  # (lo, hi, fn, seqname)
+        for pos, i in enumerate(sig):
+            t = tokens[i]
+            if t.kind == IDENT and t.upper in ("NEXTVAL", "CURRVAL"):
+                if pos + 1 < len(sig) and tokens[sig[pos + 1]].text == "(":
+                    c = match_forward(tokens, sig[pos + 1], "(", ")")
+                    arg = [tk for tk in tokens[sig[pos + 1] + 1 : c]
+                           if tk.kind == STRING]
+                    if len(arg) != 1:
+                        raise ValueError(
+                            "nextval/currval expects a sequence-name string"
+                        )
+                    calls.append(
+                        (i, c, t.upper, arg[0].text[1:-1].replace("''", "'"))
+                    )
+        if not calls:
+            return sql
+        if has_from and any(fn == "NEXTVAL" for _lo, _hi, fn, _nm in calls):
+            if len(calls) != 1:
+                raise NotImplementedError(
+                    "multiple nextval() calls over a FROM row set are not "
+                    "supported; use one call per statement"
+                )
+            lo, hi, _fn, nm = calls[0]
+            base = self._sequences.get(nm.lower())
+            if base is None:
+                raise KeyError(
+                    f"Catalog Error: Sequence with name {nm} does not exist!"
+                )
+            start, inc = base["next"], base["inc"]
+            expr = (
+                f"({start} + ({inc}) * (row_number() OVER "
+                f"(ORDER BY monotonically_increasing_id()) - 1))"
+            )
+            new_sql = render(tokens[:lo]) + expr + render(tokens[hi + 1 :])
+            head = tokens[sig[0]].upper if tokens[sig[0]].kind == IDENT else ""
+            if head in ("SELECT", "WITH", "FROM"):
+                df = self._query(new_sql)
+                # advancing the counter requires the result size: one eager
+                # count job — the serial sequence object is DuckDB's own
+                # bottleneck here, not a distributed-plan regression
+                n = df.count()
+                self._seq_advance_by(nm, n)
+                self._seq_result = df
+                return None  # caller picks up self._seq_result
+            # INSERT ... SELECT nextval(...) FROM ...: run the rewritten
+            # statement, then advance by the reported inserted-row count
+            self._seq_pending = nm
+            return new_sql
+        # scalar / VALUES context: substitute per occurrence, advancing state
+        out: list[str] = []
+        prev = 0
+        for lo, hi, fn, nm in calls:
+            out.append(render(tokens[prev:lo]))
+            val = self._seq_nextval(nm) if fn == "NEXTVAL" else (
+                self._seq_currval(nm)
+            )
+            out.append(str(val))
+            prev = hi + 1
+        out.append(render(tokens[prev:]))
+        return "".join(out)
 
     def _alter(self, sql: str) -> None:
         s = re.sub(r"\s+", " ", sql).strip().rstrip(";")
