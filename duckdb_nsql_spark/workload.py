@@ -1170,6 +1170,78 @@ _sql(
     """,
 )
 
+# INSERT ... ON CONFLICT DO UPDATE (upsert) keyed on a declared PRIMARY
+# KEY — session._apply_conflict_insert runs it as one shuffled join pass.
+# DuckDB executes the identical multi-statement text natively.
+_sql(
+    "q88_upsert_on_conflict",
+    """
+    CREATE OR REPLACE TABLE upsert_t (
+        k INTEGER PRIMARY KEY, cnt BIGINT, total DECIMAL(18,2));
+    INSERT INTO upsert_t
+      SELECT o_custkey, count(*), CAST(sum(o_totalprice) AS DECIMAL(18,2))
+      FROM orders WHERE o_custkey <= 100 GROUP BY o_custkey;
+    INSERT INTO upsert_t
+      SELECT o_custkey, count(*), CAST(sum(o_totalprice) AS DECIMAL(18,2))
+      FROM orders WHERE o_custkey BETWEEN 51 AND 150 GROUP BY o_custkey
+      ON CONFLICT (k) DO UPDATE
+      SET cnt = cnt + excluded.cnt, total = total + excluded.total;
+    SELECT k, cnt, CAST(total AS DECIMAL(19,2)) AS total
+    FROM upsert_t ORDER BY k
+    """,
+)
+
+# Sequences: serial counter objects; scalar nextval/currval occurrences
+# advance per call (session._expand_sequence_calls). Identical text on
+# DuckDB; the INSERT row count then drives the FROM-rowset advance.
+_sql(
+    "q89_sequence_ids",
+    """
+    DROP SEQUENCE IF EXISTS reg_seq;
+    CREATE SEQUENCE reg_seq START 100 INCREMENT 3;
+    CREATE OR REPLACE TABLE seq_t (a BIGINT, b BIGINT);
+    INSERT INTO seq_t VALUES (nextval('reg_seq'), nextval('reg_seq')),
+                             (nextval('reg_seq'), nextval('reg_seq'));
+    INSERT INTO seq_t VALUES (nextval('reg_seq'), currval('reg_seq'));
+    SELECT a, b FROM seq_t ORDER BY a
+    """,
+)
+
+# MERGE INTO (DuckDB 1.4 statement; operators/merge.py single-pass plan).
+# The container's DuckDB predates MERGE, so the oracle states the same
+# semantics as pure relational algebra: matched-update ∪ kept ∪ inserts.
+_sql(
+    "q90_merge_upsert",
+    """
+    CREATE OR REPLACE TABLE m_tgt AS
+      SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_custkey <= 200;
+    MERGE INTO m_tgt USING (
+        SELECT o_custkey AS k, CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS spend
+        FROM orders WHERE o_custkey <= 300 GROUP BY o_custkey) s
+      ON m_tgt.k = s.k
+      WHEN MATCHED THEN UPDATE SET bal = m_tgt.bal + s.spend
+      WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.spend);
+    SELECT k, CAST(bal AS DECIMAL(19,2)) AS bal FROM m_tgt ORDER BY k
+    """,
+    oracle="""
+    WITH t AS (SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+               FROM customer WHERE c_custkey <= 200),
+         s AS (SELECT o_custkey AS k,
+                      CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS spend
+               FROM orders WHERE o_custkey <= 300 GROUP BY o_custkey)
+    SELECT k, CAST(bal AS DECIMAL(19,2)) AS bal FROM (
+        SELECT t.k AS k, t.bal + s.spend AS bal FROM t JOIN s ON t.k = s.k
+        UNION ALL
+        SELECT t.k, t.bal FROM t
+        WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = t.k)
+        UNION ALL
+        SELECT s.k, CAST(s.spend AS DECIMAL(19,2)) FROM s
+        WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = s.k)
+    ) ORDER BY k
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
