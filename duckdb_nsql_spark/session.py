@@ -370,9 +370,18 @@ class DuckSparkSession:
             _attach_cursor_api(result)
         return result
 
-    # aliases matching duckdb.Connection usage in the reference
-    sql = execute
-    query = execute
+    # duckdb.Connection API split: execute() is the cursor style (used by
+    # the reference harness), sql()/query()/from_query() return a lazy
+    # DuckDBPyRelation-compatible relation (relation.py) with chainable
+    # project/filter/aggregate/order/join and terminal df()/fetchall()
+    def sql(self, sql: str, parameters: Optional[object] = None):
+        from .relation import DuckRelation
+
+        df = self.execute(sql, parameters)
+        return DuckRelation(self, df) if df is not None else None
+
+    query = sql
+    from_query = sql
 
     def executemany(
         self, sql: str, parameter_sets: "list[object]"
@@ -2105,6 +2114,7 @@ class DuckSparkSession:
     # ------------------------------------------------------------------ DML
 
     def _insert(self, sql: str) -> DataFrame:
+        sql, returning = self._split_returning(sql)
         tokens = tokenize(sql)
         sig = [i for i, t in enumerate(tokens) if t.kind not in (WS, COMMENT)]
         # INSERT [OR REPLACE|OR IGNORE] INTO name [(cols)] <query>
@@ -2175,15 +2185,41 @@ class DuckSparkSession:
         self._check_fixed_arrays(key, aligned)
         self._check_enums(key, aligned)
         if conflict_mode is not None:
+            if returning is not None:
+                raise NotImplementedError(
+                    "RETURNING with ON CONFLICT / OR REPLACE / OR IGNORE "
+                    "is not supported"
+                )
             return self._apply_conflict_insert(
                 key, target, aligned, conflict_mode, conflict_cols,
                 conflict_set,
             )
         self._register_managed(key, target.unionByName(aligned))
+        if returning is not None:
+            return self._returning_result(aligned, returning)
         # DuckDB reports the inserted row count; keep it lazy — a count job
         # per INSERT serializes bulk-load loops, and callers that ignore the
         # result (the common case) should pay zero jobs
         return aligned.agg(F.count(F.lit(1)).alias("Count"))
+
+    def _split_returning(self, sql: str) -> tuple[str, Optional[str]]:
+        """Strip a trailing depth-0 ``RETURNING <exprs>`` clause (DuckDB
+        DML statements report the affected rows through it)."""
+        tokens = tokenize(sql)
+        depth = 0
+        for i, t in enumerate(tokens):
+            if t.kind == PUNCT and t.text in "([{":
+                depth += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                depth -= 1
+            elif depth == 0 and t.kind == IDENT and t.upper == "RETURNING":
+                clause = render(tokens[i + 1 :]).strip().rstrip(";").strip()
+                return render(tokens[:i]), clause or "*"
+        return sql, None
+
+    def _returning_result(self, rows: DataFrame, clause: str) -> DataFrame:
+        view = self._fresh_view(rows)
+        return self._query(f"SELECT {clause} FROM {view}")
 
     def _parse_on_conflict(
         self, clause: str
@@ -2464,6 +2500,7 @@ class DuckSparkSession:
             )
 
     def _update(self, sql: str) -> DataFrame:
+        sql, returning = self._split_returning(sql)
         m = re.match(
             r"\s*UPDATE\s+([\w.\"`]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
             sql,
@@ -2498,9 +2535,25 @@ class DuckSparkSession:
                 exprs.append(F.col(f.name))
         new = df.select(*exprs)
         self._register_managed(key, new)
+        if returning is not None:
+            # DuckDB UPDATE..RETURNING reports the POST-update values of
+            # the rows the (pre-update) predicate selected — so the flag
+            # must be computed on the OLD row alongside the new values
+            if pred:
+                flag = "__upd_flag__"
+                touched = (
+                    df.withColumn(flag, F.expr(f"coalesce(({pred}), false)"))
+                    .select(*exprs, F.col(flag))
+                    .filter(F.col(flag))
+                    .drop(flag)
+                )
+            else:
+                touched = new
+            return self._returning_result(touched, returning)
         return self._count_df(-1)
 
     def _delete(self, sql: str) -> DataFrame:
+        sql, returning = self._split_returning(sql)
         m = re.match(
             r"\s*DELETE\s+FROM\s+([\w.\"`]+)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
             sql,
@@ -2513,9 +2566,13 @@ class DuckSparkSession:
         if m.group(2):
             pred = rewrites.rewrite_sql(m.group(2).strip(), self._resolver)
             new = df.filter(f"NOT coalesce(({pred}), false)")
+            deleted = df.filter(f"coalesce(({pred}), false)")
         else:
             new = df.limit(0)
+            deleted = df
         self._register_managed(key, new)
+        if returning is not None:
+            return self._returning_result(deleted, returning)
         return self._count_df(-1)
 
     def _truncate(self, sql: str) -> None:

@@ -329,6 +329,47 @@ def test_merge_not_matched_by_source_delete(engine):
     ]
 
 
+# -------------------------------------------------------------- RETURNING
+
+
+def test_insert_returning_matches_duckdb(engine, duck):
+    for s in ("CREATE TABLE r1(a INT, b VARCHAR)",):
+        engine.execute(s)
+        duck.execute(s)
+    stmt = "INSERT INTO r1 VALUES (1, 'x'), (2, 'y') RETURNING b, a * 10 AS a10"
+    mine = sorted(tuple(r) for r in engine.execute(stmt).collect())
+    assert mine == sorted(duck.execute(stmt).fetchall())
+
+
+def test_update_returning_matches_duckdb(engine, duck):
+    for s in (
+        "CREATE TABLE r2(a INT, b VARCHAR)",
+        "INSERT INTO r2 VALUES (1, 'x'), (2, 'y'), (3, 'z')",
+    ):
+        engine.execute(s)
+        duck.execute(s)
+    stmt = "UPDATE r2 SET a = a + 100 WHERE a >= 2 RETURNING *"
+    mine = sorted(tuple(r) for r in engine.execute(stmt).collect())
+    assert mine == sorted(duck.execute(stmt).fetchall())
+    # post-update values, only touched rows
+    assert mine == [(102, "y"), (103, "z")]
+
+
+def test_delete_returning_matches_duckdb(engine, duck):
+    for s in (
+        "CREATE TABLE r3(a INT)",
+        "INSERT INTO r3 VALUES (1), (2), (3)",
+    ):
+        engine.execute(s)
+        duck.execute(s)
+    stmt = "DELETE FROM r3 WHERE a <> 2 RETURNING a"
+    mine = sorted(tuple(r) for r in engine.execute(stmt).collect())
+    assert mine == sorted(duck.execute(stmt).fetchall())
+    assert sorted(tuple(r) for r in engine.execute("SELECT * FROM r3").collect()) == [
+        (2,)
+    ]
+
+
 # ----------------------------------------------------------- transactions
 
 
