@@ -1881,6 +1881,51 @@ def op_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.run_stream_to_memory(agg, name, mode="complete")
 
 
+ORACLE_STREAM_DEDUP = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
+def op_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming exact dedup: the SAME backlog read
+    twice (two file-source streams unioned — every event arrives exactly
+    twice) must emit each key once. Oracle: the distinct key set, i.e.
+    the events table itself."""
+    from .streaming import dedup as sd
+    from .streaming import windows as sw
+
+    path = os.path.join(sf_dir, "events.parquet")
+    doubled = sw.read_events_stream(spark, path).union(
+        sw.read_events_stream(spark, path)
+    )
+    out = sd.dedup_exact_stream(
+        doubled, key_cols=("event_id",), watermark="2 hours"
+    ).select("event_id", "user_id", "event_type")
+    name = f"stream_dedup_{abs(hash(sf_dir)) % 10_000}"
+    return sd.run_available_now(out, spark, name)
+
+
+def op_stream_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming text profiling — identical expressions to the
+    batch op_text_profile, so the SAME oracle pins both; proves the text
+    pipeline runs unchanged over continuous ingest."""
+    from .streaming import dedup as sd
+
+    docs = sd.read_documents_stream(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    prof = sd.profile_stream(docs).select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "punct_ratio",
+        "fingerprint",
+    )
+    name = f"stream_doc_profile_{abs(hash(sf_dir)) % 10_000}"
+    return sd.run_available_now(prof, spark, name)
+
+
 OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dedup_exact": (op_dedup_exact, ORACLE_DEDUP_EXACT),
     "op_dedup_minhash_lsh": (op_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
@@ -1905,6 +1950,8 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_stream_session": (op_stream_session, ORACLE_STREAM_SESSION),
     "op_stream_join": (op_stream_join, ORACLE_STREAM_JOIN),
     "op_stream_stateful": (op_stream_stateful, ORACLE_STREAM_STATEFUL),
+    "op_stream_dedup": (op_stream_dedup, ORACLE_STREAM_DEDUP),
+    "op_stream_doc_profile": (op_stream_doc_profile, ORACLE_TEXT_PROFILE),
 }
 
 

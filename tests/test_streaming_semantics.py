@@ -201,3 +201,59 @@ def test_stream_stream_join_state_ages_out(spark, tmp_path):
     assert per_batch.get(2, []) == []
     assert set(per_batch.get(3, [])) <= {(1, 6)}  # best-effort late drop
     assert per_batch.get(4, []) == []  # state swept: no (1, 8)
+
+
+def test_stream_dedup_across_micro_batches_and_watermark_expiry(
+    spark, tmp_path
+):
+    """dropDuplicatesWithinWatermark: a key repeated in a LATER micro-batch
+    is suppressed while inside the watermark horizon, but re-emits once
+    the watermark has advanced past its state (bounded state — the
+    property that matters on an infinite stream)."""
+    from duckdb_nsql_spark.streaming import dedup as sd
+
+    d = str(tmp_path / "ded_in")
+    os.makedirs(d)
+    files = [
+        ("a.parquet", [(1, "01:00"), (2, "01:10")]),
+        # batch 2: id=1 again within watermark -> suppressed; id=3 new
+        ("b.parquet", [(1, "01:20"), (3, "01:30")]),
+        # batch 3: far future advances the watermark past the old state
+        ("c.parquet", [(9, "09:00")]),
+        # batch 4: watermark eviction lags one batch (state store sweeps
+        # at batch END using the PREVIOUS batch's closing watermark), so
+        # this occurrence is still suppressed...
+        ("d.parquet", [(1, "09:30")]),
+        # ...and batch 5's is the first to see the swept store: re-emits
+        ("e.parquet", [(1, "09:40")]),
+        # batch 6: fresh state from 09:40 suppresses again
+        ("f.parquet", [(1, "09:50")]),
+    ]
+    for i, (fname, rows) in enumerate(files):
+        path = os.path.join(d, fname)
+        _write_events(path, rows)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    per_batch: dict[int, list] = {}
+    stream = sw.read_events_stream(spark, d, max_files_per_trigger=1)
+    out = sd.dedup_exact_stream(
+        stream, key_cols=("event_id",), watermark="1 hour"
+    ).select("event_id")
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, epoch: per_batch.setdefault(int(epoch), []).extend(
+                sorted(r["event_id"] for r in df.collect())
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ded_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert per_batch.get(0) == [1, 2]
+    assert per_batch.get(1) == [3]          # duplicate id=1 suppressed
+    assert per_batch.get(2) == [9]
+    assert per_batch.get(3) == []           # eviction lags one batch
+    assert per_batch.get(4) == [1]          # state expired -> re-emitted
+    assert per_batch.get(5) == []           # re-armed state suppresses
