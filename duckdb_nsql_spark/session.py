@@ -3151,10 +3151,13 @@ class DuckSparkSession:
         raise ValueError(f"unsupported PRAGMA: {sql[:80]}")
 
     def _call(self, sql: str) -> Optional[DataFrame]:
-        m = re.match(r"\s*CALL\s+(\w+)\s*\(\s*'?([^')]*)'?\s*\)", sql, re.IGNORECASE)
+        m = re.match(
+            r"\s*CALL\s+(\w+)\s*\((.*)\)\s*;?\s*$", sql,
+            re.IGNORECASE | re.DOTALL,
+        )
         if not m:
             raise ValueError(f"unsupported CALL: {sql[:80]}")
-        fn, arg = m.group(1).lower(), m.group(2)
+        fn, arg = m.group(1).lower(), m.group(2).strip().strip("'\"")
         if fn == "pragma_version":
             return introspect.version_df(self.spark)
         if fn == "pragma_table_info":
@@ -3168,6 +3171,35 @@ class DuckSparkSession:
             )
         if fn == "pragma_show_tables":
             return self._tables_df()
+        if fn in ("compact", "cluster"):
+            # layout maintenance (sources/maintenance.py): CALL
+            # compact('dir') / CALL cluster('dir', 'col1,col2')
+            from .sources import maintenance as mt
+
+            parts = [a.strip().strip("'\" ") for a in arg.split(",")]
+            if fn == "compact":
+                stats = mt.compact_parquet(self.spark, parts[0])
+                rows = [(parts[0], stats["files_before"],
+                         stats["files_after"], stats["bytes"])]
+                return introspect.local_df(
+                    self.spark, rows,
+                    T.StructType([
+                        T.StructField("path", T.StringType()),
+                        T.StructField("files_before", T.LongType()),
+                        T.StructField("files_after", T.LongType()),
+                        T.StructField("bytes", T.LongType()),
+                    ]),
+                )
+            stats = mt.cluster_parquet(self.spark, parts[0], parts[1:])
+            rows = [(parts[0], stats["files"], ",".join(parts[1:]))]
+            return introspect.local_df(
+                self.spark, rows,
+                T.StructType([
+                    T.StructField("path", T.StringType()),
+                    T.StructField("files", T.LongType()),
+                    T.StructField("cluster_cols", T.StringType()),
+                ]),
+            )
         raise ValueError(f"unsupported CALL: {fn}")
 
     def _set(self, sql: str) -> None:

@@ -1,0 +1,72 @@
+"""Layout maintenance (sources/maintenance.py): compaction preserves data
+and reduces file count without a shuffle; clustering yields disjoint
+per-file ranges that parquet pruning can exploit; both swaps are atomic.
+"""
+
+import os
+
+import pytest
+
+from duckdb_nsql_spark.sources import maintenance as mt
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """orders written as many small files (streaming-ingest shape)."""
+    src = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    d = str(tmp_path / "orders_frag")
+    src.repartition(24).write.parquet(d)
+    return d, src.count()
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, fragmented):
+    d, n = fragmented
+    before = len(mt._data_files(d))
+    assert before >= 24
+    stats = mt.compact_parquet(spark, d, target_file_bytes=1 << 30)
+    assert stats["files_before"] == before
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(d).count() == n
+
+
+def test_compact_plan_has_no_shuffle(spark, fragmented):
+    d, _ = fragmented
+    df = spark.read.parquet(d).coalesce(2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # coalesce is narrow — compaction's point
+
+
+def test_cluster_produces_disjoint_file_ranges(spark, fragmented):
+    d, n = fragmented
+    mt.cluster_parquet(spark, d, ["o_custkey"], num_files=6)
+    assert spark.read.parquet(d).count() == n
+    ranges = mt.file_ranges(d, "o_custkey")
+    assert len(ranges) >= 4
+    assert mt.overlap_count(ranges) == 0
+    # pruning evidence: a tight predicate's matching files << all files
+    lo = ranges[0]
+    hits = [r for r in ranges if r[0] <= lo[1] and r[1] >= lo[0]]
+    assert len(hits) == 1
+
+
+def test_cluster_rows_survive_and_filter_correct(spark, fragmented):
+    d, _ = fragmented
+    src_sum = spark.read.parquet(d).selectExpr(
+        "sum(o_orderkey) AS s"
+    ).collect()[0]["s"]
+    mt.cluster_parquet(spark, d, ["o_orderdate"], num_files=4)
+    after = spark.read.parquet(d)
+    assert after.selectExpr("sum(o_orderkey) AS s").collect()[0]["s"] == src_sum
+
+
+def test_call_compact_and_cluster_sql_surface(engine, spark, tmp_path):
+    src = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    d = str(tmp_path / "nation_many")
+    src.repartition(8).write.parquet(d)
+    out = engine.execute(f"CALL compact('{d}')").collect()[0]
+    assert out["files_after"] < out["files_before"]
+    out2 = engine.execute(f"CALL cluster('{d}', 'n_regionkey')").collect()[0]
+    assert out2["cluster_cols"] == "n_regionkey"
+    assert spark.read.parquet(d).count() == 25
