@@ -1385,7 +1385,8 @@ _SIMPLE_RENAMES = {
     "ENDS_WITH": "endswith",
     "PREFIX": "startswith",
     "SUFFIX": "endswith",
-    "PRINTF": "format_string",  # same %-style formatting
+    # PRINTF has a dedicated branch (numeric-directive casts); bare
+    # fallthrough keeps the name mapping for non-literal format strings
     "CHR": "char",
     "RANDOM": "rand",
     # DuckDB array_agg/list aggregate -> collect_list (both orderless)
@@ -1414,6 +1415,9 @@ _SIMPLE_RENAMES = {
     "APPROX_QUANTILE": "approx_percentile",
     "WEEK": "weekofyear",
     "WEEKOFYEAR": "weekofyear",
+    "DATETRUNC": "date_trunc",  # Spark date_trunc shares DuckDB's arg order
+    "GEN_RANDOM_UUID": "uuid",
+    "UUIDV4": "uuid",
 }
 
 # macros expanded into pure Spark expressions over the argument spans
@@ -1488,6 +1492,13 @@ _INTERVAL_UNIT_SECONDS = {
 _INTERVAL_UNIT_MONTHS = {
     "MONTH": 1, "MONTHS": 1, "MON": 1,
     "YEAR": 12, "YEARS": 12,
+}
+# singular-stem unit words (match via .rstrip("S")) for spotting the tail
+# of an interval literal during chained-interval arithmetic
+_INTERVAL_UNIT_WORDS = {
+    "SECOND", "SEC", "MINUTE", "MIN", "HOUR", "DAY", "WEEK",
+    "MONTH", "MON", "YEAR", "QUARTER", "DECADE", "CENTURY", "MILLENNIUM",
+    "MILLISECOND", "MICROSECOND",
 }
 
 
@@ -1574,8 +1585,8 @@ _FN_MACROS_1 = {
     # values agree, stated type is DOUBLE)
     "LIST_SUM": _SUM_FOLD,
     "LIST_AVG": f"({_SUM_FOLD} / size({{a}}))",
-    # DuckDB list_unique = COUNT of distinct elements, not the list
-    "LIST_UNIQUE": "size(array_distinct({a}))",
+    # DuckDB list_unique = COUNT of distinct NON-NULL elements
+    "LIST_UNIQUE": "size(filter(array_distinct({a}), x -> x IS NOT NULL))",
     # epoch(ts) -> seconds as double (DuckDB keeps sub-second precision;
     # 1e6 not 1000000.0 — Spark parses the latter as a DECIMAL literal)
     "EPOCH": "(unix_micros({a}) / 1e6)",
@@ -1598,6 +1609,14 @@ _DATE_PART_MACROS = {
     "isoyear": "extract(YEAROFWEEK FROM {x})",
     "epoch": "(unix_micros(CAST({x} AS TIMESTAMP)) / 1e6)",
 }
+
+# 4-arg list slice with step: gather the stepped 1-based index sequence,
+# clamping the end to the list size (DuckDB clamps, ANSI element_at errors)
+_SLICE_STEP_MACRO = (
+    "transform(filter(sequence(CAST({1} AS INT), "
+    "CAST(least(CAST({2} AS BIGINT), size({0})) AS INT), CAST({3} AS INT)), "
+    "i -> i >= 1 AND i <= size({0})), i -> element_at({0}, i))"
+)
 
 # Arity-dispatched macros producing FINAL Spark text: argument spans are
 # pre-rewritten recursively, then the expansion is spliced in and the scan
@@ -1637,8 +1656,14 @@ _FN_MACROS_N: dict[str, dict[int, str]] = {
     "ISODOW": {1: "(weekday({0}) + 1)"},
     # lists
     "LIST_REVERSE_SORT": {1: "sort_array({0}, false)"},
-    "LIST_SLICE": {3: "slice({0}, {1}, greatest(({2}) - ({1}) + 1, 0))"},
-    "ARRAY_SLICE": {3: "slice({0}, {1}, greatest(({2}) - ({1}) + 1, 0))"},
+    "LIST_SLICE": {
+        3: "slice({0}, {1}, greatest(({2}) - ({1}) + 1, 0))",
+        4: _SLICE_STEP_MACRO,
+    },
+    "ARRAY_SLICE": {
+        3: "slice({0}, {1}, greatest(({2}) - ({1}) + 1, 0))",
+        4: _SLICE_STEP_MACRO,
+    },
     "LIST_REDUCE": {
         2: "aggregate(slice({0}, 2, greatest(size({0}) - 1, 0)), "
            "try_element_at({0}, 1), {1})"
@@ -1694,9 +1719,118 @@ _FN_MACROS_N: dict[str, dict[int, str]] = {
     },
     # DuckDB sign() returns an integer; Spark's returns DOUBLE
     "SIGN": {1: "CAST(signum({0}) AS INTEGER)"},
-    # DuckDB age(): timestamp difference as an interval
-    "AGE": {2: "(({0}) - ({1}))", 1: "(current_timestamp() - ({0}))"},
+    # DuckDB age(): SYMBOLIC year/month/day interval — months count by
+    # calendar (months_between + add_months), the remainder is exact
+    # seconds; rendered as a day-time interval using DuckDB's own
+    # 30-day-month conversion (what its Python timedelta shows)
+    "AGE": {
+        2: "make_dt_interval(0, 0, 0, "
+           "floor(months_between(CAST({0} AS TIMESTAMP), "
+           "CAST({1} AS TIMESTAMP))) * 2592000 + "
+           "(unix_micros(CAST({0} AS TIMESTAMP)) - "
+           "unix_micros(CAST({1} AS TIMESTAMP) + make_ym_interval(0, "
+           "CAST(floor(months_between(CAST({0} AS TIMESTAMP), "
+           "CAST({1} AS TIMESTAMP))) AS INT)))) / 1e6)",
+        1: "make_dt_interval(0, 0, 0, "
+           "floor(months_between(current_timestamp(), "
+           "CAST({0} AS TIMESTAMP))) * 2592000 + "
+           "(unix_micros(current_timestamp()) - "
+           "unix_micros(CAST({0} AS TIMESTAMP) + make_ym_interval(0, "
+           "CAST(floor(months_between(current_timestamp(), "
+           "CAST({0} AS TIMESTAMP))) AS INT)))) / 1e6)",
+    },
+    # julian day number, calibrated to DuckDB (julian(DATE '1970-01-01')
+    # = 2440588.0, time-of-day as a fraction)
+    "JULIAN": {1: "(2440588.0 + unix_micros(CAST({0} AS TIMESTAMP)) / 86400e6)"},
+    # grapheme-cluster variants: code-point approximation (true cluster
+    # segmentation needs ICU; identical for precomposed text)
+    "LENGTH_GRAPHEME": {1: "length({0})"},
+    "LEFT_GRAPHEME": {
+        2: "(CASE WHEN ({1}) < 0 "
+           "THEN substring({0}, 1, greatest(length({0}) + ({1}), 0)) "
+           "ELSE substring({0}, 1, {1}) END)"
+    },
+    "RIGHT_GRAPHEME": {
+        2: "(CASE WHEN ({1}) < 0 THEN substring({0}, 1 - ({1})) "
+           "WHEN ({1}) = 0 THEN '' "
+           "ELSE substring({0}, greatest(0 - ({1}), 0 - length({0}))) END)"
+    },
+    "SUBSTRING_GRAPHEME": {
+        2: "substring({0}, {1})", 3: "substring({0}, {1}, {2})",
+    },
+    # regexp_full_match(s, re) -> anchored RLIKE
+    "REGEXP_FULL_MATCH": {
+        2: "(({0}) RLIKE ('^(?:' || ({1}) || ')$'))"
+    },
+    # LIKE with an explicit escape character (Spark has the same clause)
+    "LIKE_ESCAPE": {3: "(({0}) LIKE ({1}) ESCAPE {2})"},
+    "NOT_LIKE_ESCAPE": {3: "(NOT (({0}) LIKE ({1}) ESCAPE {2}))"},
+    "ILIKE_ESCAPE": {3: "(upper({0}) LIKE upper({1}) ESCAPE {2})"},
+    "NOT_ILIKE_ESCAPE": {
+        3: "(NOT (upper({0}) LIKE upper({1}) ESCAPE {2}))"
+    },
+    # list_resize: pad with NULL / the fill value, or truncate
+    "LIST_RESIZE": {
+        2: "slice(transform(sequence(1, greatest(CAST({1} AS INT), 1)), "
+           "i -> try_element_at({0}, i)), 1, CAST({1} AS INT))",
+        3: "slice(transform(sequence(1, greatest(CAST({1} AS INT), 1)), "
+           "i -> CASE WHEN i <= size({0}) THEN element_at({0}, i) "
+           "ELSE ({2}) END), 1, CAST({1} AS INT))",
+    },
+    # list_select(l, idxs): gather by 1-based index (out-of-range -> NULL)
+    "LIST_SELECT": {
+        2: "transform({1}, i -> try_element_at({0}, CAST(i AS INT)))"
+    },
+    # list_where(l, mask): keep elements whose mask is true
+    "LIST_WHERE": {
+        2: "transform(filter(zip_with({0}, {1}, "
+           "(x, m) -> struct(x AS v, m AS k)), p -> p.k), p -> p.v)"
+    },
+    # format_bytes: binary units, TRUNCATED to one decimal (DuckDB fmt)
+    "FORMAT_BYTES": {1: (
+        "(CASE WHEN abs(CAST({0} AS DOUBLE)) < 1024 "
+        "THEN concat(CAST(CAST({0} AS BIGINT) AS STRING), ' bytes') "
+        + "".join(
+            f"WHEN abs(CAST({{0}} AS DOUBLE)) < {1024.0 ** (k + 1):.0f} "
+            f"THEN concat(CAST(CAST("
+            f"CAST(CAST({{0}} AS DOUBLE) / {1024.0 ** k:.0f} * 10 AS BIGINT) "
+            f"AS DOUBLE) / 10 AS DECIMAL(18,1)), ' {u}') "
+            for k, u in ((1, "KiB"), (2, "MiB"), (3, "GiB"), (4, "TiB"))
+        )
+        + "ELSE concat(CAST(CAST("
+          "CAST(CAST({0} AS DOUBLE) / 1125899906842624 * 10 AS BIGINT) "
+          "AS DOUBLE) / 10 AS DECIMAL(18,1)), ' PiB') END)"
+    )},
+    # map_contains (DuckDB >= 1.1 name)
+    "MAP_CONTAINS": {2: "map_contains_key({0}, {1})"},
+    # top-n aggregate forms (DuckDB min/max/min_by/max_by with an N):
+    # one collect + one local sort per group — no per-row state
+    "MIN": {2: "slice(array_sort(collect_list({0})), 1, CAST({1} AS INT))"},
+    "MAX": {2: "slice(sort_array(collect_list({0}), false), 1, "
+               "CAST({1} AS INT))"},
+    "MIN_BY": {
+        3: "transform(slice(array_sort(collect_list("
+           "CASE WHEN ({1}) IS NOT NULL THEN struct({1} AS k, {0} AS v) "
+           "END)), 1, CAST({2} AS INT)), p -> p.v)"
+    },
+    "MAX_BY": {
+        3: "transform(slice(sort_array(collect_list("
+           "CASE WHEN ({1}) IS NOT NULL THEN struct({1} AS k, {0} AS v) "
+           "END), false), 1, CAST({2} AS INT)), p -> p.v)"
+    },
+    # bitstring_agg: '1' at each present value's offset in [min, max]
+    "BITSTRING_AGG": {
+        1: "array_join(transform(sequence(min({0}), max({0})), "
+           "p -> CASE WHEN array_contains(collect_set({0}), p) "
+           "THEN '1' ELSE '0' END), '')"
+    },
 }
+# arg_max/arg_min top-n forms share the min_by/max_by templates (the
+# 2-arg spellings stay simple renames)
+_FN_MACROS_N["ARG_MAX"] = {3: _FN_MACROS_N["MAX_BY"][3]}
+_FN_MACROS_N["ARGMAX"] = {3: _FN_MACROS_N["MAX_BY"][3]}
+_FN_MACROS_N["ARG_MIN"] = {3: _FN_MACROS_N["MIN_BY"][3]}
+_FN_MACROS_N["ARGMIN"] = {3: _FN_MACROS_N["MIN_BY"][3]}
 
 
 _ARRAY_FUNCS = frozenset(
@@ -1768,6 +1902,135 @@ def _convert_strftime(fmt: str) -> str:
             i += 1
     flush()
     return "".join(out)
+
+
+def _strftime_concat(x_txt: str, fmt: str) -> str:
+    """strftime with %U/%W/%w: concat() of date_format runs and computed
+    week/weekday numbers (C semantics: %w Sunday=0; %U week-of-year with
+    the first Sunday starting week 1, days before it week 0; %W the same
+    Monday-based)."""
+    x = f"({x_txt})"
+    parts: list[str] = []
+    run: list[str] = []
+
+    def flush_run() -> None:
+        if run:
+            seg = "".join(run)
+            parts.append(
+                "date_format(" + x + ", '"
+                + _convert_strftime(seg).replace("'", "''") + "')"
+            )
+            run.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt.startswith("%w", i):
+            flush_run()
+            parts.append(f"CAST(dayofweek({x}) - 1 AS STRING)")
+            i += 2
+        elif fmt.startswith("%U", i):
+            flush_run()
+            parts.append(
+                f"lpad(CAST(CAST(floor((dayofyear({x}) + 6 - "
+                f"(dayofweek({x}) - 1)) / 7) AS INT) AS STRING), 2, '0')"
+            )
+            i += 2
+        elif fmt.startswith("%W", i):
+            flush_run()
+            parts.append(
+                f"lpad(CAST(CAST(floor((dayofyear({x}) + 6 - "
+                f"weekday({x})) / 7) AS INT) AS STRING), 2, '0')"
+            )
+            i += 2
+        else:
+            if fmt.startswith("%", i) and i + 1 < len(fmt):
+                run.append(fmt[i : i + 2])
+                i += 2
+            else:
+                run.append(fmt[i])
+                i += 1
+    flush_run()
+    return "concat(" + ", ".join(parts) + ")"
+
+
+_PRINTF_DIRECTIVE = re.compile(r"%[-+ #0,]*\d*(?:\.\d+)?([a-zA-Z%])")
+
+
+def _cast_printf_args(fmt: str, args: list[str]) -> list[str]:
+    """Wrap printf args in casts per their directive: %d family needs an
+    integral, %f/%e/%g a DOUBLE (Spark's format_string does no implicit
+    numeric conversion and throws on e.g. a Decimal for %f)."""
+    letters = [m for m in _PRINTF_DIRECTIVE.findall(fmt) if m != "%"]
+    out = []
+    for k, a in enumerate(args):
+        letter = letters[k] if k < len(letters) else "s"
+        if letter in ("d", "i", "x", "X", "o"):
+            out.append(f"CAST({a} AS BIGINT)")
+        elif letter in ("f", "e", "E", "g", "G"):
+            out.append(f"CAST({a} AS DOUBLE)")
+        else:
+            out.append(a)
+    return out
+
+
+_FMT_BRACE = re.compile(r"\{(\d*)(?::([^}]*))?\}")
+
+
+def _convert_fmt_braces(
+    fmt: str, args: list[str]
+) -> Optional[tuple[str, list[str]]]:
+    """DuckDB/fmt ``{}`` / ``{N}`` / ``{:spec}`` format string -> a Java
+    printf string plus per-arg casts. Returns None when a spec uses fmt
+    features printf can't express (so the call errs loudly downstream
+    rather than printing wrong text)."""
+    out: list[str] = []
+    pos = 0
+    auto_idx = 0
+    casts = list(args)
+    ok = True
+
+    def spec_to_directive(spec: str) -> Optional[tuple[str, str]]:
+        """fmt spec ('.2f', ',', '05d', ...) -> (printf-directive-tail,
+        cast-kind)."""
+        m = re.match(r"^([<>^=]?)([-+ ]?)(#?)(0?)(\d*)(,?)(?:\.(\d+))?"
+                     r"([bdoxXeEfgGs%]?)$", spec)
+        if not m or m.group(1):  # alignment not expressible in printf
+            return None
+        sign, alt, zero, width, comma, prec, typ = m.groups()[1:]
+        if typ == "b":
+            return None
+        typ = typ or ("f" if prec else ("d" if comma else "s"))
+        cast = (
+            "bigint" if typ in ("d", "o", "x", "X")
+            else "double" if typ in ("e", "E", "f", "g", "G")
+            else ""
+        )
+        return (
+            f"%{sign}{alt}{zero}{width}{',' if comma else ''}"
+            f"{'.' + prec if prec else ''}{typ}",
+            cast,
+        )
+
+    for m in _FMT_BRACE.finditer(fmt):
+        out.append(fmt[pos:m.start()].replace("%", "%%"))
+        pos = m.end()
+        idx = int(m.group(1)) if m.group(1) else auto_idx
+        if not m.group(1):
+            auto_idx += 1
+        spec = m.group(2) or ""
+        conv = spec_to_directive(spec)
+        if conv is None:
+            ok = False
+            break
+        tail, cast = conv
+        # positional printf: %<idx+1>$<directive-without-%>
+        out.append(f"%{idx + 1}$" + tail[1:])
+        if cast and idx < len(casts):
+            casts[idx] = f"CAST({args[idx]} AS {cast.upper()})"
+    if not ok:
+        return None
+    out.append(fmt[pos:].replace("%", "%%"))
+    return "".join(out), casts
 
 
 _NON_FN_KEYWORDS = {
@@ -2054,6 +2317,16 @@ def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
             ):
                 i += 1
                 continue
+            # chained interval arithmetic (ts + INTERVAL .. + INTERVAL ..):
+            # the "left primary" of the second + is the previous interval's
+            # unit word — the left side is already a timestamp, skip
+            if (
+                len(lexpr) == 1
+                and lexpr[0].kind == IDENT
+                and lexpr[0].upper.rstrip("S") in _INTERVAL_UNIT_WORDS
+            ):
+                i += 1
+                continue
             new = (
                 [_ident("CAST"), _punct("(")]
                 + lexpr
@@ -2112,15 +2385,56 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         )
                         out = out[:i] + new + out[c + 1 :]
                         continue
+                elif up in ("DATE_TRUNC", "DATETRUNC"):
+                    # DuckDB returns DATE for day-or-coarser parts (any
+                    # input type); Spark's date_trunc always returns
+                    # TIMESTAMP. Wrap in CAST(.. AS DATE) when the part
+                    # literal is coarse.
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    out[i] = _ident("date_trunc")
+                    if len(spans) == 2:
+                        psig = _trim(out[spans[0][0] : spans[0][1]])
+                        if (
+                            len(psig) == 1
+                            and psig[0].kind == STRING
+                            and _str_value(psig[0]).strip().lower() in (
+                                "day", "week", "month", "quarter", "year",
+                                "decade", "century", "millennium",
+                            )
+                        ):
+                            pre = tokenize("CAST(")
+                            post = tokenize(" AS DATE)")
+                            out = (
+                                out[:i] + pre + out[i : c + 1] + post
+                                + out[c + 1 :]
+                            )
+                            # jump past the whole wrapped span so the
+                            # renamed inner call is not re-matched
+                            i = c + len(pre) + len(post) + 1
+                            continue
                 elif up == "STRFTIME":
-                    # strftime(ts, '%Y-%m') -> date_format(ts, 'yyyy-MM')
+                    # strftime(ts, '%Y-%m') -> date_format(ts, 'yyyy-MM');
+                    # specs Java patterns can't express (%U/%W/%w week and
+                    # weekday numbers) expand to a concat of computed parts
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
                     if len(spans) == 2:
                         blo, bhi = spans[1]
                         sig2 = [tk for tk in out[blo:bhi] if tk.kind not in (WS, COMMENT)]
                         if len(sig2) == 1 and sig2[0].kind == STRING:
-                            out[blo:bhi] = [_sql_str(_convert_strftime(_str_value(sig2[0])))]
+                            raw = _str_value(sig2[0])
+                            if re.search(r"%[UWw]", raw):
+                                x_txt = render(pass_function_renames(
+                                    _trim(out[spans[0][0] : spans[0][1]]),
+                                    resolver,
+                                ))
+                                expanded = _strftime_concat(x_txt, raw)
+                                new_toks = tokenize(expanded)
+                                out = out[:i] + new_toks + out[c + 1 :]
+                                i += len(new_toks)
+                                continue
+                            out[blo:bhi] = [_sql_str(_convert_strftime(raw))]
                     out[i] = _ident("date_format")
                 elif up == "STRPTIME":
                     # strptime(s, '%Y-%m-%d') -> to_timestamp(s, 'yyyy-MM-dd')
@@ -2186,9 +2500,10 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             out = out[:i] + new_toks + out[c + 1 :]
                             i += len(new_toks)
                             continue
-                elif up in ("STRING_AGG", "LISTAGG"):
+                elif up in ("STRING_AGG", "LISTAGG", "GROUP_CONCAT"):
                     # DuckDB puts ORDER BY inside the call; Spark's listagg
-                    # takes it as WITHIN GROUP (ORDER BY ...)
+                    # takes it as WITHIN GROUP (ORDER BY ...). A missing
+                    # separator defaults to ',' (DuckDB), not '' (Spark).
                     c = match_forward(out, n, "(", ")")
                     depth = 0
                     p = None
@@ -2203,6 +2518,8 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             break
                     if p is not None:
                         inner = _trim(out[n + 1 : p])
+                        if len(split_args(out, n + 1, p)) == 1:
+                            inner = inner + tokenize(", ','")
                         order = _trim(out[p:c])
                         new = (
                             [_ident("listagg"), _punct("(")]
@@ -2215,6 +2532,8 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         out = out[:i] + new + out[c + 1 :]
                         i += len(new)
                         continue
+                    if len(split_args(out, n + 1, c)) == 1:
+                        out = out[:c] + tokenize(", ','") + out[c:]
                     out[i] = _ident("listagg")
                 elif up in ("GENERATE_SERIES", "RANGE"):
                     # select-position list forms; FROM-position occurrences
@@ -2487,13 +2806,28 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                                          else "struct(" + ", ".join(keys) + ")")
                                 takes_min = (up == "FIRST") == (dirs[0] == "ASC")
                                 fn = "min_by" if takes_min else "max_by"
-                                new_toks = tokenize(f"{fn}({v_txt}, {k_txt})")
+                                expanded = f"{fn}({v_txt}, {k_txt})"
+                                if up == "LAST" and len(keys) == 1:
+                                    # NULL keys sort LAST under the default
+                                    # null order in BOTH directions, so
+                                    # LAST must pick from a null-key row
+                                    # when one exists; min_by/max_by skip
+                                    # null keys
+                                    expanded = (
+                                        f"(CASE WHEN count(*) > count({k_txt}) "
+                                        f"THEN any_value(CASE WHEN ({k_txt}) "
+                                        f"IS NULL THEN ({v_txt}) END) "
+                                        f"ELSE {expanded} END)"
+                                    )
+                                new_toks = tokenize(expanded)
                                 out = out[:i] + new_toks + out[c + 1 :]
                                 i += len(new_toks)
                                 continue
                 elif up == "FORMAT":
                     # DuckDB fmt-style format('{} x {}', ...) ->
-                    # format_string('%s x %s', ...); positional {N} -> %N+1$s
+                    # format_string('%s x %s', ...); positional {N} ->
+                    # %N+1$s; format specs {:.2f} / {0:d} -> printf
+                    # directives with numeric casts on the matching args
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
                     fsig = _trim(out[spans[0][0] : spans[0][1]]) if spans else []
@@ -2501,44 +2835,86 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         len(spans) >= 2
                         and len(fsig) == 1
                         and fsig[0].kind == STRING
-                        and not re.search(r"\{[^}]*:", fsig[0].text)
                     ):
-                        fmt = _str_value(fsig[0]).replace("%", "%%")
-                        fmt = re.sub(r"\{(\d+)\}", lambda m: f"%{int(m.group(1)) + 1}$s", fmt)
-                        fmt = fmt.replace("{}", "%s")
                         args = [
                             render(pass_function_renames(_trim(out[lo:hi]), resolver))
                             for lo, hi in spans[1:]
                         ]
+                        converted = _convert_fmt_braces(
+                            _str_value(fsig[0]), args
+                        )
+                        if converted is not None:
+                            fmt, cast_args = converted
+                            expanded = (
+                                "format_string('" + fmt.replace("'", "''")
+                                + "', " + ", ".join(cast_args) + ")"
+                            )
+                            new_toks = tokenize(expanded)
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
+                elif up == "PRINTF":
+                    # %-style directly; cast args per numeric directive
+                    # (Spark's format_string hands %f a Decimal unconverted
+                    # and throws — DuckDB casts)
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    fsig = _trim(out[spans[0][0] : spans[0][1]]) if spans else []
+                    if (
+                        len(spans) >= 2
+                        and len(fsig) == 1
+                        and fsig[0].kind == STRING
+                    ):
+                        args = [
+                            render(pass_function_renames(_trim(out[lo:hi]), resolver))
+                            for lo, hi in spans[1:]
+                        ]
+                        fmt = _str_value(fsig[0])
+                        cast_args = _cast_printf_args(fmt, args)
                         expanded = (
-                            "format_string('" + fmt.replace("'", "''") + "', "
-                            + ", ".join(args) + ")"
+                            "format_string('" + fmt.replace("'", "''")
+                            + "', " + ", ".join(cast_args) + ")"
                         )
                         new_toks = tokenize(expanded)
                         out = out[:i] + new_toks + out[c + 1 :]
                         i += len(new_toks)
                         continue
+                    out[i] = _ident("format_string")
                 elif up == "LIST_SORT":
-                    # DuckDB list_sort: nulls LAST both directions. Spark:
-                    # array_sort = asc nulls last; sort_array(x,false) =
-                    # desc nulls last.
+                    # DuckDB list_sort: default nulls LAST both directions;
+                    # a third literal argument overrides the null order.
+                    # Spark primitives: array_sort = asc nulls last;
+                    # sort_array(x, true) = asc nulls FIRST; sort_array(x,
+                    # false) = desc nulls last; reverse(array_sort(x)) =
+                    # desc nulls first.
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
                     dir_up = "ASC"
+                    nulls_up = ""
                     ok = len(spans) == 1
-                    if len(spans) == 2:
+                    if len(spans) >= 2:
                         dsig = _trim(out[spans[1][0] : spans[1][1]])
                         if len(dsig) == 1 and dsig[0].kind == STRING:
                             dir_up = _str_value(dsig[0]).strip().upper()
                             ok = True
+                    if len(spans) == 3 and ok:
+                        nsig = _trim(out[spans[2][0] : spans[2][1]])
+                        ok = len(nsig) == 1 and nsig[0].kind == STRING
+                        if ok:
+                            nulls_up = _str_value(nsig[0]).strip().upper()
                     if ok:
                         a_txt = render(pass_function_renames(
                             _trim(out[spans[0][0] : spans[0][1]]), resolver))
-                        expanded = (
-                            f"sort_array({a_txt}, false)"
-                            if dir_up.startswith("DESC")
-                            else f"array_sort({a_txt})"
-                        )
+                        desc = dir_up.startswith("DESC")
+                        nulls_first = nulls_up.endswith("FIRST")
+                        if desc and nulls_first:
+                            expanded = f"reverse(array_sort({a_txt}))"
+                        elif desc:
+                            expanded = f"sort_array({a_txt}, false)"
+                        elif nulls_first:
+                            expanded = f"sort_array({a_txt}, true)"
+                        else:
+                            expanded = f"array_sort({a_txt})"
                         new_toks = tokenize(expanded)
                         out = out[:i] + new_toks + out[c + 1 :]
                         i += len(new_toks)
@@ -2595,6 +2971,10 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         out = out[:i] + new_toks + out[c + 1 :]
                         i += len(new_toks)
                         continue
+                    if up in _SIMPLE_RENAMES:
+                        # arity not macro'd (e.g. 2-arg arg_max): fall back
+                        # to the plain name mapping
+                        out[i] = _ident(_SIMPLE_RENAMES[up])
                 elif up in _FN_MACROS_1:
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)

@@ -164,3 +164,86 @@ def test_function_edge_grid_matches_duckdb(spark, ddb):
         if str(srow[i]) != str(drow[i])
     ]
     assert not diffs, diffs[:6]
+
+
+def test_function_edge_grid_round4b_matches_duckdb(spark, ddb):
+    """Second sweep wave: chained interval arithmetic, format_bytes
+    truncation, grapheme approximations, escape-char LIKE, fmt-spec
+    format()/printf numeric casts, list_resize/select/where, 3-arg
+    list_sort, stepped slices, strftime week numbers, julian(), the
+    calendar-aware age(). Every cell must equal DuckDB."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    exprs = [
+        "DATE '2024-01-31' + INTERVAL 1 MONTH + INTERVAL 1 DAY",
+        "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 2 HOUR + INTERVAL 30 MINUTE",
+        "format_bytes(500)", "format_bytes(1024)", "format_bytes(1536)",
+        "format_bytes(1048575)", "format_bytes(1500000)",
+        "format_bytes(1073741824)", "format_bytes(-2048)",
+        "left_grapheme('héllo', 2)", "length_grapheme('héllo')",
+        "regexp_full_match('abc', '[a-c]+')",
+        "regexp_full_match('abcd', '[a-c]+')",
+        "like_escape('a%c', 'a$%c', '$')",
+        "ilike_escape('A%C', 'a$%c', '$')",
+        "format('{:.2f}', 3.14159)", "format('{} = {:d}', 'x', 42)",
+        "printf('%.2f', 3.14159)", "printf('%d-%s', 7, 'x')",
+        "list_unique([1,2,2,3,NULL])",
+        "list_resize([1,2], 4)", "list_resize([1,2], 4, 9)",
+        "list_resize([1,2,3], 2)",
+        "list_select([10,20,30], [3,1])",
+        "list_where([10,20,30], [true,false,true])",
+        "list_sort([3,1,NULL], 'DESC', 'NULLS FIRST')",
+        "list_sort([3,1,NULL], 'ASC', 'NULLS FIRST')",
+        "list_sort([3,1,NULL], 'DESC', 'NULLS LAST')",
+        "array_slice([1,2,3,4,5], 2, 4, 2)",
+        "array_slice([1,2,3,4,5], 1, 5, 2)",
+        "strftime(DATE '2024-02-29', '%Y|%U|%W|%w')",
+        "strftime(DATE '2024-01-01', 'wk %U')",
+        "julian(DATE '2024-01-01')",
+        "julian(TIMESTAMP '2024-01-01 06:00:00')",
+        "age(TIMESTAMP '2024-03-15 00:00:00', TIMESTAMP '2023-01-10 00:00:00')",
+        "age(TIMESTAMP '2024-03-15 06:30:00', TIMESTAMP '2023-01-10 01:00:00')",
+        "datetrunc('quarter', TIMESTAMP '2024-05-05 01:00:00')",
+        "length(CAST(gen_random_uuid() AS VARCHAR))",
+    ]
+    jvm_aggs = [
+        "group_concat(s)", "string_agg(s)",
+        "string_agg(s, '|' ORDER BY s DESC)",
+        "bitstring_agg(i)",
+        "last(s ORDER BY x)", "last(s ORDER BY x DESC)",
+        "first(s ORDER BY x)", "first(s ORDER BY x DESC)",
+        "median(x)",
+    ]
+    # pandas-UDAF-backed aggregates can't share a SELECT with JVM ones
+    pandas_aggs = [["product(x)"], ["entropy(s)"], ["mad(x)"]]
+    setup = [
+        "CREATE TABLE ag(x DOUBLE, s VARCHAR, i BIGINT)",
+        "INSERT INTO ag VALUES (1.0,'p',5),(2.0,'q',3),(NULL,NULL,12),"
+        "(4.0,'r',6),(8.0,'s',10)",
+    ]
+    for stmt in setup:
+        eng.execute(stmt)
+        ddb.execute(stmt)
+    agg_diffs = []
+    for batch in [jvm_aggs] + pandas_aggs:
+        agg_sql = "SELECT " + ", ".join(
+            f"{e} AS a{i}" for i, e in enumerate(batch)
+        ) + " FROM ag"
+        sa = [tuple(r) for r in eng.execute(agg_sql).collect()][0]
+        da = ddb.execute(agg_sql).fetchall()[0]
+        agg_diffs += [
+            (batch[i], sa[i], da[i])
+            for i in range(len(batch))
+            if str(sa[i]) != str(da[i])
+        ]
+    assert not agg_diffs, agg_diffs[:6]
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    srow = [tuple(r) for r in eng.execute(sql).collect()][0]
+    drow = ddb.execute(sql).fetchall()[0]
+    diffs = [
+        (exprs[i], srow[i], drow[i])
+        for i in range(len(exprs))
+        if str(srow[i]) != str(drow[i])
+    ]
+    assert not diffs, diffs[:8]

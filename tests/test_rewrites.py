@@ -293,8 +293,9 @@ def test_list_prepend_arg_swap():
 
 
 def test_list_unique_is_count():
+    # count of distinct NON-NULL elements (round-4b sweep fix)
     out = rewrite_sql("SELECT list_unique(a) FROM t")
-    assert "size(array_distinct(a))" in out
+    assert "size(filter(array_distinct(a), x -> x IS NOT NULL))" in out
 
 
 def test_lambda_arrow_not_json_mangled():
@@ -568,12 +569,12 @@ def test_moment_agg_corrections():
 
 def test_format_to_format_string():
     out = rewrite_sql("SELECT format('{} x {}', a, b) FROM t")
-    assert "format_string('%s x %s', a, b)" in out
+    assert "format_string('%1$s x %2$s', a, b)" in out
     out = rewrite_sql("SELECT format('{1}/{0}', a, b) FROM t")
     assert "format_string('%2$s/%1$s', a, b)" in out
-    # format specs are left alone (loud error rather than silent wrong)
+    # fmt specs convert to printf directives with numeric casts
     out = rewrite_sql("SELECT format('{:.2f}', a) FROM t")
-    assert "format(" in out
+    assert "format_string('%1$.2f', CAST(a AS DOUBLE))" in out
 
 
 def test_typeof_and_nan_macros():
