@@ -2261,6 +2261,137 @@ def pass_caret_power(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def pass_window_exclude(tokens: list[Token]) -> list[Token]:
+    """DuckDB window-frame ``EXCLUDE CURRENT ROW`` (Spark has no frame
+    exclusion): rewrite ``sum/count/avg(x) OVER (spec EXCLUDE CURRENT
+    ROW)`` as the framed aggregate minus the current row's contribution
+    — same window spec, so Catalyst computes ONE window pass.
+    ``EXCLUDE NO OTHERS`` strips to a plain frame; EXCLUDE GROUP/TIES
+    raise loudly (their group semantics have no subtraction form)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == IDENT and t.upper == "OVER"):
+            i += 1
+            continue
+        op = next_sig(out, i)
+        if op >= len(out) or out[op].text != "(":
+            i += 1
+            continue
+        cl = match_forward(out, op, "(", ")")
+        # find depth-0 EXCLUDE inside the OVER spec
+        depth = 0
+        ex = None
+        for k in range(op + 1, cl):
+            tk = out[k]
+            if tk.text in "([{":
+                depth += 1
+            elif tk.text in ")]}":
+                depth -= 1
+            elif depth == 0 and tk.kind == IDENT and tk.upper == "EXCLUDE":
+                ex = k
+                break
+        if ex is None:
+            i += 1
+            continue
+        mode = " ".join(
+            tk.upper for tk in out[ex + 1 : cl]
+            if tk.kind == IDENT
+        )
+        spec = render(_trim(out[op + 1 : ex])).strip()
+        if mode in ("NO OTHERS",):
+            out = out[: ex] + out[cl:]
+            continue
+        if mode not in ("CURRENT ROW",):
+            raise NotImplementedError(
+                f"window frame EXCLUDE {mode} is not supported"
+            )
+        # locate the aggregate call preceding OVER: `fn ( args ) OVER`
+        call_cl = prev_sig(out, i)
+        if call_cl < 0 or out[call_cl].text != ")":
+            raise NotImplementedError(
+                "EXCLUDE CURRENT ROW requires a simple aggregate call"
+            )
+        call_op = _match_backward(out, call_cl)
+        fn_i = prev_sig(out, call_op)
+        fn = out[fn_i].upper if fn_i >= 0 and out[fn_i].kind == IDENT else ""
+        arg = render(_trim(out[call_op + 1 : call_cl])).strip()
+        o = f"OVER ({spec})"
+        if fn == "COUNT" and arg == "*":
+            expanded = f"(count(*) {o} - 1)"
+        elif fn == "COUNT":
+            expanded = (
+                f"(count({arg}) {o} - "
+                f"(CASE WHEN ({arg}) IS NOT NULL THEN 1 ELSE 0 END))"
+            )
+        elif fn in ("SUM", "AVG"):
+            sum_ex = (
+                f"(CASE WHEN (count({arg}) {o} - "
+                f"(CASE WHEN ({arg}) IS NOT NULL THEN 1 ELSE 0 END)) = 0 "
+                f"THEN NULL ELSE sum({arg}) {o} - coalesce({arg}, 0) END)"
+            )
+            if fn == "SUM":
+                expanded = sum_ex
+            else:
+                cnt_ex = (
+                    f"(count({arg}) {o} - "
+                    f"(CASE WHEN ({arg}) IS NOT NULL THEN 1 ELSE 0 END))"
+                )
+                expanded = f"({sum_ex} / nullif({cnt_ex}, 0))"
+        else:
+            raise NotImplementedError(
+                f"EXCLUDE CURRENT ROW is supported for sum/count/avg, "
+                f"not {fn or 'this expression'}"
+            )
+        new_toks = tokenize(expanded)
+        out = out[:fn_i] + new_toks + out[cl + 1 :]
+        i = fn_i + len(new_toks)
+    return out
+
+
+def pass_windowed_median(tokens: list[Token]) -> list[Token]:
+    """``median(x) OVER (spec)`` — Spark's median/percentile reject
+    window frames. Spell it as the midpoint of the frame's sorted
+    collect_list (null-skipping, like DuckDB): the repeated window
+    expression is textual only — Catalyst computes the one shared
+    ``collect_list OVER spec`` a single time."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == IDENT and t.upper == "MEDIAN"):
+            i += 1
+            continue
+        op = next_sig(out, i)
+        if op >= len(out) or out[op].text != "(":
+            i += 1
+            continue
+        cl = match_forward(out, op, "(", ")")
+        ov = next_sig(out, cl)
+        if ov >= len(out) or not out[ov].is_kw("OVER"):
+            i += 1
+            continue
+        sop = next_sig(out, ov)
+        if sop >= len(out) or out[sop].text != "(":
+            i += 1
+            continue
+        scl = match_forward(out, sop, "(", ")")
+        arg = render(_trim(out[op + 1 : cl])).strip()
+        spec = render(out[sop : scl + 1])
+        s = f"array_sort(collect_list({arg}) OVER {spec})"
+        expanded = (
+            f"(CASE WHEN size({s}) = 0 THEN NULL ELSE "
+            f"(CAST(element_at({s}, CAST((size({s}) + 1) div 2 AS INT)) "
+            f"AS DOUBLE) + "
+            f"element_at({s}, CAST((size({s}) + 2) div 2 AS INT))) / 2 END)"
+        )
+        new_toks = tokenize(expanded)
+        out = out[:i] + new_toks + out[scl + 1 :]
+        i += len(new_toks)
+    return out
+
+
 def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
     """DuckDB ``DATE +/- INTERVAL`` yields a TIMESTAMP (even for day
     intervals); Spark keeps DATE. Wrap the left operand of a ``+ INTERVAL``
@@ -3011,6 +3142,8 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_strip_semicolon(tokens)
     tokens = pass_quoted_idents(tokens)
     tokens = pass_distinct_on(tokens)
+    tokens = pass_window_exclude(tokens)
+    tokens = pass_windowed_median(tokens)
     tokens = pass_exclude_to_except(tokens, resolver)
     tokens = pass_current_setting(tokens, resolver)
     tokens = pass_struct_literals(tokens)

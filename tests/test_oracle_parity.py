@@ -247,3 +247,75 @@ def test_function_edge_grid_round4b_matches_duckdb(spark, ddb):
         if str(srow[i]) != str(drow[i])
     ]
     assert not diffs, diffs[:8]
+
+
+def test_window_function_grid_matches_duckdb(spark, ddb):
+    """Window battery: ranking family, lag/lead defaults, framed
+    aggregates (ROWS/RANGE/interval RANGE), EXCLUDE CURRENT ROW
+    (rewritten to frame-sum minus current contribution), windowed
+    median (sorted frame collect), windowed string_agg. Every row of
+    every cell must equal DuckDB."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    setup = [
+        "CREATE TABLE w(g VARCHAR, k BIGINT, x DOUBLE, d DATE)",
+        "INSERT INTO w VALUES "
+        "('a', 1, 10.0, DATE '2024-01-01'),"
+        "('a', 2, 20.0, DATE '2024-01-03'),"
+        "('a', 3, NULL, DATE '2024-01-07'),"
+        "('a', 4, 40.0, DATE '2024-01-08'),"
+        "('b', 1, 5.0,  DATE '2024-02-01'),"
+        "('b', 2, 15.0, DATE '2024-02-20')",
+    ]
+    for s in setup:
+        eng.execute(s)
+        ddb.execute(s)
+    wins = [
+        "row_number() OVER (PARTITION BY g ORDER BY k)",
+        "rank() OVER (ORDER BY x)",
+        "dense_rank() OVER (ORDER BY x)",
+        "percent_rank() OVER (ORDER BY k)",
+        "cume_dist() OVER (ORDER BY k)",
+        "ntile(3) OVER (ORDER BY k)",
+        "lag(x) OVER (PARTITION BY g ORDER BY k)",
+        "lag(x, 2, -1.0) OVER (PARTITION BY g ORDER BY k)",
+        "lead(x, 1) OVER (PARTITION BY g ORDER BY k)",
+        "first_value(x) OVER (PARTITION BY g ORDER BY k)",
+        "last_value(x) OVER (PARTITION BY g ORDER BY k)",
+        "nth_value(x, 2) OVER (PARTITION BY g ORDER BY k)",
+        "sum(x) OVER (PARTITION BY g ORDER BY k "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+        "sum(x) OVER (PARTITION BY g ORDER BY k "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)",
+        "sum(x) OVER (PARTITION BY g ORDER BY k "
+        "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
+        "sum(x) OVER (PARTITION BY g ORDER BY d "
+        "RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)",
+        "avg(x) OVER (PARTITION BY g)",
+        "count(*) OVER (PARTITION BY g ORDER BY k)",
+        "sum(x) OVER ()",
+        "sum(x) OVER (PARTITION BY g ORDER BY k "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+        "count(x) OVER (PARTITION BY g ORDER BY k "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+        "avg(x) OVER (PARTITION BY g ORDER BY k "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+        "median(x) OVER (PARTITION BY g ORDER BY k "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+        "string_agg(g, ',') OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)",
+    ]
+    diffs = []
+    for wexpr in wins:
+        q = f"SELECT g, k, {wexpr} AS v FROM w ORDER BY g, k"
+        mine = [
+            tuple(f"{v:.8g}" if isinstance(v, float) else v for v in r)
+            for r in eng.execute(q).collect()
+        ]
+        theirs = [
+            tuple(f"{v:.8g}" if isinstance(v, float) else v for v in r)
+            for r in ddb.execute(q).fetchall()
+        ]
+        if mine != theirs:
+            diffs.append((wexpr, theirs[:3], mine[:3]))
+    assert not diffs, diffs[:4]
