@@ -2350,6 +2350,70 @@ def pass_window_exclude(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def _list_aggregate_sql(l: str, fname: str, extra: Optional[str]) -> str:
+    """list_aggregate(l, 'fname'[, extra]) expansion. NULL elements are
+    skipped, as DuckDB's underlying aggregates do. Type-preserving where
+    the Spark primitive allows (min/max/first/last); sum/avg fold in
+    DOUBLE (the documented list_sum/list_avg behavior)."""
+    nn = f"filter({l}, x -> x IS NOT NULL)"
+    if fname == "min":
+        return f"array_min({l})"
+    if fname == "max":
+        return f"array_max({l})"
+    if fname == "sum":
+        return _SUM_FOLD.replace("{a}", l)
+    if fname in ("avg", "mean"):
+        return f"({_SUM_FOLD.replace('{a}', l)} / size({nn}))"
+    if fname == "count":
+        return f"size({nn})"
+    if fname in ("first", "any_value"):
+        return f"try_element_at({nn}, 1)"
+    if fname == "last":
+        return f"try_element_at({nn}, -1)"
+    if fname in ("string_agg", "group_concat", "listagg"):
+        sep = extra if extra is not None else "','"
+        return f"array_join(transform({nn}, x -> CAST(x AS STRING)), {sep})"
+    if fname == "median":
+        s = f"array_sort({nn})"
+        return (
+            f"(CASE WHEN size({s}) = 0 THEN NULL ELSE "
+            f"(CAST(element_at({s}, CAST((size({s}) + 1) div 2 AS INT)) "
+            f"AS DOUBLE) + "
+            f"element_at({s}, CAST((size({s}) + 2) div 2 AS INT))) / 2 END)"
+        )
+    if fname in ("countif", "count_if"):
+        return f"size(filter({l}, x -> x))"
+    raise NotImplementedError(
+        f"list_aggregate: unsupported aggregate {fname!r}"
+    )
+
+
+_COLLATION_MAP = {
+    "NOCASE": "UTF8_LCASE",      # case-insensitive
+    "NOACCENT": "UNICODE_AI",    # accent-insensitive
+    "NFC": "UNICODE",            # normalized comparison
+}
+
+
+def pass_collate(tokens: list[Token]) -> list[Token]:
+    """DuckDB collation names -> Spark 4 collation names after a COLLATE
+    keyword (`x COLLATE NOCASE` -> `x COLLATE UTF8_LCASE`); combined
+    DuckDB collations (NOCASE.NOACCENT) map to UNICODE_CI_AI."""
+    out = list(tokens)
+    for i, t in enumerate(out):
+        if t.kind == IDENT and t.upper == "COLLATE":
+            n = next_sig(out, i)
+            if n < len(out) and out[n].kind in (IDENT, STRING):
+                name = (
+                    out[n].text[1:-1] if out[n].kind == STRING else out[n].text
+                ).upper()
+                if name in ("NOCASE.NOACCENT", "NOACCENT.NOCASE"):
+                    out[n] = _ident("UNICODE_CI_AI")
+                elif name in _COLLATION_MAP:
+                    out[n] = _ident(_COLLATION_MAP[name])
+    return out
+
+
 def pass_windowed_median(tokens: list[Token]) -> list[Token]:
     """``median(x) OVER (spec)`` — Spark's median/percentile reject
     window frames. Spell it as the midpoint of the frame's sorted
@@ -3011,6 +3075,34 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         i += len(new_toks)
                         continue
                     out[i] = _ident("format_string")
+                elif up in ("LIST_AGGREGATE", "LIST_AGGR", "ARRAY_AGGREGATE",
+                            "ARRAY_AGGR"):
+                    # list_aggregate(l, 'name'[, extra]): apply a named
+                    # aggregate to the list's elements. Null elements are
+                    # skipped (DuckDB aggregate semantics).
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) >= 2:
+                        fsig = _trim(out[spans[1][0] : spans[1][1]])
+                        if len(fsig) == 1 and fsig[0].kind == STRING:
+                            fname = _str_value(fsig[0]).strip().lower()
+                            a_txt = render(pass_function_renames(
+                                _trim(out[spans[0][0] : spans[0][1]]),
+                                resolver,
+                            ))
+                            extra = None
+                            if len(spans) == 3:
+                                extra = render(pass_function_renames(
+                                    _trim(out[spans[2][0] : spans[2][1]]),
+                                    resolver,
+                                ))
+                            expanded = _list_aggregate_sql(
+                                a_txt, fname, extra
+                            )
+                            new_toks = tokenize(expanded)
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
                 elif up == "LIST_SORT":
                     # DuckDB list_sort: default nulls LAST both directions;
                     # a third literal argument overrides the null order.
@@ -3144,6 +3236,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_distinct_on(tokens)
     tokens = pass_window_exclude(tokens)
     tokens = pass_windowed_median(tokens)
+    tokens = pass_collate(tokens)
     tokens = pass_exclude_to_except(tokens, resolver)
     tokens = pass_current_setting(tokens, resolver)
     tokens = pass_struct_literals(tokens)

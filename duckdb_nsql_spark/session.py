@@ -21,7 +21,7 @@ import os
 import re
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -559,6 +559,9 @@ class DuckSparkSession:
         asof = self._asof_rewrite(sql)
         if asof is not None:
             sql = asof
+        pos = self._positional_rewrite(sql)
+        if pos is not None:
+            sql = pos
         mat = self._materialize_repeated_ctes(sql)
         if mat is not None:
             return mat
@@ -1207,6 +1210,101 @@ class DuckSparkSession:
                 ty = kv[2].text[1:-1] if kv[2].kind == STRING else kv[2].text
                 fields.append(T.StructField(name, parse_duckdb_type(ty), True))
         return T.StructType(fields)
+
+    def _positional_rewrite(self, sql: str) -> Optional[str]:
+        """DuckDB ``FROM a POSITIONAL JOIN b`` — zip two relations row by
+        row, NULL-padding the shorter side (DuckDB pads like a FULL
+        join on row position). Spelled as row_number-keyed full-outer
+        join into a temp view; positional semantics are inherently
+        order-dependent, so the row numbering runs over
+        monotonically_increasing_id (source order for deterministic
+        scans). The single-partition window this costs is intrinsic to
+        the operator — positional zip has no shuffle-free distributed
+        form unless both sides are co-partitioned by construction."""
+        low = sql.lower()
+        if "positional" not in low:
+            return None
+        tokens = tokenize(sql)
+        depth = 0
+        at = None
+        for i, t in enumerate(tokens):
+            if t.kind == PUNCT and t.text in "([{":
+                depth += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                depth -= 1
+            elif depth == 0 and t.kind == IDENT and t.upper == "POSITIONAL":
+                at = i
+                break
+        if at is None:
+            return None
+        jn = next_sig(tokens, at)
+        if jn >= len(tokens) or not tokens[jn].is_kw("JOIN"):
+            return None
+        # FROM span boundaries
+        sig = [i for i, t in enumerate(tokens) if t.kind not in (WS, COMMENT)]
+        from_i = None
+        depth = 0
+        for i in sig:
+            t = tokens[i]
+            if t.text in "([{":
+                depth += 1
+            elif t.text in ")]}":
+                depth -= 1
+            elif depth == 0 and t.kind == IDENT and t.upper == "FROM" and i < at:
+                from_i = i
+        if from_i is None:
+            raise ValueError("POSITIONAL JOIN requires a FROM clause")
+        end = len(tokens)
+        depth = 0
+        for i in range(jn + 1, len(tokens)):
+            t = tokens[i]
+            if t.text in "([{":
+                depth += 1
+            elif t.text in ")]}":
+                depth -= 1
+            elif depth == 0 and t.kind == IDENT and t.upper in (
+                "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "WINDOW",
+                "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER",
+                "LEFT", "RIGHT", "FULL", "CROSS", "POSITIONAL",
+            ):
+                end = i
+                break
+
+        def rel_df(span_text: str):
+            txt = span_text.strip().rstrip(";").strip()
+            toks = tokenize(txt)
+            s = [k for k, tk in enumerate(toks) if tk.kind not in (WS, COMMENT)]
+            if toks[s[0]].text == "(":
+                c = match_forward(toks, s[0], "(", ")")
+                return self._query(render(toks[s[0] + 1 : c]))
+            # [db.]name [AS] [alias] — alias ignored (columns win by name)
+            k = 0
+            while k + 2 < len(s) and toks[s[k + 1]].text == ".":
+                k += 2
+            name = render(toks[: s[k] + 1]).strip().strip('"`')
+            return self.table(name)
+        left_df = rel_df(render(tokens[from_i + 1 : at]))
+        right_df = rel_df(render(tokens[jn + 1 : end]))
+        rn = "__pos_rn__"
+        win = Window.orderBy(F.monotonically_increasing_id())
+        lcols = list(left_df.columns)
+        rcols = []
+        taken = {c.lower() for c in lcols}
+        rsel = []
+        for c in right_df.columns:
+            out_name = c
+            while out_name.lower() in taken:
+                out_name = out_name + "_1"
+            taken.add(out_name.lower())
+            rcols.append(out_name)
+            rsel.append(F.col(c).alias(out_name))
+        ldf = left_df.withColumn(rn, F.row_number().over(win))
+        rdf = right_df.select(*rsel).withColumn(rn, F.row_number().over(win))
+        joined = ldf.join(rdf, rn, "full_outer").orderBy(rn).select(
+            *lcols, *rcols
+        )
+        view = self._fresh_view(joined)
+        return render(tokens[:from_i]) + f"FROM {view} " + render(tokens[end:])
 
     def _asof_rewrite(self, sql: str) -> Optional[str]:
         """DuckDB ``ASOF [LEFT] JOIN`` SQL -> operators/asof.py plan.

@@ -1243,6 +1243,31 @@ _sql(
 )
 
 
+# Window-frame EXCLUDE CURRENT ROW (rewrites.pass_window_exclude: framed
+# aggregate minus the current row, one window pass) and windowed median
+# (pass_windowed_median: sorted frame collect). Identical text on DuckDB.
+_sql(
+    "q91_window_exclude_median",
+    """
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               EXCLUDE CURRENT ROW), 2) AS neighbor_sum,
+           count(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               EXCLUDE CURRENT ROW) AS neighbor_n,
+           round(median(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS med3
+    FROM orders
+    WHERE o_custkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
 # ---------------------------------------------------------------------------

@@ -319,3 +319,38 @@ def test_window_function_grid_matches_duckdb(spark, ddb):
         if mine != theirs:
             diffs.append((wexpr, theirs[:3], mine[:3]))
     assert not diffs, diffs[:4]
+
+
+def test_positional_join_list_aggregate_collate_match_duckdb(spark, ddb):
+    """POSITIONAL JOIN (row-zip with NULL padding), list_aggregate
+    named-aggregate application, and COLLATE NOCASE/NOACCENT mapping to
+    Spark 4 collations — all cross-checked against DuckDB."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    setup = [
+        "CREATE TABLE pj_t(a INT, b VARCHAR)",
+        "INSERT INTO pj_t VALUES (1, 'x'), (2, 'y')",
+        "CREATE TABLE pj_u(c INT)",
+        "INSERT INTO pj_u VALUES (10), (20), (30)",
+    ]
+    for s in setup:
+        eng.execute(s)
+        ddb.execute(s)
+    q = "SELECT * FROM pj_t POSITIONAL JOIN pj_u"
+    assert [tuple(r) for r in eng.execute(q).collect()] == (
+        ddb.execute(q).fetchall()
+    )
+    q2 = ("SELECT list_aggregate([1.0,2.0,3.0], 'sum') AS s, "
+          "list_aggr([1.0,2.0], 'avg') AS a, "
+          "list_aggregate(['b','a'], 'string_agg', '|') AS j, "
+          "list_aggregate([4,1,NULL], 'count') AS n, "
+          "list_aggregate([4,1,NULL], 'max') AS m")
+    assert [tuple(r) for r in eng.execute(q2).collect()] == (
+        ddb.execute(q2).fetchall()
+    )
+    q3 = ("SELECT 'A' = 'a' COLLATE NOCASE AS v1, "
+          "'B' = 'a' COLLATE NOCASE AS v2")
+    assert [tuple(r) for r in eng.execute(q3).collect()] == (
+        ddb.execute(q3).fetchall()
+    )
