@@ -894,6 +894,93 @@ def _from_table(tokens: list[Token]) -> Optional[str]:
     return None
 
 
+def _like_to_regex(pat: str) -> str:
+    out = []
+    for ch in pat:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _parse_columns_lambda(tokens: list[Token], k: int, c: int):
+    """``COLUMNS(c -> <pred>)``: compile the common predicate shapes into
+    a column-name filter evaluated at rewrite time. Returns None when the
+    span is not a lambda; raises for lambda bodies outside the supported
+    forms (LIKE/ILIKE [NOT], =/<>, starts_with/ends_with/contains/
+    regexp_matches) so the projection never silently drops columns."""
+    sig = [j for j in range(k, c) if tokens[j].kind not in (WS, COMMENT)]
+    if len(sig) < 3 or tokens[sig[0]].kind != IDENT:
+        return None
+    if not (tokens[sig[1]].kind == OP and tokens[sig[1]].text == "->"):
+        return None
+    var = tokens[sig[0]].text.lower()
+    body = [tokens[j] for j in sig[2:]]
+
+    def is_var(tk: Token) -> bool:
+        return tk.kind == IDENT and tk.text.lower() == var
+
+    # <var> [NOT] LIKE/ILIKE 'pat'
+    if (
+        len(body) in (3, 4)
+        and is_var(body[0])
+        and body[-1].kind == STRING
+        and body[-2].kind == IDENT
+        and body[-2].upper in ("LIKE", "ILIKE")
+    ):
+        negate = len(body) == 4 and body[1].is_kw("NOT")
+        if len(body) == 4 and not negate:
+            raise ValueError("unsupported COLUMNS lambda body")
+        flags = re.IGNORECASE if body[-2].upper == "ILIKE" else 0
+        rx = re.compile(_like_to_regex(_str_value(body[-1])), flags)
+        return (lambda col: not rx.match(col)) if negate else (
+            lambda col: bool(rx.match(col))
+        )
+    # <var> =/<>/!= 'lit'
+    if (
+        len(body) >= 3
+        and is_var(body[0])
+        and body[1].kind == OP
+        and body[1].text in ("=", "<>", "!=", "==")
+        and body[-1].kind == STRING
+    ):
+        lit = _str_value(body[-1])
+        if body[1].text in ("=", "=="):
+            return lambda col: col == lit
+        return lambda col: col != lit
+    # fn(<var>, 'lit') — starts_with/prefix/ends_with/suffix/contains/
+    # regexp_matches
+    if (
+        len(body) >= 6
+        and body[0].kind == IDENT
+        and body[1].text == "("
+        and is_var(body[2])
+        and body[3].text == ","
+        and body[4].kind == STRING
+        and body[5].text == ")"
+    ):
+        fn = body[0].upper
+        lit = _str_value(body[4])
+        if fn in ("STARTS_WITH", "PREFIX"):
+            return lambda col: col.startswith(lit)
+        if fn in ("ENDS_WITH", "SUFFIX"):
+            return lambda col: col.endswith(lit)
+        if fn == "CONTAINS":
+            return lambda col: lit in col
+        if fn in ("REGEXP_MATCHES", "REGEXP_FULL_MATCH"):
+            rx = re.compile(lit)
+            return (lambda col: bool(rx.fullmatch(col))) if (
+                fn == "REGEXP_FULL_MATCH"
+            ) else (lambda col: bool(rx.search(col)))
+    raise ValueError(
+        "unsupported COLUMNS lambda body (use LIKE/ILIKE, =, starts_with, "
+        "ends_with, contains, or regexp_matches on the lambda variable)"
+    )
+
+
 def pass_columns_regex(tokens: list[Token], resolver: Resolver) -> list[Token]:
     """``COLUMNS('re')`` dynamic projection (dev.json:164,388,396).
 
@@ -915,17 +1002,27 @@ def pass_columns_regex(tokens: list[Token], resolver: Resolver) -> list[Token]:
             continue
         c = match_forward(tokens, o, "(", ")")
         k = next_sig(tokens, o)
+        lam = None
         if tokens[k].kind != STRING:
-            i += 1
-            continue
+            lam = _parse_columns_lambda(tokens, k, c)
+            if lam is None:
+                i += 1
+                continue
         if cols is None:
             raise ValueError(
                 "COLUMNS(...) requires a resolvable single-table FROM clause"
             )
-        rx = re.compile(_str_value(tokens[k]))
-        matched = [col for col in cols if rx.search(col)]
-        if not matched:
-            raise ValueError(f"COLUMNS({rx.pattern!r}) matched no columns")
+        if lam is not None:
+            matched = [col for col in cols if lam(col)]
+            if not matched:
+                raise ValueError("COLUMNS(lambda) matched no columns")
+        else:
+            rx = re.compile(_str_value(tokens[k]))
+            matched = [col for col in cols if rx.search(col)]
+            if not matched:
+                raise ValueError(
+                    f"COLUMNS({rx.pattern!r}) matched no columns"
+                )
 
         # check one-level function wrap: IDENT '(' COLUMNS(...) ')'
         p = prev_sig(tokens, i)
@@ -1368,9 +1465,8 @@ _SIMPLE_RENAMES = {
     "LIST_HAS_ANY": "arrays_overlap",
     "STRPOS": "instr",
     "ARRAY_TO_STRING": "array_join",
-    # single unnest per select (DuckDB zips parallel unnests; Spark allows
-    # one generator per select — multiple unnests err loudly, never wrong)
-    "UNNEST": "explode",
+    # UNNEST has a dedicated branch (struct unnest -> inline; arrays ->
+    # explode — one generator per select, multiple unnests err loudly)
     "ARG_MAX": "max_by",
     "ARG_MIN": "min_by",
     "ARGMAX": "max_by",
@@ -1825,6 +1921,19 @@ _FN_MACROS_N: dict[str, dict[int, str]] = {
            "THEN '1' ELSE '0' END), '')"
     },
 }
+# DuckDB 1-arg encode/decode: UTF-8 string <-> BLOB
+_FN_MACROS_N["ENCODE"] = {1: "encode({0}, 'UTF-8')"}
+_FN_MACROS_N["DECODE"] = {1: "decode({0}, 'UTF-8')"}
+
+# zero-argument session functions: DuckDB names/values
+_FN_MACROS_0 = {
+    "CURRENT_SCHEMA": "'main'",
+    # single-session engine: the txid is the constant baseline (DuckDB's
+    # own in-memory db starts near 0; callers use it for ordering only)
+    "TXID_CURRENT": "CAST(0 AS BIGINT)",
+    "VERSION": "'v1.0.0-spark'",
+}
+
 # arg_max/arg_min top-n forms share the min_by/max_by templates (the
 # 2-arg spellings stay simple renames)
 _FN_MACROS_N["ARG_MAX"] = {3: _FN_MACROS_N["MAX_BY"][3]}
@@ -1865,6 +1974,35 @@ def _span_is_array(tokens: list[Token], lo: int, hi: int, resolver: Resolver) ->
             break
     if name is not None:
         return resolver.column_kind(name.lower()) == "array"
+    return False
+
+
+_STRUCT_FUNCS = frozenset(
+    "NAMED_STRUCT STRUCT STRUCT_PACK ROW STRUCT_INSERT".split()
+)
+
+
+def _span_is_struct(tokens: list[Token], lo: int, hi: int, resolver: Resolver) -> bool:
+    """Best-effort: does tokens[lo:hi] evaluate to a struct?"""
+    sig = [tk for tk in tokens[lo:hi] if tk.kind not in (WS, COMMENT)]
+    if not sig:
+        return False
+    if sig[0].kind == PUNCT and sig[0].text == "{":
+        return True
+    if sig[0].kind == IDENT and sig[0].upper in _STRUCT_FUNCS:
+        return True
+    name = None
+    for tk in sig:
+        if tk.kind == IDENT:
+            name = tk.text
+        elif tk.kind in (QIDENT, BIDENT):
+            name = tk.text[1:-1]
+        elif tk.kind == PUNCT and tk.text == ".":
+            continue
+        else:
+            break
+    if name is not None:
+        return resolver.column_kind(name.lower()) == "struct"
     return False
 
 
@@ -2383,6 +2521,10 @@ def _list_aggregate_sql(l: str, fname: str, extra: Optional[str]) -> str:
         )
     if fname in ("countif", "count_if"):
         return f"size(filter({l}, x -> x))"
+    if re.fullmatch(r"[a-z_][a-z0-9_]*", fname):
+        # any other name routes through the list_* battery (list_distinct,
+        # list_sort, ...) — the caller re-scans the spliced call
+        return f"list_{fname}({l})"
     raise NotImplementedError(
         f"list_aggregate: unsupported aggregate {fname!r}"
     )
@@ -2949,16 +3091,25 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             out = out[:i] + tokenize(expanded) + out[c + 1 :]
                             continue
                 elif up == "STRUCT_EXTRACT":
-                    # struct_extract(e, 'f') -> (e).`f`
+                    # struct_extract(e, 'f') -> (e).`f`; a NUMERIC second
+                    # argument indexes an anonymous struct (row(...)):
+                    # field N is Spark's colN
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
                     if len(spans) == 2:
-                        a_txt = render(_trim(out[spans[0][0] : spans[0][1]]))
+                        a_txt = render(pass_function_renames(
+                            _trim(out[spans[0][0] : spans[0][1]]), resolver))
                         btoks = _trim(out[spans[1][0] : spans[1][1]])
+                        expanded = None
                         if len(btoks) == 1 and btoks[0].kind == STRING:
                             fld = btoks[0].text[1:-1].replace("''", "'")
                             expanded = f"(({a_txt}).`{fld}`)"
-                            out = out[:i] + tokenize(expanded) + out[c + 1 :]
+                        elif len(btoks) == 1 and btoks[0].kind == NUMBER:
+                            expanded = f"(({a_txt}).col{int(btoks[0].text)})"
+                        if expanded is not None:
+                            new_toks = tokenize(expanded)
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
                             continue
                 elif up in ("FIRST", "LAST"):
                     # DuckDB first/last with in-call ORDER BY -> min_by /
@@ -3075,6 +3226,95 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         i += len(new_toks)
                         continue
                     out[i] = _ident("format_string")
+                elif up in _FN_MACROS_0:
+                    c = match_forward(out, n, "(", ")")
+                    if next_sig(out, n) == c:  # truly zero-arg
+                        new_toks = tokenize(_FN_MACROS_0[up])
+                        out = out[:i] + new_toks + out[c + 1 :]
+                        i += len(new_toks)
+                        continue
+                elif up == "ROW":
+                    # row(...) -> anonymous struct. Fields are explicitly
+                    # aliased col1..colN: Spark's struct() would otherwise
+                    # keep source COLUMN names, breaking positional
+                    # struct_extract
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    args = [
+                        render(pass_function_renames(_trim(out[lo:hi]),
+                                                     resolver))
+                        for lo, hi in spans
+                    ]
+                    expanded = "struct(" + ", ".join(
+                        f"({a}) AS col{k + 1}" for k, a in enumerate(args)
+                    ) + ")"
+                    new_toks = tokenize(expanded)
+                    out = out[:i] + new_toks + out[c + 1 :]
+                    i += len(new_toks)
+                    continue
+                elif up == "STRUCT_INSERT":
+                    # struct_insert(s, name := v, ...) -> struct(s.*, v AS
+                    # name, ...). Spark's s.* expansion needs a column
+                    # REFERENCE, which the common call shape provides;
+                    # other shapes raise in analysis (loud, never wrong).
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) >= 2:
+                        a_txt = render(pass_function_renames(
+                            _trim(out[spans[0][0] : spans[0][1]]), resolver))
+                        adds = []
+                        ok_ins = True
+                        for lo, hi in spans[1:]:
+                            m_ins = re.match(
+                                r"\s*(\w+)\s*:=\s*(.+?)\s*$",
+                                render(out[lo:hi]),
+                                re.DOTALL,
+                            )
+                            if m_ins:
+                                val = render(pass_function_renames(
+                                    tokenize(m_ins.group(2)), resolver))
+                                adds.append(f"({val}) AS {m_ins.group(1)}")
+                            else:
+                                ok_ins = False
+                                break
+                        if ok_ins:
+                            if a_txt.startswith("named_struct(") and (
+                                a_txt.endswith(")")
+                            ):
+                                # literal struct: splice the new pairs into
+                                # the named_struct call directly
+                                pairs = ", ".join(
+                                    "'{}', {}".format(
+                                        a.split(" AS ")[-1],
+                                        a.rsplit(" AS ", 1)[0],
+                                    )
+                                    for a in adds
+                                )
+                                expanded = a_txt[:-1] + ", " + pairs + ")"
+                            else:
+                                expanded = (
+                                    f"struct({a_txt}.*, {', '.join(adds)})"
+                                )
+                            new_toks = tokenize(expanded)
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
+                elif up == "UNNEST":
+                    # arrays -> explode (one generator per select); STRUCT
+                    # unnest expands the fields as columns — inline over a
+                    # one-element array works for ANY struct expression
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 1 and _span_is_struct(
+                        out, spans[0][0], spans[0][1], resolver
+                    ):
+                        a_txt = render(pass_function_renames(
+                            _trim(out[spans[0][0] : spans[0][1]]), resolver))
+                        new_toks = tokenize(f"inline(array({a_txt}))")
+                        out = out[:i] + new_toks + out[c + 1 :]
+                        i += len(new_toks)
+                        continue
+                    out[i] = _ident("explode")
                 elif up in ("LIST_AGGREGATE", "LIST_AGGR", "ARRAY_AGGREGATE",
                             "ARRAY_AGGR"):
                     # list_aggregate(l, 'name'[, extra]): apply a named
@@ -3101,7 +3341,10 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             )
                             new_toks = tokenize(expanded)
                             out = out[:i] + new_toks + out[c + 1 :]
-                            i += len(new_toks)
+                            if not expanded.startswith("list_"):
+                                # a list_<fn> fallback must be re-scanned
+                                # by this very pass; final text advances
+                                i += len(new_toks)
                             continue
                 elif up == "LIST_SORT":
                     # DuckDB list_sort: default nulls LAST both directions;
@@ -3142,25 +3385,6 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         out = out[:i] + new_toks + out[c + 1 :]
                         i += len(new_toks)
                         continue
-                elif up in ("LIST_AGGREGATE", "LIST_AGGR", "ARRAY_AGGREGATE",
-                            "ARRAY_AGGR"):
-                    # list_aggregate(l, 'sum') -> list_sum(l), re-scanned so
-                    # the list_* macro battery applies
-                    c = match_forward(out, n, "(", ")")
-                    spans = split_args(out, n + 1, c)
-                    if len(spans) == 2:
-                        fsig = _trim(out[spans[1][0] : spans[1][1]])
-                        if len(fsig) == 1 and fsig[0].kind == STRING:
-                            fn = _str_value(fsig[0]).strip().lower()
-                            if re.fullmatch(r"[a-z_][a-z0-9_]*", fn):
-                                a_toks = _trim(out[spans[0][0] : spans[0][1]])
-                                new = (
-                                    [_ident("list_" + fn), _punct("(")]
-                                    + a_toks
-                                    + [_punct(")")]
-                                )
-                                out = out[:i] + new + out[c + 1 :]
-                                continue
                 elif up == "DATE_ADD":
                     # DuckDB date_add(date, INTERVAL ..) -> TIMESTAMP; with
                     # an integer second arg both engines mean day-add

@@ -90,6 +90,10 @@ RUNTIME_CONFS = {
     # *largest* table of a star join — fatal at cluster scale. AQE can
     # still upgrade a shuffle join whose runtime size comes in under this.
     "spark.sql.autoBroadcastJoinThreshold": "8MB",
+    # Measured (interleaved A/B on q06, 2024 fixture): raising ONLY the
+    # AQE runtime-conversion threshold to 32MB made the orders⋈lineitem
+    # join SLOWER locally (broadcast build serializes what 32 SMJ tasks
+    # did in parallel) — keep AQE's conversion at the same 8MB.
     # Spark estimates a scan as file_size x column fraction, but parquet
     # compresses ~4x, so a 600k-row pruned fact scan "fits" under the
     # broadcast threshold and Catalyst builds a single-threaded hash

@@ -1268,6 +1268,36 @@ _sql(
 )
 
 
+# Nested-struct battery: struct_insert (struct(s.*, ..) expansion),
+# struct_extract by name and by position, struct unnest (inline), and a
+# COLUMNS(lambda) projection. Identical text runs on DuckDB.
+_sql(
+    "q92_struct_battery",
+    """
+    SELECT n_nationkey,
+           struct_extract(s, 'key') AS k1,
+           struct_insert(s, extra := n_regionkey).extra AS k2,
+           struct_extract(row(n_nationkey, n_name), 2) AS k3
+    FROM (
+        SELECT n_nationkey, n_regionkey, n_name,
+               {'key': n_nationkey, 'name': n_name} AS s
+        FROM nation
+    ) t
+    ORDER BY n_nationkey
+    """,
+)
+
+# COLUMNS with a lambda predicate (rewrite-time evaluation against the
+# resolved column list); DuckDB evaluates the same lambda natively.
+_sql(
+    "q93_columns_lambda",
+    """
+    SELECT COLUMNS(c -> c LIKE 'l_ship%') FROM lineitem
+    ORDER BY ALL LIMIT 50
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
 # ---------------------------------------------------------------------------

@@ -354,3 +354,54 @@ def test_positional_join_list_aggregate_collate_match_duckdb(spark, ddb):
     assert [tuple(r) for r in eng.execute(q3).collect()] == (
         ddb.execute(q3).fetchall()
     )
+
+
+def test_nested_type_grid_matches_duckdb(spark, ddb):
+    """Struct/map/list surface wave: struct_insert/struct_extract (named
+    and positional), row(), struct unnest, COLUMNS(lambda) projection,
+    encode/decode, zero-arg session functions. Cross-checked where the
+    container's DuckDB supports the construct."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    exprs = [
+        "struct_extract({'a': 1, 'b': 2}, 'b')",
+        "struct_extract(row(7, 'y'), 1)",
+        "({'a': {'b': {'c': 42}}}).a.b.c",
+        "MAP {'k': 1}['k']",
+        "element_at(MAP {'a': 1}, 'zzz')",
+        "cardinality(MAP {'a': 1})",
+        "[{'x': 1}, {'x': 2}][2].x",
+        "list_transform([{'x': 1}, {'x': 2}], s -> s.x)",
+        "decode('ab'::BLOB)",
+        "octet_length('AB'::BLOB)",
+        "current_schema()",
+        "txid_current() >= 0",
+    ]
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    srow = [tuple(r) for r in eng.execute(sql).collect()][0]
+    drow = ddb.execute(sql).fetchall()[0]
+    diffs = [
+        (exprs[i], srow[i], drow[i])
+        for i in range(len(exprs))
+        if str(srow[i]) != str(drow[i])
+    ]
+    assert not diffs, diffs[:6]
+    # struct_insert over a column reference (the common shape)
+    q = ("SELECT struct_insert(s, c := 9) AS v "
+         "FROM (SELECT {'a': 1, 'b': 2} AS s) t")
+    mine = eng.execute(q).collect()[0][0].asDict()
+    theirs = ddb.execute(q).fetchall()[0][0]
+    assert mine == theirs
+    # struct unnest expands fields as columns
+    q2 = "SELECT unnest({'a': 1, 'b': 2})"
+    assert [tuple(r) for r in eng.execute(q2).collect()] == (
+        ddb.execute(q2).fetchall()
+    )
+    # COLUMNS(lambda) over a registered table
+    eng.register_parquet_dir(SF_DIR)
+    for t in ("nation",):
+        q3 = f"SELECT COLUMNS(c -> c LIKE 'n_n%') FROM {t} ORDER BY 1"
+        assert [tuple(r) for r in eng.execute(q3).collect()] == (
+            ddb.execute(q3).fetchall()
+        )
