@@ -410,3 +410,149 @@ def summarize_df(
             )
         )
     return local_df(spark, out_rows, _SUMMARIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB introspection table functions (glob / parquet_* / duckdb_*)
+# ---------------------------------------------------------------------------
+
+def glob_df(spark: SparkSession, pattern: str) -> DataFrame:
+    """``FROM glob('pat')`` — matched file paths, DuckDB's one ``file``
+    column."""
+    import glob as _glob
+
+    rows = [(p,) for p in sorted(_glob.glob(pattern))]
+    return local_df(
+        spark, rows,
+        T.StructType([T.StructField("file", T.StringType())]),
+    )
+
+
+_PQ_SCHEMA_SCHEMA = T.StructType([
+    T.StructField("file_name", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("type_length", T.StringType()),
+    T.StructField("repetition_type", T.StringType()),
+    T.StructField("num_children", T.LongType()),
+    T.StructField("converted_type", T.StringType()),
+    T.StructField("scale", T.LongType()),
+    T.StructField("precision", T.LongType()),
+    T.StructField("field_id", T.LongType()),
+    T.StructField("logical_type", T.StringType()),
+])
+
+
+def parquet_schema_df(spark: SparkSession, path: str) -> DataFrame:
+    """``FROM parquet_schema('f.parquet')`` — DuckDB's column layout, fed
+    from the parquet footer via pyarrow (driver-side, no Spark job)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(_glob.glob(path)) or [path]:
+        sch = pq.ParquetFile(f).schema
+        rows.append((f, "schema", None, None, "REQUIRED",
+                     len(sch.names), None, None, None, None, None))
+        for i in range(len(sch.names)):
+            col = sch.column(i)
+            rows.append((
+                f, col.name, col.physical_type, None,
+                "OPTIONAL", None, col.converted_type
+                if col.converted_type not in (None, "NONE") else None,
+                None, None, None,
+                str(col.logical_type)
+                if str(col.logical_type) != "None" else None,
+            ))
+    return local_df(spark, rows, _PQ_SCHEMA_SCHEMA)
+
+
+_PQ_META_SCHEMA = T.StructType([
+    T.StructField("file_name", T.StringType()),
+    T.StructField("row_group_id", T.LongType()),
+    T.StructField("row_group_num_rows", T.LongType()),
+    T.StructField("row_group_num_columns", T.LongType()),
+    T.StructField("row_group_bytes", T.LongType()),
+    T.StructField("column_id", T.LongType()),
+    T.StructField("file_offset", T.LongType()),
+    T.StructField("num_values", T.LongType()),
+    T.StructField("path_in_schema", T.StringType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("stats_min", T.StringType()),
+    T.StructField("stats_max", T.StringType()),
+    T.StructField("stats_null_count", T.LongType()),
+    T.StructField("stats_distinct_count", T.LongType()),
+    T.StructField("stats_min_value", T.StringType()),
+    T.StructField("stats_max_value", T.StringType()),
+    T.StructField("compression", T.StringType()),
+    T.StructField("total_compressed_size", T.LongType()),
+    T.StructField("total_uncompressed_size", T.LongType()),
+])
+
+
+def parquet_metadata_df(spark: SparkSession, path: str) -> DataFrame:
+    """``FROM parquet_metadata('f.parquet')`` — per-row-group per-column
+    footer stats (the zone-map data pruning runs on)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(_glob.glob(path)) or [path]:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                st = c.statistics
+                rows.append((
+                    f, rg, g.num_rows, g.num_columns, g.total_byte_size,
+                    ci, c.file_offset, c.num_values,
+                    c.path_in_schema, c.physical_type,
+                    str(st.min) if st and st.has_min_max else None,
+                    str(st.max) if st and st.has_min_max else None,
+                    st.null_count if st and st.has_null_count else None,
+                    st.distinct_count if st and st.has_distinct_count
+                    else None,
+                    str(st.min) if st and st.has_min_max else None,
+                    str(st.max) if st and st.has_min_max else None,
+                    c.compression,
+                    c.total_compressed_size, c.total_uncompressed_size,
+                ))
+    return local_df(spark, rows, _PQ_META_SCHEMA)
+
+
+def duckdb_settings_df(spark: SparkSession, settings: dict) -> DataFrame:
+    rows = sorted((k, str(v)) for k, v in settings.items())
+    return local_df(
+        spark, rows,
+        T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("value", T.StringType()),
+        ]),
+    )
+
+
+def duckdb_tables_df(spark: SparkSession, session) -> DataFrame:
+    rows = []
+    for name in sorted(session._tables):
+        parts = name.split(".")
+        db = parts[0] if len(parts) > 1 else "memory"
+        tbl = parts[-1]
+        rows.append((
+            db, "main", tbl, False, False,
+            len(session._tables[name].columns), None,
+        ))
+    return local_df(
+        spark, rows,
+        T.StructType([
+            T.StructField("database_name", T.StringType()),
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("internal", T.BooleanType()),
+            T.StructField("temporary", T.BooleanType()),
+            T.StructField("column_count", T.LongType()),
+            T.StructField("sql", T.StringType()),
+        ]),
+    )

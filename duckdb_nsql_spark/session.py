@@ -1134,6 +1134,63 @@ class DuckSparkSession:
                     tokens = tokens[:i] + [Token(IDENT, view)] + tokens[c + 1 :]
                     i += 1
                     continue
+            if t.kind == IDENT and t.upper in (
+                "GLOB", "PARQUET_SCHEMA", "PARQUET_METADATA",
+                "DUCKDB_SETTINGS", "DUCKDB_TABLES",
+            ):
+                # introspection table functions: driver-built relations
+                # (footer/catalog reads — zero Spark jobs). GLOB only in
+                # FROM/JOIN position: as an operator it stays a pattern
+                # match (rewrites.pass_regex_operators).
+                p = prev_sig(tokens, i)
+                in_from = (
+                    p >= 0
+                    and tokens[p].kind == IDENT
+                    and tokens[p].upper in ("FROM", "JOIN")
+                )
+                o = next_sig(tokens, i)
+                if (
+                    o < len(tokens)
+                    and tokens[o].text == "("
+                    and (in_from or t.upper != "GLOB")
+                ):
+                    c = match_forward(tokens, o, "(", ")")
+                    arg_sig = [
+                        tk for tk in tokens[o + 1 : c]
+                        if tk.kind == STRING
+                    ]
+                    arg = (
+                        arg_sig[0].text[1:-1].replace("''", "'")
+                        if arg_sig else None
+                    )
+                    fn = t.upper
+                    if fn in ("GLOB", "PARQUET_SCHEMA", "PARQUET_METADATA"):
+                        if arg is None:
+                            raise ValueError(f"{fn} requires a path argument")
+                        if not allow_ext:
+                            raise PermissionError(
+                                "external access is disabled "
+                                "(enable_external_access=false)"
+                            )
+                        arg = io_utils.localize_path(arg)
+                    if fn == "GLOB":
+                        df = introspect.glob_df(self.spark, arg)
+                    elif fn == "PARQUET_SCHEMA":
+                        df = introspect.parquet_schema_df(self.spark, arg)
+                    elif fn == "PARQUET_METADATA":
+                        df = introspect.parquet_metadata_df(self.spark, arg)
+                    elif fn == "DUCKDB_SETTINGS":
+                        df = introspect.duckdb_settings_df(
+                            self.spark, self.settings
+                        )
+                    else:
+                        df = introspect.duckdb_tables_df(self.spark, self)
+                    view = self._fresh_view(df)
+                    tokens = (
+                        tokens[:i] + [Token(IDENT, view)] + tokens[c + 1 :]
+                    )
+                    i += 1
+                    continue
             if t.kind == STRING:
                 p = prev_sig(tokens, i)
                 if (

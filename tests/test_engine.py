@@ -841,3 +841,37 @@ def test_asof_join_sql(loaded_engine):
     ]:
         with _pytest.raises(ValueError, match="ASOF"):
             loaded_engine.execute(bad)
+
+
+def test_introspection_table_functions_match_duckdb(loaded_engine, sf_dir):
+    """glob / parquet_schema / parquet_metadata replicate DuckDB's table
+    functions from the same footers (driver-side, zero Spark jobs)."""
+    import duckdb
+
+    con = duckdb.connect()
+    p = f"{sf_dir}/region.parquet"
+    g = f"{sf_dir}/r*.parquet"
+    for q in (
+        f"SELECT * FROM glob('{g}') ORDER BY file",
+        f"SELECT name, type, num_children FROM parquet_schema('{p}')",
+        f"SELECT path_in_schema, type, row_group_num_rows, num_values, "
+        f"stats_min_value, stats_max_value, stats_null_count "
+        f"FROM parquet_metadata('{p}') ORDER BY path_in_schema",
+    ):
+        mine = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert mine == con.execute(q).fetchall(), q
+    con.close()
+
+
+def test_duckdb_tables_and_settings_functions(loaded_engine):
+    tbls = {
+        r["table_name"]
+        for r in loaded_engine.execute(
+            "SELECT table_name FROM duckdb_tables()"
+        ).collect()
+    }
+    assert {"region", "nation", "orders"} <= tbls
+    val = loaded_engine.execute(
+        "SELECT value FROM duckdb_settings() WHERE name = 'default_null_order'"
+    ).collect()
+    assert val[0][0] == "nulls_last"
