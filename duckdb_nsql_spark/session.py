@@ -306,6 +306,8 @@ class DuckSparkSession:
         self._sequences: dict[str, dict] = {}
         self._seq_result: Optional[DataFrame] = None
         self._seq_pending: Optional[str] = None
+        # PREPARE name AS <sql> -> statement text (EXECUTE binds args)
+        self._prepared: dict[str, str] = {}
         # table -> PRIMARY KEY / UNIQUE column lists (conflict targets for
         # INSERT OR REPLACE / ON CONFLICT); first entry is the primary key
         self._unique_keys: dict[str, list[list[str]]] = {}
@@ -525,6 +527,9 @@ class DuckSparkSession:
             "ROLLBACK": self._rollback,
             "ABORT": self._rollback,
             "TRUNCATE": self._truncate,
+            "PREPARE": self._prepare,
+            "EXECUTE": self._execute_prepared,
+            "DEALLOCATE": self._deallocate,
             "MERGE": self._merge,
             "EXPORT": self._export_database,
             "IMPORT": self._import_database,
@@ -2733,6 +2738,59 @@ class DuckSparkSession:
         if returning is not None:
             return self._returning_result(deleted, returning)
         return self._count_df(-1)
+
+    def _prepare(self, sql: str) -> None:
+        """PREPARE name AS <statement with ?/$1/$name placeholders> —
+        DuckDB prepared statements at the SQL level; EXECUTE name(args)
+        binds through the same frontend/params.py literal splicer as
+        ``execute(sql, parameters)``."""
+        m = re.match(
+            r"\s*PREPARE\s+([\w\"`]+)\s+AS\s+(.+?)\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported PREPARE: {sql[:80]}")
+        self._prepared[m.group(1).strip('"`').lower()] = m.group(2)
+        return None
+
+    def _execute_prepared(self, sql: str) -> Optional[DataFrame]:
+        m = re.match(
+            r"\s*EXECUTE\s+([\w\"`]+)\s*(?:\((.*)\))?\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported EXECUTE: {sql[:80]}")
+        name = m.group(1).strip('"`').lower()
+        body = self._prepared.get(name)
+        if body is None:
+            raise KeyError(
+                f"Catalog Error: Prepared statement \"{name}\" does not exist"
+            )
+        params: list = []
+        if m.group(2) and m.group(2).strip():
+            # literal arguments; evaluate each through a 1-row select so
+            # expressions (DATE '..', 1+2) work, not just bare literals
+            from .frontend.tokenizer import tokenize as _tok
+
+            toks = _tok(m.group(2))
+            for lo, hi in split_args(toks, 0, len(toks)):
+                txt = render(toks[lo:hi]).strip()
+                row = self._query(f"SELECT {txt} AS v").collect()[0]
+                params.append(row[0])
+        return self.execute(body, params or None)
+
+    def _deallocate(self, sql: str) -> None:
+        m = re.match(
+            r"\s*DEALLOCATE\s+(?:PREPARE\s+)?([\w\"`]+)\s*;?\s*$",
+            sql,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"unsupported DEALLOCATE: {sql[:80]}")
+        self._prepared.pop(m.group(1).strip('"`').lower(), None)
+        return None
 
     def _truncate(self, sql: str) -> None:
         """TRUNCATE [TABLE] name — DuckDB's alias for unqualified DELETE."""

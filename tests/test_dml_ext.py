@@ -453,3 +453,38 @@ def test_export_is_duckdb_importable(engine, duck, tmp_path):
 def test_checkpoint_noop(engine):
     engine.execute("CHECKPOINT")
     engine.execute("VACUUM")
+
+
+# ------------------------------------------------- PREPARE / EXECUTE
+
+
+def test_prepare_execute_matches_duckdb(loaded_engine, duck):
+    duck.execute(
+        "CREATE VIEW nation AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/nation.parquet')"
+    )
+    stmts = [
+        "PREPARE nat AS SELECT n_name FROM nation WHERE n_regionkey = ? "
+        "ORDER BY n_name",
+    ]
+    for s in stmts:
+        loaded_engine.execute(s)
+        duck.execute(s)
+    q = "EXECUTE nat(2)"
+    assert [tuple(r) for r in loaded_engine.execute(q).collect()] == (
+        duck.execute(q).fetchall()
+    )
+    # numbered + expression arguments
+    loaded_engine.execute(
+        "PREPARE two AS SELECT $2 AS a, $1 AS b"
+    )
+    duck.execute("PREPARE two AS SELECT $2 AS a, $1 AS b")
+    q2 = "EXECUTE two(1 + 1, 'x')"
+    assert [tuple(r) for r in loaded_engine.execute(q2).collect()] == (
+        duck.execute(q2).fetchall()
+    )
+    loaded_engine.execute("DEALLOCATE two")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="does not exist"):
+        loaded_engine.execute("EXECUTE two(1, 'x')")
