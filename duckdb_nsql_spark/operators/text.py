@@ -140,3 +140,59 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_words: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size word-window chunks with overlap —
+    the standard training/RAG corpus preparation step.
+
+    Chunk i covers words [(i-1)*stride + 1, (i-1)*stride + chunk_words]
+    with stride = chunk_words - overlap; the last chunk may be short; a
+    document shorter than one chunk yields exactly one chunk. Pure
+    built-in column work (split -> sequence -> posexplode -> slice ->
+    join): map-only, zero shuffles, codegen'd — a linear pass at any
+    scale, and every expression has an exact DuckDB twin for the oracle.
+    """
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk_words")
+    stride = chunk_words - overlap
+    words = F.split(F.trim(F.col(text_col)), WORD_SPLIT_RE)
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    out = (
+        df.withColumn("__words", words)
+        .withColumn("__n_chunks", n_chunks)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n_chunks")),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("__words"),
+                            (i - 1) * stride + 1,
+                            chunk_words,
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("__pos", "chunk_text"),
+        )
+        .select(
+            id_col,
+            (F.col("__pos") + 1).alias("chunk_id"),
+            "chunk_text",
+            F.size(F.split(F.col("chunk_text"), WORD_SPLIT_RE)).alias(
+                "chunk_words"
+            ),
+        )
+    )
+    return out

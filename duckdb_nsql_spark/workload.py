@@ -1670,6 +1670,40 @@ def op_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.select("doc_id", "quality", "lang_pred", "stopword_ratio")
 
 
+# chunking: chunk i of stride s covers words [(i-1)s+1, (i-1)s+64];
+# DuckDB twin spells the same windows with range + list_slice
+ORACLE_TEXT_CHUNK = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+), n AS (
+  SELECT doc_id, words,
+         greatest(CAST(ceil((len(words) - 16) / 48.0) AS INTEGER), 1)
+             AS n_chunks
+  FROM w
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       array_to_string(words[(i - 1) * 48 + 1 : (i - 1) * 48 + 64], ' ')
+           AS chunk_text,
+       CAST(len(words[(i - 1) * 48 + 1 : (i - 1) * 48 + 64]) AS INTEGER)
+           AS chunk_words
+FROM n, unnest(range(1, n_chunks + 1)) AS t(i)
+"""
+
+
+def op_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_ops.chunk_documents(
+        _docs(spark, sf_dir), chunk_words=64, overlap=16
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "chunk_text",
+        F.col("chunk_words").cast("int").alias("chunk_words"),
+    )
+
+
 def op_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint_sketch(_docs(spark, sf_dir))
 
@@ -1991,6 +2025,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_text_profile": (op_text_profile, ORACLE_TEXT_PROFILE),
     "op_text_quality_lang": (op_text_quality_lang, ORACLE_TEXT_QUALITY),
     "op_text_fingerprint": (op_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+    "op_text_chunk": (op_text_chunk, ORACLE_TEXT_CHUNK),
     "op_skew_salted_agg": (op_skew_salted_agg, ORACLE_SKEW_AGG),
     "op_skew_salted_join": (op_skew_salted_join, ORACLE_SKEW_JOIN),
     "op_similarity_topk": (op_similarity_topk, ORACLE_SIM_TOPK),
