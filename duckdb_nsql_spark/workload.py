@@ -1692,6 +1692,90 @@ FROM n, unnest(range(1, n_chunks + 1)) AS t(i)
 """
 
 
+# end-to-end corpus preparation: quality gate -> minhash-LSH dedup ->
+# overlapping chunking; every stage reuses an already-oracled operator,
+# and the composite oracle chains the same CTE algebra over the filtered
+# subsets
+ORACLE_CORPUS_PREP = rf"""
+WITH base AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split_regex(trim(text), '\s+')) AS wc,
+           round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) /
+                 greatest(length(text), 1), 4) AS punct_ratio,
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS n_en
+    FROM documents
+), q AS (
+    SELECT doc_id,
+           round((least(n_chars / 500.0, 1.0)
+                  + (1.0 - least(punct_ratio * 5, 1.0))
+                  + least(round(n_en / greatest(wc, 1), 4) * 4, 1.0)) / 3.0,
+                 4) AS quality
+    FROM base
+), good AS (
+    SELECT d.* FROM documents d JOIN q ON d.doc_id = q.doc_id
+    WHERE q.quality >= 0.5
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])
+           )) AS shingles
+    FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM good)
+), sigs AS (
+    SELECT doc_id,
+           list_transform(range(0, 16),
+               p -> list_min(list_transform(shingles, s -> md5(p || ':' || s)))) AS sig
+    FROM sh
+), banded AS (
+    SELECT doc_id, b.band AS band,
+           md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS bandsig
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+), losers AS (
+    SELECT DISTINCT b.doc_id AS doc_id
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+), uniq AS (
+    SELECT g.* FROM good g LEFT JOIN losers l ON g.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL
+), w2 AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM uniq
+), n2 AS (
+    SELECT doc_id, words,
+           greatest(CAST(ceil((len(words) - 16) / 48.0) AS INTEGER), 1)
+               AS n_chunks
+    FROM w2
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       md5(array_to_string(words[(i - 1) * 48 + 1 : (i - 1) * 48 + 64], ' '))
+           AS chunk_fp,
+       CAST(len(words[(i - 1) * 48 + 1 : (i - 1) * 48 + 64]) AS INTEGER)
+           AS chunk_words
+FROM n2, unnest(range(1, n_chunks + 1)) AS t(i)
+"""
+
+
+def op_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus preparation pipeline: quality gate → minhash-LSH
+    dedup → overlapping chunks, all composed from the individually
+    oracled operators; chunk text travels as an md5 fingerprint so the
+    compared relation stays narrow."""
+    docs = _docs(spark, sf_dir)
+    prof = text_ops.text_profile(docs)
+    good = docs.join(
+        prof.filter(F.col("quality") >= 0.5).select("doc_id"), "doc_id"
+    )
+    uniq = dedup.apply_dedup(good)
+    chunks = text_ops.chunk_documents(uniq, chunk_words=64, overlap=16)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.md5("chunk_text").alias("chunk_fp"),
+        F.col("chunk_words").cast("int").alias("chunk_words"),
+    )
+
+
 def op_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text_ops.chunk_documents(
         _docs(spark, sf_dir), chunk_words=64, overlap=16
@@ -2026,6 +2110,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_text_quality_lang": (op_text_quality_lang, ORACLE_TEXT_QUALITY),
     "op_text_fingerprint": (op_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     "op_text_chunk": (op_text_chunk, ORACLE_TEXT_CHUNK),
+    "op_corpus_prep": (op_corpus_prep, ORACLE_CORPUS_PREP),
     "op_skew_salted_agg": (op_skew_salted_agg, ORACLE_SKEW_AGG),
     "op_skew_salted_join": (op_skew_salted_join, ORACLE_SKEW_JOIN),
     "op_similarity_topk": (op_similarity_topk, ORACLE_SIM_TOPK),
