@@ -556,3 +556,33 @@ def duckdb_tables_df(spark: SparkSession, session) -> DataFrame:
             T.StructField("sql", T.StringType()),
         ]),
     )
+
+
+def duckdb_columns_df(spark: SparkSession, session) -> DataFrame:
+    """``FROM duckdb_columns()`` — per-column catalog rows for the user's
+    tables (DuckDB also lists system views; the user tables are the rows
+    queries actually filter for)."""
+    rows = []
+    for name in sorted(session._tables):
+        parts = name.split(".")
+        db = parts[0] if len(parts) > 1 else "memory"
+        tbl = parts[-1]
+        overrides = session._type_overrides.get(name, {})
+        fixed = session._fixed_arrays.get(name, {})
+        for i, f in enumerate(session._tables[name].schema.fields):
+            rows.append((
+                db, "main", tbl, f.name, i + 1,
+                _type_name(f, fixed, overrides), f.nullable,
+            ))
+    return local_df(
+        spark, rows,
+        T.StructType([
+            T.StructField("database_name", T.StringType()),
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("column_name", T.StringType()),
+            T.StructField("column_index", T.LongType()),
+            T.StructField("data_type", T.StringType()),
+            T.StructField("is_nullable", T.BooleanType()),
+        ]),
+    )

@@ -1141,7 +1141,7 @@ class DuckSparkSession:
                     continue
             if t.kind == IDENT and t.upper in (
                 "GLOB", "PARQUET_SCHEMA", "PARQUET_METADATA",
-                "DUCKDB_SETTINGS", "DUCKDB_TABLES",
+                "DUCKDB_SETTINGS", "DUCKDB_TABLES", "DUCKDB_COLUMNS",
             ):
                 # introspection table functions: driver-built relations
                 # (footer/catalog reads — zero Spark jobs). GLOB only in
@@ -1188,6 +1188,8 @@ class DuckSparkSession:
                         df = introspect.duckdb_settings_df(
                             self.spark, self.settings
                         )
+                    elif fn == "DUCKDB_COLUMNS":
+                        df = introspect.duckdb_columns_df(self.spark, self)
                     else:
                         df = introspect.duckdb_tables_df(self.spark, self)
                     view = self._fresh_view(df)

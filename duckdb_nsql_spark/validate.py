@@ -19,6 +19,9 @@ STMT_HEADS = QUERY_HEADS + (
     "CREATE", "INSERT", "UPDATE", "DELETE", "ALTER", "DROP", "COPY",
     "ATTACH", "DETACH", "USE", "PRAGMA", "CALL", "SET", "RESET",
     "SUMMARIZE", "DESCRIBE", "DESC", "SHOW", "BEGIN", "COMMIT", "ROLLBACK",
+    "MERGE", "TRUNCATE", "PREPARE", "EXECUTE", "DEALLOCATE",
+    "EXPORT", "IMPORT", "CHECKPOINT", "VACUUM", "ANALYZE",
+    "START", "END", "ABORT", "PIVOT", "UNPIVOT",
 )
 
 

@@ -875,3 +875,15 @@ def test_duckdb_tables_and_settings_functions(loaded_engine):
         "SELECT value FROM duckdb_settings() WHERE name = 'default_null_order'"
     ).collect()
     assert val[0][0] == "nulls_last"
+
+
+def test_duckdb_columns_function(engine):
+    engine.execute("CREATE TABLE dc_t(a INT, b VARCHAR)")
+    rows = engine.execute(
+        "SELECT column_name, column_index, data_type, is_nullable "
+        "FROM duckdb_columns() WHERE table_name = 'dc_t' "
+        "ORDER BY column_index"
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("a", 1, "INTEGER", True), ("b", 2, "VARCHAR", True),
+    ]
