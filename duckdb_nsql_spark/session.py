@@ -2326,6 +2326,17 @@ class DuckSparkSession:
         name = ".".join(name_parts)
         j += 1
         cols: Optional[list[str]] = None
+        by_name = False
+        if (
+            j + 1 < len(sig)
+            and tokens[sig[j]].is_kw("BY")
+            and tokens[sig[j + 1]].is_kw("NAME")
+        ):
+            # INSERT INTO t BY NAME <query>: align the source's columns
+            # by NAME (missing target columns fill NULL), DuckDB's
+            # by-name insert
+            by_name = True
+            j += 2
         if j < len(sig) and tokens[sig[j]].text == "(":
             c = match_forward(tokens, sig[j], "(", ")")
             # a column list only if next significant after ')' starts a query
@@ -2347,6 +2358,8 @@ class DuckSparkSession:
         )
         src = self._query(src_sql)
         key = self._resolve_table_key(name)
+        if by_name:
+            cols = list(src.columns)
         aligned = self._align_insert(src, target, cols)
         self._check_fixed_arrays(key, aligned)
         self._check_enums(key, aligned)

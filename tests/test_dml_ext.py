@@ -488,3 +488,17 @@ def test_prepare_execute_matches_duckdb(loaded_engine, duck):
 
     with _pytest.raises(Exception, match="does not exist"):
         loaded_engine.execute("EXECUTE two(1, 'x')")
+
+
+def test_insert_by_name_matches_duckdb(engine, duck):
+    for s in (
+        "CREATE TABLE bn(a INT, b VARCHAR, c DOUBLE)",
+        "INSERT INTO bn BY NAME SELECT 'x' AS b, 1 AS a",
+        "INSERT INTO bn BY NAME SELECT 2.5 AS c, 7 AS a",
+    ):
+        engine.execute(s)
+        duck.execute(s)
+    q = "SELECT * FROM bn ORDER BY a"
+    assert [tuple(r) for r in engine.execute(q).collect()] == (
+        duck.execute(q).fetchall()
+    )
