@@ -2008,14 +2008,34 @@ def _span_is_struct(tokens: list[Token], lo: int, hi: int, resolver: Resolver) -
 
 # C-style strftime directives -> Java SimpleDateFormat (order matters: %% first)
 _STRFTIME_MAP = [
-    ("%%", "%"), ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%%", "%"),
+    # no-pad variants FIRST (prefix match order matters)
+    ("%-d", "d"), ("%-m", "M"), ("%-H", "H"), ("%-I", "h"), ("%-M", "m"),
+    ("%-S", "s"), ("%-j", "D"), ("%-y", "yy"),
+    # locale composites (DuckDB uses fixed ISO-ish renderings)
+    ("%x", "yyyy-MM-dd"), ("%X", "HH:mm:ss"), ("%c", "yyyy-MM-dd HH:mm:ss"),
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
     ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"), ("%f", "SSSSSS"),
     ("%g", "SSS"), ("%j", "DDD"), ("%a", "EEE"), ("%A", "EEEE"),
     ("%b", "MMM"), ("%B", "MMMM"), ("%p", "a"), ("%Z", "zzz"),
 ]
 
+# parsing map: single-letter Java fields accept BOTH padded and unpadded
+# numbers (dd would reject 'Jul 9'), so strptime uses its own table
+_STRPTIME_MAP = [
+    ("%%", "%"),
+    ("%-d", "d"), ("%-m", "M"), ("%-H", "H"), ("%-I", "h"), ("%-M", "m"),
+    ("%-S", "s"), ("%-j", "D"), ("%-y", "yy"),
+    ("%x", "yyyy-MM-dd"), ("%X", "H:m:s"), ("%c", "yyyy-MM-dd H:m:s"),
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "M"), ("%d", "d"),
+    ("%H", "H"), ("%I", "h"), ("%M", "m"), ("%S", "s"), ("%f", "SSSSSS"),
+    ("%g", "SSS"), ("%j", "D"), ("%b", "MMM"), ("%B", "MMMM"),
+    ("%p", "a"), ("%Z", "zzz"),
+]
 
-def _convert_strftime(fmt: str) -> str:
+
+def _convert_strftime(fmt: str, table: Optional[list] = None) -> str:
+    table = table or _STRFTIME_MAP
     out: list[str] = []
     literal: list[str] = []
 
@@ -2029,7 +2049,7 @@ def _convert_strftime(fmt: str) -> str:
 
     i = 0
     while i < len(fmt):
-        for pat, repl in _STRFTIME_MAP:
+        for pat, repl in table:
             if fmt.startswith(pat, i):
                 flush()
                 out.append(repl)
@@ -2040,6 +2060,24 @@ def _convert_strftime(fmt: str) -> str:
             i += 1
     flush()
     return "".join(out)
+
+
+_DAYNAME_STRIP_RE = (
+    r"(?i)\\b(?:monday|tuesday|wednesday|thursday|friday|saturday|sunday"
+    r"|mon|tue|wed|thu|fri|sat|sun)\\b"
+)
+
+
+def _strptime_call(s_txt: str, fmt: str) -> str:
+    """strptime -> to_timestamp with the PARSING directive table. Java's
+    strict parser rejects day-name fields (EEEE) in parse mode, and the
+    name is redundant for the date anyway — strip %a/%A from the pattern
+    and the matching name from the input."""
+    if "%a" in fmt or "%A" in fmt:
+        fmt = fmt.replace("%a", "").replace("%A", "")
+        s_txt = f"regexp_replace({s_txt}, '{_DAYNAME_STRIP_RE}', '')"
+    pattern = _convert_strftime(fmt, _STRPTIME_MAP).replace("'", "''")
+    return f"to_timestamp({s_txt}, '{pattern}')"
 
 
 def _strftime_concat(x_txt: str, fmt: str) -> str:
@@ -2774,14 +2812,26 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             out[blo:bhi] = [_sql_str(_convert_strftime(raw))]
                     out[i] = _ident("date_format")
                 elif up == "STRPTIME":
-                    # strptime(s, '%Y-%m-%d') -> to_timestamp(s, 'yyyy-MM-dd')
+                    # strptime(s, '%Y-%m-%d') -> to_timestamp with the
+                    # lenient PARSING directive table (single-letter Java
+                    # fields accept unpadded numbers; %a/%A stripped)
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
                     if len(spans) == 2:
-                        blo, bhi = spans[1]
-                        sig2 = [tk for tk in out[blo:bhi] if tk.kind not in (WS, COMMENT)]
+                        sig2 = [tk for tk in out[spans[1][0] : spans[1][1]]
+                                if tk.kind not in (WS, COMMENT)]
                         if len(sig2) == 1 and sig2[0].kind == STRING:
-                            out[blo:bhi] = [_sql_str(_convert_strftime(_str_value(sig2[0])))]
+                            s_txt = render(pass_function_renames(
+                                _trim(out[spans[0][0] : spans[0][1]]),
+                                resolver,
+                            ))
+                            expanded = _strptime_call(
+                                s_txt, _str_value(sig2[0])
+                            )
+                            new_toks = tokenize(expanded)
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
                     out[i] = _ident("to_timestamp")
                 elif up in ("DATE_PART", "DATEPART"):
                     # numbering-convention fields expand to explicit Spark
@@ -3402,6 +3452,54 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             out = out[:i] + new_toks + out[c + 1 :]
                             i += len(new_toks)
                             continue
+                elif up in ("DATE_SUB", "DATESUB"):
+                    # DuckDB 3-arg date_sub('part', a, b): COMPLETE units
+                    # between a and b (signed, truncated toward zero) —
+                    # distinct from date_diff's boundary counting. Spark's
+                    # own 2-arg date_sub(date, days) passes through.
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    psig = (
+                        _trim(out[spans[0][0] : spans[0][1]])
+                        if len(spans) == 3 else []
+                    )
+                    if (
+                        len(spans) == 3
+                        and len(psig) == 1
+                        and psig[0].kind == STRING
+                    ):
+                        part = _str_value(psig[0]).strip().lower().rstrip("s")
+                        a_txt = render(pass_function_renames(
+                            _trim(out[spans[1][0] : spans[1][1]]), resolver))
+                        b_txt = render(pass_function_renames(
+                            _trim(out[spans[2][0] : spans[2][1]]), resolver))
+                        ua = f"unix_micros(CAST({a_txt} AS TIMESTAMP))"
+                        ub = f"unix_micros(CAST({b_txt} AS TIMESTAMP))"
+                        secs = {"second": 1, "sec": 1, "minute": 60,
+                                "min": 60, "hour": 3600, "day": 86400,
+                                "week": 604800}
+                        months = {"month": 1, "mon": 1, "quarter": 3,
+                                  "year": 12, "decade": 120, "century": 1200,
+                                  "millennium": 12000}
+                        if part in secs:
+                            expanded = (
+                                f"CAST(({ub} - {ua}) / "
+                                f"{secs[part] * 1_000_000} AS BIGINT)"
+                            )
+                        elif part in months:
+                            expanded = (
+                                f"CAST(months_between(CAST({b_txt} AS "
+                                f"TIMESTAMP), CAST({a_txt} AS TIMESTAMP)) "
+                                f"/ {months[part]} AS BIGINT)"
+                            )
+                        else:
+                            raise ValueError(
+                                f"date_sub: unsupported part {part!r}"
+                            )
+                        new_toks = tokenize(expanded)
+                        out = out[:i] + new_toks + out[c + 1 :]
+                        i += len(new_toks)
+                        continue
                 elif up in _FN_MACROS_N:
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)

@@ -405,3 +405,38 @@ def test_nested_type_grid_matches_duckdb(spark, ddb):
         assert [tuple(r) for r in eng.execute(q3).collect()] == (
             ddb.execute(q3).fetchall()
         )
+
+
+def test_datetime_directive_grid_matches_duckdb(spark, ddb):
+    """strftime/strptime directive battery: no-pad %-d forms, locale
+    composites %x/%X/%c, lenient parsing (single-letter Java fields),
+    day-name-stripped %A parsing, 3-arg date_sub complete-unit counts."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    exprs = [
+        "strftime(TIMESTAMP '2024-07-09 05:03:07', '%-d/%-m %-H')",
+        "strftime(DATE '2024-07-09', '%x')",
+        "strftime(TIMESTAMP '2024-07-09 05:03:07', '%X')",
+        "strftime(TIMESTAMP '2024-07-09 05:03:07', '%c')",
+        "strptime('Jul 9 2024', '%b %d %Y')",
+        "strptime('Tuesday, July 9, 2024', '%A, %B %d, %Y')",
+        "strptime('2024-07-09 05:03:07 PM', '%Y-%m-%d %I:%M:%S %p')",
+        "strptime('09/07/2024 05:03', '%d/%m/%Y %H:%M')",
+        "date_sub('day', DATE '2024-01-01', DATE '2024-07-09')",
+        "date_sub('month', DATE '2024-01-15', DATE '2024-03-14')",
+        "date_sub('month', DATE '2024-03-14', DATE '2024-01-15')",
+        "date_sub('year', DATE '2020-06-01', DATE '2024-05-31')",
+        "date_sub('hour', TIMESTAMP '2024-01-01 00:30:00', "
+        "TIMESTAMP '2024-01-01 05:00:00')",
+        "date_diff('month', DATE '2024-01-31', DATE '2024-02-29')",
+    ]
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    srow = [tuple(r) for r in eng.execute(sql).collect()][0]
+    drow = ddb.execute(sql).fetchall()[0]
+    diffs = [
+        (exprs[i], srow[i], drow[i])
+        for i in range(len(exprs))
+        if str(srow[i]) != str(drow[i])
+    ]
+    assert not diffs, diffs[:6]

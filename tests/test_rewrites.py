@@ -255,8 +255,9 @@ def test_case_expression_passthrough():
 
 
 def test_strptime_conversion():
+    # parsing uses single-letter Java fields (accept unpadded numbers)
     out = rewrite_sql("SELECT strptime(s, '%Y-%m-%d %H:%M:%S') FROM t")
-    assert "to_timestamp" in out and "'yyyy-MM-dd HH:mm:ss'" in out
+    assert "to_timestamp" in out and "'yyyy-M-d H:m:s'" in out
 
 
 def test_date_part_dow_conventions():
