@@ -333,3 +333,46 @@ def lsh_topk(
         cond = member if cond is None else (cond | member)
     candidates = df.filter(cond)
     return brute_force_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def brute_force_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors — the serving /
+    eval-set shape (thousands of queries against one corpus).
+
+    Plan: broadcast the (small) query set, one corpus scan scores every
+    (query, candidate) pair, then a per-query window top-k. The corpus
+    is read ONCE regardless of query count — the property that matters
+    when the corpus is 100 TB and the query batch is kilobytes. Skewed
+    query batches don't exist by construction (every query scores every
+    row); the window partitions on query_id, cardinality = |queries|.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias("__qvec"),
+        )
+    )
+    scored = df.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = (
+        Window.partitionBy(query_id_col)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1863,6 +1863,31 @@ def op_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+# batch top-k: 5 query vectors (vec_id < 5) against the whole corpus in
+# one scan; DuckDB twin: cross join + QUALIFY row_number per query
+ORACLE_SIM_BATCH = """
+SELECT q.vec_id AS query_id, e.vec_id,
+       round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cosine
+FROM embeddings e, (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < 5) q
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+             e.vec_id) <= 10
+"""
+
+
+def op_similarity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeds(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk_batch(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def _recall_relation(ann: DataFrame, exact: DataFrame, min_hits: int) -> DataFrame:
     """1-row relation binding an ANN result to the exact top-k ground
     truth: exact_ids cross-checks the brute-force set against DuckDB,
@@ -2114,6 +2139,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_skew_salted_agg": (op_skew_salted_agg, ORACLE_SKEW_AGG),
     "op_skew_salted_join": (op_skew_salted_join, ORACLE_SKEW_JOIN),
     "op_similarity_topk": (op_similarity_topk, ORACLE_SIM_TOPK),
+    "op_similarity_batch": (op_similarity_batch, ORACLE_SIM_BATCH),
     "op_similarity_lsh_recall": (op_similarity_lsh_recall, ORACLE_SIM_RECALL),
     "op_similarity_ivf_recall": (op_similarity_ivf_recall, ORACLE_SIM_RECALL),
     "op_multimodal_features": (op_multimodal_features, None),  # binary plumbing
