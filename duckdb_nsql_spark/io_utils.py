@@ -184,6 +184,7 @@ def read_file_table(
     header: bool = True,
     delimiter: str | None = None,
     allow_external: bool = True,
+    csv_opts: dict | None = None,
 ) -> DataFrame:
     """The engine's read_csv_auto / read_json_auto / read_parquet."""
     path = localize_path(stage_if_remote(path, allow_external))
@@ -205,12 +206,47 @@ def read_file_table(
             if cols != df.columns:
                 df = df.select(*cols)
         return df
+    opts = dict(csv_opts or {})
+    skip = int(opts.pop("skip", 0) or 0)
+    names = opts.pop("names", None)
+    all_varchar = bool(opts.pop("all_varchar", False))
+    if skip:
+        # DuckDB skip=N drops N physical lines before parsing. Spark's
+        # csv reader has no such option; trim into a driver-side spool
+        # (skip is a small-file affordance — headers and preambles).
+        path = _skip_lines_spool(path, skip)
     reader = spark.read.option("header", str(header).lower())
     if delimiter:
         reader = reader.option("sep", delimiter)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
     if schema_ddl:
         return reader.schema(schema_ddl).csv(path)
-    return reader.option("inferSchema", "true").csv(path)
+    if not all_varchar:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if names:
+        keep = list(names) + list(df.columns[len(names):])
+        df = df.toDF(*keep)
+    return df
+
+
+def _skip_lines_spool(path: str, skip: int) -> str:
+    import glob as globmod2
+    import tempfile
+
+    files = sorted(globmod2.glob(path)) if any(
+        ch in path for ch in "*?["
+    ) else [path]
+    out_dir = tempfile.mkdtemp(prefix="csv_skip_")
+    for i, f in enumerate(files):
+        with open(f, "r", encoding="utf-8", errors="replace") as src, open(
+            os.path.join(out_dir, f"part{i:04d}.csv"), "w", encoding="utf-8"
+        ) as dst:
+            for n, line in enumerate(src):
+                if n >= skip:
+                    dst.write(line)
+    return out_dir
 
 
 def _json_key_order(path: str) -> list[str] | None:

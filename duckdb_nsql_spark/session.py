@@ -1225,18 +1225,60 @@ class DuckSparkSession:
         schema: Optional[T.StructType] = None
         header = True
         delimiter = None
+        csv_opts: dict = {}
         for lo, hi in spans:
             sig = [tk for tk in arg_tokens[lo:hi] if tk.kind not in (WS, COMMENT)]
             if not sig:
                 continue
             if len(sig) >= 3 and sig[0].kind == IDENT and sig[1].kind == OP and sig[1].text == "=":
                 key = sig[0].upper
+
+                def _sval(tk):
+                    return tk.text[1:-1].replace("''", "'") if (
+                        tk.kind == STRING
+                    ) else tk.text
+
                 if key == "COLUMNS":
                     schema = self._parse_columns_arg(sig[2:])
                 elif key in ("HEADER",):
                     header = sig[2].upper not in ("FALSE", "0")
                 elif key in ("DELIM", "SEP", "DELIMITER"):
-                    delimiter = sig[2].text[1:-1] if sig[2].kind == STRING else sig[2].text
+                    delimiter = _sval(sig[2])
+                elif key == "SKIP":
+                    csv_opts["skip"] = int(sig[2].text)
+                elif key == "QUOTE":
+                    csv_opts["quote"] = _sval(sig[2])
+                elif key == "ESCAPE":
+                    csv_opts["escape"] = _sval(sig[2])
+                elif key == "NULLSTR":
+                    # string or list; Spark takes one nullValue -> first
+                    strs = [
+                        tk.text[1:-1].replace("''", "'")
+                        for tk in sig[2:]
+                        if tk.kind == STRING
+                    ]
+                    if strs:
+                        csv_opts["nullValue"] = strs[0]
+                elif key == "ALL_VARCHAR":
+                    csv_opts["all_varchar"] = sig[2].upper in ("TRUE", "1")
+                elif key == "NAMES":
+                    csv_opts["names"] = [
+                        tk.text[1:-1].replace("''", "'")
+                        for tk in sig[2:]
+                        if tk.kind == STRING
+                    ]
+                elif key == "DATEFORMAT":
+                    from .frontend.rewrites import _convert_strftime
+
+                    csv_opts["dateFormat"] = _convert_strftime(
+                        _sval(sig[2])
+                    ).replace("'", "")
+                elif key == "TIMESTAMPFORMAT":
+                    from .frontend.rewrites import _convert_strftime
+
+                    csv_opts["timestampFormat"] = _convert_strftime(
+                        _sval(sig[2])
+                    ).replace("'", "")
                 # other named args (auto_detect, sample_size, ...) are hints
                 continue
             if sig[0].kind == STRING:
@@ -1258,6 +1300,7 @@ class DuckSparkSession:
                 header=header,
                 delimiter=delimiter,
                 allow_external=allow_ext,
+                csv_opts=csv_opts or None,
             )
             dfs.append(df)
         df = dfs[0]

@@ -887,3 +887,31 @@ def test_duckdb_columns_function(engine):
     assert [tuple(r) for r in rows] == [
         ("a", 1, "INTEGER", True), ("b", 2, "VARCHAR", True),
     ]
+
+
+def test_read_csv_options_match_duckdb(engine, tmp_path):
+    """read_csv_auto named options: skip, delim, quote, nullstr, names,
+    all_varchar, header — explicit options match DuckDB (its quote/
+    dialect SNIFFING is not replicated; pass options explicitly)."""
+    import duckdb
+
+    p = str(tmp_path / "opt.csv")
+    with open(p, "w") as fh:
+        fh.write("junk line 1\njunk line 2\na;b;c\n1;'x;y';N/A\n2;'z';7\n")
+    con = duckdb.connect()
+    q = (
+        f"SELECT * FROM read_csv_auto('{p}', skip=2, delim=';', "
+        f"quote='''', nullstr='N/A', header=true) ORDER BY a"
+    )
+    assert [tuple(r) for r in engine.execute(q).collect()] == (
+        con.execute(q).fetchall()
+    )
+    q2 = (
+        f"SELECT * FROM read_csv_auto('{p}', skip=3, header=false, "
+        f"delim=';', quote='''', nullstr='N/A', "
+        f"names=['x','y','z'], all_varchar=true) ORDER BY x"
+    )
+    assert [tuple(r) for r in engine.execute(q2).collect()] == (
+        con.execute(q2).fetchall()
+    )
+    con.close()
