@@ -2970,6 +2970,40 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                     c = match_forward(out, n, "(", ")")
                     if len(split_args(out, n + 1, c)) == 1:
                         out[i] = _ident("log10")
+                elif up == "REGEXP_EXTRACT":
+                    # 4-arg form carries an options string: fold literal
+                    # flags into an inline (?i)(?s)(?m) prefix on a literal
+                    # pattern (Spark's regexp_extract has no flags arg)
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 4:
+                        fsig = _trim(out[spans[3][0] : spans[3][1]])
+                        psig = _trim(out[spans[1][0] : spans[1][1]])
+                        if (
+                            len(fsig) == 1
+                            and fsig[0].kind == STRING
+                            and len(psig) == 1
+                            and psig[0].kind == STRING
+                        ):
+                            flags = "".join(
+                                ch for ch in _str_value(fsig[0])
+                                if ch in "ism"
+                            )
+                            prefix = "".join(f"(?{ch})" for ch in flags)
+                            pat = prefix + psig[0].text[1:-1]
+                            a_txt = render(pass_function_renames(
+                                _trim(out[spans[0][0] : spans[0][1]]),
+                                resolver,
+                            ))
+                            g_txt = render(
+                                _trim(out[spans[2][0] : spans[2][1]])
+                            )
+                            new_toks = tokenize(
+                                f"regexp_extract({a_txt}, '{pat}', {g_txt})"
+                            )
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
                 elif up == "REGEXP_REPLACE":
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)

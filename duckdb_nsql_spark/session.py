@@ -718,6 +718,27 @@ class DuckSparkSession:
         ]
         for name in hits:
             df = df.withColumn(name, df[name].cast("bigint"))
+        # year-month interval RESULTS: pyspark cannot even convert them to
+        # Python (YearMonthIntervalType.fromInternal raises). Convert to a
+        # day-time interval using DuckDB's own Python rendering (months x
+        # 30 days) — result-boundary only, query-internal month arithmetic
+        # is unaffected.
+        try:
+            from pyspark.sql.types import YearMonthIntervalType
+        except ImportError:  # pragma: no cover
+            return df
+        ym = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, YearMonthIntervalType)
+        ]
+        for name in ym:
+            df = df.withColumn(
+                name,
+                F.expr(
+                    f"make_dt_interval(CAST(`{name}` AS INT) * 30, 0, 0, 0)"
+                ),
+            )
         return df
 
     def _where_alias_wrap(self, sql: str) -> Optional[str]:
@@ -3515,43 +3536,97 @@ class DuckSparkSession:
             self.settings["memory_limit"] = norm
             self.settings["max_memory"] = norm
 
+    def _split_trailing_clauses(self, sql: str) -> tuple[str, str]:
+        """Split a trailing depth-0 ``ORDER BY ... [LIMIT ...]`` /
+        ``LIMIT ...`` tail off a statement (PIVOT/UNPIVOT accept them)."""
+        tokens = tokenize(sql)
+        depth = 0
+        at = None
+        for i, t in enumerate(tokens):
+            if t.text in "([{":
+                depth += 1
+            elif t.text in ")]}":
+                depth -= 1
+            elif depth == 0 and t.kind == IDENT and t.upper in (
+                "ORDER", "LIMIT",
+            ):
+                at = i
+                break
+        if at is None:
+            return sql, ""
+        return render(tokens[:at]), render(tokens[at:]).rstrip(";").strip()
+
+    def _pivot_source(self, text: str) -> DataFrame:
+        """PIVOT/UNPIVOT source: a table name or a parenthesized query
+        (possibly itself a PIVOT)."""
+        text = text.strip()
+        if text.startswith("("):
+            inner = text[1:-1].strip()
+            head = inner.split(None, 1)[0].upper() if inner else ""
+            if head == "PIVOT":
+                return self._pivot(inner)
+            if head == "UNPIVOT":
+                return self._unpivot(inner)
+            return self._query(inner)
+        return self.table(text.strip('"`'))
+
     def _pivot(self, sql: str) -> DataFrame:
-        """DuckDB ``PIVOT tbl ON col [USING agg(x)] [GROUP BY g, ...]``.
+        """DuckDB ``PIVOT tbl ON col [USING agg [AS a], ...] [GROUP BY g]
+        [ORDER BY ...] [LIMIT ...]``.
 
         Maps onto DataFrame ``groupBy(g).pivot(col).agg(...)`` — the
         distinct pivot values are discovered by Spark (one extra pass),
         same as DuckDB's dynamic PIVOT.
         """
+        sql, tail = self._split_trailing_clauses(sql)
         m = re.match(
-            r"\s*PIVOT\s+([\w.\"`]+)\s+ON\s+([\w.\"`]+)"
+            r"\s*PIVOT\s+([\w.\"`]+|\(.*\))\s+ON\s+([\w.\"`]+)"
             r"(?:\s+USING\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?\s*;?\s*$",
             sql,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"unsupported PIVOT: {sql[:80]}")
-        tbl, on_col = m.group(1).strip('"`'), m.group(2).strip('"`')
-        df = self.table(tbl)
+        on_col = m.group(2).strip('"`')
+        df = self._pivot_source(m.group(1))
+        if tail:
+            out = self._pivot_body(df, on_col, m)
+            view = self._fresh_view(out)
+            return self._query(f"SELECT * FROM {view} {tail}")
+        return self._pivot_body(df, on_col, m)
+
+    def _pivot_body(self, df: DataFrame, on_col: str, m) -> DataFrame:
         group_cols = (
             [c.strip().strip('"`') for c in m.group(4).split(",")]
             if m.group(4)
             else [c for c in df.columns if c != on_col]
         )
         if m.group(3):
-            agg_sql = rewrites.rewrite_sql(m.group(3).strip(), self._resolver)
-            agg_expr = F.expr(agg_sql)
+            # USING supports a LIST of aggregates, each optionally
+            # AS-aliased (DuckDB suffixes pivot values with the alias)
+            agg_exprs = []
+            for frag in _split_top_commas(m.group(3).strip()):
+                am = re.match(
+                    r"^(.*?)\s+AS\s+([\w\"`]+)\s*$", frag,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                body = am.group(1) if am else frag
+                agg_sql = rewrites.rewrite_sql(body.strip(), self._resolver)
+                e = F.expr(agg_sql)
+                if am:
+                    e = e.alias(am.group(2).strip('"`'))
+                agg_exprs.append(e)
             # when USING is given without GROUP BY, group on the remaining
             # non-aggregated columns (DuckDB's default)
             if not m.group(4):
-                used = {on_col}
-                agg_cols = re.findall(r"\w+", agg_sql)
+                agg_cols = set(re.findall(r"\w+", m.group(3)))
                 group_cols = [
                     c for c in df.columns
                     if c != on_col and c not in agg_cols
                 ]
         else:
-            agg_expr = F.count(F.lit(1))
-        out = df.groupBy(*group_cols).pivot(on_col).agg(agg_expr)
+            agg_exprs = [F.count(F.lit(1))]
+        out = df.groupBy(*group_cols).pivot(on_col).agg(*agg_exprs)
         # DuckDB renders absent count() cells as 0, not NULL
         is_count = m.group(3) is None or re.match(
             r"\s*count\s*\(", m.group(3), re.IGNORECASE
@@ -3562,21 +3637,26 @@ class DuckSparkSession:
         return out
 
     def _unpivot(self, sql: str) -> DataFrame:
-        """DuckDB ``UNPIVOT tbl ON c1, c2 INTO NAME n VALUE v``."""
+        """``UNPIVOT tbl|(<query>) ON c1, c2 INTO NAME n VALUE v
+        [ORDER BY ...] [LIMIT ...]``."""
+        sql, tail = self._split_trailing_clauses(sql)
         m = re.match(
-            r"\s*UNPIVOT\s+([\w.\"`]+)\s+ON\s+(.+?)\s+INTO\s+NAME\s+([\w\"`]+)"
-            r"\s+VALUE\s+([\w\"`]+)\s*;?\s*$",
+            r"\s*UNPIVOT\s+([\w.\"`]+|\(.*\))\s+ON\s+(.+?)\s+INTO\s+NAME\s+"
+            r"([\w\"`]+)\s+VALUE\s+([\w\"`]+)\s*;?\s*$",
             sql,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"unsupported UNPIVOT: {sql[:80]}")
-        tbl = m.group(1).strip('"`')
         on_cols = [c.strip().strip('"`') for c in m.group(2).split(",")]
         name_col, value_col = m.group(3).strip('"`'), m.group(4).strip('"`')
-        df = self.table(tbl)
+        df = self._pivot_source(m.group(1))
         ids = [c for c in df.columns if c not in on_cols]
-        return df.unpivot(ids, on_cols, name_col, value_col)
+        out = df.unpivot(ids, on_cols, name_col, value_col)
+        if tail:
+            view = self._fresh_view(out)
+            return self._query(f"SELECT * FROM {view} {tail}")
+        return out
 
     def _summarize(self, sql: str) -> DataFrame:
         body = re.sub(r"^\s*SUMMARIZE\s+", "", sql, flags=re.IGNORECASE).strip().rstrip(";")

@@ -915,3 +915,33 @@ def test_read_csv_options_match_duckdb(engine, tmp_path):
         con.execute(q2).fetchall()
     )
     con.close()
+
+
+def test_pivot_extensions_match_duckdb(engine, tmp_path):
+    """PIVOT/UNPIVOT with trailing ORDER BY, multi-agg USING with
+    aliases, subquery sources, plus year-month interval results and
+    4-arg regexp_extract flags — all DuckDB cross-checked."""
+    import duckdb
+
+    con = duckdb.connect()
+    for s in (
+        "CREATE TABLE sales(yr INT, region VARCHAR, amt INT)",
+        "INSERT INTO sales VALUES (2023,'east',10),(2023,'west',20),"
+        "(2024,'east',30),(2024,'west',5)",
+    ):
+        engine.execute(s)
+        con.execute(s)
+    for q in (
+        "PIVOT sales ON region USING sum(amt) ORDER BY yr",
+        "PIVOT sales ON region USING sum(amt) AS total, count(*) AS n "
+        "ORDER BY yr",
+        "UNPIVOT (PIVOT sales ON region USING sum(amt)) ON east, west "
+        "INTO NAME region VALUE amt ORDER BY yr, region",
+        "SELECT INTERVAL '1 year 2 months' AS iv",
+        "SELECT regexp_extract('ABC', 'abc', 0, 'i') AS f",
+        "SELECT regexp_extract('a\nb', 'a.b', 0, 's') AS s",
+    ):
+        assert [tuple(r) for r in engine.execute(q).collect()] == (
+            con.execute(q).fetchall()
+        ), q
+    con.close()
