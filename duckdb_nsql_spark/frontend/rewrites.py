@@ -2575,6 +2575,58 @@ _COLLATION_MAP = {
 }
 
 
+def pass_filter_where(tokens: list[Token]) -> list[Token]:
+    """DuckDB allows ``agg(x) FILTER (cond)`` without WHERE; Spark
+    requires ``FILTER (WHERE cond)``. Applies only when FILTER follows a
+    call's ``)`` — the list higher-order ``filter(arr, ...)`` is a plain
+    call and untouched."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "FILTER":
+            p = prev_sig(out, i)
+            o = next_sig(out, i)
+            if (
+                p >= 0
+                and out[p].text == ")"
+                and o < len(out)
+                and out[o].text == "("
+            ):
+                first = next_sig(out, o)
+                if first < len(out) and not out[first].is_kw("WHERE"):
+                    out = (
+                        out[: o + 1]
+                        + [_ident("WHERE"), _ws()]
+                        + out[o + 1 :]
+                    )
+                    i = o + 2
+                    continue
+        i += 1
+    return out
+
+
+def pass_from_first_subquery(tokens: list[Token]) -> list[Token]:
+    """``(FROM t ...)`` subqueries (EXISTS/IN/scalar positions): Spark
+    only accepts FROM-first at the top level — prepend SELECT *."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == PUNCT and t.text == "(":
+            n = next_sig(out, i)
+            if n < len(out) and out[n].is_kw("FROM"):
+                out = (
+                    out[: i + 1]
+                    + [_ident("SELECT"), _ws(), Token(OP, "*"), _ws()]
+                    + out[i + 1 :]
+                )
+                i = n + 4
+                continue
+        i += 1
+    return out
+
+
 def pass_collate(tokens: list[Token]) -> list[Token]:
     """DuckDB collation names -> Spark 4 collation names after a COLLATE
     keyword (`x COLLATE NOCASE` -> `x COLLATE UTF8_LCASE`); combined
@@ -3195,6 +3247,55 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             out = out[:i] + new_toks + out[c + 1 :]
                             i += len(new_toks)
                             continue
+                elif up in ("ARRAY_AGG", "LIST"):
+                    # array_agg(x ORDER BY k [DESC]) — Spark's collect_list
+                    # takes no ordering; spell as a sorted struct collect
+                    # (ASC -> array_sort = nulls last; DESC -> sort_array
+                    # false = desc nulls last, both DuckDB's default order)
+                    c = match_forward(out, n, "(", ")")
+                    depth = 0
+                    p = None
+                    for k in range(n + 1, c):
+                        tk = out[k]
+                        if tk.kind == PUNCT and tk.text in "([{":
+                            depth += 1
+                        elif tk.kind == PUNCT and tk.text in ")]}":
+                            depth -= 1
+                        elif depth == 0 and tk.kind == IDENT and tk.upper == "ORDER":
+                            p = k
+                            break
+                    if p is None:
+                        out[i] = _ident("collect_list")
+                    else:
+                        by = next_sig(out, p)
+                        ktoks = _trim(out[by + 1 : c]) if (
+                            by < c and out[by].is_kw("BY")
+                        ) else None
+                        if ktoks is None:
+                            out[i] = _ident("collect_list")
+                        else:
+                            desc = False
+                            if ktoks and ktoks[-1].kind == IDENT and \
+                                    ktoks[-1].upper in ("ASC", "DESC"):
+                                desc = ktoks[-1].upper == "DESC"
+                                ktoks = _trim(ktoks[:-1])
+                            k_txt = render(pass_function_renames(
+                                list(ktoks), resolver))
+                            v_txt = render(pass_function_renames(
+                                _trim(out[n + 1 : p]), resolver))
+                            srt = (
+                                f"sort_array(collect_list(struct(({k_txt}) "
+                                f"AS k, ({v_txt}) AS v)), false)"
+                                if desc else
+                                f"array_sort(collect_list(struct(({k_txt}) "
+                                f"AS k, ({v_txt}) AS v)))"
+                            )
+                            new_toks = tokenize(
+                                f"transform({srt}, s -> s.v)"
+                            )
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
                 elif up in ("FIRST", "LAST"):
                     # DuckDB first/last with in-call ORDER BY -> min_by /
                     # max_by (single reduction, no sort — the scale-correct
@@ -3590,6 +3691,8 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_strip_semicolon(tokens)
     tokens = pass_quoted_idents(tokens)
     tokens = pass_distinct_on(tokens)
+    tokens = pass_filter_where(tokens)
+    tokens = pass_from_first_subquery(tokens)
     tokens = pass_window_exclude(tokens)
     tokens = pass_windowed_median(tokens)
     tokens = pass_collate(tokens)

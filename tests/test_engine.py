@@ -945,3 +945,27 @@ def test_pivot_extensions_match_duckdb(engine, tmp_path):
             con.execute(q).fetchall()
         ), q
     con.close()
+
+
+def test_ordered_array_agg_filter_exists_from(engine):
+    """array_agg(ORDER BY), FILTER without WHERE, EXISTS (FROM ...) —
+    DuckDB cross-checked."""
+    import duckdb
+
+    con = duckdb.connect()
+    for s in (
+        "CREATE TABLE fx(g VARCHAR, x INT)",
+        "INSERT INTO fx VALUES ('a',1),('a',2),('b',3)",
+    ):
+        engine.execute(s)
+        con.execute(s)
+    for q in (
+        "SELECT array_agg(x ORDER BY x DESC) AS l FROM fx",
+        "SELECT g, array_agg(x ORDER BY x) AS l FROM fx GROUP BY g ORDER BY g",
+        "SELECT sum(x) FILTER (x > 1) AS s FROM fx",
+        "SELECT EXISTS (FROM fx WHERE x > 2) AS e",
+    ):
+        assert [tuple(r) for r in engine.execute(q).collect()] == (
+            con.execute(q).fetchall()
+        ), q
+    con.close()
