@@ -2575,6 +2575,33 @@ _COLLATION_MAP = {
 }
 
 
+def pass_strip_materialized(tokens: list[Token]) -> list[Token]:
+    """CTE materialization hints — ``AS [NOT] MATERIALIZED (`` — are
+    consumed by session._materialize_repeated_ctes when it fires; any
+    statement falling through to Spark's parser must lose them (Spark
+    has no such syntax)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "AS":
+            n1 = next_sig(out, i)
+            if n1 < len(out) and out[n1].is_kw("NOT", "MATERIALIZED"):
+                n2 = next_sig(out, n1)
+                if out[n1].is_kw("MATERIALIZED"):
+                    if n2 < len(out) and out[n2].text == "(":
+                        del out[i + 1 : n2]
+                elif (
+                    n2 < len(out)
+                    and out[n2].is_kw("MATERIALIZED")
+                ):
+                    n3 = next_sig(out, n2)
+                    if n3 < len(out) and out[n3].text == "(":
+                        del out[i + 1 : n3]
+        i += 1
+    return out
+
+
 def pass_filter_where(tokens: list[Token]) -> list[Token]:
     """DuckDB allows ``agg(x) FILTER (cond)`` without WHERE; Spark
     requires ``FILTER (WHERE cond)``. Applies only when FILTER follows a
@@ -3247,6 +3274,45 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             out = out[:i] + new_toks + out[c + 1 :]
                             i += len(new_toks)
                             continue
+                elif up == "JSON_ARRAY":
+                    # json_array(a, b, ...) -> values of a struct rendered
+                    # to JSON, order-preserving, nulls kept
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    args = [
+                        render(pass_function_renames(_trim(out[lo:hi]),
+                                                     resolver))
+                        for lo, hi in spans
+                        if _trim(out[lo:hi])
+                    ]
+                    if not args:
+                        expanded = "'[]'"
+                    else:
+                        struct_args = ", ".join(
+                            f"({a}) AS f{k}" for k, a in enumerate(args)
+                        )
+                        expanded = (
+                            "__ddb_json_obj_values(to_json(struct("
+                            + struct_args
+                            + "), map('ignoreNullFields', 'false')))"
+                        )
+                    new_toks = tokenize(expanded)
+                    out = out[:i] + new_toks + out[c + 1 :]
+                    i += len(new_toks)
+                    continue
+                elif up == "JSON_OBJECT":
+                    # json_object('k', v, ...) -> to_json(named_struct(...))
+                    c = match_forward(out, n, "(", ")")
+                    inner = render(pass_function_renames(
+                        _trim(out[n + 1 : c]), resolver))
+                    expanded = (
+                        f"to_json(named_struct({inner}), "
+                        "map('ignoreNullFields', 'false'))"
+                    )
+                    new_toks = tokenize(expanded)
+                    out = out[:i] + new_toks + out[c + 1 :]
+                    i += len(new_toks)
+                    continue
                 elif up in ("ARRAY_AGG", "LIST"):
                     # array_agg(x ORDER BY k [DESC]) — Spark's collect_list
                     # takes no ordering; spell as a sorted struct collect
@@ -3691,6 +3757,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_strip_semicolon(tokens)
     tokens = pass_quoted_idents(tokens)
     tokens = pass_distinct_on(tokens)
+    tokens = pass_strip_materialized(tokens)
     tokens = pass_filter_where(tokens)
     tokens = pass_from_first_subquery(tokens)
     tokens = pass_window_exclude(tokens)

@@ -316,6 +316,104 @@ def register_python_functions(spark: SparkSession) -> None:
         return j.map(f)
 
     @pandas_udf("string")
+    def json_merge_patch(a: pd.Series, b: pd.Series) -> pd.Series:
+        import json as _json
+
+        def merge(x, y):
+            # RFC 7396: y's nulls delete keys; non-objects replace
+            if not isinstance(y, dict):
+                return y
+            if not isinstance(x, dict):
+                x = {}
+            out = dict(x)
+            for k, v in y.items():
+                if v is None:
+                    out.pop(k, None)
+                else:
+                    out[k] = merge(out.get(k), v)
+            return out
+
+        def f(u, v):
+            if u is None or v is None:
+                return None
+            try:
+                m = merge(_json.loads(u), _json.loads(v))
+            except Exception:  # noqa: BLE001
+                return None
+            return _json.dumps(m, separators=(",", ":"), ensure_ascii=False)
+
+        return pd.Series([f(u, v) for u, v in zip(a, b)], dtype="object")
+
+    @pandas_udf("boolean")
+    def json_contains(hay: pd.Series, needle: pd.Series) -> pd.Series:
+        import json as _json
+
+        def contains(doc, target):
+            if doc == target:
+                return True
+            if isinstance(doc, dict):
+                return any(contains(v, target) for v in doc.values())
+            if isinstance(doc, list):
+                return any(contains(v, target) for v in doc)
+            return False
+
+        def f(h, n):
+            if h is None or n is None:
+                return None
+            try:
+                return contains(_json.loads(h), _json.loads(n))
+            except Exception:  # noqa: BLE001
+                return None
+
+        return pd.Series([f(h, n) for h, n in zip(hay, needle)], dtype="object")
+
+    @pandas_udf("string")
+    def json_type(j: pd.Series) -> pd.Series:
+        import json as _json
+
+        def f(v):
+            if v is None:
+                return None
+            try:
+                doc = _json.loads(v)
+            except Exception:  # noqa: BLE001
+                return None
+            if isinstance(doc, bool):
+                return "BOOLEAN"
+            if isinstance(doc, int):
+                return "BIGINT" if doc >= 0 else "BIGINT"
+            if isinstance(doc, float):
+                return "DOUBLE"
+            if isinstance(doc, str):
+                return "VARCHAR"
+            if isinstance(doc, list):
+                return "ARRAY"
+            if isinstance(doc, dict):
+                return "OBJECT"
+            return "NULL"
+
+        return pd.Series([f(v) for v in j], dtype="object")
+
+    @pandas_udf("string")
+    def json_obj_values(j: pd.Series) -> pd.Series:
+        """Values of a JSON object rendered as a JSON array, in key
+        order — the assembly half of the json_array() rewrite."""
+        import json as _json
+
+        def f(v):
+            if v is None:
+                return None
+            try:
+                doc = _json.loads(v)
+            except Exception:  # noqa: BLE001
+                return None
+            vals = list(doc.values()) if isinstance(doc, dict) else doc
+            return _json.dumps(vals, separators=(",", ":"),
+                               ensure_ascii=False)
+
+        return pd.Series([f(v) for v in j], dtype="object")
+
+    @pandas_udf("string")
     def json_structure(j: pd.Series) -> pd.Series:
         import json as _json
 
@@ -391,6 +489,10 @@ def register_python_functions(spark: SparkSession) -> None:
         ("json_valid", json_valid),
         ("json_keys", json_keys),
         ("json_structure", json_structure),
+        ("json_merge_patch", json_merge_patch),
+        ("json_contains", json_contains),
+        ("json_type", json_type),
+        ("__ddb_json_obj_values", json_obj_values),
     ]:
         spark.udf.register(name, fn)
 

@@ -154,6 +154,12 @@ def test_function_edge_grid_matches_duckdb(spark, ddb):
         """json_keys('{"a":1,"b":2}')""",
         """json_structure('{"a":1,"b":{"c":[10,20]},"s":"t"}')""",
         "week(DATE '2024-01-01')",
+        # round-4b JSON constructors/predicates
+        "json_array(1, 'a', NULL)", "json_array()",
+        "json_object('k', 1, 'l', 'x')",
+        """json_merge_patch('{"a":1,"c":3}', '{"a":null,"b":2}')""",
+        """json_contains('{"a":1}', '1')""",
+        "json_type('[1]')", "json_type('\"x\"')", "json_type('{}')",
     ]
     sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
     srow = [tuple(r) for r in eng.execute(sql).collect()][0]
