@@ -2575,6 +2575,100 @@ _COLLATION_MAP = {
 }
 
 
+def pass_unnest_in_expr(tokens: list[Token]) -> list[Token]:
+    """``SELECT unnest(arr) + 1`` — DuckDB evaluates the surrounding
+    expression per emitted element; Spark forbids a generator inside an
+    expression. Rewrite the WHOLE select item into
+    ``explode(transform(arr, __u -> expr(__u)))`` when it contains
+    exactly one nested unnest call."""
+    out = list(tokens)
+    sig = [i for i, t in enumerate(out) if t.kind not in (WS, COMMENT)]
+    if not sig or not out[sig[0]].is_kw("SELECT"):
+        return out
+    # select-items region: after SELECT [DISTINCT] to depth-0 FROM/end
+    start = sig[1] if len(sig) > 1 else len(out)
+    if start < len(out) and out[start].is_kw("DISTINCT", "ALL"):
+        start = next_sig(out, start)
+    depth = 0
+    end = len(out)
+    for i in range(start, len(out)):
+        t = out[i]
+        if t.text in "([{":
+            depth += 1
+        elif t.text in ")]}":
+            depth -= 1
+        elif depth == 0 and t.kind == IDENT and t.upper in (
+            "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "WINDOW", "HAVING",
+            "QUALIFY", "UNION", "INTERSECT", "EXCEPT",
+        ):
+            end = i
+            break
+    # one select item at a time, depth-0 comma split
+    items: list[tuple[int, int]] = []
+    lo = start
+    depth = 0
+    for i in range(start, end):
+        t = out[i]
+        if t.text in "([{":
+            depth += 1
+        elif t.text in ")]}":
+            depth -= 1
+        elif depth == 0 and t.kind == PUNCT and t.text == ",":
+            items.append((lo, i))
+            lo = i + 1
+    items.append((lo, end))
+    changed = False
+    new_items: list[str] = []
+    for lo, hi in items:
+        span = out[lo:hi]
+        ssig = [k for k, tk in enumerate(span) if tk.kind not in (WS, COMMENT)]
+        un = [
+            k for k in ssig
+            if span[k].kind == IDENT and span[k].upper == "UNNEST"
+        ]
+        if len(un) != 1:
+            new_items.append(render(span))
+            continue
+        u = un[0]
+        nxt = next_sig(span, u)
+        if nxt >= len(span) or span[nxt].text != "(":
+            new_items.append(render(span))
+            continue
+        c = match_forward(span, nxt, "(", ")")
+        # alias tail: trailing [AS] IDENT after the expression
+        alias = ""
+        body_hi = len(span)
+        if (
+            len(ssig) >= 2
+            and span[ssig[-2]].is_kw("AS")
+            and span[ssig[-1]].kind in (IDENT, QIDENT)
+        ):
+            alias = " AS " + span[ssig[-1]].text
+            body_hi = ssig[-2]
+        # the bare-call case (unnest IS the item) stays with the rename
+        # branch (explode / struct inline)
+        pre = _trim(span[:u])
+        post = _trim(span[c + 1 : body_hi])
+        if not pre and not post:
+            new_items.append(render(span))
+            continue
+        arr = render(_trim(span[nxt + 1 : c]))
+        expr = (
+            render(span[:u]) + " __u " + render(span[c + 1 : body_hi])
+        ).strip()
+        new_items.append(
+            f"explode(transform({arr}, __u -> {expr})){alias}"
+        )
+        changed = True
+    if not changed:
+        return out
+    return (
+        out[:start]
+        + tokenize(", ".join(new_items) + " ")
+        + out[end:]
+    )
+
+
 def pass_strip_materialized(tokens: list[Token]) -> list[Token]:
     """CTE materialization hints — ``AS [NOT] MATERIALIZED (`` — are
     consumed by session._materialize_repeated_ctes when it fires; any
@@ -3758,6 +3852,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_quoted_idents(tokens)
     tokens = pass_distinct_on(tokens)
     tokens = pass_strip_materialized(tokens)
+    tokens = pass_unnest_in_expr(tokens)
     tokens = pass_filter_where(tokens)
     tokens = pass_from_first_subquery(tokens)
     tokens = pass_window_exclude(tokens)

@@ -969,3 +969,22 @@ def test_ordered_array_agg_filter_exists_from(engine):
             con.execute(q).fetchall()
         ), q
     con.close()
+
+
+def test_unnest_in_expression_matches_duckdb(engine):
+    import duckdb
+
+    con = duckdb.connect()
+    for s in ("CREATE TABLE ul(l INT[])",
+              "INSERT INTO ul VALUES ([1,2]), ([3])"):
+        engine.execute(s)
+        con.execute(s)
+    for q in (
+        "SELECT unnest([1,2]) + 10 AS u",
+        "SELECT unnest(l) * 2 AS d FROM ul ORDER BY d",
+        "SELECT upper(unnest(['a','b'])) AS s",
+        "SELECT 5 AS k, unnest([1,2]) + 1 AS u",
+    ):
+        mine = sorted(tuple(r) for r in engine.execute(q).collect())
+        assert mine == sorted(con.execute(q).fetchall()), q
+    con.close()
