@@ -148,6 +148,18 @@ def _substitute_macro_params(body: str, params: list[str], args: list[str]) -> s
 # persist's extra stage, serialization, and lost pushdown.)
 CTE_MATERIALIZE_MIN_INPUT_BYTES = 256 << 20
 
+# A materialized CTE whose RESULT is at most this many rows collapses to a
+# driver-built VALUES relation (LocalTableScan): downstream joins broadcast
+# it without AQE guesswork and scalar subqueries over it evaluate without
+# exchanges — DuckDB's in-memory materialized CTE, bounded to a few MB of
+# driver memory. Larger results stay as the distributed persisted view.
+CTE_LOCALIZE_MAX_ROWS = 2000
+
+# Localization probes (single-task final merge) only run when the CTE
+# body scans at most this much estimated input; larger bodies keep the
+# fully-distributed lazy persist + AQE path.
+CTE_LOCALIZE_PROBE_MAX_INPUT_BYTES = 1 << 30
+
 # A trailing ORDER BY runs as a single-partition local sort (no range
 # sampling, no exchange) when the plan scans at most this much estimated
 # input; bigger inputs keep Spark's distributed range sort.
@@ -1006,11 +1018,18 @@ class DuckSparkSession:
                     # them; recomputing a few MB beats the lost pushdown
                     mat_names.discard(cte["name"].lower())
                     continue
-                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                # input estimate must come from the raw plan: after
+                # persist() the leaf is the not-yet-materialized
+                # InMemoryRelation, whose stats read as unknown/huge
+                local = self._try_localize_cte(df, _plan_input_bytes(df))
+                if local is not None:
+                    df = local
+                else:
+                    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                    self._cte_persisted.append(df)
                 view = self._fresh_view(df)
                 self._cte_overrides[cte["name"].lower()] = view
                 added.append(cte["name"].lower())
-                self._cte_persisted.append(df)
             if not added:
                 return None
             keep = [
@@ -1026,6 +1045,48 @@ class DuckSparkSession:
         finally:
             for n in added:
                 self._cte_overrides.pop(n, None)
+
+    _LOCALIZABLE_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+        T.DoubleType, T.DecimalType, T.StringType, T.BooleanType,
+        T.DateType, T.TimestampType, T.TimestampNTZType,
+    )
+
+    def _try_localize_cte(
+        self, df: DataFrame, input_bytes: int
+    ) -> Optional[DataFrame]:
+        """Collapse a small materialized-CTE result to a driver-built
+        VALUES relation (LocalTableScan).
+
+        A persisted view hides its cardinality from the planner until AQE
+        observes the exchange at runtime, so a 25-row aggregate CTE flows
+        into sort-merge joins and per-subquery shuffle jobs — 8 jobs for
+        dev.json:284's shape on local[*]. Once the result is known small
+        (≤ CTE_LOCALIZE_MAX_ROWS after one evaluation that also primes
+        the cache for the fallback path), a LocalTableScan gives Catalyst
+        exact stats: semi/inner joins broadcast it, scalar subqueries
+        over it run exchange-free. Only scalar column types render as
+        VALUES literals; anything else keeps the distributed view."""
+        if not all(
+            isinstance(f.dataType, self._LOCALIZABLE_TYPES)
+            for f in df.schema.fields
+        ):
+            return None
+        # Probe cost control: the coalesced take evaluates the whole body
+        # in ONE job (map side stays parallel; only the final merge is a
+        # single task) — take() alone runs a 4-job incremental limit
+        # scale-up, count()-then-take pays two jobs plus AQE stage jobs.
+        # A single-task final merge is only safe when the body's input is
+        # modest; above the gate skip localization entirely and let the
+        # lazy persisted view + AQE runtime stats pick join strategies.
+        if input_bytes > CTE_LOCALIZE_PROBE_MAX_INPUT_BYTES:
+            return None
+        rows = df.coalesce(1).take(CTE_LOCALIZE_MAX_ROWS + 1)
+        if len(rows) > CTE_LOCALIZE_MAX_ROWS:
+            return None
+        return introspect.local_df(
+            self.spark, [tuple(r) for r in rows], df.schema
+        )
 
     def _union_by_name(self, sql: str) -> Optional[DataFrame]:
         """DuckDB ``A UNION [ALL] BY NAME B``: match columns by name, NULL-

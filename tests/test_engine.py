@@ -608,21 +608,24 @@ def test_cte_materialization_repeated_ref(loaded_engine):
     rows = df.collect()
     assert len(rows) == 5
     assert rows[0]["tot"] >= rows[-1]["tot"]
-    # _cte_persisted holds only the current statement's persists:
-    # `agg` (reducing, 3 refs) persisted; `base` (non-reducing) inline
-    assert len(loaded_engine._cte_persisted) == 1
+    # `agg`'s result is small (≤ CTE_LOCALIZE_MAX_ROWS custkeys at test
+    # SF), so the materialized CTE collapses to a driver-built VALUES
+    # relation: LocalTableScan in the plan, nothing left persisted
+    assert len(loaded_engine._cte_persisted) == 0
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
     # `agg` must not leak into the catalog either way
     import pytest as _pytest
 
     with _pytest.raises(Exception):
         loaded_engine.execute("SELECT * FROM agg").collect()
     # forced AS MATERIALIZED bypasses the size gate, even single-ref
+    # (and its 1-row result then localizes)
     df2 = loaded_engine.execute(
         "WITH m AS MATERIALIZED (SELECT count(*) AS n FROM nation) "
         "SELECT n + 0 AS n FROM m"
     )
     assert df2.collect()[0]["n"] == 25
-    assert len(loaded_engine._cte_persisted) == 1
+    assert len(loaded_engine._cte_persisted) == 0
 
 
 def test_cte_materialization_fires_above_size_gate(loaded_engine, monkeypatch):
@@ -631,6 +634,9 @@ def test_cte_materialization_fires_above_size_gate(loaded_engine, monkeypatch):
     from duckdb_nsql_spark import session as sess
 
     monkeypatch.setattr(sess, "CTE_MATERIALIZE_MIN_INPUT_BYTES", 0)
+    # results over the row cap keep the distributed persisted view — the
+    # path a fact-table CTE takes at cluster scale
+    monkeypatch.setattr(sess, "CTE_LOCALIZE_MAX_ROWS", 0)
     df = loaded_engine.execute(
         """
         WITH agg (k, tot) AS (
