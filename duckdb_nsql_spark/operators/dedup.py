@@ -405,3 +405,90 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components of the
+    candidate-pair graph by iterative min-label propagation.
+
+    Returns ``(doc_id, cluster_id)`` for every vertex that appears in a
+    pair, where ``cluster_id`` is the minimum doc id reachable through
+    the (undirected) pair graph — the canonical representative a corpus
+    pipeline keeps. The anti-join survivor rule in :func:`apply_dedup`
+    is per-pair; clustering is what you need when the dedup decision is
+    per-GROUP (keep one representative per near-dup cluster, count
+    cluster sizes, audit transitive chains A~B~C where A and C never
+    paired directly).
+
+    Scale: each round is one join + one min-aggregate on the vertex id —
+    two hash shuffles over the edge list; label state is cut from its
+    lineage every round with an eager ``localCheckpoint`` (iterative
+    DataFrame algorithms otherwise stack a plan per round and re-derive
+    the whole history at every action — on a real cluster swap in a
+    reliable ``checkpoint`` for executor-loss tolerance). Rounds needed
+    = graph diameter (near-dup clusters are shallow; ``max_iter``
+    bounds pathological chains). No driver-side graph state: the only
+    collect is the single convergence counter per round. The same
+    algebra is replayed exactly by a DuckDB recursive CTE oracle (min
+    reachable id over the symmetrized edge list) in the driver gate.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    fwd = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    rev = pairs.select(
+        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+    )
+    edges = fwd.union(rev).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = labels.join(edges, labels["id"] == edges["src"]).select(
+            F.col("dst").alias("id"), F.col("lab")
+        )
+        new_labels = (
+            labels.select("id", "lab")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Near-dup clusters of a document corpus: minhash-LSH candidate
+    pairs → connected components → ``(doc_id, cluster_id)``."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    return connected_components(pairs)

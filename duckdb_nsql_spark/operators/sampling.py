@@ -1,0 +1,111 @@
+"""Deterministic sampling / splitting / shuffling for training-data
+pipelines.
+
+Everything here is a pure map-side column expression over a
+content-derived md5 bucket — no RNG state, no shuffle (except the
+within-shard ordering window in :func:`shuffle_shards`), and bit-for-bit
+reproducible across engines and runs. That determinism is the point for
+training data:
+
+- the same document always lands in the same split (no train/val leak
+  when the corpus is re-ingested or backfilled),
+- per-source mixing rates are auditable SQL arithmetic, not RNG draws,
+- the DuckDB oracle can replay the exact construction
+  (``('0x' || substr(md5(k),1,15))::BIGINT`` equals Spark's
+  ``conv(substring(md5(k),1,8),16,10)`` — pinned by the driver gate).
+
+Scale: ``hash_bucket``/``stratified_sample``/``train_val_split`` are
+embarrassingly parallel (whole-stage codegen, zero exchanges);
+``shuffle_shards`` costs exactly one hash shuffle on the shard key plus
+a per-shard sort — the standard "global shuffle" for writing training
+shards, with parallelism = ``n_shards``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 10_000
+
+
+def hash_bucket(
+    key: Column, n_buckets: int = DEFAULT_BUCKETS, seed: str = ""
+) -> Column:
+    """Deterministic bucket in ``[0, n_buckets)`` from md5 of the key.
+
+    15 hex digits = 60 bits, comfortably inside BIGINT in both Spark and
+    DuckDB, so the modulo is exact cross-engine (no sign wraparound).
+    """
+    h = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_buckets
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    n_buckets: int = DEFAULT_BUCKETS,
+    seed: str = "strat",
+) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically by key.
+
+    ``rates`` maps stratum value -> sampling fraction (e.g. per-language
+    mixing weights). A row survives iff its hash bucket falls under
+    ``rate * n_buckets``, so re-running the pipeline — or running it in
+    DuckDB — keeps exactly the same rows.
+    """
+    bucket = hash_bucket(F.col(key_col), n_buckets, seed)
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(float(r))
+        ).otherwise(rate)
+    return df.where(bucket < F.round(rate * n_buckets).cast("bigint"))
+
+
+def train_val_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.1,
+    n_buckets: int = DEFAULT_BUCKETS,
+    seed: str = "split",
+) -> DataFrame:
+    """Tag rows ``train``/``val`` by content hash — leak-proof under
+    re-ingestion: a document's split never changes when the corpus grows.
+    """
+    bucket = hash_bucket(F.col(key_col), n_buckets, seed)
+    cut = int(round(val_fraction * n_buckets))
+    return df.withColumn(
+        "split", F.when(bucket < cut, F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 32,
+    seed: str = "shuf",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` ordered shards.
+
+    Training wants examples in pseudo-random order but reproducibly so.
+    Rows route to a shard by hash and are ordered inside the shard by
+    their full md5 — a fixed permutation of the corpus. One hash shuffle
+    + per-shard sort; at 100 TB set ``n_shards`` to the writer
+    parallelism and follow with ``write.partitionBy('shard')``.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    out = df.withColumn("_shufkey", h).withColumn(
+        "shard",
+        (F.conv(F.substring("_shufkey", 1, 15), 16, 10).cast("bigint")
+         % n_shards).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("_shufkey")
+    return out.withColumn(
+        "pos", F.row_number().over(w).cast("int")
+    ).drop("_shufkey")

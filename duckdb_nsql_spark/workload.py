@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import asof as asof_ops
-from .operators import dedup, multimodal, similarity
+from .operators import dedup, multimodal, packing, sampling, similarity
 from .operators import text as text_ops
 from .session import DuckSparkSession
 
@@ -2124,6 +2124,146 @@ def op_stream_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sd.run_available_now(prof, spark, name)
 
 
+# --- duplicate-cluster assignment: minhash-LSH pairs -> connected
+# components (iterative min-label propagation on Spark; min reachable id
+# via recursive CTE in DuckDB — same algebra, full convergence) ----------
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach (id, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+"""
+
+# md5-bucket construction shared by sampling/packing oracles: identical
+# to operators.sampling.hash_bucket (15 hex digits -> BIGINT, exact in
+# both engines)
+def _DDB_BUCKET(seed: str) -> str:
+    return (
+        f"('0x' || substr(md5('{seed}' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        "::BIGINT % 10000"
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_DDB_BUCKET('strat')} < CAST(round(
+    CASE lang WHEN 'de' THEN 0.8 WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0
+              ELSE 0.25 END * 10000) AS BIGINT)
+"""
+
+ORACLE_TRAIN_VAL_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_DDB_BUCKET('split')} < 1000
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+ORACLE_SHUFFLE_SHARDS = """
+WITH h AS (
+    SELECT doc_id, md5('shuf' || CAST(doc_id AS VARCHAR)) AS hk
+    FROM documents
+),
+s AS (
+    SELECT doc_id, hk,
+           CAST(('0x' || substr(hk, 1, 15))::BIGINT % 8 AS INTEGER) AS shard
+    FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hk) AS INTEGER)
+         AS pos
+FROM s
+"""
+
+_DDB_PACK_BASE = f"""
+    SELECT doc_id,
+           CAST({_DDB_BUCKET('pack')} % 8 AS INTEGER) AS shard,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+             AS n_tokens
+    FROM documents
+"""
+
+ORACLE_PACK_CHUNKS = f"""
+WITH t AS ({_DDB_PACK_BASE}),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS strt
+    FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(strt // 512 AS INTEGER) AS chunk,
+       CAST(strt % 512 AS INTEGER) AS "offset"
+FROM c
+"""
+
+ORACLE_PACK_FIRST_FIT = f"""
+WITH RECURSIVE t AS ({_DDB_PACK_BASE}),
+o AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                AS INTEGER) AS rn
+    FROM t
+),
+packed AS (
+    SELECT shard, doc_id, n_tokens, rn, 0 AS bin, n_tokens AS fill
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+           CASE WHEN p.fill + o.n_tokens <= 512 THEN p.bin
+                ELSE p.bin + 1 END,
+           CASE WHEN p.fill + o.n_tokens <= 512 THEN p.fill + o.n_tokens
+                ELSE o.n_tokens END
+    FROM packed p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(bin AS INTEGER) AS bin, CAST(fill AS INTEGER) AS fill
+FROM packed
+"""
+
+
+def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(_docs(spark, sf_dir))
+
+
+def op_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang",
+        {"de": 0.8, "en": 0.5, "zh": 1.0},
+        "doc_id",
+        default_rate=0.25,
+    )
+
+
+def op_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.train_val_split(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", 0.1
+    )
+
+
+def op_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", 8
+    )
+
+
+def op_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.pack_concat_chunks(_docs(spark, sf_dir), 512)
+
+
+def op_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.pack_first_fit(_docs(spark, sf_dir), 512)
+
+
 OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dedup_exact": (op_dedup_exact, ORACLE_DEDUP_EXACT),
     "op_dedup_minhash_lsh": (op_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
@@ -2153,6 +2293,12 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_stream_stateful": (op_stream_stateful, ORACLE_STREAM_STATEFUL),
     "op_stream_dedup": (op_stream_dedup, ORACLE_STREAM_DEDUP),
     "op_stream_doc_profile": (op_stream_doc_profile, ORACLE_TEXT_PROFILE),
+    "op_dedup_clusters": (op_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "op_sample_stratified": (op_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
+    "op_train_val_split": (op_train_val_split, ORACLE_TRAIN_VAL_SPLIT),
+    "op_shuffle_shards": (op_shuffle_shards, ORACLE_SHUFFLE_SHARDS),
+    "op_pack_chunks": (op_pack_chunks, ORACLE_PACK_CHUNKS),
+    "op_pack_first_fit": (op_pack_first_fit, ORACLE_PACK_FIRST_FIT),
 }
 
 
