@@ -593,6 +593,50 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
             elif tj.kind == PUNCT and tj.text == ":" and depth == 0:
                 colon = j
                 break
+        # step slice x[a:b:s] (arrays only — DuckDB rejects it on strings
+        # too): route through list_slice(), whose 4-arg macro handles the
+        # bound normalization and direction
+        if colon is not None:
+            colon2 = None
+            depth = 0
+            for j in range(colon + 1, len(inner)):
+                tj = inner[j]
+                if tj.kind == PUNCT and tj.text in "([{":
+                    depth += 1
+                elif tj.kind == PUNCT and tj.text in ")]}":
+                    depth -= 1
+                elif tj.kind == PUNCT and tj.text == ":" and depth == 0:
+                    colon2 = j
+                    break
+            if colon2 is not None and kind == "array":
+                b_txt0 = render(base)
+                lo_sp = _trim(inner[:colon])
+                hi_sp = _trim(inner[colon + 1 : colon2])
+                st_sp = _trim(inner[colon2 + 1 :])
+                st_txt = render(st_sp).strip() or "1"
+                # omitted begin follows the step direction (DuckDB
+                # [:3:-1] walks from the END down to 3)
+                lo_txt = (
+                    render(lo_sp).strip()
+                    if lo_sp
+                    else f"(CASE WHEN ({st_txt}) < 0 "
+                         f"THEN size({b_txt0}) ELSE 1 END)"
+                )
+                hi_txt = (
+                    render(hi_sp).strip()
+                    if hi_sp
+                    else f"(CASE WHEN ({st_txt}) < 0 "
+                         f"THEN 1 ELSE size({b_txt0}) END)"
+                )
+                new = tokenize(
+                    f"list_slice({b_txt0}, {lo_txt}, {hi_txt}, {st_txt})"
+                )
+                tokens = tokens[:start] + new + tokens[close + 1 :]
+                i = start
+                continue
+            if colon2 is not None:
+                i = close + 1
+                continue
 
         def _lit(txt: str) -> Optional[int]:
             txt = txt.strip()
@@ -1392,7 +1436,8 @@ def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
     i = 0
     while i < len(tokens):
         t = tokens[i]
-        if t.kind == IDENT and t.upper == "CAST":
+        if t.kind == IDENT and t.upper in ("CAST", "TRY_CAST"):
+            is_try = t.upper == "TRY_CAST"
             o = next_sig(tokens, i)
             if o < len(tokens) and tokens[o].kind == PUNCT and tokens[o].text == "(":
                 c = match_forward(tokens, o, "(", ")")
@@ -1415,13 +1460,39 @@ def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
                         and next_sig(tokens, ty) == c
                     ):
                         expr = _trim(tokens[o + 1 : a])
+                        expr_sig = [
+                            tk for tk in expr if tk.kind not in (WS, COMMENT)
+                        ]
+                        if (
+                            len(expr_sig) == 1
+                            and expr_sig[0].kind == IDENT
+                            and expr_sig[0].upper in ("TRUE", "FALSE")
+                        ):
+                            # boolean literal: Spark's native cast already
+                            # yields 1/0 and round() rejects booleans
+                            i = c + 1
+                            continue
                         if not _is_single_round_call(expr):
-                            new = (
-                                [_ident("CAST"), _punct("("), _ident("round"), _punct("(")]
-                                + expr
-                                + [_punct(")"), _ws(), _ident("AS"), _ws(),
-                                   _ident(tokens[ty].text), _punct(")")]
-                            )
+                            if is_try:
+                                # DuckDB TRY_CAST('3.7' AS INTEGER) = 4;
+                                # Spark's try_cast of a fractional string
+                                # is NULL. Route through a forgiving
+                                # DOUBLE try-cast, then round. (Emitted
+                                # TRY_CAST targets DOUBLE, so the rescan
+                                # can't re-match it.)
+                                new = tokenize(
+                                    f"CAST(round(TRY_CAST({render(expr)}"
+                                    f" AS DOUBLE)) AS {tokens[ty].text})"
+                                )
+                            else:
+                                new = (
+                                    [_ident("CAST"), _punct("("),
+                                     _ident("round"), _punct("(")]
+                                    + expr
+                                    + [_punct(")"), _ws(), _ident("AS"),
+                                       _ws(), _ident(tokens[ty].text),
+                                       _punct(")")]
+                                )
                             tokens = tokens[:i] + new + tokens[c + 1 :]
                             # re-examine from i: the guard above stops a
                             # re-wrap; nested casts inside expr still get
@@ -1704,15 +1775,79 @@ _DATE_PART_MACROS = {
     "millennium": "CAST(ceil(year({x}) / 1000.0) AS BIGINT)",
     "isoyear": "extract(YEAROFWEEK FROM {x})",
     "epoch": "(unix_micros(CAST({x} AS TIMESTAMP)) / 1e6)",
+    # DuckDB micro/milliseconds INCLUDE the seconds component
+    # (1.5s -> 1500000 / 1500); pmod keeps pre-epoch timestamps positive
+    "microseconds": "pmod(unix_micros(CAST({x} AS TIMESTAMP)), 60000000)",
+    "milliseconds": (
+        "CAST(pmod(unix_micros(CAST({x} AS TIMESTAMP)), 60000000) / 1000"
+        " AS BIGINT)"
+    ),
 }
 
-# 4-arg list slice with step: gather the stepped 1-based index sequence,
-# clamping the end to the list size (DuckDB clamps, ANSI element_at errors)
-_SLICE_STEP_MACRO = (
-    "transform(filter(sequence(CAST({1} AS INT), "
-    "CAST(least(CAST({2} AS BIGINT), size({0})) AS INT), CAST({3} AS INT)), "
-    "i -> i >= 1 AND i <= size({0})), i -> element_at({0}, i))"
+# date_trunc fields Spark doesn't know (returns NULL): truncate the year
+# downward to the block start — DuckDB uses floor semantics here
+# (2024 -> decade 2020 / century 2000 / millennium 2000), unlike
+# date_part century which is ordinal (ceil)
+_DATE_TRUNC_MACROS = {
+    "decade": (
+        "make_date(CAST(floor(year({x}) / 10) * 10 AS INT), 1, 1)"
+    ),
+    "century": (
+        "make_date(CAST(floor(year({x}) / 100) * 100 AS INT), 1, 1)"
+    ),
+    "millennium": (
+        "make_date(CAST(floor(year({x}) / 1000) * 1000 AS INT), 1, 1)"
+    ),
+}
+
+# 4-arg list slice with step: normalize both bounds the way DuckDB does
+# (negative b -> len+b+1, then clamp into [1, len]), walk the stepped
+# index sequence in either direction, empty when the direction and the
+# bounds disagree (slice(x,1,0) keeps the element type)
+_SLICE_NORM_LO = (
+    "CAST(least(greatest(CASE WHEN ({1}) < 0 THEN size({0}) + ({1}) + 1 "
+    "ELSE ({1}) END, 1), size({0})) AS INT)"
 )
+_SLICE_NORM_HI = (
+    "CAST(least(greatest(CASE WHEN ({2}) < 0 THEN size({0}) + ({2}) + 1 "
+    "ELSE ({2}) END, 1), size({0})) AS INT)"
+)
+_SLICE_STEP_MACRO = (
+    "(CASE WHEN size({0}) = 0 OR ({3}) = 0 THEN slice({0}, 1, 0) "
+    f"WHEN ({{3}}) > 0 AND {_SLICE_NORM_LO} <= {_SLICE_NORM_HI} "
+    f"THEN transform(sequence({_SLICE_NORM_LO}, {_SLICE_NORM_HI}, "
+    "CAST({3} AS INT)), i -> element_at({0}, i)) "
+    f"WHEN ({{3}}) < 0 AND {_SLICE_NORM_LO} >= {_SLICE_NORM_HI} "
+    f"THEN transform(sequence({_SLICE_NORM_LO}, {_SLICE_NORM_HI}, "
+    "CAST({3} AS INT)), i -> element_at({0}, i)) "
+    "ELSE slice({0}, 1, 0) END)"
+)
+
+def _age_template(args: list[str]) -> str:
+    """DuckDB/Postgres ``age(a, b)``: symbolic year-month-day interval by
+    COMPONENT arithmetic — when the day-of-month goes negative it borrows
+    the number of days in the EARLIER date's month (age('2024-03-01',
+    '2023-01-15') = 1 year 1 month 17 days: -14 + 31 January days), not
+    the exact elapsed days. Rendered through DuckDB's own 30-day-month
+    timedelta conversion. Time-of-day borrows one calendar day first.
+    Positive (a >= b) ages only — matching the reference surface."""
+    a = f"CAST({args[0]} AS TIMESTAMP)"
+    b = f"CAST({args[1]} AS TIMESTAMP)"
+    tod_a = f"pmod(unix_micros({a}), 86400000000)"
+    tod_b = f"pmod(unix_micros({b}), 86400000000)"
+    tb = f"(CASE WHEN {tod_a} < {tod_b} THEN 1 ELSE 0 END)"
+    sec = f"(({tod_a}) - ({tod_b}) + {tb} * 86400000000) / 1e6"
+    da = f"(day({a}) - {tb})"
+    mb = f"(CASE WHEN {da} < day({b}) THEN 1 ELSE 0 END)"
+    days = f"({da} - day({b}) + {mb} * day(last_day({b})))"
+    months = (
+        f"((year({a}) - year({b})) * 12 + (month({a}) - month({b})) - {mb})"
+    )
+    return (
+        f"make_dt_interval(0, 0, 0, "
+        f"{months} * 2592000 + {days} * 86400 + {sec})"
+    )
+
 
 # Arity-dispatched macros producing FINAL Spark text: argument spans are
 # pre-rewritten recursively, then the expansion is spliced in and the scan
@@ -1815,18 +1950,31 @@ _FN_MACROS_N: dict[str, dict[int, str]] = {
     },
     # DuckDB sign() returns an integer; Spark's returns DOUBLE
     "SIGN": {1: "CAST(signum({0}) AS INTEGER)"},
+    # Spark chr()/char() wrap at 256; %c takes the full unicode codepoint
+    "CHR": {1: "format_string('%c', CAST({0} AS INT))"},
+    # DuckDB strlen counts BYTES (length counts characters in both)
+    "STRLEN": {1: "octet_length({0})"},
+    # naive TIMESTAMPs carry no zone; the engine pins the session to UTC
+    # (io contract), so the offset is identically zero — like DuckDB's
+    "TIMEZONE": {1: "CAST(0 AS INTEGER)"},
+    "TIMEZONE_HOUR": {1: "CAST(0 AS INTEGER)"},
+    "TIMEZONE_MINUTE": {1: "CAST(0 AS INTEGER)"},
+    # DuckDB list_concat treats NULL as the identity ([1]||NULL = [1]);
+    # Spark's concat propagates NULL (and a bare NULL literal won't even
+    # type-check against an array) — wrap both sides in an array so the
+    # NULL coerces to the element type, drop it, flatten
+    "LIST_CONCAT": {
+        2: "flatten(filter(array({0}, {1}), x -> x IS NOT NULL))"
+    },
+    "ARRAY_CAT": {
+        2: "flatten(filter(array({0}, {1}), x -> x IS NOT NULL))"
+    },
     # DuckDB age(): SYMBOLIC year/month/day interval — months count by
     # calendar (months_between + add_months), the remainder is exact
     # seconds; rendered as a day-time interval using DuckDB's own
     # 30-day-month conversion (what its Python timedelta shows)
     "AGE": {
-        2: "make_dt_interval(0, 0, 0, "
-           "floor(months_between(CAST({0} AS TIMESTAMP), "
-           "CAST({1} AS TIMESTAMP))) * 2592000 + "
-           "(unix_micros(CAST({0} AS TIMESTAMP)) - "
-           "unix_micros(CAST({1} AS TIMESTAMP) + make_ym_interval(0, "
-           "CAST(floor(months_between(CAST({0} AS TIMESTAMP), "
-           "CAST({1} AS TIMESTAMP))) AS INT)))) / 1e6)",
+        2: _age_template,
         1: "make_dt_interval(0, 0, 0, "
            "floor(months_between(current_timestamp(), "
            "CAST({0} AS TIMESTAMP))) * 2592000 + "
@@ -1940,6 +2088,95 @@ _FN_MACROS_N["ARG_MAX"] = {3: _FN_MACROS_N["MAX_BY"][3]}
 _FN_MACROS_N["ARGMAX"] = {3: _FN_MACROS_N["MAX_BY"][3]}
 _FN_MACROS_N["ARG_MIN"] = {3: _FN_MACROS_N["MIN_BY"][3]}
 _FN_MACROS_N["ARGMIN"] = {3: _FN_MACROS_N["MIN_BY"][3]}
+
+
+def _substr_zero_template(args: list[str]) -> Optional[str]:
+    """DuckDB substr with start 0: position 0 is a virtual empty slot
+    that consumes one unit of length (substr('hello',0,3) = 'he'); Spark
+    treats 0 as 1 and returns the full 3 chars. Known-positive literal
+    starts (the overwhelmingly common case, including every emission of
+    the index/slice pass) are left untouched so plans stay CASE-free."""
+    start = args[1].strip()
+    if re.fullmatch(r"[1-9][0-9]*", start):
+        return None
+    return (
+        f"(CASE WHEN ({args[1]}) = 0 "
+        f"THEN substring({args[0]}, 1, greatest(({args[2]}) - 1, 0)) "
+        f"ELSE substring({args[0]}, {args[1]}, {args[2]}) END)"
+    )
+
+
+_FN_MACROS_N["SUBSTR"] = {3: _substr_zero_template}
+_FN_MACROS_N["SUBSTRING"] = {3: _substr_zero_template}
+
+# aggregates where an in-call ORDER BY is a no-op DuckDB tolerates —
+# stripped by pass_strip_agg_order before anything else parses the call
+_ORDER_INSENSITIVE_AGGS = frozenset({
+    "SUM", "AVG", "MEAN", "MIN", "MAX", "COUNT", "PRODUCT",
+    "BOOL_AND", "BOOL_OR", "BIT_AND", "BIT_OR", "BIT_XOR",
+    "STDDEV", "STDDEV_POP", "STDDEV_SAMP", "VARIANCE", "VAR_POP",
+    "VAR_SAMP", "CORR", "COVAR_POP", "COVAR_SAMP", "FSUM", "FAVG",
+    "KAHAN_SUM", "GEOMEAN", "GEOMETRIC_MEAN", "ENTROPY",
+})
+
+
+def pass_at_abs(tokens: list[Token]) -> list[Token]:
+    """DuckDB's prefix ``@x`` absolute-value operator, parenthesized form
+    only (``@(expr)`` -> ``abs(expr)``); a bare ``@ident`` is left alone
+    (nothing in the reference surface uses it)."""
+    out = list(tokens)
+    for i in range(len(out) - 1):
+        if (
+            out[i].kind == PUNCT
+            and out[i].text == "@"
+            and out[i + 1].kind == PUNCT
+            and out[i + 1].text == "("
+        ):
+            out[i] = _ident("abs")
+    return out
+
+
+def pass_strip_agg_order(tokens: list[Token]) -> list[Token]:
+    """``sum(x ORDER BY y)`` — DuckDB accepts ORDER BY inside every
+    aggregate; for order-insensitive ones it's semantically a no-op.
+    Strip it before Spark's parser (which rejects the syntax) sees it.
+    Order-SENSITIVE aggregates (string_agg/array_agg/list/first/last)
+    keep theirs — dedicated branches turn those into WITHIN GROUP or
+    sorted-collect forms."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == IDENT and t.upper in _ORDER_INSENSITIVE_AGGS:
+            n = next_sig(tokens, i)
+            if (
+                n < len(tokens)
+                and tokens[n].kind == PUNCT
+                and tokens[n].text == "("
+            ):
+                c = match_forward(tokens, n, "(", ")")
+                depth = 0
+                ob = None
+                for k in range(n + 1, c):
+                    tk = tokens[k]
+                    if tk.kind == PUNCT and tk.text in "([{":
+                        depth += 1
+                    elif tk.kind == PUNCT and tk.text in ")]}":
+                        depth -= 1
+                    elif (
+                        depth == 0
+                        and tk.kind == IDENT
+                        and tk.upper == "ORDER"
+                    ):
+                        nb = next_sig(tokens, k)
+                        if nb < c and tokens[nb].is_kw("BY"):
+                            ob = k
+                        break
+                if ob is not None:
+                    tokens = tokens[:ob] + tokens[c:]
+                    i = n
+                    continue
+        i += 1
+    return tokens
 
 
 _ARRAY_FUNCS = frozenset(
@@ -2943,13 +3180,30 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                     out[i] = _ident("date_trunc")
                     if len(spans) == 2:
                         psig = _trim(out[spans[0][0] : spans[0][1]])
-                        if (
-                            len(psig) == 1
-                            and psig[0].kind == STRING
-                            and _str_value(psig[0]).strip().lower() in (
-                                "day", "week", "month", "quarter", "year",
-                                "decade", "century", "millennium",
+                        part0 = (
+                            _str_value(psig[0]).strip().lower()
+                            if len(psig) == 1 and psig[0].kind == STRING
+                            else None
+                        )
+                        if part0 in _DATE_TRUNC_MACROS:
+                            # fields Spark doesn't know (returns NULL):
+                            # expand to explicit floor-of-year arithmetic
+                            x_txt = render(
+                                pass_function_renames(
+                                    _trim(out[spans[1][0] : spans[1][1]]),
+                                    resolver,
+                                )
                             )
+                            new_toks = tokenize(
+                                _DATE_TRUNC_MACROS[part0].replace(
+                                    "{x}", x_txt
+                                )
+                            )
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
+                        if part0 in (
+                            "day", "week", "month", "quarter", "year",
                         ):
                             pre = tokenize("CAST(")
                             post = tokenize(" AS DATE)")
@@ -3015,6 +3269,57 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                     if len(spans) == 2:
                         sig1 = [tk for tk in out[spans[0][0] : spans[0][1]]
                                 if tk.kind not in (WS, COMMENT)]
+                        is_list_form = (
+                            len(sig1) >= 3
+                            and sig1[0].kind == PUNCT
+                            and sig1[0].text == "["
+                            and sig1[-1].kind == PUNCT
+                            and sig1[-1].text == "]"
+                            and all(
+                                tk.kind == STRING
+                                or (tk.kind == PUNCT and tk.text in "[],")
+                                for tk in sig1
+                            )
+                        ) or (
+                            # pass_array_literals has already run: the
+                            # list arrives as array('year', 'month')
+                            len(sig1) >= 4
+                            and sig1[0].kind == IDENT
+                            and sig1[0].upper == "ARRAY"
+                            and all(
+                                tk.kind == STRING
+                                or (tk.kind == PUNCT and tk.text in "(),")
+                                for tk in sig1[1:]
+                            )
+                        )
+                        if is_list_form:
+                            # date_part(['year','month'], x) -> STRUCT of
+                            # the requested parts, like DuckDB's list form
+                            parts = [
+                                _str_value(tk) for tk in sig1
+                                if tk.kind == STRING
+                            ]
+                            x_txt = render(
+                                pass_function_renames(
+                                    _trim(out[spans[1][0] : spans[1][1]]),
+                                    resolver,
+                                )
+                            )
+                            fields = []
+                            for p in parts:
+                                m2 = _DATE_PART_MACROS.get(p.lower())
+                                e2 = (
+                                    m2.replace("{x}", x_txt)
+                                    if m2 is not None
+                                    else f"date_part('{p}', {x_txt})"
+                                )
+                                fields.append(f"'{p}', {e2}")
+                            new_toks = tokenize(
+                                "named_struct(" + ", ".join(fields) + ")"
+                            )
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
                         if len(sig1) == 1 and sig1[0].kind == STRING:
                             part = _str_value(sig1[0]).lower()
                             macro = _DATE_PART_MACROS.get(part)
@@ -3126,13 +3431,20 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             _trim(out[spans[0][0] : spans[0][1]])
                         )
                         if iv is not None:
+                            arg_sig = _trim(out[spans[1][0] : spans[1][1]])
                             ts_txt = render(
-                                pass_function_renames(
-                                    _trim(out[spans[1][0] : spans[1][1]]),
-                                    resolver,
-                                )
+                                pass_function_renames(arg_sig, resolver)
                             )
                             expanded = _time_bucket_sql(iv[0], iv[1], ts_txt)
+                            # DuckDB returns DATE (any bucket width) when
+                            # the input is a DATE — detectable here only
+                            # for DATE literals / to_date(...) calls
+                            sig0 = [tk for tk in arg_sig
+                                    if tk.kind not in (WS, COMMENT)]
+                            if sig0 and sig0[0].kind == IDENT and (
+                                sig0[0].upper in ("DATE", "TO_DATE")
+                            ):
+                                expanded = f"CAST({expanded} AS DATE)"
                             new_toks = tokenize(expanded)
                             out = out[:i] + new_toks + out[c + 1 :]
                             i += len(new_toks)
@@ -3804,13 +4116,21 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             render(pass_function_renames(_trim(out[lo:hi]), resolver))
                             for lo, hi in spans
                         ]
-                        expanded = re.sub(
-                            r"\{(\d)\}", lambda m: args[int(m.group(1))], tmpl
-                        )
-                        new_toks = tokenize(expanded)
-                        out = out[:i] + new_toks + out[c + 1 :]
-                        i += len(new_toks)
-                        continue
+                        if callable(tmpl):
+                            # conditional template: None = leave the call
+                            # in place (already Spark-compatible)
+                            expanded = tmpl(args)
+                        else:
+                            expanded = re.sub(
+                                r"\{(\d)\}",
+                                lambda m: args[int(m.group(1))],
+                                tmpl,
+                            )
+                        if expanded is not None:
+                            new_toks = tokenize(expanded)
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
                     if up in _SIMPLE_RENAMES:
                         # arity not macro'd (e.g. 2-arg arg_max): fall back
                         # to the plain name mapping
@@ -3854,6 +4174,8 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_strip_materialized(tokens)
     tokens = pass_unnest_in_expr(tokens)
     tokens = pass_filter_where(tokens)
+    tokens = pass_strip_agg_order(tokens)
+    tokens = pass_at_abs(tokens)
     tokens = pass_from_first_subquery(tokens)
     tokens = pass_window_exclude(tokens)
     tokens = pass_windowed_median(tokens)

@@ -1297,6 +1297,33 @@ _sql(
     """,
 )
 
+# sweep-wave-3 dialect edges: unicode chr, byte strlen, substr position 0,
+# NULL-identity list_concat, step slices (both directions, negative
+# bounds), floor-semantics date_trunc fields, seconds-inclusive
+# milliseconds, rounding TRY_CAST, zero timezone parts. Array outputs are
+# stringified so the driver canonicalizer can sort+hash.
+_sql(
+    "q94_dialect_edges",
+    """
+    SELECT n_nationkey,
+           chr(65 + n_nationkey % 26) AS ch,
+           strlen(n_name) AS nbytes,
+           substr(n_name, 0, 4) AS s0,
+           array_to_string(list_concat([n_nationkey], NULL), ',') AS lc,
+           array_to_string([1,2,3,4,5][-4:-1:2], ',') AS sl_fwd,
+           array_to_string([1,2,3,4,5][5:0:-2], ',') AS sl_rev,
+           date_trunc('decade', DATE '2004-05-04') AS dec_start,
+           date_trunc('century', DATE '2024-05-04') AS cen_start,
+           extract(milliseconds FROM TIMESTAMP '2024-01-01 00:00:01.5')
+             AS ms_in_min,
+           TRY_CAST('3.7' AS INTEGER) AS tc_round,
+           timezone_hour(TIMESTAMP '2024-01-01 00:00:01') AS tzh,
+           (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))
+                ORDER BY o_orderkey) AS DOUBLE) FROM orders) AS ordered_sum
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles

@@ -385,7 +385,10 @@ def test_round2_function_renames():
     out = rewrite_sql("SELECT log(x), log(2, x) FROM t")
     assert "log10(x)" in out and "log(2, x)" in out
     out = rewrite_sql("SELECT chr(65), printf('%d', x), random() FROM t")
-    assert "char(65)" in out and "format_string" in out and "rand()" in out
+    # chr goes through %c so codepoints beyond 255 survive (Spark's
+    # char()/chr() wrap at 256)
+    assert "format_string('%c', CAST(65 AS INT))" in out
+    assert "format_string" in out and "rand()" in out
     out = rewrite_sql("SELECT quantile_cont(x, 0.5), quantile_disc(x, 0.5) FROM t")
     assert "percentile(x, 0.5)" in out
     assert "percentile_disc(0.5) WITHIN GROUP (ORDER BY x)" in out
@@ -611,3 +614,76 @@ def test_list_comprehension_rewrite():
         "SELECT [1,2,3], arr[2], s[1:4] FROM t"
     )))
     assert "[1,2,3]" in out4 and "arr[2]" in out4
+
+
+def test_strip_agg_order_commutative_only():
+    from duckdb_nsql_spark.frontend.rewrites import rewrite_sql
+
+    out = rewrite_sql("SELECT sum(x ORDER BY y), min(a ORDER BY b) FROM t")
+    assert "ORDER BY" not in out.upper()
+    # order-SENSITIVE aggregates keep (and re-route) their ordering
+    out2 = rewrite_sql("SELECT string_agg(x, ',' ORDER BY y) FROM t")
+    assert "WITHIN GROUP" in out2
+    # a window frame's ORDER BY is untouched
+    out3 = rewrite_sql("SELECT sum(x) OVER (ORDER BY y) FROM t")
+    assert "ORDER BY" in out3.upper()
+
+
+def test_try_cast_int_rounds():
+    from duckdb_nsql_spark.frontend.rewrites import rewrite_sql
+
+    out = rewrite_sql("SELECT TRY_CAST('3.7' AS INTEGER)")
+    assert "round(TRY_CAST" in out and "AS DOUBLE" in out
+    # boolean literals skip the round wrap entirely (round(bool) errors)
+    out2 = rewrite_sql("SELECT CAST(TRUE AS INTEGER), TRY_CAST(FALSE AS INT)")
+    assert "round" not in out2.lower()
+
+
+def test_step_slice_rewrites_to_list_slice_macro():
+    from duckdb_nsql_spark.frontend.rewrites import rewrite_sql
+
+    out = rewrite_sql("SELECT [1,2,3,4,5][2:5:2]")
+    assert "sequence(" in out and "element_at(" in out
+    # omitted begin follows the step direction
+    out2 = rewrite_sql("SELECT [1,2,3,4,5][:3:-1]")
+    assert "CASE WHEN" in out2
+    # plain 2-bound slices keep the tight slice template
+    out3 = rewrite_sql("SELECT ([1,2,3])[1:2]")
+    assert "sequence(" not in out3
+
+
+def test_date_trunc_coarse_fields_expand():
+    from duckdb_nsql_spark.frontend.rewrites import rewrite_sql
+
+    out = rewrite_sql("SELECT date_trunc('decade', d) FROM t")
+    assert "floor(year(d) / 10) * 10" in out
+    # known-to-Spark coarse fields keep native date_trunc + DATE cast
+    out2 = rewrite_sql("SELECT date_trunc('month', d) FROM t")
+    assert "date_trunc('month', d)" in out2 and "AS DATE" in out2
+
+
+def test_chr_strlen_listconcat_substr_zero():
+    from duckdb_nsql_spark.frontend.rewrites import rewrite_sql
+
+    assert "format_string('%c'" in rewrite_sql("SELECT chr(9731)")
+    assert "octet_length" in rewrite_sql("SELECT strlen(s) FROM t")
+    out = rewrite_sql("SELECT list_concat(a, b) FROM t")
+    assert "flatten(filter(array(a, b)" in out
+    out2 = rewrite_sql("SELECT substr(s, 0, 3) FROM t")
+    assert "greatest((3) - 1, 0)" in out2
+
+
+def test_age_component_borrow_semantics():
+    from duckdb_nsql_spark.frontend.rewrites import rewrite_sql
+
+    out = rewrite_sql("SELECT age(a, b) FROM t")
+    # component arithmetic with the earlier-month day borrow, not exact
+    # elapsed time (DuckDB: age('2024-03-01','2023-01-15') = 1y 1m 17d)
+    assert "last_day" in out and "make_dt_interval" in out
+
+
+def test_date_part_list_form_expands_to_struct():
+    from duckdb_nsql_spark.frontend.rewrites import rewrite_sql
+
+    out = rewrite_sql("SELECT date_part(['year','month'], d) FROM t")
+    assert "named_struct('year'" in out and "'month'" in out
