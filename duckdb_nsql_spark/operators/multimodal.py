@@ -3,12 +3,13 @@ with typed metadata, processed by Arrow-batched pandas pipelines.
 
 The Spark-side architecture — schema contract, mapInPandas batch shape,
 partition sizing — is the deliverable, and since round 4 the decode step
-is REAL for container-friendly formats: BMP and PPM images and RIFF/WAVE
-PCM audio are decoded by pure-Python parsers (no native codecs needed),
-producing real width/height/pixel-mean and sample-rate/RMS features.
-Formats that need native codecs (JPEG/PNG/MP3/video) still raise
-NotImplementedError behind the same seam — swap in PIL/ffmpeg on a
-cluster that has them; nothing else changes.
+is REAL for container-friendly formats: BMP, P6-PPM and PNG images
+(PNG via stdlib zlib: full chunk walk + all five scanline filters) and
+RIFF/WAVE PCM audio are decoded by pure-Python parsers (no native
+codecs needed), producing real width/height/pixel-mean and
+sample-rate/RMS features. Formats that need native codecs
+(JPEG/MP3/video) still raise NotImplementedError behind the same seam —
+swap in PIL/ffmpeg on a cluster that has them; nothing else changes.
 """
 
 from __future__ import annotations
@@ -18,6 +19,7 @@ import io
 import math
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -73,6 +75,80 @@ def make_ppm(width: int, height: int, seed: int) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + bytes(body)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int, seed: int) -> bytes:
+    """8-bit RGB PNG, deterministic pixels (same formula as BMP/PPM).
+
+    Scanline filters cycle through all five PNG filter types (None, Sub,
+    Up, Average, Paeth) so the decoder's unfilter paths are all
+    exercised by every multi-row fixture image."""
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = (seed * 2654435761 + y * 97 + x * 31) & 0xFFFFFFFF
+            row += bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+        rows.append(bytes(row))
+
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for y, row in enumerate(rows):
+        ftype = y % 5
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw += row
+        elif ftype == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(row))
+            )
+        elif ftype == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2) & 0xFF
+                for i in range(len(row))
+            )
+        else:  # Paeth
+            raw += bytes(
+                (row[i] - _paeth(
+                    row[i - bpp] if i >= bpp else 0,
+                    prev[i],
+                    prev[i - bpp] if i >= bpp else 0,
+                )) & 0xFF
+                for i in range(len(row))
+            )
+        prev = row
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
 def make_wav(n_samples: int, seed: int, rate: int = 8000) -> bytes:
     """Mono 16-bit PCM WAV: deterministic sine-ish tone."""
     buf = io.BytesIO()
@@ -98,17 +174,19 @@ def decode_image(payload: bytes) -> dict:
     """Decode a BMP or binary-PPM payload to
     ``{width, height, mean_r, mean_g, mean_b}``.
 
-    Pure Python — no native codecs. JPEG/PNG and friends raise
-    NotImplementedError: install PIL on the cluster and extend this seam;
-    the surrounding pipeline is codec-agnostic.
+    Pure Python — no native codecs (PNG rides stdlib zlib). JPEG and
+    friends raise NotImplementedError: install PIL on the cluster and
+    extend this seam; the surrounding pipeline is codec-agnostic.
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only BMP/PPM decode in-container; JPEG/PNG need PIL/opencv on the "
-        "cluster — extend this seam, the pipeline is codec-agnostic"
+        "only BMP/PPM/PNG decode in-container; JPEG needs PIL/opencv on "
+        "the cluster — extend this seam, the pipeline is codec-agnostic"
     )
 
 
@@ -170,6 +248,87 @@ def _decode_ppm(b: bytes) -> dict:
     }
 
 
+def _decode_png(b: bytes) -> dict:
+    """Full PNG decode for 8-bit gray / RGB / RGBA, non-interlaced:
+    chunk walk (CRC-checked), concatenated-IDAT inflate, and all five
+    scanline unfilters. Palette/16-bit/interlaced images raise
+    NotImplementedError (rare in ML corpora; PIL path on a real
+    cluster)."""
+    i = len(_PNG_SIG)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while i + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, i)
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", b, i + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or comp != 0 or filt != 0:
+                raise NotImplementedError("only 8-bit non-palette PNG in-container")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported in-container")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise NotImplementedError("palette PNG not supported in-container")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("PNG pixel data truncated")
+    tot = [0] * channels
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for k in range(channels, stride):
+                line[k] = (line[k] + line[k - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for k in range(stride):
+                line[k] = (line[k] + prev[k]) & 0xFF
+        elif ftype == 3:  # Average
+            for k in range(stride):
+                left = line[k - channels] if k >= channels else 0
+                line[k] = (line[k] + (left + prev[k]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for k in range(stride):
+                left = line[k - channels] if k >= channels else 0
+                ul = prev[k - channels] if k >= channels else 0
+                line[k] = (line[k] + _paeth(left, prev[k], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        for c in range(channels):
+            tot[c] += sum(line[c::channels])
+        prev = line
+
+    n = max(width * height, 1)
+    means = [t / n for t in tot]
+    if channels == 1:
+        r = g = bl = means[0]
+    elif channels == 2:
+        r = g = bl = means[0]
+    else:
+        r, g, bl = means[0], means[1], means[2]
+    return {"width": width, "height": height, "mean_r": r, "mean_g": g, "mean_b": bl}
+
+
 def decode_audio(payload: bytes) -> dict:
     """Decode a RIFF/WAVE PCM payload to
     ``{n_channels, framerate, n_frames, duration_ms, rms}``.
@@ -229,18 +388,21 @@ def _features(kind: str, payload: bytes) -> tuple[list[float], bool]:
 
 def synth_assets(spark, docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Build a deterministic asset table from the documents fixture with
-    REAL payloads: even doc_ids get a 24-bit BMP, ids ≡1 (mod 4) a P6
-    PPM-as-image, ids ≡3 (mod 4) a 16-bit PCM WAV — all generated by the
-    pure-Python encoders above, so the decode path exercises real codec
-    work end-to-end (no external libraries)."""
+    REAL payloads: doc_ids ≡0 (mod 4) get a 24-bit BMP, ≡2 (mod 4) an
+    8-bit RGB PNG (zlib DEFLATE, filters cycling through all five
+    types), ≡1 (mod 4) a P6 PPM, ≡3 (mod 4) a 16-bit PCM WAV — all
+    generated by the pure-Python encoders above, so the decode path
+    exercises real codec work end-to-end (no external libraries)."""
 
     @F.pandas_udf("binary")
     def payload_for(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
             i = int(i)
-            if i % 2 == 0:
+            if i % 4 == 0:
                 out.append(make_bmp(4 + i % 5, 3 + i % 3, seed=i))
+            elif i % 4 == 2:
+                out.append(make_png(4 + i % 5, 3 + i % 6, seed=i))
             elif i % 4 == 1:
                 out.append(make_ppm(3 + i % 4, 2 + i % 5, seed=i))
             else:
@@ -249,12 +411,10 @@ def synth_assets(spark, docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     return docs.select(
         F.col("doc_id").alias("asset_id"),
-        F.when(F.col("doc_id") % 2 == 0, "image")
-        .when(F.col("doc_id") % 4 == 1, "image")
-        .otherwise("audio")
-        .alias("kind"),
+        F.when(F.col("doc_id") % 4 == 3, "audio").otherwise("image").alias("kind"),
         payload_for(F.col("doc_id")).alias("payload"),
-        F.when(F.col("doc_id") % 2 == 0, "image/bmp")
+        F.when(F.col("doc_id") % 4 == 0, "image/bmp")
+        .when(F.col("doc_id") % 4 == 2, "image/png")
         .when(F.col("doc_id") % 4 == 1, "image/x-portable-pixmap")
         .otherwise("audio/wav")
         .alias("mime"),

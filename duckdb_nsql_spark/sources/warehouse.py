@@ -1,25 +1,37 @@
-"""Durable managed tables: a minimal copy-on-write table format.
+"""Durable managed tables: a minimal multi-writer copy-on-write format.
 
 ``connect(database='/path/dir')`` mirrors ``duckdb.connect('file.duckdb')``
 (reference harness usage: eval/evaluate.py opens a database file per
 case): managed tables survive the session. The layout is the same shape
-production table formats use, scaled down:
+production table formats (Delta/Iceberg) use, scaled down:
 
-- every write is a NEW immutable parquet directory ``<root>/<table>/v{N}``
-  (copy-on-write — readers of the previous version are never disturbed,
-  and a crashed write leaves no visible change);
-- commit is an atomic metadata-pointer swap: ``_catalog.json`` is written
-  to a temp file and ``os.replace``d, so the catalog always names a fully
-  written version;
+- every write is a NEW immutable parquet directory
+  ``<root>/<table>/v{N}-{token}`` (copy-on-write — readers of the
+  previous version are never disturbed, and a crashed write leaves no
+  visible change, only an unreferenced directory the GC reaps);
+- commit is an APPEND to a numbered commit log ``_commits/{N}.json``
+  created with O_EXCL — on a POSIX filesystem exactly one writer wins
+  each commit number, which is precisely Delta Lake's optimistic-
+  concurrency protocol. Losers re-read the log and either REBASE (their
+  table wasn't touched by the winning commit) or raise
+  :class:`CommitConflict` (write-write conflict on the same table,
+  DuckDB's "Transaction conflict" analogue);
+- each commit file carries the full (tiny) table catalog, so readers
+  resolve current state from the single highest-numbered commit — no
+  log replay; ``_catalog.json`` is additionally maintained as a
+  best-effort checkpoint for legacy single-pointer warehouses;
 - constraint metadata Spark types can't carry (ENUM members, declared
   type renderings, fixed-array lengths) rides in the catalog entry.
 
-That is precisely Delta/Iceberg's commit model (immutable data files +
-atomic metadata swap) without transactions or time travel; on a real
-cluster swap this module for Delta/Iceberg behind the same three calls
-(load / save_table / drop_table) — docs/PLANS.md tracks that as the
-cluster path. The in-session catalog (no ``database=``) stays the
-default, matching ``duckdb.connect()``'s in-memory mode.
+GC is retention-based like Delta VACUUM: a data directory is removed
+only when it is (a) not referenced by any of the last few commits and
+(b) older than ``gc_grace_s`` — so a concurrent writer's staged-but-
+uncommitted directory is never deleted from under it.
+
+On a real cluster swap this module for Delta/Iceberg behind the same
+three calls (load / save_table / drop_table) — docs/PLANS.md tracks
+that as the cluster path. The in-session catalog (no ``database=``)
+stays the default, matching ``duckdb.connect()``'s in-memory mode.
 """
 
 from __future__ import annotations
@@ -30,27 +42,77 @@ import os
 import re
 import shutil
 import tempfile
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CATALOG = "_catalog.json"
-_KEEP_VERSIONS = 2  # current + previous (older readers may still scan it)
+_COMMITS = "_commits"
+_KEEP_COMMITS = 8  # GC looks this far back for referenced versions
+
+
+class CommitConflict(RuntimeError):
+    """Two writers modified the same table concurrently (write-write
+    conflict). Mirrors DuckDB's transaction-conflict error and Delta's
+    ConcurrentModificationException: the loser must re-read and retry
+    its whole operation."""
 
 
 class DurableWarehouse:
-    def __init__(self, root: str):
+    def __init__(self, root: str, gc_grace_s: float = 300.0):
         self.root = os.path.abspath(root)
-        os.makedirs(self.root, exist_ok=True)
+        self.gc_grace_s = gc_grace_s
+        os.makedirs(os.path.join(self.root, _COMMITS), exist_ok=True)
 
-    # ------------------------------------------------------------- catalog
-    def _read_catalog(self) -> dict:
-        p = os.path.join(self.root, _CATALOG)
-        if not os.path.exists(p):
-            return {"tables": {}}
-        with open(p, "r", encoding="utf-8") as f:
-            return json.load(f)
+    # --------------------------------------------------------- commit log
+    def _latest_commit(self) -> tuple[int, dict]:
+        """(commit number, catalog) from the highest numbered commit;
+        falls back to the legacy single-pointer ``_catalog.json`` (or an
+        empty catalog) when the log is empty."""
+        cdir = os.path.join(self.root, _COMMITS)
+        best, path = -1, None
+        try:
+            for f in os.listdir(cdir):
+                if f.endswith(".json"):
+                    try:
+                        n = int(f[:-5])
+                    except ValueError:
+                        continue
+                    if n > best:
+                        best, path = n, os.path.join(cdir, f)
+        except FileNotFoundError:
+            pass
+        if path is None:
+            legacy = os.path.join(self.root, _CATALOG)
+            if os.path.exists(legacy):
+                with open(legacy, "r", encoding="utf-8") as f:
+                    return -1, json.load(f)
+            return -1, {"tables": {}}
+        with open(path, "r", encoding="utf-8") as f:
+            return best, json.load(f)
 
-    def _write_catalog(self, cat: dict) -> None:
+    def _try_commit(self, number: int, cat: dict) -> bool:
+        """Atomically claim commit ``number``. O_EXCL file creation means
+        exactly one writer can own each number; False = lost the race."""
+        cdir = os.path.join(self.root, _COMMITS)
+        os.makedirs(cdir, exist_ok=True)
+        path = os.path.join(cdir, f"{number:020d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                json.dump(cat, f, indent=1, sort_keys=True)
+        except BaseException:
+            os.unlink(path)
+            raise
+        self._write_checkpoint(cat)
+        return True
+
+    def _write_checkpoint(self, cat: dict) -> None:
+        """Best-effort ``_catalog.json`` checkpoint (legacy readers)."""
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".catalog.tmp")
         try:
             with os.fdopen(fd, "w", encoding="utf-8") as f:
@@ -60,6 +122,37 @@ class DurableWarehouse:
             if os.path.exists(tmp):
                 os.unlink(tmp)
             raise
+
+    def _commit_entry(self, name: str, entry: dict | None, base) -> None:
+        """CAS loop: re-read latest catalog, verify OUR table is untouched
+        since ``base`` (else CommitConflict), apply, try to claim the next
+        commit number. Another writer committing a DIFFERENT table just
+        makes us rebase and retry."""
+        while True:
+            ver, cat = self._latest_commit()
+            if cat["tables"].get(name) != base:
+                raise CommitConflict(
+                    f"write-write conflict on table {name!r}: another "
+                    "writer committed it concurrently"
+                )
+            if entry is None:
+                cat["tables"].pop(name, None)
+            else:
+                cat["tables"][name] = entry
+            if self._try_commit(ver + 1, cat):
+                return
+
+    # -------------------------------------------- legacy catalog interface
+    def _read_catalog(self) -> dict:
+        return self._latest_commit()[1]
+
+    def _write_catalog(self, cat: dict) -> None:
+        """Full-catalog restore (transaction ROLLBACK path): commits the
+        given catalog wholesale at the next commit number."""
+        while True:
+            ver, _ = self._latest_commit()
+            if self._try_commit(ver + 1, cat):
+                return
 
     def _table_dir(self, name: str) -> str:
         safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
@@ -78,27 +171,70 @@ class DurableWarehouse:
     def save_table(
         self, spark: SparkSession, name: str, df: DataFrame, meta: dict
     ) -> DataFrame:
-        """Copy-on-write commit: write a new version dir, swap the catalog
-        pointer, GC versions older than the previous one. Returns the
-        re-read DataFrame (lineage truncated to a plain parquet scan)."""
-        cat = self._read_catalog()
-        ent = cat["tables"].get(name)
-        tdir = ent["dir"] if ent else self._table_dir(name)
-        prev_n = int(ent["version"][1:]) if ent else -1
-        version = f"v{prev_n + 1:06d}"
-        out = os.path.join(self.root, tdir, version)
+        """Copy-on-write commit: write a new uniquely-named version dir,
+        then CAS-append to the commit log; GC unreferenced old versions.
+        Returns the re-read DataFrame (lineage truncated to a plain
+        parquet scan)."""
+        ver, cat = self._latest_commit()
+        base = cat["tables"].get(name)
+        tdir = base["dir"] if base else self._table_dir(name)
+        vname = f"v{ver + 1:06d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, tdir, vname)
         df.write.mode("overwrite").parquet(out)
-        cat["tables"][name] = {"dir": tdir, "version": version, "meta": meta}
-        self._write_catalog(cat)
-        base = os.path.join(self.root, tdir)
-        for v in os.listdir(base):
-            if v.startswith("v") and int(v[1:]) < prev_n + 1 - (_KEEP_VERSIONS - 1):
-                shutil.rmtree(os.path.join(base, v), ignore_errors=True)
+        try:
+            self._commit_entry(
+                name, {"dir": tdir, "version": vname, "meta": meta}, base
+            )
+        except CommitConflict:
+            shutil.rmtree(out, ignore_errors=True)  # our staged data
+            raise
+        self._gc(name, tdir)
         return spark.read.parquet(out)
 
     def drop_table(self, name: str) -> None:
-        cat = self._read_catalog()
-        ent = cat["tables"].pop(name, None)
-        self._write_catalog(cat)
-        if ent:
-            shutil.rmtree(os.path.join(self.root, ent["dir"]), ignore_errors=True)
+        ver, cat = self._latest_commit()
+        base = cat["tables"].get(name)
+        if base is None:
+            return
+        self._commit_entry(name, None, base)
+        shutil.rmtree(os.path.join(self.root, base["dir"]), ignore_errors=True)
+
+    # ------------------------------------------------------------------ GC
+    def _gc(self, name: str, tdir: str) -> None:
+        """Remove version dirs of ``name`` that no recent commit references
+        and that are older than the grace window (a concurrent writer may
+        have staged a dir it hasn't committed yet — never delete that)."""
+        cdir = os.path.join(self.root, _COMMITS)
+        referenced: set[str] = set()
+        try:
+            nums = sorted(
+                int(f[:-5]) for f in os.listdir(cdir) if f.endswith(".json")
+            )[-_KEEP_COMMITS:]
+        except FileNotFoundError:
+            nums = []
+        for n in nums:
+            try:
+                with open(
+                    os.path.join(cdir, f"{n:020d}.json"), "r", encoding="utf-8"
+                ) as f:
+                    ent = json.load(f)["tables"].get(name)
+                if ent and ent["dir"] == tdir:
+                    referenced.add(ent["version"])
+            except (OSError, ValueError, KeyError):
+                continue
+        base = os.path.join(self.root, tdir)
+        try:
+            candidates = os.listdir(base)
+        except FileNotFoundError:
+            return
+        now = time.time()
+        for v in candidates:
+            p = os.path.join(base, v)
+            if v in referenced or not v.startswith("v"):
+                continue
+            try:
+                if now - os.path.getmtime(p) < self.gc_grace_s:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(p, ignore_errors=True)

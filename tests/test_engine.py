@@ -792,6 +792,71 @@ def test_durable_tables_survive_session_restart(spark, tmp_path):
         eng4.execute("SELECT * FROM empty_t")
 
 
+def test_durable_warehouse_multi_writer(spark, tmp_path):
+    """Two warehouse handles on the same directory: commits serialize
+    through the O_EXCL commit log; disjoint-table writers rebase and both
+    land, same-table writers get a CommitConflict (Delta-style optimistic
+    concurrency), and the loser's staged data directory is cleaned up."""
+    import os
+
+    from duckdb_nsql_spark.sources.warehouse import CommitConflict, DurableWarehouse
+
+    root = str(tmp_path / "mw")
+    w1 = DurableWarehouse(root, gc_grace_s=0.0)
+    w2 = DurableWarehouse(root, gc_grace_s=0.0)
+
+    df_a = spark.range(0, 10).toDF("x")
+    df_b = spark.range(0, 5).toDF("y")
+
+    # disjoint tables from two writers: both commits land, log has 0 and 1
+    w1.save_table(spark, "ta", df_a, {})
+    w2.save_table(spark, "tb", df_b, {})
+    assert set(w1.tables()) == {"ta", "tb"}
+    assert set(w2.tables()) == {"ta", "tb"}
+    nums = sorted(
+        int(f[:-5]) for f in os.listdir(os.path.join(root, "_commits"))
+    )
+    assert nums == [0, 1]
+
+    # same-table race: w2 bases on the current entry, w1 commits first ->
+    # w2's commit must raise CommitConflict and leave w1's version live
+    base = w1.tables()["ta"]
+    w1.save_table(spark, "ta", spark.range(0, 20).toDF("x"), {})
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflict):
+        w2._commit_entry("ta", {"dir": base["dir"], "version": "v9-zz", "meta": {}}, base)
+    assert w1.load_df(spark, "ta").count() == 20
+
+    # rebase path: a stale-but-disjoint writer retries internally — commit
+    # numbers stay dense and the catalog reflects every winner
+    w2.save_table(spark, "tb", spark.range(0, 7).toDF("y"), {})
+    assert w1.load_df(spark, "tb").count() == 7
+
+    # GC: old versions of ta beyond the referenced window are reaped once
+    # out of grace (grace=0 here), current version survives
+    for i in range(10):
+        w1.save_table(spark, "ta", spark.range(0, 30 + i).toDF("x"), {})
+    ent = w1.tables()["ta"]
+    vdirs = [
+        v for v in os.listdir(os.path.join(root, ent["dir"])) if v.startswith("v")
+    ]
+    assert ent["version"] in vdirs
+    assert len(vdirs) <= 9  # _KEEP_COMMITS window bounds retained versions
+    assert w1.load_df(spark, "ta").count() == 39
+
+    # legacy single-pointer warehouse (catalog.json only, no commit log)
+    # still opens: snapshot the catalog, wipe the log, read again
+    legacy_cat = w1._read_catalog()
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(root, "_commits"))
+    w1._write_checkpoint(legacy_cat)
+    w3 = DurableWarehouse(root, gc_grace_s=0.0)
+    assert set(w3.tables()) == {"ta", "tb"}
+    assert w3.load_df(spark, "ta").count() == 39
+
+
 def test_union_column_type(spark):
     """UNION(tag TYPE, ...) tagged-union columns: struct<__utag,...>
     encoding, union_value/union_tag/union_extract, dotted access, INSERT

@@ -62,9 +62,69 @@ def test_wav_roundtrip_rate_frames_rms():
 
 def test_unknown_formats_raise_not_implemented():
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG magic
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04" + b"\x00" * 64)
+
+
+def test_png_roundtrip_exact_means():
+    # height 7 > 5 filter types: every unfilter path (None/Sub/Up/
+    # Average/Paeth) runs at least once per image
+    w, h, seed = 6, 7, 13
+    payload = mm.make_png(w, h, seed)
+    meta = mm.decode_image(payload)
+    assert (meta["width"], meta["height"]) == (w, h)
+    tot = [0, 0, 0]
+    for y in range(h):
+        for x in range(w):
+            v = (seed * 2654435761 + y * 97 + x * 31) & 0xFFFFFFFF
+            tot[0] += v & 0xFF
+            tot[1] += (v >> 8) & 0xFF
+            tot[2] += (v >> 16) & 0xFF
+    n = w * h
+    assert meta["mean_r"] == pytest.approx(tot[0] / n)
+    assert meta["mean_g"] == pytest.approx(tot[1] / n)
+    assert meta["mean_b"] == pytest.approx(tot[2] / n)
+
+
+def test_png_crc_corruption_detected():
+    payload = bytearray(mm.make_png(4, 4, seed=2))
+    payload[-20] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError):
+        mm.decode_image(bytes(payload))
+
+
+def test_png_gray_and_rgba_decode():
+    import struct
+    import zlib
+
+    # hand-build a 2x2 8-bit grayscale PNG (color type 0), filter 0 rows
+    raw = bytes([0, 10, 20]) + bytes([0, 30, 40])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    png = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(raw))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    meta = mm.decode_image(png)
+    assert (meta["width"], meta["height"]) == (2, 2)
+    assert meta["mean_r"] == pytest.approx(25.0)
+    assert meta["mean_r"] == meta["mean_g"] == meta["mean_b"]
+
+    # 1x2 RGBA (color type 6): alpha ignored by the mean computation
+    raw = bytes([0, 100, 150, 200, 255]) + bytes([0, 50, 50, 100, 0])
+    ihdr = struct.pack(">IIBBBBB", 1, 2, 8, 6, 0, 0, 0)
+    png = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(raw))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    meta = mm.decode_image(png)
+    assert meta["mean_r"] == pytest.approx(75.0)
+    assert meta["mean_g"] == pytest.approx(100.0)
+    assert meta["mean_b"] == pytest.approx(150.0)
 
 
 def test_pipeline_decodes_real_payloads(loaded_engine):
