@@ -1844,7 +1844,8 @@ class DuckSparkSession:
         """
         self._ensure_information_schema()
         out = list(tokens)
-        self._cte_names = _collect_cte_names(out)
+        self._cte_scopes = _collect_cte_scopes(out)
+        self._cte_names = {n for n, _s, _e in self._cte_scopes}
         i = 0
         in_from_list = False
         while i < len(out):
@@ -1894,7 +1895,14 @@ class DuckSparkSession:
             # reference to a CTE this statement materialized to a view
             mangled = self._cte_overrides[name.lower()]
         elif len(parts) == 1 and name.lower() in self._cte_names:
-            return out, j  # CTE shadows the catalog table (DuckDB scoping)
+            # CTE shadows the catalog table only WITHIN its scope (the
+            # paren group holding the WITH — DuckDB subquery scoping).
+            # Scopes are recomputed on the live token list because earlier
+            # rewrites in this walk shift indices.
+            for nm, s, e in _collect_cte_scopes(out):
+                if nm == name.lower() and s <= j < e:
+                    return out, j
+            # same name is a CTE in a sibling scope -> catalog table here
         if mangled is None:
             key = self._resolve_table_key(name)
             if key is None and parts[0].lower() == "information_schema":
@@ -3821,7 +3829,30 @@ def _format_memory(v: str) -> str:
 def _collect_cte_names(tokens: list[Token]) -> set[str]:
     """Names bound by ``WITH name [(cols)] AS (...)`` anywhere in the
     statement (nested included) — these shadow catalog tables."""
-    names: set[str] = set()
+    return {name for name, _s, _e in _collect_cte_scopes(tokens)}
+
+
+def _collect_cte_scopes(tokens: list[Token]) -> list[tuple[str, int, int]]:
+    """``(name, scope_start, scope_end)`` for every CTE bound by
+    ``WITH name [(cols)] AS (...)``.
+
+    The scope is the innermost parenthesized group enclosing the WITH
+    (the whole statement for a top-level WITH) — DuckDB scoping: a CTE
+    declared inside a subquery shadows a same-named catalog table only
+    within that subquery, so an outer reference still reads the real
+    table."""
+    # paren structure: innermost enclosing '(' for each position
+    close_of: dict[int, int] = {}
+    stack: list[int] = []
+    encl: list[int] = [-1] * len(tokens)
+    for i, t in enumerate(tokens):
+        encl[i] = stack[-1] if stack else -1
+        if t.kind == PUNCT and t.text == "(":
+            stack.append(i)
+        elif t.kind == PUNCT and t.text == ")" and stack:
+            close_of[stack.pop()] = i
+
+    scopes: list[tuple[str, int, int]] = []
     for i, t in enumerate(tokens):
         if t.kind != IDENT or t.upper in ("AS", "WITH"):
             continue
@@ -3839,8 +3870,11 @@ def _collect_cte_names(tokens: list[Token]) -> set[str]:
         if j < len(tokens) and tokens[j].is_kw("AS"):
             k = next_sig(tokens, j)
             if k < len(tokens) and tokens[k].kind == PUNCT and tokens[k].text == "(":
-                names.add(t.text.lower())
-    return names
+                o = encl[i]
+                start = o + 1 if o >= 0 else 0
+                end = close_of.get(o, len(tokens)) if o >= 0 else len(tokens)
+                scopes.append((t.text.lower(), start, end))
+    return scopes
 
 
 def _split_top_commas(s: str) -> list[str]:

@@ -792,6 +792,25 @@ def test_durable_tables_survive_session_restart(spark, tmp_path):
         eng4.execute("SELECT * FROM empty_t")
 
 
+def test_cte_shadows_catalog_only_in_scope(loaded_engine):
+    """A CTE named like a catalog table shadows it only inside the paren
+    group that declares it (DuckDB subquery scoping) — an outer reference
+    in the same statement still reads the real table."""
+    sql = (
+        "SELECT (SELECT n FROM (WITH nation AS (SELECT 1 AS x) "
+        "SELECT count(*) AS n FROM nation) s) AS cte_rows, "
+        "(SELECT count(*) FROM nation) AS real_rows"
+    )
+    row = loaded_engine.execute(sql).collect()[0]
+    assert row["cte_rows"] == 1
+    assert row["real_rows"] == 25
+    # top-level WITH still shadows the whole statement
+    row = loaded_engine.execute(
+        "WITH nation AS (SELECT 1 AS x) SELECT count(*) AS n FROM nation"
+    ).collect()[0]
+    assert row["n"] == 1
+
+
 def test_durable_warehouse_multi_writer(spark, tmp_path):
     """Two warehouse handles on the same directory: commits serialize
     through the O_EXCL commit log; disjoint-table writers rebase and both
