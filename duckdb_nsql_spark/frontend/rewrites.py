@@ -1316,7 +1316,14 @@ _INT_CAST_TYPES = {"INTEGER", "INT", "INT4", "BIGINT", "INT8", "SMALLINT",
                    "INT2", "TINYINT", "INT1", "HUGEINT"}
 
 _STRINGY_TYPES = {"VARCHAR", "TEXT", "BPCHAR", "JSON", "UUID"}
-_CAST_TYPE_MAP = {"BLOB": "BINARY", "BYTEA": "BINARY"}
+_CAST_TYPE_MAP = {
+    "BLOB": "BINARY", "BYTEA": "BINARY",
+    # Spark has no 128-bit int / unsigned types: DECIMAL supersets that
+    # keep arithmetic exact at the cost of the stated type name
+    "HUGEINT": "DECIMAL(38,0)", "INT128": "DECIMAL(38,0)",
+    "UHUGEINT": "DECIMAL(38,0)", "UBIGINT": "DECIMAL(20,0)",
+    "UINTEGER": "BIGINT", "USMALLINT": "INTEGER", "UTINYINT": "SMALLINT",
+}
 
 
 def pass_cast_composite_types(tokens: list[Token]) -> list[Token]:
@@ -1397,17 +1404,24 @@ def pass_cast_type_names(tokens: list[Token]) -> list[Token]:
     """Bare ``VARCHAR``/``TEXT`` in cast position -> ``STRING`` (Spark
     requires a length for VARCHAR; DuckDB's is unbounded)."""
     out = list(tokens)
-    for i, t in enumerate(out):
+    i = 0
+    while i < len(out):
+        t = out[i]
         if t.kind == IDENT and (t.upper in _STRINGY_TYPES or t.upper in _CAST_TYPE_MAP):
             n = next_sig(out, i)
             if n < len(out) and out[n].kind == PUNCT and out[n].text == "(":
+                i += 1
                 continue  # VARCHAR(10) is fine
             p = prev_sig(out, i)
             if p >= 0 and (
                 out[p].is_kw("AS")
                 or (out[p].kind == OP and out[p].text == "::")
             ):
-                out[i] = _ident(_CAST_TYPE_MAP.get(t.upper, "STRING"))
+                repl = tokenize(_CAST_TYPE_MAP.get(t.upper, "STRING"))
+                out[i : i + 1] = repl
+                i += len(repl)
+                continue
+        i += 1
     return out
 
 
@@ -1775,6 +1789,8 @@ _DATE_PART_MACROS = {
     "millennium": "CAST(ceil(year({x}) / 1000.0) AS BIGINT)",
     "isoyear": "extract(YEAROFWEEK FROM {x})",
     "epoch": "(unix_micros(CAST({x} AS TIMESTAMP)) / 1e6)",
+    # era: 1 for CE dates (Spark's calendar has no BCE years)
+    "era": "(CASE WHEN year({x}) > 0 THEN 1 ELSE 0 END)",
     # DuckDB micro/milliseconds INCLUDE the seconds component
     # (1.5s -> 1500000 / 1500); pmod keeps pre-epoch timestamps positive
     "microseconds": "pmod(unix_micros(CAST({x} AS TIMESTAMP)), 60000000)",
@@ -1861,7 +1877,9 @@ _FN_MACROS_N: dict[str, dict[int, str]] = {
     "RTRIM": {2: "TRIM(TRAILING {1} FROM {0})"},
     # numbers
     "TO_BASE": {2: "conv({0}, 10, {1})"},
-    "EVEN": {1: "(ceil(abs({0}) / 2) * 2 * (CASE WHEN ({0}) < 0 THEN -1 ELSE 1 END))"},
+    # even()/fdiv()/fmod() return DOUBLE in DuckDB regardless of input type
+    "EVEN": {1: "CAST(ceil(abs({0}) / 2) * 2 * "
+                "(CASE WHEN ({0}) < 0 THEN -1 ELSE 1 END) AS DOUBLE)"},
     # Spark NaN = NaN is TRUE, so equality IS the NaN test (and NULL
     # propagates, matching DuckDB — Spark's own isnan(NULL) is false)
     "ISNAN": {1: "(({0}) = double('NaN'))"},
@@ -1873,8 +1891,14 @@ _FN_MACROS_N: dict[str, dict[int, str]] = {
     # 1-arg trunc: toward-zero truncation keeping the numeric value
     "TRUNC": {1: "(floor(abs({0})) * CASE WHEN ({0}) < 0 THEN -1 ELSE 1 END)"},
     # DuckDB fdiv/fmod are FLOORED division/modulo (sign of divisor)
-    "FDIV": {2: "floor(({0}) / ({1}))"},
-    "FMOD": {2: "(({0}) - floor(({0}) / ({1})) * ({1}))"},
+    "FDIV": {2: "CAST(floor(({0}) / ({1})) AS DOUBLE)"},
+    "FMOD": {2: "CAST(({0}) - floor(({0}) / ({1})) * ({1}) AS DOUBLE)"},
+    # DuckDB operator-function aliases; divide is the `//` operator
+    # (truncating on integers — Spark's `div` matches that tier)
+    "ADD": {2: "(({0}) + ({1}))"},
+    "SUBTRACT": {2: "(({0}) - ({1}))"},
+    "MULTIPLY": {2: "(({0}) * ({1}))"},
+    "DIVIDE": {2: "(({0}) div ({1}))"},
     # dates
     "YEARWEEK": {1: "(extract(YEAROFWEEK FROM {0}) * 100 + weekofyear({0}))"},
     "CENTURY": {1: "CAST(ceil(year({0}) / 100.0) AS BIGINT)"},
@@ -1956,7 +1980,9 @@ _FN_MACROS_N: dict[str, dict[int, str]] = {
     "STRLEN": {1: "octet_length({0})"},
     # naive TIMESTAMPs carry no zone; the engine pins the session to UTC
     # (io contract), so the offset is identically zero — like DuckDB's
-    "TIMEZONE": {1: "CAST(0 AS INTEGER)"},
+    # 2-arg timezone(tz, naive-ts): interpret in tz, render in the
+    # session zone (UTC by io contract) — exactly to_utc_timestamp
+    "TIMEZONE": {1: "CAST(0 AS INTEGER)", 2: "to_utc_timestamp({1}, {0})"},
     "TIMEZONE_HOUR": {1: "CAST(0 AS INTEGER)"},
     "TIMEZONE_MINUTE": {1: "CAST(0 AS INTEGER)"},
     # DuckDB list_concat treats NULL as the identity ([1]||NULL = [1]);
@@ -2091,23 +2117,204 @@ _FN_MACROS_N["ARGMIN"] = {3: _FN_MACROS_N["MIN_BY"][3]}
 
 
 def _substr_zero_template(args: list[str]) -> Optional[str]:
-    """DuckDB substr with start 0: position 0 is a virtual empty slot
-    that consumes one unit of length (substr('hello',0,3) = 'he'); Spark
-    treats 0 as 1 and returns the full 3 chars. Known-positive literal
-    starts (the overwhelmingly common case, including every emission of
-    the index/slice pass) are left untouched so plans stay CASE-free."""
-    start = args[1].strip()
-    if re.fullmatch(r"[1-9][0-9]*", start):
+    """DuckDB substr edge semantics Spark lacks: start 0 is a virtual
+    empty slot consuming one unit of length (substr('hello',0,3)='he'),
+    and a NEGATIVE length extends BACKWARDS from the start position
+    (substr('hello',4,-2)='el'). Unified number-line model (matches
+    DuckDB): the slice spans [start, start+len) for len>=0 and
+    [start+len, start) for len<0, negative starts count from the end
+    (start -> length+start+1), bounds clamp to [1, length+1].
+    Known-positive literal starts with literal non-negative lengths (the
+    overwhelmingly common case, including every emission of the
+    index/slice pass) are left untouched so plans stay CASE-free."""
+    start, ln = args[1].strip(), args[2].strip()
+    if re.fullmatch(r"[1-9][0-9]*", start) and re.fullmatch(r"[0-9]+", ln):
         return None
-    return (
-        f"(CASE WHEN ({args[1]}) = 0 "
-        f"THEN substring({args[0]}, 1, greatest(({args[2]}) - 1, 0)) "
-        f"ELSE substring({args[0]}, {args[1]}, {args[2]}) END)"
+    s = args[0]
+    ns = (
+        f"(CASE WHEN ({args[1]}) < 0 THEN length({s}) + ({args[1]}) + 1 "
+        f"ELSE ({args[1]}) END)"
     )
+    lo = (
+        f"greatest(CASE WHEN ({args[2]}) < 0 THEN {ns} + ({args[2]}) "
+        f"ELSE {ns} END, 1)"
+    )
+    hi = (
+        f"least(CASE WHEN ({args[2]}) < 0 THEN {ns} "
+        f"ELSE {ns} + ({args[2]}) END, length({s}) + 1)"
+    )
+    return f"substring({s}, {lo}, greatest({hi} - {lo}, 0))"
 
 
 _FN_MACROS_N["SUBSTR"] = {3: _substr_zero_template}
 _FN_MACROS_N["SUBSTRING"] = {3: _substr_zero_template}
+
+
+def _round_int_template(args: list[str]) -> Optional[str]:
+    """DuckDB round(INTEGER, n) returns DOUBLE (12300.0, not 12300);
+    only detectable statically for integer literals — DECIMAL/DOUBLE
+    first arguments keep their exact typing and are left alone."""
+    if re.fullmatch(r"-?[0-9]+", args[0].strip()):
+        return f"round(CAST({args[0]} AS DOUBLE), {args[1]})"
+    return None
+
+
+_FN_MACROS_N["ROUND"] = {
+    2: _round_int_template,
+    1: lambda args: (
+        f"CAST({args[0]} AS DOUBLE)"
+        if re.fullmatch(r"-?[0-9]+", args[0].strip())
+        else None
+    ),
+}
+
+
+def _avg_double_template(args: list[str]) -> Optional[str]:
+    """DuckDB avg() ALWAYS returns DOUBLE — including DECIMAL inputs,
+    where Spark would return a widened DECIMAL. Casting the input keeps
+    the two engines' types (and rounding behavior) identical."""
+    a = args[0].strip()
+    if a.upper().startswith("DISTINCT"):
+        return f"avg(DISTINCT CAST({a[8:]} AS DOUBLE))"
+    if a == "*":
+        return None
+    return f"avg(CAST({a} AS DOUBLE))"
+
+
+_FN_MACROS_N["AVG"] = {1: _avg_double_template}
+_FN_MACROS_N["MEAN"] = {1: _avg_double_template}
+
+
+def _list_contains_null_template(args: list[str]) -> Optional[str]:
+    """list_contains(l, NULL) is NULL in DuckDB; Spark's array_contains
+    rejects an untyped NULL needle outright. Literal-NULL needles fold to
+    NULL; everything else falls through to the array_contains rename."""
+    if args[1].strip().upper() == "NULL":
+        return "CAST(NULL AS BOOLEAN)"
+    return None
+
+
+_LAMBDA_2PARAM_RE = re.compile(
+    r"^\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"\s*->(.*)$",
+    re.DOTALL,
+)
+
+
+def _lambda_index_shift(fn: str) -> "Callable[[list[str]], Optional[str]]":
+    """DuckDB's two-parameter list lambdas pass a 1-BASED element index;
+    Spark's transform/filter pass 0-based. Shift by substituting the
+    index parameter with (i + 1) in the body (word-boundary, so strings
+    rarely collide; single-param lambdas fall through to the rename)."""
+
+    def tmpl(args: list[str]) -> Optional[str]:
+        m = _LAMBDA_2PARAM_RE.match(args[1].strip())
+        if not m:
+            return None
+        x, idx, body = m.group(1), m.group(2), m.group(3)
+        shifted = re.sub(rf"\b{re.escape(idx)}\b", f"({idx} + 1)", body)
+        return f"{fn}({args[0]}, ({x}, {idx}) -> {shifted})"
+
+    return tmpl
+
+
+for _nm in ("LIST_TRANSFORM", "LIST_APPLY", "APPLY", "ARRAY_TRANSFORM"):
+    _FN_MACROS_N[_nm] = {2: _lambda_index_shift("transform")}
+for _nm in ("LIST_FILTER", "ARRAY_FILTER"):
+    _FN_MACROS_N[_nm] = {2: _lambda_index_shift("filter")}
+_FN_MACROS_N["LIST_CONTAINS"] = {2: _list_contains_null_template}
+_FN_MACROS_N["ARRAY_CONTAINS"] = {2: _list_contains_null_template}
+
+
+def _md5_number_half(offset: int) -> str:
+    """conv() of the byte-REVERSED hex half of md5 (DuckDB stores the
+    128-bit digest little-endian, so each UBIGINT half reads its 8 bytes
+    reversed); rendered as DECIMAL(20,0) — Spark's unsigned-64 stand-in."""
+    rev = " , ".join(
+        f"substring(__h, {offset + k}, 2)" for k in range(14, -1, -2)
+    )
+    expr = (
+        f"CAST(conv(concat({rev}), 16, 10) AS DECIMAL(20,0))"
+    )
+    return expr
+
+
+def _md5_number_template(lower: bool):
+    off = 17 if lower else 1
+
+    def tmpl(args: list[str]) -> str:
+        body = _md5_number_half(off).replace("__h", f"md5({args[0]})")
+        return body
+
+    return tmpl
+
+
+_FN_MACROS_N["MD5_NUMBER_LOWER"] = {1: _md5_number_template(True)}
+_FN_MACROS_N["MD5_NUMBER_UPPER"] = {1: _md5_number_template(False)}
+
+# 1-arg make_timestamp(microseconds-since-epoch); 6-arg stays Spark-native
+_FN_MACROS_N["MAKE_TIMESTAMP"] = {1: "timestamp_micros(CAST({0} AS BIGINT))"}
+# DuckDB regexp_extract_all defaults to group 0 (whole match); Spark's
+# default is group 1 and errors when the pattern has no groups
+_FN_MACROS_N["REGEXP_EXTRACT_ALL"] = {2: "regexp_extract_all({0}, {1}, 0)"}
+_FN_MACROS_N["EPOCH_NS"] = {1: "(unix_micros(CAST({0} AS TIMESTAMP)) * 1000)"}
+_FN_MACROS_N["EPOCH_US"] = {1: "unix_micros(CAST({0} AS TIMESTAMP))"}
+
+# to_<unit>(n) interval constructors -> Spark interval builders (day-time
+# units produce DayTimeIntervalType = python timedelta, like DuckDB;
+# month-based units produce YearMonthIntervalType)
+_FN_MACROS_N["TO_DAYS"] = {1: "make_dt_interval(CAST({0} AS INT))"}
+_FN_MACROS_N["TO_WEEKS"] = {1: "make_dt_interval(CAST({0} AS INT) * 7)"}
+_FN_MACROS_N["TO_HOURS"] = {1: "make_dt_interval(0, CAST({0} AS INT))"}
+_FN_MACROS_N["TO_MINUTES"] = {1: "make_dt_interval(0, 0, CAST({0} AS INT))"}
+_FN_MACROS_N["TO_SECONDS"] = {1: "make_dt_interval(0, 0, 0, {0})"}
+_FN_MACROS_N["TO_MILLISECONDS"] = {
+    1: "make_dt_interval(0, 0, 0, CAST({0} AS DOUBLE) / 1e3)"
+}
+_FN_MACROS_N["TO_MICROSECONDS"] = {
+    1: "make_dt_interval(0, 0, 0, CAST({0} AS DOUBLE) / 1e6)"
+}
+_FN_MACROS_N["TO_MONTHS"] = {1: "make_ym_interval(0, CAST({0} AS INT))"}
+_FN_MACROS_N["TO_YEARS"] = {1: "make_ym_interval(CAST({0} AS INT))"}
+_FN_MACROS_N["TO_DECADES"] = {1: "make_ym_interval(CAST({0} AS INT) * 10)"}
+_FN_MACROS_N["TO_CENTURIES"] = {1: "make_ym_interval(CAST({0} AS INT) * 100)"}
+_FN_MACROS_N["TO_MILLENNIA"] = {1: "make_ym_interval(CAST({0} AS INT) * 1000)"}
+
+# DuckDB to_binary(VARCHAR): the '0'/'1' bit string of the UTF-8 bytes
+_FN_MACROS_N["TO_BINARY"] = {
+    1: "array_join(transform(filter(split(CAST({0} AS STRING), ''), "
+       "c -> c <> ''), c -> lpad(bin(ascii(c)), 8, '0')), '')"
+}
+
+# parse_path family (system '/' separator form). parse_path keeps a
+# leading '/' as its own component and drops empties; dirname is the
+# FIRST component; dirpath is everything before the final component.
+_PARSE_COMPONENTS = (
+    "(CASE WHEN substring({0}, 1, 1) = '/' "
+    "THEN concat(array('/'), filter(split({0}, '/'), x -> x <> '')) "
+    "ELSE filter(split({0}, '/'), x -> x <> '') END)"
+)
+_FN_MACROS_N["PARSE_PATH"] = {1: _PARSE_COMPONENTS}
+_FN_MACROS_N["PARSE_DIRNAME"] = {
+    1: f"(CASE WHEN size({_PARSE_COMPONENTS}) > 1 "
+       f"THEN element_at({_PARSE_COMPONENTS}, 1) ELSE '' END)"
+}
+_FN_MACROS_N["PARSE_DIRPATH"] = {
+    1: "substring({0}, 1, greatest(length({0}) - "
+       "length(element_at(split({0}, '/'), -1)) - 1, 0))"
+}
+
+
+def _parse_filename_template(args: list[str]) -> str:
+    base = f"element_at(split({args[0]}, '/'), -1)"
+    if len(args) == 2 and args[1].strip().lower() == "true":
+        return f"regexp_replace({base}, '\\\\.[^.]*$', '')"
+    return base
+
+
+_FN_MACROS_N["PARSE_FILENAME"] = {
+    1: _parse_filename_template, 2: _parse_filename_template,
+}
 
 # aggregates where an in-call ORDER BY is a no-op DuckDB tolerates —
 # stripped by pass_strip_agg_order before anything else parses the call
@@ -3156,9 +3363,42 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             out[lo:hi] = [_sql_str(re.escape(sep))]
                     out[i] = _ident("split")
                 elif up == "REGEXP_MATCHES":
-                    # regexp_matches(s, re) -> (s RLIKE re)
+                    # regexp_matches(s, re[, flags]) -> (s RLIKE re);
+                    # literal flags fold into an inline (?ism) prefix on
+                    # a literal pattern (same scheme as 4-arg
+                    # regexp_extract)
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
+                    if len(spans) == 3:
+                        fsig = [
+                            tk
+                            for tk in out[spans[2][0] : spans[2][1]]
+                            if tk.kind not in (WS, COMMENT)
+                        ]
+                        psig = [
+                            tk
+                            for tk in out[spans[1][0] : spans[1][1]]
+                            if tk.kind not in (WS, COMMENT)
+                        ]
+                        if (
+                            len(fsig) == 1
+                            and fsig[0].kind == STRING
+                            and len(psig) == 1
+                            and psig[0].kind == STRING
+                        ):
+                            flags = "".join(
+                                ch
+                                for ch in _str_value(fsig[0])
+                                if ch in "ism"
+                            )
+                            pat = _str_value(psig[0])
+                            if flags:
+                                pat = f"(?{flags})" + pat
+                            out[spans[1][0] : spans[2][1]] = [
+                                _sql_str(pat)
+                            ]
+                            c = match_forward(out, n, "(", ")")
+                            spans = split_args(out, n + 1, c)
                     if len(spans) == 2:
                         (alo, ahi), (blo, bhi) = spans
                         new = (
@@ -3426,16 +3666,36 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                 elif up == "TIME_BUCKET":
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
-                    if len(spans) == 2:
+                    if len(spans) in (2, 3):
                         iv = _parse_interval_literal(
                             _trim(out[spans[0][0] : spans[0][1]])
                         )
-                        if iv is not None:
+                        off = (
+                            _parse_interval_literal(
+                                _trim(out[spans[2][0] : spans[2][1]])
+                            )
+                            if len(spans) == 3
+                            else (0, 0)
+                        )
+                        if iv is not None and off is not None:
                             arg_sig = _trim(out[spans[1][0] : spans[1][1]])
                             ts_txt = render(
                                 pass_function_renames(arg_sig, resolver)
                             )
+                            # 3-arg offset form: bucket(ts - off) + off
+                            off_iv = None
+                            if off != (0, 0):
+                                off_iv = (
+                                    f"make_ym_interval(0, {off[0]})"
+                                    if off[0]
+                                    else f"make_dt_interval(0, 0, 0, {off[1]})"
+                                )
+                                ts_txt = (
+                                    f"(CAST({ts_txt} AS TIMESTAMP) - {off_iv})"
+                                )
                             expanded = _time_bucket_sql(iv[0], iv[1], ts_txt)
+                            if off_iv is not None:
+                                expanded = f"({expanded} + {off_iv})"
                             # DuckDB returns DATE (any bucket width) when
                             # the input is a DATE — detectable here only
                             # for DATE literals / to_date(...) calls

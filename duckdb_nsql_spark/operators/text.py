@@ -142,6 +142,103 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def ngram_hashes(col: Column, n: int) -> Column:
+    """Distinct md5 hashes of the word n-grams of normalized text.
+
+    Documents shorter than ``n`` words contribute no grams. md5 over the
+    space-joined window is byte-identical in DuckDB, which is what makes
+    decontamination oracle-checkable cross-engine."""
+    words = F.split(normalize_text(col), WORD_SPLIT_RE)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.md5(F.array_join(F.slice(words, i, n), " ")),
+    )
+    # sequence(1, k) with k < 1 counts DOWNWARDS in Spark — guard short docs
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with an evaluation set (the standard n-gram-overlap
+    decontamination used for LLM training corpora).
+
+    Plan shape at 100 TB: the eval set is benchmark-sized (thousands of
+    documents), so its distinct gram hashes BROADCAST; the training side
+    is one map-only scan (normalize -> gram hashes -> explode) plus a
+    broadcast left join, then ONE shuffle to aggregate per-document hit
+    counts. No shuffle ever carries the corpus text itself — only
+    (doc_id, 32-byte hash) pairs for grams, and explode_outer keeps
+    gram-less (short) documents in the result with n_hits = 0.
+    """
+    eval_grams = (
+        eval_set.select(
+            F.explode(ngram_hashes(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exploded = train.select(
+        F.col(id_col),
+        F.explode_outer(ngram_hashes(F.col(text_col), n)).alias("g"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        exploded.join(broadcast(eval_grams), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct(
+                F.when(F.col("__hit").isNotNull(), F.col("g"))
+            )
+            .cast("int")
+            .alias("n_hits")
+        )
+        .select(
+            id_col,
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+# PII redaction patterns — ASCII-only constructs with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+# Replacement order matters: the earlier pattern must not leave text the
+# later ones would half-match.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub common PII shapes from a text column and count per-category
+    redactions. Pure built-in regexp work: map-only, codegen'd, zero
+    shuffles — a linear pass at any corpus size, with an exact DuckDB
+    twin (regexp_replace 'g' + regexp_extract_all)."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .alias(f"n_{name}")
+        for name, pat, _repl in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _name, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl.replace("$", "\\$"))
+    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_words: int = 64,

@@ -1783,6 +1783,117 @@ FROM n2, unnest(range(1, n_chunks + 1)) AS t(i)
 """
 
 
+# benchmark decontamination: the DuckDB twin reproduces the same
+# normalized-word 8-gram md5 hashes, the eval-set distinct-gram build,
+# and the per-training-doc distinct hit count (docs shorter than 8 words
+# contribute no grams and report n_hits = 0)
+ORACLE_DECONTAMINATE = f"""
+WITH norm AS (
+    SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 8 THEN
+               list_distinct(list_transform(range(1, len(w) - 6),
+                   i -> md5(array_to_string(w[i:i+7], ' '))))
+           ELSE [] END AS gs
+    FROM norm
+), eg AS (
+    SELECT DISTINCT t.g
+    FROM grams, unnest(gs) AS t(g)
+    WHERE doc_id % 17 = 3
+), tg AS (
+    SELECT gr.doc_id, t.g
+    FROM grams gr, unnest(gr.gs) AS t(g)
+    WHERE gr.doc_id % 17 <> 3
+), hits AS (
+    SELECT tg.doc_id, count(DISTINCT tg.g) AS n_hits
+    FROM tg JOIN eg ON eg.g = tg.g
+    GROUP BY tg.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 17 <> 3
+"""
+
+
+def op_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-overlap decontamination of the training split against a
+    deterministic 'benchmark' subset (doc_id % 17 = 3) — the standard
+    LLM-corpus hygiene step. Eval grams broadcast; one shuffle total."""
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.filter(F.col("doc_id") % 17 == 3)
+    train = docs.filter(F.col("doc_id") % 17 != 3)
+    return text_ops.decontaminate(train, eval_set, n=8)
+
+
+_PII_INJECT = """
+    CASE WHEN doc_id % 5 = 0
+             THEN ' contact user' || doc_id || '@example.com now'
+         WHEN doc_id % 5 = 1 THEN ' call 555-123-4567 today'
+         WHEN doc_id % 5 = 2 THEN ' ssn 123-45-6789 on file'
+         WHEN doc_id % 5 = 3 THEN ' from 192.168.1.42 logged'
+         ELSE '' END
+"""
+
+ORACLE_PII_REDACT = rf"""
+WITH injected AS (
+    SELECT doc_id, text || {_PII_INJECT} AS text
+    FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+           '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '[SSN]', 'g'),
+           '\b\d{{3}}[- ]\d{{3}}[- ]\d{{4}}\b', '[PHONE]', 'g'),
+           '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '[IP]', 'g'))
+           AS clean_md5,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS INTEGER)
+           AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{{3}}-\d{{2}}-\d{{4}}\b'))
+           AS INTEGER) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '\b\d{{3}}[- ]\d{{3}}[- ]\d{{4}}\b'))
+           AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(text,
+           '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS INTEGER)
+           AS n_ipv4
+FROM injected
+"""
+
+
+def op_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the documents table with deterministic PII
+    injected per doc_id class (so the redactor provably fires). Map-only;
+    the cleaned text rides as md5 to keep the compared relation narrow."""
+    docs = _docs(spark, sf_dir)
+    inject = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.lit(" call 555-123-4567 today"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" ssn 123-45-6789 on file"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" from 192.168.1.42 logged"))
+        .otherwise(F.lit(""))
+    )
+    injected = docs.select(
+        "doc_id", F.concat(F.col("text"), inject).alias("text")
+    )
+    out = text_ops.redact_pii(injected)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_email", "n_ssn", "n_phone", "n_ipv4",
+    )
+
+
 def op_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus preparation pipeline: quality gate → minhash-LSH
     dedup → overlapping chunks, all composed from the individually
@@ -2303,6 +2414,8 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_text_fingerprint": (op_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     "op_text_chunk": (op_text_chunk, ORACLE_TEXT_CHUNK),
     "op_corpus_prep": (op_corpus_prep, ORACLE_CORPUS_PREP),
+    "op_decontaminate": (op_decontaminate, ORACLE_DECONTAMINATE),
+    "op_pii_redact": (op_pii_redact, ORACLE_PII_REDACT),
     "op_skew_salted_agg": (op_skew_salted_agg, ORACLE_SKEW_AGG),
     "op_skew_salted_join": (op_skew_salted_join, ORACLE_SKEW_JOIN),
     "op_similarity_topk": (op_similarity_topk, ORACLE_SIM_TOPK),

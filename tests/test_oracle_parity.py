@@ -255,6 +255,99 @@ def test_function_edge_grid_round4b_matches_duckdb(spark, ddb):
     assert not diffs, diffs[:8]
 
 
+def test_function_edge_grid_round4c_matches_duckdb(spark, ddb):
+    """Fourth sweep wave: operator-function aliases (add/divide/...),
+    even/round/fdiv/fmod DOUBLE result types, HUGEINT/UBIGINT casts as
+    exact DECIMALs, 1-based two-parameter list lambdas, literal-NULL
+    list_contains, md5_number_lower/upper (byte-reversed UBIGINT halves),
+    negative-length substring, the parse_path family, 1-arg
+    make_timestamp, 3-arg time_bucket offsets, to_binary bitstrings,
+    to_<unit> interval constructors, epoch_ns/us, era, and DuckDB's
+    avg()-is-always-DOUBLE typing. Every cell must equal DuckDB."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    exprs = [
+        "even(-2.5)", "even(3)", "round(12345, -2)", "round(7)",
+        "fdiv(7.0, 2.0)", "fdiv(-7, 2)", "fmod(7, 3)", "fmod(-7.5, 2.0)",
+        "100000000000000000000::HUGEINT + 1", "1::UBIGINT + 5",
+        "divide(7, 2)", "divide(-7, 2)", "multiply(3, 4)",
+        "subtract(5, 9)", "add(2, 3)",
+        "list_transform([10,20], (x, i) -> x + i)",
+        "list_filter([10,20,30], (x,i) -> i > 1)",
+        "list_transform([1,2], x -> x * 2)",
+        "list_contains([1,NULL], NULL)", "list_contains([1,2], 2)",
+        "md5_number_lower('abc')", "md5_number_upper('abc')",
+        "md5_number_lower('')",
+        "substring('hello', 2, -1)", "substring('hello', 4, -2)",
+        "substring('hello', 1, -1)", "substring('hello', 3, -5)",
+        "substring('hello', -2, -2)", "substring('hello', 0, 3)",
+        "substring('hello', 2, 3)", "substr('hello', 4, -2)",
+        "parse_path('/a/b/c.txt')", "parse_path('a/b')",
+        "parse_path('a//b/')",
+        "parse_dirname('/a/b/c.txt')", "parse_dirname('rel/x.t')",
+        "parse_dirname('x.txt')",
+        "parse_dirpath('/a/b/c.txt')", "parse_dirpath('x.txt')",
+        "parse_dirpath('/x.txt')",
+        "parse_filename('/a/b/c.txt')",
+        "parse_filename('/a/b/c.txt', true)",
+        "parse_filename('x.tar.gz', true)",
+        "make_timestamp(1700000000000000)",
+        "make_timestamp(2024, 2, 29, 12, 30, 15.5)",
+        "time_bucket(INTERVAL '10 minutes', "
+        "TIMESTAMP '2024-01-01 10:33:00', INTERVAL '5 minutes')",
+        "time_bucket(INTERVAL '1 month', DATE '2024-05-05', "
+        "INTERVAL '1 month')",
+        "to_binary('ab')", "to_binary('')",
+        "to_days(3)", "to_hours(25)", "to_weeks(2)", "to_minutes(90)",
+        "to_seconds(90.5)", "to_milliseconds(1500)",
+        "to_microseconds(1500)",
+        "epoch_ns(TIMESTAMP '2024-01-01 00:00:01.5')",
+        "epoch_us(TIMESTAMP '2024-01-01 00:00:01.5')",
+        "extract(era FROM DATE '2024-01-01')",
+        "date_part('era', DATE '2024-01-01')",
+        # wave-4 probes that already matched, pinned against regression
+        "regexp_extract_all('a1b22c333', '\\d+')",
+        "regexp_split_to_array('a,b;c', '[,;]')",
+        "regexp_matches('abc', 'B', 'i')",
+        # MAP cells stringified: the two python clients render maps
+        # differently (duckdb: dict of key/value LISTS), values identical
+        "array_to_string(list_transform(map_entries(MAP {'a': 1, 'b': 2}),"
+        " e -> e.key || '=' || e.value), ',')",
+        "array_to_string(map_keys(map_concat(MAP {'a': 1}, MAP {'b': 2})),"
+        " ',')",
+        "array_to_string(map_values(map_concat(MAP {'a': 1}, "
+        "MAP {'b': 2})), ',')",
+        "cardinality(MAP {'a': 1, 'b': 2})",
+        "list_reduce([1,2,3], (a, b) -> a + b)",
+        "list_sort(list_intersect([1,2,3], [2,3,4]))",
+        "flatten([[1,2],[3]])",
+        "range(5, 1, -2)",
+        "translate('abcba', 'ab', 'xy')",
+        "instr('hello', 'll')",
+        "make_date(2024, 2, 29)",
+        "last_day(DATE '2024-02-05')",
+        "date_diff('week', DATE '2024-01-01', DATE '2024-01-20')",
+    ]
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    srow = [tuple(r) for r in eng.execute(sql).collect()][0]
+    drow = ddb.execute(sql).fetchall()[0]
+    diffs = [
+        (exprs[i], srow[i], drow[i])
+        for i in range(len(exprs))
+        if str(srow[i]) != str(drow[i])
+    ]
+    assert not diffs, diffs[:8]
+    # avg() returns DOUBLE even over DECIMAL inputs (typing divergence
+    # fixed by the AVG input cast)
+    asql = (
+        "SELECT avg(x) AS a, avg(DISTINCT x) AS b FROM (VALUES "
+        "(CAST(1 AS DECIMAL(10,2))), (CAST(2 AS DECIMAL(10,2)))) t(x)"
+    )
+    assert [tuple(r) for r in eng.execute(asql).collect()] == \
+        ddb.execute(asql).fetchall()
+
+
 def test_window_function_grid_matches_duckdb(spark, ddb):
     """Window battery: ranking family, lag/lead defaults, framed
     aggregates (ROWS/RANGE/interval RANGE), EXCLUDE CURRENT ROW

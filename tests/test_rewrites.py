@@ -669,8 +669,12 @@ def test_chr_strlen_listconcat_substr_zero():
     assert "octet_length" in rewrite_sql("SELECT strlen(s) FROM t")
     out = rewrite_sql("SELECT list_concat(a, b) FROM t")
     assert "flatten(filter(array(a, b)" in out
+    # start-0 / negative-start / negative-length substr expands to the
+    # clamped number-line form; plain positive literals stay CASE-free
     out2 = rewrite_sql("SELECT substr(s, 0, 3) FROM t")
-    assert "greatest((3) - 1, 0)" in out2
+    assert "greatest(" in out2 and "length(s)" in out2
+    out3 = rewrite_sql("SELECT substr(s, 2, 3) FROM t")
+    assert "CASE" not in out3
 
 
 def test_age_component_borrow_semantics():
