@@ -540,7 +540,7 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
                 sig_base[0].kind == IDENT
                 and sig_base[0].upper
                 in ("ARRAY", "SLICE", "SPLIT", "SEQUENCE", "COLLECT_LIST",
-                    "ARRAY_AGG", "STRING_SPLIT", "STR_SPLIT", "LIST_VALUE",
+                    "ARRAY_AGG", "STRING_SPLIT", "STR_SPLIT", "STRING_TO_ARRAY", "LIST_VALUE",
                     "ARRAY_DISTINCT", "ARRAY_SORT", "SORT_ARRAY", "TRANSFORM",
                     "FLATTEN", "ELEMENT_AT", "MAP_EXTRACT", "MAP_KEYS",
                     "MAP_VALUES")
@@ -1417,12 +1417,58 @@ def pass_cast_type_names(tokens: list[Token]) -> list[Token]:
                 out[p].is_kw("AS")
                 or (out[p].kind == OP and out[p].text == "::")
             ):
+                if t.upper in ("BLOB", "BYTEA"):
+                    # DuckDB blob literals spell raw bytes with \xNN
+                    # escapes; Spark strings keep them verbatim. A string
+                    # LITERAL operand becomes unhex('<bytes as hex>') so
+                    # '\x41\x42'::BLOB really is the bytes 0x41 0x42.
+                    q = prev_sig(out, p)
+                    if out[p].text == "::":
+                        lit = q  # operand immediately left of ::
+                    elif (
+                        q >= 0
+                        and out[q].kind == STRING
+                        and prev_sig(out, q) >= 0
+                        and out[prev_sig(out, q)].text == "("
+                    ):
+                        lit = q  # CAST('literal' AS BLOB)
+                    else:
+                        lit = -1
+                    if lit >= 0 and out[lit].kind == STRING:
+                        out[lit : lit + 1] = tokenize(
+                            f"unhex('{_blob_literal_hex(out[lit])}')"
+                        )
+                        # indices i/p shifted by the growth; re-find type
+                        while out[i].upper not in ("BLOB", "BYTEA"):
+                            i += 1
                 repl = tokenize(_CAST_TYPE_MAP.get(t.upper, "STRING"))
                 out[i : i + 1] = repl
                 i += len(repl)
                 continue
         i += 1
     return out
+
+
+def _blob_literal_hex(tok: Token) -> str:
+    """Hex of the bytes a DuckDB blob literal denotes: ``\\xNN`` escapes
+    become single bytes, other characters their UTF-8 bytes. The token
+    arrives backslash-doubled (pass_escape_backslashes ran first)."""
+    raw = _str_value(tok).replace("\\\\", "\\")
+    buf = bytearray()
+    i = 0
+    while i < len(raw):
+        if (
+            raw[i] == "\\"
+            and i + 4 <= len(raw)
+            and raw[i + 1].lower() == "x"
+            and re.fullmatch(r"[0-9a-fA-F]{2}", raw[i + 2 : i + 4])
+        ):
+            buf.append(int(raw[i + 2 : i + 4], 16))
+            i += 4
+        else:
+            buf += raw[i].encode("utf-8")
+            i += 1
+    return buf.hex()
 
 
 def _is_single_round_call(expr: list[Token]) -> bool:
@@ -1539,6 +1585,14 @@ _SIMPLE_RENAMES = {
     "LIST_VALUE": "array",
     "LIST_TRANSFORM": "transform",
     "LIST_FILTER": "filter",
+    "LIST_APPLY": "transform",
+    "APPLY": "transform",
+    "ARRAY_TRANSFORM": "transform",
+    "ARRAY_FILTER": "filter",
+    "LIST_PACK": "array",
+    # 1-based position, 0 when absent, NULL needle -> NULL (exact match)
+    "ARRAY_INDEXOF": "array_position",
+    "LIST_INDEXOF": "array_position",
     "LIST_MIN": "array_min",
     "LIST_MAX": "array_max",
     "LIST_DISTINCT": "array_distinct",
@@ -2257,6 +2311,30 @@ _FN_MACROS_N["MAKE_TIMESTAMP"] = {1: "timestamp_micros(CAST({0} AS BIGINT))"}
 # DuckDB regexp_extract_all defaults to group 0 (whole match); Spark's
 # default is group 1 and errors when the pattern has no groups
 _FN_MACROS_N["REGEXP_EXTRACT_ALL"] = {2: "regexp_extract_all({0}, {1}, 0)"}
+
+# list_extract/array_extract: 1-based, negative-from-end, NULL for index
+# 0 or out of range (DuckDB never errors here)
+_LIST_EXTRACT = (
+    "(CASE WHEN ({1}) = 0 THEN NULL "
+    "ELSE try_element_at({0}, CAST({1} AS INT)) END)"
+)
+_FN_MACROS_N["LIST_EXTRACT"] = {2: _LIST_EXTRACT}
+_FN_MACROS_N["ARRAY_EXTRACT"] = {2: _LIST_EXTRACT}
+
+
+def _contains_template(args: list[str]) -> Optional[str]:
+    """DuckDB contains() is polymorphic over strings, lists and maps;
+    Spark's is string-only. Dispatch the syntactically-detectable
+    literal list/map cases; anything else stays string contains()."""
+    a = args[0].lstrip()
+    if a.startswith("["):
+        return f"array_contains({args[0]}, {args[1]})"
+    if a.upper().startswith("MAP"):
+        return f"map_contains_key({args[0]}, {args[1]})"
+    return None
+
+
+_FN_MACROS_N["CONTAINS"] = {2: _contains_template}
 _FN_MACROS_N["EPOCH_NS"] = {1: "(unix_micros(CAST({0} AS TIMESTAMP)) * 1000)"}
 _FN_MACROS_N["EPOCH_US"] = {1: "unix_micros(CAST({0} AS TIMESTAMP))"}
 
@@ -2388,6 +2466,7 @@ def pass_strip_agg_order(tokens: list[Token]) -> list[Token]:
 
 _ARRAY_FUNCS = frozenset(
     "ARRAY SLICE SPLIT SEQUENCE COLLECT_LIST ARRAY_AGG STRING_SPLIT STR_SPLIT "
+    "STRING_TO_ARRAY "
     "LIST_VALUE ARRAY_DISTINCT ARRAY_SORT SORT_ARRAY TRANSFORM FLATTEN "
     "REGEXP_EXTRACT_ALL MAP_KEYS MAP_VALUES "
     "RANGE GENERATE_SERIES LIST_TRANSFORM LIST_FILTER LIST_SORT "
@@ -2860,6 +2939,26 @@ def pass_caret_power(tokens: list[Token]) -> list[Token]:
             out[i : i + 1] = [_ws(), _ident("div"), _ws()]
             i += 3
             continue
+        if t.kind == OP and t.text == "/":
+            # DuckDB `/` ALWAYS yields DOUBLE; Spark keeps DECIMAL for
+            # decimal operands. Statically fixable for decimal LITERALS:
+            # cast them to DOUBLE so 1.0/3.0 = 0.3333333333333333, not a
+            # scale-limited DECIMAL. (Decimal COLUMNS stay a documented
+            # divergence — type unknown at the text layer.)
+            def _is_dec_lit(k: int) -> bool:
+                return 0 <= k < len(out) and out[k].kind == NUMBER and (
+                    "." in out[k].text or "e" in out[k].text.lower()
+                )
+
+            p, nx = prev_sig(out, i), next_sig(out, i)
+            if _is_dec_lit(nx):  # right side first: left indices stable
+                out[nx : nx + 1] = tokenize(
+                    f"CAST({out[nx].text} AS DOUBLE)"
+                )
+            if _is_dec_lit(p):
+                repl = tokenize(f"CAST({out[p].text} AS DOUBLE)")
+                out[p : p + 1] = repl
+                i += len(repl) - 1  # the '/' shifted right
         if t.kind == OP and t.text in ("^", "**"):
             lp = prev_sig(out, i)
             rp = next_sig(out, i)
@@ -3351,7 +3450,7 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         out[i] = _ident("size")
                     elif up in ("LEN",):
                         out[i] = _ident("length")
-                elif up == "STRING_SPLIT" or up == "STR_SPLIT":
+                elif up in ("STRING_SPLIT", "STR_SPLIT", "STRING_TO_ARRAY"):
                     # split(s, sep) in Spark takes a regex -> quote the literal
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
@@ -3360,7 +3459,23 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                         sig = [tk for tk in out[lo:hi] if tk.kind not in (WS, COMMENT)]
                         if len(sig) == 1 and sig[0].kind == STRING:
                             sep = _str_value(sig[0])
-                            out[lo:hi] = [_sql_str(re.escape(sep))]
+                            # pass_escape_backslashes already ran: undo
+                            # its doubling to recover the true separator,
+                            # then re-double the regex escape so Spark's
+                            # literal unescape leaves the escape behind
+                            true_sep = sep.replace("\\\\", "\\")
+                            out[lo:hi] = [_sql_str(
+                                re.escape(true_sep).replace("\\", "\\\\")
+                            )]
+                        else:
+                            # non-literal separator: quote at runtime
+                            # with Java regex \Q...\E (any separator text
+                            # becomes literal, incl. regex metachars)
+                            out[lo:hi] = (
+                                tokenize("concat('\\\\Q', ")
+                                + _trim(out[lo:hi])
+                                + tokenize(", '\\\\E')")
+                            )
                     out[i] = _ident("split")
                 elif up == "REGEXP_MATCHES":
                     # regexp_matches(s, re[, flags]) -> (s RLIKE re);

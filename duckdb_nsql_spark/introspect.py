@@ -541,8 +541,12 @@ def duckdb_tables_df(spark: SparkSession, session) -> DataFrame:
         db = parts[0] if len(parts) > 1 else "memory"
         tbl = parts[-1]
         rows.append((
-            db, "main", tbl, False, False,
-            len(session._tables[name].columns), None,
+            db, "main", tbl,
+            session._comments.get(("table", name)),
+            False, name in getattr(session, "_temp_tables", set()),
+            len(session._tables[name].columns),
+            sum(1 for t in session._indexes.values() if t in (name, tbl)),
+            None,
         ))
     return local_df(
         spark, rows,
@@ -550,9 +554,11 @@ def duckdb_tables_df(spark: SparkSession, session) -> DataFrame:
             T.StructField("database_name", T.StringType()),
             T.StructField("schema_name", T.StringType()),
             T.StructField("table_name", T.StringType()),
+            T.StructField("comment", T.StringType()),
             T.StructField("internal", T.BooleanType()),
             T.StructField("temporary", T.BooleanType()),
             T.StructField("column_count", T.LongType()),
+            T.StructField("index_count", T.LongType()),
             T.StructField("sql", T.StringType()),
         ]),
     )
@@ -571,8 +577,9 @@ def duckdb_columns_df(spark: SparkSession, session) -> DataFrame:
         fixed = session._fixed_arrays.get(name, {})
         for i, f in enumerate(session._tables[name].schema.fields):
             rows.append((
-                db, "main", tbl, f.name, i + 1,
-                _type_name(f, fixed, overrides), f.nullable,
+                db, "main", tbl, f.name,
+                session._comments.get(("column", name, f.name.lower())),
+                i + 1, _type_name(f, fixed, overrides), f.nullable,
             ))
     return local_df(
         spark, rows,
@@ -581,6 +588,7 @@ def duckdb_columns_df(spark: SparkSession, session) -> DataFrame:
             T.StructField("schema_name", T.StringType()),
             T.StructField("table_name", T.StringType()),
             T.StructField("column_name", T.StringType()),
+            T.StructField("comment", T.StringType()),
             T.StructField("column_index", T.LongType()),
             T.StructField("data_type", T.StringType()),
             T.StructField("is_nullable", T.BooleanType()),

@@ -320,6 +320,12 @@ class DuckSparkSession:
         self._seq_pending: Optional[str] = None
         # PREPARE name AS <sql> -> statement text (EXECUTE binds args)
         self._prepared: dict[str, str] = {}
+        # CREATE INDEX name -> table (accepted, catalogued, physical no-op)
+        self._indexes: dict[str, str] = {}
+        # CREATE TEMP TABLE names: never written to the durable warehouse
+        self._temp_tables: set[str] = set()
+        # COMMENT ON: ("table"|"column", key[, col]) -> comment text
+        self._comments: dict[tuple, str] = {}
         # table -> PRIMARY KEY / UNIQUE column lists (conflict targets for
         # INSERT OR REPLACE / ON CONFLICT); first entry is the primary key
         self._unique_keys: dict[str, list[list[str]]] = {}
@@ -526,6 +532,7 @@ class DuckSparkSession:
             "CALL": self._call,
             "SET": self._set,
             "RESET": self._reset,
+            "COMMENT": self._comment,
             "PIVOT": self._pivot,
             "UNPIVOT": self._unpivot,
             "SUMMARIZE": self._summarize,
@@ -2056,8 +2063,14 @@ class DuckSparkSession:
         }
         return self._kind_cache
 
-    def _register_managed(self, name: str, df: DataFrame) -> None:
-        if self._warehouse is not None:
+    def _register_managed(
+        self, name: str, df: DataFrame, durable: bool = True
+    ) -> None:
+        if not durable:
+            self._temp_tables.add(name)
+        if name in self._temp_tables:
+            durable = False  # DML on a temp table stays in-session
+        if self._warehouse is not None and durable:
             # durable mode: copy-on-write parquet commit; the re-read scan
             # also truncates lineage, so no checkpoint cadence is needed
             meta = {
@@ -2096,8 +2109,42 @@ class DuckSparkSession:
         if words[j] == "OR" and words[j + 1] == "REPLACE":
             or_replace = True
             j += 2
-        kind = words[j]  # TABLE | VIEW | DATABASE | SCHEMA | MACRO
+        temp = False
+        if words[j] in ("TEMP", "TEMPORARY"):
+            # the in-session catalog IS temporary storage; a temp table
+            # additionally never reaches the durable warehouse
+            temp = True
+            j += 1
+        kind = words[j]  # TABLE | VIEW | DATABASE | SCHEMA | MACRO | INDEX
         j += 1
+        if kind == "UNIQUE" and words[j] == "INDEX":
+            kind = "INDEX"
+            j += 1
+        if kind == "INDEX":
+            # CREATE [UNIQUE] INDEX [IF NOT EXISTS] name ON table (cols):
+            # accepted and catalogued; physically a no-op (Spark's scan
+            # pruning plays the role of secondary indexes)
+            if words[j] == "IF":  # IF NOT EXISTS
+                j += 3
+                idx_ine = True
+            else:
+                idx_ine = False
+            idx_name = tokens[sig[j]].text.strip('"`')
+            j += 1
+            if words[j] != "ON":
+                raise ValueError(f"unsupported CREATE INDEX: {sql[:80]}")
+            tbl_name = tokens[sig[j + 1]].text.strip('"`')
+            if self._resolve_table_key(tbl_name) is None:
+                raise KeyError(
+                    f"Catalog Error: Table with name {tbl_name} does not exist!"
+                )
+            if idx_name in self._indexes and not idx_ine and not or_replace:
+                raise ValueError(
+                    f"Catalog Error: Index with name \"{idx_name}\" "
+                    "already exists!"
+                )
+            self._indexes[idx_name] = tbl_name
+            return None
         if kind in ("MACRO", "FUNCTION"):  # CREATE FUNCTION is DuckDB's alias
             return self._create_macro(tokens, sig, j, or_replace)
         if kind == "TYPE":  # CREATE TYPE mood AS ENUM ('sad', ...)
@@ -2136,13 +2183,13 @@ class DuckSparkSession:
             # CTAS materializes in DuckDB; registering the plan keeps it
             # lazy/distributed — results are recomputed from source (columnar
             # parquet) which Catalyst handles; small DDL tables may cache.
-            self._register_managed(name, df)
+            self._register_managed(name, df, durable=not temp)
             return None
         if nxt == "(":
             c = match_forward(tokens, sig[j], "(", ")")
             coldefs = self._parse_coldefs(tokens[sig[j] + 1 : c], name)
             empty = self.spark.createDataFrame([], coldefs)
-            self._register_managed(name, empty)
+            self._register_managed(name, empty, durable=not temp)
             return None
         raise ValueError(f"unsupported CREATE statement: {sql[:80]}")
 
@@ -2359,9 +2406,48 @@ class DuckSparkSession:
             ]
         return self._enum_types.get(ty_str.strip().lower())
 
+    def _comment(self, sql: str) -> None:
+        """COMMENT ON TABLE|VIEW|COLUMN target IS 'text' — stored in the
+        session catalog and surfaced by duckdb_tables()/duckdb_columns();
+        IS NULL clears the comment (DuckDB semantics)."""
+        m = re.match(
+            r"\s*COMMENT\s+ON\s+(TABLE|VIEW|COLUMN)\s+(.+?)\s+IS\s+"
+            r"(NULL|'(?:[^']|'')*')\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported COMMENT statement: {sql[:80]}")
+        kind, target, lit = m.group(1).upper(), m.group(2).strip(), m.group(3)
+        text = None if lit.upper() == "NULL" else lit[1:-1].replace("''", "'")
+        if kind == "COLUMN":
+            tbl, _, col = target.rpartition(".")
+            key = self._resolve_table_key(tbl.strip('"`'))
+            if key is None:
+                raise KeyError(
+                    f"Catalog Error: Table with name {tbl} does not exist!"
+                )
+            ckey = ("column", key, col.strip('"`').lower())
+            if text is None:
+                self._comments.pop(ckey, None)
+            else:
+                self._comments[ckey] = text
+            return None
+        key = self._resolve_table_key(target.strip('"`'))
+        if key is None:
+            raise KeyError(
+                f"Catalog Error: Table with name {target} does not exist!"
+            )
+        tkey = ("table", key)
+        if text is None:
+            self._comments.pop(tkey, None)
+        else:
+            self._comments[tkey] = text
+        return None
+
     def _drop(self, sql: str) -> None:
         m = re.match(
-            r"\s*DROP\s+(TABLE|VIEW|MACRO|FUNCTION|TYPE|SEQUENCE)\s+(IF\s+EXISTS\s+)?(.+?)\s*;?\s*$",
+            r"\s*DROP\s+(TABLE|VIEW|MACRO|FUNCTION|TYPE|SEQUENCE|INDEX)\s+(IF\s+EXISTS\s+)?(.+?)\s*;?\s*$",
             sql,
             re.IGNORECASE | re.DOTALL,
         )
@@ -2382,6 +2468,12 @@ class DuckSparkSession:
                     f"Catalog Error: Sequence with name {name} does not exist!"
                 )
             return None
+        if m.group(1).upper() == "INDEX":
+            if self._indexes.pop(name, None) is None and not m.group(2):
+                raise KeyError(
+                    f"Catalog Error: Index with name {name} does not exist!"
+                )
+            return None
         key = self._resolve_table_key(name)
         if key is None:
             if m.group(2):
@@ -2390,6 +2482,14 @@ class DuckSparkSession:
         del self._tables[key]
         self._table_files.pop(key, None)
         self._clear_table_meta(key, name)
+        self._temp_tables.discard(key)
+        self._temp_tables.discard(name)
+        self._indexes = {
+            k: v for k, v in self._indexes.items() if v not in (key, name)
+        }
+        self._comments = {
+            k: v for k, v in self._comments.items() if k[1] not in (key, name)
+        }
         if self._warehouse is not None:
             self._warehouse.drop_table(key)
         self.spark.catalog.dropTempView(self._view_name(key))
@@ -2959,6 +3059,7 @@ class DuckSparkSession:
     _TXN_STATE = (
         "_table_files", "_fixed_arrays", "_enum_cols", "_type_overrides",
         "_macros", "_enum_types", "_unique_keys", "_sequences", "_databases",
+        "_indexes", "_comments",
     )
 
     def _begin(self, sql: str) -> None:

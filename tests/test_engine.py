@@ -792,6 +792,57 @@ def test_durable_tables_survive_session_restart(spark, tmp_path):
         eng4.execute("SELECT * FROM empty_t")
 
 
+def test_temp_tables_comments_indexes(spark, tmp_path):
+    """CREATE TEMP TABLE (never reaches the durable warehouse), COMMENT
+    ON TABLE/COLUMN (surfaced via duckdb_tables()/duckdb_columns(), NULL
+    clears), and CREATE/DROP INDEX (catalogued no-op with DuckDB's
+    duplicate/missing error shapes)."""
+    import pytest as _pytest
+
+    from duckdb_nsql_spark import connect
+
+    wh = str(tmp_path / "wh2")
+    eng = connect(spark=spark, database=wh)
+    eng.execute("CREATE TABLE base (a INTEGER, b VARCHAR)")
+    eng.execute("CREATE TEMP TABLE scratch AS SELECT 42 AS x")
+    assert eng.execute("SELECT * FROM scratch").fetchall() == [(42,)]
+    # temp table is flagged and never persisted
+    tmp_flag = eng.execute(
+        "SELECT temporary FROM duckdb_tables() WHERE table_name='scratch'"
+    ).fetchall()
+    assert tmp_flag == [(True,)]
+    eng.execute("COMMENT ON TABLE base IS 'fact table'")
+    eng.execute("COMMENT ON COLUMN base.a IS 'the key'")
+    assert eng.execute(
+        "SELECT comment FROM duckdb_tables() WHERE table_name='base'"
+    ).fetchall() == [("fact table",)]
+    assert eng.execute(
+        "SELECT comment FROM duckdb_columns() "
+        "WHERE table_name='base' AND column_name='a'"
+    ).fetchall() == [("the key",)]
+    eng.execute("COMMENT ON TABLE base IS NULL")
+    assert eng.execute(
+        "SELECT comment FROM duckdb_tables() WHERE table_name='base'"
+    ).fetchall() == [(None,)]
+    eng.execute("CREATE INDEX i1 ON base(a)")
+    with _pytest.raises(Exception, match="already exists"):
+        eng.execute("CREATE INDEX i1 ON base(a)")
+    eng.execute("CREATE INDEX IF NOT EXISTS i1 ON base(a)")
+    eng.execute("DROP INDEX i1")
+    with _pytest.raises(Exception, match="does not exist"):
+        eng.execute("DROP INDEX i1")
+    eng.execute("DROP INDEX IF EXISTS i1")
+    eng.close()
+    # restart: durable table came back, temp table did not
+    eng2 = connect(spark=spark, database=wh)
+    assert eng2.execute(
+        "SELECT count(*) AS n FROM base"
+    ).fetchall() == [(0,)]
+    with _pytest.raises(Exception):
+        eng2.execute("SELECT * FROM scratch")
+    eng2.close()
+
+
 def test_cte_shadows_catalog_only_in_scope(loaded_engine):
     """A CTE named like a catalog table shadows it only inside the paren
     group that declares it (DuckDB subquery scoping) — an outer reference

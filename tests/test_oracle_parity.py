@@ -348,6 +348,53 @@ def test_function_edge_grid_round4c_matches_duckdb(spark, ddb):
         ddb.execute(asql).fetchall()
 
 
+def test_function_edge_grid_round4d_matches_duckdb(spark, ddb):
+    """Fifth sweep wave: decimal-LITERAL division is DOUBLE (DuckDB `/`
+    always is), list_extract/array_extract NULL-for-0/OOB semantics,
+    apply/array_transform/array_filter/list_pack/array_indexof renames,
+    string_to_array + literal-dot and RUNTIME separators for
+    string_split (regex-quoted via \\Q..\\E), and \\xNN blob literals
+    that decode to real bytes. Every cell must equal DuckDB."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    exprs = [
+        "CAST(1.0/3.0 AS VARCHAR)", "1.0/3.0", "10 / 4", "7 / 2.0",
+        "list_extract([1,2,3], -1)", "list_extract([1,2,3], 0)",
+        "list_extract([1,2,3], 5)", "array_extract([1,2,3], 2)",
+        "apply([1,2], x -> x + 1)", "apply([1,2], (x,i) -> x+i)",
+        "array_filter([1,2,3], x -> x > 1)",
+        "list_pack(1, 2)", "array_indexof([10,20], 20)",
+        "array_indexof([10,20], 99)",
+        "string_to_array('a.b', '.')", "string_split('a.b.c', '.')",
+        "string_split('a|b', '|')", "string_split('a+b', '+')",
+        "str_split('a' || chr(92) || 'b', chr(92))",
+        "string_split('a.b', substring('x.y', 2, 1))",
+        "'\\x41\\x42'::BLOB::VARCHAR",
+        "CAST('\\x41b'::BLOB AS VARCHAR)",
+        "octet_length('\\xff\\x00'::BLOB)",
+        "CAST(CAST('AB' AS BLOB) AS VARCHAR)",
+        # wave-5 probes that already matched, pinned vs regression
+        "TRY_CAST('12x' AS INTEGER)", "TRY_CAST('1.9' AS INTEGER)",
+        "CAST('  42  ' AS INTEGER)",
+        "levenshtein('kitten', 'sitting')",
+        "jaro_winkler_similarity('abc','abd')", "hamming('abc','abd')",
+        "gcd(12, 18)", "lcm(4, 6)", "bit_length('ab')",
+        "[1,2] < [1,3]", "[1,2] < [1,2,0]",
+        "len([1,2,3])", "ord('€')",
+        "base64('ab'::BLOB)", "from_base64('YWI=')",
+    ]
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    srow = [tuple(r) for r in eng.execute(sql).collect()][0]
+    drow = ddb.execute(sql).fetchall()[0]
+    diffs = [
+        (exprs[i], srow[i], drow[i])
+        for i in range(len(exprs))
+        if str(srow[i]) != str(drow[i])
+    ]
+    assert not diffs, diffs[:8]
+
+
 def test_window_function_grid_matches_duckdb(spark, ddb):
     """Window battery: ranking family, lag/lead defaults, framed
     aggregates (ROWS/RANGE/interval RANGE), EXCLUDE CURRENT ROW

@@ -186,7 +186,12 @@ def test_double_quoted_ident():
 
 def test_string_split():
     out = rewrite_sql("SELECT string_split(text, ' ') FROM documents")
-    assert "split(text" in out and "'\\ '" in out
+    # the regex escape arrives DOUBLED so Spark's literal unescape
+    # leaves a real '\ ' regex behind (single-backslash output was a
+    # latent bug: '\.' unescaped to bare '.' and split on everything)
+    assert "split(text" in out and "'\\\\ '" in out
+    out2 = rewrite_sql("SELECT string_split(text, '.') FROM documents")
+    assert "'\\\\.'" in out2
 
 
 def test_regexp_matches():
