@@ -322,6 +322,8 @@ class DuckSparkSession:
         self._prepared: dict[str, str] = {}
         # CREATE INDEX name -> table (accepted, catalogued, physical no-op)
         self._indexes: dict[str, str] = {}
+        # table -> column -> DEFAULT expression text (DuckDB dialect)
+        self._defaults: dict[str, dict[str, str]] = {}
         # CREATE TEMP TABLE names: never written to the durable warehouse
         self._temp_tables: set[str] = set()
         # COMMENT ON: ("table"|"column", key[, col]) -> comment text
@@ -360,6 +362,8 @@ class DuckSparkSession:
                     self._type_overrides[tname] = meta["type_overrides"]
                 if meta.get("fixed_arrays"):
                     self._fixed_arrays[tname] = meta["fixed_arrays"]
+                if meta.get("defaults"):
+                    self._defaults[tname] = meta["defaults"]
 
     # ------------------------------------------------------------------ API
 
@@ -2077,6 +2081,7 @@ class DuckSparkSession:
                 "enum_cols": self._enum_cols.get(name),
                 "type_overrides": self._type_overrides.get(name),
                 "fixed_arrays": self._fixed_arrays.get(name),
+                "defaults": self._defaults.get(name),
             }
             self.register(name, self._warehouse.save_table(
                 self.spark, name, df, meta
@@ -2357,9 +2362,32 @@ class DuckSparkSession:
                 ):
                     break
                 ty_tokens.append(tk)
-            tail_kws = {
-                tk.upper for tk in sig[1 + len(ty_tokens):] if tk.kind == IDENT
-            }
+            tail = sig[1 + len(ty_tokens):]
+            tail_kws = {tk.upper for tk in tail if tk.kind == IDENT}
+            if "DEFAULT" in tail_kws:
+                # DEFAULT <expr>: tokens up to the next top-level
+                # constraint keyword (expr may be parenthesized or a call)
+                d = next(
+                    k for k, tk in enumerate(tail)
+                    if tk.kind == IDENT and tk.upper == "DEFAULT"
+                )
+                depth = 0
+                expr_toks = []
+                for tk in tail[d + 1:]:
+                    if tk.kind == PUNCT and tk.text in "([{":
+                        depth += 1
+                    elif tk.kind == PUNCT and tk.text in ")]}":
+                        depth -= 1
+                    elif depth == 0 and tk.kind == IDENT and tk.upper in (
+                        "PRIMARY", "NOT", "NULL", "UNIQUE", "REFERENCES",
+                        "CHECK", "COLLATE",
+                    ) and expr_toks:
+                        break
+                    expr_toks.append(tk)
+                if expr_toks:
+                    self._defaults.setdefault(table, {})[col.lower()] = (
+                        " ".join(tk.text for tk in expr_toks)
+                    )
             if "PRIMARY" in tail_kws:
                 self._unique_keys.setdefault(table, []).insert(0, [col])
             elif "UNIQUE" in tail_kws:
@@ -2509,6 +2537,7 @@ class DuckSparkSession:
             self._fixed_arrays.pop(n, None)
             self._dml_depth.pop(n, None)
             self._unique_keys.pop(n, None)
+            self._defaults.pop(n, None)
 
     # ------------------------------------------------------------------ DML
 
@@ -2586,14 +2615,28 @@ class DuckSparkSession:
         else:
             j_pos = sig[j]
         target = self.table(name)
-        src_sql = self._expand_union_values_for_insert(
-            render(tokens[j_pos:]), target, cols
-        )
-        src = self._query(src_sql)
         key = self._resolve_table_key(name)
+        defaults = self._defaults.get(key) or self._defaults.get(name)
+        src_text = render(tokens[j_pos:]).strip().rstrip(";").strip()
+        if re.fullmatch(r"DEFAULT\s+VALUES", src_text, re.IGNORECASE):
+            # INSERT INTO t DEFAULT VALUES: one row of declared defaults
+            # (NULL where no default is declared)
+            parts = []
+            for f in target.schema.fields:
+                d = (defaults or {}).get(f.name.lower())
+                parts.append(
+                    f"({d}) AS \"{f.name}\"" if d else f"NULL AS \"{f.name}\""
+                )
+            src = self._query("SELECT " + ", ".join(parts))
+            cols = None
+        else:
+            src_sql = self._expand_union_values_for_insert(
+                src_text, target, cols
+            )
+            src = self._query(src_sql)
         if by_name:
             cols = list(src.columns)
-        aligned = self._align_insert(src, target, cols)
+        aligned = self._align_insert(src, target, cols, defaults)
         self._check_fixed_arrays(key, aligned)
         self._check_enums(key, aligned)
         if conflict_mode is not None:
@@ -2819,7 +2862,11 @@ class DuckSparkSession:
         return "VALUES " + ", ".join(out_rows)
 
     def _align_insert(
-        self, src: DataFrame, target: DataFrame, cols: Optional[list[str]]
+        self,
+        src: DataFrame,
+        target: DataFrame,
+        cols: Optional[list[str]],
+        defaults: Optional[dict[str, str]] = None,
     ) -> DataFrame:
         tfields = target.schema.fields
         src_types = {c: f.dataType for c, f in zip(src.columns, src.schema.fields)}
@@ -2868,6 +2915,11 @@ class DuckSparkSession:
         for f in tfields:
             if f.name.lower() in by_name:
                 exprs.append(coerce(by_name[f.name.lower()], f))
+            elif defaults and f.name.lower() in defaults:
+                dexpr = rewrites.rewrite_sql(
+                    defaults[f.name.lower()], self._resolver
+                )
+                exprs.append(F.expr(dexpr).cast(f.dataType).alias(f.name))
             else:
                 exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
         return src.select(*exprs)
@@ -2913,6 +2965,9 @@ class DuckSparkSession:
 
     def _update(self, sql: str) -> DataFrame:
         sql, returning = self._split_returning(sql)
+        parts = _split_update_from(sql)
+        if parts is not None:
+            return self._update_from(*parts, returning)
         m = re.match(
             r"\s*UPDATE\s+([\w.\"`]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
             sql,
@@ -2923,6 +2978,15 @@ class DuckSparkSession:
         name = m.group(1).strip('"`')
         key = self._resolve_table_key(name)
         df = self.table(name)
+        if re.search(
+            r"\(\s*SELECT\b", m.group(2) + " " + (m.group(3) or ""),
+            re.IGNORECASE,
+        ):
+            # subquery in SET or WHERE: resolve table names through the
+            # full engine query path (F.expr can't see the session catalog)
+            return self._update_via_sql(
+                name, key, df, m.group(2), m.group(3), returning
+            )
         assignments: dict[str, str] = {}
         for frag in _split_top_commas(m.group(2)):
             col, _, expr = frag.partition("=")
@@ -2964,8 +3028,162 @@ class DuckSparkSession:
             return self._returning_result(touched, returning)
         return self._count_df(-1)
 
+    def _update_via_sql(
+        self,
+        name: str,
+        key: str,
+        df: DataFrame,
+        set_text: str,
+        where_text: Optional[str],
+        returning: Optional[str],
+    ) -> DataFrame:
+        """Plain UPDATE whose assignments contain scalar subqueries:
+        build one SELECT over a view of the table so subquery table
+        names resolve through the session catalog."""
+        view = self._fresh_view(df)
+        alias = name.split(".")[-1]
+        assigns = {
+            c.strip().strip('"`').lower(): e.strip()
+            for c, _, e in (
+                frag.partition("=") for frag in _split_top_commas(set_text)
+            )
+        }
+        parts = []
+        for f in df.schema.fields:
+            if f.name.lower() in assigns:
+                e = assigns[f.name.lower()]
+                if where_text:
+                    e = (
+                        f"CASE WHEN ({where_text}) THEN ({e}) "
+                        f"ELSE \"{f.name}\" END"
+                    )
+                parts.append(
+                    f"CAST(({e}) AS {f.dataType.simpleString()}) "
+                    f"AS \"{f.name}\""
+                )
+            else:
+                parts.append(f'"{f.name}"')
+        new = self._query(
+            f"SELECT {', '.join(parts)} FROM {view} AS \"{alias}\""
+        )
+        self._register_managed(key, new)
+        if returning is not None:
+            flt = f" WHERE coalesce(({where_text}), false)" if where_text else ""
+            touched = self._query(
+                f"SELECT {', '.join(parts)} FROM {view} AS \"{alias}\"{flt}"
+            )
+            return self._returning_result(touched, returning)
+        return self._count_df(-1)
+
+    def _update_from(
+        self,
+        name: str,
+        set_text: str,
+        from_text: str,
+        where_text: Optional[str],
+        returning: Optional[str],
+    ) -> DataFrame:
+        """``UPDATE t SET ... FROM u [WHERE ...]`` (Postgres/DuckDB
+        join-update): target rows matching the FROM/WHERE join take the
+        assignment values (which may reference FROM columns); unmatched
+        rows are unchanged; a row with several matches takes one
+        arbitrary match (DuckDB picks one too).
+
+        Plan shape: rowid-tagged target JOIN from-list -> first match per
+        rowid -> LEFT join back -> per-column CASE. Two shuffles on the
+        synthetic rowid; the from-list side broadcasts when small."""
+        key = self._resolve_table_key(name)
+        if key is None:
+            raise KeyError(f"Catalog Error: Table with name {name} does not exist!")
+        df = self.table(name)
+        # the rowid tag MUST be pinned: the lazy plan is scanned twice
+        # (directly and through the match view) and again by later
+        # statements — re-evaluated monotonically_increasing_id can
+        # re-number rows differently and corrupt the join-back. An eager
+        # localCheckpoint freezes the numbering (DuckDB materializes
+        # DML results too; a cluster deployment would use Delta MERGE).
+        tagged = df.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        view = self._fresh_view(tagged)
+        alias = name.split(".")[-1]
+        assigns = [
+            (c.strip().strip('"`').lower(), e.strip())
+            for c, _, e in (
+                frag.partition("=") for frag in _split_top_commas(set_text)
+            )
+        ]
+        sel = [f'"{alias}".__rid AS __rid'] + [
+            f"({e}) AS \"__new_{c}\"" for c, e in assigns
+        ]
+        match_sql = (
+            f"SELECT {', '.join(sel)} FROM {view} AS \"{alias}\", {from_text}"
+            + (f" WHERE {where_text}" if where_text else "")
+        )
+        matches = self._query(match_sql).dropDuplicates(["__rid"])
+        joined = tagged.join(
+            matches.withColumn("__matched", F.lit(True)), "__rid", "left"
+        )
+        exprs = []
+        assigned = {c for c, _ in assigns}
+        for f in df.schema.fields:
+            if f.name.lower() in assigned:
+                exprs.append(
+                    F.when(
+                        F.col("__matched").isNotNull(),
+                        F.col(f"__new_{f.name.lower()}"),
+                    )
+                    .otherwise(F.col(f.name))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
+            else:
+                exprs.append(F.col(f.name))
+        new = joined.select(*exprs)
+        self._register_managed(key, new)
+        if returning is not None:
+            touched = joined.filter(F.col("__matched").isNotNull()).select(*exprs)
+            return self._returning_result(touched, returning)
+        return self._count_df(-1)
+
     def _delete(self, sql: str) -> DataFrame:
         sql, returning = self._split_returning(sql)
+        mu = re.match(
+            r"\s*DELETE\s+FROM\s+([\w.\"`]+)\s+USING\s+(.*?)"
+            r"(?:\s+WHERE\s+(.*))?\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if mu:
+            # DELETE .. USING: drop target rows with ANY match in the
+            # using-list under the predicate (anti-join on a synthetic
+            # rowid — never multiplies the kept rows)
+            name = mu.group(1).strip('"`')
+            key = self._resolve_table_key(name)
+            if key is None:
+                raise KeyError(
+                    f"Catalog Error: Table with name {name} does not exist!"
+                )
+            df = self.table(name)
+            # pinned rowids: see _update_from — double-scanned lazy
+            # mono-ids can renumber and break the anti-join
+            tagged = df.withColumn(
+                "__rid", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            view = self._fresh_view(tagged)
+            alias = name.split(".")[-1]
+            match_sql = (
+                f"SELECT DISTINCT \"{alias}\".__rid AS __rid "
+                f"FROM {view} AS \"{alias}\", {mu.group(2)}"
+                + (f" WHERE {mu.group(3)}" if mu.group(3) else "")
+            )
+            rids = self._query(match_sql)
+            new = tagged.join(rids, "__rid", "left_anti").drop("__rid")
+            deleted = tagged.join(rids, "__rid", "left_semi").drop("__rid")
+            self._register_managed(key, new)
+            if returning is not None:
+                return self._returning_result(deleted, returning)
+            return self._count_df(-1)
         m = re.match(
             r"\s*DELETE\s+FROM\s+([\w.\"`]+)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
             sql,
@@ -3059,7 +3277,7 @@ class DuckSparkSession:
     _TXN_STATE = (
         "_table_files", "_fixed_arrays", "_enum_cols", "_type_overrides",
         "_macros", "_enum_types", "_unique_keys", "_sequences", "_databases",
-        "_indexes", "_comments",
+        "_indexes", "_comments", "_defaults",
     )
 
     def _begin(self, sql: str) -> None:
@@ -3925,6 +4143,42 @@ def _format_memory(v: str) -> str:
         if nbytes >= size:
             return f"{round(nbytes / size, 1):.1f} {unit}"
     return f"{nbytes:.0f} bytes"
+
+
+def _split_update_from(sql: str):
+    """Split ``UPDATE t SET ... FROM ... [WHERE ...]`` on DEPTH-0
+    keywords (a FROM inside a scalar-subquery assignment is not a join
+    clause). Returns (name, set_text, from_text, where_text) or None
+    when there is no top-level FROM."""
+    tokens = tokenize(sql)
+    depth = 0
+    set_i = from_i = where_i = None
+    for i, t in enumerate(tokens):
+        if t.kind == PUNCT and t.text in "([{":
+            depth += 1
+        elif t.kind == PUNCT and t.text in ")]}":
+            depth -= 1
+        elif depth == 0 and t.kind == IDENT:
+            if t.upper == "SET" and set_i is None:
+                set_i = i
+            elif t.upper == "FROM" and set_i is not None and from_i is None:
+                from_i = i
+            elif t.upper == "WHERE" and from_i is not None:
+                where_i = i
+                break
+    if set_i is None or from_i is None:
+        return None
+    upd = next_sig(tokens, -1)
+    name = render(tokens[upd + 1 : set_i]).strip().strip('"`')
+    set_text = render(tokens[set_i + 1 : from_i]).strip()
+    end = where_i if where_i is not None else len(tokens)
+    from_text = render(tokens[from_i + 1 : end]).strip().rstrip(";").strip()
+    where_text = (
+        render(tokens[where_i + 1 :]).strip().rstrip(";").strip()
+        if where_i is not None
+        else None
+    )
+    return name, set_text, from_text, where_text
 
 
 def _collect_cte_names(tokens: list[Token]) -> set[str]:

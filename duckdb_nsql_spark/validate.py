@@ -21,7 +21,7 @@ STMT_HEADS = QUERY_HEADS + (
     "SUMMARIZE", "DESCRIBE", "DESC", "SHOW", "BEGIN", "COMMIT", "ROLLBACK",
     "MERGE", "TRUNCATE", "PREPARE", "EXECUTE", "DEALLOCATE",
     "EXPORT", "IMPORT", "CHECKPOINT", "VACUUM", "ANALYZE",
-    "START", "END", "ABORT", "PIVOT", "UNPIVOT",
+    "START", "END", "ABORT", "PIVOT", "UNPIVOT", "COMMENT",
 )
 
 

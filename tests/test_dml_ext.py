@@ -502,3 +502,47 @@ def test_insert_by_name_matches_duckdb(engine, duck):
     assert [tuple(r) for r in engine.execute(q).collect()] == (
         duck.execute(q).fetchall()
     )
+
+
+def test_update_from_delete_using_defaults_matches_duckdb(engine, duck):
+    """UPDATE..FROM (join update), DELETE..USING (anti-join delete),
+    scalar-subquery SET/WHERE, column DEFAULTs on partial INSERT, and
+    INSERT..DEFAULT VALUES — every statement replayed on DuckDB, every
+    intermediate table state compared."""
+    setup = [
+        "CREATE TABLE t1 (id INTEGER, v VARCHAR)",
+        "INSERT INTO t1 VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+        "CREATE TABLE t2 (id INTEGER, v VARCHAR)",
+        "INSERT INTO t2 VALUES (2, 'B'), (3, 'C')",
+    ]
+    checks = [
+        "UPDATE t1 SET v = t2.v FROM t2 WHERE t1.id = t2.id",
+        "UPDATE t1 SET v = upper(v) WHERE id = (SELECT min(id) FROM t2)",
+        "UPDATE t1 SET v = (SELECT max(v) FROM t2) WHERE id = 1",
+        "DELETE FROM t1 USING t2 WHERE t1.id = t2.id AND t1.v = 'B'",
+        "UPDATE t1 SET v = 'z' || id",
+        "DELETE FROM t1 USING t2 WHERE t1.id = t2.id",
+    ]
+    for s in setup:
+        engine.execute(s)
+        duck.execute(s)
+    for s in checks:
+        engine.execute(s)
+        duck.execute(s)
+        q = "SELECT * FROM t1 ORDER BY id"
+        assert [tuple(r) for r in engine.execute(q).collect()] == (
+            duck.execute(q).fetchall()
+        ), s
+    for s in (
+        "CREATE TABLE t3 (id INTEGER DEFAULT 9, v VARCHAR DEFAULT 'dv', "
+        "w DOUBLE)",
+        "INSERT INTO t3 (v) VALUES ('x')",
+        "INSERT INTO t3 DEFAULT VALUES",
+        "INSERT INTO t3 (w) VALUES (1.5)",
+    ):
+        engine.execute(s)
+        duck.execute(s)
+    q = "SELECT * FROM t3 ORDER BY v NULLS LAST, w NULLS LAST"
+    assert [tuple(r) for r in engine.execute(q).collect()] == (
+        duck.execute(q).fetchall()
+    )
