@@ -1677,9 +1677,9 @@ _FN_MACROS = {
     # exact interpolated quantile: DuckDB quantile_cont == Spark percentile
     # (both take a scalar or an array of fractions)
     "QUANTILE_CONT": "percentile({a}, {b})",
-    # discrete quantile: smallest value with cume_dist >= p in both engines
-    "QUANTILE_DISC": "percentile_disc({b}) WITHIN GROUP (ORDER BY {a})",
-    "QUANTILE": "percentile_disc({b}) WITHIN GROUP (ORDER BY {a})",
+    # (QUANTILE_DISC/QUANTILE live in _FN_MACROS_N: the sorted-collect
+    # form preserves the input's type — Spark's percentile_disc always
+    # returns DOUBLE, DuckDB returns an actual element)
     # DuckDB xor() function -> Spark's ^ operator (safe AFTER
     # pass_caret_power has claimed user-written carets as exponentiation)
     "XOR": "({a} ^ {b})",
@@ -2308,6 +2308,45 @@ _FN_MACROS_N["MD5_NUMBER_UPPER"] = {1: _md5_number_template(False)}
 
 # 1-arg make_timestamp(microseconds-since-epoch); 6-arg stays Spark-native
 _FN_MACROS_N["MAKE_TIMESTAMP"] = {1: "timestamp_micros(CAST({0} AS BIGINT))"}
+def _disc_pick_sql(value_txt: str, q_txt: str) -> str:
+    """Smallest element with cumulative distribution >= q (DuckDB
+    quantile_disc), type-preserving: 1-indexed pick from the sorted
+    non-null collect (Catalyst deduplicates the repeated aggregate)."""
+    base = f"array_sort(collect_list({value_txt}))"
+    return (
+        f"element_at({base}, greatest(CAST(ceil(({q_txt}) * size({base})) "
+        f"AS INT), 1))"
+    )
+
+
+def _quantile_disc_template(args: list[str]) -> str:
+    a, q = args[0], args[1].strip()
+    # literal fraction list (raw [..] or the array-literal pass's
+    # array(..)) -> array of picks (exact, type-kept)
+    inner = None
+    if q.startswith("[") and q.endswith("]"):
+        inner = q[1:-1]
+    else:
+        m = re.fullmatch(r"array\s*\((.*)\)", q, re.IGNORECASE | re.DOTALL)
+        if m and "(" not in m.group(1):
+            inner = m.group(1)
+    if inner is not None:
+        items = [s.strip() for s in inner.split(",") if s.strip()]
+        return "array(" + ", ".join(_disc_pick_sql(a, it) for it in items) + ")"
+    return _disc_pick_sql(a, q)
+
+
+_FN_MACROS_N["QUANTILE_DISC"] = {2: _quantile_disc_template}
+_FN_MACROS_N["QUANTILE"] = {2: _quantile_disc_template}
+
+# multi-argument grouping(a, b, ...) -> Spark's grouping_id bitmask
+# (identical bit layout; 1-arg grouping() is native in both)
+_FN_MACROS_N["GROUPING"] = {
+    2: "grouping_id({0}, {1})",
+    3: "grouping_id({0}, {1}, {2})",
+    4: "grouping_id({0}, {1}, {2}, {3})",
+}
+
 # DuckDB regexp_extract_all defaults to group 0 (whole match); Spark's
 # default is group 1 and errors when the pattern has no groups
 _FN_MACROS_N["REGEXP_EXTRACT_ALL"] = {2: "regexp_extract_all({0}, {1}, 0)"}
@@ -3270,6 +3309,132 @@ def pass_filter_where(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def pass_window_filter(tokens: list[Token]) -> list[Token]:
+    """``agg(x) FILTER (WHERE p) OVER (...)`` — DuckDB allows FILTER on
+    window aggregates; Spark does not. Fold the predicate into the
+    argument: ``agg(CASE WHEN p THEN x END) OVER (...)`` (count(*)
+    counts ``CASE WHEN p THEN 1 END``). Aggregate-position FILTER (no
+    OVER) stays native Spark."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == IDENT and t.upper == "FILTER"):
+            i += 1
+            continue
+        p = prev_sig(out, i)
+        o = next_sig(out, i)
+        if not (p >= 0 and out[p].text == ")" and o < len(out) and out[o].text == "("):
+            i += 1
+            continue
+        fc = match_forward(out, o, "(", ")")
+        after = next_sig(out, fc)
+        if not (after < len(out) and out[after].is_kw("OVER")):
+            i += 1
+            continue
+        # matching open paren of the agg call
+        depth = 0
+        ao = None
+        for k in range(p, -1, -1):
+            tk = out[k]
+            if tk.kind == PUNCT and tk.text == ")":
+                depth += 1
+            elif tk.kind == PUNCT and tk.text == "(":
+                depth -= 1
+                if depth == 0:
+                    ao = k
+                    break
+        if ao is None:
+            i += 1
+            continue
+        fn = prev_sig(out, ao)
+        if fn < 0 or out[fn].kind != IDENT:
+            i += 1
+            continue
+        args = _trim(out[ao + 1 : p])
+        w = next_sig(out, o)
+        pred_lo = next_sig(out, w) if w < fc and out[w].is_kw("WHERE") else w
+        pred = render(_trim(out[pred_lo:fc])).strip()
+        args_txt = render(args).strip()
+        if out[fn].upper == "COUNT" and args_txt == "*":
+            new_args = f"CASE WHEN {pred} THEN 1 END"
+        elif args and not any(
+            tk.kind == PUNCT and tk.text == ","
+            for tk in _trim_depth0(args)
+        ) and not (args[0].kind == IDENT and args[0].upper == "DISTINCT"):
+            new_args = f"CASE WHEN {pred} THEN ({args_txt}) END"
+        else:
+            i += 1
+            continue
+        new_toks = tokenize(f"{out[fn].text}({new_args})")
+        out = out[:fn] + new_toks + out[fc + 1 :]
+        i = fn + len(new_toks)
+    return out
+
+
+def _trim_depth0(span: list[Token]) -> list[Token]:
+    """Tokens of ``span`` at parenthesis depth 0 (for top-level comma
+    detection)."""
+    depth = 0
+    flat = []
+    for tk in span:
+        if tk.kind == PUNCT and tk.text in "([{":
+            depth += 1
+        elif tk.kind == PUNCT and tk.text in ")]}":
+            depth -= 1
+        elif depth == 0:
+            flat.append(tk)
+    return flat
+
+
+_GENERATOR_FNS = ("EXPLODE", "EXPLODE_OUTER", "POSEXPLODE", "INLINE",
+                  "UNNEST")
+
+
+def pass_lateral_generators(tokens: list[Token]) -> list[Token]:
+    """A generator table function after a comma in a FROM list —
+    ``FROM g, unnest([x, x+1]) AS u(e)`` — may reference the preceding
+    relations' columns (DuckDB's implicit lateral). Spark needs the
+    LATERAL keyword there; prepending it is also correct for the
+    uncorrelated case."""
+    out = list(tokens)
+    from_depth = None  # depth of the FROM list we are inside, else None
+    depth = 0
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == PUNCT and t.text in "([{":
+            depth += 1
+        elif t.kind == PUNCT and t.text in ")]}":
+            depth -= 1
+            if from_depth is not None and depth < from_depth:
+                from_depth = None  # left the FROM list's scope
+        elif t.kind == IDENT and t.upper == "FROM":
+            from_depth = depth
+        elif t.kind == IDENT and t.upper in (
+            "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "SELECT",
+            "WINDOW", "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "ON",
+        ) and from_depth == depth:
+            from_depth = None
+        elif (
+            from_depth == depth
+            and t.kind == PUNCT
+            and t.text == ","
+        ):
+            n = next_sig(out, i)
+            if (
+                n < len(out)
+                and out[n].kind == IDENT
+                and out[n].upper in _GENERATOR_FNS
+            ):
+                o = next_sig(out, n)
+                if o < len(out) and out[o].text == "(":
+                    out[i + 1 : i + 1] = [_ws(), _ident("LATERAL")]
+                    i += 2
+        i += 1
+    return out
+
+
 def pass_from_first_subquery(tokens: list[Token]) -> list[Token]:
     """``(FROM t ...)`` subqueries (EXISTS/IN/scalar positions): Spark
     only accepts FROM-first at the top level — prepend SELECT *."""
@@ -4143,10 +4308,12 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             out = out[:i] + new_toks + out[c + 1 :]
                             i += len(new_toks)
                             continue
-                elif up in ("FIRST", "LAST"):
+                elif up in ("FIRST", "LAST", "ANY_VALUE"):
                     # DuckDB first/last with in-call ORDER BY -> min_by /
                     # max_by (single reduction, no sort — the scale-correct
                     # plan). Orderless first/last pass through to Spark's.
+                    # any_value(v ORDER BY k) picks the first NON-NULL v in
+                    # key order: min_by over a key nulled out on null v.
                     c = match_forward(out, n, "(", ")")
                     depth = 0
                     p = None
@@ -4182,8 +4349,11 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                                     _trim(out[n + 1 : p]), resolver))
                                 k_txt = (keys[0] if len(keys) == 1
                                          else "struct(" + ", ".join(keys) + ")")
-                                takes_min = (up == "FIRST") == (dirs[0] == "ASC")
+                                takes_min = (up != "LAST") == (dirs[0] == "ASC")
                                 fn = "min_by" if takes_min else "max_by"
+                                if up == "ANY_VALUE":
+                                    k_txt = (f"(CASE WHEN ({v_txt}) IS NOT "
+                                             f"NULL THEN {k_txt} END)")
                                 expanded = f"{fn}({v_txt}, {k_txt})"
                                 if up == "LAST" and len(keys) == 1:
                                     # NULL keys sort LAST under the default
@@ -4201,6 +4371,50 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                                 out = out[:i] + new_toks + out[c + 1 :]
                                 i += len(new_toks)
                                 continue
+                elif up == "PERCENTILE_DISC":
+                    # percentile_disc(q) WITHIN GROUP (ORDER BY x) —
+                    # Spark's native version returns DOUBLE; the
+                    # sorted-collect pick keeps the element type like
+                    # DuckDB. DESC orderings stay native (rare).
+                    c = match_forward(out, n, "(", ")")
+                    w = next_sig(out, c)
+                    g = next_sig(out, w) if w < len(out) else len(out)
+                    o2 = next_sig(out, g) if g < len(out) else len(out)
+                    if (
+                        w < len(out)
+                        and out[w].is_kw("WITHIN")
+                        and g < len(out)
+                        and out[g].is_kw("GROUP")
+                        and o2 < len(out)
+                        and out[o2].text == "("
+                    ):
+                        c2 = match_forward(out, o2, "(", ")")
+                        inner = _trim(out[o2 + 1 : c2])
+                        if (
+                            len(inner) > 2
+                            and inner[0].is_kw("ORDER")
+                            and inner[1:]
+                            and not (
+                                inner[-1].kind == IDENT
+                                and inner[-1].upper == "DESC"
+                            )
+                        ):
+                            by = next_sig(inner, 0)
+                            expr_toks = _trim(inner[by + 1 :])
+                            if expr_toks and expr_toks[-1].kind == IDENT \
+                                    and expr_toks[-1].upper == "ASC":
+                                expr_toks = _trim(expr_toks[:-1])
+                            v_txt = render(pass_function_renames(
+                                expr_toks, resolver))
+                            q_txt = render(pass_function_renames(
+                                _trim(out[n + 1 : c]), resolver))
+                            expanded = _quantile_disc_template(
+                                [v_txt, q_txt]
+                            )
+                            new_toks = tokenize(expanded)
+                            out = out[:i] + new_toks + out[c2 + 1 :]
+                            i += len(new_toks)
+                            continue
                 elif up == "FORMAT":
                     # DuckDB fmt-style format('{} x {}', ...) ->
                     # format_string('%s x %s', ...); positional {N} ->
@@ -4548,7 +4762,9 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_distinct_on(tokens)
     tokens = pass_strip_materialized(tokens)
     tokens = pass_unnest_in_expr(tokens)
+    tokens = pass_lateral_generators(tokens)
     tokens = pass_filter_where(tokens)
+    tokens = pass_window_filter(tokens)
     tokens = pass_strip_agg_order(tokens)
     tokens = pass_at_abs(tokens)
     tokens = pass_from_first_subquery(tokens)

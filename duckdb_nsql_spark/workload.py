@@ -1324,6 +1324,56 @@ _sql(
     """,
 )
 
+# sweep-wave-6: GROUPING SETS with multi-arg grouping() bitmasks
+_sql(
+    "q95_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag, l_linestatus) AS gmask,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus), ())
+    ORDER BY ALL
+    """,
+)
+
+# FILTER on window aggregates + correlated FROM-list unnest (implicit
+# lateral); the unnest fans each order into its two price buckets
+_sql(
+    "q96_window_filter_lateral",
+    """
+    SELECT o_orderkey, e AS bucket_price,
+           count(*) FILTER (WHERE o_totalprice > 100000)
+               OVER (PARTITION BY o_orderpriority) AS n_big,
+           sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F')
+               OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_orderkey, e
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS run_f
+    FROM orders, unnest([round(o_totalprice, 0),
+                         round(o_totalprice / 2, 0)]) AS u(e)
+    WHERE o_orderkey < 1000
+    ORDER BY o_orderkey, bucket_price
+    """,
+)
+
+# type-preserving discrete quantiles: INTEGER stays INTEGER (scalar,
+# list form, WITHIN GROUP), plus ordered any_value
+_sql(
+    "q97_quantile_types",
+    """
+    SELECT l_linenumber,
+           quantile_disc(CAST(l_quantity AS INTEGER), 0.25) AS q25,
+           percentile_disc(0.5) WITHIN GROUP (
+               ORDER BY CAST(l_quantity AS INTEGER)) AS med,
+           array_to_string(quantile(CAST(l_quantity AS INTEGER),
+                                    [0.1, 0.9]), ',') AS deciles,
+           any_value(l_returnflag ORDER BY l_orderkey, l_returnflag) AS first_mode
+    FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles

@@ -395,6 +395,48 @@ def test_function_edge_grid_round4d_matches_duckdb(spark, ddb):
     assert not diffs, diffs[:8]
 
 
+def test_function_edge_grid_round4e_matches_duckdb(spark, ddb):
+    """Sixth sweep wave: multi-arg grouping() (grouping_id bitmask),
+    FILTER on WINDOW aggregates (folded into a CASE argument),
+    correlated FROM-list unnest (implicit lateral -> LATERAL),
+    type-preserving discrete quantiles (scalar, list, WITHIN GROUP),
+    and ordered any_value. Row-set compare against DuckDB."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    setup = [
+        "CREATE TABLE g6 (k VARCHAR, j VARCHAR, x INTEGER)",
+        "INSERT INTO g6 VALUES ('a','p',1),('a','q',2),('b','p',3),"
+        "('b',NULL,4),(NULL,'q',5)",
+    ]
+    for s in setup:
+        eng.execute(s)
+        ddb.execute(s)
+    queries = [
+        "SELECT k, j, grouping(k, j) AS gg, sum(x) AS s FROM g6 "
+        "GROUP BY CUBE(k, j)",
+        "SELECT k, grouping(k) AS gk, sum(x) AS s FROM g6 GROUP BY ROLLUP(k)",
+        "SELECT count(*) FILTER (WHERE x > 2) OVER () AS c, x FROM g6",
+        "SELECT sum(x) FILTER (WHERE x > 1) OVER (ORDER BY x) AS s, x FROM g6",
+        "SELECT g6.k, u.* FROM g6, unnest([x, x+1]) AS u(e)",
+        "SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS p FROM g6",
+        "SELECT quantile_disc(x, 0.25) AS p FROM g6",
+        "SELECT list_sort(quantile(x, [0.25, 0.75])) AS p FROM g6",
+        "SELECT any_value(x ORDER BY x DESC) AS av, "
+        "any_value(j ORDER BY x) AS aj FROM g6",
+        "SELECT first(x ORDER BY x DESC) AS f, last(x ORDER BY x DESC) AS l "
+        "FROM g6",
+        "SELECT k, sum(x) FILTER (WHERE j IS NOT NULL) AS s FROM g6 "
+        "GROUP BY k",
+        "SELECT k, j, sum(x) AS s FROM g6 "
+        "GROUP BY GROUPING SETS ((k), (j), (k, j), ())",
+    ]
+    for q in queries:
+        drows = sorted(map(str, ddb.execute(q).fetchall()))
+        srows = sorted(str(tuple(r)) for r in eng.execute(q).collect())
+        assert drows == srows, (q, drows[:4], srows[:4])
+
+
 def test_window_function_grid_matches_duckdb(spark, ddb):
     """Window battery: ranking family, lag/lead defaults, framed
     aggregates (ROWS/RANGE/interval RANGE), EXCLUDE CURRENT ROW

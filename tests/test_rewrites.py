@@ -396,7 +396,9 @@ def test_round2_function_renames():
     assert "format_string" in out and "rand()" in out
     out = rewrite_sql("SELECT quantile_cont(x, 0.5), quantile_disc(x, 0.5) FROM t")
     assert "percentile(x, 0.5)" in out
-    assert "percentile_disc(0.5) WITHIN GROUP (ORDER BY x)" in out
+    # discrete quantile is the type-preserving sorted-collect pick
+    # (Spark's percentile_disc always returns DOUBLE)
+    assert "element_at(array_sort(collect_list(x))" in out
     out = rewrite_sql("SELECT array_agg(x), list(x) FROM t")
     assert out.count("collect_list") == 2
     out = rewrite_sql("SELECT epoch(ts), epoch_ms(ts) FROM t")
