@@ -1047,6 +1047,14 @@ def pass_columns_regex(tokens: list[Token], resolver: Resolver) -> list[Token]:
         c = match_forward(tokens, o, "(", ")")
         k = next_sig(tokens, o)
         lam = None
+        if tokens[k].kind == OP and tokens[k].text == "*":
+            # COLUMNS(* [EXCLUDE ...]) — drop the wrapper; the star
+            # (and its EXCLUDE/REPLACE modifiers) are handled by the
+            # dedicated star passes
+            tokens = (
+                tokens[:i] + _trim(tokens[o + 1 : c]) + tokens[c + 1 :]
+            )
+            continue
         if tokens[k].kind != STRING:
             lam = _parse_columns_lambda(tokens, k, c)
             if lam is None:
@@ -3309,6 +3317,32 @@ def pass_filter_where(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def pass_group_by_empty(tokens: list[Token]) -> list[Token]:
+    """``GROUP BY ()`` — the empty grouping set is a global aggregate;
+    Spark rejects the bare form, so drop the clause entirely (GROUPING
+    SETS with an inner () are untouched)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "GROUP":
+            by = next_sig(out, i)
+            o = next_sig(out, by) if by < len(out) else len(out)
+            c = next_sig(out, o) if o < len(out) else len(out)
+            if (
+                by < len(out)
+                and out[by].is_kw("BY")
+                and o < len(out)
+                and out[o].text == "("
+                and c < len(out)
+                and out[c].text == ")"
+            ):
+                del out[i : c + 1]
+                continue
+        i += 1
+    return out
+
+
 def pass_window_filter(tokens: list[Token]) -> list[Token]:
     """``agg(x) FILTER (WHERE p) OVER (...)`` — DuckDB allows FILTER on
     window aggregates; Spark does not. Fold the predicate into the
@@ -4765,6 +4799,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_lateral_generators(tokens)
     tokens = pass_filter_where(tokens)
     tokens = pass_window_filter(tokens)
+    tokens = pass_group_by_empty(tokens)
     tokens = pass_strip_agg_order(tokens)
     tokens = pass_at_abs(tokens)
     tokens = pass_from_first_subquery(tokens)

@@ -430,6 +430,9 @@ def test_function_edge_grid_round4e_matches_duckdb(spark, ddb):
         "GROUP BY k",
         "SELECT k, j, sum(x) AS s FROM g6 "
         "GROUP BY GROUPING SETS ((k), (j), (k, j), ())",
+        "SELECT count(*) AS n FROM g6 GROUP BY ()",
+        "SELECT sum(x) AS s FROM g6 GROUP BY () HAVING sum(x) > 1",
+        "SELECT columns(* EXCLUDE (x)) FROM g6",
     ]
     for q in queries:
         drows = sorted(map(str, ddb.execute(q).fetchall()))
