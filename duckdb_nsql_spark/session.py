@@ -324,6 +324,9 @@ class DuckSparkSession:
         self._indexes: dict[str, str] = {}
         # table -> column -> DEFAULT expression text (DuckDB dialect)
         self._defaults: dict[str, dict[str, str]] = {}
+        # table -> NOT NULL column set / CHECK expression texts
+        self._notnull_cols: dict[str, set] = {}
+        self._checks: dict[str, list] = {}
         # CREATE TEMP TABLE names: never written to the durable warehouse
         self._temp_tables: set[str] = set()
         # COMMENT ON: ("table"|"column", key[, col]) -> comment text
@@ -364,6 +367,12 @@ class DuckSparkSession:
                     self._fixed_arrays[tname] = meta["fixed_arrays"]
                 if meta.get("defaults"):
                     self._defaults[tname] = meta["defaults"]
+                if meta.get("notnull"):
+                    self._notnull_cols[tname] = set(meta["notnull"])
+                if meta.get("checks"):
+                    self._checks[tname] = meta["checks"]
+                if meta.get("unique_keys"):
+                    self._unique_keys[tname] = meta["unique_keys"]
 
     # ------------------------------------------------------------------ API
 
@@ -2082,6 +2091,9 @@ class DuckSparkSession:
                 "type_overrides": self._type_overrides.get(name),
                 "fixed_arrays": self._fixed_arrays.get(name),
                 "defaults": self._defaults.get(name),
+                "notnull": sorted(self._notnull_cols.get(name, ())),
+                "checks": self._checks.get(name),
+                "unique_keys": self._unique_keys.get(name),
             }
             self.register(name, self._warehouse.save_table(
                 self.spark, name, df, meta
@@ -2335,6 +2347,13 @@ class DuckSparkSession:
                 # column sets (conflict targets for INSERT OR REPLACE /
                 # ON CONFLICT); FK/CHECK stay informational
                 text = " ".join(tk.text for tk in sig)
+                cm = re.match(
+                    r"(?:CONSTRAINT\s+\S+\s+)?CHECK\s*\((.*)\)\s*$",
+                    text,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if cm:
+                    self._checks.setdefault(table, []).append(cm.group(1))
                 km = re.match(
                     r"(?:CONSTRAINT\s+\S+\s+)?(PRIMARY\s+KEY|UNIQUE)\s*\("
                     r"([^)]*)\)",
@@ -2390,8 +2409,24 @@ class DuckSparkSession:
                     )
             if "PRIMARY" in tail_kws:
                 self._unique_keys.setdefault(table, []).insert(0, [col])
+                # a PRIMARY KEY column is implicitly NOT NULL (DuckDB)
+                self._notnull_cols.setdefault(table, set()).add(col.lower())
             elif "UNIQUE" in tail_kws:
                 self._unique_keys.setdefault(table, []).append([col])
+            if "NOT" in tail_kws and "NULL" in tail_kws:
+                self._notnull_cols.setdefault(table, set()).add(col.lower())
+            if "CHECK" in tail_kws:
+                # column-level CHECK ( expr )
+                d = next(
+                    k for k, tk in enumerate(tail)
+                    if tk.kind == IDENT and tk.upper == "CHECK"
+                )
+                o2 = next_sig(tail, d)
+                if o2 < len(tail) and tail[o2].text == "(":
+                    c2 = match_forward(tail, o2, "(", ")")
+                    self._checks.setdefault(table, []).append(
+                        render(tail[o2 + 1 : c2])
+                    )
             ty_str = "".join(
                 (" " + tk.text + " ") if tk.kind == IDENT else tk.text
                 for tk in ty_tokens
@@ -2538,6 +2573,8 @@ class DuckSparkSession:
             self._dml_depth.pop(n, None)
             self._unique_keys.pop(n, None)
             self._defaults.pop(n, None)
+            self._notnull_cols.pop(n, None)
+            self._checks.pop(n, None)
 
     # ------------------------------------------------------------------ DML
 
@@ -2639,6 +2676,11 @@ class DuckSparkSession:
         aligned = self._align_insert(src, target, cols, defaults)
         self._check_fixed_arrays(key, aligned)
         self._check_enums(key, aligned)
+        self._enforce_constraints(
+            key, aligned,
+            whole=target.unionByName(aligned),
+            skip_unique=conflict_mode is not None,
+        )
         if conflict_mode is not None:
             if returning is not None:
                 raise NotImplementedError(
@@ -2924,6 +2966,64 @@ class DuckSparkSession:
                 exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
         return src.select(*exprs)
 
+    def _enforce_constraints(
+        self,
+        key: str,
+        new_rows: DataFrame,
+        whole: Optional[DataFrame] = None,
+        skip_unique: bool = False,
+    ) -> None:
+        """DuckDB-style constraint enforcement: NOT NULL and CHECK over
+        the rows being added/changed, PRIMARY KEY/UNIQUE over the
+        resulting table (``whole``). Tables without declared constraints
+        pay ZERO jobs — each violated class raises DuckDB's
+        'Constraint Error' shape."""
+        nn = self._notnull_cols.get(key) or set()
+        cols_lower = {c.lower(): c for c in new_rows.columns}
+        hit = [cols_lower[c] for c in nn if c in cols_lower]
+        if hit:
+            cond = F.col(hit[0]).isNull()
+            for c in hit[1:]:
+                cond = cond | F.col(c).isNull()
+            bad = new_rows.filter(cond).limit(1).collect()
+            if bad:
+                col = next(c for c in hit if bad[0][c] is None)
+                raise ValueError(
+                    f"Constraint Error: NOT NULL constraint failed: "
+                    f"{key}.{col}"
+                )
+        for expr in self._checks.get(key, []):
+            rewritten = rewrites.rewrite_sql(expr, self._resolver)
+            if new_rows.filter(
+                f"NOT coalesce(({rewritten}), true)"
+            ).limit(1).count():
+                raise ValueError(
+                    f"Constraint Error: CHECK constraint failed: {key}"
+                )
+        if skip_unique:
+            return
+        for keycols in self._unique_keys.get(key, []):
+            t = whole if whole is not None else new_rows
+            have = [cols_lower.get(c.lower(), c) for c in keycols]
+            if not all(c in t.columns for c in have):
+                continue
+            dup = (
+                t.na.drop(subset=have)
+                .groupBy(*have)
+                .count()
+                .filter("count > 1")
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                kv = ", ".join(
+                    f"{c}: {dup[0][c]}" for c in have
+                )
+                raise ValueError(
+                    f'Constraint Error: Duplicate key "{kv}" violates '
+                    "primary key or unique constraint"
+                )
+
     def _check_fixed_arrays(self, table: str, df: DataFrame) -> None:
         """Enforce FLOAT[100]-style fixed lengths (dev.json:492) at insert."""
         fixed = self._fixed_arrays.get(table)
@@ -3010,6 +3110,7 @@ class DuckSparkSession:
             else:
                 exprs.append(F.col(f.name))
         new = df.select(*exprs)
+        self._enforce_constraints(key, new, whole=new)
         self._register_managed(key, new)
         if returning is not None:
             # DuckDB UPDATE..RETURNING reports the POST-update values of
@@ -3066,6 +3167,7 @@ class DuckSparkSession:
         new = self._query(
             f"SELECT {', '.join(parts)} FROM {view} AS \"{alias}\""
         )
+        self._enforce_constraints(key, new, whole=new)
         self._register_managed(key, new)
         if returning is not None:
             flt = f" WHERE coalesce(({where_text}), false)" if where_text else ""
@@ -3140,6 +3242,7 @@ class DuckSparkSession:
             else:
                 exprs.append(F.col(f.name))
         new = joined.select(*exprs)
+        self._enforce_constraints(key, new, whole=new)
         self._register_managed(key, new)
         if returning is not None:
             touched = joined.filter(F.col("__matched").isNotNull()).select(*exprs)
@@ -3277,7 +3380,7 @@ class DuckSparkSession:
     _TXN_STATE = (
         "_table_files", "_fixed_arrays", "_enum_cols", "_type_overrides",
         "_macros", "_enum_types", "_unique_keys", "_sequences", "_databases",
-        "_indexes", "_comments", "_defaults",
+        "_indexes", "_comments", "_defaults", "_notnull_cols", "_checks",
     )
 
     def _begin(self, sql: str) -> None:

@@ -546,3 +546,52 @@ def test_update_from_delete_using_defaults_matches_duckdb(engine, duck):
     assert [tuple(r) for r in engine.execute(q).collect()] == (
         duck.execute(q).fetchall()
     )
+
+
+def test_constraint_enforcement_matches_duckdb(engine, duck):
+    """NOT NULL / CHECK / PRIMARY KEY / UNIQUE enforcement on INSERT and
+    UPDATE — DuckDB's Constraint Error shapes, failed statements leave
+    the table untouched, NULL passes CHECK (SQL three-valued logic)."""
+    import pytest as _pytest
+
+    for s in (
+        "CREATE TABLE ct (id INTEGER PRIMARY KEY, v VARCHAR NOT NULL, "
+        "n INTEGER CHECK (n > 0))",
+        "INSERT INTO ct VALUES (1, 'a', 5)",
+    ):
+        engine.execute(s)
+        duck.execute(s)
+    bad = [
+        "INSERT INTO ct VALUES (1, 'b', 5)",        # PK dup vs table
+        "INSERT INTO ct VALUES (2, NULL, 5)",       # NOT NULL
+        "INSERT INTO ct VALUES (3, 'c', -1)",       # CHECK
+        "INSERT INTO ct VALUES (4, 'd', 2), (4, 'e', 3)",  # dup in batch
+        "UPDATE ct SET n = -5 WHERE id = 1",        # CHECK on update
+        "UPDATE ct SET v = NULL WHERE id = 1",      # NOT NULL on update
+    ]
+    for s in bad:
+        with _pytest.raises(Exception, match="Constraint Error"):
+            engine.execute(s)
+        with _pytest.raises(Exception):
+            duck.execute(s)
+        q = "SELECT * FROM ct ORDER BY id"
+        assert [tuple(r) for r in engine.execute(q).collect()] == (
+            duck.execute(q).fetchall()
+        ), s
+    # NULL passes CHECK; PK implies NOT NULL
+    engine.execute("INSERT INTO ct VALUES (2, 'ok', NULL)")
+    duck.execute("INSERT INTO ct VALUES (2, 'ok', NULL)")
+    with _pytest.raises(Exception, match="Constraint Error"):
+        engine.execute("INSERT INTO ct VALUES (NULL, 'x', 1)")
+    # table-level CHECK + multi-column UNIQUE
+    for s in (
+        "CREATE TABLE tc2 (a INTEGER, b INTEGER, CHECK (a < b), "
+        "UNIQUE (a, b))",
+        "INSERT INTO tc2 VALUES (1, 2)",
+    ):
+        engine.execute(s)
+        duck.execute(s)
+    with _pytest.raises(Exception, match="CHECK constraint failed"):
+        engine.execute("INSERT INTO tc2 VALUES (3, 2)")
+    with _pytest.raises(Exception, match="Duplicate key"):
+        engine.execute("INSERT INTO tc2 VALUES (1, 2)")
