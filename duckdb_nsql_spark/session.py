@@ -327,6 +327,8 @@ class DuckSparkSession:
         # table -> NOT NULL column set / CHECK expression texts
         self._notnull_cols: dict[str, set] = {}
         self._checks: dict[str, list] = {}
+        # table -> [(local_cols, parent_table, parent_cols)] FOREIGN KEYs
+        self._foreign_keys: dict[str, list] = {}
         # CREATE TEMP TABLE names: never written to the durable warehouse
         self._temp_tables: set[str] = set()
         # COMMENT ON: ("table"|"column", key[, col]) -> comment text
@@ -373,6 +375,11 @@ class DuckSparkSession:
                     self._checks[tname] = meta["checks"]
                 if meta.get("unique_keys"):
                     self._unique_keys[tname] = meta["unique_keys"]
+                if meta.get("foreign_keys"):
+                    self._foreign_keys[tname] = [
+                        (list(a), b, list(c))
+                        for a, b, c in meta["foreign_keys"]
+                    ]
 
     # ------------------------------------------------------------------ API
 
@@ -2094,6 +2101,7 @@ class DuckSparkSession:
                 "notnull": sorted(self._notnull_cols.get(name, ())),
                 "checks": self._checks.get(name),
                 "unique_keys": self._unique_keys.get(name),
+                "foreign_keys": self._foreign_keys.get(name),
             }
             self.register(name, self._warehouse.save_table(
                 self.spark, name, df, meta
@@ -2354,6 +2362,18 @@ class DuckSparkSession:
                 )
                 if cm:
                     self._checks.setdefault(table, []).append(cm.group(1))
+                fm = re.match(
+                    r"(?:CONSTRAINT\s+\S+\s+)?FOREIGN\s+KEY\s*\(([^)]*)\)\s*"
+                    r"REFERENCES\s+([\w.\"]+)\s*\(([^)]*)\)",
+                    text,
+                    re.IGNORECASE,
+                )
+                if fm:
+                    self._foreign_keys.setdefault(table, []).append((
+                        [c.strip().strip('"`') for c in fm.group(1).split(",")],
+                        fm.group(2).strip('"`'),
+                        [c.strip().strip('"`') for c in fm.group(3).split(",")],
+                    ))
                 km = re.match(
                     r"(?:CONSTRAINT\s+\S+\s+)?(PRIMARY\s+KEY|UNIQUE)\s*\("
                     r"([^)]*)\)",
@@ -2415,6 +2435,19 @@ class DuckSparkSession:
                 self._unique_keys.setdefault(table, []).append([col])
             if "NOT" in tail_kws and "NULL" in tail_kws:
                 self._notnull_cols.setdefault(table, set()).add(col.lower())
+            if "REFERENCES" in tail_kws:
+                # column-level REFERENCES parent(pcol)
+                rtext = " ".join(tk.text for tk in tail)
+                rm = re.search(
+                    r"REFERENCES\s+([\w.\"]+)\s*\(\s*([\w\"]+)\s*\)",
+                    rtext,
+                    re.IGNORECASE,
+                )
+                if rm:
+                    self._foreign_keys.setdefault(table, []).append(
+                        ([col], rm.group(1).strip('"`'),
+                         [rm.group(2).strip('"`')])
+                    )
             if "CHECK" in tail_kws:
                 # column-level CHECK ( expr )
                 d = next(
@@ -2575,6 +2608,7 @@ class DuckSparkSession:
             self._defaults.pop(n, None)
             self._notnull_cols.pop(n, None)
             self._checks.pop(n, None)
+            self._foreign_keys.pop(n, None)
 
     # ------------------------------------------------------------------ DML
 
@@ -2681,6 +2715,7 @@ class DuckSparkSession:
             whole=target.unionByName(aligned),
             skip_unique=conflict_mode is not None,
         )
+        self._enforce_fk_insert(key, aligned)
         if conflict_mode is not None:
             if returning is not None:
                 raise NotImplementedError(
@@ -3024,6 +3059,63 @@ class DuckSparkSession:
                     "primary key or unique constraint"
                 )
 
+    def _enforce_fk_insert(self, key: str, new_rows: DataFrame) -> None:
+        """Child-side FOREIGN KEY check: every non-NULL FK tuple in the
+        inserted rows must exist in the referenced table (NULLs pass,
+        SQL MATCH SIMPLE). Zero jobs when the table declares no FKs."""
+        for local_cols, ptable, pcols in self._foreign_keys.get(key, []):
+            pkey = self._resolve_table_key(ptable)
+            if pkey is None:
+                continue
+            parent = self.table(ptable).select(
+                *[F.col(pc).alias(f"__p_{i}") for i, pc in enumerate(pcols)]
+            ).dropDuplicates()
+            probe = new_rows.na.drop(subset=local_cols)
+            cond = None
+            for i, lc in enumerate(local_cols):
+                c = probe[lc] == parent[f"__p_{i}"]
+                cond = c if cond is None else (cond & c)
+            missing = probe.join(parent, cond, "left_anti").limit(1).collect()
+            if missing:
+                kv = ", ".join(
+                    f"{pc}: {missing[0][lc]}"
+                    for lc, pc in zip(local_cols, pcols)
+                )
+                raise ValueError(
+                    f'Constraint Error: Violates foreign key constraint '
+                    f'because key "{kv}" does not exist in the referenced '
+                    f"table"
+                )
+
+    def _enforce_fk_delete(self, key: str, removed: DataFrame) -> None:
+        """Parent-side FOREIGN KEY check: a removed parent key still
+        referenced by any child row is a violation. Scans only tables
+        that DECLARE an FK onto this one."""
+        for child_key, fks in list(self._foreign_keys.items()):
+            for local_cols, ptable, pcols in fks:
+                pk = self._resolve_table_key(ptable)
+                if pk != key or self._resolve_table_key(child_key) is None:
+                    continue
+                child = self.table(child_key).na.drop(subset=local_cols)
+                gone = removed.select(
+                    *[F.col(pc).alias(f"__r_{i}") for i, pc in enumerate(pcols)]
+                ).dropDuplicates()
+                cond = None
+                for i, lc in enumerate(local_cols):
+                    c = child[lc] == gone[f"__r_{i}"]
+                    cond = c if cond is None else (cond & c)
+                hit = child.join(gone, cond, "left_semi").limit(1).collect()
+                if hit:
+                    kv = ", ".join(
+                        f"{pc}: {hit[0][lc]}"
+                        for lc, pc in zip(local_cols, pcols)
+                    )
+                    raise ValueError(
+                        f'Constraint Error: Violates foreign key constraint '
+                        f'because key "{kv}" is still referenced by a '
+                        f"foreign key in a different table"
+                    )
+
     def _check_fixed_arrays(self, table: str, df: DataFrame) -> None:
         """Enforce FLOAT[100]-style fixed lengths (dev.json:492) at insert."""
         fixed = self._fixed_arrays.get(table)
@@ -3283,6 +3375,7 @@ class DuckSparkSession:
             rids = self._query(match_sql)
             new = tagged.join(rids, "__rid", "left_anti").drop("__rid")
             deleted = tagged.join(rids, "__rid", "left_semi").drop("__rid")
+            self._enforce_fk_delete(key, deleted)
             self._register_managed(key, new)
             if returning is not None:
                 return self._returning_result(deleted, returning)
@@ -3303,6 +3396,7 @@ class DuckSparkSession:
         else:
             new = df.limit(0)
             deleted = df
+        self._enforce_fk_delete(key, deleted)
         self._register_managed(key, new)
         if returning is not None:
             return self._returning_result(deleted, returning)
@@ -3381,6 +3475,7 @@ class DuckSparkSession:
         "_table_files", "_fixed_arrays", "_enum_cols", "_type_overrides",
         "_macros", "_enum_types", "_unique_keys", "_sequences", "_databases",
         "_indexes", "_comments", "_defaults", "_notnull_cols", "_checks",
+        "_foreign_keys",
     )
 
     def _begin(self, sql: str) -> None:

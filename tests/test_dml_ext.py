@@ -595,3 +595,39 @@ def test_constraint_enforcement_matches_duckdb(engine, duck):
         engine.execute("INSERT INTO tc2 VALUES (3, 2)")
     with _pytest.raises(Exception, match="Duplicate key"):
         engine.execute("INSERT INTO tc2 VALUES (1, 2)")
+
+
+def test_foreign_key_enforcement_matches_duckdb(engine, duck):
+    """FOREIGN KEY: child INSERTs must reference existing parent keys
+    (NULLs pass), parent DELETEs of still-referenced keys fail — both
+    column-level REFERENCES and table-level FOREIGN KEY forms."""
+    import pytest as _pytest
+
+    for s in (
+        "CREATE TABLE p (pid INTEGER PRIMARY KEY, nm VARCHAR)",
+        "CREATE TABLE ch (cid INTEGER, pid INTEGER REFERENCES p(pid))",
+        "INSERT INTO p VALUES (1, 'a'), (2, 'b')",
+        "INSERT INTO ch VALUES (10, 1)",
+    ):
+        engine.execute(s)
+        duck.execute(s)
+    with _pytest.raises(Exception, match="foreign key"):
+        engine.execute("INSERT INTO ch VALUES (11, 9)")
+    with _pytest.raises(Exception, match="foreign key"):
+        engine.execute("DELETE FROM p WHERE pid = 1")
+    engine.execute("DELETE FROM p WHERE pid = 2")      # unreferenced: ok
+    duck.execute("DELETE FROM p WHERE pid = 2")
+    engine.execute("INSERT INTO ch VALUES (12, NULL)")  # NULL FK passes
+    duck.execute("INSERT INTO ch VALUES (12, NULL)")
+    for t in ("p", "ch"):
+        q = f"SELECT * FROM {t} ORDER BY 1"
+        assert [tuple(r) for r in engine.execute(q).collect()] == (
+            duck.execute(q).fetchall()
+        )
+    engine.execute(
+        "CREATE TABLE ch2 (a INTEGER, b INTEGER, "
+        "FOREIGN KEY (a) REFERENCES p(pid))"
+    )
+    engine.execute("INSERT INTO ch2 VALUES (1, 0)")
+    with _pytest.raises(Exception, match="foreign key"):
+        engine.execute("INSERT INTO ch2 VALUES (7, 0)")
