@@ -329,6 +329,13 @@ class DuckSparkSession:
         self._checks: dict[str, list] = {}
         # table -> [(local_cols, parent_table, parent_cols)] FOREIGN KEYs
         self._foreign_keys: dict[str, list] = {}
+        # LIVE views: name -> DuckDB-dialect body SQL, re-planned whenever
+        # the catalog changes so base-table DML is visible (DuckDB views
+        # are definitions, not snapshots)
+        self._view_defs: dict[str, str] = {}
+        self._view_fresh: dict[str, int] = {}
+        self._catalog_epoch: int = 0
+        self._view_refreshing: set = set()
         # CREATE TEMP TABLE names: never written to the durable warehouse
         self._temp_tables: set[str] = set()
         # COMMENT ON: ("table"|"column", key[, col]) -> comment text
@@ -380,6 +387,13 @@ class DuckSparkSession:
                         (list(a), b, list(c))
                         for a, b, c in meta["foreign_keys"]
                     ]
+            for vname, body in self._warehouse.views().items():
+                try:
+                    self.register(vname, self._query(body))
+                    self._view_defs[vname] = body
+                    self._view_fresh[vname] = self._catalog_epoch
+                except Exception:
+                    pass  # base table gone: view dangles, like DuckDB
 
     # ------------------------------------------------------------------ API
 
@@ -466,6 +480,25 @@ class DuckSparkSession:
         df.createOrReplaceTempView(self._view_name(name))
         self._kind_cache = None
         self._infoschema_dirty = True
+        self._catalog_epoch += 1
+
+    def _refresh_view(self, name: str) -> None:
+        """Re-plan a live view whose definition predates the latest
+        catalog change (base-table DML re-registers the base plan; the
+        view must follow). No-op for non-views and current views."""
+        vn = name if name in self._view_defs else name.lower()
+        body = self._view_defs.get(vn)
+        if body is None or vn in self._view_refreshing:
+            return
+        if self._view_fresh.get(vn) == self._catalog_epoch:
+            return
+        self._view_refreshing.add(vn)
+        try:
+            df = self._query(body)
+            self.register(vn, df)
+            self._view_fresh[vn] = self._catalog_epoch
+        finally:
+            self._view_refreshing.discard(vn)
 
     def name_primary_database(self, name: str) -> None:
         """Give the primary catalog a database name, mirroring DuckDB where
@@ -2016,6 +2049,7 @@ class DuckSparkSession:
 
     def _resolve_table_key(self, name: str) -> Optional[str]:
         name = name.strip('"`')
+        self._refresh_view(name)
         if name in self._tables:
             return name
         lowered = {k.lower(): k for k in self._tables}
@@ -2204,6 +2238,17 @@ class DuckSparkSession:
             inner = render(tokens[sig[j] + 1 :]).strip()
             if inner.startswith("(") and inner.endswith(")"):
                 inner = inner[1:-1]
+            if kind == "VIEW":
+                # LIVE view: keep the DEFINITION and re-plan on catalog
+                # changes (DuckDB views see base-table DML); a CTAS
+                # table below stays a snapshot, as in DuckDB
+                df = self._query(inner)
+                self._view_defs[name.lower()] = inner
+                self.register(name.lower(), df)
+                self._view_fresh[name.lower()] = self._catalog_epoch
+                if self._warehouse is not None and not temp:
+                    self._warehouse.save_view(name.lower(), inner)
+                return None
             df = self._query(inner)
             # CTAS materializes in DuckDB; registering the plan keeps it
             # lazy/distributed — results are recomputed from source (columnar
@@ -2580,6 +2625,11 @@ class DuckSparkSession:
         self._clear_table_meta(key, name)
         self._temp_tables.discard(key)
         self._temp_tables.discard(name)
+        for v in (key, name, key.lower(), name.lower()):
+            if self._view_defs.pop(v, None) is not None:
+                self._view_fresh.pop(v, None)
+                if self._warehouse is not None:
+                    self._warehouse.drop_view(v)
         self._indexes = {
             k: v for k, v in self._indexes.items() if v not in (key, name)
         }
@@ -3475,7 +3525,7 @@ class DuckSparkSession:
         "_table_files", "_fixed_arrays", "_enum_cols", "_type_overrides",
         "_macros", "_enum_types", "_unique_keys", "_sequences", "_databases",
         "_indexes", "_comments", "_defaults", "_notnull_cols", "_checks",
-        "_foreign_keys",
+        "_foreign_keys", "_view_defs",
     )
 
     def _begin(self, sql: str) -> None:
@@ -3814,10 +3864,48 @@ class DuckSparkSession:
         if m:
             key = self._resolve_table_key(m.group(1).strip('"`'))
             df = self.table(m.group(1))
-            dt = parse_duckdb_type(m.group(3))
-            self._register_managed(
-                key, df.withColumn(m.group(2).strip('"`'), F.lit(None).cast(dt))
+            col = m.group(2).strip('"`')
+            ty_txt = m.group(3)
+            # optional DEFAULT <expr> suffix: existing rows take the
+            # default immediately (DuckDB), and later partial INSERTs use it
+            dm = re.match(
+                r"(.+?)\s+DEFAULT\s+(.+)$", ty_txt, re.IGNORECASE
             )
+            fill = F.lit(None)
+            if dm:
+                ty_txt = dm.group(1)
+                dexpr = rewrites.rewrite_sql(dm.group(2), self._resolver)
+                self._defaults.setdefault(key, {})[col.lower()] = dm.group(2)
+                fill = F.expr(dexpr)
+            dt = parse_duckdb_type(ty_txt)
+            self._register_managed(key, df.withColumn(col, fill.cast(dt)))
+            return None
+        m = re.match(
+            r"ALTER TABLE (\S+) ALTER (?:COLUMN )?(\S+) SET DEFAULT (.+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            key = self._resolve_table_key(m.group(1).strip('"`'))
+            if key is None:
+                raise KeyError(
+                    f"Catalog Error: Table with name {m.group(1)} does not exist!"
+                )
+            self._defaults.setdefault(key, {})[
+                m.group(2).strip('"`').lower()
+            ] = m.group(3)
+            return None
+        m = re.match(
+            r"ALTER TABLE (\S+) ALTER (?:COLUMN )?(\S+) DROP DEFAULT$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            key = self._resolve_table_key(m.group(1).strip('"`'))
+            if key is not None:
+                self._defaults.get(key, {}).pop(
+                    m.group(2).strip('"`').lower(), None
+                )
             return None
         m = re.match(
             r"ALTER TABLE (\S+) ALTER (?:COLUMN )?(\S+) (?:SET DATA )?TYPE (.+?)(?: USING (.+))?$",

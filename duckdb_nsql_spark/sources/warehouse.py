@@ -199,6 +199,27 @@ class DurableWarehouse:
         self._commit_entry(name, None, base)
         shutil.rmtree(os.path.join(self.root, base["dir"]), ignore_errors=True)
 
+    # --------------------------------------------------------------- views
+    def views(self) -> dict[str, str]:
+        """name -> DuckDB-dialect body SQL of persisted views."""
+        return self._read_catalog().get("views", {})
+
+    def save_view(self, name: str, body: str) -> None:
+        while True:
+            ver, cat = self._latest_commit()
+            cat.setdefault("views", {})[name] = body
+            if self._try_commit(ver + 1, cat):
+                return
+
+    def drop_view(self, name: str) -> None:
+        while True:
+            ver, cat = self._latest_commit()
+            if name not in cat.get("views", {}):
+                return
+            cat["views"].pop(name, None)
+            if self._try_commit(ver + 1, cat):
+                return
+
     # ------------------------------------------------------------------ GC
     def _gc(self, name: str, tdir: str) -> None:
         """Remove version dirs of ``name`` that no recent commit references

@@ -1129,3 +1129,36 @@ def test_unnest_in_expression_matches_duckdb(engine):
         mine = sorted(tuple(r) for r in engine.execute(q).collect())
         assert mine == sorted(con.execute(q).fetchall()), q
     con.close()
+
+
+def test_views_are_live_and_durable(spark, tmp_path):
+    """Views are DEFINITIONS, not snapshots: base-table DML is visible
+    through them (re-planned on catalog changes), CREATE OR REPLACE
+    swaps the definition, and durable warehouses persist view SQL across
+    restarts."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    eng.execute("CREATE TABLE vb (a INTEGER)")
+    eng.execute("INSERT INTO vb VALUES (1)")
+    eng.execute("CREATE VIEW vv AS SELECT a * 2 AS d FROM vb")
+    assert eng.execute("SELECT * FROM vv").fetchall() == [(2,)]
+    eng.execute("INSERT INTO vb VALUES (5)")
+    assert sorted(eng.execute("SELECT * FROM vv").fetchall()) == [(2,), (10,)]
+    eng.execute("UPDATE vb SET a = 10 WHERE a = 1")
+    assert sorted(eng.execute("SELECT * FROM vv").fetchall()) == [(10,), (20,)]
+    eng.execute("CREATE OR REPLACE VIEW vv AS SELECT a + 1 AS d FROM vb")
+    assert sorted(eng.execute("SELECT * FROM vv").fetchall()) == [(6,), (11,)]
+    eng.execute("DROP VIEW vv")
+
+    wh = str(tmp_path / "whv")
+    e1 = connect(spark=spark, database=wh)
+    e1.execute("CREATE TABLE base (x INTEGER)")
+    e1.execute("INSERT INTO base VALUES (3)")
+    e1.execute("CREATE VIEW dv AS SELECT x * 10 AS y FROM base")
+    e1.close()
+    e2 = connect(spark=spark, database=wh)
+    assert e2.execute("SELECT * FROM dv").fetchall() == [(30,)]
+    e2.execute("INSERT INTO base VALUES (4)")
+    assert sorted(e2.execute("SELECT * FROM dv").fetchall()) == [(30,), (40,)]
+    e2.close()
