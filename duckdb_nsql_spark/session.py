@@ -3166,6 +3166,26 @@ class DuckSparkSession:
                         f"foreign key in a different table"
                     )
 
+    def _enforce_fk_update(
+        self, key: str, old: DataFrame, new: DataFrame
+    ) -> None:
+        """Parent-side FK check for UPDATE: a referenced key VALUE that
+        disappears from the parent while still referenced by a child is
+        a violation (same rule as delete). Zero work unless some table
+        declares an FK onto this one."""
+        referenced: set = set()
+        for _child, fks in self._foreign_keys.items():
+            for _lc, pt, pcols in fks:
+                if self._resolve_table_key(pt) == key:
+                    referenced.update(c.lower() for c in pcols)
+        if not referenced:
+            return
+        cols = [c for c in old.columns if c.lower() in referenced]
+        if not cols:
+            return
+        removed = old.select(*cols).exceptAll(new.select(*cols))
+        self._enforce_fk_delete(key, removed)
+
     def _check_fixed_arrays(self, table: str, df: DataFrame) -> None:
         """Enforce FLOAT[100]-style fixed lengths (dev.json:492) at insert."""
         fixed = self._fixed_arrays.get(table)
@@ -3253,6 +3273,7 @@ class DuckSparkSession:
                 exprs.append(F.col(f.name))
         new = df.select(*exprs)
         self._enforce_constraints(key, new, whole=new)
+        self._enforce_fk_update(key, df, new)
         self._register_managed(key, new)
         if returning is not None:
             # DuckDB UPDATE..RETURNING reports the POST-update values of
@@ -3310,6 +3331,7 @@ class DuckSparkSession:
             f"SELECT {', '.join(parts)} FROM {view} AS \"{alias}\""
         )
         self._enforce_constraints(key, new, whole=new)
+        self._enforce_fk_update(key, df, new)
         self._register_managed(key, new)
         if returning is not None:
             flt = f" WHERE coalesce(({where_text}), false)" if where_text else ""
@@ -3385,6 +3407,7 @@ class DuckSparkSession:
                 exprs.append(F.col(f.name))
         new = joined.select(*exprs)
         self._enforce_constraints(key, new, whole=new)
+        self._enforce_fk_update(key, df, new)
         self._register_managed(key, new)
         if returning is not None:
             touched = joined.filter(F.col("__matched").isNotNull()).select(*exprs)
