@@ -181,7 +181,7 @@ def read_file_table(
     *,
     fmt: str | None = None,
     schema_ddl: str | None = None,
-    header: bool = True,
+    header: bool | None = None,
     delimiter: str | None = None,
     allow_external: bool = True,
     csv_opts: dict | None = None,
@@ -215,9 +215,21 @@ def read_file_table(
         # csv reader has no such option; trim into a driver-side spool
         # (skip is a small-file affordance — headers and preambles).
         path = _skip_lines_spool(path, skip)
-    reader = spark.read.option("header", str(header).lower())
+    if delimiter is None or header is None:
+        # DuckDB read_csv_auto SNIFFS the dialect; mirror the two
+        # high-impact decisions from the first lines of the first file
+        sd, sh = _sniff_csv(path)
+        if delimiter is None:
+            delimiter = sd
+        if header is None:
+            header = sh
+    reader = spark.read.option("header", str(bool(header)).lower())
     if delimiter:
         reader = reader.option("sep", delimiter)
+    # standard-CSV doubled-quote escaping unless the caller overrides
+    # (Spark's default escape is backslash — a silent interop bug with
+    # DuckDB-written files containing quotes)
+    reader = reader.option("escape", opts.pop("escape", '"'))
     for k, v in opts.items():
         reader = reader.option(k, v)
     if schema_ddl:
@@ -229,6 +241,84 @@ def read_file_table(
         keep = list(names) + list(df.columns[len(names):])
         df = df.toDF(*keep)
     return df
+
+
+def _sniff_csv(path: str) -> tuple[str | None, bool]:
+    """(delimiter, has_header) sniffed from the first two lines of the
+    first file — DuckDB read_csv_auto's two load-bearing decisions.
+    Delimiter: the candidate with the most OUTSIDE-QUOTES occurrences on
+    line 1. Header: line 1 has a header iff none of its fields parses as
+    a number (numbers in row 1 mean data)."""
+    import gzip as gzipmod
+
+    try:
+        files = sorted(globmod.glob(path)) if any(
+            ch in path for ch in "*?["
+        ) else [path]
+        if files and os.path.isdir(files[0]):
+            inner = sorted(
+                f for f in globmod.glob(os.path.join(files[0], "*"))
+                if not os.path.basename(f).startswith((".", "_"))
+            )
+            files = inner or files
+        if not files:
+            return None, True
+        opener = (
+            (lambda p: gzipmod.open(p, "rt", encoding="utf-8",
+                                    errors="replace"))
+            if files[0].endswith(".gz")
+            else (lambda p: open(p, "r", encoding="utf-8", errors="replace"))
+        )
+        with opener(files[0]) as fh:
+            line1 = fh.readline().rstrip("\r\n")
+        if not line1:
+            return None, True
+        best, best_n = None, 0
+        for cand in (",", ";", "|", "\t"):
+            n = _count_outside_quotes(line1, cand)
+            if n > best_n:
+                best, best_n = cand, n
+        fields = _split_outside_quotes(line1, best or ",")
+
+        def _numericish(s: str) -> bool:
+            s = s.strip().strip('"')
+            if not s:
+                return False
+            try:
+                float(s)
+                return True
+            except ValueError:
+                return False
+
+        has_header = not any(_numericish(fv) for fv in fields)
+        return best, has_header
+    except OSError:
+        return None, True
+
+
+def _count_outside_quotes(line: str, ch: str) -> int:
+    n, inq = 0, False
+    for c in line:
+        if c == '"':
+            inq = not inq
+        elif c == ch and not inq:
+            n += 1
+    return n
+
+
+def _split_outside_quotes(line: str, sep: str) -> list[str]:
+    out, cur, inq = [], [], False
+    for c in line:
+        if c == '"':
+            inq = not inq
+            cur.append(c)
+        elif c == sep and not inq:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    out.append("".join(cur))
+    return out
 
 
 def _skip_lines_spool(path: str, skip: int) -> str:
@@ -285,6 +375,10 @@ def write_copy_to(
     header: bool = True,
     partition_by: list[str] | None = None,
     overwrite: bool = False,
+    null_str: str | None = None,
+    quote: str | None = None,
+    escape: str | None = None,
+    compression: str | None = None,
 ) -> int:
     """COPY ... TO 'path'.
 
@@ -297,13 +391,25 @@ def write_copy_to(
     """
     path = localize_path(path)
     f = infer_format(path, fmt)
+
+    def _csv_opts(w):
+        # standard-CSV quoting (doubled quotes), DuckDB's on-disk dialect
+        w = w.option("escape", escape or quote or '"')
+        if quote:
+            w = w.option("quote", quote)
+        if null_str is not None:
+            w = w.option("nullValue", null_str)
+        return w
+
     if partition_by:
         writer = df.write.mode("overwrite" if overwrite else "errorifexists")
         writer = writer.partitionBy(*partition_by)
+        if compression:
+            writer = writer.option("compression", compression)
         if f == "parquet":
             writer.parquet(path)
         elif f == "csv":
-            writer.option("header", str(header).lower()).csv(path)
+            _csv_opts(writer.option("header", str(header).lower())).csv(path)
         else:
             writer.json(path)
         return -1
@@ -324,8 +430,10 @@ def write_copy_to(
         if f == "parquet":
             writer.parquet(tmp)
         elif f == "csv":
-            writer.option("header", "false").option(
-                "sep", delimiter or ","
+            _csv_opts(
+                writer.option("header", "false").option(
+                    "sep", delimiter or ","
+                )
             ).csv(tmp)
         else:
             writer.json(tmp)
@@ -333,7 +441,14 @@ def write_copy_to(
         if f == "parquet":
             _merge_parquet_parts(parts, path, df)
         else:
-            with open(path, "wb") as out:
+            import gzip as gzipmod
+
+            opener = (
+                (lambda p: gzipmod.open(p, "wb"))
+                if (compression or "").lower() == "gzip"
+                else (lambda p: open(p, "wb"))
+            )
+            with opener(path) as out:
                 if f == "csv" and header:
                     sep = delimiter or ","
                     out.write(
@@ -392,8 +507,13 @@ def _count_rows_in_file(path: str, fmt: str, header: bool) -> int:
             return pq.ParquetFile(path).metadata.num_rows
         except Exception:  # noqa: BLE001
             return -1
+    import gzip as gzipmod
+
     n = 0
     with open(path, "rb") as fh:
+        magic = fh.read(2)
+    opener = gzipmod.open if magic == b"\x1f\x8b" else open
+    with opener(path, "rb") as fh:
         for chunk in iter(lambda: fh.read(1 << 20), b""):
             n += chunk.count(b"\n")
     if fmt == "csv" and header and n > 0:

@@ -1365,7 +1365,7 @@ class DuckSparkSession:
         spans = split_args(arg_tokens, 0, len(arg_tokens))
         paths: list[str] = []
         schema: Optional[T.StructType] = None
-        header = True
+        header = None  # None = sniff (read_csv_auto auto-detects)
         delimiter = None
         csv_opts: dict = {}
         for lo, hi in spans:
@@ -4025,10 +4025,21 @@ class DuckSparkSession:
                 header=opts.get("header", True),
                 partition_by=opts.get("partition_by"),
                 overwrite=opts.get("overwrite", False),
+                null_str=opts.get("null_str"),
+                quote=opts.get("quote"),
+                escape=opts.get("escape"),
+                compression=opts.get("compression"),
             )
             return self._count_df(n)
         # COPY ... FROM
         allow_ext = self.settings.get("enable_external_access", "true") == "true"
+        csv_opts = {}
+        if opts.get("null_str") is not None:
+            csv_opts["nullValue"] = opts["null_str"]
+        if opts.get("quote") is not None:
+            csv_opts["quote"] = opts["quote"]
+        if opts.get("escape") is not None:
+            csv_opts["escape"] = opts["escape"]
         df = io_utils.read_file_table(
             self.spark,
             path,
@@ -4036,6 +4047,7 @@ class DuckSparkSession:
             header=opts.get("header", True),
             delimiter=opts.get("delimiter"),
             allow_external=allow_ext,
+            csv_opts=csv_opts or None,
         )
         key = self._resolve_table_key(name)
         target = self.table(name)
@@ -4585,6 +4597,16 @@ def _parse_copy_options(tokens: list[Token]) -> dict:
             opts["overwrite"] = True
         elif key == "COMPRESSION":
             opts["compression"] = vals[0].text.strip("'\"") if vals else None
+        elif key in ("NULL", "NULLSTR"):
+            opts["null_str"] = vals[0].text.strip("'") if vals else ""
+        elif key == "QUOTE":
+            opts["quote"] = (
+                vals[0].text[1:-1].replace("''", "'") if vals else '"'
+            )
+        elif key == "ESCAPE":
+            opts["escape"] = (
+                vals[0].text[1:-1].replace("''", "'") if vals else '"'
+            )
     return opts
 
 

@@ -1162,3 +1162,56 @@ def test_views_are_live_and_durable(spark, tmp_path):
     e2.execute("INSERT INTO base VALUES (4)")
     assert sorted(e2.execute("SELECT * FROM dv").fetchall()) == [(30,), (40,)]
     e2.close()
+
+
+def test_csv_interop_matches_duckdb(engine, tmp_path):
+    """Cross-engine CSV files: doubled-quote escaping (standard CSV, not
+    Spark's backslash), delimiter + header sniffing in read_csv_auto,
+    NULL '<str>' and COMPRESSION gzip COPY options — each file written
+    by one engine reads back identically in both."""
+    import duckdb as _duck
+
+    ddb = _duck.connect()
+    for s in (
+        "CREATE TABLE cp (a INTEGER, b VARCHAR, c DOUBLE)",
+        "INSERT INTO cp VALUES (1, 'x,y', 1.5), (2, NULL, 2.5), "
+        "(3, 'q\"z', NULL)",
+    ):
+        engine.execute(s)
+        ddb.execute(s)
+    d = str(tmp_path)
+    cases = [
+        ("h0", "(FORMAT CSV, HEADER false)"),
+        ("h1", "(FORMAT CSV, HEADER true, DELIMITER '|')"),
+        ("n1", "(FORMAT CSV, NULL 'NIL', HEADER true)"),
+    ]
+    for tag, opts in cases:
+        dd, sp = f"{d}/duck_{tag}.csv", f"{d}/spark_{tag}.csv"
+        ddb.execute(f"COPY cp TO '{dd}' {opts}")
+        engine.execute(f"COPY cp TO '{sp}' {opts}")
+        expect = ddb.execute(
+            f"SELECT * FROM read_csv_auto('{dd}') ORDER BY 1"
+        ).fetchall()
+        for f in (dd, sp):
+            got = [
+                tuple(r)
+                for r in engine.execute(
+                    f"SELECT * FROM read_csv_auto('{f}') ORDER BY 1"
+                ).collect()
+            ]
+            assert got == expect, (tag, f)
+        # duck reads OUR file identically too
+        assert ddb.execute(
+            f"SELECT * FROM read_csv_auto('{sp}') ORDER BY 1"
+        ).fetchall() == expect, tag
+    engine.execute(
+        f"COPY cp TO '{d}/g.csv.gz' (FORMAT CSV, COMPRESSION gzip, "
+        "HEADER true)"
+    )
+    rows = engine.execute(
+        f"SELECT * FROM read_csv_auto('{d}/g.csv.gz') ORDER BY 1"
+    ).collect()
+    assert len(rows) == 3
+    assert ddb.execute(
+        f"SELECT count(*) FROM read_csv_auto('{d}/g.csv.gz')"
+    ).fetchall() == [(3,)]
