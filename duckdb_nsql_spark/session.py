@@ -637,6 +637,18 @@ class DuckSparkSession:
 
     def _query(self, sql: str) -> DataFrame:
         sql = self._expand_macros(sql)
+        # DuckDB percentage limit: LIMIT p% keeps floor(p/100 * n) rows
+        # of the (ordered) result — needs the total, so one count job;
+        # the sorted limit(k) is then Spark's top-k
+        pm = re.match(
+            r"^(.*?)\bLIMIT\s+(\d+(?:\.\d+)?)\s*%\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if pm:
+            base = self._query(pm.group(1))
+            k = int(base.count() * float(pm.group(2)) / 100.0)
+            return base.limit(k)
         asof = self._asof_rewrite(sql)
         if asof is not None:
             sql = asof

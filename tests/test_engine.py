@@ -1215,3 +1215,20 @@ def test_csv_interop_matches_duckdb(engine, tmp_path):
     assert ddb.execute(
         f"SELECT count(*) FROM read_csv_auto('{d}/g.csv.gz')"
     ).fetchall() == [(3,)]
+
+
+def test_limit_percent(engine):
+    """DuckDB LIMIT p%: floor(p/100 * n) rows of the ordered result."""
+    engine.execute("CREATE TABLE lp (a INTEGER)")
+    engine.execute(
+        "INSERT INTO lp VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)"
+    )
+    assert engine.execute(
+        "SELECT a FROM lp ORDER BY a LIMIT 10%"
+    ).fetchall() == [(1,)]
+    assert engine.execute(
+        "SELECT a FROM lp ORDER BY a DESC LIMIT 25%"
+    ).fetchall() == [(10,), (9,)]
+    assert len(engine.execute(
+        "SELECT a FROM lp ORDER BY a LIMIT 50%"
+    ).fetchall()) == 5
