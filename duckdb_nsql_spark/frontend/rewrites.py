@@ -552,7 +552,10 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
         if kind is None and sig_base:
             if (
                 sig_base[0].kind == IDENT
-                and sig_base[0].upper == "MAP"
+                and sig_base[0].upper in (
+                    "MAP", "MAP_FROM_ENTRIES", "MAP_FROM_ARRAYS",
+                    "MAP_CONCAT",
+                )
                 and len(sig_base) > 1
                 and sig_base[1].kind == PUNCT
                 and sig_base[1].text == "("
@@ -563,22 +566,26 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
 
         inner = tokens[i + 1 : close]
         sig_inner = [tk for tk in inner if tk.kind not in (WS, COMMENT)]
+        has_colon = any(
+            tk.kind == PUNCT and tk.text == ":" for tk in _trim_depth0(inner)
+        )
+        if kind == "map" and not has_colon and sig_inner:
+            # subscript by KEY of ANY type (string, int, ...): DuckDB
+            # map[k] yields the LIST of values for the key ([] when
+            # absent). Emit the map_extract() form: the _FN_MACROS pass
+            # expands it to the CASE construct, and a chained subscript
+            # (m['k'][1]) structurally infers ARRAY from the MAP_EXTRACT
+            # name instead of falling back to string
+            b = render(base)
+            k = render(sig_inner)
+            new = tokenize(f"map_extract({b}, {k})")
+            tokens = tokens[:start] + new + tokens[close + 1 :]
+            i = start
+            continue
         if len(sig_inner) == 1 and sig_inner[0].kind == STRING:
-            # subscript by KEY, not position. DuckDB: map['k'] yields the
-            # LIST of values for the key ([] when absent); struct['f'] is
-            # plain field access, which Spark's ['f'] already matches.
-            if kind == "map":
-                # emit the map_extract() form: the _FN_MACROS pass expands
-                # it to the CASE construct, and a chained subscript
-                # (m['k'][1]) structurally infers ARRAY from the
-                # MAP_EXTRACT name instead of falling back to string
-                b = render(base)
-                k = render(sig_inner)
-                new = tokenize(f"map_extract({b}, {k})")
-                tokens = tokens[:start] + new + tokens[close + 1 :]
-                i = start
-            else:
-                i = close + 1
+            # subscript by string KEY on a struct: plain field access,
+            # which Spark's ['f'] already matches.
+            i = close + 1
             continue
         if kind is None:
             kind = "string"
@@ -2164,6 +2171,9 @@ _FN_MACROS_N["DECODE"] = {1: "decode({0}, 'UTF-8')"}
 # zero-argument session functions: DuckDB names/values
 _FN_MACROS_0 = {
     "CURRENT_SCHEMA": "'main'",
+    "TODAY": "current_date()",
+    "TRANSACTION_TIMESTAMP": "current_timestamp()",
+    "UUIDV4": "uuid()",
     # single-session engine: the txid is the constant baseline (DuckDB's
     # own in-memory db starts near 0; callers use it for ordering only)
     "TXID_CURRENT": "CAST(0 AS BIGINT)",
@@ -2346,6 +2356,39 @@ def _quantile_disc_template(args: list[str]) -> str:
 
 _FN_MACROS_N["QUANTILE_DISC"] = {2: _quantile_disc_template}
 _FN_MACROS_N["QUANTILE"] = {2: _quantile_disc_template}
+
+# DuckDB map(keys_list, values_list) -> Spark map_from_arrays (Spark's
+# own 2-arg map() reads two scalars as ONE key/value pair — which is
+# exactly what the brace-literal pass emits, so only LIST-shaped
+# arguments reroute)
+def _map_from_lists_template(args: list[str]) -> Optional[str]:
+    def _listish(a: str) -> bool:
+        a = a.lstrip().lower()
+        return a.startswith("[") or a.startswith("array(") or \
+            a.startswith("array (")
+
+    if _listish(args[0]) and _listish(args[1]):
+        return f"map_from_arrays({args[0]}, {args[1]})"
+    return None
+
+
+_FN_MACROS_N["MAP"] = {2: _map_from_lists_template}
+# list cardinality/count/distance family
+_FN_MACROS_N["ARRAY_UNIQUE"] = {
+    1: "size(filter(array_distinct({0}), x -> x IS NOT NULL))"
+}
+_FN_MACROS_N["LIST_COUNT"] = {1: "size(filter({0}, x -> x IS NOT NULL))"}
+_FN_MACROS_N["ARRAY_COUNT"] = {1: "size(filter({0}, x -> x IS NOT NULL))"}
+_FN_MACROS_N["ARRAY_LENGTH"] = {
+    2: lambda args: f"size({args[0]})" if args[1].strip() == "1" else None
+}
+_EUCLID = ("sqrt(aggregate(zip_with({0}, {1}, (a, b) -> "
+           "CAST(a - b AS DOUBLE) * CAST(a - b AS DOUBLE)), "
+           "CAST(0 AS DOUBLE), (s, x) -> s + x))")
+_FN_MACROS_N["LIST_DISTANCE"] = {2: _EUCLID}
+_FN_MACROS_N["ARRAY_DISTANCE"] = {2: _EUCLID}
+# setseed: engine RNG is per-query in Spark; accept and return NULL
+_FN_MACROS_N["SETSEED"] = {1: "CAST(NULL AS STRING)"}
 
 # multi-argument grouping(a, b, ...) -> Spark's grouping_id bitmask
 # (identical bit layout; 1-arg grouping() is native in both)
@@ -3645,6 +3688,16 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                     # DuckDB len/length are polymorphic; Spark needs size()
                     # for arrays/maps and length() for strings
                     c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if up == "ARRAY_LENGTH" and len(spans) == 2:
+                        # 2-arg form carries a dimension; only dim 1 is
+                        # meaningful for Spark arrays — drop the argument
+                        dim = render(
+                            _trim(out[spans[1][0] : spans[1][1]])
+                        ).strip()
+                        if dim == "1":
+                            out[spans[0][1] : c] = []
+                            c = match_forward(out, n, "(", ")")
                     if _span_is_array(out, n + 1, c, resolver):
                         out[i] = _ident("size")
                     elif up in ("LEN",):

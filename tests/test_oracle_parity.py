@@ -382,6 +382,18 @@ def test_function_edge_grid_round4d_matches_duckdb(spark, ddb):
         "gcd(12, 18)", "lcm(4, 6)", "bit_length('ab')",
         "[1,2] < [1,3]", "[1,2] < [1,2,0]",
         "len([1,2,3])", "ord('€')",
+        # wave 8: map-producing functions as subscript bases (list-wrap
+        # key access), duck map(keys, values) form, list cardinality /
+        # distance family, zero-arg session functions
+        "map_from_entries([('k1', 1), ('k2', 2)])['k1']",
+        "map([1,2],[10,20])[2]", "map([1,2],[10,20])[9]",
+        "map_concat(MAP {'a': 1}, MAP {'b': 2})['b']",
+        "MAP {1: 'x'}[1]",
+        "array_unique([1,1,2,NULL])", "list_count([1,NULL,3])",
+        "array_length([1,2,3], 1)", "array_length([1,2,3])",
+        "list_distance([0.0,0.0],[3.0,4.0])",
+        "today() = current_date",
+        "now() = transaction_timestamp()",
         "base64('ab'::BLOB)", "from_base64('YWI=')",
     ]
     sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
