@@ -58,9 +58,16 @@ class Resolver(Protocol):
     def setting(self, name: str) -> Optional[str]:
         ...
 
+    def column_numeric(self, name: str) -> Optional[str]:
+        """'int' | 'float' | None for an unqualified column name."""
+        ...
+
 
 class NullResolver:
     def column_kind(self, name: str) -> Optional[str]:
+        return None
+
+    def column_numeric(self, name: str) -> Optional[str]:
         return None
 
     def table_columns(self, name: str) -> Optional[list[str]]:
@@ -1487,10 +1494,11 @@ def _blob_literal_hex(tok: Token) -> str:
 
 
 def _is_single_round_call(expr: list[Token]) -> bool:
-    """True when ``expr`` is exactly ``round(<one arg>)`` — the shape this
-    pass generates; re-wrapping it would be a useless no-op. A user's
-    ``round(x, 2)`` (two args, can still be fractional) returns False."""
-    if not (expr and expr[0].kind == IDENT and expr[0].upper == "ROUND"):
+    """True when ``expr`` is exactly ``[b]round(<one arg>)`` — the shape
+    this pass generates; re-wrapping it would be a useless no-op. A
+    user's ``round(x, 2)`` (two args, can still be fractional) returns
+    False."""
+    if not (expr and expr[0].kind == IDENT and expr[0].upper in ("ROUND", "BROUND")):
         return False
     o = next_sig(expr, 0)
     if o >= len(expr) or expr[o].text != "(":
@@ -1502,12 +1510,14 @@ def _is_single_round_call(expr: list[Token]) -> bool:
 
 
 def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
-    """``x::INTEGER`` / ``CAST(x AS INTEGER)`` — DuckDB rounds (half away
-    from zero) when casting float/double to integer (dev.json:428
-    ``speed::INTEGER``); Spark CAST truncates. Rewrite to
-    ``CAST(round(x) AS type)`` (Spark round is also half-away-from-zero),
-    preserving DuckDB's answer for fractional input and a no-op for
-    integral input. Covers both cast spellings."""
+    """``x::INTEGER`` / ``CAST(x AS INTEGER)`` — DuckDB ROUNDS when
+    casting float/double to integer (dev.json:428 ``speed::INTEGER``)
+    with banker's HALF-EVEN ties (904.5 -> 904, 905.5 -> 906 — probed);
+    Spark CAST truncates. Rewrite to ``CAST(bround(x) AS type)``
+    (Spark's bround is HALF-EVEN), preserving DuckDB's answer for
+    fractional input and a no-op for integral input. Covers both cast
+    spellings. (DuckDB's round() FUNCTION is half-away-from-zero — only
+    the cast uses banker's rounding.)"""
     i = 0
     while i < len(tokens):
         t = tokens[i]
@@ -1556,13 +1566,13 @@ def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
                                 # TRY_CAST targets DOUBLE, so the rescan
                                 # can't re-match it.)
                                 new = tokenize(
-                                    f"CAST(round(TRY_CAST({render(expr)}"
+                                    f"CAST(bround(TRY_CAST({render(expr)}"
                                     f" AS DOUBLE)) AS {tokens[ty].text})"
                                 )
                             else:
                                 new = (
                                     [_ident("CAST"), _punct("("),
-                                     _ident("round"), _punct("(")]
+                                     _ident("bround"), _punct("(")]
                                     + expr
                                     + [_punct(")"), _ws(), _ident("AS"),
                                        _ws(), _ident(tokens[ty].text),
@@ -1579,7 +1589,7 @@ def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
                 start = primary_start(tokens, i)
                 base = tokens[start:i]
                 new = (
-                    [_ident("CAST"), _punct("("), _ident("round"), _punct("(")]
+                    [_ident("CAST"), _punct("("), _ident("bround"), _punct("(")]
                     + base
                     + [_punct(")"), _ws(), _ident("AS"), _ws(), _ident(tokens[ty].text), _punct(")")]
                 )
@@ -2222,11 +2232,72 @@ _FN_MACROS_N["SUBSTR"] = {3: _substr_zero_template}
 _FN_MACROS_N["SUBSTRING"] = {3: _substr_zero_template}
 
 
+_ACTIVE_RESOLVER: list = [None]  # set by pass_function_renames
+
+# functions through which integer typing survives (so DuckDB's
+# round(<int expr>, n) -> DOUBLE rule applies to the whole expression)
+_INT_PRESERVING_FNS = frozenset({
+    "ABS", "LEAST", "GREATEST", "COALESCE", "NULLIF", "SIGN", "MOD",
+    "FLOOR", "CEIL", "CEILING", "SUM", "COUNT", "MIN", "MAX", "LENGTH",
+    "SIZE", "LEN", "YEAR", "MONTH", "DAY", "IF", "IFNULL",
+})
+_INT_EXPR_IGNORED_KWS = frozenset({
+    "OVER", "PARTITION", "BY", "ORDER", "ROWS", "RANGE", "BETWEEN",
+    "PRECEDING", "FOLLOWING", "CURRENT", "ROW", "UNBOUNDED", "AND",
+    "ASC", "DESC", "NULLS", "FIRST", "LAST", "DISTINCT",
+})
+
+
+def _expr_is_integerish(txt: str) -> bool:
+    """Conservatively true when a numeric expression is integer-typed in
+    BOTH engines: integer literals, schema-resolved integer columns, and
+    int-preserving functions only. A window spec's OVER(...) clause is
+    type-irrelevant and skipped."""
+    toks = tokenize(txt)
+    # drop everything from a top-level OVER onward (window spec idents
+    # are partition/order keys of any type)
+    for k, tk in enumerate(toks):
+        if tk.kind == IDENT and tk.upper == "OVER":
+            toks = toks[:k]
+            break
+    resolver = _ACTIVE_RESOLVER[0]
+    saw_term = False
+    i = 0
+    while i < len(toks):
+        tk = toks[i]
+        if tk.kind == NUMBER:
+            if "." in tk.text or "e" in tk.text.lower():
+                return False
+            saw_term = True
+        elif tk.kind in (IDENT, QIDENT):
+            up = tk.upper
+            n = next_sig(toks, i)
+            if n < len(toks) and toks[n].kind == PUNCT and toks[n].text == "(":
+                if up not in _INT_PRESERVING_FNS:
+                    return False
+            elif up in _INT_EXPR_IGNORED_KWS:
+                pass
+            elif tk.kind == OP or up == "*":
+                pass
+            else:
+                if resolver is None or resolver.column_numeric(
+                    tk.text.strip('"`')
+                ) != "int":
+                    return False
+                saw_term = True
+        elif tk.kind == STRING:
+            return False
+        i += 1
+    return saw_term
+
+
 def _round_int_template(args: list[str]) -> Optional[str]:
-    """DuckDB round(INTEGER, n) returns DOUBLE (12300.0, not 12300);
-    only detectable statically for integer literals — DECIMAL/DOUBLE
-    first arguments keep their exact typing and are left alone."""
-    if re.fullmatch(r"-?[0-9]+", args[0].strip()):
+    """DuckDB round(<integer-typed expr>, n) returns DOUBLE (12300.0,
+    not 12300); detectable for integer literals and schema-resolved
+    integer expressions — DECIMAL/DOUBLE first arguments keep their
+    exact typing and are left alone."""
+    a = args[0].strip()
+    if re.fullmatch(r"-?[0-9]+", a) or _expr_is_integerish(a):
         return f"round(CAST({args[0]} AS DOUBLE), {args[1]})"
     return None
 
@@ -2236,6 +2307,7 @@ _FN_MACROS_N["ROUND"] = {
     1: lambda args: (
         f"CAST({args[0]} AS DOUBLE)"
         if re.fullmatch(r"-?[0-9]+", args[0].strip())
+        or _expr_is_integerish(args[0].strip())
         else None
     ),
 }
@@ -3013,7 +3085,9 @@ def pass_regex_operators(tokens: list[Token]) -> list[Token]:
     return out
 
 
-def pass_caret_power(tokens: list[Token]) -> list[Token]:
+def pass_caret_power(
+    tokens: list[Token], resolver: Optional[Resolver] = None
+) -> list[Token]:
     """DuckDB ``^`` and ``**`` are EXPONENTIATION; Spark parses ``^`` as
     bitwise XOR — a silent value divergence (2 ^ 3 = 8.0 vs 1). Rewrite the
     binary operator over its adjacent primaries to power(l, r). DuckDB's
@@ -3024,31 +3098,89 @@ def pass_caret_power(tokens: list[Token]) -> list[Token]:
     while i < len(out):
         t = out[i]
         if t.kind == OP and t.text == "//":
-            # DuckDB floor-division -> Spark's integral `div` (same
-            # precedence tier; truncation matches for integer operands)
+            # DuckDB `//`: truncating integer division for integer
+            # operands (Spark's `div`), but PLAIN division for fractional
+            # ones (7.5 // 2 = 3.75) — Spark's div rejects non-integrals
+            # outright. Literals and schema-resolved columns decide.
+            def _numkind(k: int) -> Optional[str]:
+                if not (0 <= k < len(out)):
+                    return None
+                tk = out[k]
+                if tk.kind == NUMBER:
+                    return (
+                        "float"
+                        if "." in tk.text or "e" in tk.text.lower()
+                        else "int"
+                    )
+                if tk.kind in (IDENT, QIDENT) and resolver is not None:
+                    return resolver.column_numeric(tk.text.strip('"`'))
+                return None
+
+            lf = _numkind(prev_sig(out, i))
+            rf = _numkind(next_sig(out, i))
+            if lf == "float" or rf == "float":
+                out[i] = Token(OP, "/")
+                continue  # reprocessed: the '/' branch casts literals
             out[i : i + 1] = [_ws(), _ident("div"), _ws()]
             i += 3
             continue
         if t.kind == OP and t.text == "/":
             # DuckDB `/` ALWAYS yields DOUBLE; Spark keeps DECIMAL for
-            # decimal operands. Statically fixable for decimal LITERALS:
-            # cast them to DOUBLE so 1.0/3.0 = 0.3333333333333333, not a
-            # scale-limited DECIMAL. (Decimal COLUMNS stay a documented
-            # divergence — type unknown at the text layer.)
+            # decimal operands. Statically fixable when an operand IS a
+            # decimal literal, or when its primary span CONTAINS one
+            
+            # typing through the whole Spark expression). Interval-ish
+            # spans are left alone (CAST interval AS DOUBLE would error).
             def _is_dec_lit(k: int) -> bool:
                 return 0 <= k < len(out) and out[k].kind == NUMBER and (
                     "." in out[k].text or "e" in out[k].text.lower()
                 )
 
+            def _span_decimalish(span: list[Token]) -> bool:
+                has_dec = any(
+                    tk.kind == NUMBER
+                    and ("." in tk.text or "e" in tk.text.lower())
+                    for tk in span
+                )
+                if not has_dec:
+                    return False
+                for tk in span:
+                    if tk.kind == IDENT and tk.upper in (
+                        "INTERVAL", "MAKE_DT_INTERVAL", "MAKE_YM_INTERVAL",
+                        "TO_DAYS", "TO_HOURS", "TO_MINUTES", "TO_SECONDS",
+                        "AGE", "CAST",
+                    ):
+                        return False
+                return True
+
             p, nx = prev_sig(out, i), next_sig(out, i)
-            if _is_dec_lit(nx):  # right side first: left indices stable
+            # right side first: left indices stay stable
+            if _is_dec_lit(nx):
                 out[nx : nx + 1] = tokenize(
                     f"CAST({out[nx].text} AS DOUBLE)"
                 )
+            else:
+                rend = _primary_end(out, nx) if nx < len(out) else None
+                if rend is not None and rend > nx and _span_decimalish(
+                    out[nx : rend + 1]
+                ):
+                    txt = render(out[nx : rend + 1])
+                    out[nx : rend + 1] = tokenize(
+                        f"CAST(({txt}) AS DOUBLE)"
+                    )
             if _is_dec_lit(p):
                 repl = tokenize(f"CAST({out[p].text} AS DOUBLE)")
                 out[p : p + 1] = repl
                 i += len(repl) - 1  # the '/' shifted right
+            else:
+                lstart = _primary_start(out, p) if p >= 0 else None
+                if lstart is not None and lstart < p and _span_decimalish(
+                    out[lstart : p + 1]
+                ):
+                    txt = render(out[lstart : p + 1])
+                    repl = tokenize(f"CAST(({txt}) AS DOUBLE)")
+                    out[lstart : p + 1] = repl
+                    i += len(repl) - (p + 1 - lstart)
         if t.kind == OP and t.text in ("^", "**"):
             lp = prev_sig(out, i)
             rp = next_sig(out, i)
@@ -3594,6 +3726,47 @@ def pass_windowed_median(tokens: list[Token]) -> list[Token]:
     return out
 
 
+_DYN_INTERVAL_BUILDERS = {
+    "DAY": "make_dt_interval(CAST({e} AS INT))",
+    "WEEK": "make_dt_interval(CAST({e} AS INT) * 7)",
+    "HOUR": "make_dt_interval(0, CAST({e} AS INT))",
+    "MINUTE": "make_dt_interval(0, 0, CAST({e} AS INT))",
+    "SECOND": "make_dt_interval(0, 0, 0, {e})",
+    "MILLISECOND": "make_dt_interval(0, 0, 0, CAST({e} AS DOUBLE) / 1e3)",
+    "MICROSECOND": "make_dt_interval(0, 0, 0, CAST({e} AS DOUBLE) / 1e6)",
+    "MONTH": "make_ym_interval(0, CAST({e} AS INT))",
+    "YEAR": "make_ym_interval(CAST({e} AS INT))",
+    "DECADE": "make_ym_interval(CAST({e} AS INT) * 10)",
+    "CENTURY": "make_ym_interval(CAST({e} AS INT) * 100)",
+}
+
+
+def pass_dynamic_interval(tokens: list[Token]) -> list[Token]:
+    """``INTERVAL (expr) UNIT`` — DuckDB allows a computed quantity;
+    Spark's INTERVAL syntax is literal-only. Rewrite to the interval
+    builder functions (make_dt_interval / make_ym_interval)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "INTERVAL":
+            o = next_sig(out, i)
+            if o < len(out) and out[o].kind == PUNCT and out[o].text == "(":
+                c = match_forward(out, o, "(", ")")
+                u = next_sig(out, c)
+                if u < len(out) and out[u].kind == IDENT:
+                    unit = out[u].upper.rstrip("S")
+                    tmpl = _DYN_INTERVAL_BUILDERS.get(unit)
+                    if tmpl is not None:
+                        e_txt = render(_trim(out[o + 1 : c]))
+                        new = tokenize(tmpl.replace("{e}", e_txt))
+                        out = out[:i] + new + out[u + 1 :]
+                        i += len(new)
+                        continue
+        i += 1
+    return out
+
+
 def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
     """DuckDB ``DATE +/- INTERVAL`` yields a TIMESTAMP (even for day
     intervals); Spark keeps DATE. Wrap the left operand of a ``+ INTERVAL``
@@ -3675,6 +3848,7 @@ def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
 
 def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = None) -> list[Token]:
     resolver = resolver or NullResolver()
+    _ACTIVE_RESOLVER[0] = resolver  # for schema-aware macro templates
     out = list(tokens)
     i = 0
     while i < len(out):
@@ -4875,8 +5049,9 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_using_sample(tokens)
     tokens = pass_int_cast_rounds(tokens)
     tokens = pass_cast_type_names(tokens)
-    tokens = pass_caret_power(tokens)
+    tokens = pass_caret_power(tokens, resolver)
     tokens = pass_regex_operators(tokens)
+    tokens = pass_dynamic_interval(tokens)
     tokens = pass_date_interval_arith(tokens)
     tokens = pass_function_renames(tokens, resolver)
     return render(tokens)

@@ -237,8 +237,12 @@ class _CatalogResolver:
         self.session = session
 
     def column_kind(self, name: str) -> Optional[str]:
-        kinds = self.session._column_kinds()
-        return kinds.get(name.lower())
+        k = self.session._column_kinds().get(name.lower())
+        return k if k in ("array", "string", "map", "struct") else None
+
+    def column_numeric(self, name: str) -> Optional[str]:
+        k = self.session._column_kinds().get(name.lower())
+        return k if k in ("int", "float") else None
 
     def table_columns(self, name: str) -> Optional[list[str]]:
         try:
@@ -2116,17 +2120,23 @@ class DuckSparkSession:
                     if isinstance(f.dataType, T.MapType)
                     else "struct"
                     if isinstance(f.dataType, T.StructType)
+                    else "float"
+                    if isinstance(
+                        f.dataType,
+                        (T.DoubleType, T.FloatType, T.DecimalType),
+                    )
+                    else "int"
+                    if isinstance(
+                        f.dataType,
+                        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+                    )
                     else "other"
                 )
                 prev = kinds.get(f.name.lower())
                 if prev is None or prev == k:
                     kinds[f.name.lower()] = k
                 # conflicting kinds across tables: keep first (best effort)
-        self._kind_cache = {
-            k: v
-            for k, v in kinds.items()
-            if v in ("array", "string", "map", "struct")
-        }
+        self._kind_cache = kinds
         return self._kind_cache
 
     def _register_managed(

@@ -1,0 +1,162 @@
+"""Randomized cross-engine differential FUZZER: template-grammar
+analytic queries (agg/scalar/window/join shapes over the TPC-H
+fixtures) run on the engine AND DuckDB; any row-set difference is a
+finding. Usage: python harness/fuzz_diff.py [seed] [n_queries].
+
+Round-4 findings it already caught (all fixed + pinned):
+ - CAST(double AS INTEGER) used HALF-UP rounding; DuckDB's cast is
+   banker's HALF-EVEN (904.5 -> 904) — now bround().
+ - round(<integer expr>, n) kept INT typing; DuckDB returns DOUBLE.
+ - sum(int * 0.5) / count(*): Spark kept DECIMAL typing; DuckDB's
+   division is always DOUBLE (decimal-bearing spans now cast).
+ - INTERVAL (expr) DAY dynamic intervals unsupported.
+ - s_acctbal // 3: Spark div rejects DOUBLE operands; DuckDB divides
+   plainly on non-integers (typed dispatch via the schema resolver).
+"""
+import random
+import sys
+
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import duckdb
+import duckdb_nsql_spark as dns
+
+rng = random.Random(42)
+
+
+def reseed(seed: int) -> None:
+    global rng
+    rng = random.Random(seed)
+
+NUM_COLS = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders": ["o_totalprice"],
+    "customer": ["c_acctbal"],
+    "part": ["p_retailprice", "p_size"],
+    "supplier": ["s_acctbal"],
+}
+STR_COLS = {
+    "lineitem": ["l_returnflag", "l_linestatus"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "customer": ["c_mktsegment", "c_name"],
+    "part": ["p_brand", "p_type"],
+    "supplier": ["s_name"],
+}
+KEY_COLS = {
+    "lineitem": "l_orderkey", "orders": "o_orderkey",
+    "customer": "c_custkey", "part": "p_partkey", "supplier": "s_suppkey",
+}
+
+def scalar_expr(t):
+    n = rng.choice(NUM_COLS[t]); s = rng.choice(STR_COLS[t])
+    return rng.choice([
+        f"round({n} * 2.5, 3)",
+        f"round(abs({n} - 10), 2)",
+        f"upper(substr({s}, 2, 4))",
+        f"length({s}) + {rng.randint(0,5)}",
+        f"coalesce(nullif({s}, 'x'), 'y')",
+        f"CASE WHEN {n} > {rng.randint(1, 50)} THEN 'hi' ELSE 'lo' END",
+        f"concat({s}, '#', CAST({rng.randint(1,9)} AS VARCHAR))",
+        f"round(ln(abs({n}) + 1), 4)",
+        f"least({n}, {rng.randint(1,40)})",
+        f"list_contains(string_split({s}, ' '), 'BOX')",
+        f"hash_eq_md5({s})".replace("hash_eq_md5", "md5"),
+        f"regexp_extract({s}, '[A-Z]+', 0)",
+        f"date_part('month', DATE '2024-01-15' + INTERVAL ({n}::INTEGER % 28) DAY)",
+        f"{n} // 3",
+        f"CAST({n} AS INTEGER) % 7",
+    ])
+
+def agg_expr(t):
+    n = rng.choice(NUM_COLS[t]); s = rng.choice(STR_COLS[t])
+    return rng.choice([
+        f"round(sum({n}), 2)",
+        f"round(avg({n}), 4)",
+        f"count(DISTINCT {s})",
+        f"min({s})", f"max({n})",
+        f"round(stddev_pop({n}), 4)",
+        f"count(*) FILTER (WHERE {n} > {rng.randint(1,30)})",
+        f"round(sum({n} * 0.5) / greatest(count(*), 1), 4)",
+        f"bool_or(length({s}) > {rng.randint(4, 12)})",
+        f"max({s})",
+    ])
+
+def predicate(t):
+    n = rng.choice(NUM_COLS[t]); s = rng.choice(STR_COLS[t])
+    return rng.choice([
+        f"{n} > {rng.randint(0, 100)}",
+        f"{n} BETWEEN {rng.randint(0,20)} AND {rng.randint(21,99)}",
+        f"{s} LIKE '%{rng.choice('AERST')}%'",
+        f"length({s}) % 2 = {rng.randint(0,1)}",
+        f"{s} IS NOT NULL AND {n} IS NOT NULL",
+        f"substr({s}, 1, 1) IN ('A', 'B', 'R', 'M')",
+        f"{n} < (SELECT avg({n}) FROM {t})",
+    ])
+
+def gen_query():
+    t = rng.choice(list(NUM_COLS))
+    kind = rng.random()
+    if kind < 0.45:
+        g = rng.choice(STR_COLS[t])
+        aggs = ", ".join(f"{agg_expr(t)} AS a{i}" for i in range(rng.randint(1, 3)))
+        return (f"SELECT {g} AS g, {aggs} FROM {t} WHERE {predicate(t)} "
+                f"GROUP BY {g} ORDER BY ALL LIMIT 40")
+    if kind < 0.7:
+        exprs = ", ".join(f"{scalar_expr(t)} AS c{i}" for i in range(rng.randint(2, 4)))
+        k = KEY_COLS[t]
+        return (f"SELECT {k}, {exprs} FROM {t} WHERE {predicate(t)} "
+                f"ORDER BY {k} LIMIT 60")
+    if kind < 0.85:
+        g = rng.choice(STR_COLS[t]); n = rng.choice(NUM_COLS[t]); k = KEY_COLS[t]
+        return (f"SELECT {k}, {g}, round(sum({n}) OVER (PARTITION BY {g} "
+                f"ORDER BY {k} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS w "
+                f"FROM {t} WHERE {predicate(t)} ORDER BY {k}, {g} LIMIT 50")
+    # join shape
+    t = "lineitem"
+    g = rng.choice(STR_COLS["orders"])
+    return (f"SELECT {g} AS g, {agg_expr('lineitem')} AS a "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE {predicate('lineitem')} GROUP BY {g} ORDER BY ALL LIMIT 40")
+
+def main() -> None:
+    SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 42
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    reseed(SEED)
+    con = dns.connect(cpus=8)
+    con.register_parquet_dir("/root/testdata/sf0.001")
+    ddb = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        ddb.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    fails = 0
+    for qi in range(N):
+        q = gen_query()
+        try:
+            d = sorted(map(str, ddb.execute(q).fetchall()))
+            derr = None
+        except Exception as ex:
+            d, derr = None, str(ex).splitlines()[0][:90]
+        try:
+            s = sorted(str(tuple(r)) for r in con.execute(q).collect())
+            serr = None
+        except Exception as ex:
+            s, serr = None, str(ex).splitlines()[0][:130]
+        if derr and serr:
+            continue
+        if derr or serr or s != d:
+            fails += 1
+            print(f"=== MISMATCH #{fails} (query {qi}) ===")
+            print("QRY:", q)
+            if derr or serr:
+                print(" duckerr:", derr, "\n sparkerr:", serr)
+            elif d is not None and s is not None:
+                diffs = [(a, b) for a, b in zip(d, s) if a != b][:3]
+                print(f" rows duck={len(d)} spark={len(s)} first-diffs={diffs}")
+    print(f"FUZZ DONE: {N} queries, {fails} mismatches (seed {SEED})")
+
+
+if __name__ == "__main__":
+    main()

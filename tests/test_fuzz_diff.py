@@ -1,0 +1,46 @@
+"""Seeded differential fuzz: 60 template-grammar queries per run,
+engine vs DuckDB row-set equality. The same generator is available as
+a standalone tool (harness/fuzz_diff.py) for longer hunts; this pinned
+seed replays the grammar that caught the round-4 rounding/typing bugs
+(HALF-EVEN int casts, DOUBLE-typed integer round(), decimal-span
+division, dynamic intervals, fractional //)."""
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem"]
+
+
+@pytest.fixture(scope="module")
+def fuzz_duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet(\'{SF}/{t}.parquet\')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def fuzz_mod():
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "harness", "fuzz_diff.py"
+    )
+    spec = importlib.util.spec_from_file_location("fuzz_diff", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fuzz_seed_42(loaded_engine, fuzz_duck, fuzz_mod):
+    fuzz_mod.reseed(42)
+    for _ in range(60):
+        q = fuzz_mod.gen_query()
+        d = sorted(map(str, fuzz_duck.execute(q).fetchall()))
+        s = sorted(str(tuple(r)) for r in loaded_engine.execute(q).collect())
+        assert d == s, q

@@ -84,15 +84,16 @@ def test_qualified_array_index():
 
 
 def test_index_on_cast():
-    # DuckDB ::INT rounds doubles (dev.json:428) -> CAST(round(..) AS INT)
+    # DuckDB ::INT rounds doubles (dev.json:428) with banker HALF-EVEN
+    # ties (904.5 -> 904) -> CAST(bround(..) AS INT)
     r = FakeResolver(kinds={"who_region": "string"})
     out = rewrite_sql("SELECT who_region[1]::INT FROM t", r)
-    assert "CAST(round(substring(who_region, 1, 1)) AS INT)" in out
+    assert "CAST(bround(substring(who_region, 1, 1)) AS INT)" in out
 
 
 def test_int_cast_rounds():
     out = rewrite_sql("SELECT speed::INTEGER AS s FROM laptops")
-    assert "CAST(round(speed) AS INTEGER)" in out
+    assert "CAST(bround(speed) AS INTEGER)" in out
 
 
 def test_non_int_cast_untouched():
@@ -330,7 +331,7 @@ def test_json_arrow_still_rewrites():
 def test_cast_as_integer_rounds():
     # ADVICE r1: CAST(x AS INTEGER) must round like ::INTEGER does
     out = rewrite_sql("SELECT CAST(speed AS INTEGER) FROM t")
-    assert "CAST(round(speed) AS INTEGER)" in out
+    assert "CAST(bround(speed) AS INTEGER)" in out
     out = rewrite_sql("SELECT cast(a + b AS BIGINT) FROM t")
     assert "round" in out
     # no double-wrap of the generated shape / of user round(x)
@@ -640,7 +641,7 @@ def test_try_cast_int_rounds():
     from duckdb_nsql_spark.frontend.rewrites import rewrite_sql
 
     out = rewrite_sql("SELECT TRY_CAST('3.7' AS INTEGER)")
-    assert "round(TRY_CAST" in out and "AS DOUBLE" in out
+    assert "bround(TRY_CAST" in out and "AS DOUBLE" in out
     # boolean literals skip the round wrap entirely (round(bool) errors)
     out2 = rewrite_sql("SELECT CAST(TRUE AS INTEGER), TRY_CAST(FALSE AS INT)")
     assert "round" not in out2.lower()
