@@ -46,6 +46,7 @@ KEY_COLS = {
     "lineitem": "l_orderkey", "orders": "o_orderkey",
     "customer": "c_custkey", "part": "p_partkey", "supplier": "s_suppkey",
 }
+DATE_COLS = {"lineitem": "l_shipdate", "orders": "o_orderdate"}
 
 def scalar_expr(t):
     n = rng.choice(NUM_COLS[t]); s = rng.choice(STR_COLS[t])
@@ -93,6 +94,24 @@ def predicate(t):
         f"{n} < (SELECT avg({n}) FROM {t})",
     ])
 
+def date_expr(t):
+    d = DATE_COLS.get(t)
+    if d is None:
+        return None
+    return rng.choice([
+        f"date_part('month', {d})",
+        f"date_trunc('month', {d})",
+        f"strftime({d}, '%Y-%m')",
+        f"datediff('day', DATE '1995-01-01', {d})",
+        f"{d} + INTERVAL {rng.randint(1, 40)} DAY",
+        f"last_day({d})",
+        f"extract(dow FROM {d})",
+        f"CASE WHEN {d} >= DATE '1996-01-01' THEN 'late' ELSE 'early' END",
+        f"year({d}) * 100 + month({d})",
+        f"date_part('quarter', {d})",
+    ])
+
+
 def gen_query():
     t = rng.choice(list(NUM_COLS))
     kind = rng.random()
@@ -101,22 +120,38 @@ def gen_query():
         aggs = ", ".join(f"{agg_expr(t)} AS a{i}" for i in range(rng.randint(1, 3)))
         return (f"SELECT {g} AS g, {aggs} FROM {t} WHERE {predicate(t)} "
                 f"GROUP BY {g} ORDER BY ALL LIMIT 40")
-    if kind < 0.7:
+    if kind < 0.62:
         exprs = ", ".join(f"{scalar_expr(t)} AS c{i}" for i in range(rng.randint(2, 4)))
         k = KEY_COLS[t]
         return (f"SELECT {k}, {exprs} FROM {t} WHERE {predicate(t)} "
                 f"ORDER BY {k} LIMIT 60")
+    if kind < 0.7:
+        t = rng.choice(["lineitem", "orders"])
+        de = date_expr(t)
+        g = rng.choice(STR_COLS[t])
+        return (f"SELECT {g} AS g, {de} AS d, {agg_expr(t)} AS a FROM {t} "
+                f"WHERE {predicate(t)} GROUP BY ALL "
+                f"HAVING count(*) > {rng.randint(0, 3)} "
+                f"ORDER BY ALL LIMIT 50")
     if kind < 0.85:
         g = rng.choice(STR_COLS[t]); n = rng.choice(NUM_COLS[t]); k = KEY_COLS[t]
         return (f"SELECT {k}, {g}, round(sum({n}) OVER (PARTITION BY {g} "
                 f"ORDER BY {k} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS w "
                 f"FROM {t} WHERE {predicate(t)} ORDER BY {k}, {g} LIMIT 50")
-    # join shape
-    t = "lineitem"
-    g = rng.choice(STR_COLS["orders"])
-    return (f"SELECT {g} AS g, {agg_expr('lineitem')} AS a "
-            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-            f"WHERE {predicate('lineitem')} GROUP BY {g} ORDER BY ALL LIMIT 40")
+    if kind < 0.93:
+        # join shape
+        g = rng.choice(STR_COLS["orders"])
+        return (f"SELECT {g} AS g, {agg_expr('lineitem')} AS a "
+                f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+                f"WHERE {predicate('lineitem')} GROUP BY {g} ORDER BY ALL LIMIT 40")
+    # set-op / nested shape
+    t = rng.choice(["lineitem", "orders"])
+    g = rng.choice(STR_COLS[t])
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    inner = (f"SELECT {g} AS g FROM {t} WHERE {predicate(t)} "
+             f"{op} SELECT {g} AS g FROM {t} WHERE {predicate(t)}")
+    return (f"SELECT g, count(*) AS n FROM ({inner}) u GROUP BY g "
+            f"ORDER BY ALL LIMIT 40")
 
 def main() -> None:
     SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 42
