@@ -2628,11 +2628,13 @@ def pass_strip_agg_order(tokens: list[Token]) -> list[Token]:
 
 _ARRAY_FUNCS = frozenset(
     "ARRAY SLICE SPLIT SEQUENCE COLLECT_LIST ARRAY_AGG STRING_SPLIT STR_SPLIT "
-    "STRING_TO_ARRAY "
+    "STRING_TO_ARRAY STRING_SPLIT_REGEX REGEXP_SPLIT_TO_ARRAY "
     "LIST_VALUE ARRAY_DISTINCT ARRAY_SORT SORT_ARRAY TRANSFORM FLATTEN "
-    "REGEXP_EXTRACT_ALL MAP_KEYS MAP_VALUES "
+    "REGEXP_EXTRACT_ALL MAP_KEYS MAP_VALUES MAP_ENTRIES "
     "RANGE GENERATE_SERIES LIST_TRANSFORM LIST_FILTER LIST_SORT "
     "LIST_DISTINCT LIST_CONCAT LIST_APPEND LIST_PREPEND LIST_REVERSE "
+    "LIST_RESIZE LIST_SELECT LIST_WHERE ARRAY_TRANSFORM ARRAY_FILTER "
+    "LIST_INTERSECT ZIP_WITH ARRAY_CAT LIST_PACK APPLY LIST_APPLY "
     "FILTER REVERSE_ARRAY ARRAY_APPEND ARRAY_PREPEND".split()
 )
 

@@ -112,7 +112,36 @@ def date_expr(t):
     ])
 
 
+TEXT_FN_POOL = [
+    "length(text)",
+    "len(string_split_regex(trim(text), '\\s+'))",
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))",
+    "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b'))",
+    "round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / greatest(length(text), 1), 4)",
+    "substr(text, 5, 12)",
+    "upper(split_part(text, ' ', 2))",
+    "contains(text, 'the')",
+    "levenshtein(substr(text, 1, 8), 'training')",
+    "regexp_extract(text, '[A-Za-z]{5,}', 0)",
+    "strlen(text)",
+    "ascii(text)",
+    "left(text, 6) || '...' || right(text, 4)",
+    "position('a' IN text)",
+]
+
+
+def gen_doc_query():
+    exprs = ", ".join(
+        f"{rng.choice(TEXT_FN_POOL)} AS c{i}" for i in range(rng.randint(2, 4))
+    )
+    return (f"SELECT doc_id, {exprs} FROM documents "
+            f"WHERE doc_id % {rng.randint(2, 9)} = {rng.randint(0, 1)} "
+            f"ORDER BY doc_id LIMIT 80")
+
+
 def gen_query():
+    if rng.random() < 0.18:
+        return gen_doc_query()
     t = rng.choice(list(NUM_COLS))
     kind = rng.random()
     if kind < 0.45:
@@ -161,7 +190,7 @@ def main() -> None:
     con.register_parquet_dir("/root/testdata/sf0.001")
     ddb = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"]:
+              "orders", "lineitem", "documents"]:
         ddb.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"

@@ -13,7 +13,7 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem"]
+          "lineitem", "documents"]
 
 
 @pytest.fixture(scope="module")
