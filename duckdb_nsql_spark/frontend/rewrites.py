@@ -1849,8 +1849,8 @@ _FN_MACROS_1 = {
     "LIST_UNIQUE": "size(filter(array_distinct({a}), x -> x IS NOT NULL))",
     # epoch(ts) -> seconds as double (DuckDB keeps sub-second precision;
     # 1e6 not 1000000.0 — Spark parses the latter as a DECIMAL literal)
-    "EPOCH": "(unix_micros({a}) / 1e6)",
-    "EPOCH_MS": "unix_millis({a})",
+    "EPOCH": "(unix_micros(CAST({a} AS TIMESTAMP)) / 1e6)",
+    "EPOCH_MS": "unix_millis(CAST({a} AS TIMESTAMP))",
     # Spark spells it sha2(expr, bits)
     "SHA256": "sha2({a}, 256)",
 }
@@ -2291,6 +2291,69 @@ def _expr_is_integerish(txt: str) -> bool:
     return saw_term
 
 
+_FLOAT_FNS = frozenset({
+    "AVG", "MEAN", "LN", "LOG", "LOG10", "LOG2", "EXP", "SQRT", "CBRT",
+    "STDDEV", "STDDEV_POP", "STDDEV_SAMP", "VARIANCE", "VAR_POP",
+    "VAR_SAMP", "RADIANS", "DEGREES", "SIN", "COS", "TAN", "ASIN",
+    "ACOS", "ATAN", "ATAN2", "POWER", "POW", "RANDOM", "RAND", "PI",
+})
+
+
+def _expr_is_doubleish(txt: str) -> bool:
+    """True when the expression is DOUBLE-typed in Spark: at least one
+    double/float column or float-producing function, NO decimal columns
+    (Spark decimal typing dominates doubles only in casts), and only
+    numeric building blocks otherwise. Decimal LITERALS are fine — a
+    double operand wins the arithmetic typing."""
+    toks = tokenize(txt)
+    for k, tk in enumerate(toks):
+        if tk.kind == IDENT and tk.upper == "OVER":
+            toks = toks[:k]
+            break
+    resolver = _ACTIVE_RESOLVER[0]
+    saw_float = False
+    i = 0
+    while i < len(toks):
+        tk = toks[i]
+        if tk.kind == STRING:
+            return False
+        if tk.kind in (IDENT, QIDENT):
+            up = tk.upper
+            n = next_sig(toks, i)
+            if n < len(toks) and toks[n].kind == PUNCT and toks[n].text == "(":
+                if up in ("CAST", "TRY_CAST"):
+                    # an explicit DOUBLE/FLOAT cast settles the typing of
+                    # its whole group (incl. the division pass's own
+                    # CAST(span AS DOUBLE) wrappers)
+                    c = match_forward(toks, n, "(", ")")
+                    grp = " ".join(
+                        x.text for x in toks[n : c + 1] if x.kind == IDENT
+                    ).upper()
+                    if re.search(r"AS (DOUBLE|FLOAT|REAL)$", grp.strip()):
+                        saw_float = True
+                        i = c + 1
+                        continue
+                    return False
+                if up in _FLOAT_FNS:
+                    saw_float = True
+                elif up not in _INT_PRESERVING_FNS:
+                    return False
+            elif up in _INT_EXPR_IGNORED_KWS:
+                pass
+            else:
+                kind = (
+                    resolver.column_numeric(tk.text.strip('"`'))
+                    if resolver is not None
+                    else None
+                )
+                if kind == "float":
+                    saw_float = True
+                elif kind != "int":
+                    return False  # decimal/unknown/string column
+        i += 1
+    return saw_float
+
+
 def _round_int_template(args: list[str]) -> Optional[str]:
     """DuckDB round(<integer-typed expr>, n) returns DOUBLE (12300.0,
     not 12300); detectable for integer literals and schema-resolved
@@ -2299,6 +2362,17 @@ def _round_int_template(args: list[str]) -> Optional[str]:
     a = args[0].strip()
     if re.fullmatch(r"-?[0-9]+", a) or _expr_is_integerish(a):
         return f"round(CAST({args[0]} AS DOUBLE), {args[1]})"
+    # DOUBLE-typed expressions: DuckDB rounds the TRUE binary value
+    # (std::round(x * 10^n) / 10^n); Spark's round goes through the
+    # shortest decimal repr (BigDecimal.valueOf) and can flip boundary
+    # doubles the other way. Emulate DuckDB's algorithm directly.
+    nd = args[1].strip()
+    if _expr_is_doubleish(a) and re.fullmatch(r"-?[0-9]+", nd):
+        p = repr(10.0 ** int(nd))
+        return (
+            f"(CASE WHEN ({a}) IS NULL THEN NULL ELSE "
+            f"signum({a}) * floor(abs({a}) * {p} + 0.5D) / {p} END)"
+        )
     return None
 
 
@@ -3120,7 +3194,7 @@ def pass_caret_power(
 
             lf = _numkind(prev_sig(out, i))
             rf = _numkind(next_sig(out, i))
-            if lf == "float" or rf == "float":
+            if lf in ("float", "decimal") or rf in ("float", "decimal"):
                 out[i] = Token(OP, "/")
                 continue  # reprocessed: the '/' branch casts literals
             out[i : i + 1] = [_ws(), _ident("div"), _ws()]

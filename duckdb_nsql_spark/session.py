@@ -242,7 +242,7 @@ class _CatalogResolver:
 
     def column_numeric(self, name: str) -> Optional[str]:
         k = self.session._column_kinds().get(name.lower())
-        return k if k in ("int", "float") else None
+        return k if k in ("int", "float", "decimal") else None
 
     def table_columns(self, name: str) -> Optional[list[str]]:
         try:
@@ -2121,10 +2121,9 @@ class DuckSparkSession:
                     else "struct"
                     if isinstance(f.dataType, T.StructType)
                     else "float"
-                    if isinstance(
-                        f.dataType,
-                        (T.DoubleType, T.FloatType, T.DecimalType),
-                    )
+                    if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+                    else "decimal"
+                    if isinstance(f.dataType, T.DecimalType)
                     else "int"
                     if isinstance(
                         f.dataType,

@@ -72,12 +72,12 @@ def agg_expr(t):
     n = rng.choice(NUM_COLS[t]); s = rng.choice(STR_COLS[t])
     return rng.choice([
         f"round(sum({n}), 2)",
-        f"round(avg({n}), 4)",
+        f"round(avg({n}), 2)",  # 2dp: ulp-level FP reorder noise
         f"count(DISTINCT {s})",
         f"min({s})", f"max({n})",
-        f"round(stddev_pop({n}), 4)",
+        f"round(stddev_pop({n}), 2)",
         f"count(*) FILTER (WHERE {n} > {rng.randint(1,30)})",
-        f"round(sum({n} * 0.5) / greatest(count(*), 1), 4)",
+        f"round(sum({n} * 0.5) / greatest(count(*), 1), 2)",
         f"bool_or(length({s}) > {rng.randint(4, 12)})",
         f"max({s})",
     ])
@@ -139,9 +139,45 @@ def gen_doc_query():
             f"ORDER BY doc_id LIMIT 80")
 
 
+EVENT_TS_POOL = [
+    "time_bucket(INTERVAL '1 hour', ts)",
+    "time_bucket(INTERVAL '15 minutes', ts)",
+    "date_trunc('day', ts)",
+    "date_part('hour', ts)",
+    "strftime(ts, '%Y-%m-%d %H')",
+    "epoch_ms(ts)",
+    "extract(minute FROM ts)",
+    "ts + INTERVAL 90 MINUTE",
+    "datediff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)",
+]
+
+
+def gen_event_query():
+    te = rng.choice(EVENT_TS_POOL)
+    shape = rng.random()
+    if shape < 0.5:
+        return (f"SELECT {te} AS b, event_type, count(*) AS n, "
+                f"round(sum(value), 4) AS s FROM events "
+                f"WHERE user_id % {rng.randint(2, 7)} = 0 "
+                f"GROUP BY ALL ORDER BY ALL LIMIT 60")
+    if shape < 0.8:
+        return (f"SELECT event_id, {te} AS b, "
+                f"round(value * {rng.randint(2, 9)}, 4) AS v FROM events "
+                f"WHERE event_type = 'click' AND event_id % 5 = 0 "
+                f"ORDER BY event_id LIMIT 60")
+    return (f"SELECT event_id, user_id, "
+            f"lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t, "
+            f"round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run "
+            f"FROM events WHERE user_id % 11 = 3 ORDER BY user_id, ts, event_id LIMIT 60")
+
+
 def gen_query():
-    if rng.random() < 0.18:
+    r0 = rng.random()
+    if r0 < 0.15:
         return gen_doc_query()
+    if r0 < 0.3:
+        return gen_event_query()
     t = rng.choice(list(NUM_COLS))
     kind = rng.random()
     if kind < 0.45:
@@ -190,7 +226,7 @@ def main() -> None:
     con.register_parquet_dir("/root/testdata/sf0.001")
     ddb = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "documents"]:
+              "orders", "lineitem", "documents", "events"]:
         ddb.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"

@@ -403,7 +403,9 @@ def test_round2_function_renames():
     out = rewrite_sql("SELECT array_agg(x), list(x) FROM t")
     assert out.count("collect_list") == 2
     out = rewrite_sql("SELECT epoch(ts), epoch_ms(ts) FROM t")
-    assert "unix_micros(ts) / 1e6" in out and "unix_millis(ts)" in out
+    # epoch casts through TIMESTAMP so TIMESTAMP_NTZ parquet columns work
+    assert "unix_micros(CAST(ts AS TIMESTAMP)) / 1e6" in out
+    assert "unix_millis(CAST(ts AS TIMESTAMP))" in out
     out = rewrite_sql("SELECT to_base64(b), x::BLOB FROM t")
     assert "base64(b)" in out and "::BINARY" in out
 
