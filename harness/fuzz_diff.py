@@ -204,11 +204,35 @@ def gen_query():
                 f"ORDER BY {k} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS w "
                 f"FROM {t} WHERE {predicate(t)} ORDER BY {k}, {g} LIMIT 50")
     if kind < 0.93:
-        # join shape
+        # join shapes: inner / left / semi / anti / 3-way
         g = rng.choice(STR_COLS["orders"])
-        return (f"SELECT {g} AS g, {agg_expr('lineitem')} AS a "
-                f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-                f"WHERE {predicate('lineitem')} GROUP BY {g} ORDER BY ALL LIMIT 40")
+        j = rng.random()
+        if j < 0.4:
+            return (f"SELECT {g} AS g, {agg_expr('lineitem')} AS a "
+                    f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+                    f"WHERE {predicate('lineitem')} GROUP BY {g} ORDER BY ALL LIMIT 40")
+        if j < 0.6:
+            return (f"SELECT o_orderstatus AS g, count(*) AS n, "
+                    f"count(l_orderkey) AS matched FROM orders "
+                    f"LEFT JOIN lineitem ON l_orderkey = o_orderkey "
+                    f"AND {predicate('lineitem')} "
+                    f"GROUP BY o_orderstatus ORDER BY ALL LIMIT 40")
+        if j < 0.75:
+            return (f"SELECT count(*) AS n FROM orders WHERE "
+                    f"{'' if rng.random() < 0.5 else 'NOT '}EXISTS "
+                    f"(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+                    f"AND {predicate('lineitem')})")
+        if j < 0.9:
+            cg = rng.choice(STR_COLS["customer"])
+            return (f"SELECT n_name, {cg} AS g2, count(*) AS n "
+                    f"FROM customer JOIN nation ON c_nationkey = n_nationkey "
+                    f"JOIN orders ON o_custkey = c_custkey "
+                    f"WHERE {predicate('customer')} "
+                    f"GROUP BY ALL ORDER BY ALL LIMIT 50")
+        return (f"SELECT o_orderpriority AS g, count(*) AS n FROM orders "
+                f"WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+                f"WHERE {predicate('lineitem')}) "
+                f"GROUP BY ALL ORDER BY ALL LIMIT 40")
     # set-op / nested shape
     t = rng.choice(["lineitem", "orders"])
     g = rng.choice(STR_COLS[t])
@@ -217,6 +241,31 @@ def gen_query():
              f"{op} SELECT {g} AS g FROM {t} WHERE {predicate(t)}")
     return (f"SELECT g, count(*) AS n FROM ({inner}) u GROUP BY g "
             f"ORDER BY ALL LIMIT 40")
+
+def rows_match(d_rows, s_rows, tol=0.02) -> bool:
+    """Order-insensitive row-multiset compare with float tolerance:
+    distributed partial sums reorder double accumulation, so a
+    round(sum(double), 2) can flip a half-cent boundary — ulp noise,
+    not an engine bug. Strings and ints stay exact."""
+    if len(d_rows) != len(s_rows):
+        return False
+    a = sorted(map(str, d_rows))
+    b = sorted(map(str, s_rows))
+    if a == b:
+        return True
+    da = sorted(d_rows, key=str)
+    sb = sorted(s_rows, key=str)
+    for r1, r2 in zip(da, sb):
+        if len(r1) != len(r2):
+            return False
+        for x, y in zip(r1, r2):
+            if isinstance(x, float) and isinstance(y, (int, float)):
+                if abs(x - float(y)) > tol:
+                    return False
+            elif str(x) != str(y):
+                return False
+    return True
+
 
 def main() -> None:
     SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 42
@@ -235,18 +284,18 @@ def main() -> None:
     for qi in range(N):
         q = gen_query()
         try:
-            d = sorted(map(str, ddb.execute(q).fetchall()))
+            d = ddb.execute(q).fetchall()
             derr = None
         except Exception as ex:
             d, derr = None, str(ex).splitlines()[0][:90]
         try:
-            s = sorted(str(tuple(r)) for r in con.execute(q).collect())
+            s = [tuple(r) for r in con.execute(q).collect()]
             serr = None
         except Exception as ex:
             s, serr = None, str(ex).splitlines()[0][:130]
         if derr and serr:
             continue
-        if derr or serr or s != d:
+        if derr or serr or not rows_match(d, s):
             fails += 1
             print(f"=== MISMATCH #{fails} (query {qi}) ===")
             print("QRY:", q)

@@ -41,6 +41,6 @@ def test_fuzz_seed_42(loaded_engine, fuzz_duck, fuzz_mod):
     fuzz_mod.reseed(42)
     for _ in range(60):
         q = fuzz_mod.gen_query()
-        d = sorted(map(str, fuzz_duck.execute(q).fetchall()))
-        s = sorted(str(tuple(r)) for r in loaded_engine.execute(q).collect())
-        assert d == s, q
+        d = fuzz_duck.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert fuzz_mod.rows_match(d, s), q
