@@ -270,15 +270,16 @@ def rows_match(d_rows, s_rows, tol=0.02) -> bool:
 def main() -> None:
     SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 42
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    SF = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
     reseed(SEED)
     con = dns.connect(cpus=8)
-    con.register_parquet_dir("/root/testdata/sf0.001")
+    con.register_parquet_dir(SF)
     ddb = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "documents", "events"]:
         ddb.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+            f"read_parquet('{SF}/{t}.parquet')"
         )
     fails = 0
     for qi in range(N):
