@@ -172,12 +172,35 @@ def gen_event_query():
             f"FROM events WHERE user_id % 11 = 3 ORDER BY user_id, ts, event_id LIMIT 60")
 
 
+EMB_POOL = [
+    "round(embedding[1], 4)",
+    "round(list_sum(embedding[1:4]), 3)",
+    "len(embedding)",
+    "round(list_cosine_similarity(embedding, list_reverse(embedding)), 3)",
+    "round(list_max(embedding) - list_min(embedding), 3)",
+    "round(list_aggregate(embedding[:8], 'sum'), 3)",
+    "list_count(list_filter(embedding, x -> x > 0))",
+    "round(embedding[-1], 4)",
+]
+
+
+def gen_emb_query():
+    exprs = ", ".join(
+        f"{rng.choice(EMB_POOL)} AS c{i}" for i in range(rng.randint(2, 3))
+    )
+    return (f"SELECT vec_id, {exprs} FROM embeddings "
+            f"WHERE vec_id % {rng.randint(2, 7)} = 0 "
+            f"ORDER BY vec_id LIMIT 80")
+
+
 def gen_query():
     r0 = rng.random()
-    if r0 < 0.15:
+    if r0 < 0.13:
         return gen_doc_query()
-    if r0 < 0.3:
+    if r0 < 0.26:
         return gen_event_query()
+    if r0 < 0.34:
+        return gen_emb_query()
     t = rng.choice(list(NUM_COLS))
     kind = rng.random()
     if kind < 0.45:
@@ -189,7 +212,7 @@ def gen_query():
         exprs = ", ".join(f"{scalar_expr(t)} AS c{i}" for i in range(rng.randint(2, 4)))
         k = KEY_COLS[t]
         return (f"SELECT {k}, {exprs} FROM {t} WHERE {predicate(t)} "
-                f"ORDER BY {k} LIMIT 60")
+                f"ORDER BY ALL LIMIT 60")  # keys can tie: ALL is total
     if kind < 0.7:
         t = rng.choice(["lineitem", "orders"])
         de = date_expr(t)
@@ -202,7 +225,7 @@ def gen_query():
         g = rng.choice(STR_COLS[t]); n = rng.choice(NUM_COLS[t]); k = KEY_COLS[t]
         return (f"SELECT {k}, {g}, round(sum({n}) OVER (PARTITION BY {g} "
                 f"ORDER BY {k} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS w "
-                f"FROM {t} WHERE {predicate(t)} ORDER BY {k}, {g} LIMIT 50")
+                f"FROM {t} WHERE {predicate(t)} ORDER BY ALL LIMIT 50")
     if kind < 0.93:
         # join shapes: inner / left / semi / anti / 3-way
         g = rng.choice(STR_COLS["orders"])
@@ -276,7 +299,7 @@ def main() -> None:
     con.register_parquet_dir(SF)
     ddb = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "documents", "events"]:
+              "orders", "lineitem", "documents", "events", "embeddings"]:
         ddb.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF}/{t}.parquet')"

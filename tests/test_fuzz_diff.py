@@ -13,7 +13,7 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "documents", "events"]
+          "lineitem", "documents", "events", "embeddings"]
 
 
 @pytest.fixture(scope="module")
