@@ -3203,8 +3203,8 @@ def pass_caret_power(
         if t.kind == OP and t.text == "/":
             # DuckDB `/` ALWAYS yields DOUBLE; Spark keeps DECIMAL for
             # decimal operands. Statically fixable when an operand IS a
-            # decimal literal, or when its primary span CONTAINS one
-            
+            # decimal literal or a schema-resolved DECIMAL column, or when
+            # its primary span CONTAINS one (the literal/column taints the
             # typing through the whole Spark expression). Interval-ish
             # spans are left alone (CAST interval AS DOUBLE would error).
             def _is_dec_lit(k: int) -> bool:
@@ -3212,11 +3212,28 @@ def pass_caret_power(
                     "." in out[k].text or "e" in out[k].text.lower()
                 )
 
+            def _is_dec_col_at(span: list[Token], j: int) -> bool:
+                """span[j] is a bare column reference (not a function
+                call) whose catalog type is DECIMAL."""
+                tk = span[j]
+                if tk.kind not in (IDENT, QIDENT) or resolver is None:
+                    return False
+                nj = next_sig(span, j)
+                if nj < len(span) and span[nj].kind == PUNCT and (
+                    span[nj].text == "("
+                ):
+                    return False  # function call, not a column
+                return resolver.column_numeric(
+                    tk.text.strip('"`')
+                ) == "decimal"
+
             def _span_decimalish(span: list[Token]) -> bool:
                 has_dec = any(
                     tk.kind == NUMBER
                     and ("." in tk.text or "e" in tk.text.lower())
                     for tk in span
+                ) or any(
+                    _is_dec_col_at(span, j) for j in range(len(span))
                 )
                 if not has_dec:
                     return False
@@ -3237,7 +3254,7 @@ def pass_caret_power(
                 )
             else:
                 rend = _primary_end(out, nx) if nx < len(out) else None
-                if rend is not None and rend > nx and _span_decimalish(
+                if rend is not None and rend >= nx and _span_decimalish(
                     out[nx : rend + 1]
                 ):
                     txt = render(out[nx : rend + 1])
@@ -3250,7 +3267,7 @@ def pass_caret_power(
                 i += len(repl) - 1  # the '/' shifted right
             else:
                 lstart = _primary_start(out, p) if p >= 0 else None
-                if lstart is not None and lstart < p and _span_decimalish(
+                if lstart is not None and lstart <= p and _span_decimalish(
                     out[lstart : p + 1]
                 ):
                     txt = render(out[lstart : p + 1])

@@ -255,6 +255,54 @@ def test_function_edge_grid_round4b_matches_duckdb(spark, ddb):
     assert not diffs, diffs[:8]
 
 
+def test_decimal_column_division_matches_duckdb(spark, ddb):
+    """DuckDB `/` (and `//` with any fractional operand) ALWAYS yields
+    DOUBLE — including DECIMAL *columns*, where Spark would keep a widened
+    DECIMAL. The rewrite layer resolves column types through the catalog
+    (session._CatalogResolver.column_numeric == 'decimal') and casts the
+    decimal-bearing primary span to DOUBLE, same as decimal literals."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    setup = [
+        "CREATE TABLE decdiv(d DECIMAL(10,2), i BIGINT)",
+        "INSERT INTO decdiv VALUES (7.50, 2), (10.00, 4), (0.25, 3)",
+    ]
+    for stmt in setup:
+        eng.execute(stmt)
+        ddb.execute(stmt)
+    exprs = [
+        "d / 2", "2 / d", "d / i", "d // 2", "d // i", "d / d",
+        "-d / 3", "(d + 1) / 2", "round(d / 3, 3)",
+    ]
+    aggs = ["sum(d) / 2", "sum(d) / count(*)", "avg(d) / 2"]
+    q = "SELECT " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(exprs)
+    ) + " FROM decdiv ORDER BY d"
+    srows = [tuple(r) for r in eng.execute(q).collect()]
+    drows = ddb.execute(q).fetchall()
+    diffs = [
+        (exprs[i], s[i], d[i])
+        for s, d in zip(srows, drows)
+        for i in range(len(exprs))
+        if str(s[i]) != str(d[i])
+    ]
+    assert not diffs, diffs[:5]
+    sdf = eng.execute(q)
+    assert all(t == "double" for _, t in sdf.dtypes), sdf.dtypes
+    qa = "SELECT " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(aggs)
+    ) + " FROM decdiv"
+    sa = [tuple(r) for r in eng.execute(qa).collect()][0]
+    da = ddb.execute(qa).fetchall()[0]
+    adiffs = [
+        (aggs[i], sa[i], da[i])
+        for i in range(len(aggs))
+        if str(sa[i]) != str(da[i])
+    ]
+    assert not adiffs, adiffs
+
+
 def test_function_edge_grid_round4c_matches_duckdb(spark, ddb):
     """Fourth sweep wave: operator-function aliases (add/divide/...),
     even/round/fdiv/fmod DOUBLE result types, HUGEINT/UBIGINT casts as
