@@ -2713,6 +2713,197 @@ _ARRAY_FUNCS = frozenset(
 )
 
 
+_VARCHAR_CAST_TARGETS = frozenset({"VARCHAR", "TEXT", "STRING", "BPCHAR"})
+
+_COMPOSITE_HEADS = _ARRAY_FUNCS | frozenset(
+    "MAP STRUCT_PACK NAMED_STRUCT ROW STRUCT_INSERT MAP_FROM_ENTRIES "
+    "UNION_VALUE LIST_ZIP ARRAYS_ZIP".split()
+)
+
+_INTERVAL_FOLD_UNITS: dict[str, tuple[str, int]] = {}
+for _u, _b, _f in [
+    ("YEAR", "months", 12), ("QUARTER", "months", 3),
+    ("MONTH", "months", 1), ("DECADE", "months", 120),
+    ("CENTURY", "months", 1200), ("MILLENNIUM", "months", 12000),
+    ("WEEK", "days", 7), ("DAY", "days", 1),
+    ("HOUR", "micros", 3_600_000_000), ("MINUTE", "micros", 60_000_000),
+    ("SECOND", "micros", 1_000_000), ("MILLISECOND", "micros", 1000),
+    ("MICROSECOND", "micros", 1),
+]:
+    _INTERVAL_FOLD_UNITS[_u] = (_b, _f)
+    _INTERVAL_FOLD_UNITS[_u + "S"] = (_b, _f)
+_INTERVAL_FOLD_UNITS["CENTURIES"] = ("months", 1200)
+_INTERVAL_FOLD_UNITS["MILLENNIA"] = ("months", 12000)
+
+
+def _fold_interval_chain(sig: list[Token]) -> Optional[str]:
+    """If ``sig`` is a pure literal interval chain
+    ``[+-] INTERVAL <int|'int'> UNIT ((+|-) INTERVAL <int|'int'> UNIT)*``,
+    constant-fold it to DuckDB's VARCHAR rendering ('3 days',
+    '01:30:00', '1 year 2 months ...'); None if any part is dynamic."""
+    buckets = {"months": 0, "days": 0, "micros": 0}
+    sign = 1
+    i = 0
+    saw_term = False
+    while i < len(sig):
+        t = sig[i]
+        if t.kind == OP and t.text in ("+", "-"):
+            sign = 1 if t.text == "+" else -1
+            i += 1
+            continue
+        if t.kind == IDENT and t.upper == "INTERVAL" and i + 2 < len(sig):
+            vt, ut = sig[i + 1], sig[i + 2]
+            if ut.kind != IDENT or ut.upper not in _INTERVAL_FOLD_UNITS:
+                return None
+            if vt.kind == NUMBER and "." not in vt.text and (
+                "e" not in vt.text.lower()
+            ):
+                n = int(vt.text)
+            elif vt.kind == STRING:
+                body = _str_value(vt).strip()
+                if not (body.lstrip("+-").isdigit() and body):
+                    return None
+                n = int(body)
+            else:
+                return None
+            bucket, factor = _INTERVAL_FOLD_UNITS[ut.upper]
+            buckets[bucket] += sign * n * factor
+            sign = 1
+            saw_term = True
+            i += 3
+            continue
+        return None
+    if not saw_term:
+        return None
+    from ..functions.pyfuncs import duck_interval_str
+
+    return duck_interval_str(
+        buckets["months"], buckets["days"], buckets["micros"]
+    )
+
+
+def _span_is_composite(sig: list[Token], resolver: Resolver) -> bool:
+    """Does this cast-operand span statically evaluate to a
+    list/struct/map? Literal constructors, known composite-returning
+    functions, or a (dotted) column whose catalog kind is composite."""
+    if not sig:
+        return False
+    first = sig[0]
+    if first.kind == PUNCT and first.text in ("[", "{"):
+        return True
+    if (
+        first.kind == IDENT
+        and first.upper in _COMPOSITE_HEADS
+        and len(sig) > 1
+        and sig[1].kind == PUNCT
+        and sig[1].text == "("
+    ):
+        return True
+    name = None
+    for tk in sig:
+        if tk.kind == IDENT:
+            name = tk.text
+        elif tk.kind in (QIDENT, BIDENT):
+            name = tk.text[1:-1]
+        elif tk.kind == PUNCT and tk.text == ".":
+            continue
+        else:
+            return False
+    if name is not None and resolver is not None:
+        return resolver.column_kind(name.lower()) in (
+            "array", "map", "struct"
+        )
+    return False
+
+
+def pass_duckdb_varchar_cast(
+    tokens: list[Token], resolver: Optional[Resolver] = None
+) -> list[Token]:
+    """DuckDB renders composite/interval values cast to VARCHAR in its
+    own notation — lists '[a, NULL]', structs "{'f': v}" (names quoted,
+    strings raw), maps '{k=v}', intervals '3 days'/'01:30:00' — where
+    Spark spells '[a, null]', '{v}', '{k -> v}', "INTERVAL '3' DAY".
+    Literal interval chains constant-fold at parse time; statically
+    composite operands route through the duckdb_varchar python UDF
+    (cold path, only on explicit composite->VARCHAR casts). Dynamic
+    intervals and unresolvable operands keep Spark's rendering."""
+    resolver = resolver or NullResolver()
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        repl = None  # (lo, hi_exclusive, span_lo, span_hi_exclusive)
+        if t.kind == IDENT and t.upper == "CAST":
+            o = next_sig(out, i)
+            if o < len(out) and out[o].kind == PUNCT and out[o].text == "(":
+                c = match_forward(out, o, "(", ")")
+                depth = 0
+                as_i = None
+                for k in range(o + 1, c):
+                    tk = out[k]
+                    if tk.kind == PUNCT and tk.text in "([{":
+                        depth += 1
+                    elif tk.kind == PUNCT and tk.text in ")]}":
+                        depth -= 1
+                    elif depth == 0 and tk.kind == IDENT and tk.upper == "AS":
+                        as_i = k
+                if as_i is not None:
+                    ty = next_sig(out, as_i)
+                    if (
+                        ty < c
+                        and out[ty].kind == IDENT
+                        and out[ty].upper in _VARCHAR_CAST_TARGETS
+                        and next_sig(out, ty) == c
+                    ):
+                        repl = (i, c + 1, next_sig(out, o), as_i)
+        elif t.kind == OP and t.text == "::":
+            ty = next_sig(out, i)
+            if (
+                ty < len(out)
+                and out[ty].kind == IDENT
+                and out[ty].upper in _VARCHAR_CAST_TARGETS
+            ):
+                nn = next_sig(out, ty)
+                if not (
+                    nn < len(out)
+                    and out[nn].kind == PUNCT
+                    and out[nn].text == "("
+                ):
+                    p = prev_sig(out, i)
+                    lo = None
+                    if p >= 0 and out[p].kind == PUNCT and out[p].text == "}":
+                        depth = 0  # struct literal: walk back to its '{'
+                        for k in range(p, -1, -1):
+                            if out[k].kind == PUNCT and out[k].text == "}":
+                                depth += 1
+                            elif out[k].kind == PUNCT and out[k].text == "{":
+                                depth -= 1
+                                if depth == 0:
+                                    lo = k
+                                    break
+                    elif p >= 0:
+                        lo = _primary_start(out, p)
+                    if lo is not None:
+                        repl = (lo, ty + 1, lo, i)
+        if repl is not None:
+            lo, hi, slo, shi = repl
+            span = out[slo:shi]
+            sig = [tk for tk in span if tk.kind not in (WS, COMMENT)]
+            folded = _fold_interval_chain(sig)
+            if folded is not None:
+                new = [_sql_str(folded)]
+                out[lo:hi] = new
+                i = lo + len(new)
+                continue
+            if _span_is_composite(sig, resolver):
+                new = tokenize(f"duckdb_varchar({render(span)})")
+                out[lo:hi] = new
+                i = lo + len(new)
+                continue
+        i += 1
+    return out
+
+
 def _span_is_array(tokens: list[Token], lo: int, hi: int, resolver: Resolver) -> bool:
     """Best-effort: does tokens[lo:hi] evaluate to an array?"""
     sig = [tk for tk in tokens[lo:hi] if tk.kind not in (WS, COMMENT)]
@@ -5128,6 +5319,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_collate(tokens)
     tokens = pass_exclude_to_except(tokens, resolver)
     tokens = pass_current_setting(tokens, resolver)
+    tokens = pass_duckdb_varchar_cast(tokens, resolver)
     tokens = pass_struct_literals(tokens)
     tokens = pass_cast_composite_types(tokens)
     tokens = pass_list_comprehensions(tokens)

@@ -127,6 +127,116 @@ def _pairwise(f):
 
 
 # ---------------------------------------------------------------------------
+# DuckDB value rendering (CAST(composite AS VARCHAR) parity)
+# ---------------------------------------------------------------------------
+
+
+def duck_interval_str(months: int, days: int, micros: int) -> str:
+    """DuckDB's interval-to-VARCHAR rendering from its internal
+    (months, days, micros) triple: '1 year 2 months 3 days 01:30:00',
+    time part only when micros != 0 or everything is zero, fractional
+    seconds trimmed of trailing zeros ('.5', '.000999')."""
+    parts: list[str] = []
+    y = int(months / 12) if months else 0  # truncate toward zero
+    m = months - y * 12
+    if y:
+        parts.append(f"{y} year" + ("" if abs(y) == 1 else "s"))
+    if m:
+        parts.append(f"{m} month" + ("" if abs(m) == 1 else "s"))
+    if days:
+        parts.append(f"{days} day" + ("" if abs(days) == 1 else "s"))
+    if micros or not parts:
+        sign = "-" if micros < 0 else ""
+        a = abs(micros)
+        h, rem = divmod(a, 3_600_000_000)
+        mm, rem = divmod(rem, 60_000_000)
+        ss, frac = divmod(rem, 1_000_000)
+        t = f"{sign}{h:02d}:{mm:02d}:{ss:02d}"
+        if frac:
+            t += ("." + f"{frac:06d}").rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
+def _duck_float_str(v: float) -> str:
+    """DuckDB double-to-VARCHAR: 'nan'/'inf', integral doubles keep a
+    trailing .0 in fixed notation below 1e16, shortest-round-trip
+    otherwise; the one shortest-repr divergence (single-digit mantissa at
+    e-05: DuckDB prints fixed '0.00001') is special-cased."""
+    import re as _re
+
+    if math.isnan(v):
+        return "nan"
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    if v == 0.0:
+        return "0.0"
+    if v == int(v) and abs(v) < 1e16:
+        return f"{v:.1f}"
+    r = repr(v)
+    m = _re.match(r"^(-?)(\d)e-05$", r)
+    if m:
+        return f"{m.group(1)}0.0000{m.group(2)}"
+    return r
+
+
+def duck_value_str(v) -> str:
+    """Render a Python value the way DuckDB CASTs it to VARCHAR inside
+    composites: strings raw (unquoted), NULL uppercase, booleans
+    lowercase, lists '[a, b]', structs \"{'f': v}\" (field names quoted),
+    maps '{k=v}' (unquoted), blobs with \\xNN escapes, intervals via
+    duck_interval_str. Verified cell-by-cell against DuckDB in
+    tests/test_oracle_parity.py::test_cast_varchar_rendering grid."""
+    import datetime as _dt
+    import decimal as _dec
+
+    from pyspark.sql import Row
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        return _duck_float_str(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += ("." + f"{v.microsecond:06d}").rstrip("0")
+        return s
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _dt.timedelta):
+        total = (
+            v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds
+        )
+        return duck_interval_str(0, 0, total)
+    if isinstance(v, (bytes, bytearray)):
+        return "".join(
+            chr(b) if 32 <= b <= 126 and b != 0x5C else f"\\x{b:02X}"
+            for b in v
+        )
+    if isinstance(v, Row):  # before tuple: Row subclasses tuple
+        return "{" + ", ".join(
+            f"'{k}': {duck_value_str(x)}"
+            for k, x in zip(v.__fields__, v)
+        ) + "}"
+    if isinstance(v, dict):
+        return "{" + ", ".join(
+            f"{duck_value_str(k)}={duck_value_str(x)}"
+            for k, x in v.items()
+        ) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(duck_value_str(x) for x in v) + "]"
+    return str(v)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -495,6 +605,15 @@ def register_python_functions(spark: SparkSession) -> None:
         ("__ddb_json_obj_values", json_obj_values),
     ]:
         spark.udf.register(name, fn)
+
+    # CAST(composite AS VARCHAR) rendering parity — the rewrite layer emits
+    # duckdb_varchar(expr) for statically-composite cast operands. Classic
+    # (pickled) UDF on purpose: the input type is arbitrary nested data, and
+    # this only fires on explicit composite->VARCHAR casts (cold path).
+    def duckdb_varchar(v):
+        return None if v is None else duck_value_str(v)
+
+    spark.udf.register("duckdb_varchar", duckdb_varchar)
 
 
 # ---------------------------------------------------------------------------

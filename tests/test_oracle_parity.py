@@ -255,6 +255,78 @@ def test_function_edge_grid_round4b_matches_duckdb(spark, ddb):
     assert not diffs, diffs[:8]
 
 
+def test_cast_varchar_rendering_matches_duckdb(spark, ddb):
+    """CAST(composite/interval AS VARCHAR) renders DuckDB's notation:
+    lists '[a, NULL]', structs "{'f': v}" (names quoted, strings raw),
+    maps '{k=v}', literal intervals '3 days'/'01:30:00'/'1 year ...'.
+    Literal interval chains constant-fold at parse time
+    (rewrites._fold_interval_chain); composite operands route through
+    the duckdb_varchar UDF (pyfuncs.duck_value_str). Both CAST(..) and
+    ::VARCHAR forms. Every cell must equal DuckDB."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    setup = [
+        "CREATE TABLE castv(arr INTEGER[], st STRUCT(a INTEGER, b VARCHAR),"
+        " mp MAP(VARCHAR, INTEGER))",
+        "INSERT INTO castv VALUES ([1,2], {'a': 1, 'b': 'x'},"
+        " MAP(['k'],[7]))",
+    ]
+    for stmt in setup:
+        eng.execute(stmt)
+        ddb.execute(stmt)
+    exprs = [
+        "CAST(INTERVAL 3 DAY AS VARCHAR)",
+        "CAST(INTERVAL 90 MINUTE AS VARCHAR)",
+        "CAST(INTERVAL 2 MONTH AS VARCHAR)",
+        "CAST(INTERVAL 1 YEAR + INTERVAL 2 MONTH + INTERVAL 3 DAY"
+        " + INTERVAL 90 MINUTE AS VARCHAR)",
+        "CAST(INTERVAL 1 DAY - INTERVAL 1 MINUTE AS VARCHAR)",
+        "CAST(-INTERVAL 90 MINUTE AS VARCHAR)",
+        "CAST(INTERVAL '90' SECOND AS VARCHAR)",
+        "CAST(INTERVAL 1500 MILLISECOND AS VARCHAR)",
+        "CAST(INTERVAL 0 DAY AS VARCHAR)",
+        "CAST(INTERVAL 2 WEEK AS VARCHAR)",
+        "CAST(INTERVAL 25 HOUR AS VARCHAR)",
+        "CAST({'a': 1, 'b': 'x'} AS VARCHAR)",
+        "CAST(MAP(['k1','k2'],[1,2]) AS VARCHAR)",
+        "CAST(['a', NULL] AS VARCHAR)",
+        "CAST({'p': [1,2], 'q': {'r': 'y'}} AS VARCHAR)",
+        "CAST([1.50, 2.0] AS VARCHAR)",
+        "CAST([DATE '2024-01-01', NULL] AS VARCHAR)",
+        "CAST([TIMESTAMP '2024-01-01 01:02:03.5'] AS VARCHAR)",
+        "CAST([true, false] AS VARCHAR)",
+        "CAST(struct_pack(a := [1,2]) AS VARCHAR)",
+        "CAST([[1],[2,3]] AS VARCHAR)",
+        "CAST([1e20, 0.1, 1e15] AS VARCHAR)",
+        "[4,5]::VARCHAR",
+        "{'z': 9}::VARCHAR",
+        "CAST(list_sort([3,1]) AS VARCHAR)",
+    ]
+    sql = "SELECT " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(exprs)
+    )
+    srow = [tuple(r) for r in eng.execute(sql).collect()][0]
+    drow = ddb.execute(sql).fetchall()[0]
+    diffs = [
+        (exprs[i], srow[i], drow[i])
+        for i in range(len(exprs))
+        if str(srow[i]) != str(drow[i])
+    ]
+    assert not diffs, diffs[:6]
+    tsql = (
+        "SELECT CAST(arr AS VARCHAR) AS c0, CAST(st AS VARCHAR) AS c1,"
+        " CAST(mp AS VARCHAR) AS c2, arr::VARCHAR AS c3, st::TEXT AS c4"
+        " FROM castv"
+    )
+    st = [tuple(r) for r in eng.execute(tsql).collect()][0]
+    dt = ddb.execute(tsql).fetchall()[0]
+    tdiffs = [
+        (i, st[i], dt[i]) for i in range(len(st)) if str(st[i]) != str(dt[i])
+    ]
+    assert not tdiffs, tdiffs
+
+
 def test_decimal_column_division_matches_duckdb(spark, ddb):
     """DuckDB `/` (and `//` with any fractional operand) ALWAYS yields
     DOUBLE — including DECIMAL *columns*, where Spark would keep a widened
