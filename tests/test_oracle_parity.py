@@ -255,6 +255,37 @@ def test_function_edge_grid_round4b_matches_duckdb(spark, ddb):
     assert not diffs, diffs[:8]
 
 
+def test_correlated_subquery_shapes_match_duckdb(spark, ddb):
+    """Correlated subqueries with NON-equality correlation predicates —
+    previously documented as a Spark decorrelation limitation; Spark 4's
+    optimizer handles every shape below (scalar agg with <=/<>/> mixed
+    correlation, EXISTS with <, scalar with ORDER BY+LIMIT 1). Pinned
+    cross-engine so a regression in either engine or the rewrite layer
+    is loud."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    eng.register_parquet_dir(SF_DIR)
+    qs = [
+        "SELECT n_name, (SELECT count(*) FROM region r"
+        " WHERE r.r_regionkey <= n.n_regionkey) AS cnt"
+        " FROM nation n ORDER BY n_name",
+        "SELECT c_custkey, (SELECT max(o_totalprice) FROM orders o"
+        " WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal)"
+        " AS m FROM customer c ORDER BY c_custkey LIMIT 20",
+        "SELECT n_name FROM nation n WHERE EXISTS (SELECT 1 FROM region r"
+        " WHERE r.r_regionkey < n.n_regionkey) ORDER BY n_name LIMIT 5",
+        "SELECT n_name, (SELECT r_name FROM region r"
+        " WHERE r.r_regionkey <= n.n_regionkey ORDER BY r_name LIMIT 1)"
+        " AS rn FROM nation n ORDER BY n_name LIMIT 5",
+    ]
+    for q in qs:
+        srows = [tuple(r) for r in eng.execute(q).collect()]
+        drows = ddb.execute(q).fetchall()
+        assert len(srows) == len(drows), q
+        assert sorted(map(str, srows)) == sorted(map(str, drows)), q
+
+
 def test_cast_varchar_rendering_matches_duckdb(spark, ddb):
     """CAST(composite/interval AS VARCHAR) renders DuckDB's notation:
     lists '[a, NULL]', structs "{'f': v}" (names quoted, strings raw),
