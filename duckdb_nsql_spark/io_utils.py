@@ -94,6 +94,32 @@ def read_parquet_table(spark: SparkSession, path: str, base_path: str | None = N
     return df
 
 
+def read_parquet_files(
+    spark: SparkSession, files: list[str], schema=None
+) -> DataFrame:
+    """Read an explicit subset of a table's parquet files (system-sampling
+    file pruning) with the same TIMESTAMP(NANOS) handling as
+    read_parquet_table. Files may be Spark-reported URIs (file://...).
+    ``schema`` (the raw on-disk schema, nanos-free tables only) skips the
+    footer-inference pass — worth ~50ms per statement on local[*]."""
+    from pyspark.sql import functions as F
+
+    first = files[0]
+    if first.startswith("file://"):
+        first = first[len("file://"):]
+    nanos = _nanos_timestamp_columns(first)
+    reader = spark.read
+    if schema is not None and not nanos:
+        reader = reader.schema(schema)
+    df = reader.parquet(*files)
+    for c in nanos:
+        if c in df.columns:
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
 def _nanos_timestamp_columns(path: str) -> list[str]:
     try:
         import pyarrow.dataset as ds

@@ -1237,6 +1237,9 @@ class DuckSparkSession:
             # pass still produces an analyzable (proportional) TABLESAMPLE
             # with the identical schema, so binder checks are unaffected
             tokens = self._exact_reservoir(tokens)
+            # file-pruned SYSTEM sampling (DuckDB's default method): reads
+            # ~n% of the table instead of scanning 100% and discarding
+            tokens = self._system_sample_files(tokens)
         # dialect passes see the user's table names (COLUMNS / * REPLACE
         # resolve via the catalog); view-name flattening happens after
         text = rewrites.rewrite_sql(render(tokens), self._resolver)
@@ -1904,6 +1907,116 @@ class DuckSparkSession:
                 f"(SELECT * FROM {self._view_name(self._resolve_table_key(tname))} "
                 f"ORDER BY rand() LIMIT {k}) AS {alias}"
             )
+            tokens = tokens[:p] + repl + tokens[m_end + 1 :]
+            i = p + len(repl)
+        return tokens
+
+    def _system_sample_files(self, tokens: list[Token]) -> list[Token]:
+        """DuckDB's default ``USING SAMPLE n%`` is SYSTEM sampling: whole
+        storage blocks are kept or dropped, so only ~n% of the table is
+        ever READ (reference behavior: duckdb sample clause, system
+        method). A Bernoulli TABLESAMPLE scans 100% of the data and
+        discards rows — proportionally correct, but the I/O does not
+        shrink, which at 100 TB is the difference between reading 5 TB
+        and reading 100 TB. For a pristine parquet-backed table (no DML
+        since register — ``_table_files`` still holds its source) this
+        prunes at the FILE level: keep ~n% of the table's parquet files,
+        then thin inside the kept files with a residual Bernoulli rate so
+        the expected overall fraction stays n%. Same block-correlation
+        caveat as DuckDB's system sampling. Explicit bernoulli/reservoir
+        methods and non-file-backed tables keep their existing paths."""
+        import random as _random
+
+        i = 0
+        while i < len(tokens):
+            t = tokens[i]
+            if not t.is_kw("USING"):
+                i += 1
+                continue
+            s = next_sig(tokens, i)
+            if s >= len(tokens) or not tokens[s].is_kw("SAMPLE"):
+                i += 1
+                continue
+            j = next_sig(tokens, s)
+            if j >= len(tokens) or tokens[j].kind != NUMBER:
+                i += 1
+                continue
+            num = float(tokens[j].text)
+            k_next = next_sig(tokens, j)
+            end = j
+            if k_next < len(tokens) and (
+                (tokens[k_next].kind == OP and tokens[k_next].text == "%")
+                or tokens[k_next].is_kw("PERCENT")
+            ):
+                end = k_next
+            else:
+                i += 1
+                continue  # ROWS forms: exact-reservoir path owns them
+            method = None
+            seed = None
+            m = next_sig(tokens, end)
+            if m < len(tokens) and tokens[m].kind == PUNCT and tokens[m].text == "(":
+                c = match_forward(tokens, m, "(", ")")
+                inner_ids = [tk for tk in tokens[m + 1 : c] if tk.kind == IDENT]
+                inner_nums = [tk for tk in tokens[m + 1 : c] if tk.kind == NUMBER]
+                if inner_ids:
+                    method = inner_ids[0].text.lower()
+                if inner_nums:
+                    try:
+                        seed = int(inner_nums[0].text)
+                    except ValueError:
+                        seed = None
+                m_end = c
+            else:
+                m_end = end
+            if method not in (None, "system") or not (0 < num < 100):
+                i += 1
+                continue
+            p = prev_sig(tokens, i)
+            parts: list[str] = []
+            while p >= 0 and tokens[p].kind in (IDENT, QIDENT):
+                parts.insert(0, tokens[p].text.strip('"'))
+                q = prev_sig(tokens, p)
+                if q >= 0 and tokens[q].kind == PUNCT and tokens[q].text == ".":
+                    p = prev_sig(tokens, q)
+                else:
+                    break
+            tname = ".".join(parts)
+            key = self._resolve_table_key(tname) if parts else None
+            if key is None or key not in self._table_files:
+                i += 1
+                continue
+            cache = getattr(self, "_input_files_cache", None)
+            if cache is None:
+                cache = self._input_files_cache = {}
+            ck = (key, self._catalog_epoch)
+            files = cache.get(ck)
+            if files is None:
+                try:
+                    files = list(self.table(tname).inputFiles())
+                except Exception:  # noqa: BLE001 — non-scan plan: fall back
+                    files = []
+                cache[ck] = files
+            n = len(files)
+            kfiles = max(1, int(n * num / 100.0 + 0.5))
+            if n < 4 or kfiles >= n:
+                i += 1
+                continue  # too coarse to prune: Bernoulli path is better
+            rng = _random.Random(seed) if seed is not None else _random
+            chosen = rng.sample(files, kfiles)
+            sub = io_utils.read_parquet_files(
+                self.spark, chosen, schema=self.table(tname).schema
+            )
+            view = self._fresh_view(sub)
+            achieved = 100.0 * kfiles / n
+            alias = parts[-1]
+            if achieved > num + 1e-9:
+                r = 100.0 * num / achieved
+                rep = f" REPEATABLE ({seed})" if seed is not None else ""
+                inner = f"{view} TABLESAMPLE ({r:.6f} PERCENT){rep}"
+            else:
+                inner = view
+            repl = tokenize(f"(SELECT * FROM {inner}) AS {alias}")
             tokens = tokens[:p] + repl + tokens[m_end + 1 :]
             i = p + len(repl)
         return tokens

@@ -1232,3 +1232,44 @@ def test_limit_percent(engine):
     assert len(engine.execute(
         "SELECT a FROM lp ORDER BY a LIMIT 50%"
     ).fetchall()) == 5
+
+
+def test_system_sample_prunes_files(spark, tmp_path):
+    """USING SAMPLE n% (default = DuckDB's system method) on a pristine
+    multi-file parquet table prunes at the FILE level — the executed scan
+    reads ~n% of the files, not 100% — with a residual Bernoulli thinning
+    so the expected fraction stays n%. Seeded (system, k) is repeatable.
+    DML invalidates the pristine-table fast path (falls back to a full
+    Bernoulli scan) so modified rows are never missed."""
+    from duckdb_nsql_spark import DuckSparkSession
+
+    tdir = tmp_path / "sysdata"
+    tdir.mkdir()
+    df = spark.range(10_000).selectExpr("id AS a", "id % 7 AS b")
+    df.repartition(10).write.parquet(str(tdir / "st.parquet"))
+    eng = DuckSparkSession(spark=spark)
+    eng.register_parquet_dir(str(tdir))
+
+    out = eng.execute("SELECT * FROM st USING SAMPLE 20%")
+    # file pruning: the sampled plan reads a strict subset of the files
+    assert 0 < len(out.inputFiles()) <= 3
+    n = out.count()
+    assert 1000 <= n <= 3200, n  # expected 2000 of 10k
+
+    a = eng.execute(
+        "SELECT count(*) AS n FROM st USING SAMPLE 30% (system, 7)"
+    ).collect()[0][0]
+    b = eng.execute(
+        "SELECT count(*) AS n FROM st USING SAMPLE 30% (system, 7)"
+    ).collect()[0][0]
+    assert a == b and 1800 <= a <= 4500
+
+    # explicit bernoulli keeps the full-scan proportional path
+    bern = eng.execute("SELECT * FROM st USING SAMPLE 20% (bernoulli)")
+    assert len(bern.inputFiles()) == 10
+
+    # DML makes the table non-pristine: fast path off, rows still sampled
+    eng.execute("INSERT INTO st VALUES (999999, 0)")
+    out2 = eng.execute("SELECT * FROM st USING SAMPLE 50%")
+    n2 = out2.count()
+    assert 3500 <= n2 <= 6500, n2
