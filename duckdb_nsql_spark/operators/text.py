@@ -293,3 +293,133 @@ def chunk_documents(
         )
     )
     return out
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword search over a document corpus — top-k by Robertson/
+    Sparck-Jones BM25 with the standard +1 idf smoothing.
+
+    Scale design: the corpus is scanned exactly twice and never shuffled.
+    Pass 1 computes per-doc length and per-query-term tf as map-only
+    codegen'd expressions (``size(filter(tokens, x -> x = term))`` — the
+    query's handful of terms means no inverted-index explode is needed);
+    a single tiny aggregate reduces (N, avgdl, df_t) to ONE row, which
+    broadcast-crossJoins back for pass 2's scoring. Output is a
+    TakeOrderedAndProject top-k. Ranking uses round(score, 6) with doc-id
+    tiebreak so the k-boundary is deterministic across engines; every
+    expression mirrors the DuckDB oracle text exactly (workload.py
+    ORACLE_TEXT_BM25).
+    """
+    terms = [t.lower() for t in query_terms]
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    def tf_col(term: str):
+        # NB: a `lambda x, t=term:` default-arg closure would make PySpark
+        # see a TWO-parameter lambda and bind (element, index) instead
+        return F.size(F.filter(tokens, lambda x: x == term))
+
+    base = df.select(
+        id_col,
+        F.size(tokens).alias("dl"),
+        *[tf_col(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        part = F.expr(
+            f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+            f" * tf{i} * {k1 + 1}"
+            f" / (tf{i} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        )
+        score = part if score is None else score + part
+    out = (
+        scored.where(
+            " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+        )
+        .select(id_col, F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return out
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct-word
+    ratio (map-only), top-unigram share and top-bigram share (the
+    fraction of all words / word-bigrams taken by the most frequent one
+    — boilerplate and degenerate repetition push these up).
+
+    Scale design: the distinct ratio is a codegen'd array expression with
+    zero shuffles; the top-share signals explode to (doc, gram) and
+    aggregate twice on doc-id-keyed shuffles — high-cardinality keys, no
+    skew (a document's grams all hash to the same reducer only for that
+    document). Every expression mirrors the DuckDB oracle
+    (ORACLE_TEXT_REPETITION) exactly.
+    """
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    base = df.select(
+        id_col,
+        tokens.alias("toks"),
+        F.size(tokens).alias("n_words"),
+        F.size(F.array_distinct(tokens)).alias("n_distinct"),
+    ).where(F.col("n_words") > 0)
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(toks[i - 1], ' ', toks[i]))"
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.transform("toks", lambda x: F.concat(F.lit("1:"), x)),
+                F.transform(bigrams, lambda x: F.concat(F.lit("2:"), x)),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "gram").count()
+    tops = counts.groupBy(id_col).agg(
+        F.max(
+            F.when(F.col("gram").startswith("1:"), F.col("count"))
+        ).alias("top1"),
+        F.max(
+            F.when(F.col("gram").startswith("2:"), F.col("count"))
+        ).alias("top2"),
+    )
+    out = base.join(tops, id_col).select(
+        id_col,
+        F.round(F.col("n_distinct") / F.col("n_words"), 4).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.col("top1") / F.col("n_words"), 4).alias(
+            "top_unigram_share"
+        ),
+        F.round(
+            F.coalesce(F.col("top2"), F.lit(0))
+            / F.greatest(F.col("n_words") - 1, F.lit(1)),
+            4,
+        ).alias("top_bigram_share"),
+    )
+    return out

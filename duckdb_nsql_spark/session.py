@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import re
+from collections import OrderedDict
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -309,6 +310,20 @@ class DuckSparkSession:
         self._dml_depth: dict[str, int] = {}
         # CREATE MACRO name -> (params, body expression text)
         self._macros: dict[str, tuple[list[str], str]] = {}
+        self._macro_epoch: int = 0
+        # statement-plan cache: (sql, catalog_epoch, settings, macro_epoch)
+        # -> analyzed DataFrame. The Spark analogue of DuckDB's ~1ms
+        # planner: repeated identical SELECT text skips tokenize/rewrite/
+        # analysis (~100ms of fixed local[*] latency) and re-EXECUTES the
+        # same immutable plan. Only pure plans are cached — statements
+        # that materialize data at build (repeated-CTE persist/localize,
+        # percent-LIMIT count) or contain plan-frozen nondeterminism
+        # (rand/sample/uuid/sequences) always rebuild.
+        self._plan_cache: "OrderedDict" = OrderedDict()
+        # incremented whenever a statement references a FROM-position name
+        # outside this session's catalog (raw SparkSession temp views can
+        # mutate without an epoch bump — such statements are never cached)
+        self._unmanaged_ref_count: int = 0
         # CREATE TYPE name AS ENUM(...) -> allowed values (lowercase keys)
         self._enum_types: dict[str, list[str]] = {}
         # table -> column -> allowed enum values (INSERT-time enforcement)
@@ -639,7 +654,62 @@ class DuckSparkSession:
 
     # ---------------------------------------------------------------- query
 
+    _PLAN_CACHE_MAX = 256
+    # never cache: plan-frozen randomness (Spark seeds rand()/TABLESAMPLE/
+    # uuid() at analysis), sequence state, filesystem-reading table
+    # functions (glob/read_*/parquet_* see files written after caching),
+    # and driver-built introspection relations (content baked at build;
+    # cheap to rebuild, hard to invalidate exhaustively)
+    _NONDET_RE = re.compile(
+        r"\b(rand|random|sample|tablesample|uuid|gen_random_uuid|nextval"
+        r"|currval|setseed|shuffle|glob|read_\w+|parquet_schema"
+        r"|parquet_metadata|duckdb_\w+|pragma_\w+|information_schema"
+        r"|summarize|describe)\b",
+        re.IGNORECASE,
+    )
+
     def _query(self, sql: str) -> DataFrame:
+        """Statement-plan cache wrapper around :meth:`_query_impl`.
+
+        Spark's analysis pass costs ~60-100ms of py4j/Catalyst latency per
+        statement on local[*] where DuckDB plans in ~1ms; caching the
+        analyzed DataFrame for byte-identical statement text (invalidated
+        by any catalog change, setting, or macro definition) removes that
+        fixed tax from repeated statements while every execution still
+        runs the full distributed plan against live table state. Plans
+        with build-time data (repeated-CTE materialization, percent
+        LIMIT) or plan-frozen randomness (Spark seeds rand()/TABLESAMPLE/
+        uuid() at analysis time; sequences advance per occurrence) are
+        never cached."""
+        key = None
+        if self._NONDET_RE.search(sql) is None:
+            key = (
+                sql,
+                self._catalog_epoch,
+                frozenset(self.settings.items()),
+                self._macro_epoch,
+                # module-level planner tunables (tests/users may tweak)
+                SMALL_SORT_MAX_INPUT_BYTES,
+                CTE_MATERIALIZE_MIN_INPUT_BYTES,
+                CTE_LOCALIZE_MAX_ROWS,
+            )
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                self._plan_cache.move_to_end(key)
+                return hit
+        refs_before = self._unmanaged_ref_count
+        df, cacheable = self._query_impl(sql)
+        if (
+            key is not None
+            and cacheable
+            and self._unmanaged_ref_count == refs_before
+        ):
+            self._plan_cache[key] = df
+            if len(self._plan_cache) > self._PLAN_CACHE_MAX:
+                self._plan_cache.popitem(last=False)
+        return df
+
+    def _query_impl(self, sql: str) -> tuple[DataFrame, bool]:
         sql = self._expand_macros(sql)
         # DuckDB percentage limit: LIMIT p% keeps floor(p/100 * n) rows
         # of the (ordered) result — needs the total, so one count job;
@@ -652,7 +722,7 @@ class DuckSparkSession:
         if pm:
             base = self._query(pm.group(1))
             k = int(base.count() * float(pm.group(2)) / 100.0)
-            return base.limit(k)
+            return base.limit(k), False  # count is build-time data
         asof = self._asof_rewrite(sql)
         if asof is not None:
             sql = asof
@@ -661,10 +731,10 @@ class DuckSparkSession:
             sql = pos
         mat = self._materialize_repeated_ctes(sql)
         if mat is not None:
-            return mat
+            return mat, False  # persisted/localized CTE is build-time data
         ubn = self._union_by_name(sql)
         if ubn is not None:
-            return ubn
+            return ubn, True
         wrapped = self._where_alias_wrap(sql)
         if wrapped is not None:
             sql = wrapped
@@ -672,7 +742,7 @@ class DuckSparkSession:
         df = self._small_sort(text)
         if df is None:
             df = self.spark.sql(text)
-        return self._coerce_day_intervals(df)
+        return self._coerce_day_intervals(df), True
 
     def _small_sort(self, text: str) -> Optional[DataFrame]:
         """Execute a trailing top-level ORDER BY (no LIMIT/OFFSET) as a
@@ -2097,6 +2167,17 @@ class DuckSparkSession:
             if key is None and parts[0].lower() == "information_schema":
                 key = name
             if key is None:
+                nxt0 = next_sig(out, end)
+                if not (
+                    nxt0 < len(out)
+                    and out[nxt0].kind == PUNCT
+                    and out[nxt0].text == "("
+                ):
+                    # FROM-position name outside this session's catalog
+                    # (e.g. a temp view the caller made directly on the
+                    # SparkSession): its content can change without any
+                    # epoch bump, so the statement must not be plan-cached
+                    self._unmanaged_ref_count += 1
                 return out, j
         # a call like fn(...) is not a table ref
         nxt = next_sig(out, end)
@@ -2337,6 +2418,7 @@ class DuckSparkSession:
                     "already exists!"
                 )
             self._indexes[idx_name] = tbl_name
+            self._catalog_epoch += 1
             return None
         if kind in ("MACRO", "FUNCTION"):  # CREATE FUNCTION is DuckDB's alias
             return self._create_macro(tokens, sig, j, or_replace)
@@ -2431,6 +2513,7 @@ class DuckSparkSession:
         if name in self._macros and not or_replace:
             raise ValueError(f"Catalog Error: macro {name!r} already exists")
         self._macros[name] = (params, body)
+        self._macro_epoch += 1
         return None
 
     def _create_type(
@@ -2467,6 +2550,7 @@ class DuckSparkSession:
     def _drop_macro(self, name: str, if_exists: bool) -> None:
         if self._macros.pop(name.lower(), None) is None and not if_exists:
             raise KeyError(f"Catalog Error: Macro with name {name} does not exist!")
+        self._macro_epoch += 1
         return None
 
     def _expand_macros(self, sql: str) -> str:
@@ -2695,6 +2779,7 @@ class DuckSparkSession:
             raise ValueError(f"unsupported COMMENT statement: {sql[:80]}")
         kind, target, lit = m.group(1).upper(), m.group(2).strip(), m.group(3)
         text = None if lit.upper() == "NULL" else lit[1:-1].replace("''", "'")
+        self._catalog_epoch += 1  # duckdb_tables()/columns() reflect this
         if kind == "COLUMN":
             tbl, _, col = target.rpartition(".")
             key = self._resolve_table_key(tbl.strip('"`'))
@@ -2748,6 +2833,7 @@ class DuckSparkSession:
                 raise KeyError(
                     f"Catalog Error: Index with name {name} does not exist!"
                 )
+            self._catalog_epoch += 1
             return None
         key = self._resolve_table_key(name)
         if key is None:
@@ -2756,6 +2842,7 @@ class DuckSparkSession:
             raise KeyError(f"Catalog Error: Table with name {name} does not exist!")
         del self._tables[key]
         self._table_files.pop(key, None)
+        self._catalog_epoch += 1
         self._clear_table_meta(key, name)
         self._temp_tables.discard(key)
         self._temp_tables.discard(name)
@@ -3728,6 +3815,7 @@ class DuckSparkSession:
         self._txn_snapshot = None
         created = set(self._tables) - set(snap["_tables"])
         self._tables = snap["_tables"]
+        self._catalog_epoch += 1
         self._current_db = snap["_current_db"]
         for attr in self._TXN_STATE:
             setattr(self, attr, snap[attr])
@@ -4096,6 +4184,7 @@ class DuckSparkSession:
             key = self._resolve_table_key(m.group(1).strip('"`'))
             df = self._tables.pop(key)
             self._table_files.pop(key, None)
+            self._catalog_epoch += 1
             self.spark.catalog.dropTempView(self._view_name(key))
             self._register_managed(m.group(2).strip('"`'), df)
             return None
@@ -4233,6 +4322,7 @@ class DuckSparkSession:
             for k in [k for k in self._tables if k.startswith(db + ".")]:
                 del self._tables[k]
                 self._table_files.pop(k, None)
+            self._catalog_epoch += 1
             self._drop_attach_spools(db)
             self._kind_cache = None
             self._infoschema_dirty = True

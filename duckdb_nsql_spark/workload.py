@@ -2452,6 +2452,87 @@ def op_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_first_fit(_docs(spark, sf_dir), 512)
 
 
+# BM25 keyword search: corpus scanned twice, zero shuffles (per-term tf
+# is a map-side array expression; (N, avgdl, df_t) reduce to ONE broadcast
+# row); ranking on round(score, 6) + doc-id tiebreak makes the k-boundary
+# deterministic across engines. Oracle mirrors the formula text exactly.
+_BM25_TERMS = ["window", "merge", "scan"]
+
+
+def op_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+ORACLE_TEXT_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+), base AS (
+  SELECT doc_id, len(tokens) AS dl,
+         len(list_filter(tokens, x -> x = 'window')) AS tf0,
+         len(list_filter(tokens, x -> x = 'merge')) AS tf1,
+         len(list_filter(tokens, x -> x = 'scan')) AS tf2
+  FROM toks
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+)
+SELECT doc_id,
+  round(
+      ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.2
+        / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2
+        / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2
+        / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+  , 6) AS bm25
+FROM base, stats
+WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.repetition_profile(_docs(spark, sf_dir))
+
+
+ORACLE_TEXT_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+), base AS (
+  SELECT doc_id, tokens, len(tokens) AS n_words,
+         len(list_distinct(tokens)) AS n_distinct
+  FROM toks WHERE len(tokens) > 0
+), grams AS (
+  SELECT doc_id, '1:' || g AS gram FROM base, unnest(tokens) AS t(g)
+  UNION ALL
+  SELECT doc_id, '2:' || tokens[i] || ' ' || tokens[i + 1] AS gram
+  FROM base, unnest(range(1, len(tokens))) AS r(i)
+), counts AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+), tops AS (
+  SELECT doc_id,
+         max(CASE WHEN gram LIKE '1:%' THEN c END) AS top1,
+         max(CASE WHEN gram LIKE '2:%' THEN c END) AS top2
+  FROM counts GROUP BY doc_id
+)
+SELECT b.doc_id,
+       round(n_distinct / n_words, 4) AS distinct_ratio,
+       round(top1 / n_words, 4) AS top_unigram_share,
+       round(coalesce(top2, 0) / greatest(n_words - 1, 1), 4)
+           AS top_bigram_share
+FROM base b JOIN tops USING (doc_id)
+"""
+
+
 OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dedup_exact": (op_dedup_exact, ORACLE_DEDUP_EXACT),
     "op_dedup_minhash_lsh": (op_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
@@ -2463,6 +2544,8 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_text_quality_lang": (op_text_quality_lang, ORACLE_TEXT_QUALITY),
     "op_text_fingerprint": (op_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     "op_text_chunk": (op_text_chunk, ORACLE_TEXT_CHUNK),
+    "op_text_bm25": (op_text_bm25, ORACLE_TEXT_BM25),
+    "op_text_repetition": (op_text_repetition, ORACLE_TEXT_REPETITION),
     "op_corpus_prep": (op_corpus_prep, ORACLE_CORPUS_PREP),
     "op_decontaminate": (op_decontaminate, ORACLE_DECONTAMINATE),
     "op_pii_redact": (op_pii_redact, ORACLE_PII_REDACT),
