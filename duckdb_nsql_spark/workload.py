@@ -2533,6 +2533,41 @@ FROM base b JOIN tops USING (doc_id)
 """
 
 
+_DF_MEMO: dict = {}
+
+
+def _memo_plan(fn: Callable) -> Callable:
+    """Memoize an operator's BUILT DataFrame per (spark, sf_dir) — the
+    DataFrame-API analogue of the session's statement-plan cache:
+    building these column pipelines costs 0.1-0.2s of py4j Column
+    construction that DuckDB's ~1ms planner does not pay, while every
+    execution still runs the full distributed plan. Applied ONLY to pure
+    plan builders: no persist()/localCheckpoint()/collect() at build
+    time (op_dedup_minhash persists its signature table, streaming ops
+    write checkpoints — those always rebuild)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (fn.__name__, id(spark), os.path.abspath(sf_dir))
+        df = _DF_MEMO.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _DF_MEMO[key] = df
+        return df
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+for _name in [
+    "op_text_profile", "op_text_quality_lang", "op_text_fingerprint",
+    "op_text_chunk", "op_text_bm25", "op_text_repetition",
+    "op_asof_join", "op_range_join", "op_similarity_topk",
+    "op_pii_redact",
+]:
+    globals()[_name] = _memo_plan(globals()[_name])
+
+
 OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dedup_exact": (op_dedup_exact, ORACLE_DEDUP_EXACT),
     "op_dedup_minhash_lsh": (op_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
