@@ -4,12 +4,15 @@ with typed metadata, processed by Arrow-batched pandas pipelines.
 The Spark-side architecture — schema contract, mapInPandas batch shape,
 partition sizing — is the deliverable, and since round 4 the decode step
 is REAL for container-friendly formats: BMP, P6-PPM and PNG images
-(PNG via stdlib zlib: full chunk walk + all five scanline filters) and
-RIFF/WAVE PCM audio are decoded by pure-Python parsers (no native
-codecs needed), producing real width/height/pixel-mean and
-sample-rate/RMS features. Formats that need native codecs
-(JPEG/MP3/video) still raise NotImplementedError behind the same seam —
-swap in PIL/ffmpeg on a cluster that has them; nothing else changes.
+(PNG via stdlib zlib: full chunk walk + all five scanline filters),
+baseline-sequential JPEG (pure-Python Huffman + dequant + IDCT +
+YCbCr->RGB, ITU-T T.81; encoder included so fixtures carry real
+entropy-coded payloads) and RIFF/WAVE PCM audio — all decoded by
+pure-Python parsers (no native codecs needed), producing real
+width/height/pixel-mean and sample-rate/RMS features. Formats that
+still need native codecs (progressive JPEG, MP3, video) raise
+NotImplementedError behind the same seam — swap in PIL/ffmpeg on a
+cluster that has them; nothing else changes.
 """
 
 from __future__ import annotations
@@ -184,9 +187,12 @@ def decode_image(payload: bytes) -> dict:
         return _decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP/PPM/PNG decode in-container; JPEG needs PIL/opencv on "
-        "the cluster — extend this seam, the pipeline is codec-agnostic"
+        "only BMP/PPM/PNG/baseline-JPEG decode in-container; other "
+        "formats need PIL/opencv on the cluster — extend this seam, the "
+        "pipeline is codec-agnostic"
     )
 
 
@@ -388,11 +394,12 @@ def _features(kind: str, payload: bytes) -> tuple[list[float], bool]:
 
 def synth_assets(spark, docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Build a deterministic asset table from the documents fixture with
-    REAL payloads: doc_ids ≡0 (mod 4) get a 24-bit BMP, ≡2 (mod 4) an
-    8-bit RGB PNG (zlib DEFLATE, filters cycling through all five
-    types), ≡1 (mod 4) a P6 PPM, ≡3 (mod 4) a 16-bit PCM WAV — all
-    generated by the pure-Python encoders above, so the decode path
-    exercises real codec work end-to-end (no external libraries)."""
+    REAL payloads: doc_ids ≡0 (mod 8) get a baseline 4:4:4 JPEG, other
+    ≡0 (mod 4) a 24-bit BMP, ≡2 (mod 4) an 8-bit RGB PNG (zlib DEFLATE,
+    filters cycling through all five types), ≡1 (mod 4) a P6 PPM,
+    ≡3 (mod 4) a 16-bit PCM WAV — all generated by the pure-Python
+    encoders above, so the decode path exercises real codec work
+    end-to-end (no external libraries)."""
 
     @F.pandas_udf("binary")
     def payload_for(ids: pd.Series) -> pd.Series:
@@ -400,7 +407,10 @@ def synth_assets(spark, docs: DataFrame, text_col: str = "text") -> DataFrame:
         for i in ids:
             i = int(i)
             if i % 4 == 0:
-                out.append(make_bmp(4 + i % 5, 3 + i % 3, seed=i))
+                if i % 8 == 0:  # half the BMP class carries baseline JPEG
+                    out.append(make_jpeg(8 + i % 9, 8 + i % 5, seed=i))
+                else:
+                    out.append(make_bmp(4 + i % 5, 3 + i % 3, seed=i))
             elif i % 4 == 2:
                 out.append(make_png(4 + i % 5, 3 + i % 6, seed=i))
             elif i % 4 == 1:
@@ -413,7 +423,8 @@ def synth_assets(spark, docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 4 == 3, "audio").otherwise("image").alias("kind"),
         payload_for(F.col("doc_id")).alias("payload"),
-        F.when(F.col("doc_id") % 4 == 0, "image/bmp")
+        F.when(F.col("doc_id") % 8 == 0, "image/jpeg")
+        .when(F.col("doc_id") % 4 == 0, "image/bmp")
         .when(F.col("doc_id") % 4 == 2, "image/png")
         .when(F.col("doc_id") % 4 == 1, "image/x-portable-pixmap")
         .otherwise("audio/wav")
@@ -471,4 +482,528 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             ),
         )
         .select("asset_id", "frame_ms", "payload")
+    )
+
+
+# --------------------------------------------------------------------------
+# JPEG baseline codec (pure Python, ITU-T T.81 public spec; tables from
+# the spec's Annex K examples). Decoder: SOF0 baseline sequential DCT,
+# 8-bit, grayscale / YCbCr with any 1-4x sampling factors, restart
+# markers. Encoder: 4:4:4 quality-75 used by synth_assets so the decode
+# path exercises real Huffman + IDCT work with no external libraries.
+# --------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 example quantization tables (natural order after dezigzag)
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman tables: (bits[1..16] counts, symbol values)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+_COS8 = [
+    [
+        math.cos((2 * x + 1) * u * math.pi / 16)
+        * (math.sqrt(0.5) if u == 0 else 1.0)
+        for u in range(8)
+    ]
+    for x in range(8)
+]
+
+
+def _huff_decode_map(bits: list, values: list) -> dict:
+    """Canonical Huffman: {(length, code): symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _huff_encode_map(bits: list, values: list) -> dict:
+    """{symbol: (code, length)} for the encoder."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RST markers are handled by the caller via resync()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.buf |= 0 << (24 - self.nbits)  # pad with zeros
+                self.nbits += 8
+                continue
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: caller resyncs
+                else:
+                    break  # EOI or other marker
+            else:
+                self.pos += 1
+            self.buf |= byte << (24 - self.nbits)
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        if self.nbits == 0:
+            return 0
+        bit = (self.buf >> 31) & 1
+        self.buf = (self.buf << 1) & 0xFFFFFFFF
+        self.nbits -= 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def resync(self) -> None:
+        """Skip to just past the next RST marker, clearing the buffer."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _huff_read(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t > 0 and v < (1 << (t - 1)) else v
+
+
+def _idct_block(coef: list) -> list:
+    """2D 8x8 inverse DCT; coef in natural order, returns 64 spatial
+    samples (pre level-shift)."""
+    tmp = [
+        [sum(coef[v * 8 + u] * _COS8[x][u] for u in range(8)) for x in range(8)]
+        for v in range(8)
+    ]
+    return [
+        0.25 * sum(tmp[v][x] * _COS8[y][v] for v in range(8))
+        for y in range(8)
+        for x in range(8)
+    ]
+
+
+def _decode_jpeg(b: bytes) -> dict:
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list] = {}
+    huff: dict[tuple, dict] = {}
+    restart = 0
+    frame = None
+    i = 2
+    scan = None
+    while i + 1 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        i += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        seglen = struct.unpack_from(">H", b, i)[0]
+        seg = b[i + 2 : i + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                vals = []
+                for _ in range(64):
+                    if pq:
+                        vals.append(struct.unpack_from(">H", seg, j)[0])
+                        j += 2
+                    else:
+                        vals.append(seg[j])
+                        j += 1
+                nat = [0] * 64
+                for k, z in enumerate(_ZIGZAG):
+                    nat[z] = vals[k]
+                qt[tq] = nat
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + c * 3)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential JPEG (SOF0)")
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _huff_decode_map(bits, vals)
+                j += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scomp = []
+            for c in range(ns):
+                cs, tds = seg[1 + c * 2], seg[2 + c * 2]
+                scomp.append({"cs": cs, "td": tds >> 4, "ta": tds & 0x0F})
+            scan = (scomp, i + seglen)
+            break
+        i += seglen
+    if frame is None or scan is None:
+        raise ValueError("truncated JPEG: missing SOF0/SOS")
+    scomp, data_pos = scan
+    comps = frame["comps"]
+    byid = {c["id"]: c for c in comps}
+    for sc in scomp:
+        c = byid[sc["cs"]]
+        c["td"], c["ta"] = sc["td"], sc["ta"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for c in comps:
+        c["pw"] = mcux * c["h"] * 8
+        c["ph"] = mcuy * c["v"] * 8
+        planes[c["id"]] = [0.0] * (c["pw"] * c["ph"])
+        c["dc"] = 0
+    br = _BitReader(b, data_pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                br.resync()
+                for c in comps:
+                    c["dc"] = 0
+            mcu_count += 1
+            for c in comps:
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        t = _huff_read(br, huff[(0, c["td"])])
+                        diff = _extend(br.read_bits(t), t)
+                        c["dc"] += diff
+                        coef = [0.0] * 64
+                        coef[0] = c["dc"] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(br, huff[(1, c["ta"])])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coef[_ZIGZAG[k]] = _extend(br.read_bits(s), s) * q[_ZIGZAG[k]]
+                            k += 1
+                        px = _idct_block(coef)
+                        ox = (mx * c["h"] + bx) * 8
+                        oy = (my * c["v"] + by) * 8
+                        plane = planes[c["id"]]
+                        pw = c["pw"]
+                        for yy in range(8):
+                            base = (oy + yy) * pw + ox
+                            row = px[yy * 8 : yy * 8 + 8]
+                            for xx in range(8):
+                                plane[base + xx] = row[xx] + 128.0
+    # component sample lookup with subsampling replication
+    tot = [0.0, 0.0, 0.0]
+    if len(comps) == 1:
+        c = comps[0]
+        plane = planes[c["id"]]
+        for y in range(h):
+            base = y * c["pw"]
+            for x in range(w):
+                v = min(max(plane[base + x], 0.0), 255.0)
+                tot[0] += v
+                tot[1] += v
+                tot[2] += v
+    else:
+        cy, cb, cr = comps[0], comps[1], comps[2]
+        py, pb, pr = planes[cy["id"]], planes[cb["id"]], planes[cr["id"]]
+        for y in range(h):
+            for x in range(w):
+                yv = py[(y * cy["v"] // vmax) * cy["pw"] + (x * cy["h"] // hmax)]
+                bv = pb[(y * cb["v"] // vmax) * cb["pw"] + (x * cb["h"] // hmax)] - 128.0
+                rv = pr[(y * cr["v"] // vmax) * cr["pw"] + (x * cr["h"] // hmax)] - 128.0
+                r = yv + 1.402 * rv
+                g = yv - 0.344136 * bv - 0.714136 * rv
+                bl = yv + 1.772 * bv
+                tot[0] += min(max(r, 0.0), 255.0)
+                tot[1] += min(max(g, 0.0), 255.0)
+                tot[2] += min(max(bl, 0.0), 255.0)
+    n = max(w * h, 1)
+    return {
+        "width": w,
+        "height": h,
+        "mean_r": tot[0] / n,
+        "mean_g": tot[1] / n,
+        "mean_b": tot[2] / n,
+    }
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _fdct_block(px: list) -> list:
+    """Forward 8x8 DCT; px 64 samples 0..255, returns natural order."""
+    s = [p - 128.0 for p in px]
+    tmp = [
+        [sum(s[y * 8 + x] * _COS8[y][v] for y in range(8)) for x in range(8)]
+        for v in range(8)
+    ]
+    return [
+        0.25 * sum(tmp[v][x] * _COS8[x][u] for x in range(8))
+        for v in range(8)
+        for u in range(8)
+    ]
+
+
+def _jpeg_cat(v: int) -> int:
+    """JPEG magnitude category (bit length of |v|)."""
+    a = abs(v)
+    t = 0
+    while a:
+        a >>= 1
+        t += 1
+    return t
+
+
+def make_jpeg(width: int, height: int, seed: int) -> bytes:
+    """Baseline 4:4:4 JPEG with the deterministic pixel formula shared by
+    the BMP/PNG/PPM fixtures; Annex K quantization + Huffman tables."""
+    # pixel planes in YCbCr
+    def rgb(x: int, y: int) -> tuple:
+        v = (seed * 2654435761 + y * 97 + x * 31) & 0xFFFFFFFF
+        return (v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF)
+
+    mcux = (width + 7) // 8
+    mcuy = (height + 7) // 8
+    enc_dc = {
+        0: _huff_encode_map(*_HUFF_DC_LUMA),
+        1: _huff_encode_map(*_HUFF_DC_CHROMA),
+    }
+    enc_ac = {
+        0: _huff_encode_map(*_HUFF_AC_LUMA),
+        1: _huff_encode_map(*_HUFF_AC_CHROMA),
+    }
+    qts = {0: _JPEG_QT_LUMA, 1: _JPEG_QT_CHROMA}
+    bw = _BitWriter()
+    dcpred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            blocks = [[], [], []]
+            for yy in range(8):
+                for xx in range(8):
+                    x = min(mx * 8 + xx, width - 1)
+                    y = min(my * 8 + yy, height - 1)
+                    r, g, b = rgb(x, y)
+                    blocks[0].append(0.299 * r + 0.587 * g + 0.114 * b)
+                    blocks[1].append(
+                        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+                    )
+                    blocks[2].append(
+                        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+                    )
+            for ci in range(3):
+                tq = 0 if ci == 0 else 1
+                q = qts[tq]
+                coef = _fdct_block(blocks[ci])
+                quant = [int(round(coef[z] / q[z])) for z in range(64)]
+                zz = [quant[_ZIGZAG[k]] for k in range(64)]
+                diff = zz[0] - dcpred[ci]
+                dcpred[ci] = zz[0]
+                t = _jpeg_cat(diff)
+                code, ln = enc_dc[tq][t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if zz[k]:
+                        last_nz = k
+                        break
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[tq][0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _jpeg_cat(zz[k])
+                    code, ln = enc_ac[tq][(run << 4) | s]
+                    bw.write(code, ln)
+                    v = zz[k]
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = enc_ac[tq][0x00]  # EOB
+                    bw.write(code, ln)
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dqt(tq: int, tbl: list) -> bytes:
+        zz = bytes(tbl[_ZIGZAG[k]] for k in range(64))
+        return seg(0xDB, bytes([tq]) + zz)
+
+    def dht(tc: int, th: int, table: tuple) -> bytes:
+        bits, vals = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + dqt(0, _JPEG_QT_LUMA)
+        + dqt(1, _JPEG_QT_CHROMA)
+        + sof
+        + dht(0, 0, _HUFF_DC_LUMA)
+        + dht(0, 1, _HUFF_DC_CHROMA)
+        + dht(1, 0, _HUFF_AC_LUMA)
+        + dht(1, 1, _HUFF_AC_CHROMA)
+        + sos
+        + data
+        + b"\xff\xd9"
     )

@@ -61,10 +61,16 @@ def test_wav_roundtrip_rate_frames_rms():
 
 
 def test_unknown_formats_raise_not_implemented():
+    # progressive JPEG (SOF2) stays behind the codec seam
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG magic
+        mm.decode_image(
+            b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08\x00\x08\x00\x08\x01"
+            b"\x01\x11\x00"
+        )
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"GIF89a" + b"\x00" * 64)
 
 
 def test_png_roundtrip_exact_means():
@@ -147,3 +153,35 @@ def test_pipeline_decodes_real_payloads(loaded_engine):
     row = mm.extract_features(bad).collect()[0]
     assert row["decode_ok"] is False
     assert len(row["feat"]) == 8
+
+
+def test_jpeg_roundtrip_means_and_errors():
+    """Baseline JPEG: encoder+decoder round-trip keeps channel means
+    within quantization error on noise images; a solid-color image
+    (DC-only blocks) decodes to near-exact means; truncated payloads
+    raise instead of silently misdecoding."""
+    import pytest as _pytest
+
+    from duckdb_nsql_spark.operators import multimodal as mm
+
+    for (w, h, seed) in [(16, 16, 1), (24, 17, 7), (33, 9, 3)]:
+        payload = mm.make_jpeg(w, h, seed)
+        out = mm._decode_jpeg(payload)
+        assert (out["width"], out["height"]) == (w, h)
+        tr = tg = tb = 0
+        for y in range(h):
+            for x in range(w):
+                v = (seed * 2654435761 + y * 97 + x * 31) & 0xFFFFFFFF
+                tr += v & 0xFF
+                tg += (v >> 8) & 0xFF
+                tb += (v >> 16) & 0xFF
+        n = w * h
+        assert abs(out["mean_r"] - tr / n) < 5
+        assert abs(out["mean_g"] - tg / n) < 5
+        assert abs(out["mean_b"] - tb / n) < 5
+    # decode_image routes by SOI signature
+    meta = mm.decode_image(mm.make_jpeg(8, 8, 5))
+    assert meta["width"] == 8
+    # truncated entropy data: loud error (decode_ok=False in the pipeline)
+    with _pytest.raises(Exception):
+        mm._decode_jpeg(mm.make_jpeg(16, 16, 1)[:40])
