@@ -692,6 +692,13 @@ class DuckSparkSession:
                 SMALL_SORT_MAX_INPUT_BYTES,
                 CTE_MATERIALIZE_MIN_INPUT_BYTES,
                 CTE_LOCALIZE_MAX_ROWS,
+                # active materialized-CTE overrides: byte-identical text
+                # resolves DIFFERENTLY under different override bindings
+                # (e.g. two statements whose main query is the same
+                # "SELECT g FROM b ..." over different CTE bodies) —
+                # fresh per-materialization view names make such keys
+                # unique, so override-dependent plans never falsely hit
+                tuple(sorted(self._cte_overrides.items())),
             )
             hit = self._plan_cache.get(key)
             if hit is not None:
@@ -729,6 +736,9 @@ class DuckSparkSession:
         pos = self._positional_rewrite(sql)
         if pos is not None:
             sql = pos
+        gfix = self._grouping_empty_fix(sql)
+        if gfix is not None:
+            sql = gfix
         mat = self._materialize_repeated_ctes(sql)
         if mat is not None:
             return mat, False  # persisted/localized CTE is build-time data
@@ -1980,6 +1990,148 @@ class DuckSparkSession:
             tokens = tokens[:p] + repl + tokens[m_end + 1 :]
             i = p + len(repl)
         return tokens
+
+    _GS_NULL_AGGS = frozenset(
+        "SUM AVG MIN MAX STDDEV STDDEV_POP STDDEV_SAMP VAR_POP VAR_SAMP "
+        "VARIANCE BOOL_AND BOOL_OR EVERY STRING_AGG GROUP_CONCAT LISTAGG "
+        "ARRAY_AGG LIST FIRST LAST ANY_VALUE ARBITRARY MEDIAN MODE PRODUCT "
+        "ENTROPY MAD BIT_AND BIT_OR BIT_XOR QUANTILE QUANTILE_CONT "
+        "QUANTILE_DISC PERCENTILE PERCENTILE_CONT PERCENTILE_DISC COVAR_POP "
+        "COVAR_SAMP CORR GEOMEAN FAVG FSUM KURTOSIS SKEWNESS".split()
+    )
+    _GS_CONST_WHITELIST = frozenset(
+        "NULL TRUE FALSE CASE WHEN THEN ELSE END AND OR NOT IS AS CAST "
+        "ROUND COALESCE NULLIF GREATEST LEAST ABS LN LOG CEIL CEILING "
+        "FLOOR CONCAT INTEGER BIGINT SMALLINT TINYINT DOUBLE FLOAT REAL "
+        "VARCHAR TEXT STRING BOOLEAN DECIMAL NUMERIC DATE TIMESTAMP".split()
+    )
+
+    def _grouping_empty_fix(self, sql: str) -> Optional[str]:
+        """Spark's GROUPING SETS / CUBE / ROLLUP emit ZERO rows over an
+        empty input; DuckDB (and the SQL standard) emit the empty
+        grouping set's global-aggregate row (count()=0, sum()=NULL...).
+        When the top-level query's grouping includes the empty set,
+        append ``UNION ALL SELECT <constant-folded empty-input row>
+        WHERE NOT EXISTS (SELECT 1 <src>)`` — the guard is an EXISTS
+        probe that short-circuits on the first row of a non-empty
+        source, not a second aggregation scan. Returns rewritten
+        DuckDB-dialect text, or None when the shape doesn't apply
+        (then Spark's native behavior stands)."""
+        up = sql.upper()
+        if "GROUP" not in up or not (
+            "CUBE" in up or "ROLLUP" in up or "GROUPING" in up
+        ):
+            return None
+        tokens = tokenize(sql)
+        sig0 = next_sig(tokens, -1)
+        if sig0 >= len(tokens) or not tokens[sig0].is_kw("SELECT"):
+            return None
+        depth = 0
+        from_i = group_i = None
+        for idx, tk in enumerate(tokens):
+            if tk.kind == PUNCT and tk.text in "([{":
+                depth += 1
+            elif tk.kind == PUNCT and tk.text in ")]}":
+                depth -= 1
+            elif depth == 0 and tk.kind == IDENT:
+                u = tk.upper
+                if u == "FROM" and from_i is None:
+                    from_i = idx
+                elif u == "GROUP" and from_i is not None and group_i is None:
+                    b = next_sig(tokens, idx)
+                    if b < len(tokens) and tokens[b].is_kw("BY"):
+                        group_i = idx
+                elif u in ("HAVING", "QUALIFY", "WINDOW"):
+                    return None
+        if from_i is None or group_i is None:
+            return None
+        gkind = next_sig(tokens, next_sig(tokens, group_i))
+        if gkind >= len(tokens) or tokens[gkind].kind != IDENT:
+            return None
+        kind = tokens[gkind].upper
+        if kind == "GROUPING":
+            s2 = next_sig(tokens, gkind)
+            if s2 >= len(tokens) or not (
+                tokens[s2].kind == IDENT and tokens[s2].upper == "SETS"
+            ):
+                return None
+            o = next_sig(tokens, s2)
+        elif kind in ("CUBE", "ROLLUP"):
+            o = next_sig(tokens, gkind)
+        else:
+            return None
+        if o >= len(tokens) or tokens[o].text != "(":
+            return None
+        c = match_forward(tokens, o, "(", ")")
+        if kind == "GROUPING":
+            # need an explicit empty () among the sets
+            has_empty = False
+            d2 = 0
+            for k in range(o + 1, c):
+                tk = tokens[k]
+                if tk.kind == PUNCT and tk.text == "(":
+                    n2 = next_sig(tokens, k)
+                    if d2 == 0 and n2 < c and tokens[n2].text == ")":
+                        has_empty = True
+                    d2 += 1
+                elif tk.kind == PUNCT and tk.text == ")":
+                    d2 -= 1
+            if not has_empty:
+                return None
+        tail = render(tokens[c + 1 :]).strip()
+        if tail and not re.match(r"(?is)^(ORDER|LIMIT|OFFSET)\b", tail):
+            return None
+        select_list = render(tokens[next_sig(tokens, sig0) : from_i])
+        if re.search(r"(?is)\bGROUPING(_ID)?\s*\(|\bFILTER\b", select_list):
+            return None
+        src = render(tokens[from_i:group_i]).strip()
+        branch1 = render(tokens[: c + 1]).strip()
+        null_items: list[str] = []
+        for item in _split_top_commas(select_list):
+            itoks = tokenize(item)
+            # strip a trailing "AS alias" (positional union needs no name)
+            sig = [x for x in itoks if x.kind not in (WS, COMMENT)]
+            if len(sig) >= 2 and sig[-2].kind == IDENT and sig[-2].upper == "AS":
+                last = len(itoks) - 1
+                while itoks[last].kind in (WS, COMMENT):
+                    last -= 1
+                prev = prev_sig(itoks, last)
+                itoks = itoks[:prev]
+            replaced = False
+            j2 = 0
+            while j2 < len(itoks):
+                tk = itoks[j2]
+                n2 = next_sig(itoks, j2)
+                if (
+                    tk.kind == IDENT
+                    and n2 < len(itoks)
+                    and itoks[n2].text == "("
+                ):
+                    cc = match_forward(itoks, n2, "(", ")")
+                    if tk.upper == "COUNT":
+                        itoks[j2 : cc + 1] = tokenize("0")
+                        replaced = True
+                        continue
+                    if tk.upper in self._GS_NULL_AGGS:
+                        itoks[j2 : cc + 1] = tokenize("NULL")
+                        replaced = True
+                        continue
+                j2 += 1
+            if not replaced:
+                null_items.append("NULL")
+                continue
+            for tk in itoks:
+                if tk.kind in (IDENT, QIDENT) and (
+                    tk.upper not in self._GS_CONST_WHITELIST
+                ):
+                    return None  # stray column ref in a mixed item: bail
+            null_items.append(render(itoks).strip())
+        guard = f"WHERE NOT EXISTS (SELECT 1 {src})"
+        return (
+            f"{branch1} UNION ALL SELECT "
+            + ", ".join(null_items)
+            + f" {guard} {tail}"
+        ).strip()
 
     def _system_sample_files(self, tokens: list[Token]) -> list[Token]:
         """DuckDB's default ``USING SAMPLE n%`` is SYSTEM sampling: whole
@@ -4834,6 +4986,67 @@ def _parse_copy_options(tokens: list[Token]) -> dict:
     return opts
 
 
+def _select_list_arity(tokens: list[Token], order_idx: int) -> int:
+    """Arity of the select list that the ORDER BY at ``order_idx``
+    belongs to: nearest preceding SELECT at the same paren depth. 0 when
+    unparseable (star / COLUMNS / no SELECT found) — caller keeps the
+    native ORDER BY ALL."""
+    depth = 0
+    depths = [0] * len(tokens)
+    for idx, tk in enumerate(tokens):
+        if tk.kind == PUNCT and tk.text in "([{":
+            depths[idx] = depth
+            depth += 1
+        elif tk.kind == PUNCT and tk.text in ")]}":
+            depth -= 1
+            depths[idx] = depth
+        else:
+            depths[idx] = depth
+    d = depths[order_idx]
+    sel = None
+    for idx in range(order_idx - 1, -1, -1):
+        if depths[idx] < d:
+            break  # left the block
+        if (
+            depths[idx] == d
+            and tokens[idx].kind == IDENT
+            and tokens[idx].upper == "SELECT"
+        ):
+            sel = idx
+            break
+    if sel is None:
+        return 0
+    j = next_sig(tokens, sel)
+    if j < len(tokens) and tokens[j].kind == IDENT and tokens[j].upper == "DISTINCT":
+        j = next_sig(tokens, j)
+    count = 1
+    k = j
+    while k < len(tokens):
+        tk = tokens[k]
+        if depths[k] < d:
+            break
+        if depths[k] == d:
+            if tk.kind == PUNCT and tk.text == "*":
+                return 0
+            if tk.kind == OP and tk.text == "*" and k == j:
+                return 0
+            if tk.kind == IDENT and tk.upper in (
+                "FROM", "WHERE", "GROUP", "HAVING", "QUALIFY", "ORDER",
+                "LIMIT", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+            ):
+                break
+            if tk.kind == IDENT and tk.upper == "COLUMNS":
+                return 0
+            if tk.kind == PUNCT and tk.text == ",":
+                count += 1
+        k += 1
+    # bare star as very first item (tokenizer may class '*' as OP)
+    first = tokens[j] if j < len(tokens) else None
+    if first is not None and first.text == "*":
+        return 0
+    return count
+
+
 def _pass_order_by_nulls(tokens: list[Token], order: str) -> list[Token]:
     """DuckDB's default null order is NULLS LAST for both directions
     (configurable via PRAGMA default_null_order, dev.json:220); Spark
@@ -4881,6 +5094,37 @@ def _pass_order_by_nulls(tokens: list[Token], order: str) -> list[Token]:
                     if not span:
                         continue
                     if any(x.kind == IDENT and x.upper == "NULLS" for x in span):
+                        continue
+                    if (
+                        len(items) == 1
+                        and span
+                        and span[0].kind == IDENT
+                        and span[0].upper == "ALL"
+                        and len(span) <= 2
+                    ):
+                        # ORDER BY ALL [ASC|DESC]: Spark's native ALL uses
+                        # its own NULLS FIRST default — expand to select-
+                        # list ordinals so the null order applies (grouping
+                        # -set NULL rows sort like DuckDB). Unparseable
+                        # select lists (star/COLUMNS) keep native ALL.
+                        dir_kw = (
+                            span[1].upper
+                            if len(span) == 2
+                            and span[1].upper in ("ASC", "DESC")
+                            else ""
+                        )
+                        ncols = _select_list_arity(out, i)
+                        if ncols:
+                            nl = (
+                                "NULLS LAST"
+                                if order == "nulls_last"
+                                else "NULLS FIRST"
+                            )
+                            txt = ", ".join(
+                                f"{p + 1} {dir_kw} {nl}".replace("  ", " ")
+                                for p in range(ncols)
+                            )
+                            out[lo:hi] = tokenize(txt) + [Token(WS, " ")]
                         continue
                     if len(span) == 1 and span[0].kind == IDENT and span[0].upper == "ALL":
                         continue

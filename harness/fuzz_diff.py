@@ -193,6 +193,75 @@ def gen_emb_query():
             f"ORDER BY vec_id LIMIT 80")
 
 
+def gen_advanced_query():
+    """Round-4 sixth-wave shapes: correlated scalar subqueries (equality
+    AND inequality correlation), ROLLUP/CUBE/GROUPING SETS, QUALIFY,
+    DISTINCT ON, IS DISTINCT FROM chains, composite->VARCHAR casts,
+    decimal-ish column division, nested CTE chains."""
+    t = rng.choice(list(NUM_COLS))
+    n = rng.choice(NUM_COLS[t])
+    s = rng.choice(STR_COLS[t])
+    k = KEY_COLS[t]
+    r = rng.random()
+    if r < 0.14:
+        op = rng.choice(["<=", "=", "<"])
+        return (
+            f"SELECT {k}, (SELECT count(*) FROM {t} i WHERE i.{k} {op} o.{k}"
+            f" AND i.{n} > {rng.randint(1, 30)}) AS c"
+            f" FROM {t} o WHERE o.{k} % {rng.randint(7, 19)} = 0"
+            f" ORDER BY {k} LIMIT 40"
+        )
+    if r < 0.28:
+        gs = rng.choice(["ROLLUP", "CUBE"])
+        g2 = rng.choice(STR_COLS[t])
+        return (
+            f"SELECT {s} AS g1, {g2} AS g2, count(*) AS n,"
+            f" round(sum({n}), 1) AS sm"
+            f" FROM {t} WHERE {predicate(t)}"
+            f" GROUP BY {gs} ({s}, {g2}) ORDER BY ALL LIMIT 60"
+        )
+    if r < 0.40:
+        return (
+            f"SELECT {k}, {s}, {n} FROM {t} WHERE {predicate(t)}"
+            f" QUALIFY row_number() OVER (PARTITION BY {s}"
+            f" ORDER BY {n} DESC, {k}) <= {rng.randint(1, 3)}"
+            f" ORDER BY ALL LIMIT 50"
+        )
+    if r < 0.52:
+        return (
+            f"SELECT DISTINCT ON ({s}) {s}, {k}, {n} FROM {t}"
+            f" WHERE {predicate(t)} ORDER BY {s}, {k} LIMIT 40"
+        )
+    if r < 0.64:
+        return (
+            f"SELECT {k}, {s} IS DISTINCT FROM 'x' AS d1,"
+            f" nullif({s}, {s}) IS NOT DISTINCT FROM NULL AS d2,"
+            f" CAST([{n}, {n} * 2] AS VARCHAR) AS lv"
+            f" FROM {t} WHERE {k} % {rng.randint(5, 11)} = 1"
+            f" ORDER BY {k} LIMIT 40"
+        )
+    if r < 0.76:
+        return (
+            f"SELECT {k}, round({n} / {rng.randint(2, 7)}, 3) AS d1,"
+            f" {n} // {rng.randint(2, 5)} AS d2,"
+            f" CAST({{'k': {n}}} AS VARCHAR) AS sv"
+            f" FROM {t} WHERE {predicate(t)} ORDER BY {k} LIMIT 40"
+        )
+    if r < 0.88:
+        return (
+            f"WITH a AS (SELECT {s} AS g, round(sum({n}), 1) AS sm"
+            f" FROM {t} GROUP BY {s}),"
+            f" b AS (SELECT g, sm FROM a WHERE sm >"
+            f" (SELECT round(avg(sm), 1) / 2 FROM a))"
+            f" SELECT g, sm FROM b ORDER BY g LIMIT 30"
+        )
+    return (
+        f"SELECT {s} AS g, count(*) AS n, round(sum({n}), 1) AS sm"
+        f" FROM {t} WHERE {predicate(t)}"
+        f" GROUP BY GROUPING SETS (({s}), ()) ORDER BY ALL LIMIT 40"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:
@@ -201,6 +270,8 @@ def gen_query():
         return gen_event_query()
     if r0 < 0.34:
         return gen_emb_query()
+    if r0 < 0.46:
+        return gen_advanced_query()
     t = rng.choice(list(NUM_COLS))
     kind = rng.random()
     if kind < 0.45:

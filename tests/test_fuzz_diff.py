@@ -44,3 +44,40 @@ def test_fuzz_seed_42(loaded_engine, fuzz_duck, fuzz_mod):
         d = fuzz_duck.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert fuzz_mod.rows_match(d, s), q
+
+
+def test_sixth_wave_regressions(loaded_engine, fuzz_duck):
+    """Pins the three bugs the sixth-wave fuzz grammar caught:
+    1. plan-cache collision — two statements with byte-identical main
+       text over DIFFERENT materialized-CTE bodies must not share a
+       cached plan (the override bindings are part of the cache key);
+    2. GROUPING SETS/CUBE over an EMPTY input must emit the empty-set
+       global row (Spark natively returns zero rows);
+    3. ORDER BY ALL expands to ordinals with DuckDB's NULLS LAST so
+       grouping-set NULL rows sort like DuckDB even on the native
+       (LIMIT-bearing) path."""
+    qs = [
+        "WITH a AS (SELECT p_brand AS g, round(sum(p_retailprice), 1) AS sm"
+        " FROM part GROUP BY p_brand), b AS (SELECT g, sm FROM a WHERE sm >"
+        " (SELECT round(avg(sm), 1) / 2 FROM a))"
+        " SELECT g, sm FROM b ORDER BY g LIMIT 30",
+        "WITH a AS (SELECT s_name AS g, round(sum(s_acctbal), 1) AS sm"
+        " FROM supplier GROUP BY s_name), b AS (SELECT g, sm FROM a WHERE"
+        " sm > (SELECT round(avg(sm), 1) / 2 FROM a))"
+        " SELECT g, sm FROM b ORDER BY g LIMIT 30",
+        "SELECT p_type AS g, count(*) AS n, round(sum(p_size), 1) AS sm"
+        " FROM part WHERE p_size > 95"
+        " GROUP BY GROUPING SETS ((p_type), ()) ORDER BY ALL LIMIT 40",
+        "SELECT l_linestatus AS g1, count(*) AS n FROM lineitem"
+        " WHERE l_linestatus LIKE '%S%'"
+        " GROUP BY CUBE (l_linestatus) ORDER BY ALL LIMIT 60",
+        "SELECT c_mktsegment AS g1, c_name AS g2, count(*) AS n,"
+        " round(sum(c_acctbal), 1) AS sm FROM customer"
+        " WHERE substr(c_mktsegment, 1, 1) IN ('A', 'B', 'R', 'M')"
+        " GROUP BY CUBE (c_mktsegment, c_name) ORDER BY ALL LIMIT 60",
+    ]
+    for q in qs:
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        d = fuzz_duck.execute(q).fetchall()
+        assert len(s) == len(d), q
+        assert sorted(map(str, s)) == sorted(map(str, d)), q
