@@ -2253,13 +2253,7 @@ def _expr_is_integerish(txt: str) -> bool:
     BOTH engines: integer literals, schema-resolved integer columns, and
     int-preserving functions only. A window spec's OVER(...) clause is
     type-irrelevant and skipped."""
-    toks = tokenize(txt)
-    # drop everything from a top-level OVER onward (window spec idents
-    # are partition/order keys of any type)
-    for k, tk in enumerate(toks):
-        if tk.kind == IDENT and tk.upper == "OVER":
-            toks = toks[:k]
-            break
+    toks = _truncate_at_top_over(tokenize(txt))
     resolver = _ACTIVE_RESOLVER[0]
     saw_term = False
     i = 0
@@ -2299,17 +2293,29 @@ _FLOAT_FNS = frozenset({
 })
 
 
+def _truncate_at_top_over(toks: list[Token]) -> list[Token]:
+    """Drop everything from a DEPTH-0 OVER onward (window spec idents
+    are partition/order keys of any type). An OVER nested inside parens
+    — e.g. CAST(last_value(x) OVER (...) AS DOUBLE) — must NOT truncate
+    (it would leave unbalanced tokens; caught by fuzz wave 7)."""
+    depth = 0
+    for k, tk in enumerate(toks):
+        if tk.kind == PUNCT and tk.text in "([{":
+            depth += 1
+        elif tk.kind == PUNCT and tk.text in ")]}":
+            depth -= 1
+        elif depth == 0 and tk.kind == IDENT and tk.upper == "OVER":
+            return toks[:k]
+    return toks
+
+
 def _expr_is_doubleish(txt: str) -> bool:
     """True when the expression is DOUBLE-typed in Spark: at least one
     double/float column or float-producing function, NO decimal columns
     (Spark decimal typing dominates doubles only in casts), and only
     numeric building blocks otherwise. Decimal LITERALS are fine — a
     double operand wins the arithmetic typing."""
-    toks = tokenize(txt)
-    for k, tk in enumerate(toks):
-        if tk.kind == IDENT and tk.upper == "OVER":
-            toks = toks[:k]
-            break
+    toks = _truncate_at_top_over(tokenize(txt))
     resolver = _ACTIVE_RESOLVER[0]
     saw_float = False
     i = 0

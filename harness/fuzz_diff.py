@@ -262,6 +262,87 @@ def gen_advanced_query():
     )
 
 
+def gen_window_join_query():
+    """Wave-7 shapes: explicit window frames (ROWS/RANGE variants,
+    EXCLUDE CURRENT ROW), ranked windows (ntile / nth_value / dense),
+    USING-clause joins, FULL OUTER on keys, INTERSECT/EXCEPT ALL,
+    VALUES row-sets joined to tables.
+
+    Window shapes draw only from tables whose KEY_COLS entry is a
+    unique key (not lineitem: l_orderkey repeats, and a ROWS frame or
+    last_value() over a tied ORDER BY is legitimately nondeterministic
+    in both engines — a fuzz flake, not a bug)."""
+    t = rng.choice(["orders", "customer", "part", "supplier"])
+    n = rng.choice(NUM_COLS[t])
+    s = rng.choice(STR_COLS[t])
+    k = KEY_COLS[t]
+    r = rng.random()
+    if r < 0.18:
+        lo = rng.randint(1, 3)
+        hi = rng.randint(0, 2)
+        frame = rng.choice([
+            f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+            f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        ])
+        return (
+            f"SELECT {k}, round(sum({n}) OVER (PARTITION BY {s}"
+            f" ORDER BY {k} {frame}), 2) AS w,"
+            f" count(*) OVER (PARTITION BY {s} ORDER BY {k} {frame}) AS c"
+            f" FROM {t} WHERE {k} % {rng.randint(3, 9)} = 0"
+            f" ORDER BY {k} LIMIT 50"
+        )
+    if r < 0.36:
+        fn = rng.choice([
+            f"ntile({rng.randint(2, 5)})",
+            "dense_rank()", "percent_rank()", "cume_dist()",
+            f"nth_value({n}, {rng.randint(1, 3)})",
+            f"first_value({n})", f"last_value({n})",
+        ])
+        return (
+            f"SELECT {k}, {s}, round(CAST({fn} OVER (PARTITION BY {s}"
+            f" ORDER BY {k}) AS DOUBLE), 4) AS w"
+            f" FROM {t} WHERE {predicate(t)} ORDER BY {k}, {s} LIMIT 50"
+        )
+    if r < 0.52:
+        # simple ON predicate only: DuckDB rejects subqueries inside a
+        # non-inner join condition ("Not implemented Error")
+        ln = rng.choice(NUM_COLS["lineitem"])
+        return (
+            f"SELECT o_orderkey, count(l_orderkey) AS n"
+            f" FROM orders FULL OUTER JOIN lineitem"
+            f" ON l_orderkey = o_orderkey AND {ln} > {rng.randint(0, 40)}"
+            f" GROUP BY o_orderkey ORDER BY o_orderkey NULLS LAST"
+            f" LIMIT 50"
+        )
+    if r < 0.68:
+        op = rng.choice(["INTERSECT ALL", "EXCEPT ALL"])
+        return (
+            f"SELECT x FROM (SELECT {s} AS x FROM {t}"
+            f" WHERE {predicate(t)} {op} SELECT {s} AS x FROM {t}"
+            f" WHERE {predicate(t)}) u"
+            f" ORDER BY x LIMIT 40"
+        )
+    if r < 0.84:
+        vals = ", ".join(
+            f"({rng.randint(0, 5)}, '{rng.choice('ABRM')}')"
+            for _ in range(3)
+        )
+        return (
+            f"SELECT v.a, v.b, count(*) AS n FROM (VALUES {vals})"
+            f" v(a, b) JOIN nation ON n_regionkey = v.a"
+            f" GROUP BY ALL ORDER BY ALL LIMIT 30"
+        )
+    return (
+        f"SELECT c_custkey, o_orderkey FROM customer"
+        f" JOIN orders ON o_custkey = c_custkey"
+        f" WHERE c_custkey % {rng.randint(17, 41)} = 0"
+        f" QUALIFY rank() OVER (PARTITION BY c_custkey"
+        f" ORDER BY o_orderkey) <= 2 ORDER BY ALL LIMIT 40"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:
@@ -272,6 +353,8 @@ def gen_query():
         return gen_emb_query()
     if r0 < 0.46:
         return gen_advanced_query()
+    if r0 < 0.58:
+        return gen_window_join_query()
     t = rng.choice(list(NUM_COLS))
     kind = rng.random()
     if kind < 0.45:
