@@ -2190,12 +2190,90 @@ _FN_MACROS_0 = {
     "VERSION": "'v1.0.0-spark'",
 }
 
-# arg_max/arg_min top-n forms share the min_by/max_by templates (the
-# 2-arg spellings stay simple renames)
-_FN_MACROS_N["ARG_MAX"] = {3: _FN_MACROS_N["MAX_BY"][3]}
-_FN_MACROS_N["ARGMAX"] = {3: _FN_MACROS_N["MAX_BY"][3]}
-_FN_MACROS_N["ARG_MIN"] = {3: _FN_MACROS_N["MIN_BY"][3]}
-_FN_MACROS_N["ARGMIN"] = {3: _FN_MACROS_N["MIN_BY"][3]}
+# arg_max/arg_min top-n forms share the min_by/max_by templates.
+# 2-arg forms: DuckDB SKIPS rows whose VALUE argument is NULL; Spark's
+# min_by/max_by would happily return that NULL row's value. NULL-ing the
+# ordering key for NULL-value rows makes Spark skip them too; the
+# *_null variants are DuckDB's keep-NULLs spelling = plain min_by/max_by.
+_FN_MACROS_N["ARG_MAX"] = {
+    3: _FN_MACROS_N["MAX_BY"][3],
+    2: "max_by({0}, CASE WHEN ({0}) IS NULL THEN NULL ELSE ({1}) END)",
+}
+_FN_MACROS_N["ARGMAX"] = dict(_FN_MACROS_N["ARG_MAX"])
+_FN_MACROS_N["ARG_MIN"] = {
+    3: _FN_MACROS_N["MIN_BY"][3],
+    2: "min_by({0}, CASE WHEN ({0}) IS NULL THEN NULL ELSE ({1}) END)",
+}
+_FN_MACROS_N["ARGMIN"] = dict(_FN_MACROS_N["ARG_MIN"])
+_FN_MACROS_N["ARG_MAX_NULL"] = {2: "max_by({0}, {1})"}
+_FN_MACROS_N["ARG_MIN_NULL"] = {2: "min_by({0}, {1})"}
+
+# --- function-catalog sweep additions (duckdb_functions() diff) -----------
+_FN_MACROS_N["SEM"] = {1: "(stddev_pop({0}) / sqrt(count({0})))"}
+# bare/array_ aliases of the existing list_* templates (grade_up,
+# no-initial-value reduce, reverse_sort are already defined above)
+_FN_MACROS_N["GRADE_UP"] = dict(_FN_MACROS_N["LIST_GRADE_UP"])
+_FN_MACROS_N["ARRAY_GRADE_UP"] = dict(_FN_MACROS_N["LIST_GRADE_UP"])
+_FN_MACROS_N["REDUCE"] = dict(_FN_MACROS_N["LIST_REDUCE"])
+_FN_MACROS_N["ARRAY_REDUCE"] = dict(_FN_MACROS_N["LIST_REDUCE"])
+_FN_MACROS_N["ARRAY_REVERSE_SORT"] = dict(_FN_MACROS_N["LIST_REVERSE_SORT"])
+_FN_MACROS_N["CONSTANT_OR_NULL"] = {
+    2: "(CASE WHEN ({1}) IS NULL THEN NULL ELSE ({0}) END)"
+}
+_UNBIN_T = (
+    "unhex(lpad(conv({0}, 2, 16),"
+    " CAST(ceil(length({0}) / 8.0) * 2 AS INT), '0'))"
+)
+_FN_MACROS_N["UNBIN"] = {1: _UNBIN_T}
+_FN_MACROS_N["FROM_BINARY"] = {1: _UNBIN_T}
+_FN_MACROS_N["ROW_TO_JSON"] = {1: "to_json({0})"}
+def _cross3_template(args: list[str]) -> str:
+    # DOUBLE elements like DuckDB (decimal literals would otherwise
+    # produce a DECIMAL-typed result array in Spark)
+    a = f"CAST({args[0]} AS array<double>)"
+    b = f"CAST({args[1]} AS array<double>)"
+    return (
+        f"array(element_at({a}, 2) * element_at({b}, 3)"
+        f" - element_at({a}, 3) * element_at({b}, 2),"
+        f" element_at({a}, 3) * element_at({b}, 1)"
+        f" - element_at({a}, 1) * element_at({b}, 3),"
+        f" element_at({a}, 1) * element_at({b}, 2)"
+        f" - element_at({a}, 2) * element_at({b}, 1))"
+    )
+
+
+_FN_MACROS_N["ARRAY_CROSS_PRODUCT"] = {2: _cross3_template}
+_FN_MACROS_N["LIST_CROSS_PRODUCT"] = {2: _cross3_template}
+_FN_MACROS_N["UNPIVOT_LIST"] = {
+    n: (lambda args: "array(" + ", ".join(args) + ")")
+    for n in range(1, 9)
+}
+
+
+def _bin_string_template(args: list[str]) -> Optional[str]:
+    """DuckDB bin(VARCHAR) is the BITSTRING of the string's bytes
+    ('14' -> '0011000100110100'); Spark's bin() casts to LONG. Fold
+    string LITERALS at rewrite time; resolver-known string columns use
+    the to_binary expression; numeric args keep Spark bin."""
+    a = args[0].strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+        raw = a[1:-1].replace("''", "'").encode("utf-8")
+        bits = "".join(f"{b:08b}" for b in raw)
+        return f"'{bits}'"
+    resolver = _ACTIVE_RESOLVER[0]
+    if (
+        resolver is not None
+        and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", a)
+        and resolver.column_kind(a.lower()) == "string"
+    ):
+        return (
+            f"array_join(transform(filter(split(CAST({a} AS STRING), ''),"
+            f" c -> c <> ''), c -> lpad(bin(ascii(c)), 8, '0')), '')"
+        )
+    return None
+
+
+_FN_MACROS_N["BIN"] = {1: _bin_string_template}
 
 
 def _substr_zero_template(args: list[str]) -> Optional[str]:

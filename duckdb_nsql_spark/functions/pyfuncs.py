@@ -505,6 +505,33 @@ def register_python_functions(spark: SparkSession) -> None:
         return pd.Series([f(v) for v in j], dtype="object")
 
     @pandas_udf("string")
+    def json_quote(j: pd.Series) -> pd.Series:
+        """DuckDB json_quote: JSON-encode a VARCHAR value (quotes +
+        escapes); NULL passes through."""
+        import json as _json
+
+        return j.map(
+            lambda v: None if v is None else _json.dumps(
+                v, ensure_ascii=False
+            )
+        )
+
+    @pandas_udf("string")
+    def regexp_escape(s: pd.Series) -> pd.Series:
+        """RE2 QuoteMeta semantics (DuckDB regexp_escape): backslash
+        every byte outside [A-Za-z0-9_]."""
+
+        def f(v):
+            if v is None:
+                return None
+            return "".join(
+                c if c.isalnum() and c.isascii() or c == "_" else "\\" + c
+                for c in v
+            )
+
+        return s.map(f)
+
+    @pandas_udf("string")
     def json_obj_values(j: pd.Series) -> pd.Series:
         """Values of a JSON object rendered as a JSON array, in key
         order — the assembly half of the json_array() rewrite."""
@@ -603,6 +630,8 @@ def register_python_functions(spark: SparkSession) -> None:
         ("json_contains", json_contains),
         ("json_type", json_type),
         ("__ddb_json_obj_values", json_obj_values),
+        ("json_quote", json_quote),
+        ("regexp_escape", regexp_escape),
     ]:
         spark.udf.register(name, fn)
 

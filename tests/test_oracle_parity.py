@@ -255,6 +255,75 @@ def test_function_edge_grid_round4b_matches_duckdb(spark, ddb):
     assert not diffs, diffs[:8]
 
 
+def test_function_catalog_sweep_round4f(spark, ddb):
+    """duckdb_functions() catalog diff wave: arg_min/arg_max NULL-value
+    skipping (and the *_null keep-NULLs variants), sem, grade_up
+    (1-based argsort), list_reduce/reduce no-initial fold,
+    list_reverse_sort, constant_or_null, unbin/from_binary,
+    row_to_json over named structs, array_cross_product (DOUBLE result),
+    unpivot_list, bin over string literals, json_quote, regexp_escape
+    (RE2 QuoteMeta). Every cell must equal DuckDB."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    setup = [
+        "CREATE TABLE fsweep(x DOUBLE, y DOUBLE)",
+        "INSERT INTO fsweep VALUES (1.0, 2.0), (2.0, 3.5), (3.0, 6.5),"
+        " (NULL, 1.0)",
+    ]
+    for stmt in setup:
+        eng.execute(stmt)
+        ddb.execute(stmt)
+    aggs = [
+        "argmin(x, y)", "argmax(x, y)", "arg_min(x, y)", "arg_max(x, y)",
+        "arg_min_null(x, y)", "arg_max_null(x, y)",
+        "round(sem(x), 6)",
+    ]
+    qa = "SELECT " + ", ".join(
+        f"{e} AS a{i}" for i, e in enumerate(aggs)
+    ) + " FROM fsweep"
+    sa = [tuple(r) for r in eng.execute(qa).collect()][0]
+    da = ddb.execute(qa).fetchall()[0]
+    adiffs = [
+        (aggs[i], sa[i], da[i])
+        for i in range(len(aggs))
+        if str(sa[i]) != str(da[i])
+    ]
+    assert not adiffs, adiffs
+    exprs = [
+        "grade_up([30, 10, 20])", "list_grade_up([3, 1, 2])",
+        "list_reduce([1, 2, 3], (a, b) -> a + b)",
+        "reduce([1, 2, 3], (a, b) -> a + b)",
+        "list_reverse_sort([2, 3, 1])", "array_reverse_sort([2, 3, 1])",
+        "constant_or_null(42, NULL)", "constant_or_null(42, 7)",
+        "unbin('0110')", "from_binary('01100001')",
+        "row_to_json(struct_pack(a := 1, b := 'x'))",
+        "unpivot_list('a', 'b', 'c')",
+        "bin('14')", "bin(7)",
+        "json_quote('a\"b')",
+        "regexp_escape('a.b*c')",
+    ]
+    sql = "SELECT " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(exprs)
+    )
+    srow = [tuple(r) for r in eng.execute(sql).collect()][0]
+    drow = ddb.execute(sql).fetchall()[0]
+    diffs = [
+        (exprs[i], srow[i], drow[i])
+        for i in range(len(exprs))
+        if str(srow[i]) != str(drow[i])
+    ]
+    assert not diffs, diffs[:6]
+    # cross product: DuckDB fetches fixed arrays as tuples — compare values
+    sx = eng.execute(
+        "SELECT array_cross_product([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]) AS v"
+    ).collect()[0][0]
+    dx = ddb.execute(
+        "SELECT array_cross_product([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]) AS v"
+    ).fetchone()[0]
+    assert [float(v) for v in sx] == [float(v) for v in dx]
+
+
 def test_correlated_subquery_shapes_match_duckdb(spark, ddb):
     """Correlated subqueries with NON-equality correlation predicates —
     previously documented as a Spark decorrelation limitation; Spark 4's
