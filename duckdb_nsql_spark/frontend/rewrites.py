@@ -1345,6 +1345,11 @@ _CAST_TYPE_MAP = {
     "HUGEINT": "DECIMAL(38,0)", "INT128": "DECIMAL(38,0)",
     "UHUGEINT": "DECIMAL(38,0)", "UBIGINT": "DECIMAL(20,0)",
     "UINTEGER": "BIGINT", "USMALLINT": "INTEGER", "UTINYINT": "SMALLINT",
+    # BIT(STRING) carried as its '0'/'1' text — CAST is a passthrough;
+    # get_bit/set_bit/bitstring operate on the text (macros below).
+    # bit_position is NOT mapped: DuckDB's padded-byte search semantics
+    # are an undocumented quirk (bit_position('10','0110010') = 6).
+    "BIT": "STRING", "BITSTRING": "STRING",
 }
 
 
@@ -2244,6 +2249,48 @@ def _cross3_template(args: list[str]) -> str:
 
 _FN_MACROS_N["ARRAY_CROSS_PRODUCT"] = {2: _cross3_template}
 _FN_MACROS_N["LIST_CROSS_PRODUCT"] = {2: _cross3_template}
+
+# BIT functions over the '0'/'1' text carried by the BIT cast
+# passthrough (0-based bit indexes, like DuckDB)
+_FN_MACROS_N["GET_BIT"] = {
+    2: "CAST(substring({0}, CAST({1} AS INT) + 1, 1) AS INT)"
+}
+_FN_MACROS_N["SET_BIT"] = {
+    3: "concat(left({0}, CAST({1} AS INT)), CAST({2} AS STRING),"
+       " substring({0}, CAST({1} AS INT) + 2))"
+}
+_FN_MACROS_N["BITSTRING"] = {2: "lpad({0}, CAST({1} AS INT), '0')"}
+
+
+_BIT_LIT_RE = re.compile(
+    r"^(?:CAST\s*\(\s*)?('[01]+')"
+    r"(?:\s+AS\s+STRING\s*\)|\s*::\s*STRING)?$",
+    re.IGNORECASE,
+)
+
+
+def _bit_count_template(args: list[str]) -> Optional[str]:
+    """bit_count over a BIT literal ('0110' -> 2; the ::BIT cast has
+    already rewritten to a STRING passthrough by the time macros run);
+    integral args keep Spark's native bit_count."""
+    m = _BIT_LIT_RE.match(args[0].strip())
+    if m:
+        a = m.group(1)
+        return f"(length({a}) - length(replace({a}, '1', '')))"
+    return None
+
+
+def _bit_length_template(args: list[str]) -> Optional[str]:
+    """bit_length over a BIT literal = number of bits (Spark's
+    bit_length on the carrier string would count 8 per char)."""
+    m = _BIT_LIT_RE.match(args[0].strip())
+    if m:
+        return f"length({m.group(1)})"
+    return None
+
+
+_FN_MACROS_N["BIT_COUNT"] = {1: _bit_count_template}
+_FN_MACROS_N["BIT_LENGTH"] = {1: _bit_length_template}
 _FN_MACROS_N["UNPIVOT_LIST"] = {
     n: (lambda args: "array(" + ", ".join(args) + ")")
     for n in range(1, 9)

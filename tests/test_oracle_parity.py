@@ -302,6 +302,11 @@ def test_function_catalog_sweep_round4f(spark, ddb):
         "bin('14')", "bin(7)",
         "json_quote('a\"b')",
         "regexp_escape('a.b*c')",
+        # BIT carried as '0'/'1' text (cast passthrough + macros)
+        "get_bit('0110'::BIT, 1)", "set_bit('0110'::BIT, 1, 0)",
+        "bit_count('0110'::BIT)", "bitstring('0101011', 12)",
+        "CAST('0110'::BIT AS VARCHAR)", "length('0110'::BIT)",
+        "'011'::BIT || '001'::BIT", "bit_length('0110'::BIT)",
     ]
     sql = "SELECT " + ", ".join(
         f"{e} AS c{i}" for i, e in enumerate(exprs)
