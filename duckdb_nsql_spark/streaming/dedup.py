@@ -108,3 +108,51 @@ def run_available_now(df: DataFrame, spark: SparkSession, name: str,
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming benchmark decontamination: flag documents on a
+    CONTINUOUS ingest stream that share any word n-gram with a static
+    evaluation set — the hygiene gate applied at ingest time instead of
+    as a batch backfill.
+
+    Plan shape: the eval set's distinct gram hashes collapse to ONE
+    array row (benchmark-sized, a few MB at worst) that broadcast-joins
+    into every micro-batch on a constant key; per-document hits are then
+    ``size(array_intersect(distinct doc grams, eval grams))`` — a
+    map-only, STATELESS expression, so the stream needs no watermark and
+    no state store, and emits in append mode. Hit counts are exactly the
+    batch operator's countDistinct (operators/text.py:decontaminate);
+    over a finite backlog the output is row-identical to batch, which is
+    the oracle."""
+    from ..operators.text import ngram_hashes
+
+    eval_arr = (
+        eval_set.select(
+            F.explode(ngram_hashes(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+        .agg(F.collect_list("g").alias("__eval_grams"))
+        .withColumn("__k", F.lit(1))
+    )
+    hits = F.size(
+        F.array_intersect(
+            F.array_distinct(ngram_hashes(F.col(text_col), n)),
+            F.col("__eval_grams"),
+        )
+    )
+    return (
+        docs.withColumn("__k", F.lit(1))
+        .join(F.broadcast(eval_arr), "__k")
+        .select(
+            id_col,
+            hits.cast("int").alias("n_hits"),
+            (hits > 0).alias("contaminated"),
+        )
+    )

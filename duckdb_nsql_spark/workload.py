@@ -2312,6 +2312,25 @@ def op_stream_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sd.run_available_now(prof, spark, name)
 
 
+def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming n-gram decontamination over continuous document ingest
+    — the batch op_decontaminate hygiene gate applied at ingest time.
+    Eval grams collapse to one broadcast array row; per-doc hits are a
+    stateless map-only array_intersect, so no watermark/state store is
+    needed and the finite backlog emits row-identical to batch: the
+    SAME oracle (ORACLE_DECONTAMINATE) pins both."""
+    from .streaming import dedup as sd
+
+    docs_stream = sd.read_documents_stream(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    train_stream = docs_stream.filter(F.col("doc_id") % 17 != 3)
+    eval_set = _docs(spark, sf_dir).filter(F.col("doc_id") % 17 == 3)
+    out = sd.decontaminate_stream(train_stream, eval_set, n=8)
+    name = f"stream_decontaminate_{abs(hash(sf_dir)) % 10_000}"
+    return sd.run_available_now(out, spark, name)
+
+
 # --- duplicate-cluster assignment: minhash-LSH pairs -> connected
 # components (iterative min-label propagation on Spark; min reachable id
 # via recursive CTE in DuckDB — same algebra, full convergence) ----------
@@ -2601,6 +2620,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_stream_stateful": (op_stream_stateful, ORACLE_STREAM_STATEFUL),
     "op_stream_dedup": (op_stream_dedup, ORACLE_STREAM_DEDUP),
     "op_stream_doc_profile": (op_stream_doc_profile, ORACLE_TEXT_PROFILE),
+    "op_stream_decontaminate": (op_stream_decontaminate, ORACLE_DECONTAMINATE),
     "op_dedup_clusters": (op_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "op_sample_stratified": (op_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
     "op_train_val_split": (op_train_val_split, ORACLE_TRAIN_VAL_SPLIT),
