@@ -197,8 +197,12 @@ def gen_advanced_query():
     """Round-4 sixth-wave shapes: correlated scalar subqueries (equality
     AND inequality correlation), ROLLUP/CUBE/GROUPING SETS, QUALIFY,
     DISTINCT ON, IS DISTINCT FROM chains, composite->VARCHAR casts,
-    decimal-ish column division, nested CTE chains."""
-    t = rng.choice(list(NUM_COLS))
+    decimal-ish column division, nested CTE chains.
+
+    Unique-key tables only (not lineitem): several shapes ORDER BY the
+    key with LIMIT, and duplicate keys make the cut nondeterministic in
+    both engines — a fuzz flake, not a bug."""
+    t = rng.choice(["orders", "customer", "part", "supplier"])
     n = rng.choice(NUM_COLS[t])
     s = rng.choice(STR_COLS[t])
     k = KEY_COLS[t]
