@@ -26,6 +26,7 @@ double-precision evaluation.
 from __future__ import annotations
 
 import os
+import re
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1375,6 +1376,168 @@ _sql(
 )
 
 
+# --- classic TPC-H query block (q98-q105) ---------------------------------
+# The canonical decision-support workload, adapted to the driver's table
+# subset (no partsupp/l_commitdate/c_phone; see each query's note).
+# Float discipline: every double aggregate is round()ed on both sides;
+# Q14's ratio uses rounded intermediate sums so distributed accumulation
+# order cannot flip the final rounding.
+
+_sql(
+    "q98_tpch_q3",  # shipping priority (o_shippriority column absent)
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1997-03-15'
+      AND l_shipdate > DATE '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+)
+
+_sql(
+    "q99_tpch_q5",  # local supplier volume
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1998-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+
+_sql(
+    "q100_tpch_q6",  # forecast revenue change
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+
+_sql(
+    "q101_tpch_q10",  # returned item reporting
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-10-01'
+      AND o_orderdate < DATE '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+
+_sql(
+    "q102_tpch_q13",  # customer distribution (o_comment filter absent)
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+_sql(
+    "q103_tpch_q14",  # promotion effect (p_type is the bare family name)
+    """
+    SELECT round(100.00 * round(sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END), 2)
+                 / round(sum(l_extendedprice * (1 - l_discount)), 2),
+                 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-09-01'
+      AND l_shipdate < DATE '1996-10-01'
+    """,
+)
+
+_sql(
+    "q104_tpch_q18",  # large volume customers
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS total,
+           round(sum(l_quantity), 2) AS qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY total DESC, o_orderdate, o_orderkey LIMIT 20
+    """,
+)
+
+_sql(
+    "q105_tpch_q22",  # global sales opportunity (cntrycode from custkey,
+    """
+    SELECT cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM (SELECT CAST(c_custkey % 7 AS VARCHAR) AS cntrycode, c_acctbal
+          FROM customer
+          WHERE c_custkey % 7 IN (1, 3, 5)
+            AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.00)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_totalprice > 450000)) custsale
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+
+_sql(
+    "q106_tpch_q4",  # order priority checking (l_commitdate absent:
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01'
+      AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+_sql(
+    "q107_tpch_q12",  # shipping modes (l_shipmode absent: returnflag
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      OR o_orderpriority = '2-HIGH'
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                     AND o_orderpriority <> '2-HIGH'
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
 # ---------------------------------------------------------------------------
@@ -2651,8 +2814,13 @@ def _registry_order() -> list[str]:
     """
     oracled_ops = [n for n, (_f, o) in OPERATORS.items() if o is not None]
     rows_only_ops = [n for n, (_f, o) in OPERATORS.items() if o is None]
-    new_sql = [n for n in ENGINE_SQL if n >= "q51"]
-    old_sql = [n for n in ENGINE_SQL if n < "q51"]
+
+    def qnum(n: str) -> int:
+        # numeric query index ("q100_..." is NOT < "q51_..." here)
+        return int(re.match(r"q(\d+)", n).group(1))
+
+    new_sql = [n for n in ENGINE_SQL if qnum(n) > 50]
+    old_sql = [n for n in ENGINE_SQL if qnum(n) <= 50]
     return old_sql + oracled_ops + new_sql + rows_only_ops
 
 
