@@ -423,3 +423,44 @@ def repetition_profile(
         ).alias("top_bigram_share"),
     )
     return out
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style unigram language-model scoring: build the corpus
+    unigram distribution, then score each document by its average word
+    log-probability — the classic cheap quality/perplexity proxy for
+    training-data filtering (low scores = out-of-distribution text).
+
+    Scale design: one shuffle keyed by word builds the vocab counts
+    (high cardinality, skew bounded by natural language's Zipf tail +
+    AQE); the corpus total reduces to ONE broadcast row; scoring joins
+    words→logprob on the word key and aggregates per doc_id. Word
+    log-probs are rounded to 6 digits and summed as DECIMAL(12,6) —
+    exact, order-independent addition — so the distributed partial sums
+    hash-match DuckDB's sequential evaluation bit-for-bit (same
+    discipline as the q65 window-frame fix)."""
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    words = df.select(id_col, F.explode(tokens).alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.round(F.log(F.col("c") / F.col("t")), 6)
+        .cast("decimal(12,6)")
+        .alias("lp"),
+    )
+    return (
+        words.join(lp, "w")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum("lp").cast("double") / F.count("*"), 4
+            ).alias("avg_logprob"),
+            F.count("*").cast("int").alias("n_words"),
+        )
+    )

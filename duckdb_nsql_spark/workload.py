@@ -2683,6 +2683,37 @@ def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_profile(_docs(spark, sf_dir))
 
 
+def op_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.unigram_logprob(_docs(spark, sf_dir))
+
+
+# CCNet-style unigram LM scoring: logprobs round to 6 digits and sum as
+# DECIMAL(12,6) — exact order-independent addition, so Spark's
+# distributed partials hash-match DuckDB's sequential fold
+ORACLE_TEXT_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(tokens) AS w FROM toks
+), vocab AS (
+  SELECT w, count(*) AS c FROM words GROUP BY w
+), tot AS (
+  SELECT sum(c) AS t FROM vocab
+), lp AS (
+  SELECT w, CAST(round(ln(c / t), 6) AS DECIMAL(12,6)) AS lp
+  FROM vocab, tot
+)
+SELECT doc_id,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob,
+       CAST(count(*) AS INTEGER) AS n_words
+FROM words JOIN lp USING (w)
+GROUP BY doc_id
+"""
+
+
 ORACLE_TEXT_REPETITION = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -2763,6 +2794,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_text_chunk": (op_text_chunk, ORACLE_TEXT_CHUNK),
     "op_text_bm25": (op_text_bm25, ORACLE_TEXT_BM25),
     "op_text_repetition": (op_text_repetition, ORACLE_TEXT_REPETITION),
+    "op_text_logprob": (op_text_logprob, ORACLE_TEXT_LOGPROB),
     "op_corpus_prep": (op_corpus_prep, ORACLE_CORPUS_PREP),
     "op_decontaminate": (op_decontaminate, ORACLE_DECONTAMINATE),
     "op_pii_redact": (op_pii_redact, ORACLE_PII_REDACT),
