@@ -109,3 +109,38 @@ def shuffle_shards(
     return out.withColumn(
         "pos", F.row_number().over(w).cast("int")
     ).drop("_shufkey")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each row gets sort key ln(u)/w with u a
+    content-derived uniform in (0,1); the k LARGEST keys are the sample.
+    Rows with weight w are included with the exact A-Res probabilities,
+    and because u comes from md5 (not RNG state) the draw is
+    bit-reproducible across runs, engines and backfills — the property
+    that makes quality-weighted corpus sampling auditable.
+
+    Scale: the key is a map-side codegen'd expression; selection is one
+    TakeOrderedAndProject (top-k, no full sort, no shuffle of the
+    corpus). Keys round to 8 digits with a doc-id tiebreak so libm-vs-
+    StrictMath 1-ulp ln/pow differences cannot flip the k-boundary."""
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    u = (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") + 1
+    ) / F.lit(1152921504606846977.0)  # 2^60 + 1: u in (0, 1]
+    skey = F.round(F.log(u) / weight, 8)
+    return (
+        df.select(
+            F.col(key_col),
+            F.round(weight, 4).alias("weight"),
+            skey.alias("skey"),
+        )
+        .orderBy(F.col("skey").desc(), F.col(key_col))
+        .limit(k)
+    )

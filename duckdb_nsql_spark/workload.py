@@ -2604,6 +2604,27 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(_docs(spark, sf_dir))
 
 
+def op_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sampling: weight is a
+    content-derived integer so the DuckDB twin replays the exact draw."""
+    docs = _docs(spark, sf_dir)
+    w = (F.length("text") % 97 + 1).cast("double")
+    return sampling.weighted_sample(docs, w, k=25, seed="ws1")
+
+
+ORACLE_SAMPLE_WEIGHTED = r"""
+SELECT doc_id, weight, skey FROM (
+  SELECT doc_id,
+         round(CAST(length(text) % 97 + 1 AS DOUBLE), 4) AS weight,
+         round(ln((('0x' || substr(md5('ws1' || CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT + 1)
+                  / 1152921504606846977.0)
+               / CAST(length(text) % 97 + 1 AS DOUBLE), 8) AS skey
+  FROM documents) t
+ORDER BY skey DESC, doc_id LIMIT 25
+"""
+
+
 def op_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(
         _docs(spark, sf_dir).select("doc_id", "lang"),
@@ -2818,6 +2839,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_stream_decontaminate": (op_stream_decontaminate, ORACLE_DECONTAMINATE),
     "op_dedup_clusters": (op_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "op_sample_stratified": (op_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
+    "op_sample_weighted": (op_sample_weighted, ORACLE_SAMPLE_WEIGHTED),
     "op_train_val_split": (op_train_val_split, ORACLE_TRAIN_VAL_SPLIT),
     "op_shuffle_shards": (op_shuffle_shards, ORACLE_SHUFFLE_SHARDS),
     "op_pack_chunks": (op_pack_chunks, ORACLE_PACK_CHUNKS),
