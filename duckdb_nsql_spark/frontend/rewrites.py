@@ -3659,21 +3659,68 @@ def pass_window_exclude(tokens: list[Token]) -> list[Token]:
         if mode in ("NO OTHERS",):
             out = out[: ex] + out[cl:]
             continue
-        if mode not in ("CURRENT ROW",):
+        if mode not in ("CURRENT ROW", "GROUP", "TIES"):
             raise NotImplementedError(
                 f"window frame EXCLUDE {mode} is not supported"
             )
+        if mode in ("GROUP", "TIES"):
+            # peer rows are guaranteed inside the frame only for RANGE
+            # frames (a ROWS/GROUPS frame can cut through the peer group,
+            # and then frame-minus-peers over-subtracts)
+            fm = re.search(r"\b(ROWS|GROUPS)\b", spec, re.IGNORECASE)
+            if fm:
+                raise NotImplementedError(
+                    f"EXCLUDE {mode} over a {fm.group(1).upper()} frame "
+                    "is not supported (peer rows may lie outside it)"
+                )
         # locate the aggregate call preceding OVER: `fn ( args ) OVER`
         call_cl = prev_sig(out, i)
         if call_cl < 0 or out[call_cl].text != ")":
             raise NotImplementedError(
-                "EXCLUDE CURRENT ROW requires a simple aggregate call"
+                f"EXCLUDE {mode} requires a simple aggregate call"
             )
         call_op = _match_backward(out, call_cl)
         fn_i = prev_sig(out, call_op)
         fn = out[fn_i].upper if fn_i >= 0 and out[fn_i].kind == IDENT else ""
         arg = render(_trim(out[call_op + 1 : call_cl])).strip()
         o = f"OVER ({spec})"
+        if mode in ("GROUP", "TIES"):
+            # frame minus the current row's PEER GROUP (+ the current row
+            # back for TIES): the peer aggregate rides a second window
+            # over the same partition/order (RANGE CURRENT ROW..CURRENT
+            # ROW = exactly the peers), so both specs share one shuffle.
+            base = re.split(r"\bRANGE\b", spec, flags=re.IGNORECASE)[0].strip()
+            po = f"OVER ({base} RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+            nn = f"(CASE WHEN ({arg}) IS NOT NULL THEN 1 ELSE 0 END)"
+            if fn == "COUNT" and arg == "*":
+                grp = f"(count(*) {o} - count(*) {po})"
+                expanded = grp if mode == "GROUP" else f"({grp} + 1)"
+            elif fn == "COUNT":
+                grp = f"(count({arg}) {o} - count({arg}) {po})"
+                expanded = grp if mode == "GROUP" else f"({grp} + {nn})"
+            elif fn in ("SUM", "AVG"):
+                cnt = f"(count({arg}) {o} - count({arg}) {po})"
+                diff = (
+                    f"(coalesce(sum({arg}) {o}, 0) - "
+                    f"coalesce(sum({arg}) {po}, 0))"
+                )
+                if mode == "TIES":
+                    cnt = f"({cnt} + {nn})"
+                    diff = f"({diff} + coalesce({arg}, 0))"
+                sum_ex = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {diff} END)"
+                expanded = (
+                    sum_ex if fn == "SUM"
+                    else f"({sum_ex} / nullif({cnt}, 0))"
+                )
+            else:
+                raise NotImplementedError(
+                    f"EXCLUDE {mode} is supported for sum/count/avg, "
+                    f"not {fn or 'this expression'}"
+                )
+            new_toks = tokenize(expanded)
+            out = out[:fn_i] + new_toks + out[cl + 1 :]
+            i = fn_i + len(new_toks)
+            continue
         if fn == "COUNT" and arg == "*":
             expanded = f"(count(*) {o} - 1)"
         elif fn == "COUNT":

@@ -255,6 +255,55 @@ def test_function_edge_grid_round4b_matches_duckdb(spark, ddb):
     assert not diffs, diffs[:8]
 
 
+def test_window_exclude_group_ties(spark, ddb):
+    """Window frame EXCLUDE GROUP / EXCLUDE TIES (DuckDB surface; Spark
+    has no frame exclusion): frame aggregate minus the current row's
+    peer group (peers = a second window with RANGE CURRENT ROW..CURRENT
+    ROW over the same partition/order, sharing one shuffle), plus the
+    current row back for TIES. RANGE frames only — a ROWS frame can cut
+    through the peer group, so those raise loudly."""
+    import pytest as _pytest
+
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    setup = [
+        "CREATE TABLE exw(p VARCHAR, o INTEGER, x INTEGER)",
+        "INSERT INTO exw VALUES ('a',1,10),('a',1,20),('a',2,30),"
+        "('a',3,NULL),('a',3,40),('b',1,5),('b',2,NULL),('b',2,7),"
+        "('b',2,9)",
+    ]
+    for stmt in setup:
+        eng.execute(stmt)
+        ddb.execute(stmt)
+    frames = [
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+        "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    ]
+    for fr in frames:
+        for mode in ["GROUP", "TIES"]:
+            for agg in [
+                "sum(x)", "count(x)", "count(*)",
+            ]:
+                e = (
+                    f"{agg} OVER (PARTITION BY p ORDER BY o {fr}"
+                    f" EXCLUDE {mode})"
+                )
+                q = (
+                    f"SELECT p, o, x, {e} AS v FROM exw"
+                    f" ORDER BY p, o, coalesce(x, -1)"
+                )
+                s = [tuple(r) for r in eng.execute(q).collect()]
+                d = ddb.execute(q).fetchall()
+                assert sorted(map(str, s)) == sorted(map(str, d)), e
+    with _pytest.raises(NotImplementedError):
+        eng.execute(
+            "SELECT sum(x) OVER (PARTITION BY p ORDER BY o ROWS BETWEEN"
+            " 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM exw"
+        )
+
+
 def test_function_catalog_sweep_round4f(spark, ddb):
     """duckdb_functions() catalog diff wave: arg_min/arg_max NULL-value
     skipping (and the *_null keep-NULLs variants), sem, grade_up
