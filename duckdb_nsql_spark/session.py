@@ -736,6 +736,9 @@ class DuckSparkSession:
         pos = self._positional_rewrite(sql)
         if pos is not None:
             sql = pos
+        grf = self._groups_frame_fix(sql)
+        if grf is not None:
+            sql = grf
         gfix = self._grouping_empty_fix(sql)
         if gfix is not None:
             sql = gfix
@@ -2005,6 +2008,143 @@ class DuckSparkSession:
         "FLOOR CONCAT INTEGER BIGINT SMALLINT TINYINT DOUBLE FLOAT REAL "
         "VARCHAR TEXT STRING BOOLEAN DECIMAL NUMERIC DATE TIMESTAMP".split()
     )
+
+    def _groups_frame_fix(self, sql: str) -> Optional[str]:
+        """``GROUPS BETWEEN a PRECEDING AND b FOLLOWING`` window frames
+        (DuckDB surface; Spark has no GROUPS mode): a GROUPS frame counts
+        PEER GROUPS, which equals a RANGE frame over the dense_rank of
+        the ORDER BY key. Rewrite the statement to compute that rank in
+        an inner subquery and re-point each GROUPS window at
+        ``ORDER BY __dr<i> RANGE BETWEEN a AND b`` — the ranks share the
+        window shuffle, so the plan costs one extra window pass, no
+        extra exchange.
+
+        Applies to the common shape: single top-level SELECT with an
+        explicit select list (no ``*``), no top-level GROUP BY/HAVING
+        (windows would then run post-aggregation and the inner subquery
+        would change semantics). Anything else raises loudly rather than
+        mis-executing."""
+        _groups_re = re.compile(
+            r"\bGROUPS\s+(BETWEEN|UNBOUNDED|CURRENT|\d)", re.IGNORECASE
+        )
+        if not _groups_re.search(sql):
+            return None
+        tokens = tokenize(sql)
+        sig0 = next_sig(tokens, -1)
+        if sig0 >= len(tokens) or not tokens[sig0].is_kw("SELECT"):
+            raise NotImplementedError(
+                "GROUPS window frames are supported only in a plain "
+                "top-level SELECT"
+            )
+        depth = 0
+        from_i = None
+        for idx, tk in enumerate(tokens):
+            if tk.kind == PUNCT and tk.text in "([{":
+                depth += 1
+            elif tk.kind == PUNCT and tk.text in ")]}":
+                depth -= 1
+            elif depth == 0 and tk.kind == IDENT:
+                if tk.upper == "FROM" and from_i is None:
+                    from_i = idx
+                elif tk.upper in ("GROUP", "HAVING", "QUALIFY"):
+                    raise NotImplementedError(
+                        "GROUPS window frames cannot be combined with "
+                        "GROUP BY/HAVING/QUALIFY in this engine"
+                    )
+        if from_i is None:
+            raise NotImplementedError(
+                "GROUPS window frames need a FROM clause"
+            )
+        select_list = render(tokens[next_sig(tokens, sig0) : from_i])
+        for item in _split_top_commas(select_list):
+            it = item.strip()
+            if it == "*" or it.endswith(".*"):
+                raise NotImplementedError(
+                    "GROUPS window frames cannot be combined with SELECT *"
+                )
+        if _groups_re.search(render(tokens[from_i:])):
+            raise NotImplementedError(
+                "GROUPS window frames are supported in the outer select "
+                "list only"
+            )
+        # split FROM..[WHERE..] from trailing ORDER BY/LIMIT
+        tail_m = re.search(
+            r"(?is)\b(ORDER\s+BY|LIMIT|OFFSET)\b",
+            render(tokens[from_i:]),
+        )
+        from_txt = render(tokens[from_i:])
+        if tail_m:
+            src, tail = from_txt[: tail_m.start()], from_txt[tail_m.start():]
+        else:
+            src, tail = from_txt, ""
+        # rewrite each OVER (...) containing a GROUPS frame
+        dr_cols: list[str] = []
+
+        def fix_over(span: list[Token]) -> list[Token]:
+            res: list[Token] = []
+            j = 0
+            while j < len(span):
+                tk = span[j]
+                if tk.kind == IDENT and tk.upper == "OVER":
+                    op2 = next_sig(span, j)
+                    if op2 < len(span) and span[op2].text == "(":
+                        cl2 = match_forward(span, op2, "(", ")")
+                        inner = render(span[op2 + 1 : cl2])
+                        gm = re.search(
+                            r"(?is)^(.*?)\bGROUPS\s+(.+)$", inner
+                        )
+                        if gm:
+                            base = gm.group(1).strip()
+                            frame = gm.group(2).strip()
+                            om = re.search(
+                                r"(?is)^(.*?)\bORDER\s+BY\b(.*)$", base
+                            )
+                            if not om:
+                                raise NotImplementedError(
+                                    "GROUPS frame requires ORDER BY"
+                                )
+                            part = om.group(1).strip()
+                            okeys = om.group(2).strip()
+                            dr_expr = (
+                                f"dense_rank() OVER ({part} ORDER BY"
+                                f" {okeys})"
+                            )
+                            try:
+                                n = dr_cols.index(dr_expr)
+                            except ValueError:
+                                dr_cols.append(dr_expr)
+                                n = len(dr_cols) - 1
+                            new_over = (
+                                f"OVER ({part} ORDER BY __dr{n}"
+                                f" RANGE {frame})"
+                            )
+                            res.extend(tokenize(new_over))
+                            j = cl2 + 1
+                            continue
+                res.append(tk)
+                j += 1
+            return res
+
+        out = fix_over(list(tokens))
+        # find FROM again in the fixed list (indices may have shifted)
+        depth = 0
+        f2 = None
+        for idx, tk in enumerate(out):
+            if tk.kind == PUNCT and tk.text in "([{":
+                depth += 1
+            elif tk.kind == PUNCT and tk.text in ")]}":
+                depth -= 1
+            elif depth == 0 and tk.kind == IDENT and tk.upper == "FROM":
+                f2 = idx
+                break
+        fixed_list = render(out[next_sig(out, sig0) : f2])
+        drs = ", ".join(
+            f"{e} AS __dr{n}" for n, e in enumerate(dr_cols)
+        )
+        return (
+            f"SELECT {fixed_list} FROM (SELECT *, {drs} {src}) __grp"
+            f" {tail}"
+        ).strip()
 
     def _grouping_empty_fix(self, sql: str) -> Optional[str]:
         """Spark's GROUPING SETS / CUBE / ROLLUP emit ZERO rows over an

@@ -1273,3 +1273,54 @@ def test_system_sample_prunes_files(spark, tmp_path):
     out2 = eng.execute("SELECT * FROM st USING SAMPLE 50%")
     n2 = out2.count()
     assert 3500 <= n2 <= 6500, n2
+
+
+def test_groups_window_frames(spark):
+    """GROUPS window frames (SQL:2011; DuckDB 1.0 itself rejects them,
+    so this is beyond-reference surface): a GROUPS frame counts peer
+    groups = a RANGE frame over the dense_rank of the ORDER BY key,
+    which the session injects via an inner subquery. Expected values
+    hand-computed over the peer groups."""
+    import pytest as _pytest
+
+    from duckdb_nsql_spark import DuckSparkSession
+
+    eng = DuckSparkSession(spark=spark)
+    eng.execute("CREATE TABLE gw(p VARCHAR, o INTEGER, x INTEGER)")
+    eng.execute(
+        "INSERT INTO gw VALUES ('a',1,10),('a',1,20),('a',2,30),"
+        "('a',4,40),('a',4,50),('a',7,60),"
+        "('b',1,1),('b',3,2),('b',3,3),('b',5,4)"
+    )
+    rows = eng.execute(
+        "SELECT p, o, x, sum(x) OVER (PARTITION BY p ORDER BY o"
+        " GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS v"
+        " FROM gw ORDER BY p, o, x"
+    ).fetchall()
+    assert rows == [
+        ("a", 1, 10, 60), ("a", 1, 20, 60), ("a", 2, 30, 150),
+        ("a", 4, 40, 180), ("a", 4, 50, 180), ("a", 7, 60, 150),
+        ("b", 1, 1, 6), ("b", 3, 2, 10), ("b", 3, 3, 10),
+        ("b", 5, 4, 9),
+    ]
+    rows2 = eng.execute(
+        "SELECT p, o, x, sum(x) OVER (PARTITION BY p ORDER BY o"
+        " GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v"
+        " FROM gw WHERE p = 'a' ORDER BY o, x"
+    ).fetchall()
+    assert [r[-1] for r in rows2] == [30, 30, 60, 150, 150, 210]
+    # two different GROUPS specs in one select share the plan
+    rows3 = eng.execute(
+        "SELECT o, count(*) OVER (ORDER BY o"
+        " GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c,"
+        " sum(x) OVER (ORDER BY o"
+        " GROUPS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS s"
+        " FROM gw WHERE p = 'b' ORDER BY o, x"
+    ).fetchall()
+    assert rows3 == [(1, 1, 6), (3, 3, 9), (3, 3, 9), (5, 3, 4)]
+    with _pytest.raises(NotImplementedError):
+        eng.execute(
+            "SELECT * FROM (SELECT 1 AS a) t WHERE a IN (SELECT sum(a)"
+            " OVER (ORDER BY a GROUPS BETWEEN 1 PRECEDING AND"
+            " CURRENT ROW) FROM t)"
+        )
