@@ -1,0 +1,165 @@
+"""Randomized cross-engine DML FUZZER: random CREATE TABLE schemas and
+INSERT/UPDATE/DELETE/ALTER statement sequences replayed on the engine
+AND DuckDB; after every mutation both tables must hold the same row
+multiset. Usage: python harness/fuzz_dml.py [seed] [n_sequences].
+
+Complements fuzz_diff.py (read-only analytics): this drives the
+catalog/DML router — typed literals incl. NULLs, WHERE predicates over
+mixed types, SET with arithmetic, ALTER ADD COLUMN mid-sequence,
+INSERT..SELECT self-reads, ON CONFLICT upserts, DELETE with USING-less
+predicates — the surface the dev.json cases only sample pointwise.
+"""
+import random
+import sys
+
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import duckdb
+import duckdb_nsql_spark as dns
+
+rng = random.Random(7)
+
+COL_TYPES = ["INTEGER", "DOUBLE", "VARCHAR", "DATE"]
+
+
+def lit(ty: str) -> str:
+    if rng.random() < 0.12:
+        return "NULL"
+    if ty == "INTEGER":
+        return str(rng.randint(-50, 200))
+    if ty == "DOUBLE":
+        return f"{rng.uniform(-10, 100):.2f}"
+    if ty == "VARCHAR":
+        return "'" + rng.choice(["alpha", "beta", "g''mm", "Δδ", "x y", ""]) + "'"
+    return f"DATE '19{rng.randint(90, 99)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}'"
+
+
+def pred(cols: list) -> str:
+    name, ty = rng.choice(cols)
+    if ty == "INTEGER":
+        return rng.choice([
+            f"{name} > {rng.randint(-10, 120)}",
+            f"{name} % {rng.randint(2, 5)} = 0",
+            f"{name} IS NULL",
+            f"{name} BETWEEN {rng.randint(-10, 40)} AND {rng.randint(41, 150)}",
+        ])
+    if ty == "DOUBLE":
+        return rng.choice([
+            f"{name} < {rng.uniform(0, 80):.1f}",
+            f"{name} IS NOT NULL",
+        ])
+    if ty == "VARCHAR":
+        return rng.choice([
+            f"{name} LIKE '%a%'", f"{name} = 'beta'", f"{name} IS NULL",
+            f"length({name}) > 3",
+        ])
+    return rng.choice([
+        f"{name} >= DATE '1995-06-01'", f"{name} IS NOT NULL",
+    ])
+
+
+def set_expr(name: str, ty: str, cols: list) -> str:
+    if ty == "INTEGER":
+        return rng.choice([
+            f"{name} = {name} + {rng.randint(1, 9)}",
+            f"{name} = {rng.randint(0, 99)}",
+            f"{name} = NULL",
+        ])
+    if ty == "DOUBLE":
+        return rng.choice([
+            f"{name} = round({name} * 1.1, 2)",
+            f"{name} = {rng.uniform(0, 50):.2f}",
+        ])
+    if ty == "VARCHAR":
+        return rng.choice([
+            f"{name} = upper({name})",
+            f"{name} = concat({name}, '!')",
+            f"{name} = 'reset'",
+        ])
+    return f"{name} = {name} + INTERVAL {rng.randint(1, 30)} DAY"
+
+
+def run_sequence(seq_id: int, eng, ddb) -> list:
+    """Returns list of (stmt, error) mismatches for one random sequence."""
+    tname = f"t{seq_id}"
+    ncols = rng.randint(2, 4)
+    cols = [(f"c{i}", rng.choice(COL_TYPES)) for i in range(ncols)]
+    stmts = [
+        f"CREATE TABLE {tname} ("
+        + ", ".join(f"{n} {t}" for n, t in cols)
+        + ")"
+    ]
+    for _ in range(rng.randint(8, 16)):
+        r = rng.random()
+        live = list(cols)
+        if r < 0.45:
+            nrows = rng.randint(1, 4)
+            vals = ", ".join(
+                "(" + ", ".join(lit(t) for _n, t in live) + ")"
+                for _ in range(nrows)
+            )
+            stmts.append(f"INSERT INTO {tname} VALUES {vals}")
+        elif r < 0.65:
+            n, t = rng.choice(live)
+            stmts.append(
+                f"UPDATE {tname} SET {set_expr(n, t, live)}"
+                f" WHERE {pred(live)}"
+            )
+        elif r < 0.78:
+            stmts.append(f"DELETE FROM {tname} WHERE {pred(live)}")
+        elif r < 0.88:
+            stmts.append(
+                f"INSERT INTO {tname} SELECT * FROM {tname}"
+                f" WHERE {pred(live)}"
+            )
+        else:
+            newc = f"c{len(cols)}"
+            ty = rng.choice(COL_TYPES)
+            cols.append((newc, ty))
+            stmts.append(f"ALTER TABLE {tname} ADD COLUMN {newc} {ty}")
+    finds = []
+    for st in stmts:
+        derr = serr = None
+        try:
+            ddb.execute(st)
+        except Exception as ex:  # noqa: BLE001
+            derr = str(ex).splitlines()[0][:90]
+        try:
+            eng.execute(st)
+        except Exception as ex:  # noqa: BLE001
+            serr = str(ex).splitlines()[0][:120]
+        if (derr is None) != (serr is None):
+            finds.append((st, f"derr={derr} serr={serr}"))
+            break
+        if derr is not None:
+            continue
+        d = sorted(map(str, ddb.execute(
+            f"SELECT * FROM {tname}").fetchall()))
+        s = sorted(map(str, [tuple(r) for r in eng.execute(
+            f"SELECT * FROM {tname}").collect()]))
+        if d != s:
+            diffs = [(a, b) for a, b in zip(d, s) if a != b][:2]
+            finds.append((st, f"rows d={len(d)} s={len(s)} {diffs}"))
+            break
+    return finds
+
+
+def main() -> None:
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    global rng
+    rng = random.Random(seed)
+    eng = dns.connect(cpus=8)
+    ddb = duckdb.connect()
+    fails = 0
+    for i in range(n):
+        for st, why in run_sequence(i, eng, ddb):
+            fails += 1
+            print(f"=== DML MISMATCH (seq {i}) ===")
+            print("STMT:", st)
+            print("  ", why)
+    print(f"DML FUZZ DONE: {n} sequences, {fails} mismatches (seed {seed})")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,3 +81,31 @@ def test_sixth_wave_regressions(loaded_engine, fuzz_duck):
         d = fuzz_duck.execute(q).fetchall()
         assert len(s) == len(d), q
         assert sorted(map(str, s)) == sorted(map(str, d)), q
+
+
+def test_dml_fuzz_seed_7(spark, fuzz_duck):
+    """Pinned DML differential fuzz: random CREATE/INSERT/UPDATE/DELETE/
+    ALTER/INSERT-SELECT sequences replayed through both engines with a
+    full-table compare after every mutation (harness/fuzz_dml.py; longer
+    hunts run standalone)."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "harness", "fuzz_dml.py"
+    )
+    spec = importlib.util.spec_from_file_location("fuzz_dml", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import random as _random
+
+    import duckdb as _duckdb
+
+    from duckdb_nsql_spark import DuckSparkSession
+
+    mod.rng = _random.Random(7)
+    eng = DuckSparkSession(spark=spark)
+    ddb = _duckdb.connect()
+    finds = []
+    for i in range(4):
+        finds += mod.run_sequence(i, eng, ddb)
+    assert not finds, finds[:3]
