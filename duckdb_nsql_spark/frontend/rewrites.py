@@ -2214,6 +2214,23 @@ _FN_MACROS_N["ARG_MAX_NULL"] = {2: "max_by({0}, {1})"}
 _FN_MACROS_N["ARG_MIN_NULL"] = {2: "min_by({0}, {1})"}
 
 # --- function-catalog sweep additions (duckdb_functions() diff) -----------
+def _current_schemas_template(args: list[str]) -> Optional[str]:
+    """DuckDB current_schemas(true) = the full search path incl.
+    implicit entries; (false) = explicit-only (empty for a fresh
+    session). Single-catalog engine: constants."""
+    a = args[0].strip().upper()
+    if a == "TRUE":
+        return "array('main', 'main', 'main', 'pg_catalog')"
+    if a == "FALSE":
+        return "CAST(array() AS array<string>)"
+    return None
+
+
+_FN_MACROS_N["CURRENT_SCHEMAS"] = {1: _current_schemas_template}
+_FN_MACROS_N["IN_SEARCH_PATH"] = {
+    2: "(({0}) IN ('memory', 'system', 'temp')"
+       " AND ({1}) IN ('main', 'pg_catalog'))"
+}
 _FN_MACROS_N["SEM"] = {1: "(stddev_pop({0}) / sqrt(count({0})))"}
 # bare/array_ aliases of the existing list_* templates (grade_up,
 # no-initial-value reduce, reverse_sort are already defined above)

@@ -594,3 +594,168 @@ def duckdb_columns_df(spark: SparkSession, session) -> DataFrame:
             T.StructField("is_nullable", T.BooleanType()),
         ]),
     )
+
+
+def duckdb_views_df(spark: SparkSession, session) -> DataFrame:
+    """``FROM duckdb_views()`` — the session's live view definitions
+    (DuckDB also lists its information_schema system views; user views
+    are the rows queries filter for)."""
+    rows = []
+    for name in sorted(getattr(session, "_view_defs", {})):
+        body = session._view_defs[name]
+        ncols = None
+        df = session._tables.get(name) or session._tables.get(name.lower())
+        if df is not None:
+            ncols = len(df.columns)
+        rows.append((
+            "memory", "main", name.split(".")[-1],
+            session._comments.get(("table", name)),
+            False, False, ncols,
+            f"CREATE VIEW {name} AS {body};",
+        ))
+    return local_df(
+        spark, rows,
+        T.StructType([
+            T.StructField("database_name", T.StringType()),
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("view_name", T.StringType()),
+            T.StructField("comment", T.StringType()),
+            T.StructField("internal", T.BooleanType()),
+            T.StructField("temporary", T.BooleanType()),
+            T.StructField("column_count", T.LongType()),
+            T.StructField("sql", T.StringType()),
+        ]),
+    )
+
+
+def duckdb_databases_df(spark: SparkSession, session) -> DataFrame:
+    """``FROM duckdb_databases()`` — primary catalog + ATTACHed ones."""
+    wh = getattr(session, "_warehouse", None)
+    rows = [(
+        "memory",
+        getattr(wh, "root", None) if wh is not None else None,
+        None, False, "duckdb", False,
+    )]
+    for db in sorted(getattr(session, "_databases", set())):
+        # _databases also tracks schema-ish names; list only real
+        # attached catalogs (keys of the form db.table exist for them)
+        if db in ("memory", "main", "information_schema", "temp", "system"):
+            continue
+        if not any(k.startswith(db + ".") for k in session._tables):
+            continue
+        rows.append((db, None, None, False, "duckdb", False))
+    rows += [
+        ("system", None, None, True, "duckdb", False),
+        ("temp", None, None, True, "duckdb", False),
+    ]
+    return local_df(
+        spark, rows,
+        T.StructType([
+            T.StructField("database_name", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("comment", T.StringType()),
+            T.StructField("internal", T.BooleanType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("readonly", T.BooleanType()),
+        ]),
+    )
+
+
+def duckdb_constraints_df(spark: SparkSession, session) -> DataFrame:
+    """``FROM duckdb_constraints()`` — PRIMARY KEY/UNIQUE, NOT NULL,
+    CHECK and FOREIGN KEY rows from the session's constraint metadata."""
+    rows = []
+    for name in sorted(session._tables):
+        tbl = name.split(".")[-1]
+        idx = 0
+        keys = getattr(session, "_unique_keys", {}).get(name) or []
+        for n, key in enumerate(keys):
+            ctype = "PRIMARY KEY" if n == 0 else "UNIQUE"
+            rows.append((
+                "memory", "main", tbl, idx, ctype,
+                f"{ctype}({', '.join(key)})", None, list(key),
+            ))
+            idx += 1
+        for col in sorted(getattr(session, "_notnull_cols", {}).get(name, ())):
+            rows.append((
+                "memory", "main", tbl, idx, "NOT NULL",
+                f"NOT NULL({col})", None, [col],
+            ))
+            idx += 1
+        for expr in getattr(session, "_checks", {}).get(name, []):
+            txt = expr if isinstance(expr, str) else str(expr)
+            rows.append((
+                "memory", "main", tbl, idx, "CHECK",
+                f"CHECK({txt})", txt, [],
+            ))
+            idx += 1
+        for fk in getattr(session, "_foreign_keys", {}).get(name, []):
+            local_cols = list(fk[0]) if fk else []
+            rows.append((
+                "memory", "main", tbl, idx, "FOREIGN KEY",
+                f"FOREIGN KEY ({', '.join(local_cols)})", None, local_cols,
+            ))
+            idx += 1
+    schema = T.StructType([
+        T.StructField("database_name", T.StringType()),
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("constraint_index", T.LongType()),
+        T.StructField("constraint_type", T.StringType()),
+        T.StructField("constraint_text", T.StringType()),
+        T.StructField("expression", T.StringType()),
+        T.StructField(
+            "constraint_column_names", T.ArrayType(T.StringType())
+        ),
+    ])
+    # createDataFrame (LocalRelation) — local_df's VALUES renderer cannot
+    # express the array-typed column
+    return spark.createDataFrame(rows, schema)
+
+
+def pragma_database_size_df(spark: SparkSession, session) -> DataFrame:
+    """``FROM pragma_database_size()`` — durable-warehouse footprint when
+    one is attached, DuckDB's in-memory zeros otherwise."""
+    import os as _os
+
+    size = 0
+    wh = getattr(session, "_warehouse", None)
+    root = getattr(wh, "root", None) if wh is not None else None
+    if root and _os.path.isdir(str(root)):
+        for dirpath, _dirs, files in _os.walk(str(root)):
+            for f in files:
+                try:
+                    size += _os.path.getsize(_os.path.join(dirpath, f))
+                except OSError:
+                    pass
+
+    def human(n: int) -> str:
+        if n == 0:
+            return "0 bytes"
+        for unit in ["bytes", "KiB", "MiB", "GiB"]:
+            if n < 1024 or unit == "GiB":
+                return (
+                    f"{n} bytes" if unit == "bytes" else f"{n:.1f} {unit}"
+                )
+            n /= 1024
+        return f"{n:.1f} GiB"
+
+    mem_limit = session.settings.get("memory_limit", "0 bytes")
+    rows = [(
+        "memory", human(size), 262144, 0, 0, 0, "0 bytes", "0 bytes",
+        str(mem_limit),
+    )]
+    return local_df(
+        spark, rows,
+        T.StructType([
+            T.StructField("database_name", T.StringType()),
+            T.StructField("database_size", T.StringType()),
+            T.StructField("block_size", T.LongType()),
+            T.StructField("total_blocks", T.LongType()),
+            T.StructField("used_blocks", T.LongType()),
+            T.StructField("free_blocks", T.LongType()),
+            T.StructField("wal_size", T.StringType()),
+            T.StructField("memory_usage", T.StringType()),
+            T.StructField("memory_limit", T.StringType()),
+        ]),
+    )

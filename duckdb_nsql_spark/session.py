@@ -1386,6 +1386,8 @@ class DuckSparkSession:
             if t.kind == IDENT and t.upper in (
                 "GLOB", "PARQUET_SCHEMA", "PARQUET_METADATA",
                 "DUCKDB_SETTINGS", "DUCKDB_TABLES", "DUCKDB_COLUMNS",
+                "DUCKDB_VIEWS", "DUCKDB_DATABASES", "DUCKDB_CONSTRAINTS",
+                "PRAGMA_DATABASE_SIZE",
             ):
                 # introspection table functions: driver-built relations
                 # (footer/catalog reads — zero Spark jobs). GLOB only in
@@ -1434,6 +1436,18 @@ class DuckSparkSession:
                         )
                     elif fn == "DUCKDB_COLUMNS":
                         df = introspect.duckdb_columns_df(self.spark, self)
+                    elif fn == "DUCKDB_VIEWS":
+                        df = introspect.duckdb_views_df(self.spark, self)
+                    elif fn == "DUCKDB_DATABASES":
+                        df = introspect.duckdb_databases_df(self.spark, self)
+                    elif fn == "DUCKDB_CONSTRAINTS":
+                        df = introspect.duckdb_constraints_df(
+                            self.spark, self
+                        )
+                    elif fn == "PRAGMA_DATABASE_SIZE":
+                        df = introspect.pragma_database_size_df(
+                            self.spark, self
+                        )
                     else:
                         df = introspect.duckdb_tables_df(self.spark, self)
                     view = self._fresh_view(df)

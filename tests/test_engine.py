@@ -1324,3 +1324,50 @@ def test_groups_window_frames(spark):
             " OVER (ORDER BY a GROUPS BETWEEN 1 PRECEDING AND"
             " CURRENT ROW) FROM t)"
         )
+
+
+def test_catalog_introspection_extras(spark):
+    """duckdb_views() / duckdb_databases() / duckdb_constraints() /
+    pragma_database_size() / current_schemas() / in_search_path() —
+    driver-built relations matching DuckDB's rows for the user-facing
+    columns (cross-checked live against DuckDB in development; pinned
+    here without a DuckDB dependency in the fixture session)."""
+    from duckdb_nsql_spark import DuckSparkSession
+
+    eng = DuckSparkSession(spark=spark)
+    eng.execute("CREATE TABLE ci(x INTEGER PRIMARY KEY, s VARCHAR NOT NULL)")
+    eng.execute("CREATE VIEW civ AS SELECT x + 1 AS y FROM ci")
+    v = eng.execute(
+        "SELECT view_name, temporary, sql FROM duckdb_views()"
+        " WHERE view_name = 'civ'"
+    ).fetchall()
+    assert len(v) == 1 and v[0][1] is False and "SELECT" in v[0][2]
+    dbs = dict(
+        (r[0], r[1]) for r in eng.execute(
+            "SELECT database_name, internal FROM duckdb_databases()"
+        ).fetchall()
+    )
+    assert dbs == {"memory": False, "system": True, "temp": True}
+    cons = eng.execute(
+        "SELECT constraint_type, constraint_column_names"
+        " FROM duckdb_constraints() WHERE table_name = 'ci'"
+        " ORDER BY constraint_type"
+    ).fetchall()
+    assert [(c[0], list(c[1])) for c in cons] == [
+        ("NOT NULL", ["s"]), ("NOT NULL", ["x"]),
+        ("PRIMARY KEY", ["x"]),
+    ]
+    sz = eng.execute(
+        "SELECT database_name, wal_size FROM pragma_database_size()"
+    ).fetchall()
+    assert sz == [("memory", "0 bytes")]
+    sch = eng.execute(
+        "SELECT current_schemas(true) AS a, current_schemas(false) AS b"
+    ).fetchall()[0]
+    assert list(sch[0]) == ["main", "main", "main", "pg_catalog"]
+    assert list(sch[1]) == []
+    isp = eng.execute(
+        "SELECT in_search_path('memory', 'main') AS a,"
+        " in_search_path('memory', 'nope') AS b"
+    ).fetchall()[0]
+    assert (isp[0], isp[1]) == (True, False)
