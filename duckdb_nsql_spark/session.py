@@ -3636,6 +3636,63 @@ class DuckSparkSession:
                     "primary key or unique constraint"
                 )
 
+    def _keys_assigned(self, key: str, assigned: set) -> bool:
+        """True when any UPDATE-assigned column participates in a
+        declared PRIMARY KEY/UNIQUE key of ``key``."""
+        return any(
+            any(c.lower() in assigned for c in keycols)
+            for keycols in self._unique_keys.get(key, [])
+        )
+
+    def _enforce_unique_update(
+        self,
+        key: str,
+        old_df: DataFrame,
+        touched_new: DataFrame,
+        assigned: set,
+    ) -> None:
+        """DuckDB's UPDATE-on-indexed-column semantics: the update is a
+        delete+insert, and the inserted key is checked against the index
+        BEFORE the deletes are reconciled — so an updated row's new key
+        conflicts with ANY pre-update key in the table (including its own
+        old key: ``SET pk = pk`` errors in DuckDB), and with other
+        updated rows' new keys. Stricter than checking the final table
+        state (``UPDATE t SET pk = pk + 1`` errors even when the result
+        would be unique). Zero jobs unless an assigned column is part of
+        a declared key."""
+        for keycols in self._unique_keys.get(key, []):
+            lc = [c.lower() for c in keycols]
+            if not any(c in assigned for c in lc):
+                continue
+            new_lower = {c.lower(): c for c in touched_new.columns}
+            old_lower = {c.lower(): c for c in old_df.columns}
+            if not all(c in new_lower and c in old_lower for c in lc):
+                continue
+            have = [new_lower[c] for c in lc]
+            newk = touched_new.na.drop(subset=have).select(*have)
+            oldk = old_df.na.drop(
+                subset=[old_lower[c] for c in lc]
+            ).select(
+                *[F.col(old_lower[c]).alias(new_lower[c]) for c in lc]
+            )
+            hit = newk.join(oldk, on=have, how="left_semi").limit(1).collect()
+            if not hit:
+                hit = (
+                    newk.groupBy(*have)
+                    .count()
+                    .filter("count > 1")
+                    .limit(1)
+                    .collect()
+                )
+            if hit:
+                kv = ", ".join(f"{c}: {hit[0][c]}" for c in have)
+                raise ValueError(
+                    f'Constraint Error: Duplicate key "{kv}" violates '
+                    "primary key or unique constraint. If this is an "
+                    "unexpected constraint violation please double "
+                    "check with the known index limitations"
+                )
+
     def _enforce_fk_insert(self, key: str, new_rows: DataFrame) -> None:
         """Child-side FOREIGN KEY check: every non-NULL FK tuple in the
         inserted rows must exist in the referenced table (NULLs pass,
@@ -3799,7 +3856,20 @@ class DuckSparkSession:
             else:
                 exprs.append(F.col(f.name))
         new = df.select(*exprs)
-        self._enforce_constraints(key, new, whole=new)
+        assigned = set(assignments)
+        if self._keys_assigned(key, assigned):
+            if pred:
+                flag = "__upd_flag__"
+                touched = (
+                    df.withColumn(flag, F.expr(f"coalesce(({pred}), false)"))
+                    .select(*exprs, F.col(flag))
+                    .filter(F.col(flag))
+                    .drop(flag)
+                )
+            else:
+                touched = new
+            self._enforce_unique_update(key, df, touched, assigned)
+        self._enforce_constraints(key, new, whole=new, skip_unique=True)
         self._enforce_fk_update(key, df, new)
         self._register_managed(key, new)
         if returning is not None:
@@ -3857,7 +3927,16 @@ class DuckSparkSession:
         new = self._query(
             f"SELECT {', '.join(parts)} FROM {view} AS \"{alias}\""
         )
-        self._enforce_constraints(key, new, whole=new)
+        assigned = set(assigns)
+        if self._keys_assigned(key, assigned):
+            flt = (
+                f" WHERE coalesce(({where_text}), false)" if where_text else ""
+            )
+            touched = self._query(
+                f"SELECT {', '.join(parts)} FROM {view} AS \"{alias}\"{flt}"
+            )
+            self._enforce_unique_update(key, df, touched, assigned)
+        self._enforce_constraints(key, new, whole=new, skip_unique=True)
         self._enforce_fk_update(key, df, new)
         self._register_managed(key, new)
         if returning is not None:
@@ -3933,7 +4012,12 @@ class DuckSparkSession:
             else:
                 exprs.append(F.col(f.name))
         new = joined.select(*exprs)
-        self._enforce_constraints(key, new, whole=new)
+        if self._keys_assigned(key, assigned):
+            touched = joined.filter(
+                F.col("__matched").isNotNull()
+            ).select(*exprs)
+            self._enforce_unique_update(key, df, touched, assigned)
+        self._enforce_constraints(key, new, whole=new, skip_unique=True)
         self._enforce_fk_update(key, df, new)
         self._register_managed(key, new)
         if returning is not None:

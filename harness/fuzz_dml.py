@@ -84,21 +84,45 @@ def run_sequence(seq_id: int, eng, ddb) -> list:
     tname = f"t{seq_id}"
     ncols = rng.randint(2, 4)
     cols = [(f"c{i}", rng.choice(COL_TYPES)) for i in range(ncols)]
-    stmts = [
-        f"CREATE TABLE {tname} ("
-        + ", ".join(f"{n} {t}" for n, t in cols)
-        + ")"
-    ]
+    has_pk = rng.random() < 0.5
+    if has_pk:
+        cols[0] = ("c0", "INTEGER")  # PK column: small int domain so
+        # upserts actually collide
+    coldefs = ", ".join(
+        f"{n} {t}" + (" PRIMARY KEY" if has_pk and n == "c0" else "")
+        for n, t in cols
+    )
+    stmts = [f"CREATE TABLE {tname} ({coldefs})"]
+    def pk_lit() -> str:
+        return str(rng.randint(0, 9))  # tiny domain: collisions likely
+
     for _ in range(rng.randint(8, 16)):
         r = rng.random()
         live = list(cols)
         if r < 0.45:
             nrows = rng.randint(1, 4)
-            vals = ", ".join(
-                "(" + ", ".join(lit(t) for _n, t in live) + ")"
-                for _ in range(nrows)
-            )
-            stmts.append(f"INSERT INTO {tname} VALUES {vals}")
+            if has_pk:
+                # distinct keys within one statement (DuckDB rejects
+                # same-statement duplicates even for OR REPLACE)
+                keys = rng.sample(range(30), nrows)
+                vals = ", ".join(
+                    "(" + ", ".join(
+                        [str(keys[ri])]
+                        + [lit(t) for _n, t in live[1:]]
+                    ) + ")"
+                    for ri in range(nrows)
+                )
+                verb = rng.choice(
+                    ["INSERT OR REPLACE INTO", "INSERT OR IGNORE INTO",
+                     "INSERT OR REPLACE INTO"]
+                )
+                stmts.append(f"{verb} {tname} VALUES {vals}")
+            else:
+                vals = ", ".join(
+                    "(" + ", ".join(lit(t) for _n, t in live) + ")"
+                    for _ in range(nrows)
+                )
+                stmts.append(f"INSERT INTO {tname} VALUES {vals}")
         elif r < 0.65:
             n, t = rng.choice(live)
             stmts.append(

@@ -631,3 +631,48 @@ def test_foreign_key_enforcement_matches_duckdb(engine, duck):
     engine.execute("INSERT INTO ch2 VALUES (1, 0)")
     with _pytest.raises(Exception, match="foreign key"):
         engine.execute("INSERT INTO ch2 VALUES (7, 0)")
+
+
+def test_update_pk_column_duckdb_index_semantics(engine, duck):
+    """DuckDB's UPDATE on an indexed column is delete+insert with the
+    inserted key checked against the PRE-update index: ``SET pk = pk + 1``
+    errors even when the final state would be unique, and ``SET pk = pk``
+    errors too (probed live on duckdb 1.0). Runs the same grid on both
+    engines and demands error/result parity statement by statement."""
+    grid = [
+        ("UPDATE ug SET a = a + 10", None),
+        ("UPDATE ug SET a = a + 1", None),
+        ("UPDATE ug SET a = a", None),
+        ("UPDATE ug SET a = a + 1 WHERE a >= 2", None),
+        ("UPDATE ug SET a = 2 WHERE a = 1", None),
+        ("UPDATE ug SET a = 55", None),
+        ("UPDATE ug SET a = NULL WHERE a = 1", None),
+        ("UPDATE ug SET b = b + 1", None),
+        ("UPDATE ug SET a = 2 WHERE a > 100", None),
+        # two sequential statements: a swap through a free key is legal
+        ("UPDATE ug SET a = 99 WHERE a = 1", "UPDATE ug SET a = 1 WHERE a = 2"),
+    ]
+    for first, second in grid:
+        engine.execute("DROP TABLE IF EXISTS ug")
+        duck.execute("DROP TABLE IF EXISTS ug")
+        for con in (engine, duck):
+            con.execute("CREATE TABLE ug(a INT PRIMARY KEY, b INT)")
+            con.execute("INSERT INTO ug VALUES (1,1),(2,2),(3,3)")
+        for stmt in filter(None, (first, second)):
+            derr = serr = None
+            try:
+                duck.execute(stmt)
+            except Exception as ex:  # noqa: BLE001
+                derr = str(ex)
+            try:
+                engine.execute(stmt)
+            except Exception as ex:  # noqa: BLE001
+                serr = str(ex)
+            assert (derr is None) == (serr is None), (
+                f"{stmt}: duck={derr} engine={serr}"
+            )
+            if derr is not None:
+                assert "Constraint Error" in serr
+        assert _rows(engine.execute("SELECT * FROM ug")) == _duck_rows(
+            duck, "SELECT * FROM ug"
+        )
