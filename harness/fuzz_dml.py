@@ -34,6 +34,13 @@ def lit(ty: str) -> str:
     return f"DATE '19{rng.randint(90, 99)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}'"
 
 
+def lit_nonnull(ty: str) -> str:
+    while True:
+        v = lit(ty)
+        if v != "NULL":
+            return v
+
+
 def pred(cols: list) -> str:
     name, ty = rng.choice(cols)
     if ty == "INTEGER":
@@ -88,10 +95,20 @@ def run_sequence(seq_id: int, eng, ddb) -> list:
     if has_pk:
         cols[0] = ("c0", "INTEGER")  # PK column: small int domain so
         # upserts actually collide
-    coldefs = ", ".join(
-        f"{n} {t}" + (" PRIMARY KEY" if has_pk and n == "c0" else "")
-        for n, t in cols
-    )
+    has_nn = rng.random() < 0.3  # last column NOT NULL
+    has_def = rng.random() < 0.3  # c1 carries a DEFAULT
+
+    def decorate(n: str, t: str) -> str:
+        d = f"{n} {t}"
+        if has_pk and n == "c0":
+            d += " PRIMARY KEY"
+        if has_def and n == "c1":
+            d += f" DEFAULT {lit_nonnull(t)}"
+        if has_nn and n == cols[-1][0] and not (has_pk and n == "c0"):
+            d += " NOT NULL"
+        return d
+
+    coldefs = ", ".join(decorate(n, t) for n, t in cols)
     stmts = [f"CREATE TABLE {tname} ({coldefs})"]
     def pk_lit() -> str:
         return str(rng.randint(0, 9))  # tiny domain: collisions likely
@@ -123,13 +140,42 @@ def run_sequence(seq_id: int, eng, ddb) -> list:
                     for _ in range(nrows)
                 )
                 stmts.append(f"INSERT INTO {tname} VALUES {vals}")
-        elif r < 0.65:
+        elif r < 0.55:
+            # partial-column INSERT: missing columns take their DEFAULT
+            # (or NULL), so NOT NULL/DEFAULT interplay is exercised
+            subset = rng.sample(live, rng.randint(1, len(live)))
+            if has_pk and ("c0", "INTEGER") in live and all(
+                n != "c0" for n, _ in subset
+            ):
+                subset.insert(0, ("c0", "INTEGER"))
+            names = ", ".join(n for n, _ in subset)
+            row = ", ".join(
+                str(rng.randint(0, 29)) if (has_pk and n == "c0")
+                else lit(t)
+                for n, t in subset
+            )
+            stmts.append(
+                f"INSERT INTO {tname} ({names}) VALUES ({row})"
+            )
+        elif r < 0.6 and has_pk:
+            # upsert: collide on the PK, rewrite a non-key column from
+            # the excluded row
+            tgt = [n for n, _ in live[1:]]
+            setc = rng.choice(tgt) if tgt else "c0"
+            row = ", ".join(
+                [str(rng.randint(0, 9))] + [lit(t) for _n, t in live[1:]]
+            )
+            stmts.append(
+                f"INSERT INTO {tname} VALUES ({row}) "
+                f"ON CONFLICT (c0) DO UPDATE SET {setc} = excluded.{setc}"
+            )
+        elif r < 0.68:
             n, t = rng.choice(live)
             stmts.append(
                 f"UPDATE {tname} SET {set_expr(n, t, live)}"
                 f" WHERE {pred(live)}"
             )
-        elif r < 0.78:
+        elif r < 0.8:
             stmts.append(f"DELETE FROM {tname} WHERE {pred(live)}")
         elif r < 0.88:
             stmts.append(
