@@ -7,9 +7,13 @@ Prints ONE JSON line:
    "queries": {...per-query best-of-2 sec...}, "sf": <sf>}
 
 Query keys map onto BASELINE.md rows (B1..B12 measured on DuckDB at the
-same scale factor) plus the pipeline-operator headliners. Timings force
-full materialization through the noop sink — count() alone lets Catalyst
-prune the very computation being measured.
+same scale factor) plus the pipeline-operator headliners. Timings fully
+fetch the result into Python via Arrow — the SAME protocol as the
+DuckDB baseline ("result fully fetched", BASELINE.md §2). A full fetch
+materializes every result row, so none of the measured computation can
+be pruned (unlike count()); the previous noop-sink protocol was measured
+to add 0.1-0.6s/query of DSv2 write-path overhead that DuckDB's fetch
+protocol does not pay (docs/PLANS.md).
 """
 
 from __future__ import annotations
@@ -53,7 +57,7 @@ SUMMARIZE_KEY = "q10_summarize"  # B10 — routed through the engine directly
 
 
 def materialize(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
+    df.toPandas()  # Arrow-batched full fetch, mirrors duckdb fetchdf()
 
 
 def main() -> None:
