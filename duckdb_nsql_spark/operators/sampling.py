@@ -111,6 +111,51 @@ def shuffle_shards(
     ).drop("_shufkey")
 
 
+def domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    total: int,
+    key_col: str,
+    default_weight: float = 0.0,
+    n_buckets: int = DEFAULT_BUCKETS,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-weighted corpus mixing (the Pile/DoReMi
+    recipe): pick ~``total`` documents so the selected mixture follows
+    ``weights`` over ``domain_col``, subject to availability.
+
+    Per-domain acceptance rate = ``min(1, total * w_d / count_d)`` —
+    a domain with fewer documents than its target contributes everything
+    it has (rate capped at 1; no repetition). Selection is the same
+    content-derived md5 bucket as :func:`stratified_sample`, so the
+    chosen set is bit-reproducible across runs, engines, and backfills,
+    and adding documents to one domain never reshuffles another's picks.
+
+    Scale: one tiny aggregation (|domains| rows) broadcast back onto a
+    map-only filter — the corpus itself is never shuffled. The rate
+    arithmetic happens inside the plan (no driver collect), and the
+    DuckDB oracle replays the float ops in the same order, making the
+    mix auditable SQL rather than RNG state.
+    """
+    cnt = df.groupBy(domain_col).agg(F.count("*").alias("__dom_n"))
+    w = F.lit(float(default_weight))
+    for value, wt in sorted(weights.items()):
+        w = F.when(
+            F.col(domain_col) == F.lit(value), F.lit(float(wt))
+        ).otherwise(w)
+    rate = F.least(
+        F.lit(1.0), F.lit(float(total)) * w / F.col("__dom_n")
+    )
+    bucket = hash_bucket(F.col(key_col), n_buckets, seed)
+    out_cols = df.columns
+    return (
+        df.join(F.broadcast(cnt), domain_col)
+        .where(bucket < F.floor(rate * n_buckets).cast("bigint"))
+        .select(*out_cols)
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight: Column,

@@ -2718,6 +2718,33 @@ ORDER BY skey DESC, doc_id LIMIT 25
 """
 
 
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1, "src3": 0.5}
+
+
+def op_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted corpus mixing: ~60 docs at the target source
+    mixture, availability-capped (src3's 0.5 weight wants more docs
+    than exist -> rate caps at 1.0). Map-only filter + one broadcast
+    counts row per domain; oracle replays the float arithmetic."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return sampling.domain_mix(
+        docs, "source", _MIX_WEIGHTS, total=60, key_col="doc_id",
+        default_weight=0.02,
+    )
+
+
+ORACLE_DOMAIN_MIX = f"""
+WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source)
+SELECT d.doc_id, d.source
+FROM documents d JOIN cnt ON cnt.source = d.source
+WHERE {_DDB_BUCKET('mix')}
+      < CAST(floor(least(1.0, 60.0 * CASE d.source
+              WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+              WHEN 'src2' THEN 0.1 WHEN 'src3' THEN 0.5
+              ELSE 0.02 END / c) * 10000) AS BIGINT)
+"""
+
+
 def op_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(
         _docs(spark, sf_dir).select("doc_id", "lang"),
@@ -2931,6 +2958,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_stream_doc_profile": (op_stream_doc_profile, ORACLE_TEXT_PROFILE),
     "op_stream_decontaminate": (op_stream_decontaminate, ORACLE_DECONTAMINATE),
     "op_dedup_clusters": (op_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "op_domain_mix": (op_domain_mix, ORACLE_DOMAIN_MIX),
     "op_sample_stratified": (op_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
     "op_sample_weighted": (op_sample_weighted, ORACLE_SAMPLE_WEIGHTED),
     "op_train_val_split": (op_train_val_split, ORACLE_TRAIN_VAL_SPLIT),
