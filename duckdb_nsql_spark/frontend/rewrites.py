@@ -3394,6 +3394,151 @@ def _primary_end(tokens: list[Token], s: int) -> Optional[int]:
         return j
 
 
+_ARITH_CHAIN_OPS = {"+", "-", "*", "/", "%", "||", "//"}
+_EXPR_STOP_KWS = {
+    "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN", "ELSE", "CASE",
+    "SELECT", "BY", "HAVING", "RETURN", "SET", "BETWEEN", "IN", "LIKE",
+}
+
+
+def _expr_start_arith(tokens: list[Token], e: int) -> Optional[int]:
+    """Start of the arithmetic-operator chain ENDING at ``e``: extends
+    :func:`_primary_start` leftward across +,-,*,/,%,||,// so the whole
+    comparison operand (``a + b``) is captured, stopping at keywords,
+    commas, and boolean connectives."""
+    s = _primary_start(tokens, e)
+    if s is None:
+        return None
+    while True:
+        p = prev_sig(tokens, s)
+        if p < 0 or tokens[p].kind != OP or tokens[p].text not in _ARITH_CHAIN_OPS:
+            return s
+        p2 = prev_sig(tokens, p)
+        if p2 < 0 or (
+            tokens[p2].kind == IDENT and tokens[p2].upper in _EXPR_STOP_KWS
+        ):
+            return s
+        s2 = _primary_start(tokens, p2)
+        if s2 is None or (
+            tokens[s2].kind == IDENT and tokens[s2].upper in _EXPR_STOP_KWS
+        ):
+            return s
+        s = s2
+
+
+_QUANT_CMPS = {"=", "<>", "!=", "<", ">", "<=", ">="}
+_QUANT_ANY_AGG = {">": "min", ">=": "min", "<": "max", "<=": "max"}
+_QUANT_ALL_AGG = {">": "max", ">=": "max", "<": "min", "<=": "min"}
+
+
+def pass_quantified_comparisons(tokens: list[Token]) -> list[Token]:
+    """DuckDB quantified subquery comparisons — ``x > ANY (SELECT ...)``,
+    ``x <> ALL (...)``, SOME as an ANY synonym — which Spark's parser
+    rejects outright.
+
+    Rewrites (WHERE-equivalent three-valued logic; in the rare projected
+    position a FALSE may surface where DuckDB yields NULL when the
+    subquery contains NULLs — both filter identically):
+
+    - ``= ANY``  -> ``IN``              (exact, including 3VL)
+    - ``<> ALL`` -> ``NOT IN``          (exact, including 3VL)
+    - ``> ANY``  -> ``> (SELECT min)``  (``>=``/``<``/``<=`` likewise,
+      flipped to max for the < family)
+    - ``> ALL``  -> CASE: empty set is TRUE, any NULL in the set kills
+      the match, else compare against max (min for the < family)
+    - ``<> ANY`` -> true iff the set has two distinct non-NULL values or
+      its single value differs from x
+    - ``= ALL``  -> CASE: empty TRUE, else exactly one distinct
+      non-NULL value equal to x
+
+    The scalar-aggregate forms cost one tiny subquery job each — the
+    same shape Spark plans for any scalar subquery, broadcast as a
+    literal at 100 TB scale."""
+    out = list(tokens)
+    i = 0
+    serial = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind != IDENT or t.upper not in ("ANY", "ALL", "SOME"):
+            i += 1
+            continue
+        p = prev_sig(out, i)
+        if p < 0 or out[p].kind != OP or out[p].text not in _QUANT_CMPS:
+            i += 1
+            continue
+        n = next_sig(out, i)
+        if n >= len(out) or out[n].kind != PUNCT or out[n].text != "(":
+            i += 1
+            continue
+        inner = next_sig(out, n)
+        if inner >= len(out) or out[inner].upper not in (
+            "SELECT", "FROM", "WITH", "VALUES",
+        ):
+            i += 1
+            continue
+        close = match_forward(out, n, "(", ")")
+        if close < 0:
+            i += 1
+            continue
+        cmp = "<>" if out[p].text == "!=" else out[p].text
+        quant = "ANY" if t.upper == "SOME" else t.upper
+        sub = render(out[n : close + 1])
+        serial += 1
+        q = f"__q{serial}"
+
+        def agg(fn: str, tag: str) -> str:
+            return f"(SELECT {fn}(__qv) FROM {sub} AS {q}{tag}(__qv))"
+
+        if quant == "ANY" and cmp == "=":
+            out[p : close + 1] = tokenize(f"IN {sub}")
+            i = p
+            continue
+        if quant == "ALL" and cmp == "<>":
+            out[p : close + 1] = tokenize(f"NOT IN {sub}")
+            i = p
+            continue
+        if quant == "ANY" and cmp in _QUANT_ANY_AGG:
+            repl = f"{cmp} {agg(_QUANT_ANY_AGG[cmp], 'a')}"
+            out[p : close + 1] = tokenize(repl)
+            i = p
+            continue
+        # remaining forms need the left operand text
+        e_left = prev_sig(out, p)
+        s_left = _expr_start_arith(out, e_left) if e_left >= 0 else None
+        if s_left is None:
+            raise ValueError(
+                f"unsupported quantified comparison shape near "
+                f"{render(out[max(0, p - 5):close + 1])[:80]}"
+            )
+        x = render(out[s_left : e_left + 1])
+        nonempty = f"(SELECT count(*) FROM {sub} AS {q}n(__qv)) = 0"
+        no_nulls = (
+            f"(SELECT count(*) - count(__qv) FROM {sub} AS {q}z(__qv)) = 0"
+        )
+        if quant == "ANY":  # cmp is <>
+            repl = (
+                f"(({x}) IS NOT NULL AND ("
+                f"(SELECT count(DISTINCT __qv) FROM {sub} AS {q}d(__qv)) > 1"
+                f" OR ({x}) <> {agg('min', 'm')}))"
+            )
+        elif cmp == "=":  # = ALL
+            repl = (
+                f"(CASE WHEN {nonempty} THEN TRUE ELSE "
+                f"({x}) = {agg('min', 'm')} AND "
+                f"(SELECT count(DISTINCT __qv) FROM {sub} AS {q}d(__qv)) = 1"
+                f" AND {no_nulls} END)"
+            )
+        else:  # cmp ALL over the ordered comparisons
+            repl = (
+                f"(CASE WHEN {nonempty} THEN TRUE ELSE "
+                f"({x}) {cmp} {agg(_QUANT_ALL_AGG[cmp], 'm')}"
+                f" AND {no_nulls} END)"
+            )
+        out[s_left : close + 1] = tokenize(repl)
+        i = s_left
+    return out
+
+
 def _glob_to_regex(pat: str) -> str:
     """DuckDB GLOB pattern (* ? [seq] [!seq], full match) -> Java regex."""
     out = []
@@ -5500,6 +5645,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_strip_semicolon(tokens)
     tokens = pass_quoted_idents(tokens)
     tokens = pass_distinct_on(tokens)
+    tokens = pass_quantified_comparisons(tokens)
     tokens = pass_strip_materialized(tokens)
     tokens = pass_unnest_in_expr(tokens)
     tokens = pass_lateral_generators(tokens)

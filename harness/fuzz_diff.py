@@ -347,18 +347,104 @@ def gen_window_join_query():
     )
 
 
+def gen_wave8_query():
+    """Wave-8 shapes: three-valued-logic traps (NOT IN over a subquery
+    with NULLs), quantified comparisons (ANY/ALL), nested aggregates in
+    window functions (share-of-total), GROUP BY/ORDER BY ordinals,
+    LIMIT..OFFSET pagination, USING/NATURAL joins, HAVING without GROUP
+    BY, multiple DISTINCT aggregates, empty scalar subqueries."""
+    t = rng.choice(["orders", "customer", "part", "supplier"])
+    n = rng.choice(NUM_COLS[t])
+    s = rng.choice(STR_COLS[t])
+    k = KEY_COLS[t]
+    r = rng.random()
+    if r < 0.12:
+        # NOT IN whose subquery may contain NULLs -> empty result in SQL
+        inner = rng.choice([
+            f"SELECT nullif({s}, '{rng.choice('ABRM')}') FROM {t}",
+            f"SELECT {s} FROM {t} WHERE {n} > {rng.randint(0, 40)}",
+        ])
+        neg = "" if rng.random() < 0.5 else "NOT "
+        return (
+            f"SELECT count(*) AS n FROM {t}"
+            f" WHERE {s} {neg}IN ({inner})"
+        )
+    if r < 0.24:
+        op = rng.choice(["> ANY", "= ANY", "< ALL", ">= ALL", "<> ALL"])
+        return (
+            f"SELECT count(*) AS n FROM {t} WHERE {n} {op}"
+            f" (SELECT {n} FROM {t} WHERE {k} % {rng.randint(13, 29)} = 1)"
+        )
+    if r < 0.36:
+        # nested aggregate inside a window: per-group share of total
+        return (
+            f"SELECT {s} AS g, count(*) AS n,"
+            f" round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS share,"
+            f" round(sum({n}) - avg(sum({n})) OVER (), 2) AS dev"
+            f" FROM {t} GROUP BY {s} ORDER BY g LIMIT 40"
+        )
+    if r < 0.48:
+        # ordinals in GROUP BY and ORDER BY, mixed direction
+        return (
+            f"SELECT {s}, count(*) AS n, round(sum({n}), 1) AS sm"
+            f" FROM {t} WHERE {predicate(t)}"
+            f" GROUP BY 1 ORDER BY 3 DESC, 1 LIMIT 30"
+        )
+    if r < 0.58:
+        off = rng.randint(1, 25)
+        return (
+            f"SELECT {k}, {s} FROM {t} WHERE {predicate(t)}"
+            f" ORDER BY {k} LIMIT {rng.randint(5, 20)} OFFSET {off}"
+        )
+    if r < 0.68:
+        join = rng.choice(
+            ["JOIN nation USING (n_nationkey)", "NATURAL JOIN nation"]
+        )
+        side = {"customer": "c_nationkey", "supplier": "s_nationkey"}
+        t2 = rng.choice(["customer", "supplier"])
+        return (
+            f"SELECT n_name, count(*) AS n FROM"
+            f" (SELECT {side[t2]} AS n_nationkey FROM {t2}) x"
+            f" {join} GROUP BY n_name ORDER BY n_name LIMIT 30"
+        )
+    if r < 0.78:
+        # HAVING without GROUP BY: global aggregate gate
+        return (
+            f"SELECT count(*) AS n, round(sum({n}), 1) AS sm FROM {t}"
+            f" WHERE {predicate(t)}"
+            f" HAVING count(*) > {rng.randint(0, 5)}"
+        )
+    if r < 0.9:
+        s2 = rng.choice(STR_COLS[t])
+        return (
+            f"SELECT count(DISTINCT {s}) AS d1,"
+            f" count(DISTINCT {s2}) AS d2,"
+            f" round(sum(DISTINCT CAST({n} AS INTEGER) % 50), 1) AS d3"
+            f" FROM {t} WHERE {predicate(t)}"
+        )
+    # scalar subquery over an empty selection -> NULL, fed into coalesce
+    return (
+        f"SELECT {k}, coalesce((SELECT max({n}) FROM {t} i"
+        f" WHERE i.{k} = o.{k} AND i.{n} > 1e12), -1) AS fallback"
+        f" FROM {t} o WHERE o.{k} % {rng.randint(11, 23)} = 0"
+        f" ORDER BY {k} LIMIT 30"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:
         return gen_doc_query()
-    if r0 < 0.26:
+    if r0 < 0.24:
         return gen_event_query()
-    if r0 < 0.34:
+    if r0 < 0.32:
         return gen_emb_query()
-    if r0 < 0.46:
+    if r0 < 0.42:
         return gen_advanced_query()
-    if r0 < 0.58:
+    if r0 < 0.52:
         return gen_window_join_query()
+    if r0 < 0.64:
+        return gen_wave8_query()
     t = rng.choice(list(NUM_COLS))
     kind = rng.random()
     if kind < 0.45:
@@ -469,12 +555,12 @@ def main() -> None:
             d = ddb.execute(q).fetchall()
             derr = None
         except Exception as ex:
-            d, derr = None, str(ex).splitlines()[0][:90]
+            d, derr = None, str(ex).strip().splitlines()[0][:90] if str(ex).strip() else type(ex).__name__
         try:
             s = [tuple(r) for r in con.execute(q).collect()]
             serr = None
         except Exception as ex:
-            s, serr = None, str(ex).splitlines()[0][:130]
+            s, serr = None, str(ex).strip().splitlines()[0][:130] if str(ex).strip() else type(ex).__name__
         if derr and serr:
             continue
         if derr or serr or not rows_match(d, s):

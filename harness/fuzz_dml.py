@@ -193,11 +193,11 @@ def run_sequence(seq_id: int, eng, ddb) -> list:
         try:
             ddb.execute(st)
         except Exception as ex:  # noqa: BLE001
-            derr = str(ex).splitlines()[0][:90]
+            derr = str(ex).strip().splitlines()[0][:90] if str(ex).strip() else type(ex).__name__
         try:
             eng.execute(st)
         except Exception as ex:  # noqa: BLE001
-            serr = str(ex).splitlines()[0][:120]
+            serr = str(ex).strip().splitlines()[0][:120] if str(ex).strip() else type(ex).__name__
         if (derr is None) != (serr is None):
             finds.append((st, f"derr={derr} serr={serr}"))
             break

@@ -917,3 +917,49 @@ def test_datetime_directive_grid_matches_duckdb(spark, ddb):
         if str(srow[i]) != str(drow[i])
     ]
     assert not diffs, diffs[:6]
+
+
+def test_quantified_comparisons_match_duckdb(spark, ddb):
+    """ANY/ALL/SOME quantified subquery comparisons (Spark's parser
+    rejects them outright; rewritten to IN/NOT IN or guarded min/max
+    scalar aggregates). Grid covers empty sets (ALL over empty is TRUE),
+    all-NULL and NULL-containing sets, compound left operands, the SOME
+    synonym and the != spelling."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    eng.register_parquet_dir(SF_DIR)
+    qs = [
+        "SELECT count(*) AS n FROM customer WHERE c_acctbal > ANY"
+        " (SELECT c_acctbal FROM customer WHERE c_custkey % 25 = 1)",
+        "SELECT count(*) AS n FROM part WHERE p_retailprice = ANY"
+        " (SELECT p_retailprice FROM part WHERE p_partkey % 24 = 1)",
+        "SELECT count(*) AS n FROM part WHERE p_size < ALL"
+        " (SELECT p_size FROM part WHERE p_partkey % 50 = 3)",
+        "SELECT count(*) AS n FROM part WHERE p_size >= ALL"
+        " (SELECT p_size FROM part WHERE p_partkey > 1e9)",
+        "SELECT count(*) AS n FROM part WHERE p_size <> ALL"
+        " (SELECT p_size FROM part WHERE p_partkey % 37 = 5)",
+        "SELECT count(*) AS n FROM part WHERE p_size <> ANY"
+        " (SELECT p_size FROM part WHERE p_partkey % 37 = 5)",
+        "SELECT count(*) AS n FROM part WHERE p_size = ALL"
+        " (SELECT p_size FROM part WHERE p_partkey = 7)",
+        "SELECT count(*) AS n FROM part WHERE p_size = ALL"
+        " (SELECT p_size FROM part WHERE p_partkey > 1e9)",
+        "SELECT count(*) AS n FROM part WHERE p_size = ALL"
+        " (SELECT nullif(p_size, p_size) FROM part WHERE p_partkey = 7)",
+        "SELECT count(*) AS n FROM part WHERE p_size > ALL"
+        " (SELECT nullif(p_size, 10) FROM part WHERE p_partkey % 100 = 11)",
+        "SELECT count(*) AS n FROM customer WHERE c_acctbal + 10 > ANY"
+        " (SELECT c_acctbal FROM customer WHERE c_custkey % 31 = 2)",
+        "SELECT count(*) AS n FROM customer WHERE c_acctbal * 2 <= ALL"
+        " (SELECT c_acctbal + 5000 FROM customer WHERE c_custkey % 13 = 4)",
+        "SELECT count(*) AS n FROM orders WHERE o_orderstatus = SOME"
+        " (SELECT o_orderstatus FROM orders WHERE o_orderkey % 19 = 1)",
+        "SELECT count(*) AS n FROM part WHERE p_size != ANY"
+        " (SELECT p_size FROM part WHERE p_partkey % 41 = 5)",
+    ]
+    for q in qs:
+        srows = [tuple(r) for r in eng.execute(q).collect()]
+        drows = ddb.execute(q).fetchall()
+        assert sorted(map(str, srows)) == sorted(map(str, drows)), q
