@@ -40,8 +40,16 @@ class DuckRelation:
     def _view(self) -> str:
         return self._session._fresh_view(self._df)
 
-    def _q(self, sql: str) -> "DuckRelation":
-        return DuckRelation(self._session, self._session._query(sql))
+    def _q(self, sql: str, keep_alias: bool = True) -> "DuckRelation":
+        # Single-parent chainers (project/filter/order/limit/aggregate)
+        # PRESERVE the relation alias, as duckdb does — so
+        # rel.set_alias('lhs').filter(...).join(r, 'lhs.k = ...') binds.
+        # Join/set-op results start fresh (keep_alias=False).
+        return DuckRelation(
+            self._session,
+            self._session._query(sql),
+            self._alias if keep_alias else None,
+        )
 
     def _ref(self) -> str:
         v = self._view()
@@ -96,11 +104,13 @@ class DuckRelation:
         )
         if how == "CROSS":
             return self._q(
-                f"SELECT * FROM {self._ref()} CROSS JOIN {right._ref()}"
+                f"SELECT * FROM {self._ref()} CROSS JOIN {right._ref()}",
+                keep_alias=False,
             )
         return self._q(
             f"SELECT * FROM {self._ref()} {how} JOIN {right._ref()} "
-            f"ON {condition}"
+            f"ON {condition}",
+            keep_alias=False,
         )
 
     def distinct(self) -> "DuckRelation":

@@ -154,3 +154,69 @@ def test_relation_delegates_to_dataframe(loaded_engine):
     # Spark DataFrame surface still reachable
     assert rel.schema.fieldNames()[0] == "n_nationkey"
     assert rel.select("n_name").count() == 25
+
+
+def test_alias_survives_chained_ops_into_join(loaded_engine):
+    """set_alias must persist through filter/project/order (duckdb
+    preserves the relation alias across single-parent chainers) so a
+    later join condition can reference it; join results start fresh.
+    Regression: harness/fuzz_relation.py combos failed to bind lhs.k."""
+    lhs = (
+        loaded_engine.sql("SELECT c_custkey AS k, c_mktsegment AS s FROM customer")
+        .set_alias("lhs")
+        .filter("k < 50")
+    )
+    rhs = loaded_engine.sql(
+        "SELECT c_custkey AS k2, round(c_acctbal, 1) AS v FROM customer"
+    ).set_alias("rhs")
+    rows = (
+        lhs.join(rhs, "lhs.k = rhs.k2", how="left")
+        .project("k, s, v")
+        .order("k")
+        .fetchall()
+    )
+    assert len(rows) == 50 and rows[0][0] == 0
+
+
+def test_relation_fuzz_seed_5(loaded_engine):
+    """Pinned relation-API differential seed: 50 random chains/combos
+    (project/filter/aggregate/order/limit/distinct plus union/except/
+    intersect/join combinators) replayed on duckdb's native relation
+    API and the engine's DuckRelation."""
+    import importlib.util
+    import os as _os
+    import random
+
+    import duckdb as _duckdb
+
+    path = _os.path.join(
+        _os.path.dirname(__file__), "..", "harness", "fuzz_relation.py"
+    )
+    spec = importlib.util.spec_from_file_location("fuzz_relation", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.rng = random.Random(5)
+    ddb = _duckdb.connect()
+    for t in mod.TABLES:
+        ddb.execute(
+            "CREATE VIEW {0} AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/{0}.parquet')".format(t)
+        )
+    fails = 0
+    for ci in range(50):
+        t = mod.rng.choice(list(mod.TABLES))
+        combo = mod.rng.random() < 0.35
+        state = mod.rng.getstate()
+        steps = None if combo else mod.build_chain(t)
+        base = f"SELECT * FROM {t}"
+        if combo:
+            mod.rng.setstate(state)
+            d = mod.build_combo(t, ddb.sql).fetchall()
+            mod.rng.setstate(state)
+            s = mod.build_combo(t, loaded_engine.sql).fetchall()
+        else:
+            d = mod.apply_chain(ddb.sql(base), steps).fetchall()
+            s = mod.apply_chain(loaded_engine.sql(base), steps).fetchall()
+        if sorted(map(str, d)) != sorted(map(str, s)):
+            fails += 1
+    assert fails == 0
