@@ -365,6 +365,7 @@ class DuckSparkSession:
         # open-transaction snapshot: None when autocommitting, else the
         # catalog + metadata state captured at BEGIN (restored on ROLLBACK)
         self._txn_snapshot: Optional[dict] = None
+        self._txn_aborted = False
         # attached-db alias -> parquet spool dirs backing its DataFrames;
         # released on DETACH/close, with a process-exit fallback so
         # abandoned sessions don't leak disk for the process lifetime
@@ -636,6 +637,14 @@ class DuckSparkSession:
         if handler is None:
             # fall through to the query path (e.g. parenthesized query)
             handler = self._query
+        if self._txn_aborted and kw not in ("ROLLBACK", "ABORT", "COMMIT", "END"):
+            # DuckDB: a runtime failure inside an explicit transaction
+            # aborts it — every later statement errors until ROLLBACK
+            # (or COMMIT, which ends the transaction committing nothing)
+            raise RuntimeError(
+                "TransactionContext Error: Current transaction is aborted "
+                "(please ROLLBACK)"
+            )
         # release the previous statement's materialized CTEs (their views
         # stay resolvable; an unpersisted view just recomputes on reuse)
         for df in self._cte_persisted:
@@ -644,7 +653,15 @@ class DuckSparkSession:
             except Exception:  # noqa: BLE001
                 pass
         self._cte_persisted.clear()
-        out = handler(sql)
+        try:
+            out = handler(sql)
+        except Exception as ex:
+            # runtime/constraint failures abort the transaction (binder,
+            # parser and catalog errors do NOT — probed live on duckdb:
+            # SELECT nosuchcol inside a txn leaves it usable)
+            if self._txn_snapshot is not None and "Constraint Error" in str(ex):
+                self._txn_aborted = True
+            raise
         if self._seq_pending is not None:
             nm, self._seq_pending = self._seq_pending, None
             rows = out.collect() if out is not None else []
@@ -4192,6 +4209,10 @@ class DuckSparkSession:
                 "TransactionContext Error: cannot commit - no transaction "
                 "is active"
             )
+        if self._txn_aborted:
+            # DuckDB: COMMIT on an aborted transaction succeeds but
+            # commits NOTHING — it ends the transaction like a rollback
+            return self._rollback(sql)
         self._txn_snapshot = None
         return None
 
@@ -4203,6 +4224,7 @@ class DuckSparkSession:
             )
         snap = self._txn_snapshot
         self._txn_snapshot = None
+        self._txn_aborted = False
         created = set(self._tables) - set(snap["_tables"])
         self._tables = snap["_tables"]
         self._catalog_epoch += 1

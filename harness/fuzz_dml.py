@@ -88,6 +88,11 @@ def set_expr(name: str, ty: str, cols: list) -> str:
 
 def run_sequence(seq_id: int, eng, ddb) -> list:
     """Returns list of (stmt, error) mismatches for one random sequence."""
+    for con in (eng, ddb):  # clear any txn a previous sequence left open
+        try:
+            con.execute("ROLLBACK")
+        except Exception:  # noqa: BLE001
+            pass
     tname = f"t{seq_id}"
     ncols = rng.randint(2, 4)
     cols = [(f"c{i}", rng.choice(COL_TYPES)) for i in range(ncols)]
@@ -110,12 +115,43 @@ def run_sequence(seq_id: int, eng, ddb) -> list:
 
     coldefs = ", ".join(decorate(n, t) for n, t in cols)
     stmts = [f"CREATE TABLE {tname} ({coldefs})"]
-    def pk_lit() -> str:
-        return str(rng.randint(0, 9))  # tiny domain: collisions likely
 
+    # auxiliary table for join-DML (UPDATE..FROM / DELETE..USING): c0 is
+    # a UNIQUE int join key — a multi-match join-update picks an
+    # arbitrary match in both engines, which would be a fuzz flake
+    join_dml = cols[0][1] == "INTEGER" and len(cols) >= 2
+    uname = f"u{seq_id}"
+    if join_dml:
+        aux_ty = cols[1][1]
+        stmts.append(f"CREATE TABLE {uname} (c0 INTEGER, c1 {aux_ty})")
+        aux_keys = rng.sample(range(30), rng.randint(3, 8))
+        stmts.append(
+            f"INSERT INTO {uname} VALUES " + ", ".join(
+                f"({k2}, {lit(aux_ty)})" for k2 in aux_keys
+            )
+        )
+    in_txn = False
     for _ in range(rng.randint(8, 16)):
         r = rng.random()
         live = list(cols)
+        if rng.random() < 0.08 and not in_txn:
+            stmts.append("BEGIN TRANSACTION")
+            in_txn = True
+        elif rng.random() < 0.2 and in_txn:
+            stmts.append(rng.choice(["COMMIT", "ROLLBACK"]))
+            in_txn = False
+        if join_dml and r >= 0.94:
+            if rng.random() < 0.5:
+                stmts.append(
+                    f"UPDATE {tname} SET c1 = {uname}.c1 FROM {uname}"
+                    f" WHERE {tname}.c0 = {uname}.c0"
+                )
+            else:
+                stmts.append(
+                    f"DELETE FROM {tname} USING {uname}"
+                    f" WHERE {tname}.c0 = {uname}.c0"
+                )
+            continue
         if r < 0.45:
             nrows = rng.randint(1, 4)
             if has_pk:
