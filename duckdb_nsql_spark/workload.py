@@ -2973,6 +2973,82 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 # ---------------------------------------------------------------------------
 
 
+# Round-5 driver window: the 50 registry entries that have NEVER had a
+# driver correctness row (rounds 1-4 windowed q01-q84 + the r3 operator
+# block; see CORRECTNESS_r0{1..4}.json). This is a STATIC literal, updated
+# once per round by hand — no rotation state, no reading evaluator
+# artifacts at import time. Four never-witnessed entries did not fit the
+# 50-slot window and are deferred to positions 51-54 for the next round's
+# promotion; each shares its oracle (or its core implementation) with an
+# in-window or already-witnessed sibling:
+#   op_stream_doc_profile   (same ORACLE_TEXT_PROFILE as witnessed op_text_profile)
+#   op_stream_decontaminate (same ORACLE_DECONTAMINATE as in-window op_decontaminate)
+#   op_skew_salted_join     (result-identical-to-unsalted class, sibling op_skew_salted_agg in window)
+#   op_similarity_batch     (same cosine core as witnessed op_similarity_topk)
+_WINDOW_R5: tuple[str, ...] = (
+    # never-witnessed SQL: round-4 dialect/DML additions
+    "q85_union_type",
+    "q86_asof_join_sql",
+    "q87_list_comprehension",
+    "q88_upsert_on_conflict",
+    "q89_sequence_ids",
+    "q90_merge_upsert",
+    "q91_window_exclude_median",
+    "q92_struct_battery",
+    "q93_columns_lambda",
+    "q94_dialect_edges",
+    "q95_grouping_sets",
+    "q96_window_filter_lateral",
+    "q97_quantile_types",
+    # never-witnessed SQL: TPC-H block
+    "q98_tpch_q3",
+    "q99_tpch_q5",
+    "q100_tpch_q6",
+    "q101_tpch_q10",
+    "q102_tpch_q13",
+    "q103_tpch_q14",
+    "q104_tpch_q18",
+    "q105_tpch_q22",
+    "q106_tpch_q4",
+    "q107_tpch_q12",
+    "q108_tpch_q7",
+    "q109_tpch_q8",
+    "q110_tpch_q15",
+    "q111_tpch_q17",
+    "q112_tpch_q19",
+    # never-witnessed operator pipelines (round-4 additions)
+    "op_text_fingerprint",
+    "op_text_chunk",
+    "op_text_bm25",
+    "op_text_repetition",
+    "op_text_logprob",
+    "op_corpus_prep",
+    "op_decontaminate",
+    "op_pii_redact",
+    "op_skew_salted_agg",
+    "op_similarity_lsh_recall",
+    "op_similarity_ivf_recall",
+    "op_stream_join",
+    "op_stream_dedup",
+    "op_dedup_clusters",
+    "op_domain_mix",
+    "op_sample_stratified",
+    "op_sample_weighted",
+    "op_train_val_split",
+    "op_shuffle_shards",
+    "op_pack_chunks",
+    "op_pack_first_fit",
+    "op_multimodal_features",
+)
+
+_DEFERRED_R5: tuple[str, ...] = (
+    "op_stream_doc_profile",
+    "op_stream_decontaminate",
+    "op_skew_salted_join",
+    "op_similarity_batch",
+)
+
+
 def _registry_order() -> list[str]:
     """Registry emission order: FIXED and fully deterministic.
 
@@ -2980,23 +3056,25 @@ def _registry_order() -> list[str]:
     correctness window; round-3 review correctly flagged that scheme as
     nondeterministic (it sniffed evaluator artifacts) and self-defeating
     (verified entries rotated out of the window, so a regression could
-    hide for a round). The order is now a pure function of the registry
-    contents: the canonical q01–q50 block first (re-earning a fresh
-    driver row every round), then the cross-engine-oracled operator
-    pipelines, then q51+, then the rows-only operators. Entries past the
-    window are re-proven every round by tests/test_oracle_parity.py,
-    which runs the SAME engine-vs-DuckDB compare at the driver's sf0.01.
+    hide for a round). The order is now a hand-maintained static literal:
+    the driver's 50-entry window (`_WINDOW_R5`) leads with the entries
+    that have never earned a driver correctness row, followed by the
+    four deferred never-witnessed entries, then every previously-witnessed
+    entry in its original registration order. Entries outside the window
+    are re-proven every round by tests/test_oracle_parity.py, which runs
+    the SAME engine-vs-DuckDB compare at the driver's sf0.01.
     """
-    oracled_ops = [n for n, (_f, o) in OPERATORS.items() if o is not None]
-    rows_only_ops = [n for n, (_f, o) in OPERATORS.items() if o is None]
+    head = list(_WINDOW_R5) + list(_DEFERRED_R5)
+    head_set = set(head)
 
     def qnum(n: str) -> int:
         # numeric query index ("q100_..." is NOT < "q51_..." here)
         return int(re.match(r"q(\d+)", n).group(1))
 
-    new_sql = [n for n in ENGINE_SQL if qnum(n) > 50]
-    old_sql = [n for n in ENGINE_SQL if qnum(n) <= 50]
-    return old_sql + oracled_ops + new_sql + rows_only_ops
+    sql_rest = [n for n in ENGINE_SQL if n not in head_set]
+    sql_rest.sort(key=qnum)
+    op_rest = [n for n in OPERATORS if n not in head_set]
+    return head + sql_rest + op_rest
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
