@@ -36,7 +36,7 @@ ASSET_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "asset_id bigint, kind string, n_bytes int, sha1 string, "
+    "asset_id bigint, kind string, n_bytes int, sha256_hex string, "
     "feat array<float>, decode_ok boolean"
 )
 
@@ -456,8 +456,14 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
-                    "sha1": pdf["payload"].map(
-                        lambda b: hashlib.sha1(bytes(b)).hexdigest()
+                    # digest is sha256 over the UPPERCASE-HEX encoding of
+                    # the payload (not the raw bytes): DuckDB v1.0's
+                    # sha256() hashes VARCHAR only, so hashing hex(payload)
+                    # lets a cross-engine oracle recompute the exact value
+                    "sha256_hex": pdf["payload"].map(
+                        lambda b: hashlib.sha256(
+                            bytes(b).hex().upper().encode()
+                        ).hexdigest()
                     ),
                     "feat": feats,
                     "decode_ok": oks,

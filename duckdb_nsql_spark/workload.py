@@ -13,9 +13,10 @@ Two families:
 - DataFrame operators (dedup/similarity/text/asof/streaming): Spark-first
   pipelines from duckdb_nsql_spark.operators, with hand-matched oracle SQL
   built on cross-engine-identical primitives (md5, regexp_*, concat_ws,
-  1-based list ops). Non-reproducible ops (xxhash simhash, LSH ANN,
-  sampling, multimodal) ship without an oracle — the driver records the
-  weaker rows-only check, and unit tests pin their semantics.
+  1-based list ops). The only rows-only entry left is q34 USING SAMPLE
+  (nondeterministic by design); multimodal earns a hard oracle by
+  exporting its asset bytes to parquet and letting DuckDB recompute the
+  digests, and unit tests pin the pixel/RMS feature semantics.
 
 Float discipline for hash-matching: every floating-point output column is
 round()ed (2-6 digits) on BOTH sides, and Spark-side float arrays are cast
@@ -2361,10 +2362,35 @@ def op_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_relation(ann, exact, min_hits=7)
 
 
+# Asset-table export path for the multimodal oracle: the Spark op writes
+# the synthesized (asset_id, kind, payload) rows here, then the DuckDB
+# oracle independently recomputes n_bytes and the hex-payload sha256 over
+# the SAME parquet bytes — a hard cross-engine check on the mapInPandas
+# decode pipeline's byte plumbing. Constant path (not sf-keyed) because
+# oracle_sql() strings are static; each run overwrites it.
+_MM_ASSETS_EXPORT = "/root/repo/spark-warehouse/mm_assets_export"
+
+ORACLE_MULTIMODAL = f"""
+SELECT asset_id, kind,
+       octet_length(payload)::INTEGER AS n_bytes,
+       sha256(hex(payload)) AS sha256_hex,
+       TRUE AS decode_ok
+FROM read_parquet('{_MM_ASSETS_EXPORT}/*.parquet')
+"""
+
+
 def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.synth_assets(spark, _docs(spark, sf_dir))
-    feats = multimodal.extract_features(assets)
-    return feats.select("asset_id", "kind", "n_bytes", "sha1", "decode_ok")
+    assets.select("asset_id", "kind", "payload").write.mode("overwrite").parquet(
+        _MM_ASSETS_EXPORT
+    )
+    persisted = spark.read.parquet(_MM_ASSETS_EXPORT)
+    feats = multimodal.extract_features(persisted)
+    # decode_ok comes from the real pure-Python decoders; every synthetic
+    # payload is a supported format, so the oracle pins it TRUE — a decode
+    # regression on any row flips it and fails the hash compare. Pixel/RMS
+    # features stay pinned in tests/test_multimodal.py (not SQL-expressible).
+    return feats.select("asset_id", "kind", "n_bytes", "sha256_hex", "decode_ok")
 
 
 def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2945,7 +2971,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_similarity_batch": (op_similarity_batch, ORACLE_SIM_BATCH),
     "op_similarity_lsh_recall": (op_similarity_lsh_recall, ORACLE_SIM_RECALL),
     "op_similarity_ivf_recall": (op_similarity_ivf_recall, ORACLE_SIM_RECALL),
-    "op_multimodal_features": (op_multimodal_features, None),  # binary plumbing
+    "op_multimodal_features": (op_multimodal_features, ORACLE_MULTIMODAL),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
     "op_bucketed_join": (op_bucketed_join, ORACLE_BUCKETED_JOIN),
