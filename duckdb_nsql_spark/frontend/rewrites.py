@@ -4232,16 +4232,19 @@ def pass_lateral_generators(tokens: list[Token]) -> list[Token]:
     uncorrelated case."""
     out = list(tokens)
     from_depth = None  # depth of the FROM list we are inside, else None
+    saved = []  # from_depth state per open paren: a nested group (e.g. a
+    # parenthesized derived table's inner FROM) must not clobber the
+    # enclosing FROM list's state — restore on close
     depth = 0
     i = 0
     while i < len(out):
         t = out[i]
         if t.kind == PUNCT and t.text in "([{":
+            saved.append(from_depth)
             depth += 1
         elif t.kind == PUNCT and t.text in ")]}":
             depth -= 1
-            if from_depth is not None and depth < from_depth:
-                from_depth = None  # left the FROM list's scope
+            from_depth = saved.pop() if saved else None
         elif t.kind == IDENT and t.upper == "FROM":
             from_depth = depth
         elif t.kind == IDENT and t.upper in (

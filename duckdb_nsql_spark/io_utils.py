@@ -266,6 +266,13 @@ def read_file_table(
     if names:
         keep = list(names) + list(df.columns[len(names):])
         df = df.toDF(*keep)
+    elif not header:
+        # headerless reads name columns column0..columnN in DuckDB;
+        # Spark's default is _c0.._cN
+        df = df.toDF(*[
+            f"column{c[2:]}" if re.fullmatch(r"_c\d+", c) else c
+            for c in df.columns
+        ])
     return df
 
 
@@ -274,7 +281,11 @@ def _sniff_csv(path: str) -> tuple[str | None, bool]:
     first file — DuckDB read_csv_auto's two load-bearing decisions.
     Delimiter: the candidate with the most OUTSIDE-QUOTES occurrences on
     line 1. Header: line 1 has a header iff none of its fields parses as
-    a number (numbers in row 1 mean data)."""
+    a number (numbers in row 1 mean data). This matches DuckDB v1.0
+    empirically INCLUDING the all-string corner: DuckDB's own sniffer
+    consumes row 1 of a headerless all-string CSV as a header
+    ('alice,nyc\\nbob,sf' -> columns [alice, nyc], one data row) — pinned
+    cross-engine in tests/test_engine.py::test_csv_sniff_matches_duckdb."""
     import gzip as gzipmod
 
     try:

@@ -677,11 +677,21 @@ class DuckSparkSession:
     # functions (glob/read_*/parquet_* see files written after caching),
     # and driver-built introspection relations (content baked at build;
     # cheap to rebuild, hard to invalidate exhaustively)
+    # Time functions must also never be cached: Spark's ComputeCurrentTime
+    # rule folds now()/current_date etc. to literals in the optimized plan,
+    # which is memoized per DataFrame — a cached SELECT now() would return
+    # the first execution's frozen timestamp forever, where DuckDB
+    # re-evaluates per statement. Matched AFTER macro expansion, so the
+    # TODAY()/TRANSACTION_TIMESTAMP() spellings (which expand to
+    # current_date()/current_timestamp()) are covered by these names.
     _NONDET_RE = re.compile(
         r"\b(rand|random|sample|tablesample|uuid|gen_random_uuid|nextval"
         r"|currval|setseed|shuffle|glob|read_\w+|parquet_schema"
         r"|parquet_metadata|duckdb_\w+|pragma_\w+|information_schema"
-        r"|summarize|describe)\b",
+        r"|summarize|describe"
+        r"|now|current_timestamp|current_date|current_time|current_localtime"
+        r"|current_localtimestamp|localtimestamp|today|transaction_timestamp"
+        r"|get_current_timestamp)\b",
         re.IGNORECASE,
     )
 
@@ -2289,7 +2299,18 @@ class DuckSparkSession:
                         continue
                 j2 += 1
             if not replaced:
-                null_items.append("NULL")
+                # DuckDB's empty-set row NULLs group columns but emits
+                # constant items verbatim (SELECT 'x' AS tag, count(*) ...
+                # GROUP BY CUBE(...) keeps 'x' in the global row) — only
+                # column-referencing items become NULL.
+                if all(
+                    tk.kind not in (IDENT, QIDENT)
+                    or tk.upper in self._GS_CONST_WHITELIST
+                    for tk in itoks
+                ):
+                    null_items.append(render(itoks).strip())
+                else:
+                    null_items.append("NULL")
                 continue
             for tk in itoks:
                 if tk.kind in (IDENT, QIDENT) and (

@@ -1371,3 +1371,49 @@ def test_catalog_introspection_extras(spark):
         " in_search_path('memory', 'nope') AS b"
     ).fetchall()[0]
     assert (isp[0], isp[1]) == (True, False)
+
+
+def test_time_functions_never_plan_cached(engine):
+    # Spark's ComputeCurrentTime folds now()/current_date to literals in
+    # the optimized plan, which is memoized per DataFrame — if the
+    # statement-plan cache served a cached DataFrame for a repeated
+    # byte-identical SELECT now(), the timestamp would be frozen at first
+    # execution. DuckDB re-evaluates per statement; so must we.
+    import time
+
+    for fn in ("now()", "current_timestamp", "today()", "transaction_timestamp()"):
+        a = engine.execute(f"SELECT {fn} AS t").fetchall()[0][0]
+        time.sleep(0.02)
+        b = engine.execute(f"SELECT {fn} AS t").fetchall()[0][0]
+        if fn == "today()":
+            # date granularity: just assert the plan wasn't cached
+            assert engine._NONDET_RE.search(f"SELECT {fn} AS t") is not None
+        else:
+            assert b > a, fn
+
+
+def test_csv_sniff_matches_duckdb(engine, tmp_path):
+    # header sniffing parity, including the all-string corner: DuckDB
+    # v1.0 consumes row 1 of a headerless all-string CSV as a header —
+    # advisory round-4 suggested contrasting row-2 types instead, but
+    # that would DIVERGE from the parity target (verified empirically).
+    # Headerless files name columns column0..columnN like DuckDB.
+    import duckdb
+
+    d = duckdb.connect()
+    cases = {
+        "h1": "name,city\nalice,nyc\nbob,sf\n",    # header, all-string
+        "h2": "alice,nyc\nbob,sf\n",               # headerless all-string
+        "h3": "name,age\nalice,3\nbob,4\n",        # header over numerics
+        "h4": "alice,3\nbob,4\n",                  # headerless numerics
+    }
+    for name, text in cases.items():
+        p = tmp_path / f"{name}.csv"
+        p.write_text(text)
+        q = f"select * from read_csv_auto('{p}')"
+        sdf = engine.execute(q)
+        r = d.execute(q)
+        assert sdf.columns == [x[0] for x in r.description], name
+        assert sorted(map(str, [tuple(x) for x in sdf.collect()])) == sorted(
+            map(str, r.fetchall())
+        ), name

@@ -109,3 +109,22 @@ def test_dml_fuzz_seed_7(spark, fuzz_duck):
     for i in range(4):
         finds += mod.run_sequence(i, eng, ddb)
     assert not finds, finds[:3]
+
+
+def test_constant_items_in_empty_grouping_row(engine, fuzz_duck):
+    """The synthesized empty-input grouping row must emit constant select
+    items verbatim (DuckDB keeps 'x' in the global row) and NULL only
+    for column-referencing items."""
+    ddb = fuzz_duck.cursor()
+    for con in (engine, ddb):
+        con.execute("CREATE TABLE gfix_t (a INT, b INT)")
+    qs = [
+        "SELECT 'x' AS tag, count(*) AS n, sum(b) AS s FROM gfix_t GROUP BY CUBE(a)",
+        "SELECT a, 'x' AS tag, count(*) AS n FROM gfix_t GROUP BY CUBE(a)",
+        "SELECT round(1.25, 1) AS c, count(*) AS n FROM gfix_t"
+        " GROUP BY GROUPING SETS ((a), ())",
+    ]
+    for q in qs:
+        s = [tuple(r) for r in engine.execute(q).collect()]
+        d = ddb.execute(q).fetchall()
+        assert sorted(map(str, s)) == sorted(map(str, d)), q

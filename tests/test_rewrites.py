@@ -701,3 +701,18 @@ def test_date_part_list_form_expands_to_struct():
 
     out = rewrite_sql("SELECT date_part(['year','month'], d) FROM t")
     assert "named_struct('year'" in out and "'month'" in out
+
+
+def test_lateral_generator_after_derived_table():
+    # a parenthesized derived table's inner FROM must not clobber the
+    # enclosing FROM list's state: the comma-generator after it still
+    # needs LATERAL prepended (paren-depth state is a stack)
+    from duckdb_nsql_spark.frontend.rewrites import rewrite_sql
+
+    out = rewrite_sql(
+        "SELECT t.a, u.e FROM (SELECT 1 AS a) t, unnest([t.a]) AS u(e)"
+    )
+    assert "LATERAL" in out.upper()
+    # uncorrelated simple case still works
+    out2 = rewrite_sql("SELECT e FROM g, unnest([1, 2]) AS u(e)")
+    assert "LATERAL" in out2.upper()
