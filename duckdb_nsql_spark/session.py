@@ -161,6 +161,15 @@ CTE_LOCALIZE_MAX_ROWS = 2000
 # fully-distributed lazy persist + AQE path.
 CTE_LOCALIZE_PROBE_MAX_INPUT_BYTES = 1 << 30
 
+# Fast-path probe gate: a REDUCING body (top-level aggregate) over at most
+# this much input evaluates with a plain parallel collect() instead of the
+# capped take() probe — measured 0.26s -> 0.05s on a 25-row aggregate at
+# sf0.1, because take() runs the incremental-limit scale-up (multiple
+# scheduler round-trips) where collect() is one fully-parallel AQE job.
+# Reducing-only + small-input keeps the uncapped collect bounded: the
+# result is at most one row per group over a few MB of input.
+CTE_LOCALIZE_COLLECT_MAX_INPUT_BYTES = 64 << 20
+
 # A trailing ORDER BY runs as a single-partition local sort (no range
 # sampling, no exchange) when the plan scans at most this much estimated
 # input; bigger inputs keep Spark's distributed range sort.
@@ -1207,7 +1216,11 @@ class DuckSparkSession:
                 # input estimate must come from the raw plan: after
                 # persist() the leaf is the not-yet-materialized
                 # InMemoryRelation, whose stats read as unknown/huge
-                local = self._try_localize_cte(df, _plan_input_bytes(df))
+                local = self._try_localize_cte(
+                    df,
+                    _plan_input_bytes(df),
+                    reducing=cte["name"].lower() in reducing,
+                )
                 if local is not None:
                     df = local
                 else:
@@ -1239,7 +1252,7 @@ class DuckSparkSession:
     )
 
     def _try_localize_cte(
-        self, df: DataFrame, input_bytes: int
+        self, df: DataFrame, input_bytes: int, reducing: bool = False
     ) -> Optional[DataFrame]:
         """Collapse a small materialized-CTE result to a driver-built
         VALUES relation (LocalTableScan).
@@ -1267,7 +1280,13 @@ class DuckSparkSession:
         # lazy persisted view + AQE runtime stats pick join strategies.
         if input_bytes > CTE_LOCALIZE_PROBE_MAX_INPUT_BYTES:
             return None
-        rows = df.coalesce(1).take(CTE_LOCALIZE_MAX_ROWS + 1)
+        if reducing and input_bytes <= CTE_LOCALIZE_COLLECT_MAX_INPUT_BYTES:
+            # reducing body over small input: one fully-parallel collect
+            # beats take()'s incremental-limit scheduler round-trips by
+            # ~5x; the uncapped fetch is bounded by one-row-per-group
+            rows = df.collect()
+        else:
+            rows = df.coalesce(1).take(CTE_LOCALIZE_MAX_ROWS + 1)
         if len(rows) > CTE_LOCALIZE_MAX_ROWS:
             return None
         return introspect.local_df(

@@ -4,7 +4,11 @@ import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+# Default the parity sweep to the driver's sf0.01 so the local gate runs
+# the same scale the per-round correctness window does (round-4 review:
+# sf0.001 default let a scale-sensitive mismatch hide until driver time).
+# Override with SPARK_GRAFT_SF_DIR_TEST for quick sf0.001 iteration.
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -234,3 +234,27 @@ def test_ivf_index_partition_prunes(loaded_engine, spark, tmp_path):
             assert "cent" in head.split("PartitionFilters: [", 1)[1].split("]")[0]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_q22_cte_localizes_and_job_budget(spark):
+    # q22's repeated reducing CTE (per_nation) must collapse to a
+    # LocalTableScan (driver-built VALUES relation), and a full execution
+    # must stay within a fixed job budget: 1 parallel collect() for the
+    # CTE body + the final statement's scalar-subquery and fetch jobs.
+    # Regression guard for the r4->r5 driver-bench regression (0.42s ->
+    # 0.57s) caused by the take()-based probe's incremental-limit jobs.
+    sf = "/root/testdata/sf0.01"
+    q = workload.build_queries()["q22_cte_scalar_subquery"]
+    q(spark, sf).collect()  # warm: codegen + view setup outside the count
+    sc = spark.sparkContext
+    sc.setJobGroup("q22_budget", "q22 job count probe")
+    try:
+        df = q(spark, sf)
+        plan = plan_of(df)
+        assert "LocalTableScan" in plan, plan
+        assert "Scan parquet" not in plan  # all base data localized
+        df.collect()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("q22_budget")
+    assert len(jobs) <= 5, f"q22 ran {len(jobs)} jobs: {jobs}"
