@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""DuckDB side of the headline bench, under the EXACT protocol bench.py
+uses for the Spark engine: same DuckDB-dialect statement text (the
+workload's ENGINE_SQL — which is what our engine executes), same parquet
+inputs, one untimed warm-up pass, best-of-5, result fully fetched into
+pandas (fetchdf, Arrow) — so per-row ratios compare like with like.
+BASELINE.md's original §2 table was measured with median-of-3 fetchall
+and (for B9) a count-only fetch; round-4 review flagged the protocol
+mismatch (q9's 1 ms row produced a fake 162x ratio). This script is the
+refreshed, protocol-parity baseline.
+
+Prints ONE JSON line mirroring bench.py's shape.
+
+Usage: [SPARK_GRAFT_SF_DIR=...] python harness/bench_duckdb.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from duckdb_nsql_spark import workload  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = 5
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# same bench-key -> workload-entry mapping as bench.py's SQL rows
+SQL_ROWS = {
+    "q1_pricing_summary": "q01_pricing_summary",
+    "q2_join_group_topk": "q05_join_group_topk",
+    "q3_having_alias": "q08_having_on_alias",
+    "q4_cte_subquery": "q22_cte_scalar_subquery",
+    "q5_regexp_extract": "q21_regexp_extract",
+    "q6_datediff_minute": "q20_datediff_minute",
+    "q7_group_by_all": "q09_group_by_all_exclude",
+    "q8_order_by_all": "q11_distinct_order",
+    "q9_sample": "q34_sample_percent",
+    "q11_list_literal_index": "q16_list_ops",
+    "q12_window_topk": "q27_window_topk_per_group",
+    "q13_multiway_join": "q06_multiway_join",
+}
+
+
+def main() -> None:
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+    results: dict[str, float] = {}
+    for key, qname in SQL_ROWS.items():
+        sql = workload.ENGINE_SQL[qname][0]
+        con.execute(sql).fetchdf()  # warm-up (OS page cache + catalog)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchdf()
+            best = min(best, time.perf_counter() - t0)
+        results[key] = round(best, 4)
+
+    con.execute("SUMMARIZE orders").fetchdf()
+    best = float("inf")
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        con.execute("SUMMARIZE orders").fetchdf()
+        best = min(best, time.perf_counter() - t0)
+    results["q10_summarize"] = round(best, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1].lstrip("_")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_headline_queries_total_latency",
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_val,
+                "duckdb": duckdb.__version__,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
