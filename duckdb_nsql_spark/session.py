@@ -283,6 +283,7 @@ class DuckSparkSession:
         self,
         spark: Optional[SparkSession] = None,
         database: Optional[str] = None,
+        table_format: Optional[str] = None,
         **spark_kwargs,
     ):
         self.spark = spark or build_spark(**spark_kwargs)
@@ -390,7 +391,7 @@ class DuckSparkSession:
         if database and database != ":memory:":
             from .sources.warehouse import DurableWarehouse
 
-            self._warehouse = DurableWarehouse(database)
+            self._warehouse = DurableWarehouse(database, fmt=table_format)
             db_name = os.path.splitext(os.path.basename(database.rstrip("/")))[0]
             if db_name:
                 self._databases.add(db_name)
@@ -5451,13 +5452,20 @@ def _pass_order_by_nulls(tokens: list[Token], order: str) -> list[Token]:
 def connect(
     spark: Optional[SparkSession] = None,
     database: Optional[str] = None,
+    table_format: Optional[str] = None,
     **spark_kwargs,
 ) -> DuckSparkSession:
     """Engine entry point, mirroring ``duckdb.connect()``.
 
     ``database=':memory:'`` (or None) keeps the catalog in-session;
     ``database='/path/dir'`` makes managed tables durable across
-    sessions via the copy-on-write parquet warehouse
-    (sources/warehouse.py), mirroring ``duckdb.connect('file.duckdb')``.
+    sessions, mirroring ``duckdb.connect('file.duckdb')``.
+    ``table_format`` picks the durable storage: ``'parquet'`` (default,
+    the zero-dependency copy-on-write warehouse) or ``'delta'`` (Delta
+    Lake tables; needs delta-spark on the cluster classpath — see
+    sources/warehouse.py). A warehouse dir remembers its format.
     """
-    return DuckSparkSession(spark=spark, database=database, **spark_kwargs)
+    return DuckSparkSession(
+        spark=spark, database=database, table_format=table_format,
+        **spark_kwargs,
+    )

@@ -59,11 +59,73 @@ class CommitConflict(RuntimeError):
     its whole operation."""
 
 
+def delta_available(spark: SparkSession) -> bool:
+    """True when the Delta Lake runtime is on the session's JVM classpath
+    (delta-spark jars + SQL extension). This container ships no Delta
+    jars and has no network, so this returns False here; on a cluster
+    with Delta installed the same warehouse transparently stores managed
+    tables as Delta tables (``table_format='delta'``)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.delta.DeltaLog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 class DurableWarehouse:
-    def __init__(self, root: str, gc_grace_s: float = 300.0):
+    """``fmt``: storage format for managed table data.
+
+    - ``'parquet'`` (default): the homegrown copy-on-write version dirs +
+      O_EXCL commit log documented above — zero dependencies.
+    - ``'delta'``: each table is a Delta Lake table directory;
+      Delta's own transaction log handles data versioning/concurrency
+      (time travel, VACUUM), while this warehouse's commit log keeps
+      carrying the name->dir catalog and the type metadata Spark can't
+      (ENUM members, declared renderings). Requires the delta-spark jars
+      on the JVM classpath — validated lazily at first load/save with a
+      clear error, since format choice is per-warehouse-dir and a
+      catalog-only operation (DROP/att views) needs no jars.
+
+    Resolution order: explicit ``fmt`` arg > ``SPARK_GRAFT_TABLE_FORMAT``
+    env > the format recorded by the warehouse's first commit > parquet.
+    A warehouse never mixes formats: the first table commit records the
+    format and later sessions inherit it.
+    """
+
+    def __init__(
+        self, root: str, gc_grace_s: float = 300.0, fmt: str | None = None
+    ):
         self.root = os.path.abspath(root)
         self.gc_grace_s = gc_grace_s
         os.makedirs(os.path.join(self.root, _COMMITS), exist_ok=True)
+        recorded = self._latest_commit()[1].get("format")
+        self.fmt = (
+            fmt
+            or os.environ.get("SPARK_GRAFT_TABLE_FORMAT")
+            or recorded
+            or "parquet"
+        )
+        if self.fmt not in ("parquet", "delta"):
+            raise ValueError(
+                f"unsupported table format {self.fmt!r}"
+                " (expected 'parquet' or 'delta')"
+            )
+        if recorded and self.fmt != recorded:
+            raise ValueError(
+                f"warehouse {self.root} was created with format"
+                f" {recorded!r}; cannot reopen as {self.fmt!r}"
+            )
+
+    def _require_delta(self, spark: SparkSession) -> None:
+        if not delta_available(spark):
+            raise RuntimeError(
+                "table_format='delta' requires the Delta Lake runtime"
+                " (delta-spark jars + io.delta.sql.DeltaSparkSessionExtension)"
+                " on the Spark classpath; none found. Use the default"
+                " 'parquet' format, or install delta-spark on the cluster."
+            )
 
     # --------------------------------------------------------- commit log
     def _latest_commit(self) -> tuple[int, dict]:
@@ -139,6 +201,7 @@ class DurableWarehouse:
                 cat["tables"].pop(name, None)
             else:
                 cat["tables"][name] = entry
+            cat["format"] = self.fmt  # first table commit pins the format
             if self._try_commit(ver + 1, cat):
                 return
 
@@ -164,6 +227,11 @@ class DurableWarehouse:
 
     def load_df(self, spark: SparkSession, name: str) -> DataFrame:
         ent = self.tables()[name]
+        if self.fmt == "delta":
+            self._require_delta(spark)
+            return spark.read.format("delta").load(
+                os.path.join(self.root, ent["dir"])
+            )
         return spark.read.parquet(
             os.path.join(self.root, ent["dir"], ent["version"])
         )
@@ -178,6 +246,19 @@ class DurableWarehouse:
         ver, cat = self._latest_commit()
         base = cat["tables"].get(name)
         tdir = base["dir"] if base else self._table_dir(name)
+        if self.fmt == "delta":
+            # Delta's own transaction log provides versioning, atomic
+            # overwrite, and concurrency — no homegrown version dirs or
+            # GC; our commit log only tracks the catalog entry + meta.
+            self._require_delta(spark)
+            out = os.path.join(self.root, tdir)
+            df.write.format("delta").mode("overwrite").option(
+                "overwriteSchema", "true"
+            ).save(out)
+            self._commit_entry(
+                name, {"dir": tdir, "version": "delta", "meta": meta}, base
+            )
+            return spark.read.format("delta").load(out)
         vname = f"v{ver + 1:06d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, tdir, vname)
         df.write.mode("overwrite").parquet(out)
