@@ -243,6 +243,74 @@ _SUMMARIZE_SCHEMA = T.StructType(
 # hold too much in one process; fall back to the distributed one-pass agg
 _SUMMARIZE_LOCAL_MAX_BYTES = 256 << 20
 
+# exact count_distinct up to this many non-null values; above it numeric/
+# temporal columns switch to the HLL estimate below (DuckDB SUMMARIZE's
+# approx_unique is itself HyperLogLog — exactness is not part of the
+# contract, and exact hashing dominated SUMMARIZE at sf1: 1.0s of 1.3s)
+_SUMMARIZE_EXACT_UNIQ_ROWS = 100_000
+
+
+def _hll_estimate_u64(vals) -> int:
+    """HyperLogLog distinct estimate (p=14, ~0.8% rel. error) over a
+    uint64 numpy array, vectorized: splitmix64 finalizer as the hash,
+    register maxima via np.maximum.at, linear-counting small-range
+    correction. Pure numpy — no per-value Python."""
+    import numpy as np
+
+    p = 14
+    m = 1 << p
+    with np.errstate(over="ignore"):
+        h = vals.astype(np.uint64, copy=True)
+        h += np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = h & np.uint64((1 << (64 - p)) - 1)
+    # rank = leading-zero count of the (64-p)-bit remainder + 1; the
+    # remainder is < 2^50 so float64 frexp exponents are exact
+    fr_exp = np.frexp(rem.astype(np.float64))[1]
+    rho = np.where(rem == 0, 64 - p + 1, 64 - p - fr_exp + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.ldexp(1.0, -regs.astype(np.int64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * float(np.log(m / zeros))
+    return int(round(est))
+
+
+def _approx_unique_arrow(col, cnt: int):
+    """approx_unique for the SUMMARIZE fast path: exact pyarrow
+    count_distinct while small; HLL over the raw 64-bit representation
+    for large numeric/temporal columns (strings stay exact — the hash
+    table over them measured cheap; it is the wide numeric hashes that
+    dominated). Returns None to mean "caller should use count_distinct"."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if cnt <= _SUMMARIZE_EXACT_UNIQ_ROWS:
+        return None
+    t = col.type
+    if not (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_temporal(t)
+    ):
+        return None
+    vals = pc.drop_null(col)
+    if pa.types.is_floating(t):
+        arr = vals.combine_chunks().to_numpy(zero_copy_only=False)
+        u64 = arr.astype(np.float64).view(np.uint64)
+    else:
+        arr = pc.cast(vals, pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        u64 = arr.view(np.uint64)
+    return _hll_estimate_u64(u64)
+
 
 def _fmt_stat(v) -> str | None:
     if v is None:
@@ -302,7 +370,9 @@ def _summarize_parquet_local(
             uniq = None
             avg = std = q25 = q50 = q75 = None
             if not is_complex:
-                uniq = pc.count_distinct(col).as_py()
+                uniq = _approx_unique_arrow(col, cnt)
+                if uniq is None:
+                    uniq = pc.count_distinct(col).as_py()
                 if pa.types.is_boolean(col.type):
                     mm = {"min": pc.min(col).as_py(), "max": pc.max(col).as_py()}
                 else:

@@ -1497,3 +1497,20 @@ def test_warehouse_format_seam(spark, tmp_path):
     else:  # pragma: no cover - cluster with delta installed
         wd.save_table(spark, "t", df, {})
         assert wd.load_df(spark, "t").count() == 3
+
+
+def test_summarize_hll_estimator_accuracy():
+    # the SUMMARIZE fast path's HLL (p=14) must stay within ~2% on
+    # high-cardinality inputs and exact-ish via linear counting on low
+    import numpy as np
+
+    from duckdb_nsql_spark.introspect import _hll_estimate_u64
+
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 2**63, 1_500_000, dtype=np.int64).view(np.uint64)
+    est = _hll_estimate_u64(big)
+    true = len(np.unique(big))
+    assert abs(est - true) / true < 0.02, (est, true)
+    small = np.arange(500, dtype=np.uint64)
+    est2 = _hll_estimate_u64(small)
+    assert abs(est2 - 500) / 500 < 0.02, est2
