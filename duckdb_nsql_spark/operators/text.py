@@ -51,8 +51,9 @@ def word_count(col: Column) -> Column:
 
 
 def token_count_bpe(col: Column) -> Column:
-    """Token count under the BPE-ish pre-tokenization regex."""
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    """Token count under the BPE-ish pre-tokenization regex.
+    regexp_count skips materializing the match array (count-only)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
 
 
 def punct_ratio(col: Column) -> Column:
@@ -67,7 +68,7 @@ def upper_ratio(col: Column) -> Column:
 
 def stopword_ratio(col: Column) -> Column:
     """Fraction of words that are (english) stopwords — quality signal."""
-    stops = F.size(F.regexp_extract_all(F.lower(col), F.lit(LANG_MARKERS["en"]), F.lit(0)))
+    stops = F.regexp_count(F.lower(col), F.lit(LANG_MARKERS["en"]))
     return F.round(stops / F.greatest(word_count(col), F.lit(1)), 4)
 
 
@@ -89,7 +90,7 @@ def lang_id(col: Column) -> Column:
     """
     low = F.lower(col)
     scores = {
-        lang: F.size(F.regexp_extract_all(low, F.lit(rx), F.lit(0)))
+        lang: F.regexp_count(low, F.lit(rx))
         for lang, rx in LANG_MARKERS.items()
     }
     en, de, fr = scores["en"], scores["de"], scores["fr"]

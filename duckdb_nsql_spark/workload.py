@@ -1951,6 +1951,33 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine_for(spark, sf_dir).table("documents")
 
 
+_DOC_SPREAD_CACHE: dict[tuple[str, int], bool] = {}
+
+
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table repartitioned for JVM-regex-heavy map ops.
+
+    The driver parquet is single-file / single-row-group, so doc scans
+    run as 1-2 tasks regardless of core count and codegen'd regex
+    batteries use 2 of 32 cores. A round-robin repartition(cores) buys
+    full map parallelism (measured at sf1: redact_pii 0.96s -> 0.21s,
+    quality+langid 0.85s -> 0.24s; the FIXED partition number keeps AQE
+    from coalescing the small byte size back to 2 partitions). Opt-in
+    per op rather than in _docs because it HURTS Arrow/pandas-UDF
+    pipelines (minhash 0.59s -> 1.5s: 32 python-worker round-trips with
+    tiny batches beat 2 big ones only on the JVM side). At real scale
+    the gate (partitions*4 <= cores, cached per dir) makes this a no-op
+    — no shuffle is added on a properly partitioned corpus."""
+    df = _docs(spark, sf_dir)
+    cores = spark.sparkContext.defaultParallelism
+    key = (sf_dir, cores)
+    spread = _DOC_SPREAD_CACHE.get(key)
+    if spread is None:
+        spread = df.rdd.getNumPartitions() * 4 <= cores
+        _DOC_SPREAD_CACHE[key] = spread
+    return df.repartition(cores) if spread else df
+
+
 def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine_for(spark, sf_dir).table("embeddings").select(
         "vec_id",
@@ -2000,7 +2027,7 @@ def op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prof = text_ops.text_profile(_docs(spark, sf_dir))
+    prof = text_ops.text_profile(_docs_wide(spark, sf_dir))
     return prof.select("doc_id", "quality", "lang_pred", "stopword_ratio")
 
 
@@ -2175,7 +2202,7 @@ def op_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over the documents table with deterministic PII
     injected per doc_id class (so the redactor provably fires). Map-only;
     the cleaned text rides as md5 to keep the compared relation narrow."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_wide(spark, sf_dir)
     inject = (
         F.when(
             F.col("doc_id") % 5 == 0,
@@ -2801,6 +2828,30 @@ def op_pack_first_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_first_fit(_docs(spark, sf_dir), 512)
 
 
+# video frame sampling: the decode-free half of the video pipeline — one
+# output row per sampled frame timestamp (sequence+explode plan surgery,
+# multimodal.frame_sample_plan). Payload decode stays behind the codec
+# seam; the PLAN (which frames a cluster would decode) is fully testable
+# and oracle-checkable via DuckDB's lateral generate_series.
+ORACLE_MM_FRAME_SAMPLE = """
+SELECT doc_id AS asset_id,
+       unnest(generate_series(0, ((doc_id % 7 + 1) * 1000)::BIGINT, 500))
+           ::INTEGER AS frame_ms
+FROM documents
+"""
+
+
+def op_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vids = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        ((F.col("doc_id") % 7 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+    plan = multimodal.frame_sample_plan(vids, every_ms=500)
+    return plan.select("asset_id", F.col("frame_ms").cast("int").alias("frame_ms"))
+
+
 # BM25 keyword search: corpus scanned twice, zero shuffles (per-term tf
 # is a map-side array expression; (N, avgdl, df_t) reduce to ONE broadcast
 # row); ranking on round(score, 6) + doc-id tiebreak makes the k-boundary
@@ -2972,6 +3023,10 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_similarity_lsh_recall": (op_similarity_lsh_recall, ORACLE_SIM_RECALL),
     "op_similarity_ivf_recall": (op_similarity_ivf_recall, ORACLE_SIM_RECALL),
     "op_multimodal_features": (op_multimodal_features, ORACLE_MULTIMODAL),
+    "op_multimodal_frame_sample": (
+        op_multimodal_frame_sample,
+        ORACLE_MM_FRAME_SAMPLE,
+    ),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
     "op_bucketed_join": (op_bucketed_join, ORACLE_BUCKETED_JOIN),
