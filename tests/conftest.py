@@ -33,7 +33,7 @@ def engine(spark):
 
 @pytest.fixture(scope="session")
 def loaded_engine(spark):
-    """Engine with the sf0.001 star schema registered (read-only tests)."""
+    """Engine with the SF_DIR star schema registered (read-only tests)."""
     from duckdb_nsql_spark import DuckSparkSession
 
     eng = DuckSparkSession(spark=spark)

@@ -459,9 +459,14 @@ def test_checkpoint_noop(engine):
 
 
 def test_prepare_execute_matches_duckdb(loaded_engine, duck):
+    import os as _os
+
+    _sfdir = _os.environ.get(
+        "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01"
+    )  # must match conftest SF_DIR (loaded_engine's data)
     duck.execute(
         "CREATE VIEW nation AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.001/nation.parquet')"
+        f"read_parquet('{_sfdir}/nation.parquet')"
     )
     stmts = [
         "PREPARE nat AS SELECT n_name FROM nation WHERE n_regionkey = ? "

@@ -134,10 +134,13 @@ def test_datediff_minute(engine):
 
 
 def test_using_sample(loaded_engine):
-    # dev.json:172
+    # dev.json:172 — count-ratio check like the reference evaluator;
+    # bounds scale with the table so the test is sf-independent (system
+    # sampling keeps whole blocks, so variance around 10% is wide)
+    total = loaded_engine.execute("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
     df = loaded_engine.execute("SELECT * FROM lineitem USING SAMPLE 10%")
     n = df.count()
-    assert 0 < n < 6100
+    assert 0.02 * total < n < 0.3 * total, (n, total)
 
 
 def test_ddl_dml_roundtrip(engine):

@@ -11,7 +11,7 @@ import os
 import duckdb
 import pytest
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")  # must match conftest SF_DIR (loaded_engine)
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "documents", "events", "embeddings"]
 

@@ -9,7 +9,7 @@ import os
 import duckdb
 import pytest
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")  # matches conftest
 
 
 @pytest.fixture(scope="module")
@@ -196,11 +196,14 @@ def test_relation_fuzz_seed_5(loaded_engine):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.rng = random.Random(5)
+    _sfdir = _os.environ.get(
+        "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01"
+    )  # must match conftest SF_DIR (loaded_engine's data)
     ddb = _duckdb.connect()
     for t in mod.TABLES:
         ddb.execute(
             "CREATE VIEW {0} AS SELECT * FROM "
-            "read_parquet('/root/testdata/sf0.001/{0}.parquet')".format(t)
+            "read_parquet('{1}/{0}.parquet')".format(t, _sfdir)
         )
     fails = 0
     for ci in range(50):
