@@ -3342,7 +3342,7 @@ class DuckSparkSession:
             src = self._query(src_sql)
         if by_name:
             cols = list(src.columns)
-        aligned = self._align_insert(src, target, cols, defaults)
+        aligned = self._align_insert(src, target, cols, defaults, table_name=name)
         self._check_fixed_arrays(key, aligned)
         self._check_enums(key, aligned)
         self._enforce_constraints(
@@ -3579,9 +3579,33 @@ class DuckSparkSession:
         target: DataFrame,
         cols: Optional[list[str]],
         defaults: Optional[dict[str, str]] = None,
+        table_name: str = "?",
     ) -> DataFrame:
         tfields = target.schema.fields
         src_types = {c: f.dataType for c, f in zip(src.columns, src.schema.fields)}
+        if cols is not None:
+            # DuckDB binder checks, in its order: unknown column, dup
+            # column, then column-list/value width (fuzz_dml seed 31
+            # caught the silent accept of all three)
+            tnames = {f.name.lower() for f in tfields}
+            seen: set[str] = set()
+            for c in cols:
+                if c.lower() not in tnames:
+                    raise ValueError(
+                        f'Binder Error: Table "{table_name}" does not have '
+                        f'a column with name "{c}"'
+                    )
+                if c.lower() in seen:
+                    raise ValueError(
+                        f'Binder Error: Duplicate column name "{c}" in INSERT'
+                    )
+                seen.add(c.lower())
+            if len(cols) != len(src.columns):
+                raise ValueError(
+                    f"Binder Error: Column name/value mismatch for insert "
+                    f"on {table_name}: expected {len(cols)} columns but "
+                    f"{len(src.columns)} values were supplied"
+                )
 
         def coerce(src_col: str, tgt: T.StructField):
             col = F.col(src_col)
@@ -3617,7 +3641,8 @@ class DuckSparkSession:
         if cols is None:
             if len(src.columns) != len(tfields):
                 raise ValueError(
-                    f"INSERT width mismatch: {len(src.columns)} vs {len(tfields)}"
+                    f"Binder Error: table {table_name} has {len(tfields)} "
+                    f"columns but {len(src.columns)} values were supplied"
                 )
             return src.select(
                 *[coerce(s, f) for s, f in zip(src.columns, tfields)]

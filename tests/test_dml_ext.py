@@ -681,3 +681,27 @@ def test_update_pk_column_duckdb_index_semantics(engine, duck):
         assert _rows(engine.execute("SELECT * FROM ug")) == _duck_rows(
             duck, "SELECT * FROM ug"
         )
+
+
+def test_insert_column_list_binder_checks(engine):
+    """fuzz_dml seed 31 finding: INSERT column-list errors must match
+    DuckDB's binder — unknown column, duplicate column, list/value width,
+    and bare width mismatch all raise; a reordered valid list works."""
+    import pytest as _pytest
+
+    engine.execute("CREATE TABLE bind_t (a INT, b VARCHAR)")
+    cases = [
+        ("INSERT INTO bind_t (a, zzz) VALUES (1, 'x')",
+         "does not have a column with name"),
+        ("INSERT INTO bind_t (a) VALUES (1, 'x')",
+         "Column name/value mismatch"),
+        ("INSERT INTO bind_t VALUES (1, 'x', 2)",
+         "2 columns but 3 values"),
+        ("INSERT INTO bind_t (a, a) VALUES (1, 2)",
+         "Duplicate column name"),
+    ]
+    for q, msg in cases:
+        with _pytest.raises(Exception, match=msg):
+            engine.execute(q)
+    engine.execute("INSERT INTO bind_t (b, a) VALUES ('x', 1)")
+    assert engine.execute("SELECT * FROM bind_t").collect()[0][0] == 1
