@@ -705,3 +705,22 @@ def test_insert_column_list_binder_checks(engine):
             engine.execute(q)
     engine.execute("INSERT INTO bind_t (b, a) VALUES ('x', 1)")
     assert engine.execute("SELECT * FROM bind_t").collect()[0][0] == 1
+
+
+def test_or_replace_after_in_txn_delete(engine):
+    """Documented cross-engine DIVERGENCE BY DESIGN: DuckDB 1.0's ART
+    indexes are not updated by in-transaction DELETEs, so INSERT OR
+    REPLACE of a key deleted earlier in the same open transaction
+    silently loses the row (and plain INSERT raises a phantom duplicate
+    key). Verified live against duckdb 1.0.0. This engine keeps the
+    semantically correct behavior — the re-inserted row survives — so
+    the DML fuzzer's generator avoids emitting that statement shape
+    rather than replicating a storage-engine artifact."""
+    engine.execute("CREATE TABLE txq (k INTEGER PRIMARY KEY, v INT)")
+    engine.execute("INSERT INTO txq VALUES (12, 1)")
+    engine.execute("BEGIN TRANSACTION")
+    engine.execute("DELETE FROM txq WHERE k = 12")
+    engine.execute("INSERT OR REPLACE INTO txq VALUES (12, 2)")
+    engine.execute("COMMIT")
+    rows = [tuple(r) for r in engine.execute("SELECT * FROM txq").collect()]
+    assert rows == [(12, 2)]
