@@ -3580,6 +3580,7 @@ class DuckSparkSession:
         cols: Optional[list[str]],
         defaults: Optional[dict[str, str]] = None,
         table_name: str = "?",
+        enforce_width: bool = True,
     ) -> DataFrame:
         tfields = target.schema.fields
         src_types = {c: f.dataType for c, f in zip(src.columns, src.schema.fields)}
@@ -3600,7 +3601,7 @@ class DuckSparkSession:
                         f'Binder Error: Duplicate column name "{c}" in INSERT'
                     )
                 seen.add(c.lower())
-            if len(cols) != len(src.columns):
+            if enforce_width and len(cols) != len(src.columns):
                 raise ValueError(
                     f"Binder Error: Column name/value mismatch for insert "
                     f"on {table_name}: expected {len(cols)} columns but "
@@ -4755,7 +4756,12 @@ class DuckSparkSession:
         if target_cols is not None:
             # column-subset COPY (dev.json:348): named cols from file, rest NULL
             src = df.toDF(*target_cols) if len(df.columns) == len(target_cols) else df
-            aligned = self._align_insert(src, target, target_cols)
+            # COPY t (cols) FROM file: a wider file maps its leading
+            # columns onto the named subset — width is NOT an error here
+            aligned = self._align_insert(
+                src, target, target_cols, table_name=name,
+                enforce_width=False,
+            )
         else:
             # by-name when header matches, else positional
             if set(c.lower() for c in df.columns) == set(
