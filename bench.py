@@ -79,6 +79,12 @@ def main() -> None:
     for key, qname in BENCH_QUERIES.items():
         best = float("inf")
         for _ in range(RUNS):
+            # full re-execution per run: a statement-cache hit returns
+            # the SAME Dataset and AQE reuses its materialized shuffle
+            # stages, silently skipping the scan/partial-agg work DuckDB
+            # re-executes every statement — clear between timed runs so
+            # both engines run the whole plan each iteration
+            eng.clear_statement_cache()
             t0 = time.perf_counter()
             materialize(queries[qname](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
@@ -86,6 +92,7 @@ def main() -> None:
 
     best = float("inf")
     for _ in range(RUNS):
+        eng.clear_statement_cache()
         t0 = time.perf_counter()
         materialize(eng.execute("SUMMARIZE orders"))
         best = min(best, time.perf_counter() - t0)

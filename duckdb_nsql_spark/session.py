@@ -753,6 +753,21 @@ class DuckSparkSession:
                 self._plan_cache.popitem(last=False)
         return df
 
+    def clear_statement_cache(self) -> None:
+        """Drop all cached statement plans.
+
+        IMPORTANT SEMANTICS NOTE: a statement-cache hit returns the SAME
+        Dataset object, and AQE memoizes materialized query stages per
+        Dataset — so re-executing a cache-hit statement reuses its
+        already-materialized shuffle map outputs (like a warmed buffer
+        cache) and re-runs only the stages after them. Results are
+        always correct (any catalog/setting/macro change invalidates the
+        key), and the reuse is a feature interactively — but it is NOT
+        the full-re-execution protocol DuckDB follows for repeated
+        statements. Benchmarks must call this between timed iterations
+        so every run pays the whole plan (bench.py does)."""
+        self._plan_cache.clear()
+
     def _query_impl(self, sql: str) -> tuple[DataFrame, bool]:
         sql = self._expand_macros(sql)
         # DuckDB percentage limit: LIMIT p% keeps floor(p/100 * n) rows
