@@ -376,3 +376,57 @@ def brute_force_topk_batch(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the standard 4x storage/bandwidth shrink before building an ANN
+    index over a trillion-vector corpus (scale = max|v|/127, q_i =
+    round(v_i/scale)).
+
+    Emits per-vector audit metrics rather than the (opaque) quantized
+    array so the operator is hash-checkable cross-engine: the quantized
+    integer aggregates (sum/min/max) are EXACT in both engines, and the
+    reconstruction error folds left-to-right within one row so the
+    double arithmetic is bit-identical. Map-only, zero shuffles; all
+    arithmetic is promoted to double before any op so float32 reads
+    agree across engines.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df = df.select(id_col, v.alias("__v"))
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("__v"), F.abs)) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    df = df.withColumn("__s", scale).withColumn(
+        "__q",
+        F.transform(
+            F.col("__v"), lambda x: F.round(x / F.col("__s")).cast("int")
+        ),
+    )
+    err2 = F.aggregate(
+        F.zip_with(
+            F.col("__v"),
+            F.col("__q"),
+            lambda a, b: (a - b.cast("double") * F.col("__s"))
+            * (a - b.cast("double") * F.col("__s")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        id_col,
+        F.round(F.col("__s"), 8).alias("scale_r"),
+        F.aggregate(
+            F.col("__q"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).cast("int").alias("q_sum"),
+        F.array_min(F.col("__q")).cast("int").alias("q_min"),
+        F.array_max(F.col("__q")).cast("int").alias("q_max"),
+        F.round(
+            F.sqrt(err2 / F.size(F.col("__v"))), 8
+        ).alias("err_rms"),
+    )

@@ -11,7 +11,7 @@ length, split), so the driver's oracle comparison can hash-match values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # word-splitting regex shared by all operators (and mirrored in oracle SQL)
@@ -464,4 +464,124 @@ def unigram_logprob(
             ).alias("avg_logprob"),
             F.count("*").cast("int").alias("n_words"),
         )
+    )
+
+
+def dup_chunk_profile(
+    df: DataFrame,
+    chunk_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate-chunk ratio — the corpus-hygiene signal
+    behind paragraph-level dedup (Gopher/RefinedWeb drop or down-weight
+    documents whose chunks recur across the corpus; boilerplate and
+    mirrored pages light up here long before full-document dedup fires).
+
+    Documents split into NON-overlapping windows of ``chunk_words``
+    lowercased words; a chunk is *duplicated* when the identical chunk
+    text occurs in more than one document. Output per document:
+    ``n_chunks``, ``dup_chunks`` (chunk occurrences whose text appears
+    in >1 doc), and ``dup_ratio``.
+
+    Scale design: chunks reduce to md5 fingerprints immediately (16
+    bytes per chunk shuffles, never the text), then two balanced
+    shuffles keyed by the high-cardinality fingerprint — the same shape
+    as exact dedup, no skew hot-spots, no driver state. The per-doc
+    aggregate reuses the (doc, hash) grouping, so the join back is
+    hash-to-hash.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), WORD_SPLIT_RE)
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int"),
+        F.lit(1),
+    )
+    chunks = (
+        df.withColumn("__w", words)
+        .withColumn("__nc", n_chunks)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__nc")),
+                    lambda i: F.md5(
+                        F.array_join(
+                            F.slice(
+                                F.col("__w"),
+                                (i - 1) * chunk_words + 1,
+                                chunk_words,
+                            ),
+                            " ",
+                        )
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+    doc_h = chunks.groupBy(id_col, "h").agg(F.count("*").alias("occ"))
+    docs_per_h = doc_h.groupBy("h").agg(F.count("*").alias("nd"))
+    return (
+        doc_h.join(docs_per_h, "h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").cast("int").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, F.col("occ")).otherwise(F.lit(0)))
+            .cast("int")
+            .alias("dup_chunks"),
+            F.round(
+                F.sum(
+                    F.when(F.col("nd") > 1, F.col("occ")).otherwise(F.lit(0))
+                )
+                / F.sum("occ"),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def token_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language token-length distribution: doc counts, exact discrete
+    quantiles (p25/p50/p75/p90) of per-document word counts, and the
+    mean — the first chart anyone draws before choosing sequence
+    lengths / packing targets for a training corpus.
+
+    Scale design: Spark's exact ``percentile`` buffers every value per
+    group — a non-starter at corpus scale. Word counts are small
+    integers, so the exact quantile comes from a two-level aggregate
+    instead: count per (lang, word_count) — a bounded-cardinality
+    relation of a few thousand rows regardless of corpus size — then a
+    cumulative window over that tiny relation picks the smallest word
+    count whose running count reaches ceil(q*n) (the standard discrete
+    quantile). Heavy data is touched exactly once, map-only.
+    """
+    wc = F.size(F.split(F.trim(F.col(text_col)), WORD_SPLIT_RE))
+    counts = (
+        df.select(F.col(lang_col).alias("lang"), wc.alias("wc"))
+        .groupBy("lang", "wc")
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = Window.partitionBy("lang").orderBy("wc")
+    w_tot = Window.partitionBy("lang")
+    cum = counts.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "tot", F.sum("c").over(w_tot)
+    )
+    def q(p: float, name: str):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(p) * F.col("tot")), F.col("wc")
+            )
+        ).cast("int").alias(name)
+    return cum.groupBy("lang").agg(
+        F.max("tot").cast("int").alias("n_docs"),
+        q(0.25, "p25"),
+        q(0.50, "p50"),
+        q(0.75, "p75"),
+        q(0.90, "p90"),
+        F.round(F.sum(F.col("wc") * F.col("c")) / F.max("tot"), 4).alias(
+            "avg_words"
+        ),
     )

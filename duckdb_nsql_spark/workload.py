@@ -2901,6 +2901,106 @@ def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_profile(_docs(spark, sf_dir))
 
 
+def op_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.dup_chunk_profile(_docs(spark, sf_dir))
+
+
+def op_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.token_histogram(_docs_wide(spark, sf_dir))
+
+
+def op_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(
+        engine_for(spark, sf_dir).table("embeddings")
+    )
+
+
+# paragraph(chunk)-level cross-document duplication: same 10-word
+# non-overlapping windows, same md5 fingerprints, same two-level
+# (doc,hash)->(hash) counting — the DuckDB twin replays the algebra
+ORACLE_DEDUP_PARAGRAPH = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         md5(array_to_string(words[(i-1)*10+1 : (i-1)*10+10], ' ')) AS h
+  FROM w, unnest(range(1,
+        greatest(CAST(ceil(len(words) / 10.0) AS INTEGER), 1) + 1)) AS t(i)
+), dh AS (
+  SELECT doc_id, h, count(*) AS occ FROM c GROUP BY doc_id, h
+), hh AS (
+  SELECT h, count(*) AS nd FROM dh GROUP BY h
+)
+SELECT doc_id,
+       CAST(sum(occ) AS INTEGER) AS n_chunks,
+       CAST(sum(CASE WHEN nd > 1 THEN occ ELSE 0 END) AS INTEGER)
+           AS dup_chunks,
+       round(sum(CASE WHEN nd > 1 THEN occ ELSE 0 END) / sum(occ), 4)
+           AS dup_ratio
+FROM dh JOIN hh USING (h)
+GROUP BY doc_id
+"""
+
+
+# exact discrete quantiles from the bounded (lang, word_count) histogram —
+# the same two-level aggregate the Spark operator runs (NOT quantile_disc:
+# both engines replay the identical ceil(q*n) running-count rule)
+ORACLE_TOKEN_HISTOGRAM = r"""
+WITH wc AS (
+  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS wc
+  FROM documents
+), cnt AS (
+  SELECT lang, wc, count(*) AS c FROM wc GROUP BY lang, wc
+), cum AS (
+  SELECT lang, wc, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY wc) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS tot
+  FROM cnt
+)
+SELECT lang,
+       CAST(max(tot) AS INTEGER) AS n_docs,
+       CAST(min(CASE WHEN cum >= ceil(0.25 * tot) THEN wc END) AS INTEGER) AS p25,
+       CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN wc END) AS INTEGER) AS p50,
+       CAST(min(CASE WHEN cum >= ceil(0.75 * tot) THEN wc END) AS INTEGER) AS p75,
+       CAST(min(CASE WHEN cum >= ceil(0.9 * tot) THEN wc END) AS INTEGER) AS p90,
+       round(sum(wc * c) / max(tot), 4) AS avg_words
+FROM cum
+GROUP BY lang
+"""
+
+
+# int8 quantization audit: integer aggregates are exact in both engines;
+# the error fold repeats the same left-to-right double arithmetic
+# (multiplication instead of pow() — libm pow differs between JVM and C)
+ORACLE_EMBED_QUANTIZE = r"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                  1e-12) AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS q
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 8) AS scale_r,
+       CAST(list_sum(q) AS INTEGER) AS q_sum,
+       CAST(list_min(q) AS INTEGER) AS q_min,
+       CAST(list_max(q) AS INTEGER) AS q_max,
+       round(sqrt(list_sum(list_transform(range(len(v)),
+                 i -> (v[i+1] - q[i+1]*scale) * (v[i+1] - q[i+1]*scale)))
+             / len(v)), 8) AS err_rms
+FROM q
+"""
+
+
 def op_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_logprob(_docs(spark, sf_dir))
 
@@ -3046,6 +3146,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_shuffle_shards": (op_shuffle_shards, ORACLE_SHUFFLE_SHARDS),
     "op_pack_chunks": (op_pack_chunks, ORACLE_PACK_CHUNKS),
     "op_pack_first_fit": (op_pack_first_fit, ORACLE_PACK_FIRST_FIT),
+    "op_dedup_paragraph": (op_dedup_paragraph, ORACLE_DEDUP_PARAGRAPH),
+    "op_token_histogram": (op_token_histogram, ORACLE_TOKEN_HISTOGRAM),
+    "op_embedding_quantize": (op_embedding_quantize, ORACLE_EMBED_QUANTIZE),
 }
 
 
