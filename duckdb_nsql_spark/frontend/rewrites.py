@@ -62,6 +62,10 @@ class Resolver(Protocol):
         """'int' | 'float' | None for an unqualified column name."""
         ...
 
+    def column_timestamp(self, name: str) -> bool:
+        """True when the unqualified column is TIMESTAMP-typed."""
+        ...
+
 
 class NullResolver:
     def column_kind(self, name: str) -> Optional[str]:
@@ -69,6 +73,9 @@ class NullResolver:
 
     def column_numeric(self, name: str) -> Optional[str]:
         return None
+
+    def column_timestamp(self, name: str) -> bool:
+        return False
 
     def table_columns(self, name: str) -> Optional[list[str]]:
         return None
@@ -2964,6 +2971,83 @@ def _span_is_composite(sig: list[Token], resolver: Resolver) -> bool:
     return False
 
 
+def _tok_is_ts_primary(sig: list[Token], resolver: Resolver) -> bool:
+    """Is this operand span a timestamp-producing primary? Catalog-typed
+    (dotted) columns or TIMESTAMP '...' literals only — deliberately
+    narrow, a miss just keeps Spark's rendering."""
+    if not sig:
+        return False
+    if (
+        len(sig) >= 2
+        and sig[0].kind == IDENT
+        and sig[0].upper in ("TIMESTAMP", "DATETIME")
+        and sig[1].kind == STRING
+    ):
+        return True
+    name = None
+    for tk in sig:
+        if tk.kind == IDENT:
+            name = tk.text
+        elif tk.kind in (QIDENT, BIDENT):
+            name = tk.text[1:-1]
+        elif tk.kind == PUNCT and tk.text == ".":
+            continue
+        else:
+            return False
+    if name is not None:
+        try:
+            return bool(resolver.column_timestamp(name.lower()))
+        except AttributeError:
+            return False
+    return False
+
+
+def _span_is_interval(sig: list[Token], resolver: Resolver) -> bool:
+    """Does this cast-operand span statically evaluate to a DYNAMIC
+    day-time interval? Two shapes: a top-level subtraction of two
+    timestamp primaries (DuckDB: ts - ts = INTERVAL), and a dynamic
+    ``INTERVAL (expr) UNIT`` (literal chains constant-fold before this
+    check ever runs). Parenthesized spans unwrap."""
+    while (
+        len(sig) >= 2
+        and sig[0].kind == PUNCT
+        and sig[0].text == "("
+        and _match_sig_forward(sig, 0) == len(sig) - 1
+    ):
+        sig = sig[1:-1]
+    if not sig:
+        return False
+    if sig[0].kind == IDENT and sig[0].upper == "INTERVAL":
+        return True
+    # top-level binary '-': split at depth-0 minus (rightmost)
+    depth = 0
+    for k in range(len(sig) - 1, -1, -1):
+        tk = sig[k]
+        if tk.kind == PUNCT and tk.text in ")]}":
+            depth += 1
+        elif tk.kind == PUNCT and tk.text in "([{":
+            depth -= 1
+        elif depth == 0 and tk.kind == OP and tk.text == "-" and 0 < k < len(sig) - 1:
+            return _tok_is_ts_primary(sig[:k], resolver) and _tok_is_ts_primary(
+                sig[k + 1 :], resolver
+            )
+    return False
+
+
+def _match_sig_forward(sig: list[Token], i: int) -> int:
+    """Index of the ')' matching sig[i]=='(' within a significant-token
+    list (no WS/COMMENT), or -1."""
+    depth = 0
+    for k in range(i, len(sig)):
+        if sig[k].kind == PUNCT and sig[k].text == "(":
+            depth += 1
+        elif sig[k].kind == PUNCT and sig[k].text == ")":
+            depth -= 1
+            if depth == 0:
+                return k
+    return -1
+
+
 def pass_duckdb_varchar_cast(
     tokens: list[Token], resolver: Optional[Resolver] = None
 ) -> list[Token]:
@@ -3043,7 +3127,9 @@ def pass_duckdb_varchar_cast(
                 out[lo:hi] = new
                 i = lo + len(new)
                 continue
-            if _span_is_composite(sig, resolver):
+            if _span_is_composite(sig, resolver) or _span_is_interval(
+                sig, resolver
+            ):
                 new = tokenize(f"duckdb_varchar({render(span)})")
                 out[lo:hi] = new
                 i = lo + len(new)

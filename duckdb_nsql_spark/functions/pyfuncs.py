@@ -215,7 +215,10 @@ def duck_value_str(v) -> str:
         total = (
             v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds
         )
-        return duck_interval_str(0, 0, total)
+        # DuckDB's (days, micros) split truncates toward zero, so -26h
+        # renders '-1 day -02:00:00' and -12h renders '-12:00:00'
+        days = int(total / 86_400_000_000)
+        return duck_interval_str(0, days, total - days * 86_400_000_000)
     if isinstance(v, (bytes, bytearray)):
         return "".join(
             chr(b) if 32 <= b <= 126 and b != 0x5C else f"\\x{b:02X}"

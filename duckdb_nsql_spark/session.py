@@ -290,6 +290,9 @@ class _CatalogResolver:
         k = self.session._column_kinds().get(name.lower())
         return k if k in ("int", "float", "decimal") else None
 
+    def column_timestamp(self, name: str) -> bool:
+        return self.session._column_kinds().get(name.lower()) == "timestamp"
+
     def table_columns(self, name: str) -> Optional[list[str]]:
         try:
             return self.session.table(name).columns
@@ -2737,6 +2740,10 @@ class DuckSparkSession:
                     if isinstance(
                         f.dataType,
                         (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+                    )
+                    else "timestamp"
+                    if isinstance(
+                        f.dataType, (T.TimestampType, T.TimestampNTZType)
                     )
                     else "other"
                 )

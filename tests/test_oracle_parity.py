@@ -481,6 +481,42 @@ def test_cast_varchar_rendering_matches_duckdb(spark, ddb):
     assert not tdiffs, tdiffs
 
 
+def test_dynamic_interval_varchar_matches_duckdb(spark, ddb, sf_dir):
+    """CAST of a DYNAMIC day-time interval to VARCHAR (non-literal
+    operands — a column subtraction or INTERVAL (expr) UNIT) renders
+    DuckDB's notation: days split from the time part with truncation
+    toward zero ('15 days 11:22:15.4', '-1 day -02:00:00', '-12:00:00').
+    The resolver types timestamp columns (_span_is_interval) and routes
+    the cast through the duckdb_varchar UDF; timedelta rendering splits
+    days like DuckDB's internal (days, micros) pair."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    eng.register_parquet_dir(sf_dir)
+    ddb.execute(
+        f"CREATE OR REPLACE VIEW ivx_events AS FROM '{sf_dir}/events.parquet'"
+    )
+    queries = [
+        # dynamic ts-ts: sub-day, multi-day, negative sub-day, negative
+        # multi-day, zero
+        "SELECT event_id, CAST(ts - TIMESTAMP '2024-01-01 00:00:00'"
+        " AS VARCHAR) AS d FROM {t} ORDER BY event_id LIMIT 6",
+        "SELECT event_id, (ts - TIMESTAMP '2024-01-15 12:34:56.789')"
+        "::VARCHAR AS d FROM {t} ORDER BY event_id DESC LIMIT 6",
+        "SELECT event_id, CAST(TIMESTAMP '2024-01-02 12:00:00' - ts"
+        " AS VARCHAR) AS d FROM {t} ORDER BY event_id LIMIT 6",
+        "SELECT CAST(ts - ts AS VARCHAR) AS d FROM {t} LIMIT 2",
+        "SELECT CAST(INTERVAL (event_id % 200) MINUTE AS VARCHAR) AS d"
+        " FROM {t} ORDER BY event_id LIMIT 6",
+    ]
+    for q in queries:
+        srows = [tuple(r) for r in eng.execute(q.format(t="events")).collect()]
+        drows = ddb.execute(q.format(t="ivx_events")).fetchall()
+        assert [tuple(map(str, r)) for r in srows] == [
+            tuple(map(str, r)) for r in drows
+        ], q
+
+
 def test_decimal_column_division_matches_duckdb(spark, ddb):
     """DuckDB `/` (and `//` with any fractional operand) ALWAYS yields
     DOUBLE — including DECIMAL *columns*, where Spark would keep a widened
