@@ -30,7 +30,8 @@ sys.path.insert(
 from duckdb_nsql_spark import workload  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = 5
+SWEEPS = 3
+RUNS_PER_SWEEP = 2
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -63,24 +64,34 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
-    results: dict[str, float] = {}
+    # warm-up pass (OS page cache + catalog), then SWEEPS interleaved
+    # sweeps x RUNS_PER_SWEEP — the same episode-resistant schedule as
+    # bench.py (host-contention episodes are time-local; each query's
+    # min is taken over draws spread across the whole bench window)
     for key, qname in SQL_ROWS.items():
-        sql = workload.ENGINE_SQL[qname][0]
-        con.execute(sql).fetchdf()  # warm-up (OS page cache + catalog)
-        best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchdf()
-            best = min(best, time.perf_counter() - t0)
-        results[key] = round(best, 4)
-
+        con.execute(workload.ENGINE_SQL[qname][0]).fetchdf()
     con.execute("SUMMARIZE orders").fetchdf()
-    best = float("inf")
-    for _ in range(RUNS):
-        t0 = time.perf_counter()
-        con.execute("SUMMARIZE orders").fetchdf()
-        best = min(best, time.perf_counter() - t0)
-    results["q10_summarize"] = round(best, 4)
+
+    best: dict[str, float] = {}
+    for _sweep in range(SWEEPS):
+        for key, qname in SQL_ROWS.items():
+            sql = workload.ENGINE_SQL[qname][0]
+            for _ in range(RUNS_PER_SWEEP):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchdf()
+                dt = time.perf_counter() - t0
+                best[key] = min(best.get(key, float("inf")), dt)
+        for _ in range(RUNS_PER_SWEEP):
+            t0 = time.perf_counter()
+            con.execute("SUMMARIZE orders").fetchdf()
+            dt = time.perf_counter() - t0
+            best["q10_summarize"] = min(
+                best.get("q10_summarize", float("inf")), dt
+            )
+    results = {
+        key: round(best[key], 4)
+        for key in list(SQL_ROWS) + ["q10_summarize"]
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1].lstrip("_")
     try:
