@@ -189,3 +189,100 @@ def weighted_sample(
         .orderBy(F.col("skey").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how target-like its hashed n-gram profile is, then keep
+    the top-weighted docs.
+
+    Features are word bigrams hashed into ``n_buckets`` buckets (md5 —
+    cross-engine identical). Bucket distributions are fit for the
+    target subset (``target_filter``) and the whole corpus with add-one
+    smoothing; a document's importance weight is
+    ``sum_b count_b(doc) * (log p_target(b) - log p_corpus(b))``.
+    Log-ratios round to 6 digits and accumulate as DECIMAL(14,6) —
+    exact order-independent addition, so the distributed partial sums
+    hash-match DuckDB's sequential fold.
+
+    Scale design: the bucket ratio table is ``n_buckets`` rows —
+    broadcast; (doc, bucket) counts shuffle once on the doc-dominated
+    composite key; the final per-doc reduce reuses the doc key. The
+    heavy text never shuffles — only 16-byte hashes and counts do.
+    Selection is a deterministic TakeOrderedAndProject (rounded weight,
+    then doc_id).
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    grams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = df.select(
+        id_col,
+        target_filter.alias("__is_target"),
+        F.explode(grams).alias("__g"),
+    ).select(
+        id_col,
+        "__is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10)
+            .cast("bigint")
+            % n_buckets
+        ).alias("__b"),
+    )
+    doc_b = feats.groupBy(id_col, "__b").agg(
+        F.count("*").alias("__c"), F.first("__is_target").alias("__t")
+    )
+    # bucket totals: corpus-wide and target-only, add-one smoothed
+    bucket = doc_b.groupBy("__b").agg(
+        F.sum("__c").alias("__corpus_c"),
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(F.lit(0))).alias(
+            "__target_c"
+        ),
+    )
+    totals = bucket.agg(
+        F.sum("__corpus_c").alias("__corpus_n"),
+        F.sum("__target_c").alias("__target_n"),
+    )
+    ratio = bucket.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            F.log(
+                (F.col("__target_c") + 1)
+                / (F.col("__target_n") + F.lit(n_buckets))
+            )
+            - F.log(
+                (F.col("__corpus_c") + 1)
+                / (F.col("__corpus_n") + F.lit(n_buckets))
+            ),
+            6,
+        )
+        .cast("decimal(14,6)")
+        .alias("__lr"),
+    )
+    weights = (
+        doc_b.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("__c") * F.col("__lr")).cast("double"), 4
+            ).alias("log_weight"),
+            F.sum("__c").cast("int").alias("n_grams"),
+        )
+    )
+    return (
+        weights.orderBy(F.desc("log_weight"), F.col(id_col))
+        .limit(top_k)
+        .select(id_col, "log_weight", "n_grams")
+    )

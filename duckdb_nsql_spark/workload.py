@@ -2905,6 +2905,52 @@ def op_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.dup_chunk_profile(_docs(spark, sf_dir))
 
 
+def op_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # target distribution = the English subset; score every corpus doc
+    # by how English-bigram-like its hashed feature profile is
+    return sampling.dsir_weights(
+        _docs(spark, sf_dir), target_filter=F.col("lang") == "en"
+    )
+
+
+# DSIR importance weights: the DuckDB twin replays the hashed-bigram
+# bucketing (same md5->BIGINT path the sampling oracles pin), add-one
+# smoothing, and the DECIMAL(14,6) log-ratio fold
+ORACLE_DSIR_SELECT = r"""
+WITH w AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15))
+              AS BIGINT) % 256 AS b
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+), db AS (
+  SELECT doc_id, b, count(*) AS c, any_value(is_t) AS t
+  FROM g GROUP BY doc_id, b
+), bk AS (
+  SELECT b, sum(c) AS cc, sum(CASE WHEN t THEN c ELSE 0 END) AS tc
+  FROM db GROUP BY b
+), tot AS (
+  SELECT sum(cc) AS cn, sum(tc) AS tn FROM bk
+), r AS (
+  SELECT b, CAST(round(ln((tc + 1) / (tn + 256))
+                     - ln((cc + 1) / (cn + 256)), 6)
+                 AS DECIMAL(14,6)) AS lr
+  FROM bk, tot
+)
+SELECT doc_id,
+       round(CAST(sum(c * lr) AS DOUBLE), 4) AS log_weight,
+       CAST(sum(c) AS INTEGER) AS n_grams
+FROM db JOIN r USING (b)
+GROUP BY doc_id
+ORDER BY log_weight DESC, doc_id
+LIMIT 50
+"""
+
+
 def op_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.token_histogram(_docs_wide(spark, sf_dir))
 
@@ -3147,6 +3193,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_pack_chunks": (op_pack_chunks, ORACLE_PACK_CHUNKS),
     "op_pack_first_fit": (op_pack_first_fit, ORACLE_PACK_FIRST_FIT),
     "op_dedup_paragraph": (op_dedup_paragraph, ORACLE_DEDUP_PARAGRAPH),
+    "op_dsir_select": (op_dsir_select, ORACLE_DSIR_SELECT),
     "op_token_histogram": (op_token_histogram, ORACLE_TOKEN_HISTOGRAM),
     "op_embedding_quantize": (op_embedding_quantize, ORACLE_EMBED_QUANTIZE),
 }
