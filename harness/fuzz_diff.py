@@ -149,6 +149,12 @@ EVENT_TS_POOL = [
     "extract(minute FROM ts)",
     "ts + INTERVAL 90 MINUTE",
     "datediff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)",
+    # dynamic day-time interval -> VARCHAR rendering (round-5 surface):
+    # positive/negative spans, sub-day and multi-day, both cast forms
+    "CAST(ts - TIMESTAMP '2024-01-05 06:30:00' AS VARCHAR)",
+    "(TIMESTAMP '2024-02-01 00:00:00' - ts)::VARCHAR",
+    "CAST(INTERVAL (extract(minute FROM ts)) MINUTE AS VARCHAR)",
+    "CAST(ts - ts AS VARCHAR)",
 ]
 
 
