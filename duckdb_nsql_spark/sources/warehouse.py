@@ -232,8 +232,10 @@ class DurableWarehouse:
             return spark.read.format("delta").load(
                 os.path.join(self.root, ent["dir"])
             )
+        v = ent["version"]
+        segments = v if isinstance(v, list) else [v]
         return spark.read.parquet(
-            os.path.join(self.root, ent["dir"], ent["version"])
+            *[os.path.join(self.root, ent["dir"], s) for s in segments]
         )
 
     def save_table(
@@ -271,6 +273,54 @@ class DurableWarehouse:
             raise
         self._gc(name, tdir)
         return spark.read.parquet(out)
+
+    def append_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        df: DataFrame,
+        meta: dict | None = None,
+    ) -> None:
+        """Commit an APPEND as a new immutable segment dir plus a CAS
+        catalog entry whose version is the segment LIST — existing files
+        are never rewritten, so continuous ingest costs O(batch), not
+        O(table) (the scale path; in delta mode Delta's own log appends
+        natively). A full ``save_table`` rewrite later collapses the
+        segments back to one version dir and GC reclaims them.
+
+        ``meta`` replaces the table's meta when given (the streaming
+        sink threads its batch watermark through here so data + progress
+        commit atomically in ONE commit-log entry); None keeps the
+        existing meta."""
+        ver, cat = self._latest_commit()
+        base = cat["tables"].get(name)
+        tdir = base["dir"] if base else self._table_dir(name)
+        if meta is None:
+            meta = (base or {}).get("meta") or {}
+        if self.fmt == "delta":
+            self._require_delta(spark)
+            out = os.path.join(self.root, tdir)
+            df.write.format("delta").mode("append").save(out)
+            self._commit_entry(
+                name, {"dir": tdir, "version": "delta", "meta": meta}, base
+            )
+            return
+        segments: list[str] = []
+        if base is not None:
+            v = base["version"]
+            segments = list(v) if isinstance(v, list) else [v]
+        seg = f"v{ver + 1:06d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, tdir, seg)
+        df.write.mode("overwrite").parquet(out)
+        try:
+            self._commit_entry(
+                name,
+                {"dir": tdir, "version": segments + [seg], "meta": meta},
+                base,
+            )
+        except CommitConflict:
+            shutil.rmtree(out, ignore_errors=True)  # our staged segment
+            raise
 
     def drop_table(self, name: str) -> None:
         ver, cat = self._latest_commit()
@@ -321,7 +371,8 @@ class DurableWarehouse:
                 ) as f:
                     ent = json.load(f)["tables"].get(name)
                 if ent and ent["dir"] == tdir:
-                    referenced.add(ent["version"])
+                    v = ent["version"]
+                    referenced.update(v if isinstance(v, list) else [v])
             except (OSError, ValueError, KeyError):
                 continue
         base = os.path.join(self.root, tdir)

@@ -2522,6 +2522,52 @@ def op_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "n_events", "total")
 
 
+def op_stream_warehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest E2E: the events backlog streams (bounded
+    micro-batches) through the exactly-once foreachBatch sink into a
+    durable warehouse table — appends commit one immutable segment + the
+    batch watermark atomically per micro-batch. The checkpointed query
+    is then RESTARTED over the same (fully consumed) source: the replay
+    protection means zero new rows, so the final table equals one clean
+    pass — which is exactly the DuckDB oracle's batch view."""
+    import tempfile
+
+    from .sources.warehouse import DurableWarehouse
+    from .streaming import sink as sk
+    from .streaming import windows as sw
+
+    root = tempfile.mkdtemp(prefix="ddbspark_sinkwh_")
+    wh = DurableWarehouse(root)
+    ckpt = os.path.join(root, "_ckpt")
+
+    def run_once() -> None:
+        stream = sw.read_events_stream(
+            spark,
+            os.path.join(sf_dir, "events.parquet"),
+            max_files_per_trigger=1,
+        )
+        proj = stream.select("event_id", "event_type", "value")
+        q = sk.stream_to_table(spark, wh, proj, "events_ingest", ckpt)
+        q.awaitTermination(300)
+
+    run_once()
+    run_once()  # restart: source fully consumed + idempotent sink -> no-op
+    df = wh.load_df(spark, "events_ingest")
+    return df.groupBy("event_type").agg(
+        F.count("*").cast("int").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.count_distinct(F.col("event_id")).cast("int").alias("n_ids"),
+    )
+
+
+ORACLE_STREAM_SINK = """
+SELECT event_type, CAST(count(*) AS INTEGER) AS n,
+       round(sum(value), 4) AS total_value,
+       CAST(count(DISTINCT event_id) AS INTEGER) AS n_ids
+FROM events GROUP BY event_type
+"""
+
+
 def op_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import windows as sw
 
@@ -3194,6 +3240,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_pack_first_fit": (op_pack_first_fit, ORACLE_PACK_FIRST_FIT),
     "op_dedup_paragraph": (op_dedup_paragraph, ORACLE_DEDUP_PARAGRAPH),
     "op_dsir_select": (op_dsir_select, ORACLE_DSIR_SELECT),
+    "op_stream_warehouse_sink": (op_stream_warehouse_sink, ORACLE_STREAM_SINK),
     "op_token_histogram": (op_token_histogram, ORACLE_TOKEN_HISTOGRAM),
     "op_embedding_quantize": (op_embedding_quantize, ORACLE_EMBED_QUANTIZE),
 }

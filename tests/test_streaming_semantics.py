@@ -257,3 +257,97 @@ def test_stream_dedup_across_micro_batches_and_watermark_expiry(
     assert per_batch.get(3) == []           # eviction lags one batch
     assert per_batch.get(4) == [1]          # state expired -> re-emitted
     assert per_batch.get(5) == []           # re-armed state suppresses
+
+
+def test_warehouse_sink_exactly_once_across_replay_and_restart(
+    spark, tmp_path
+):
+    """The foreachBatch warehouse sink is idempotent: (1) a crash-replay
+    of an already-committed batch (foreachBatch's at-least-once contract)
+    appends nothing, because the batch watermark committed ATOMICALLY
+    with the data; (2) restarting the checkpointed query over new
+    backlog ingests only the new files; (3) appends accumulate immutable
+    segments — earlier segment dirs are untouched on disk."""
+    from duckdb_nsql_spark.sources.warehouse import DurableWarehouse
+    from duckdb_nsql_spark.streaming import sink as sk
+    from duckdb_nsql_spark.streaming import windows as sw
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(n: int, ids: range) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(list(ids), pa.int64()),
+                    "ts": pa.array(
+                        [
+                            dt.datetime(2024, 1, 1, 0, i % 60)
+                            for i in ids
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                    "value": pa.array([float(i) for i in ids]),
+                }
+            ),
+            str(src / f"part-{n}.parquet"),
+        )
+
+    write_file(0, range(0, 10))
+    write_file(1, range(10, 30))
+
+    wh = DurableWarehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return sk.stream_to_table(
+            spark, wh, stream, "ingest", ckpt, stream_id="s1"
+        )
+
+    q = start()
+    q.awaitTermination(120)
+    df = wh.load_df(spark, "ingest")
+    assert df.count() == 30
+    ent = wh.tables()["ingest"]
+    segs1 = list(ent["version"])
+    assert len(segs1) == 2  # one immutable segment per micro-batch
+    wm1 = ent["meta"]["stream_wm"]["s1"]
+
+    # (1) crash replay: re-deliver the LAST batch manually (what Spark
+    # does after dying between sink commit and checkpoint write)
+    replay = wh.load_df(spark, "ingest").limit(5)
+    # rebuild the processor exactly as stream_to_table wires it
+    ent_before = wh.tables()["ingest"]
+
+    def _process(batch_df, batch_id):
+        e = wh.tables().get("ingest")
+        meta = dict((e or {}).get("meta") or {})
+        wm = dict(meta.get("stream_wm") or {})
+        if batch_id <= wm.get("s1", -1):
+            return
+        wm["s1"] = batch_id
+        meta["stream_wm"] = wm
+        wh.append_table(spark, "ingest", batch_df, meta)
+
+    _process(replay, wm1)  # replayed batch id == committed watermark
+    assert wh.load_df(spark, "ingest").count() == 30  # nothing appended
+    assert wh.tables()["ingest"] == ent_before
+
+    # (2) restart over NEW backlog: only the new file ingests
+    write_file(2, range(30, 37))
+    q2 = start()
+    q2.awaitTermination(120)
+    df2 = wh.load_df(spark, "ingest")
+    assert df2.count() == 37
+    assert [r[0] for r in df2.agg(F.sum("event_id")).collect()] == [
+        sum(range(37))
+    ]
+    segs2 = list(wh.tables()["ingest"]["version"])
+    # (3) earlier segments are untouched prefixes of the new list
+    assert segs2[: len(segs1)] == segs1
+    assert len(segs2) == 3
