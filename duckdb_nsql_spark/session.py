@@ -674,12 +674,14 @@ class DuckSparkSession:
             "MERGE": self._merge,
             "EXPORT": self._export_database,
             "IMPORT": self._import_database,
-            # CHECKPOINT/VACUUM/ANALYZE: storage maintenance; every write
-            # here is already durably committed (copy-on-write warehouse)
-            # or in-session, so these are well-defined no-ops, as in
-            # DuckDB for an in-memory database.
-            "CHECKPOINT": lambda s: None,
-            "FORCE": lambda s: None,  # FORCE CHECKPOINT
+            # CHECKPOINT compacts: streaming appends accumulate immutable
+            # segment dirs per table; CHECKPOINT collapses each segmented
+            # table back to ONE version dir (DuckDB's WAL->storage merge
+            # analogue). Writes are already durably committed either way,
+            # so VACUUM/ANALYZE stay well-defined no-ops, as in DuckDB
+            # for an in-memory database.
+            "CHECKPOINT": self._checkpoint,
+            "FORCE": self._checkpoint,  # FORCE CHECKPOINT
             "VACUUM": lambda s: None,
             "ANALYZE": lambda s: None,
         }.get(kw)
@@ -4293,6 +4295,25 @@ class DuckSparkSession:
         if key is None:
             raise KeyError(f"Catalog Error: Table with name {name} does not exist!")
         self._register_managed(key, self._tables[key].limit(0))
+        return None
+
+    def _checkpoint(self, sql: str) -> None:
+        """CHECKPOINT / FORCE CHECKPOINT: collapse each durable table
+        that has accumulated streaming-append SEGMENTS back into one
+        version dir (the WAL->storage merge analogue; small-file
+        compaction for continuous ingest). No-op without a durable
+        warehouse or when no table is segmented."""
+        if self._warehouse is None:
+            return None
+        for name, ent in list(self._warehouse.tables().items()):
+            v = ent.get("version")
+            if isinstance(v, list) and len(v) > 1:
+                df = self._warehouse.load_df(self.spark, name)
+                reread = self._warehouse.save_table(
+                    self.spark, name, df, ent.get("meta") or {}
+                )
+                if name in self._tables:
+                    self.register(name, reread)
         return None
 
     # --------------------------------------------------------- transactions

@@ -70,3 +70,26 @@ def test_call_compact_and_cluster_sql_surface(engine, spark, tmp_path):
     out2 = engine.execute(f"CALL cluster('{d}', 'n_regionkey')").collect()[0]
     assert out2["cluster_cols"] == "n_regionkey"
     assert spark.read.parquet(d).count() == 25
+
+
+def test_checkpoint_collapses_streaming_segments(spark, tmp_path):
+    """CHECKPOINT merges a durable table's streaming-append segments into
+    one version dir (the WAL->storage analogue) and refreshes the
+    session's view of the table; VACUUM stays a no-op."""
+    from duckdb_nsql_spark import connect
+
+    con = connect(spark=spark, database=str(tmp_path / "wh"))
+    con.execute("CREATE TABLE t (x INTEGER); INSERT INTO t VALUES (1),(2)")
+    wh = con._warehouse
+    wh.append_table(spark, "t", spark.createDataFrame([(3,)], "x int"))
+    wh.append_table(spark, "t", spark.createDataFrame([(4,)], "x int"))
+    assert isinstance(wh.tables()["t"]["version"], list)
+    assert len(wh.tables()["t"]["version"]) == 3
+    con.execute("CHECKPOINT")
+    ent = wh.tables()["t"]
+    assert isinstance(ent["version"], str)  # single collapsed version
+    assert sorted(
+        r[0] for r in con.execute("SELECT x FROM t").collect()
+    ) == [1, 2, 3, 4]
+    con.execute("VACUUM")  # still a no-op
+    con.close()
