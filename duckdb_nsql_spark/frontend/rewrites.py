@@ -1651,7 +1651,10 @@ _SIMPLE_RENAMES = {
     "MIN_BY": "min_by",
     "TO_TIMESTAMP": "timestamp_seconds",  # DuckDB to_timestamp(sec)
     "STRING_SPLIT_REGEX": "split",
+    "STR_SPLIT_REGEX": "split",
     "REGEXP_SPLIT_TO_ARRAY": "split",
+    "LIST_CAT": "concat",
+    "ARRAY_CONCAT": "concat",
     "EDITDIST3": "levenshtein",
     "STARTS_WITH": "startswith",
     "ENDS_WITH": "endswith",
@@ -2748,6 +2751,55 @@ _FN_MACROS_N["TO_YEARS"] = {1: "make_ym_interval(CAST({0} AS INT))"}
 _FN_MACROS_N["TO_DECADES"] = {1: "make_ym_interval(CAST({0} AS INT) * 10)"}
 _FN_MACROS_N["TO_CENTURIES"] = {1: "make_ym_interval(CAST({0} AS INT) * 100)"}
 _FN_MACROS_N["TO_MILLENNIA"] = {1: "make_ym_interval(CAST({0} AS INT) * 1000)"}
+_FN_MACROS_N["TO_QUARTERS"] = {1: "make_ym_interval(0, CAST({0} AS INT) * 3)"}
+# DuckDB returns 0 for valid non-array JSON where Spark returns NULL
+# (expansions are skipped by the scan cursor, so the inner call is safe)
+_FN_MACROS_N["JSON_ARRAY_LENGTH"] = {1: (
+    "(CASE WHEN ({0}) IS NULL THEN CAST(NULL AS BIGINT) "
+    "ELSE CAST(coalesce(json_array_length({0}), 0) AS BIGINT) END)"
+)}
+
+# function-catalog gap batch (round 5 scan vs duckdb_functions()):
+# single-arg operator/extremum identities, scalar micro/millisecond
+# accessors (include the seconds component, like the date_part fields),
+# scalar era(), bit_position over the BIT-as-bitstring-text carrier,
+# zero-arg timestamp aliases, and make_timestamptz (UTC session)
+_FN_MACROS_N["ADD"][1] = "({0})"
+_FN_MACROS_N["SUBTRACT"][1] = "(-({0}))"
+_FN_MACROS_N["GREATEST"] = {1: "({0})"}
+_FN_MACROS_N["LEAST"] = {1: "({0})"}
+_FN_MACROS_N["MICROSECOND"] = {
+    1: "pmod(unix_micros(CAST({0} AS TIMESTAMP)), 60000000)"
+}
+_FN_MACROS_N["MILLISECOND"] = {
+    1: "CAST(pmod(unix_micros(CAST({0} AS TIMESTAMP)), 60000000) / 1000"
+       " AS BIGINT)"
+}
+_FN_MACROS_N["ERA"] = {1: "(CASE WHEN year({0}) > 0 THEN 1 ELSE 0 END)"}
+_FN_MACROS_N["BIT_POSITION"] = {2: "instr({1}, {0})"}
+_FN_MACROS_0["GET_CURRENT_TIMESTAMP"] = "current_timestamp()"
+_FN_MACROS_0["CURRENT_LOCALTIMESTAMP"] = "localtimestamp()"
+_FN_MACROS_N["MAKE_TIMESTAMPTZ"] = {
+    1: _FN_MACROS_N["MAKE_TIMESTAMP"][1],
+    6: "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})",
+}
+_FN_MACROS_N["LIST_ELEMENT"] = _FN_MACROS_N["LIST_EXTRACT"]
+_FN_MACROS_N["FORMATREADABLESIZE"] = _FN_MACROS_N["FORMAT_BYTES"]
+# decimal-unit sibling: 1000-based units, same truncate-to-one-decimal
+_FN_MACROS_N["FORMATREADABLEDECIMALSIZE"] = {1: (
+    "(CASE WHEN abs(CAST({0} AS DOUBLE)) < 1000 "
+    "THEN concat(CAST(CAST({0} AS BIGINT) AS STRING), ' bytes') "
+    + "".join(
+        f"WHEN abs(CAST({{0}} AS DOUBLE)) < {1000.0 ** (k + 1):.0f} "
+        f"THEN concat(CAST(CAST("
+        f"CAST(CAST({{0}} AS DOUBLE) / {1000.0 ** k:.0f} * 10 AS BIGINT) "
+        f"AS DOUBLE) / 10 AS DECIMAL(18,1)), ' {u}') "
+        for k, u in ((1, "kB"), (2, "MB"), (3, "GB"), (4, "TB"))
+    )
+    + "ELSE concat(CAST(CAST("
+      "CAST(CAST({0} AS DOUBLE) / 1000000000000000 * 10 AS BIGINT) "
+      "AS DOUBLE) / 10 AS DECIMAL(18,1)), ' PB') END)"
+)}
 
 # DuckDB to_binary(VARCHAR): the '0'/'1' bit string of the UTF-8 bytes
 _FN_MACROS_N["TO_BINARY"] = {
@@ -4732,10 +4784,12 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                                 continue
                             out[blo:bhi] = [_sql_str(_convert_strftime(raw))]
                     out[i] = _ident("date_format")
-                elif up == "STRPTIME":
+                elif up in ("STRPTIME", "TRY_STRPTIME"):
                     # strptime(s, '%Y-%m-%d') -> to_timestamp with the
                     # lenient PARSING directive table (single-letter Java
-                    # fields accept unpadded numbers; %a/%A stripped)
+                    # fields accept unpadded numbers; %a/%A stripped).
+                    # try_strptime is the same call: non-ANSI to_timestamp
+                    # already returns NULL on parse failure
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
                     if len(spans) == 2:
@@ -4754,6 +4808,41 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             i += len(new_toks)
                             continue
                     out[i] = _ident("to_timestamp")
+                elif up == "ALIAS":
+                    # DuckDB alias(expr) = the expression's default output
+                    # name: last segment of an identifier chain, else the
+                    # expression's own rendered text ('42', "'abc'")
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 1:
+                        sig1 = [
+                            tk
+                            for tk in out[spans[0][0] : spans[0][1]]
+                            if tk.kind not in (WS, COMMENT)
+                        ]
+                        name = None
+                        ok_ident = bool(sig1)
+                        for tk in sig1:
+                            if tk.kind == IDENT:
+                                name = tk.text
+                            elif tk.kind in (QIDENT, BIDENT):
+                                name = tk.text[1:-1]
+                            elif tk.kind == PUNCT and tk.text == ".":
+                                continue
+                            else:
+                                ok_ident = False
+                                break
+                        txt = (
+                            name
+                            if ok_ident and name
+                            else render(
+                                _trim(out[spans[0][0] : spans[0][1]])
+                            ).strip()
+                        )
+                        out = out[:i] + [_sql_str(txt)] + out[c + 1 :]
+                        i += 1
+                        continue
+                    out[i] = _ident("alias")  # unsupported shape: loud
                 elif up in ("DATE_PART", "DATEPART"):
                     # numbering-convention fields expand to explicit Spark
                     # expressions; everything else passes through to Spark's

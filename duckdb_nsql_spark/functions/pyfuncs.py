@@ -658,6 +658,13 @@ def _json_path_steps(path: str):
     and int indexes); None for unsupported (wildcard) paths."""
     import re as _re
 
+    if path is not None and not isinstance(path, str):
+        # DuckDB: integer path = 0-based array index (arrives as a
+        # numpy int64 through the Arrow batch, not a python int)
+        try:
+            return [int(path)]
+        except (TypeError, ValueError):
+            return None
     p = (path or "").strip()
     if p.startswith("$"):
         body = p[1:]

@@ -810,6 +810,15 @@ class DuckSparkSession:
         self._plan_cache.clear()
 
     def _query_impl(self, sql: str) -> tuple[DataFrame, bool]:
+        if re.search(r"\bcurrent_query\s*\(\s*\)", sql, re.IGNORECASE):
+            # DuckDB current_query() = the ORIGINAL statement text
+            # (self-referencing, quotes included) — substitute before any
+            # rewrite touches the text
+            lit = "'" + sql.replace("'", "''") + "'"
+            sql = re.sub(
+                r"\bcurrent_query\s*\(\s*\)", lit.replace("\\", "\\\\"), sql,
+                flags=re.IGNORECASE,
+            )
         sql = self._expand_macros(sql)
         # DuckDB percentage limit: LIMIT p% keeps floor(p/100 * n) rows
         # of the (ordered) result — needs the total, so one count job;

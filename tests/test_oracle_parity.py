@@ -304,6 +304,58 @@ def test_window_exclude_group_ties(spark, ddb):
         )
 
 
+def test_function_catalog_sweep_round5(spark, ddb):
+    """Round-5 duckdb_functions() gap batch: scalar micro/millisecond
+    accessors, single-arg add/subtract/greatest/least, scalar era(),
+    bit_position over BIT bitstrings, formatReadable[Decimal]Size,
+    list_element/list_cat/array_concat/str_split_regex aliases,
+    to_quarters, try_strptime, make_timestamptz (UTC session; the engine
+    carries timestamps naive-UTC so only the VALUE is compared),
+    integer json paths, json_array_length non-array -> 0, and
+    current_query() self-reference. Every cell must equal DuckDB."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    exprs = [
+        "microsecond(TIMESTAMP '2024-02-15 10:30:45.123456')",
+        "millisecond(TIMESTAMP '2024-02-15 10:30:45.123456')",
+        "add(3)", "subtract(5)", "greatest('abc')", "least(7)",
+        "era(TIMESTAMP '2024-02-15 10:30:45')",
+        "bit_position('01'::BIT, '1101'::BIT)",
+        "bit_position('11'::BIT, '0001'::BIT)",
+        "formatReadableSize(123456789)",
+        "formatReadableDecimalSize(123456789)",
+        "formatReadableDecimalSize(999)",
+        "formatReadableDecimalSize(1500)",
+        "list_element([1,2,3], 2)",
+        "list_cat([1,2],[3])",
+        "array_concat([1],[2,3])",
+        "str_split_regex('a1b2c', '[0-9]')",
+        "to_quarters(3)",
+        "epoch(make_timestamptz(2024,2,15,10,30,45.5))",
+        "json_extract('{\"a\":1}', 3)",
+        "json_extract('[5,6,7]', 1)",
+        "json_array_length('{\"a\":1}')",
+        "json_array_length('[1,2]')",
+        "json_array_length(NULL)",
+        "try_strptime('nope', '%Y-%m-%d')",
+        "try_strptime('2024-02-15', '%Y-%m-%d')",
+    ]
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    srow = [tuple(r) for r in eng.execute(sql).collect()][0]
+    drow = ddb.execute(sql).fetchall()[0]
+    diffs = [
+        (exprs[i], srow[i], drow[i])
+        for i in range(len(exprs))
+        if str(srow[i]) != str(drow[i])
+    ]
+    assert not diffs, diffs[:6]
+    q = "SELECT current_query() AS q"
+    assert [tuple(r) for r in eng.execute(q).collect()] == ddb.execute(
+        q
+    ).fetchall()
+
+
 def test_function_catalog_sweep_round4f(spark, ddb):
     """duckdb_functions() catalog diff wave: arg_min/arg_max NULL-value
     skipping (and the *_null keep-NULLs variants), sem, grade_up
