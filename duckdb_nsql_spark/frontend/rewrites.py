@@ -2145,6 +2145,9 @@ _FN_MACROS_N: dict[str, dict[int, str]] = {
     "LIST_SELECT": {
         2: "transform({1}, i -> try_element_at({0}, CAST(i AS INT)))"
     },
+    "ARRAY_SELECT": {
+        2: "transform({1}, i -> try_element_at({0}, CAST(i AS INT)))"
+    },
     # list_where(l, mask): keep elements whose mask is true
     "LIST_WHERE": {
         2: "transform(filter(zip_with({0}, {1}, "
@@ -3315,7 +3318,13 @@ def _strptime_call(s_txt: str, fmt: str) -> str:
         fmt = fmt.replace("%a", "").replace("%A", "")
         s_txt = f"regexp_replace({s_txt}, '{_DAYNAME_STRIP_RE}', '')"
     pattern = _convert_strftime(fmt, _STRPTIME_MAP).replace("'", "''")
-    return f"to_timestamp({s_txt}, '{pattern}')"
+    call = f"to_timestamp({s_txt}, '{pattern}')"
+    # DuckDB's strptime base date is 1900-01-01; Spark's is 1970-01-01.
+    # When the format carries no year field, shift the parsed value back
+    # 70 years (a year-month interval keeps month/day/time fields)
+    if not re.search(r"%[-]?[YyGgCD]|%x", fmt):
+        return f"({call} - make_ym_interval(70, 0))"
+    return call
 
 
 def _strftime_concat(x_txt: str, fmt: str) -> str:
@@ -5486,6 +5495,16 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
                     fsig = _trim(out[spans[0][0] : spans[0][1]]) if spans else []
+                    if (
+                        len(spans) == 1
+                        and len(fsig) == 1
+                        and fsig[0].kind == STRING
+                        and "{" not in _str_value(fsig[0])
+                    ):
+                        # format('abc') with no placeholders = the string
+                        out = out[:i] + [fsig[0]] + out[c + 1 :]
+                        i += 1
+                        continue
                     if (
                         len(spans) >= 2
                         and len(fsig) == 1

@@ -340,6 +340,10 @@ def test_function_catalog_sweep_round5(spark, ddb):
         "json_array_length(NULL)",
         "try_strptime('nope', '%Y-%m-%d')",
         "try_strptime('2024-02-15', '%Y-%m-%d')",
+        "strptime('02-15', '%m-%d')",  # year-less: 1900 base date
+        "try_strptime('07-04 10:30', '%m-%d %H:%M')",
+        "format('abc')",
+        "array_select([9,8,7], [1,3])",
     ]
     sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
     srow = [tuple(r) for r in eng.execute(sql).collect()][0]
