@@ -1683,10 +1683,9 @@ _SIMPLE_RENAMES = {
     # Kahan-compensated float aggs: Spark's sum/avg (values agree; the
     # compensation is a single-node numerical nicety, meaningless once the
     # sum is a distributed two-phase merge)
-    "FSUM": "sum",
-    "SUMKAHAN": "sum",
-    "KAHAN_SUM": "sum",
-    "FAVG": "avg",
+    # (FSUM/SUMKAHAN/KAHAN_SUM/FAVG live in _FN_MACROS_1: DuckDB's
+    # float-compensated aggregates always return DOUBLE, so DECIMAL
+    # inputs cast before the fold)
     "APPROX_QUANTILE": "approx_percentile",
     "WEEK": "weekofyear",
     "WEEKOFYEAR": "weekofyear",
@@ -1868,6 +1867,13 @@ _FN_MACROS_1 = {
     "EPOCH_MS": "unix_millis(CAST({a} AS TIMESTAMP))",
     # Spark spells it sha2(expr, bits)
     "SHA256": "sha2({a}, 256)",
+    # float-compensated aggregates: always DOUBLE in DuckDB (the Kahan
+    # compensation itself is a single-node nicety — meaningless once the
+    # sum is a distributed two-phase merge)
+    "FSUM": "CAST(sum(CAST({a} AS DOUBLE)) AS DOUBLE)",
+    "SUMKAHAN": "CAST(sum(CAST({a} AS DOUBLE)) AS DOUBLE)",
+    "KAHAN_SUM": "CAST(sum(CAST({a} AS DOUBLE)) AS DOUBLE)",
+    "FAVG": "avg(CAST({a} AS DOUBLE))",
 }
 
 # date_part fields whose numbering differs between the dialects:
@@ -2782,6 +2788,16 @@ _FN_MACROS_N["ERA"] = {1: "(CASE WHEN year({0}) > 0 THEN 1 ELSE 0 END)"}
 _FN_MACROS_N["BIT_POSITION"] = {2: "instr({1}, {0})"}
 _FN_MACROS_0["GET_CURRENT_TIMESTAMP"] = "current_timestamp()"
 _FN_MACROS_0["CURRENT_LOCALTIMESTAMP"] = "localtimestamp()"
+_FN_MACROS_0["COUNT_STAR"] = "count(*)"
+# Spark's native regr_avgx/avgy keep DECIMAL typing; DuckDB: DOUBLE.
+# These live in _FN_MACROS_N (cursor-advancing, expansion NOT re-scanned)
+# because the template references the same function name.
+_FN_MACROS_N["REGR_AVGX"] = {
+    2: "CAST(regr_avgx(CAST({0} AS DOUBLE), CAST({1} AS DOUBLE)) AS DOUBLE)"
+}
+_FN_MACROS_N["REGR_AVGY"] = {
+    2: "CAST(regr_avgy(CAST({0} AS DOUBLE), CAST({1} AS DOUBLE)) AS DOUBLE)"
+}
 _FN_MACROS_N["MAKE_TIMESTAMPTZ"] = {
     1: _FN_MACROS_N["MAKE_TIMESTAMP"][1],
     6: "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})",

@@ -593,8 +593,9 @@ def register_python_functions(spark: SparkSession) -> None:
 
     @pandas_udf("double")
     def mad(s: pd.Series) -> float:
-        # median absolute deviation around the median (DuckDB mad)
-        v = s.dropna()
+        # median absolute deviation around the median (DuckDB mad);
+        # DECIMAL columns arrive as object-dtype Decimals — coerce
+        v = s.dropna().astype("float64")
         if v.empty:
             return None
         med = v.median()

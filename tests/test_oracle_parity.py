@@ -358,6 +358,28 @@ def test_function_catalog_sweep_round5(spark, ddb):
     assert [tuple(r) for r in eng.execute(q).collect()] == ddb.execute(
         q
     ).fetchall()
+    # aggregate batch (from the duckdb_functions() aggregate scan):
+    # count_star, DOUBLE-typed Kahan family, regr_avgx/avgy DOUBLE,
+    # mad over DECIMAL (separate statement: Spark cannot mix a pandas
+    # UDAF with built-in aggregates in one projection)
+    setup = (
+        "CREATE TABLE aggsweep AS SELECT * FROM (VALUES (1, 2.5),"
+        " (2, 1.5), (3, 4.0), (4, NULL)) v(i, d)"
+    )
+    eng.execute(setup)
+    ddb.execute(setup)
+    q = (
+        "SELECT count_star() AS a, fsum(d) AS c, kahan_sum(d) AS k,"
+        " sumkahan(d) AS e, favg(d) AS f, regr_avgx(d, i) AS g,"
+        " regr_avgy(d, i) AS h FROM aggsweep"
+    )
+    assert str([tuple(r) for r in eng.execute(q).collect()]) == str(
+        ddb.execute(q).fetchall()
+    )
+    q = "SELECT mad(d) AS b, mad(i) AS m2 FROM aggsweep"
+    srow = [tuple(r) for r in eng.execute(q).collect()][0]
+    drow = ddb.execute(q).fetchall()[0]
+    assert [str(v) for v in srow] == [str(v) for v in drow]
 
 
 def test_function_catalog_sweep_round4f(spark, ddb):
