@@ -1637,6 +1637,8 @@ _SIMPLE_RENAMES = {
     "LIST_APPEND": "array_append",
     "ARRAY_APPEND": "array_append",
     "LIST_REVERSE": "reverse",
+    "ARRAY_REVERSE": "reverse",
+    "ARRAY_HAS_ANY": "arrays_overlap",
     "ARRAY_LENGTH": "size",
     "LIST_HAS_ANY": "arrays_overlap",
     "STRPOS": "instr",
@@ -2034,6 +2036,7 @@ _FN_MACROS_N: dict[str, dict[int, str]] = {
            "s -> s.i)"
     },
     "LIST_HAS_ALL": {2: "forall({1}, x -> array_contains({0}, x))"},
+    "ARRAY_HAS_ALL": {2: "forall({1}, x -> array_contains({0}, x))"},
     # aggregates
     "GEOMEAN": {1: "exp(avg(ln({0})))"},
     "GEOMETRIC_MEAN": {1: "exp(avg(ln({0})))"},
@@ -2789,6 +2792,134 @@ _FN_MACROS_N["BIT_POSITION"] = {2: "instr({1}, {0})"}
 _FN_MACROS_0["GET_CURRENT_TIMESTAMP"] = "current_timestamp()"
 _FN_MACROS_0["CURRENT_LOCALTIMESTAMP"] = "localtimestamp()"
 _FN_MACROS_0["COUNT_STAR"] = "count(*)"
+_FN_MACROS_0["CURRENT_USER"] = "'duckdb'"
+_FN_MACROS_0["CURRENT_ROLE"] = "'duckdb'"
+_FN_MACROS_0["SESSION_USER"] = "'duckdb'"
+
+# list_<agg> macro family (DuckDB's aggregate-over-one-list macros).
+# All cursor-advancing templates — expansions are plain Spark built-ins.
+_LMED = "array_sort(filter({0}, x -> x IS NOT NULL))"
+_FN_MACROS_N["LIST_ANY_VALUE"] = {
+    1: "try_element_at(filter({0}, x -> x IS NOT NULL), 1)"
+}
+_FN_MACROS_N["LIST_APPROX_COUNT_DISTINCT"] = {
+    1: "CAST(size(array_distinct(filter({0}, x -> x IS NOT NULL)))"
+       " AS BIGINT)"
+}
+_FN_MACROS_N["LIST_COUNT"] = {
+    1: "CAST(size(filter({0}, x -> x IS NOT NULL)) AS BIGINT)"
+}
+_FN_MACROS_N["LIST_FIRST"] = {1: "try_element_at({0}, 1)"}
+_FN_MACROS_N["LIST_LAST"] = {1: "try_element_at({0}, -1)"}
+_FN_MACROS_N["LIST_BIT_AND"] = {
+    1: "aggregate(filter({0}, x -> x IS NOT NULL), CAST(NULL AS BIGINT),"
+       " (acc, x) -> CASE WHEN acc IS NULL THEN CAST(x AS BIGINT)"
+       " ELSE acc & x END)"
+}
+_FN_MACROS_N["LIST_BIT_OR"] = {
+    1: "aggregate(filter({0}, x -> x IS NOT NULL), CAST(NULL AS BIGINT),"
+       " (acc, x) -> CASE WHEN acc IS NULL THEN CAST(x AS BIGINT)"
+       " ELSE acc | x END)"
+}
+# xor spelled arithmetically: (a|b) - (a&b); a literal ^ here would be
+# re-claimed as exponentiation by pass_caret_power's dialect rule
+_FN_MACROS_N["LIST_BIT_XOR"] = {
+    1: "aggregate(filter({0}, x -> x IS NOT NULL), CAST(NULL AS BIGINT),"
+       " (acc, x) -> CASE WHEN acc IS NULL THEN CAST(x AS BIGINT)"
+       " ELSE (acc | CAST(x AS BIGINT)) - (acc & CAST(x AS BIGINT)) END)"
+}
+_FN_MACROS_N["LIST_BOOL_AND"] = {
+    1: "aggregate(filter({0}, x -> x IS NOT NULL), CAST(NULL AS BOOLEAN),"
+       " (acc, x) -> CASE WHEN acc IS NULL THEN x ELSE acc AND x END)"
+}
+_FN_MACROS_N["LIST_BOOL_OR"] = {
+    1: "aggregate(filter({0}, x -> x IS NOT NULL), CAST(NULL AS BOOLEAN),"
+       " (acc, x) -> CASE WHEN acc IS NULL THEN x ELSE acc OR x END)"
+}
+_FN_MACROS_N["LIST_PRODUCT"] = {
+    1: "aggregate(filter({0}, x -> x IS NOT NULL), CAST(1 AS DOUBLE),"
+       " (acc, x) -> acc * x)"
+}
+_FN_MACROS_N["LIST_MEDIAN"] = {1: (
+    f"(CASE WHEN size({_LMED}) = 0 THEN CAST(NULL AS DOUBLE)"
+    f" WHEN pmod(size({_LMED}), 2) = 1"
+    f" THEN CAST(try_element_at({_LMED},"
+    f" CAST((size({_LMED}) + 1) / 2 AS INT)) AS DOUBLE)"
+    f" ELSE (CAST(try_element_at({_LMED},"
+    f" CAST(size({_LMED}) / 2 AS INT)) AS DOUBLE)"
+    f" + CAST(try_element_at({_LMED},"
+    f" CAST(size({_LMED}) / 2 + 1 AS INT)) AS DOUBLE)) / 2 END)"
+)}
+_FN_MACROS_N["LIST_HISTOGRAM"] = {1: (
+    "map_from_entries(transform("
+    "array_sort(array_distinct(filter({0}, x -> x IS NOT NULL))),"
+    " d -> struct(d, CAST(size(filter({0}, x -> x = d)) AS BIGINT))))"
+)}
+_FN_MACROS_N["ARRAY_POP_BACK"] = {
+    1: "slice({0}, 1, greatest(size({0}) - 1, 0))"
+}
+_FN_MACROS_N["ARRAY_POP_FRONT"] = {
+    1: "(CASE WHEN size({0}) <= 1 THEN slice({0}, 1, 0)"
+       " ELSE slice({0}, 2, size({0}) - 1) END)"
+}
+_FN_MACROS_N["ARRAY_PUSH_BACK"] = {2: "array_append({0}, {1})"}
+_FN_MACROS_N["ARRAY_PUSH_FRONT"] = {2: "array_prepend({0}, {1})"}
+# json aggregation macros: duckdb renders through its JSON writer; Spark's
+# to_json over the collected values produces the same canonical text
+_FN_MACROS_N["JSON_GROUP_ARRAY"] = {1: "to_json(collect_list({0}))"}
+_FN_MACROS_N["JSON_GROUP_OBJECT"] = {
+    2: "to_json(map_from_entries(collect_list(struct({0}, {1}))))"
+}
+
+# list moment family: central-moment folds over the null-filtered list.
+# Formulas match DuckDB's aggregates (verified numerically): skewness is
+# the adjusted Fisher-Pearson G1, kurtosis the sample-adjusted excess G2,
+# sem the POPULATION stddev / sqrt(n), entropy log2 over value
+# frequencies, mode ties broken by first occurrence.
+_LF = "filter({0}, x -> x IS NOT NULL)"
+_LN = f"size({_LF})"
+_LMEAN = f"(aggregate({_LF}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / {_LN})"
+
+
+def _lmom(k: int) -> str:
+    term = " * ".join(["(x - @M@)"] * k)
+    return (
+        f"(aggregate({_LF}, CAST(0 AS DOUBLE), (acc, x) -> acc + {term})"
+        f" / @N@)"
+    ).replace("@M@", _LMEAN).replace("@N@", _LN)
+
+
+_FN_MACROS_N["LIST_SEM"] = {1: f"sqrt({_lmom(2)} / {_LN})"}
+_FN_MACROS_N["LIST_SKEWNESS"] = {1: (
+    f"({_lmom(3)} / power({_lmom(2)}, 1.5)"
+    f" * sqrt({_LN} * ({_LN} - 1)) / ({_LN} - 2))"
+)}
+_FN_MACROS_N["LIST_KURTOSIS_POP"] = {1: (
+    f"({_lmom(4)} / ({_lmom(2)} * {_lmom(2)}) - 3)"
+)}
+_FN_MACROS_N["LIST_KURTOSIS"] = {1: (
+    f"((({_LN} + 1) * ({_lmom(4)} / ({_lmom(2)} * {_lmom(2)}) - 3) + 6)"
+    f" * ({_LN} - 1) / (({_LN} - 2) * ({_LN} - 3)))"
+)}
+_FN_MACROS_N["LIST_ENTROPY"] = {1: (
+    f"aggregate(transform(array_distinct({_LF}),"
+    f" d -> CAST(size(filter({_LF}, x -> x = d)) AS DOUBLE)),"
+    f" CAST(0 AS DOUBLE),"
+    f" (acc, c) -> acc - (c / {_LN}) * log2(c / {_LN}))"
+)}
+_FN_MACROS_N["LIST_MODE"] = {1: (
+    f"(try_element_at(array_sort(transform(array_distinct({_LF}),"
+    f" d -> struct(CAST(-size(filter({_LF}, x -> x = d)) AS INT) AS c,"
+    f" array_position({{0}}, d) AS p, d AS v))), 1).v)"
+)}
+_FN_MACROS_N["LIST_MAD"] = {1: _FN_MACROS_N["LIST_MEDIAN"][1].replace(
+    "{0}",
+    "transform("
+    + _LF
+    + ", x -> CAST(abs(x - "
+    + _FN_MACROS_N["LIST_MEDIAN"][1]
+    + ") AS DOUBLE))",
+)}
 # Spark's native regr_avgx/avgy keep DECIMAL typing; DuckDB: DOUBLE.
 # These live in _FN_MACROS_N (cursor-advancing, expansion NOT re-scanned)
 # because the template references the same function name.

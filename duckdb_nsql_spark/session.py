@@ -342,6 +342,7 @@ class DuckSparkSession:
         self._table_files: dict[str, str] = {}
         self._fixed_arrays: dict[str, dict[str, int]] = {}
         self._databases: set[str] = {"memory", "main", "information_schema"}
+        self._primary_db_name: str = "memory"
         self._current_db = "memory"
         self._resolver = _CatalogResolver(self)
         self._kind_cache: Optional[dict[str, str]] = None
@@ -574,6 +575,7 @@ class DuckSparkSession:
         ``connect('nyc.duckdb')`` names the catalog ``nyc`` — then both
         ``taxi`` and ``nyc.taxi`` resolve, and SHOW DATABASES lists it."""
         self._databases.add(name)
+        self._primary_db_name = name
 
     def register_parquet_dir(self, sf_dir: str) -> None:
         """Register every ``<dir>/<table>.parquet`` as a base table."""
@@ -810,6 +812,17 @@ class DuckSparkSession:
         self._plan_cache.clear()
 
     def _query_impl(self, sql: str) -> tuple[DataFrame, bool]:
+        if re.search(
+            r"\bcurrent_(?:database|catalog)\s*\(\s*\)", sql, re.IGNORECASE
+        ):
+            # DuckDB: the primary catalog's name ('memory' for in-memory
+            # sessions, the file's base name for connect('x.duckdb'))
+            sql = re.sub(
+                r"\bcurrent_(?:database|catalog)\s*\(\s*\)",
+                "'" + self._primary_db_name.replace("'", "''") + "'",
+                sql,
+                flags=re.IGNORECASE,
+            )
         if re.search(r"\bcurrent_query\s*\(\s*\)", sql, re.IGNORECASE):
             # DuckDB current_query() = the ORIGINAL statement text
             # (self-referencing, quotes included) — substitute before any

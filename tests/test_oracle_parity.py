@@ -382,6 +382,63 @@ def test_function_catalog_sweep_round5(spark, ddb):
     assert [str(v) for v in srow] == [str(v) for v in drow]
 
 
+def test_list_macro_family_matches_duckdb(spark, ddb):
+    """DuckDB's list_<agg> macro family as Spark array folds: any_value/
+    approx_count_distinct/count/first/last, bit_and/or/xor (xor spelled
+    arithmetically — a raw ^ is exponentiation in the dialect),
+    bool_and/or (null-skipping, NULL on empty), product (DOUBLE),
+    median (even-count average), histogram (sorted map), mode (ties ->
+    first occurrence), mad, and the moment family — sem is POPULATION
+    stddev/sqrt(n), skewness the adjusted Fisher-Pearson G1, kurtosis
+    the sample-adjusted excess G2, entropy log2 over value frequencies
+    (all verified against DuckDB numerically; moments rounded to 9
+    digits to absorb fold-order ulps). Plus array_pop/push/has/reverse
+    aliases, json_group_array/object, count_star, current_user/role/
+    database rendering."""
+    from duckdb_nsql_spark import connect
+
+    eng = connect(spark=spark)
+    exprs = [
+        "list_mode([1,1,2])", "list_mode([2,1])",
+        "round(list_sem([1.0,2.0,4.0,8.0]), 9)",
+        "round(list_skewness([1.0,2.0,4.0,8.0]), 9)",
+        "round(list_kurtosis([1.0,2.0,4.0,8.0]), 9)",
+        "round(list_kurtosis_pop([1.0,2.0,4.0,8.0]), 9)",
+        "round(list_entropy([1,1,2]), 9)",
+        "CAST(list_mad([1.0,2.0,4.0]) AS DOUBLE)",
+        "list_median([1,2,4])", "list_median([1,2,3,4])",
+        "list_product([2,3,4])",
+        "list_bool_and([true,NULL])", "list_bool_or([false,NULL])",
+        "list_bit_and([6,3])", "list_bit_or([1,2])", "list_bit_xor([5,3])",
+        "list_any_value([NULL,3,5])", "list_count([1,NULL,3])",
+        "list_first([7,8])", "list_last([7,8])",
+        "list_approx_count_distinct([1,2,2,3])",
+        "array_pop_back([1,2,3])", "array_pop_front([1,2,3])",
+        "array_push_back([1,2], 3)", "array_push_front([2,3], 1)",
+        "array_has_all([1,2,3],[2])", "array_has_any([1,2],[2,5])",
+        "array_reverse([1,2,3])",
+        "current_user()", "current_role()", "session_user()",
+        "current_database()", "current_catalog()",
+        "count_star()",
+    ]
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    srow = [tuple(r) for r in eng.execute(sql).collect()][0]
+    drow = ddb.execute(sql).fetchall()[0]
+    diffs = [
+        (exprs[i], srow[i], drow[i])
+        for i in range(len(exprs))
+        if str(srow[i]) != str(drow[i])
+    ]
+    assert not diffs, diffs[:6]
+    q2 = (
+        "SELECT json_group_array(i) AS a, json_group_object(s, i) AS b"
+        " FROM (VALUES (1,'x'),(2,'y')) t(i,s)"
+    )
+    assert [tuple(r) for r in eng.execute(q2).collect()] == ddb.execute(
+        q2
+    ).fetchall()
+
+
 def test_function_catalog_sweep_round4f(spark, ddb):
     """duckdb_functions() catalog diff wave: arg_min/arg_max NULL-value
     skipping (and the *_null keep-NULLs variants), sem, grade_up
