@@ -5220,6 +5220,27 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                     # pattern (Spark's regexp_extract has no flags arg)
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
+                    if len(spans) == 3:
+                        # DuckDB returns '' for a group index beyond the
+                        # pattern's capture-group count; Spark errors.
+                        # Statically checkable for literal pattern + idx.
+                        psig = _trim(out[spans[1][0] : spans[1][1]])
+                        gsig = _trim(out[spans[2][0] : spans[2][1]])
+                        if (
+                            len(psig) == 1
+                            and psig[0].kind == STRING
+                            and len(gsig) == 1
+                            and gsig[0].kind == NUMBER
+                            and gsig[0].text.isdigit()
+                        ):
+                            pat = _str_value(psig[0])
+                            groups = len(
+                                re.findall(r"(?<!\\)\((?!\?)", pat)
+                            )
+                            if int(gsig[0].text) > groups:
+                                out = out[:i] + [_sql_str("")] + out[c + 1 :]
+                                i += 1
+                                continue
                     if len(spans) == 4:
                         fsig = _trim(out[spans[3][0] : spans[3][1]])
                         psig = _trim(out[spans[1][0] : spans[1][1]])
@@ -5774,6 +5795,22 @@ def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = No
                             out = out[:i] + new_toks + out[c + 1 :]
                             i += len(new_toks)
                             continue
+                elif up == "GENERATE_SUBSCRIPTS":
+                    # generate_subscripts(list, dim) = unnest of the
+                    # 1-based index range (only 1-D lists exist here, so
+                    # dim collapses). Rewritten IN PLACE to an UNNEST call
+                    # — the cursor stays so the generator branch below
+                    # handles the explosion placement rules.
+                    c = match_forward(out, n, "(", ")")
+                    spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        l_txt = render(pass_function_renames(
+                            _trim(out[spans[0][0] : spans[0][1]]), resolver
+                        ))
+                        out[i : c + 1] = tokenize(
+                            f"unnest(sequence(1, size({l_txt})))"
+                        )
+                        continue
                 elif up == "UNNEST":
                     # arrays -> explode (one generator per select); STRUCT
                     # unnest expands the fields as columns — inline over a

@@ -437,6 +437,18 @@ def test_list_macro_family_matches_duckdb(spark, ddb):
     assert [tuple(r) for r in eng.execute(q2).collect()] == ddb.execute(
         q2
     ).fetchall()
+    # generator + static regexp group-overflow parity
+    q3 = "SELECT generate_subscripts([9,8,7], 1) AS g"
+    assert [tuple(r) for r in eng.execute(q3).collect()] == ddb.execute(
+        q3
+    ).fetchall()
+    q4 = (
+        "SELECT regexp_extract('abc', 'a(b)c', 3) AS a,"
+        " regexp_extract('xy9', '([a-z])([a-z])', 2) AS b"
+    )
+    assert [tuple(r) for r in eng.execute(q4).collect()] == ddb.execute(
+        q4
+    ).fetchall()
 
 
 def test_function_catalog_sweep_round4f(spark, ddb):
