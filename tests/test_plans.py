@@ -258,3 +258,33 @@ def test_q22_cte_localizes_and_job_budget(spark):
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup("q22_budget")
     assert len(jobs) <= 5, f"q22 ran {len(jobs)} jobs: {jobs}"
+
+
+def test_oversized_build_falls_back_to_sort_merge(loaded_engine, spark):
+    """The shuffled-hash-join preference is SIZE-GATED: when the build
+    side cannot fit a per-partition map (simulated by shrinking the
+    thresholds), planning falls back to spill-safe SortMergeJoin — the
+    100 TB fact-join safety property behind preferSortMergeJoin=false."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        spark.conf.set(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "0"
+        )
+        loaded_engine.clear_statement_cache()
+        df = loaded_engine.execute(
+            workload.ENGINE_SQL["q06_multiway_join"][0]
+        )
+        plan = plan_of(df)
+        assert "SortMergeJoin" in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        loaded_engine.clear_statement_cache()
