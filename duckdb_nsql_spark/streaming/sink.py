@@ -57,3 +57,61 @@ def stream_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_upsert_to_table(
+    spark: SparkSession,
+    warehouse: DurableWarehouse,
+    stream_df: DataFrame,
+    table: str,
+    key_cols: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+    stream_id: str = "cdc-1",
+    tiebreak_cols: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CDC-style exactly-once UPSERT ingest: each micro-batch merges into
+    the warehouse table keeping, per key, the row with the greatest
+    ``order_col`` (then ``tiebreak_cols``) across EVERYTHING seen so far —
+    so the final table is independent of how the source was micro-batched.
+
+    Same idempotence contract as :func:`stream_to_table`: the batch
+    watermark commits atomically with the merged data (one commit-log
+    entry), so a replayed batch after a crash is skipped from committed
+    state. The merge is a copy-on-write table rewrite here (the honest
+    cost of upsert on plain parquet); on a cluster the identical
+    foreachBatch body targets Delta's native MERGE via the warehouse's
+    delta mode.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        ent = warehouse.tables().get(table)
+        meta = dict((ent or {}).get("meta") or {})
+        wm = dict(meta.get("stream_wm") or {})
+        if batch_id <= wm.get(stream_id, -1):
+            return  # replayed batch — already merged atomically
+        data = batch_df
+        if ent is not None:
+            data = warehouse.load_df(spark, table).unionByName(batch_df)
+        order = [F.col(order_col).desc()] + [
+            F.col(c).desc() for c in (tiebreak_cols or [])
+        ]
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        latest = (
+            data.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        wm[stream_id] = batch_id
+        meta["stream_wm"] = wm
+        warehouse.save_table(spark, table, latest, meta)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2568,6 +2568,55 @@ FROM events GROUP BY event_type
 """
 
 
+def op_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-row-per-key ingest: the events backlog streams
+    through the exactly-once UPSERT sink keyed by user_id (latest ts,
+    event_id tiebreak); a checkpointed restart over the consumed source
+    is a no-op, and the final table equals the batch latest-per-key
+    query — the DuckDB oracle."""
+    import tempfile
+
+    from .sources.warehouse import DurableWarehouse
+    from .streaming import sink as sk
+    from .streaming import windows as sw
+
+    root = tempfile.mkdtemp(prefix="ddbspark_cdcwh_")
+    wh = DurableWarehouse(root)
+    ckpt = os.path.join(root, "_ckpt")
+
+    def run_once() -> None:
+        stream = sw.read_events_stream(
+            spark,
+            os.path.join(sf_dir, "events.parquet"),
+            max_files_per_trigger=1,
+        )
+        proj = stream.select("user_id", "ts", "event_type", "value", "event_id")
+        q = sk.stream_upsert_to_table(
+            spark, wh, proj, "user_latest", ["user_id"], "ts", ckpt,
+            tiebreak_cols=["event_id"],
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    run_once()  # restart: consumed source + idempotent sink -> no-op
+    df = wh.load_df(spark, "user_latest")
+    return df.select(
+        "user_id", "ts", "event_type",
+        F.round("value", 4).alias("value_r"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+
+
+ORACLE_STREAM_UPSERT = """
+SELECT user_id, ts, event_type, round(value, 4) AS value_r, event_id
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def op_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import windows as sw
 
@@ -3241,6 +3290,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dedup_paragraph": (op_dedup_paragraph, ORACLE_DEDUP_PARAGRAPH),
     "op_dsir_select": (op_dsir_select, ORACLE_DSIR_SELECT),
     "op_stream_warehouse_sink": (op_stream_warehouse_sink, ORACLE_STREAM_SINK),
+    "op_stream_upsert": (op_stream_upsert, ORACLE_STREAM_UPSERT),
     "op_token_histogram": (op_token_histogram, ORACLE_TOKEN_HISTOGRAM),
     "op_embedding_quantize": (op_embedding_quantize, ORACLE_EMBED_QUANTIZE),
 }

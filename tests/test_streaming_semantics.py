@@ -351,3 +351,82 @@ def test_warehouse_sink_exactly_once_across_replay_and_restart(
     # (3) earlier segments are untouched prefixes of the new list
     assert segs2[: len(segs1)] == segs1
     assert len(segs2) == 3
+
+
+def test_cdc_upsert_sink_latest_per_key_and_replay(spark, tmp_path):
+    """The CDC upsert sink keeps the globally-latest row per key across
+    micro-batches (batch-size independent), skips replayed batches, and
+    a restart over new backlog merges only the new rows."""
+    from duckdb_nsql_spark.sources.warehouse import DurableWarehouse
+    from duckdb_nsql_spark.streaming import sink as sk
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(n, rows):  # rows: (key, seq, val)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], pa.int64()),
+                    "seq": pa.array([r[1] for r in rows], pa.int64()),
+                    "v": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            str(src / f"part-{n}.parquet"),
+        )
+
+    # batch 0 carries a NEWER seq for key 1 than batch 1 does: the
+    # final row for key 1 must come from batch 0 (global latest, not
+    # last-batch-wins)
+    write_file(0, [(1, 10, "a10"), (2, 1, "b1")])
+    write_file(1, [(1, 5, "a5"), (3, 2, "c2")])
+
+    wh = DurableWarehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema("k long, seq long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return sk.stream_upsert_to_table(
+            spark, wh, stream, "t", ["k"], "seq", ckpt, stream_id="s1"
+        )
+
+    start().awaitTermination(120)
+    rows = {
+        r["k"]: (r["seq"], r["v"])
+        for r in wh.load_df(spark, "t").collect()
+    }
+    assert rows == {1: (10, "a10"), 2: (1, "b1"), 3: (2, "c2")}
+
+    # crash replay of the last committed batch: no change
+    ent_before = wh.tables()["t"]
+    wm = ent_before["meta"]["stream_wm"]["s1"]
+    replay = wh.load_df(spark, "t")
+
+    def _process(batch_df, batch_id):
+        e = wh.tables().get("t")
+        meta = dict((e or {}).get("meta") or {})
+        w = dict(meta.get("stream_wm") or {})
+        if batch_id <= w.get("s1", -1):
+            return
+        raise AssertionError("replayed batch was not skipped")
+
+    _process(replay, wm)
+    assert wh.tables()["t"] == ent_before
+
+    # restart over new backlog: key 2 updated, key 4 added
+    write_file(2, [(2, 9, "b9"), (4, 1, "d1")])
+    start().awaitTermination(120)
+    rows = {
+        r["k"]: (r["seq"], r["v"])
+        for r in wh.load_df(spark, "t").collect()
+    }
+    assert rows == {
+        1: (10, "a10"),
+        2: (9, "b9"),
+        3: (2, "c2"),
+        4: (1, "d1"),
+    }
