@@ -1521,6 +1521,60 @@ def _is_single_round_call(expr: list[Token]) -> bool:
     return len(split_args(expr, o + 1, c)) == 1
 
 
+_BOOL_OPS = frozenset({"=", "==", "<", ">", "<=", ">=", "<>", "!="})
+_BOOL_KWS = frozenset(
+    {"AND", "OR", "NOT", "LIKE", "ILIKE", "BETWEEN", "IN", "IS", "EXISTS",
+     "TRUE", "FALSE"}
+)
+
+
+def _expr_is_decimal_literal(sig: list[Token]) -> bool:
+    """A (possibly signed) NUMBER literal with a decimal point: DuckDB
+    types it DECIMAL, and DECIMAL->INTEGER casts round half AWAY from
+    zero (2.5 -> 3) where DOUBLE->INTEGER casts round HALF-EVEN."""
+    while (
+        len(sig) >= 2
+        and sig[0].kind == PUNCT
+        and sig[0].text == "("
+        and _match_sig_forward(sig, 0) == len(sig) - 1
+    ):
+        sig = sig[1:-1]
+    if sig and sig[0].kind == OP and sig[0].text in ("-", "+"):
+        sig = sig[1:]
+    return (
+        len(sig) == 1
+        and sig[0].kind == NUMBER
+        and "." in sig[0].text
+        and "e" not in sig[0].text.lower()
+    )
+
+
+def _expr_is_boolean(sig: list[Token]) -> bool:
+    """Statically boolean cast operand (comparison/logical operators at
+    the top level, single-paren groups unwrapped): DuckDB CAST(bool AS
+    INTEGER) is 1/0 and round() rejects booleans, so the int-cast
+    rounding rewrite must not touch these."""
+    while (
+        len(sig) >= 2
+        and sig[0].kind == PUNCT
+        and sig[0].text == "("
+        and _match_sig_forward(sig, 0) == len(sig) - 1
+    ):
+        sig = sig[1:-1]
+    depth = 0
+    for tk in sig:
+        if tk.kind == PUNCT and tk.text in "([{":
+            depth += 1
+        elif tk.kind == PUNCT and tk.text in ")]}":
+            depth -= 1
+        elif depth == 0:
+            if tk.kind == OP and tk.text in _BOOL_OPS:
+                return True
+            if tk.kind == IDENT and tk.upper in _BOOL_KWS:
+                return True
+    return False
+
+
 def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
     """``x::INTEGER`` / ``CAST(x AS INTEGER)`` — DuckDB ROUNDS when
     casting float/double to integer (dev.json:428 ``speed::INTEGER``)
@@ -1560,14 +1614,25 @@ def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
                         expr_sig = [
                             tk for tk in expr if tk.kind not in (WS, COMMENT)
                         ]
-                        if (
-                            len(expr_sig) == 1
-                            and expr_sig[0].kind == IDENT
-                            and expr_sig[0].upper in ("TRUE", "FALSE")
-                        ):
-                            # boolean literal: Spark's native cast already
-                            # yields 1/0 and round() rejects booleans
+                        if _expr_is_boolean(expr_sig):
+                            # boolean operand (literal, comparison, or
+                            # logical expression): Spark's native cast
+                            # already yields 1/0 and round() rejects
+                            # booleans
                             i = c + 1
+                            continue
+                        if _expr_is_decimal_literal(expr_sig):
+                            # DECIMAL literal: half-AWAY rounding
+                            new = (
+                                [_ident("CAST"), _punct("("),
+                                 _ident("round"), _punct("(")]
+                                + expr
+                                + [_punct(")"), _ws(), _ident("AS"),
+                                   _ws(), _ident(tokens[ty].text),
+                                   _punct(")")]
+                            )
+                            tokens = tokens[:i] + new + tokens[c + 1 :]
+                            i += len(new)
                             continue
                         if not _is_single_round_call(expr):
                             if is_try:
@@ -1600,6 +1665,23 @@ def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
             if ty < len(tokens) and tokens[ty].kind == IDENT and tokens[ty].upper in _INT_CAST_TYPES:
                 start = primary_start(tokens, i)
                 base = tokens[start:i]
+                base_sig = [
+                    tk for tk in base if tk.kind not in (WS, COMMENT)
+                ]
+                if _expr_is_boolean(base_sig):
+                    i = ty + 1
+                    continue
+                if _expr_is_decimal_literal(base_sig):
+                    new = (
+                        [_ident("CAST"), _punct("("), _ident("round"),
+                         _punct("(")]
+                        + base
+                        + [_punct(")"), _ws(), _ident("AS"), _ws(),
+                           _ident(tokens[ty].text), _punct(")")]
+                    )
+                    tokens = tokens[:start] + new + tokens[ty + 1 :]
+                    i = start + len(new)
+                    continue
                 new = (
                     [_ident("CAST"), _punct("("), _ident("bround"), _punct("(")]
                     + base

@@ -187,6 +187,14 @@ EMB_POOL = [
     "round(list_aggregate(embedding[:8], 'sum'), 3)",
     "list_count(list_filter(embedding, x -> x > 0))",
     "round(embedding[-1], 4)",
+    # round-5 list_<agg> macro family
+    "round(list_median(embedding[:6]), 4)",
+    "round(list_product(list_transform(embedding[:3], x -> abs(x) + 1.0)), 4)",
+    "round(list_any_value(embedding), 4)",
+    "round(list_first(embedding), 4) = round(list_last(list_reverse(embedding)), 4)",
+    "list_bool_or(list_transform(embedding[:5], x -> x > 0))",
+    "round(list_entropy(list_transform(embedding[:6], x -> CAST(x > 0 AS INTEGER))), 6)",
+    "array_pop_back(list_transform(embedding[:3], x -> round(x, 2)))",
 ]
 
 
@@ -515,6 +523,21 @@ def gen_query():
     return (f"SELECT g, count(*) AS n FROM ({inner}) u GROUP BY g "
             f"ORDER BY ALL LIMIT 40")
 
+def _canon_zero(v):
+    """Normalize IEEE negative zero anywhere in a value tree: SQL says
+    -0.0 = 0.0, and the engines disagree on the SIGN a rounded tiny
+    negative keeps (DuckDB round -> -0.0, Spark's BigDecimal -> 0.0)."""
+    if isinstance(v, float) and v == 0.0:
+        return 0.0
+    if isinstance(v, tuple):
+        return tuple(_canon_zero(x) for x in v)
+    if isinstance(v, list):
+        return [_canon_zero(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _canon_zero(x) for k, x in v.items()}
+    return v
+
+
 def rows_match(d_rows, s_rows, tol=0.02) -> bool:
     """Order-insensitive row-multiset compare with float tolerance:
     distributed partial sums reorder double accumulation, so a
@@ -522,6 +545,8 @@ def rows_match(d_rows, s_rows, tol=0.02) -> bool:
     not an engine bug. Strings and ints stay exact."""
     if len(d_rows) != len(s_rows):
         return False
+    d_rows = [_canon_zero(r) for r in d_rows]
+    s_rows = [_canon_zero(r) for r in s_rows]
     a = sorted(map(str, d_rows))
     b = sorted(map(str, s_rows))
     if a == b:

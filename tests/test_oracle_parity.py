@@ -344,6 +344,17 @@ def test_function_catalog_sweep_round5(spark, ddb):
         "try_strptime('07-04 10:30', '%m-%d %H:%M')",
         "format('abc')",
         "array_select([9,8,7], [1,3])",
+        # cast rounding tiers (fuzz-found): boolean operands never round;
+        # DECIMAL literals round half-AWAY (2.5 -> 3); DOUBLE keeps
+        # banker's HALF-EVEN (904.5 -> 904)
+        "CAST(3 > 2 AS INTEGER)",
+        "(1 < 2)::INTEGER",
+        "CAST(2.5 AS INTEGER)",
+        "(904.5)::INTEGER",
+        "CAST(-2.5 AS INTEGER)",
+        "(-1.5)::INTEGER",
+        "CAST(CAST(904.5 AS DOUBLE) AS INTEGER)",
+        "list_transform([1.0, -2.0], x -> CAST(x > 0 AS INTEGER))",
     ]
     sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
     srow = [tuple(r) for r in eng.execute(sql).collect()][0]
