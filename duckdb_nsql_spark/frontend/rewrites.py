@@ -2479,6 +2479,29 @@ _FN_MACROS_N["SUBSTRING"] = {3: _substr_zero_template}
 
 
 _ACTIVE_RESOLVER: list = [None]  # set by pass_function_renames
+# lambda-bound names in the CURRENT statement: a catalog column that
+# happens to share a lambda parameter's name must NOT type the parameter
+# (fuzz-found: a table with a float column `x` made round(x, 2) inside
+# list_transform(..., x -> ...) take the double-rounding emulation).
+# Conservative: a name is excluded everywhere in the statement, which
+# only ever downgrades to Spark-native behavior.
+_ACTIVE_LAMBDA_NAMES: list = [frozenset()]
+
+
+def _collect_lambda_params(tokens: list[Token]) -> frozenset:
+    names: set[str] = set()
+    for i, tk in enumerate(tokens):
+        if tk.kind == OP and tk.text == "->":
+            p = prev_sig(tokens, i)
+            if p >= 0 and tokens[p].kind == IDENT:
+                names.add(tokens[p].text.lower())
+            elif p >= 0 and tokens[p].kind == PUNCT and tokens[p].text == ")":
+                o = match_backward(tokens, p, "(", ")")
+                if o >= 0:
+                    for k in range(o + 1, p):
+                        if tokens[k].kind == IDENT:
+                            names.add(tokens[k].text.lower())
+    return frozenset(names)
 
 # functions through which integer typing survives (so DuckDB's
 # round(<int expr>, n) -> DOUBLE rule applies to the whole expression)
@@ -2520,9 +2543,11 @@ def _expr_is_integerish(txt: str) -> bool:
             elif tk.kind == OP or up == "*":
                 pass
             else:
-                if resolver is None or resolver.column_numeric(
-                    tk.text.strip('"`')
-                ) != "int":
+                if (
+                    resolver is None
+                    or tk.text.lower() in _ACTIVE_LAMBDA_NAMES[0]
+                    or resolver.column_numeric(tk.text.strip('"`')) != "int"
+                ):
                     return False
                 saw_term = True
         elif tk.kind == STRING:
@@ -2596,6 +2621,7 @@ def _expr_is_doubleish(txt: str) -> bool:
                 kind = (
                     resolver.column_numeric(tk.text.strip('"`'))
                     if resolver is not None
+                    and tk.text.lower() not in _ACTIVE_LAMBDA_NAMES[0]
                     else None
                 )
                 if kind == "float":
@@ -4048,7 +4074,11 @@ def pass_caret_power(
                         if "." in tk.text or "e" in tk.text.lower()
                         else "int"
                     )
-                if tk.kind in (IDENT, QIDENT) and resolver is not None:
+                if (
+                    tk.kind in (IDENT, QIDENT)
+                    and resolver is not None
+                    and tk.text.lower() not in _ACTIVE_LAMBDA_NAMES[0]
+                ):
                     return resolver.column_numeric(tk.text.strip('"`'))
                 return None
 
@@ -4852,6 +4882,23 @@ def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
 def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = None) -> list[Token]:
     resolver = resolver or NullResolver()
     _ACTIVE_RESOLVER[0] = resolver  # for schema-aware macro templates
+    # UNION with the caller's set and restore on exit: macro dispatch
+    # recursively renames argument sub-spans, and a sub-span (`x`) does
+    # not contain the enclosing lambda's `x ->` binder — a plain reset
+    # here would clobber the outer scope mid-statement
+    _outer_lambda_names = _ACTIVE_LAMBDA_NAMES[0]
+    _ACTIVE_LAMBDA_NAMES[0] = (
+        _outer_lambda_names | _collect_lambda_params(tokens)
+    )
+    try:
+        return _pass_function_renames_impl(tokens, resolver)
+    finally:
+        _ACTIVE_LAMBDA_NAMES[0] = _outer_lambda_names
+
+
+def _pass_function_renames_impl(
+    tokens: list[Token], resolver: Resolver
+) -> list[Token]:
     out = list(tokens)
     i = 0
     while i < len(out):
