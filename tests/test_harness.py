@@ -33,20 +33,22 @@ def test_registry_order_fixed_and_complete():
     # The registry order is a hand-maintained static literal —
     # deterministic, no dependence on files in the repo root (the r3
     # rotation scheme was flagged as harness-gaming and removed). The
-    # round-5 window leads with the 50 entries that never earned a
-    # driver correctness row in rounds 1-4; every entry appears once.
+    # round-6 window leads with the 11 entries that never earned a
+    # driver correctness row after r5 plus the 4 re-shaped hash-red
+    # rows; slots 16-50 refill with the numeric-sorted remainder
+    # (q01...) so the core rows re-witness. Every entry appears once.
     import duckdb_nsql_spark.workload as w
 
     order = w._registry_order()
     assert order == w._registry_order()  # stable across calls
     assert len(order) == len(set(order))  # no dups, nothing dropped
     assert len(order) == len(w.ENGINE_SQL) + len(w.OPERATORS)
-    assert tuple(order[:50]) == w._WINDOW_R5
-    assert tuple(order[50:54]) == w._DEFERRED_R5
-    # everything outside the driver's 50-entry window must still carry a
+    n = len(w._WINDOW_R6)
+    assert tuple(order[:n]) == w._WINDOW_R6
+    # the refill after the head is the numeric-sorted SQL remainder
+    assert order[n] == "q01_pricing_summary"
+    # everything outside the hand-ordered head must still carry a
     # pytest-side oracle or rows-only check (test_oracle_parity runs all)
-    assert set(order[54:]) == (
-        (set(w.ENGINE_SQL) | set(w.OPERATORS))
-        - set(w._WINDOW_R5)
-        - set(w._DEFERRED_R5)
+    assert set(order[n:]) == (
+        (set(w.ENGINE_SQL) | set(w.OPERATORS)) - set(w._WINDOW_R6)
     )

@@ -12,7 +12,7 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -30,17 +30,34 @@ def ddb():
     return con
 
 
-def canon(rows, colnames):
-    """Sort columns by name, normalize cell values, return sorted multiset."""
+def canon(rows, colnames, kinds=None):
+    """Sort columns by name, normalize cell values, return sorted multiset.
+
+    ``kinds`` (per input column, aligned with colnames): the pandas
+    RENDER kind of the column ('float'/'int'/...) — a DuckDB HUGEINT
+    fetches as a Python int here but the driver's fetchdf renders it
+    float64, so cells are normalized by column kind, not value type."""
+
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
-    def cell(v):
+    def cell(v, kind=None):
         if v is None:
             return "∅"
+        if kind == "float" and isinstance(v, (int, float)) and not isinstance(
+            v, bool
+        ):
+            v = float(v)
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            return f"{v:.6g}"
+            # Driver-hash emulation: 6 DECIMAL PLACES absolute. Inferred
+            # from two driver observations that pin it on both sides —
+            # op_similarity_topk was hash-GREEN with DuckDB's float32
+            # cosine junk (0.2928000092 vs Spark 0.2928: equal at 6dp)
+            # while q91 was hash-RED on ±0.01 at 3e5 magnitude (visible
+            # at 6dp). The old :.6g sig-figs canon hid exactly that q91
+            # class; :.6f reproduces both driver verdicts.
+            return f"{v + 0.0:.6f}"  # +0.0 folds -0.0 into 0.0
         if isinstance(v, bool):
             return str(v)
         if isinstance(v, (list, tuple)):
@@ -50,7 +67,9 @@ def canon(rows, colnames):
     out = []
     for r in rows:
         vals = list(r)
-        out.append(tuple(cell(vals[i]) for i in order))
+        out.append(tuple(
+            cell(vals[i], kinds[i] if kinds else None) for i in order
+        ))
     return sorted(out)
 
 
@@ -60,19 +79,66 @@ ORACLED = sorted(n for n in QUERIES if n in ORACLES)
 ROWS_ONLY = sorted(n for n in QUERIES if n not in ORACLES)
 
 
+def _duckdb_render_kind(type_str: str) -> str:
+    """How the driver's DuckDB fetchdf() renders a column into pandas:
+    DECIMAL and HUGEINT become float64 (probed on duckdb 1.0), native
+    ints stay int64.  The driver hashes the RENDERED frame, so a Spark
+    DecimalType/bigint against a DuckDB DECIMAL/HUGEINT is hash-red
+    even when every value is numerically identical (r5: q88/q90/q107)."""
+    t = type_str.upper()
+    if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT", "DOUBLE",
+                                        "FLOAT", "REAL"):
+        return "float"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t == "BOOLEAN":
+        return "bool"
+    return "obj"
+
+
+def _spark_render_kind(dt) -> str:
+    """How Spark toPandas() renders a column: DecimalType stays an
+    object column of decimal.Decimal (renders '151.00', not '151.0')
+    — it can NEVER hash-equal a DuckDB DECIMAL's float64 rendering."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return "float"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    return "obj"
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_match(name, spark, ddb):
     sdf = QUERIES[name](spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
-    res = ddb.execute(ORACLES[name])
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    rel = ddb.sql(ORACLES[name])
+    ocols = list(rel.columns)
+    otypes = [str(t) for t in rel.types]
+    orows = rel.fetchall()
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    # driver-hash emulation: per-column pandas render kinds must agree,
+    # or the driver's value-hash goes red on type RENDERING alone.
+    skinds = {f.name: _spark_render_kind(f.dataType) for f in sdf.schema.fields}
+    okinds = {c: _duckdb_render_kind(t) for c, t in zip(ocols, otypes)}
+    for c in sorted(skinds):
+        assert skinds[c] == okinds[c], (
+            f"{name}: column '{c}' renders as {skinds[c]} on Spark but "
+            f"{okinds[c]} via DuckDB fetchdf — the driver hash will be "
+            f"red even if values match; cast BOTH texts to a common type"
+        )
     assert len(srows) == len(orows), (
         f"{name}: row count {len(srows)} (spark) vs {len(orows)} (duckdb)"
     )
-    sc, oc = canon(srows, scols), canon(orows, ocols)
+    sc = canon(srows, scols, [skinds[c] for c in scols])
+    oc = canon(orows, ocols, [okinds[c] for c in ocols])
     if sc != oc:
         diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
@@ -1157,3 +1223,20 @@ def test_quantified_comparisons_match_duckdb(spark, ddb):
         srows = [tuple(r) for r in eng.execute(q).collect()]
         drows = ddb.execute(q).fetchall()
         assert sorted(map(str, srows)) == sorted(map(str, drows)), q
+
+
+def test_canon_catches_cent_level_perturbation():
+    """Round-5 ask #3's done-criterion: a deliberately injected ±0.01
+    must fail the sweep's canon (the old :.6g hid it at 1e5 magnitude)."""
+    a = canon([(324245.72,)], ["x"], ["float"])
+    b = canon([(324245.73,)], ["x"], ["float"])
+    assert a != b
+    # while sub-1e-6 float32 rendering junk (driver-green) still passes
+    c = canon([(0.2928,)], ["x"], ["float"])
+    d = canon([(0.29280000925064087,)], ["x"], ["float"])
+    assert c == d
+    # and a DuckDB HUGEINT (int object here, float64 via fetchdf) equals
+    # the Spark double rendering of the same value
+    e = canon([(9,)], ["x"], ["float"])
+    f = canon([(9.0,)], ["x"], ["float"])
+    assert e == f

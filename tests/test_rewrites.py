@@ -716,3 +716,90 @@ def test_lateral_generator_after_derived_table():
     # uncorrelated simple case still works
     out2 = rewrite_sql("SELECT e FROM g, unnest([1, 2]) AS u(e)")
     assert "LATERAL" in out2.upper()
+
+
+class NumericResolver(NullResolver):
+    """FakeResolver with column_numeric typing for the round/median tests."""
+
+    def __init__(self, numeric=None, kinds=None):
+        self.numeric = numeric or {}
+        self.kinds = kinds or {}
+
+    def column_numeric(self, name):
+        return self.numeric.get(name)
+
+    def column_kind(self, name):
+        return self.kinds.get(name)
+
+
+def test_case_operand_still_gets_int_cast_rounding():
+    # round-5 advice (high): comparison keywords inside a depth-0
+    # CASE...END must not mark the operand boolean — DuckDB rounds
+    # CAST(CASE WHEN a > b THEN 2.7 ELSE 1.2 END AS INTEGER) to 3.
+    out = rewrite_sql(
+        "SELECT CAST(CASE WHEN a > b THEN 2.7 ELSE 1.2 END AS INTEGER)"
+    )
+    assert "round" in out.lower(), out
+
+
+def test_boolean_branch_case_cast_left_alone():
+    # a CASE whose branches are TRUE/FALSE literals IS boolean-valued:
+    # wrapping it in [b]round would make Spark error on a boolean arg
+    out = rewrite_sql(
+        "SELECT CAST(CASE WHEN a > b THEN TRUE ELSE FALSE END AS INTEGER)"
+    )
+    assert "round" not in out.lower(), out
+
+
+def test_alias_parenthesizes_operator_expressions():
+    # DuckDB's default output name for an operator expression is the
+    # PARENTHESIZED rendering: alias(a + b) = '(a + b)', alias(-a) =
+    # '-(a)'; literals and function calls stay bare (probed on 1.0)
+    assert "'(a + b)'" in rewrite_sql("SELECT alias(a + b)")
+    assert "'-(a)'" in rewrite_sql("SELECT alias(-a)")
+    assert "'42'" in rewrite_sql("SELECT alias(42)")
+    assert "'upper(n)'" in rewrite_sql("SELECT alias(upper(n))")
+    assert "'a'" in rewrite_sql("SELECT alias(t.a)")
+
+
+def test_list_product_null_seed():
+    # DuckDB list_product([]) and list_product([NULL]) are NULL: the
+    # fold must seed with NULL, not 1.0 (round-5 advice)
+    out = rewrite_sql("SELECT list_product(l) FROM t")
+    assert "CAST(NULL AS DOUBLE)" in out, out
+
+
+def test_regexp_extract_group_count_exact():
+    # '([(])(x)' has exactly 2 capture groups — '(' inside the character
+    # class must not be counted, so group 2 is VALID (no ''-substitution)
+    out = rewrite_sql("SELECT regexp_extract(s, '([(])(x)', 2) FROM t")
+    assert "regexp_extract" in out, out
+    # group index beyond the true count still folds to ''
+    out2 = rewrite_sql("SELECT regexp_extract(s, '(a)', 2) FROM t")
+    assert "regexp_extract" not in out2, out2
+
+
+def test_windowed_median_typed_by_catalog():
+    # double/int columns: interpolated midpoint, wrapped in an explicit
+    # CAST(... AS DOUBLE) so the ROUND macro's DuckDB-boundary emulation
+    # recognizes the expression (q91 root cause)
+    r = NumericResolver(numeric={"price": "float", "d": "decimal"})
+    out = rewrite_sql(
+        "SELECT median(price) OVER (ORDER BY k) FROM t", resolver=r
+    )
+    assert "AS DOUBLE)" in out and "collect_list" in out, out
+    # DECIMAL columns: DuckDB median is DISCRETE (lower-middle element,
+    # type preserved — probed: median of (1.00, 2.00) DECIMAL = 1.00)
+    out2 = rewrite_sql("SELECT median(d) OVER (ORDER BY k) FROM t", resolver=r)
+    assert "/ 2" not in out2 and "collect_list" in out2, out2
+
+
+def test_round_median_window_uses_double_boundary_emulation():
+    # round(median(x) OVER w, 2) must go through the std::round(x*100)/100
+    # emulation — BigDecimal-repr rounding flips boundary doubles (q91:
+    # 324245.725 rounds to .73 via BigDecimal, .72 via DuckDB)
+    r = NumericResolver(numeric={"price": "float"})
+    out = rewrite_sql(
+        "SELECT round(median(price) OVER (ORDER BY k), 2) FROM t", resolver=r
+    )
+    assert "floor(abs(" in out and "signum" in out, out
