@@ -15,11 +15,16 @@ The real registry lives in ``duckdb_nsql_spark.workload``:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from duckdb_nsql_spark import workload
+# path-robust: the driver may load this module by file path from any cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_nsql_spark import workload  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -338,6 +338,84 @@ class DurableWarehouse:
             shutil.rmtree(out, ignore_errors=True)  # our staged segment
             raise
 
+    def upsert_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        batch_df: DataFrame,
+        key_cols: list[str],
+        order_col: str,
+        tiebreak_cols: "list[str] | None" = None,
+        meta: dict | None = None,
+        txn: "tuple[str, int] | None" = None,
+    ) -> None:
+        """CDC upsert: per key keep the row with the greatest
+        ``order_col`` (then ``tiebreak_cols``) across the existing table
+        and this batch.
+
+        - DELTA mode: Delta's native MERGE (``DeltaTable.forPath ...
+          whenMatchedUpdateAll/whenNotMatchedInsertAll``) — an O(changed
+          files) transactional merge, the cluster-scale path. The batch
+          must already be key-unique (the streaming sink reduces it with
+          a window first); ``txn`` rides the same idempotent-write key as
+          :meth:`append_table` for the no-table bootstrap write.
+        - PARQUET mode: copy-on-write rewrite via :meth:`save_table`
+          (the honest cost of upsert on immutable files).
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        order = [F.col(order_col).desc()] + [
+            F.col(c).desc() for c in (tiebreak_cols or [])
+        ]
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        reduced = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ent = self.tables().get(name)
+        if meta is None:
+            meta = dict((ent or {}).get("meta") or {})
+        if self.fmt == "delta":
+            self._require_delta(spark)
+            if ent is None:
+                # bootstrap: first batch creates the Delta table
+                self.append_table(spark, name, reduced, meta, txn=txn)
+                return
+            from delta.tables import DeltaTable  # delta-spark runtime
+
+            path = os.path.join(self.root, ent["dir"])
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+            # only overwrite when the incoming row wins the order
+            newer = f"s.{order_col} >= t.{order_col}"
+            (
+                DeltaTable.forPath(spark, path)
+                .alias("t")
+                .merge(reduced.alias("s"), cond)
+                .whenMatchedUpdate(
+                    condition=newer,
+                    set={c: f"s.{c}" for c in reduced.columns},
+                )
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            self._commit_entry(
+                name,
+                {"dir": ent["dir"], "version": "delta", "meta": meta},
+                ent,
+            )
+            return
+        data = reduced
+        if ent is not None:
+            data = self.load_df(spark, name).unionByName(reduced)
+        latest = (
+            data.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        self.save_table(spark, name, latest, meta)
+
     def drop_table(self, name: str) -> None:
         ver, cat = self._latest_commit()
         base = cat["tables"].get(name)

@@ -49,7 +49,13 @@ def stream_to_table(
             return  # replayed batch — already committed atomically
         wm[stream_id] = batch_id
         meta["stream_wm"] = wm
-        warehouse.append_table(spark, table, batch_df, meta)
+        # txn: on the parquet path the CAS commit is already atomic with
+        # the data; on the delta path it keys Delta's idempotent writer
+        # (txnAppId/txnVersion) so a crash between the Delta append and
+        # the catalog commit cannot double-append on replay
+        warehouse.append_table(
+            spark, table, batch_df, meta, txn=(stream_id, batch_id)
+        )
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -79,13 +85,12 @@ def stream_upsert_to_table(
     Same idempotence contract as :func:`stream_to_table`: the batch
     watermark commits atomically with the merged data (one commit-log
     entry), so a replayed batch after a crash is skipped from committed
-    state. The merge is a copy-on-write table rewrite here (the honest
-    cost of upsert on plain parquet); on a cluster the identical
-    foreachBatch body targets Delta's native MERGE via the warehouse's
-    delta mode.
+    state. The merge itself is :meth:`DurableWarehouse.upsert_table` —
+    copy-on-write rewrite in parquet mode (the honest cost of upsert on
+    immutable files), Delta's native transactional MERGE in delta mode
+    (O(changed files), the cluster-scale path; contract-tested against
+    the DeltaTable API in tests/test_delta_contract.py).
     """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         ent = warehouse.tables().get(table)
@@ -93,21 +98,18 @@ def stream_upsert_to_table(
         wm = dict(meta.get("stream_wm") or {})
         if batch_id <= wm.get(stream_id, -1):
             return  # replayed batch — already merged atomically
-        data = batch_df
-        if ent is not None:
-            data = warehouse.load_df(spark, table).unionByName(batch_df)
-        order = [F.col(order_col).desc()] + [
-            F.col(c).desc() for c in (tiebreak_cols or [])
-        ]
-        w = Window.partitionBy(*key_cols).orderBy(*order)
-        latest = (
-            data.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
         wm[stream_id] = batch_id
         meta["stream_wm"] = wm
-        warehouse.save_table(spark, table, latest, meta)
+        warehouse.upsert_table(
+            spark,
+            table,
+            batch_df,
+            key_cols,
+            order_col,
+            tiebreak_cols=tiebreak_cols,
+            meta=meta,
+            txn=(stream_id, batch_id),
+        )
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
