@@ -3113,10 +3113,58 @@ class DuckSparkSession:
         # previous same-name table (CREATE OR REPLACE / recreate-after-DROP)
         self._clear_table_meta(name, *( [existing] if existing else [] ))
         nxt = words[j] if j < len(sig) else ""
+        cluster_keys: Optional[list[str]] = None
+        n_buckets = 64
+        if nxt == "CLUSTER" and j + 1 < len(sig) and words[j + 1] == "BY":
+            # CLUSTER BY (k, ...) [INTO n BUCKETS] — engine extension
+            # (SURVEY §2 has no DuckDB equivalent; single-node DuckDB
+            # never needs an at-rest co-location property). CTAS through
+            # this seam lands as a BUCKETED parquet table: joins between
+            # two tables clustered on the same keys with the same bucket
+            # count need NO exchange on either side — the fact⋈fact
+            # shuffle eliminated at rest (sources/bucketed.py).
+            j += 2
+            if j >= len(sig) or tokens[sig[j]].text != "(":
+                raise ValueError("CLUSTER BY requires a (column list)")
+            c = match_forward(tokens, sig[j], "(", ")")
+            cluster_keys = [
+                t.text.strip('"`')
+                for t in tokens[sig[j] + 1 : c]
+                if t.kind in (IDENT, QIDENT)
+            ]
+            # advance j past the closing paren
+            while j < len(sig) and sig[j] <= c:
+                j += 1
+            if (
+                j + 2 < len(sig)
+                and words[j] == "INTO"
+                and words[j + 2] == "BUCKETS"
+            ):
+                n_buckets = int(tokens[sig[j + 1]].text)
+                j += 3
+            nxt = words[j] if j < len(sig) else ""
+            if nxt != "AS" or kind != "TABLE" or not cluster_keys:
+                raise ValueError(
+                    "CLUSTER BY is supported on CREATE TABLE ... AS only"
+                )
         if nxt == "AS":
             inner = render(tokens[sig[j] + 1 :]).strip()
             if inner.startswith("(") and inner.endswith(")"):
                 inner = inner[1:-1]
+            if cluster_keys is not None:
+                from .sources import bucketed
+
+                df = self._query(inner)
+                cat_name = f"ddbs_bkt_{self._sid}_{name.replace('.', '_')}"
+                out = bucketed.write_bucketed(
+                    df, cat_name, cluster_keys, n_buckets
+                )
+                # registered as a live engine table backed by the bucketed
+                # catalog table; its scans carry the bucket spec, so the
+                # small-statement tuner's unknown-size big-mode default is
+                # exactly right here (bucketing IS the at-scale path)
+                self.register(name.lower(), out)
+                return None
             if kind == "VIEW":
                 # LIVE view: keep the DEFINITION and re-plan on catalog
                 # changes (DuckDB views see base-table DML); a CTAS

@@ -288,3 +288,40 @@ def test_oversized_build_falls_back_to_sort_merge(loaded_engine, spark):
         for k, v in saved.items():
             spark.conf.set(k, v)
         loaded_engine.clear_statement_cache()
+
+
+def test_cluster_by_ctas_seam(engine, spark, sf_dir):
+    # CREATE TABLE ... CLUSTER BY (k) INTO n BUCKETS AS <query> routes
+    # through the bucketed-at-rest layout: a join between two tables
+    # clustered on the join key needs no shuffle exchange on either side,
+    # and results match the plain-parquet join exactly.
+    engine.register_parquet_dir(sf_dir)
+    engine.execute(
+        "CREATE OR REPLACE TABLE ob CLUSTER BY (o_orderkey) INTO 8 BUCKETS"
+        " AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    )
+    engine.execute(
+        "CREATE OR REPLACE TABLE lb CLUSTER BY (l_orderkey) INTO 8 BUCKETS"
+        " AS SELECT l_orderkey, l_quantity FROM lineitem"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = engine.execute(
+            "SELECT count(*) AS n, round(sum(l_quantity), 2) AS q"
+            " FROM ob JOIN lb ON o_orderkey = l_orderkey"
+        )
+        plan = plan_of(df)
+        join_section = plan.split("HashAggregate")[-1]
+        assert "Exchange" not in join_section, plan
+        assert "Bucketed: true" in plan
+        exp = engine.execute(
+            "SELECT count(*) AS n, round(sum(l_quantity), 2) AS q"
+            " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+        ).collect()
+        assert df.collect() == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in list(spark.catalog.listTables()):
+            if t.name.startswith("ddbs_bkt_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
