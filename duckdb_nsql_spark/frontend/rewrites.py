@@ -754,6 +754,7 @@ _LAMBDA_HOFS = {
     # write Spark names directly); both take `param -> body` lambdas whose
     # body may begin with a string/number literal.
     "LIST_TRANSFORM", "LIST_APPLY", "APPLY", "ARRAY_TRANSFORM",
+    "ARRAY_APPLY",
     "LIST_FILTER", "ARRAY_FILTER", "LIST_REDUCE", "ARRAY_REDUCE",
     "LIST_SORT", "ARRAY_SORT",
     "TRANSFORM", "FILTER", "AGGREGATE", "REDUCE", "EXISTS", "FORALL",
@@ -1782,7 +1783,12 @@ _SIMPLE_RENAMES = {
     "LIST_POSITION": "array_position",
     "LIST_INDEXOF": "array_position",
     "LIST_ZIP": "arrays_zip",
+    "ARRAY_ZIP": "arrays_zip",
+    "ARRAY_APPLY": "transform",
     "LIST_INTERSECT": "array_intersect",
+    # fixed-size ARRAY constructor / json spellings
+    "ARRAY_VALUE": "array",
+    "ARRAY_TO_JSON": "to_json",
     "ARBITRARY": "any_value",
     # Kahan-compensated float aggs: Spark's sum/avg (values agree; the
     # compensation is a single-node numerical nicety, meaningless once the
@@ -1810,7 +1816,16 @@ _NORM_MACRO = (
 _FN_MACROS = {
     "LIST_DOT_PRODUCT": _DOT_MACRO,
     "LIST_INNER_PRODUCT": _DOT_MACRO,
+    # fixed-size ARRAY spellings: same math over Spark arrays (the
+    # engine types DuckDB's ARRAY(T, n) as array<T>)
+    "ARRAY_DOT_PRODUCT": _DOT_MACRO,
+    "ARRAY_INNER_PRODUCT": _DOT_MACRO,
     "LIST_COSINE_SIMILARITY": (
+        f"({_DOT_MACRO} / ({_NORM_MACRO} * "
+        + _NORM_MACRO.replace("{a}", "{b}")
+        + "))"
+    ),
+    "ARRAY_COSINE_SIMILARITY": (
         f"({_DOT_MACRO} / ({_NORM_MACRO} * "
         + _NORM_MACRO.replace("{a}", "{b}")
         + "))"
@@ -2263,6 +2278,17 @@ _FN_MACROS_N: dict[str, dict[int, str]] = {
     "LIST_WHERE": {
         2: "transform(filter(zip_with({0}, {1}, "
            "(x, m) -> struct(x AS v, m AS k)), p -> p.k), p -> p.v)"
+    },
+    "ARRAY_WHERE": {
+        2: "transform(filter(zip_with({0}, {1}, "
+           "(x, m) -> struct(x AS v, m AS k)), p -> p.k), p -> p.v)"
+    },
+    "ARRAY_RESIZE": {
+        2: "slice(transform(sequence(1, greatest(CAST({1} AS INT), 1)), "
+           "i -> try_element_at({0}, i)), 1, CAST({1} AS INT))",
+        3: "slice(transform(sequence(1, greatest(CAST({1} AS INT), 1)), "
+           "i -> CASE WHEN i <= size({0}) THEN element_at({0}, i) "
+           "ELSE ({2}) END), 1, CAST({1} AS INT))",
     },
     # format_bytes: binary units, TRUNCATED to one decimal (DuckDB fmt)
     "FORMAT_BYTES": {1: (
@@ -2734,7 +2760,10 @@ def _lambda_index_shift(fn: str) -> "Callable[[list[str]], Optional[str]]":
     return tmpl
 
 
-for _nm in ("LIST_TRANSFORM", "LIST_APPLY", "APPLY", "ARRAY_TRANSFORM"):
+for _nm in (
+    "LIST_TRANSFORM", "LIST_APPLY", "APPLY", "ARRAY_TRANSFORM",
+    "ARRAY_APPLY",
+):
     _FN_MACROS_N[_nm] = {2: _lambda_index_shift("transform")}
 for _nm in ("LIST_FILTER", "ARRAY_FILTER"):
     _FN_MACROS_N[_nm] = {2: _lambda_index_shift("filter")}
@@ -4025,6 +4054,53 @@ def pass_regex_operators(tokens: list[Token]) -> list[Token]:
     i = 0
     while i < len(out):
         t = out[i]
+        if t.kind == OP and t.text in (
+            "~~", "!~~", "~~*", "!~~*", "~~~", "^@"
+        ):
+            # PostgreSQL operator spellings DuckDB accepts: ~~ LIKE,
+            # !~~ NOT LIKE, ~~* ILIKE, !~~* NOT ILIKE, ~~~ GLOB,
+            # ^@ starts_with (all probed on DuckDB 1.0)
+            if t.text == "~~~":
+                out[i] = _ident("GLOB")  # reprocessed by the GLOB branch
+                continue
+            if t.text == "^@":
+                ls = _primary_start(out, prev_sig(out, i))
+                ps = next_sig(out, i)
+                pe = _primary_end(out, ps) if ps < len(out) else None
+                if ls is not None and pe is not None:
+                    l_txt = render(out[ls : prev_sig(out, i) + 1])
+                    r_txt = render(out[ps : pe + 1])
+                    new = tokenize(f"startswith({l_txt}, {r_txt})")
+                    out = out[:ls] + new + out[pe + 1 :]
+                    i = ls + len(new)
+                    continue
+                i += 1
+                continue
+            kw = {
+                "~~": [_ident("LIKE")],
+                "!~~": [_ident("NOT"), _ws(), _ident("LIKE")],
+                "~~*": [_ident("ILIKE")],
+                "!~~*": [_ident("NOT"), _ws(), _ident("ILIKE")],
+            }[t.text]
+            out[i : i + 1] = kw
+            i += len(kw)
+            continue
+        if t.kind == OP and t.text in ("<<", ">>") and _is_binary_left(
+            out, i
+        ):
+            # bit shifts: Spark SQL has shiftleft/shiftright functions
+            # but no << >> operators
+            ls = _primary_start(out, prev_sig(out, i))
+            ps = next_sig(out, i)
+            pe = _primary_end(out, ps) if ps < len(out) else None
+            if ls is not None and pe is not None:
+                fn = "shiftleft" if t.text == "<<" else "shiftright"
+                l_txt = render(out[ls : prev_sig(out, i) + 1])
+                r_txt = render(out[ps : pe + 1])
+                new = tokenize(f"{fn}({l_txt}, {r_txt})")
+                out = out[:ls] + new + out[pe + 1 :]
+                i = ls + len(new)
+                continue
         if t.kind == OP and t.text == "~" and _is_binary_left(out, i):
             ps = next_sig(out, i)
             out2, ni = _anchored_rlike(out, i, ps, neg=False)

@@ -37,7 +37,7 @@ _TOKEN_RE = re.compile(
     | (?P<bident>`(?:[^`]|``)*`)
     | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_$]*)
-    | (?P<op>->>|->|::|<=|>=|<>|!=|==|\|\||\*\*|//|[=<>+\-*/%~&|^!])
+    | (?P<op>!~~\*|!~~|~~\*|~~~|~~|\^@|<<|>>|->>|->|::|<=|>=|<>|!=|==|\|\||\*\*|//|[=<>+\-*/%~&|^!])
     | (?P<punct>[(),\[\]{}.;:?@$])
     """,
     re.VERBOSE | re.DOTALL,

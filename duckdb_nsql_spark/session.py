@@ -204,7 +204,10 @@ SMALL_SORT_MAX_INPUT_BYTES = 64 << 20
 # in-memory table) or a larger input keeps the session's cluster-scale
 # defaults — AQE skew/SMJ->SHJ conversion stays on exactly where it wins
 # (measured: sf1 q06). Measured at sf0.1: 13-row bench 3.04s -> ~2.0s.
-SMALL_STMT_MAX_FILE_BYTES = 32 << 20
+# 16MB threshold (not 32): parquet compresses ~4x, so a 27MB orders file
+# at sf1 is ~100MB of data — measured SLOWER under the small confs; the
+# gate must only catch the truly small scale (sf0.1 tables sum to 14MB).
+SMALL_STMT_MAX_FILE_BYTES = 16 << 20
 _SMALL_STMT_CONFS = {
     "spark.sql.adaptive.enabled": "false",
     "spark.sql.shuffle.partitions": "8",

@@ -1632,6 +1632,48 @@ _sql(
 )
 
 
+# PostgreSQL operator spellings DuckDB accepts (probed on 1.0): ~~ LIKE,
+# !~~ NOT LIKE, ~~* ILIKE, ^@ starts_with, << >> bit shifts; plus cot/
+# factorial (factorial returns HUGEINT -> cast for the driver's
+# fetchdf float64 rendering). Identical text runs on the DuckDB oracle.
+_sql(
+    "q113_pg_operators",
+    """
+    SELECT n_nationkey,
+           n_name ~~ 'NATION_1%' AS like_op,
+           n_name !~~ 'NATION_1%' AS nlike_op,
+           n_name ~~* 'nation_1%' AS ilike_op,
+           n_name ^@ 'NATION_1' AS sw_op,
+           n_nationkey << 2 AS shl,
+           n_nationkey >> 1 AS shr,
+           round(cot(n_nationkey + 1.5), 6) AS cot_v,
+           CAST(factorial(n_nationkey % 6) AS BIGINT) AS fact
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+# fixed-size ARRAY function spellings -> the list twins (the engine types
+# DuckDB ARRAY(T, n) as array<T>). array_zip is unit-tested only (struct
+# rendering differs between the two fetch layers).
+_sql(
+    "q114_array_spellings",
+    """
+    SELECT n_nationkey,
+           array_to_json([n_nationkey, n_regionkey]) AS aj,
+           array_apply([n_nationkey, 2], x -> x * 2) AS ap,
+           array_where([n_nationkey, 7, 9], [true, false, true]) AS aw,
+           array_resize([n_nationkey, 1], 4) AS ar,
+           round(array_cosine_similarity(
+               array_value(1.0, 2.0, CAST(n_nationkey AS DOUBLE)),
+               array_value(2.0, 1.0, 3.0)), 4) AS acs,
+           array_inner_product(
+               array_value(1.0, CAST(n_regionkey AS DOUBLE)),
+               array_value(3.0, 4.0)) AS aip
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
 # ---------------------------------------------------------------------------
@@ -3329,6 +3371,9 @@ _WINDOW_R6: tuple[str, ...] = (
     "q90_merge_upsert",
     "q91_window_exclude_median",
     "q107_tpch_q12",
+    # round-6 additions (never witnessed, parity-green at sf0.01)
+    "q113_pg_operators",
+    "q114_array_spellings",
 )
 
 

@@ -803,3 +803,36 @@ def test_round_median_window_uses_double_boundary_emulation():
         "SELECT round(median(price) OVER (ORDER BY k), 2) FROM t", resolver=r
     )
     assert "floor(abs(" in out and "signum" in out, out
+
+
+def test_pg_operator_spellings():
+    # PostgreSQL operator spellings DuckDB accepts (probed on 1.0):
+    # ~~ LIKE, !~~ NOT LIKE, ~~* ILIKE, !~~* NOT ILIKE, ^@ starts_with,
+    # << >> bit shifts, ~~~ GLOB
+    assert "LIKE" in rewrite_sql("SELECT 'abc' ~~ 'a%'")
+    out = rewrite_sql("SELECT 'abc' !~~ 'a%'")
+    assert "NOT" in out and "LIKE" in out
+    assert "ILIKE" in rewrite_sql("SELECT 'ABC' ~~* 'a%'")
+    assert "startswith" in rewrite_sql("SELECT s ^@ 'ab' FROM t")
+    assert "shiftleft(5, 2)" in rewrite_sql("SELECT 5 << 2")
+    assert "shiftright(20, 2)" in rewrite_sql("SELECT 20 >> 2")
+    assert "rlike" in rewrite_sql("SELECT s ~~~ 'a*' FROM t").lower()
+
+
+def test_array_function_aliases():
+    # fixed-size ARRAY spellings map to the list twins
+    assert "array(1, 2, 3)" in rewrite_sql("SELECT array_value(1, 2, 3)")
+    assert "transform" in rewrite_sql("SELECT array_apply([1], x -> x*2)")
+    assert "arrays_zip" in rewrite_sql("SELECT array_zip([1],[2])")
+    assert "to_json" in rewrite_sql("SELECT array_to_json([1,2])")
+    out = rewrite_sql("SELECT array_cosine_similarity(a, b) FROM t")
+    assert "aggregate(zip_with" in out and "sqrt" in out
+    assert "aggregate(zip_with" in rewrite_sql(
+        "SELECT array_inner_product(a, b) FROM t"
+    )
+    assert "zip_with" in rewrite_sql(
+        "SELECT array_where([1,2],[true,false])"
+    )
+    assert "sequence(1, greatest" in rewrite_sql(
+        "SELECT array_resize([1,2], 4)"
+    )
