@@ -4817,6 +4817,90 @@ def pass_collate(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def pass_alias_of_item(tokens: list[Token]) -> list[Token]:
+    """DuckDB ``alias(expr)``: when the call IS an entire select item
+    that carries its own alias (``alias(a + 1) AS c0`` / ``alias(x)
+    c0``), it returns THAT alias — not the expression's default name
+    (probed on 1.0; nested occurrences and WHERE-clause uses keep the
+    default-name rendering handled by pass_function_renames)."""
+    out = list(tokens)
+    sigidx = [k for k, t in enumerate(out) if t.kind not in (WS, COMMENT)]
+    if not sigidx or not out[sigidx[0]].is_kw("SELECT"):
+        return out
+    # walk top-level select items between SELECT and the depth-0 FROM
+    depth = 0
+    item_start: Optional[int] = None
+    boundaries: list[tuple[int, int]] = []  # [start, end) in token idx
+    start_after = sigidx[0]
+    p = next_sig(out, start_after)
+    if p < len(out) and out[p].kind == IDENT and out[p].upper in (
+        "DISTINCT", "ALL"
+    ):
+        start_after = p
+    item_start = next_sig(out, start_after)
+    k = item_start
+    while k < len(out):
+        t = out[k]
+        if t.kind == PUNCT and t.text in "([{":
+            depth += 1
+        elif t.kind == PUNCT and t.text in ")]}":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and t.kind == IDENT and t.upper in (
+            "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "UNION",
+            "INTERSECT", "EXCEPT", "QUALIFY", "WINDOW", "HAVING",
+        ):
+            break
+        elif depth == 0 and t.kind == PUNCT and t.text == ",":
+            boundaries.append((item_start, k))
+            item_start = next_sig(out, k)
+        k += 1
+    boundaries.append((item_start, k))
+    # first pass (left-to-right): decide each item's value. DuckDB CSEs
+    # identical expressions, so TWO items `alias(x + 1) AS c0, alias(x +
+    # 1) AS c2` BOTH return 'c0' — the first occurrence's alias wins for
+    # every identical argument (fuzz seed 777 #253, probed).
+    first_by_arg: dict[str, str] = {}
+    plans: list[tuple[int, int, str]] = []  # (lo, close, value)
+    for lo, hi in boundaries:
+        sig = [j for j in range(lo, hi) if out[j].kind not in (WS, COMMENT)]
+        if len(sig) < 4:
+            continue
+        if not (out[sig[0]].kind == IDENT and out[sig[0]].upper == "ALIAS"):
+            continue
+        if out[sig[1]].text != "(":
+            continue
+        c = match_forward(out, sig[1], "(", ")")
+        rest = [j for j in sig if j > c]
+        # `alias(..) AS name` or `alias(..) name`
+        name_tok = None
+        if len(rest) == 2 and out[rest[0]].is_kw("AS") and out[
+            rest[1]
+        ].kind in (IDENT, QIDENT, BIDENT):
+            name_tok = out[rest[1]]
+        elif len(rest) == 1 and out[rest[0]].kind in (IDENT, QIDENT, BIDENT):
+            name_tok = out[rest[0]]
+        if name_tok is None:
+            continue
+        name = name_tok.text
+        if name_tok.kind == QIDENT:
+            name = name[1:-1].replace('""', '"')
+        elif name_tok.kind == BIDENT:
+            name = name[1:-1].replace("``", "`")
+        arg_key = " ".join(
+            out[j].upper if out[j].kind == IDENT else out[j].text
+            for j in sig
+            if sig[1] < j < c  # between the parens (significant only)
+        )
+        value = first_by_arg.setdefault(arg_key, name)
+        plans.append((lo, c, value))
+    # second pass right-to-left: indices stay stable
+    for lo, c, value in reversed(plans):
+        out[lo : c + 1] = [_sql_str(value)]
+    return out
+
+
 def pass_windowed_median(
     tokens: list[Token], resolver: Optional["Resolver"] = None
 ) -> list[Token]:
@@ -6330,6 +6414,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_from_first_subquery(tokens)
     tokens = pass_window_exclude(tokens)
     tokens = pass_windowed_median(tokens, resolver)
+    tokens = pass_alias_of_item(tokens)
     tokens = pass_collate(tokens)
     tokens = pass_exclude_to_except(tokens, resolver)
     tokens = pass_current_setting(tokens, resolver)

@@ -66,6 +66,16 @@ def scalar_expr(t):
         f"date_part('month', DATE '2024-01-15' + INTERVAL ({n}::INTEGER % 28) DAY)",
         f"{n} // 3",
         f"CAST({n} AS INTEGER) % 7",
+        # round-6 surface: CASE operand int-cast rounding, pg-operator
+        # spellings, list_product NULL seed, fixed-ARRAY spellings
+        f"CAST(CASE WHEN {n} > {rng.randint(1, 40)} THEN {n} * 1.5 "
+        f"ELSE {n} / 3 END AS INTEGER)",
+        f"alias({n} + 1)",
+        f"list_product([CAST({n} AS DOUBLE), 2.0])",
+        f"array_inner_product(array_value(CAST({n} AS DOUBLE), 1.0),"
+        f" array_value(2.0, 3.0))",
+        f"CAST({n} AS INTEGER) << {rng.randint(0, 3)}",
+        f"CAST({n} AS INTEGER) >> {rng.randint(0, 2)}",
     ])
 
 def agg_expr(t):
@@ -92,6 +102,9 @@ def predicate(t):
         f"{s} IS NOT NULL AND {n} IS NOT NULL",
         f"substr({s}, 1, 1) IN ('A', 'B', 'R', 'M')",
         f"{n} < (SELECT avg({n}) FROM {t})",
+        f"{s} ~~ '%{rng.choice('AERST')}%'",
+        f"{s} !~~ '{rng.choice('ABR')}%'",
+        f"{s} ^@ '{rng.choice('ABRM')}'",
     ])
 
 def date_expr(t):
@@ -304,8 +317,12 @@ def gen_window_join_query():
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
             "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
         ])
+        # round-6 surface: windowed median rides the same frames (the
+        # q91 class — round() of the interpolated midpoint must follow
+        # DuckDB's std::round(x*10^n)/10^n double-boundary semantics)
+        wagg = rng.choice([f"sum({n})", f"sum({n})", f"median({n})"])
         return (
-            f"SELECT {k}, round(sum({n}) OVER (PARTITION BY {s}"
+            f"SELECT {k}, round({wagg} OVER (PARTITION BY {s}"
             f" ORDER BY {k} {frame}), 2) AS w,"
             f" count(*) OVER (PARTITION BY {s} ORDER BY {k} {frame}) AS c"
             f" FROM {t} WHERE {k} % {rng.randint(3, 9)} = 0"

@@ -836,3 +836,25 @@ def test_array_function_aliases():
     assert "sequence(1, greatest" in rewrite_sql(
         "SELECT array_resize([1,2], 4)"
     )
+
+
+def test_alias_of_aliased_item_returns_item_alias():
+    # fuzz seed 777 #6: DuckDB alias(expr) AS c0 returns 'c0' (the item's
+    # OWN alias), not the expression's default rendering; nested
+    # occurrences keep the default-name form
+    out = rewrite_sql("SELECT alias(o_totalprice + 1) AS c0 FROM orders")
+    assert "'c0'" in out and "o_totalprice + 1" not in out.split("AS")[0]
+    out2 = rewrite_sql("SELECT alias(a + 1) c0 FROM t")
+    assert "'c0'" in out2
+    # nested: default rendering survives
+    out3 = rewrite_sql("SELECT concat(alias(a), alias(a + 1)) AS z FROM t")
+    assert "'a'" in out3 and "'(a + 1)'" in out3
+
+
+def test_alias_cse_first_alias_wins():
+    # DuckDB CSEs identical expressions: two items alias(x+1) AS c0 /
+    # AS c2 BOTH return 'c0' (fuzz seed 777 q253, probed on 1.0)
+    out = rewrite_sql(
+        "SELECT alias(x + 1) AS c0, alias(x + 1) AS c2 FROM t"
+    )
+    assert out.count("'c0'") == 2 and "'c2'" not in out
