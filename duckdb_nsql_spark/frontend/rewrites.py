@@ -2399,6 +2399,80 @@ _UNBIN_T = (
 _FN_MACROS_N["UNBIN"] = {1: _UNBIN_T}
 _FN_MACROS_N["FROM_BINARY"] = {1: _UNBIN_T}
 _FN_MACROS_N["ROW_TO_JSON"] = {1: "to_json({0})"}
+
+
+_DUCK_TO_SPARK_TYPE = {
+    "INTEGER": "INT", "INT": "INT", "INT4": "INT", "SIGNED": "INT",
+    "TINYINT": "TINYINT", "SMALLINT": "SMALLINT", "BIGINT": "BIGINT",
+    "INT8": "BIGINT", "HUGEINT": "DECIMAL(38,0)",
+    "UBIGINT": "DECIMAL(20,0)", "UINTEGER": "BIGINT",
+    "VARCHAR": "STRING", "TEXT": "STRING", "STRING": "STRING",
+    "DOUBLE": "DOUBLE", "FLOAT": "FLOAT", "REAL": "FLOAT",
+    "BOOLEAN": "BOOLEAN", "BOOL": "BOOLEAN",
+    "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "DATETIME": "TIMESTAMP",
+    "BLOB": "BINARY", "JSON": "STRING",
+}
+
+
+def _json_structure_to_ddl(node, as_string: bool = False) -> Optional[str]:
+    """DuckDB from_json/json_transform structure literal -> Spark DDL
+    type: {"a": "INTEGER"} -> STRUCT<a: INT>, ["INTEGER"] ->
+    ARRAY<INT>, nested recursively. None for unsupported types.
+    ``as_string=True`` renders every LEAF as STRING (the parse schema —
+    see _from_json_template)."""
+    if isinstance(node, str):
+        if as_string:
+            return "STRING"
+        t = node.strip().upper()
+        if t.startswith("DECIMAL"):
+            return t
+        return _DUCK_TO_SPARK_TYPE.get(t)
+    if isinstance(node, list):
+        if len(node) != 1:
+            return None
+        inner = _json_structure_to_ddl(node[0], as_string)
+        return f"ARRAY<{inner}>" if inner else None
+    if isinstance(node, dict):
+        fields = []
+        for k, v in node.items():
+            inner = _json_structure_to_ddl(v, as_string)
+            if inner is None:
+                return None
+            safe = k.replace("`", "``")
+            fields.append(f"`{safe}`: {inner}")
+        return "STRUCT<" + ", ".join(fields) + ">"
+    return None
+
+
+def _from_json_template(args: list[str]) -> Optional[str]:
+    """DuckDB from_json/json_transform(json, structure-literal) -> Spark
+    ``CAST(from_json(json, <all-STRING ddl>) AS <target ddl>)``. The
+    two-step parse-then-cast matters: DuckDB coerces quoted scalars
+    ("7" -> INTEGER 7) and NULLs uncastable ones ("oops" -> NULL);
+    Spark's from_json would reject the quoted number outright, but its
+    STRING->numeric CAST follows exactly DuckDB's lax rule. Literal
+    structures only; non-literal or unsupported structures fall through
+    to Spark's own from_json (which takes a DDL string directly — a
+    superset the engine also accepts)."""
+    import json as _json
+
+    s = args[1].strip()
+    if not (len(s) >= 2 and s[0] == "'" and s[-1] == "'"):
+        return None
+    try:
+        node = _json.loads(s[1:-1].replace("''", "'"))
+    except ValueError:
+        return None
+    target = _json_structure_to_ddl(node)
+    parse = _json_structure_to_ddl(node, as_string=True)
+    if target is None or parse is None:
+        return None
+    return f"CAST(from_json({args[0]}, '{parse}') AS {target})"
+
+
+_FN_MACROS_N["FROM_JSON"] = {2: _from_json_template}
+_FN_MACROS_N["JSON_TRANSFORM"] = {2: _from_json_template}
+_FN_MACROS_N["JSON_TRANSFORM_STRICT"] = {2: _from_json_template}
 def _cross3_template(args: list[str]) -> str:
     # DOUBLE elements like DuckDB (decimal literals would otherwise
     # produce a DECIMAL-typed result array in Spark)

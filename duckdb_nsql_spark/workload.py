@@ -1674,6 +1674,23 @@ _sql(
 )
 
 
+# DuckDB from_json/json_transform: structure-by-example literals ->
+# parse-then-cast (rewrites._from_json_template; quoted scalars coerce,
+# bad casts NULL — DuckDB's lax rule). Identical text on the oracle.
+_sql(
+    "q115_from_json",
+    """
+    SELECT n_nationkey,
+           from_json('{"a":' || n_nationkey || ',"b":"x"}',
+                     '{"a":"INTEGER","b":"VARCHAR"}').a AS a,
+           json_transform('{"v":"' || n_nationkey || '7"}',
+                          '{"v":"BIGINT"}').v AS v,
+           json_transform('{"v":"oops"}', '{"v":"INTEGER"}').v AS bad
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
 # ---------------------------------------------------------------------------
@@ -3374,6 +3391,7 @@ _WINDOW_R6: tuple[str, ...] = (
     # round-6 additions (never witnessed, parity-green at sf0.01)
     "q113_pg_operators",
     "q114_array_spellings",
+    "q115_from_json",
 )
 
 

@@ -858,3 +858,18 @@ def test_alias_cse_first_alias_wins():
         "SELECT alias(x + 1) AS c0, alias(x + 1) AS c2 FROM t"
     )
     assert out.count("'c0'") == 2 and "'c2'" not in out
+
+
+def test_from_json_structure_literal():
+    # DuckDB structure-by-example -> parse with STRING leaves, cast to
+    # the target type (quoted "7" coerces, "oops" -> NULL, both probed)
+    out = rewrite_sql(
+        "SELECT from_json(j, '{\"a\":\"INTEGER\",\"b\":\"VARCHAR\"}') FROM t"
+    )
+    assert "from_json(j, 'STRUCT<`a`: STRING, `b`: STRING>')" in out
+    assert "AS STRUCT<`a`: INT, `b`: STRING>" in out
+    out2 = rewrite_sql("SELECT json_transform(j, '[\"DOUBLE\"]') FROM t")
+    assert "ARRAY<DOUBLE>" in out2 and "ARRAY<STRING>" in out2
+    # non-literal structure: left for Spark's own from_json
+    out3 = rewrite_sql("SELECT from_json(j, s) FROM t")
+    assert "from_json(j, s)" in out3
