@@ -66,9 +66,16 @@ class Resolver(Protocol):
         """True when the unqualified column is TIMESTAMP-typed."""
         ...
 
+    def enum_values(self, name: str) -> Optional[list[str]]:
+        """Member list for an ENUM type name or enum-typed column."""
+        ...
+
 
 class NullResolver:
     def column_kind(self, name: str) -> Optional[str]:
+        return None
+
+    def enum_values(self, name: str) -> Optional[list[str]]:
         return None
 
     def column_numeric(self, name: str) -> Optional[str]:
@@ -4975,6 +4982,129 @@ def pass_alias_of_item(tokens: list[Token]) -> list[Token]:
     return out
 
 
+_ENUM_FNS = frozenset({"ENUM_FIRST", "ENUM_LAST", "ENUM_RANGE", "ENUM_CODE"})
+
+
+def pass_enum_functions(
+    tokens: list[Token], resolver: Optional["Resolver"] = None
+) -> list[Token]:
+    """DuckDB enum introspection over the engine's VARCHAR-backed enums:
+    enum_first/enum_last fold to the member literal, enum_range to an
+    array literal, enum_code(col) to a 0-based array_position (DuckDB
+    returns the member's UTINYINT code). The enum's member list resolves
+    from the argument's LAST identifier — covering ``NULL::mood``,
+    ``CAST(x AS mood)``, and a bare enum-typed column — via
+    resolver.enum_values (type name first, then column name)."""
+    if resolver is None:
+        return tokens
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == IDENT and t.upper in _ENUM_FNS):
+            i += 1
+            continue
+        o = next_sig(out, i)
+        if o >= len(out) or out[o].text != "(":
+            i += 1
+            continue
+        c = match_forward(out, o, "(", ")")
+        arg = _trim(out[o + 1 : c])
+        sig = [tk for tk in arg if tk.kind not in (WS, COMMENT)]
+        vals = None
+        for tk in reversed(sig):
+            if tk.kind in (IDENT, QIDENT):
+                vals = resolver.enum_values(tk.text.strip('"`'))
+                if vals:
+                    break
+        if not vals:
+            i += 1
+            continue
+        fn = t.upper
+        if fn == "ENUM_FIRST":
+            new = [_sql_str(vals[0])]
+        elif fn == "ENUM_LAST":
+            new = [_sql_str(vals[-1])]
+        elif fn == "ENUM_RANGE":
+            arr = ", ".join(
+                "'" + v.replace("'", "''") + "'" for v in vals
+            )
+            new = tokenize(f"array({arr})")
+        else:  # ENUM_CODE
+            arr = ", ".join(
+                "'" + v.replace("'", "''") + "'" for v in vals
+            )
+            a_txt = render(arg)
+            new = tokenize(
+                f"CAST(array_position(array({arr}), {a_txt}) - 1 AS INT)"
+            )
+        out = out[:i] + new + out[c + 1 :]
+        i += len(new)
+    # ENUM ordering: DuckDB sorts enum values by MEMBER CODE (their
+    # declaration order), not lexicographically — a bare enum-typed
+    # column in an ORDER BY item list becomes its array_position code.
+    # (Equality/grouping are unaffected; range comparisons on enums stay
+    # a documented engine limitation.)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == IDENT and t.upper == "ORDER"):
+            i += 1
+            continue
+        b = next_sig(out, i)
+        if b >= len(out) or not out[b].is_kw("BY"):
+            i += 1
+            continue
+        k = next_sig(out, b)
+        depth = 0
+        item_ids: list[int] = []  # candidate single-ident item positions
+        cur: list[int] = []
+        cur_sig = 0
+
+        def flush_item():
+            if cur_sig == 1 and cur and out[cur[0]].kind in (IDENT, QIDENT):
+                item_ids.append(cur[0])
+
+        while k < len(out):
+            tk = out[k]
+            if tk.kind == PUNCT and tk.text in "([{":
+                depth += 1
+            elif tk.kind == PUNCT and tk.text in ")]}":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and tk.kind == IDENT and tk.upper in (
+                "LIMIT", "OFFSET", "FETCH", "UNION", "INTERSECT",
+                "EXCEPT", "WINDOW", "ROWS", "RANGE", "GROUPS",
+            ):
+                break
+            elif depth == 0 and tk.kind == PUNCT and tk.text == ",":
+                flush_item()
+                cur, cur_sig = [], 0
+                k += 1
+                continue
+            if tk.kind not in (WS, COMMENT):
+                if tk.kind == IDENT and tk.upper in (
+                    "ASC", "DESC", "NULLS", "FIRST", "LAST",
+                ):
+                    pass  # direction modifiers don't count as the expr
+                else:
+                    cur.append(k)
+                    cur_sig += 1
+            k += 1
+        flush_item()
+        for j in reversed(item_ids):
+            vals = resolver.enum_values(out[j].text.strip('"`'))
+            if not vals:
+                continue
+            arr = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+            out[j : j + 1] = tokenize(
+                f"array_position(array({arr}), {out[j].text})"
+            )
+        i = k
+    return out
+
+
 def pass_windowed_median(
     tokens: list[Token], resolver: Optional["Resolver"] = None
 ) -> list[Token]:
@@ -6489,6 +6619,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_window_exclude(tokens)
     tokens = pass_windowed_median(tokens, resolver)
     tokens = pass_alias_of_item(tokens)
+    tokens = pass_enum_functions(tokens, resolver)
     tokens = pass_collate(tokens)
     tokens = pass_exclude_to_except(tokens, resolver)
     tokens = pass_current_setting(tokens, resolver)

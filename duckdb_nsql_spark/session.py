@@ -328,6 +328,18 @@ class _CatalogResolver:
     def column_timestamp(self, name: str) -> bool:
         return self.session._column_kinds().get(name.lower()) == "timestamp"
 
+    def enum_values(self, name: str) -> Optional[list[str]]:
+        """ENUM member list by TYPE name first, then by enum-typed
+        COLUMN name (pass_enum_functions resolves either spelling)."""
+        n = name.lower()
+        vals = self.session._enum_types.get(n)
+        if vals:
+            return vals
+        for cols in self.session._enum_cols.values():
+            if n in cols:
+                return cols[n]
+        return None
+
     def table_columns(self, name: str) -> Optional[list[str]]:
         try:
             return self.session.table(name).columns

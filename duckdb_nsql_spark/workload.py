@@ -1691,6 +1691,26 @@ _sql(
 )
 
 
+# ENUM battery: enum_first/last/range/code introspection + the member-
+# CODE ordering rule (DuckDB sorts enums by declaration order, not text
+# — pass_enum_functions rewrites bare enum ORDER BY items). Identical
+# multi-statement text runs on the DuckDB oracle.
+_sql(
+    "q116_enum_battery",
+    """
+    DROP TABLE IF EXISTS enum_t;
+    DROP TYPE IF EXISTS mood6;
+    CREATE TYPE mood6 AS ENUM ('sad', 'ok', 'happy');
+    CREATE TABLE enum_t (m mood6, x INTEGER);
+    INSERT INTO enum_t VALUES ('ok', 1), ('sad', 2), ('happy', 3), ('ok', 4);
+    SELECT m, enum_code(m) AS code, enum_first(m) AS f,
+           enum_last(NULL::mood6) AS l,
+           array_to_string(enum_range(NULL::mood6), '|') AS rng, x
+    FROM enum_t ORDER BY m DESC, x
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
 # ---------------------------------------------------------------------------
@@ -3392,6 +3412,7 @@ _WINDOW_R6: tuple[str, ...] = (
     "q113_pg_operators",
     "q114_array_spellings",
     "q115_from_json",
+    "q116_enum_battery",
 )
 
 

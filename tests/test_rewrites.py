@@ -873,3 +873,26 @@ def test_from_json_structure_literal():
     # non-literal structure: left for Spark's own from_json
     out3 = rewrite_sql("SELECT from_json(j, s) FROM t")
     assert "from_json(j, s)" in out3
+
+
+def test_enum_functions_and_ordering():
+    class EnumResolver(NullResolver):
+        def enum_values(self, name):
+            return ["sad", "ok", "happy"] if name in ("mood", "m") else None
+
+    r = EnumResolver()
+    out = rewrite_sql("SELECT enum_first(NULL::mood)", resolver=r)
+    assert "'sad'" in out
+    out = rewrite_sql("SELECT enum_last(NULL::mood)", resolver=r)
+    assert "'happy'" in out
+    out = rewrite_sql("SELECT enum_range(NULL::mood)", resolver=r)
+    assert "array('sad', 'ok', 'happy')" in out
+    out = rewrite_sql("SELECT enum_code(m) FROM mt", resolver=r)
+    assert "array_position" in out and "- 1" in out
+    # ORDER BY on a bare enum column sorts by MEMBER CODE, not text
+    out = rewrite_sql("SELECT m FROM mt ORDER BY m DESC", resolver=r)
+    assert "array_position(array('sad', 'ok', 'happy'), m)" in out
+    assert out.rstrip().endswith("DESC")
+    # non-enum items untouched
+    out = rewrite_sql("SELECT x FROM mt ORDER BY x", resolver=r)
+    assert "array_position" not in out
