@@ -462,20 +462,86 @@ def gen_wave8_query():
     )
 
 
+def gen_wave9_query():
+    """Wave-9 shapes (round 6): repeated-reference CTEs (the
+    materialize-once path), GROUPING SETS/ROLLUP/CUBE with grouping(),
+    chained set operations, struct literal + field access + list slices
+    in one projection, string-function zoo, from_json structure
+    literals."""
+    t = rng.choice(["orders", "customer", "part", "supplier"])
+    n = rng.choice(NUM_COLS[t])
+    s = rng.choice(STR_COLS[t])
+    k = KEY_COLS[t]
+    r = rng.random()
+    if r < 0.2:
+        # CTE referenced twice: engine materializes once (DuckDB-style)
+        return (
+            f"WITH agg AS (SELECT {s} AS g, round(sum({n}), 2) AS v"
+            f" FROM {t} GROUP BY {s})"
+            f" SELECT a.g, a.v, round(a.v / NULLIF(tot.t, 0), 4) AS share"
+            f" FROM agg a, (SELECT round(sum(v), 2) AS t FROM agg) tot"
+            f" ORDER BY a.g"
+        )
+    if r < 0.4:
+        sets = rng.choice([
+            f"GROUPING SETS (({s}), ())",
+            f"ROLLUP ({s})",
+            f"CUBE ({s})",
+        ])
+        return (
+            f"SELECT coalesce({s}, '(all)') AS g, grouping({s}) AS gr,"
+            f" count(*) AS c, round(sum({n}), 2) AS v"
+            f" FROM {t} WHERE {n} > {rng.randint(0, 30)}"
+            f" GROUP BY {sets} ORDER BY ALL"
+        )
+    if r < 0.55:
+        op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        return (
+            f"SELECT substr({s}, 1, 2) AS g FROM {t} WHERE {n} > 50"
+            f" {op} "
+            f"SELECT substr({s}, 1, 2) FROM {t} WHERE {n} <= 50"
+            f" ORDER BY g LIMIT 40"
+        )
+    if r < 0.75:
+        return (
+            f"SELECT {k},"
+            f" {{'a': {n}, 'b': upper({s})}}.b AS f1,"
+            f" struct_extract({{'x': {n} * 2}}, 'x') AS f2,"
+            f" [{n}, 1, 2][2] AS e2,"
+            f" ([{n}, 3, 4])[1:2] AS sl"
+            f" FROM {t} ORDER BY {k} LIMIT 50"
+        )
+    zoo = rng.choice([
+        f"translate({s}, 'AEIOU', 'aeiou')",
+        f"repeat(substr({s}, 1, 2), 3)",
+        f"reverse({s})",
+        f"lpad({s}, 12, '.')",
+        f"replace({s}, 'A', '@')",
+        f"""from_json('{{"v":' || CAST({n} AS INTEGER) || '}}',"""
+        f""" '{{"v":"BIGINT"}}').v""",
+    ])
+    return (
+        f"SELECT {k}, {zoo} AS z FROM {t}"
+        f" WHERE {predicate(t)} ORDER BY {k} LIMIT 60"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:
         return gen_doc_query()
-    if r0 < 0.24:
+    if r0 < 0.22:
         return gen_event_query()
-    if r0 < 0.32:
+    if r0 < 0.30:
         return gen_emb_query()
-    if r0 < 0.42:
+    if r0 < 0.40:
         return gen_advanced_query()
-    if r0 < 0.52:
+    if r0 < 0.50:
         return gen_window_join_query()
-    if r0 < 0.64:
+    if r0 < 0.60:
         return gen_wave8_query()
+    if r0 < 0.70:
+        return gen_wave9_query()
     t = rng.choice(list(NUM_COLS))
     kind = rng.random()
     if kind < 0.45:
