@@ -5040,11 +5040,44 @@ def pass_enum_functions(
             )
         out = out[:i] + new + out[c + 1 :]
         i += len(new)
+    # min/max over a bare enum column: DuckDB picks by MEMBER CODE
+    # (min('ok','happy') = 'ok', code 1 < 2 — lexicographic would say
+    # 'happy'); mixed enum/varchar comparisons coerce to VARCHAR in
+    # DuckDB (probed: m > 'ok' is lexicographic), which the VARCHAR
+    # backing already matches, so ONLY min/max need the code mapping.
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == IDENT and t.upper in ("MIN", "MAX")):
+            i += 1
+            continue
+        o = next_sig(out, i)
+        if o >= len(out) or out[o].text != "(":
+            i += 1
+            continue
+        c = match_forward(out, o, "(", ")")
+        sig = [tk for tk in out[o + 1 : c] if tk.kind not in (WS, COMMENT)]
+        if len(sig) != 1 or sig[0].kind not in (IDENT, QIDENT):
+            i += 1
+            continue
+        col = sig[0].text.strip('"`')
+        vals = resolver.enum_values(col)
+        if not vals:
+            i += 1
+            continue
+        arr = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+        fn = t.upper.lower()
+        new = tokenize(
+            f"element_at(array({arr}), CAST({fn}(array_position("
+            f"array({arr}), {col})) AS INT))"
+        )
+        out = out[:i] + new + out[c + 1 :]
+        i += len(new)
     # ENUM ordering: DuckDB sorts enum values by MEMBER CODE (their
     # declaration order), not lexicographically — a bare enum-typed
-    # column in an ORDER BY item list becomes its array_position code.
-    # (Equality/grouping are unaffected; range comparisons on enums stay
-    # a documented engine limitation.)
+    # column in an ORDER BY item list becomes its member-code position.
+    # (Equality/grouping are unaffected; enum-vs-varchar comparisons
+    # coerce to VARCHAR in DuckDB, which the backing already matches.)
     i = 0
     while i < len(out):
         t = out[i]

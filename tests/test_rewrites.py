@@ -896,3 +896,18 @@ def test_enum_functions_and_ordering():
     # non-enum items untouched
     out = rewrite_sql("SELECT x FROM mt ORDER BY x", resolver=r)
     assert "array_position" not in out
+
+
+def test_enum_min_max_code_order():
+    # DuckDB min/max over an enum column picks by MEMBER CODE
+    # (min('ok','happy') = 'ok'); mixed enum/varchar comparisons coerce
+    # to VARCHAR (already the backing's behavior) — probed on 1.0
+    class EnumResolver(NullResolver):
+        def enum_values(self, name):
+            return ["sad", "ok", "happy"] if name == "m" else None
+
+    out = rewrite_sql("SELECT min(m), max(m) FROM mt", resolver=EnumResolver())
+    assert out.count("array_position") == 2 and "element_at" in out
+    # plain columns untouched
+    out2 = rewrite_sql("SELECT min(x) FROM mt", resolver=EnumResolver())
+    assert "array_position" not in out2
