@@ -2094,7 +2094,10 @@ def op_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prof = text_ops.text_profile(_docs(spark, sf_dir))
+    # _docs_wide: the profile is a pure JVM-regex map battery — on the
+    # single-row-group driver parquet it otherwise runs as 1-2 scan
+    # tasks at any SF (measured sf10: 4.1s single-task)
+    prof = text_ops.text_profile(_docs_wide(spark, sf_dir))
     return prof.select(
         "doc_id",
         F.col("n_chars").cast("int").alias("n_chars"),
