@@ -5326,12 +5326,26 @@ class DuckSparkSession:
         if k == "threads":
             # map onto Spark's parallelism knob (session-level); an
             # explicit SET threads also pins it against the statement-
-            # size auto-tuner (_tune_statement_parallelism)
+            # size auto-tuner — and restores the tuner's OTHER small-mode
+            # confs (AQE, scan split) so only the user's knob differs
+            # from cluster defaults from here on
             try:
-                self.spark.conf.set("spark.sql.shuffle.partitions", str(int(v)))
-                self._threads_overridden = True
+                n_threads = int(v)
             except (ValueError, TypeError):
-                pass
+                n_threads = None
+            if n_threads is not None:
+                if self._parallelism_mode == "small":
+                    for ck, cv in (self._big_stmt_confs or {}).items():
+                        if ck != "spark.sql.shuffle.partitions":
+                            try:
+                                self.spark.conf.set(ck, cv)
+                            except Exception:  # noqa: BLE001
+                                pass
+                    self._parallelism_mode = "big"
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(n_threads)
+                )
+                self._threads_overridden = True
         if k in ("memory_limit", "max_memory"):
             norm = _format_memory(v)
             self.settings["memory_limit"] = norm

@@ -1517,3 +1517,32 @@ def test_summarize_hll_estimator_accuracy():
     small = np.arange(500, dtype=np.uint64)
     est2 = _hll_estimate_u64(small)
     assert abs(est2 - 500) / 500 < 0.02, est2
+
+
+def test_statement_parallelism_tuner(engine, spark, sf_dir):
+    """Size-adaptive parallelism: small file-backed statements flip the
+    session to small mode; unknown-size relations (views, in-memory
+    tables) and explicit SET threads keep/restore the big-mode confs."""
+    engine.register_parquet_dir(sf_dir)
+    # small file-backed statement -> small mode
+    engine.execute("SELECT count(*) FROM nation").collect()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    # a view reference is unknown-size -> big mode restored
+    engine.execute("CREATE VIEW nv AS SELECT * FROM nation")
+    engine.execute("SELECT count(*) FROM nv").collect()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # back to small on the next file-backed statement
+    engine.execute("SELECT count(*) FROM region").collect()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    # explicit SET threads pins the knob (tuner stands down) AND
+    # restores the other small-mode confs to cluster defaults
+    engine.execute("SET threads = 4")
+    engine.execute("SELECT count(*) FROM nation").collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # restore for other tests in this session
+    engine._threads_overridden = False
+    engine._parallelism_mode = "big"
+    for k, v in (engine._big_stmt_confs or {}).items():
+        spark.conf.set(k, v)
