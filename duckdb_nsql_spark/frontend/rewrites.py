@@ -3899,6 +3899,32 @@ def _primary_start(tokens: list[Token], e: int) -> Optional[int]:
         return j
 
 
+def _extend_unary_sign(tokens: list[Token], ls: int) -> int:
+    """Extend a left-primary start to include an immediately-preceding
+    UNARY +/- (DuckDB binds unary minus tighter than ^ and the shift
+    operators: -2 ^ 2 = 4, -5 >> 1 = -3 — both probed). The sign is
+    unary when nothing value-like precedes it."""
+    p = prev_sig(tokens, ls)
+    if p < 0 or not (tokens[p].kind == OP and tokens[p].text in ("-", "+")):
+        return ls
+    pp = prev_sig(tokens, p)
+    if pp < 0:
+        return p
+    t = tokens[pp]
+    if t.kind in (NUMBER, STRING, QIDENT):
+        return ls  # binary +/-
+    if t.kind == PUNCT and t.text in (")", "]"):
+        return ls
+    if t.kind == IDENT and t.upper not in (
+        "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
+        "BY", "ON", "RETURN", "RETURNING", "SET", "VALUES", "IN", "AS",
+        "HAVING", "LIKE", "BETWEEN", "CASE", "DISTINCT", "ALL", "LIMIT",
+        "OFFSET", "FROM",
+    ):
+        return ls  # an identifier operand precedes: binary
+    return p
+
+
 def _primary_end(tokens: list[Token], s: int) -> Optional[int]:
     """End index of the primary expression STARTING at ``s`` (allows one
     leading unary +/-), including call/index/field postfixes."""
@@ -3960,6 +3986,30 @@ def _expr_start_arith(tokens: list[Token], e: int) -> Optional[int]:
         ):
             return s
         s = s2
+
+
+def _expr_end_arith(tokens: list[Token], s: int) -> Optional[int]:
+    """Mirror of :func:`_expr_start_arith`: end of the arithmetic chain
+    STARTING at ``s`` — extends :func:`_primary_end` rightward across
+    +,-,*,/,%,||,// (each right operand may carry a unary sign)."""
+    e = _primary_end(tokens, s)
+    if e is None:
+        return None
+    while True:
+        n = next_sig(tokens, e)
+        if n >= len(tokens) or tokens[n].kind != OP or (
+            tokens[n].text not in _ARITH_CHAIN_OPS
+        ):
+            return e
+        n2 = next_sig(tokens, n)
+        if n2 >= len(tokens) or (
+            tokens[n2].kind == IDENT and tokens[n2].upper in _EXPR_STOP_KWS
+        ):
+            return e
+        e2 = _primary_end(tokens, n2)
+        if e2 is None:
+            return e
+        e = e2
 
 
 _QUANT_CMPS = {"=", "<>", "!=", "<", ">", "<=", ">="}
@@ -4170,10 +4220,16 @@ def pass_regex_operators(tokens: list[Token]) -> list[Token]:
             out, i
         ):
             # bit shifts: Spark SQL has shiftleft/shiftright functions
-            # but no << >> operators
-            ls = _primary_start(out, prev_sig(out, i))
+            # but no << >> operators. DuckDB binds shifts BELOW
+            # arithmetic (probed: 20 - 4 >> 1 = 8, 1 << 2 + 3 = 32,
+            # left-assoc chains) — operands span the whole arithmetic
+            # chain on each side, and a leading unary sign belongs to
+            # the operand (-5 >> 1 = -3).
+            ls = _expr_start_arith(out, prev_sig(out, i))
+            if ls is not None:
+                ls = _extend_unary_sign(out, ls)
             ps = next_sig(out, i)
-            pe = _primary_end(out, ps) if ps < len(out) else None
+            pe = _expr_end_arith(out, ps) if ps < len(out) else None
             if ls is not None and pe is not None:
                 fn = "shiftleft" if t.text == "<<" else "shiftright"
                 l_txt = render(out[ls : prev_sig(out, i) + 1])
@@ -4356,6 +4412,8 @@ def pass_caret_power(
             if lstart is None or rend is None:
                 i += 1
                 continue
+            # DuckDB binds unary minus TIGHTER than ^: -2 ^ 2 = 4
+            lstart = _extend_unary_sign(out, lstart)
             l_txt = render(out[lstart : lp + 1])
             r_txt = render(out[rp : rend + 1])
             new = tokenize(f"power({l_txt}, {r_txt})")

@@ -74,8 +74,13 @@ def scalar_expr(t):
         f"list_product([CAST({n} AS DOUBLE), 2.0])",
         f"array_inner_product(array_value(CAST({n} AS DOUBLE), 1.0),"
         f" array_value(2.0, 3.0))",
-        f"CAST({n} AS INTEGER) << {rng.randint(0, 3)}",
+        # abs() on the left-shift value: DuckDB ERRORS on left-shifting
+        # a negative number (we stay permissive — documented divergence)
+        f"CAST(abs({n}) AS INTEGER) << {rng.randint(0, 3)}",
         f"CAST({n} AS INTEGER) >> {rng.randint(0, 2)}",
+        # precedence shapes: shifts bind below arithmetic, left-assoc
+        f"CAST(abs({n}) AS INTEGER) + 2 << {rng.randint(0, 2)}",
+        f"CAST(abs({n}) AS INTEGER) >> 1 >> {rng.randint(0, 2)}",
     ])
 
 def agg_expr(t):

@@ -911,3 +911,18 @@ def test_enum_min_max_code_order():
     # plain columns untouched
     out2 = rewrite_sql("SELECT min(x) FROM mt", resolver=EnumResolver())
     assert "array_position" not in out2
+
+
+def test_shift_operator_precedence():
+    # DuckDB binds << >> BELOW arithmetic and above comparisons, with a
+    # leading unary sign in the operand and left-assoc chains (probed:
+    # 20 - 4 >> 1 = 8, 1 << 2 + 3 = 32, -5 >> 1 = -3, -2 ^ 2 = 4)
+    assert "shiftright(20 - 4, 1)" in rewrite_sql("SELECT 20 - 4 >> 1")
+    assert "shiftleft(1, 2 + 3)" in rewrite_sql("SELECT 1 << 2 + 3")
+    assert "shiftright(-5, 1)" in rewrite_sql("SELECT -5 >> 1")
+    assert "shiftleft(shiftleft(1, 1), 2)" in rewrite_sql(
+        "SELECT 1 << 1 << 2"
+    )
+    assert "shiftleft(1, 2) = 4" in rewrite_sql("SELECT 1 << 2 = 4")
+    assert "power(-2, 2)" in rewrite_sql("SELECT -2 ^ 2")
+    assert "3 - power(2, 2)" in rewrite_sql("SELECT 3 - 2 ^ 2")
