@@ -1034,8 +1034,15 @@ class DuckSparkSession:
         items.append((item_start, len(tokens)))
         # Python-side size gate first: when every referenced relation is a
         # known on-disk file, the decision costs zero py4j round-trips
-        # (the JVM leaf-stats probe alone was ~16ms of socket latency)
+        # (the JVM leaf-stats probe alone was ~16ms of socket latency).
+        # x4: parquet compresses ~4x, and the Catalyst estimate this
+        # replaces included fileCompressionFactor=4 — gating on raw file
+        # bytes let a 1.9M-row sf1 aggregate through, and the COALESCE(1)
+        # local sort collapses the FINAL AGG stage to one task (narrow
+        # coalesce), measured 2x slower on q3 at sf1.
         fb = self._statement_file_bytes(text)
+        if fb is not None:
+            fb *= 4
         if fb is not None and fb > SMALL_SORT_MAX_INPUT_BYTES:
             return None
         inner_text = render(tokens[:i])
