@@ -1654,15 +1654,19 @@ _sql(
 
 # fixed-size ARRAY function spellings -> the list twins (the engine types
 # DuckDB ARRAY(T, n) as array<T>). array_zip is unit-tested only (struct
-# rendering differs between the two fetch layers).
+# rendering differs between the two fetch layers). ap/aw/ar are projected
+# through array_to_json: the driver canonicalizer pandas-sorts the fetched
+# frame and raw LIST cells crash it with "unhashable type: numpy.ndarray"
+# (r6's one red row) — JSON text hashes identically on both engines.
 _sql(
     "q114_array_spellings",
     """
     SELECT n_nationkey,
            array_to_json([n_nationkey, n_regionkey]) AS aj,
-           array_apply([n_nationkey, 2], x -> x * 2) AS ap,
-           array_where([n_nationkey, 7, 9], [true, false, true]) AS aw,
-           array_resize([n_nationkey, 1], 4) AS ar,
+           array_to_json(array_apply([n_nationkey, 2], x -> x * 2)) AS ap,
+           array_to_json(array_where([n_nationkey, 7, 9],
+                                     [true, false, true])) AS aw,
+           array_to_json(array_resize([n_nationkey, 1], 4)) AS ar,
            round(array_cosine_similarity(
                array_value(1.0, 2.0, CAST(n_nationkey AS DOUBLE)),
                array_value(2.0, 1.0, 3.0)), 4) AS acs,
@@ -3383,40 +3387,32 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 # ---------------------------------------------------------------------------
 
 
-# Round-6 driver window head: the 11 registry entries that have NEVER had
-# a driver correctness row after r5 (r5 windowed q85-q112 + the round-4
-# pipeline ops; CORRECTNESS_r05 greened 46 of them), followed by the four
-# r5 hash-red rows re-shaped this round (q88/q90: DECIMAL totals cast to
-# DOUBLE in both texts; q107: CASE-sums cast to BIGINT; q91: windowed
-# median now routes round() through the DuckDB double-boundary emulation).
-# This is a STATIC literal, updated once per round by hand — no rotation
-# state, no reading evaluator artifacts at import time. Slots 16-50 are
-# refilled by _registry_order()'s numeric-sorted remainder (q01...), so
-# the core §2 rows get re-witnessed in the same round.
-_WINDOW_R6: tuple[str, ...] = (
-    # never-witnessed after round 5 (deferred r5 tail + round-5 additions)
-    "op_stream_doc_profile",
-    "op_stream_decontaminate",
-    "op_skew_salted_join",
-    "op_similarity_batch",
-    "op_dsir_select",
-    "op_token_histogram",
-    "op_embedding_quantize",
-    "op_dedup_paragraph",
-    "op_stream_warehouse_sink",
-    "op_stream_upsert",
-    "op_multimodal_frame_sample",
-    # r5 hash-red rows, re-shaped this round
-    "q88_upsert_on_conflict",
-    "q90_merge_upsert",
-    "q91_window_exclude_median",
-    "q107_tpch_q12",
-    # round-6 additions (never witnessed, parity-green at sf0.01)
-    "q113_pg_operators",
+# Round-7 driver window head: the 7 registry entries that have NEVER had
+# a green driver correctness row in any round (per VERDICT r6 §"What's
+# missing" item 1): q114 red in r6 (raw-LIST canonicalizer crash, fixed
+# this round by array_to_json-wrapping ap/aw/ar in both texts);
+# q55/q72/q79 ndarray-red in r3, stringified in r4, never re-windowed;
+# q65 hash-red in r3, DECIMAL-frame fix in r4, never re-windowed;
+# op_dedup_simhash / op_text_quality_lang got oracles in r4 *after*
+# their r3 no_oracle windows. New round-7 additions (TPC-H breadth)
+# follow. This is a STATIC literal, updated once per round by hand — no
+# rotation state, no reading evaluator artifacts at import time. The
+# remaining window slots are refilled by _registry_order()'s rotated
+# numeric remainder starting at _REWITNESS_START (q01-q31 were
+# re-witnessed in r6, so r7 continues from q32).
+_WINDOW_R7: tuple[str, ...] = (
+    # never driver-green in any round
     "q114_array_spellings",
-    "q115_from_json",
-    "q116_enum_battery",
+    "q55_array_agg",
+    "q65_window_frames",
+    "q72_map_ops",
+    "q79_list_function_batch",
+    "op_dedup_simhash",
+    "op_text_quality_lang",
 )
+
+# First numeric query id of the re-witness rotation (see _registry_order).
+_REWITNESS_START = 32
 
 
 
@@ -3428,15 +3424,16 @@ def _registry_order() -> list[str]:
     nondeterministic (it sniffed evaluator artifacts) and self-defeating
     (verified entries rotated out of the window, so a regression could
     hide for a round). The order is now a hand-maintained static literal:
-    the driver's 50-entry window (`_WINDOW_R6`) leads with the entries
-    that have never earned a driver correctness row plus the four rows
-    re-shaped after r5's hash-reds, then every previously-witnessed
-    entry in numeric registration order (so q01... re-witness in the
-    same 50-slot window). Entries outside the window are re-proven every
-    round by tests/test_oracle_parity.py, which runs the SAME
-    engine-vs-DuckDB compare at the driver's sf0.01.
+    the driver's 50-entry window (`_WINDOW_R7`) leads with the entries
+    that have never earned a driver correctness row, then every
+    previously-witnessed entry in numeric registration order ROTATED to
+    start at _REWITNESS_START (q01-q31 were re-witnessed in r6; r7's
+    spare slots continue from q32, wrapping back to q01 after the
+    highest id). Entries outside the window are re-proven every round by
+    tests/test_oracle_parity.py, which runs the SAME engine-vs-DuckDB
+    compare at the driver's sf0.01.
     """
-    head = list(_WINDOW_R6)
+    head = list(_WINDOW_R7)
     head_set = set(head)
 
     def qnum(n: str) -> int:
@@ -3445,6 +3442,8 @@ def _registry_order() -> list[str]:
 
     sql_rest = [n for n in ENGINE_SQL if n not in head_set]
     sql_rest.sort(key=qnum)
+    tail = [n for n in sql_rest if qnum(n) < _REWITNESS_START]
+    sql_rest = [n for n in sql_rest if qnum(n) >= _REWITNESS_START] + tail
     op_rest = [n for n in OPERATORS if n not in head_set]
     return head + sql_rest + op_rest
 

@@ -114,6 +114,36 @@ def _spark_render_kind(dt) -> str:
     return "obj"
 
 
+def assert_driver_sortable(name, spark_schema, duckdb_cols_types):
+    """Registry-wide guard (r6 verdict item 1b, second shipment of the
+    class): the driver canonicalizer pandas-sorts the RAW fetched frame
+    (``toPandas()`` / ``fetchdf()`` + ``sort_values`` over all columns),
+    so a top-level LIST/MAP cell fetches as numpy.ndarray / dict and
+    crashes it with "unhashable type" — r3 shipped q55/q72/q79 red this
+    way, r6 shipped q114.  This local canon() stringifies list cells
+    itself, so it could NOT see the failure; ban the type at the schema
+    level in BOTH engines' outputs instead (project through
+    to_json/array_to_json in both texts)."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    for f in spark_schema.fields:
+        assert not isinstance(f.dataType, (T.ArrayType, T.MapType)), (
+            f"{name}: top-level {f.dataType.simpleString()} column "
+            f"'{f.name}' in the Spark output — the driver's pandas-sort "
+            f"canonicalizer crashes on ndarray/dict cells; wrap it in "
+            f"to_json(...) in BOTH engine and oracle texts"
+        )
+    for c, t in duckdb_cols_types:
+        tu = t.upper()
+        assert not (_re.search(r"\[\d*\]$", tu) or tu.startswith("MAP(")), (
+            f"{name}: top-level {t} column '{c}' in the DuckDB oracle "
+            f"output — the driver's pandas-sort canonicalizer crashes on "
+            f"ndarray/dict cells; wrap it in to_json(...) in BOTH texts"
+        )
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_match(name, spark, ddb):
     sdf = QUERIES[name](spark, SF_DIR)
@@ -124,6 +154,7 @@ def test_oracle_match(name, spark, ddb):
     otypes = [str(t) for t in rel.types]
     orows = rel.fetchall()
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert_driver_sortable(name, sdf.schema, list(zip(ocols, otypes)))
     # driver-hash emulation: per-column pandas render kinds must agree,
     # or the driver's value-hash goes red on type RENDERING alone.
     skinds = {f.name: _spark_render_kind(f.dataType) for f in sdf.schema.fields}
@@ -1240,3 +1271,32 @@ def test_canon_catches_cent_level_perturbation():
     e = canon([(9,)], ["x"], ["float"])
     f = canon([(9.0,)], ["x"], ["float"])
     assert e == f
+
+
+def test_sortable_guard_rejects_raw_array_entry(spark, ddb):
+    """Round-6 ask #1's done-criterion: a deliberately added raw-array
+    entry must FAIL the local suite.  A q114-shaped query projecting a
+    raw LIST on both engines trips assert_driver_sortable on each side
+    independently."""
+    sdf = spark.sql("SELECT array(1, 2) AS a")
+    with pytest.raises(AssertionError, match="pandas-sort"):
+        assert_driver_sortable("fake_raw_array", sdf.schema, [("a", "BIGINT")])
+    rel = ddb.sql("SELECT [1, 2] AS a")
+    octs = list(zip(rel.columns, [str(t) for t in rel.types]))
+    with pytest.raises(AssertionError, match="pandas-sort"):
+        assert_driver_sortable(
+            "fake_raw_array",
+            spark.sql("SELECT 1 AS a").schema,
+            octs,
+        )
+    # MAP outputs crash the driver the same way (dict cells)
+    mdf = spark.sql("SELECT map('k', 1) AS m")
+    with pytest.raises(AssertionError, match="pandas-sort"):
+        assert_driver_sortable("fake_raw_map", mdf.schema, [("m", "BIGINT")])
+    mrel = ddb.sql("SELECT map(['k'], [1]) AS m")
+    with pytest.raises(AssertionError, match="pandas-sort"):
+        assert_driver_sortable(
+            "fake_raw_map",
+            spark.sql("SELECT 1 AS m").schema,
+            list(zip(mrel.columns, [str(t) for t in mrel.types])),
+        )
