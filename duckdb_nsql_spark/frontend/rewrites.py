@@ -5042,6 +5042,68 @@ def pass_alias_of_item(tokens: list[Token]) -> list[Token]:
 
 _ENUM_FNS = frozenset({"ENUM_FIRST", "ENUM_LAST", "ENUM_RANGE", "ENUM_CODE"})
 
+# keywords whose following identifier is a table reference
+_TABLE_INTRO_KWS = frozenset({"FROM", "JOIN", "UPDATE", "INTO", "TABLE"})
+
+
+def _referenced_tables(tokens: list[Token]) -> set[str]:
+    """Lowercased table names the statement references (identifiers after
+    FROM/JOIN/UPDATE/INTO/TABLE, including comma-separated FROM lists and
+    the last component of qualified ``db.table`` names). Aliases and CTE
+    names may be over-included — harmless for enum scoping, which only
+    needs the set to CONTAIN the real tables and exclude unrelated ones."""
+    out: set[str] = set()
+    for i, t in enumerate(tokens):
+        if not (t.kind == IDENT and t.upper in _TABLE_INTRO_KWS):
+            continue
+        n = next_sig(tokens, i)
+        while n < len(tokens):
+            tk = tokens[n]
+            if tk.kind not in (IDENT, QIDENT, BIDENT):
+                break
+            name = tk.text.strip('"`').lower()
+            m = next_sig(tokens, n)
+            # qualified name: keep walking, last component wins
+            if m < len(tokens) and tokens[m].kind == PUNCT and tokens[
+                m
+            ].text == ".":
+                n = next_sig(tokens, m)
+                continue
+            out.add(name)
+            # alias (`FROM t a`) — record it too, then check for a comma
+            if m < len(tokens) and tokens[m].kind in (IDENT, QIDENT, BIDENT) \
+                    and tokens[m].upper not in (
+                        "ON", "USING", "WHERE", "GROUP", "ORDER", "LIMIT",
+                        "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
+                        "SEMI", "ANTI", "ASOF", "NATURAL", "SET", "AS",
+                    ):
+                out.add(tokens[m].text.strip('"`').lower())
+                m = next_sig(tokens, m)
+            if m < len(tokens) and tokens[m].is_kw("AS"):
+                a = next_sig(tokens, m)
+                if a < len(tokens) and tokens[a].kind in (
+                    IDENT, QIDENT, BIDENT
+                ):
+                    out.add(tokens[a].text.strip('"`').lower())
+                    m = next_sig(tokens, a)
+            if m < len(tokens) and tokens[m].kind == PUNCT and tokens[
+                m
+            ].text == ",":
+                n = next_sig(tokens, m)
+                continue
+            break
+    return out
+
+
+def _enum_lookup(resolver, name: str, tables: set[str]):
+    """Member-list lookup, statement-scoped when the resolver supports it
+    (``enum_values_in``); plain ``enum_values`` otherwise (unit-test
+    fakes, NullResolver)."""
+    fn = getattr(resolver, "enum_values_in", None)
+    if fn is not None:
+        return fn(name, tables)
+    return resolver.enum_values(name)
+
 
 def pass_enum_functions(
     tokens: list[Token], resolver: Optional["Resolver"] = None
@@ -5052,10 +5114,14 @@ def pass_enum_functions(
     returns the member's UTINYINT code). The enum's member list resolves
     from the argument's LAST identifier — covering ``NULL::mood``,
     ``CAST(x AS mood)``, and a bare enum-typed column — via
-    resolver.enum_values (type name first, then column name)."""
+    resolver.enum_values (type name first, then column name). Column-name
+    resolution is scoped to the statement's referenced tables when the
+    resolver supports it (enum_values_in) — a same-named non-enum column
+    in an unrelated table must NOT trigger the member-code mapping."""
     if resolver is None:
         return tokens
     out = list(tokens)
+    stmt_tables = _referenced_tables(tokens)
     i = 0
     while i < len(out):
         t = out[i]
@@ -5072,7 +5138,8 @@ def pass_enum_functions(
         vals = None
         for tk in reversed(sig):
             if tk.kind in (IDENT, QIDENT):
-                vals = resolver.enum_values(tk.text.strip('"`'))
+                vals = _enum_lookup(resolver, tk.text.strip('"`'),
+                                    stmt_tables)
                 if vals:
                     break
         if not vals:
@@ -5092,9 +5159,31 @@ def pass_enum_functions(
             arr = ", ".join(
                 "'" + v.replace("'", "''") + "'" for v in vals
             )
+            # strip `:: <enum-type>` casts inside the surviving argument
+            # text — the engine backs enums with VARCHAR, so the cast is
+            # an identity here and Spark has no such type name
+            arg2: list[Token] = []
+            k2 = 0
+            while k2 < len(arg):
+                tk2 = arg[k2]
+                if tk2.kind == OP and tk2.text == "::":
+                    n2 = next_sig(arg, k2)
+                    if n2 < len(arg) and arg[n2].kind in (IDENT, QIDENT) \
+                            and _enum_lookup(
+                                resolver, arg[n2].text.strip('"`'),
+                                stmt_tables) == vals:
+                        k2 = n2 + 1
+                        continue
+                arg2.append(tk2)
+                k2 += 1
+            arg = arg2
             a_txt = render(arg)
+            # nullif: Spark array_position returns 0 for a non-member
+            # (NULL input, value outside the member list) — DuckDB
+            # renders NULL there, never -1
             new = tokenize(
-                f"CAST(array_position(array({arr}), {a_txt}) - 1 AS INT)"
+                f"CAST(nullif(array_position(array({arr}), {a_txt}), 0)"
+                f" - 1 AS INT)"
             )
         out = out[:i] + new + out[c + 1 :]
         i += len(new)
@@ -5119,7 +5208,7 @@ def pass_enum_functions(
             i += 1
             continue
         col = sig[0].text.strip('"`')
-        vals = resolver.enum_values(col)
+        vals = _enum_lookup(resolver, col, stmt_tables)
         if not vals:
             i += 1
             continue
@@ -5185,7 +5274,8 @@ def pass_enum_functions(
             k += 1
         flush_item()
         for j in reversed(item_ids):
-            vals = resolver.enum_values(out[j].text.strip('"`'))
+            vals = _enum_lookup(resolver, out[j].text.strip('"`'),
+                                stmt_tables)
             if not vals:
                 continue
             arr = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)

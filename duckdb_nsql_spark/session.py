@@ -330,15 +330,49 @@ class _CatalogResolver:
 
     def enum_values(self, name: str) -> Optional[list[str]]:
         """ENUM member list by TYPE name first, then by enum-typed
-        COLUMN name (pass_enum_functions resolves either spelling)."""
+        COLUMN name (pass_enum_functions resolves either spelling).
+        Unscoped fallback: column-name resolution bails when two tables
+        disagree on the member list (ambiguous)."""
+        return self.enum_values_in(name, None)
+
+    def enum_values_in(
+        self, name: str, tables: Optional[set]
+    ) -> Optional[list[str]]:
+        """Statement-scoped ENUM resolution. TYPE names are catalog-
+        global (CREATE TYPE); COLUMN names resolve only against the
+        statement's referenced ``tables`` — a same-named non-enum column
+        in an unrelated table must not trigger the member-code mapping
+        (min/max/ORDER BY would otherwise rewrite to array_position over
+        the WRONG table's members and raise or mis-sort at runtime).
+        Ambiguous column matches (two referenced tables, different
+        member lists) bail to None — plain lexicographic semantics."""
         n = name.lower()
         vals = self.session._enum_types.get(n)
         if vals:
             return vals
-        for cols in self.session._enum_cols.values():
-            if n in cols:
-                return cols[n]
-        return None
+        found: Optional[list[str]] = None
+        for tname, cols in self.session._enum_cols.items():
+            if n not in cols:
+                continue
+            if tables is not None and tname.lower() not in tables:
+                continue
+            if found is not None and found != cols[n]:
+                return None  # ambiguous across referenced tables
+            found = cols[n]
+        if found is None:
+            return None
+        if tables is not None:
+            # the name must not ALSO be a non-enum column of another
+            # referenced table — that reference would be ambiguous and
+            # the member mapping could bind the wrong column
+            for tname in tables:
+                cols = self.session._enum_cols.get(tname.lower(), {})
+                if n in cols:
+                    continue
+                tcols = self.table_columns(tname)
+                if tcols and n in (c.lower() for c in tcols):
+                    return None
+        return found
 
     def table_columns(self, name: str) -> Optional[list[str]]:
         try:
@@ -806,6 +840,13 @@ class DuckSparkSession:
         in-memory table, a view, an attached-db table) — unknown always
         resolves to the conservative big mode."""
         names = set(re.findall(r"[a-z_][a-z0-9_$]*", sql.lower()))
+        # a macro body expands AFTER this sizing pass, so tables it
+        # references are invisible to the identifier scan — any macro
+        # call means the true input size is unknown (big mode), same as
+        # the view/in-memory bailouts below
+        for name in self._macros:
+            if name.lower() in names:
+                return None
         total = 0
         seen = False
         for name, path in self._table_files.items():
@@ -1101,11 +1142,17 @@ class DuckSparkSession:
                 parts.extend(f"{n} NULLS {nulls_default}" for n in names)
                 continue
             txt = render(tokens[lo:hi]).strip()
-            if span[-1].kind == IDENT and span[-1].upper in (
-                "FIRST", "LAST"
+            if (
+                len(span) >= 2
+                and span[-1].kind == IDENT
+                and span[-1].upper in ("FIRST", "LAST")
+                and span[-2].kind == IDENT
+                and span[-2].upper == "NULLS"
             ):
                 parts.append(txt)  # explicit NULLS kept as written
             else:
+                # a column literally named first/last is NOT a null-order
+                # modifier — it still gets the session default appended
                 parts.append(f"{txt} NULLS {nulls_default}")
         return ", ".join(parts)
 

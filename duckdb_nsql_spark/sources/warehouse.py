@@ -387,8 +387,20 @@ class DurableWarehouse:
 
             path = os.path.join(self.root, ent["dir"])
             cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
-            # only overwrite when the incoming row wins the order
-            newer = f"s.{order_col} >= t.{order_col}"
+            # only overwrite when the incoming row wins the FULL
+            # lexicographic (order_col, *tiebreak_cols) order — the
+            # parquet path keeps the greatest such tuple across
+            # existing+batch, so an existing row that ties on order_col
+            # but wins the tiebreak must survive here too. The FINAL key
+            # keeps >= (replay idempotence: re-delivering the winning
+            # row must still match).
+            ord_cols = [order_col] + list(tiebreak_cols or [])
+            clauses = []
+            for i, c in enumerate(ord_cols):
+                eqs = [f"s.{p} = t.{p}" for p in ord_cols[:i]]
+                cmp_op = ">=" if i == len(ord_cols) - 1 else ">"
+                clauses.append(" AND ".join(eqs + [f"s.{c} {cmp_op} t.{c}"]))
+            newer = " OR ".join(f"({cl})" for cl in clauses)
             (
                 DeltaTable.forPath(spark, path)
                 .alias("t")

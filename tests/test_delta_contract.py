@@ -230,13 +230,38 @@ def test_delta_upsert_merge_chain(delta_stub):
     cond = next(e[1] for e in log if e[0] == "merge.cond")
     assert cond == "t.k = s.k"
     upd = next(e for e in log if e[0] == "merge.whenMatchedUpdate")
-    assert upd[1] == "s.ts >= t.ts"  # only newer rows overwrite
+    assert upd[1] == "(s.ts >= t.ts)"  # only newer rows overwrite
     assert upd[2] == {"k": "s.k", "v": "s.v", "ts": "s.ts"}
     # the forPath target is the committed table dir
     path = next(e[1] for e in log if e[0] == "DeltaTable.forPath")
     assert path == os.path.join(w.root, w.tables()["t3"]["dir"])
     # watermark meta committed with the merge
     assert w.tables()["t3"]["meta"]["stream_wm"] == {"cdc": 1}
+
+
+def test_delta_upsert_merge_tiebreak_condition(delta_stub):
+    """The matched condition must be the FULL lexicographic comparison
+    over (order_col, *tiebreak_cols) — an existing row that ties on
+    order_col but wins the tiebreak must survive, matching the parquet
+    path's row_number ordering. Only the FINAL key keeps >= (replay
+    idempotence)."""
+    w, log = delta_stub
+    spark = FakeSpark(log)
+    w.upsert_table(
+        spark, "t4", FakeDF(log), ["k"], "ts",
+        tiebreak_cols=["seq", "src"], meta={}, txn=("cdc", 0),
+    )
+    log.clear()
+    w.upsert_table(
+        spark, "t4", FakeDF(log), ["k"], "ts",
+        tiebreak_cols=["seq", "src"], meta={}, txn=("cdc", 1),
+    )
+    upd = next(e for e in log if e[0] == "merge.whenMatchedUpdate")
+    assert upd[1] == (
+        "(s.ts > t.ts)"
+        " OR (s.ts = t.ts AND s.seq > t.seq)"
+        " OR (s.ts = t.ts AND s.seq = t.seq AND s.src >= t.src)"
+    )
 
 
 def test_delta_unavailable_raises(tmp_path):

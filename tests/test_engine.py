@@ -487,6 +487,44 @@ def test_enum_types(engine):
         engine.execute("DROP TYPE mood")
 
 
+def test_enum_resolution_scoped_to_referenced_tables(engine):
+    """A same-named VARCHAR column in an UNRELATED table must keep plain
+    lexicographic min/max/ORDER BY — enum member-code mapping applies
+    only when the statement references the enum table (r6 ADVICE:
+    enum_values resolved bare names globally, so max(m) on other_t was
+    rewritten through the enum's member list and element_at(...,0)
+    raised on non-members)."""
+    engine.execute("CREATE TYPE mood7 AS ENUM ('sad', 'ok', 'happy')")
+    engine.execute("CREATE TABLE et7 (m mood7)")
+    engine.execute("INSERT INTO et7 VALUES ('ok'), ('happy'), ('sad')")
+    engine.execute("CREATE TABLE other7 (m VARCHAR)")
+    engine.execute("INSERT INTO other7 VALUES ('zebra'), ('apple')")
+    # unrelated table: lexicographic, and no runtime error on non-members
+    row = engine.execute(
+        "SELECT min(m) AS lo, max(m) AS hi FROM other7"
+    ).collect()[0]
+    assert (row["lo"], row["hi"]) == ("apple", "zebra")
+    vals = [r["m"] for r in
+            engine.execute("SELECT m FROM other7 ORDER BY m").collect()]
+    assert vals == ["apple", "zebra"]
+    # enum table: member-code order (min='sad' code 0, max='happy' code 2)
+    row = engine.execute(
+        "SELECT min(m) AS lo, max(m) AS hi FROM et7"
+    ).collect()[0]
+    assert (row["lo"], row["hi"]) == ("sad", "happy")
+    vals = [r["m"] for r in
+            engine.execute("SELECT m FROM et7 ORDER BY m").collect()]
+    assert vals == ["sad", "ok", "happy"]
+    # enum_code of NULL renders NULL (nullif guard), never -1
+    row = engine.execute(
+        "SELECT enum_code(NULL::mood7) AS c"
+    ).collect()[0]
+    assert row["c"] is None
+    engine.execute("DROP TABLE et7")
+    engine.execute("DROP TABLE other7")
+    engine.execute("DROP TYPE mood7")
+
+
 def test_create_macro_scalar(loaded_engine):
     import pytest as _pytest
 
@@ -1519,6 +1557,29 @@ def test_summarize_hll_estimator_accuracy():
     assert abs(est2 - 500) / 500 < 0.02, est2
 
 
+def test_order_by_column_named_last_keeps_default_null_order(engine):
+    """A column literally named ``last`` (or ``first``) in an ORDER BY
+    item is NOT a NULLS modifier — the session default (nulls_last, like
+    DuckDB) must still be appended, or Spark's ASC NULLS FIRST default
+    silently diverges."""
+    engine.execute('CREATE TABLE lt (id INTEGER, "last" VARCHAR)')
+    engine.execute(
+        "INSERT INTO lt VALUES (1, 'b'), (2, NULL), (3, 'a')"
+    )
+    vals = [r["id"] for r in
+            engine.execute('SELECT id FROM lt ORDER BY "last"').collect()]
+    assert vals == [3, 1, 2]  # NULL sorts LAST (DuckDB default)
+    vals = [r["id"] for r in
+            engine.execute("SELECT id FROM lt ORDER BY last").collect()]
+    assert vals == [3, 1, 2]
+    # explicit NULLS FIRST still honored
+    vals = [r["id"] for r in engine.execute(
+        "SELECT id FROM lt ORDER BY last NULLS FIRST"
+    ).collect()]
+    assert vals == [2, 3, 1]
+    engine.execute("DROP TABLE lt")
+
+
 def test_statement_parallelism_tuner(engine, spark, sf_dir):
     """Size-adaptive parallelism: small file-backed statements flip the
     session to small mode; unknown-size relations (views, in-memory
@@ -1534,6 +1595,15 @@ def test_statement_parallelism_tuner(engine, spark, sf_dir):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     # back to small on the next file-backed statement
     engine.execute("SELECT count(*) FROM region").collect()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    # a statement calling a macro is unknown-size (the body expands
+    # AFTER sizing and may reference any table) -> big mode
+    engine.execute("CREATE MACRO nkeys() AS (SELECT count(*) FROM nation)")
+    engine.execute("SELECT nkeys() AS n").collect()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    engine.execute("DROP MACRO nkeys")
+    # and small again once the macro is out of the picture
+    engine.execute("SELECT count(*) FROM region WHERE r_regionkey > 0")
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
     # explicit SET threads pins the knob (tuner stands down) AND
     # restores the other small-mode confs to cluster defaults
