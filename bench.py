@@ -59,6 +59,40 @@ BENCH_QUERIES = {
 }
 SUMMARIZE_KEY = "q10_summarize"  # B10 — routed through the engine directly
 
+# q13 over CLUSTER BY tables: same query as q13_multiway_join but the two
+# fact tables are bucketed-at-rest on the join key (CREATE TABLE ...
+# CLUSTER BY (orderkey) INTO 32 BUCKETS), so the 600k/6M-row
+# lineitem⋈orders exchange disappears (plan-pinned, test_plans.py
+# test_cluster_by_ctas_seam). The dimension side (customer⋈nation⋈region)
+# broadcasts under a raised threshold, so NO fact row ever shuffles —
+# the at-rest answer a 100 TB deployment would choose. Setup (the CTAS
+# writes) is untimed, like DuckDB's own at-rest table load.
+CLUSTERED_KEY = "q13_clustered"
+CLUSTERED_SQL = """
+    SELECT r.r_name, n.n_name, count(*) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders_c o ON o.o_custkey = c.c_custkey
+    JOIN lineitem_c l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+"""
+CLUSTERED_BROADCAST_BYTES = str(256 << 20)
+
+
+def _setup_clustered(eng) -> None:
+    eng.execute(
+        "CREATE OR REPLACE TABLE orders_c CLUSTER BY (o_orderkey)"
+        " INTO 32 BUCKETS AS SELECT o_orderkey, o_custkey FROM orders"
+    )
+    eng.execute(
+        "CREATE OR REPLACE TABLE lineitem_c CLUSTER BY (l_orderkey)"
+        " INTO 32 BUCKETS AS SELECT l_orderkey, l_extendedprice,"
+        " l_discount FROM lineitem"
+    )
+
 
 def materialize(df) -> None:
     df.toPandas()  # Arrow-batched full fetch, mirrors duckdb fetchdf()
@@ -78,6 +112,19 @@ def main() -> None:
     for qname in BENCH_QUERIES.values():
         materialize(queries[qname](spark, SF_DIR))
     materialize(eng.execute("SUMMARIZE orders"))
+    _setup_clustered(eng)
+
+    def run_clustered() -> None:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", CLUSTERED_BROADCAST_BYTES
+        )
+        try:
+            materialize(eng.execute(CLUSTERED_SQL))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    run_clustered()  # untimed warm-up
 
     best: dict[str, float] = {}
     for _sweep in range(SWEEPS):
@@ -102,9 +149,26 @@ def main() -> None:
             best[SUMMARIZE_KEY] = min(
                 best.get(SUMMARIZE_KEY, float("inf")), dt
             )
+        for _ in range(RUNS_PER_SWEEP):
+            eng.clear_statement_cache()
+            t0 = time.perf_counter()
+            run_clustered()
+            dt = time.perf_counter() - t0
+            best[CLUSTERED_KEY] = min(
+                best.get(CLUSTERED_KEY, float("inf")), dt
+            )
+    for t in ("orders_c", "lineitem_c"):
+        try:
+            eng.execute(f"DROP TABLE IF EXISTS {t}")
+        except Exception:  # noqa: BLE001 — cleanup only
+            pass
+    # q13_clustered is an ALTERNATE-LAYOUT datum, not a 14th baseline row:
+    # it reruns B13's query over bucketed-at-rest tables, so it is
+    # reported per-query but EXCLUDED from the headline total (which maps
+    # 1:1 onto BASELINE.md's 13 rows).
     results = {
         key: round(best[key], 4)
-        for key in list(BENCH_QUERIES) + [SUMMARIZE_KEY]
+        for key in list(BENCH_QUERIES) + [SUMMARIZE_KEY, CLUSTERED_KEY]
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -112,7 +176,9 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    total = round(sum(results.values()), 4)
+    total = round(
+        sum(v for k, v in results.items() if k != CLUSTERED_KEY), 4
+    )
     print(
         json.dumps(
             {

@@ -33,22 +33,24 @@ def test_registry_order_fixed_and_complete():
     # The registry order is a hand-maintained static literal —
     # deterministic, no dependence on files in the repo root (the r3
     # rotation scheme was flagged as harness-gaming and removed). The
-    # round-6 window leads with the 11 entries that never earned a
-    # driver correctness row after r5 plus the 4 re-shaped hash-red
-    # rows; slots 16-50 refill with the numeric-sorted remainder
-    # (q01...) so the core rows re-witness. Every entry appears once.
+    # round-7 window leads with the 7 entries that never earned a green
+    # driver correctness row plus the new TPC-H breadth queries; spare
+    # slots refill with the numeric remainder ROTATED to start at
+    # _REWITNESS_START (q01-q31 re-witnessed in r6). Every entry once.
     import duckdb_nsql_spark.workload as w
 
     order = w._registry_order()
     assert order == w._registry_order()  # stable across calls
     assert len(order) == len(set(order))  # no dups, nothing dropped
     assert len(order) == len(w.ENGINE_SQL) + len(w.OPERATORS)
-    n = len(w._WINDOW_R6)
-    assert tuple(order[:n]) == w._WINDOW_R6
-    # the refill after the head is the numeric-sorted SQL remainder
-    assert order[n] == "q01_pricing_summary"
+    n = len(w._WINDOW_R7)
+    assert tuple(order[:n]) == w._WINDOW_R7
+    # the refill after the head starts at the re-witness rotation point
+    assert order[n] == "q32_case_buckets"
+    # and wraps around so q01-q31 still appear after the high ids
+    assert "q01_pricing_summary" in order[n:]
     # everything outside the hand-ordered head must still carry a
     # pytest-side oracle or rows-only check (test_oracle_parity runs all)
     assert set(order[n:]) == (
-        (set(w.ENGINE_SQL) | set(w.OPERATORS)) - set(w._WINDOW_R6)
+        (set(w.ENGINE_SQL) | set(w.OPERATORS)) - set(w._WINDOW_R7)
     )
