@@ -5368,10 +5368,104 @@ _DYN_INTERVAL_BUILDERS = {
     "MILLISECOND": "make_dt_interval(0, 0, 0, CAST({e} AS DOUBLE) / 1e3)",
     "MICROSECOND": "make_dt_interval(0, 0, 0, CAST({e} AS DOUBLE) / 1e6)",
     "MONTH": "make_ym_interval(0, CAST({e} AS INT))",
+    "QUARTER": "make_ym_interval(0, CAST({e} AS INT) * 3)",
     "YEAR": "make_ym_interval(CAST({e} AS INT))",
     "DECADE": "make_ym_interval(CAST({e} AS INT) * 10)",
     "CENTURY": "make_ym_interval(CAST({e} AS INT) * 100)",
 }
+
+# months multiplier for the year-month units (VARCHAR rendering path)
+_YM_UNIT_MONTHS = {"MONTH": 1, "QUARTER": 3, "YEAR": 12, "DECADE": 120,
+                   "CENTURY": 1200}
+
+_VARCHAR_SPELLINGS = frozenset({"VARCHAR", "TEXT", "STRING"})
+
+
+def _ym_render_sql(months_expr: str) -> str:
+    """DuckDB VARCHAR rendering of a year-month interval from a total-
+    months integer expression (probed on 1.0): zero renders '00:00:00';
+    otherwise the non-zero signed components joined with a space, each
+    singular/plural ('1 year 2 months', '-1 year -2 months', '2 years').
+    Year split truncates toward zero (Spark % keeps the dividend sign,
+    so (M - M%12)/12 is exact). Pure built-ins — no UDF, no interval
+    type crosses to Python."""
+    m = f"({months_expr})"
+    y = f"CAST(({m} - ({m} % 12)) / 12 AS INT)"
+    r = f"({m} % 12)"
+    return (
+        f"CASE WHEN {m} = 0 THEN '00:00:00' ELSE concat_ws(' ', "
+        f"CASE WHEN {y} <> 0 THEN concat(CAST({y} AS STRING), "
+        f"CASE WHEN abs({y}) = 1 THEN ' year' ELSE ' years' END) END, "
+        f"CASE WHEN {r} <> 0 THEN concat(CAST({r} AS STRING), "
+        f"CASE WHEN abs({r}) = 1 THEN ' month' ELSE ' months' END) END) END"
+    )
+
+
+def pass_ym_interval_varchar(tokens: list[Token]) -> list[Token]:
+    """A dynamic YEAR-MONTH interval cast STRAIGHT to VARCHAR
+    (``CAST(INTERVAL (e) MONTH AS VARCHAR)`` / ``INTERVAL (e) YEAR ::
+    VARCHAR``) renders DuckDB's text ('1 year 2 months') via pure
+    integer/string built-ins — Spark's own ym-interval cast renders
+    ANSI 'INTERVAL ''1-2'' YEAR TO MONTH' and the MONTH-subtype
+    interval degrades to a bare int through the UDF fetch path. MUST
+    run before pass_duckdb_varchar_cast (which would swallow the CAST
+    into duckdb_varchar()). Compound ym expressions cast to VARCHAR
+    (sums of intervals, ym columns) remain a documented remainder
+    (STATUS.md dialect gaps)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == IDENT and t.upper == "INTERVAL"):
+            i += 1
+            continue
+        o = next_sig(out, i)
+        if not (o < len(out) and out[o].kind == PUNCT and out[o].text == "("):
+            i += 1
+            continue
+        c = match_forward(out, o, "(", ")")
+        u = next_sig(out, c)
+        if not (u < len(out) and out[u].kind == IDENT):
+            i += 1
+            continue
+        mult = _YM_UNIT_MONTHS.get(out[u].upper.rstrip("S"))
+        if mult is None:
+            i += 1
+            continue
+        e_txt = render(_trim(out[o + 1 : c]))
+        months = f"CAST({e_txt} AS INT) * {mult}"
+        # CAST( INTERVAL (e) UNIT AS VARCHAR )
+        pi = prev_sig(out, i)
+        p2 = prev_sig(out, pi) if pi >= 0 else -1
+        a1 = next_sig(out, u)
+        a2 = next_sig(out, a1) if a1 < len(out) else len(out)
+        a3 = next_sig(out, a2) if a2 < len(out) else len(out)
+        if (
+            pi >= 0 and p2 >= 0
+            and out[pi].kind == PUNCT and out[pi].text == "("
+            and out[p2].kind == IDENT
+            and out[p2].upper in ("CAST", "TRY_CAST")
+            and a1 < len(out) and out[a1].is_kw("AS")
+            and a2 < len(out) and out[a2].kind == IDENT
+            and out[a2].upper in _VARCHAR_SPELLINGS
+            and a3 < len(out) and out[a3].text == ")"
+        ):
+            new = tokenize(_ym_render_sql(months))
+            out = out[:p2] + new + out[a3 + 1 :]
+            i = p2 + len(new)
+            continue
+        # INTERVAL (e) UNIT :: VARCHAR
+        if (
+            a1 < len(out) and out[a1].kind == OP and out[a1].text == "::"
+            and a2 < len(out) and out[a2].kind == IDENT
+            and out[a2].upper in _VARCHAR_SPELLINGS
+        ):
+            new = tokenize(_ym_render_sql(months))
+            out = out[:i] + new + out[a2 + 1 :]
+            i += len(new)
+            continue
+        i += 1
+    return out
 
 
 def pass_dynamic_interval(tokens: list[Token]) -> list[Token]:
@@ -6804,6 +6898,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_collate(tokens)
     tokens = pass_exclude_to_except(tokens, resolver)
     tokens = pass_current_setting(tokens, resolver)
+    tokens = pass_ym_interval_varchar(tokens)
     tokens = pass_duckdb_varchar_cast(tokens, resolver)
     tokens = pass_struct_literals(tokens)
     tokens = pass_cast_composite_types(tokens)

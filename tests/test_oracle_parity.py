@@ -736,6 +736,44 @@ def test_cast_varchar_rendering_matches_duckdb(spark, ddb):
     assert not tdiffs, tdiffs
 
 
+def test_dynamic_ym_interval_varchar_matches_duckdb(spark, ddb):
+    """Dynamic YEAR-MONTH intervals cast straight to VARCHAR render
+    DuckDB's text ('1 year 2 months', '-1 year -2 months', '00:00:00'
+    for zero) through pure built-ins (pass_ym_interval_varchar) — the
+    last known dialect-rendering gap. Every ym unit and both cast
+    spellings, against live DuckDB."""
+    from duckdb_nsql_spark.session import DuckSparkSession
+
+    eng = DuckSparkSession(spark)
+    eng.execute(
+        "CREATE TABLE ymt (x INTEGER); INSERT INTO ymt VALUES"
+        " (14),(12),(1),(0),(-14),(24),(13),(-1),(5)"
+    )
+    ddb.execute("DROP TABLE IF EXISTS ymt")
+    ddb.execute(
+        "CREATE TABLE ymt (x INTEGER); INSERT INTO ymt VALUES"
+        " (14),(12),(1),(0),(-14),(24),(13),(-1),(5)"
+    )
+    for sql in [
+        "SELECT x, CAST(INTERVAL (x) MONTH AS VARCHAR) AS r"
+        " FROM ymt ORDER BY x",
+        "SELECT x, INTERVAL (x) YEAR :: VARCHAR AS r FROM ymt ORDER BY x",
+        "SELECT x, CAST(INTERVAL (x) QUARTER AS VARCHAR) AS r"
+        " FROM ymt ORDER BY x",
+        "SELECT x, TRY_CAST(INTERVAL (x + 1) DECADE AS TEXT) AS r"
+        " FROM ymt ORDER BY x",
+        "SELECT CAST(INTERVAL (3) CENTURY AS VARCHAR) AS r",
+        # the non-cast dynamic ym path (date arithmetic) is unaffected
+        "SELECT x, CAST(DATE '2020-01-15' + INTERVAL (x) MONTH AS DATE)"
+        " AS d FROM ymt ORDER BY x",
+    ]:
+        srows = [tuple(r) for r in eng.execute(sql).collect()]
+        drows = ddb.execute(sql).fetchall()
+        assert srows == drows, (sql, srows[:3], drows[:3])
+    eng.execute("DROP TABLE ymt")
+    ddb.execute("DROP TABLE ymt")
+
+
 def test_dynamic_interval_varchar_matches_duckdb(spark, ddb, sf_dir):
     """CAST of a DYNAMIC day-time interval to VARCHAR (non-literal
     operands — a column subtraction or INTERVAL (expr) UNIT) renders
