@@ -4702,6 +4702,11 @@ class DuckSparkSession:
             snap[attr] = copy.deepcopy(getattr(self, attr))
         if self._warehouse is not None:
             snap["_warehouse_catalog"] = self._warehouse._read_catalog()
+            # delta logs are per-table and survive a catalog restore —
+            # snapshot their versions so ROLLBACK can rewind them too
+            snap["_warehouse_delta_versions"] = (
+                self._warehouse.delta_table_versions(self.spark)
+            )
         self._txn_snapshot = snap
         return None
 
@@ -4735,6 +4740,9 @@ class DuckSparkSession:
             setattr(self, attr, snap[attr])
         if self._warehouse is not None and "_warehouse_catalog" in snap:
             self._warehouse._write_catalog(snap["_warehouse_catalog"])
+            self._warehouse.restore_delta_versions(
+                self.spark, snap.get("_warehouse_delta_versions") or {}
+            )
         # re-point every temp view at the snapshot plan and unregister
         # views for tables created inside the transaction
         for name, df in self._tables.items():

@@ -436,6 +436,60 @@ class DurableWarehouse:
         self._commit_entry(name, None, base)
         shutil.rmtree(os.path.join(self.root, base["dir"]), ignore_errors=True)
 
+    # ------------------------------------------------- delta txn rollback
+    def delta_table_versions(self, spark: SparkSession) -> dict[str, int]:
+        """Current Delta-log version per table (BEGIN-time snapshot).
+
+        The parquet path's ROLLBACK is a pure catalog restore — old
+        version dirs still exist, so restoring the pointer restores the
+        data. The DELTA path keeps one log per table ('version':
+        'delta'), so a catalog restore alone would leave in-transaction
+        DML visible; rollback must also rewind each advanced log via
+        Delta RESTORE (public Delta Lake API: DeltaTable.history /
+        restoreToVersion)."""
+        if self.fmt != "delta":
+            return {}
+        self._require_delta(spark)
+        from delta.tables import DeltaTable  # delta-spark runtime
+
+        out: dict[str, int] = {}
+        for name, ent in self.tables().items():
+            path = os.path.join(self.root, ent["dir"])
+            try:
+                hist = DeltaTable.forPath(spark, path).history(1).collect()
+            except Exception:  # noqa: BLE001 — dir not yet written
+                continue
+            if hist:
+                out[name] = hist[0]["version"]
+        return out
+
+    def restore_delta_versions(
+        self, spark: SparkSession, versions: dict[str, int]
+    ) -> None:
+        """ROLLBACK data path for delta tables: for every snapshotted
+        table whose Delta log advanced during the transaction, rewind it
+        with ``restoreToVersion`` (tables created inside the transaction
+        are handled by the catalog restore — their logs become
+        unreferenced, like aborted copy-on-write commits)."""
+        if self.fmt != "delta" or not versions:
+            return
+        self._require_delta(spark)
+        from delta.tables import DeltaTable  # delta-spark runtime
+
+        for name, ver in versions.items():
+            ent = self.tables().get(name)
+            if ent is None:
+                continue
+            dt = DeltaTable.forPath(
+                spark, os.path.join(self.root, ent["dir"])
+            )
+            try:
+                cur = dt.history(1).collect()[0]["version"]
+            except Exception:  # noqa: BLE001 — unreadable log: restore
+                cur = None
+            if cur != ver:
+                dt.restoreToVersion(ver)
+
     # --------------------------------------------------------------- views
     def views(self) -> dict[str, str]:
         """name -> DuckDB-dialect body SQL of persisted views."""

@@ -106,9 +106,37 @@ class FakeSpark:
         return FakeReader(self.log)
 
 
+class FakeRow(dict):
+    def __getattr__(self, k):  # noqa: D105 — Row-style attribute access
+        return self[k]
+
+
 class FakeMerge:
-    def __init__(self, log):
+    """Stub DeltaTable handle: merge chain + history/restore surface.
+
+    ``version_by_path`` (class-level) lets a test advance a table's Delta
+    log version between calls, emulating in-transaction DML."""
+
+    version_by_path: dict = {}
+
+    def __init__(self, log, path=None):
         self.log = log
+        self.path = path
+
+    def history(self, n=None):
+        ver = self.version_by_path.get(self.path, 0)
+        log, path = self.log, self.path
+        log.append(("history", path, n))
+
+        class _H:
+            def collect(self):
+                return [FakeRow(version=ver)]
+
+        return _H()
+
+    def restoreToVersion(self, v):
+        self.log.append(("restoreToVersion", self.path, v))
+        self.version_by_path[self.path] = v
 
     def merge(self, src, cond):
         self.log.append(("merge.cond", cond))
@@ -137,11 +165,13 @@ def delta_stub(monkeypatch, tmp_path):
     monkeypatch.setattr(wh, "delta_available", lambda spark: True)
     fake_tables = types.ModuleType("delta.tables")
 
+    FakeMerge.version_by_path = {}
+
     class DeltaTable:
         @staticmethod
         def forPath(spark, path):
             log.append(("DeltaTable.forPath", path))
-            return FakeMerge(log)
+            return FakeMerge(log, path)
 
     fake_tables.DeltaTable = DeltaTable
     fake_delta = types.ModuleType("delta")
@@ -262,6 +292,69 @@ def test_delta_upsert_merge_tiebreak_condition(delta_stub):
         " OR (s.ts = t.ts AND s.seq > t.seq)"
         " OR (s.ts = t.ts AND s.seq = t.seq AND s.src >= t.src)"
     )
+
+
+def test_delta_rollback_restores_advanced_logs(delta_stub):
+    """ROLLBACK interplay: a catalog restore alone cannot rewind Delta's
+    per-table log, so the session snapshots each table's log version at
+    BEGIN (delta_table_versions) and rollback must issue
+    restoreToVersion for exactly the tables whose log advanced —
+    untouched tables get no restore call."""
+    w, log = delta_stub
+    spark = FakeSpark(log)
+    w.save_table(spark, "ta", FakeDF(log), {})
+    w.save_table(spark, "tb", FakeDF(log), {})
+    snap = w.delta_table_versions(spark)
+    assert set(snap) == {"ta", "tb"} and set(snap.values()) == {0}
+    # in-transaction DML advances ta's Delta log to version 3
+    pa = os.path.join(w.root, w.tables()["ta"]["dir"])
+    FakeMerge.version_by_path[pa] = 3
+    log.clear()
+    w.restore_delta_versions(spark, snap)
+    restores = [e for e in log if e[0] == "restoreToVersion"]
+    assert restores == [("restoreToVersion", pa, 0)]
+    assert FakeMerge.version_by_path[pa] == 0  # log rewound
+    # idempotent: nothing advanced -> no restore calls
+    log.clear()
+    w.restore_delta_versions(spark, w.delta_table_versions(spark))
+    assert [e for e in log if e[0] == "restoreToVersion"] == []
+
+
+def test_delta_append_conflict_then_replay_same_txn(delta_stub, monkeypatch):
+    """CommitConflict interplay on the delta append path: the data append
+    and the catalog commit are SEPARATE transactions, so a conflict
+    between them leaves appended rows behind. The contract that makes
+    the retry safe: the replayed append carries the IDENTICAL
+    txnAppId/txnVersion pair (Delta's log then no-ops the duplicate),
+    and the catalog commit succeeds on the retry."""
+    w, log = delta_stub
+    spark = FakeSpark(log)
+    w.append_table(spark, "tc", FakeDF(log), {}, txn=("cdc", 7))
+    base_entry = dict(w.tables()["tc"])
+
+    real = w._commit_entry
+    calls = {"n": 0}
+
+    def conflict_once(name, entry, base):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise wh.CommitConflict("concurrent writer")
+        return real(name, entry, base)
+
+    monkeypatch.setattr(w, "_commit_entry", conflict_once)
+    log.clear()
+    with pytest.raises(wh.CommitConflict):
+        w.append_table(spark, "tc", FakeDF(log), {}, txn=("cdc", 8))
+    first = [c for op, c in log if op == "write"][-1]
+    # data hit the Delta log before the conflict — replay must dedup
+    assert first["options"] == {"txnAppId": "cdc", "txnVersion": "8"}
+    # catalog untouched by the failed commit
+    assert w.tables()["tc"] == base_entry
+    log.clear()
+    w.append_table(spark, "tc", FakeDF(log), {}, txn=("cdc", 8))
+    second = [c for op, c in log if op == "write"][-1]
+    assert second["options"] == first["options"]  # identical txn key
+    assert w.tables()["tc"]["meta"] == {}  # retry committed
 
 
 def test_delta_unavailable_raises(tmp_path):
