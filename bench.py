@@ -61,12 +61,14 @@ SUMMARIZE_KEY = "q10_summarize"  # B10 — routed through the engine directly
 
 # q13 over CLUSTER BY tables: same query as q13_multiway_join but the two
 # fact tables are bucketed-at-rest on the join key (CREATE TABLE ...
-# CLUSTER BY (orderkey) INTO 32 BUCKETS), so the 600k/6M-row
+# CLUSTER BY (orderkey) INTO 32 BUCKETS), so the 600k/6M/60M-row
 # lineitem⋈orders exchange disappears (plan-pinned, test_plans.py
-# test_cluster_by_ctas_seam). The dimension side (customer⋈nation⋈region)
-# broadcasts under a raised threshold, so NO fact row ever shuffles —
-# the at-rest answer a 100 TB deployment would choose. Setup (the CTAS
-# writes) is untimed, like DuckDB's own at-rest table load.
+# test_cluster_by_ctas_seam) — the at-rest answer a 100 TB deployment
+# would choose. Setup (the CTAS writes) is untimed, like DuckDB's own
+# at-rest table load. Broadcast threshold stays at the session default:
+# measured at sf10, forcing the 1.5M-row customer dim to broadcast costs
+# ~2.5 s/run of driver collect+build (5.3 s vs 2.7 s total) — the
+# customer⋈orders exchange is the cheaper plan on this box.
 CLUSTERED_KEY = "q13_clustered"
 CLUSTERED_SQL = """
     SELECT r.r_name, n.n_name, count(*) AS n_orders,
@@ -79,9 +81,6 @@ CLUSTERED_SQL = """
     GROUP BY r.r_name, n.n_name
     ORDER BY r.r_name, n.n_name
 """
-CLUSTERED_BROADCAST_BYTES = str(256 << 20)
-
-
 def _setup_clustered(eng) -> None:
     eng.execute(
         "CREATE OR REPLACE TABLE orders_c CLUSTER BY (o_orderkey)"
@@ -115,14 +114,7 @@ def main() -> None:
     _setup_clustered(eng)
 
     def run_clustered() -> None:
-        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", CLUSTERED_BROADCAST_BYTES
-        )
-        try:
-            materialize(eng.execute(CLUSTERED_SQL))
-        finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        materialize(eng.execute(CLUSTERED_SQL))
 
     run_clustered()  # untimed warm-up
 
