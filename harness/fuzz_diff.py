@@ -531,6 +531,68 @@ def gen_wave9_query():
     )
 
 
+def gen_wave10_query():
+    """Wave-10 shapes (round 7): dynamic year-month interval VARCHAR
+    renderings (pass_ym_interval_varchar), dynamic ym intervals in
+    date arithmetic, NOT IN / correlated EXISTS anti-join shapes, and
+    the derived-CTE join-back pattern the TPC-H breadth queries use
+    (distinct pairs + modular arithmetic — engine-identical on DuckDB)."""
+    t = rng.choice(["orders", "customer", "part", "supplier"])
+    n = rng.choice(NUM_COLS[t])
+    k = KEY_COLS[t]
+    r = rng.random()
+    if r < 0.25:
+        unit = rng.choice(["MONTH", "QUARTER", "YEAR", "DECADE"])
+        spell = rng.choice([
+            f"CAST(INTERVAL (CAST({n} AS INTEGER) % 40) {unit} AS VARCHAR)",
+            f"INTERVAL (CAST({n} AS INTEGER) % 40) {unit} :: VARCHAR",
+        ])
+        return (
+            f"SELECT {k}, {spell} AS ym FROM {t}"
+            f" WHERE {predicate(t)} ORDER BY {k} LIMIT 50"
+        )
+    if r < 0.45:
+        unit = rng.choice(["MONTH", "YEAR"])
+        return (
+            "SELECT o_orderkey,"
+            f" CAST(o_orderdate + INTERVAL (CAST(o_totalprice AS INTEGER)"
+            f" % 25) {unit} AS DATE) AS d"
+            " FROM orders WHERE o_totalprice >"
+            f" {rng.randint(0, 100000)} ORDER BY o_orderkey LIMIT 60"
+        )
+    if r < 0.65:
+        t2 = rng.choice(["orders", "customer"])
+        sub = (
+            "SELECT o_custkey FROM orders WHERE o_totalprice >"
+            f" {rng.randint(100000, 400000)}"
+        )
+        neg = rng.choice(["IN", "NOT IN"])
+        return (
+            "SELECT c_custkey, c_acctbal FROM customer"
+            f" WHERE c_custkey {neg} ({sub})"
+            f" AND c_acctbal > {rng.randint(0, 5000)}"
+            " ORDER BY c_custkey LIMIT 50"
+        )
+    if r < 0.8:
+        cmp_op = rng.choice(["EXISTS", "NOT EXISTS"])
+        return (
+            "SELECT s_suppkey, s_name FROM supplier s WHERE"
+            f" {cmp_op} (SELECT 1 FROM lineitem l WHERE l.l_suppkey ="
+            f" s.s_suppkey AND l.l_quantity > {rng.randint(30, 49)})"
+            " ORDER BY s_suppkey LIMIT 40"
+        )
+    agg = rng.choice(["count(*)", "CAST(sum(aq) AS BIGINT)",
+                      "CAST(min(aq) AS BIGINT)"])
+    return (
+        "WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk,"
+        " (l_partkey * 37 + l_suppkey * 41) % 9999 + 1 AS aq"
+        " FROM lineitem)"
+        f" SELECT p_brand, {agg} AS v FROM ps JOIN part ON pk = p_partkey"
+        f" WHERE sk % {rng.randint(2, 9)} = 0"
+        " GROUP BY p_brand ORDER BY p_brand LIMIT 30"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:
@@ -539,14 +601,16 @@ def gen_query():
         return gen_event_query()
     if r0 < 0.30:
         return gen_emb_query()
-    if r0 < 0.40:
+    if r0 < 0.39:
         return gen_advanced_query()
-    if r0 < 0.50:
+    if r0 < 0.48:
         return gen_window_join_query()
-    if r0 < 0.60:
+    if r0 < 0.56:
         return gen_wave8_query()
-    if r0 < 0.70:
+    if r0 < 0.63:
         return gen_wave9_query()
+    if r0 < 0.70:
+        return gen_wave10_query()
     t = rng.choice(list(NUM_COLS))
     kind = rng.random()
     if kind < 0.45:
