@@ -519,6 +519,102 @@ def _base_column_name(tokens: list[Token], lo: int, hi: int) -> Optional[str]:
     return None
 
 
+_SUBSCRIPT_FNS = frozenset({"LIST_ELEMENT", "LIST_EXTRACT", "ARRAY_EXTRACT"})
+_SLICE_FNS = frozenset({"LIST_SLICE", "ARRAY_SLICE"})
+
+
+def _arg_is_primary(tokens: list[Token], lo: int, hi: int) -> bool:
+    """True when the arg span is a single primary (no depth-0 operators)
+    — safe to splice in front of a subscript without parentheses."""
+    depth = 0
+    for tk in tokens[lo:hi]:
+        if tk.kind == PUNCT and tk.text in "([{":
+            depth += 1
+        elif tk.kind == PUNCT and tk.text in ")]}":
+            depth -= 1
+        elif depth == 0 and tk.kind == OP:
+            return False
+    return True
+
+
+def pass_list_fn_subscript(
+    tokens: list[Token], resolver: Optional["Resolver"] = None
+) -> list[Token]:
+    """DuckDB's named extract/slice spellings are POLYMORPHIC over lists
+    AND strings (list_element('abcdef', 2) = 'b', list_slice('abcdef',
+    2, 4) = 'bcd' — same semantics as the [] operator). When the first
+    argument is STATICALLY a string (a string literal, or a column the
+    resolver types as string), rewrite to subscript form BEFORE
+    pass_index_slice, whose dispatch implements the string semantics.
+    Anything else (list literals, unknown columns, expressions) keeps
+    the list-semantics _FN_MACROS templates — the fn name's historical
+    default."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == IDENT and (
+            t.upper in _SUBSCRIPT_FNS or t.upper in _SLICE_FNS
+        )):
+            i += 1
+            continue
+        o = next_sig(out, i)
+        if not (o < len(out) and out[o].kind == PUNCT and out[o].text == "("):
+            i += 1
+            continue
+        c = match_forward(out, o, "(", ")")
+        spans = split_args(out, o + 1, c)
+        if not spans or not _arg_is_primary(out, spans[0][0], spans[0][1]):
+            i += 1
+            continue
+        a0 = _trim(out[spans[0][0] : spans[0][1]])
+        is_string = bool(a0) and (
+            a0[-1].kind == STRING
+            or (
+                len(a0) == 1
+                and a0[0].kind in (IDENT, QIDENT, BIDENT)
+                and resolver is not None
+                and resolver.column_kind(a0[0].text.strip('"`')) == "string"
+            )
+        )
+        if not is_string:
+            i += 1
+            continue
+        x = render(out[spans[0][0] : spans[0][1]]).strip()
+        if t.upper in _SUBSCRIPT_FNS and len(spans) == 2:
+            idx = render(out[spans[1][0] : spans[1][1]]).strip()
+            new = tokenize(f"{x}[{idx}]")
+        elif t.upper in _SLICE_FNS and len(spans) == 3:
+            a = render(out[spans[1][0] : spans[1][1]]).strip()
+            b = render(out[spans[2][0] : spans[2][1]]).strip()
+            new = tokenize(f"{x}[{a}:{b}]")
+        else:
+            i += 1
+            continue
+        out = out[:i] + new + out[c + 1 :]
+        i += len(new)
+    return out
+
+
+def pass_blob_literals(tokens: list[Token]) -> list[Token]:
+    """DuckDB ``BLOB 'ab'`` / ``BYTEA '\\x41'`` typed literals -> Spark
+    ``unhex('<hex>')`` (Spark has no BLOB literal spelling; the ::BLOB
+    cast form is handled by pass_cast_composite_types)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper in ("BLOB", "BYTEA"):
+            n = next_sig(out, i)
+            if n < len(out) and out[n].kind == STRING:
+                new = tokenize(f"unhex('{_blob_literal_hex(out[n])}')")
+                out = out[:i] + new + out[n + 1 :]
+                i += len(new)
+                continue
+        i += 1
+    return out
+
+
 def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
     """1-based ``x[i]`` / ``x[a:b]`` on strings and lists.
 
@@ -2846,8 +2942,32 @@ for _nm in (
     "ARRAY_APPLY",
 ):
     _FN_MACROS_N[_nm] = {2: _lambda_index_shift("transform")}
-for _nm in ("LIST_FILTER", "ARRAY_FILTER"):
-    _FN_MACROS_N[_nm] = {2: _lambda_index_shift("filter")}
+def _filter_bool_shift_template(args: list[str]) -> Optional[str]:
+    """DuckDB list_filter/filter: the two-param lambda index is 1-BASED
+    (shifted like _lambda_index_shift) AND the lambda result coerces to
+    BOOLEAN (nonzero integers are true) — Spark's filter() requires a
+    boolean lambda, so wrap the body in CAST(... AS BOOLEAN): a no-op
+    for proper predicates, the int-truthiness coercion otherwise."""
+    lam = args[1].strip()
+    m = _LAMBDA_2PARAM_RE.match(lam)
+    if m:
+        x, idx, body = m.group(1), m.group(2), m.group(3)
+        body = re.sub(rf"\b{re.escape(idx)}\b", f"({idx} + 1)", body)
+        return (
+            f"filter({args[0]}, ({x}, {idx}) ->"
+            f" CAST(({body.strip()}) AS BOOLEAN))"
+        )
+    if "->" not in lam:
+        return None  # not a lambda form — leave untouched
+    var, body = lam.split("->", 1)
+    return (
+        f"filter({args[0]}, {var.strip()} ->"
+        f" CAST(({body.strip()}) AS BOOLEAN))"
+    )
+
+
+for _nm in ("LIST_FILTER", "ARRAY_FILTER", "FILTER"):
+    _FN_MACROS_N[_nm] = {2: _filter_bool_shift_template}
 _FN_MACROS_N["LIST_CONTAINS"] = {2: _list_contains_null_template}
 _FN_MACROS_N["ARRAY_CONTAINS"] = {2: _list_contains_null_template}
 
@@ -2955,6 +3075,16 @@ _FN_MACROS_N["GROUPING"] = {
 # DuckDB regexp_extract_all defaults to group 0 (whole match); Spark's
 # default is group 1 and errors when the pattern has no groups
 _FN_MACROS_N["REGEXP_EXTRACT_ALL"] = {2: "regexp_extract_all({0}, {1}, 0)"}
+# 2-arg regexp_extract: DuckDB's default group is 0 (the whole match);
+# Spark's default is 1 and it ERRORS when the pattern has no group
+# (caught by the round-7 full-catalog sweep)
+_FN_MACROS_N["REGEXP_EXTRACT"] = {2: "regexp_extract({0}, {1}, 0)"}
+# 3-arg bar(value, min, max): DuckDB's default width is 80
+_FN_MACROS_N["BAR"] = {3: "bar({0}, {1}, {2}, 80)"}
+_FN_MACROS_N["ARRAY_HAS"] = {2: "array_contains({0}, {1})"}
+_FN_MACROS_N["LIST_HAS"] = {2: "array_contains({0}, {1})"}
+# DuckDB error('msg') raises with the message
+_FN_MACROS_N["ERROR"] = {1: "raise_error({0})"}
 
 # list_extract/array_extract: 1-based, negative-from-end, NULL for index
 # 0 or out of range (DuckDB never errors here)
@@ -6064,6 +6194,13 @@ def _pass_function_renames_impl(
                     # pattern (Spark's regexp_extract has no flags arg)
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
+                    if len(spans) == 2:
+                        # DuckDB's 2-arg default group is 0 (the whole
+                        # match); Spark defaults to 1 and errors on
+                        # group-less patterns — make group 0 explicit
+                        out[c:c] = tokenize(", 0")
+                        c = match_forward(out, n, "(", ")")
+                        spans = split_args(out, n + 1, c)
                     if len(spans) == 3:
                         # DuckDB returns '' for a group index beyond the
                         # pattern's capture-group count; Spark errors.
@@ -6903,6 +7040,8 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_struct_literals(tokens)
     tokens = pass_cast_composite_types(tokens)
     tokens = pass_list_comprehensions(tokens)
+    tokens = pass_list_fn_subscript(tokens, resolver)
+    tokens = pass_blob_literals(tokens)
     tokens = pass_index_slice(tokens, resolver)
     tokens = pass_array_literals(tokens)
     tokens = pass_json_arrows(tokens)

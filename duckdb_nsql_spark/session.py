@@ -4965,6 +4965,16 @@ class DuckSparkSession:
             if t.kind == IDENT and t.upper in ("NEXTVAL", "CURRVAL"):
                 if pos + 1 < len(sig) and tokens[sig[pos + 1]].text == "(":
                     c = match_forward(tokens, sig[pos + 1], "(", ")")
+                    inner = [tk for tk in tokens[sig[pos + 1] + 1 : c]
+                             if tk.kind not in (WS, COMMENT)]
+                    if (
+                        len(inner) == 1 and inner[0].kind == IDENT
+                        and inner[0].upper == "NULL"
+                    ):
+                        # DuckDB: nextval(NULL)/currval(NULL) is NULL —
+                        # no sequence advances
+                        tokens[i : c + 1] = [Token(IDENT, "NULL")]
+                        return self._expand_sequence_calls(render(tokens))
                     arg = [tk for tk in tokens[sig[pos + 1] + 1 : c]
                            if tk.kind == STRING]
                     if len(arg) != 1:

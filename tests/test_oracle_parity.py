@@ -736,6 +736,54 @@ def test_cast_varchar_rendering_matches_duckdb(spark, ddb):
     assert not tdiffs, tdiffs
 
 
+def test_function_catalog_sweep_round7(spark, ddb):
+    """Round-7 full-catalog sweep fixes, pinned against live DuckDB:
+    2-arg regexp_extract (DuckDB group-0 default), polymorphic
+    list_element/list_extract/array_extract/list_slice over STRINGS,
+    filter/list_filter lambda int-truthiness, array_has/list_has,
+    BLOB typed literals, 3-arg bar (default width 80)."""
+    from duckdb_nsql_spark.session import DuckSparkSession
+
+    eng = DuckSparkSession(spark)
+    probes = [
+        "SELECT regexp_extract('abc-12', '[a-z]+-(\\d+)') AS v",
+        "SELECT regexp_extract('abc', 'b') AS v",
+        "SELECT regexp_extract('abc-12', '[a-z]+-(\\d+)', 1) AS v",
+        "SELECT list_filter([1,2,3], x -> x + 1) AS v",
+        "SELECT list_filter([0,1,2], x -> x) AS v",
+        "SELECT filter([1,2,3], x -> x > 1) AS v",
+        "SELECT array_filter([1,2,3], y -> y % 2) AS v",
+        "SELECT array_has([1,2,3], 2) AS a, list_has([1,2], 5) AS b",
+        "SELECT list_element('abcdef', 2) AS a,"
+        " array_extract('abcdef', -1) AS b",
+        "SELECT list_element('abc', 0) AS a, list_element('abc', 9) AS b",
+        "SELECT list_slice('abcdef', 2, 4) AS a,"
+        " list_slice('abcdef', -3, -1) AS b",
+        "SELECT list_extract([10,20,30], 2) AS a,"
+        " list_extract([10,20], 0) AS b, list_extract([10,20], 5) AS c",
+        "SELECT list_slice([1,2,3,4], 2, 3) AS v",
+        "SELECT octet_length(BLOB 'ab') AS v",
+        "SELECT BLOB '\\x41\\x42' AS v",
+        "SELECT bar(5, 0, 10) AS v",
+        "SELECT bar(1, 2, 3) AS v",
+        "SELECT flatten([[1,2],[3]]) AS v",
+        "SELECT json_array_length('[1,2,3]') AS v",
+    ]
+    for p in probes:
+        srows = [tuple(r) for r in eng.execute(p).collect()]
+        drows = ddb.execute(p).fetchall()
+        assert sorted(map(str, srows)) == sorted(map(str, drows)), (
+            p, srows[:2], drows[:2]
+        )
+    # error('msg') raises like DuckDB
+    with pytest.raises(Exception, match="boom"):
+        eng.execute("SELECT error('boom') AS v").collect()
+    # nextval(NULL)/currval(NULL) are NULL, no sequence required
+    row = eng.execute("SELECT nextval(NULL) AS a, currval(NULL) AS b"
+                      ).collect()[0]
+    assert row["a"] is None and row["b"] is None
+
+
 def test_dynamic_ym_interval_varchar_matches_duckdb(spark, ddb):
     """Dynamic YEAR-MONTH intervals cast straight to VARCHAR render
     DuckDB's text ('1 year 2 months', '-1 year -2 months', '00:00:00'

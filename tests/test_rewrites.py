@@ -302,7 +302,11 @@ def test_list_prepend_arg_swap():
 def test_list_unique_is_count():
     # count of distinct NON-NULL elements (round-4b sweep fix)
     out = rewrite_sql("SELECT list_unique(a) FROM t")
-    assert "size(filter(array_distinct(a), x -> x IS NOT NULL))" in out
+    # filter lambda body wears the DuckDB int-truthiness BOOLEAN cast
+    assert (
+        "size(filter(array_distinct(a), x ->"
+        " CAST((x IS NOT NULL) AS BOOLEAN)))" in out
+    )
 
 
 def test_lambda_arrow_not_json_mangled():
@@ -310,7 +314,7 @@ def test_lambda_arrow_not_json_mangled():
     # (ADVICE r1: these were rewritten to get_json_object — wrong results)
     out = rewrite_sql("SELECT list_filter(l, x -> 5 < x) FROM t")
     assert "get_json_object" not in out
-    assert "x -> 5 < x" in out.replace("  ", " ")
+    assert "x -> CAST((5 < x) AS BOOLEAN)" in out.replace("  ", " ")
     out = rewrite_sql("SELECT list_transform(l, x -> 'N/A') FROM t")
     assert "get_json_object" not in out
     out = rewrite_sql("SELECT aggregate(l, 0, (s, x) -> 1 + s) FROM t")
