@@ -1824,6 +1824,7 @@ def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
 
 _SIMPLE_RENAMES = {
     # DuckDB name -> Spark name (argument-compatible)
+    "COUNT_STAR": "count",
     "LIST_CONTAINS": "array_contains",
     "LIST_VALUE": "array",
     "LIST_TRANSFORM": "transform",
@@ -6508,15 +6509,41 @@ def _pass_function_renames_impl(
                         elif depth == 0 and tk.kind == IDENT and tk.upper == "ORDER":
                             p = k
                             break
+
+                    def _null_keeping_collect(arg_toks) -> list[Token]:
+                        # DuckDB array_agg/list KEEP NULL elements;
+                        # Spark's collect_list drops them — collect
+                        # structs (never null) and extract the field
+                        sig0 = [tk for tk in arg_toks
+                                if tk.kind not in (WS, COMMENT)]
+                        dis = ""
+                        if sig0 and sig0[0].is_kw("DISTINCT"):
+                            dis = "DISTINCT "
+                            arg_toks = _trim(arg_toks[
+                                arg_toks.index(sig0[0]) + 1 :
+                            ])
+                        a_txt = render(pass_function_renames(
+                            _trim(list(arg_toks)), resolver))
+                        return tokenize(
+                            f"transform(collect_list({dis}struct(({a_txt})"
+                            f" AS v)), s -> s.v)"
+                        )
+
                     if p is None:
-                        out[i] = _ident("collect_list")
+                        new_toks = _null_keeping_collect(out[n + 1 : c])
+                        out = out[:i] + new_toks + out[c + 1 :]
+                        i += len(new_toks)
+                        continue
                     else:
                         by = next_sig(out, p)
                         ktoks = _trim(out[by + 1 : c]) if (
                             by < c and out[by].is_kw("BY")
                         ) else None
                         if ktoks is None:
-                            out[i] = _ident("collect_list")
+                            new_toks = _null_keeping_collect(out[n + 1 : p])
+                            out = out[:i] + new_toks + out[c + 1 :]
+                            i += len(new_toks)
+                            continue
                         else:
                             desc = False
                             if ktoks and ktoks[-1].kind == IDENT and \
@@ -6716,7 +6743,13 @@ def _pass_function_renames_impl(
                     out[i] = _ident("format_string")
                 elif up in _FN_MACROS_0:
                     c = match_forward(out, n, "(", ")")
-                    if next_sig(out, n) == c:  # truly zero-arg
+                    a = next_sig(out, n)
+                    if a == c or (
+                        # count_star(*) — DuckDB also accepts the * arg
+                        up == "COUNT_STAR"
+                        and out[a].kind == OP and out[a].text == "*"
+                        and next_sig(out, a) == c
+                    ):
                         new_toks = tokenize(_FN_MACROS_0[up])
                         out = out[:i] + new_toks + out[c + 1 :]
                         i += len(new_toks)

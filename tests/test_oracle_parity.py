@@ -745,6 +745,7 @@ def test_function_catalog_sweep_round7(spark, ddb):
     from duckdb_nsql_spark.session import DuckSparkSession
 
     eng = DuckSparkSession(spark)
+    eng.register_parquet_dir(SF_DIR)
     probes = [
         "SELECT regexp_extract('abc-12', '[a-z]+-(\\d+)') AS v",
         "SELECT regexp_extract('abc', 'b') AS v",
@@ -768,6 +769,16 @@ def test_function_catalog_sweep_round7(spark, ddb):
         "SELECT bar(1, 2, 3) AS v",
         "SELECT flatten([[1,2],[3]]) AS v",
         "SELECT json_array_length('[1,2,3]') AS v",
+        # aggregate-catalog sweep: count_star spellings; array_agg/list
+        # KEEP NULL elements (Spark collect_list drops them — collected
+        # as structs and re-extracted)
+        "SELECT count_star(*) AS a, count_star() AS b FROM nation",
+        "SELECT to_json(array_agg(x)) AS v FROM"
+        " (SELECT CASE WHEN n_nationkey % 3 = 0 THEN NULL"
+        "  ELSE n_nationkey END AS x FROM nation ORDER BY n_nationkey) t",
+        "SELECT to_json(list(x)) AS v FROM"
+        " (SELECT CASE WHEN n_nationkey % 2 = 0 THEN NULL"
+        "  ELSE n_name END AS x FROM nation ORDER BY n_nationkey) t",
     ]
     for p in probes:
         srows = [tuple(r) for r in eng.execute(p).collect()]
