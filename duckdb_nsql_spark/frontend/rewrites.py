@@ -1968,6 +1968,26 @@ def _series_sequence_sql(args: list[str], inclusive: bool) -> str:
         a, b, c = args[0], args[1], "1"
     else:
         a, b, c = args[0], args[1], args[2]
+    if re.search(r"\bINTERVAL\b", c, re.IGNORECASE):
+        # temporal series: DuckDB returns TIMESTAMP rows even for DATE
+        # bounds; the step's sign is statically readable off the literal
+        # ('-' anywhere in the interval text). The end-exclusive rule
+        # drops the exact end VALUE when a step lands on it — spelled as
+        # a post-filter (Spark's temporal sequence is loose with
+        # sub-step bound adjustments in the negative direction).
+        # (Facing-away temporal bounds ERROR in DuckDB; we return the
+        # empty set — the int path's lenient behavior.)
+        neg = "-" in c
+        a_ts, b_ts = f"CAST({a} AS TIMESTAMP)", f"CAST({b} AS TIMESTAMP)"
+        seq = f"sequence({a_ts}, {b_ts}, {c})"
+        if not inclusive:
+            seq = f"filter({seq}, x -> x != {b_ts})"
+        cmp_op = ">=" if neg else "<="
+        return (
+            f"CASE WHEN ({a_ts}) {cmp_op} ({b_ts}) "
+            f"THEN {seq} "
+            f"ELSE slice(sequence(({a_ts}), ({a_ts})), 1, 0) END"
+        )
     end = f"({b})" if inclusive else f"(({b}) - CAST(sign({c}) AS INT))"
     return (
         f"CASE WHEN (({c}) > 0 AND ({a}) <= {end}) OR "

@@ -1784,6 +1784,36 @@ class DuckSparkSession:
                     tokens = tokens[:i] + repl + tokens[c + 1 :]
                     i += len(repl)
                     continue
+            if t.kind == IDENT and t.upper == "REPEAT":
+                # FROM repeat(v, n): n copies of the scalar; DuckDB names
+                # the column after the rendered value expression. Only in
+                # FROM/JOIN position — scalar repeat(s, n) stays a string
+                # function.
+                p = prev_sig(tokens, i)
+                o = next_sig(tokens, i)
+                if (
+                    p >= 0
+                    and tokens[p].kind == IDENT
+                    and tokens[p].upper in ("FROM", "JOIN")
+                    and o < len(tokens)
+                    and tokens[o].text == "("
+                ):
+                    c = match_forward(tokens, o, "(", ")")
+                    spans = split_args(tokens, o + 1, c)
+                    if len(spans) == 2:
+                        v = render(tokens[spans[0][0]:spans[0][1]]).strip()
+                        n = render(tokens[spans[1][0]:spans[1][1]]).strip()
+                        col = v[1:-1].replace("''", "'") if (
+                            v.startswith("'") and v.endswith("'")
+                        ) else v
+                        col = "`" + col.replace("`", "``") + "`"
+                        repl = tokenize(
+                            f"(SELECT explode(array_repeat({v},"
+                            f" CAST({n} AS INT))) AS {col})"
+                        )
+                        tokens = tokens[:i] + repl + tokens[c + 1 :]
+                        i += len(repl)
+                        continue
             if t.kind == IDENT and t.upper in _TABLE_FUNCS:
                 o = next_sig(tokens, i)
                 if o < len(tokens) and tokens[o].text == "(":

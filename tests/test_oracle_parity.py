@@ -779,6 +779,20 @@ def test_function_catalog_sweep_round7(spark, ddb):
         "SELECT to_json(list(x)) AS v FROM"
         " (SELECT CASE WHEN n_nationkey % 2 = 0 THEN NULL"
         "  ELSE n_name END AS x FROM nation ORDER BY n_nationkey) t",
+        # temporal range/generate_series (TIMESTAMP rows even for DATE
+        # bounds; range end-exclusive drops the exact landed end value;
+        # negative steps descend) + the repeat table function
+        "SELECT * FROM range(DATE '2024-01-01', DATE '2024-01-10',"
+        " INTERVAL 2 DAY)",
+        "SELECT * FROM generate_series(DATE '2024-01-01',"
+        " DATE '2024-01-07', INTERVAL 2 DAY)",
+        "SELECT * FROM range(TIMESTAMP '2024-01-01',"
+        " TIMESTAMP '2024-01-04', INTERVAL 1 DAY)",
+        "SELECT * FROM range(DATE '2024-01-10', DATE '2024-01-01',"
+        " INTERVAL '-3' DAY)",
+        "SELECT * FROM range(DATE '2024-01-01', DATE '2024-01-01',"
+        " INTERVAL 1 DAY)",
+        "SELECT * FROM repeat('ab', 3)",
     ]
     for p in probes:
         srows = [tuple(r) for r in eng.execute(p).collect()]
