@@ -994,6 +994,12 @@ class DuckSparkSession:
             base = self._query(pm.group(1))
             k = int(base.count() * float(pm.group(2)) / 100.0)
             return base.limit(k), False  # count is build-time data
+        piv = self._inline_pivot_subqueries(sql)
+        if piv != sql:
+            # pivot-value discovery ran at plan time (build-time data,
+            # like DuckDB's dynamic PIVOT bind pass) — never cache
+            df, _ = self._query_impl(piv)
+            return df, False
         asof = self._asof_rewrite(sql)
         if asof is not None:
             sql = asof
@@ -5473,6 +5479,39 @@ class DuckSparkSession:
             return sql, ""
         return render(tokens[:at]), render(tokens[at:]).rstrip(";").strip()
 
+    def _inline_pivot_subqueries(self, sql: str) -> str:
+        """``(PIVOT ...)`` / ``(UNPIVOT ...)`` as a FROM source or CTE
+        body: materialize eagerly to a temp view and splice ``SELECT *
+        FROM <view>`` in its place (valid in both positions). DuckDB's
+        dynamic PIVOT also runs a discovery pass at bind time, so the
+        eager plan job matches its execution model."""
+        if not re.search(r"\b(?:UN)?PIVOT\b", sql, re.IGNORECASE):
+            return sql
+        tokens = tokenize(sql)
+        i = 0
+        while i < len(tokens):
+            t = tokens[i]
+            if t.kind == PUNCT and t.text == "(":
+                n = next_sig(tokens, i)
+                if (
+                    n < len(tokens) and tokens[n].kind == IDENT
+                    and tokens[n].upper in ("PIVOT", "UNPIVOT")
+                ):
+                    c = match_forward(tokens, i, "(", ")")
+                    inner = render(tokens[i + 1 : c]).strip()
+                    df = (
+                        self._pivot(inner)
+                        if tokens[n].upper == "PIVOT"
+                        else self._unpivot(inner)
+                    )
+                    view = self._fresh_view(df)
+                    repl = tokenize(f"(SELECT * FROM {view})")
+                    tokens = tokens[:i] + repl + tokens[c + 1 :]
+                    i += len(repl)
+                    continue
+            i += 1
+        return render(tokens)
+
     def _pivot_source(self, text: str) -> DataFrame:
         """PIVOT/UNPIVOT source: a table name or a parenthesized query
         (possibly itself a PIVOT)."""
@@ -5544,6 +5583,19 @@ class DuckSparkSession:
         else:
             agg_exprs = [F.count(F.lit(1))]
         out = df.groupBy(*group_cols).pivot(on_col).agg(*agg_exprs)
+        if m.group(3):
+            # single ALIASED aggregate: DuckDB still suffixes the pivot
+            # columns with the alias (F_s, O_s ...); Spark only suffixes
+            # when there are MULTIPLE aggregates
+            frags = _split_top_commas(m.group(3).strip())
+            am1 = re.match(
+                r"^(.*?)\s+AS\s+([\w\"`]+)\s*$", frags[0],
+                re.IGNORECASE | re.DOTALL,
+            ) if len(frags) == 1 else None
+            if am1:
+                suffix = am1.group(2).strip('"`')
+                for c in [c for c in out.columns if c not in group_cols]:
+                    out = out.withColumnRenamed(c, f"{c}_{suffix}")
         # DuckDB renders absent count() cells as 0, not NULL
         is_count = m.group(3) is None or re.match(
             r"\s*count\s*\(", m.group(3), re.IGNORECASE
@@ -5558,15 +5610,18 @@ class DuckSparkSession:
         [ORDER BY ...] [LIMIT ...]``."""
         sql, tail = self._split_trailing_clauses(sql)
         m = re.match(
-            r"\s*UNPIVOT\s+([\w.\"`]+|\(.*\))\s+ON\s+(.+?)\s+INTO\s+NAME\s+"
-            r"([\w\"`]+)\s+VALUE\s+([\w\"`]+)\s*;?\s*$",
+            r"\s*UNPIVOT\s+([\w.\"`]+|\(.*\))\s+ON\s+(.+?)"
+            r"(?:\s+INTO\s+NAME\s+([\w\"`]+)\s+VALUE\s+([\w\"`]+))?"
+            r"\s*;?\s*$",
             sql,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"unsupported UNPIVOT: {sql[:80]}")
         on_cols = [c.strip().strip('"`') for c in m.group(2).split(",")]
-        name_col, value_col = m.group(3).strip('"`'), m.group(4).strip('"`')
+        # INTO NAME/VALUE is optional: DuckDB defaults to name/value
+        name_col = m.group(3).strip('"`') if m.group(3) else "name"
+        value_col = m.group(4).strip('"`') if m.group(4) else "value"
         df = self._pivot_source(m.group(1))
         ids = [c for c in df.columns if c not in on_cols]
         out = df.unpivot(ids, on_cols, name_col, value_col)

@@ -1929,6 +1929,39 @@ _sql(
 )
 
 
+# PIVOT statement form as a CTE source (round 7: _inline_pivot_subqueries
+# materializes (PIVOT ...) bodies eagerly, like DuckDB's dynamic-PIVOT
+# bind pass). Counts cast to BIGINT in both texts for the render-kind
+# match. Identical text runs on the DuckDB oracle.
+_sql(
+    "q124_pivot_statement",
+    """
+    WITH p AS (PIVOT orders ON o_orderstatus USING count(*)
+               GROUP BY o_orderpriority)
+    SELECT o_orderpriority, CAST(F AS BIGINT) AS f_cnt,
+           CAST(O AS BIGINT) AS o_cnt, CAST(P AS BIGINT) AS p_cnt
+    FROM p ORDER BY o_orderpriority
+    """,
+)
+
+# UNPIVOT over a derived table, default INTO NAME name VALUE value.
+_sql(
+    "q125_unpivot_statement",
+    """
+    SELECT name, CAST(value AS BIGINT) AS v
+    FROM (UNPIVOT (
+            SELECT CAST(sum(CASE WHEN o_orderstatus = 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS f,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS o,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p
+            FROM orders) ON f, o, p)
+    ORDER BY name
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
 # ---------------------------------------------------------------------------
@@ -3631,6 +3664,8 @@ _WINDOW_R7: tuple[str, ...] = (
     "q121_tpch_q20_promotion",
     "q122_tpch_q21_waiting_orders",
     "q123_tpch_q12_full_predicate",
+    "q124_pivot_statement",
+    "q125_unpivot_statement",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order).
