@@ -1122,6 +1122,16 @@ def test_pivot_extensions_match_duckdb(engine, tmp_path):
         "SELECT INTERVAL '1 year 2 months' AS iv",
         "SELECT regexp_extract('ABC', 'abc', 0, 'i') AS f",
         "SELECT regexp_extract('a\nb', 'a.b', 0, 's') AS s",
+        # round 7: PIVOT/UNPIVOT in FROM/CTE position (eager view
+        # inlining), default INTO NAME name VALUE value, and the
+        # single-aliased-agg column suffix (east_s, west_s)
+        "SELECT * FROM (PIVOT sales ON region USING sum(amt)"
+        " GROUP BY yr) ORDER BY yr",
+        "WITH p AS (PIVOT sales ON region USING sum(amt) AS s"
+        " GROUP BY yr) SELECT yr, east_s + west_s AS tot FROM p"
+        " ORDER BY yr",
+        "SELECT name, value FROM (UNPIVOT (SELECT 1 AS a, 2 AS b)"
+        " ON a, b) ORDER BY name",
     ):
         assert [tuple(r) for r in engine.execute(q).collect()] == (
             con.execute(q).fetchall()
