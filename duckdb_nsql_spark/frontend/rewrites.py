@@ -592,7 +592,11 @@ def pass_list_fn_subscript(
             i += 1
             continue
         out = out[:i] + new + out[c + 1 :]
-        i += len(new)
+        # Do NOT skip the splice: a nested string-subscript call inside
+        # the index argument (list_element('abc', list_element('12', 1)))
+        # must be rewritten too. The head of `new` is a primary string
+        # expression followed by '[', which cannot re-match this pass,
+        # so rescanning from i terminates.
     return out
 
 
@@ -1824,7 +1828,9 @@ def pass_int_cast_rounds(tokens: list[Token]) -> list[Token]:
 
 _SIMPLE_RENAMES = {
     # DuckDB name -> Spark name (argument-compatible)
-    "COUNT_STAR": "count",
+    # (COUNT_STAR is NOT here: the _FN_MACROS_0 dispatch branch owns
+    # every valid call shape — count_star() and count_star(*) — and a
+    # rename here would emit invalid bare count())
     "LIST_CONTAINS": "array_contains",
     "LIST_VALUE": "array",
     "LIST_TRANSFORM": "transform",
@@ -1970,21 +1976,25 @@ def _series_sequence_sql(args: list[str], inclusive: bool) -> str:
         a, b, c = args[0], args[1], args[2]
     if re.search(r"\bINTERVAL\b", c, re.IGNORECASE):
         # temporal series: DuckDB returns TIMESTAMP rows even for DATE
-        # bounds; the step's sign is statically readable off the literal
-        # ('-' anywhere in the interval text). The end-exclusive rule
-        # drops the exact end VALUE when a step lands on it — spelled as
-        # a post-filter (Spark's temporal sequence is loose with
-        # sub-step bound adjustments in the negative direction).
-        # (Facing-away temporal bounds ERROR in DuckDB; we return the
-        # empty set — the int path's lenient behavior.)
-        neg = "-" in c
+        # bounds. The step's sign is decided at RUNTIME — comparing
+        # (start + step) against start — because the step can be a
+        # composite expression whose rendered text lies about its sign
+        # (INTERVAL '2' DAY - INTERVAL '1' DAY is positive but contains
+        # '-'). The end-exclusive rule drops the exact end VALUE when a
+        # step lands on it — spelled as a post-filter (Spark's temporal
+        # sequence is loose with sub-step bound adjustments in the
+        # negative direction). Facing-away temporal bounds ERROR in
+        # DuckDB; we return the empty set — the int path's lenient
+        # behavior (a zero step also lands in the empty ELSE arm).
         a_ts, b_ts = f"CAST({a} AS TIMESTAMP)", f"CAST({b} AS TIMESTAMP)"
         seq = f"sequence({a_ts}, {b_ts}, {c})"
         if not inclusive:
             seq = f"filter({seq}, x -> x != {b_ts})"
-        cmp_op = ">=" if neg else "<="
+        stepped = f"(({a_ts}) + ({c}))"
         return (
-            f"CASE WHEN ({a_ts}) {cmp_op} ({b_ts}) "
+            f"CASE WHEN {stepped} > ({a_ts}) AND ({a_ts}) <= ({b_ts}) "
+            f"THEN {seq} "
+            f"WHEN {stepped} < ({a_ts}) AND ({a_ts}) >= ({b_ts}) "
             f"THEN {seq} "
             f"ELSE slice(sequence(({a_ts}), ({a_ts})), 1, 0) END"
         )
@@ -3096,10 +3106,9 @@ _FN_MACROS_N["GROUPING"] = {
 # DuckDB regexp_extract_all defaults to group 0 (whole match); Spark's
 # default is group 1 and errors when the pattern has no groups
 _FN_MACROS_N["REGEXP_EXTRACT_ALL"] = {2: "regexp_extract_all({0}, {1}, 0)"}
-# 2-arg regexp_extract: DuckDB's default group is 0 (the whole match);
-# Spark's default is 1 and it ERRORS when the pattern has no group
-# (caught by the round-7 full-catalog sweep)
-_FN_MACROS_N["REGEXP_EXTRACT"] = {2: "regexp_extract({0}, {1}, 0)"}
+# (REGEXP_EXTRACT has no _FN_MACROS_N entry: the dedicated dispatch
+# branch owns every arity — 2-arg group-0 default, 3-arg group-overflow
+# guard, 4-arg flag folding — and runs before the table lookup)
 # 3-arg bar(value, min, max): DuckDB's default width is 80
 _FN_MACROS_N["BAR"] = {3: "bar({0}, {1}, {2}, 80)"}
 _FN_MACROS_N["ARRAY_HAS"] = {2: "array_contains({0}, {1})"}

@@ -345,11 +345,19 @@ class _CatalogResolver:
         (min/max/ORDER BY would otherwise rewrite to array_position over
         the WRONG table's members and raise or mis-sort at runtime).
         Ambiguous column matches (two referenced tables, different
-        member lists) bail to None — plain lexicographic semantics."""
+        member lists) bail to None — plain lexicographic semantics.
+
+        Referenced VIEWS are expanded to the base tables their bodies
+        mention (transitively, cycle-guarded) — an enum column read
+        through ``SELECT max(m) FROM v`` must resolve against the view's
+        underlying table, not silently fall back to lexicographic
+        ordering."""
         n = name.lower()
         vals = self.session._enum_types.get(n)
         if vals:
             return vals
+        if tables is not None:
+            tables = self._expand_view_tables(tables)
         found: Optional[list[str]] = None
         for tname, cols in self.session._enum_cols.items():
             if n not in cols:
@@ -364,8 +372,16 @@ class _CatalogResolver:
         if tables is not None:
             # the name must not ALSO be a non-enum column of another
             # referenced table — that reference would be ambiguous and
-            # the member mapping could bind the wrong column
+            # the member mapping could bind the wrong column. Views are
+            # skipped: their columns are projections of the base tables
+            # already expanded into `tables`, so the view re-exposing
+            # the enum column is not a conflict.
+            view_names = {
+                k.lower() for k in getattr(self.session, "_view_defs", {})
+            }
             for tname in tables:
+                if tname.lower() in view_names:
+                    continue
                 cols = self.session._enum_cols.get(tname.lower(), {})
                 if n in cols:
                     continue
@@ -373,6 +389,35 @@ class _CatalogResolver:
                 if tcols and n in (c.lower() for c in tcols):
                     return None
         return found
+
+    def _expand_view_tables(self, tables: set) -> set:
+        """Union ``tables`` with the base tables referenced by any VIEW
+        in the set, transitively (views over views), cycle-guarded."""
+        raw_defs = getattr(self.session, "_view_defs", {})
+        if not raw_defs:
+            return tables
+        view_defs = {k.lower(): v for k, v in raw_defs.items()}
+        out = {t.lower() for t in tables}
+        queue = [t for t in out if t in view_defs]
+        seen: set = set()
+        while queue:
+            v = queue.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            body = view_defs.get(v)
+            if not body:
+                continue
+            try:
+                refs = rewrites._referenced_tables(tokenize(body))
+            except Exception:  # noqa: BLE001 — unparsable body: skip
+                continue
+            for r in refs:
+                if r not in out:
+                    out.add(r)
+                    if r in view_defs:
+                        queue.append(r)
+        return out
 
     def table_columns(self, name: str) -> Optional[list[str]]:
         try:

@@ -480,15 +480,22 @@ class DurableWarehouse:
             ent = self.tables().get(name)
             if ent is None:
                 continue
-            dt = DeltaTable.forPath(
-                spark, os.path.join(self.root, ent["dir"])
-            )
+            # Per-table try: a table whose directory vanished during the
+            # transaction (drop_table rmtrees immediately) must not abort
+            # the rollback of every REMAINING table — a partially applied
+            # ROLLBACK is worse than skipping one unrestorable log.
             try:
-                cur = dt.history(1).collect()[0]["version"]
-            except Exception:  # noqa: BLE001 — unreadable log: restore
-                cur = None
-            if cur != ver:
-                dt.restoreToVersion(ver)
+                dt = DeltaTable.forPath(
+                    spark, os.path.join(self.root, ent["dir"])
+                )
+                try:
+                    cur = dt.history(1).collect()[0]["version"]
+                except Exception:  # noqa: BLE001 — unreadable log: restore
+                    cur = None
+                if cur != ver:
+                    dt.restoreToVersion(ver)
+            except Exception:  # noqa: BLE001 — missing dir/log: skip table
+                continue
 
     # --------------------------------------------------------------- views
     def views(self) -> dict[str, str]:

@@ -320,6 +320,41 @@ def test_delta_rollback_restores_advanced_logs(delta_stub):
     assert [e for e in log if e[0] == "restoreToVersion"] == []
 
 
+def test_delta_rollback_skips_missing_table_dirs(delta_stub):
+    """A snapshotted table whose directory vanished during the
+    transaction (drop_table rmtrees immediately) makes forPath raise;
+    rollback must SKIP it and still rewind the remaining tables' logs
+    (r7 ADVICE: an unguarded forPath aborted the loop, leaving a
+    partially applied ROLLBACK)."""
+    w, log = delta_stub
+    spark = FakeSpark(log)
+    w.save_table(spark, "ta", FakeDF(log), {})
+    w.save_table(spark, "tb", FakeDF(log), {})
+    snap = w.delta_table_versions(spark)
+    pa = os.path.join(w.root, w.tables()["ta"]["dir"])
+    pb = os.path.join(w.root, w.tables()["tb"]["dir"])
+    # both logs advanced in-transaction; ta's directory then vanished
+    FakeMerge.version_by_path[pa] = 2
+    FakeMerge.version_by_path[pb] = 5
+    mod = sys.modules["delta.tables"]
+    orig = mod.DeltaTable.forPath
+
+    def raising_for_pa(spark, path, _orig=orig):
+        if path == pa:
+            raise RuntimeError("no delta log at " + path)
+        return _orig(spark, path)
+
+    mod.DeltaTable.forPath = raising_for_pa
+    try:
+        log.clear()
+        w.restore_delta_versions(spark, snap)
+    finally:
+        mod.DeltaTable.forPath = orig
+    restores = [e for e in log if e[0] == "restoreToVersion"]
+    assert restores == [("restoreToVersion", pb, 0)]
+    assert FakeMerge.version_by_path[pb] == 0
+
+
 def test_delta_append_conflict_then_replay_same_txn(delta_stub, monkeypatch):
     """CommitConflict interplay on the delta append path: the data append
     and the catalog commit are SEPARATE transactions, so a conflict

@@ -525,6 +525,34 @@ def test_enum_resolution_scoped_to_referenced_tables(engine):
     engine.execute("DROP TYPE mood7")
 
 
+def test_enum_resolution_through_views(engine):
+    """An enum column read THROUGH a view must still resolve to member-
+    code ordering (r7 ADVICE: statement-scoped resolution only matched
+    base-table names, so SELECT max(m) FROM v silently fell back to
+    lexicographic order). Views expand transitively (view over view)."""
+    engine.execute("CREATE TYPE mood8 AS ENUM ('sad', 'ok', 'happy')")
+    engine.execute("CREATE TABLE et8 (m mood8, v INT)")
+    engine.execute(
+        "INSERT INTO et8 VALUES ('happy', 1), ('sad', 2), ('ok', 3)"
+    )
+    engine.execute("CREATE VIEW ev8 AS SELECT m, v FROM et8")
+    engine.execute("CREATE VIEW evv8 AS SELECT * FROM ev8")
+    row = engine.execute(
+        "SELECT min(m) AS lo, max(m) AS hi FROM ev8"
+    ).collect()[0]
+    assert (row["lo"], row["hi"]) == ("sad", "happy")
+    vals = [r["m"] for r in
+            engine.execute("SELECT m FROM ev8 ORDER BY m").collect()]
+    assert vals == ["sad", "ok", "happy"]
+    # transitively through a view over the view
+    row = engine.execute("SELECT min(m) AS lo FROM evv8").collect()[0]
+    assert row["lo"] == "sad"
+    engine.execute("DROP VIEW evv8")
+    engine.execute("DROP VIEW ev8")
+    engine.execute("DROP TABLE et8")
+    engine.execute("DROP TYPE mood8")
+
+
 def test_create_macro_scalar(loaded_engine):
     import pytest as _pytest
 

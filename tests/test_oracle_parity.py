@@ -803,6 +803,45 @@ def test_function_catalog_sweep_round7(spark, ddb):
     # error('msg') raises like DuckDB
     with pytest.raises(Exception, match="boom"):
         eng.execute("SELECT error('boom') AS v").collect()
+
+
+def test_advice_r7_pins(spark, ddb):
+    """Round-7 ADVICE regressions, pinned against live DuckDB:
+    (1) temporal series step direction decided at RUNTIME — a positive
+    composite step whose text contains '-' must still emit the series,
+    and a runtime-negative step with no '-' in its text must descend;
+    (2) nested string-subscript calls inside the index argument of an
+    outer string-subscript call are rewritten too (the splice is
+    rescanned)."""
+    from duckdb_nsql_spark.session import DuckSparkSession
+
+    eng = DuckSparkSession(spark)
+    probes = [
+        # composite positive step containing '-'
+        "SELECT * FROM generate_series(DATE '2024-01-01',"
+        " DATE '2024-01-05', INTERVAL '2' DAY - INTERVAL '1' DAY)",
+        "SELECT * FROM range(DATE '2024-01-01', DATE '2024-01-10',"
+        " INTERVAL '3' DAY - INTERVAL '1' DAY)",
+        "SELECT generate_series(DATE '2024-01-01', DATE '2024-01-07',"
+        " INTERVAL '3' DAY - INTERVAL '1' DAY)::VARCHAR AS v",
+        # runtime-negative step, no '-' anywhere in the rendered text
+        "SELECT * FROM generate_series(TIMESTAMP '2024-01-05',"
+        " TIMESTAMP '2024-01-01',"
+        " INTERVAL (CAST(sign(ln(0.5)) AS INT)) DAY)",
+        # nested string-subscript calls in the index argument
+        "SELECT list_element('abc', list_element('21', 1)::INT) AS v",
+        "SELECT list_element('abcdef', list_slice('321', 2, 2)::INT) AS v",
+    ]
+    for p in probes:
+        srows = sorted(str(tuple(r)) for r in eng.execute(p).collect())
+        drows = sorted(str(t) for t in ddb.execute(p).fetchall())
+        assert srows == drows, (p, srows[:3], drows[:3])
+    # facing-away temporal bounds: DuckDB raises; the engine keeps the
+    # int path's lenient empty set (documented divergence)
+    assert eng.execute(
+        "SELECT * FROM generate_series(TIMESTAMP '2024-01-05',"
+        " TIMESTAMP '2024-01-01', INTERVAL 1 DAY)"
+    ).collect() == []
     # nextval(NULL)/currval(NULL) are NULL, no sequence required
     row = eng.execute("SELECT nextval(NULL) AS a, currval(NULL) AS b"
                       ).collect()[0]
