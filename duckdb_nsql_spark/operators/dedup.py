@@ -492,3 +492,121 @@ def dedup_clusters(
     pairs → connected components → ``(doc_id, cluster_id)``."""
     pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
     return connected_components(pairs)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540): k-means-cluster the embedding space, then look
+    for cosine near-dups only WITHIN each cluster — the clustering
+    bounds the quadratic pairwise term, which is the whole design point
+    at 100 TB (all-pairs over the corpus is impossible; all-pairs inside
+    a k-means cell is cheap and catches semantically-identical docs that
+    lexical minhash misses).
+
+    Returns ``(vec_id, cluster_id, dup_of, is_dup)`` — ``dup_of`` is the
+    smallest same-cluster id whose cosine ≥ threshold (NULL for keepers).
+
+    Fully deterministic and oracle-replayable on DuckDB:
+    - seeds = first ``k`` vectors by ``(md5(vec_id), vec_id)`` order;
+    - Lloyd iterations are FIXED (``iters``), no convergence test;
+    - assignment distances are computed in exact DECIMAL arithmetic over
+      6-dp-quantized vectors (DECIMAL(12,6) elements, (x-y)*(x-y) sums
+      stay inside DECIMAL(38,12)) — order-independent and bit-identical
+      across engines, so cluster assignments can never diverge on a
+      float ulp; ties break on the lower centroid id;
+    - centroid update: exact DECIMAL per-dimension sums, mean taken in
+      DOUBLE and re-quantized to DECIMAL(12,6).
+
+    Scale shape: seeds are a distributed top-k (TakeOrderedAndProject —
+    no global sort); assignment is map-only against k×dim literal
+    centroids (broadcast by construction); the centroid update is ONE
+    (cid, dim) partial-sum shuffle whose output is k×dim rows (bounded
+    regardless of corpus size — the only driver collect); the pairwise
+    stage reuses the blocked self-join of embedding_cosine_pairs with
+    the learned cluster as the block key. At extreme per-cluster sizes
+    a production run would sub-split hot cells with an LSH bucket —
+    same plan algebra.
+    """
+    from decimal import Decimal
+
+    DEC = "decimal(12,6)"
+    e = _persist_small(
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double").cast(DEC)
+            ).alias("vq"),
+        )
+    )
+    seed_rows = (
+        e.select("vec_id", "vq")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    cents: list[tuple[int, list]] = [
+        (i, list(r["vq"])) for i, r in enumerate(seed_rows)
+    ]
+    dim = len(cents[0][1])
+
+    def assign(cent_list: list[tuple[int, list]]) -> DataFrame:
+        """Map-only nearest-centroid assignment; exact-decimal distances,
+        argmin via struct array_min (ties -> lower cid)."""
+        cands = []
+        for cid, cv in cent_list:
+            cq = F.array(*[F.lit(x).cast(DEC) for x in cv])
+            dist = F.aggregate(
+                F.zip_with(F.col("vq"), cq, lambda x, y: (x - y) * (x - y)),
+                F.lit(Decimal(0)).cast("decimal(38,12)"),
+                # re-cast: (38,12)+(27,12) widens past 38 and Spark would
+                # shave the scale; the cast back is exact (|dist| < 256)
+                lambda acc, x: (acc + x).cast("decimal(38,12)"),
+            )
+            cands.append(F.struct(dist.alias("d"), F.lit(cid).alias("cid")))
+        return e.withColumn("cid", F.array_min(F.array(*cands))["cid"])
+
+    assigned = assign(cents)
+    for _ in range(iters - 1):
+        rows = (
+            assigned.select("cid", F.posexplode("vq").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(
+                (F.sum("x").cast("double") / F.count(F.lit(1)))
+                .cast(DEC)
+                .alias("m")
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, object]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["dim"])] = r["m"]
+        cents = [
+            (cid, [ms[i] for i in range(dim)])
+            for cid, ms in sorted(by_cid.items())
+        ]
+        assigned = assign(cents)
+
+    final = _persist_small(assigned.select("vec_id", "v", "cid"))
+    pair_df = embedding_cosine_pairs(
+        final, vec_col="v", id_col="vec_id", block_col="cid",
+        threshold=threshold,
+    )
+    dup_of = (
+        pair_df.groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+        .withColumnRenamed("id_b", "vec_id")
+    )
+    return (
+        final.select("vec_id", F.col("cid").cast("int").alias("cluster_id"))
+        .join(dup_of, "vec_id", "left")
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+        .select("vec_id", "cluster_id", "dup_of", "is_dup")
+    )

@@ -102,6 +102,77 @@ def lang_id(col: Column) -> Column:
     )
 
 
+# fixed weights of the quality classifier (hand-set, fastText-style
+# quality-proxy stage — the plumbing is the point, not the training);
+# listed in tie-break order for the `reason` output
+QC_FEATURES = (
+    ("len", 0.20),
+    ("words", 0.15),
+    ("word_len", 0.15),
+    ("stopwords", 0.25),
+    ("digits", 0.10),
+    ("punct", 0.15),
+)
+QC_DECISION = 0.55
+
+
+def quality_classifier(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight linear classifier
+    over interpretable features, with a decision boundary and a
+    per-document ``reason`` (the weakest weighted feature) — the
+    classifier-filter stage of a training-data pipeline (CCNet/Gopher
+    style), distinct from the unsupervised quality_score heuristic.
+
+    Map-only JVM built-ins, no UDFs, no shuffle at any scale. All
+    feature math is RATIONAL arithmetic (+, *, /, least/greatest/abs) —
+    deliberately no exp/ln/sigmoid, whose last-ulp libm behavior could
+    diverge between the JVM and the DuckDB oracle; with identical
+    operand order both engines produce bit-identical doubles, so the
+    rounded score and the keep decision are exactly cross-checkable.
+    """
+    c = F.col(text_col)
+    nc = F.length(c)
+    wc = word_count(c)
+    f_len = F.least(nc / F.lit(2000.0), F.lit(1.0))
+    f_words = F.least(wc / F.lit(300.0), F.lit(1.0))
+    mean_wl = nc / F.greatest(wc, F.lit(1))
+    f_wl = F.lit(1.0) - F.least(
+        F.abs(mean_wl - F.lit(5.5)) / F.lit(5.5), F.lit(1.0)
+    )
+    stops = F.regexp_count(F.lower(c), F.lit(LANG_MARKERS["en"]))
+    f_stop = F.least(
+        stops * F.lit(3.0) / F.greatest(wc, F.lit(1)), F.lit(1.0)
+    )
+    digits = F.regexp_count(c, F.lit("[0-9]"))
+    f_digit = F.lit(1.0) - F.least(
+        digits * F.lit(4.0) / F.greatest(nc, F.lit(1)), F.lit(1.0)
+    )
+    f_punct = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    feats = dict(
+        len=f_len, words=f_words, word_len=f_wl,
+        stopwords=f_stop, digits=f_digit, punct=f_punct,
+    )
+    contribs = [
+        (name, F.lit(w) * feats[name]) for name, w in QC_FEATURES
+    ]
+    score = contribs[0][1]
+    for _, contrib in contribs[1:]:
+        score = score + contrib
+    score = F.round(score, 4)
+    weakest = F.least(*[contrib for _, contrib in contribs])
+    reason = F.when(contribs[0][1] == weakest, F.lit(contribs[0][0]))
+    for name, contrib in contribs[1:]:
+        reason = reason.when(contrib == weakest, F.lit(name))
+    return df.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= F.lit(QC_DECISION)).alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 def fingerprint_sketch(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:

@@ -1961,6 +1961,25 @@ _sql(
     """,
 )
 
+# Temporal series with a COMPOSITE interval step (round-7 ADVICE: step
+# direction must be decided at runtime, not off '-' in the rendered
+# text — INTERVAL '2' DAY - INTERVAL '1' DAY is positive). Identical
+# text runs on the DuckDB oracle.
+_sql(
+    "q126_series_step_arith",
+    """
+    SELECT CAST(s.generate_series AS DATE) AS day,
+           count(e.event_id) AS n_events
+    FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                         TIMESTAMP '2024-01-15 00:00:00',
+                         INTERVAL '2' DAY - INTERVAL '1' DAY) s
+    LEFT JOIN events e
+      ON CAST(e.ts AS DATE) = CAST(s.generate_series AS DATE)
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
@@ -3475,6 +3494,131 @@ FROM q
 """
 
 
+def op_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.semantic_dedup(
+        _embeds(spark, sf_dir), k=8, iters=2, threshold=0.9
+    )
+
+
+# SemDeDup replay: the DuckDB twin runs the IDENTICAL deterministic
+# k-means (seeds = first 8 ids by md5 order; 2 fixed Lloyd iterations;
+# exact-DECIMAL distances over 6-dp-quantized vectors so assignment can
+# never diverge on a float ulp; ties -> lower centroid id) and the same
+# intra-cluster cosine pass (round 4, threshold 0.9). Distances sum via
+# unnest+GROUP BY (DECIMAL aggregation is exact and order-independent
+# in both engines).
+ORACLE_SEMANTIC_DEDUP = r"""
+WITH e AS (
+  SELECT vec_id, embedding AS v,
+         list_transform(embedding,
+             x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))) AS vq
+  FROM embeddings
+), sr AS (
+  SELECT vec_id,
+         row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM e
+), c0 AS (
+  SELECT sr.rn - 1 AS cid, e.vq AS cv
+  FROM sr JOIN e USING (vec_id) WHERE sr.rn <= 8
+), d1 AS (
+  SELECT e.vec_id, c.cid,
+         sum((e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i])) AS dist
+  FROM e CROSS JOIN c0 c, unnest(range(1, 65)) AS t(i)
+  GROUP BY e.vec_id, c.cid
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM d1) t WHERE rn = 1
+), m1 AS (
+  SELECT a1.cid, i AS dim,
+         CAST(CAST(sum(e.vq[i]) AS DOUBLE) / count(*) AS DECIMAL(12,6))
+             AS m
+  FROM a1 JOIN e USING (vec_id), unnest(range(1, 65)) AS t(i)
+  GROUP BY a1.cid, i
+), c1 AS (
+  SELECT cid, array_agg(m ORDER BY dim) AS cv FROM m1 GROUP BY cid
+), d2 AS (
+  SELECT e.vec_id, c.cid,
+         sum((e.vq[i] - c.cv[i]) * (e.vq[i] - c.cv[i])) AS dist
+  FROM e CROSS JOIN c1 c, unnest(range(1, 65)) AS t(i)
+  GROUP BY e.vec_id, c.cid
+), a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM d2) t WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.9
+), dup AS (
+  SELECT id_b AS vec_id, min(id_a) AS dup_of FROM pairs GROUP BY id_b
+)
+SELECT a2.vec_id, CAST(a2.cid AS INTEGER) AS cluster_id,
+       dup.dup_of, dup.dup_of IS NOT NULL AS is_dup
+FROM a2 LEFT JOIN dup USING (vec_id)
+"""
+
+
+def op_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.quality_classifier(_docs_wide(spark, sf_dir))
+
+
+# fixed-weight linear quality classifier: every feature is RATIONAL
+# arithmetic (no exp/ln — libm last-ulp behavior differs between the
+# JVM and DuckDB), so with identical operand order both engines produce
+# bit-identical doubles; the CASE chain's first-match rule mirrors the
+# engine's when() chain for the weakest-feature reason
+ORACLE_QUALITY_CLASSIFIER = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         len(string_split_regex(trim(text), '\s+')) AS wc,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))
+             AS stops,
+         len(regexp_extract_all(text, '[0-9]')) AS digits,
+         round((length(text) -
+                length(regexp_replace(text, '[^\w\s]', '', 'g'))) /
+               greatest(length(text), 1), 4) AS punct_ratio
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         0.20 * least(nc / 2000.0, 1.0) AS c_len,
+         0.15 * least(wc / 300.0, 1.0) AS c_words,
+         0.15 * (1.0 - least(abs(nc / greatest(wc, 1) - 5.5) / 5.5, 1.0))
+             AS c_word_len,
+         0.25 * least(stops * 3.0 / greatest(wc, 1), 1.0) AS c_stopwords,
+         0.10 * (1.0 - least(digits * 4.0 / greatest(nc, 1), 1.0))
+             AS c_digits,
+         0.15 * (1.0 - least(punct_ratio * 5, 1.0)) AS c_punct
+  FROM f
+)
+SELECT doc_id,
+       round(c_len + c_words + c_word_len + c_stopwords + c_digits
+             + c_punct, 4) AS score,
+       round(c_len + c_words + c_word_len + c_stopwords + c_digits
+             + c_punct, 4) >= 0.55 AS keep,
+       CASE
+         WHEN c_len <= least(c_words, c_word_len, c_stopwords, c_digits,
+                             c_punct) THEN 'len'
+         WHEN c_words <= least(c_word_len, c_stopwords, c_digits,
+                               c_punct) THEN 'words'
+         WHEN c_word_len <= least(c_stopwords, c_digits, c_punct)
+             THEN 'word_len'
+         WHEN c_stopwords <= least(c_digits, c_punct) THEN 'stopwords'
+         WHEN c_digits <= c_punct THEN 'digits'
+         ELSE 'punct'
+       END AS reason
+FROM c
+"""
+
+
 def op_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_logprob(_docs(spark, sf_dir))
 
@@ -3626,6 +3770,10 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_stream_upsert": (op_stream_upsert, ORACLE_STREAM_UPSERT),
     "op_token_histogram": (op_token_histogram, ORACLE_TOKEN_HISTOGRAM),
     "op_embedding_quantize": (op_embedding_quantize, ORACLE_EMBED_QUANTIZE),
+    "op_semantic_dedup": (op_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+    "op_quality_classifier": (
+        op_quality_classifier, ORACLE_QUALITY_CLASSIFIER,
+    ),
 }
 
 
@@ -3634,42 +3782,77 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 # ---------------------------------------------------------------------------
 
 
-# Round-7 driver window head: the 7 registry entries that have NEVER had
-# a green driver correctness row in any round (per VERDICT r6 §"What's
-# missing" item 1): q114 red in r6 (raw-LIST canonicalizer crash, fixed
-# this round by array_to_json-wrapping ap/aw/ar in both texts);
-# q55/q72/q79 ndarray-red in r3, stringified in r4, never re-windowed;
-# q65 hash-red in r3, DECIMAL-frame fix in r4, never re-windowed;
-# op_dedup_simhash / op_text_quality_lang got oracles in r4 *after*
-# their r3 no_oracle windows. New round-7 additions (TPC-H breadth)
-# follow. This is a STATIC literal, updated once per round by hand — no
-# rotation state, no reading evaluator artifacts at import time. The
-# remaining window slots are refilled by _registry_order()'s rotated
-# numeric remainder starting at _REWITNESS_START (q01-q31 were
-# re-witnessed in r6, so r7 continues from q32).
-_WINDOW_R7: tuple[str, ...] = (
-    # never driver-green in any round
-    "q114_array_spellings",
-    "q55_array_agg",
-    "q65_window_frames",
-    "q72_map_ops",
-    "q79_list_function_batch",
-    "op_dedup_simhash",
-    "op_text_quality_lang",
-    # round-7 additions (TPC-H breadth over derived partsupp/lx CTEs)
-    "q117_tpch_q2_min_cost_supplier",
-    "q118_tpch_q9_profit",
-    "q119_tpch_q11_important_stock",
-    "q120_tpch_q16_parts_supplier",
-    "q121_tpch_q20_promotion",
-    "q122_tpch_q21_waiting_orders",
-    "q123_tpch_q12_full_predicate",
-    "q124_pivot_statement",
-    "q125_unpivot_statement",
+# Round-8 driver window: a full 50-entry STATIC literal, updated once
+# per round by hand — no rotation state, no reading evaluator artifacts
+# at import time. Round 8 leads with the three NEW entries (first
+# driver witness), then re-witnesses by staleness: the 29 entries whose
+# last green driver row is round 3 (q68-q84 minus q72/q79 which r7
+# re-witnessed, plus the 14 r3-witnessed operator pipelines), then 18
+# of the round-5-witnessed operators. Everything outside the window is
+# re-proven every round by tests/test_oracle_parity.py at the driver's
+# sf0.01. After round 8, every registry entry's last driver row is
+# round 5 or newer except the q85+ SQL block and 4 text/sampling ops
+# (next rotation's head).
+_WINDOW_R8: tuple[str, ...] = (
+    # new in round 8 — never driver-witnessed
+    "op_semantic_dedup",
+    "op_quality_classifier",
+    "q126_series_step_arith",
+    # last driver-green in round 3: SQL block q68-q84
+    "q68_rank_distribution",
+    "q69_string_pad_repeat",
+    "q70_bitwise",
+    "q71_hash_digests",
+    "q73_regex_operators",
+    "q74_power_operator",
+    "q75_trim_char_sets",
+    "q76_math_edge_functions",
+    "q77_first_last_ordered",
+    "q78_moment_aggs",
+    "q80_string_distances",
+    "q81_date_conventions",
+    "q82_format_typeof_bar",
+    "q83_python_aggs",
+    "q84_create_macro",
+    # last driver-green in round 3: operator pipelines
+    "op_asof_join",
+    "op_bucketed_join",
+    "op_dedup_apply",
+    "op_dedup_embedding",
+    "op_dedup_exact",
+    "op_dedup_minhash_lsh",
+    "op_dedup_ngram_jaccard",
+    "op_range_join",
+    "op_similarity_topk",
+    "op_stream_session",
+    "op_stream_sliding",
+    "op_stream_stateful",
+    "op_stream_tumbling",
+    "op_text_profile",
+    # last driver-green in round 5: operator pipelines
+    "op_corpus_prep",
+    "op_decontaminate",
+    "op_dedup_clusters",
+    "op_domain_mix",
+    "op_multimodal_features",
+    "op_pack_chunks",
+    "op_pack_first_fit",
+    "op_pii_redact",
+    "op_sample_stratified",
+    "op_sample_weighted",
+    "op_shuffle_shards",
+    "op_similarity_ivf_recall",
+    "op_similarity_lsh_recall",
+    "op_skew_salted_agg",
+    "op_stream_dedup",
+    "op_stream_join",
+    "op_text_bm25",
+    "op_text_chunk",
 )
 
-# First numeric query id of the re-witness rotation (see _registry_order).
-_REWITNESS_START = 32
+# First numeric query id of the re-witness rotation (see _registry_order):
+# the post-window SQL remainder starts at q85 (the oldest block left).
+_REWITNESS_START = 85
 
 
 
@@ -3681,16 +3864,17 @@ def _registry_order() -> list[str]:
     nondeterministic (it sniffed evaluator artifacts) and self-defeating
     (verified entries rotated out of the window, so a regression could
     hide for a round). The order is now a hand-maintained static literal:
-    the driver's 50-entry window (`_WINDOW_R7`) leads with the entries
-    that have never earned a driver correctness row, then every
-    previously-witnessed entry in numeric registration order ROTATED to
-    start at _REWITNESS_START (q01-q31 were re-witnessed in r6; r7's
-    spare slots continue from q32, wrapping back to q01 after the
-    highest id). Entries outside the window are re-proven every round by
+    the driver's 50-entry window (`_WINDOW_R8`) leads with the entries
+    that have never earned a driver correctness row, then re-witnesses
+    by staleness (oldest driver row first); the remainder is every
+    other entry in numeric registration order ROTATED to start at
+    _REWITNESS_START (the q85+ block is the oldest SQL left after the
+    r8 window), wrapping back to q01 after the highest id. Entries
+    outside the window are re-proven every round by
     tests/test_oracle_parity.py, which runs the SAME engine-vs-DuckDB
     compare at the driver's sf0.01.
     """
-    head = list(_WINDOW_R7)
+    head = list(_WINDOW_R8)
     head_set = set(head)
 
     def qnum(n: str) -> int:

@@ -33,24 +33,25 @@ def test_registry_order_fixed_and_complete():
     # The registry order is a hand-maintained static literal —
     # deterministic, no dependence on files in the repo root (the r3
     # rotation scheme was flagged as harness-gaming and removed). The
-    # round-7 window leads with the 7 entries that never earned a green
-    # driver correctness row plus the new TPC-H breadth queries; spare
-    # slots refill with the numeric remainder ROTATED to start at
-    # _REWITNESS_START (q01-q31 re-witnessed in r6). Every entry once.
+    # round-8 window is a FULL 50-entry literal: the 3 new entries
+    # (first witness), then re-witnessing by staleness (the 29 entries
+    # whose last driver row was round 3, then 18 round-5 operators);
+    # the remainder rotates from q85 (the oldest SQL block left).
     import duckdb_nsql_spark.workload as w
 
     order = w._registry_order()
     assert order == w._registry_order()  # stable across calls
     assert len(order) == len(set(order))  # no dups, nothing dropped
     assert len(order) == len(w.ENGINE_SQL) + len(w.OPERATORS)
-    n = len(w._WINDOW_R7)
-    assert tuple(order[:n]) == w._WINDOW_R7
+    n = len(w._WINDOW_R8)
+    assert n == 50  # exactly the driver's correctness window
+    assert tuple(order[:n]) == w._WINDOW_R8
     # the refill after the head starts at the re-witness rotation point
-    assert order[n] == "q32_case_buckets"
+    assert order[n] == "q85_union_type"
     # and wraps around so q01-q31 still appear after the high ids
     assert "q01_pricing_summary" in order[n:]
     # everything outside the hand-ordered head must still carry a
     # pytest-side oracle or rows-only check (test_oracle_parity runs all)
     assert set(order[n:]) == (
-        (set(w.ENGINE_SQL) | set(w.OPERATORS)) - set(w._WINDOW_R7)
+        (set(w.ENGINE_SQL) | set(w.OPERATORS)) - set(w._WINDOW_R8)
     )
