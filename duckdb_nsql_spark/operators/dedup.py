@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, fingerprint
@@ -609,4 +609,87 @@ def semantic_dedup(
         .join(dup_of, "vec_id", "left")
         .withColumn("is_dup", F.col("dup_of").isNotNull())
         .select("vec_id", "cluster_id", "dup_of", "is_dup")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    chunk_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL at chunk granularity
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): unlike :func:`~..text.dup_chunk_profile`, which only
+    *measures* cross-document duplication, this rewrites every document
+    with its duplicated spans cut out — the first occurrence of a span
+    anywhere in the corpus survives, every later occurrence (in any
+    document, including the same one) is removed.
+
+    Documents split into non-overlapping ``chunk_words``-word windows
+    (lowercased). Occurrences of the same chunk text are ordered
+    globally by (doc_id, chunk index); only the first is kept. The
+    cleaned document is the in-order concatenation of its surviving
+    chunks, returned as an md5 fingerprint so the output relation stays
+    narrow (doc_id, n_chunks, removed_chunks, clean_md5).
+
+    Scale design: chunk text reduces to an md5 fingerprint before any
+    shuffle; the keep-first rule is ONE window shuffle keyed by the
+    high-cardinality fingerprint (row_number over (hash) ordered by
+    (doc, idx) — no corpus-wide sort, no suffix array; the chunk
+    granularity is the standard distributed approximation of the
+    suffix-array method, which needs a global order). The rebuild is a
+    second shuffle keyed by doc_id carrying only surviving chunk text,
+    bounded by document size. Both shuffles are balanced — no skew
+    hot-spots, no driver state.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int"),
+        F.lit(1),
+    )
+    chunks = (
+        df.withColumn("__w", words)
+        .withColumn("__nc", n_chunks)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__nc")),
+                    lambda i: F.struct(
+                        i.alias("idx"),
+                        F.array_join(
+                            F.slice(
+                                F.col("__w"),
+                                (i - 1) * chunk_words + 1,
+                                chunk_words,
+                            ),
+                            " ",
+                        ).alias("chunk"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select(id_col, F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk"))
+        .withColumn("h", F.md5(F.col("chunk")))
+    )
+    win = Window.partitionBy("h").orderBy(id_col, "idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(win))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("idx"), F.col("chunk"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("int")
+        .alias("removed_chunks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
     )

@@ -656,3 +656,159 @@ def token_histogram(
             "avg_words"
         ),
     )
+
+
+# C4 line-filter rules (Raffel et al., "Exploring the Limits of Transfer
+# Learning" §2.2): terminal punctuation, minimum words per line, no curly
+# brace (code), no boilerplate markers. Shared with the oracle SQL.
+C4_TERMINAL_RE = r'[.!?]"?$'
+C4_BOILER_RE = r"lorem ipsum|javascript"
+C4_MIN_WORDS = 5
+C4_MIN_KEEP_LINES = 3
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = C4_MIN_WORDS,
+    min_keep_lines: int = C4_MIN_KEEP_LINES,
+) -> DataFrame:
+    """C4-style rule-based line cleaning — the first filter stage of the
+    C4/mC4 web-corpus pipeline: keep only lines that end in terminal
+    punctuation, have at least ``min_words`` words, contain no curly
+    brace (code markers) and no boilerplate phrases ("lorem ipsum",
+    "javascript"); drop whole documents with fewer than
+    ``min_keep_lines`` surviving lines.
+
+    Output per document: total/kept line counts, per-rule failure
+    counts (a line can fail several rules — counts are independent),
+    the cleaned text as an md5 fingerprint, and the document-level
+    ``keep_doc`` verdict.
+
+    Scale design: map-only JVM built-ins over the line array (split +
+    array filter/size lambdas), zero shuffles at any corpus size —
+    the text never leaves its partition and only fixed-width counters
+    plus one md5 come out.
+    """
+    low_boiler = C4_BOILER_RE
+    lines = F.split(F.col(text_col), r"\n")
+
+    def wc(x: Column) -> Column:
+        return F.size(F.split(F.trim(x), WORD_SPLIT_RE))
+
+    def ok_punct(x: Column) -> Column:
+        return x.rlike(C4_TERMINAL_RE)
+
+    def ok_words(x: Column) -> Column:
+        return wc(x) >= min_words
+
+    def ok_brace(x: Column) -> Column:
+        return ~x.contains("{")
+
+    def ok_boiler(x: Column) -> Column:
+        return ~F.lower(x).rlike(low_boiler)
+
+    kept = F.filter(
+        lines,
+        lambda x: ok_punct(x) & ok_words(x) & ok_brace(x) & ok_boiler(x),
+    )
+    n_kept = F.size(kept)
+
+    def n_fail(pred) -> Column:
+        return F.size(F.filter(lines, lambda x: ~pred(x))).cast("int")
+
+    return df.select(
+        id_col,
+        F.size(lines).cast("int").alias("n_lines"),
+        n_fail(ok_punct).alias("fail_punct"),
+        n_fail(ok_words).alias("fail_short"),
+        n_fail(ok_brace).alias("fail_brace"),
+        n_fail(ok_boiler).alias("fail_boiler"),
+        n_kept.cast("int").alias("kept_lines"),
+        (n_kept >= min_keep_lines).alias("keep_doc"),
+        F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
+    )
+
+
+# URL canonicalization: tracking parameters stripped before params sort
+URL_TRACKING_PREFIXES = ("utm_", "ref=", "fbclid=", "gclid=")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for web-corpus dedup: lowercase scheme
+    and host, strip a scheme-default port (:80/:443) and a leading
+    ``www.``, strip trailing slashes from the path (empty path becomes
+    ``/``), drop the fragment, drop tracking query parameters
+    (utm_*/ref/fbclid/gclid) and sort the survivors.
+
+    Pure built-in regexp/array expressions with identical semantics in
+    DuckDB (regexp_extract returns '' on no match in both engines), so
+    canonical forms computed by either engine agree byte-for-byte.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, r"&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("ref=")
+        & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid="),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup over a crawled corpus: group by canonical URL,
+    keeping the lowest document id per group — the fetch-dedup stage
+    that runs before any content-based dedup in a web pipeline.
+
+    Output per canonical URL: occurrence count, distinct raw-spelling
+    count, and the surviving doc id.
+
+    Scale design: canonicalization is map-only; the exact distinct-
+    spelling count is an explicit two-level aggregate — partial counts
+    per (canon_url, raw url) shuffle once on the pair key, then the
+    per-canon rollup shuffles already-deduped rows — instead of
+    Spark's Expand-based ``countDistinct`` rewrite (one fewer
+    exchange, and every aggregate is partial-aggregatable map-side, so
+    a viral URL duplicated millions of times combines before the
+    shuffle instead of hot-spotting one reducer).
+    """
+    canon = df.select(
+        F.col(id_col),
+        F.col(url_col),
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+    )
+    per_spelling = canon.groupBy("canon_url", url_col).agg(
+        F.count("*").alias("c"), F.min(id_col).alias("m")
+    )
+    return per_spelling.groupBy("canon_url").agg(
+        F.sum("c").cast("int").alias("n_urls"),
+        F.count("*").cast("int").alias("n_variants"),
+        F.min("m").alias("keep_doc"),
+    )

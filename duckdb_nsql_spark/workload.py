@@ -3682,6 +3682,229 @@ FROM base b JOIN tops USING (doc_id)
 """
 
 
+def op_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule-based line cleaning with deterministic noise
+    injected per (doc_id, line) class — the driver corpus is a clean
+    word stream, so the filters would never fire on it raw; the
+    injection makes every rule (terminal punct, short line, brace,
+    boilerplate) provably exercised. Construction is replayed by the
+    oracle SQL text for text-identical inputs on both engines."""
+    docs = _docs_wide(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.greatest(
+        F.ceil(F.size(words) / F.lit(8.0)).cast("int"), F.lit(1)
+    )
+    d = F.col("doc_id")
+    lines = F.transform(
+        F.sequence(F.lit(1), F.col("__nl")),
+        lambda i: F.concat(
+            F.array_join(F.slice(F.col("__w"), (i - 1) * 8 + 1, 8), " "),
+            F.when((d + i) % 6 == 1, F.lit(" { code }"))
+            .when((d + i) % 6 == 2, F.lit(" lorem ipsum."))
+            .when((d + i) % 6 == 3, F.lit(" enable javascript."))
+            .when((d + i) % 6 == 0, F.lit(""))
+            .otherwise(F.lit(".")),
+        ),
+    )
+    noisy = (
+        docs.withColumn("__w", words)
+        .withColumn("__nl", n_lines)
+        .select("doc_id", F.array_join(lines, "\n").alias("text"))
+    )
+    return text_ops.c4_clean(noisy)
+
+
+# C4 line filters: the DuckDB twin replays the identical noisy-line
+# construction (8-word windows + per-(doc_id,line)-class suffix) and the
+# identical four rules over the rebuilt line list; failure counts are
+# per-rule independent, exactly as the operator counts them
+ORACLE_C4_CLEAN = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents
+), ln AS (
+  SELECT doc_id, i,
+         array_to_string(ws[(i-1)*8+1 : (i-1)*8+8], ' ') ||
+         CASE (doc_id + i) % 6
+           WHEN 1 THEN ' { code }'
+           WHEN 2 THEN ' lorem ipsum.'
+           WHEN 3 THEN ' enable javascript.'
+           WHEN 0 THEN ''
+           ELSE '.' END AS line
+  FROM w, unnest(range(1,
+        greatest(CAST(ceil(len(ws) / 8.0) AS INTEGER), 1) + 1)) AS t(i)
+), d AS (
+  SELECT doc_id,
+         string_split(string_agg(line, chr(10) ORDER BY i), chr(10))
+             AS lines
+  FROM ln GROUP BY doc_id
+), k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x ->
+             regexp_matches(x, '[.!?]"?$')
+             AND len(string_split_regex(trim(x), '\s+')) >= 5
+             AND NOT contains(x, '{')
+             AND NOT regexp_matches(lower(x), 'lorem ipsum|javascript'))
+             AS keptl
+  FROM d
+)
+SELECT doc_id,
+  CAST(len(lines) AS INTEGER) AS n_lines,
+  CAST(len(list_filter(lines,
+       x -> NOT regexp_matches(x, '[.!?]"?$'))) AS INTEGER) AS fail_punct,
+  CAST(len(list_filter(lines,
+       x -> NOT (len(string_split_regex(trim(x), '\s+')) >= 5)))
+       AS INTEGER) AS fail_short,
+  CAST(len(list_filter(lines,
+       x -> contains(x, '{'))) AS INTEGER) AS fail_brace,
+  CAST(len(list_filter(lines,
+       x -> regexp_matches(lower(x), 'lorem ipsum|javascript')))
+       AS INTEGER) AS fail_boiler,
+  CAST(len(keptl) AS INTEGER) AS kept_lines,
+  len(keptl) >= 3 AS keep_doc,
+  md5(coalesce(array_to_string(keptl, chr(10)), '')) AS clean_md5
+FROM k
+"""
+
+
+def op_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + fetch-dedup with deterministic per-doc_id
+    URL synthesis (the corpus has no URL column): spellings vary in
+    scheme/host case, default ports, www prefix, trailing slash,
+    tracking params, param order, and fragments — every rule of the
+    canonicalizer provably fires, and distinct spellings collide on the
+    canonical form. Construction replayed by the oracle SQL. Uses
+    _docs (not _docs_wide): the op never touches the text column, so
+    the regex-battery map-spread would only add a shuffle."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    hostv = (
+        F.when(d % 3 == 0, F.lit("WWW.News-Site.COM"))
+        .when(
+            d % 3 == 1,
+            F.when(d % 2 == 0, F.lit("news-site.com:80")).otherwise(
+                F.lit("news-site.com:443")
+            ),
+        )
+        .otherwise(F.lit("www.news-site.com"))
+    )
+    path = F.concat(
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/item-"),
+        (d % 12).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    q = (
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?a=1&utm_campaign=x&b=2"))
+        .when(d % 4 == 2, F.lit("?b=2&a=1&ref=home"))
+        .otherwise(F.lit("?a=1&b=2"))
+    )
+    frag = F.when(d % 7 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    urls = docs.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), hostv, path, q, frag).alias("url"),
+    )
+    return text_ops.url_dedup(urls)
+
+
+# URL dedup: the DuckDB twin replays the identical URL synthesis and the
+# identical canonicalization algebra (regexp_extract returns '' on no
+# match in both engines; list_sort over ASCII params is order-identical)
+ORACLE_URL_DEDUP = r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+    (CASE doc_id % 3
+       WHEN 0 THEN 'WWW.News-Site.COM'
+       WHEN 1 THEN CASE WHEN doc_id % 2 = 0
+                        THEN 'news-site.com:80'
+                        ELSE 'news-site.com:443' END
+       ELSE 'www.news-site.com' END) ||
+    '/' || source || '/item-' || CAST(doc_id % 12 AS VARCHAR) ||
+    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+    (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+                     WHEN 1 THEN '?a=1&utm_campaign=x&b=2'
+                     WHEN 2 THEN '?b=2&a=1&ref=home'
+                     ELSE '?a=1&b=2' END) ||
+    (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents
+), c AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+        AS hostport,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        AS path0,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u
+), c2 AS (
+  SELECT doc_id, url, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+           ELSE hostport END,
+      '^www\.', '') AS host,
+    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path0, '/+$', '') END AS path,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT starts_with(p, 'utm_')
+           AND NOT starts_with(p, 'ref=')
+           AND NOT starts_with(p, 'fbclid=')
+           AND NOT starts_with(p, 'gclid='))), '&') AS cq
+  FROM c
+), canon AS (
+  SELECT doc_id, url,
+    scheme || '://' || host || path ||
+    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canon_url
+  FROM c2
+)
+SELECT canon_url,
+       CAST(count(*) AS INTEGER) AS n_urls,
+       CAST(count(DISTINCT url) AS INTEGER) AS n_variants,
+       min(doc_id) AS keep_doc
+FROM canon GROUP BY canon_url
+"""
+
+
+def op_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.remove_duplicate_spans(_docs(spark, sf_dir))
+
+
+# duplicated-span removal: the DuckDB twin replays the identical chunking
+# (10-word windows, the dup_chunk_profile construction), the identical
+# global keep-first rule (row_number over md5(chunk) ordered by
+# (doc_id, idx)), and the identical in-order rebuild (string_agg ORDER BY
+# idx skips removed-chunk NULLs exactly as collect_list skips them)
+ORACLE_DEDUP_SPANS = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(words[(i-1)*10+1 : (i-1)*10+10], ' ') AS chunk
+  FROM w, unnest(range(1,
+        greatest(CAST(ceil(len(words) / 10.0) AS INTEGER), 1) + 1)) AS t(i)
+), r AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, idx) AS rn
+  FROM c
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INTEGER)
+           AS removed_chunks,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                               ' ' ORDER BY idx), '')) AS clean_md5
+FROM r GROUP BY doc_id
+"""
+
+
 _DF_MEMO: dict = {}
 
 
@@ -3774,6 +3997,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_quality_classifier": (
         op_quality_classifier, ORACLE_QUALITY_CLASSIFIER,
     ),
+    "op_c4_clean": (op_c4_clean, ORACLE_C4_CLEAN),
+    "op_url_dedup": (op_url_dedup, ORACLE_URL_DEDUP),
+    "op_dedup_spans": (op_dedup_spans, ORACLE_DEDUP_SPANS),
 }
 
 
@@ -3784,19 +4010,23 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the three NEW entries (first
-# driver witness), then re-witnesses by staleness: the 29 entries whose
-# last green driver row is round 3 (q68-q84 minus q72/q79 which r7
-# re-witnessed, plus the 14 r3-witnessed operator pipelines), then 18
-# of the round-5-witnessed operators. Everything outside the window is
-# re-proven every round by tests/test_oracle_parity.py at the driver's
-# sf0.01. After round 8, every registry entry's last driver row is
-# round 5 or newer except the q85+ SQL block and 4 text/sampling ops
-# (next rotation's head).
+# at import time. Round 8 leads with the six NEW entries (first driver
+# witness: SemDeDup, quality classifier, C4 clean, URL dedup, span
+# dedup, the series-step query), then re-witnesses by staleness: the 29
+# entries whose last green driver row is round 3 (q68-q84 minus
+# q72/q79 which r7 re-witnessed, plus the 14 r3-witnessed operator
+# pipelines), then 15 of the round-5-witnessed operators. Everything
+# outside the window is re-proven every round by
+# tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
+# every registry entry's last driver row is round 5 or newer except the
+# q85+ SQL block and 7 text/stream/sampling ops (next rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
     "op_semantic_dedup",
     "op_quality_classifier",
+    "op_c4_clean",
+    "op_url_dedup",
+    "op_dedup_spans",
     "q126_series_step_arith",
     # last driver-green in round 3: SQL block q68-q84
     "q68_rank_distribution",
@@ -3845,9 +4075,6 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_similarity_lsh_recall",
     "op_skew_salted_agg",
     "op_stream_dedup",
-    "op_stream_join",
-    "op_text_bm25",
-    "op_text_chunk",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):

@@ -149,3 +149,114 @@ def test_pack_concat_chunks_offsets_consistent(docs):
         for r in members:
             assert r["chunk"] * BUDGET + r["offset"] == run
             run += r["n_tokens"]
+
+
+# ------------------------------------------------------- round-8 ops
+
+
+def test_canonicalize_url_rules(spark):
+    """Every canonicalization rule pinned on hand-built URLs: case,
+    default ports (scheme-aware), www, trailing slash, fragment,
+    tracking params, param sort."""
+    from duckdb_nsql_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/?utm_source=x&b=2&a=1#f",
+         "http://ex.com/A?a=1&b=2"),
+        ("https://ex.com:443/path///", "https://ex.com/path"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+        # :80 is NOT default for https — kept
+        ("https://ex.com:80/p", "https://ex.com:80/p"),
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com/?ref=home&fbclid=1&gclid=2&utm_x=3",
+         "http://ex.com/"),
+        ("http://ex.com/p?z=1&a=2", "http://ex.com/p?a=2&z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_groups_variants(spark):
+    from duckdb_nsql_spark.operators.text import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Ex.COM:80/a?utm_s=1"),
+            (2, "http://ex.com/a"),
+            (3, "http://ex.com/a/"),
+            (4, "http://ex.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["canon_url"]: r for r in url_dedup(df).collect()}
+    a = rows["http://ex.com/a"]
+    assert (a["n_urls"], a["n_variants"], a["keep_doc"]) == (3, 3, 1)
+    b = rows["http://ex.com/b"]
+    assert (b["n_urls"], b["n_variants"], b["keep_doc"]) == (1, 1, 4)
+
+
+def test_c4_clean_rules_and_doc_gate(spark):
+    from duckdb_nsql_spark.operators.text import c4_clean
+
+    good = "this line is long enough to survive."
+    doc1 = "\n".join(
+        [
+            good,
+            "no terminal punctuation here at all",   # fails punct
+            "too short.",                             # fails words
+            "a line with { brace } inside it okay.",  # fails brace
+            "please enable JavaScript to continue.",  # fails boiler
+            "Lorem Ipsum dolor sit amet filler text.",  # fails boiler
+            good.replace("this", "that"),
+            good.replace("this", "third"),
+        ]
+    )
+    df = spark.createDataFrame([(1, doc1)], "doc_id long, text string")
+    r = c4_clean(df).collect()[0]
+    assert r["n_lines"] == 8
+    assert r["fail_punct"] == 1
+    assert r["fail_short"] == 1
+    assert r["fail_brace"] == 1
+    assert r["fail_boiler"] == 2
+    assert r["kept_lines"] == 3 and r["keep_doc"] is True
+    # two kept lines -> document dropped
+    df2 = spark.createDataFrame(
+        [(2, good + "\n" + good.replace("this", "that"))],
+        "doc_id long, text string",
+    )
+    r2 = c4_clean(df2).collect()[0]
+    assert r2["kept_lines"] == 2 and r2["keep_doc"] is False
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    """First occurrence (by doc_id, idx) of a 10-word chunk survives;
+    every later occurrence — cross-doc AND within-doc — is removed."""
+    span = "one two three four five six seven eight nine ten"
+    tail = "unique alpha beta gamma delta epsilon zeta eta theta iota"
+    df = spark.createDataFrame(
+        [
+            (1, span + " " + span),          # chunk 2 dups chunk 1
+            (2, span + " " + tail),          # chunk 1 dups doc 1
+            (3, tail.replace("unique", "other")),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(df).collect()}
+    assert (out[1]["n_chunks"], out[1]["removed_chunks"]) == (2, 1)
+    assert (out[2]["n_chunks"], out[2]["removed_chunks"]) == (2, 1)
+    assert (out[3]["n_chunks"], out[3]["removed_chunks"]) == (1, 0)
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1]["clean_md5"] == md5(span)
+    assert out[2]["clean_md5"] == md5(tail)
+    # all chunks removed -> md5 of empty string
+    df2 = spark.createDataFrame(
+        [(1, span), (2, span)], "doc_id long, text string"
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(df2).collect()
+    }
+    assert out2[2]["clean_md5"] == md5("")
