@@ -3189,6 +3189,11 @@ _FN_MACROS_N["ERA"] = {1: "(CASE WHEN year({0}) > 0 THEN 1 ELSE 0 END)"}
 _FN_MACROS_N["BIT_POSITION"] = {2: "instr({1}, {0})"}
 _FN_MACROS_0["GET_CURRENT_TIMESTAMP"] = "current_timestamp()"
 _FN_MACROS_0["CURRENT_LOCALTIMESTAMP"] = "localtimestamp()"
+# TIME-typed zero-arg aliases (Spark 4.1 TIME behind timeType.enabled —
+# see session.RUNTIME_CONFS; the engine pins UTC, so "local" time is
+# session time like DuckDB under SET TimeZone='UTC')
+_FN_MACROS_0["GET_CURRENT_TIME"] = "current_time()"
+_FN_MACROS_0["CURRENT_LOCALTIME"] = "current_time()"
 _FN_MACROS_0["COUNT_STAR"] = "count(*)"
 _FN_MACROS_0["CURRENT_USER"] = "'duckdb'"
 _FN_MACROS_0["CURRENT_ROLE"] = "'duckdb'"
@@ -3735,6 +3740,95 @@ def pass_duckdb_varchar_cast(
                 sig, resolver
             ):
                 new = tokenize(f"duckdb_varchar({render(span)})")
+                out[lo:hi] = new
+                i = lo + len(new)
+                continue
+        i += 1
+    return out
+
+
+def pass_ts_time_cast(
+    tokens: list[Token], resolver: Optional[Resolver] = None
+) -> list[Token]:
+    """DuckDB ``CAST(<timestamp> AS TIME)`` / ``ts::TIME`` extracts the
+    time-of-day; Spark 4.1's TIME type (timeType.enabled) has no
+    TIMESTAMP->TIME cast yet — rewrite statically-timestamp operands
+    (TIMESTAMP literals or catalog-typed columns, the same narrow
+    `_tok_is_ts_primary` test the interval renderer uses) to
+    ``to_time(date_format(x, 'HH:mm:ss.SSSSSS'))`` (µs preserved).
+    String operands keep the native CAST, which Spark supports."""
+    resolver = resolver or NullResolver()
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        repl = None  # (lo, hi_exclusive, span_lo, span_hi_exclusive)
+        if t.kind == IDENT and t.upper == "CAST":
+            o = next_sig(out, i)
+            if o < len(out) and out[o].kind == PUNCT and out[o].text == "(":
+                c = match_forward(out, o, "(", ")")
+                depth = 0
+                as_i = None
+                for k in range(o + 1, c):
+                    tk = out[k]
+                    if tk.kind == PUNCT and tk.text in "([{":
+                        depth += 1
+                    elif tk.kind == PUNCT and tk.text in ")]}":
+                        depth -= 1
+                    elif depth == 0 and tk.kind == IDENT and tk.upper == "AS":
+                        as_i = k
+                if as_i is not None:
+                    ty = next_sig(out, as_i)
+                    if (
+                        ty < c
+                        and out[ty].kind == IDENT
+                        and out[ty].upper == "TIME"
+                        and next_sig(out, ty) == c
+                    ):
+                        repl = (i, c + 1, next_sig(out, o), as_i)
+        elif t.kind == OP and t.text == "::":
+            ty = next_sig(out, i)
+            if (
+                ty < len(out)
+                and out[ty].kind == IDENT
+                and out[ty].upper == "TIME"
+            ):
+                nn = next_sig(out, ty)
+                if not (
+                    nn < len(out)
+                    and out[nn].kind == PUNCT
+                    and out[nn].text == "("
+                ):
+                    p = prev_sig(out, i)
+                    if p >= 0:
+                        lo = _primary_start(out, p)
+                        if lo is not None:
+                            # TIMESTAMP '...'::TIME — _primary_start stops
+                            # at the string; pull in the type keyword
+                            pk = prev_sig(out, lo)
+                            if (
+                                out[lo].kind == STRING
+                                and pk >= 0
+                                and out[pk].kind == IDENT
+                                and out[pk].upper in ("TIMESTAMP", "DATETIME")
+                            ):
+                                lo = pk
+                            repl = (lo, ty + 1, lo, i)
+        if repl is not None:
+            lo, hi, slo, shi = repl
+            span = out[slo:shi]
+            sig = [tk for tk in span if tk.kind not in (WS, COMMENT)]
+            while (
+                len(sig) >= 2
+                and sig[0].kind == PUNCT
+                and sig[0].text == "("
+                and _match_sig_forward(sig, 0) == len(sig) - 1
+            ):
+                sig = sig[1:-1]
+            if _tok_is_ts_primary(sig, resolver):
+                new = tokenize(
+                    f"to_time(date_format({render(span)}, 'HH:mm:ss.SSSSSS'))"
+                )
                 out[lo:hi] = new
                 i = lo + len(new)
                 continue
@@ -7099,6 +7193,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_current_setting(tokens, resolver)
     tokens = pass_ym_interval_varchar(tokens)
     tokens = pass_duckdb_varchar_cast(tokens, resolver)
+    tokens = pass_ts_time_cast(tokens, resolver)
     tokens = pass_struct_literals(tokens)
     tokens = pass_cast_composite_types(tokens)
     tokens = pass_list_comprehensions(tokens)

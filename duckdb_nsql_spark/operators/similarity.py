@@ -430,3 +430,136 @@ def quantize_int8(
             F.sqrt(err2 / F.size(F.col("__v"))), 8
         ).alias("err_rms"),
     )
+
+
+def pq_quantize(
+    df: DataFrame,
+    m_sub: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search"): split each vector into ``m_sub``
+    subvectors and k-means-quantize each subspace independently; a
+    vector compresses to ``m_sub`` small codes (here 4×3 bits instead
+    of 64 floats) — the codebook trick under IVF-PQ indexes at
+    billion-vector scale. Returns ``(vec_id, code_str, err)`` — the
+    per-subspace code word joined '-' and the total squared
+    reconstruction error against the learned codebooks.
+
+    Deterministic and oracle-replayable with the same contract as
+    :func:`~..dedup.semantic_dedup`'s k-means: seeds are the first
+    ``k`` vectors by ``(md5(vec_id), vec_id)`` order (each seed sliced
+    per subspace), Lloyd iterations are FIXED, assignment distances are
+    exact DECIMAL over 6-dp-quantized vectors (ties -> lower code),
+    centroid means re-quantize to DECIMAL(12,6). ``err`` is the exact
+    DECIMAL distance cast to DOUBLE — no intermediate float rounding.
+
+    Scale shape: assignment is map-only against m_sub×k×sub_dim literal
+    centroids; each Lloyd update is ONE bounded (subspace, code, dim)
+    partial-sum shuffle collecting m_sub×k×sub_dim rows regardless of
+    corpus size; the output is one map-only pass. A production variant
+    trains the codebook on a sample and broadcasts it — same algebra.
+    """
+    from decimal import Decimal
+
+    DEC = "decimal(12,6)"
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double").cast(DEC)
+        ).alias("vq"),
+    )
+    from .dedup import _persist_small
+
+    e = _persist_small(e)
+    seed_rows = (
+        e.select("vec_id", "vq")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    dim = len(seed_rows[0]["vq"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible into {m_sub} subspaces")
+    sd = dim // m_sub
+    # cents[(s, cid)] = sub_dim decimals
+    cents: dict[tuple[int, int], list] = {
+        (s, i): list(r["vq"])[s * sd : (s + 1) * sd]
+        for i, r in enumerate(seed_rows)
+        for s in range(m_sub)
+    }
+
+    def assign(cent_map: dict[tuple[int, int], list]) -> DataFrame:
+        """Map-only per-subspace nearest-code assignment; exact-decimal
+        distances, argmin via struct array_min (ties -> lower code)."""
+        cols = []
+        for s in range(m_sub):
+            sub = F.slice(F.col("vq"), s * sd + 1, sd)
+            cands = []
+            for (cs, cid), cv in sorted(cent_map.items()):
+                if cs != s:
+                    continue
+                cq = F.array(*[F.lit(x).cast(DEC) for x in cv])
+                dist = F.aggregate(
+                    F.zip_with(sub, cq, lambda x, y: (x - y) * (x - y)),
+                    F.lit(Decimal(0)).cast("decimal(38,12)"),
+                    lambda acc, x: (acc + x).cast("decimal(38,12)"),
+                )
+                cands.append(
+                    F.struct(dist.alias("d"), F.lit(cid).alias("cid"))
+                )
+            best = F.array_min(F.array(*cands))
+            cols.append(best.alias(f"__b{s}"))
+        return e.select("vec_id", "vq", *cols)
+
+    assigned = assign(cents)
+    for _ in range(iters - 1):
+        upd = (
+            assigned.select(
+                *[F.col(f"__b{s}")["cid"].alias(f"__c{s}")
+                  for s in range(m_sub)],
+                F.posexplode("vq").alias("dim", "x"),
+            )
+            .select(
+                (F.col("dim") / sd).cast("int").alias("s"),
+                F.coalesce(
+                    *[F.when(
+                        (F.col("dim") / sd).cast("int") == s,
+                        F.col(f"__c{s}"),
+                    ) for s in range(m_sub)]
+                ).alias("cid"),
+                (F.col("dim") % sd).alias("ld"),
+                F.col("x"),
+            )
+            .groupBy("s", "cid", "ld")
+            .agg(
+                (F.sum("x").cast("double") / F.count(F.lit(1)))
+                .cast(DEC)
+                .alias("m")
+            )
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, object]] = {}
+        for r in upd:
+            by_key.setdefault((int(r["s"]), int(r["cid"])), {})[
+                int(r["ld"])
+            ] = r["m"]
+        cents = {
+            key: [lds[i] for i in range(sd)] for key, lds in by_key.items()
+        }
+        assigned = assign(cents)
+
+    code_str = F.concat_ws(
+        "-", *[F.col(f"__b{s}")["cid"].cast("string") for s in range(m_sub)]
+    )
+    err = F.lit(Decimal(0)).cast("decimal(38,12)")
+    for s in range(m_sub):
+        err = (err + F.col(f"__b{s}")["d"]).cast("decimal(38,12)")
+    return assigned.select(
+        "vec_id",
+        code_str.alias("code_str"),
+        err.cast("double").alias("err"),
+    )

@@ -812,3 +812,81 @@ def url_dedup(
         F.count("*").cast("int").alias("n_variants"),
         F.min("m").alias("keep_doc"),
     )
+
+
+# Bloom decontamination defaults: 4096 bits x 3 hashes keeps the
+# false-positive rate ~(1-e^(-3n/4096))^3 (< 1% up to ~500 eval grams)
+# while the whole filter is one broadcastable integer array
+BLOOM_M_BITS = 4096
+BLOOM_K_HASHES = 3
+
+
+def _bloom_pos(col: Column, j: int, m_bits: int) -> Column:
+    """Bloom hash j of a gram: md5 over the salted gram, first 15 hex
+    chars as a BIGINT (the md5->BIGINT path the sampling oracles pin),
+    mod the bit count. Byte-identical in DuckDB."""
+    h = F.md5(F.concat(col, F.lit(f"#{j}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % m_bits
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K_HASHES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter n-gram decontamination — the fixed-memory variant of
+    :func:`decontaminate` for when the eval set's exact gram-hash set
+    outgrows a broadcast: the filter is ``m_bits`` bits regardless of
+    eval size, at the cost of a bounded, deterministic false-positive
+    rate (a gram "hits" when all ``k_hashes`` positions are set, so a
+    clean doc can flag, a contaminated one never misses — exactly the
+    conservative direction decontamination wants).
+
+    Plan shape at 100 TB: the eval side reduces to ONE row holding the
+    sorted set-bit array (≤ m_bits ints), broadcast-crossJoined into a
+    map-only corpus scan (the same 1-row-stats pattern BM25 uses); the
+    only shuffle is the per-document hit aggregate over (doc_id,
+    32-byte gram hash) pairs. Every hash is md5-derived, so the DuckDB
+    oracle replays bit positions exactly.
+    """
+    from pyspark.sql.functions import broadcast
+
+    eval_bits = (
+        eval_set.select(F.explode(ngram_hashes(F.col(text_col), n)).alias("g"))
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("g"), j, m_bits)
+                          for j in range(k_hashes)])
+            ).alias("p")
+        )
+        .agg(F.sort_array(F.collect_set("p")).alias("__bits"))
+    )
+    grams = train.select(
+        F.col(id_col),
+        F.explode_outer(ngram_hashes(F.col(text_col), n)).alias("g"),
+    )
+    hit = F.lit(True)
+    for j in range(k_hashes):
+        hit = hit & F.array_contains(
+            F.col("__bits"), _bloom_pos(F.col("g"), j, m_bits)
+        )
+    return (
+        grams.crossJoin(broadcast(eval_bits))
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("g").cast("int").alias("n_grams"),
+            F.countDistinct(F.when(hit, F.col("g")))
+            .cast("int")
+            .alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("flagged"),
+        )
+    )

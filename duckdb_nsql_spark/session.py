@@ -82,6 +82,10 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",  # events.parquet TIMESTAMP(NANOS)
     "spark.sql.ansi.enabled": "false",
+    # Spark 4.1 ships the SQL-standard TIME type behind this flag
+    # (TIME literals, make_time, to_time, EXTRACT, comparisons). DuckDB
+    # TIME columns/functions map onto it (see types.py, rewrites).
+    "spark.sql.timeType.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -875,7 +879,7 @@ class DuckSparkSession:
         r"|summarize|describe"
         r"|now|current_timestamp|current_date|current_time|current_localtime"
         r"|current_localtimestamp|localtimestamp|today|transaction_timestamp"
-        r"|get_current_timestamp)\b",
+        r"|get_current_timestamp|get_current_time)\b",
         re.IGNORECASE,
     )
 

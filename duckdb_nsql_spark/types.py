@@ -46,6 +46,9 @@ _SIMPLE = {
     "TIMESTAMP": T.TimestampType(),
     "DATETIME": T.TimestampType(),
     "TIMESTAMPTZ": T.TimestampType(),
+    # Spark 4.1 TIME (µs precision) — requires spark.sql.timeType.enabled,
+    # set in session.RUNTIME_CONFS
+    "TIME": T.TimeType(),
     "BLOB": T.BinaryType(),
     "BYTEA": T.BinaryType(),
     "BINARY": T.BinaryType(),
@@ -188,6 +191,8 @@ def spark_type_to_duckdb(dt: T.DataType) -> str:
         return "DATE"
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return "TIMESTAMP"
+    if isinstance(dt, T.TimeType):
+        return "TIME"
     if isinstance(dt, T.BinaryType):
         return "BLOB"
     if isinstance(dt, T.DecimalType):

@@ -1980,6 +1980,28 @@ _sql(
     """,
 )
 
+# TIME type battery (Spark 4.1 TIME behind timeType.enabled — round 8
+# closes the last documented type-family gap): literals, make_time with
+# fractional seconds, TIMESTAMP->TIME extraction, extract over TIME,
+# TIME comparison, min/max ordering. Everything TIME-valued is projected
+# through VARCHAR (both engines trim trailing fraction zeros
+# identically); identical text runs on the DuckDB oracle.
+_sql(
+    "q127_time_type",
+    """
+    SELECT CAST(CAST(ts AS TIME) AS VARCHAR) AS t_str,
+           CAST(make_time(CAST(event_id % 24 AS BIGINT),
+                          CAST(event_id % 60 AS BIGINT),
+                          CAST(event_id % 60 AS BIGINT) + 0.25)
+                AS VARCHAR) AS mt_str,
+           extract(hour FROM CAST(ts AS TIME)) AS h,
+           CAST(ts AS TIME) < TIME '12:00:00' AS am
+    FROM events
+    ORDER BY event_id
+    LIMIT 100
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
@@ -2513,6 +2535,70 @@ def op_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_set = docs.filter(F.col("doc_id") % 17 == 3)
     train = docs.filter(F.col("doc_id") % 17 != 3)
     return text_ops.decontaminate(train, eval_set, n=8)
+
+
+def op_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter n-gram decontamination (same eval split as
+    op_decontaminate): the eval grams reduce to a 4096-bit filter
+    broadcast as one sorted-int-array row — fixed memory no matter how
+    large the benchmark suite grows. Deterministic false positives are
+    part of the contract and replayed bit-exactly by the oracle."""
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.filter(F.col("doc_id") % 17 == 3)
+    train = docs.filter(F.col("doc_id") % 17 != 3)
+    return text_ops.bloom_decontaminate(train, eval_set, n=8)
+
+
+# Bloom decontamination: the DuckDB twin replays the salted md5 bit
+# positions (('0x' || substr(md5(g || '#' || j), 1, 15))::BIGINT % 4096 —
+# the same md5->BIGINT path DSIR pins), the distinct set-bit build, and
+# the all-k-positions-present hit rule (count over the per-(g,j) rows
+# joined to the distinct bit set = k, identical to the engine's AND of
+# array_contains). False positives reproduce exactly on both engines.
+ORACLE_BLOOM_DECONTAMINATE = f"""
+WITH norm AS (
+    SELECT doc_id, string_split_regex({_NORM}, '\\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 8 THEN
+               list_distinct(list_transform(range(1, len(w) - 6),
+                   i -> md5(array_to_string(w[i:i+7], ' '))))
+           ELSE [] END AS gs
+    FROM norm
+), eg AS (
+    SELECT DISTINCT t.g
+    FROM grams, unnest(gs) AS t(g)
+    WHERE doc_id % 17 = 3
+), bits AS (
+    SELECT DISTINCT
+           CAST(('0x' || substr(md5(g || '#' || j), 1, 15)) AS BIGINT)
+               % 4096 AS p
+    FROM eg, unnest([0, 1, 2]) AS t(j)
+), tg AS (
+    SELECT gr.doc_id, t.g
+    FROM grams gr, unnest(gr.gs) AS t(g)
+    WHERE gr.doc_id % 17 <> 3
+), pos AS (
+    SELECT tg.doc_id, tg.g,
+           CAST(('0x' || substr(md5(tg.g || '#' || j), 1, 15)) AS BIGINT)
+               % 4096 AS p
+    FROM tg, unnest([0, 1, 2]) AS t(j)
+), hitg AS (
+    SELECT doc_id, g
+    FROM pos JOIN bits USING (p)
+    GROUP BY doc_id, g
+    HAVING count(*) = 3
+), hits AS (
+    SELECT doc_id, count(*) AS n FROM hitg GROUP BY doc_id
+)
+SELECT g2.doc_id,
+       CAST(len(g2.gs) AS INTEGER) AS n_grams,
+       CAST(coalesce(h.n, 0) AS INTEGER) AS n_hits,
+       coalesce(h.n, 0) > 0 AS flagged
+FROM grams g2 LEFT JOIN hits h USING (doc_id)
+WHERE g2.doc_id % 17 <> 3
+"""
 
 
 _PII_INJECT = """
@@ -3494,6 +3580,75 @@ FROM q
 """
 
 
+def op_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_quantize(
+        _embeds(spark, sf_dir), m_sub=4, k=8, iters=2
+    )
+
+
+# product quantization replay: the DuckDB twin runs the IDENTICAL
+# per-subspace deterministic k-means (seeds = first 8 ids by md5 order,
+# each sliced into four 16-dim subvectors; 2 fixed Lloyd iterations;
+# exact-DECIMAL distances over 6-dp-quantized vectors; ties -> lower
+# code) and emits the same '-'-joined code word and the exact-DECIMAL
+# reconstruction error cast to DOUBLE (no intermediate float rounding
+# on either engine).
+ORACLE_PQ_QUANTIZE = r"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))) AS vq
+  FROM embeddings
+), sr AS (
+  SELECT vec_id,
+         row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM e
+), c0 AS (
+  SELECT s, sr.rn - 1 AS cid, e.vq[s*16+1 : s*16+16] AS cv
+  FROM sr JOIN e USING (vec_id), unnest(range(0, 4)) AS t(s)
+  WHERE sr.rn <= 8
+), d1 AS (
+  SELECT e.vec_id, c.s, c.cid,
+         sum((e.vq[c.s*16+i] - c.cv[i]) * (e.vq[c.s*16+i] - c.cv[i]))
+             AS dist
+  FROM e CROSS JOIN c0 c, unnest(range(1, 17)) AS t(i)
+  GROUP BY e.vec_id, c.s, c.cid
+), a1 AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM d1) t WHERE rn = 1
+), m1 AS (
+  SELECT a1.s, a1.cid, i AS ld,
+         CAST(CAST(sum(e.vq[a1.s*16+i]) AS DOUBLE) / count(*)
+              AS DECIMAL(12,6)) AS m
+  FROM a1 JOIN e USING (vec_id), unnest(range(1, 17)) AS t(i)
+  GROUP BY a1.s, a1.cid, i
+), c1 AS (
+  SELECT s, cid, array_agg(m ORDER BY ld) AS cv FROM m1 GROUP BY s, cid
+), d2 AS (
+  SELECT e.vec_id, c.s, c.cid,
+         sum((e.vq[c.s*16+i] - c.cv[i]) * (e.vq[c.s*16+i] - c.cv[i]))
+             AS dist
+  FROM e CROSS JOIN c1 c, unnest(range(1, 17)) AS t(i)
+  GROUP BY e.vec_id, c.s, c.cid
+), a2 AS (
+  SELECT vec_id, s, cid, dist FROM (
+    SELECT vec_id, s, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM d2) t WHERE rn = 1
+)
+SELECT vec_id,
+       array_to_string(array_agg(CAST(cid AS VARCHAR) ORDER BY s), '-')
+           AS code_str,
+       CAST(sum(dist) AS DOUBLE) AS err
+FROM a2 GROUP BY vec_id
+"""
+
+
 def op_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(
         _embeds(spark, sf_dir), k=8, iters=2, threshold=0.9
@@ -3998,6 +4153,10 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
         op_quality_classifier, ORACLE_QUALITY_CLASSIFIER,
     ),
     "op_c4_clean": (op_c4_clean, ORACLE_C4_CLEAN),
+    "op_bloom_decontaminate": (
+        op_bloom_decontaminate, ORACLE_BLOOM_DECONTAMINATE,
+    ),
+    "op_pq_quantize": (op_pq_quantize, ORACLE_PQ_QUANTIZE),
     "op_url_dedup": (op_url_dedup, ORACLE_URL_DEDUP),
     "op_dedup_spans": (op_dedup_spans, ORACLE_DEDUP_SPANS),
 }
@@ -4010,16 +4169,18 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the six NEW entries (first driver
+# at import time. Round 8 leads with the nine NEW entries (first driver
 # witness: SemDeDup, quality classifier, C4 clean, URL dedup, span
-# dedup, the series-step query), then re-witnesses by staleness: the 29
+# dedup, Bloom decontamination, product quantization, the series-step
+# query, the TIME battery), then re-witnesses by staleness: the 29
 # entries whose last green driver row is round 3 (q68-q84 minus
 # q72/q79 which r7 re-witnessed, plus the 14 r3-witnessed operator
-# pipelines), then 15 of the round-5-witnessed operators. Everything
+# pipelines), then 12 of the round-5-witnessed operators. Everything
 # outside the window is re-proven every round by
 # tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
 # every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 7 text/stream/sampling ops (next rotation's head).
+# q85+ SQL block and 10 text/stream/sampling/similarity ops (next
+# rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
     "op_semantic_dedup",
@@ -4027,7 +4188,10 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_c4_clean",
     "op_url_dedup",
     "op_dedup_spans",
+    "op_bloom_decontaminate",
+    "op_pq_quantize",
     "q126_series_step_arith",
+    "q127_time_type",
     # last driver-green in round 3: SQL block q68-q84
     "q68_rank_distribution",
     "q69_string_pad_repeat",
@@ -4072,9 +4236,6 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_sample_weighted",
     "op_shuffle_shards",
     "op_similarity_ivf_recall",
-    "op_similarity_lsh_recall",
-    "op_skew_salted_agg",
-    "op_stream_dedup",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):

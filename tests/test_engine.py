@@ -1654,3 +1654,77 @@ def test_statement_parallelism_tuner(engine, spark, sf_dir):
     engine._parallelism_mode = "big"
     for k, v in (engine._big_stmt_confs or {}).items():
         spark.conf.set(k, v)
+
+
+def test_time_type_end_to_end(engine):
+    """Spark 4.1 TIME (timeType.enabled, round 8): DDL, INSERT with TIME
+    literals and bare strings, DESCRIBE rendering, ordering/aggregation,
+    the TIMESTAMP->TIME cast rewrite (both spellings), make_time
+    fractional seconds, and the zero-arg current-time aliases."""
+    import datetime
+
+    engine.execute("CREATE TABLE t_times (id INTEGER, t TIME)")
+    engine.execute(
+        "INSERT INTO t_times VALUES (1, TIME '01:02:03'), "
+        "(2, TIME '23:59:59.5')"
+    )
+    engine.execute("INSERT INTO t_times VALUES (3, '12:00:00')")
+    desc = {r[0]: r[1] for r in engine.execute("DESCRIBE t_times").collect()}
+    assert desc["t"] == "TIME"
+    rows = engine.execute(
+        "SELECT id, CAST(t AS VARCHAR) AS s FROM t_times ORDER BY t"
+    ).collect()
+    assert [(r["id"], r["s"]) for r in rows] == [
+        (1, "01:02:03"), (3, "12:00:00"), (2, "23:59:59.5"),
+    ]
+    assert engine.execute(
+        "SELECT CAST(max(t) AS VARCHAR) AS m, CAST(min(t) AS VARCHAR) AS n "
+        "FROM t_times"
+    ).collect()[0][0:2] == ("23:59:59.5", "01:02:03")
+    # TIMESTAMP -> TIME (CAST and :: spellings; µs preserved)
+    assert engine.execute(
+        "SELECT CAST(CAST(TIMESTAMP '2024-01-02 03:04:05.25' AS TIME) "
+        "AS VARCHAR) AS a, "
+        "CAST(TIMESTAMP '2024-01-02 03:04:05.25'::TIME AS VARCHAR) AS b"
+    ).collect()[0][0:2] == ("03:04:05.25", "03:04:05.25")
+    # make_time with fractional seconds; string->TIME cast stays native
+    assert engine.execute(
+        "SELECT make_time(12, 30, 45.5) AS t, CAST('13:01:02' AS TIME) AS u"
+    ).collect()[0][0:2] == (
+        datetime.time(12, 30, 45, 500000), datetime.time(13, 1, 2),
+    )
+    # zero-arg aliases resolve and return TIME
+    r = engine.execute(
+        "SELECT get_current_time() AS a, current_localtime() AS b"
+    ).collect()[0]
+    assert isinstance(r["a"], datetime.time)
+    assert isinstance(r["b"], datetime.time)
+    engine.execute("DROP TABLE t_times")
+
+
+def test_time_grid_matches_duckdb(engine):
+    """Cross-engine TIME value grid: literal rendering (trailing-zero
+    trim), make_time fraction, timestamp extraction, extract fields,
+    comparisons — one wide row per engine."""
+    import duckdb
+
+    ddb = duckdb.connect()
+    exprs = [
+        "CAST(TIME '12:30:45' AS VARCHAR)",
+        "CAST(TIME '12:30:45.500000' AS VARCHAR)",
+        "CAST(TIME '12:30:45.123456' AS VARCHAR)",
+        "CAST(make_time(1, 2, 3.25) AS VARCHAR)",
+        "CAST(CAST(TIMESTAMP '2024-01-02 03:04:05.25' AS TIME) AS VARCHAR)",
+        "CAST(CAST('07:08:09' AS TIME) AS VARCHAR)",
+        "CAST(extract(hour FROM TIME '12:30:45') AS BIGINT)",
+        "CAST(extract(minute FROM TIME '12:30:45') AS BIGINT)",
+        "TIME '01:00:00' < TIME '02:00:00'",
+        "TIME '12:30:45' = TIME '12:30:45'",
+        "greatest(TIME '01:00:00', TIME '23:00:00') = TIME '23:00:00'",
+    ]
+    sql = "SELECT " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(exprs)
+    )
+    srow = tuple(engine.execute(sql).collect()[0])
+    orow = ddb.sql(sql).fetchall()[0]
+    assert srow == tuple(orow)
