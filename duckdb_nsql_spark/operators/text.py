@@ -874,14 +874,15 @@ def bloom_decontaminate(
         hit = hit & F.array_contains(
             F.col("__bits"), _bloom_pos(F.col("g"), j, m_bits)
         )
+    # ngram_hashes is array_distinct per doc, so plain count/sum equal
+    # countDistinct here — and skip Spark's distinct-aggregate rewrite,
+    # keeping the corpus side to ONE exchange (plan-pinned)
     return (
         grams.crossJoin(broadcast(eval_bits))
         .groupBy(id_col)
         .agg(
-            F.countDistinct("g").cast("int").alias("n_grams"),
-            F.countDistinct(F.when(hit, F.col("g")))
-            .cast("int")
-            .alias("n_hits"),
+            F.count("g").cast("int").alias("n_grams"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("int").alias("n_hits"),
         )
         .select(
             id_col,

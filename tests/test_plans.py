@@ -325,3 +325,40 @@ def test_cluster_by_ctas_seam(engine, spark, sf_dir):
         for t in list(spark.catalog.listTables()):
             if t.name.startswith("ddbs_bkt_"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_bloom_decontaminate_plan_shape(spark):
+    """The corpus side of Bloom decontamination must stay map-only up to
+    the single per-doc aggregate: the bit set arrives via
+    BroadcastNestedLoopJoin (1-row build), and exactly TWO exchanges
+    exist in the whole plan — the eval-side 1-row bit-set aggregate and
+    the per-doc hit aggregate. No shuffle ever carries corpus text."""
+    df = workload.op_bloom_decontaminate(spark, workload_sf_dir())
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    n_exchanges = sum(
+        1 for l in plan.splitlines()
+        if "Exchange" in l and "Broadcast" not in l and "Reused" not in l
+        and l.strip().startswith("(")
+    )
+    # exactly: the eval-side 1-row bit-set aggregate + the per-doc agg
+    assert n_exchanges == 2, plan
+
+
+def test_pq_quantize_assignment_is_map_only(spark):
+    """PQ's final assignment pass: codes + error are computed against
+    literal centroids — the output stage reads the persisted quantized
+    vectors with NO join and NO exchange after the cache scan."""
+    df = workload.op_pq_quantize(spark, workload_sf_dir())
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def workload_sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SF_DIR_TEST", SF_DIR_DEFAULT)
+
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.001"
