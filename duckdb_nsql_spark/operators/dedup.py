@@ -693,3 +693,47 @@ def remove_duplicate_spans(
             )
         ).alias("clean_md5"),
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    reference_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot-incremental exact dedup — the hygiene step of a rolling
+    crawl pipeline: a NEW batch is deduplicated against the corpus
+    already ingested (the reference snapshot) and then within itself.
+    Every batch document is classified: ``dup_of_reference`` (its
+    normalized fingerprint already exists in the reference),
+    ``dup_in_batch`` (first seen earlier in this batch), or ``kept``.
+
+    Scale design: both sides reduce to md5 fingerprints before any
+    shuffle (text never moves); the reference join is a plain shuffled
+    hash/SMJ join on the fingerprint — at 100 TB the reference
+    fingerprint set is itself huge, so no broadcast is assumed — and
+    the within-batch keep-first is a window over the SAME fingerprint
+    key, so AQE reuses the batch side's partitioning. Output is one
+    narrow row per batch document.
+    """
+    ref_fp = (
+        reference_df.select(fingerprint(F.col(text_col)).alias("fp"))
+        .distinct()
+        .withColumn("__ref", F.lit(1))
+    )
+    batch = new_df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    win = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        batch.join(ref_fp, "fp", "left")
+        .withColumn("rn", F.row_number().over(win))
+        .select(
+            id_col,
+            "fp",
+            F.when(F.col("__ref").isNotNull(), F.lit("dup_of_reference"))
+            .when(F.col("rn") == 1, F.lit("kept"))
+            .otherwise(F.lit("dup_in_batch"))
+            .alias("status"),
+        )
+    )

@@ -3580,6 +3580,38 @@ FROM q
 """
 
 
+def op_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-crawl incremental dedup: docs with doc_id % 3 = 0 play
+    the previously-ingested snapshot, the rest the new batch."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.incremental_dedup(new, ref)
+
+
+# incremental dedup: the DuckDB twin replays the normalized-text md5
+# fingerprints, the reference-membership join, and the within-batch
+# keep-first window (same (fp, doc_id) order)
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH ref AS (
+    SELECT DISTINCT md5({_NORM}) AS fp
+    FROM documents WHERE doc_id % 3 = 0
+), nb AS (
+    SELECT doc_id, md5({_NORM}) AS fp
+    FROM documents WHERE doc_id % 3 <> 0
+), r AS (
+    SELECT nb.doc_id, nb.fp, (ref.fp IS NOT NULL) AS in_ref,
+           row_number() OVER (PARTITION BY nb.fp ORDER BY nb.doc_id) AS rn
+    FROM nb LEFT JOIN ref ON ref.fp = nb.fp
+)
+SELECT doc_id, fp,
+       CASE WHEN in_ref THEN 'dup_of_reference'
+            WHEN rn = 1 THEN 'kept'
+            ELSE 'dup_in_batch' END AS status
+FROM r
+"""
+
+
 def op_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_quantize(
         _embeds(spark, sf_dir), m_sub=4, k=8, iters=2
@@ -4157,6 +4189,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
         op_bloom_decontaminate, ORACLE_BLOOM_DECONTAMINATE,
     ),
     "op_pq_quantize": (op_pq_quantize, ORACLE_PQ_QUANTIZE),
+    "op_incremental_dedup": (
+        op_incremental_dedup, ORACLE_INCREMENTAL_DEDUP,
+    ),
     "op_url_dedup": (op_url_dedup, ORACLE_URL_DEDUP),
     "op_dedup_spans": (op_dedup_spans, ORACLE_DEDUP_SPANS),
 }
@@ -4169,17 +4204,17 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the nine NEW entries (first driver
+# at import time. Round 8 leads with the ten NEW entries (first driver
 # witness: SemDeDup, quality classifier, C4 clean, URL dedup, span
-# dedup, Bloom decontamination, product quantization, the series-step
-# query, the TIME battery), then re-witnesses by staleness: the 29
-# entries whose last green driver row is round 3 (q68-q84 minus
-# q72/q79 which r7 re-witnessed, plus the 14 r3-witnessed operator
-# pipelines), then 12 of the round-5-witnessed operators. Everything
-# outside the window is re-proven every round by
+# dedup, Bloom decontamination, product quantization, incremental
+# dedup, the series-step query, the TIME battery), then re-witnesses by
+# staleness: the 29 entries whose last green driver row is round 3
+# (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
+# r3-witnessed operator pipelines), then 11 of the round-5-witnessed
+# operators. Everything outside the window is re-proven every round by
 # tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
 # every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 10 text/stream/sampling/similarity ops (next
+# q85+ SQL block and 11 text/stream/sampling/similarity ops (next
 # rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
@@ -4190,6 +4225,7 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_dedup_spans",
     "op_bloom_decontaminate",
     "op_pq_quantize",
+    "op_incremental_dedup",
     "q126_series_step_arith",
     "q127_time_type",
     # last driver-green in round 3: SQL block q68-q84
@@ -4235,7 +4271,6 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_sample_stratified",
     "op_sample_weighted",
     "op_shuffle_shards",
-    "op_similarity_ivf_recall",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
