@@ -563,3 +563,122 @@ def pq_quantize(
         code_str.alias("code_str"),
         err.cast("double").alias("err"),
     )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m_sub: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks via the same deterministic mini-kmeans
+    as :func:`ivf_centroids` (init = first ``k`` vectors by id, each
+    sliced per subspace; fixed Lloyd iterations; only m_sub×k×sub_dim
+    floats ever reach the driver). Returns ``books[s][cid][local_dim]``."""
+    from pyspark.sql import functions as F
+
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible into {m_sub} subspaces")
+    sd = dim // m_sub
+    seeds = [
+        list(r[vec_col])
+        for r in df.orderBy(id_col).limit(k).select(vec_col).collect()
+    ]
+    books = [
+        [seeds[c][s * sd : (s + 1) * sd] for c in range(k)]
+        for s in range(m_sub)
+    ]
+    for _ in range(iters):
+        codes = df.select(
+            F.col(vec_col).alias("v"),
+            *[
+                _nearest_centroid(
+                    F.slice(F.col(vec_col), s * sd + 1, sd), books[s]
+                ).alias(f"__c{s}")
+                for s in range(m_sub)
+            ],
+        )
+        sums = (
+            codes.select(
+                *[F.col(f"__c{s}") for s in range(m_sub)],
+                F.posexplode("v").alias("pos", "val"),
+            )
+            .select(
+                (F.col("pos") / sd).cast("int").alias("s"),
+                F.coalesce(
+                    *[F.when(
+                        (F.col("pos") / sd).cast("int") == s,
+                        F.col(f"__c{s}"),
+                    ) for s in range(m_sub)]
+                ).alias("cid"),
+                (F.col("pos") % sd).alias("ld"),
+                F.col("val"),
+            )
+            .groupBy("s", "cid", "ld")
+            .agg(F.sum("val").alias("sv"), F.count("*").alias("n"))
+            .collect()
+        )
+        for r in sums:
+            books[int(r["s"])][int(r["cid"])][int(r["ld"])] = (
+                r["sv"] / r["n"]
+            )
+    return books
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 30,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search (Jégou et al.) — the billion-vector composition:
+    (1) IVF coarse quantizer prunes to the query's ``nprobe`` nearest
+    cells (a partition-pruned scan over an at-rest layout); (2) PQ
+    asymmetric-distance lookup scores every candidate with m_sub ARRAY
+    LOOKUPS instead of a dim-length float loop — the per-subspace
+    query→code distances are a tiny driver-computed literal table;
+    (3) the ``refine`` best by PQ distance re-rank with exact cosine.
+    Map-only until the final top-k; no shuffle touches the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    m_sub = len(books)
+    sd = len(books[0][0])
+
+    def dist(c):
+        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+    probes = sorted(
+        range(len(centroids)), key=lambda i: dist(centroids[i])
+    )[:nprobe]
+    cand = df.withColumn(
+        "__cent", _nearest_centroid(F.col(vec_col), centroids)
+    ).filter(F.col("__cent").isin(probes))
+    # asymmetric distance: LUT[s][cid] = ||query_sub_s - book[s][cid]||^2
+    approx = F.lit(0.0)
+    for s in range(m_sub):
+        qs = query_vec[s * sd : (s + 1) * sd]
+        lut = [
+            sum((a - b) ** 2 for a, b in zip(qs, books[s][c]))
+            for c in range(len(books[s]))
+        ]
+        code = _nearest_centroid(
+            F.slice(F.col(vec_col), s * sd + 1, sd), books[s]
+        )
+        approx = approx + F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut]), code + 1
+        )
+    shortlist = (
+        cand.withColumn("__adc", approx)
+        .orderBy(F.col("__adc").asc(), F.col(id_col))
+        .limit(refine)
+    )
+    return brute_force_topk(shortlist, query_vec, k, vec_col, id_col)

@@ -2890,6 +2890,24 @@ def op_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_relation(ann, exact, min_hits=9)
 
 
+def op_similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (coarse-cell pruning -> PQ asymmetric-distance
+    table lookups -> exact re-rank of the 60-candidate shortlist) bound
+    to the exact top-10: measured 8/10 at sf0.001 AND sf0.01 (the PQ
+    shortlist drops 2 wide-angle neighbors — cosine≈0.3 on this
+    fixture, see lsh_topk), pinned >=7 with margin 1."""
+    emb = _embeds(spark, sf_dir)
+    vec = _query_vec(spark, sf_dir)
+    dim = len(vec)
+    cents = similarity.ivf_centroids(emb, dim, k=8, iters=1)
+    books = similarity.pq_codebooks(emb, dim, m_sub=4, k=8, iters=1)
+    ann = similarity.ivfpq_topk(
+        emb, vec, cents, books, k=10, nprobe=4, refine=60
+    )
+    exact = similarity.brute_force_topk(emb, vec, k=10).select("vec_id")
+    return _recall_relation(ann, exact, min_hits=7)
+
+
 def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = engine_for(spark, sf_dir)
     part = eng.table("part")
@@ -4150,6 +4168,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_similarity_batch": (op_similarity_batch, ORACLE_SIM_BATCH),
     "op_similarity_lsh_recall": (op_similarity_lsh_recall, ORACLE_SIM_RECALL),
     "op_similarity_ivf_recall": (op_similarity_ivf_recall, ORACLE_SIM_RECALL),
+    "op_similarity_ivfpq_recall": (
+        op_similarity_ivfpq_recall, ORACLE_SIM_RECALL,
+    ),
     "op_multimodal_features": (op_multimodal_features, ORACLE_MULTIMODAL),
     "op_multimodal_frame_sample": (
         op_multimodal_frame_sample,
@@ -4204,17 +4225,17 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the ten NEW entries (first driver
-# witness: SemDeDup, quality classifier, C4 clean, URL dedup, span
-# dedup, Bloom decontamination, product quantization, incremental
-# dedup, the series-step query, the TIME battery), then re-witnesses by
-# staleness: the 29 entries whose last green driver row is round 3
-# (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
-# r3-witnessed operator pipelines), then 11 of the round-5-witnessed
+# at import time. Round 8 leads with the eleven NEW entries (first
+# driver witness: SemDeDup, quality classifier, C4 clean, URL dedup,
+# span dedup, Bloom decontamination, product quantization, incremental
+# dedup, IVF-PQ recall, the series-step query, the TIME battery), then
+# re-witnesses by staleness: the 29 entries whose last green driver row
+# is round 3 (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
+# r3-witnessed operator pipelines), then 10 of the round-5-witnessed
 # operators. Everything outside the window is re-proven every round by
 # tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
 # every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 11 text/stream/sampling/similarity ops (next
+# q85+ SQL block and 12 text/stream/sampling/similarity ops (next
 # rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
@@ -4226,6 +4247,7 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_bloom_decontaminate",
     "op_pq_quantize",
     "op_incremental_dedup",
+    "op_similarity_ivfpq_recall",
     "q126_series_step_arith",
     "q127_time_type",
     # last driver-green in round 3: SQL block q68-q84
@@ -4270,7 +4292,6 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_pii_redact",
     "op_sample_stratified",
     "op_sample_weighted",
-    "op_shuffle_shards",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
