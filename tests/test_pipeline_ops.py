@@ -260,3 +260,30 @@ def test_remove_duplicate_spans_keep_first(spark):
         for r in dedup.remove_duplicate_spans(df2).collect()
     }
     assert out2[2]["clean_md5"] == md5("")
+
+
+def test_incremental_dedup_statuses(spark):
+    """Reference hit beats batch position; within-batch keep-first by id;
+    unseen fingerprints keep."""
+    ref = spark.createDataFrame(
+        [(100, "seen Before  text")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "seen before TEXT"),     # normalizes to the ref doc
+            (2, "fresh words here"),
+            (3, "fresh  WORDS here"),    # same normalized fp as 2
+            (4, "completely new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in dedup.incremental_dedup(new, ref).collect()
+    }
+    assert out == {
+        1: "dup_of_reference",
+        2: "kept",
+        3: "dup_in_batch",
+        4: "kept",
+    }
