@@ -2890,6 +2890,42 @@ def op_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_relation(ann, exact, min_hits=9)
 
 
+def op_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the 'filtered ANN' problem):
+    top-k cosine among vectors whose joined document is English. The
+    PRE-filter strategy — the predicate lands on the metadata table and
+    prunes candidates BEFORE any distance math — which at scale beats
+    post-filtering an ANN result that can come back with fewer than k
+    survivors when the filter is selective. Exact value oracle."""
+    eng = engine_for(spark, sf_dir)
+    emb = eng.table("embeddings")
+    en_ids = (
+        eng.table("documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    cand = emb.join(en_ids, "vec_id")
+    vec = _query_vec(spark, sf_dir)
+    out = similarity.brute_force_topk(cand, vec, k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+ORACLE_SIM_FILTERED = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(
+           e.embedding,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4)
+           AS cosine
+FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+WHERE d.lang = 'en'
+ORDER BY list_cosine_similarity(
+           e.embedding,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+         e.vec_id
+LIMIT 10
+"""
+
+
 def op_similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search (coarse-cell pruning -> PQ asymmetric-distance
     table lookups -> exact re-rank of the 60-candidate shortlist) bound
@@ -4171,6 +4207,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_similarity_ivfpq_recall": (
         op_similarity_ivfpq_recall, ORACLE_SIM_RECALL,
     ),
+    "op_similarity_filtered": (op_similarity_filtered, ORACLE_SIM_FILTERED),
     "op_multimodal_features": (op_multimodal_features, ORACLE_MULTIMODAL),
     "op_multimodal_frame_sample": (
         op_multimodal_frame_sample,
@@ -4225,17 +4262,18 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the eleven NEW entries (first
+# at import time. Round 8 leads with the twelve NEW entries (first
 # driver witness: SemDeDup, quality classifier, C4 clean, URL dedup,
 # span dedup, Bloom decontamination, product quantization, incremental
-# dedup, IVF-PQ recall, the series-step query, the TIME battery), then
+# dedup, IVF-PQ recall, filtered ANN, the series-step query, the TIME
+# battery), then
 # re-witnesses by staleness: the 29 entries whose last green driver row
 # is round 3 (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
-# r3-witnessed operator pipelines), then 10 of the round-5-witnessed
+# r3-witnessed operator pipelines), then 9 of the round-5-witnessed
 # operators. Everything outside the window is re-proven every round by
 # tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
 # every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 12 text/stream/sampling/similarity ops (next
+# q85+ SQL block and 13 text/stream/sampling/similarity ops (next
 # rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
@@ -4248,6 +4286,7 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_pq_quantize",
     "op_incremental_dedup",
     "op_similarity_ivfpq_recall",
+    "op_similarity_filtered",
     "q126_series_step_arith",
     "q127_time_type",
     # last driver-green in round 3: SQL block q68-q84
@@ -4291,7 +4330,6 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_pack_first_fit",
     "op_pii_redact",
     "op_sample_stratified",
-    "op_sample_weighted",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
