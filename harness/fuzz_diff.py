@@ -173,6 +173,16 @@ EVENT_TS_POOL = [
     "(TIMESTAMP '2024-02-01 00:00:00' - ts)::VARCHAR",
     "CAST(INTERVAL (extract(minute FROM ts)) MINUTE AS VARCHAR)",
     "CAST(ts - ts AS VARCHAR)",
+    # TIME type surface (round-8): TIMESTAMP->TIME cast (both
+    # spellings), extraction and ordering over the extracted TIME,
+    # make_time round-trips, rendering
+    "CAST(CAST(ts AS TIME) AS VARCHAR)",
+    "CAST(ts::TIME AS VARCHAR)",
+    "extract(hour FROM CAST(ts AS TIME))",
+    "CAST(ts AS TIME) < TIME '12:00:00'",
+    "CAST(make_time(CAST(extract(hour FROM ts) AS BIGINT), "
+    "CAST(extract(minute FROM ts) AS BIGINT), 1.5) AS VARCHAR)",
+    "CAST(greatest(CAST(ts AS TIME), TIME '06:30:00') AS VARCHAR)",
 ]
 
 
