@@ -156,3 +156,60 @@ def decontaminate_stream(
             (hits > 0).alias("contaminated"),
         )
     )
+
+
+def bloom_decontaminate_stream(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming Bloom-filter decontamination: the fixed-memory variant
+    of :func:`decontaminate_stream` — the static eval set reduces to an
+    ``m_bits``-bit filter (one sorted-int-array row) instead of the full
+    gram array, so the broadcast stays constant-size however large the
+    benchmark suite grows. Per-document hits are a map-only, STATELESS
+    expression (a gram hits when all ``k_hashes`` salted-md5 positions
+    are set); no watermark, no state store, append mode. Over a finite
+    backlog the output is row-identical to the batch operator
+    (operators/text.py:bloom_decontaminate), which is the oracle —
+    deterministic false positives included."""
+    from ..operators.text import _bloom_pos, ngram_hashes
+
+    eval_bits = (
+        eval_set.select(
+            F.explode(ngram_hashes(F.col(text_col), n)).alias("g")
+        )
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("g"), j, m_bits)
+                          for j in range(k_hashes)])
+            ).alias("p")
+        )
+        .agg(F.sort_array(F.collect_set("p")).alias("__bits"))
+        .withColumn("__k", F.lit(1))
+    )
+
+    def g_hits(g):
+        hit = F.lit(True)
+        for j in range(k_hashes):
+            hit = hit & F.array_contains(
+                F.col("__bits"), _bloom_pos(g, j, m_bits)
+            )
+        return hit
+
+    grams = F.array_distinct(ngram_hashes(F.col(text_col), n))
+    n_hits = F.size(F.filter(grams, g_hits))
+    return (
+        docs.withColumn("__k", F.lit(1))
+        .join(F.broadcast(eval_bits), "__k")
+        .select(
+            id_col,
+            F.size(grams).cast("int").alias("n_grams"),
+            n_hits.cast("int").alias("n_hits"),
+            (n_hits > 0).alias("flagged"),
+        )
+    )

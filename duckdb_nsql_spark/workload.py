@@ -3227,6 +3227,27 @@ def op_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sd.run_available_now(out, spark, name)
 
 
+def op_stream_bloom_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming Bloom-filter decontamination at ingest time: the batch
+    op_bloom_decontaminate gate with the 4096-bit filter broadcast into
+    every micro-batch — constant-size state however large the eval
+    suite. Stateless map-only; finite backlog emits row-identical to
+    batch, so the SAME oracle (ORACLE_BLOOM_DECONTAMINATE) pins both,
+    deterministic false positives included."""
+    from .streaming import dedup as sd
+
+    docs_stream = sd.read_documents_stream(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    train_stream = docs_stream.filter(F.col("doc_id") % 17 != 3)
+    eval_set = _docs(spark, sf_dir).filter(F.col("doc_id") % 17 == 3)
+    out = sd.bloom_decontaminate_stream(train_stream, eval_set, n=8)
+    name = f"stream_bloom_decon_{abs(hash(sf_dir)) % 10_000}"
+    return sd.run_available_now(out, spark, name)
+
+
 # --- duplicate-cluster assignment: minhash-LSH pairs -> connected
 # components (iterative min-label propagation on Spark; min reachable id
 # via recursive CTE in DuckDB — same algebra, full convergence) ----------
@@ -4224,6 +4245,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_stream_dedup": (op_stream_dedup, ORACLE_STREAM_DEDUP),
     "op_stream_doc_profile": (op_stream_doc_profile, ORACLE_TEXT_PROFILE),
     "op_stream_decontaminate": (op_stream_decontaminate, ORACLE_DECONTAMINATE),
+    "op_stream_bloom_decontaminate": (
+        op_stream_bloom_decontaminate, ORACLE_BLOOM_DECONTAMINATE,
+    ),
     "op_dedup_clusters": (op_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "op_domain_mix": (op_domain_mix, ORACLE_DOMAIN_MIX),
     "op_sample_stratified": (op_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
@@ -4262,18 +4286,18 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the twelve NEW entries (first
+# at import time. Round 8 leads with the thirteen NEW entries (first
 # driver witness: SemDeDup, quality classifier, C4 clean, URL dedup,
 # span dedup, Bloom decontamination, product quantization, incremental
-# dedup, IVF-PQ recall, filtered ANN, the series-step query, the TIME
-# battery), then
+# dedup, IVF-PQ recall, filtered ANN, streaming Bloom decontamination,
+# the series-step query, the TIME battery), then
 # re-witnesses by staleness: the 29 entries whose last green driver row
 # is round 3 (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
-# r3-witnessed operator pipelines), then 9 of the round-5-witnessed
+# r3-witnessed operator pipelines), then 8 of the round-5-witnessed
 # operators. Everything outside the window is re-proven every round by
 # tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
 # every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 13 text/stream/sampling/similarity ops (next
+# q85+ SQL block and 14 text/stream/sampling/similarity ops (next
 # rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
@@ -4287,6 +4311,7 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_incremental_dedup",
     "op_similarity_ivfpq_recall",
     "op_similarity_filtered",
+    "op_stream_bloom_decontaminate",
     "q126_series_step_arith",
     "q127_time_type",
     # last driver-green in round 3: SQL block q68-q84
@@ -4329,7 +4354,6 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_pack_chunks",
     "op_pack_first_fit",
     "op_pii_redact",
-    "op_sample_stratified",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
