@@ -177,7 +177,12 @@ def bloom_decontaminate_stream(
     backlog the output is row-identical to the batch operator
     (operators/text.py:bloom_decontaminate), which is the oracle —
     deterministic false positives included."""
-    from ..operators.text import _bloom_pos, ngram_hashes
+    from ..operators.text import (
+        _bloom_bitstring,
+        _bloom_pos,
+        _bloom_probe,
+        ngram_hashes,
+    )
 
     eval_bits = (
         eval_set.select(
@@ -189,16 +194,15 @@ def bloom_decontaminate_stream(
                           for j in range(k_hashes)])
             ).alias("p")
         )
-        .agg(F.sort_array(F.collect_set("p")).alias("__bits"))
+        .agg(F.collect_set("p").alias("__pset"))
+        .select(_bloom_bitstring(F.col("__pset"), m_bits).alias("__bits"))
         .withColumn("__k", F.lit(1))
     )
 
     def g_hits(g):
         hit = F.lit(True)
         for j in range(k_hashes):
-            hit = hit & F.array_contains(
-                F.col("__bits"), _bloom_pos(g, j, m_bits)
-            )
+            hit = hit & _bloom_probe(F.col("__bits"), g, j, m_bits)
         return hit
 
     grams = F.array_distinct(ngram_hashes(F.col(text_col), n))

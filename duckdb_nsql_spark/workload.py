@@ -2530,8 +2530,10 @@ WHERE d.doc_id % 17 <> 3
 def op_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-overlap decontamination of the training split against a
     deterministic 'benchmark' subset (doc_id % 17 = 3) — the standard
-    LLM-corpus hygiene step. Eval grams broadcast; one shuffle total."""
-    docs = _docs(spark, sf_dir)
+    LLM-corpus hygiene step. Eval grams broadcast; one shuffle total.
+    _docs_wide: the gram battery is JVM built-ins — map-spread took the
+    sf1 run 22.9s -> 1.6s (scan parallelism, not the join)."""
+    docs = _docs_wide(spark, sf_dir)
     eval_set = docs.filter(F.col("doc_id") % 17 == 3)
     train = docs.filter(F.col("doc_id") % 17 != 3)
     return text_ops.decontaminate(train, eval_set, n=8)
@@ -2542,16 +2544,17 @@ def op_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     op_decontaminate): the eval grams reduce to a 4096-bit filter
     broadcast as one sorted-int-array row — fixed memory no matter how
     large the benchmark suite grows. Deterministic false positives are
-    part of the contract and replayed bit-exactly by the oracle."""
-    docs = _docs(spark, sf_dir)
+    part of the contract and replayed bit-exactly by the oracle.
+    _docs_wide: map-spread took the sf1 run 11.3s -> 2.1s."""
+    docs = _docs_wide(spark, sf_dir)
     eval_set = docs.filter(F.col("doc_id") % 17 == 3)
     train = docs.filter(F.col("doc_id") % 17 != 3)
     return text_ops.bloom_decontaminate(train, eval_set, n=8)
 
 
-# Bloom decontamination: the DuckDB twin replays the salted md5 bit
-# positions (('0x' || substr(md5(g || '#' || j), 1, 15))::BIGINT % 4096 —
-# the same md5->BIGINT path DSIR pins), the distinct set-bit build, and
+# Bloom decontamination: the DuckDB twin replays the bit positions
+# (grams are md5 hex already — position j is the j-th disjoint
+# 8-hex-char slice as an integer % 4096), the distinct set-bit build, and
 # the all-k-positions-present hit rule (count over the per-(g,j) rows
 # joined to the distinct bit set = k, identical to the engine's AND of
 # array_contains). False positives reproduce exactly on both engines.
@@ -2572,8 +2575,7 @@ WITH norm AS (
     WHERE doc_id % 17 = 3
 ), bits AS (
     SELECT DISTINCT
-           CAST(('0x' || substr(md5(g || '#' || j), 1, 15)) AS BIGINT)
-               % 4096 AS p
+           CAST(('0x' || substr(g, j*8 + 1, 8)) AS BIGINT) % 4096 AS p
     FROM eg, unnest([0, 1, 2]) AS t(j)
 ), tg AS (
     SELECT gr.doc_id, t.g
@@ -2581,8 +2583,7 @@ WITH norm AS (
     WHERE gr.doc_id % 17 <> 3
 ), pos AS (
     SELECT tg.doc_id, tg.g,
-           CAST(('0x' || substr(md5(tg.g || '#' || j), 1, 15)) AS BIGINT)
-               % 4096 AS p
+           CAST(('0x' || substr(tg.g, j*8 + 1, 8)) AS BIGINT) % 4096 AS p
     FROM tg, unnest([0, 1, 2]) AS t(j)
 ), hitg AS (
     SELECT doc_id, g
@@ -3506,11 +3507,13 @@ ORDER BY bm25 DESC, doc_id LIMIT 10
 
 
 def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.repetition_profile(_docs(spark, sf_dir))
+    # map-spread: 3.8s -> 1.1s at sf1 (JVM gram battery)
+    return text_ops.repetition_profile(_docs_wide(spark, sf_dir))
 
 
 def op_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.dup_chunk_profile(_docs(spark, sf_dir))
+    # map-spread: 6.8s -> 1.9s at sf1 (JVM chunk battery)
+    return text_ops.dup_chunk_profile(_docs_wide(spark, sf_dir))
 
 
 def op_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3882,7 +3885,8 @@ FROM c
 
 
 def op_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.unigram_logprob(_docs(spark, sf_dir))
+    # map-spread: 2.9s -> 2.2s at sf1
+    return text_ops.unigram_logprob(_docs_wide(spark, sf_dir))
 
 
 # CCNet-style unigram LM scoring: logprobs round to 6 digits and sum as
@@ -4133,7 +4137,9 @@ FROM canon GROUP BY canon_url
 
 
 def op_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.remove_duplicate_spans(_docs(spark, sf_dir))
+    # _docs_wide: chunking is a JVM slice/join battery — map-spread wins
+    # 6x at sf1 (5.1s -> 0.9s); the shuffles after are hash-keyed anyway
+    return dedup.remove_duplicate_spans(_docs_wide(spark, sf_dir))
 
 
 # duplicated-span removal: the DuckDB twin replays the identical chunking
