@@ -286,3 +286,69 @@ def dsir_weights(
         .limit(top_k)
         .select(id_col, "log_weight", "n_grams")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float,
+    total: int,
+    key_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled domain sampling (the mC4/XLM-R multilingual
+    recipe): target mixture q_d ∝ p_d^τ where p_d is the domain's
+    natural share — τ=1 keeps natural proportions, τ→0 approaches
+    uniform, upsampling the tail domains. Acceptance rate per domain =
+    min(1, total · q_d / count_d), selected by the same content-derived
+    md5 bucket as :func:`stratified_sample` (bit-reproducible, no RNG).
+
+    Cross-engine determinism around ``pow`` (the one libm call): the
+    unnormalized q_d rounds to 6 dp and is CAST to DECIMAL before the
+    normalizing sum, so a last-ulp pow() difference between the JVM and
+    DuckDB cannot propagate; every later step is exact-DECIMAL or
+    identically-ordered double arithmetic rounded again at 6 dp.
+
+    Scale: two tiny aggregations (|domains| rows, then 1 row) broadcast
+    back onto a map-only filter — the corpus is never shuffled.
+    """
+    cnt = df.groupBy(domain_col).agg(F.count("*").alias("__dom_n"))
+    n_tot = cnt.agg(F.sum("__dom_n").alias("__N"))
+    q = (
+        cnt.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "__q",
+            F.round(
+                F.pow(
+                    F.col("__dom_n").cast("double") / F.col("__N"),
+                    F.lit(float(temperature)),
+                ),
+                6,
+            ).cast("decimal(10,6)"),
+        )
+    )
+    z = q.agg(F.sum("__q").alias("__Z"))
+    rates = (
+        q.crossJoin(F.broadcast(z))
+        .withColumn(
+            "__rate",
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    F.lit(float(total))
+                    * (F.col("__q").cast("double") / F.col("__Z").cast("double"))
+                    / F.col("__dom_n"),
+                    6,
+                ),
+            ),
+        )
+        .select(domain_col, "__rate")
+    )
+    bucket = hash_bucket(F.col(key_col), n_buckets, seed)
+    out_cols = df.columns
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(bucket < F.floor(F.col("__rate") * n_buckets).cast("bigint"))
+        .select(*out_cols)
+    )

@@ -3407,6 +3407,44 @@ WHERE {_DDB_BUCKET('mix')}
 """
 
 
+def op_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling over the documents table
+    (τ=0.7, ~200 docs): en's natural majority is down-weighted and the
+    tail languages up-weighted, the standard multilingual mixing step.
+    Map-only filter; the oracle replays pow -> round(6) -> DECIMAL
+    normalization in the identical order."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sampling.temperature_mix(
+        docs, "lang", temperature=0.7, total=200, key_col="doc_id",
+    )
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH cnt AS (
+    SELECT lang, count(*) AS c FROM documents GROUP BY lang
+), n AS (
+    SELECT sum(c) AS nn FROM cnt
+), q AS (
+    SELECT lang, c,
+           CAST(round(pow(CAST(c AS DOUBLE) / nn, 0.7), 6)
+                AS DECIMAL(10,6)) AS q
+    FROM cnt, n
+), z AS (
+    SELECT sum(q) AS zz FROM q
+), rates AS (
+    SELECT lang,
+           least(1.0, round(200.0 * (CAST(q AS DOUBLE) / CAST(zz AS DOUBLE))
+                            / c, 6)) AS rate
+    FROM q, z
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON r.lang = d.lang
+WHERE ('0x' || substr(md5('tmix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 10000
+      < CAST(floor(r.rate * 10000) AS BIGINT)
+"""
+
+
 def op_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(
         _docs(spark, sf_dir).select("doc_id", "lang"),
@@ -4256,6 +4294,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     ),
     "op_dedup_clusters": (op_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "op_domain_mix": (op_domain_mix, ORACLE_DOMAIN_MIX),
+    "op_temperature_mix": (op_temperature_mix, ORACLE_TEMPERATURE_MIX),
     "op_sample_stratified": (op_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
     "op_sample_weighted": (op_sample_weighted, ORACLE_SAMPLE_WEIGHTED),
     "op_train_val_split": (op_train_val_split, ORACLE_TRAIN_VAL_SPLIT),
@@ -4292,18 +4331,19 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the thirteen NEW entries (first
+# at import time. Round 8 leads with the fourteen NEW entries (first
 # driver witness: SemDeDup, quality classifier, C4 clean, URL dedup,
 # span dedup, Bloom decontamination, product quantization, incremental
 # dedup, IVF-PQ recall, filtered ANN, streaming Bloom decontamination,
-# the series-step query, the TIME battery), then
+# temperature-scaled sampling, the series-step query, the TIME
+# battery), then
 # re-witnesses by staleness: the 29 entries whose last green driver row
 # is round 3 (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
-# r3-witnessed operator pipelines), then 8 of the round-5-witnessed
+# r3-witnessed operator pipelines), then 7 of the round-5-witnessed
 # operators. Everything outside the window is re-proven every round by
 # tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
 # every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 14 text/stream/sampling/similarity ops (next
+# q85+ SQL block and 15 text/stream/sampling/similarity ops (next
 # rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
@@ -4318,6 +4358,7 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_similarity_ivfpq_recall",
     "op_similarity_filtered",
     "op_stream_bloom_decontaminate",
+    "op_temperature_mix",
     "q126_series_step_arith",
     "q127_time_type",
     # last driver-green in round 3: SQL block q68-q84
@@ -4359,7 +4400,6 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_multimodal_features",
     "op_pack_chunks",
     "op_pack_first_fit",
-    "op_pii_redact",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
