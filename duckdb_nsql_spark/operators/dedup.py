@@ -737,3 +737,84 @@ def incremental_dedup(
             .alias("status"),
         )
     )
+
+
+def minhash_sig_udf(num_perm: int = DEFAULT_NUM_PERM) -> Column:
+    """Factory: pandas UDF normalized_text -> the full ``num_perm``-slot
+    minhash signature (the un-banded form of :func:`minhash_bands_udf`,
+    same md5-per-(permutation, shingle) construction — byte-identical
+    in Python hashlib, JVM md5 and DuckDB md5)."""
+    import hashlib
+
+    def one(norm: str) -> list[str]:
+        sh = _py_shingles(norm)
+        return [
+            min(hashlib.md5(f"{p}:{s}".encode()).hexdigest() for s in sh)
+            for p in range(num_perm)
+        ]
+
+    @F.pandas_udf("array<string>")
+    def sig_fn(norm: pd.Series) -> pd.Series:
+        return norm.map(one)
+
+    return sig_fn
+
+
+def minhash_accuracy(
+    df: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sketch-accuracy audit for the minhash dedup path: for every LSH
+    candidate pair, the Jaccard ESTIMATE the sketch implies (fraction
+    of agreeing signature slots — the estimator whose error the
+    num_perm knob controls) next to the EXACT shingle Jaccard. The
+    audit one runs before trusting a minhash threshold on a new corpus:
+    if est_j systematically overshoots exact_j at the dedup threshold,
+    the banding is too aggressive for the document mix.
+
+    Scale shape: signatures and shingle sets compute once (map-only,
+    persisted); the exact term is evaluated ONLY on the LSH-bounded
+    candidate pairs — never all pairs — via two hash joins keyed on
+    doc id. Counts stay integers; the two ratios are single exact
+    divisions, reproducible in the DuckDB oracle.
+    """
+    sig_fn = minhash_sig_udf(num_perm)
+    base = _persist_small(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            sig_fn(normalize_text(F.col(text_col))).alias("sig"),
+            shingles(F.col(text_col)).alias("sh"),
+        )
+    )
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    a = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig").alias("sa"),
+        F.col("sh").alias("ha"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sb"),
+        F.col("sh").alias("hb"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    n_agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    n_inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    n_union = F.size(F.col("ha")) + F.size(F.col("hb")) - n_inter
+    return j.select(
+        "id_a",
+        "id_b",
+        n_agree.cast("int").alias("n_agree"),
+        F.round(n_agree / F.lit(float(num_perm)), 4).alias("est_j"),
+        n_inter.cast("int").alias("n_inter"),
+        n_union.cast("int").alias("n_union"),
+        F.round(n_inter / n_union, 4).alias("exact_j"),
+    )

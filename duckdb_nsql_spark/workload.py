@@ -2044,6 +2044,54 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
 """
 
+def op_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_accuracy(_docs(spark, sf_dir))
+
+
+# sketch-accuracy audit: the DuckDB twin rebuilds the full 16-slot
+# signature, the LSH candidate pairs, the slot-agreement estimate and
+# the exact shingle Jaccard — integers plus two single divisions
+ORACLE_MINHASH_ACCURACY = f"""
+WITH sh AS ({{_SH}}),
+sigs AS (
+    SELECT doc_id, shingles,
+           list_transform(range(0, 16),
+               p -> list_min(list_transform(shingles, s -> md5(p || ':' || s)))) AS sig
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, b.band AS band,
+           md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS bandsig
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+            AS INTEGER) AS n_agree,
+       round(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+             / 16.0, 4) AS est_j,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER)
+           AS n_inter,
+       CAST(len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER)
+           AS n_union,
+       round(len(list_intersect(sa.shingles, sb.shingles))
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 4)
+           AS exact_j
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.id_a
+JOIN sigs sb ON sb.doc_id = p.id_b
+"""
+ORACLE_MINHASH_ACCURACY = ORACLE_MINHASH_ACCURACY.replace(
+    "{_SH}", _SHINGLES
+)
+
+
 ORACLE_NGRAM_JACCARD = f"""
 WITH sh AS ({_SHINGLES}),
 flat AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
@@ -4249,6 +4297,7 @@ for _name in [
 OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dedup_exact": (op_dedup_exact, ORACLE_DEDUP_EXACT),
     "op_dedup_minhash_lsh": (op_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
+    "op_minhash_accuracy": (op_minhash_accuracy, ORACLE_MINHASH_ACCURACY),
     "op_dedup_ngram_jaccard": (op_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "op_dedup_simhash": (op_dedup_simhash, ORACLE_SIMHASH),
     "op_dedup_apply": (op_dedup_apply, ORACLE_DEDUP_APPLY),
@@ -4331,19 +4380,19 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the fourteen NEW entries (first
+# at import time. Round 8 leads with the fifteen NEW entries (first
 # driver witness: SemDeDup, quality classifier, C4 clean, URL dedup,
 # span dedup, Bloom decontamination, product quantization, incremental
 # dedup, IVF-PQ recall, filtered ANN, streaming Bloom decontamination,
-# temperature-scaled sampling, the series-step query, the TIME
-# battery), then
+# temperature-scaled sampling, minhash sketch-accuracy audit, the
+# series-step query, the TIME battery), then
 # re-witnesses by staleness: the 29 entries whose last green driver row
 # is round 3 (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
-# r3-witnessed operator pipelines), then 7 of the round-5-witnessed
+# r3-witnessed operator pipelines), then 6 of the round-5-witnessed
 # operators. Everything outside the window is re-proven every round by
 # tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
 # every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 15 text/stream/sampling/similarity ops (next
+# q85+ SQL block and 16 text/stream/sampling/similarity ops (next
 # rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
@@ -4359,6 +4408,7 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_similarity_filtered",
     "op_stream_bloom_decontaminate",
     "op_temperature_mix",
+    "op_minhash_accuracy",
     "q126_series_step_arith",
     "q127_time_type",
     # last driver-green in round 3: SQL block q68-q84
@@ -4399,7 +4449,6 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_domain_mix",
     "op_multimodal_features",
     "op_pack_chunks",
-    "op_pack_first_fit",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
