@@ -927,3 +927,62 @@ def bloom_decontaminate(
             (F.col("n_hits") > 0).alias("flagged"),
         )
     )
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the observability report a
+    rolling ingest pipeline publishes per refresh: per ``group_col``,
+    how many documents were added / removed / kept between two corpus
+    snapshots (membership by normalized-content fingerprint, so a
+    re-crawled byte-identical page is 'kept' even when its id changed),
+    plus the character-volume drift.
+
+    Scale shape: both snapshots reduce to (fingerprint, group, chars)
+    before the full-outer join on the high-cardinality fingerprint —
+    text never shuffles; the report aggregate is a |groups|-row result.
+    Duplicate fingerprints within a snapshot collapse to min(group) /
+    min(chars) — deterministic (dropDuplicates would keep an arbitrary
+    row) and replayable in the oracle.
+    """
+    def fps(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                fingerprint(F.col(text_col)).alias("fp"),
+                F.col(group_col).alias("g"),
+                F.length(text_col).alias("chars"),
+            )
+            .groupBy("fp")
+            .agg(
+                F.min("g").alias(f"{side}_g"),
+                F.min("chars").alias(f"{side}_chars"),
+            )
+        )
+
+    a = fps(old_df, "old")
+    b = fps(new_df, "new")
+    j = a.join(b, "fp", "full_outer")
+    status = (
+        F.when(F.col("old_g").isNull(), F.lit("added"))
+        .when(F.col("new_g").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+    )
+    g = F.coalesce(F.col("new_g"), F.col("old_g"))
+    return (
+        j.select(
+            g.alias(group_col),
+            status.alias("status"),
+            F.coalesce(F.col("new_chars"), F.lit(0)).alias("nc"),
+            F.coalesce(F.col("old_chars"), F.lit(0)).alias("oc"),
+        )
+        .groupBy(group_col, "status")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            (F.sum("nc") - F.sum("oc")).cast("bigint").alias("char_drift"),
+        )
+    )

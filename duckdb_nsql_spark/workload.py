@@ -2044,6 +2044,45 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
 """
 
+def op_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: 'old' = doc_id % 5 != 4,
+    'new' = doc_id % 5 != 0 — per-language added/removed/kept counts by
+    CONTENT fingerprint (an id-rotated but byte-identical page counts
+    as kept) plus character drift. The refresh report of a rolling
+    ingest pipeline."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    return text_ops.corpus_diff(old, new)
+
+
+# corpus diff twin: same normalized fingerprints, same per-fp min(g)/
+# min(chars) collapse, same full-outer membership classification
+ORACLE_CORPUS_DIFF = f"""
+WITH o AS (
+    SELECT md5({_NORM}) AS fp, min(lang) AS old_g,
+           min(length(text)) AS old_chars
+    FROM documents WHERE doc_id % 5 <> 4 GROUP BY fp
+), n AS (
+    SELECT md5({_NORM}) AS fp, min(lang) AS new_g,
+           min(length(text)) AS new_chars
+    FROM documents WHERE doc_id % 5 <> 0 GROUP BY fp
+), j AS (
+    SELECT coalesce(n.new_g, o.old_g) AS lang,
+           CASE WHEN o.old_g IS NULL THEN 'added'
+                WHEN n.new_g IS NULL THEN 'removed'
+                ELSE 'kept' END AS status,
+           coalesce(n.new_chars, 0) AS nc,
+           coalesce(o.old_chars, 0) AS oc
+    FROM o FULL OUTER JOIN n ON o.fp = n.fp
+)
+SELECT lang, status,
+       CAST(count(*) AS INTEGER) AS n_docs,
+       CAST(sum(nc) - sum(oc) AS BIGINT) AS char_drift
+FROM j GROUP BY lang, status
+"""
+
+
 def op_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_accuracy(_docs(spark, sf_dir))
 
@@ -4298,6 +4337,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dedup_exact": (op_dedup_exact, ORACLE_DEDUP_EXACT),
     "op_dedup_minhash_lsh": (op_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
     "op_minhash_accuracy": (op_minhash_accuracy, ORACLE_MINHASH_ACCURACY),
+    "op_corpus_diff": (op_corpus_diff, ORACLE_CORPUS_DIFF),
     "op_dedup_ngram_jaccard": (op_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "op_dedup_simhash": (op_dedup_simhash, ORACLE_SIMHASH),
     "op_dedup_apply": (op_dedup_apply, ORACLE_DEDUP_APPLY),
@@ -4380,19 +4420,19 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the fifteen NEW entries (first
+# at import time. Round 8 leads with the sixteen NEW entries (first
 # driver witness: SemDeDup, quality classifier, C4 clean, URL dedup,
 # span dedup, Bloom decontamination, product quantization, incremental
 # dedup, IVF-PQ recall, filtered ANN, streaming Bloom decontamination,
-# temperature-scaled sampling, minhash sketch-accuracy audit, the
-# series-step query, the TIME battery), then
+# temperature-scaled sampling, minhash sketch-accuracy audit, corpus
+# snapshot diff, the series-step query, the TIME battery), then
 # re-witnesses by staleness: the 29 entries whose last green driver row
 # is round 3 (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
-# r3-witnessed operator pipelines), then 6 of the round-5-witnessed
+# r3-witnessed operator pipelines), then 5 of the round-5-witnessed
 # operators. Everything outside the window is re-proven every round by
 # tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
 # every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 16 text/stream/sampling/similarity ops (next
+# q85+ SQL block and 17 text/stream/sampling/similarity ops (next
 # rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
@@ -4409,6 +4449,7 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_stream_bloom_decontaminate",
     "op_temperature_mix",
     "op_minhash_accuracy",
+    "op_corpus_diff",
     "q126_series_step_arith",
     "q127_time_type",
     # last driver-green in round 3: SQL block q68-q84
@@ -4448,7 +4489,6 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_dedup_clusters",
     "op_domain_mix",
     "op_multimodal_features",
-    "op_pack_chunks",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
