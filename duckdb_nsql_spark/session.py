@@ -678,6 +678,25 @@ class DuckSparkSession:
             raise KeyError(f"Catalog Error: Table with name {name} does not exist!")
         return self._tables[key]
 
+    def table_at(self, name: str, commit: int) -> DataFrame:
+        """Time-travel read of a durable table as of warehouse commit
+        ``commit`` (see ``warehouse_commits()`` for the available
+        numbers). The copy-on-write commit log keeps each commit's
+        version dirs immutable, so this is a plain parquet read of the
+        historical snapshot — readable as far back as GC retention."""
+        if self._warehouse is None:
+            raise RuntimeError(
+                "time travel requires a durable warehouse "
+                "(connect(database=...))"
+            )
+        return self._warehouse.load_df_at(self.spark, name, commit)
+
+    def warehouse_commits(self) -> list[int]:
+        """Commit numbers available for time travel (durable warehouses)."""
+        if self._warehouse is None:
+            return []
+        return self._warehouse.commits()
+
     def register(self, name: str, df: DataFrame) -> None:
         """Register a DataFrame as a table (also as a Spark temp view)."""
         self._tables[name] = df

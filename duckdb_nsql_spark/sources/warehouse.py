@@ -518,6 +518,60 @@ class DurableWarehouse:
             if self._try_commit(ver + 1, cat):
                 return
 
+    # ---------------------------------------------------------- time travel
+    def commits(self) -> list[int]:
+        """Sorted commit numbers present in the log (the versions a
+        time-travel read can target, subject to GC retention)."""
+        cdir = os.path.join(self.root, _COMMITS)
+        try:
+            return sorted(
+                int(f[:-5]) for f in os.listdir(cdir) if f.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+
+    def catalog_at(self, number: int) -> dict:
+        """The full catalog as of commit ``number``."""
+        path = os.path.join(self.root, _COMMITS, f"{number:020d}.json")
+        try:
+            with open(path, "r", encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no commit {number} in this warehouse "
+                f"(log holds {self.commits() or 'nothing'})"
+            ) from None
+
+    def load_df_at(
+        self, spark: SparkSession, name: str, number: int
+    ) -> DataFrame:
+        """Time-travel read: table ``name`` as of commit ``number`` —
+        the commit log IS the version history (each commit references
+        immutable version dirs, Delta/Iceberg's snapshot model in
+        miniature). Readable as far back as GC retention keeps the
+        data (_KEEP_COMMITS commits + the grace window); a pruned
+        version raises a clear error rather than a partial read."""
+        cat = self.catalog_at(number)
+        ent = cat["tables"].get(name)
+        if ent is None:
+            raise ValueError(f"table {name!r} does not exist at commit {number}")
+        if self.fmt == "delta":
+            self._require_delta(spark)
+            return spark.read.format("delta").load(
+                os.path.join(self.root, ent["dir"])
+            )
+        v = ent["version"]
+        segments = v if isinstance(v, list) else [v]
+        paths = [os.path.join(self.root, ent["dir"], s) for s in segments]
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                f"commit {number} of table {name!r} references data the "
+                f"retention GC has pruned ({os.path.basename(missing[0])}); "
+                f"only the last {_KEEP_COMMITS} commits are kept readable"
+            )
+        return spark.read.parquet(*paths)
+
     # ------------------------------------------------------------------ GC
     def _gc(self, name: str, tdir: str) -> None:
         """Remove version dirs of ``name`` that no recent commit references

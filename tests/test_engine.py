@@ -1728,3 +1728,32 @@ def test_time_grid_matches_duckdb(engine):
     srow = tuple(engine.execute(sql).collect()[0])
     orow = ddb.sql(sql).fetchall()[0]
     assert srow == tuple(orow)
+
+
+def test_warehouse_time_travel(spark, tmp_path):
+    """Commit-log time travel: each DML commit stays readable at its
+    number until GC retention prunes the data; a missing commit and a
+    non-durable session raise clear errors."""
+    import pytest as _pytest
+
+    from duckdb_nsql_spark import DuckSparkSession
+
+    eng = DuckSparkSession(spark=spark, database=str(tmp_path / "wh"))
+    eng.execute("CREATE TABLE tt (x INTEGER)")
+    eng.execute("INSERT INTO tt VALUES (1)")
+    c1 = eng.warehouse_commits()[-1]
+    eng.execute("INSERT INTO tt VALUES (2), (3)")
+    c2 = eng.warehouse_commits()[-1]
+    eng.execute("UPDATE tt SET x = 99 WHERE x = 1")
+    assert sorted(r[0] for r in eng.table_at("tt", c1).collect()) == [1]
+    assert sorted(r[0] for r in eng.table_at("tt", c2).collect()) == [1, 2, 3]
+    assert sorted(r[0] for r in eng.table("tt").collect()) == [2, 3, 99]
+    with _pytest.raises(ValueError, match="no commit"):
+        eng.table_at("tt", 10_000)
+    with _pytest.raises(ValueError, match="does not exist at commit"):
+        eng.table_at("nope", c1)
+
+    eng2 = DuckSparkSession(spark=spark)
+    with _pytest.raises(RuntimeError, match="durable warehouse"):
+        eng2.table_at("tt", 0)
+    assert eng2.warehouse_commits() == []
