@@ -287,3 +287,45 @@ def test_incremental_dedup_statuses(spark):
         3: "dup_in_batch",
         4: "kept",
     }
+
+
+def test_temperature_mix_flattens_toward_uniform(docs):
+    """τ→0 upsamples tail domains: the selected mixture's max/min lang
+    share must be flatter than the natural corpus share."""
+    from collections import Counter
+
+    base = docs.select("doc_id", "lang")
+    natural = Counter(r["lang"] for r in base.collect())
+    picked = Counter(
+        r["lang"]
+        for r in sampling.temperature_mix(
+            base, "lang", temperature=0.1, total=150, key_col="doc_id"
+        ).collect()
+    )
+    def spread(c):
+        return max(c.values()) / max(min(c.values()), 1)
+
+    assert set(picked) == set(natural)   # every language survives
+    assert spread(picked) < spread(natural)
+    # τ=1 keeps natural proportions: per-domain rate is ~constant
+    nat = sampling.temperature_mix(
+        base, "lang", temperature=1.0, total=150, key_col="doc_id"
+    ).collect()
+    picked1 = Counter(r["lang"] for r in nat)
+    rates = {k: picked1[k] / natural[k] for k in natural}
+    assert max(rates.values()) - min(rates.values()) < 0.15
+
+
+def test_pq_quantize_shapes_and_error(spark, sf_dir):
+    from duckdb_nsql_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    out = similarity.pq_quantize(emb, m_sub=4, k=8, iters=2).collect()
+    assert len(out) == 64
+    for r in out:
+        parts = r["code_str"].split("-")
+        assert len(parts) == 4 and all(0 <= int(p) < 8 for p in parts)
+        assert r["err"] >= 0.0
+    # seeds quantize to themselves reasonably: total error is finite and
+    # strictly positive for a non-degenerate corpus
+    assert sum(r["err"] for r in out) > 0.0

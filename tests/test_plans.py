@@ -336,10 +336,14 @@ def test_bloom_decontaminate_plan_shape(spark):
     df = workload.op_bloom_decontaminate(spark, workload_sf_dir())
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan
+    # count only DATA-REDISTRIBUTING exchanges (hash/single-partition
+    # Arguments lines in the formatted detail); the _docs_wide
+    # map-spread adds RoundRobinPartitioning repartitions that are a
+    # gated no-op on a properly partitioned corpus
     n_exchanges = sum(
         1 for l in plan.splitlines()
-        if "Exchange" in l and "Broadcast" not in l and "Reused" not in l
-        and l.strip().startswith("(")
+        if l.startswith("Arguments: ")
+        and ("hashpartitioning" in l or "SinglePartition" in l)
     )
     # exactly: the eval-side 1-row bit-set aggregate + the per-doc agg
     assert n_exchanges == 2, plan
