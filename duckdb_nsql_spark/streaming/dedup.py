@@ -217,3 +217,29 @@ def bloom_decontaminate_stream(
             (n_hits > 0).alias("flagged"),
         )
     )
+
+
+def neardup_stream(
+    docs_with_ts: DataFrame,
+    text_col: str = "text",
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming NEAR-dup gate: watermark-bounded dedup on the full
+    16-slot minhash signature (one band over all slots — documents
+    whose shingle minima all agree, i.e. near-identical content beyond
+    byte equality, emit once within the watermark horizon). The
+    signature construction is the batch minhash operator's
+    (operators/dedup.py, md5-deterministic), so batch backfill and
+    streaming ingest agree on the surviving signature set; state is
+    bounded by the watermark exactly like the exact-dedup stream."""
+    from ..operators.dedup import minhash_bands_udf
+    from ..operators.text import normalize_text
+
+    sig_fn = minhash_bands_udf(16, 1)
+    sigd = docs_with_ts.withColumn(
+        "sig", sig_fn(normalize_text(F.col(text_col)))[0]
+    )
+    return sigd.withWatermark(
+        time_col, watermark
+    ).dropDuplicatesWithinWatermark(["sig"])

@@ -3275,6 +3275,45 @@ def op_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sd.run_available_now(out, spark, name)
 
 
+def op_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming NEAR-dup: the SAME document backlog
+    read twice (every doc arrives exactly twice) deduped on the full
+    16-slot minhash signature — each distinct signature emits once.
+    Event time is synthesized deterministically from doc_id (the
+    documents table carries no timestamp). Oracle: the distinct
+    signature set computed by DuckDB's replay of the md5 minhash."""
+    from .streaming import dedup as sd
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    doubled = sd.read_documents_stream(spark, path).union(
+        sd.read_documents_stream(spark, path)
+    )
+    # +1e6s keeps every synthesized event time strictly above the
+    # initial watermark (epoch 0) — doc_id 0 at exactly epoch 0 is
+    # treated as late by dropDuplicatesWithinWatermark and silently
+    # dropped before it ever emits
+    doubled = doubled.withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") + 1_000_000)
+    )
+    out = sd.neardup_stream(doubled).select("sig")
+    name = f"stream_neardup_{abs(hash(sf_dir)) % 10_000}"
+    return sd.run_available_now(out, spark, name)
+
+
+# the distinct full-signature set: same shingles, same 16 md5-min slots,
+# same one-band md5 over the '|'-joined signature as minhash_bands_udf
+ORACLE_STREAM_NEARDUP = f"""
+WITH sh AS ({_SHINGLES}),
+sigs AS (
+    SELECT doc_id,
+           list_transform(range(0, 16),
+               p -> list_min(list_transform(shingles, s -> md5(p || ':' || s)))) AS sig
+    FROM sh
+)
+SELECT DISTINCT md5(array_to_string(sig, '|')) AS sig FROM sigs
+"""
+
+
 def op_stream_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateless streaming text profiling — identical expressions to the
     batch op_text_profile, so the SAME oracle pins both; proves the text
@@ -4376,6 +4415,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_stream_join": (op_stream_join, ORACLE_STREAM_JOIN),
     "op_stream_stateful": (op_stream_stateful, ORACLE_STREAM_STATEFUL),
     "op_stream_dedup": (op_stream_dedup, ORACLE_STREAM_DEDUP),
+    "op_stream_neardup": (op_stream_neardup, ORACLE_STREAM_NEARDUP),
     "op_stream_doc_profile": (op_stream_doc_profile, ORACLE_TEXT_PROFILE),
     "op_stream_decontaminate": (op_stream_decontaminate, ORACLE_DECONTAMINATE),
     "op_stream_bloom_decontaminate": (
@@ -4420,19 +4460,20 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the sixteen NEW entries (first
+# at import time. Round 8 leads with the seventeen NEW entries (first
 # driver witness: SemDeDup, quality classifier, C4 clean, URL dedup,
 # span dedup, Bloom decontamination, product quantization, incremental
 # dedup, IVF-PQ recall, filtered ANN, streaming Bloom decontamination,
 # temperature-scaled sampling, minhash sketch-accuracy audit, corpus
-# snapshot diff, the series-step query, the TIME battery), then
+# snapshot diff, streaming near-dup, the series-step query, the TIME
+# battery), then
 # re-witnesses by staleness: the 29 entries whose last green driver row
 # is round 3 (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
-# r3-witnessed operator pipelines), then 5 of the round-5-witnessed
+# r3-witnessed operator pipelines), then 4 of the round-5-witnessed
 # operators. Everything outside the window is re-proven every round by
 # tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
 # every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 17 text/stream/sampling/similarity ops (next
+# q85+ SQL block and 18 text/stream/sampling/similarity ops (next
 # rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
@@ -4450,6 +4491,7 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_temperature_mix",
     "op_minhash_accuracy",
     "op_corpus_diff",
+    "op_stream_neardup",
     "q126_series_step_arith",
     "q127_time_type",
     # last driver-green in round 3: SQL block q68-q84
@@ -4488,7 +4530,6 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_decontaminate",
     "op_dedup_clusters",
     "op_domain_mix",
-    "op_multimodal_features",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
