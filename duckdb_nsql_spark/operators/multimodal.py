@@ -225,7 +225,8 @@ def _decode_bmp(b: bytes) -> dict:
     }
 
 
-def _decode_ppm(b: bytes) -> dict:
+def _ppm_raw(b: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary P6 PPM: (width, height, raw RGB triplets)."""
     # P6 <ws> width <ws> height <ws> maxval <single-ws> raw RGB
     parts = []
     i = 2
@@ -243,7 +244,11 @@ def _decode_ppm(b: bytes) -> dict:
         i = j
     i += 1  # the single whitespace after maxval
     width, height, _maxval = parts
-    raw = b[i : i + width * height * 3]
+    return width, height, b[i : i + width * height * 3]
+
+
+def _decode_ppm(b: bytes) -> dict:
+    width, height, raw = _ppm_raw(b)
     n = max(width * height, 1)
     return {
         "width": width,
@@ -1012,4 +1017,54 @@ def make_jpeg(width: int, height: int, seed: int) -> bytes:
         + sos
         + data
         + b"\xff\xd9"
+    )
+
+
+def image_ahash(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual average-hash over DECODED image pixels — the
+    image-side near-dup fingerprint (aHash family: a pixel's bit is set
+    when its luma exceeds the image mean; visually identical images
+    agree bit-for-bit, small edits flip few bits, so hamming distance
+    over the hash is the image analogue of minhash similarity).
+
+    Integer-exact by construction: luma = (r+g+b) // 3 and the
+    threshold test luma * n_px > sum_luma is cross-multiplied integer
+    arithmetic — no float mean, so the DuckDB oracle can recompute the
+    identical bits straight from the exported payload BYTES, an
+    independent pixel-level check on the decode path.
+
+    Scale shape: mapInPandas over Arrow batches, map-only, no shuffle;
+    the output is one narrow row per image (grid dims, luma sum, bit
+    string). Binary-PPM payloads only (the raw-pixel format); other
+    codecs route through decode_image first on a real cluster.
+    """
+    import pandas as pd
+
+    cols = [id_col, "w", "h", "n_px", "sum_luma", "ahash_bits"]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, raw = _ppm_raw(bytes(payload))
+                n = w * h
+                lumas = [
+                    (raw[3 * k] + raw[3 * k + 1] + raw[3 * k + 2]) // 3
+                    for k in range(n)
+                ]
+                s = sum(lumas)
+                bits = "".join(
+                    "1" if l * n > s else "0" for l in lumas
+                )
+                rows.append((int(aid), w, h, n, s, bits))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(
+        fn,
+        f"{id_col} long, w int, h int, n_px int, sum_luma int, "
+        "ahash_bits string",
     )

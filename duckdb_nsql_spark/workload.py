@@ -2946,6 +2946,62 @@ def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "kind", "n_bytes", "sha256_hex", "decode_ok")
 
 
+_PHASH_EXPORT = "/root/repo/spark-warehouse/phash_assets_export"
+
+
+def op_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over DECODED image pixels (the image-side
+    near-dup fingerprint). The op exports the synthesized binary-PPM
+    payloads to parquet; the Spark side decodes them through the real
+    pure-Python PPM parser (mapInPandas), while the DuckDB oracle
+    recomputes luma and the threshold bits STRAIGHT FROM THE PAYLOAD
+    BYTES (BLOB substring + hex->int; the P6 header of these
+    single-digit-dim fixtures is always 11 bytes, w=4, h=2+id%5) — an
+    independent pixel-level check on the decode path, the aHash
+    analogue of op_multimodal_features' sha256-over-bytes."""
+    assets = multimodal.synth_assets(spark, _docs(spark, sf_dir)).filter(
+        F.col("mime") == "image/x-portable-pixmap"
+    )
+    assets.select("asset_id", "payload").write.mode("overwrite").parquet(
+        _PHASH_EXPORT
+    )
+    persisted = spark.read.parquet(_PHASH_EXPORT)
+    return multimodal.image_ahash(persisted)
+
+
+ORACLE_IMAGE_PHASH = f"""
+WITH a AS (
+    SELECT asset_id, hex(payload) AS hx
+    FROM read_parquet('{_PHASH_EXPORT}/*.parquet')
+), px AS (
+    SELECT asset_id,
+           CAST(4 AS INTEGER) AS w,
+           CAST(2 + asset_id % 5 AS INTEGER) AS h,
+           k,
+           -- pixel k's RGB bytes live at 1-based byte offsets
+           -- 12+3k..14+3k (11-byte P6 header); byte o = hex chars
+           -- (o-1)*2+1..(o-1)*2+2
+           (('0x' || substr(hx, 23 + k*6, 2))::INT
+            + ('0x' || substr(hx, 25 + k*6, 2))::INT
+            + ('0x' || substr(hx, 27 + k*6, 2))::INT) // 3 AS luma
+    FROM a, unnest(range(0, 4 * (2 + asset_id % 5))) AS t(k)
+), s AS (
+    SELECT asset_id, count(*) AS n_px, sum(luma) AS sum_luma
+    FROM px GROUP BY asset_id
+)
+SELECT px.asset_id,
+       any_value(px.w) AS w,
+       any_value(px.h) AS h,
+       CAST(s.n_px AS INTEGER) AS n_px,
+       CAST(s.sum_luma AS INTEGER) AS sum_luma,
+       string_agg(CASE WHEN px.luma * s.n_px > s.sum_luma
+                       THEN '1' ELSE '0' END, '' ORDER BY px.k)
+           AS ahash_bits
+FROM px JOIN s USING (asset_id)
+GROUP BY px.asset_id, s.n_px, s.sum_luma
+"""
+
+
 def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = engine_for(spark, sf_dir)
     orders = eng.table("orders").filter(F.col("o_custkey") <= 500).select(
@@ -4402,6 +4458,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     ),
     "op_similarity_filtered": (op_similarity_filtered, ORACLE_SIM_FILTERED),
     "op_multimodal_features": (op_multimodal_features, ORACLE_MULTIMODAL),
+    "op_image_phash": (op_image_phash, ORACLE_IMAGE_PHASH),
     "op_multimodal_frame_sample": (
         op_multimodal_frame_sample,
         ORACLE_MM_FRAME_SAMPLE,
@@ -4460,20 +4517,20 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the seventeen NEW entries (first
+# at import time. Round 8 leads with the eighteen NEW entries (first
 # driver witness: SemDeDup, quality classifier, C4 clean, URL dedup,
 # span dedup, Bloom decontamination, product quantization, incremental
 # dedup, IVF-PQ recall, filtered ANN, streaming Bloom decontamination,
 # temperature-scaled sampling, minhash sketch-accuracy audit, corpus
-# snapshot diff, streaming near-dup, the series-step query, the TIME
-# battery), then
+# snapshot diff, streaming near-dup, image perceptual hash, the
+# series-step query, the TIME battery), then
 # re-witnesses by staleness: the 29 entries whose last green driver row
 # is round 3 (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
-# r3-witnessed operator pipelines), then 4 of the round-5-witnessed
+# r3-witnessed operator pipelines), then 3 of the round-5-witnessed
 # operators. Everything outside the window is re-proven every round by
 # tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
 # every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 18 text/stream/sampling/similarity ops (next
+# q85+ SQL block and 19 text/stream/sampling/similarity ops (next
 # rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
@@ -4492,6 +4549,7 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_minhash_accuracy",
     "op_corpus_diff",
     "op_stream_neardup",
+    "op_image_phash",
     "q126_series_step_arith",
     "q127_time_type",
     # last driver-green in round 3: SQL block q68-q84
@@ -4529,7 +4587,6 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_corpus_prep",
     "op_decontaminate",
     "op_dedup_clusters",
-    "op_domain_mix",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
