@@ -1068,3 +1068,58 @@ def image_ahash(
         f"{id_col} long, w int, h int, n_px int, sum_luma int, "
         "ahash_bits string",
     )
+
+
+def _wav_samples(payload: bytes) -> list[int]:
+    """Decode mono 16-bit PCM WAV to signed sample values (real stdlib
+    wave decode — the same path decode_audio uses)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM supported")
+        frames = w.readframes(w.getnframes())
+    return list(struct.unpack(f"<{len(frames) // 2}h", frames))
+
+
+def audio_fingerprint(
+    assets: DataFrame,
+    n_windows: int = 8,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio loudness-profile fingerprint — the audio-side near-dup
+    sketch (chromaprint's shape at toy scale): samples bin into
+    ``n_windows`` proportional windows (window of sample s =
+    s·n_windows // n — integer exact); a window's bit is set when its
+    absolute-amplitude sum exceeds its even share of the total
+    (win_abs · n_windows > total_abs, cross-multiplied integers, no
+    float). Two clips with the same loudness envelope collide; silence
+    vs content always differs.
+
+    Integer-exact end to end, so the DuckDB oracle recomputes the
+    identical bits straight from the exported payload BYTES (PCM int16
+    at the fixed 44-byte RIFF offset) — the audio counterpart of
+    image_ahash's pixel-level decode check. mapInPandas, map-only.
+    """
+    cols = [id_col, "n_samples", "total_abs", "energy_bits"]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                vals = _wav_samples(bytes(payload))
+                n = len(vals)
+                wins = [0] * n_windows
+                for s, v in enumerate(vals):
+                    wins[s * n_windows // n] += abs(v)
+                tot = sum(wins)
+                bits = "".join(
+                    "1" if w * n_windows > tot else "0" for w in wins
+                )
+                rows.append((int(aid), n, tot, bits))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(
+        fn,
+        f"{id_col} long, n_samples int, total_abs bigint, "
+        "energy_bits string",
+    )

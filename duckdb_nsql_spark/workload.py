@@ -3002,6 +3002,55 @@ GROUP BY px.asset_id, s.n_px, s.sum_luma
 """
 
 
+_AUDIO_EXPORT = "/root/repo/spark-warehouse/audiofp_assets_export"
+
+
+def op_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio loudness-profile fingerprint over REAL stdlib-wave-decoded
+    PCM; the DuckDB oracle recomputes the identical integer bits from
+    the exported payload bytes (int16 little-endian at the fixed
+    44-byte RIFF offset; n_samples = 64 + id % 64 by construction) —
+    the audio counterpart of op_image_phash's pixel-level check."""
+    assets = multimodal.synth_assets(spark, _docs(spark, sf_dir)).filter(
+        F.col("mime") == "audio/wav"
+    )
+    assets.select("asset_id", "payload").write.mode("overwrite").parquet(
+        _AUDIO_EXPORT
+    )
+    persisted = spark.read.parquet(_AUDIO_EXPORT)
+    return multimodal.audio_fingerprint(persisted)
+
+
+ORACLE_AUDIO_FINGERPRINT = f"""
+WITH a AS (
+    SELECT asset_id, hex(payload) AS hx,
+           CAST(64 + asset_id % 64 AS INTEGER) AS n
+    FROM read_parquet('{_AUDIO_EXPORT}/*.parquet')
+), smp AS (
+    SELECT asset_id, n, s,
+           ('0x' || substr(hx, 91 + s*4, 2))::INT * 256
+             + ('0x' || substr(hx, 89 + s*4, 2))::INT AS u
+    FROM a, unnest(range(0, n)) AS t(s)
+), ab AS (
+    SELECT asset_id, n, (s * 8) // n AS w,
+           CASE WHEN u > 32767 THEN 65536 - u ELSE u END AS av
+    FROM smp
+), wins AS (
+    SELECT asset_id, any_value(n) AS n, w, sum(av) AS wa
+    FROM ab GROUP BY asset_id, w
+), tot AS (
+    SELECT asset_id, sum(wa) AS ta FROM wins GROUP BY asset_id
+)
+SELECT w.asset_id,
+       CAST(any_value(w.n) AS INTEGER) AS n_samples,
+       CAST(t.ta AS BIGINT) AS total_abs,
+       string_agg(CASE WHEN w.wa * 8 > t.ta THEN '1' ELSE '0' END,
+                  '' ORDER BY w.w) AS energy_bits
+FROM wins w JOIN tot t USING (asset_id)
+GROUP BY w.asset_id, t.ta
+"""
+
+
 def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = engine_for(spark, sf_dir)
     orders = eng.table("orders").filter(F.col("o_custkey") <= 500).select(
@@ -4459,6 +4508,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_similarity_filtered": (op_similarity_filtered, ORACLE_SIM_FILTERED),
     "op_multimodal_features": (op_multimodal_features, ORACLE_MULTIMODAL),
     "op_image_phash": (op_image_phash, ORACLE_IMAGE_PHASH),
+    "op_audio_fingerprint": (
+        op_audio_fingerprint, ORACLE_AUDIO_FINGERPRINT,
+    ),
     "op_multimodal_frame_sample": (
         op_multimodal_frame_sample,
         ORACLE_MM_FRAME_SAMPLE,
@@ -4517,20 +4569,20 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 
 # Round-8 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the eighteen NEW entries (first
+# at import time. Round 8 leads with the nineteen NEW entries (first
 # driver witness: SemDeDup, quality classifier, C4 clean, URL dedup,
 # span dedup, Bloom decontamination, product quantization, incremental
 # dedup, IVF-PQ recall, filtered ANN, streaming Bloom decontamination,
 # temperature-scaled sampling, minhash sketch-accuracy audit, corpus
-# snapshot diff, streaming near-dup, image perceptual hash, the
-# series-step query, the TIME battery), then
+# snapshot diff, streaming near-dup, image perceptual hash, audio
+# fingerprint, the series-step query, the TIME battery), then
 # re-witnesses by staleness: the 29 entries whose last green driver row
 # is round 3 (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
-# r3-witnessed operator pipelines), then 3 of the round-5-witnessed
+# r3-witnessed operator pipelines), then 2 of the round-5-witnessed
 # operators. Everything outside the window is re-proven every round by
 # tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
 # every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 19 text/stream/sampling/similarity ops (next
+# q85+ SQL block and 20 text/stream/sampling/similarity ops (next
 # rotation's head).
 _WINDOW_R8: tuple[str, ...] = (
     # new in round 8 — never driver-witnessed
@@ -4550,6 +4602,7 @@ _WINDOW_R8: tuple[str, ...] = (
     "op_corpus_diff",
     "op_stream_neardup",
     "op_image_phash",
+    "op_audio_fingerprint",
     "q126_series_step_arith",
     "q127_time_type",
     # last driver-green in round 3: SQL block q68-q84
@@ -4586,7 +4639,6 @@ _WINDOW_R8: tuple[str, ...] = (
     # last driver-green in round 5: operator pipelines
     "op_corpus_prep",
     "op_decontaminate",
-    "op_dedup_clusters",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
