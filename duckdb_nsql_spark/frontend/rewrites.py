@@ -3747,14 +3747,60 @@ def pass_duckdb_varchar_cast(
     return out
 
 
+_TS_FUNC_HEADS = frozenset(
+    {"DATE_TRUNC", "MAKE_TIMESTAMP", "TO_TIMESTAMP", "STRPTIME"}
+)
+
+
+def _span_is_ts_typed(sig: list[Token], resolver: Resolver) -> bool:
+    """Does this cast-operand span statically evaluate to a TIMESTAMP?
+    Timestamp primaries (literal / catalog-typed column), ts-returning
+    function heads covering the whole span, and top-level ``±`` chains
+    with a timestamp-typed side (ts ± interval is ts). A miss keeps the
+    native CAST, which errors loudly rather than mis-executing."""
+    while (
+        len(sig) >= 2
+        and sig[0].kind == PUNCT
+        and sig[0].text == "("
+        and _match_sig_forward(sig, 0) == len(sig) - 1
+    ):
+        sig = sig[1:-1]
+    if not sig:
+        return False
+    if _tok_is_ts_primary(sig, resolver):
+        return True
+    if (
+        len(sig) >= 3
+        and sig[0].kind == IDENT
+        and sig[0].upper in _TS_FUNC_HEADS
+        and sig[1].kind == PUNCT
+        and sig[1].text == "("
+        and _match_sig_forward(sig, 1) == len(sig) - 1
+    ):
+        return True
+    depth = 0
+    for k in range(len(sig) - 1, 0, -1):
+        tk = sig[k]
+        if tk.kind == PUNCT and tk.text in ")]}":
+            depth += 1
+        elif tk.kind == PUNCT and tk.text in "([{":
+            depth -= 1
+        elif depth == 0 and tk.kind == OP and tk.text in ("+", "-"):
+            if _span_is_ts_typed(sig[:k], resolver) or _span_is_ts_typed(
+                sig[k + 1 :], resolver
+            ):
+                return True
+    return False
+
+
 def pass_ts_time_cast(
     tokens: list[Token], resolver: Optional[Resolver] = None
 ) -> list[Token]:
     """DuckDB ``CAST(<timestamp> AS TIME)`` / ``ts::TIME`` extracts the
     time-of-day; Spark 4.1's TIME type (timeType.enabled) has no
     TIMESTAMP->TIME cast yet — rewrite statically-timestamp operands
-    (TIMESTAMP literals or catalog-typed columns, the same narrow
-    `_tok_is_ts_primary` test the interval renderer uses) to
+    (timestamp primaries, ts-returning function heads, and ts ± interval
+    chains — `_span_is_ts_typed`) to
     ``to_time(date_format(x, 'HH:mm:ss.SSSSSS'))`` (µs preserved).
     String operands keep the native CAST, which Spark supports."""
     resolver = resolver or NullResolver()
@@ -3818,14 +3864,7 @@ def pass_ts_time_cast(
             lo, hi, slo, shi = repl
             span = out[slo:shi]
             sig = [tk for tk in span if tk.kind not in (WS, COMMENT)]
-            while (
-                len(sig) >= 2
-                and sig[0].kind == PUNCT
-                and sig[0].text == "("
-                and _match_sig_forward(sig, 0) == len(sig) - 1
-            ):
-                sig = sig[1:-1]
-            if _tok_is_ts_primary(sig, resolver):
+            if _span_is_ts_typed(sig, resolver):
                 new = tokenize(
                     f"to_time(date_format({render(span)}, 'HH:mm:ss.SSSSSS'))"
                 )

@@ -1721,6 +1721,16 @@ def test_time_grid_matches_duckdb(engine):
         "TIME '01:00:00' < TIME '02:00:00'",
         "TIME '12:30:45' = TIME '12:30:45'",
         "greatest(TIME '01:00:00', TIME '23:00:00') = TIME '23:00:00'",
+        # compound timestamp expressions in TIME-cast position
+        # (_span_is_ts_typed: ts ± interval chains, ts-returning heads)
+        "CAST((TIMESTAMP '2024-01-02 03:00:00' + INTERVAL 90 MINUTE)"
+        " AS TIME)::VARCHAR",
+        "CAST(date_trunc('hour', TIMESTAMP '2024-01-02 03:44:55') AS TIME)"
+        "::VARCHAR",
+        "CAST((INTERVAL 30 MINUTE + TIMESTAMP '2024-01-02 03:00:00')"
+        " AS TIME)::VARCHAR",
+        "((TIMESTAMP '2024-01-02 03:00:00' - INTERVAL 1 HOUR)::TIME)"
+        "::VARCHAR",
     ]
     sql = "SELECT " + ", ".join(
         f"{e} AS c{i}" for i, e in enumerate(exprs)
