@@ -366,3 +366,13 @@ def workload_sf_dir() -> str:
 
 
 SF_DIR_DEFAULT = "/root/testdata/sf0.001"
+
+
+def test_image_phash_read_is_map_only(spark):
+    """After the export write, the returned phash plan is Scan ->
+    MapInPandas: no join, no exchange — the decode fingerprint never
+    shuffles pixels."""
+    df = workload.op_image_phash(spark, workload_sf_dir())
+    plan = plan_of(df)
+    assert "Join" not in plan and "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
