@@ -3786,10 +3786,14 @@ def _span_is_ts_typed(sig: list[Token], resolver: Resolver) -> bool:
         elif tk.kind == PUNCT and tk.text in "([{":
             depth -= 1
         elif depth == 0 and tk.kind == OP and tk.text in ("+", "-"):
-            if _span_is_ts_typed(sig[:k], resolver) or _span_is_ts_typed(
-                sig[k + 1 :], resolver
-            ):
-                return True
+            # rightmost top-level ± is the root of a left-assoc chain
+            left_ts = _span_is_ts_typed(sig[:k], resolver)
+            right_ts = _span_is_ts_typed(sig[k + 1 :], resolver)
+            if tk.text == "-":
+                # ts - ts is an INTERVAL, not a timestamp: only
+                # ts - <non-ts> (ts - interval) stays timestamp-typed
+                return left_ts and not right_ts
+            return left_ts or right_ts
     return False
 
 

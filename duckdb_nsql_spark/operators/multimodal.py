@@ -1065,7 +1065,9 @@ def image_ahash(
 
     return assets.mapInPandas(
         fn,
-        f"{id_col} long, w int, h int, n_px int, sum_luma int, "
+        # sum_luma is bigint: 255 * n_px overflows int32 past ~8.4M px,
+        # and this path is pitched as the GENERAL image near-dup hash.
+        f"{id_col} long, w int, h int, n_px int, sum_luma bigint, "
         "ahash_bits string",
     )
 

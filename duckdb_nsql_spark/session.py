@@ -2511,7 +2511,11 @@ class DuckSparkSession:
                 continue
             if unit == "percent":
                 total = self.table(tname).count()
-                k = int(math.ceil(num / 100.0 * total))
+                # DuckDB sizes percent reservoirs with llround (half
+                # away from zero: 2.5%→of 50 rows→3, 3% of 60007→1800),
+                # measured against duckdb 1.x; ceil would over-draw by
+                # one row on any non-half fractional size.
+                k = int(math.floor(num / 100.0 * total + 0.5))
             else:
                 k = int(num)
             alias = parts[-1]

@@ -127,6 +127,20 @@ class DurableWarehouse:
                 " 'parquet' format, or install delta-spark on the cluster."
             )
 
+    @staticmethod
+    def _delta_log_version(spark: SparkSession, path: str) -> int | None:
+        """Current Delta-log version of the table at ``path`` (None when
+        the log is unreadable). Recorded into every delta commit entry so
+        ``load_df_at`` can time-travel with ``versionAsOf`` — without it a
+        historical read would silently return the CURRENT snapshot."""
+        from delta.tables import DeltaTable  # delta-spark runtime
+
+        try:
+            hist = DeltaTable.forPath(spark, path).history(1).collect()
+        except Exception:  # noqa: BLE001 — log not yet written
+            return None
+        return hist[0]["version"] if hist else None
+
     # --------------------------------------------------------- commit log
     def _latest_commit(self) -> tuple[int, dict]:
         """(commit number, catalog) from the highest numbered commit;
@@ -258,7 +272,14 @@ class DurableWarehouse:
                 "overwriteSchema", "true"
             ).save(out)
             self._commit_entry(
-                name, {"dir": tdir, "version": "delta", "meta": meta}, base
+                name,
+                {
+                    "dir": tdir,
+                    "version": "delta",
+                    "delta_version": self._delta_log_version(spark, out),
+                    "meta": meta,
+                },
+                base,
             )
             return spark.read.format("delta").load(out)
         vname = f"v{ver + 1:06d}-{uuid.uuid4().hex[:8]}"
@@ -318,7 +339,14 @@ class DurableWarehouse:
                 )
             w.save(out)
             self._commit_entry(
-                name, {"dir": tdir, "version": "delta", "meta": meta}, base
+                name,
+                {
+                    "dir": tdir,
+                    "version": "delta",
+                    "delta_version": self._delta_log_version(spark, out),
+                    "meta": meta,
+                },
+                base,
             )
             return
         segments: list[str] = []
@@ -414,7 +442,12 @@ class DurableWarehouse:
             )
             self._commit_entry(
                 name,
-                {"dir": ent["dir"], "version": "delta", "meta": meta},
+                {
+                    "dir": ent["dir"],
+                    "version": "delta",
+                    "delta_version": self._delta_log_version(spark, path),
+                    "meta": meta,
+                },
                 ent,
             )
             return
@@ -557,8 +590,21 @@ class DurableWarehouse:
             raise ValueError(f"table {name!r} does not exist at commit {number}")
         if self.fmt == "delta":
             self._require_delta(spark)
-            return spark.read.format("delta").load(
-                os.path.join(self.root, ent["dir"])
+            dv = ent.get("delta_version")
+            if dv is None:
+                # A pre-versioned commit entry (or an unreadable log at
+                # write time) cannot be time-travelled: reading the
+                # current snapshot here would be SILENTLY WRONG data.
+                raise ValueError(
+                    f"commit {number} of table {name!r} predates delta"
+                    " version tracking (no delta_version in the commit"
+                    " entry); the Delta log offers no mapping from this"
+                    " catalog commit to a snapshot"
+                )
+            return (
+                spark.read.format("delta")
+                .option("versionAsOf", str(dv))
+                .load(os.path.join(self.root, ent["dir"]))
             )
         v = ent["version"]
         segments = v if isinstance(v, list) else [v]

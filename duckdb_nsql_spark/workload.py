@@ -436,6 +436,17 @@ _sql(
 # --- sampling (dev.json:172,556 — nondeterministic, rows-only check) ------
 _sql("q34_sample_percent", "SELECT * FROM lineitem USING SAMPLE 5%", oracle=None)
 
+# Reservoir sampling draws an EXACT number of rows (dev.json:556's own
+# count-based validation), so wrapping it in count(*) IS deterministic —
+# the hash-level oracle for the sampling operator family. Which rows are
+# drawn stays nondeterministic (q34 pins that, rows-only); how MANY rows
+# are drawn is the contract both engines must agree on exactly.
+_sql(
+    "q34b_sample_reservoir_count",
+    "SELECT count(*) AS n FROM "
+    "(SELECT * FROM lineitem USING SAMPLE 10% (reservoir)) t",
+)
+
 # --- QUALIFY (DuckDB clause; rewritten to hidden-column subquery) ----------
 _sql(
     "q35_qualify",
@@ -2993,7 +3004,7 @@ SELECT px.asset_id,
        any_value(px.w) AS w,
        any_value(px.h) AS h,
        CAST(s.n_px AS INTEGER) AS n_px,
-       CAST(s.sum_luma AS INTEGER) AS sum_luma,
+       CAST(s.sum_luma AS BIGINT) AS sum_luma,
        string_agg(CASE WHEN px.luma * s.n_px > s.sum_luma
                        THEN '1' ELSE '0' END, '' ORDER BY px.k)
            AS ahash_bits
@@ -3396,9 +3407,13 @@ def op_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # +1e6s keeps every synthesized event time strictly above the
     # initial watermark (epoch 0) — doc_id 0 at exactly epoch 0 is
     # treated as late by dropDuplicatesWithinWatermark and silently
-    # dropped before it ever emits
+    # dropped before it ever emits. doc_id % 3600 folds ALL event times
+    # into half the 2-hour watermark horizon: parity with the oracle (a
+    # global DISTINCT) must not depend on corpus size — raw doc_id
+    # seconds would let two same-signature docs >7200 ids apart land in
+    # different micro-batches and re-emit after state eviction.
     doubled = doubled.withColumn(
-        "ts", F.timestamp_seconds(F.col("doc_id") + 1_000_000)
+        "ts", F.timestamp_seconds(F.col("doc_id") % 3600 + 1_000_000)
     )
     out = sd.neardup_stream(doubled).select("sig")
     name = f"stream_neardup_{abs(hash(sf_dir)) % 10_000}"

@@ -92,6 +92,10 @@ class FakeReader:
         self.log.append(("read.format", fmt))
         return self
 
+    def option(self, k, v):
+        self.log.append(("read.option", k, v))
+        return self
+
     def load(self, path):
         self.log.append(("read.load", path))
         return "LOADED_DELTA_DF"
@@ -204,7 +208,7 @@ def test_delta_save_table_contract(delta_stub):
     spark = FakeSpark(log)
     df = FakeDF(log)
     out = w.save_table(spark, "t1", df, meta={"m": 1})
-    writes = [c for op, c in log if op == "write"]
+    writes = [t[1] for t in log if t[0] == "write"]
     assert writes and writes[0]["format"] == "delta"
     assert writes[0]["mode"] == "overwrite"
     assert writes[0]["options"].get("overwriteSchema") == "true"
@@ -226,7 +230,7 @@ def test_delta_append_txn_idempotence_options(delta_stub):
         meta={"stream_wm": {"s1": 7}},
         txn=("s1", 7),
     )
-    writes = [c for op, c in log if op == "write"]
+    writes = [t[1] for t in log if t[0] == "write"]
     assert writes[-1]["format"] == "delta" and writes[-1]["mode"] == "append"
     assert writes[-1]["options"].get("txnAppId") == "s1"
     assert writes[-1]["options"].get("txnVersion") == "7"
@@ -240,7 +244,7 @@ def test_delta_upsert_merge_chain(delta_stub):
     w.upsert_table(
         spark, "t3", FakeDF(log), ["k"], "ts", meta={}, txn=("cdc", 0)
     )
-    writes = [c for op, c in log if op == "write"]
+    writes = [t[1] for t in log if t[0] == "write"]
     assert writes[-1]["mode"] == "append"
     log.clear()
     # second batch: native MERGE against the existing table
@@ -380,14 +384,14 @@ def test_delta_append_conflict_then_replay_same_txn(delta_stub, monkeypatch):
     log.clear()
     with pytest.raises(wh.CommitConflict):
         w.append_table(spark, "tc", FakeDF(log), {}, txn=("cdc", 8))
-    first = [c for op, c in log if op == "write"][-1]
+    first = [t[1] for t in log if t[0] == "write"][-1]
     # data hit the Delta log before the conflict — replay must dedup
     assert first["options"] == {"txnAppId": "cdc", "txnVersion": "8"}
     # catalog untouched by the failed commit
     assert w.tables()["tc"] == base_entry
     log.clear()
     w.append_table(spark, "tc", FakeDF(log), {}, txn=("cdc", 8))
-    second = [c for op, c in log if op == "write"][-1]
+    second = [t[1] for t in log if t[0] == "write"][-1]
     assert second["options"] == first["options"]  # identical txn key
     assert w.tables()["tc"]["meta"] == {}  # retry committed
 
@@ -396,3 +400,47 @@ def test_delta_unavailable_raises(tmp_path):
     w = wh.DurableWarehouse(str(tmp_path / "wh2"), fmt="delta")
     with pytest.raises(RuntimeError, match="delta-spark"):
         w.save_table(FakeSpark([]), "t", FakeDF([]), meta={})
+
+
+def test_delta_time_travel_reads_version_as_of(delta_stub):
+    """load_df_at on a delta warehouse must pin versionAsOf to the Delta
+    log version RECORDED AT COMMIT TIME — not read the current snapshot
+    (which would silently return wrong data for historical commits)."""
+    w, log = delta_stub
+    spark = FakeSpark(log)
+    w.save_table(spark, "tt", FakeDF(log), meta={"gen": 1})
+    first_commit = w.commits()[-1]
+    tdir = w.tables()["tt"]["dir"]
+    path = os.path.join(w.root, tdir)
+    assert w.catalog_at(first_commit)["tables"]["tt"]["delta_version"] == 0
+    # the Delta log advances (second overwrite) — new commit records v1
+    FakeMerge.version_by_path[path] = 1
+    w.save_table(spark, "tt", FakeDF(log), meta={"gen": 2})
+    second_commit = w.commits()[-1]
+    assert w.catalog_at(second_commit)["tables"]["tt"]["delta_version"] == 1
+    log.clear()
+    assert w.load_df_at(spark, "tt", first_commit) == "LOADED_DELTA_DF"
+    assert ("read.option", "versionAsOf", "0") in log
+    log.clear()
+    assert w.load_df_at(spark, "tt", second_commit) == "LOADED_DELTA_DF"
+    assert ("read.option", "versionAsOf", "1") in log
+
+
+def test_delta_time_travel_pre_versioned_commit_raises(delta_stub):
+    """A delta commit entry WITHOUT delta_version (written before version
+    tracking, or with an unreadable log) must refuse time travel loudly
+    instead of returning the latest snapshot."""
+    w, log = delta_stub
+    spark = FakeSpark(log)
+    w.save_table(spark, "old", FakeDF(log), meta={})
+    num = w.commits()[-1]
+    # strip the recorded version, emulating a pre-tracking commit
+    import json as _json
+
+    cpath = os.path.join(w.root, "_commits", f"{num:020d}.json")
+    cat = _json.load(open(cpath))
+    cat["tables"]["old"].pop("delta_version")
+    with open(cpath, "w") as f:
+        _json.dump(cat, f)
+    with pytest.raises(ValueError, match="delta version tracking"):
+        w.load_df_at(spark, "old", num)

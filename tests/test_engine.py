@@ -1740,6 +1740,26 @@ def test_time_grid_matches_duckdb(engine):
     assert srow == tuple(orow)
 
 
+def test_time_cast_interval_not_rewritten(engine):
+    """ts - ts is an INTERVAL, not a timestamp: the TIME-cast rewrite
+    must NOT fire on it (to_time over a formatted interval would
+    mis-execute). The native CAST errors loudly — same outcome as
+    DuckDB's own 'Unimplemented type for cast (INTERVAL -> TIME)'."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises((AnalysisException, Py4JJavaError, ValueError)):
+        engine.execute(
+            "SELECT CAST(TIMESTAMP '2024-01-02 03:00:00'"
+            " - TIMESTAMP '2024-01-02 01:30:00' AS TIME) AS x"
+        ).collect()
+    # the subtracted-interval form (ts - interval = ts) still rewrites
+    assert engine.execute(
+        "SELECT CAST(CAST(TIMESTAMP '2024-01-02 03:00:00'"
+        " - INTERVAL 90 MINUTE AS TIME) AS VARCHAR) AS x"
+    ).collect()[0][0] == "01:30:00"
+
+
 def test_warehouse_time_travel(spark, tmp_path):
     """Commit-log time travel: each DML commit stays readable at its
     number until GC retention prunes the data; a missing commit and a
