@@ -112,3 +112,100 @@ def test_validate_covers_engine_prepass_shapes(loaded_engine):
         "ON o.o_custkey = e.user_id AND e.ts < o.o_orderdate",
     )
     assert not res.ok
+
+
+def test_validate_malformed_ddl_is_parser_error(loaded):
+    """Non-query statements parse through the engine's own parsers
+    (side effects suppressed) — a head-keyword match alone must not
+    validate malformed DDL."""
+    r = validate_sql(loaded, "CREATE TABLE t_bad (x INTEGR)")
+    assert not r.ok and r.category == "parser", r
+    r = validate_sql(loaded, "CREATE TABLE t_bad (x FLOOB(3), y INT)")
+    assert not r.ok and r.category == "parser", r
+    # well-formed DDL still validates, and validation creates NOTHING
+    r = validate_sql(
+        loaded,
+        "CREATE TABLE t_good (x INTEGER PRIMARY KEY, y TEXT DEFAULT 'a',"
+        " CHECK (x > 0))",
+    )
+    assert r.ok, r
+    assert loaded._resolve_table_key("t_good") is None
+    # the sentinel's constraint state was purged
+    for attr in ("_checks", "_unique_keys", "_defaults", "_notnull_cols"):
+        assert "__validate_coldefs__" not in getattr(loaded, attr)
+
+
+def test_validate_ctas_and_view_check_inner_query(loaded):
+    assert validate_sql(
+        loaded, "CREATE TABLE t2 AS SELECT r_regionkey FROM region"
+    ).ok
+    r = validate_sql(
+        loaded, "CREATE VIEW v2 AS SELECT no_col FROM region"
+    )
+    assert not r.ok and r.category == "binder", r
+    assert loaded._resolve_table_key("t2") is None  # nothing materialized
+
+
+def test_validate_copy_shapes(loaded, tmp_path):
+    assert validate_sql(
+        loaded, f"COPY region TO '{tmp_path}/r.csv' (FORMAT CSV, HEADER)"
+    ).ok
+    r = validate_sql(
+        loaded, f"COPY (SELECT broken_col FROM region) TO '{tmp_path}/x.parquet'"
+    )
+    assert not r.ok and r.category == "binder", r
+    r = validate_sql(loaded, f"COPY no_such_tbl TO '{tmp_path}/y.csv'")
+    assert not r.ok and r.category == "catalog", r
+    r = validate_sql(loaded, "COPY region")
+    assert not r.ok and r.category == "parser", r
+
+
+def test_validate_alter_and_drop(loaded):
+    r = validate_sql(loaded, "ALTER TABLE region ALTER r_name SET DATA TYPE FLOOB")
+    assert not r.ok and r.category == "parser", r
+    assert validate_sql(
+        loaded, "ALTER TABLE region ALTER r_name SET DATA TYPE VARCHAR"
+    ).ok
+    r = validate_sql(loaded, "ALTER TABLE ghost_tbl ADD COLUMN z INTEGER")
+    assert not r.ok and r.category == "catalog", r
+    r = validate_sql(loaded, "DROP TABLE ghost_tbl")
+    assert not r.ok and r.category == "catalog", r
+    assert validate_sql(loaded, "DROP TABLE IF EXISTS ghost_tbl").ok
+    assert validate_sql(loaded, "DROP TABLE region").ok
+    assert loaded._resolve_table_key("region") is not None  # not executed
+
+
+def test_validate_merge_target(loaded):
+    r = validate_sql(
+        loaded,
+        "MERGE INTO ghost_tbl USING region r ON ghost_tbl.a = r.r_regionkey "
+        "WHEN MATCHED THEN UPDATE SET a = 1",
+    )
+    assert not r.ok and r.category == "catalog", r
+    r = validate_sql(loaded, "MERGE region")  # no USING clause
+    assert not r.ok and r.category == "parser", r
+
+
+def test_validate_insert_select_binds_source(loaded):
+    r = validate_sql(
+        loaded, "INSERT INTO region SELECT broken FROM nation"
+    )
+    assert not r.ok and r.category == "binder", r
+
+
+def test_validate_deadline_is_hang_proof(loaded, monkeypatch):
+    """The documented timeout actually exists: a statement whose
+    analysis hangs must return within the deadline, as VALID — the
+    reference's subprocess validator does exactly this on
+    TimeoutExpired (examples/utils.py:102-105)."""
+    import time as _time
+
+    def hang(self, sql, **kw):
+        _time.sleep(300)
+
+    monkeypatch.setattr(type(loaded), "_rewrite_query", hang)
+    t0 = _time.monotonic()
+    r = validate_sql(loaded, "SELECT 1", timeout_s=1.0)
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 5.0, f"deadline not enforced ({elapsed:.1f}s)"
+    assert r.ok  # timeout-means-valid, per the reference contract
