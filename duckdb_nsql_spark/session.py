@@ -697,6 +697,31 @@ class DuckSparkSession:
             return []
         return self._warehouse.commits()
 
+    def schema_text(self, lowercase_types: bool = True) -> str:
+        """CREATE TABLE DDL text for every catalog table — the schema
+        string the reference feeds its prompt builder (``get_schema``,
+        examples/utils.py:13-31: one ``CREATE TABLE name (\\n    col
+        TYPE,\\n    ...\\n);`` block per table, blocks joined by a blank
+        line; ``generate_prompt``, utils.py:36-50, then lowercases the
+        types). ``lowercase_types=True`` (default) returns the
+        prompt-ready lowercased form; ``False`` returns get_schema's raw
+        uppercase rendering. Types render through the same helper
+        DESCRIBE uses, so declared ENUM/fixed-array/UNION text is kept.
+        """
+        parts = []
+        for name, df in self._tables.items():
+            fixed = self._fixed_arrays.get(name)
+            overrides = self._type_overrides.get(name)
+            cols = []
+            for f in df.schema.fields:
+                ty = introspect._type_name(f, fixed, overrides)
+                if lowercase_types:
+                    ty = ty.lower()
+                cols.append(f"{f.name} {ty}")
+            body = ",\n    ".join(cols)
+            parts.append(f"CREATE TABLE {name} (\n    {body}\n);")
+        return "\n\n".join(parts)
+
     def register(self, name: str, df: DataFrame) -> None:
         """Register a DataFrame as a table (also as a Spark temp view)."""
         self._tables[name] = df

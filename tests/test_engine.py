@@ -1787,3 +1787,51 @@ def test_warehouse_time_travel(spark, tmp_path):
     with _pytest.raises(RuntimeError, match="durable warehouse"):
         eng2.table_at("tt", 0)
     assert eng2.warehouse_commits() == []
+
+
+def test_schema_text_matches_reference_protocol(engine):
+    """schema_text() renders the catalog exactly the way the reference's
+    prompt pipeline does (examples/utils.py:13-31 get_schema -> one
+    CREATE TABLE block per table joined by blank lines; utils.py:36-50
+    generate_prompt -> lowercased types). Expected text is produced by
+    replaying THAT protocol on a DuckDB database built from the same
+    DDL, so the comparison is against the reference's own rendering."""
+    import duckdb
+
+    ddls = [
+        "CREATE TABLE laptop (id INTEGER, model VARCHAR, price DOUBLE,"
+        " released DATE)",
+        "CREATE TABLE vendor (v_id BIGINT, name VARCHAR, rating FLOAT)",
+    ]
+    con = duckdb.connect()
+    for d in ddls:
+        engine.execute(d)
+        con.execute(d)
+
+    # reference get_schema, verbatim protocol (information_schema walk)
+    blocks = []
+    info = con.execute("SELECT * FROM information_schema.tables").fetchdf()
+    for tname in info["table_name"].unique():
+        tdf = con.execute(
+            "SELECT * FROM information_schema.columns"
+            f" WHERE table_name = '{tname}'"
+        ).fetchdf()
+        cols = [
+            f"{r['column_name']} {r['data_type']}" for _, r in tdf.iterrows()
+        ]
+        blocks.append(
+            f"CREATE TABLE {tname} (\n    " + ",\n    ".join(cols) + "\n);"
+        )
+    expected_raw = "\n\n".join(sorted(blocks))
+
+    got_raw = "\n\n".join(
+        sorted(engine.schema_text(lowercase_types=False).split("\n\n"))
+    )
+    assert got_raw == expected_raw
+    # the default (prompt-ready) form is the same text with lowered types
+    lowered = engine.schema_text()
+    assert "id integer" in lowered and "price double" in lowered
+    assert "model varchar" in lowered and "rating float" in lowered
+    assert "CREATE TABLE laptop (" in lowered  # names keep their case
+    engine.execute("DROP TABLE laptop")
+    engine.execute("DROP TABLE vendor")
