@@ -501,6 +501,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hot_cell_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al.,
     arXiv:2303.09540): k-means-cluster the embedding space, then look
@@ -530,9 +531,23 @@ def semantic_dedup(
     (cid, dim) partial-sum shuffle whose output is k×dim rows (bounded
     regardless of corpus size — the only driver collect); the pairwise
     stage reuses the blocked self-join of embedding_cosine_pairs with
-    the learned cluster as the block key. At extreme per-cluster sizes
-    a production run would sub-split hot cells with an LSH bucket —
-    same plan algebra.
+    the learned cluster as the block key.
+
+    ``hot_cell_cap``: the degenerate-distribution guard. k-means gives
+    no size guarantee — an embedding corpus collapsed around one mode
+    puts (almost) everything in one cell and the within-cell self-join
+    goes quadratic in the corpus again. With a cap set, any cell whose
+    size exceeds it is SUB-SPLIT with the deterministic random-
+    hyperplane LSH bucket (similarity.lsh_bucket — the same seed-mixed
+    hyperplanes the ANN path partitions by): the block key becomes
+    (cid, bucket), the plane count scales as ceil(log2(max_cell/cap))
+    so expected bucket size ≈ cap, and the join stays bounded per
+    block. Identical vectors always share every hyperplane sign, so
+    exact duplicates are NEVER separated; near-dups split across a
+    hyperplane may be missed — the standard LSH recall trade the
+    SemDeDup paper's shard-level clustering makes too. None (default)
+    keeps pure per-cell blocking, which the DuckDB oracle replays
+    exactly.
     """
     from decimal import Decimal
 
@@ -595,8 +610,36 @@ def semantic_dedup(
         assigned = assign(cents)
 
     final = _persist_small(assigned.select("vec_id", "v", "cid"))
+    block_col = "cid"
+    if hot_cell_cap is not None:
+        import math as _math
+
+        from .similarity import lsh_bucket
+
+        sizes = {
+            int(r["cid"]): int(r["n"])
+            for r in final.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }  # k rows — bounded driver state
+        hot = [c for c, n in sizes.items() if n > hot_cell_cap]
+        if hot:
+            planes = max(
+                1,
+                _math.ceil(
+                    _math.log2(max(sizes[c] for c in hot) / hot_cell_cap)
+                ),
+            )
+            sub = F.when(
+                F.col("cid").isin([int(c) for c in hot]),
+                lsh_bucket(F.col("v"), dim, n_planes=planes),
+            ).otherwise(F.lit(-1))
+            final = final.withColumn(
+                "blk", F.concat_ws(":", F.col("cid"), sub)
+            )
+            block_col = "blk"
     pair_df = embedding_cosine_pairs(
-        final, vec_col="v", id_col="vec_id", block_col="cid",
+        final, vec_col="v", id_col="vec_id", block_col=block_col,
         threshold=threshold,
     )
     dup_of = (

@@ -329,3 +329,76 @@ def test_pq_quantize_shapes_and_error(spark, sf_dir):
     # seeds quantize to themselves reasonably: total error is finite and
     # strictly positive for a non-degenerate corpus
     assert sum(r["err"] for r in out) > 0.0
+
+
+# ------------------------------------------------------ semantic hot cells
+
+
+def test_semantic_dedup_hot_cell_subsplit(spark):
+    """Degenerate embedding distribution: far more vectors than k-means
+    cells, so every cell blows past the cap and the within-cell
+    self-join goes quadratic in the corpus. hot_cell_cap must sub-split
+    hot cells with the LSH bucket so per-block join inputs stay
+    bounded, while exact duplicates (identical vectors — identical
+    hyperplane signs by construction) are still caught. (A cell whose
+    members also share one DIRECTION is unsplittable by hyperplane LSH
+    by design — same signs everywhere — so the degenerate fixture
+    keeps angular spread, which is what real embedding collapse looks
+    like: many docs, few k-means modes.)"""
+    import math
+
+    n, dim = 240, 8
+    rows = []
+    for i in range(n):
+        # deterministic angular jitter; ids 0/1 exact duplicates
+        base = [1.0] + [0.0] * (dim - 1)
+        if i > 1:
+            base = [
+                1.0 if d == 0 else math.sin(i * 31 + d * 7)
+                for d in range(dim)
+            ]
+        rows.append((i, [float(x) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cap = 32
+    out = dedup.semantic_dedup(
+        df, k=4, iters=2, threshold=0.999, hot_cell_cap=cap
+    )
+    res = {r["vec_id"]: r for r in out.collect()}
+    assert len(res) == n
+    # the exact duplicate pair survived the sub-split (same bucket always)
+    assert res[1]["is_dup"] and res[1]["dup_of"] == 0
+    assert not res[0]["is_dup"]
+
+    # per-block join inputs are bounded: replay the block key and check
+    # the largest block shrank from ~n to the cap's scale
+    from duckdb_nsql_spark.operators.similarity import lsh_bucket
+
+    assigned = out.join(df, "vec_id").select(
+        "vec_id", "cluster_id", "embedding"
+    )
+    sizes = {
+        int(r["cluster_id"]): int(r["n"])
+        for r in assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    max_cell = max(sizes.values())
+    assert max_cell > cap  # the distribution IS degenerate
+    planes = max(1, math.ceil(math.log2(max_cell / cap)))
+    split_sizes = [
+        int(r["n"])
+        for r in assigned.withColumn(
+            "b", lsh_bucket(F.col("embedding"), dim, n_planes=planes)
+        )
+        .groupBy("cluster_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(split_sizes) > len(sizes)  # the hot cell actually split
+    assert max(split_sizes) < max_cell  # bounded per-block join input
+
+    # cap=None (default) keeps the pure per-cell algebra byte-identical
+    base_out = dedup.semantic_dedup(df, k=4, iters=2, threshold=0.999)
+    base = {r["vec_id"]: r["cluster_id"] for r in base_out.collect()}
+    assert {v: r["cluster_id"] for v, r in res.items()} == base
