@@ -110,6 +110,14 @@ RUNTIME_CONFS = {
     # AQE can still downgrade to broadcast from *runtime* sizes.
     "spark.sql.sources.fileCompressionFactor": "4.0",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # fetchdf() materializes the WHOLE result in pandas, so tiny Arrow
+    # batches only add per-batch handoff + concat overhead (Spark's 10k
+    # default is tuned for incremental consumers). Measured at sf10
+    # (round 9, interleaved best-of-3): a 3M-row x 16-col fetch drops
+    # 2.70 s -> 1.25 s and a 1.3M-row sorted fetch 1.28 s -> 1.16 s at
+    # 1M rows/batch. Peak memory stays ~= result size + one batch — the
+    # result is fully materialized either way.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1000000",
     # Prefer shuffled HASH join over sort-merge when the planner already
     # knows the build side fits a per-partition map (build estimate <
     # autoBroadcastJoinThreshold x shuffle partitions — with the 4x
