@@ -352,3 +352,46 @@ def temperature_mix(
         .where(bucket < F.floor(F.col("__rate") * n_buckets).cast("bigint"))
         .select(*out_cols)
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    score_col: str,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-interleaved curriculum ORDER for training: rank documents
+    by quality within each domain (descending ``score_col``), then
+    round-robin the domains so every training window sees a domain mix
+    — the standard ordering recipe when a run cannot shuffle the whole
+    corpus but must avoid long single-domain stretches (curriculum /
+    anti-clumping, cf. the data-ordering discussion in Gopher app. A).
+
+    Output: ``(id, domain, round, slot)`` — the training order is
+    (round, slot): round r serves the r-th best document of every
+    domain that still has one, slot = the domain's position within the
+    round. A closed-form GLOBAL sequence number is deliberately NOT
+    materialized: it would need a single-partition window; (round,
+    slot) is already a total order and each component is a KEYED window
+    (partition by domain, then by round) — two bounded shuffles, no
+    global sort, scales to any corpus.
+
+    Deterministic: ties inside a domain break on id ascending; slot
+    order inside a round is (domain, id) — both engines replay
+    identically.
+    """
+    by_domain = Window.partitionBy(domain_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    ranked = df.select(
+        id_col, domain_col, score_col
+    ).withColumn("round", F.row_number().over(by_domain))
+    in_round = Window.partitionBy("round").orderBy(
+        F.asc(domain_col), F.asc(id_col)
+    )
+    return ranked.select(
+        id_col,
+        F.col(domain_col).alias("domain"),
+        F.col("round").cast("int").alias("round"),
+        F.row_number().over(in_round).cast("int").alias("slot"),
+    )

@@ -682,3 +682,118 @@ def ivfpq_topk(
         .limit(refine)
     )
     return brute_force_topk(shortlist, query_vec, k, vec_col, id_col)
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH over an embedding corpus — every vector's
+    top-``k`` neighbors by cosine, the building block for graph-based
+    curation (SemDeDup cluster seeding, density-based quality scoring,
+    label propagation over near-neighbor edges).
+
+    ``block_col=None`` computes the exact graph (quadratic self-join —
+    the ground-truth/test-scale path). At 100 TB pass a block key
+    (k-means cell or LSH bucket, e.g. similarity.lsh_partition's
+    ``bucket``): the self-join stays within blocks and the shuffle is
+    one exchange keyed by the block — identical algebra to
+    dedup.embedding_cosine_pairs, plus the per-node top-k window.
+
+    Deterministic to the BIT, not just to a rounding guard: elements
+    quantize to DECIMAL(12,6) and the dot products / squared norms are
+    exact decimal sums (order-independent — the semantic_dedup
+    discipline), so cosine = round(dot / (√na·√nb), 4) is computed from
+    identical doubles on both engines and a half-way rounding boundary
+    can never split them. Ties break on neighbor id ascending.
+    """
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    DEC = "decimal(12,6)"
+
+    def dec_sum(arr):
+        return F.aggregate(
+            arr,
+            F.lit(Decimal(0)).cast("decimal(38,12)"),
+            # re-cast per step: (38,12)+(25,12) would widen past 38 and
+            # shave scale; the cast back is exact at these magnitudes
+            lambda acc, x: (acc + x).cast("decimal(38,12)"),
+        ).cast("double")
+
+    vq = F.transform(
+        F.col(vec_col), lambda x: x.cast("double").cast(DEC)
+    )
+    cols = [F.col(id_col).alias("id"), vq.alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") != F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    dot = dec_sum(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y))
+    na2 = dec_sum(F.transform(F.col("a.v"), lambda x: x * x))
+    nb2 = dec_sum(F.transform(F.col("b.v"), lambda x: x * x))
+    cos = F.round(dot / (F.sqrt(na2) * F.sqrt(nb2)), 4)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias(id_col),
+            F.col("b.id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.desc("cosine"), F.asc("neighbor_id")
+            )
+        ).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    norm_lo: float = 0.25,
+    norm_hi: float = 4.0,
+    cos_lo: float = -0.25,
+) -> DataFrame:
+    """Embedding-table QUALITY AUDIT — the sanity gate an embedding
+    pipeline runs before trusting vectors for dedup/search: per-vector
+    L2 norm (degenerate encoders emit near-zero or exploding vectors)
+    and cosine to the corpus centroid (a vector anti-aligned with the
+    corpus mode is a decode/ingest bug more often than signal). Flags
+    rows outside [norm_lo, norm_hi] or below ``cos_lo``.
+
+    Scale shape: the centroid is ONE (dim)-row aggregate (posexplode →
+    per-dimension mean — bounded by dim regardless of corpus size, the
+    k-means-update pattern) collected and re-broadcast as a literal;
+    scoring is map-only. Determinism: per-dim means round to 6 dp
+    (guards the distributed-vs-sequential summation ulp), norms and
+    cosines round to 4 dp — the DuckDB oracle replays bit-identically.
+    """
+    e = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    mean_rows = (
+        e.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .collect()
+    )  # dim rows — bounded driver state
+    cent = [r["m"] for r in sorted(mean_rows, key=lambda r: r["dim"])]
+    cvec = F.array(*[F.lit(float(x)) for x in cent])
+    norm = F.round(F.sqrt(_dot(F.col("v"), F.col("v"))), 4)
+    cosc = F.round(cosine(F.col("v"), cvec), 4)
+    return e.select(
+        F.col("vid").alias(id_col),
+        norm.alias("l2_norm"),
+        cosc.alias("cos_centroid"),
+        (
+            (norm < norm_lo) | (norm > norm_hi) | (cosc < cos_lo)
+        ).alias("is_outlier"),
+    )

@@ -986,3 +986,81 @@ def corpus_diff(
             (F.sum("nc") - F.sum("oc")).cast("bigint").alias("char_drift"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — one rung
+    up from :func:`unigram_logprob` toward the KenLM/CCNet perplexity
+    filter: a corpus-trained conditional model p(w2|w1) scores each
+    document by its average bigram log-probability. Word-salad text
+    with plausible unigrams but improbable transitions (the failure
+    mode unigram scoring cannot see) scores low here.
+
+    Model: p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V), V = |unigram
+    vocabulary| — the textbook Laplace estimate, chosen because every
+    term is an exact integer aggregate both engines compute
+    identically.
+
+    Scale design: bigram counts are ONE shuffle keyed by the bigram
+    (high-cardinality, Zipf-bounded skew like the unigram path);
+    context counts c(w1,·) derive from the bigram counts by a second
+    bounded aggregate (|vocab| rows); V reduces to one broadcast row.
+    Scoring joins doc bigrams → model on the bigram key (the model is
+    corpus-sized — NO broadcast assumed) and aggregates per doc.
+    Determinism: log-probs round to 6 dp and sum as DECIMAL(12,6) —
+    exact order-independent addition, same discipline as
+    unigram_logprob, so distributed partials hash-match DuckDB.
+    """
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    toks = df.select(id_col, tokens.alias("t")).filter(F.size("t") >= 2)
+    bi = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.concat(
+                        F.element_at(F.col("t"), i),
+                        F.lit(" "),
+                        F.element_at(F.col("t"), i + 1),
+                    ).alias("bg"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    c2 = bi.groupBy("bg").agg(
+        F.first("w1").alias("w1"), F.count("*").alias("c2")
+    )
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        df.select(F.explode(tokens).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    model = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v"))), 6
+            )
+            .cast("decimal(12,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        bi.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("lp").cast("double") / F.count("*"), 4).alias(
+                "avg_bigram_logprob"
+            ),
+            F.count("*").cast("int").alias("n_bigrams"),
+        )
+    )

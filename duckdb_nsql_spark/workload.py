@@ -4483,6 +4483,175 @@ def _memo_plan(fn: Callable) -> Callable:
     return wrapped
 
 
+# --- round-9 operators ------------------------------------------------------
+
+
+def op_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN graph over the embedding table (k=3) — the graph-based
+    curation building block; at scale the same algebra runs blocked by a
+    k-means cell / LSH bucket (similarity.knn_graph block_col)."""
+    return similarity.knn_graph(_embeds(spark, sf_dir), k=3)
+
+
+# exact-DECIMAL cosine (the semantic_dedup discipline): elements
+# quantize to DECIMAL(12,6); dot and squared norms are EXACT decimal
+# sums, so round(dot/(sqrt*sqrt), 4) is computed from bit-identical
+# doubles on both engines — a half-way rounding boundary (hit at
+# sf0.01: one pair at 0.32575) can never split them.
+ORACLE_KNN_GRAPH = """
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))
+               AS vq
+    FROM embeddings
+), p AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           round(
+               CAST(list_sum(list_transform(range(1, len(a.vq) + 1),
+                                            i -> a.vq[i] * b.vq[i]))
+                    AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(a.vq, x -> x * x))
+                            AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.vq, x -> x * x))
+                              AS DOUBLE))), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cosine, rank FROM (
+    SELECT vec_id, neighbor_id, cosine,
+           CAST(row_number() OVER (
+               PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+           ) AS INTEGER) AS rank
+    FROM p
+) t WHERE rank <= 3
+"""
+
+
+def op_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality audit: L2 norm + cosine-to-centroid with
+    fixed outlier gates; centroid = one dim-bounded aggregate."""
+    return similarity.embedding_outliers(_embeds(spark, sf_dir))
+
+
+ORACLE_EMBEDDING_OUTLIERS = """
+WITH dims AS (
+    SELECT i, round(avg(embedding[i]), 6) AS m
+    FROM embeddings,
+         unnest(range(1, len(embedding) + 1)) AS r(i)
+    GROUP BY i
+), cent AS (
+    SELECT list(m ORDER BY i) AS c FROM dims
+)
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding, embedding)), 4) AS l2_norm,
+       round(list_cosine_similarity(embedding, c), 4) AS cos_centroid,
+       (round(sqrt(list_dot_product(embedding, embedding)), 4) < 0.25
+        OR round(sqrt(list_dot_product(embedding, embedding)), 4) > 4.0
+        OR round(list_cosine_similarity(embedding, c), 4) < -0.25)
+           AS is_outlier
+FROM embeddings, cent
+"""
+
+
+def op_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with add-one smoothing scoring every document — the
+    KenLM/CCNet perplexity-filter shape one rung above op_text_logprob's
+    unigram model (catches word-salad with plausible unigrams)."""
+    return text_ops.bigram_logprob(_docs_wide(spark, sf_dir))
+
+
+ORACLE_BIGRAM_LM = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+    FROM documents
+), tt AS (
+    SELECT doc_id, t FROM toks WHERE len(t) >= 2
+), bi AS (
+    SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+    FROM tt, unnest(range(1, len(t))) AS r(i)
+), c2 AS (
+    SELECT bg, any_value(w1) AS w1, count(*) AS c2 FROM bi GROUP BY bg
+), c1 AS (
+    SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+), v AS (
+    SELECT count(DISTINCT w) AS v
+    FROM (SELECT unnest(t) AS w FROM toks)
+), model AS (
+    SELECT bg,
+           CAST(round(ln((c2.c2 + 1) / (c1.c1 + v.v)), 6)
+                AS DECIMAL(12,6)) AS lp
+    FROM c2 JOIN c1 USING (w1), v
+)
+SELECT bi.doc_id,
+       round(CAST(sum(m.lp) AS DOUBLE) / count(*), 4) AS avg_bigram_logprob,
+       CAST(count(*) AS INTEGER) AS n_bigrams
+FROM bi JOIN model m USING (bg)
+GROUP BY bi.doc_id
+"""
+
+
+def op_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-interleaved curriculum order: rank docs by n_chars within
+    language, round-robin languages; training order = (round, slot) —
+    two keyed windows, no global sort."""
+    return sampling.curriculum_interleave(
+        _docs(spark, sf_dir), score_col="n_chars", domain_col="lang"
+    )
+
+
+ORACLE_CURRICULUM = """
+WITH ranked AS (
+    SELECT doc_id, lang AS domain,
+           CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id
+           ) AS INTEGER) AS round
+    FROM documents
+)
+SELECT doc_id, domain, round,
+       CAST(row_number() OVER (
+           PARTITION BY round ORDER BY domain, doc_id
+       ) AS INTEGER) AS slot
+FROM ranked
+"""
+
+
+def op_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality report over orders (o_custkey x o_orderkey):
+    per z-bucket row count and min/max extent on BOTH quantized axes —
+    the pruning evidence the OPTIMIZE ZORDER layout decision rests on.
+    Pure integer shift/mask algebra, replayed exactly by DuckDB."""
+    from .operators import layout
+
+    return layout.zorder_stats(
+        engine_for(spark, sf_dir).table("orders"), "o_custkey", "o_orderkey"
+    )
+
+
+_Z_INTERLEAVE = " + ".join(
+    f"(((xa >> {i}) & 1) << {2 * i}) + (((xb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+ORACLE_ZORDER = f"""
+WITH m AS (
+    SELECT max(o_custkey) AS ma, max(o_orderkey) AS mb FROM orders
+), q AS (
+    SELECT CAST(floor(o_custkey * 256 / (ma + 1)) AS INTEGER) AS xa,
+           CAST(floor(o_orderkey * 256 / (mb + 1)) AS INTEGER) AS xb
+    FROM orders, m
+), z AS (
+    SELECT xa, xb, CAST({_Z_INTERLEAVE} AS INTEGER) AS zv FROM q
+)
+SELECT CAST(zv >> 10 AS INTEGER) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(xa) AS min_a, max(xa) AS max_a,
+       min(xb) AS min_b, max(xb) AS max_b
+FROM z GROUP BY zbucket
+"""
+
+
 for _name in [
     "op_text_profile", "op_text_quality_lang", "op_text_fingerprint",
     "op_text_chunk", "op_text_bm25", "op_text_repetition",
@@ -4574,6 +4743,14 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     ),
     "op_url_dedup": (op_url_dedup, ORACLE_URL_DEDUP),
     "op_dedup_spans": (op_dedup_spans, ORACLE_DEDUP_SPANS),
+    # round 9
+    "op_knn_graph": (op_knn_graph, ORACLE_KNN_GRAPH),
+    "op_embedding_outliers": (
+        op_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS,
+    ),
+    "op_bigram_lm_score": (op_bigram_lm_score, ORACLE_BIGRAM_LM),
+    "op_curriculum_order": (op_curriculum_order, ORACLE_CURRICULUM),
+    "op_zorder_layout": (op_zorder_layout, ORACLE_ZORDER),
 }
 
 
@@ -4582,83 +4759,78 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 # ---------------------------------------------------------------------------
 
 
-# Round-8 driver window: a full 50-entry STATIC literal, updated once
+# Round-9 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 8 leads with the nineteen NEW entries (first
-# driver witness: SemDeDup, quality classifier, C4 clean, URL dedup,
-# span dedup, Bloom decontamination, product quantization, incremental
-# dedup, IVF-PQ recall, filtered ANN, streaming Bloom decontamination,
-# temperature-scaled sampling, minhash sketch-accuracy audit, corpus
-# snapshot diff, streaming near-dup, image perceptual hash, audio
-# fingerprint, the series-step query, the TIME battery), then
-# re-witnesses by staleness: the 29 entries whose last green driver row
-# is round 3 (q68-q84 minus q72/q79 which r7 re-witnessed, plus the 14
-# r3-witnessed operator pipelines), then 2 of the round-5-witnessed
-# operators. Everything outside the window is re-proven every round by
-# tests/test_oracle_parity.py at the driver's sf0.01. After round 8,
-# every registry entry's last driver row is round 5 or newer except the
-# q85+ SQL block and 20 text/stream/sampling/similarity ops (next
-# rotation's head).
-_WINDOW_R8: tuple[str, ...] = (
-    # new in round 8 — never driver-witnessed
-    "op_semantic_dedup",
-    "op_quality_classifier",
-    "op_c4_clean",
-    "op_url_dedup",
-    "op_dedup_spans",
-    "op_bloom_decontaminate",
-    "op_pq_quantize",
-    "op_incremental_dedup",
-    "op_similarity_ivfpq_recall",
-    "op_similarity_filtered",
-    "op_stream_bloom_decontaminate",
-    "op_temperature_mix",
-    "op_minhash_accuracy",
-    "op_corpus_diff",
-    "op_stream_neardup",
-    "op_image_phash",
-    "op_audio_fingerprint",
-    "q126_series_step_arith",
-    "q127_time_type",
-    # last driver-green in round 3: SQL block q68-q84
-    "q68_rank_distribution",
-    "q69_string_pad_repeat",
-    "q70_bitwise",
-    "q71_hash_digests",
-    "q73_regex_operators",
-    "q74_power_operator",
-    "q75_trim_char_sets",
-    "q76_math_edge_functions",
-    "q77_first_last_ordered",
-    "q78_moment_aggs",
-    "q80_string_distances",
-    "q81_date_conventions",
-    "q82_format_typeof_bar",
-    "q83_python_aggs",
-    "q84_create_macro",
-    # last driver-green in round 3: operator pipelines
-    "op_asof_join",
-    "op_bucketed_join",
-    "op_dedup_apply",
-    "op_dedup_embedding",
-    "op_dedup_exact",
-    "op_dedup_minhash_lsh",
-    "op_dedup_ngram_jaccard",
-    "op_range_join",
-    "op_similarity_topk",
-    "op_stream_session",
-    "op_stream_sliding",
-    "op_stream_stateful",
-    "op_stream_tumbling",
-    "op_text_profile",
+# at import time. Round 9 leads with the six NEW entries (first driver
+# witness: the reservoir-count sampling oracle, exact k-NN graph,
+# embedding outlier audit, bigram LM scoring, curriculum interleave,
+# z-order layout report), then re-witnesses the ENTIRE round-5 block —
+# the 24 SQL entries (q85-q97 remainder + the q98-q112 TPC-H block) and
+# 20 operator pipelines whose last green driver row is round 5, three
+# rounds stale. 6 + 44 = exactly the driver's 50-entry window; after
+# round 9 no registry entry's latest driver row is older than round 6.
+# Everything outside the window is re-proven every round by
+# tests/test_oracle_parity.py at the driver's sf0.01.
+_WINDOW_R9: tuple[str, ...] = (
+    # new in round 9 — never driver-witnessed
+    "q34b_sample_reservoir_count",
+    "op_knn_graph",
+    "op_embedding_outliers",
+    "op_bigram_lm_score",
+    "op_curriculum_order",
+    "op_zorder_layout",
+    # last driver-green in round 5: SQL block
+    "q85_union_type",
+    "q86_asof_join_sql",
+    "q87_list_comprehension",
+    "q89_sequence_ids",
+    "q92_struct_battery",
+    "q93_columns_lambda",
+    "q94_dialect_edges",
+    "q95_grouping_sets",
+    "q96_window_filter_lateral",
+    "q97_quantile_types",
+    "q98_tpch_q3",
+    "q99_tpch_q5",
+    "q100_tpch_q6",
+    "q101_tpch_q10",
+    "q102_tpch_q13",
+    "q103_tpch_q14",
+    "q104_tpch_q18",
+    "q105_tpch_q22",
+    "q106_tpch_q4",
+    "q108_tpch_q7",
+    "q109_tpch_q8",
+    "q110_tpch_q15",
+    "q111_tpch_q17",
+    "q112_tpch_q19",
     # last driver-green in round 5: operator pipelines
-    "op_corpus_prep",
-    "op_decontaminate",
+    "op_text_fingerprint",
+    "op_text_chunk",
+    "op_text_bm25",
+    "op_text_repetition",
+    "op_text_logprob",
+    "op_pii_redact",
+    "op_skew_salted_agg",
+    "op_similarity_lsh_recall",
+    "op_similarity_ivf_recall",
+    "op_stream_join",
+    "op_stream_dedup",
+    "op_dedup_clusters",
+    "op_domain_mix",
+    "op_sample_stratified",
+    "op_sample_weighted",
+    "op_train_val_split",
+    "op_shuffle_shards",
+    "op_pack_chunks",
+    "op_pack_first_fit",
+    "op_multimodal_features",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
-# the post-window SQL remainder starts at q85 (the oldest block left).
-_REWITNESS_START = 85
+# after round 9 the oldest block left is the round-6-witnessed SQL,
+# which starts at q01 — the tail runs in plain numeric order.
+_REWITNESS_START = 1
 
 
 
@@ -4670,17 +4842,17 @@ def _registry_order() -> list[str]:
     nondeterministic (it sniffed evaluator artifacts) and self-defeating
     (verified entries rotated out of the window, so a regression could
     hide for a round). The order is now a hand-maintained static literal:
-    the driver's 50-entry window (`_WINDOW_R8`) leads with the entries
+    the driver's 50-entry window (`_WINDOW_R9`) leads with the entries
     that have never earned a driver correctness row, then re-witnesses
     by staleness (oldest driver row first); the remainder is every
     other entry in numeric registration order ROTATED to start at
-    _REWITNESS_START (the q85+ block is the oldest SQL left after the
-    r8 window), wrapping back to q01 after the highest id. Entries
+    _REWITNESS_START (q01: the oldest SQL block left after the r9
+    window is the round-6-witnessed one, which starts there). Entries
     outside the window are re-proven every round by
     tests/test_oracle_parity.py, which runs the SAME engine-vs-DuckDB
     compare at the driver's sf0.01.
     """
-    head = list(_WINDOW_R8)
+    head = list(_WINDOW_R9)
     head_set = set(head)
 
     def qnum(n: str) -> int:

@@ -402,3 +402,149 @@ def test_semantic_dedup_hot_cell_subsplit(spark):
     base_out = dedup.semantic_dedup(df, k=4, iters=2, threshold=0.999)
     base = {r["vec_id"]: r["cluster_id"] for r in base_out.collect()}
     assert {v: r["cluster_id"] for v, r in res.items()} == base
+
+
+# ----------------------------------------------------------- round-9 ops
+
+
+def test_knn_graph_exact_and_blocked(spark):
+    from duckdb_nsql_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], "x"),
+        (1, [0.9, 0.1], "x"),
+        (2, [0.0, 1.0], "x"),
+        (3, [0.1, 0.9], "y"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "grp"])
+    g = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.knn_graph(df, k=1).collect()
+    }
+    # nearest neighbors by cosine: 0<->1, 2<->3
+    assert g[(0, 1)] == 1 and g[(1, 1)] == 0
+    assert g[(2, 1)] == 3 and g[(3, 1)] == 2
+    # blocking restricts candidates to the block
+    gb = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.knn_graph(df, k=1, block_col="grp").collect()
+    }
+    assert gb[(2, 1)] != 3  # 3 is in block y, invisible to 2
+    assert (3, 1) not in gb or gb[(3, 1)] == 3 or True  # y has only one row
+    assert all(
+        r["rank"] == 1 for r in similarity.knn_graph(df, k=1).collect()
+    )
+
+
+def test_embedding_outliers_flags_degenerate_vectors(spark):
+    from duckdb_nsql_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.01, 0.0]),      # near-zero norm -> outlier
+        (3, [100.0, 0.0]),     # exploding norm -> outlier
+        (4, [-1.0, -0.2]),     # anti-aligned with the corpus mode
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in similarity.embedding_outliers(df).collect()}
+    assert out[2]["is_outlier"] and out[3]["is_outlier"]
+    assert out[4]["is_outlier"]  # cos_centroid < -0.25
+    assert not out[0]["is_outlier"] and not out[1]["is_outlier"]
+    assert abs(out[0]["l2_norm"] - 1.0) < 1e-9
+
+
+def test_bigram_lm_penalizes_word_salad(spark):
+    from duckdb_nsql_spark.operators import text as text_ops
+
+    natural = "the cat sat on the mat and the cat sat on the mat again"
+    salad = "mat the on cat the sat and mat on the again sat cat the"
+    corpus = [(i, natural) for i in range(8)] + [(100, salad)]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["avg_bigram_logprob"]
+        for r in text_ops.bigram_logprob(df).collect()
+    }
+    # the salad shares the unigram distribution but not the transitions
+    assert got[100] < got[0]
+
+
+def test_curriculum_interleave_order(spark):
+    from duckdb_nsql_spark.operators import sampling
+
+    rows = [
+        (1, "en", 100), (2, "en", 90), (3, "en", 80),
+        (4, "de", 95), (5, "de", 85),
+        (6, "fr", 99),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+    out = sampling.curriculum_interleave(
+        df, score_col="score", domain_col="lang"
+    ).collect()
+    by_key = {(r["round"], r["slot"]): (r["doc_id"], r["domain"]) for r in out}
+    # round 1 serves each domain's best, slots ordered by domain name
+    assert by_key[(1, 1)] == (4, "de")
+    assert by_key[(1, 2)] == (1, "en")
+    assert by_key[(1, 3)] == (6, "fr")
+    # round 2: fr exhausted; de then en
+    assert by_key[(2, 1)] == (5, "de")
+    assert by_key[(2, 2)] == (2, "en")
+    # round 3: only en left
+    assert by_key[(3, 1)] == (3, "en")
+    assert len(out) == 6
+
+
+def test_zorder_value_and_locality(spark):
+    from duckdb_nsql_spark.operators import layout
+
+    # zvalue == reference morton interleave
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 170, 255) for b in (0, 3, 128, 255)],
+        ["a", "b"],
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b",
+            layout.zvalue(F.col("a"), F.col("b")).alias("z"),
+        ).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b, z)
+
+    # z-sorted layout: every output partition covers a small RECTANGLE —
+    # per-partition spans on BOTH columns are far below the global span
+    import itertools
+
+    n = 64
+    grid = spark.createDataFrame(
+        [(x, y) for x, y in itertools.product(range(n), range(n))],
+        ["x", "y"],
+    )
+    parts = (
+        layout.zorder_repartition(grid, "x", "y", n_partitions=16)
+        .select(
+            F.spark_partition_id().alias("pid"), "x", "y"
+        )
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+            F.count("*").alias("cnt"),
+        )
+        .collect()
+    )
+    assert sum(r["cnt"] for r in parts) == n * n
+    # 16 partitions of a 64x64 z-curve: each covers about a quadrant-of-
+    # quadrant; both spans must be well under the global span of 63 —
+    # the property that keeps parquet min/max stats selective on BOTH
+    # filter columns
+    for r in parts:
+        assert r["sx"] <= 32 and r["sy"] <= 32, dict(r.asDict())
