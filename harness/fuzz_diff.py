@@ -183,6 +183,13 @@ EVENT_TS_POOL = [
     "CAST(make_time(CAST(extract(hour FROM ts) AS BIGINT), "
     "CAST(extract(minute FROM ts) AS BIGINT), 1.5) AS VARCHAR)",
     "CAST(greatest(CAST(ts AS TIME), TIME '06:30:00') AS VARCHAR)",
+    # round-9: ± chains in TIME-cast position (_span_is_ts_typed's
+    # rightmost-operator rule — ts - interval stays ts; interval + ts
+    # is ts from the right side; ts - ts is INTERVAL and must NOT
+    # rewrite, covered by the loud-error engine test, not fuzz)
+    "CAST(CAST(ts - INTERVAL 2 HOUR AS TIME) AS VARCHAR)",
+    "CAST(CAST(INTERVAL 30 MINUTE + ts AS TIME) AS VARCHAR)",
+    "CAST((ts + INTERVAL 1 HOUR - INTERVAL 15 MINUTE)::TIME AS VARCHAR)",
 ]
 
 
