@@ -861,3 +861,54 @@ def minhash_accuracy(
         n_union.cast("int").alias("n_union"),
         F.round(n_inter / n_union, 4).alias("exact_j"),
     )
+
+
+def crossmodal_dedup(
+    docs: DataFrame,
+    embeds: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Hybrid lexical+semantic dedup verification: minhash-LSH proposes
+    candidate pairs from TEXT, the embedding table CONFIRMS each pair
+    with an exact cosine — the two-modality gate real pipelines use
+    before destructive dedup (lexical LSH alone fires on boilerplate
+    collisions; an embedding check separates same-template-different-
+    content from true near-dups).
+
+    Scale shape: the candidate set (LSH-bounded, not quadratic) joins
+    the embedding table TWICE on the id key — two hash joins whose
+    build side is the candidate list, shuffles keyed by id; cosine math
+    is the bit-exact DECIMAL discipline (similarity.dec_cosine), so the
+    confirmed flag is hash-comparable against a DuckDB replay.
+
+    Returns ``(id_a, id_b, cosine, confirmed)`` for every lexical
+    candidate pair.
+    """
+    from .similarity import dec_cosine, dec_quantize
+
+    pairs = minhash_lsh_candidates(
+        docs, text_col, doc_id_col, num_perm, bands
+    )
+    eq = embeds.select(
+        F.col(vec_id_col).alias("__vid"),
+        dec_quantize(F.col(vec_col)).alias("__vq"),
+    )
+    joined = (
+        pairs.join(eq, pairs["id_a"] == eq["__vid"])
+        .select("id_a", "id_b", F.col("__vq").alias("va"))
+        .join(eq, F.col("id_b") == eq["__vid"])
+        .select("id_a", "id_b", "va", F.col("__vq").alias("vb"))
+    )
+    cos = dec_cosine(F.col("va"), F.col("vb"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        cos.alias("cosine"),
+        (cos >= F.lit(threshold)).alias("confirmed"),
+    )

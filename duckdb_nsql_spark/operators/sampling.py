@@ -395,3 +395,43 @@ def curriculum_interleave(
         F.col("round").cast("int").alias("round"),
         F.row_number().over(in_round).cast("int").alias("slot"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic shard MANIFEST — the integrity record a training
+    ingest writes next to its shards: every document hash-buckets into
+    a shard (md5 of the id — reshuffling or re-running the pipeline can
+    never move a document), and each shard row carries its row count,
+    total characters, id range, and a CONTENT CHECKSUM (md5 over the
+    lexicographically sorted per-doc content fingerprints). Two
+    manifests with equal checksums hold byte-identical shard content
+    regardless of row order — the property resumable ingest and
+    train-job provenance checks rely on.
+
+    One shuffle keyed by the shard id (n_shards groups out); the
+    checksum concatenates md5 fingerprints (16 B/doc), never document
+    text. sort_array inside the aggregate makes the checksum
+    order-independent without a global sort.
+    """
+    from .text import fingerprint
+
+    per_doc = df.select(
+        hash_bucket(F.col(id_col), n_shards, seed="shard:").alias("shard"),
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).alias("nc"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    return per_doc.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("fp")), "")
+        ).alias("content_md5"),
+    )

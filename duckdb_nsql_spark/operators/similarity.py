@@ -32,6 +32,36 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def dec_quantize(vec: Column) -> Column:
+    """Quantize vector elements to DECIMAL(12,6) — the first step of the
+    bit-exact cosine discipline (see dec_cosine)."""
+    return F.transform(vec, lambda x: x.cast("double").cast("decimal(12,6)"))
+
+
+def _dec_sum(arr: Column) -> Column:
+    from decimal import Decimal
+
+    return F.aggregate(
+        arr,
+        F.lit(Decimal(0)).cast("decimal(38,12)"),
+        # re-cast per step: (38,12)+(25,12) would widen past 38 and
+        # shave scale; the cast back is exact at these magnitudes
+        lambda acc, x: (acc + x).cast("decimal(38,12)"),
+    ).cast("double")
+
+
+def dec_cosine(aq: Column, bq: Column) -> Column:
+    """Bit-exact 4-dp cosine over dec_quantize'd vectors: dot and squared
+    norms are EXACT decimal sums (order-independent — the semantic_dedup
+    discipline), so round(dot/(√na·√nb), 4) is computed from identical
+    doubles on every engine and a half-way rounding boundary can never
+    split Spark from a DuckDB oracle replay."""
+    dot = _dec_sum(F.zip_with(aq, bq, lambda x, y: x * y))
+    na2 = _dec_sum(F.transform(aq, lambda x: x * x))
+    nb2 = _dec_sum(F.transform(bq, lambda x: x * x))
+    return F.round(dot / (F.sqrt(na2) * F.sqrt(nb2)), 4)
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -710,24 +740,9 @@ def knn_graph(
     identical doubles on both engines and a half-way rounding boundary
     can never split them. Ties break on neighbor id ascending.
     """
-    from decimal import Decimal
-
     from pyspark.sql import Window
 
-    DEC = "decimal(12,6)"
-
-    def dec_sum(arr):
-        return F.aggregate(
-            arr,
-            F.lit(Decimal(0)).cast("decimal(38,12)"),
-            # re-cast per step: (38,12)+(25,12) would widen past 38 and
-            # shave scale; the cast back is exact at these magnitudes
-            lambda acc, x: (acc + x).cast("decimal(38,12)"),
-        ).cast("double")
-
-    vq = F.transform(
-        F.col(vec_col), lambda x: x.cast("double").cast(DEC)
-    )
+    vq = dec_quantize(F.col(vec_col))
     cols = [F.col(id_col).alias("id"), vq.alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
@@ -736,10 +751,7 @@ def knn_graph(
     cond = F.col("a.id") != F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    dot = dec_sum(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y))
-    na2 = dec_sum(F.transform(F.col("a.v"), lambda x: x * x))
-    nb2 = dec_sum(F.transform(F.col("b.v"), lambda x: x * x))
-    cos = F.round(dot / (F.sqrt(na2) * F.sqrt(nb2)), 4)
+    cos = dec_cosine(F.col("a.v"), F.col("b.v"))
     return (
         a.join(b, cond)
         .select(

@@ -1064,3 +1064,115 @@ def bigram_logprob(
             F.count("*").cast("int").alias("n_bigrams"),
         )
     )
+
+
+# Gopher rule battery (Rae et al. 2021, table A1 shape) — hand-pinned
+# thresholds; rational/count arithmetic only so both engines agree bit
+# for bit. Word bounds are scaled to the synthetic corpus (its docs are
+# short); the rule ALGEBRA is the reference's.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_WL_LO = 2.0
+GOPHER_WL_HI = 10.0
+GOPHER_SYMBOL_MAX = 0.1
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_STOPSET = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document-level rule filter — the third filter family
+    next to c4_clean (line rules) and quality_classifier (linear
+    score): hard per-document gates on word count, mean word length,
+    symbol-to-word ratio (# and ...), alphabetic-word ratio, and
+    distinct-stopword presence. Emits every metric plus per-rule flags
+    plus the conjunction — the audit row a curation pipeline keeps even
+    for dropped documents.
+
+    Map-only JVM built-ins over the word array; integer counts and one
+    guarded division per ratio (identical operand order on both
+    engines), so the DuckDB oracle matches bit-for-bit. No shuffle at
+    any scale.
+    """
+    c = F.col(text_col)
+    words = F.split(F.trim(c), WORD_SPLIT_RE)
+    n_words = F.size(words)
+    n_alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    mean_wl = F.round(
+        n_alpha_chars / F.greatest(n_words, F.lit(1)).cast("double"), 4
+    )
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.")).cast("int")
+    symbol_ratio = F.round(
+        n_symbols / F.greatest(n_words, F.lit(1)).cast("double"), 4
+    )
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    alpha_ratio = F.round(
+        n_alpha_words / F.greatest(n_words, F.lit(1)).cast("double"), 4
+    )
+    low = F.lower(c)
+    stop_hits = sum(
+        (
+            F.when(low.rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+            for w in GOPHER_STOPSET
+        ),
+        F.lit(0),
+    ).cast("int")
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_wl = (mean_wl >= GOPHER_WL_LO) & (mean_wl <= GOPHER_WL_HI)
+    r_symbol = symbol_ratio < GOPHER_SYMBOL_MAX
+    r_alpha = alpha_ratio > GOPHER_ALPHA_MIN
+    r_stops = stop_hits >= GOPHER_MIN_STOPS
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        r_words.alias("pass_words"),
+        r_wl.alias("pass_word_len"),
+        r_symbol.alias("pass_symbols"),
+        r_alpha.alias("pass_alpha"),
+        r_stops.alias("pass_stops"),
+        (r_words & r_wl & r_symbol & r_alpha & r_stops).alias("keep"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language tokenizer FERTILITY report: tokens-per-word and
+    chars-per-token under the BPE-ish pre-tokenizer — the standard
+    check that a tokenizer prices every language fairly before fixing a
+    domain mix (a language with 2× fertility pays 2× the context budget
+    per word; XLM-R/mC4 rebalance on exactly this number).
+
+    One bounded aggregate keyed by language (|langs| rows out, however
+    large the corpus); all sums are exact integer counts, ratios are
+    one rounded division each — bit-identical on the DuckDB oracle.
+    """
+    c = F.col(text_col)
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        F.length(c).alias("nc"),
+        word_count(c).alias("nw"),
+        token_count_bpe(c).alias("nt"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("nt") / F.greatest(F.sum("nw"), F.lit(1)).cast("double"), 4
+        ).alias("fertility"),
+        F.round(
+            F.sum("nc") / F.greatest(F.sum("nt"), F.lit(1)).cast("double"), 4
+        ).alias("chars_per_token"),
+    )

@@ -4652,6 +4652,169 @@ FROM z GROUP BY zbucket
 """
 
 
+def op_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document rule battery (word count, mean word length,
+    symbol ratio, alphabetic-word ratio, stopword presence) — the third
+    filter family next to c4_clean and the linear classifier."""
+    return text_ops.gopher_rules(_docs_wide(spark, sf_dir))
+
+
+ORACLE_GOPHER_RULES = r"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+               AS n_words,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS n_alpha_chars,
+           CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS INTEGER)
+               AS n_symbols,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                w -> regexp_matches(w, '[A-Za-z]')))
+                AS INTEGER) AS n_alpha_words,
+           CAST((CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
+               AS INTEGER) AS stop_hits
+    FROM documents
+), r AS (
+    SELECT doc_id, n_words,
+           round(n_alpha_chars / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+               AS mean_word_len,
+           round(n_symbols / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+               AS symbol_ratio,
+           round(n_alpha_words / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+               AS alpha_word_ratio,
+           stop_hits
+    FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+       stop_hits,
+       (n_words >= 10 AND n_words <= 100000) AS pass_words,
+       (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS pass_word_len,
+       (symbol_ratio < 0.1) AS pass_symbols,
+       (alpha_word_ratio > 0.8) AS pass_alpha,
+       (stop_hits >= 2) AS pass_stops,
+       ((n_words >= 10 AND n_words <= 100000)
+        AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
+        AND (symbol_ratio < 0.1)
+        AND (alpha_word_ratio > 0.8)
+        AND (stop_hits >= 2)) AS keep
+FROM r
+"""
+
+
+def op_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (tokens/word, chars/token under
+    the BPE-ish pre-tokenizer) — the multilingual pricing check run
+    before fixing a domain mix."""
+    return text_ops.tokenizer_fertility(_docs_wide(spark, sf_dir))
+
+
+ORACLE_TOKENIZER_FERTILITY = r"""
+WITH d AS (
+    SELECT lang,
+           length(text) AS nc,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+               AS nw,
+           CAST(len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS nt
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       round(sum(nt) / CAST(greatest(sum(nw), 1) AS DOUBLE), 4)
+           AS fertility,
+       round(sum(nc) / CAST(greatest(sum(nt), 1) AS DOUBLE), 4)
+           AS chars_per_token
+FROM d GROUP BY lang
+"""
+
+
+def op_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-shard manifest with order-independent content
+    checksums — the ingest-integrity record of a training pipeline."""
+    return sampling.shard_manifest(_docs(spark, sf_dir), n_shards=8)
+
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH per_doc AS (
+    SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                           1, 15))::BIGINT % 8 AS shard,
+           doc_id,
+           length(text) AS nc,
+           md5({_NORM}) AS fp
+    FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       md5(array_to_string(list_sort(list(fp)), '')) AS content_md5
+FROM per_doc GROUP BY shard
+"""
+
+
+def op_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dedup gate: minhash-LSH lexical candidates confirmed (or
+    refuted) by exact embedding cosine — the two-modality check before
+    destructive dedup. doc_id and vec_id share the id space in the
+    synthetic corpus, standing in for a doc->embedding join key."""
+    return dedup.crossmodal_dedup(
+        _docs(spark, sf_dir), _embeds(spark, sf_dir), threshold=0.9
+    )
+
+
+ORACLE_CROSSMODAL = f"""
+WITH sh AS ({_SHINGLES}),
+sigs AS (
+    SELECT doc_id,
+           list_transform(range(0, 16),
+               p -> list_min(list_transform(shingles, s -> md5(p || ':' || s)))) AS sig
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, b.band AS band,
+           md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS bandsig
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+),
+eq AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))
+               AS vq
+    FROM embeddings
+),
+scored AS (
+    SELECT p.id_a, p.id_b,
+           round(
+               CAST(list_sum(list_transform(range(1, len(a.vq) + 1),
+                                            i -> a.vq[i] * b.vq[i]))
+                    AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(a.vq, x -> x * x))
+                            AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.vq, x -> x * x))
+                              AS DOUBLE))), 4) AS cosine
+    FROM pairs p
+    JOIN eq a ON a.vec_id = p.id_a
+    JOIN eq b ON b.vec_id = p.id_b
+)
+SELECT id_a, id_b, cosine, (cosine >= 0.9) AS confirmed FROM scored
+"""
+
+
 for _name in [
     "op_text_profile", "op_text_quality_lang", "op_text_fingerprint",
     "op_text_chunk", "op_text_bm25", "op_text_repetition",
@@ -4751,6 +4914,12 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_bigram_lm_score": (op_bigram_lm_score, ORACLE_BIGRAM_LM),
     "op_curriculum_order": (op_curriculum_order, ORACLE_CURRICULUM),
     "op_zorder_layout": (op_zorder_layout, ORACLE_ZORDER),
+    "op_gopher_rules": (op_gopher_rules, ORACLE_GOPHER_RULES),
+    "op_tokenizer_fertility": (
+        op_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY,
+    ),
+    "op_shard_manifest": (op_shard_manifest, ORACLE_SHARD_MANIFEST),
+    "op_crossmodal_dedup": (op_crossmodal_dedup, ORACLE_CROSSMODAL),
 }
 
 

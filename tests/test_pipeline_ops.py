@@ -548,3 +548,108 @@ def test_zorder_value_and_locality(spark):
     # filter columns
     for r in parts:
         assert r["sx"] <= 32 and r["sy"] <= 32, dict(r.asDict())
+
+
+def test_gopher_rules_each_gate_fires(spark):
+    from duckdb_nsql_spark.operators import text as text_ops
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "we have a perfectly normal document to keep with words")
+    rows = [
+        (0, good),                                      # passes all
+        (1, "too short."),                              # fails words
+        (2, good + " ##### ### # # # # ... ... ..."),   # fails symbols
+        (3, ("9 8 7 6 5 4 3 2 1 0 9 8 7 6 5 4 3 2 1 0 the and of "
+             "to be that have with")),                  # fails alpha ratio
+        (4, ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+             "sed do eiusmod tempor incididunt ut labore")),  # fails stops
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text_ops.gopher_rules(df).collect()}
+    assert got[0]["keep"], got[0]
+    assert not got[1]["pass_words"] and not got[1]["keep"]
+    assert not got[2]["pass_symbols"] and not got[2]["keep"]
+    assert not got[3]["pass_alpha"] and not got[3]["keep"]
+    assert not got[4]["pass_stops"] and not got[4]["keep"]
+
+
+def test_tokenizer_fertility_counts(spark):
+    from duckdb_nsql_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (0, "ab cd", "en"),       # 2 words, 2 tokens
+            (1, "a-b c3d", "de"),     # 2 words, 3+3=6 tokens? a,-,b,c,3,d
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r["lang"]: r for r in text_ops.tokenizer_fertility(df).collect()}
+    assert got["en"]["n_words"] == 2 and got["en"]["n_tokens"] == 2
+    assert got["en"]["fertility"] == 1.0
+    assert got["de"]["n_words"] == 2 and got["de"]["n_tokens"] == 6
+    assert got["de"]["fertility"] == 3.0
+
+
+def test_shard_manifest_checksum_order_independent(spark):
+    from duckdb_nsql_spark.operators import sampling
+
+    rows = [(i, f"document number {i} with content") for i in range(40)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "text"])
+    df2 = spark.createDataFrame(list(reversed(rows)), ["doc_id", "text"])
+    m1 = {r["shard"]: r for r in sampling.shard_manifest(df1, 4).collect()}
+    m2 = {r["shard"]: r for r in sampling.shard_manifest(df2, 4).collect()}
+    assert set(m1) == set(m2)
+    for s in m1:
+        assert m1[s]["content_md5"] == m2[s]["content_md5"]
+        assert m1[s]["n_docs"] == m2[s]["n_docs"]
+    assert sum(r["n_docs"] for r in m1.values()) == 40
+    # a content change flips exactly its shard's checksum
+    rows3 = list(rows)
+    rows3[7] = (7, "MUTATED")
+    m3 = {
+        r["shard"]: r
+        for r in sampling.shard_manifest(
+            spark.createDataFrame(rows3, ["doc_id", "text"]), 4
+        ).collect()
+    }
+    changed = [s for s in m1 if m1[s]["content_md5"] != m3[s]["content_md5"]]
+    assert len(changed) == 1
+
+
+def test_crossmodal_dedup_confirms_and_refutes(spark):
+    from duckdb_nsql_spark.operators import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi")
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " rho"),   # lexical near-dup of 0
+            (2, "totally different words entirely here now friends"),
+        ],
+        ["doc_id", "text"],
+    )
+    embeds = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),  # semantically ORTHOGONAL to 0
+            (2, [0.0, 0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.crossmodal_dedup(docs, embeds).collect()
+    }
+    assert (0, 1) in got            # lexical candidate proposed
+    assert not got[(0, 1)]["confirmed"]  # embedding check refutes it
+    # aligned embeddings confirm
+    embeds2 = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0]), (2, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    got2 = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.crossmodal_dedup(docs, embeds2).collect()
+    }
+    assert got2[(0, 1)]["confirmed"]
