@@ -1176,3 +1176,132 @@ def tokenizer_fertility(
             F.sum("nc") / F.greatest(F.sum("nt"), F.lit(1)).cast("double"), 4
         ).alias("chars_per_token"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the metadata-enrichment
+    step of a curation pipeline (search facets, topic routing, cluster
+    labeling all consume exactly this relation).
+
+    idf = ln(N/df) rounded to 6 dp and carried as DECIMAL(12,6); the
+    score tf·idf is an exact integer×decimal product, so ranking ties
+    and boundaries resolve identically on both engines (ties break on
+    the term ascending). Scale shape: one (doc,term) tf aggregate, one
+    term-keyed document-frequency aggregate (the model — corpus-sized,
+    NO broadcast assumed), a join on the term key, and one per-doc
+    top-k window. All shuffle keys are high-cardinality terms/ids.
+    """
+    from pyspark.sql import Window
+
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    words = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("w"))
+    tf = words.groupBy("id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "w",
+        F.round(F.log(F.col("n") / F.col("df")), 6)
+        .cast("decimal(12,6)")
+        .alias("idf"),
+    )
+    scored = tf.join(idf, "w").select(
+        "id", "w", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    win = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("w").alias("term"),
+            F.round(F.col("score").cast("double"), 4).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct 3-word shingles whose FIRST corpus occurrence (by doc id —
+    the ingest order) is this document. The dedup-aware curation
+    signal: a late document full of already-seen shingles adds little
+    training value even when no single pair crosses a dedup threshold
+    (the keep-first counterpart of dup_chunk_profile's symmetric
+    ratio).
+
+    Scale shape: shingles reduce to their text key; first-owner is ONE
+    min-aggregate keyed by the shingle (high-cardinality), joined back
+    on the same key (one exchange, reused), then a doc-keyed count —
+    no window over the corpus, no global sort.
+    """
+    from .dedup import shingles
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col))).alias("g"),
+    )
+    first_owner = grams.groupBy("g").agg(F.min("id").alias("first_id"))
+    return (
+        grams.join(first_owner, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum(
+                F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("novel_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "novel_grams",
+            F.round(
+                F.col("novel_grams")
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+def kanon_release(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...] = ("lang", "source"),
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-anonymity release gate over quasi-identifier columns: a row is
+    releasable only when at least ``k`` rows share its full
+    quasi-identifier combination — the privacy floor a corpus release
+    applies to its metadata columns before publication (a (lang,
+    source) combination seen once identifies its contributor). Emits
+    every row with its group size and the release verdict, so the
+    suppressed remainder is auditable rather than silently dropped.
+
+    One aggregate keyed by the quasi-identifier tuple + one join back
+    on the same key (exchange reused) — |groups| bounded by the
+    quasi-identifier domain however large the corpus.
+    """
+    qcols = [F.col(c) for c in quasi_cols]
+    sizes = df.groupBy(*qcols).agg(F.count("*").cast("int").alias("group_n"))
+    return (
+        df.select(id_col, *quasi_cols)
+        .join(sizes, list(quasi_cols))
+        .select(
+            id_col,
+            *quasi_cols,
+            "group_n",
+            (F.col("group_n") >= k).alias("released"),
+        )
+    )

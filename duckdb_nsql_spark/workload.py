@@ -4815,6 +4815,84 @@ SELECT id_a, id_b, cosine, (cosine >= 0.9) AS confirmed FROM scored
 """
 
 
+def op_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords — metadata enrichment; exact
+    integer×DECIMAL scores so ranking is engine-identical."""
+    return text_ops.tfidf_keywords(_docs_wide(spark, sf_dir), k=3)
+
+
+ORACLE_TFIDF = r"""
+WITH words AS (
+    SELECT doc_id AS id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS w
+    FROM documents
+), tf AS (
+    SELECT id, w, count(*) AS tf FROM words GROUP BY id, w
+), dfreq AS (
+    SELECT w, count(*) AS df FROM tf GROUP BY w
+), n AS (
+    SELECT count(*) AS n FROM documents
+), idf AS (
+    SELECT w, CAST(round(ln(n.n / dfreq.df), 6) AS DECIMAL(12,6)) AS idf
+    FROM dfreq, n
+), scored AS (
+    SELECT tf.id, tf.w, tf.tf * idf.idf AS score
+    FROM tf JOIN idf USING (w)
+), ranked AS (
+    SELECT id, w, score,
+           CAST(row_number() OVER (
+               PARTITION BY id ORDER BY score DESC, w
+           ) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT id AS doc_id, w AS term,
+       round(CAST(score AS DOUBLE), 4) AS tfidf, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def op_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty vs ingest order (keep-first) — the
+    dedup-aware curation signal below pairwise thresholds."""
+    return text_ops.ngram_novelty(_docs_wide(spark, sf_dir))
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH sh AS ({_SHINGLES}),
+grams AS (
+    SELECT doc_id AS id, unnest(shingles) AS g FROM sh
+), first_owner AS (
+    SELECT g, min(id) AS first_id FROM grams GROUP BY g
+)
+SELECT grams.id AS doc_id,
+       CAST(count(*) AS INTEGER) AS n_grams,
+       CAST(sum(CASE WHEN grams.id = f.first_id THEN 1 ELSE 0 END)
+            AS INTEGER) AS novel_grams,
+       round(sum(CASE WHEN grams.id = f.first_id THEN 1 ELSE 0 END)
+             / CAST(greatest(count(*), 1) AS DOUBLE), 4) AS novelty
+FROM grams JOIN first_owner f USING (g)
+GROUP BY grams.id
+"""
+
+
+def op_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate over (lang, source) quasi-identifiers
+    (k=5): every row with its group size and release verdict."""
+    return text_ops.kanon_release(_docs(spark, sf_dir), k=5)
+
+
+ORACLE_KANON = """
+WITH sizes AS (
+    SELECT lang, source, CAST(count(*) AS INTEGER) AS group_n
+    FROM documents GROUP BY lang, source
+)
+SELECT d.doc_id, d.lang, d.source, s.group_n,
+       (s.group_n >= 5) AS released
+FROM documents d JOIN sizes s USING (lang, source)
+"""
+
+
 for _name in [
     "op_text_profile", "op_text_quality_lang", "op_text_fingerprint",
     "op_text_chunk", "op_text_bm25", "op_text_repetition",
@@ -4920,6 +4998,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     ),
     "op_shard_manifest": (op_shard_manifest, ORACLE_SHARD_MANIFEST),
     "op_crossmodal_dedup": (op_crossmodal_dedup, ORACLE_CROSSMODAL),
+    "op_tfidf_keywords": (op_tfidf_keywords, ORACLE_TFIDF),
+    "op_ngram_novelty": (op_ngram_novelty, ORACLE_NGRAM_NOVELTY),
+    "op_kanon_release": (op_kanon_release, ORACLE_KANON),
 }
 
 

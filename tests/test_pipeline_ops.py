@@ -653,3 +653,48 @@ def test_crossmodal_dedup_confirms_and_refutes(spark):
         for r in dedup.crossmodal_dedup(docs, embeds2).collect()
     }
     assert got2[(0, 1)]["confirmed"]
+
+
+def test_tfidf_keywords_rank_common_terms_low(spark):
+    from duckdb_nsql_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (0, "common common apple apple apple"),
+            (1, "common banana banana"),
+            (2, "common cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = text_ops.tfidf_keywords(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' appears in every doc -> idf ln(1)=0 -> never the top term
+    assert top == {0: "apple", 1: "banana", 2: "cherry"}
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_ngram_novelty_keep_first_semantics(spark):
+    from duckdb_nsql_spark.operators import text as text_ops
+
+    a = "one two three four five six"
+    df = spark.createDataFrame(
+        [(0, a), (1, a), (2, "seven eight nine ten eleven twelve")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in text_ops.ngram_novelty(df).collect()}
+    assert got[0]["novelty"] == 1.0   # first owner of all its grams
+    assert got[1]["novelty"] == 0.0   # verbatim repeat, zero novel
+    assert got[2]["novelty"] == 1.0
+    assert got[1]["n_grams"] == got[0]["n_grams"]
+
+
+def test_kanon_release_gate(spark):
+    from duckdb_nsql_spark.operators import text as text_ops
+
+    rows = [(i, "en", "big") for i in range(6)] + [(100, "zh", "rare")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+    got = {r["doc_id"]: r for r in text_ops.kanon_release(df, k=5).collect()}
+    assert all(got[i]["released"] for i in range(6))
+    assert got[0]["group_n"] == 6
+    assert not got[100]["released"] and got[100]["group_n"] == 1
+    assert len(got) == 7  # suppressed rows stay auditable
