@@ -243,3 +243,26 @@ def neardup_stream(
     return sigd.withWatermark(
         time_col, watermark
     ).dropDuplicatesWithinWatermark(["sig"])
+
+
+def sample_stream(
+    docs: DataFrame,
+    rate: float = 0.2,
+    key_col: str = "doc_id",
+    seed: str = "ssample:",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling on a stream: a document is kept
+    iff its md5 hash-bucket falls under ``rate`` — stateless, map-only,
+    and REPLAY-STABLE (the decision is a pure function of the key, so
+    micro-batch retries, backfills, and the batch twin all keep exactly
+    the same rows; rand()-based sampling would violate exactly-once on
+    any retry). The streaming counterpart of
+    operators/sampling.hash_bucket-based stratified sampling; a finite
+    backlog is row-identical to the batch filter, so one oracle pins
+    both."""
+    from ..operators.sampling import hash_bucket
+
+    return docs.filter(
+        hash_bucket(F.col(key_col), 10_000, seed=seed)
+        < F.lit(int(round(rate * 10_000)))
+    )

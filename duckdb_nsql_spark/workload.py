@@ -4893,6 +4893,28 @@ FROM documents d JOIN sizes s USING (lang, source)
 """
 
 
+def op_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic replay-stable Bernoulli sampling on a stream (20%
+    by md5 hash-bucket of the key) — retries and backfills keep exactly
+    the same rows; the finite backlog is row-identical to the batch
+    filter, so one oracle pins both. Twelfth streaming operator."""
+    from .streaming import dedup as sd
+
+    docs = sd.read_documents_stream(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    out = sd.sample_stream(docs, rate=0.2).select("doc_id", "lang")
+    name = f"stream_sample_{abs(hash(sf_dir)) % 10_000}"
+    return sd.run_available_now(out, spark, name)
+
+
+ORACLE_STREAM_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('ssample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+          ::BIGINT % 10000 < 2000
+"""
+
+
 for _name in [
     "op_text_profile", "op_text_quality_lang", "op_text_fingerprint",
     "op_text_chunk", "op_text_bm25", "op_text_repetition",
@@ -5001,6 +5023,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_tfidf_keywords": (op_tfidf_keywords, ORACLE_TFIDF),
     "op_ngram_novelty": (op_ngram_novelty, ORACLE_NGRAM_NOVELTY),
     "op_kanon_release": (op_kanon_release, ORACLE_KANON),
+    "op_stream_sample": (op_stream_sample, ORACLE_STREAM_SAMPLE),
 }
 
 

@@ -430,3 +430,41 @@ def test_cdc_upsert_sink_latest_per_key_and_replay(spark, tmp_path):
         3: (2, "c2"),
         4: (1, "d1"),
     }
+
+
+def test_stream_sample_replay_stable_and_batch_identical(spark, sf_dir):
+    """Deterministic streaming sampler: two independent drains of the
+    same backlog keep EXACTLY the same rows (replay/retry stability —
+    the exactly-once property rand() sampling lacks), and the kept set
+    equals the batch filter twin."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_nsql_spark.operators.sampling import hash_bucket
+    from duckdb_nsql_spark.streaming import dedup as sd
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def drain(tag):
+        docs = sd.read_documents_stream(spark, path)
+        out = sd.sample_stream(docs, rate=0.2).select("doc_id")
+        return {
+            r["doc_id"]
+            for r in sd.run_available_now(
+                out, spark, f"ssample_{tag}"
+            ).collect()
+        }
+
+    a, b = drain("a"), drain("b")
+    assert a == b and 0 < len(a)
+    batch = {
+        r["doc_id"]
+        for r in spark.read.parquet(path)
+        .filter(hash_bucket(F.col("doc_id"), 10_000, "ssample:") < 2000)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == batch
+    total = spark.read.parquet(path).count()
+    assert 0.1 < len(a) / total < 0.3  # ~20% rate, md5-uniform
