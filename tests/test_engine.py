@@ -1835,3 +1835,29 @@ def test_schema_text_matches_reference_protocol(engine):
     assert "CREATE TABLE laptop (" in lowered  # names keep their case
     engine.execute("DROP TABLE laptop")
     engine.execute("DROP TABLE vendor")
+
+
+def test_reservoir_percent_count_matches_duckdb_llround(engine):
+    """Reservoir sampling draws an EXACT count; on non-integral percent
+    sizes DuckDB rounds half away from zero (llround: 3% of 607 =
+    18.21 -> 18; 10% of 607 = 60.7 -> 61; 5% of 50 = 2.5 -> 3). The
+    engine's sizing must agree on every shape — ceil would over-draw by
+    one on any non-half fraction."""
+    import duckdb
+
+    ddb = duckdb.connect()
+    engine.execute(
+        "CREATE TABLE t_res AS SELECT * FROM range(0, 607) AS r(i)"
+    )
+    ddb.execute("CREATE TABLE t_res AS SELECT * FROM range(0, 607) AS r(i)")
+    engine.execute("CREATE TABLE t_half AS SELECT * FROM range(0, 50) AS r(i)")
+    ddb.execute("CREATE TABLE t_half AS SELECT * FROM range(0, 50) AS r(i)")
+    for tbl, pcts in [("t_res", ["10%", "3%", "0.5%"]), ("t_half", ["5%", "1%"])]:
+        for p in pcts:
+            q = (f"SELECT count(*) AS n FROM "
+                 f"(SELECT * FROM {tbl} USING SAMPLE {p} (reservoir)) s")
+            ours = engine.execute(q).collect()[0]["n"]
+            theirs = ddb.execute(q).fetchone()[0]
+            assert ours == theirs, (tbl, p, ours, theirs)
+    engine.execute("DROP TABLE t_res")
+    engine.execute("DROP TABLE t_half")
