@@ -117,3 +117,56 @@ def range_join(
         .drop(l["__b"])
         .drop(r["__b"])
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a user's events split
+    into sessions wherever consecutive events are more than
+    ``gap_minutes`` apart — the batch twin of the streaming
+    session-window aggregate (streaming/windows.session_agg), used to
+    sessionize historical backlogs with the same gap rule.
+
+    Classic two-window algebra, both keyed by the user (NO global
+    window): lag() marks gap starts, a running sum of the markers
+    numbers the sessions, then one aggregate keyed by (user, session).
+    Scale: two shuffles on user_id (the second reuses the first's
+    partitioning — same key), output bounded by |sessions|. Ties on the
+    timestamp order deterministically by ``tiebreak_col``.
+    """
+    # integer MICROSECONDS throughout (unix_micros / DuckDB epoch_us):
+    # unix_timestamp() truncates sub-second fractions, so a 1800.4 s gap
+    # would read 1800 and merge sessions an exact engine must split
+    w = Window.partitionBy(user_col).orderBy(time_col, tiebreak_col)
+    # NTZ -> LTZ cast only for the micros arithmetic (unix_micros takes
+    # TIMESTAMP): gaps and durations are DIFFERENCES, so the zone
+    # offset cancels whatever the session timezone; emitted
+    # session_start/end keep the source column's type untouched.
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | (us - prev_us > gap_minutes * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    marked = events.withColumn("__new", is_new).withColumn(
+        "session_seq", F.sum("__new").over(w).cast("int")
+    )
+    return (
+        marked.groupBy(user_col, "session_seq")
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+            (
+                F.unix_micros(F.max(time_col).cast("timestamp"))
+                - F.unix_micros(F.min(time_col).cast("timestamp"))
+            )
+            .cast("bigint")
+            .alias("duration_us"),
+        )
+    )

@@ -435,3 +435,52 @@ def shard_manifest(
             F.array_join(F.array_sort(F.collect_list("fp")), "")
         ).alias("content_md5"),
     )
+
+
+def dp_histogram(
+    df: DataFrame,
+    group_col: str = "lang",
+    epsilon: float = 1.0,
+    seed: str = "dp:",
+) -> DataFrame:
+    """Differentially-private histogram release: per-group counts with
+    Laplace(1/ε) noise — the ε-DP mechanism a corpus release applies to
+    its published statistics (counting queries have sensitivity 1, so
+    scale b = 1/ε). Complements kanon_release: k-anonymity gates the
+    rows, DP noise protects the aggregate counts themselves.
+
+    The Laplace draw uses the inverse CDF over a DETERMINISTIC
+    md5-derived uniform (52 bits of the group's hash → u ∈ (0,1)):
+    X = b·ln(2u) for u < 0.5, −b·ln(2−2u) otherwise. Deterministic
+    noise exists for REPLAY — tests and the cross-engine oracle pin the
+    mechanism's algebra exactly; a production release swaps the hash
+    for a real RNG (the privacy accounting depends on the distribution,
+    which is identical). ln rounds to 6 dp before scaling so a last-ulp
+    libm difference cannot cross the rounding boundary.
+
+    One bounded aggregate (|groups| rows); noise is computed per output
+    row — no per-input-row math, no extra shuffle.
+    """
+    counts = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(group_col).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    b = 1.0 / epsilon
+    noise = F.when(
+        u < 0.5, F.lit(b) * F.round(F.log(2.0 * u), 6)
+    ).otherwise(-F.lit(b) * F.round(F.log(2.0 - 2.0 * u), 6))
+    return counts.select(
+        group_col,
+        "n",
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("n") + noise, 4).alias("noisy_n"),
+    )

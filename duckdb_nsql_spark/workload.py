@@ -4915,6 +4915,66 @@ WHERE ('0x' || substr(md5('ssample:' || CAST(doc_id AS VARCHAR)), 1, 15))
 """
 
 
+def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization of the events table (30-min
+    gap) — the batch twin of the streaming session window; two
+    user-keyed windows + one aggregate."""
+    return asof_ops.sessionize(
+        engine_for(spark, sf_dir).table("events"), gap_minutes=30
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS INTEGER) AS session_seq
+    FROM marked
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS INTEGER) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def op_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP per-language counts (Laplace 1/ε via inverse CDF over a
+    deterministic md5 uniform — replayable mechanism algebra; a real
+    release swaps in a true RNG)."""
+    return sampling.dp_histogram(_docs(spark, sf_dir), epsilon=1.0)
+
+
+ORACLE_DP_HISTOGRAM = """
+WITH c AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), u AS (
+    SELECT lang, n,
+           (('0x' || substr(md5('dp:' || lang), 1, 13))::BIGINT + 0.5)
+               / 4503599627370496.0 AS u
+    FROM c
+)
+SELECT lang, n,
+       round(CASE WHEN u < 0.5 THEN 1.0 * round(ln(2.0 * u), 6)
+                  ELSE -1.0 * round(ln(2.0 - 2.0 * u), 6) END, 4) AS noise,
+       round(n + CASE WHEN u < 0.5 THEN 1.0 * round(ln(2.0 * u), 6)
+                      ELSE -1.0 * round(ln(2.0 - 2.0 * u), 6) END, 4)
+           AS noisy_n
+FROM u
+"""
+
+
 for _name in [
     "op_text_profile", "op_text_quality_lang", "op_text_fingerprint",
     "op_text_chunk", "op_text_bm25", "op_text_repetition",
@@ -5024,6 +5084,8 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_ngram_novelty": (op_ngram_novelty, ORACLE_NGRAM_NOVELTY),
     "op_kanon_release": (op_kanon_release, ORACLE_KANON),
     "op_stream_sample": (op_stream_sample, ORACLE_STREAM_SAMPLE),
+    "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
+    "op_dp_histogram": (op_dp_histogram, ORACLE_DP_HISTOGRAM),
 }
 
 

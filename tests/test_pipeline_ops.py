@@ -698,3 +698,56 @@ def test_kanon_release_gate(spark):
     assert got[0]["group_n"] == 6
     assert not got[100]["released"] and got[100]["group_n"] == 1
     assert len(got) == 7  # suppressed rows stay auditable
+
+
+def test_sessionize_gap_splits(spark):
+    from datetime import datetime
+
+    from duckdb_nsql_spark.operators import asof as asof_ops
+
+    T = datetime
+    rows = [
+        # user 1: two events 10 min apart, then a 31-min gap
+        (1, 1, T(2024, 1, 1, 10, 0, 0)),
+        (2, 1, T(2024, 1, 1, 10, 10, 0)),
+        (3, 1, T(2024, 1, 1, 10, 41, 0, 500)),   # 31m0.0005s later
+        # user 2: single event
+        (4, 2, T(2024, 1, 1, 9, 0, 0)),
+        # user 3: exactly 30:00.000000 gap is NOT a split (> rule)
+        (5, 3, T(2024, 1, 1, 8, 0, 0)),
+        (6, 3, T(2024, 1, 1, 8, 30, 0)),
+        # user 3 again: 30:00.000001 IS a split (sub-second exactness)
+        (7, 3, T(2024, 1, 1, 9, 0, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = {
+        (r["user_id"], r["session_seq"]): r
+        for r in asof_ops.sessionize(df, gap_minutes=30).collect()
+    }
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["n_events"] == 1
+    assert out[(3, 1)]["n_events"] == 2      # exact 30:00 gap stays
+    assert out[(3, 2)]["n_events"] == 1      # +1 microsecond splits
+    assert out[(1, 1)]["duration_us"] == 600_000_000
+
+
+def test_dp_histogram_mechanism(spark):
+    from duckdb_nsql_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(90)],
+        ["doc_id", "lang"],
+    )
+    a = {r["lang"]: r for r in sampling.dp_histogram(df).collect()}
+    b = {r["lang"]: r for r in sampling.dp_histogram(df).collect()}
+    assert a.keys() == {"en", "de"}
+    for lang in a:
+        assert a[lang]["noise"] == b[lang]["noise"]  # replay-stable
+        assert abs(a[lang]["noisy_n"] - (a[lang]["n"] + a[lang]["noise"])) < 1e-9
+        assert a[lang]["noise"] != 0.0
+    # epsilon scales the noise linearly (same uniform draw; the output
+    # rounds to 4dp AFTER scaling, so allow one output-rounding ulp)
+    half = {r["lang"]: r for r in sampling.dp_histogram(df, epsilon=0.5).collect()}
+    for lang in a:
+        assert abs(half[lang]["noise"] - 2 * a[lang]["noise"]) < 2e-4
