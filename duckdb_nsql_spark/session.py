@@ -5478,12 +5478,30 @@ class DuckSparkSession:
             )
         if fn == "pragma_show_tables":
             return self._tables_df()
-        if fn in ("compact", "cluster"):
+        if fn in ("compact", "cluster", "zorder"):
             # layout maintenance (sources/maintenance.py): CALL
-            # compact('dir') / CALL cluster('dir', 'col1,col2')
+            # compact('dir') / CALL cluster('dir', 'col1,col2') /
+            # CALL zorder('dir', 'a', 'b')
             from .sources import maintenance as mt
 
             parts = [a.strip().strip("'\" ") for a in arg.split(",")]
+            if fn == "zorder":
+                if len(parts) != 3:
+                    raise ValueError(
+                        "CALL zorder expects ('dir', 'col_a', 'col_b')"
+                    )
+                stats = mt.zorder_parquet(
+                    self.spark, parts[0], parts[1], parts[2]
+                )
+                rows = [(parts[0], stats["files"], ",".join(stats["cols"]))]
+                return introspect.local_df(
+                    self.spark, rows,
+                    T.StructType([
+                        T.StructField("path", T.StringType()),
+                        T.StructField("files", T.LongType()),
+                        T.StructField("zorder_cols", T.StringType()),
+                    ]),
+                )
             if fn == "compact":
                 stats = mt.compact_parquet(self.spark, parts[0])
                 rows = [(parts[0], stats["files_before"],

@@ -130,3 +130,35 @@ def overlap_count(ranges: list[tuple]) -> int:
         if srt[i][0] <= srt[i - 1][1]:
             n += 1
     return n
+
+
+def zorder_parquet(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 8,
+) -> dict:
+    """Z-ORDER a parquet directory on two columns (the OPTIMIZE ZORDER
+    maintenance step): one range shuffle on the morton-interleaved
+    z-value + per-partition sort, then atomic swap. Unlike
+    ``cluster_parquet`` — whose linear sort gives perfect pruning on the
+    LEADING column and none on the second — every z-ordered file covers
+    a small RECTANGLE in (col_a, col_b) space, so footer min/max stats
+    prune scans filtered on EITHER column (operators/layout.py holds
+    the z-value algebra and the locality report)."""
+    from ..operators.layout import zorder_repartition
+
+    size = _dir_bytes(path)
+    n = num_files or max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + f".zorder-{uuid.uuid4().hex[:8]}"
+    zorder_repartition(df, col_a, col_b, bits=bits, n_partitions=n).write.parquet(tmp)
+    _atomic_swap(tmp, path)
+    return {
+        "files": len(_data_files(path)),
+        "bytes": size,
+        "cols": [col_a, col_b],
+    }

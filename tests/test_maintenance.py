@@ -93,3 +93,51 @@ def test_checkpoint_collapses_streaming_segments(spark, tmp_path):
     ) == [1, 2, 3, 4]
     con.execute("VACUUM")  # still a no-op
     con.close()
+
+
+def test_zorder_prunes_both_columns(spark, tmp_path):
+    """cluster() gives perfect pruning on the LEADING column and none on
+    the second; zorder() must keep footer min/max spans narrow on BOTH.
+    64x64 grid into 16 files: every z-ordered file's span on each axis
+    must be <= half the global span, while the linear-clustered layout's
+    second column spans the whole domain."""
+    import itertools
+
+    from duckdb_nsql_spark.sources import maintenance as mt
+
+    n = 64
+    rows = [(x, y) for x, y in itertools.product(range(n), range(n))]
+    d1 = str(tmp_path / "zo")
+    d2 = str(tmp_path / "cl")
+    df = spark.createDataFrame(rows, ["x", "y"])
+    df.repartition(8).write.parquet(d1)
+    df.repartition(8).write.parquet(d2)
+
+    mt.zorder_parquet(spark, d1, "x", "y", num_files=16)
+    mt.cluster_parquet(spark, d2, ["x", "y"], num_files=16)
+
+    def max_span(path, col):
+        return max(hi - lo for lo, hi in mt.file_ranges(path, col))
+
+    # z-order: rectangles — both axes bounded
+    assert max_span(d1, "x") <= 32
+    assert max_span(d1, "y") <= 32
+    # linear cluster: leading column narrow, second column full-domain
+    assert max_span(d2, "x") <= 8
+    assert max_span(d2, "y") == n - 1
+    # rows survive the rewrite
+    assert spark.read.parquet(d1).count() == n * n
+
+
+def test_call_zorder_sql_surface(engine, spark, tmp_path):
+    import itertools
+
+    d = str(tmp_path / "zsql")
+    spark.createDataFrame(
+        [(x, y) for x, y in itertools.product(range(16), range(16))],
+        ["a", "b"],
+    ).repartition(4).write.parquet(d)
+    out = engine.execute(f"CALL zorder('{d}', 'a', 'b')").collect()[0]
+    assert out["path"] == d and out["zorder_cols"] == "a,b"
+    assert out["files"] >= 1
+    assert spark.read.parquet(d).count() == 256
