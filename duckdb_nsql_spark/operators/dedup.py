@@ -912,3 +912,45 @@ def crossmodal_dedup(
         cos.alias("cosine"),
         (cos >= F.lit(threshold)).alias("confirmed"),
     )
+
+
+def record_linkage(
+    df: DataFrame,
+    key_len: int = 24,
+    block_len: int = 6,
+    max_dist: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked fuzzy record linkage (entity resolution): link records
+    whose normalized key prefixes are within ``max_dist`` edit
+    operations, comparing only within cheap blocking-key groups — the
+    standard blocking+compare shape of a deduplicating entity resolver.
+
+    Key = first ``key_len`` chars of the normalized text (the
+    "name-like" match field); block = the key's first ``block_len``
+    chars. Candidate generation is an equi-join on the block key — the
+    O(n^2) edit-distance compare runs only inside blocks, which at
+    corpus scale are bounded by the blocking prefix's selectivity (a
+    production linker concatenates several blocking passes; one pass is
+    representative). ``levenshtein`` is a JVM builtin with an exact
+    DuckDB twin, so every emitted pair value-matches the oracle.
+    """
+    keys = df.select(
+        F.col(id_col).alias("rid"),
+        F.substring(normalize_text(F.col(text_col)), 1, key_len).alias("key"),
+    ).withColumn("block", F.substring("key", 1, block_len))
+    keys = _persist_small(keys)
+    a = keys.select(
+        F.col("rid").alias("id_a"), F.col("key").alias("key_a"), "block"
+    )
+    b = keys.select(
+        F.col("rid").alias("id_b"), F.col("key").alias("key_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "block", "dist")
+    )

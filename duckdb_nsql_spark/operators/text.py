@@ -1305,3 +1305,118 @@ def kanon_release(
             (F.col("group_n") >= k).alias("released"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprinting
+    scheme): hash every ``k``-word shingle, slide a window of ``w``
+    consecutive positions, and record the window minimum — guaranteeing
+    any shared run of ``k + w - 1`` words between two documents shares
+    at least one selected fingerprint, at ~2/(w+1) the density of the
+    full shingle set.
+
+    Emits per document the shingle count, selected-fingerprint count,
+    density, and an order-independent content checksum of the selected
+    set (md5 of the sorted fingerprint list) — the compact sketch a
+    plagiarism / near-dup index stores instead of full shingles.
+    Documents with fewer than ``k + w - 1`` words have no full window
+    and are excluded (both engines apply the same floor).
+
+    Scale: the shingle hash array is a map-only codegen'd expression;
+    the only shuffles are the doc-keyed window (high-cardinality key,
+    no skew) and the per-doc aggregate that reuses its partitioning.
+    Every expression (md5, slice, window min) has an exact DuckDB twin.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    base = df.select(id_col, toks.alias("toks")).where(
+        F.size(F.col("toks")) >= k + w - 1
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("toks", i, k), " ")),
+            )
+        ).alias("pos", "h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    selected = (
+        grams.withColumn("winmin", F.min("h").over(win))
+        .where(F.col("pos") >= w - 1)
+        .select(id_col, "winmin")
+    )
+    n_grams = grams.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_grams")
+    )
+    fps = selected.groupBy(id_col).agg(
+        F.countDistinct("winmin").cast("int").alias("n_fingerprints"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_set("winmin")), "")
+        ).alias("fingerprint_md5"),
+    )
+    return (
+        n_grams.join(fps, id_col)
+        .select(
+            id_col,
+            "n_grams",
+            "n_fingerprints",
+            F.round(F.col("n_fingerprints") / F.col("n_grams"), 4).alias(
+                "density"
+            ),
+            "fingerprint_md5",
+        )
+    )
+
+
+def doc_retrieval(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 5,
+    chunk_words: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composed retrieval convenience: chunk the corpus into overlapping
+    word windows, BM25-rank the CHUNKS against the query, return the
+    top-k chunks with their text — the chunk->rank->return shape of the
+    reference's documentation retriever (``eval/doc_retriever.py:39-94``
+    chunks markdown then ranks chunks for prompt augmentation; this is
+    the same pipeline with BM25 in place of its embedding ranker,
+    composing two already-oracled operators).
+
+    The chunk corpus flows through :func:`bm25_topk` unchanged via a
+    synthesized chunk key (doc_id * 100000 + chunk_id — documents
+    beyond 100k chunks, i.e. ~5M words, would need a wider key); the
+    top-k join back to chunk text is a k-row broadcast.
+    """
+    chunks = chunk_documents(
+        df, chunk_words, overlap, text_col=text_col, id_col=id_col
+    )
+    ckeyed = chunks.select(
+        (F.col(id_col) * 100000 + F.col("chunk_id")).alias("ckey"),
+        "chunk_text",
+    )
+    top = bm25_topk(
+        ckeyed, query_terms, k=k, text_col="chunk_text", id_col="ckey"
+    )
+    return (
+        F.broadcast(top)
+        .join(ckeyed, "ckey")
+        .select(
+            F.floor(F.col("ckey") / 100000).cast("long").alias(id_col),
+            (F.col("ckey") % 100000).cast("int").alias("chunk_id"),
+            "bm25",
+            "chunk_text",
+        )
+    )

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from .operators import asof as asof_ops
 from .operators import dedup, multimodal, packing, sampling, similarity
+from .operators import sketches
 from .operators import text as text_ops
 from .session import DuckSparkSession
 
@@ -4975,6 +4976,318 @@ FROM u
 """
 
 
+def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HyperLogLog distinct-word estimate next to the exact
+    count — a replayable sketch (md5 registers, exact-integer harmonic
+    sum), unlike Spark's engine-private approx_count_distinct."""
+    return sketches.hll_distinct(_docs_wide(spark, sf_dir))
+
+
+ORACLE_HLL_DISTINCT = f"""
+WITH words AS (
+  SELECT lang, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS w
+  FROM documents
+), h AS (
+  SELECT lang, w, md5(w) AS h FROM words
+), reg AS (
+  SELECT lang,
+         ('0x' || substr(h, 1, 2))::BIGINT % 64 AS idx,
+         max(CASE WHEN ('0x' || substr(h, 3, 8))::BIGINT = 0 THEN 33
+                  ELSE 33 - length(bin(('0x' || substr(h, 3, 8))::BIGINT))
+             END) AS m
+  FROM h GROUP BY lang, idx
+), s AS (
+  SELECT lang, CAST(count(*) AS INTEGER) AS registers_hit,
+         sum((1::BIGINT << (33 - m))) AS s_num
+  FROM reg GROUP BY lang
+), ex AS (
+  SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM words GROUP BY lang
+), est AS (
+  SELECT ex.lang, n_words, exact_distinct, registers_hit,
+         CASE WHEN ({sketches.HLL_NUMERATOR}
+                    / (s_num + (64 - registers_hit) * (1::BIGINT << 33)))
+                   <= 160.0
+                   AND (64 - registers_hit) > 0
+              THEN round(64.0 * ln(64.0 / (64 - registers_hit)), 4)
+              ELSE round({sketches.HLL_NUMERATOR}
+                         / (s_num + (64 - registers_hit)
+                            * (1::BIGINT << 33)), 4)
+         END AS hll_estimate
+  FROM ex JOIN s ON ex.lang = s.lang
+)
+SELECT lang, n_words, exact_distinct, registers_hit, hll_estimate,
+       round((hll_estimate - exact_distinct) / exact_distinct, 4)
+           AS rel_error
+FROM est
+"""
+
+
+def op_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heavy-hitter words with Count-Min estimates (3x512
+    md5-hashed counters) — one-sided-error frequency audit, sketch
+    state 1,536 rows at any corpus size."""
+    return sketches.cms_heavy_hitters(_docs_wide(spark, sf_dir))
+
+
+ORACLE_CMS_HEAVY_HITTERS = """
+WITH words AS (
+  SELECT unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS w
+  FROM documents
+), cells AS (
+  SELECT j, ('0x' || substr(md5(j || ':' || w), 1, 8))::BIGINT % 512
+             AS bucket
+  FROM words, (SELECT unnest(range(0, 3)) AS j)
+), counters AS (
+  SELECT j, bucket, count(*) AS c FROM cells GROUP BY j, bucket
+), topk AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS exact_n FROM words GROUP BY w
+  ORDER BY exact_n DESC, w LIMIT 20
+), probes AS (
+  SELECT w, exact_n, j,
+         ('0x' || substr(md5(j || ':' || w), 1, 8))::BIGINT % 512 AS bucket
+  FROM topk, (SELECT unnest(range(0, 3)) AS j)
+)
+SELECT p.w AS word, p.exact_n,
+       CAST(min(c.c) AS BIGINT) AS cms_n,
+       CAST(min(c.c) - p.exact_n AS BIGINT) AS overestimate
+FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+GROUP BY p.w, p.exact_n
+"""
+
+
+def op_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 64-bin histogram median estimate next to the exact
+    inverted-CDF quantile — the fixed-memory percentile path."""
+    return sketches.quantile_sketch(_docs(spark, sf_dir))
+
+
+ORACLE_QUANTILE_SKETCH = """
+WITH bounds AS (
+  SELECT lang, min(CAST(n_chars AS DOUBLE)) AS lo,
+         max(CAST(n_chars AS DOUBLE)) AS hi,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang
+), binned AS (
+  SELECT d.lang, b.lo, b.hi, b.n,
+         least(CAST(floor((CAST(n_chars AS DOUBLE) - b.lo) * 64
+                          / (b.hi - b.lo + 1)) AS INTEGER), 63) AS bin,
+         count(*) AS bin_n
+  FROM documents d JOIN bounds b ON d.lang = b.lang
+  GROUP BY d.lang, b.lo, b.hi, b.n, bin
+), cum AS (
+  SELECT lang, lo, hi, n, bin, bin_n,
+         sum(bin_n) OVER (PARTITION BY lang ORDER BY bin) AS cum
+  FROM binned
+), hit AS (
+  SELECT lang, n,
+         round(lo + ((hi - lo + 1) / 64)
+                    * (bin + (CAST(ceil(0.5 * n) AS BIGINT)
+                              - (cum - bin_n)) / bin_n), 4) AS est_q
+  FROM cum
+  WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+    AND cum - bin_n < CAST(ceil(0.5 * n) AS BIGINT)
+), ranked AS (
+  SELECT d.lang, CAST(n_chars AS DOUBLE) AS val,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY CAST(n_chars AS DOUBLE)) AS rn,
+         b.n
+  FROM documents d JOIN bounds b ON d.lang = b.lang
+), exact AS (
+  SELECT lang, val AS exact_q FROM ranked
+  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+)
+SELECT h.lang, h.n, CAST(e.exact_q AS DOUBLE) AS exact_q, h.est_q,
+       round(abs(h.est_q - e.exact_q) / greatest(e.exact_q, 1.0), 4)
+           AS rel_error
+FROM hit h JOIN exact e ON h.lang = e.lang
+"""
+
+
+def op_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints: k=5-word shingle hashes,
+    window-of-4 minima — guaranteed-coverage local fingerprinting at
+    ~2/(w+1) the density of the full shingle set."""
+    return text_ops.winnow_fingerprints(_docs_wide(spark, sf_dir))
+
+
+ORACLE_WINNOW = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks FROM toks WHERE len(toks) >= 8
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i : i + 4], ' ')) AS h
+  FROM base, unnest(range(1, len(toks) - 3)) AS t(i)
+), sel AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS winmin
+  FROM grams
+), ng AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams
+  FROM grams GROUP BY doc_id
+), fp AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT winmin) AS INTEGER) AS n_fingerprints,
+         md5(array_to_string(list_sort(list(DISTINCT winmin)), ''))
+             AS fingerprint_md5
+  FROM sel WHERE pos >= 3 GROUP BY doc_id
+)
+SELECT ng.doc_id, n_grams, n_fingerprints,
+       round(n_fingerprints / CAST(n_grams AS DOUBLE), 4) AS density,
+       fingerprint_md5
+FROM ng JOIN fp ON ng.doc_id = fp.doc_id
+"""
+
+
+def op_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: normalized 24-char key prefixes
+    compared by levenshtein within 6-char blocking groups — the
+    blocking+compare entity-resolution shape; edit distance runs only
+    inside blocks, never all-pairs."""
+    return dedup.record_linkage(_docs(spark, sf_dir))
+
+
+ORACLE_RECORD_LINKAGE = rf"""
+WITH keys AS (
+  SELECT doc_id AS rid, substr({_NORM}, 1, 24) AS key
+  FROM documents
+), blocked AS (
+  SELECT rid, key, substr(key, 1, 6) AS block FROM keys
+)
+SELECT a.rid AS id_a, b.rid AS id_b, a.block,
+       CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+FROM blocked a JOIN blocked b ON a.block = b.block AND a.rid < b.rid
+WHERE levenshtein(a.key, b.key) <= 6
+"""
+
+
+def op_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed retrieval: overlapping 64-word chunks BM25-ranked
+    against the query, top-5 chunks returned with text — the
+    chunk->rank->return pipeline of the reference's doc retriever
+    (eval/doc_retriever.py:39-94), composed from two oracled ops."""
+    return text_ops.doc_retrieval(
+        _docs(spark, sf_dir), ["window", "merge", "scan"], k=5
+    )
+
+
+ORACLE_DOC_RETRIEVAL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+), n AS (
+  SELECT doc_id, words,
+         greatest(CAST(ceil((len(words) - 16) / 48.0) AS INTEGER), 1)
+             AS n_chunks
+  FROM w
+), chunks AS (
+  SELECT doc_id * 100000 + i AS ckey,
+         array_to_string(words[(i - 1) * 48 + 1 : (i - 1) * 48 + 64], ' ')
+             AS chunk_text
+  FROM n, unnest(range(1, n_chunks + 1)) AS t(i)
+), toks AS (
+  SELECT ckey, chunk_text,
+         list_filter(string_split_regex(lower(chunk_text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM chunks
+), base AS (
+  SELECT ckey, chunk_text, len(tokens) AS dl,
+         len(list_filter(tokens, x -> x = 'window')) AS tf0,
+         len(list_filter(tokens, x -> x = 'merge')) AS tf1,
+         len(list_filter(tokens, x -> x = 'scan')) AS tf2
+  FROM toks
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+), scored AS (
+  SELECT ckey, chunk_text,
+    round(
+        ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.2
+          / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2
+          / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2
+          / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    , 6) AS bm25
+  FROM base, stats
+  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+  ORDER BY bm25 DESC, ckey LIMIT 5
+)
+SELECT CAST(floor(ckey / 100000) AS BIGINT) AS doc_id,
+       CAST(ckey % 100000 AS INTEGER) AS chunk_id, bm25, chunk_text
+FROM scored
+"""
+
+
+def op_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange round-trip: write the documents table to ORC
+    (Spark's second built-in columnar format), read it back, and emit
+    per-language row counts + an order-independent full-row content
+    checksum. The oracle computes the same digest straight from the
+    parquet source, so a green row proves the ORC write/read path is
+    value-lossless — the format-interchange guarantee a mixed-format
+    lakehouse ingest needs. The write is a distributed columnar sink
+    (one file per partition at scale); the audit is one aggregate."""
+    import tempfile
+
+    df = _docs(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), f"ddbspark_orc_rt_{abs(hash(sf_dir)) % 10**8}"
+    )
+    df.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    rh = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.coalesce(F.col("source"), F.lit("")),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    return (
+        back.select("lang", rh.alias("rh"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.md5(F.array_join(F.array_sort(F.collect_list("rh")), "")).alias(
+                "content_md5"
+            ),
+        )
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = """
+WITH h AS (
+  SELECT lang,
+         md5(concat_ws('|', CAST(doc_id AS VARCHAR), coalesce(text, ''),
+                       coalesce(source, ''), CAST(n_chars AS VARCHAR)))
+             AS rh,
+         n_chars
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       md5(array_to_string(list_sort(list(rh)), '')) AS content_md5
+FROM h GROUP BY lang
+"""
+
+
 for _name in [
     "op_text_profile", "op_text_quality_lang", "op_text_fingerprint",
     "op_text_chunk", "op_text_bm25", "op_text_repetition",
@@ -5086,6 +5399,13 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_stream_sample": (op_stream_sample, ORACLE_STREAM_SAMPLE),
     "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
     "op_dp_histogram": (op_dp_histogram, ORACLE_DP_HISTOGRAM),
+    "op_hll_distinct": (op_hll_distinct, ORACLE_HLL_DISTINCT),
+    "op_cms_heavy_hitters": (op_cms_heavy_hitters, ORACLE_CMS_HEAVY_HITTERS),
+    "op_quantile_sketch": (op_quantile_sketch, ORACLE_QUANTILE_SKETCH),
+    "op_winnow_fingerprint": (op_winnow_fingerprint, ORACLE_WINNOW),
+    "op_record_linkage": (op_record_linkage, ORACLE_RECORD_LINKAGE),
+    "op_doc_retrieval": (op_doc_retrieval, ORACLE_DOC_RETRIEVAL),
+    "op_orc_roundtrip": (op_orc_roundtrip, ORACLE_ORC_ROUNDTRIP),
 }
 
 

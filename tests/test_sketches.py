@@ -1,0 +1,151 @@
+"""Property tests for the deterministic sketch family
+(operators/sketches.py), the winnowing fingerprint, and blocked record
+linkage — semantics the hash-parity gate can't see (accuracy bounds,
+one-sided error, the winnowing coverage guarantee, blocking behavior).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_nsql_spark.operators import dedup, sketches
+from duckdb_nsql_spark.operators import text as text_ops
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_hll_estimate_accuracy(spark, docs):
+    """HLL with m=64 registers has ~13% standard error; every language's
+    estimate should land well inside 3 sigma of the exact count."""
+    rows = sketches.hll_distinct(docs).collect()
+    assert rows, "no languages"
+    for r in rows:
+        assert r.registers_hit <= sketches.HLL_M
+        assert abs(r.rel_error) < 0.4, (r.lang, r.rel_error)
+        # rel_error column is derived from the same two outputs
+        assert r.hll_estimate > 0
+
+
+def test_hll_insensitive_to_duplication(spark, docs):
+    """Cardinality sketch property: doubling every row (union with
+    itself) must leave registers — and the estimate — unchanged."""
+    doubled = docs.unionAll(docs)
+    a = {
+        r.lang: (r.exact_distinct, r.hll_estimate)
+        for r in sketches.hll_distinct(docs).collect()
+    }
+    b = {
+        r.lang: (r.exact_distinct, r.hll_estimate)
+        for r in sketches.hll_distinct(doubled).collect()
+    }
+    assert a == b
+
+
+def test_cms_one_sided_error(spark, docs):
+    """Count-Min never underestimates: estimate >= exact on every probe."""
+    rows = sketches.cms_heavy_hitters(docs).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_n >= r.exact_n, (r.word, r.cms_n, r.exact_n)
+        assert r.overestimate == r.cms_n - r.exact_n
+
+
+def test_quantile_sketch_bounds(spark, docs):
+    """The histogram median estimate must land inside the group's
+    [lo, hi] value range and near the exact median (64 bins => within
+    ~2 bin widths on any distribution)."""
+    rows = sketches.quantile_sketch(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_error < 0.1, (r.lang, r.est_q, r.exact_q)
+
+
+def test_winnow_coverage_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a run of
+    k + w - 1 = 8 words share at least one selected fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three four five six seven {shared} tail1 tail2"),
+            (2, f"{shared} completely different suffix words here nine"),
+        ],
+        ["doc_id", "text"],
+    )
+    # recompute the selected fingerprint SETS (not just counts)
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda x: x != "")
+    base = df.select("doc_id", toks.alias("toks"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.md5(F.array_join(F.slice("toks", i, 5), " ")),
+            )
+        ).alias("pos", "h"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    sel = (
+        grams.withColumn("m", F.min("h").over(win))
+        .where(F.col("pos") >= 3)
+        .select("doc_id", "m")
+        .distinct()
+        .collect()
+    )
+    s1 = {r.m for r in sel if r.doc_id == 1}
+    s2 = {r.m for r in sel if r.doc_id == 2}
+    assert s1 & s2, "shared 8-word run must share a fingerprint"
+    # and the operator's density is genuinely sub-1 (it thins the set)
+    out = {r.doc_id: r for r in text_ops.winnow_fingerprints(df).collect()}
+    assert out[1].density < 1.0 and out[2].density < 1.0
+
+
+def test_winnow_excludes_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only seven words here not enough okay"),
+         (2, "this document has exactly eight words in it")],
+        ["doc_id", "text"],
+    )
+    ids = {r.doc_id for r in text_ops.winnow_fingerprints(df).collect()}
+    assert ids == {2}
+
+
+def test_record_linkage_links_exact_dups(spark, docs):
+    """Planted exact duplicates normalize to identical keys => a dist-0
+    pair must exist; every pair stays within one blocking group."""
+    rows = dedup.record_linkage(docs).collect()
+    assert rows, "corpus has planted duplicates; linkage must find pairs"
+    assert any(r.dist == 0 for r in rows)
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.dist <= 6
+
+
+def test_record_linkage_no_cartesian(spark, docs):
+    plan = dedup.record_linkage(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_retrieval_returns_relevant_chunks(spark, docs):
+    out = text_ops.doc_retrieval(docs, ["window", "merge", "scan"], k=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    for r in rows:
+        low = r.chunk_text.lower()
+        assert any(t in low for t in ("window", "merge", "scan"))
+        assert r.chunk_id >= 1 and r.bm25 > 0
+
+
+def test_orc_roundtrip_preserves_counts(spark, docs):
+    from duckdb_nsql_spark import workload
+
+    out = workload.op_orc_roundtrip(spark, SF_DIR)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs.count()
