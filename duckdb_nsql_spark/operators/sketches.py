@@ -60,7 +60,33 @@ def hll_distinct(
     registers exist, with the one ln() rounded to 4 dp so a last-ulp
     libm difference cannot flip the oracle.
     """
-    words = df.select(
+    words = hll_words(df, group_col, text_col)
+    regs = hll_cells(words, group_col).groupBy(group_col, "idx").agg(
+        F.max("rho").alias("m")
+    )
+    exact = words.groupBy(group_col).agg(
+        F.countDistinct("w").alias("exact_distinct"),
+        F.count("*").alias("n_words"),
+    )
+    est = exact.join(hll_finalize(regs, group_col), group_col)
+    return est.select(
+        group_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        "registers_hit",
+        "hll_estimate",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+def hll_words(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Word stream feeding the sketch — stateless, usable on a
+    streaming DataFrame unchanged."""
+    return df.select(
         group_col,
         F.explode(
             F.filter(
@@ -69,31 +95,38 @@ def hll_distinct(
             )
         ).alias("w"),
     )
+
+
+def hll_cells(words: DataFrame, group_col: str) -> DataFrame:
+    """(group, register index, rho) cells — the map-only sketch update.
+    Stateless, so the SAME expressions run over a stream; the register
+    table is then just ``groupBy(group, idx).max(rho)``, an order- and
+    duplication-insensitive aggregate (replays and retries cannot
+    corrupt the sketch) whose state is bounded at |groups| x 64 cells
+    however long the stream runs."""
     h = words.withColumn("h", F.md5("w"))
     v = F.conv(F.substring("h", 3, 8), 16, 10).cast("bigint")
     rho = F.when(v == 0, F.lit(_HLL_RHO_CAP)).otherwise(
         F.lit(_HLL_RHO_CAP) - F.length(F.bin(v))
     )
-    regs = (
-        h.select(
-            group_col,
-            (F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint") % HLL_M)
-            .alias("idx"),
-            rho.alias("rho"),
-        )
-        .groupBy(group_col, "idx")
-        .agg(F.max("rho").alias("m"))
+    return h.select(
+        group_col,
+        (F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint") % HLL_M)
+        .alias("idx"),
+        rho.alias("rho"),
     )
+
+
+def hll_finalize(regs: DataFrame, group_col: str) -> DataFrame:
+    """Estimate from a (group, idx, m) register table (batch or the
+    materialized state of a streaming aggregation): exact-integer
+    harmonic sum, one IEEE division, linear-counting small-range
+    correction with the single ln() rounded to 4 dp."""
     sums = regs.groupBy(group_col).agg(
         F.count("*").alias("hit"),
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_RHO_CAP} - m)"))
         .alias("s_num"),
     )
-    exact = words.groupBy(group_col).agg(
-        F.countDistinct("w").alias("exact_distinct"),
-        F.count("*").alias("n_words"),
-    )
-    joined = exact.join(sums, group_col)
     s_total = F.col("s_num") + (F.lit(HLL_M) - F.col("hit")) * F.lit(
         1 << _HLL_RHO_CAP
     ).cast("bigint")
@@ -105,14 +138,10 @@ def hll_distinct(
     est = F.when((raw <= 2.5 * HLL_M) & (zeros > 0), linear).otherwise(
         F.round(raw, 4)
     )
-    return joined.select(
+    return sums.select(
         group_col,
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("exact_distinct").cast("long").alias("exact_distinct"),
         F.col("hit").cast("int").alias("registers_hit"),
         est.alias("hll_estimate"),
-        F.round((est - F.col("exact_distinct")) / F.col("exact_distinct"), 4)
-        .alias("rel_error"),
     )
 
 

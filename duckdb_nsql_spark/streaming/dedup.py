@@ -266,3 +266,27 @@ def sample_stream(
         hash_bucket(F.col(key_col), 10_000, seed=seed)
         < F.lit(int(round(rate * 10_000)))
     )
+
+
+def hll_register_stream(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Streaming HyperLogLog register maintenance — distinct counting on
+    an infinite stream with FIXED state (|groups| x 64 registers,
+    forever), where exact streaming count-distinct would grow without
+    bound. The map side (word explode -> md5 -> register cell) is the
+    SAME stateless expression set as the batch sketch
+    (operators/sketches.py:hll_cells), and the stateful part is one
+    ``groupBy(group, idx).max(rho)`` — max is order- and
+    duplication-insensitive, so micro-batch boundaries, replays, and
+    retries can never corrupt the sketch. Finalize the materialized
+    register table with ``sketches.hll_finalize`` to read the estimate
+    at any point in the stream's life."""
+    from ..operators import sketches
+
+    words = sketches.hll_words(docs, group_col, text_col)
+    return (
+        sketches.hll_cells(words, group_col)
+        .groupBy(group_col, "idx")
+        .agg(F.max("rho").alias("m"))
+    )

@@ -4976,6 +4976,59 @@ FROM u
 """
 
 
+def op_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thirteenth streaming operator: HyperLogLog distinct-counting over
+    continuous ingest — fixed state (langs x 64 registers) where exact
+    streaming count-distinct grows without bound. The backlog is read
+    TWICE (two file streams unioned), so a green row also proves the
+    sketch's duplication-insensitivity on a real stream; the oracle is
+    the batch register algebra on the single corpus."""
+    from .streaming import dedup as sd
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    doubled = sd.read_documents_stream(spark, path).unionAll(
+        sd.read_documents_stream(spark, path)
+    )
+    regs = sd.hll_register_stream(doubled)
+    name = f"stream_hll_{abs(hash(sf_dir)) % 10_000}"
+    reg_table = sd.run_available_now(regs, spark, name, output_mode="complete")
+    return sketches.hll_finalize(reg_table, "lang")
+
+
+ORACLE_STREAM_HLL = f"""
+WITH words AS (
+  SELECT lang, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS w
+  FROM documents
+), h AS (
+  SELECT lang, w, md5(w) AS h FROM words
+), reg AS (
+  SELECT lang,
+         ('0x' || substr(h, 1, 2))::BIGINT % 64 AS idx,
+         max(CASE WHEN ('0x' || substr(h, 3, 8))::BIGINT = 0 THEN 33
+                  ELSE 33 - length(bin(('0x' || substr(h, 3, 8))::BIGINT))
+             END) AS m
+  FROM h GROUP BY lang, idx
+), s AS (
+  SELECT lang, CAST(count(*) AS INTEGER) AS registers_hit,
+         sum((1::BIGINT << (33 - m))) AS s_num
+  FROM reg GROUP BY lang
+)
+SELECT lang, registers_hit,
+       CASE WHEN ({sketches.HLL_NUMERATOR}
+                  / (s_num + (64 - registers_hit) * (1::BIGINT << 33)))
+                 <= 160.0
+                 AND (64 - registers_hit) > 0
+            THEN round(64.0 * ln(64.0 / (64 - registers_hit)), 4)
+            ELSE round({sketches.HLL_NUMERATOR}
+                       / (s_num + (64 - registers_hit)
+                          * (1::BIGINT << 33)), 4)
+       END AS hll_estimate
+FROM s
+"""
+
+
 def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language HyperLogLog distinct-word estimate next to the exact
     count — a replayable sketch (md5 registers, exact-integer harmonic
@@ -5406,6 +5459,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_record_linkage": (op_record_linkage, ORACLE_RECORD_LINKAGE),
     "op_doc_retrieval": (op_doc_retrieval, ORACLE_DOC_RETRIEVAL),
     "op_orc_roundtrip": (op_orc_roundtrip, ORACLE_ORC_ROUNDTRIP),
+    "op_stream_hll": (op_stream_hll, ORACLE_STREAM_HLL),
 }
 
 

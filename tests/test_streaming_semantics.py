@@ -468,3 +468,35 @@ def test_stream_sample_replay_stable_and_batch_identical(spark, sf_dir):
     assert a == batch
     total = spark.read.parquet(path).count()
     assert 0.1 < len(a) / total < 0.3  # ~20% rate, md5-uniform
+
+
+def test_stream_hll_state_bounded_and_batch_identical(spark, sf_dir):
+    """Streaming HLL: the register table is bounded at |langs| x 64
+    regardless of stream length, and the finalized estimate equals the
+    batch sketch over the same corpus even when every document arrives
+    twice (duplication-insensitivity of register max)."""
+    import os
+
+    from duckdb_nsql_spark.operators import sketches
+    from duckdb_nsql_spark.streaming import dedup as sd
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    doubled = sd.read_documents_stream(spark, path).unionAll(
+        sd.read_documents_stream(spark, path)
+    )
+    regs = sd.hll_register_stream(doubled)
+    reg_table = sd.run_available_now(
+        regs, spark, "stream_hll_sem", output_mode="complete"
+    )
+    n_langs = spark.read.parquet(path).select("lang").distinct().count()
+    assert reg_table.count() <= n_langs * sketches.HLL_M
+
+    stream_est = {
+        r["lang"]: r["hll_estimate"]
+        for r in sketches.hll_finalize(reg_table, "lang").collect()
+    }
+    batch = {
+        r["lang"]: r["hll_estimate"]
+        for r in sketches.hll_distinct(spark.read.parquet(path)).collect()
+    }
+    assert stream_est == batch
