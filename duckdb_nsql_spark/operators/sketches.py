@@ -329,3 +329,40 @@ def quantile_sketch(
             ).alias("rel_error"),
         )
     )
+
+
+def column_ndv_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column NDV (distinct-count) profile of a table: exact NDV
+    next to the HLL estimate for each requested column — the ANALYZE /
+    optimizer-statistics collection pass, run as ONE scan however many
+    columns are profiled (columns stack to (column, value) rows
+    map-side; the sketch then reuses the shared register algebra).
+
+    Values are profiled as their string rendering (cast to string is
+    engine-identical for the string/integer columns this targets);
+    NULLs are excluded, matching optimizer NDV convention.
+    """
+    stack_expr = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+    stacked = df.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (col_name, w)"
+    ).where(F.col("w").isNotNull())
+    regs = hll_cells(stacked, "col_name").groupBy("col_name", "idx").agg(
+        F.max("rho").alias("m")
+    )
+    exact = stacked.groupBy("col_name").agg(
+        F.countDistinct("w").alias("exact_ndv"),
+        F.count("*").alias("n_rows"),
+    )
+    est = exact.join(hll_finalize(regs, "col_name"), "col_name")
+    return est.select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("exact_ndv").cast("long").alias("exact_ndv"),
+        "registers_hit",
+        "hll_estimate",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_ndv"))
+            / F.col("exact_ndv"),
+            4,
+        ).alias("rel_error"),
+    )

@@ -5225,6 +5225,104 @@ WHERE levenshtein(a.key, b.key) <= 6
 """
 
 
+def op_linkage_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocked levenshtein linkage pairs
+    -> connected components -> canonical entity id + entity size for
+    every linked record (transitive chains A~B~C collapse to one entity
+    even when A and C never paired directly). Reuses the iterative
+    min-label CC of the dedup family; the oracle replays it with a
+    recursive CTE."""
+    pairs = dedup.record_linkage(_docs(spark, sf_dir)).select("id_a", "id_b")
+    cc = dedup.connected_components(pairs)
+    from pyspark.sql import Window as W
+
+    return cc.select(
+        "doc_id",
+        F.col("cluster_id").alias("entity_id"),
+        F.count("*")
+        .over(W.partitionBy("cluster_id"))
+        .cast("int")
+        .alias("n_members"),
+    )
+
+
+ORACLE_LINKAGE_ENTITIES = f"""
+WITH RECURSIVE pairs AS ({ORACLE_RECORD_LINKAGE}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach (id, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+ent AS (
+    SELECT id AS doc_id, min(lab) AS entity_id FROM reach GROUP BY id
+)
+SELECT doc_id, entity_id,
+       CAST(count(*) OVER (PARTITION BY entity_id) AS INTEGER) AS n_members
+FROM ent
+"""
+
+
+def op_column_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column NDV statistics over lineitem (exact NDV
+    + replayable HLL estimate per column) — the optimizer-statistics
+    collection pass, one scan for all profiled columns."""
+    cols = ["l_returnflag", "l_linestatus", "l_partkey", "l_orderkey",
+            "l_suppkey"]
+    return sketches.column_ndv_profile(
+        engine_for(spark, sf_dir).table("lineitem"), cols
+    )
+
+
+_NDV_COLS_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS w "
+    f"FROM lineitem WHERE {c} IS NOT NULL"
+    for c in ["l_returnflag", "l_linestatus", "l_partkey", "l_orderkey",
+              "l_suppkey"]
+)
+
+ORACLE_COLUMN_NDV = f"""
+WITH words AS ({_NDV_COLS_SQL}),
+h AS (
+  SELECT col_name, w, md5(w) AS h FROM words
+), reg AS (
+  SELECT col_name,
+         ('0x' || substr(h, 1, 2))::BIGINT % 64 AS idx,
+         max(CASE WHEN ('0x' || substr(h, 3, 8))::BIGINT = 0 THEN 33
+                  ELSE 33 - length(bin(('0x' || substr(h, 3, 8))::BIGINT))
+             END) AS m
+  FROM h GROUP BY col_name, idx
+), s AS (
+  SELECT col_name, CAST(count(*) AS INTEGER) AS registers_hit,
+         sum((1::BIGINT << (33 - m))) AS s_num
+  FROM reg GROUP BY col_name
+), ex AS (
+  SELECT col_name, CAST(count(DISTINCT w) AS BIGINT) AS exact_ndv,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM words GROUP BY col_name
+), est AS (
+  SELECT ex.col_name, n_rows, exact_ndv, registers_hit,
+         CASE WHEN ({sketches.HLL_NUMERATOR}
+                    / (s_num + (64 - registers_hit) * (1::BIGINT << 33)))
+                   <= 160.0
+                   AND (64 - registers_hit) > 0
+              THEN round(64.0 * ln(64.0 / (64 - registers_hit)), 4)
+              ELSE round({sketches.HLL_NUMERATOR}
+                         / (s_num + (64 - registers_hit)
+                            * (1::BIGINT << 33)), 4)
+         END AS hll_estimate
+  FROM ex JOIN s ON ex.col_name = s.col_name
+)
+SELECT col_name, n_rows, exact_ndv, registers_hit, hll_estimate,
+       round((hll_estimate - exact_ndv) / exact_ndv, 4) AS rel_error
+FROM est
+"""
+
+
 def op_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed retrieval: overlapping 64-word chunks BM25-ranked
     against the query, top-5 chunks returned with text — the
@@ -5460,6 +5558,8 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_doc_retrieval": (op_doc_retrieval, ORACLE_DOC_RETRIEVAL),
     "op_orc_roundtrip": (op_orc_roundtrip, ORACLE_ORC_ROUNDTRIP),
     "op_stream_hll": (op_stream_hll, ORACLE_STREAM_HLL),
+    "op_linkage_entities": (op_linkage_entities, ORACLE_LINKAGE_ENTITIES),
+    "op_column_ndv_profile": (op_column_ndv_profile, ORACLE_COLUMN_NDV),
 }
 
 

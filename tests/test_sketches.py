@@ -149,3 +149,33 @@ def test_orc_roundtrip_preserves_counts(spark, docs):
     out = workload.op_orc_roundtrip(spark, SF_DIR)
     total = out.agg(F.sum("n_docs")).collect()[0][0]
     assert total == docs.count()
+
+
+def test_linkage_entities_transitive(spark, docs):
+    """Entity ids are canonical minima and every entity has >= 2
+    members (singletons never enter the pair graph)."""
+    from duckdb_nsql_spark import workload
+
+    rows = workload.op_linkage_entities(spark, SF_DIR).collect()
+    assert rows
+    by_ent = {}
+    for r in rows:
+        by_ent.setdefault(r.entity_id, []).append(r)
+    for eid, members in by_ent.items():
+        ids = {m.doc_id for m in members}
+        assert eid == min(ids)
+        assert all(m.n_members == len(members) for m in members)
+        assert len(members) >= 2
+
+
+def test_column_ndv_profile_accuracy(spark):
+    from duckdb_nsql_spark import workload
+
+    rows = workload.op_column_ndv_profile(spark, SF_DIR).collect()
+    got = {r.col_name: r for r in rows}
+    assert set(got) == {"l_returnflag", "l_linestatus", "l_partkey",
+                        "l_orderkey", "l_suppkey"}
+    assert got["l_returnflag"].exact_ndv == 3
+    assert got["l_linestatus"].exact_ndv == 2
+    for r in rows:
+        assert abs(r.rel_error) < 0.4, (r.col_name, r.rel_error)
