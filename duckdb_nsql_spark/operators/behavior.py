@@ -1,0 +1,113 @@
+"""Behavioral / product-analytics operators over the events table:
+ordered funnel analysis and weekly retention cohorts — the two classic
+event-analytics reports an OLAP engine is asked for, expressed as
+keyed-shuffle DataFrame pipelines.
+
+Both are exactly SQL-expressible (min-timestamp joins, date_trunc week
+buckets, integer day arithmetic), so the driver's DuckDB oracle can
+hash-match every value; the one ratio column per report is a single
+IEEE division of exact integers rounded to 4 dp.
+
+Scale design:
+- funnel: one aggregate per step keyed on user_id (the natural
+  partition key of event data — every shuffle in both reports reuses
+  it); step tables shrink monotonically, and the final report is
+  |steps| rows.
+- retention: distinct (user, week) reduces the event volume BEFORE the
+  cohort join; the report is |cohorts| x |weeks| rows. The cohort table
+  (one row per user) joins back user-keyed; at 100 TB both sides are
+  user-partitioned so the join co-locates with AQE/bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: a user converts step i only with an event of that
+    type STRICTLY AFTER their step i-1 conversion time (first-touch
+    semantics: each step's conversion time is the user's earliest
+    qualifying event). Emits one row per step with the surviving user
+    count and the conversion rate vs the first step.
+    """
+    def count_row(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        )
+
+    prev = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    step_counts = [count_row(prev, 0, steps[0])]
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .join(prev.select(user_col, F.col("t").alias("_pt")), user_col)
+            .where(F.col(ts_col) > F.col("_pt"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t"))
+        )
+        step_counts.append(count_row(nxt, i, s))
+        prev = nxt
+    counts = step_counts[0]
+    for c in step_counts[1:]:
+        counts = counts.unionAll(c)
+    first = counts.where(F.col("step") == 0).select(
+        F.col("n_users").alias("_n0")
+    )
+    return counts.crossJoin(F.broadcast(first)).select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(F.col("n_users") / F.col("_n0"), 4).alias("conversion"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the Monday-start week
+    of their first event; for each (cohort week, week offset) the
+    number of cohort users active that week and the retention rate vs
+    the cohort size. Offsets are exact integer day arithmetic
+    (datediff / 7), so only the final rate divides.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    activity = events.select(
+        user_col, week.cast("date").alias("week")
+    ).distinct()
+    cohort = activity.groupBy(user_col).agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_n")
+    )
+    joined = activity.join(cohort, user_col).select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        user_col,
+    )
+    active = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct(user_col).cast("long").alias("n_active")
+    )
+    return active.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_n",
+        F.round(F.col("n_active") / F.col("cohort_n"), 4).alias("retention"),
+    )

@@ -5029,6 +5029,81 @@ FROM s
 """
 
 
+def op_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel with first-touch semantics
+    (each step strictly after the user's previous-step conversion) —
+    per-step survivor counts and conversion vs the first step."""
+    from .operators import behavior
+
+    return behavior.funnel_steps(engine_for(spark, sf_dir).table("events"))
+
+
+ORACLE_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), counts AS (
+  SELECT 0 AS step, 'view' AS step_name,
+         CAST(count(*) AS BIGINT) AS n_users FROM s0
+  UNION ALL
+  SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1
+  UNION ALL
+  SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2
+), f AS (
+  SELECT n_users AS n0 FROM counts WHERE step = 0
+)
+SELECT step, step_name, n_users,
+       round(n_users / CAST(n0 AS DOUBLE), 4) AS conversion
+FROM counts, f
+"""
+
+
+def op_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts over the events table: cohort = Monday
+    week of first activity; exact integer week offsets; retention rate
+    per (cohort, offset)."""
+    from .operators import behavior
+
+    return behavior.retention_cohorts(
+        engine_for(spark, sf_dir).table("events")
+    )
+
+
+ORACLE_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_n
+  FROM cohort GROUP BY cohort_week
+), joined AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INTEGER)
+             AS week_offset,
+         a.user_id
+  FROM activity a JOIN cohort c ON a.user_id = c.user_id
+), active AS (
+  SELECT cohort_week, week_offset,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM joined GROUP BY cohort_week, week_offset
+)
+SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_n,
+       round(a.n_active / CAST(s.cohort_n AS DOUBLE), 4) AS retention
+FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
+"""
+
+
 def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language HyperLogLog distinct-word estimate next to the exact
     count — a replayable sketch (md5 registers, exact-integer harmonic
@@ -5560,6 +5635,8 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_stream_hll": (op_stream_hll, ORACLE_STREAM_HLL),
     "op_linkage_entities": (op_linkage_entities, ORACLE_LINKAGE_ENTITIES),
     "op_column_ndv_profile": (op_column_ndv_profile, ORACLE_COLUMN_NDV),
+    "op_funnel_analysis": (op_funnel_analysis, ORACLE_FUNNEL),
+    "op_retention_cohorts": (op_retention_cohorts, ORACLE_RETENTION),
 }
 
 

@@ -179,3 +179,25 @@ def test_column_ndv_profile_accuracy(spark):
     assert got["l_linestatus"].exact_ndv == 2
     for r in rows:
         assert abs(r.rel_error) < 0.4, (r.col_name, r.rel_error)
+
+
+def test_funnel_monotone_and_retention_week0(spark):
+    """Funnel survivor counts never increase step to step; every
+    retention cohort is 100% active at week offset 0."""
+    from duckdb_nsql_spark import workload
+
+    funnel = sorted(
+        workload.op_funnel_analysis(spark, SF_DIR).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step_name for r in funnel] == ["view", "click", "purchase"]
+    assert funnel[0].conversion == 1.0
+    for a, b in zip(funnel, funnel[1:]):
+        assert b.n_users <= a.n_users
+
+    ret = workload.op_retention_cohorts(spark, SF_DIR).collect()
+    assert ret
+    for r in ret:
+        if r.week_offset == 0:
+            assert r.retention == 1.0
+        assert 0 < r.n_active <= r.cohort_n
