@@ -376,3 +376,61 @@ def test_image_phash_read_is_map_only(spark):
     plan = plan_of(df)
     assert "Join" not in plan and "Exchange" not in plan, plan
     assert "MapInPandas" in plan
+
+
+def test_cms_counters_broadcast_to_probes(spark, sf_dir):
+    """The Count-Min counter table is 1,536 rows at any corpus size —
+    it must broadcast to the top-k probe set, never shuffle-join."""
+    from duckdb_nsql_spark.operators import sketches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(sketches.cms_heavy_hitters(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantile_sketch_bounds_broadcast(spark, sf_dir):
+    """Per-group min/max/n bounds are |groups| rows — both joins back
+    to the data must broadcast."""
+    from duckdb_nsql_spark.operators import sketches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(sketches.quantile_sketch(docs))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_shuffle_budget(spark, sf_dir):
+    """Winnowing = one doc-keyed window + one doc-keyed aggregate pair;
+    the shingle explode itself must stay map-only. Budget: <= 4
+    non-broadcast exchanges (window, two aggregates, final join)."""
+    from duckdb_nsql_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(text_ops.winnow_fingerprints(docs))
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(")
+        and "Exchange" in l
+        and "Broadcast" not in l
+    )
+    assert n_exchanges <= 4, plan
+
+
+def test_funnel_steps_reuse_user_partitioning(spark, sf_dir):
+    """Every funnel shuffle keys on user_id; the final 3-row report may
+    broadcast but must not shuffle the event table more than once per
+    step (3 steps => <= 6 non-broadcast exchanges incl. count rollups)."""
+    from duckdb_nsql_spark.operators import behavior
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import re
+
+    plan = plan_of(behavior.funnel_steps(events))
+    assert "CartesianProduct" not in plan
+    # data-sized shuffles are the hashpartitioning ones (all user_id-
+    # keyed); SinglePartition exchanges carry only the 1-row per-step
+    # count rollups and are free
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash <= 6, plan
