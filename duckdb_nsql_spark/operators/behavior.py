@@ -111,3 +111,87 @@ def retention_cohorts(
         "cohort_n",
         F.round(F.col("n_active") / F.col("cohort_n"), 4).alias("retention"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: each conversion is credited to the most
+    recent touch event (strictly earlier, same user, within the
+    attribution window); conversions with no qualifying touch report as
+    channel 'unattributed'. Revenue sums in DECIMAL after a 4-dp round,
+    so the aggregate is order-independent and engine-exact.
+
+    Same union+carry-forward window shape as the as-of join (one
+    user-keyed shuffle): touches and conversions interleave on
+    (ts, event_id) per user and the last touch's (type, ts) carries
+    forward with ignoreNulls last_value — no per-conversion subquery,
+    no range join explosion.
+    """
+    touches = events.where(F.col(type_col).isin(*touch_types)).select(
+        user_col,
+        ts_col,
+        F.col(order_col).alias("_ord"),
+        F.col(type_col).alias("_touch"),
+        F.lit(None).cast("double").alias("_value"),
+        F.lit(0).alias("_is_conv"),
+    )
+    convs = events.where(F.col(type_col) == conversion_type).select(
+        user_col,
+        ts_col,
+        F.col(order_col).alias("_ord"),
+        F.lit(None).cast("string").alias("_touch"),
+        F.col(value_col).alias("_value"),
+        F.lit(1).alias("_is_conv"),
+    )
+    from pyspark.sql import Window as W
+
+    win = (
+        W.partitionBy(user_col)
+        .orderBy(ts_col, "_ord", "_is_conv")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = touches.unionAll(convs).select(
+        user_col,
+        ts_col,
+        "_value",
+        "_is_conv",
+        F.last("_touch", ignorenulls=True).over(win).alias("_last_touch"),
+        F.last(
+            F.when(F.col("_touch").isNotNull(), F.col(ts_col)),
+            ignorenulls=True,
+        )
+        .over(win)
+        .alias("_last_ts"),
+    )
+    attributed = carried.where(F.col("_is_conv") == 1).select(
+        F.when(
+            F.col("_last_touch").isNotNull()
+            & (
+                # integer MICROSECONDS (unix_micros / DuckDB epoch_us);
+                # NTZ -> LTZ cast only for the micros arithmetic, same
+                # idiom as asof.sessionize
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(F.col("_last_ts").cast("timestamp"))
+                <= window_days * 86400 * 1_000_000
+            ),
+            F.col("_last_touch"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("channel"),
+        F.round(F.col("_value"), 4).cast("decimal(14,4)").alias("_rev"),
+    )
+    return attributed.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        # exact DECIMAL accumulation, DOUBLE on the wire (one exact
+        # decimal->double conversion, identical in both engines)
+        F.sum("_rev").cast("double").alias("revenue"),
+    )

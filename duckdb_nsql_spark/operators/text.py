@@ -1420,3 +1420,53 @@ def doc_retrieval(
             "chunk_text",
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against a corpus-derived
+    vocabulary (top ``vocab_size`` words by global frequency, word-asc
+    tie-break) — the coverage check run before fixing a tokenizer or
+    embedding vocabulary on a new corpus slice.
+
+    The vocabulary is |vocab_size| rows at any corpus size — it
+    broadcast-joins to the token stream; the only data-sized shuffles
+    are the two word aggregates. Deterministic top-k boundary and exact
+    integer rates make every value oracle-replayable.
+    """
+    words = df.select(
+        group_col,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("w"),
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    tagged = words.join(F.broadcast(vocab), "w", "left")
+    return (
+        tagged.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )

@@ -5104,6 +5104,77 @@ FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
 """
 
 
+def op_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language vs the corpus top-1000
+    vocabulary — the coverage check before fixing a tokenizer/embedding
+    vocab on a new corpus slice; vocab broadcasts at any corpus size."""
+    return text_ops.oov_rate(_docs_wide(spark, sf_dir), vocab_size=1000)
+
+
+ORACLE_OOV_RATE = """
+WITH words AS (
+  SELECT lang, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS n FROM words GROUP BY w
+    ORDER BY n DESC, w LIMIT 1000
+  )
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+FROM words LEFT JOIN vocab v ON words.w = v.w
+GROUP BY lang
+"""
+
+
+def op_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchases to the most recent view/click
+    within 7 days — union+carry-forward window (ONE user-keyed shuffle),
+    DECIMAL revenue so the per-channel sums are order-independent."""
+    from .operators import behavior
+
+    return behavior.last_touch_attribution(
+        engine_for(spark, sf_dir).table("events")
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH rows_ AS (
+  SELECT user_id, ts, event_id AS ord,
+         CASE WHEN event_type IN ('view', 'click') THEN event_type
+         END AS touch,
+         CASE WHEN event_type = 'purchase' THEN value END AS val,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), carried AS (
+  SELECT user_id, ts, val, is_conv,
+         last_value(touch IGNORE NULLS) OVER w AS last_touch,
+         last_value(CASE WHEN touch IS NOT NULL THEN ts END IGNORE NULLS)
+             OVER w AS last_ts
+  FROM rows_
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, ord, is_conv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), attributed AS (
+  SELECT CASE WHEN last_touch IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(last_ts)
+                       <= 7::BIGINT * 86400 * 1000000
+              THEN last_touch ELSE 'unattributed' END AS channel,
+         CAST(round(val, 4) AS DECIMAL(14,4)) AS rev
+  FROM carried WHERE is_conv = 1
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(rev) AS DOUBLE) AS revenue
+FROM attributed GROUP BY channel
+"""
+
+
 def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language HyperLogLog distinct-word estimate next to the exact
     count — a replayable sketch (md5 registers, exact-integer harmonic
@@ -5637,6 +5708,8 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_column_ndv_profile": (op_column_ndv_profile, ORACLE_COLUMN_NDV),
     "op_funnel_analysis": (op_funnel_analysis, ORACLE_FUNNEL),
     "op_retention_cohorts": (op_retention_cohorts, ORACLE_RETENTION),
+    "op_oov_rate": (op_oov_rate, ORACLE_OOV_RATE),
+    "op_attribution": (op_attribution, ORACLE_ATTRIBUTION),
 }
 
 

@@ -201,3 +201,24 @@ def test_funnel_monotone_and_retention_week0(spark):
         if r.week_offset == 0:
             assert r.retention == 1.0
         assert 0 < r.n_active <= r.cohort_n
+
+
+def test_oov_rate_and_attribution_semantics(spark):
+    """OOV rates are valid fractions; attribution channels partition the
+    purchase set exactly (counts sum to the number of purchases)."""
+    from duckdb_nsql_spark import workload
+
+    oov = workload.op_oov_rate(spark, SF_DIR).collect()
+    assert oov
+    for r in oov:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate < 1.0
+
+    att = workload.op_attribution(spark, SF_DIR).collect()
+    purchases = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where("event_type = 'purchase'")
+        .count()
+    )
+    assert sum(r.n_conversions for r in att) == purchases
+    assert {r.channel for r in att} <= {"view", "click", "unattributed"}
