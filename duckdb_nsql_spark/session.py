@@ -1829,9 +1829,63 @@ class DuckSparkSession:
             out = self._query(f"SELECT * FROM {view} {tail}")
         return out
 
+    def _tablesample_to_using(self, tokens: list[Token]) -> list[Token]:
+        """DuckDB ``TABLESAMPLE`` spellings -> ``USING SAMPLE`` form, so
+        the exact-reservoir, file-pruned-system, and proportional passes
+        apply identically to either spelling (DuckDB treats them as the
+        same clause): ``TABLESAMPLE reservoir(5 ROWS)`` ->
+        ``USING SAMPLE 5 ROWS (reservoir)``; ``TABLESAMPLE 10%`` ->
+        ``USING SAMPLE 10%``. Spark-form ``TABLESAMPLE (N ...)`` without
+        a method name is left for the native parser."""
+        i = 0
+        out = tokens
+        while i < len(out):
+            t = out[i]
+            if not (t.kind == IDENT and t.upper == "TABLESAMPLE"):
+                i += 1
+                continue
+            s = next_sig(out, i)
+            if s >= len(out):
+                break
+            if out[s].kind == IDENT and out[s].upper in (
+                "RESERVOIR", "BERNOULLI", "SYSTEM",
+            ):
+                m = next_sig(out, s)
+                if (
+                    m < len(out)
+                    and out[m].kind == PUNCT
+                    and out[m].text == "("
+                ):
+                    c = match_forward(out, m, "(", ")")
+                    size = render(out[m + 1 : c]).strip()
+                    repl = tokenize(
+                        f"USING SAMPLE {size} ({out[s].text.lower()})"
+                    )
+                    out = out[:i] + repl + out[c + 1 :]
+                    i += len(repl)
+                    continue
+            if out[s].kind == NUMBER:
+                end = s
+                k = next_sig(out, s)
+                if k < len(out) and (
+                    (out[k].kind == OP and out[k].text == "%")
+                    or out[k].is_kw("PERCENT")
+                    or out[k].is_kw("ROWS")
+                ):
+                    end = k
+                repl = tokenize(
+                    "USING SAMPLE " + render(out[s : end + 1]).strip()
+                )
+                out = out[:i] + repl + out[end + 1 :]
+                i += len(repl)
+                continue
+            i += 1
+        return out
+
     def _rewrite_query(self, sql: str, validate_only: bool = False) -> str:
         tokens = tokenize(sql)
         tokens = self._expand_table_functions(tokens)
+        tokens = self._tablesample_to_using(tokens)
         if not validate_only:
             # exact-reservoir rewrite runs a count() for percent forms;
             # validation must not launch jobs — the later USING SAMPLE
@@ -2188,20 +2242,37 @@ class DuckSparkSession:
                 break
 
         def rel_df(span_text: str):
+            """Relation span -> (DataFrame, alias-or-None). The alias is
+            captured so qualified references (``a.col``, ``b.*``) in the
+            surrounding statement can be remapped onto the zipped view's
+            output columns."""
             txt = span_text.strip().rstrip(";").strip()
             toks = tokenize(txt)
             s = [k for k, tk in enumerate(toks) if tk.kind not in (WS, COMMENT)]
+
+            def trailing_alias(after: int) -> Optional[str]:
+                rest = [k for k in s if k > after]
+                if rest and toks[rest[0]].is_kw("AS"):
+                    rest = rest[1:]
+                if rest and toks[rest[0]].kind == IDENT:
+                    return toks[rest[0]].text.strip('"`')
+                return None
+
             if toks[s[0]].text == "(":
                 c = match_forward(toks, s[0], "(", ")")
-                return self._query(render(toks[s[0] + 1 : c]))
-            # [db.]name [AS] [alias] — alias ignored (columns win by name)
+                return (
+                    self._query(render(toks[s[0] + 1 : c])),
+                    trailing_alias(c),
+                )
+            # [db.]name [AS] [alias]
             k = 0
             while k + 2 < len(s) and toks[s[k + 1]].text == ".":
                 k += 2
             name = render(toks[: s[k] + 1]).strip().strip('"`')
-            return self.table(name)
-        left_df = rel_df(render(tokens[from_i + 1 : at]))
-        right_df = rel_df(render(tokens[jn + 1 : end]))
+            return self.table(name), trailing_alias(s[k])
+
+        left_df, left_alias = rel_df(render(tokens[from_i + 1 : at]))
+        right_df, right_alias = rel_df(render(tokens[jn + 1 : end]))
         rn = "__pos_rn__"
         win = Window.orderBy(F.monotonically_increasing_id())
         lcols = list(left_df.columns)
@@ -2221,7 +2292,58 @@ class DuckSparkSession:
             *lcols, *rcols
         )
         view = self._fresh_view(joined)
-        return render(tokens[:from_i]) + f"FROM {view} " + render(tokens[end:])
+
+        # remap alias-qualified references in the surrounding statement
+        # onto the zipped view's output columns (right-side collisions
+        # carry the _1 suffix): a.col -> col, b.* -> its column list
+        qual: dict[str, dict[str, str]] = {}
+        if left_alias:
+            qual[left_alias.lower()] = {c.lower(): c for c in lcols}
+        if right_alias:
+            qual[right_alias.lower()] = {
+                o.lower(): n for o, n in zip(right_df.columns, rcols)
+            }
+        star: dict[str, list[str]] = {}
+        if left_alias:
+            star[left_alias.lower()] = lcols
+        if right_alias:
+            star[right_alias.lower()] = rcols
+
+        def remap(seg: list) -> str:
+            out: list[str] = []
+            i = 0
+            n = len(seg)
+            while i < n:
+                t = seg[i]
+                if t.kind == IDENT and t.text.strip('"`').lower() in qual:
+                    j = i + 1
+                    while j < n and seg[j].kind in (WS, COMMENT):
+                        j += 1
+                    if j < n and seg[j].kind == PUNCT and seg[j].text == ".":
+                        k = j + 1
+                        while k < n and seg[k].kind in (WS, COMMENT):
+                            k += 1
+                        a = t.text.strip('"`').lower()
+                        if k < n and seg[k].text == "*":
+                            out.append(", ".join(star[a]))
+                            i = k + 1
+                            continue
+                        if k < n and seg[k].kind in (IDENT,):
+                            col = seg[k].text.strip('"`')
+                            mapped = qual[a].get(col.lower())
+                            if mapped is not None:
+                                out.append(mapped)
+                                i = k + 1
+                                continue
+                out.append(t.text)
+                i += 1
+            return "".join(out)
+
+        return (
+            remap(tokens[:from_i])
+            + f"FROM {view} "
+            + remap(tokens[end:])
+        )
 
     def _asof_rewrite(self, sql: str) -> Optional[str]:
         """DuckDB ``ASOF [LEFT] JOIN`` SQL -> operators/asof.py plan.

@@ -2014,6 +2014,56 @@ _sql(
     """,
 )
 
+# --- POSITIONAL JOIN with alias-qualified refs + b.* expansion (DuckDB
+# row-zip; both sides ordered subqueries so the zip is deterministic in
+# both engines). The left side is one row longer, so the NULL padding of
+# the full-positional semantics is exercised too.
+_sql(
+    "q128_positional_join",
+    """
+    SELECT a.n_name, b.r_name,
+           coalesce(b.r_regionkey, -1) AS rk
+    FROM (SELECT n_name FROM nation ORDER BY n_name LIMIT 4) a
+    POSITIONAL JOIN
+         (SELECT r_name, r_regionkey FROM region
+          ORDER BY r_name LIMIT 3) b
+    ORDER BY a.n_name
+    """,
+)
+
+# --- GROUP BY CUBE + GROUPING() (DuckDB cube lattice; native Spark) ------
+_sql(
+    "q129_cube_grouping",
+    """
+    SELECT n_regionkey, n_nationkey % 2 AS parity,
+           grouping(n_regionkey) AS g_r, grouping(n_nationkey % 2) AS g_p,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY CUBE(n_regionkey, n_nationkey % 2)
+    ORDER BY ALL
+    """,
+)
+
+# --- VALUES as a FROM-clause relation with column aliases ----------------
+_sql(
+    "q130_values_relation",
+    """
+    SELECT t.s, t.i * 10 AS i10, n.n_name
+    FROM (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma')) t(i, s)
+    JOIN nation n ON n.n_nationkey = t.i
+    ORDER BY t.i
+    """,
+)
+
+# --- TABLESAMPLE spelling of reservoir sampling (same clause family as
+# USING SAMPLE; reservoir draws an EXACT llround(p*n) count in both
+# engines, so count(*) over it is a hard oracle like q34b) -----------------
+_sql(
+    "q131_tablesample_reservoir",
+    "SELECT count(*) AS n FROM "
+    "(SELECT * FROM lineitem TABLESAMPLE reservoir(10%)) t",
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles

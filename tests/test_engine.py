@@ -1861,3 +1861,52 @@ def test_reservoir_percent_count_matches_duckdb_llround(engine):
             assert ours == theirs, (tbl, p, ours, theirs)
     engine.execute("DROP TABLE t_res")
     engine.execute("DROP TABLE t_half")
+
+
+def test_positional_join_alias_qualified_refs(loaded_engine):
+    """POSITIONAL JOIN with alias-qualified columns and b.* expansion —
+    the zipped view must remap a.col / b.col / b.* onto its output
+    (right-side collisions carry the _1 suffix)."""
+    q = (
+        "SELECT a.n_name, b.r_name FROM "
+        "(SELECT n_name FROM nation ORDER BY n_name LIMIT 3) a "
+        "POSITIONAL JOIN "
+        "(SELECT r_name FROM region ORDER BY r_name LIMIT 3) b "
+        "ORDER BY a.n_name"
+    )
+    rows = loaded_engine.execute(q).collect()
+    assert len(rows) == 3 and rows[0]["r_name"] is not None
+
+    q2 = (
+        "SELECT b.*, a.n_name FROM "
+        "(SELECT n_name FROM nation ORDER BY n_name LIMIT 2) a "
+        "POSITIONAL JOIN "
+        "(SELECT r_name, r_regionkey FROM region ORDER BY r_name LIMIT 2) b"
+    )
+    out = loaded_engine.execute(q2)
+    assert out.columns == ["r_name", "r_regionkey", "n_name"]
+
+
+def test_tablesample_spellings(loaded_engine):
+    """DuckDB TABLESAMPLE spellings normalize onto the USING SAMPLE
+    machinery: method-first reservoir forms draw EXACT counts; bare
+    percent forms stay proportional; Spark-form (N PERCENT) untouched."""
+    n = loaded_engine.fetchdf(
+        "SELECT count(*) AS n FROM "
+        "(SELECT * FROM nation TABLESAMPLE reservoir(5 ROWS))"
+    ).n[0]
+    assert n == 5
+    total = loaded_engine.fetchdf(
+        "SELECT count(*) AS n FROM lineitem"
+    ).n[0]
+    import math
+
+    exact = loaded_engine.fetchdf(
+        "SELECT count(*) AS n FROM "
+        "(SELECT * FROM lineitem TABLESAMPLE reservoir(10%))"
+    ).n[0]
+    assert exact == int(math.floor(0.10 * total + 0.5))
+    prop = loaded_engine.fetchdf(
+        "SELECT count(*) AS n FROM (SELECT * FROM lineitem TABLESAMPLE 10%)"
+    ).n[0]
+    assert 0.04 * total < prop < 0.16 * total
