@@ -5519,6 +5519,55 @@ FROM est
 """
 
 
+def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PageRank (damping 0.85, 3 unrolled rounds) over the
+    symmetrized record-linkage graph — the iterative-algorithm showcase:
+    no convergence collect, one join + one dst-keyed aggregate per
+    round, ALL rank math in scaled integers (x10^12, floor div) so the
+    oracle replays the iteration bit-exactly with unrolled CTEs."""
+    from .operators import graph
+
+    pairs = dedup.record_linkage(_docs(spark, sf_dir)).select("id_a", "id_b")
+    return graph.pagerank(pairs)
+
+
+ORACLE_PAGERANK = f"""
+WITH pairs AS ({ORACLE_RECORD_LINKAGE}),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+  )
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), b AS (
+  SELECT 15000000000000::BIGINT // (100 * n) AS base FROM nn
+), r0 AS (
+  SELECT id, 1000000000000::BIGINT // n AS r FROM nodes, nn
+), r1 AS (
+  SELECT e.dst AS id, b.base + (85 * sum(r0.r // d.deg)) // 100 AS r
+  FROM edges e JOIN r0 ON r0.id = e.src JOIN deg d ON d.src = e.src, b
+  GROUP BY e.dst, b.base
+), r2 AS (
+  SELECT e.dst AS id, b.base + (85 * sum(r1.r // d.deg)) // 100 AS r
+  FROM edges e JOIN r1 ON r1.id = e.src JOIN deg d ON d.src = e.src, b
+  GROUP BY e.dst, b.base
+), r3 AS (
+  SELECT e.dst AS id, b.base + (85 * sum(r2.r // d.deg)) // 100 AS r
+  FROM edges e JOIN r2 ON r2.id = e.src JOIN deg d ON d.src = e.src, b
+  GROUP BY e.dst, b.base
+)
+SELECT id AS doc_id, CAST(r AS BIGINT) AS pr_scaled,
+       round(r / 1000000000000.0, 8) AS pagerank
+FROM r3
+"""
+
+
 def op_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed retrieval: overlapping 64-word chunks BM25-ranked
     against the query, top-5 chunks returned with text — the
@@ -5760,6 +5809,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_retention_cohorts": (op_retention_cohorts, ORACLE_RETENTION),
     "op_oov_rate": (op_oov_rate, ORACLE_OOV_RATE),
     "op_attribution": (op_attribution, ORACLE_ATTRIBUTION),
+    "op_pagerank": (op_pagerank, ORACLE_PAGERANK),
 }
 
 

@@ -222,3 +222,20 @@ def test_oov_rate_and_attribution_semantics(spark):
     )
     assert sum(r.n_conversions for r in att) == purchases
     assert {r.channel for r in att} <= {"view", "click", "unattributed"}
+
+
+def test_pagerank_mass_and_isolation(spark, docs):
+    """PageRank sanity: total rank mass stays ~1 (floor bias only ever
+    shrinks it, bounded by iters * n * 1e-12), and a higher-degree hub
+    outranks a leaf in a star graph."""
+    from duckdb_nsql_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], ["id_a", "id_b"]
+    )
+    rows = {r.doc_id: r for r in graph.pagerank(pairs).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    total = sum(r.pr_scaled for r in rows.values())
+    assert 0.98 * graph.PR_SCALE < total <= graph.PR_SCALE
+    assert rows[1].pr_scaled > rows[2].pr_scaled  # hub beats leaf
+    assert rows[5].pr_scaled == rows[6].pr_scaled  # symmetric pair
