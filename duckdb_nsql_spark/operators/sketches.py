@@ -153,6 +153,39 @@ CMS_DEPTH = 3
 CMS_WIDTH = 512
 
 
+def cms_bucket(j: int, col):
+    """Row-j counter bucket for a word: md5('j:'||w)[1:8] hex -> int
+    mod width. Byte-identical in DuckDB ('0x'||substr(...)::BIGINT)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
+
+
+def cms_cells(words: DataFrame) -> DataFrame:
+    """(j, bucket) counter-update cells, 3 per word — stateless map, so
+    the SAME expressions run over a stream; the counter table is then
+    ``groupBy(j, bucket).count()``, an additive aggregate whose state is
+    bounded at 3 x 512 cells however long the stream runs."""
+    return words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cms_bucket(j, F.col("w")).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    ).select(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
+
+
 def cms_heavy_hitters(
     df: DataFrame, k: int = 20, text_col: str = "text"
 ) -> DataFrame:
@@ -174,33 +207,9 @@ def cms_heavy_hitters(
             )
         ).alias("w")
     )
-
-    def bucket(j: int, col):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % CMS_WIDTH
-        )
-
-    counters = (
-        words.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            bucket(j, F.col("w")).alias("bucket"),
-                        )
-                        for j in range(CMS_DEPTH)
-                    ]
-                )
-            ).alias("cell")
-        )
-        .groupBy("cell.j", "cell.bucket")
-        .agg(F.count("*").alias("c"))
+    bucket = cms_bucket
+    counters = cms_cells(words).groupBy("j", "bucket").agg(
+        F.count("*").alias("c")
     )
     topk = (
         words.groupBy("w")

@@ -290,3 +290,25 @@ def hll_register_stream(
         .groupBy(group_col, "idx")
         .agg(F.max("rho").alias("m"))
     )
+
+
+def cms_counter_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming Count-Min counter maintenance — frequency tracking on
+    an infinite stream with FIXED state (3 x 512 counters forever).
+    The map side (word explode -> 3 md5 bucket cells) is the SAME
+    stateless expression set as the batch sketch
+    (operators/sketches.py:cms_cells); the stateful part is one
+    additive ``groupBy(j, bucket).count()``, so micro-batch boundaries
+    commute with the final counts. Probe the materialized counter table
+    exactly like the batch sketch's."""
+    from ..operators import sketches
+
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    return sketches.cms_cells(words).groupBy("j", "bucket").count()

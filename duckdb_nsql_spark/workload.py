@@ -5225,6 +5225,67 @@ FROM attributed GROUP BY channel
 """
 
 
+def op_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourteenth streaming operator: Count-Min counter maintenance over
+    continuous ingest (3x512 additive counters, fixed state forever).
+    The streamed counter table is probed with the batch top-20 exactly
+    like the batch sketch, so the SAME oracle pins both paths."""
+    from .streaming import dedup as sd
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    stream = sd.read_documents_stream(spark, path)
+    counters = sd.cms_counter_stream(stream)
+    name = f"stream_cms_{abs(hash(sf_dir)) % 10_000}"
+    counter_table = sd.run_available_now(
+        counters, spark, name, output_mode="complete"
+    ).withColumnRenamed("count", "c")
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    topk = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("w"))
+        .limit(20)
+    )
+    probes = topk.select(
+        "w",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        sketches.cms_bucket(j, F.col("w")).alias("bucket"),
+                    )
+                    for j in range(sketches.CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(counter_table),
+            (probes["cell.j"] == counter_table["j"])
+            & (probes["cell.bucket"] == counter_table["bucket"]),
+        )
+        .groupBy("w", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select(
+        F.col("w").alias("word"),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("cms_n").cast("long").alias("cms_n"),
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overestimate"),
+    )
+
+
 def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language HyperLogLog distinct-word estimate next to the exact
     count — a replayable sketch (md5 registers, exact-integer harmonic
@@ -5810,6 +5871,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_oov_rate": (op_oov_rate, ORACLE_OOV_RATE),
     "op_attribution": (op_attribution, ORACLE_ATTRIBUTION),
     "op_pagerank": (op_pagerank, ORACLE_PAGERANK),
+    "op_stream_cms": (op_stream_cms, ORACLE_CMS_HEAVY_HITTERS),
 }
 
 
