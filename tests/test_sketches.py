@@ -239,3 +239,31 @@ def test_pagerank_mass_and_isolation(spark, docs):
     assert 0.98 * graph.PR_SCALE < total <= graph.PR_SCALE
     assert rows[1].pr_scaled > rows[2].pr_scaled  # hub beats leaf
     assert rows[5].pr_scaled == rows[6].pr_scaled  # symmetric pair
+
+
+def test_hll_registers_merge_across_shards(spark, docs):
+    """Mergeability — the property that makes sketches distributed:
+    max-merging the register tables of two disjoint corpus shards must
+    equal the whole-corpus register table (hence the same estimate)."""
+    from duckdb_nsql_spark.operators import sketches
+
+    en = docs.where("lang = 'en'")
+    rest = docs.where("lang <> 'en' OR lang IS NULL")
+    regs = lambda df: (
+        sketches.hll_cells(
+            sketches.hll_words(df.selectExpr("'all' AS g", "text"), "g", "text"),
+            "g",
+        )
+        .groupBy("g", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+    merged = (
+        regs(en)
+        .unionAll(regs(rest))
+        .groupBy("g", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    whole = regs(docs.selectExpr("doc_id", "text"))
+    a = sketches.hll_finalize(merged, "g").collect()[0]
+    b = sketches.hll_finalize(whole, "g").collect()[0]
+    assert (a.registers_hit, a.hll_estimate) == (b.registers_hit, b.hll_estimate)
