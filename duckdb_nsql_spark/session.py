@@ -503,6 +503,8 @@ class DuckSparkSession:
         self._threads_overridden = False
         # CREATE MACRO name -> (params, body expression text)
         self._macros: dict[str, tuple[list[str], str]] = {}
+        # CREATE MACRO name(...) AS TABLE <query> -> (params, body query)
+        self._table_macros: dict[str, tuple[list[str], str]] = {}
         self._macro_epoch: int = 0
         # statement-plan cache: (sql, catalog_epoch, settings, macro_epoch)
         # -> analyzed DataFrame. The Spark analogue of DuckDB's ~1ms
@@ -945,7 +947,7 @@ class DuckSparkSession:
         # references are invisible to the identifier scan — any macro
         # call means the true input size is unknown (big mode), same as
         # the view/in-memory bailouts below
-        for name in self._macros:
+        for name in (*self._macros, *self._table_macros):
             if name.lower() in names:
                 return None
         total = 0
@@ -3551,7 +3553,17 @@ class DuckSparkSession:
             raise ValueError("CREATE MACRO ... AS <expression>")
         b = next_sig(tokens, k)
         if b < len(tokens) and tokens[b].is_kw("TABLE"):
-            raise ValueError("table macros (AS TABLE ...) are not supported")
+            # DuckDB table macro: a stored QUERY template used in FROM
+            # position (``FROM topn(3)``), expanded inline like scalar
+            # macros but wrapped as a derived relation
+            body = render(tokens[b + 1 :]).strip().rstrip(";").strip()
+            if name in self._table_macros and not or_replace:
+                raise ValueError(
+                    f"Catalog Error: macro {name!r} already exists"
+                )
+            self._table_macros[name] = (params, body)
+            self._macro_epoch += 1
+            return None
         body = render(tokens[k + 1 :]).strip().rstrip(";").strip()
         if name in self._macros and not or_replace:
             raise ValueError(f"Catalog Error: macro {name!r} already exists")
@@ -3591,16 +3603,36 @@ class DuckSparkSession:
         return None
 
     def _drop_macro(self, name: str, if_exists: bool) -> None:
-        if self._macros.pop(name.lower(), None) is None and not if_exists:
+        found = self._macros.pop(name.lower(), None) is not None
+        found = self._table_macros.pop(name.lower(), None) is not None or found
+        if not found and not if_exists:
             raise KeyError(f"Catalog Error: Macro with name {name} does not exist!")
         self._macro_epoch += 1
         return None
+
+    _MACRO_CLAUSE_KWS = frozenset(
+        "WHERE GROUP ORDER LIMIT OFFSET HAVING QUALIFY WINDOW UNION "
+        "INTERSECT EXCEPT JOIN INNER LEFT RIGHT FULL CROSS POSITIONAL "
+        "ASOF SEMI ANTI ON USING NATURAL".split()
+    )
+
+    def _macro_alias_follows(self, tokens: list[Token], c: int) -> bool:
+        """True when the table-macro call at ``)`` index ``c`` is already
+        followed by a user alias ([AS] ident), so the expansion must not
+        append its own."""
+        k = next_sig(tokens, c)
+        if k >= len(tokens):
+            return False
+        t = tokens[k]
+        if t.is_kw("AS"):
+            return True
+        return t.kind in (IDENT, QIDENT) and t.upper not in self._MACRO_CLAUSE_KWS
 
     def _expand_macros(self, sql: str) -> str:
         """Inline-substitute macro calls (bounded rounds: macros may call
         macros, cycles terminate with the original text plus an eventual
         Spark parse error naming the unresolved function)."""
-        if not self._macros:
+        if not self._macros and not self._table_macros:
             return sql
         for _ in range(8):
             tokens = tokenize(sql)
@@ -3609,7 +3641,11 @@ class DuckSparkSession:
             i = 0
             while i < len(tokens):
                 t = tokens[i]
-                if t.kind == IDENT and t.text.lower() in self._macros:
+                is_scalar = t.kind == IDENT and t.text.lower() in self._macros
+                is_table = (
+                    t.kind == IDENT and t.text.lower() in self._table_macros
+                )
+                if is_scalar or is_table:
                     p = prev_sig(tokens, i)
                     dotted = p >= 0 and tokens[p].kind == PUNCT and tokens[p].text == "."
                     jx = next_sig(tokens, i)
@@ -3620,7 +3656,11 @@ class DuckSparkSession:
                         and tokens[jx].text == "("
                     ):
                         c = match_forward(tokens, jx, "(", ")")
-                        params, body = self._macros[t.text.lower()]
+                        params, body = (
+                            self._macros[t.text.lower()]
+                            if is_scalar
+                            else self._table_macros[t.text.lower()]
+                        )
                         args = [
                             render(tokens[lo:hi]).strip()
                             for lo, hi in split_args(tokens, jx + 1, c)
@@ -3636,6 +3676,15 @@ class DuckSparkSession:
                         out.append(Token(PUNCT, "("))
                         out.extend(tokenize(sub))
                         out.append(Token(PUNCT, ")"))
+                        if is_table and not self._macro_alias_follows(
+                            tokens, c
+                        ):
+                            # derived relations need an alias in Spark;
+                            # DuckDB exposes the macro's name
+                            out.append(Token(WS, " "))
+                            out.append(Token(IDENT, "AS"))
+                            out.append(Token(WS, " "))
+                            out.append(Token(IDENT, t.text.lower()))
                         i = c + 1
                         changed = True
                         continue

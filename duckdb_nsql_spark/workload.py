@@ -2064,6 +2064,19 @@ _sql(
     "(SELECT * FROM lineitem TABLESAMPLE reservoir(10%)) t",
 )
 
+# --- table macros (CREATE MACRO ... AS TABLE): a stored query template
+# expanded inline in FROM position, DuckDB's parameterized-view form ----
+_sql(
+    "q132_table_macro",
+    """
+    CREATE OR REPLACE MACRO nation_of(rk) AS TABLE
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = rk;
+    SELECT a.n_name, CAST(count(*) AS BIGINT) AS n_cust
+    FROM nation_of(1) a JOIN customer c ON c.c_nationkey = a.n_nationkey
+    GROUP BY a.n_name ORDER BY a.n_name
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles

@@ -1910,3 +1910,32 @@ def test_tablesample_spellings(loaded_engine):
         "SELECT count(*) AS n FROM (SELECT * FROM lineitem TABLESAMPLE 10%)"
     ).n[0]
     assert 0.04 * total < prop < 0.16 * total
+
+
+def test_table_macro_shapes(engine, sf_dir):
+    """CREATE MACRO ... AS TABLE: bare FROM use (auto-aliased with the
+    macro name), user alias, trailing WHERE, self-join with two aliases,
+    and DROP MACRO removal."""
+    engine.register_parquet_dir(sf_dir)
+    engine.execute(
+        "CREATE MACRO topn(k) AS TABLE "
+        "SELECT n_name FROM nation ORDER BY n_name LIMIT k"
+    )
+    assert engine.execute("SELECT * FROM topn(3)").count() == 3
+    assert engine.execute("SELECT t.n_name FROM topn(2) t").count() == 2
+    assert (
+        engine.execute(
+            "SELECT count(*) AS c FROM topn(4) WHERE n_name LIKE 'NATION%'"
+        ).collect()[0]["c"]
+        == 4
+    )
+    rows = engine.execute(
+        "SELECT a.n_name, b.n_name AS bn FROM topn(3) a "
+        "JOIN topn(3) b ON a.n_name < b.n_name"
+    ).count()
+    assert rows == 3
+    engine.execute("DROP MACRO topn")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.execute("SELECT * FROM topn(3)").collect()
