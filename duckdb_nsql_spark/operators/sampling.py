@@ -484,3 +484,29 @@ def dp_histogram(
         F.round(noise, 4).alias("noise"),
         F.round(F.col("n") + noise, 4).alias("noisy_n"),
     )
+
+
+def fixed_size_stratified(
+    df: DataFrame,
+    k: int = 20,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "fks",
+) -> DataFrame:
+    """Fixed-SIZE stratified sample: exactly ``min(k, |group|)`` rows per
+    group, chosen by deterministic md5 hash order — the other standard
+    stratification shape next to the rate-based ``stratified_sample``
+    (equal representation per class for eval sets, few-shot pools,
+    annotation batches). Replays identically on any engine and any run:
+    the "random" order is a pure function of (seed, id).
+
+    One group-keyed window shuffle; no skew (each group's rows hash to
+    its own partition range), no collect.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, id_col)
+    return (
+        df.select(id_col, group_col, F.row_number().over(w).alias("__rn"))
+        .where(F.col("__rn") <= k)
+        .select(id_col, group_col, F.col("__rn").cast("int").alias("draw_rank"))
+    )

@@ -1470,3 +1470,38 @@ def oov_rate(
             F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
         )
     )
+
+
+def dataset_card(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset-card summary per group — the datasheet table a corpus
+    release publishes: document and character counts, average length,
+    exact-duplicate share. All integer sums plus one final division per
+    ratio, so every value replays exactly on the oracle.
+
+    Two shuffles regardless of corpus size: the fingerprint aggregate
+    (dup detection) and the group rollup; the fingerprint join is keyed
+    on the md5 (uniform, no skew).
+    """
+    per_doc = df.select(
+        group_col,
+        fingerprint(F.col(text_col)).alias("__fp"),
+        F.length(text_col).alias("__nc"),
+        word_count(F.col(text_col)).alias("__wc"),
+    )
+    dup = per_doc.groupBy("__fp").agg(F.count("*").alias("__n"))
+    tagged = per_doc.join(dup, "__fp").select(
+        group_col,
+        "__nc",
+        "__wc",
+        (F.col("__n") > 1).cast("int").alias("__is_dup"),
+    )
+    return tagged.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__nc").cast("long").alias("total_chars"),
+        F.round(F.sum("__wc") / F.count("*"), 2).alias("avg_words"),
+        F.sum("__is_dup").cast("long").alias("n_dup_docs"),
+        F.round(F.sum("__is_dup") / F.count("*"), 4).alias("dup_rate"),
+    )

@@ -5167,6 +5167,55 @@ FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
 """
 
 
+def op_sample_fixed_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE stratified sample: exactly min(20, |group|) docs per
+    language by deterministic md5 draw order — the equal-representation
+    shape (eval sets / few-shot pools) next to rate-based
+    op_sample_stratified."""
+    return sampling.fixed_size_stratified(_docs(spark, sf_dir), k=20)
+
+
+ORACLE_SAMPLE_FIXED = """
+SELECT doc_id, lang, CAST(rn AS INTEGER) AS draw_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5('fks:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+def op_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language dataset-card summary (docs, chars, average words,
+    exact-duplicate share) — the datasheet table of a corpus release;
+    integer sums + one division per ratio, fully oracle-replayable."""
+    return text_ops.dataset_card(_docs(spark, sf_dir))
+
+
+ORACLE_DATASET_CARD = rf"""
+WITH per_doc AS (
+  SELECT lang, md5({_NORM}) AS fp,
+         length(text) AS nc,
+         len(string_split_regex(trim(text), '\s+')) AS wc
+  FROM documents
+), dup AS (
+  SELECT fp, count(*) AS n FROM per_doc GROUP BY fp
+), tagged AS (
+  SELECT p.lang, p.nc, p.wc,
+         CASE WHEN d.n > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM per_doc p JOIN dup d ON p.fp = d.fp
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       round(sum(wc) / CAST(count(*) AS DOUBLE), 2) AS avg_words,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       round(sum(is_dup) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+FROM tagged GROUP BY lang
+"""
+
+
 def op_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary rate per language vs the corpus top-1000
     vocabulary — the coverage check before fixing a tokenizer/embedding
@@ -5885,6 +5934,10 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_attribution": (op_attribution, ORACLE_ATTRIBUTION),
     "op_pagerank": (op_pagerank, ORACLE_PAGERANK),
     "op_stream_cms": (op_stream_cms, ORACLE_CMS_HEAVY_HITTERS),
+    "op_sample_fixed_stratified": (
+        op_sample_fixed_stratified, ORACLE_SAMPLE_FIXED,
+    ),
+    "op_dataset_card": (op_dataset_card, ORACLE_DATASET_CARD),
 }
 
 

