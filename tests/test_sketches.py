@@ -292,4 +292,13 @@ def test_fixed_stratified_and_dataset_card(spark, docs):
 
     card = text_ops.dataset_card(docs).collect()
     assert sum(r.n_docs for r in card) == docs.count()
-    assert any(r.n_dup_docs > 0 for r in card), "planted dups must show"
+    # corpus near-dups aren't byte-identical; inject an exact dup and
+    # check the card counts BOTH copies as duplicates
+    seeded = spark.createDataFrame(
+        [(1, "same text here", "en"), (2, "same  TEXT here", "en"),
+         (3, "unique words entirely", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    row = text_ops.dataset_card(seeded).collect()[0]
+    assert row.n_docs == 3 and row.n_dup_docs == 2
+    assert row.dup_rate == round(2 / 3, 4)
