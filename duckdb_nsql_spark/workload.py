@@ -5216,6 +5216,65 @@ FROM tagged GROUP BY lang
 """
 
 
+def op_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component projection of the embedding corpus by
+    deterministic power iteration (exact-DECIMAL sums, one double op +
+    requantize per step) — dimensionality reduction joins PQ/IVF/
+    SemDeDup in the embedding family; the oracle replays the whole
+    iteration with unrolled CTEs."""
+    from .operators import pca
+
+    return pca.embedding_pca(_embeds_raw(spark, sf_dir))
+
+
+def _embeds_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # float embedding column untouched (pca quantizes itself)
+    return engine_for(spark, sf_dir).table("embeddings")
+
+
+def _pca_oracle(iters: int = 3) -> str:
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"r{t} AS (SELECT i, sum(cij * {prev}.vv) AS raw "
+            f"FROM cov JOIN {prev} ON {prev}.d = cov.j GROUP BY i), "
+            f"m{t} AS (SELECT max(abs(CAST(raw AS DOUBLE))) AS mx FROM r{t}), "
+            f"v{t} AS (SELECT i AS d, CAST(round(CAST(raw AS DOUBLE) / mx, 6) "
+            f"AS DECIMAL(12,6)) AS vv FROM r{t}, m{t})"
+        )
+        prev = f"v{t}"
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+             x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))) AS v
+  FROM embeddings
+), cells AS (
+  SELECT vec_id, i AS d, v[i] AS x
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+), mean AS (
+  SELECT d, CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6)
+                 AS DECIMAL(12,6)) AS m
+  FROM cells GROUP BY d
+), cx AS (
+  SELECT c.vec_id, c.d, CAST(c.x - m.m AS DECIMAL(13,6)) AS cx
+  FROM cells c JOIN mean m ON c.d = m.d
+), cov AS (
+  SELECT a.d AS i, b.d AS j,
+         CAST(round(CAST(sum(a.cx * b.cx) AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS cij
+  FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY a.d, b.d
+), v0 AS (
+  SELECT d, CAST(1 AS DECIMAL(12,6)) AS vv FROM mean
+), {', '.join(steps)}
+SELECT cx.vec_id, round(CAST(sum(cx.cx * {prev}.vv) AS DOUBLE), 4) AS pc1
+FROM cx JOIN {prev} ON {prev}.d = cx.d GROUP BY cx.vec_id
+"""
+
+
+ORACLE_EMBEDDING_PCA = _pca_oracle()
+
+
 def op_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary rate per language vs the corpus top-1000
     vocabulary — the coverage check before fixing a tokenizer/embedding
@@ -5938,6 +5997,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
         op_sample_fixed_stratified, ORACLE_SAMPLE_FIXED,
     ),
     "op_dataset_card": (op_dataset_card, ORACLE_DATASET_CARD),
+    "op_embedding_pca": (op_embedding_pca, ORACLE_EMBEDDING_PCA),
 }
 
 

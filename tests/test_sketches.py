@@ -302,3 +302,32 @@ def test_fixed_stratified_and_dataset_card(spark, docs):
     row = text_ops.dataset_card(seeded).collect()[0]
     assert row.n_docs == 3 and row.n_dup_docs == 2
     assert row.dup_rate == round(2 / 3, 4)
+
+
+def test_embedding_pca_matches_numpy_replay(spark):
+    """Independent check of the distributed linear algebra: a numpy
+    float64 replay of the SAME power iteration (mean -> covariance ->
+    3x max-abs-normalized C.v -> projections) must agree almost
+    perfectly. (The synthetic corpus is near-isotropic — top singular
+    values 3.71 vs 3.69 — so comparing against SVD's PC1 would test the
+    spectral gap of random data, not the operator; on data with real
+    structure 3 iterations converge to PC1.) The decimal quantization
+    is the only difference vs float64, bounded at ~1e-6 per element."""
+    import numpy as np
+
+    from duckdb_nsql_spark.operators import pca
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {r.vec_id: r.pc1 for r in pca.embedding_pca(df).collect()}
+    pdf = df.toPandas()
+    X = np.round(np.stack(pdf["embedding"].to_numpy()).astype(np.float64), 6)
+    Xc = X - np.round(X.mean(axis=0), 6)
+    C = np.round(Xc.T @ Xc, 6)
+    v = np.ones(X.shape[1])
+    for _ in range(pca.PCA_ITERS):
+        v = C @ v
+        v = np.round(v / np.abs(v).max(), 6)
+    ref = Xc @ v
+    mine = np.array([got[k] for k in pdf["vec_id"]])
+    corr = np.corrcoef(mine, ref)[0, 1]
+    assert corr > 0.9999, corr
