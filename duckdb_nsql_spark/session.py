@@ -2912,7 +2912,7 @@ class DuckSparkSession:
         if tail and not re.match(r"(?is)^(ORDER|LIMIT|OFFSET)\b", tail):
             return None
         select_list = render(tokens[next_sig(tokens, sig0) : from_i])
-        if re.search(r"(?is)\bGROUPING(_ID)?\s*\(|\bFILTER\b", select_list):
+        if re.search(r"(?is)\bFILTER\b", select_list):
             return None
         src = render(tokens[from_i:group_i]).strip()
         branch1 = render(tokens[: c + 1]).strip()
@@ -2944,6 +2944,21 @@ class DuckSparkSession:
                         continue
                     if tk.upper in self._GS_NULL_AGGS:
                         itoks[j2 : cc + 1] = tokenize("NULL")
+                        replaced = True
+                        continue
+                    if tk.upper in ("GROUPING", "GROUPING_ID"):
+                        # on the empty grouping set every argument is
+                        # grouped away: grouping(x)=1, grouping_id = all
+                        # ones over its argument count
+                        n_args = len(
+                            _split_top_commas(render(itoks[n2 + 1 : cc]))
+                        )
+                        val = (
+                            "1"
+                            if tk.upper == "GROUPING"
+                            else str((1 << max(n_args, 1)) - 1)
+                        )
+                        itoks[j2 : cc + 1] = tokenize(val)
                         replaced = True
                         continue
                 j2 += 1

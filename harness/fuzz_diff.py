@@ -610,6 +610,53 @@ def gen_wave10_query():
     )
 
 
+def gen_wave11_query():
+    """Wave-11 shapes (round 9): GROUP BY CUBE + grouping(), VALUES
+    relations joined to tables, POSITIONAL JOIN over ordered subqueries
+    (incl. NULL padding + alias-qualified refs), and exact-count
+    reservoir TABLESAMPLE."""
+    t = rng.choice(list(STR_COLS))
+    g = rng.choice(STR_COLS[t])
+    n = rng.choice(NUM_COLS[t])
+    k = KEY_COLS[t]
+    r = rng.random()
+    if r < 0.3:
+        m = rng.randint(2, 5)
+        return (
+            f"SELECT {g} AS g1, CAST({k} AS INTEGER) % {m} AS g2,"
+            f" CAST(grouping({g}) AS INTEGER) AS gg,"
+            f" CAST(count(*) AS BIGINT) AS cnt"
+            f" FROM {t} WHERE {predicate(t)}"
+            f" GROUP BY CUBE({g}, CAST({k} AS INTEGER) % {m})"
+            f" ORDER BY ALL LIMIT 80"
+        )
+    if r < 0.55:
+        m = rng.randint(3, 6)
+        vals = ", ".join(f"({i}, 'lbl{i}')" for i in range(m))
+        return (
+            f"SELECT v.lbl AS lbl, CAST(count(*) AS BIGINT) AS cnt"
+            f" FROM (VALUES {vals}) v(vk, lbl)"
+            f" JOIN {t} ON CAST({k} AS INTEGER) % {m} = v.vk"
+            f" GROUP BY v.lbl ORDER BY v.lbl"
+        )
+    if r < 0.8:
+        la, lb = rng.randint(2, 6), rng.randint(2, 6)
+        return (
+            f"SELECT a.{k} AS ka, coalesce(CAST(b.s_suppkey AS BIGINT), -1)"
+            " AS kb FROM"
+            f" (SELECT {k} FROM {t} ORDER BY {k} LIMIT {la}) a"
+            " POSITIONAL JOIN"
+            f" (SELECT s_suppkey FROM supplier ORDER BY s_suppkey"
+            f" LIMIT {lb}) b"
+            " ORDER BY ka NULLS LAST, kb"
+        )
+    rows = rng.randint(1, 20)
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS cnt FROM"
+        f" (SELECT * FROM {t} TABLESAMPLE reservoir({rows} ROWS)) s"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:

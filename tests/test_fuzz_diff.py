@@ -128,3 +128,15 @@ def test_constant_items_in_empty_grouping_row(engine, fuzz_duck):
         s = [tuple(r) for r in engine.execute(q).collect()]
         d = ddb.execute(q).fetchall()
         assert sorted(map(str, s)) == sorted(map(str, d)), q
+
+
+def test_fuzz_wave11_dialect(loaded_engine, fuzz_duck, fuzz_mod):
+    """Round-9 dialect pocket: CUBE+grouping(), VALUES relations,
+    POSITIONAL JOIN (padding + qualified refs), reservoir TABLESAMPLE
+    exact counts — 40 seeded queries, engine vs DuckDB row sets."""
+    fuzz_mod.reseed(11000)
+    for _ in range(40):
+        q = fuzz_mod.gen_wave11_query()
+        d = fuzz_duck.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert fuzz_mod.rows_match(d, s), q
