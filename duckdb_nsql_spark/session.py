@@ -1202,15 +1202,30 @@ class DuckSparkSession:
             # nulls_last() chains cost ~200 py4j commands per statement)
             items_txt = self._sort_items_text(tokens, items)
             if items_txt is not None:
-                try:
-                    return self.spark.sql(
-                        "SELECT /*+ COALESCE(1) */ * FROM ("
-                        + inner_text
-                        + ") __ddbs_localsort SORT BY "
-                        + items_txt
-                    )
-                except Exception:  # noqa: BLE001 — fall to Column path
-                    pass
+                candidates = [items_txt]
+                # table-alias-qualified items (ORDER BY a.col) can't
+                # resolve inside the wrapper, whose only relation is the
+                # view — retry with qualifiers stripped. Safe: a STRUCT
+                # field access (col.field) resolves on the FIRST attempt,
+                # so the stripped retry only ever sees true table aliases.
+                stripped = re.sub(
+                    r"\b[A-Za-z_][A-Za-z0-9_$]*\s*\.\s*"
+                    r"([A-Za-z_][A-Za-z0-9_$]*)",
+                    r"\1",
+                    items_txt,
+                )
+                if stripped != items_txt:
+                    candidates.append(stripped)
+                for cand in candidates:
+                    try:
+                        return self.spark.sql(
+                            "SELECT /*+ COALESCE(1) */ * FROM ("
+                            + inner_text
+                            + ") __ddbs_localsort SORT BY "
+                            + cand
+                        )
+                    except Exception:  # noqa: BLE001 — fall to Column path
+                        pass
         try:
             inner = self.spark.sql(inner_text)
             if fb is None and _plan_input_bytes(inner) > (
