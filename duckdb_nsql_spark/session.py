@@ -5861,6 +5861,7 @@ class DuckSparkSession:
         sql, tail = self._split_trailing_clauses(sql)
         m = re.match(
             r"\s*PIVOT\s+([\w.\"`]+|\(.*\))\s+ON\s+([\w.\"`]+)"
+            r"(?:\s+IN\s+\(([^)]*)\))?"
             r"(?:\s+USING\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?\s*;?\s*$",
             sql,
             re.IGNORECASE | re.DOTALL,
@@ -5876,16 +5877,29 @@ class DuckSparkSession:
         return self._pivot_body(df, on_col, m)
 
     def _pivot_body(self, df: DataFrame, on_col: str, m) -> DataFrame:
+        # groups: 3 = explicit IN value list, 4 = USING aggs, 5 = GROUP BY
+        in_values = None
+        if m.group(3):
+            in_values = []
+            for frag in _split_top_commas(m.group(3).strip()):
+                v = frag.strip()
+                if len(v) >= 2 and v[0] == "'" and v[-1] == "'":
+                    in_values.append(v[1:-1].replace("''", "'"))
+                else:
+                    try:
+                        in_values.append(int(v))
+                    except ValueError:
+                        in_values.append(float(v))
         group_cols = (
-            [c.strip().strip('"`') for c in m.group(4).split(",")]
-            if m.group(4)
+            [c.strip().strip('"`') for c in m.group(5).split(",")]
+            if m.group(5)
             else [c for c in df.columns if c != on_col]
         )
-        if m.group(3):
+        if m.group(4):
             # USING supports a LIST of aggregates, each optionally
             # AS-aliased (DuckDB suffixes pivot values with the alias)
             agg_exprs = []
-            for frag in _split_top_commas(m.group(3).strip()):
+            for frag in _split_top_commas(m.group(4).strip()):
                 am = re.match(
                     r"^(.*?)\s+AS\s+([\w\"`]+)\s*$", frag,
                     re.IGNORECASE | re.DOTALL,
@@ -5898,20 +5912,23 @@ class DuckSparkSession:
                 agg_exprs.append(e)
             # when USING is given without GROUP BY, group on the remaining
             # non-aggregated columns (DuckDB's default)
-            if not m.group(4):
-                agg_cols = set(re.findall(r"\w+", m.group(3)))
+            if not m.group(5):
+                agg_cols = set(re.findall(r"\w+", m.group(4)))
                 group_cols = [
                     c for c in df.columns
                     if c != on_col and c not in agg_cols
                 ]
         else:
             agg_exprs = [F.count(F.lit(1))]
-        out = df.groupBy(*group_cols).pivot(on_col).agg(*agg_exprs)
-        if m.group(3):
+        pivot = (df.groupBy(*group_cols).pivot(on_col, in_values)
+                 if in_values is not None
+                 else df.groupBy(*group_cols).pivot(on_col))
+        out = pivot.agg(*agg_exprs)
+        if m.group(4):
             # single ALIASED aggregate: DuckDB still suffixes the pivot
             # columns with the alias (F_s, O_s ...); Spark only suffixes
             # when there are MULTIPLE aggregates
-            frags = _split_top_commas(m.group(3).strip())
+            frags = _split_top_commas(m.group(4).strip())
             am1 = re.match(
                 r"^(.*?)\s+AS\s+([\w\"`]+)\s*$", frags[0],
                 re.IGNORECASE | re.DOTALL,
@@ -5921,8 +5938,8 @@ class DuckSparkSession:
                 for c in [c for c in out.columns if c not in group_cols]:
                     out = out.withColumnRenamed(c, f"{c}_{suffix}")
         # DuckDB renders absent count() cells as 0, not NULL
-        is_count = m.group(3) is None or re.match(
-            r"\s*count\s*\(", m.group(3), re.IGNORECASE
+        is_count = m.group(4) is None or re.match(
+            r"\s*count\s*\(", m.group(4), re.IGNORECASE
         )
         if is_count:
             value_cols = [c for c in out.columns if c not in group_cols]

@@ -2064,6 +2064,33 @@ _sql(
     "(SELECT * FROM lineitem TABLESAMPLE reservoir(10%)) t",
 )
 
+# --- PIVOT with an explicit IN value list + multiple AS-aliased
+# aggregates + GROUP BY (DuckDB suffixes pivot columns with the alias;
+# DECIMAL sums keep the cells order-independent for the hash gate) -----
+# engine text casts the exact DECIMAL sum to DOUBLE inside USING (Spark
+# allows a cast around the aggregate); DuckDB's binder requires a BARE
+# aggregate there, so the oracle wraps the pivot and casts outside —
+# same exact-decimal -> double value either way
+_sql(
+    "q133_pivot_in_values",
+    """
+    PIVOT orders ON o_orderstatus IN ('F', 'O')
+    USING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+          count(*) AS n
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    oracle="""
+    SELECT o_orderpriority,
+           CAST("F_s" AS DOUBLE) AS F_s, "F_n" AS F_n,
+           CAST("O_s" AS DOUBLE) AS O_s, "O_n" AS O_n
+    FROM (PIVOT orders ON o_orderstatus IN ('F', 'O')
+          USING sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+                count(*) AS n
+          GROUP BY o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+
 # --- table macros (CREATE MACRO ... AS TABLE): a stored query template
 # expanded inline in FROM position, DuckDB's parameterized-view form ----
 _sql(

@@ -1939,3 +1939,18 @@ def test_table_macro_shapes(engine, sf_dir):
 
     with _pytest.raises(Exception):
         engine.execute("SELECT * FROM topn(3)").collect()
+
+
+def test_pivot_in_value_list(loaded_engine):
+    """PIVOT ON col IN (values): explicit value list restricts (and
+    names) the pivot columns, including DuckDB's alias suffixing and
+    count-cell zero-fill."""
+    out = loaded_engine.execute(
+        "PIVOT nation ON n_regionkey IN (0, 1) USING count(*) AS n "
+        "GROUP BY n_name ORDER BY n_name LIMIT 3"
+    )
+    assert out.columns == ["n_name", "0_n", "1_n"]
+    rows = out.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["0_n"] is not None and r["1_n"] is not None
