@@ -5129,9 +5129,19 @@ class DuckSparkSession:
         for name in sorted(self._tables):
             df = self._tables[name]
             fname = name.replace(".", "_")
-            ext = "parquet" if fmt == "parquet" else "csv"
+            # CSV cannot carry array/struct/map columns (Spark's writer
+            # rejects them); those tables fall back to parquet within the
+            # same manifest — load.sql names each file's format per
+            # table, so a real DuckDB imports the mixed export unchanged
+            tfmt = fmt
+            if fmt == "csv" and any(
+                f.dataType.typeName() in ("array", "struct", "map")
+                for f in df.schema.fields
+            ):
+                tfmt = "parquet"
+            ext = "parquet" if tfmt == "parquet" else "csv"
             path = os.path.join(target, f"{fname}.{ext}")
-            io_utils.write_copy_to(df, path, fmt=fmt)
+            io_utils.write_copy_to(df, path, fmt=tfmt)
             cols = ", ".join(
                 f'"{f.name}" '
                 + self._type_overrides.get(name, {}).get(
@@ -5140,7 +5150,7 @@ class DuckSparkSession:
                 for f in df.schema.fields
             )
             schema_lines.append(f"CREATE TABLE {name}({cols});")
-            if fmt == "parquet":
+            if tfmt == "parquet":
                 load_lines.append(
                     f"COPY {name} FROM '{path}' (FORMAT 'parquet');"
                 )

@@ -724,3 +724,25 @@ def test_or_replace_after_in_txn_delete(engine):
     engine.execute("COMMIT")
     rows = [tuple(r) for r in engine.execute("SELECT * FROM txq").collect()]
     assert rows == [(12, 2)]
+
+
+def test_export_csv_mixed_manifest_real_duckdb_import(engine, sf_dir, tmp_path):
+    """Default (CSV) EXPORT DATABASE with a complex-typed table: the
+    array table falls back to parquet INSIDE the same manifest, and a
+    real DuckDB imports the mixed export unchanged."""
+    import duckdb
+
+    engine.register_parquet_dir(sf_dir)
+    target = str(tmp_path / "export_mixed")
+    engine.execute(f"EXPORT DATABASE '{target}'")
+    import os
+
+    files = set(os.listdir(target))
+    assert "embeddings.parquet" in files  # array col -> parquet fallback
+    assert "nation.csv" in files
+    con = duckdb.connect()
+    con.execute(f"IMPORT DATABASE '{target}'")
+    n = con.execute("SELECT count(*) FROM nation").fetchone()[0]
+    assert n == engine.execute("SELECT count(*) FROM nation").collect()[0][0]
+    dim = con.execute("SELECT len(embedding) FROM embeddings LIMIT 1").fetchone()[0]
+    assert dim == 64
