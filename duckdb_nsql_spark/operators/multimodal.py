@@ -1125,3 +1125,78 @@ def audio_fingerprint(
         f"{id_col} long, n_samples int, total_abs bigint, "
         "energy_bits string",
     )
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Image near-duplicate pairs by banded hamming blocking over the
+    aHash bits (the image-side analogue of minhash-LSH): the bit string
+    splits into two bands, candidates share (n_px, band, band bits) —
+    by pigeonhole every pair at hamming distance <= 1 is guaranteed a
+    colliding band, and distance-2 pairs collide unless their two flips
+    straddle both bands (the standard LSH recall trade) — then the
+    exact hamming distance confirms or rejects each candidate.
+
+    No all-pairs stage: candidate generation is an equi-join on the
+    band key; the per-position compare runs only on LSH survivors.
+    Every expression (substring split, per-position filter count) has
+    an exact DuckDB twin.
+    """
+    h = hashes.select(id_col, "n_px", "ahash_bits")
+    half = F.expr("n_px div 2")
+    banded = h.select(
+        id_col,
+        "n_px",
+        "ahash_bits",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("b"),
+                    F.expr("substring(ahash_bits, 1, n_px div 2)").alias(
+                        "bandsig"
+                    ),
+                ),
+                F.struct(
+                    F.lit(1).alias("b"),
+                    F.expr(
+                        "substring(ahash_bits, n_px div 2 + 1,"
+                        " n_px - n_px div 2)"
+                    ).alias("bandsig"),
+                ),
+            )
+        ).alias("band"),
+    ).select(
+        id_col, "n_px", "ahash_bits",
+        F.col("band.b").alias("b"), F.col("band.bandsig").alias("bandsig"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "n_px",
+        F.col("ahash_bits").alias("ba"), "b", "bandsig",
+    )
+    bb = banded.select(
+        F.col(id_col).alias("id_b"), F.col("n_px").alias("n_px_b"),
+        F.col("ahash_bits").alias("bb"), F.col("b").alias("b_b"),
+        F.col("bandsig").alias("bandsig_b"),
+    )
+    pairs = (
+        a.join(
+            bb,
+            (a["n_px"] == bb["n_px_b"])
+            & (a["b"] == bb["b_b"])
+            & (a["bandsig"] == bb["bandsig_b"])
+            & (a["id_a"] < bb["id_b"]),
+        )
+        .select("id_a", "id_b", "n_px", "ba", "bb")
+        .distinct()
+    )
+    out = pairs.withColumn(
+        "hamming",
+        F.expr(
+            "size(filter(sequence(1, n_px),"
+            " i -> substring(ba, i, 1) <> substring(bb, i, 1)))"
+        ).cast("int"),
+    ).where(F.col("hamming") <= max_hamming)
+    return out.select("id_a", "id_b", F.col("n_px").cast("int").alias("n_px"), "hamming")

@@ -3104,6 +3104,68 @@ GROUP BY px.asset_id, s.n_px, s.sum_luma
 """
 
 
+_NEARDUP_EXPORT = "/root/repo/spark-warehouse/imgdup_assets_export"
+
+
+def op_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: aHash over REAL-decoded pixels ->
+    banded hamming-LSH blocking -> exact hamming confirm (<= 2) — the
+    image analogue of minhash-LSH dedup, never all-pairs. The oracle
+    recomputes the hash bits from the exported payload BYTES and
+    replays the identical band join."""
+    assets = multimodal.synth_assets(spark, _docs(spark, sf_dir)).filter(
+        F.col("mime") == "image/x-portable-pixmap"
+    )
+    assets.select("asset_id", "payload").write.mode("overwrite").parquet(
+        _NEARDUP_EXPORT
+    )
+    persisted = spark.read.parquet(_NEARDUP_EXPORT)
+    return multimodal.image_neardup_pairs(
+        multimodal.image_ahash(persisted), max_hamming=2
+    )
+
+
+ORACLE_IMAGE_NEARDUP = f"""
+WITH a AS (
+    SELECT asset_id, hex(payload) AS hx
+    FROM read_parquet('{_NEARDUP_EXPORT}/*.parquet')
+), px AS (
+    SELECT asset_id, k,
+           (('0x' || substr(hx, 23 + k*6, 2))::INT
+            + ('0x' || substr(hx, 25 + k*6, 2))::INT
+            + ('0x' || substr(hx, 27 + k*6, 2))::INT) // 3 AS luma
+    FROM a, unnest(range(0, 4 * (2 + asset_id % 5))) AS t(k)
+), s AS (
+    SELECT asset_id, count(*) AS n_px, sum(luma) AS sum_luma
+    FROM px GROUP BY asset_id
+), hashes AS (
+    SELECT px.asset_id, CAST(s.n_px AS INTEGER) AS n_px,
+           string_agg(CASE WHEN px.luma * s.n_px > s.sum_luma
+                           THEN '1' ELSE '0' END, '' ORDER BY px.k)
+               AS bits
+    FROM px JOIN s USING (asset_id)
+    GROUP BY px.asset_id, s.n_px
+), banded AS (
+    SELECT asset_id, n_px, bits, b.b AS b,
+           CASE WHEN b.b = 0 THEN substr(bits, 1, n_px // 2)
+                ELSE substr(bits, n_px // 2 + 1, n_px - n_px // 2)
+           END AS bandsig
+    FROM hashes, (SELECT unnest(range(0, 2)) AS b) b
+), pairs AS (
+    SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b,
+           x.n_px, x.bits AS ba, y.bits AS bb
+    FROM banded x JOIN banded y
+      ON x.n_px = y.n_px AND x.b = y.b AND x.bandsig = y.bandsig
+         AND x.asset_id < y.asset_id
+)
+SELECT id_a, id_b, n_px,
+       CAST(len(list_filter(range(1, n_px + 1), i -> ba[i] <> bb[i]))
+            AS INTEGER) AS hamming
+FROM pairs
+WHERE len(list_filter(range(1, n_px + 1), i -> ba[i] <> bb[i])) <= 2
+"""
+
+
 _AUDIO_EXPORT = "/root/repo/spark-warehouse/audiofp_assets_export"
 
 
@@ -6025,6 +6087,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     ),
     "op_dataset_card": (op_dataset_card, ORACLE_DATASET_CARD),
     "op_embedding_pca": (op_embedding_pca, ORACLE_EMBEDDING_PCA),
+    "op_image_neardup": (op_image_neardup, ORACLE_IMAGE_NEARDUP),
 }
 
 

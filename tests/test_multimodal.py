@@ -185,3 +185,34 @@ def test_jpeg_roundtrip_means_and_errors():
     # truncated entropy data: loud error (decode_ok=False in the pipeline)
     with _pytest.raises(Exception):
         mm._decode_jpeg(mm.make_jpeg(16, 16, 1)[:40])
+
+
+def test_image_neardup_lsh_guarantee(spark):
+    """Banded hamming LSH: every pair at distance <= 1 MUST be found
+    (pigeonhole: one of two bands is identical); found pairs never
+    exceed the confirm threshold."""
+    import pandas as pd
+
+    from duckdb_nsql_spark.operators import multimodal
+
+    hashes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2, 3, 4],
+                "n_px": [8, 8, 8, 8],
+                "ahash_bits": [
+                    "10101010",  # base
+                    "10101011",  # hamming 1 vs base -> must be found
+                    "01010101",  # hamming 8 vs base -> must not
+                    "10101010",  # identical -> hamming 0
+                ],
+            }
+        )
+    )
+    rows = multimodal.image_neardup_pairs(hashes, max_hamming=2).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert found[(1, 2)] == 1
+    assert found[(1, 4)] == 0
+    assert (1, 3) not in found
+    for h in found.values():
+        assert h <= 2
