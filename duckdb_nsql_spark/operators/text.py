@@ -1505,3 +1505,85 @@ def dataset_card(
         F.sum("__is_dup").cast("long").alias("n_dup_docs"),
         F.round(F.sum("__is_dup") / F.count("*"), 4).alias("dup_rate"),
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-side contamination report — the REVERSE direction of
+    :func:`decontaminate`: per benchmark document, how many of its word
+    n-grams leak into the training corpus and how many distinct
+    training documents carry them. decontaminate tells you which TRAIN
+    docs to drop; this tells you which EVAL items are compromised (and
+    how badly) when the corpus can't change.
+
+    Scale shape: gram-keyed inverted-index equi-join — the train side
+    is the big one so nothing broadcasts; both sides reduce to
+    (id, 32-byte gram hash) pairs before the shuffle, and the eval-side
+    rollup reuses the eval-id partitioning. Short eval docs stay in the
+    report with zero grams (explode_outer).
+    """
+    eval_g = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode_outer(ngram_hashes(F.col(text_col), n)).alias("g"),
+    )
+    train_g = (
+        train.select(
+            F.col(id_col).alias("train_id"),
+            F.explode(ngram_hashes(F.col(text_col), n)).alias("g"),
+        )
+        .distinct()
+    )
+    joined = eval_g.join(train_g, "g", "left")
+    return (
+        joined.groupBy("eval_id")
+        .agg(
+            F.countDistinct("g").cast("int").alias("n_grams"),
+            F.countDistinct(
+                F.when(F.col("train_id").isNotNull(), F.col("g"))
+            )
+            .cast("int")
+            .alias("n_hit_grams"),
+            F.countDistinct("train_id").cast("int").alias("n_train_docs"),
+        )
+        .select(
+            "eval_id",
+            "n_grams",
+            "n_hit_grams",
+            "n_train_docs",
+            F.round(
+                F.col("n_hit_grams")
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                4,
+            ).alias("leak_share"),
+        )
+    )
+
+
+def langid_confusion(
+    df: DataFrame, true_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Language-ID confusion matrix: the corpus's labeled language
+    against the n-gram-marker heuristic's prediction — the evaluation
+    artifact that tells you where the cheap classifier is trustworthy
+    before gating ingest on it. One aggregate keyed on the (true, pred)
+    pair + a |langs|-bounded window for the per-class share.
+    """
+    p = df.select(
+        F.col(true_col).alias("true_lang"),
+        lang_id(F.col(text_col)).alias("pred_lang"),
+    )
+    c = p.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("true_lang")
+    return c.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("share"),
+    )

@@ -3166,6 +3166,158 @@ WHERE len(list_filter(range(1, n_px + 1), i -> ba[i] <> bb[i])) <= 2
 """
 
 
+def op_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side contamination report (reverse of op_decontaminate):
+    per benchmark doc, leaked-gram count / share and the number of
+    distinct train docs carrying them — which eval items are compromised
+    when the corpus can't change. Gram-keyed inverted-index join, no
+    broadcast assumed."""
+    docs = _docs_wide(spark, sf_dir)
+    eval_set = docs.filter(F.col("doc_id") % 17 == 3)
+    train = docs.filter(F.col("doc_id") % 17 != 3)
+    return text_ops.contamination_report(train, eval_set, n=8)
+
+
+ORACLE_CONTAMINATION_REPORT = rf"""
+WITH norm AS (
+    SELECT doc_id, string_split_regex({_NORM}, '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 8 THEN
+               list_distinct(list_transform(range(1, len(w) - 6),
+                   i -> md5(array_to_string(w[i:i+7], ' '))))
+           ELSE [] END AS gs
+    FROM norm
+), eg AS (
+    SELECT g.doc_id AS eval_id, t.g
+    FROM grams g LEFT JOIN unnest(g.gs) AS t(g) ON true
+    WHERE g.doc_id % 17 = 3
+), tg AS (
+    SELECT DISTINCT grams.doc_id AS train_id, t.g
+    FROM grams, unnest(gs) AS t(g)
+    WHERE doc_id % 17 <> 3
+), joined AS (
+    SELECT e.eval_id, e.g, t.train_id
+    FROM eg e LEFT JOIN tg t ON e.g = t.g
+)
+SELECT eval_id,
+       CAST(count(DISTINCT g) AS INTEGER) AS n_grams,
+       CAST(count(DISTINCT CASE WHEN train_id IS NOT NULL THEN g END)
+            AS INTEGER) AS n_hit_grams,
+       CAST(count(DISTINCT train_id) AS INTEGER) AS n_train_docs,
+       round(count(DISTINCT CASE WHEN train_id IS NOT NULL THEN g END)
+             / CAST(greatest(count(DISTINCT g), 1) AS DOUBLE), 4)
+           AS leak_share
+FROM joined GROUP BY eval_id
+"""
+
+
+def op_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (labeled lang x heuristic
+    prediction) — where the cheap classifier is trustworthy before
+    gating ingest on it."""
+    return text_ops.langid_confusion(_docs_wide(spark, sf_dir))
+
+
+ORACLE_LANGID_CONFUSION = r"""
+WITH p AS (
+    SELECT lang AS true_lang,
+           CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+                WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+                WHEN n_fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang
+    FROM (
+        SELECT lang,
+               len(regexp_extract_all(lower(text),
+                   '\b(the|and|of|to|is)\b')) AS n_en,
+               len(regexp_extract_all(lower(text),
+                   '\b(der|die|das|und|ist)\b')) AS n_de,
+               len(regexp_extract_all(lower(text),
+                   '\b(le|la|les|et|est)\b')) AS n_fr
+        FROM documents
+    )
+), c AS (
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY true_lang, pred_lang
+)
+SELECT true_lang, pred_lang, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 4)
+           AS share
+FROM c
+"""
+
+
+_AUDIOND_EXPORT = "/root/repo/spark-warehouse/audiodup_assets_export"
+
+
+def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: loudness-profile fingerprints over
+    REAL-decoded PCM -> the SAME banded hamming-LSH blocking as the
+    image path (modality symmetry; one pair machinery serves both) ->
+    exact hamming confirm (<= 1, guaranteed recall by pigeonhole)."""
+    assets = multimodal.synth_assets(spark, _docs(spark, sf_dir)).filter(
+        F.col("mime") == "audio/wav"
+    )
+    assets.select("asset_id", "payload").write.mode("overwrite").parquet(
+        _AUDIOND_EXPORT
+    )
+    persisted = spark.read.parquet(_AUDIOND_EXPORT)
+    fps = multimodal.audio_fingerprint(persisted)
+    hashes = fps.select(
+        "asset_id",
+        F.length("energy_bits").cast("int").alias("n_px"),
+        F.col("energy_bits").alias("ahash_bits"),
+    )
+    return multimodal.image_neardup_pairs(hashes, max_hamming=1)
+
+
+ORACLE_AUDIO_NEARDUP = f"""
+WITH a AS (
+    SELECT asset_id, hex(payload) AS hx,
+           CAST(64 + asset_id % 64 AS INTEGER) AS n
+    FROM read_parquet('{_AUDIOND_EXPORT}/*.parquet')
+), smp AS (
+    SELECT asset_id, n, s,
+           ('0x' || substr(hx, 91 + s*4, 2))::INT * 256
+             + ('0x' || substr(hx, 89 + s*4, 2))::INT AS u
+    FROM a, unnest(range(0, n)) AS t(s)
+), ab AS (
+    SELECT asset_id, n, (s * 8) // n AS w,
+           CASE WHEN u > 32767 THEN 65536 - u ELSE u END AS av
+    FROM smp
+), wins AS (
+    SELECT asset_id, w, sum(av) AS wa
+    FROM ab GROUP BY asset_id, w
+), tot AS (
+    SELECT asset_id, sum(wa) AS ta FROM wins GROUP BY asset_id
+), hashes AS (
+    SELECT w.asset_id, CAST(8 AS INTEGER) AS n_px,
+           string_agg(CASE WHEN w.wa * 8 > t.ta THEN '1' ELSE '0' END,
+                      '' ORDER BY w.w) AS bits
+    FROM wins w JOIN tot t USING (asset_id)
+    GROUP BY w.asset_id, t.ta
+), banded AS (
+    SELECT asset_id, n_px, bits, b.b AS b,
+           CASE WHEN b.b = 0 THEN substr(bits, 1, n_px // 2)
+                ELSE substr(bits, n_px // 2 + 1, n_px - n_px // 2)
+           END AS bandsig
+    FROM hashes, (SELECT unnest(range(0, 2)) AS b) b
+), pairs AS (
+    SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b,
+           x.n_px, x.bits AS ba, y.bits AS bb
+    FROM banded x JOIN banded y
+      ON x.n_px = y.n_px AND x.b = y.b AND x.bandsig = y.bandsig
+         AND x.asset_id < y.asset_id
+)
+SELECT id_a, id_b, n_px,
+       CAST(len(list_filter(range(1, n_px + 1), i -> ba[i] <> bb[i]))
+            AS INTEGER) AS hamming
+FROM pairs
+WHERE len(list_filter(range(1, n_px + 1), i -> ba[i] <> bb[i])) <= 1
+"""
+
+
 _AUDIO_EXPORT = "/root/repo/spark-warehouse/audiofp_assets_export"
 
 
@@ -6088,6 +6240,11 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dataset_card": (op_dataset_card, ORACLE_DATASET_CARD),
     "op_embedding_pca": (op_embedding_pca, ORACLE_EMBEDDING_PCA),
     "op_image_neardup": (op_image_neardup, ORACLE_IMAGE_NEARDUP),
+    "op_audio_neardup": (op_audio_neardup, ORACLE_AUDIO_NEARDUP),
+    "op_contamination_report": (
+        op_contamination_report, ORACLE_CONTAMINATION_REPORT,
+    ),
+    "op_langid_confusion": (op_langid_confusion, ORACLE_LANGID_CONFUSION),
 }
 
 

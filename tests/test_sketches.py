@@ -331,3 +331,25 @@ def test_embedding_pca_matches_numpy_replay(spark):
     mine = np.array([got[k] for k in pdf["vec_id"]])
     corr = np.corrcoef(mine, ref)[0, 1]
     assert corr > 0.9999, corr
+
+
+def test_contamination_and_confusion_semantics(spark, docs):
+    """Contamination report covers EVERY eval doc (even gram-less) with
+    valid shares; confusion-matrix shares sum to 1 per true language."""
+    from duckdb_nsql_spark import workload
+
+    rep = workload.op_contamination_report(spark, SF_DIR).collect()
+    n_eval = docs.where("doc_id % 17 = 3").count()
+    assert len(rep) == n_eval
+    assert any(r.n_hit_grams > 0 for r in rep), "planted dups must leak"
+    for r in rep:
+        assert 0 <= r.n_hit_grams <= r.n_grams
+        assert 0.0 <= r.leak_share <= 1.0
+
+    conf = workload.op_langid_confusion(spark, SF_DIR).collect()
+    by_true = {}
+    for r in conf:
+        by_true.setdefault(r.true_lang, 0.0)
+        by_true[r.true_lang] += r.share
+    for lang, total in by_true.items():
+        assert abs(total - 1.0) < 0.01, (lang, total)
