@@ -3213,6 +3213,56 @@ FROM joined GROUP BY eval_id
 """
 
 
+ORACLE_THRESHOLD_SWEEP = """
+WITH th AS (SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9]) AS DOUBLE) AS t),
+acc AS (SELECT * FROM ({ACC}) q)
+SELECT t,
+       CAST(sum(CASE WHEN est_j >= t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_est,
+       CAST(sum(CASE WHEN exact_j >= t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact,
+       CAST(sum(CASE WHEN est_j >= t AND exact_j >= t THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_both,
+       round(sum(CASE WHEN est_j >= t AND exact_j >= t THEN 1 ELSE 0 END)
+             / CAST(greatest(sum(CASE WHEN est_j >= t THEN 1 ELSE 0 END),
+                             1) AS DOUBLE), 4) AS precision,
+       round(sum(CASE WHEN est_j >= t AND exact_j >= t THEN 1 ELSE 0 END)
+             / CAST(greatest(sum(CASE WHEN exact_j >= t THEN 1 ELSE 0 END),
+                             1) AS DOUBLE), 4) AS recall
+FROM th CROSS JOIN acc
+GROUP BY t
+""".replace("{ACC}", ORACLE_MINHASH_ACCURACY)
+
+
+def op_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration curve: for each candidate threshold,
+    how many LSH pairs the minhash ESTIMATE would keep vs the EXACT
+    Jaccard, with precision/recall of the sketch decision — the
+    pre-flight sweep before committing a destructive dedup threshold on
+    a new corpus. The per-pair audit is the already-oracled
+    minhash_accuracy table; the sweep is a 4-row broadcast cross join +
+    one aggregate."""
+    acc = dedup.minhash_accuracy(_docs(spark, sf_dir))
+    th = spark.createDataFrame([(0.5,), (0.7,), (0.8,), (0.9,)], "t double")
+    j = acc.crossJoin(F.broadcast(th))
+    est = F.when(F.col("est_j") >= F.col("t"), 1).otherwise(0)
+    exact = F.when(F.col("exact_j") >= F.col("t"), 1).otherwise(0)
+    both = F.when(
+        (F.col("est_j") >= F.col("t")) & (F.col("exact_j") >= F.col("t")), 1
+    ).otherwise(0)
+    return j.groupBy("t").agg(
+        F.sum(est).cast("long").alias("n_est"),
+        F.sum(exact).cast("long").alias("n_exact"),
+        F.sum(both).cast("long").alias("n_both"),
+        F.round(
+            F.sum(both) / F.greatest(F.sum(est), F.lit(1)), 4
+        ).alias("precision"),
+        F.round(
+            F.sum(both) / F.greatest(F.sum(exact), F.lit(1)), 4
+        ).alias("recall"),
+    )
+
+
 def op_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix (labeled lang x heuristic
     prediction) — where the cheap classifier is trustworthy before
@@ -6245,7 +6295,11 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
         op_contamination_report, ORACLE_CONTAMINATION_REPORT,
     ),
     "op_langid_confusion": (op_langid_confusion, ORACLE_LANGID_CONFUSION),
+    "op_dedup_threshold_sweep": (
+        op_dedup_threshold_sweep, ORACLE_THRESHOLD_SWEEP,
+    ),
 }
+
 
 
 # ---------------------------------------------------------------------------
