@@ -954,3 +954,71 @@ def record_linkage(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "block", "dist")
     )
+
+
+def shingle_containment(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT pairs: C(A,B) = |A∩B| / |A| per direction
+    — the signal resemblance (Jaccard) misses: a short document quoted
+    wholesale inside a long one has LOW Jaccard but containment ~1 in
+    one direction (Broder's containment, the subset/quote detector a
+    dedup pipeline runs next to the symmetric pass).
+
+    Candidates come from the shingle INVERTED-INDEX join (the
+    ngram_jaccard machinery — any shared shingle pairs the docs), NOT
+    from resemblance-LSH banding: banded minhash deliberately suppresses
+    low-Jaccard pairs, which is exactly the population containment is
+    after. ``max_df`` is the same stop-shingle hot-key guard. Emitted
+    pairs are those with max(C(A,B), C(B,A)) >= threshold, so the
+    output is bounded by the subset population, not the candidate set.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col)).alias("shs"),
+    )
+    sh = base.select(
+        "doc_id",
+        F.size("shs").alias("sz"),
+        F.explode("shs").alias("shingle"),
+    )
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+            F.col("df") > max_df
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = _persist_small(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first(F.col("a.sz")).alias("n_a"),
+            F.first(F.col("b.sz")).alias("n_b"),
+        )
+    )
+    c_ab = F.round(F.col("n_inter") / F.greatest("n_a", F.lit(1)), 4)
+    c_ba = F.round(F.col("n_inter") / F.greatest("n_b", F.lit(1)), 4)
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("int").alias("n_a"),
+            F.col("n_b").cast("int").alias("n_b"),
+            F.col("n_inter").cast("int").alias("n_inter"),
+            c_ab.alias("c_ab"),
+            c_ba.alias("c_ba"),
+        )
+        .where(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold)
+    )

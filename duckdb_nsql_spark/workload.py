@@ -3213,6 +3213,38 @@ FROM joined GROUP BY eval_id
 """
 
 
+def op_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B|/|A| per direction) over the
+    shingle inverted index — the subset/quote detector resemblance
+    misses (banded LSH would suppress exactly these low-Jaccard
+    pairs)."""
+    return dedup.shingle_containment(_docs(spark, sf_dir), threshold=0.8)
+
+
+ORACLE_SHINGLE_CONTAINMENT = f"""
+WITH sh AS ({_SHINGLES}),
+ex AS (
+    SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle
+    FROM sh
+),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS INTEGER) AS n_inter,
+           CAST(any_value(a.sz) AS INTEGER) AS n_a,
+           CAST(any_value(b.sz) AS INTEGER) AS n_b
+    FROM ex a JOIN ex b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_a, n_b, n_inter,
+       round(n_inter / CAST(greatest(n_a, 1) AS DOUBLE), 4) AS c_ab,
+       round(n_inter / CAST(greatest(n_b, 1) AS DOUBLE), 4) AS c_ba
+FROM inter
+WHERE greatest(round(n_inter / CAST(greatest(n_a, 1) AS DOUBLE), 4),
+               round(n_inter / CAST(greatest(n_b, 1) AS DOUBLE), 4)) >= 0.8
+"""
+
+
 ORACLE_THRESHOLD_SWEEP = """
 WITH th AS (SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9]) AS DOUBLE) AS t),
 acc AS (SELECT * FROM ({ACC}) q)
@@ -6297,6 +6329,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_langid_confusion": (op_langid_confusion, ORACLE_LANGID_CONFUSION),
     "op_dedup_threshold_sweep": (
         op_dedup_threshold_sweep, ORACLE_THRESHOLD_SWEEP,
+    ),
+    "op_shingle_containment": (
+        op_shingle_containment, ORACLE_SHINGLE_CONTAINMENT,
     ),
 }
 

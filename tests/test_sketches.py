@@ -353,3 +353,19 @@ def test_contamination_and_confusion_semantics(spark, docs):
         by_true[r.true_lang] += r.share
     for lang, total in by_true.items():
         assert abs(total - 1.0) < 0.01, (lang, total)
+
+
+def test_containment_asymmetry_detects_subset(spark):
+    """A short doc quoted inside a long one: Jaccard is low but
+    containment is ~1 in the subset direction — the signal this
+    operator exists for."""
+    long_words = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20))  # strict subset run
+    df = spark.createDataFrame(
+        [(1, long_words), (2, quote)], ["doc_id", "text"]
+    )
+    rows = dedup.shingle_containment(df, threshold=0.8).collect()
+    assert rows, "subset pair must surface via the inverted index"
+    r = {(x.id_a, x.id_b): x for x in rows}[(1, 2)]
+    assert r.c_ba == 1.0          # every quote shingle is in the long doc
+    assert r.c_ab < 0.5           # the long doc is NOT contained
