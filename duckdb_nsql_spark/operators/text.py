@@ -1587,3 +1587,186 @@ def langid_confusion(
         "n",
         F.round(F.col("n") / F.sum("n").over(w), 4).alias("share"),
     )
+
+
+def winnow_matches(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing-index matching (the MOSS usage of the fingerprints):
+    document pairs sharing at least ``min_shared`` selected
+    fingerprints, with the share of each side's fingerprint set that
+    matched — local plagiarism/near-dup detection at winnowed density
+    (~2/(w+1) of the full shingle index).
+
+    Inverted-index join keyed on the fingerprint (never all-pairs);
+    per-doc set sizes ride along the explode, same diet as
+    ngram_jaccard. Selected fingerprints come from the SAME window-min
+    construction as :func:`winnow_fingerprints`, so the coverage
+    guarantee carries over: any shared run of k + w - 1 words yields a
+    shared fingerprint and therefore a candidate pair.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    base = df.select(id_col, toks.alias("toks")).where(
+        F.size(F.col("toks")) >= k + w - 1
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("toks", i, k), " ")),
+            )
+        ).alias("pos", "h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    selected = (
+        grams.withColumn("winmin", F.min("h").over(win))
+        .where(F.col("pos") >= w - 1)
+        .select(F.col(id_col).alias("doc_id"), F.col("winmin").alias("fp"))
+        .distinct()
+    )
+    sized = selected.join(
+        selected.groupBy("doc_id").agg(F.count("*").alias("sz")), "doc_id"
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.count("*").cast("int").alias("n_shared"),
+            F.first(F.col("a.sz")).cast("int").alias("n_a"),
+            F.first(F.col("b.sz")).cast("int").alias("n_b"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_shared") / F.col("n_a"), 4).alias("share_a"),
+            F.round(F.col("n_shared") / F.col("n_b"), 4).alias("share_b"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame, top_k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Zipf-law fit of the corpus word-frequency distribution: the
+    log-log linear-regression slope over the top ``top_k`` words —
+    natural language sits near slope -1; a corpus that drifts far off
+    is machine-generated, templated, or broken upstream (the classic
+    corpus-health check).
+
+    Determinism discipline: each ln() is rounded to 6 dp and quantized
+    to DECIMAL (the repo's libm hygiene), the regression moments are
+    EXACT decimal sums, and the closed-form slope/intercept are a fixed
+    chain of double ops on identical exact inputs — bit-reproducible on
+    any engine or partitioning. The frequency aggregate is the only
+    data-sized shuffle; the fit runs on top_k rows.
+    """
+    words = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    freqs = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("w"))
+        .limit(top_k)
+    )
+    ranked = freqs.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("w")))
+        .alias("rank"),
+        "freq",
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    )
+
+
+def heaps_curve(
+    df: DataFrame,
+    steps: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-word count at
+    ``steps`` ingest-order prefixes of the corpus (doc_id order) — the
+    vocabulary-saturation audit that tells you whether more data still
+    buys new vocabulary. Prefix thresholds derive from max(doc_id)
+    (one tiny aggregate); the word stream joins the 5-row threshold
+    table broadcast-side and reduces with one distinct aggregate per
+    prefix."""
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("w"),
+    )
+    mx = df.agg(F.max(id_col).alias("mx"))
+    thr = (
+        mx.select(
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, steps + 1)])
+            ).alias("step"),
+            "mx",
+        )
+        .select(
+            "step",
+            F.expr("mx * step div " + str(steps)).alias("max_id"),
+        )
+    )
+    joined = words.crossJoin(F.broadcast(thr)).where(
+        F.col("__id") <= F.col("max_id")
+    )
+    return joined.groupBy("step").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("vocab"),
+    )

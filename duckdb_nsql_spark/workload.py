@@ -3266,6 +3266,124 @@ GROUP BY t
 """.replace("{ACC}", ORACLE_MINHASH_ACCURACY)
 
 
+def op_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-index matching (the MOSS usage): pairs sharing >= 2
+    selected fingerprints with per-side matched shares — local
+    plagiarism detection at winnowed density; coverage guarantee
+    inherited from the window-min construction."""
+    return text_ops.winnow_matches(_docs_wide(spark, sf_dir), min_shared=2)
+
+
+ORACLE_WINNOW_MATCHES = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks FROM toks WHERE len(toks) >= 8
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i : i + 4], ' ')) AS h
+  FROM base, unnest(range(1, len(toks) - 3)) AS t(i)
+), sel AS (
+  SELECT DISTINCT doc_id, winmin AS fp FROM (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS winmin
+    FROM grams
+  ) WHERE pos >= 3
+), sized AS (
+  SELECT s.doc_id, s.fp, z.sz
+  FROM sel s JOIN (SELECT doc_id, count(*) AS sz FROM sel GROUP BY doc_id) z
+    ON s.doc_id = z.doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS INTEGER) AS n_shared,
+         CAST(any_value(a.sz) AS INTEGER) AS n_a,
+         CAST(any_value(b.sz) AS INTEGER) AS n_b
+  FROM sized a JOIN sized b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared, n_a, n_b,
+       round(n_shared / CAST(n_a AS DOUBLE), 4) AS share_a,
+       round(n_shared / CAST(n_b AS DOUBLE), 4) AS share_b
+FROM pairs WHERE n_shared >= 2
+"""
+
+
+def op_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law log-log regression over the top-1000 word frequencies —
+    the corpus-health slope (~-1 for natural text); ln() rounded 6dp +
+    exact-DECIMAL moments keep the fit bit-reproducible."""
+    return text_ops.zipf_fit(_docs_wide(spark, sf_dir), top_k=1000)
+
+
+ORACLE_ZIPF_FIT = """
+WITH words AS (
+  SELECT unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS w
+  FROM documents
+), freqs AS (
+  SELECT w, count(*) AS freq FROM words GROUP BY w
+  ORDER BY freq DESC, w LIMIT 1000
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY freq DESC, w) AS rank, freq
+  FROM freqs
+), pts AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+  FROM ranked
+), m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+           AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+           AS intercept
+FROM m
+"""
+
+
+def op_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct words at 5
+    ingest-order corpus prefixes — the does-more-data-still-buy-vocab
+    saturation audit."""
+    return text_ops.heaps_curve(_docs_wide(spark, sf_dir), steps=5)
+
+
+ORACLE_HEAPS_CURVE = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+thr AS (
+  SELECT i AS step, (m * i) // 5 AS max_id
+  FROM mx, unnest(range(1, 6)) AS t(i)
+), words AS (
+  SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS w
+  FROM documents
+)
+SELECT CAST(t.step AS INTEGER) AS step,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT w.w) AS BIGINT) AS vocab
+FROM words w JOIN thr t ON w.doc_id <= t.max_id
+GROUP BY t.step
+"""
+
+
 def op_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-threshold calibration curve: for each candidate threshold,
     how many LSH pairs the minhash ESTIMATE would keep vs the EXACT
@@ -6333,6 +6451,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_shingle_containment": (
         op_shingle_containment, ORACLE_SHINGLE_CONTAINMENT,
     ),
+    "op_winnow_matches": (op_winnow_matches, ORACLE_WINNOW_MATCHES),
+    "op_zipf_fit": (op_zipf_fit, ORACLE_ZIPF_FIT),
+    "op_heaps_curve": (op_heaps_curve, ORACLE_HEAPS_CURVE),
 }
 
 

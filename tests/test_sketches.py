@@ -369,3 +369,34 @@ def test_containment_asymmetry_detects_subset(spark):
     r = {(x.id_a, x.id_b): x for x in rows}[(1, 2)]
     assert r.c_ba == 1.0          # every quote shingle is in the long doc
     assert r.c_ab < 0.5           # the long doc is NOT contained
+
+
+def test_corpus_statistics_ops(spark, docs):
+    """Zipf slope is negative (frequencies decay with rank) and the
+    Heaps curve is monotone in both tokens and vocabulary; winnow
+    matching finds the planted near-dup pairs with high shares."""
+    from duckdb_nsql_spark import workload
+    from duckdb_nsql_spark.operators import text as text_ops
+
+    vocab = (
+        docs.selectExpr(
+            "explode(filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '')) AS w"
+        )
+        .distinct()
+        .count()
+    )
+    z = text_ops.zipf_fit(docs).collect()[0]
+    # synthetic corpus draws from a tiny word pool; the fit runs over
+    # min(top_k, vocab) points and the slope is negative regardless
+    assert z.n_points == min(1000, vocab)
+    assert z.zipf_slope < 0, z.zipf_slope
+
+    h = sorted(text_ops.heaps_curve(docs).collect(), key=lambda r: r.step)
+    assert [r.step for r in h] == [1, 2, 3, 4, 5]
+    for a, b in zip(h, h[1:]):
+        assert b.n_tokens >= a.n_tokens and b.vocab >= a.vocab
+
+    m = workload.op_winnow_matches(spark, SF_DIR).collect()
+    assert m, "planted near-dups must share fingerprints"
+    assert any(r.share_a > 0.5 or r.share_b > 0.5 for r in m)
