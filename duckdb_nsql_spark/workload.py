@@ -2091,6 +2091,25 @@ _sql(
     """,
 )
 
+# --- time-rollup lattice: week -> (week, day) -> grand total in ONE
+# GROUPING SETS pass over event time (the multi-granularity dashboard
+# rollup; DECIMAL-exact value sums emitted as DOUBLE) ----------------------
+_sql(
+    "q134_time_rollup_lattice",
+    """
+    SELECT date_trunc('week', ts) AS wk,
+           date_trunc('day', ts) AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('week', ts)),
+                            (date_trunc('week', ts), date_trunc('day', ts)),
+                            ())
+    ORDER BY ALL
+    """,
+)
+
 # --- table macros (CREATE MACRO ... AS TABLE): a stored query template
 # expanded inline in FROM position, DuckDB's parameterized-view form ----
 _sql(
