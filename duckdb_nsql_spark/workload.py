@@ -6555,6 +6555,30 @@ _WINDOW_R9: tuple[str, ...] = (
 # which starts at q01 — the tail runs in plain numeric order.
 _REWITNESS_START = 1
 
+# READY-MADE DRAFT for the round-10 window (next round's builder:
+# verify against CORRECTNESS_r09.json, then promote to _WINDOW_R10).
+# 45 entries registered AFTER _WINDOW_R9 was frozen have never earned a
+# driver row — they lead; the remaining 5 slots re-witness the oldest
+# (round-6) SQL block head:
+#   sitting-1 tail: op_gopher_rules, op_tokenizer_fertility,
+#     op_shard_manifest, op_crossmodal_dedup, op_tfidf_keywords,
+#     op_ngram_novelty, op_kanon_release, op_stream_sample,
+#     op_sessionize, op_dp_histogram
+#   sitting-2: q128_positional_join, q129_cube_grouping,
+#     q130_values_relation, q131_tablesample_reservoir,
+#     q132_table_macro, q133_pivot_in_values, q134_time_rollup_lattice,
+#     op_hll_distinct, op_cms_heavy_hitters, op_quantile_sketch,
+#     op_winnow_fingerprint, op_record_linkage, op_doc_retrieval,
+#     op_orc_roundtrip, op_stream_hll, op_linkage_entities,
+#     op_column_ndv_profile, op_funnel_analysis, op_retention_cohorts,
+#     op_oov_rate, op_attribution, op_pagerank, op_stream_cms,
+#     op_sample_fixed_stratified, op_dataset_card, op_embedding_pca,
+#     op_image_neardup, op_audio_neardup, op_contamination_report,
+#     op_langid_confusion, op_dedup_threshold_sweep,
+#     op_shingle_containment, op_winnow_matches, op_zipf_fit,
+#     op_heaps_curve
+#   stalest re-witness: q01_pricing_summary .. q05_join_group_topk
+
 
 
 def _registry_order() -> list[str]:
