@@ -195,3 +195,84 @@ def last_touch_attribution(
         # decimal->double conversion, identical in both engines)
         F.sum("_rev").cast("double").alias("revenue"),
     )
+
+
+def lateness_audit(
+    events: DataFrame,
+    watermarks_s: tuple[int, ...] = (0, 300, 1800, 7200),
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Watermark lateness audit: for each candidate watermark delay, how
+    many events would a streaming job DROP — the planning tool run over
+    a batch sample of the feed before choosing `withWatermark`. An
+    event's lateness is the gap between its event time and the max
+    event time already seen at its arrival position (``order_col`` as
+    the arrival proxy).
+
+    The running max is a DISTRIBUTED two-level prefix scan, not a
+    single-partition global window: per-bucket maxima (one aggregate)
+    -> prefix max over the tiny bucket table -> within-bucket running
+    max (windows partitioned BY BUCKET), combined with greatest(). At
+    100 TB the only global structure is the |buckets|-row prefix table.
+    All lateness math is integer microseconds.
+    """
+    from pyspark.sql import Window as W
+
+    base = events.select(
+        F.col(order_col).alias("_ord"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    ).withColumn("_bucket", F.expr(f"_ord div {bucket_size}"))
+    per_bucket = base.groupBy("_bucket").agg(F.max("_us").alias("_bmax"))
+    prefix = per_bucket.select(
+        "_bucket",
+        F.max("_bmax")
+        .over(
+            W.orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+        )
+        .alias("_prev_max"),
+    )
+    within = base.withColumn(
+        "_wmax",
+        F.max("_us").over(
+            W.partitionBy("_bucket")
+            .orderBy("_ord")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    run = within.join(F.broadcast(prefix), "_bucket").select(
+        "_us",
+        F.greatest(
+            F.col("_wmax"), F.coalesce(F.col("_prev_max"), F.col("_wmax"))
+        ).alias("_run"),
+    )
+    lateness = run.select(
+        (F.col("_run") - F.col("_us")).alias("_late_us")
+    )
+    wm = events.sparkSession.createDataFrame(
+        [(w,) for w in watermarks_s], "watermark_s int"
+    )
+    j = lateness.crossJoin(F.broadcast(wm))
+    return j.groupBy("watermark_s").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("_late_us") > F.col("watermark_s").cast("long") * 1_000_000,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dropped"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_late_us")
+                    > F.col("watermark_s").cast("long") * 1_000_000,
+                    1,
+                ).otherwise(0)
+            )
+            / F.count("*"),
+            4,
+        ).alias("drop_share"),
+    )

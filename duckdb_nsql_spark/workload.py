@@ -3332,6 +3332,41 @@ FROM pairs WHERE n_shared >= 2
 """
 
 
+def op_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness audit: events a streaming job would drop at
+    each candidate watermark delay — the pick-your-watermark planning
+    tool; running event-time max via a DISTRIBUTED two-level prefix
+    scan (per-bucket maxima -> tiny prefix table -> within-bucket
+    windows), never a single global window."""
+    from .operators import behavior
+
+    return behavior.lateness_audit(engine_for(spark, sf_dir).table("events"))
+
+
+ORACLE_LATENESS_AUDIT = """
+WITH run AS (
+  SELECT epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS run_max
+  FROM events
+), late AS (
+  SELECT run_max - us AS late_us FROM run
+), wm AS (
+  SELECT CAST(unnest([0, 300, 1800, 7200]) AS INTEGER) AS watermark_s
+)
+SELECT watermark_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > watermark_s::BIGINT * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       round(sum(CASE WHEN late_us > watermark_s::BIGINT * 1000000
+                      THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+           AS drop_share
+FROM wm CROSS JOIN late
+GROUP BY watermark_s
+"""
+
+
 def op_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law log-log regression over the top-1000 word frequencies —
     the corpus-health slope (~-1 for natural text); ln() rounded 6dp +
@@ -6473,6 +6508,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_winnow_matches": (op_winnow_matches, ORACLE_WINNOW_MATCHES),
     "op_zipf_fit": (op_zipf_fit, ORACLE_ZIPF_FIT),
     "op_heaps_curve": (op_heaps_curve, ORACLE_HEAPS_CURVE),
+    "op_lateness_audit": (op_lateness_audit, ORACLE_LATENESS_AUDIT),
 }
 
 

@@ -400,3 +400,26 @@ def test_corpus_statistics_ops(spark, docs):
     m = workload.op_winnow_matches(spark, SF_DIR).collect()
     assert m, "planted near-dups must share fingerprints"
     assert any(r.share_a > 0.5 or r.share_b > 0.5 for r in m)
+
+
+def test_lateness_audit_matches_sequential_replay(spark):
+    """The distributed two-level prefix scan must agree with a plain
+    sequential replay, and drops are monotone non-increasing in the
+    watermark delay."""
+    from duckdb_nsql_spark.operators import behavior
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = {
+        r.watermark_s: r
+        for r in behavior.lateness_audit(ev).collect()
+    }
+    assert list(sorted(rows)) == [0, 300, 1800, 7200]
+    drops = [rows[w].n_dropped for w in sorted(rows)]
+    for a, b in zip(drops, drops[1:]):
+        assert b <= a
+
+    pdf = ev.select("event_id", "ts").toPandas().sort_values("event_id")
+    run_max = pdf["ts"].cummax()
+    late_s = (run_max - pdf["ts"]).dt.total_seconds()
+    for w in (0, 300, 7200):
+        assert rows[w].n_dropped == int((late_s > w).sum()), w
