@@ -276,3 +276,88 @@ def lateness_audit(
             4,
         ).alias("drop_share"),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """LINEAR (multi-touch) attribution: each conversion's value splits
+    evenly across ALL its touches in the window, not just the last one
+    — the other standard attribution model next to last-touch.
+
+    The conversion-to-touches pairing is a day-BUCKETED range join
+    (each conversion expands to its window's day buckets, touches key
+    by their day; the equi-join on (user, day) bounds candidates before
+    the exact microsecond filter) — the op_range_join discipline, never
+    a full interval cross join. Per-touch credit is SCALED-INTEGER
+    math: value quantized to DECIMAL(14,4), scaled x10^4 to a BIGINT,
+    floor-divided by the touch count (round(value/n, 4) would sit on
+    half-way boundaries where Spark's BigDecimal HALF_UP and DuckDB's
+    scaled-double rounding disagree) — channel sums are exact integer
+    sums, floor-biased per credit by < 10^-4, the standard
+    cent-splitting convention. Conversions with no touch report
+    'unattributed' at full value.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    convs = events.where(F.col(type_col) == conversion_type).select(
+        F.col(order_col).alias("conv_id"),
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("c_us"),
+        F.col(value_col).alias("val"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_days))
+        ).alias("off"),
+        day.alias("c_day"),
+    ).select(
+        "conv_id", "u", "c_us", "val",
+        F.date_sub(F.col("c_day"), F.col("off")).alias("d"),
+    )
+    touches = events.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("u"),
+        day.alias("d"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t_us"),
+        F.col(type_col).alias("channel"),
+    )
+    paired = convs.join(touches, ["u", "d"]).where(
+        (F.col("t_us") < F.col("c_us"))
+        & (
+            F.col("c_us") - F.col("t_us")
+            <= window_days * 86400 * 1_000_000
+        )
+    )
+    n_per_conv = paired.groupBy("conv_id").agg(
+        F.count("*").alias("n_touches")
+    )
+    scaled = (
+        (F.round(F.col("val"), 4).cast("decimal(14,4)") * 10000)
+        .cast("long")
+        .alias("v4")
+    )
+    credited = (
+        paired.select("conv_id", "channel", scaled)
+        .join(F.broadcast(n_per_conv), "conv_id")
+        .select("channel", F.expr("v4 div n_touches").alias("credit_s"))
+    )
+    all_convs = events.where(F.col(type_col) == conversion_type).select(
+        F.col(order_col).alias("conv_id"), F.col(value_col).alias("val")
+    )
+    unattributed = (
+        all_convs.join(n_per_conv, "conv_id", "left_anti")
+        .select(F.lit("unattributed").alias("channel"), scaled.alias("credit_s"))
+    )
+    return (
+        credited.unionAll(unattributed)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            (F.sum("credit_s") / 10000.0).cast("double").alias("revenue"),
+        )
+    )

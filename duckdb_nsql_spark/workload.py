@@ -3332,6 +3332,51 @@ FROM pairs WHERE n_shared >= 2
 """
 
 
+def op_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (value split evenly across all
+    window touches) via a day-bucketed range join — the second standard
+    attribution model next to op_attribution's last-touch."""
+    from .operators import behavior
+
+    return behavior.linear_attribution(
+        engine_for(spark, sf_dir).table("events")
+    )
+
+
+ORACLE_LINEAR_ATTRIBUTION = """
+WITH convs AS (
+  SELECT event_id AS conv_id, user_id AS u,
+         epoch_us(ts) AS c_us, value AS val
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id AS u, epoch_us(ts) AS t_us, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+), paired AS (
+  SELECT c.conv_id, c.val, t.channel
+  FROM convs c JOIN touches t
+    ON c.u = t.u AND t.t_us < c.c_us
+       AND c.c_us - t.t_us <= 7::BIGINT * 86400 * 1000000
+), npc AS (
+  SELECT conv_id, count(*) AS n_touches FROM paired GROUP BY conv_id
+), credited AS (
+  SELECT p.channel,
+         (CAST(round(p.val, 4) AS DECIMAL(14,4)) * 10000)::BIGINT
+             // n.n_touches AS credit_s
+  FROM paired p JOIN npc n ON p.conv_id = n.conv_id
+), unattributed AS (
+  SELECT 'unattributed' AS channel,
+         (CAST(round(val, 4) AS DECIMAL(14,4)) * 10000)::BIGINT AS credit_s
+  FROM convs c WHERE NOT EXISTS (
+      SELECT 1 FROM npc n WHERE n.conv_id = c.conv_id)
+), allc AS (
+  SELECT * FROM credited UNION ALL SELECT * FROM unattributed
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum(credit_s) / 10000.0 AS DOUBLE) AS revenue
+FROM allc GROUP BY channel
+"""
+
+
 def op_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark lateness audit: events a streaming job would drop at
     each candidate watermark delay — the pick-your-watermark planning
@@ -6509,6 +6554,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_zipf_fit": (op_zipf_fit, ORACLE_ZIPF_FIT),
     "op_heaps_curve": (op_heaps_curve, ORACLE_HEAPS_CURVE),
     "op_lateness_audit": (op_lateness_audit, ORACLE_LATENESS_AUDIT),
+    "op_linear_attribution": (
+        op_linear_attribution, ORACLE_LINEAR_ATTRIBUTION,
+    ),
 }
 
 

@@ -423,3 +423,22 @@ def test_lateness_audit_matches_sequential_replay(spark):
     late_s = (run_max - pdf["ts"]).dt.total_seconds()
     for w in (0, 300, 7200):
         assert rows[w].n_dropped == int((late_s > w).sum()), w
+
+
+def test_linear_attribution_conserves_credits(spark):
+    """Every purchase contributes credits: n_credits across channels ==
+    total pair credits + unattributed conversions; revenue never exceeds
+    total purchase value (floor-biased splitting)."""
+    from duckdb_nsql_spark import workload
+
+    rows = workload.op_linear_attribution(spark, SF_DIR).collect()
+    assert {r.channel for r in rows} <= {"view", "click", "unattributed"}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    total_value = (
+        ev.where("event_type = 'purchase'")
+        .selectExpr("sum(cast(round(value, 4) as decimal(14,4)))")
+        .collect()[0][0]
+    )
+    rev = sum(r.revenue for r in rows)
+    assert rev <= float(total_value) + 1e-6
+    assert rev > 0.95 * float(total_value)  # floor bias is tiny
