@@ -3332,6 +3332,66 @@ FROM pairs WHERE n_shared >= 2
 """
 
 
+def op_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report over the fact tables' join keys: distinct
+    keys, hottest-key share, top-10 share — the concentration audit
+    behind the salt-or-not decision (op_skew_salted_* are the
+    mitigations; this is the diagnosis). One aggregate per key; the
+    top-10 sum is tie-insensitive (equal counts sum equally)."""
+    eng = engine_for(spark, sf_dir)
+
+    def report(tbl: str, key: str) -> DataFrame:
+        counts = eng.table(tbl).groupBy(key).agg(F.count("*").alias("c"))
+        top10 = counts.orderBy(F.col("c").desc(), F.col(key)).limit(10)
+        stats = counts.agg(
+            F.sum("c").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("c").alias("top1"),
+        )
+        t10 = top10.agg(F.sum("c").alias("top10"))
+        return stats.crossJoin(t10).select(
+            F.lit(tbl).alias("table_name"),
+            F.lit(key).alias("key_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.round(F.col("top1") / F.col("n_rows"), 6).alias("top1_share"),
+            F.round(F.col("top10") / F.col("n_rows"), 6).alias("top10_share"),
+        )
+
+    return (
+        report("lineitem", "l_orderkey")
+        .unionAll(report("lineitem", "l_partkey"))
+        .unionAll(report("orders", "o_custkey"))
+        .unionAll(report("events", "user_id"))
+    )
+
+
+def _skew_oracle_one(tbl: str, key: str) -> str:
+    return f"""
+SELECT '{tbl}' AS table_name, '{key}' AS key_name,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top1_share,
+       round((SELECT sum(c) FROM (
+                 SELECT c FROM (SELECT {key}, count(*) AS c FROM {tbl}
+                                GROUP BY {key})
+                 ORDER BY c DESC, {key} LIMIT 10))
+             / CAST(sum(c) AS DOUBLE), 6) AS top10_share
+FROM (SELECT {key}, count(*) AS c FROM {tbl} GROUP BY {key})
+"""
+
+
+ORACLE_JOIN_SKEW = " UNION ALL ".join(
+    _skew_oracle_one(t, k)
+    for t, k in [
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ]
+)
+
+
 def op_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution (value split evenly across all
     window touches) via a day-bucketed range join — the second standard
@@ -6557,6 +6617,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_linear_attribution": (
         op_linear_attribution, ORACLE_LINEAR_ATTRIBUTION,
     ),
+    "op_join_skew_report": (op_join_skew_report, ORACLE_JOIN_SKEW),
 }
 
 
