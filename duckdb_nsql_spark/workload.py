@@ -6721,8 +6721,10 @@ _REWITNESS_START = 1
 #     op_image_neardup, op_audio_neardup, op_contamination_report,
 #     op_langid_confusion, op_dedup_threshold_sweep,
 #     op_shingle_containment, op_winnow_matches, op_zipf_fit,
-#     op_heaps_curve
-#   stalest re-witness: q01_pricing_summary .. q05_join_group_topk
+#     op_heaps_curve, op_lateness_audit, op_linear_attribution,
+#     op_join_skew_report
+#   (48 never-witnessed) + stalest re-witness:
+#     q01_pricing_summary, q02_filter_predicates
 
 
 
