@@ -3332,6 +3332,57 @@ FROM pairs WHERE n_shared >= 2
 """
 
 
+def op_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly scan: each day's count vs its trailing
+    7-day average (current day excluded), spike-flagged at 1.5x — the
+    ingest-observability alarm a pipeline runs on its own feed. Exact
+    integer counts; the trailing average is one sum/count division;
+    the daily rollup is the only data-sized shuffle (|days| rows after)."""
+    from pyspark.sql import Window as W
+
+    events = engine_for(spark, sf_dir).table("events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = W.orderBy("d").rowsBetween(-7, -1)
+    trailing = daily.select(
+        "d",
+        "n",
+        F.round(F.avg("n").over(w), 4).alias("trailing_avg"),
+    )
+    return trailing.select(
+        "d",
+        "n",
+        "trailing_avg",
+        F.when(
+            F.col("trailing_avg").isNotNull()
+            & (F.col("n") > 1.5 * F.col("trailing_avg")),
+            True,
+        )
+        .otherwise(False)
+        .alias("is_spike"),
+    )
+
+
+ORACLE_ANOMALY_DAYS = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), t AS (
+  SELECT d, n,
+         round(avg(n) OVER (ORDER BY d
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4)
+             AS trailing_avg
+  FROM daily
+)
+SELECT d, n, trailing_avg,
+       CASE WHEN trailing_avg IS NOT NULL AND n > 1.5 * trailing_avg
+            THEN true ELSE false END AS is_spike
+FROM t
+"""
+
+
 def op_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew report over the fact tables' join keys: distinct
     keys, hottest-key share, top-10 share — the concentration audit
@@ -6618,6 +6669,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
         op_linear_attribution, ORACLE_LINEAR_ATTRIBUTION,
     ),
     "op_join_skew_report": (op_join_skew_report, ORACLE_JOIN_SKEW),
+    "op_anomaly_days": (op_anomaly_days, ORACLE_ANOMALY_DAYS),
 }
 
 
@@ -6722,9 +6774,8 @@ _REWITNESS_START = 1
 #     op_langid_confusion, op_dedup_threshold_sweep,
 #     op_shingle_containment, op_winnow_matches, op_zipf_fit,
 #     op_heaps_curve, op_lateness_audit, op_linear_attribution,
-#     op_join_skew_report
-#   (48 never-witnessed) + stalest re-witness:
-#     q01_pricing_summary, q02_filter_predicates
+#     op_join_skew_report, op_anomaly_days
+#   (49 never-witnessed) + stalest re-witness: q01_pricing_summary
 
 
 
