@@ -6679,104 +6679,78 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 # ---------------------------------------------------------------------------
 
 
-# Round-9 driver window: a full 50-entry STATIC literal, updated once
+# Round-10 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 9 leads with the six NEW entries (first driver
-# witness: the reservoir-count sampling oracle, exact k-NN graph,
-# embedding outlier audit, bigram LM scoring, curriculum interleave,
-# z-order layout report), then re-witnesses the ENTIRE round-5 block —
-# the 24 SQL entries (q85-q97 remainder + the q98-q112 TPC-H block) and
-# 20 operator pipelines whose last green driver row is round 5, three
-# rounds stale. 6 + 44 = exactly the driver's 50-entry window; after
-# round 9 no registry entry's latest driver row is older than round 6.
-# Everything outside the window is re-proven every round by
-# tests/test_oracle_parity.py at the driver's sf0.01.
-_WINDOW_R9: tuple[str, ...] = (
-    # new in round 9 — never driver-witnessed
-    "q34b_sample_reservoir_count",
-    "op_knn_graph",
-    "op_embedding_outliers",
-    "op_bigram_lm_score",
-    "op_curriculum_order",
-    "op_zorder_layout",
-    # last driver-green in round 5: SQL block
-    "q85_union_type",
-    "q86_asof_join_sql",
-    "q87_list_comprehension",
-    "q89_sequence_ids",
-    "q92_struct_battery",
-    "q93_columns_lambda",
-    "q94_dialect_edges",
-    "q95_grouping_sets",
-    "q96_window_filter_lateral",
-    "q97_quantile_types",
-    "q98_tpch_q3",
-    "q99_tpch_q5",
-    "q100_tpch_q6",
-    "q101_tpch_q10",
-    "q102_tpch_q13",
-    "q103_tpch_q14",
-    "q104_tpch_q18",
-    "q105_tpch_q22",
-    "q106_tpch_q4",
-    "q108_tpch_q7",
-    "q109_tpch_q8",
-    "q110_tpch_q15",
-    "q111_tpch_q17",
-    "q112_tpch_q19",
-    # last driver-green in round 5: operator pipelines
-    "op_text_fingerprint",
-    "op_text_chunk",
-    "op_text_bm25",
-    "op_text_repetition",
-    "op_text_logprob",
-    "op_pii_redact",
-    "op_skew_salted_agg",
-    "op_similarity_lsh_recall",
-    "op_similarity_ivf_recall",
-    "op_stream_join",
-    "op_stream_dedup",
-    "op_dedup_clusters",
-    "op_domain_mix",
-    "op_sample_stratified",
-    "op_sample_weighted",
-    "op_train_val_split",
-    "op_shuffle_shards",
-    "op_pack_chunks",
-    "op_pack_first_fit",
-    "op_multimodal_features",
+# at import time. Round 10 leads with ALL 49 entries registered after
+# _WINDOW_R9 froze (never driver-witnessed until now: the round-9
+# second-sitting additions — sketches, PCA/PageRank, modality near-dups,
+# containment, corpus statistics, product analytics, the q128-q134
+# dialect block, and the four post-draft entries op_lateness_audit /
+# op_linear_attribution / op_join_skew_report / op_anomaly_days), then
+# re-witnesses the single stalest entry (q01, round-6 row). 49 + 1 =
+# exactly the driver's 50-entry window; after round 10 EVERY registry
+# entry has a driver correctness row (union 248/248) and nothing is
+# staler than round 6. Everything outside the window is re-proven every
+# round by tests/test_oracle_parity.py at the driver's sf0.01.
+_WINDOW_R10: tuple[str, ...] = (
+    # registered after _WINDOW_R9 froze — never driver-witnessed
+    "op_gopher_rules",
+    "op_tokenizer_fertility",
+    "op_shard_manifest",
+    "op_crossmodal_dedup",
+    "op_tfidf_keywords",
+    "op_ngram_novelty",
+    "op_kanon_release",
+    "op_stream_sample",
+    "op_sessionize",
+    "op_dp_histogram",
+    "q128_positional_join",
+    "q129_cube_grouping",
+    "q130_values_relation",
+    "q131_tablesample_reservoir",
+    "q132_table_macro",
+    "q133_pivot_in_values",
+    "q134_time_rollup_lattice",
+    "op_hll_distinct",
+    "op_cms_heavy_hitters",
+    "op_quantile_sketch",
+    "op_winnow_fingerprint",
+    "op_record_linkage",
+    "op_doc_retrieval",
+    "op_orc_roundtrip",
+    "op_stream_hll",
+    "op_linkage_entities",
+    "op_column_ndv_profile",
+    "op_funnel_analysis",
+    "op_retention_cohorts",
+    "op_oov_rate",
+    "op_attribution",
+    "op_pagerank",
+    "op_stream_cms",
+    "op_sample_fixed_stratified",
+    "op_dataset_card",
+    "op_embedding_pca",
+    "op_image_neardup",
+    "op_audio_neardup",
+    "op_contamination_report",
+    "op_langid_confusion",
+    "op_dedup_threshold_sweep",
+    "op_shingle_containment",
+    "op_winnow_matches",
+    "op_zipf_fit",
+    "op_heaps_curve",
+    "op_lateness_audit",
+    "op_linear_attribution",
+    "op_join_skew_report",
+    "op_anomaly_days",
+    # stalest re-witness (round-6 driver row)
+    "q01_pricing_summary",
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
-# after round 9 the oldest block left is the round-6-witnessed SQL,
-# which starts at q01 — the tail runs in plain numeric order.
-_REWITNESS_START = 1
-
-# READY-MADE DRAFT for the round-10 window (next round's builder:
-# verify against CORRECTNESS_r09.json, then promote to _WINDOW_R10).
-# 45 entries registered AFTER _WINDOW_R9 was frozen have never earned a
-# driver row — they lead; the remaining 5 slots re-witness the oldest
-# (round-6) SQL block head:
-#   sitting-1 tail: op_gopher_rules, op_tokenizer_fertility,
-#     op_shard_manifest, op_crossmodal_dedup, op_tfidf_keywords,
-#     op_ngram_novelty, op_kanon_release, op_stream_sample,
-#     op_sessionize, op_dp_histogram
-#   sitting-2: q128_positional_join, q129_cube_grouping,
-#     q130_values_relation, q131_tablesample_reservoir,
-#     q132_table_macro, q133_pivot_in_values, q134_time_rollup_lattice,
-#     op_hll_distinct, op_cms_heavy_hitters, op_quantile_sketch,
-#     op_winnow_fingerprint, op_record_linkage, op_doc_retrieval,
-#     op_orc_roundtrip, op_stream_hll, op_linkage_entities,
-#     op_column_ndv_profile, op_funnel_analysis, op_retention_cohorts,
-#     op_oov_rate, op_attribution, op_pagerank, op_stream_cms,
-#     op_sample_fixed_stratified, op_dataset_card, op_embedding_pca,
-#     op_image_neardup, op_audio_neardup, op_contamination_report,
-#     op_langid_confusion, op_dedup_threshold_sweep,
-#     op_shingle_containment, op_winnow_matches, op_zipf_fit,
-#     op_heaps_curve, op_lateness_audit, op_linear_attribution,
-#     op_join_skew_report, op_anomaly_days
-#   (49 never-witnessed) + stalest re-witness: q01_pricing_summary
-
+# q01 is in the round-10 window, so the stalest SQL outside it starts
+# at q02 — the tail runs in numeric order from there and wraps.
+_REWITNESS_START = 2
 
 
 def _registry_order() -> list[str]:
@@ -6787,7 +6761,7 @@ def _registry_order() -> list[str]:
     nondeterministic (it sniffed evaluator artifacts) and self-defeating
     (verified entries rotated out of the window, so a regression could
     hide for a round). The order is now a hand-maintained static literal:
-    the driver's 50-entry window (`_WINDOW_R9`) leads with the entries
+    the driver's 50-entry window (`_WINDOW_R10`) leads with the entries
     that have never earned a driver correctness row, then re-witnesses
     by staleness (oldest driver row first); the remainder is every
     other entry in numeric registration order ROTATED to start at
@@ -6797,7 +6771,7 @@ def _registry_order() -> list[str]:
     tests/test_oracle_parity.py, which runs the SAME engine-vs-DuckDB
     compare at the driver's sf0.01.
     """
-    head = list(_WINDOW_R9)
+    head = list(_WINDOW_R10)
     head_set = set(head)
 
     def qnum(n: str) -> int:
