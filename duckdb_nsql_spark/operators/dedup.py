@@ -178,7 +178,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard ≥ t).
 
@@ -187,7 +187,14 @@ def ngram_jaccard_pairs(
     shuffle key is the shingle; ``max_df`` drops stop-shingles that appear
     in more than ``max_df`` documents (the classic hot-key guard — at
     100 TB a shingle like "of the and" would otherwise fan into a
-    quadratic bucket while contributing nothing to precision).
+    quadratic bucket while contributing nothing to precision). The guard
+    is DEFAULT-ON (1000): a stop-shingle above the cap contributes
+    >~500k candidate pairs by itself, so leaving it off is never the
+    right call at scale; pass ``max_df=None`` explicitly for the exact
+    unguarded semantics on small corpora. Per-doc sizes |A| are computed
+    BEFORE the drop, so surviving pairs score their true Jaccard
+    denominator — dropping a hot shingle can only lose candidates whose
+    overlap was mostly stop-shingles, never inflate a score.
 
     Shuffle budget (the r2 version spent 11): ``shingles()`` is already
     array_distinct per document, so the exploded (doc_id, shingle) rows
@@ -961,7 +968,7 @@ def shingle_containment(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Asymmetric CONTAINMENT pairs: C(A,B) = |A∩B| / |A| per direction
     — the signal resemblance (Jaccard) misses: a short document quoted
@@ -973,9 +980,13 @@ def shingle_containment(
     ngram_jaccard machinery — any shared shingle pairs the docs), NOT
     from resemblance-LSH banding: banded minhash deliberately suppresses
     low-Jaccard pairs, which is exactly the population containment is
-    after. ``max_df`` is the same stop-shingle hot-key guard. Emitted
-    pairs are those with max(C(A,B), C(B,A)) >= threshold, so the
-    output is bounded by the subset population, not the candidate set.
+    after. ``max_df`` is the same stop-shingle hot-key guard, DEFAULT-ON
+    (1000) for the same reason as in :func:`ngram_jaccard_pairs` — pass
+    ``None`` explicitly for unguarded small-corpus semantics. Sizes are
+    taken before the drop, so surviving containment scores keep their
+    true denominators. Emitted pairs are those with
+    max(C(A,B), C(B,A)) >= threshold, so the output is bounded by the
+    subset population, not the candidate set.
     """
     base = df.select(
         F.col(id_col).alias("doc_id"),

@@ -1131,6 +1131,7 @@ def image_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = 2,
     id_col: str = "asset_id",
+    max_band: int | None = 1000,
 ) -> DataFrame:
     """Image near-duplicate pairs by banded hamming blocking over the
     aHash bits (the image-side analogue of minhash-LSH): the bit string
@@ -1144,6 +1145,19 @@ def image_neardup_pairs(
     band key; the per-position compare runs only on LSH survivors.
     Every expression (substring split, per-position filter count) has
     an exact DuckDB twin.
+
+    ``max_band`` is the DEFAULT-ON hot-band guard (the stop-shingle
+    guard's modality twin): a corpus with many identical hashes (blank
+    images, digital silence) collapses onto one (n_px, band, bandsig)
+    key and the candidate join goes quadratic in that bucket — AQE
+    skew-join spreads the shuffle but not the pair count. Band keys
+    with more than ``max_band`` members are dropped from candidate
+    generation (the hot-key set is tiny — at most total/max_band keys —
+    so it broadcasts into an anti-join). Members of a dropped bucket
+    are by construction near-identical along that band; route them
+    through the EXACT-hash dedup path (group by the full bit string →
+    canonical id, linear output) instead of enumerating O(n²) pairs.
+    Pass ``max_band=None`` for unguarded small-corpus semantics.
     """
     h = hashes.select(id_col, "n_px", "ahash_bits")
     half = F.expr("n_px div 2")
@@ -1172,6 +1186,16 @@ def image_neardup_pairs(
         id_col, "n_px", "ahash_bits",
         F.col("band.b").alias("b"), F.col("band.bandsig").alias("bandsig"),
     )
+    if max_band is not None:
+        hot = (
+            banded.groupBy("n_px", "b", "bandsig")
+            .agg(F.count(F.lit(1)).alias("nb"))
+            .filter(F.col("nb") > max_band)
+            .select("n_px", "b", "bandsig")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["n_px", "b", "bandsig"], "left_anti"
+        )
     a = banded.select(
         F.col(id_col).alias("id_a"), "n_px",
         F.col("ahash_bits").alias("ba"), "b", "bandsig",

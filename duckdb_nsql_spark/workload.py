@@ -2256,9 +2256,16 @@ ORACLE_NGRAM_JACCARD = f"""
 WITH sh AS ({_SHINGLES}),
 flat AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
 sizes AS (SELECT doc_id, count(*) AS sz FROM flat GROUP BY doc_id),
+-- default-on stop-shingle guard (max_df=1000), mirrored from
+-- dedup.ngram_jaccard_pairs: sizes stay pre-drop, the join is guarded
+cool AS (
+    SELECT f.doc_id, f.shingle FROM flat f
+    WHERE f.shingle NOT IN (
+        SELECT shingle FROM flat GROUP BY shingle HAVING count(*) > 1000)
+),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-    FROM flat a JOIN flat b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM cool a JOIN cool b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
@@ -3170,10 +3177,18 @@ WITH a AS (
                 ELSE substr(bits, n_px // 2 + 1, n_px - n_px // 2)
            END AS bandsig
     FROM hashes, (SELECT unnest(range(0, 2)) AS b) b
+), hotband AS (
+    -- default-on hot-band guard (max_band=1000), mirrored from
+    -- multimodal.image_neardup_pairs
+    SELECT n_px, b, bandsig FROM banded
+    GROUP BY n_px, b, bandsig HAVING count(*) > 1000
+), guarded AS (
+    SELECT bd.* FROM banded bd ANTI JOIN hotband h
+      ON bd.n_px = h.n_px AND bd.b = h.b AND bd.bandsig = h.bandsig
 ), pairs AS (
     SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b,
            x.n_px, x.bits AS ba, y.bits AS bb
-    FROM banded x JOIN banded y
+    FROM guarded x JOIN guarded y
       ON x.n_px = y.n_px AND x.b = y.b AND x.bandsig = y.bandsig
          AND x.asset_id < y.asset_id
 )
@@ -3246,12 +3261,19 @@ ex AS (
     SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle
     FROM sh
 ),
+-- default-on stop-shingle guard (max_df=1000), mirrored from
+-- dedup.shingle_containment: sz stays pre-drop, the join is guarded
+cool AS (
+    SELECT e.doc_id, e.sz, e.shingle FROM ex e
+    WHERE e.shingle NOT IN (
+        SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > 1000)
+),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(count(*) AS INTEGER) AS n_inter,
            CAST(any_value(a.sz) AS INTEGER) AS n_a,
            CAST(any_value(b.sz) AS INTEGER) AS n_b
-    FROM ex a JOIN ex b
+    FROM cool a JOIN cool b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
@@ -3713,10 +3735,18 @@ WITH a AS (
                 ELSE substr(bits, n_px // 2 + 1, n_px - n_px // 2)
            END AS bandsig
     FROM hashes, (SELECT unnest(range(0, 2)) AS b) b
+), hotband AS (
+    -- default-on hot-band guard (max_band=1000), mirrored from
+    -- multimodal.image_neardup_pairs
+    SELECT n_px, b, bandsig FROM banded
+    GROUP BY n_px, b, bandsig HAVING count(*) > 1000
+), guarded AS (
+    SELECT bd.* FROM banded bd ANTI JOIN hotband h
+      ON bd.n_px = h.n_px AND bd.b = h.b AND bd.bandsig = h.bandsig
 ), pairs AS (
     SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b,
            x.n_px, x.bits AS ba, y.bits AS bb
-    FROM banded x JOIN banded y
+    FROM guarded x JOIN guarded y
       ON x.n_px = y.n_px AND x.b = y.b AND x.bandsig = y.bandsig
          AND x.asset_id < y.asset_id
 )

@@ -216,3 +216,72 @@ def test_image_neardup_lsh_guarantee(spark):
     assert (1, 3) not in found
     for h in found.values():
         assert h <= 2
+
+
+def test_image_neardup_hot_band_guard(spark):
+    """Degenerate hash corpus (the blank-image / digital-silence case):
+    many assets share one identical hash, so one (n_px, band, bandsig)
+    key would fan the candidate join quadratically. The max_band guard
+    is DEFAULT-ON; this pins (a) the default, (b) hot buckets dropped
+    from candidate generation (bounded per-bucket join input), and
+    (c) near-dup pairs outside the hot bucket still found."""
+    import inspect
+
+    import pandas as pd
+
+    from duckdb_nsql_spark.operators import multimodal
+
+    assert inspect.signature(multimodal.image_neardup_pairs).parameters[
+        "max_band"
+    ].default == 1000
+
+    n_blank = 60
+    ids = list(range(n_blank)) + [900, 901]
+    bits = ["00000000"] * n_blank + ["10101010", "10101011"]
+    hashes = spark.createDataFrame(
+        pd.DataFrame(
+            {"asset_id": ids, "n_px": [8] * len(ids), "ahash_bits": bits}
+        )
+    )
+
+    cap = 16
+    rows = multimodal.image_neardup_pairs(
+        hashes, max_hamming=2, max_band=cap
+    ).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in rows}
+    # the blank block (60 > cap in BOTH bands) emits no pairs; the
+    # distinct near-dup pair survives (its bands are cold)
+    assert found == {(900, 901): 1}
+
+    # bounded join input: replay the band key and check surviving
+    # band-group sizes never exceed the cap
+    from pyspark.sql import functions as F
+
+    banded = hashes.select(
+        "asset_id",
+        "n_px",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("b"),
+                    F.expr("substring(ahash_bits, 1, n_px div 2)").alias(
+                        "bandsig"
+                    ),
+                ),
+                F.struct(
+                    F.lit(1).alias("b"),
+                    F.expr(
+                        "substring(ahash_bits, n_px div 2 + 1,"
+                        " n_px - n_px div 2)"
+                    ).alias("bandsig"),
+                ),
+            )
+        ).alias("band"),
+    ).select(
+        "asset_id", "n_px",
+        F.col("band.b").alias("b"), F.col("band.bandsig").alias("bandsig"),
+    )
+    sizes = banded.groupBy("n_px", "b", "bandsig").count()
+    assert sizes.agg(F.max("count")).first()[0] > cap  # degenerate indeed
+    surviving = sizes.filter(F.col("count") <= cap)
+    assert surviving.agg(F.max("count")).first()[0] <= cap

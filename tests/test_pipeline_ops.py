@@ -751,3 +751,79 @@ def test_dp_histogram_mechanism(spark):
     half = {r["lang"]: r for r in sampling.dp_histogram(df, epsilon=0.5).collect()}
     for lang in a:
         assert abs(half[lang]["noise"] - 2 * a[lang]["noise"]) < 2e-4
+
+
+# ------------------------------------------------- hot-shingle guards
+
+
+def test_ngram_jaccard_hot_shingle_guard_default_on(spark):
+    """Degenerate corpus: every document shares the same stop-shingle
+    run, so the inverted-index join would go quadratic in that bucket
+    at scale. The max_df guard is DEFAULT-ON (r9 verdict: the guard
+    existed but default-off protects nobody); this pins (a) the default,
+    (b) that hot shingles are dropped from the join input (bounded
+    per-bucket fan-in), and (c) that genuinely-similar pairs whose
+    overlap is NOT stop-shingles still come out with their true
+    pre-drop Jaccard denominators."""
+    import inspect
+
+    assert inspect.signature(dedup.ngram_jaccard_pairs).parameters[
+        "max_df"
+    ].default == 1000
+    assert inspect.signature(dedup.shingle_containment).parameters[
+        "max_df"
+    ].default == 1000
+
+    stop = "of the and in all cases"  # 4 hot shingles per doc
+    rows = [(i, f"{stop} unique tail number {i} content") for i in range(20)]
+    # one true near-dup pair whose overlap is its OWN text, not the run
+    rows += [
+        (100, "quantum flux capacitor panel alpha beta gamma delta"),
+        (101, "quantum flux capacitor panel alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cap = 5
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.5, max_df=cap).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in out}
+    # the 20 stop-run docs pair only through hot shingles -> suppressed
+    assert all(p == (100, 101) for p in found)
+    # the true duplicate survives at jaccard 1.0 (sizes are pre-drop)
+    assert found[(100, 101)] == 1.0
+
+    # bounded per-bucket join input: replay the guard's surviving
+    # (doc, shingle) rows and check no shingle exceeds the cap
+    base = df.select(
+        F.col("doc_id"), dedup.shingles(F.col("text")).alias("shs")
+    )
+    sh = base.select("doc_id", F.explode("shs").alias("shingle"))
+    dfreq = sh.groupBy("shingle").count()
+    surviving = dfreq.filter(F.col("count") <= cap)
+    hot = dfreq.filter(F.col("count") > cap)
+    assert hot.count() >= 4  # the fixture IS degenerate
+    assert surviving.agg(F.max("count")).first()[0] <= cap
+
+
+def test_shingle_containment_hot_shingle_guard(spark):
+    """Same degeneracy for the containment pass: the quote-in-document
+    pair (low Jaccard, high one-way containment) must survive the
+    default-on guard while stop-shingle-only pairs are suppressed, and
+    surviving scores keep their full-size denominators."""
+    stop = "of the and in all cases"
+    rows = [(i, f"{stop} unique tail number {i} content") for i in range(20)]
+    quote = "quantum flux capacitor panel alpha beta"
+    rows += [
+        (200, quote),
+        (201, quote + " embedded inside a much longer host document body"
+                      " with plenty of additional surrounding prose"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = dedup.shingle_containment(df, threshold=0.8, max_df=5).collect()
+    found = {(r.id_a, r.id_b): r for r in out}
+    assert all(p == (200, 201) for p in found)
+    r = found[(200, 201)]
+    # containment of the quote in the host is 1.0; n_a is the quote's
+    # FULL shingle count (pre-drop denominator)
+    assert r.c_ab == 1.0
+    assert r.n_a == 4  # 6 words -> 4 word-3-gram shingles

@@ -61,11 +61,12 @@ def test_ngram_jaccard_shuffle_budget(loaded_engine, spark):
     # without max_df (self-join exchange [reused on the other side] +
     # pair-count agg) and 3 with it (+ doc-frequency agg, hot set
     # broadcast into the anti-join). Count Exchange operators in the
-    # formatted plan — ReusedExchange must not count.
+    # formatted plan — ReusedExchange must not count. max_df defaults ON
+    # since round 10, so the unguarded budget needs max_df=None.
     from duckdb_nsql_spark.operators import dedup
 
     docs = loaded_engine.table("documents")
-    plan = plan_of(dedup.ngram_jaccard_pairs(docs))
+    plan = plan_of(dedup.ngram_jaccard_pairs(docs, max_df=None))
     n_ex = sum(
         1
         for line in plan.splitlines()
