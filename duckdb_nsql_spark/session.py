@@ -254,6 +254,231 @@ def _plan_input_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+def _all_leaves_local(df: DataFrame) -> bool:
+    """True when every leaf of the optimized plan is a driver-local
+    relation (LocalRelation / OneRowRelation) — i.e. evaluating the plan
+    touches no files and no distributed state, so collecting it is a
+    constant-cost driver operation regardless of cluster scale."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        return all(
+            leaves.apply(i).getClass().getSimpleName()
+            in ("LocalRelation", "OneRowRelation")
+            for i in range(leaves.size())
+        )
+    except Exception:  # noqa: BLE001 — py4j surface varies across builds
+        return False
+
+
+# Scalar aggregates _fold_local_subqueries evaluates driver-side. Kept to
+# functions whose Python evaluation is bit-identical to Spark's over the
+# already-collected values: order statistics and integer counting. sum/avg
+# fold only for int/float inputs (Decimal sum changes Spark's result TYPE
+# — decimal(p+10,s) — which a literal can't reproduce faithfully).
+_FOLD_AGGS = {"min", "max", "sum", "avg", "count"}
+
+
+def _fold_local_subqueries(
+    sql: str, local_rows: dict[str, tuple[list, T.StructType]]
+) -> str:
+    """Fold subqueries over LOCALIZED CTEs into literals at build time.
+
+    A localized CTE's result already sits in driver memory (≤
+    CTE_LOCALIZE_MAX_ROWS rows), yet Spark still schedules one job per
+    scalar subquery and a broadcast-build + probe pair per IN-subquery
+    over it — ~50-80 ms of scheduler floor each on a 25-row relation
+    (q22's shape: 4 of its 6 jobs). DuckDB evaluates these in-process
+    for free; the Spark-side equivalent is constant-folding them into
+    the statement text, after which Catalyst's ConvertToLocalRelation
+    collapses the remaining project/filter chain — zero jobs. Two
+    patterns, both strictly token-matched so anything more complex
+    (WHERE, GROUP BY, joins, expressions) keeps the subquery:
+
+    - ``(SELECT agg(col) FROM name)`` → typed literal via the same
+      renderer the VALUES localization uses (exact round-trip).
+    - ``x IN (SELECT col FROM name)`` / ``x IN (FROM name)`` → literal
+      IN-list (distinct values; a NULL keeps SQL's three-valued IN).
+
+    Only fires on names in ``local_rows``, so the fold is bounded by
+    the localization row cap at any data scale."""
+    if not local_rows:
+        return sql
+    tokens = tokenize(sql)
+    out: list[Token] = []
+    i = 0
+
+    def _lit(v, dt) -> str:
+        return introspect._sql_literal(v, dt)
+
+    def _field(schema: T.StructType, col: str):
+        for f in schema.fields:
+            if f.name.lower() == col.lower():
+                return f
+        return None
+
+    while i < len(tokens):
+        t = tokens[i]
+        # pattern: ( SELECT agg ( [DISTINCT] col|* ) FROM name )
+        if t.kind == PUNCT and t.text == "(":
+            close = match_forward(tokens, i, "(", ")")
+            repl = None
+            if close < len(tokens):
+                repl = _match_scalar_agg(tokens, i, close, local_rows, _lit, _field)
+            if repl is not None:
+                out.extend(tokenize(repl))
+                i = close + 1
+                continue
+        # pattern: IN ( FROM name ) / IN ( SELECT col FROM name )
+        if t.kind == IDENT and t.upper == "IN":
+            j = next_sig(tokens, i)
+            if (
+                j < len(tokens)
+                and tokens[j].kind == PUNCT
+                and tokens[j].text == "("
+            ):
+                close = match_forward(tokens, j, "(", ")")
+                repl = None
+                if close < len(tokens):
+                    repl = _match_in_list(
+                        tokens, j, close, local_rows, _lit, _field
+                    )
+                if repl is not None:
+                    out.append(t)
+                    out.extend(tokenize(" " + repl))
+                    i = close + 1
+                    continue
+        out.append(t)
+        i += 1
+    return render(out)
+
+
+def _match_scalar_agg(tokens, i, close, local_rows, _lit, _field):
+    """Return the literal replacement for a ``(SELECT agg(col) FROM
+    name)`` span, or None when the span is anything else."""
+    j = next_sig(tokens, i)
+    if j >= close or not tokens[j].is_kw("SELECT"):
+        return None
+    k = next_sig(tokens, j)
+    if k >= close or tokens[k].kind != IDENT:
+        return None
+    agg = tokens[k].text.lower()
+    if agg not in _FOLD_AGGS:
+        return None
+    p = next_sig(tokens, k)
+    if p >= close or tokens[p].kind != PUNCT or tokens[p].text != "(":
+        return None
+    pc = match_forward(tokens, p, "(", ")")
+    if pc >= close:
+        return None
+    inner = [
+        t for t in tokens[p + 1 : pc] if t.kind not in (WS, COMMENT)
+    ]
+    distinct = False
+    if inner and inner[0].is_kw("DISTINCT"):
+        distinct = True
+        inner = inner[1:]
+    star = len(inner) == 1 and inner[0].kind == PUNCT and inner[0].text == "*"
+    if not star and not (
+        len(inner) == 1 and inner[0].kind in (IDENT, QIDENT)
+    ):
+        return None
+    if star and agg != "count":
+        return None
+    f = next_sig(tokens, pc)
+    if f >= close or not tokens[f].is_kw("FROM"):
+        return None
+    n = next_sig(tokens, f)
+    if n >= close or tokens[n].kind not in (IDENT, QIDENT):
+        return None
+    name = tokens[n].text.strip('"').lower()
+    if name not in local_rows or next_sig(tokens, n) != close:
+        return None
+    rows, schema = local_rows[name]
+    if star:
+        return _lit(len(rows), T.LongType())
+    fld = _field(schema, inner[0].text.strip('"'))
+    if fld is None:
+        return None
+    idx = [x.name for x in schema.fields].index(fld.name)
+    vals = [r[idx] for r in rows]
+    nn = [v for v in vals if v is not None]
+    if distinct:
+        try:
+            nn = list(dict.fromkeys(nn))
+        except TypeError:
+            return None
+    if agg == "count":
+        return _lit(len(nn), T.LongType())
+    if not nn:
+        return f"CAST(NULL AS {fld.dataType.simpleString()})"
+    if agg in ("min", "max"):
+        if not all(
+            isinstance(v, (int, float, str)) and not isinstance(v, bool)
+            or hasattr(v, "isoformat")
+            for v in nn
+        ):
+            return None
+        return _lit(min(nn) if agg == "min" else max(nn), fld.dataType)
+    # sum / avg: int/float only (Decimal sum widens Spark's result type)
+    if not all(
+        isinstance(v, (int, float)) and not isinstance(v, bool) for v in nn
+    ):
+        return None
+    s = sum(nn)
+    if agg == "sum":
+        dt = T.DoubleType() if isinstance(s, float) else T.LongType()
+        return _lit(s, dt)
+    return _lit(s / len(nn), T.DoubleType())
+
+
+def _match_in_list(tokens, j, close, local_rows, _lit, _field):
+    """Return the literal IN-list replacement for an ``( FROM name )`` /
+    ``( SELECT col FROM name )`` span, or None."""
+    k = next_sig(tokens, j)
+    col = None
+    if k < close and tokens[k].is_kw("SELECT"):
+        c = next_sig(tokens, k)
+        if c >= close:
+            return None
+        if tokens[c].kind == PUNCT and tokens[c].text == "*":
+            pass
+        elif tokens[c].kind in (IDENT, QIDENT):
+            col = tokens[c].text.strip('"')
+        else:
+            return None
+        k = next_sig(tokens, c)
+    if k >= close or not tokens[k].is_kw("FROM"):
+        return None
+    n = next_sig(tokens, k)
+    if n >= close or tokens[n].kind not in (IDENT, QIDENT):
+        return None
+    name = tokens[n].text.strip('"').lower()
+    if name not in local_rows or next_sig(tokens, n) != close:
+        return None
+    rows, schema = local_rows[name]
+    if col is None:
+        if len(schema.fields) != 1:
+            return None
+        idx, fld = 0, schema.fields[0]
+    else:
+        fld = _field(schema, col)
+        if fld is None:
+            return None
+        idx = [x.name for x in schema.fields].index(fld.name)
+    vals = [r[idx] for r in rows]
+    has_null = any(v is None for v in vals)
+    try:
+        uniq = list(dict.fromkeys(v for v in vals if v is not None))
+    except TypeError:
+        return None
+    if not uniq and not has_null:
+        return None  # empty IN-list is not valid SQL — keep the subquery
+    lits = [_lit(v, fld.dataType) for v in uniq]
+    if has_null:
+        lits.append(f"CAST(NULL AS {fld.dataType.simpleString()})")
+    return "(" + ", ".join(lits) + ")"
+
+
 def apply_runtime_confs(spark: SparkSession) -> None:
     for k, v in RUNTIME_CONFS.items():
         try:
@@ -1677,10 +1902,29 @@ class DuckSparkSession:
         from pyspark import StorageLevel
 
         added: list[str] = []
+        local_rows: dict[str, tuple[list, T.StructType]] = {}
         try:
             for idx, cte in enumerate(ctes):
-                if cte["name"].lower() not in mat_names:
-                    continue
+                name_l = cte["name"].lower()
+                is_mat = name_l in mat_names
+                if not is_mat:
+                    # cascade candidate: a single-reference CTE whose body
+                    # reads an already-LOCALIZED CTE may itself collapse to
+                    # a LocalRelation after subquery folding — localizing
+                    # it too lets the MAIN statement's IN/scalar subqueries
+                    # over it fold to literals (q22's max_nation shape:
+                    # without this, each such subquery costs a scheduled
+                    # Spark job over 25 driver-local rows)
+                    if not local_rows:
+                        continue
+                    lo, hi = cte["body"]
+                    body_names = {
+                        t.text.strip('"').lower()
+                        for t in tokens[lo:hi]
+                        if t.kind in (IDENT, QIDENT)
+                    }
+                    if not (body_names & set(local_rows)):
+                        continue
                 body_sql = render(tokens[cte["body"][0] : cte["body"][1]])
                 earlier = [
                     render_def(c2)
@@ -1689,18 +1933,34 @@ class DuckSparkSession:
                 ]
                 if earlier:
                     body_sql = "WITH " + ", ".join(earlier) + " " + body_sql
+                body_sql = _fold_local_subqueries(body_sql, local_rows)
                 df = self._query(body_sql)
                 if cte["cols"]:
                     df = df.toDF(*cte["cols"])
+                if not is_mat:
+                    if not _all_leaves_local(df):
+                        continue
+                    local = self._try_localize_cte(
+                        df, 0, reducing=False, all_local=True
+                    )
+                    if local is None:
+                        continue
+                    df, rows = local
+                    local_rows[name_l] = (rows, df.schema)
+                    mat_names.add(name_l)
+                    view = self._fresh_view(df)
+                    self._cte_overrides[name_l] = view
+                    added.append(name_l)
+                    continue
                 if (
                     not cte["forced"]
-                    and cte["name"].lower() not in reducing
+                    and name_l not in reducing
                     and _plan_input_bytes(df) < CTE_MATERIALIZE_MIN_INPUT_BYTES
                 ):
                     # small-input NON-reducing body: references stay inline
                     # where Catalyst can still push filters/pruning into
                     # them; recomputing a few MB beats the lost pushdown
-                    mat_names.discard(cte["name"].lower())
+                    mat_names.discard(name_l)
                     continue
                 # input estimate must come from the raw plan: after
                 # persist() the leaf is the not-yet-materialized
@@ -1708,16 +1968,17 @@ class DuckSparkSession:
                 local = self._try_localize_cte(
                     df,
                     _plan_input_bytes(df),
-                    reducing=cte["name"].lower() in reducing,
+                    reducing=name_l in reducing,
                 )
                 if local is not None:
-                    df = local
+                    df, rows = local
+                    local_rows[name_l] = (rows, df.schema)
                 else:
                     df = df.persist(StorageLevel.MEMORY_AND_DISK)
                     self._cte_persisted.append(df)
                 view = self._fresh_view(df)
-                self._cte_overrides[cte["name"].lower()] = view
-                added.append(cte["name"].lower())
+                self._cte_overrides[name_l] = view
+                added.append(name_l)
             if not added:
                 return None
             keep = [
@@ -1729,7 +1990,7 @@ class DuckSparkSession:
             new_sql = (
                 "WITH " + ", ".join(keep) + " " + main_sql if keep else main_sql
             )
-            return self._query(new_sql)
+            return self._query(_fold_local_subqueries(new_sql, local_rows))
         finally:
             for n in added:
                 self._cte_overrides.pop(n, None)
@@ -1741,8 +2002,12 @@ class DuckSparkSession:
     )
 
     def _try_localize_cte(
-        self, df: DataFrame, input_bytes: int, reducing: bool = False
-    ) -> Optional[DataFrame]:
+        self,
+        df: DataFrame,
+        input_bytes: int,
+        reducing: bool = False,
+        all_local: bool = False,
+    ) -> Optional[tuple[DataFrame, list]]:
         """Collapse a small materialized-CTE result to a driver-built
         VALUES relation (LocalTableScan).
 
@@ -1769,7 +2034,11 @@ class DuckSparkSession:
         # lazy persisted view + AQE runtime stats pick join strategies.
         if input_bytes > CTE_LOCALIZE_PROBE_MAX_INPUT_BYTES:
             return None
-        if reducing and input_bytes <= CTE_LOCALIZE_COLLECT_MAX_INPUT_BYTES:
+        if all_local:
+            # plan already folded to a LocalRelation: executeCollect is a
+            # driver array copy — zero scheduled jobs (measured)
+            rows = df.collect()
+        elif reducing and input_bytes <= CTE_LOCALIZE_COLLECT_MAX_INPUT_BYTES:
             # reducing body over small input: one fully-parallel collect
             # beats take()'s incremental-limit scheduler round-trips by
             # ~5x; the uncapped fetch is bounded by one-row-per-group
@@ -1778,9 +2047,8 @@ class DuckSparkSession:
             rows = df.coalesce(1).take(CTE_LOCALIZE_MAX_ROWS + 1)
         if len(rows) > CTE_LOCALIZE_MAX_ROWS:
             return None
-        return introspect.local_df(
-            self.spark, [tuple(r) for r in rows], df.schema
-        )
+        tuples = [tuple(r) for r in rows]
+        return introspect.local_df(self.spark, tuples, df.schema), tuples
 
     def _union_by_name(self, sql: str) -> Optional[DataFrame]:
         """DuckDB ``A UNION [ALL] BY NAME B``: match columns by name, NULL-
