@@ -1422,6 +1422,105 @@ def doc_retrieval(
     )
 
 
+def doc_retrieval_embed(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 5,
+    dim: int = 16,
+    chunk_words: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Embedding-ranked retrieval: chunk the corpus, embed each chunk,
+    rank chunks by cosine against the query embedding, return the top-k
+    with text — the EXACT ranking shape of the reference's doc retriever
+    (``eval/doc_retriever.py:60-94`` ranks markdown chunks by OpenAI
+    embedding dot product; this swaps in a deterministic hashed
+    bag-of-words embedding so the pipeline is replayable cross-engine,
+    next to :func:`doc_retrieval`'s BM25 variant).
+
+    The embedding is a ``dim``-bucket token histogram (bucket =
+    md5(token) mod dim — both engines share md5, so the oracle rebuilds
+    identical vectors); counts are exact small integers, so dot products
+    and norms are exact in IEEE double regardless of summation order
+    and the 4-dp rounded cosine can never split Spark from DuckDB. The
+    query vector is a plan literal (broadcast by construction); ranking
+    is a TakeOrderedAndProject — top-k per partition then a driver
+    merge, never a global sort; the text join-back broadcasts k rows.
+    """
+    import hashlib
+
+    chunks = chunk_documents(
+        df, chunk_words, overlap, text_col=text_col, id_col=id_col
+    )
+    ckeyed = chunks.select(
+        (F.col(id_col) * 100000 + F.col("chunk_id")).alias("ckey"),
+        "chunk_text",
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("chunk_text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    bkts = F.transform(
+        toks,
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+            % F.lit(dim)
+        ),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.size(F.filter(bkts, lambda x: x == b)).cast("double"),
+    )
+    qv = [0.0] * dim
+    for t in query_terms:
+        h = int(hashlib.md5(t.lower().encode()).hexdigest()[:4], 16)
+        qv[h % dim] += 1.0
+    q = F.array(*[F.lit(v) for v in qv])
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qn2 = sum(v * v for v in qv)
+    # gate on the raw dot product, NOT the rounded cosine: an empty chunk
+    # yields 0/0 = NaN, and NaN > 0 is FALSE on Spark but TRUE on DuckDB
+    # (NaN sorts greatest there) — dot > 0 implies both norms > 0, so no
+    # NaN ever reaches the comparison on either engine
+    scored = (
+        ckeyed.select(
+            "ckey",
+            "chunk_text",
+            dot(vec, q).alias("__dq"),
+            vec.alias("__v"),
+        )
+        .where(F.col("__dq") > 0)
+        .select(
+            "ckey",
+            "chunk_text",
+            F.round(
+                F.col("__dq")
+                / (
+                    F.sqrt(dot(F.col("__v"), F.col("__v")))
+                    * F.sqrt(F.lit(float(qn2)))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    top = scored.orderBy(F.desc("cos_sim"), F.col("ckey")).limit(k)
+    return top.select(
+        F.floor(F.col("ckey") / 100000).cast("long").alias(id_col),
+        (F.col("ckey") % 100000).cast("int").alias("chunk_id"),
+        "cos_sim",
+        "chunk_text",
+    )
+
+
 def oov_rate(
     df: DataFrame,
     vocab_size: int = 1000,

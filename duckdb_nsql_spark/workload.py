@@ -6556,6 +6556,63 @@ for _name in [
     globals()[_name] = _memo_plan(globals()[_name])
 
 
+def op_doc_retrieval_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-ranked retrieval: overlapping 64-word chunks ranked by
+    cosine against the query's hashed bag-of-words embedding, top-5
+    with text — the reference doc retriever's ACTUAL ranking model
+    (eval/doc_retriever.py:60-94 ranks chunks by embedding dot product;
+    the BM25 sibling op_doc_retrieval covers the lexical variant)."""
+    return text_ops.doc_retrieval_embed(
+        _docs(spark, sf_dir), ["window", "merge", "scan"], k=5
+    )
+
+
+# query ["window","merge","scan"] hashes to buckets 6/8/14 of 16
+# (md5 first-4-hex mod 16) -> 1-indexed DuckDB list slots 7/9/15;
+# |q| = sqrt(3). Counts are small integers, so every dot/norm is exact
+# in IEEE double on both engines and the 4-dp round cannot diverge.
+ORACLE_DOC_RETRIEVAL_EMBED = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+), n AS (
+  SELECT doc_id, words,
+         greatest(CAST(ceil((len(words) - 16) / 48.0) AS INTEGER), 1)
+             AS n_chunks
+  FROM w
+), chunks AS (
+  SELECT doc_id * 100000 + i AS ckey,
+         array_to_string(words[(i - 1) * 48 + 1 : (i - 1) * 48 + 64], ' ')
+             AS chunk_text
+  FROM n, unnest(range(1, n_chunks + 1)) AS t(i)
+), toks AS (
+  SELECT ckey, chunk_text,
+         list_filter(string_split_regex(lower(chunk_text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM chunks
+), vecs AS (
+  SELECT ckey, chunk_text,
+         list_transform(range(0, 16),
+             b -> CAST(len(list_filter(tokens,
+                 t -> ('0x' || substr(md5(t), 1, 4))::INT % 16 = b))
+               AS DOUBLE)) AS vec
+  FROM toks
+), scored AS (
+  SELECT ckey, chunk_text,
+         vec[7] + vec[9] + vec[15] AS dq,
+         round((vec[7] + vec[9] + vec[15])
+               / (sqrt(list_sum(list_transform(vec, x -> x * x)))
+                  * sqrt(3.0)), 4) AS cos_sim
+  FROM vecs
+  WHERE vec[7] + vec[9] + vec[15] > 0
+  ORDER BY cos_sim DESC, ckey LIMIT 5
+)
+SELECT CAST(floor(ckey / 100000) AS BIGINT) AS doc_id,
+       CAST(ckey % 100000 AS INTEGER) AS chunk_id, cos_sim, chunk_text
+FROM scored
+"""
+
+
 OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_dedup_exact": (op_dedup_exact, ORACLE_DEDUP_EXACT),
     "op_dedup_minhash_lsh": (op_dedup_minhash_lsh, ORACLE_MINHASH_LSH),
@@ -6700,6 +6757,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     ),
     "op_join_skew_report": (op_join_skew_report, ORACLE_JOIN_SKEW),
     "op_anomaly_days": (op_anomaly_days, ORACLE_ANOMALY_DAYS),
+    "op_doc_retrieval_embed": (
+        op_doc_retrieval_embed, ORACLE_DOC_RETRIEVAL_EMBED,
+    ),
 }
 
 
