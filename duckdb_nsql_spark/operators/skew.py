@@ -12,6 +12,82 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def join_key_report(df: DataFrame, key: str, table_name: str) -> DataFrame:
+    """One-row join-key concentration report for ``df[key]``: row/key
+    counts, hottest-key share, top-10 share. One aggregate over the
+    table; the top-10 sum is tie-insensitive (equal counts sum equally).
+    This is the measurement half of the salt-or-cluster decision —
+    :func:`recommend_layout` turns rows of it into the layout call."""
+    counts = df.groupBy(key).agg(F.count("*").alias("c"))
+    top10 = counts.orderBy(F.col("c").desc(), F.col(key)).limit(10)
+    stats = counts.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("top1"),
+    )
+    t10 = top10.agg(F.sum("c").alias("top10"))
+    return stats.crossJoin(t10).select(
+        F.lit(table_name).alias("table_name"),
+        F.lit(key).alias("key_name"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.round(F.col("top1") / F.col("n_rows"), 6).alias("top1_share"),
+        F.round(F.col("top10") / F.col("n_rows"), 6).alias("top10_share"),
+    )
+
+
+def recommend_layout(
+    report: DataFrame,
+    salt_ratio: float = 8.0,
+    salt_min_share: float = 0.001,
+    cluster_min_rows: int = 500_000,
+) -> DataFrame:
+    """Turn join-key skew measurements into an EXECUTABLE layout call —
+    the decision procedure behind the q13 CLUSTER BY mitigation and the
+    salted-join path, so the 100 TB choice is derived from data, not
+    prose. Input rows are :func:`join_key_report` output; adds:
+
+    - ``skew_ratio`` = top1_share × n_keys: the hottest key's multiple
+      of a perfectly uniform key's share (1.0 = uniform).
+    - ``recommendation``:
+      * ``salt`` — the hot key is both RELATIVELY heavy (skew_ratio ≥
+        ``salt_ratio``: one reducer gets ≥8× its fair share, the
+        straggler regime AQE's skew split and explicit salting exist
+        for) and ABSOLUTELY heavy (top1_share ≥ ``salt_min_share``:
+        at 100 TB, 0.1% of the table in one key is a fat reducer
+        regardless of ratio). Route through salted_join /
+        salted_aggregate, or rely on AQE skew-join for SMJ plans.
+      * ``cluster`` — distribution is uniform and the table is
+        fact-scale (n_rows ≥ ``cluster_min_rows``): pre-clustering at
+        rest on this key (CLUSTER BY ... INTO n BUCKETS) deletes the
+        join exchange on every subsequent join — the q13 fact⋈fact
+        mitigation.
+      * ``none`` — small table: broadcast it or let a plain shuffle
+        handle it; neither salting nor a bucketed layout pays.
+
+    A pure projection over the (tiny) report — no data-sized work.
+    """
+    skewr = F.round(F.col("top1_share") * F.col("n_keys"), 3)
+    rec = (
+        F.when(
+            (skewr >= salt_ratio) & (F.col("top1_share") >= salt_min_share),
+            F.lit("salt"),
+        )
+        .when(F.col("n_rows") >= cluster_min_rows, F.lit("cluster"))
+        .otherwise(F.lit("none"))
+    )
+    return report.select(
+        "table_name",
+        "key_name",
+        "n_rows",
+        "n_keys",
+        "top1_share",
+        "top10_share",
+        skewr.alias("skew_ratio"),
+        rec.alias("recommendation"),
+    )
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from .operators import asof as asof_ops
 from .operators import dedup, multimodal, packing, sampling, similarity
 from .operators import sketches
+from .operators import skew as skew_ops
 from .operators import text as text_ops
 from .session import DuckSparkSession
 
@@ -3414,22 +3415,7 @@ def op_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = engine_for(spark, sf_dir)
 
     def report(tbl: str, key: str) -> DataFrame:
-        counts = eng.table(tbl).groupBy(key).agg(F.count("*").alias("c"))
-        top10 = counts.orderBy(F.col("c").desc(), F.col(key)).limit(10)
-        stats = counts.agg(
-            F.sum("c").alias("n_rows"),
-            F.count("*").alias("n_keys"),
-            F.max("c").alias("top1"),
-        )
-        t10 = top10.agg(F.sum("c").alias("top10"))
-        return stats.crossJoin(t10).select(
-            F.lit(tbl).alias("table_name"),
-            F.lit(key).alias("key_name"),
-            F.col("n_rows").cast("long").alias("n_rows"),
-            F.col("n_keys").cast("long").alias("n_keys"),
-            F.round(F.col("top1") / F.col("n_rows"), 6).alias("top1_share"),
-            F.round(F.col("top10") / F.col("n_rows"), 6).alias("top10_share"),
-        )
+        return skew_ops.join_key_report(eng.table(tbl), key, tbl)
 
     return (
         report("lineitem", "l_orderkey")
@@ -3437,6 +3423,16 @@ def op_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(report("orders", "o_custkey"))
         .unionAll(report("events", "user_id"))
     )
+
+
+def op_layout_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable layout decision derived from the join-key skew report:
+    'salt' (hot key ≥8x its uniform share AND ≥0.1% of the table),
+    'cluster' (uniform fact-scale key — the q13 CLUSTER BY mitigation),
+    or 'none' (small table: broadcast). The decision procedure for the
+    100 TB layout, pinned cross-engine as a pure projection over the
+    report."""
+    return skew_ops.recommend_layout(op_join_skew_report(spark, sf_dir))
 
 
 def _skew_oracle_one(tbl: str, key: str) -> str:
@@ -3463,6 +3459,18 @@ ORACLE_JOIN_SKEW = " UNION ALL ".join(
         ("events", "user_id"),
     ]
 )
+
+# layout decision mirrors skew.recommend_layout exactly: skew_ratio from
+# the report's ROUNDED top1_share (6dp), thresholds 8x / 0.1% / 500k rows
+ORACLE_LAYOUT_RECOMMENDATION = f"""
+SELECT table_name, key_name, n_rows, n_keys, top1_share, top10_share,
+       round(top1_share * n_keys, 3) AS skew_ratio,
+       CASE WHEN round(top1_share * n_keys, 3) >= 8.0
+                 AND top1_share >= 0.001 THEN 'salt'
+            WHEN n_rows >= 500000 THEN 'cluster'
+            ELSE 'none' END AS recommendation
+FROM ({ORACLE_JOIN_SKEW}) r
+"""
 
 
 def op_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6759,6 +6767,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_anomaly_days": (op_anomaly_days, ORACLE_ANOMALY_DAYS),
     "op_doc_retrieval_embed": (
         op_doc_retrieval_embed, ORACLE_DOC_RETRIEVAL_EMBED,
+    ),
+    "op_layout_recommendation": (
+        op_layout_recommendation, ORACLE_LAYOUT_RECOMMENDATION,
     ),
 }
 

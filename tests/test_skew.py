@@ -56,3 +56,80 @@ def test_salted_join_rejects_outer(spark, sf_dir):
         skew.salted_join(df, df, "k", hot_keys=[1], how="right")
     with pytest.raises(ValueError):
         skew.salted_join(df, df, "k", hot_keys=[1], how="full")
+
+
+def test_layout_recommendation_drives_cluster_choice(spark):
+    """The q13 CLUSTER BY mitigation must be DERIVABLE from the skew
+    report, not prose: at sf0.1 the fact table's join key is uniform
+    and fact-scale, so recommend_layout says 'cluster' for exactly the
+    (table, key) the clustered bench variant buckets on — and 'none'
+    for the dim-scale keys where a broadcast is the right call."""
+    import duckdb_nsql_spark.workload as w
+
+    rec = {
+        (r["table_name"], r["key_name"]): r
+        for r in w.op_layout_recommendation(
+            spark, "/root/testdata/sf0.1"
+        ).collect()
+    }
+    li = rec[("lineitem", "l_orderkey")]
+    # uniform (hot key < 8x fair share) + fact-scale -> bucket the fact
+    # table on the join key: the layout q13_clustered measures
+    assert li["recommendation"] == "cluster"
+    assert li["skew_ratio"] < 8.0
+    # dim-scale keys: no layout change, broadcast handles them
+    assert rec[("orders", "o_custkey")]["recommendation"] == "none"
+    assert rec[("events", "user_id")]["recommendation"] == "none"
+
+
+def test_layout_recommendation_salt_path_executable(spark):
+    """Degenerate key distribution -> the report says 'salt' -> the
+    salted join is result-identical to the plain join AND Spark's AQE
+    skew-join actually engages on the unsalted SMJ (skew=true pinned in
+    the executed plan with test-scaled thresholds) — the full
+    diagnose -> decide -> execute loop for the skewed case."""
+    left = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.concat(F.lit("x" * 50), F.col("id")).alias("v"),
+    )
+    right = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+
+    rep = skew.join_key_report(left, "k", "left_fact")
+    rec = skew.recommend_layout(rep).collect()[0]
+    # half the rows in one key: relatively AND absolutely hot
+    assert rec["recommendation"] == "salt"
+    assert rec["skew_ratio"] >= 8.0 and rec["top1_share"] >= 0.001
+
+    # execute the recommendation: salted join == plain join
+    salted = skew.salted_join(left, right, "k", hot_keys=[0], salt_buckets=8)
+    plain = left.join(right, "k")
+    assert salted.count() == plain.count()
+
+    # AQE alternative on the unsalted SMJ: skew split engages
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = left.join(right, "k")
+        j.collect()  # j's own execution -> final adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
