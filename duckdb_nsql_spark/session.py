@@ -2126,6 +2126,35 @@ class DuckSparkSession:
         out = tokens
         while i < len(out):
             t = out[i]
+            if t.kind == IDENT and t.upper == "USING":
+                # method-first USING form: ``USING SAMPLE reservoir(20%)``
+                # -> ``USING SAMPLE 20% (reservoir)`` (DuckDB accepts the
+                # method before the size in BOTH spellings; wave-12 fuzz
+                # caught the USING variant unhandled)
+                sm = next_sig(out, i)
+                if sm < len(out) and out[sm].is_kw("SAMPLE"):
+                    s = next_sig(out, sm)
+                    if (
+                        s < len(out)
+                        and out[s].kind == IDENT
+                        and out[s].upper in ("RESERVOIR", "BERNOULLI", "SYSTEM")
+                    ):
+                        m = next_sig(out, s)
+                        if (
+                            m < len(out)
+                            and out[m].kind == PUNCT
+                            and out[m].text == "("
+                        ):
+                            c = match_forward(out, m, "(", ")")
+                            size = render(out[m + 1 : c]).strip()
+                            repl = tokenize(
+                                f"USING SAMPLE {size} ({out[s].text.lower()})"
+                            )
+                            out = out[:i] + repl + out[c + 1 :]
+                            i += len(repl)
+                            continue
+                i += 1
+                continue
             if not (t.kind == IDENT and t.upper == "TABLESAMPLE"):
                 i += 1
                 continue

@@ -657,6 +657,92 @@ def gen_wave11_query():
     )
 
 
+_W12_PIVOTS = [
+    ("orders", "o_orderstatus", ["F", "O", "P"], "o_orderpriority"),
+    ("orders", "o_orderpriority",
+     ["1-URGENT", "3-MEDIUM", "5-LOW"], "o_orderstatus"),
+    ("lineitem", "l_returnflag", ["A", "N", "R"], "l_linestatus"),
+    ("customer", "c_mktsegment",
+     ["AUTOMOBILE", "BUILDING", "MACHINERY"], "c_nationkey"),
+]
+
+
+def gen_wave12_query():
+    """Wave-12 shapes (round 10): the q128-q134 grammar — PIVOT ON ...
+    IN with explicit value lists, table MACROs (create + call in one
+    statement), POSITIONAL JOIN padding with qualified stars and
+    arithmetic over padded NULLs, the TABLESAMPLE / USING SAMPLE
+    spelling family (exact counts), and date_trunc GROUPING SETS
+    rollup lattices."""
+    r = rng.random()
+    if r < 0.25:
+        t, pcol, vals, gcol = rng.choice(_W12_PIVOTS)
+        chosen = sorted(rng.sample(vals, rng.randint(1, len(vals))))
+        aggs = ["count(*) AS n"]
+        if rng.random() < 0.6:
+            n = rng.choice(NUM_COLS[t])
+            # bare aggregate only: DuckDB rejects casts AROUND the agg
+            # in PIVOT USING (the q133 trap); casts inside the arg are
+            # fine and keep the sum DECIMAL-exact on both engines
+            aggs.append(f"sum(CAST({n} AS DECIMAL(18,2))) AS s")
+        in_list = ", ".join(f"'{v}'" for v in chosen)
+        return (
+            f"PIVOT {t} ON {pcol} IN ({in_list})"
+            f" USING {', '.join(aggs)}"
+            f" GROUP BY {gcol} ORDER BY {gcol}"
+        )
+    if r < 0.47:
+        m = rng.randint(2, 5)
+        t = rng.choice(list(NUM_COLS))
+        k, g, n = KEY_COLS[t], rng.choice(STR_COLS[t]), rng.choice(NUM_COLS[t])
+        return (
+            f"CREATE OR REPLACE MACRO fz12_m(r) AS TABLE"
+            f" SELECT {g} AS g, CAST({n} AS DECIMAL(18,2)) AS v"
+            f" FROM {t} WHERE CAST({k} AS INTEGER) % {m} = r;"
+            f" SELECT g, CAST(count(*) AS BIGINT) AS cnt,"
+            f" CAST(sum(v) AS DOUBLE) AS sv"
+            f" FROM fz12_m({rng.randint(0, m - 1)})"
+            f" GROUP BY g ORDER BY g"
+        )
+    if r < 0.68:
+        la, lb = rng.randint(2, 7), rng.randint(2, 7)
+        t = rng.choice(list(KEY_COLS))
+        k = KEY_COLS[t]
+        return (
+            f"SELECT a.*, round(coalesce(b.s_acctbal, -1.0) + 0.5, 2)"
+            " AS pad FROM"
+            f" (SELECT {k} AS ka FROM {t} ORDER BY ka LIMIT {la}) a"
+            " POSITIONAL JOIN"
+            f" (SELECT s_acctbal FROM supplier ORDER BY s_suppkey"
+            f" LIMIT {lb}) b"
+            " ORDER BY ka NULLS LAST, pad"
+        )
+    if r < 0.86:
+        t = rng.choice(list(KEY_COLS))
+        rows = rng.randint(1, 25)
+        p = rng.choice([1, 5, 10, 20])
+        return rng.choice([
+            f"SELECT CAST(count(*) AS BIGINT) AS cnt FROM"
+            f" (SELECT * FROM {t} USING SAMPLE {rows} ROWS) s",
+            f"SELECT CAST(count(*) AS BIGINT) AS cnt FROM"
+            f" (SELECT * FROM {t} USING SAMPLE reservoir({p}%)) s",
+            f"SELECT CAST(count(*) AS BIGINT) AS cnt FROM"
+            f" (SELECT * FROM {t} TABLESAMPLE reservoir({rows} ROWS)) s",
+        ])
+    u1, u2 = rng.choice([("week", "day"), ("month", "week"), ("day", "hour")])
+    agg = "CAST(count(*) AS BIGINT) AS n"
+    if rng.random() < 0.5:
+        agg += (", CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4)))"
+                " AS DOUBLE) AS tv")
+    return (
+        f"SELECT date_trunc('{u1}', ts) AS b1, date_trunc('{u2}', ts) AS b2,"
+        f" {agg} FROM events"
+        f" GROUP BY GROUPING SETS ((date_trunc('{u1}', ts)),"
+        f" (date_trunc('{u1}', ts), date_trunc('{u2}', ts)), ())"
+        " ORDER BY ALL LIMIT 120"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:

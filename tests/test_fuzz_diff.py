@@ -140,3 +140,17 @@ def test_fuzz_wave11_dialect(loaded_engine, fuzz_duck, fuzz_mod):
         d = fuzz_duck.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert fuzz_mod.rows_match(d, s), q
+
+
+def test_fuzz_wave12_dialect(loaded_engine, fuzz_duck, fuzz_mod):
+    """Round-10 dialect pocket over the q128-q134 grammar: PIVOT ON ...
+    IN value lists, table MACRO create+call, POSITIONAL JOIN padded
+    qualified stars, the TABLESAMPLE/USING SAMPLE spelling family
+    (exact counts), and date_trunc GROUPING SETS lattices — 40 seeded
+    queries, engine vs DuckDB row sets."""
+    fuzz_mod.reseed(12000)
+    for _ in range(40):
+        q = fuzz_mod.gen_wave12_query()
+        d = fuzz_duck.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert fuzz_mod.rows_match(d, s), q
