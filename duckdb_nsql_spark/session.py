@@ -402,6 +402,13 @@ def _match_scalar_agg(tokens, i, close, local_rows, _lit, _field):
     idx = [x.name for x in schema.fields].index(fld.name)
     vals = [r[idx] for r in rows]
     nn = [v for v in vals if v is not None]
+    import math as _math
+
+    # NaN bail-out: Python's min/max/set over NaN are order-dependent
+    # while both engines treat NaN as a single largest value — keep the
+    # subquery rather than risk a divergent fold
+    if any(isinstance(v, float) and _math.isnan(v) for v in nn):
+        return None
     if distinct:
         try:
             nn = list(dict.fromkeys(nn))
@@ -426,6 +433,8 @@ def _match_scalar_agg(tokens, i, close, local_rows, _lit, _field):
         return None
     s = sum(nn)
     if agg == "sum":
+        if isinstance(s, int) and abs(s) > (1 << 63) - 1:
+            return None  # Spark's BIGINT sum would overflow, Python's won't
         dt = T.DoubleType() if isinstance(s, float) else T.LongType()
         return _lit(s, dt)
     return _lit(s / len(nn), T.DoubleType())
@@ -466,6 +475,12 @@ def _match_in_list(tokens, j, close, local_rows, _lit, _field):
             return None
         idx = [x.name for x in schema.fields].index(fld.name)
     vals = [r[idx] for r in rows]
+    import math as _math
+
+    if any(
+        isinstance(v, float) and _math.isnan(v) for v in vals if v is not None
+    ):
+        return None  # NaN-in-IN semantics differ subtly — keep the subquery
     has_null = any(v is None for v in vals)
     try:
         uniq = list(dict.fromkeys(v for v in vals if v is not None))

