@@ -6853,6 +6853,16 @@ _WINDOW_R10: tuple[str, ...] = (
 # at q02 — the tail runs in numeric order from there and wraps.
 _REWITNESS_START = 2
 
+# READY-MADE DRAFT for the round-11 window (next round's builder:
+# verify against CORRECTNESS_r10.json, then promote to _WINDOW_R11).
+# Exactly TWO entries were registered after _WINDOW_R10 froze and have
+# never earned a driver row — op_doc_retrieval_embed and
+# op_layout_recommendation (both local-parity-green) — they lead; the
+# remaining 48 slots re-witness the stalest block, which after round 10
+# is the round-6-witnessed SQL run starting at q02_filter_predicates
+# (take the first 48 entries of `_registry_order()[50:]` from the
+# round-10 tree: q02..q26-era SQL plus whatever operator rows follow).
+
 
 def _registry_order() -> list[str]:
     """Registry emission order: FIXED and fully deterministic.
