@@ -1248,7 +1248,12 @@ def pass_columns_regex(tokens: list[Token], resolver: Resolver) -> list[Token]:
 
 
 def pass_star_replace(tokens: list[Token], resolver: Resolver) -> list[Token]:
-    """``SELECT * REPLACE (expr AS col)`` -> expanded list (dev.json:404)."""
+    """``SELECT * [EXCLUDE (...)] REPLACE (expr AS col)`` -> expanded
+    list (dev.json:404). The combined DuckDB form ``* EXCLUDE (c)
+    REPLACE (e AS b)`` reaches this pass as ``* EXCEPT (c) REPLACE``
+    (pass_exclude_to_except runs first); Spark's native ``* EXCEPT``
+    cannot carry a trailing REPLACE, so the combo expands here with the
+    excluded columns dropped from the list."""
     i = 0
     while i < len(tokens):
         t = tokens[i]
@@ -1256,6 +1261,19 @@ def pass_star_replace(tokens: list[Token], resolver: Resolver) -> list[Token]:
             i += 1
             continue
         n = next_sig(tokens, i)
+        excluded: set[str] = set()
+        if n < len(tokens) and tokens[n].is_kw("EXCEPT", "EXCLUDE"):
+            eo = next_sig(tokens, n)
+            if eo >= len(tokens) or tokens[eo].text != "(":
+                i += 1
+                continue
+            ec = match_forward(tokens, eo, "(", ")")
+            excluded = {
+                tk.text.strip('"`').lower()
+                for tk in tokens[eo + 1 : ec]
+                if tk.kind in (IDENT, QIDENT, BIDENT)
+            }
+            n = next_sig(tokens, ec)
         if n >= len(tokens) or not tokens[n].is_kw("REPLACE"):
             i += 1
             continue
@@ -1268,6 +1286,8 @@ def pass_star_replace(tokens: list[Token], resolver: Resolver) -> list[Token]:
         cols = resolver.table_columns(table) if table else None
         if cols is None:
             raise ValueError("* REPLACE requires a resolvable FROM table")
+        if excluded:
+            cols = [x for x in cols if x.lower() not in excluded]
         repl: dict[str, list[Token]] = {}
         for lo, hi in split_args(tokens, o + 1, c):
             # expr AS col

@@ -2124,6 +2124,19 @@ _sql(
     """,
 )
 
+_sql(
+    "q135_exclude_replace",
+    # combined star options on ONE star (DuckDB allows EXCLUDE then
+    # REPLACE; round-10 probe found the combo unhandled — each clause
+    # alone worked). Expanded via catalog resolution in
+    # pass_star_replace with the excluded columns dropped.
+    """
+    SELECT * EXCLUDE (o_orderdate)
+           REPLACE (round(o_totalprice / 1000, 2) AS o_totalprice)
+    FROM orders ORDER BY o_orderkey LIMIT 20
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
