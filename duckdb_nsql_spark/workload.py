@@ -2137,6 +2137,77 @@ _sql(
     """,
 )
 
+# TPC-H shapes q9/q12/q21 adapted to the driver schema (no partsupp /
+# shipmode / receiptdate columns in the testdata; the join/correlation
+# structure — the part the optimizer sees — is preserved exactly).
+_sql(
+    "q136_tpch_q12",
+    # TPC-H Q12 (shipping priority split by lateness class): lineitem ⋈
+    # orders, CASE-split counts per group — l_returnflag stands in for
+    # l_shipmode, "late" = shipped more than 60 days after the order
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+_sql(
+    "q137_tpch_q9",
+    # TPC-H Q9 (product-type profit by nation and year): 5-way
+    # part ⋈ lineitem ⋈ supplier ⋈ nation ⋈ orders with a LIKE probe on
+    # part and a year() extraction — amount omits ps_supplycost (no
+    # partsupp table in the driver schema)
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+_sql(
+    "q138_tpch_q21",
+    # TPC-H Q21 (suppliers who kept orders waiting): correlated EXISTS
+    # (another supplier contributed to the order) + NOT EXISTS (nobody
+    # shipped later) — l_shipdate is the lateness proxy for
+    # receiptdate/commitdate. The decorrelation shape (two correlated
+    # semi/anti joins on the fact table) is the point of the entry.
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # family 2: operator pipelines (DataFrame API) with matched oracles
