@@ -5599,6 +5599,69 @@ FROM per_doc GROUP BY shard
 """
 
 
+_COMPACT_DIR = "/root/repo/spark-warehouse/compact_audit_export"
+
+
+def op_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction audit: spray the documents table across 64
+    tiny shards (the streaming-ingest pathology), run
+    sources.maintenance.compact_parquet (coalesce — a NARROW rewrite,
+    no shuffle), and emit per-language row counts + an
+    order-independent full-content checksum from the COMPACTED files,
+    plus the file-reduction fact. The oracle recomputes the identical
+    digest from the source table, so a green row proves the compaction
+    rewrite is value-lossless — the maintenance guarantee a 100 TB
+    lakehouse runs nightly. File counts stay out of the hashed columns
+    (engine-internal); the reduction is emitted as a boolean pinned
+    true by construction (64 shards -> ceil(bytes/128MB) files)."""
+    import shutil
+
+    from .sources import maintenance as mt
+
+    shutil.rmtree(_COMPACT_DIR, ignore_errors=True)
+    _docs(spark, sf_dir).repartition(64).write.mode("overwrite").parquet(
+        _COMPACT_DIR
+    )
+    stats = mt.compact_parquet(spark, _COMPACT_DIR)
+    back = spark.read.parquet(_COMPACT_DIR)
+    rh = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    return (
+        back.select("lang", rh.alias("rh"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("rh")), "")
+            ).alias("content_md5"),
+        )
+        .withColumn(
+            "files_reduced",
+            F.lit(bool(stats["files_after"] < stats["files_before"])),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_COMPACTION_AUDIT = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       md5(array_to_string(list_sort(list(
+           md5(CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')
+               || '|' || CAST(n_chars AS VARCHAR)))), '')) AS content_md5,
+       true AS files_reduced
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def op_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid dedup gate: minhash-LSH lexical candidates confirmed (or
     refuted) by exact embedding cosine — the two-modality check before
@@ -6855,6 +6918,7 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
     "op_layout_recommendation": (
         op_layout_recommendation, ORACLE_LAYOUT_RECOMMENDATION,
     ),
+    "op_compaction_audit": (op_compaction_audit, ORACLE_COMPACTION_AUDIT),
 }
 
 
