@@ -1422,6 +1422,38 @@ class DuckSparkSession:
                 item_start = next_sig(tokens, k)
             k += 1
         items.append((item_start, len(tokens)))
+        # Scope pre-check: the wrapper's only relation is the projected
+        # subquery, so an ORDER BY name that is NOT a select-list output
+        # (Spark's native sort can still see it through the projection —
+        # e.g. the DISTINCT ON rewrite orders by pre-alias columns) can
+        # never resolve inside the wrapper. Bail to the native path up
+        # front instead of paying a guaranteed analysis failure (which
+        # Spark logs as a scary ERROR before we fall back).
+        out_names = self._select_list_names(tokens)
+        if out_names is not None:
+            visible = {n.strip("`").lower() for n in out_names}
+            for lo, hi in items:
+                span = [
+                    x for x in tokens[lo:hi] if x.kind not in (WS, COMMENT)
+                ]
+                for j, tk in enumerate(span):
+                    if tk.kind not in (IDENT, QIDENT, BIDENT):
+                        continue
+                    if tk.kind == IDENT and tk.upper in (
+                        "ASC", "DESC", "NULLS", "FIRST", "LAST", "ALL",
+                        "AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE",
+                        "END", "IS", "NULL", "TRUE", "FALSE",
+                    ):
+                        continue
+                    nxt = span[j + 1] if j + 1 < len(span) else None
+                    if (
+                        nxt is not None
+                        and nxt.kind == PUNCT
+                        and nxt.text in ("(", ".")
+                    ):
+                        continue  # function name / qualifier head
+                    if tk.text.strip('"`').lower() not in visible:
+                        return None
         # Python-side size gate first: when every referenced relation is a
         # known on-disk file, the decision costs zero py4j round-trips
         # (the JVM leaf-stats probe alone was ~16ms of socket latency).

@@ -743,6 +743,64 @@ def gen_wave12_query():
     )
 
 
+def gen_wave13_query():
+    """Wave-13 shapes (round 10): aggregate-modifier surface — FILTER
+    (WHERE ...) clauses, DISTINCT ON keyed first-rows, ordered
+    string_agg / list() aggregation, arg_max/arg_min, and multi-column
+    count(DISTINCT) — each probe-passed in round 10 but previously
+    unfuzzed."""
+    t = rng.choice(list(NUM_COLS))
+    g = rng.choice(STR_COLS[t])
+    n = rng.choice(NUM_COLS[t])
+    k = KEY_COLS[t]
+    r = rng.random()
+    if r < 0.25:
+        thr = rng.randint(1, 40)
+        return (
+            f"SELECT {g} AS g,"
+            f" CAST(count(*) FILTER (WHERE {n} > {thr}) AS BIGINT) AS hi,"
+            f" CAST(count(*) FILTER (WHERE {n} <= {thr}) AS BIGINT) AS lo,"
+            f" round(sum({n}) FILTER (WHERE CAST({k} AS INTEGER) % 2 = 0),"
+            f" 1) AS ev"
+            f" FROM {t} WHERE {predicate(t)} GROUP BY {g} ORDER BY g"
+        )
+    if r < 0.45:
+        return (
+            f"SELECT DISTINCT ON ({g}) {g} AS g, {k} AS k, {n} AS v"
+            f" FROM {t} ORDER BY {g}, {k}"
+        )
+    if r < 0.65:
+        # unique-key tables only: a LIMIT boundary tie on lineitem's
+        # non-unique l_orderkey made the inner row set nondeterministic
+        ut = rng.choice(["orders", "customer", "part", "supplier"])
+        ug, uk = rng.choice(STR_COLS[ut]), KEY_COLS[ut]
+        lim = rng.randint(3, 8)
+        return (
+            f"SELECT {ug} AS g,"
+            f" string_agg(CAST({uk} AS VARCHAR), ',' ORDER BY {uk}) AS ks"
+            f" FROM (SELECT {ug}, {uk} FROM {ut} ORDER BY {uk}"
+            f" LIMIT {lim}) s"
+            f" GROUP BY {ug} ORDER BY g"
+        )
+    if r < 0.85:
+        # arg over the UNIQUE key so ties cannot arbitrate differently
+        # across engines (arg_max ties are unspecified in both)
+        ut = rng.choice(["orders", "customer", "part", "supplier"])
+        ug, uk, un = (
+            rng.choice(STR_COLS[ut]), KEY_COLS[ut], rng.choice(NUM_COLS[ut])
+        )
+        return (
+            f"SELECT {ug} AS g, round(arg_max({un}, {uk}), 2) AS am,"
+            f" round(arg_min({un}, {uk}), 2) AS an"
+            f" FROM {ut} WHERE {predicate(ut)} GROUP BY {ug} ORDER BY g"
+        )
+    return (
+        f"SELECT CAST(count(DISTINCT {g}) AS BIGINT) AS ng,"
+        f" CAST(count(DISTINCT CAST({k} AS INTEGER) % 7) AS BIGINT) AS nk"
+        f" FROM {t} WHERE {predicate(t)}"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:

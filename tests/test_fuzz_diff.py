@@ -154,3 +154,18 @@ def test_fuzz_wave12_dialect(loaded_engine, fuzz_duck, fuzz_mod):
         d = fuzz_duck.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert fuzz_mod.rows_match(d, s), q
+
+
+def test_fuzz_wave13_agg_modifiers(loaded_engine, fuzz_duck, fuzz_mod):
+    """Round-10 aggregate-modifier pocket: FILTER (WHERE ...) clauses,
+    DISTINCT ON first-rows, ordered string_agg over unique-key tables,
+    arg_max/arg_min over the unique key (tie arbitration is unspecified
+    in BOTH engines, so the grammar keeps ties impossible), and
+    multi-column count(DISTINCT) — 40 seeded queries, engine vs DuckDB
+    row sets."""
+    fuzz_mod.reseed(13000)
+    for _ in range(40):
+        q = fuzz_mod.gen_wave13_query()
+        d = fuzz_duck.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert fuzz_mod.rows_match(d, s), q
