@@ -4741,6 +4741,56 @@ def pass_caret_power(
     return out
 
 
+def pass_ignore_nulls_inside(tokens: list[Token]) -> list[Token]:
+    """DuckDB puts IGNORE/RESPECT NULLS INSIDE the call's parens
+    (``last_value(x IGNORE NULLS) OVER ...``); Spark only parses the
+    OUTSIDE form (``last_value(x) IGNORE NULLS OVER ...``). Move a
+    trailing modifier out of the argument list. Only fires when the
+    modifier is the last thing before the closing paren — any other
+    placement is a DuckDB parse error anyway."""
+    i = 0
+    out = tokens
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == IDENT and t.upper in ("IGNORE", "RESPECT")):
+            i += 1
+            continue
+        n = next_sig(out, i)
+        if n >= len(out) or not out[n].is_kw("NULLS"):
+            i += 1
+            continue
+        c = next_sig(out, n)
+        if not (
+            c < len(out) and out[c].kind == PUNCT and out[c].text == ")"
+        ):
+            i += 1
+            continue
+        # must be inside a FUNCTION call: walk back to the matching "("
+        # and require an identifier immediately before it
+        depth = 0
+        o = None
+        for j in range(i - 1, -1, -1):
+            tj = out[j]
+            if tj.kind == PUNCT and tj.text == ")":
+                depth += 1
+            elif tj.kind == PUNCT and tj.text == "(":
+                if depth == 0:
+                    o = j
+                    break
+                depth -= 1
+        if o is None:
+            i += 1
+            continue
+        p = prev_sig(out, o)
+        if p < 0 or out[p].kind not in (IDENT, QIDENT):
+            i += 1
+            continue
+        mod = [_ws(), _ident(out[i].upper), _ws(), _ident("NULLS")]
+        out = out[:i] + [out[c]] + mod + out[c + 1 :]
+        i = c + len(mod)
+    return out
+
+
 def pass_window_exclude(tokens: list[Token]) -> list[Token]:
     """DuckDB window-frame ``EXCLUDE CURRENT ROW`` (Spark has no frame
     exclusion): rewrite ``sum/count/avg(x) OVER (spec EXCLUDE CURRENT
@@ -7242,6 +7292,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_unnest_in_expr(tokens)
     tokens = pass_lateral_generators(tokens)
     tokens = pass_filter_where(tokens)
+    tokens = pass_ignore_nulls_inside(tokens)
     tokens = pass_window_filter(tokens)
     tokens = pass_group_by_empty(tokens)
     tokens = pass_strip_agg_order(tokens)

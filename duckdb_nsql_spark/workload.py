@@ -2141,6 +2141,23 @@ _sql(
 # shipmode / receiptdate columns in the testdata; the join/correlation
 # structure — the part the optimizer sees — is preserved exactly).
 _sql(
+    "q139_ignore_nulls_locf",
+    # last-observation-carried-forward: DuckDB's IN-PARENS IGNORE NULLS
+    # (last_value(x IGNORE NULLS)) — Spark only parses the outside form;
+    # pass_ignore_nulls_inside moves the modifier out. Round-10 probe
+    # find. NULLIF manufactures gaps so the carry-forward is exercised.
+    """
+    SELECT user_id, event_id,
+           last_value(nullif(value, 0) IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS carried
+    FROM events
+    WHERE user_id < 20
+    ORDER BY user_id, event_id
+    """,
+)
+
+_sql(
     "q136_tpch_q12",
     # TPC-H Q12 (shipping priority split by lateness class): lineitem ⋈
     # orders, CASE-split counts per group — l_returnflag stands in for
