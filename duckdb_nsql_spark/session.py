@@ -2083,8 +2083,13 @@ class DuckSparkSession:
             return None
         if all_local:
             # plan already folded to a LocalRelation: executeCollect is a
-            # driver array copy — zero scheduled jobs (measured)
-            rows = df.collect()
+            # driver array copy — zero scheduled jobs (measured). The
+            # limit caps the copy BEFORE it happens (Limit over a
+            # LocalRelation folds at optimize time): a body that JOINS
+            # two row-capped local CTEs can still multiply rows (2000²
+            # worst case), and the cap check must not first materialize
+            # that product in driver memory.
+            rows = df.limit(CTE_LOCALIZE_MAX_ROWS + 1).collect()
         elif reducing and input_bytes <= CTE_LOCALIZE_COLLECT_MAX_INPUT_BYTES:
             # reducing body over small input: one fully-parallel collect
             # beats take()'s incremental-limit scheduler round-trips by
