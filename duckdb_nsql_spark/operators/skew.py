@@ -40,7 +40,7 @@ def recommend_layout(
     report: DataFrame,
     salt_ratio: float = 8.0,
     salt_min_share: float = 0.001,
-    cluster_min_rows: int = 500_000,
+    cluster_min_rows: int = 10_000_000,
 ) -> DataFrame:
     """Turn join-key skew measurements into an EXECUTABLE layout call —
     the decision procedure behind the q13 CLUSTER BY mitigation and the
@@ -61,7 +61,11 @@ def recommend_layout(
         fact-scale (n_rows ≥ ``cluster_min_rows``): pre-clustering at
         rest on this key (CLUSTER BY ... INTO n BUCKETS) deletes the
         join exchange on every subsequent join — the q13 fact⋈fact
-        mitigation.
+        mitigation. The 10 M default matches the MEASURED crossover
+        (BASELINE §8: the bucketed read costs more than the deleted
+        exchange saves at 600 k and 6 M rows — 0.64 vs 0.38 s, 1.24 vs
+        1.09 s — and wins at 60 M: 2.24 vs 3.06 s); below it, the plain
+        shuffle or a broadcast is the faster plan on measured data.
       * ``none`` — small table: broadcast it or let a plain shuffle
         handle it; neither salting nor a bucketed layout pays.
 

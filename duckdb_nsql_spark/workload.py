@@ -3562,13 +3562,14 @@ ORACLE_JOIN_SKEW = " UNION ALL ".join(
 )
 
 # layout decision mirrors skew.recommend_layout exactly: skew_ratio from
-# the report's ROUNDED top1_share (6dp), thresholds 8x / 0.1% / 500k rows
+# the report's ROUNDED top1_share (6dp), thresholds 8x / 0.1% / 10M rows
+# (the measured CLUSTER BY crossover, BASELINE §8)
 ORACLE_LAYOUT_RECOMMENDATION = f"""
 SELECT table_name, key_name, n_rows, n_keys, top1_share, top10_share,
        round(top1_share * n_keys, 3) AS skew_ratio,
        CASE WHEN round(top1_share * n_keys, 3) >= 8.0
                  AND top1_share >= 0.001 THEN 'salt'
-            WHEN n_rows >= 500000 THEN 'cluster'
+            WHEN n_rows >= 10000000 THEN 'cluster'
             ELSE 'none' END AS recommendation
 FROM ({ORACLE_JOIN_SKEW}) r
 """

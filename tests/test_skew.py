@@ -60,10 +60,13 @@ def test_salted_join_rejects_outer(spark, sf_dir):
 
 def test_layout_recommendation_drives_cluster_choice(spark):
     """The q13 CLUSTER BY mitigation must be DERIVABLE from the skew
-    report, not prose: at sf0.1 the fact table's join key is uniform
-    and fact-scale, so recommend_layout says 'cluster' for exactly the
-    (table, key) the clustered bench variant buckets on — and 'none'
-    for the dim-scale keys where a broadcast is the right call."""
+    report, not prose — and the default gate must AGREE with the bench:
+    at sf0.1 (600k fact rows) the measured clustered layout is SLOWER
+    than the plain join (BASELINE §8 crossover), so the default says
+    'none' there; scaling only the row count to the sf10 bench point
+    flips the same report to 'cluster' — the layout q13_clustered
+    measures winning (2.24 vs 3.06 s)."""
+    import duckdb_nsql_spark.operators.skew as sk
     import duckdb_nsql_spark.workload as w
 
     rec = {
@@ -73,10 +76,18 @@ def test_layout_recommendation_drives_cluster_choice(spark):
         ).collect()
     }
     li = rec[("lineitem", "l_orderkey")]
-    # uniform (hot key < 8x fair share) + fact-scale -> bucket the fact
-    # table on the join key: the layout q13_clustered measures
-    assert li["recommendation"] == "cluster"
+    # uniform (hot key < 8x fair share) but below the measured cluster
+    # crossover -> default 'none', exactly matching the sf0.1 bench
+    assert li["recommendation"] == "none"
     assert li["skew_ratio"] < 8.0
+    # the sf10 bench point: same distribution, 100x the rows -> cluster
+    scaled = sk.recommend_layout(
+        w.op_join_skew_report(spark, "/root/testdata/sf0.1").withColumn(
+            "n_rows", F.col("n_rows") * 100
+        )
+    ).collect()
+    srec = {(r["table_name"], r["key_name"]): r for r in scaled}
+    assert srec[("lineitem", "l_orderkey")]["recommendation"] == "cluster"
     # dim-scale keys: no layout change, broadcast handles them
     assert rec[("orders", "o_custkey")]["recommendation"] == "none"
     assert rec[("events", "user_id")]["recommendation"] == "none"
