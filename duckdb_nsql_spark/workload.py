@@ -7021,15 +7021,15 @@ _REWITNESS_START = 2
 
 # READY-MADE DRAFT for the round-11 window (next round's builder:
 # verify against CORRECTNESS_r10.json, then promote to _WINDOW_R11).
-# SEVEN entries were registered after _WINDOW_R10 froze and have never
+# EIGHT entries were registered after _WINDOW_R10 froze and have never
 # earned a driver row — op_doc_retrieval_embed, op_layout_recommendation,
 # op_compaction_audit, q135_exclude_replace, q136_tpch_q12,
-# q137_tpch_q9, q138_tpch_q21 (all local-parity-green + sf0.1
-# spot-verified where listed in docs/PLANS.md) — they lead; the
-# remaining 43 slots re-witness the stalest block, which after round 10
-# is the round-6-witnessed SQL run starting at q02_filter_predicates
-# (take the first 43 entries of `_registry_order()[50:]` from the
-# round-10 tree).
+# q137_tpch_q9, q138_tpch_q21, q139_ignore_nulls_locf (all
+# local-parity-green + sf0.1 spot-verified where listed in
+# docs/PLANS.md) — they lead; the remaining 42 slots re-witness the
+# stalest block, which after round 10 is the round-6-witnessed SQL run
+# starting at q02_filter_predicates (take the first 42 entries of
+# `_registry_order()[50:]` from the round-10 tree).
 
 
 def _registry_order() -> list[str]:
