@@ -2451,6 +2451,7 @@ class DuckSparkSession:
         schema: Optional[T.StructType] = None
         header = None  # None = sniff (read_csv_auto auto-detects)
         delimiter = None
+        filename_col = False
         csv_opts: dict = {}
         for lo, hi in spans:
             sig = [tk for tk in arg_tokens[lo:hi] if tk.kind not in (WS, COMMENT)]
@@ -2470,6 +2471,10 @@ class DuckSparkSession:
                     header = sig[2].upper not in ("FALSE", "0")
                 elif key in ("DELIM", "SEP", "DELIMITER"):
                     delimiter = _sval(sig[2])
+                elif key == "FILENAME":
+                    # DuckDB adds the source path as a `filename` column;
+                    # Spark's input_file_name() is the same fact as a URI
+                    filename_col = sig[2].upper in ("TRUE", "1")
                 elif key == "SKIP":
                     csv_opts["skip"] = int(sig[2].text)
                 elif key == "QUOTE":
@@ -2528,6 +2533,11 @@ class DuckSparkSession:
                 allow_external=allow_ext,
                 csv_opts=csv_opts or None,
             )
+            if filename_col:
+                df = df.withColumn(
+                    "filename",
+                    F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+                )
             dfs.append(df)
         df = dfs[0]
         for other in dfs[1:]:

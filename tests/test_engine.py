@@ -2017,3 +2017,22 @@ def test_cte_subquery_folding_semantics(loaded_engine):
         " FROM lineitem"
     ).collect()[0]
     assert (r["nf"], r["total"]) == (plain["nf"], plain["total"])
+
+
+def test_read_parquet_filename_column(loaded_engine, tmp_path):
+    """read_parquet(..., filename = true): DuckDB appends the source
+    path as a `filename` column; the engine maps it onto Spark's
+    input_file_name() with the file: scheme stripped so values match
+    DuckDB byte-for-byte (round-10 probe find)."""
+    p = str(tmp_path / "fn.parquet")
+    loaded_engine.execute(
+        f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{p}'"
+        " (FORMAT PARQUET)"
+    )
+    rows = loaded_engine.execute(
+        f"SELECT filename, count(*) AS n FROM"
+        f" read_parquet('{p}', filename = true) GROUP BY filename"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["filename"] == p
+    assert rows[0]["n"] == 25
