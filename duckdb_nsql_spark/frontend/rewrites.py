@@ -1268,11 +1268,16 @@ def pass_star_replace(tokens: list[Token], resolver: Resolver) -> list[Token]:
                 i += 1
                 continue
             ec = match_forward(tokens, eo, "(", ")")
-            excluded = {
-                tk.text.strip('"`').lower()
-                for tk in tokens[eo + 1 : ec]
-                if tk.kind in (IDENT, QIDENT, BIDENT)
-            }
+            # per comma-separated item, the LAST identifier is the column
+            # (a qualified t.a must exclude only 'a', never the alias 't')
+            for lo, hi in split_args(tokens, eo + 1, ec):
+                idents = [
+                    tk
+                    for tk in tokens[lo:hi]
+                    if tk.kind in (IDENT, QIDENT, BIDENT)
+                ]
+                if idents:
+                    excluded.add(idents[-1].text.strip('"`').lower())
             n = next_sig(tokens, ec)
         if n >= len(tokens) or not tokens[n].is_kw("REPLACE"):
             i += 1

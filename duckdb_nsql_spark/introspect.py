@@ -506,7 +506,10 @@ def _summarize_parquet_local(
                 )
         finally:
             if pool is not None:
-                pool.shutdown(wait=False)
+                # cancel queued stat tasks on the failure path: the
+                # caller falls back to the distributed one-pass plan and
+                # must not compete with orphaned arrow kernels
+                pool.shutdown(wait=False, cancel_futures=True)
     except Exception:  # noqa: BLE001 — any arrow surprise -> one-pass plan
         return None
     return local_df(spark, out_rows, _SUMMARIZE_SCHEMA)

@@ -1187,6 +1187,13 @@ def image_neardup_pairs(
         F.col("band.b").alias("b"), F.col("band.bandsig").alias("bandsig"),
     )
     if max_band is not None:
+        # persist the band derivation: with the guard on, the plan reads
+        # `banded` three times (hot-key aggregate + both candidate join
+        # sides) — without the cache each read re-derives the explode +
+        # substring band signatures over the full hashes input
+        from .dedup import _persist_small
+
+        banded = _persist_small(banded)
         hot = (
             banded.groupBy("n_px", "b", "bandsig")
             .agg(F.count(F.lit(1)).alias("nb"))

@@ -377,7 +377,7 @@ def _match_scalar_agg(tokens, i, close, local_rows, _lit, _field):
     if inner and inner[0].is_kw("DISTINCT"):
         distinct = True
         inner = inner[1:]
-    star = len(inner) == 1 and inner[0].kind == PUNCT and inner[0].text == "*"
+    star = len(inner) == 1 and inner[0].text == "*"  # "*" tokenizes as OP
     if not star and not (
         len(inner) == 1 and inner[0].kind in (IDENT, QIDENT)
     ):
@@ -417,6 +417,18 @@ def _match_scalar_agg(tokens, i, close, local_rows, _lit, _field):
     if agg == "count":
         return _lit(len(nn), T.LongType())
     if not nn:
+        # NULL must carry the AGGREGATE's result type, not the column's:
+        # both engines type avg(int) DOUBLE and sum(int) BIGINT, and the
+        # folded literal participates in downstream type coercion
+        if agg == "avg":
+            return "CAST(NULL AS double)"
+        if agg == "sum":
+            inner_t = fld.dataType.simpleString()
+            return (
+                "CAST(NULL AS double)"
+                if inner_t in ("float", "double")
+                else "CAST(NULL AS bigint)"
+            )
         return f"CAST(NULL AS {fld.dataType.simpleString()})"
     if agg in ("min", "max"):
         if not all(
@@ -449,7 +461,7 @@ def _match_in_list(tokens, j, close, local_rows, _lit, _field):
         c = next_sig(tokens, k)
         if c >= close:
             return None
-        if tokens[c].kind == PUNCT and tokens[c].text == "*":
+        if tokens[c].text == "*":  # "*" tokenizes as OP, not PUNCT
             pass
         elif tokens[c].kind in (IDENT, QIDENT):
             col = tokens[c].text.strip('"')
@@ -1442,16 +1454,56 @@ class DuckSparkSession:
                     if tk.kind == IDENT and tk.upper in (
                         "ASC", "DESC", "NULLS", "FIRST", "LAST", "ALL",
                         "AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE",
-                        "END", "IS", "NULL", "TRUE", "FALSE",
+                        "END", "IS", "NULL", "TRUE", "FALSE", "LIKE",
+                        "ILIKE", "BETWEEN", "IN", "CAST", "INTERVAL",
+                        "ESCAPE", "COLLATE", "DIV", "GLOB", "SIMILAR",
+                        "TO", "AS", "YEAR", "MONTH", "DAY", "HOUR",
+                        "MINUTE", "SECOND",
                     ):
                         continue
                     nxt = span[j + 1] if j + 1 < len(span) else None
                     if (
                         nxt is not None
                         and nxt.kind == PUNCT
-                        and nxt.text in ("(", ".")
+                        and nxt.text == "("
                     ):
-                        continue  # function name / qualifier head
+                        continue  # function name
+                    if (
+                        nxt is not None
+                        and nxt.kind == PUNCT
+                        and nxt.text == "."
+                    ):
+                        # dotted-chain HEAD: a visible head is a struct
+                        # field access on an output column (resolves on
+                        # the wrapper's first attempt). An invisible head
+                        # is a table alias — resolvable via the stripped
+                        # retry IFF the chain's TAIL is a visible output;
+                        # otherwise nothing the wrapper tries can bind it.
+                        if tk.text.strip('"`').lower() in visible:
+                            continue
+                        tail = None
+                        m = j
+                        while (
+                            m + 2 < len(span)
+                            and span[m + 1].kind == PUNCT
+                            and span[m + 1].text == "."
+                            and span[m + 2].kind in (IDENT, QIDENT, BIDENT)
+                        ):
+                            tail = span[m + 2]
+                            m += 2
+                        if (
+                            tail is not None
+                            and tail.text.strip('"`').lower() in visible
+                        ):
+                            continue
+                        return None
+                    prv = span[j - 1] if j > 0 else None
+                    if (
+                        prv is not None
+                        and prv.kind == PUNCT
+                        and prv.text == "."
+                    ):
+                        continue  # dotted tail: judged at its chain head
                     if tk.text.strip('"`').lower() not in visible:
                         return None
         # Python-side size gate first: when every referenced relation is a
@@ -2534,9 +2586,14 @@ class DuckSparkSession:
                 csv_opts=csv_opts or None,
             )
             if filename_col:
+                # input_file_name() is a percent-encoded URI; DuckDB's
+                # filename column is the raw path. Protect literal '+'
+                # (valid in a URI path, but url_decode would turn it
+                # into a space) before decoding the %XX escapes.
+                uri = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
                 df = df.withColumn(
                     "filename",
-                    F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+                    F.url_decode(F.regexp_replace(uri, r"\+", "%2B")),
                 )
             dfs.append(df)
         df = dfs[0]
