@@ -282,11 +282,30 @@ EXPRS: list[tuple[str, str]] = [
     ("dt", "date_part(['year', 'month'], DATE '2024-05-04')"),
     ("dt", "datepart('doy', DATE '2024-03-01')"),
     ("dt", "DATE '2024-02-29' + INTERVAL 1 YEAR"),
+    # round-10 probe additions: pinned so future rewrites can't regress
+    ("dt", "epoch_ms(TIMESTAMP '2020-01-01 00:00:00')"),
+    ("dt", "make_date(2021, 3, 4)"),
+    ("dt", "last_day(DATE '2021-02-03')"),
+    ("dt", "strftime(DATE '2020-03-04', '%Y/%m')"),
+    ("list", "list_reduce([1, 2, 3, 4], (a, b) -> a + b)"),
+    ("list", "list_aggregate([2, 4, 6], 'avg')"),
+    ("list", "list_aggregate([2, 4, 6], 'min')"),
+    ("json", "to_json({'a': 1})"),
+    ("json", "json_extract('{\"a\": {\"b\": 7}}', '$.a.b')"),
+    ("str", "'abc' GLOB 'a*'"),
+    ("str", "'abc' SIMILAR TO 'a.c'"),
 ]
 
 # aggregates: SELECT <expr> AS v FROM orders (single row result)
 AGG_EXPRS: list[tuple[str, str]] = [
     ("agg", "product(CASE WHEN o_orderkey <= 12 THEN 2 ELSE 1 END)"),
+    ("agg", "mode(o_orderstatus)"),
+    ("agg", "round(entropy(o_orderstatus), 4)"),
+    ("agg", "round(skewness(o_totalprice), 4)"),
+    ("agg", "round(kurtosis(o_totalprice), 4)"),
+    ("agg", "bit_xor(CAST(o_orderkey % 8 AS INTEGER))"),
+    ("agg", "arg_max(o_orderstatus, o_orderkey)"),
+    ("agg", "round(geomean(o_totalprice), 2)"),
     ("agg", "fsum(o_totalprice)"),
     ("agg", "favg(o_totalprice)"),
     ("agg", "skewness(o_totalprice)"),
