@@ -2023,7 +2023,12 @@ def _series_sequence_sql(args: list[str], inclusive: bool) -> str:
             f"THEN {seq} "
             f"ELSE slice(sequence(({a_ts}), ({a_ts})), 1, 0) END"
         )
+    # BIGINT bounds: DuckDB's integer range/generate_series yields BIGINT
+    # elements regardless of the literals' width; Spark's sequence keeps
+    # the narrowest input type (INT for small literals)
+    a = f"CAST({a} AS BIGINT)"
     end = f"({b})" if inclusive else f"(({b}) - CAST(sign({c}) AS INT))"
+    end = f"CAST({end} AS BIGINT)"
     return (
         f"CASE WHEN (({c}) > 0 AND ({a}) <= {end}) OR "
         f"(({c}) < 0 AND ({a}) >= {end}) "

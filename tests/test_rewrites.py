@@ -420,7 +420,11 @@ def test_range_series_rewrites():
     out = rewrite_sql("SELECT range(1, 5) FROM t")
     assert "sequence" in out and "CASE WHEN" in out
     out = rewrite_sql("SELECT generate_series(3) FROM t")
-    assert "sequence(0, (3)" in out.replace("  ", " ")
+    # BIGINT-cast bounds: DuckDB's series elements are BIGINT regardless
+    # of literal width
+    assert "sequence(CAST(0 AS BIGINT), CAST((3) AS BIGINT)" in out.replace(
+        "  ", " "
+    )
     out = rewrite_sql("SELECT range(5, 1, -2) FROM t")
     assert "-2" in out and "CASE WHEN" in out
 
