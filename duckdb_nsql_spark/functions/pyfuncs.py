@@ -429,6 +429,22 @@ def register_python_functions(spark: SparkSession) -> None:
         return j.map(f)
 
     @pandas_udf("string")
+    def json_minify(j: pd.Series) -> pd.Series:
+        """DuckDB ``json(x)``: parse and re-render compact (minified,
+        key order preserved). Invalid input raises, like DuckDB's cast
+        error — not a silent NULL."""
+        import json as _json
+
+        def f(v):
+            if v is None:
+                return None
+            return _json.dumps(
+                _json.loads(v), separators=(",", ":"), ensure_ascii=False
+            )
+
+        return j.map(f)
+
+    @pandas_udf("string")
     def json_merge_patch(a: pd.Series, b: pd.Series) -> pd.Series:
         import json as _json
 
@@ -631,6 +647,7 @@ def register_python_functions(spark: SparkSession) -> None:
         ("json_keys", json_keys),
         ("json_structure", json_structure),
         ("json_merge_patch", json_merge_patch),
+        ("json", json_minify),
         ("json_contains", json_contains),
         ("json_type", json_type),
         ("__ddb_json_obj_values", json_obj_values),

@@ -934,3 +934,14 @@ def test_shift_operator_precedence():
     assert "shiftleft(1, 2) = 4" in rewrite_sql("SELECT 1 << 2 = 4")
     assert "power(-2, 2)" in rewrite_sql("SELECT -2 ^ 2")
     assert "3 - power(2, 2)" in rewrite_sql("SELECT 3 - 2 ^ 2")
+
+
+def test_json_minify_function(loaded_engine):
+    """DuckDB ``json(x)`` parses and re-renders compact (round-10 probe
+    find); NULL passes through, invalid input errors like DuckDB."""
+    rows = loaded_engine.execute(
+        "SELECT json('{ \"a\" :  1, \"b\": [1, 2] }') AS j,"
+        " json(NULL) AS n"
+    ).collect()
+    assert rows[0]["j"] == '{"a":1,"b":[1,2]}'
+    assert rows[0]["n"] is None
