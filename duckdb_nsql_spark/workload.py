@@ -6946,19 +6946,80 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 # ---------------------------------------------------------------------------
 
 
-# Round-10 driver window: a full 50-entry STATIC literal, updated once
+# Round-11 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 10 leads with ALL 49 entries registered after
-# _WINDOW_R9 froze (never driver-witnessed until now: the round-9
-# second-sitting additions — sketches, PCA/PageRank, modality near-dups,
-# containment, corpus statistics, product analytics, the q128-q134
-# dialect block, and the four post-draft entries op_lateness_audit /
-# op_linear_attribution / op_join_skew_report / op_anomaly_days), then
-# re-witnesses the single stalest entry (q01, round-6 row). 49 + 1 =
-# exactly the driver's 50-entry window; after round 10 EVERY registry
-# entry has a driver correctness row (union 248/248) and nothing is
-# staler than round 6. Everything outside the window is re-proven every
-# round by tests/test_oracle_parity.py at the driver's sf0.01.
+# at import time. Round 11 leads with the 8 entries registered after
+# _WINDOW_R10 froze (never driver-witnessed: the round-10 second-sitting
+# additions q135-q139 + op_doc_retrieval_embed / op_layout_recommendation
+# / op_compaction_audit), then re-witnesses the stalest block — the
+# round-6-witnessed SQL run q02..q42 (42 entries). 8 + 42 = exactly the
+# driver's 50-entry window; after round 11 the union is 256/256 (zero
+# self-certified entries) and nothing is staler than round 6 (5 rounds).
+# Everything outside the window is re-proven every round by
+# tests/test_oracle_parity.py at the driver's sf0.01;
+# tests/test_window_ledger.py enforces the staleness bound.
+_WINDOW_R11: tuple[str, ...] = (
+    # registered after _WINDOW_R10 froze — never driver-witnessed
+    # (three of them are round-10 flagship closures: embed retrieval =
+    # reference doc_retriever.py:60-94 parity, layout recommendation =
+    # the executable 100 TB layout decision, compaction audit)
+    "q135_exclude_replace",
+    "q136_tpch_q12",
+    "q137_tpch_q9",
+    "q138_tpch_q21",
+    "q139_ignore_nulls_locf",
+    "op_doc_retrieval_embed",
+    "op_layout_recommendation",
+    "op_compaction_audit",
+    # stalest re-witnesses: the round-6-witnessed SQL block q02..q42
+    # (the first 42 entries of the round-10 tree's _registry_order()[50:],
+    # exactly as the round-10 draft prescribed)
+    "q02_filter_predicates",
+    "q03_like_filter",
+    "q04_arithmetic_alias",
+    "q05_join_group_topk",
+    "q06_multiway_join",
+    "q07_self_join_alias",
+    "q08_having_on_alias",
+    "q09_group_by_all_exclude",
+    "q10_scalar_aggs",
+    "q11_distinct_order",
+    "q12_columns_regex",
+    "q13_columns_fn_wrap",
+    "q14_star_replace",
+    "q15_string_index_slice",
+    "q16_list_ops",
+    "q17_cast_ops",
+    "q18_struct_list_literals",
+    "q19_json_extract",
+    "q20_datediff_minute",
+    "q21_regexp_extract",
+    "q22_cte_scalar_subquery",
+    "q23_exists_subquery",
+    "q24_in_subquery",
+    "q25_union",
+    "q26_intersect_except",
+    "q27_window_topk_per_group",
+    "q28_window_running_sum",
+    "q29_window_lag_lead",
+    "q30_rollup",
+    "q31_conditional_pivot",
+    "q32_case_buckets",
+    "q33_date_trunc_extract",
+    "q34_sample_percent",
+    "q34b_sample_reservoir_count",
+    "q35_qualify",
+    "q36_list_cosine_sql",
+    "q37_ilike_concat",
+    "q38_window_rank_family",
+    "q39_grouping_sets",
+    "q40_string_function_batch",
+    "q41_date_function_batch",
+    "q42_approx_and_stats",
+)
+
+# Round-10 window kept for the staleness ledger (tests/test_window_ledger):
+# these earned driver rows in CORRECTNESS_r10.json.
 _WINDOW_R10: tuple[str, ...] = (
     # registered after _WINDOW_R9 froze — never driver-witnessed
     "op_gopher_rules",
@@ -7015,21 +7076,18 @@ _WINDOW_R10: tuple[str, ...] = (
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
-# q01 is in the round-10 window, so the stalest SQL outside it starts
-# at q02 — the tail runs in numeric order from there and wraps.
-_REWITNESS_START = 2
+# q02..q42 are in the round-11 window, so the stalest SQL outside it
+# starts at q43 — the tail runs in numeric order from there and wraps.
+_REWITNESS_START = 43
 
-# READY-MADE DRAFT for the round-11 window (next round's builder:
-# verify against CORRECTNESS_r10.json, then promote to _WINDOW_R11).
-# EIGHT entries were registered after _WINDOW_R10 froze and have never
-# earned a driver row — op_doc_retrieval_embed, op_layout_recommendation,
-# op_compaction_audit, q135_exclude_replace, q136_tpch_q12,
-# q137_tpch_q9, q138_tpch_q21, q139_ignore_nulls_locf (all
-# local-parity-green + sf0.1 spot-verified where listed in
-# docs/PLANS.md) — they lead; the remaining 42 slots re-witness the
-# stalest block, which after round 10 is the round-6-witnessed SQL run
-# starting at q02_filter_predicates (take the first 42 entries of
-# `_registry_order()[50:]` from the round-10 tree).
+# READY-MADE DRAFT for the round-12 window (next round's builder:
+# verify against CORRECTNESS_r11.json, then promote to _WINDOW_R12).
+# Any entry registered after _WINDOW_R11 froze leads (never driver-
+# witnessed); the re-witness tail is the stalest block, which after
+# round 11 is the remaining round-6-witnessed SQL run starting at
+# q43_* plus the round-7-witnessed block (take the first entries of
+# `_registry_order()[50:]` from the round-11 tree until 50 slots fill).
+# tests/test_window_ledger.py enforces the ≤6-round staleness bound.
 
 
 def _registry_order() -> list[str]:
@@ -7040,17 +7098,17 @@ def _registry_order() -> list[str]:
     nondeterministic (it sniffed evaluator artifacts) and self-defeating
     (verified entries rotated out of the window, so a regression could
     hide for a round). The order is now a hand-maintained static literal:
-    the driver's 50-entry window (`_WINDOW_R10`) leads with the entries
+    the driver's 50-entry window (`_WINDOW_R11`) leads with the entries
     that have never earned a driver correctness row, then re-witnesses
     by staleness (oldest driver row first); the remainder is every
     other entry in numeric registration order ROTATED to start at
-    _REWITNESS_START (q01: the oldest SQL block left after the r9
-    window is the round-6-witnessed one, which starts there). Entries
+    _REWITNESS_START (q43: the oldest SQL block left after the r11
+    window is the round-6-witnessed tail, which starts there). Entries
     outside the window are re-proven every round by
     tests/test_oracle_parity.py, which runs the SAME engine-vs-DuckDB
     compare at the driver's sf0.01.
     """
-    head = list(_WINDOW_R10)
+    head = list(_WINDOW_R11)
     head_set = set(head)
 
     def qnum(n: str) -> int:
