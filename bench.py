@@ -81,6 +81,22 @@ CLUSTERED_SQL = """
     GROUP BY r.r_name, n.n_name
     ORDER BY r.r_name, n.n_name
 """
+
+# q3 over a CLUSTER BY table: same query as q3_having_alias but orders is
+# bucketed-at-rest on the GROUP BY key (recommend_layout says 'cluster'
+# for orders/o_custkey at >=10M rows, tests/test_skew.py agg decision
+# test) — the bucketed scan's HashPartitioning satisfies the aggregate's
+# ClusteredDistribution, so the 1.5M-group aggregation runs with ZERO
+# exchanges (plan-pinned). The at-rest answer for a hot grouping key at
+# 100 TB; setup (the CTAS write) is untimed, like DuckDB's table load.
+AGG_CLUSTERED_KEY = "q3_clustered"
+AGG_CLUSTERED_SQL = """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS balance
+    FROM orders_g GROUP BY o_custkey
+    HAVING balance > 1500000 ORDER BY o_custkey
+"""
+
+
 def _setup_clustered(eng) -> None:
     eng.execute(
         "CREATE OR REPLACE TABLE orders_c CLUSTER BY (o_orderkey)"
@@ -90,6 +106,10 @@ def _setup_clustered(eng) -> None:
         "CREATE OR REPLACE TABLE lineitem_c CLUSTER BY (l_orderkey)"
         " INTO 32 BUCKETS AS SELECT l_orderkey, l_extendedprice,"
         " l_discount FROM lineitem"
+    )
+    eng.execute(
+        "CREATE OR REPLACE TABLE orders_g CLUSTER BY (o_custkey)"
+        " INTO 32 BUCKETS AS SELECT o_custkey, o_totalprice FROM orders"
     )
 
 
@@ -116,7 +136,11 @@ def main() -> None:
     def run_clustered() -> None:
         materialize(eng.execute(CLUSTERED_SQL))
 
+    def run_agg_clustered() -> None:
+        materialize(eng.execute(AGG_CLUSTERED_SQL))
+
     run_clustered()  # untimed warm-up
+    run_agg_clustered()
 
     best: dict[str, float] = {}
     for _sweep in range(SWEEPS):
@@ -149,18 +173,27 @@ def main() -> None:
             best[CLUSTERED_KEY] = min(
                 best.get(CLUSTERED_KEY, float("inf")), dt
             )
-    for t in ("orders_c", "lineitem_c"):
+        for _ in range(RUNS_PER_SWEEP):
+            eng.clear_statement_cache()
+            t0 = time.perf_counter()
+            run_agg_clustered()
+            dt = time.perf_counter() - t0
+            best[AGG_CLUSTERED_KEY] = min(
+                best.get(AGG_CLUSTERED_KEY, float("inf")), dt
+            )
+    for t in ("orders_c", "lineitem_c", "orders_g"):
         try:
             eng.execute(f"DROP TABLE IF EXISTS {t}")
         except Exception:  # noqa: BLE001 — cleanup only
             pass
-    # q13_clustered is an ALTERNATE-LAYOUT datum, not a 14th baseline row:
-    # it reruns B13's query over bucketed-at-rest tables, so it is
-    # reported per-query but EXCLUDED from the headline total (which maps
-    # 1:1 onto BASELINE.md's 13 rows).
+    # q13_clustered / q3_clustered are ALTERNATE-LAYOUT data, not extra
+    # baseline rows: they rerun B13/B3's queries over bucketed-at-rest
+    # tables, so they are reported per-query but EXCLUDED from the
+    # headline total (which maps 1:1 onto BASELINE.md's 13 rows).
     results = {
         key: round(best[key], 4)
-        for key in list(BENCH_QUERIES) + [SUMMARIZE_KEY, CLUSTERED_KEY]
+        for key in list(BENCH_QUERIES)
+        + [SUMMARIZE_KEY, CLUSTERED_KEY, AGG_CLUSTERED_KEY]
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -169,7 +202,12 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(
-        sum(v for k, v in results.items() if k != CLUSTERED_KEY), 4
+        sum(
+            v
+            for k, v in results.items()
+            if k not in (CLUSTERED_KEY, AGG_CLUSTERED_KEY)
+        ),
+        4,
     )
     print(
         json.dumps(

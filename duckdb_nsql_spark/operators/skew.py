@@ -13,11 +13,16 @@ from pyspark.sql import functions as F
 
 
 def join_key_report(df: DataFrame, key: str, table_name: str) -> DataFrame:
-    """One-row join-key concentration report for ``df[key]``: row/key
+    """One-row key-concentration report for ``df[key]``: row/key
     counts, hottest-key share, top-10 share. One aggregate over the
     table; the top-10 sum is tie-insensitive (equal counts sum equally).
-    This is the measurement half of the salt-or-cluster decision —
-    :func:`recommend_layout` turns rows of it into the layout call."""
+    The measurement is ROLE-AGNOSTIC — the same concentration numbers
+    drive the layout decision whether ``key`` is a join key or a
+    GROUP BY key (a hot aggregation key overwhelms one reducer exactly
+    like a hot join key does; a uniform fact-scale one earns CLUSTER BY
+    either way). This is the measurement half of the salt-or-cluster
+    decision — :func:`recommend_layout` turns rows of it into the
+    layout call."""
     counts = df.groupBy(key).agg(F.count("*").alias("c"))
     top10 = counts.orderBy(F.col("c").desc(), F.col(key)).limit(10)
     stats = counts.agg(
@@ -42,10 +47,15 @@ def recommend_layout(
     salt_min_share: float = 0.001,
     cluster_min_rows: int = 10_000_000,
 ) -> DataFrame:
-    """Turn join-key skew measurements into an EXECUTABLE layout call —
+    """Turn key-skew measurements into an EXECUTABLE layout call —
     the decision procedure behind the q13 CLUSTER BY mitigation and the
     salted-join path, so the 100 TB choice is derived from data, not
-    prose. Input rows are :func:`join_key_report` output; adds:
+    prose. Applies to JOIN keys and GROUP BY keys alike: a table
+    bucketed at rest on its hot grouping key aggregates exchange-free
+    (the scan reports HashPartitioning(key), which satisfies the
+    aggregate's ClusteredDistribution — the q3/B3 1.5 M-group shape
+    loses its only exchange), the same way it deletes a join's shuffle.
+    Input rows are :func:`join_key_report` output; adds:
 
     - ``skew_ratio`` = top1_share × n_keys: the hottest key's multiple
       of a perfectly uniform key's share (1.0 = uniform).
@@ -60,8 +70,10 @@ def recommend_layout(
       * ``cluster`` — distribution is uniform and the table is
         fact-scale (n_rows ≥ ``cluster_min_rows``): pre-clustering at
         rest on this key (CLUSTER BY ... INTO n BUCKETS) deletes the
-        join exchange on every subsequent join — the q13 fact⋈fact
-        mitigation. The 10 M default matches the MEASURED crossover
+        join exchange on every subsequent join AND the shuffle of any
+        GROUP BY on the key — the q13 fact⋈fact mitigation and the
+        q3 hot-grouping-key one. The 10 M default matches the MEASURED
+        join crossover
         (BASELINE §8: the bucketed read costs more than the deleted
         exchange saves at 600 k and 6 M rows — 0.64 vs 0.38 s, 1.24 vs
         1.09 s — and wins at 60 M: 2.24 vs 3.06 s); below it, the plain

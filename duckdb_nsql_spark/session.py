@@ -204,6 +204,21 @@ CTE_LOCALIZE_COLLECT_MAX_INPUT_BYTES = 64 << 20
 # input; bigger inputs keep Spark's distributed range sort.
 SMALL_SORT_MAX_INPUT_BYTES = 64 << 20
 
+# A registered base table whose parquet FOOTER reports at most this many
+# rows is collected once at registration (Spark's own read — exact value
+# fidelity) and re-registered as a single-partition driver-local VALUES
+# relation. Two structural wins, both scale-safe (the gate is the file's
+# actual row count — TPC-H's region/nation stay 5/25 rows at ANY scale
+# factor, which is why DuckDB evaluates them in-process for free):
+#  - exact stats: joins against the tiny dim broadcast without AQE
+#    guesswork, and no scan job is scheduled for it;
+#  - the trailing .coalesce(1) reports SinglePartition, which satisfies
+#    the ClusteredDistribution every hash aggregate / sort requires —
+#    Catalyst plans NO exchange, so a whole-statement GROUP BY over a
+#    tiny table fuses into ONE codegen span and ONE job (q09's shape:
+#    the 2-job AQE exchange round-trip was 100% scheduler floor).
+TINY_BASE_LOCALIZE_MAX_ROWS = 2000
+
 # Statement-size-adaptive parallelism (DuckDB sizes its pipeline's task
 # count to the data; Spark's static confs are sized for the big case).
 # When EVERY relation a statement references is a known on-disk file and
@@ -1025,9 +1040,38 @@ class DuckSparkSession:
         for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
             name = os.path.splitext(os.path.basename(f))[0]
             scan = io_utils.parallel_scan_path(f)
-            self.register(name, io_utils.read_parquet_table(self.spark, scan))
+            df = io_utils.read_parquet_table(self.spark, scan)
+            df = self._maybe_localize_base_table(f, df)
+            self.register(name, df)
             # original single file: SUMMARIZE's footer fast path keys off it
             self._table_files[name] = f
+
+    def _maybe_localize_base_table(
+        self, path: str, df: DataFrame
+    ) -> DataFrame:
+        """Tiny-dimension localization (see TINY_BASE_LOCALIZE_MAX_ROWS).
+
+        Gate on the parquet footer's row count (a driver-side metadata
+        read, no job) so large tables never pay a probe; values are
+        collected through Spark's OWN parquet read, so the rebuilt
+        LocalRelation is bit-identical to what the scan would produce —
+        no Python-side re-interpretation of parquet types. Non-scalar
+        columns (arrays, structs, binary) keep the distributed scan."""
+        if not all(
+            isinstance(f.dataType, self._LOCALIZABLE_TYPES)
+            for f in df.schema.fields
+        ):
+            return df
+        try:
+            import pyarrow.parquet as pq
+
+            nrows = pq.ParquetFile(path).metadata.num_rows
+        except Exception:  # noqa: BLE001 — unreadable footer: keep the scan
+            return df
+        if nrows > TINY_BASE_LOCALIZE_MAX_ROWS:
+            return df
+        rows = [tuple(r) for r in df.collect()]
+        return introspect.local_df(self.spark, rows, df.schema).coalesce(1)
 
     def close(self) -> None:
         # session lifetime is owned by the caller; release what WE own:

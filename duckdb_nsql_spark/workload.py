@@ -2682,6 +2682,18 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
+def op_dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-JVM minhash banding (hash='xxhash64') — the 100 TB throughput
+    mode of op_dedup_minhash_lsh. Deterministic, but xxhash64 has no
+    DuckDB twin, so the driver records the weaker rows-only check; the
+    md5 entry stays the hash-exact cross-engine witness, and the two
+    modes are pinned pair-identical on clear duplicate structure by
+    tests/test_pipeline_ops.py."""
+    return dedup.minhash_lsh_candidates(
+        _docs(spark, sf_dir), hash="xxhash64"
+    ).orderBy("id_a", "id_b")
+
+
 def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
@@ -6937,6 +6949,9 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
         op_layout_recommendation, ORACLE_LAYOUT_RECOMMENDATION,
     ),
     "op_compaction_audit": (op_compaction_audit, ORACLE_COMPACTION_AUDIT),
+    # rows-only (no DuckDB xxhash64): the JVM-hash scale seam, registered
+    # after _WINDOW_R11 froze — leads _WINDOW_R12 per the ledger test
+    "op_dedup_minhash_xxhash": (op_dedup_minhash_xxhash, None),
 }
 
 
@@ -7082,12 +7097,17 @@ _REWITNESS_START = 43
 
 # READY-MADE DRAFT for the round-12 window (next round's builder:
 # verify against CORRECTNESS_r11.json, then promote to _WINDOW_R12).
-# Any entry registered after _WINDOW_R11 froze leads (never driver-
-# witnessed); the re-witness tail is the stalest block, which after
-# round 11 is the remaining round-6-witnessed SQL run starting at
-# q43_* plus the round-7-witnessed block (take the first entries of
-# `_registry_order()[50:]` from the round-11 tree until 50 slots fill).
-# tests/test_window_ledger.py enforces the ≤6-round staleness bound.
+# _POST_FREEZE_R11 (below) leads — entries registered after _WINDOW_R11
+# froze, never driver-witnessed; the re-witness tail is the stalest
+# block, which after round 11 is the remaining round-6-witnessed SQL run
+# starting at q43_* plus the round-7-witnessed block (take the first
+# entries of `_registry_order()[50:]` from the round-11 tree until 50
+# slots fill). tests/test_window_ledger.py enforces the ≤6-round
+# staleness bound and that every never-witnessed entry is either in the
+# frozen window or declared here.
+_POST_FREEZE_R11: tuple[str, ...] = (
+    "op_dedup_minhash_xxhash",
+)
 
 
 def _registry_order() -> list[str]:

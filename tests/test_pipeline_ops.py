@@ -827,3 +827,65 @@ def test_shingle_containment_hot_shingle_guard(spark):
     # FULL shingle count (pre-drop denominator)
     assert r.c_ab == 1.0
     assert r.n_a == 4  # 6 words -> 4 word-3-gram shingles
+
+
+# ------------------------------------------------------- minhash hash modes
+
+
+def test_minhash_xxhash_mode_matches_md5_on_clear_structure(spark):
+    """The documented scale seam, now a flag: hash='xxhash64' runs the
+    all-JVM signature (no Python workers) and must find the SAME
+    candidate pairs as the replayable md5 UDF wherever the duplicate
+    structure is clear — exact duplicates and one-word edits pair, and
+    unrelated documents never do, under either hash family."""
+    rows = []
+    # 5 groups of 3 near-identical docs (id, id+1 exact dup, id+2 one
+    # word changed) with DISJOINT per-group vocabulary (so no true
+    # cross-group similarity exists), plus 5 unrelated documents
+    for g in range(5):
+        words = [f"g{g}w{i}" for i in range(40)]
+        text = (" ".join(words) + " ") * 4 + f"marker{g} tail{g}"
+        rows.append((g * 10, text))
+        rows.append((g * 10 + 1, text))
+        rows.append(
+            (g * 10 + 2, text.replace(f"g{g}w7", f"g{g}edit", 1))
+        )
+    vocab = [
+        "ostrich quantum flannel borough zealot crimson",
+        "marble twelve hexagon umbra violet saxophone",
+        "pepper gadget yonder krypton dune saffron",
+        "walnut cipher gorge thimble ragged monsoon",
+        "beacon fjord lattice oxbow parka zephyr",
+    ]
+    for i, words in enumerate(vocab):
+        rows.append((100 + i, (words + " ") * 30 + f"solo {i}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairset(mode):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_candidates(docs, hash=mode).collect()
+        }
+
+    md5_pairs = pairset("md5")
+    xx_pairs = pairset("xxhash64")
+    expected = {
+        (g * 10 + a, g * 10 + b)
+        for g in range(5)
+        for a, b in [(0, 1), (0, 2), (1, 2)]
+    }
+    assert md5_pairs == expected
+    assert xx_pairs == expected
+
+
+def test_minhash_xxhash_mode_is_all_jvm(docs):
+    # the scale mode must not schedule Python workers: no pythonUDF /
+    # ArrowEvalPython in the executed plan
+    df = dedup.minhash_lsh_candidates(docs, hash="xxhash64")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "pythonUDF" not in plan, plan
+
+
+def test_minhash_unknown_hash_mode_rejected(docs):
+    with pytest.raises(ValueError, match="md5 | xxhash64"):
+        dedup.minhash_lsh_candidates(docs, hash="sha1")

@@ -144,3 +144,45 @@ def test_layout_recommendation_salt_path_executable(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_layout_recommendation_drives_agg_cluster_choice(engine, sf_dir):
+    """The q3/B3 mitigation: recommend_layout covers GROUP BY keys, not
+    just join keys. Decision: orders/o_custkey is uniform (skew_ratio <
+    8), below the crossover at sf0.1 -> 'none'; at the sf10 bench point
+    (same distribution, 100x rows >= cluster_min_rows) -> 'cluster'.
+    Execution: a table CLUSTER BY (o_custkey) aggregates on the key with
+    ZERO exchanges (the bucketed scan's HashPartitioning satisfies the
+    aggregate's ClusteredDistribution), and the result is row-identical
+    to the plain-layout aggregate."""
+    import duckdb_nsql_spark.operators.skew as sk
+
+    engine.register_parquet_dir(sf_dir)
+    orders = engine.table("orders")
+    rep = sk.join_key_report(orders, "o_custkey", "orders")
+    small = sk.recommend_layout(rep).collect()[0]
+    assert small["recommendation"] == "none"  # sub-crossover scale
+    assert small["skew_ratio"] < 8.0  # uniform: salting never applies
+    scaled = sk.recommend_layout(
+        rep.withColumn("n_rows", F.col("n_rows") * 10_000)
+    ).collect()[0]
+    assert scaled["recommendation"] == "cluster"  # the sf10+ decision
+
+    # execute the recommendation through the engine's CLUSTER BY seam
+    engine.execute(
+        "CREATE OR REPLACE TABLE orders_bk CLUSTER BY (o_custkey)"
+        " INTO 8 BUCKETS AS SELECT o_custkey, o_totalprice FROM orders"
+    )
+    agg_sql = (
+        "SELECT o_custkey, round(sum(o_totalprice), 2) AS balance"
+        " FROM {t} GROUP BY o_custkey ORDER BY o_custkey"
+    )
+    clustered = engine.execute(agg_sql.format(t="orders_bk"))
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # agg shuffle deleted at rest
+    assert "Bucketed: true" in plan, plan
+    plain = engine.execute(agg_sql.format(t="orders"))
+    assert [tuple(r) for r in clustered.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+    engine.execute("DROP TABLE IF EXISTS orders_bk")

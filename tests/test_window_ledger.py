@@ -47,11 +47,13 @@ def test_window_matches_current_round():
 def test_no_entry_staler_than_bound_after_window_lands():
     last = _last_witnessed()
     window = set(getattr(w, f"_WINDOW_R{CURRENT_ROUND}"))
+    post_freeze = set(getattr(w, f"_POST_FREEZE_R{CURRENT_ROUND}", ()))
     registry = set(w.ENGINE_SQL) | set(w.OPERATORS)
-    # simulate the current window landing
+    # simulate the current window landing; post-freeze entries are brand
+    # new (no row possible until next round) and exempt by construction
     projected = {
         n: (CURRENT_ROUND if n in window else last.get(n, 0))
-        for n in registry
+        for n in registry - post_freeze
     }
     stale = {
         n: r for n, r in projected.items()
@@ -66,13 +68,17 @@ def test_no_entry_staler_than_bound_after_window_lands():
 
 def test_never_witnessed_entries_lead_the_window():
     # every registry entry with NO prior driver row must be in the
-    # current window (first-witness priority — the r10 verdict's #1)
+    # current window (first-witness priority — the r10 verdict's #1) or
+    # explicitly declared as a post-freeze registration destined for the
+    # next round's window head
     last = _last_witnessed()
     window = set(getattr(w, f"_WINDOW_R{CURRENT_ROUND}"))
+    post_freeze = set(getattr(w, f"_POST_FREEZE_R{CURRENT_ROUND}", ()))
     registry = set(w.ENGINE_SQL) | set(w.OPERATORS)
     unwitnessed = {n for n in registry if n not in last}
-    missing = unwitnessed - window
+    missing = unwitnessed - window - post_freeze
     assert not missing, (
-        f"never-driver-witnessed entries NOT in _WINDOW_R{CURRENT_ROUND}: "
+        f"never-driver-witnessed entries NOT in _WINDOW_R{CURRENT_ROUND} "
+        f"and NOT declared in _POST_FREEZE_R{CURRENT_ROUND}: "
         f"{sorted(missing)}"
     )
