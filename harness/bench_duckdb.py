@@ -53,6 +53,19 @@ SQL_ROWS = {
     "q13_multiway_join": "q06_multiway_join",
 }
 
+# Pipeline-operator headliners (r10 verdict task 5): bench.py times the
+# Spark side of these four; the DuckDB pair runs each operator's ORACLE
+# SQL — the same computation the correctness gate replays — under the
+# identical fetch protocol, so the 2x discipline that governs q1-q13
+# covers the op rows too. Set SPARK_GRAFT_BENCH_OPS=0 to skip (e.g. on
+# a box where the sf10 md5-minhash replay is impractical).
+OP_ROWS = {
+    "op_dedup_minhash": "op_dedup_minhash_lsh",
+    "op_text_profile": "op_text_profile",
+    "op_similarity_topk": "op_similarity_topk",
+    "op_asof_join": "op_asof_join",
+}
+
 
 def main() -> None:
     con = duckdb.connect()
@@ -68,9 +81,17 @@ def main() -> None:
     # sweeps x RUNS_PER_SWEEP — the same episode-resistant schedule as
     # bench.py (host-contention episodes are time-local; each query's
     # min is taken over draws spread across the whole bench window)
+    bench_ops = os.environ.get("SPARK_GRAFT_BENCH_OPS", "1") != "0"
+    op_rows = (
+        {k: workload.OPERATORS[q][1] for k, q in OP_ROWS.items()}
+        if bench_ops
+        else {}
+    )
     for key, qname in SQL_ROWS.items():
         con.execute(workload.ENGINE_SQL[qname][0]).fetchdf()
     con.execute("SUMMARIZE orders").fetchdf()
+    for key, sql in op_rows.items():
+        con.execute(sql).fetchdf()
 
     best: dict[str, float] = {}
     for _sweep in range(SWEEPS):
@@ -88,9 +109,15 @@ def main() -> None:
             best["q10_summarize"] = min(
                 best.get("q10_summarize", float("inf")), dt
             )
+        for key, sql in op_rows.items():
+            for _ in range(RUNS_PER_SWEEP):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchdf()
+                dt = time.perf_counter() - t0
+                best[key] = min(best.get(key, float("inf")), dt)
     results = {
         key: round(best[key], 4)
-        for key in list(SQL_ROWS) + ["q10_summarize"]
+        for key in list(SQL_ROWS) + ["q10_summarize"] + list(op_rows)
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1].lstrip("_")

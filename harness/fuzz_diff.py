@@ -801,6 +801,139 @@ def gen_wave13_query():
     )
 
 
+def _fuzz_sf() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+
+
+_W14_JSON_VALUES = [
+    '1', 'true', 'false', 'null', '"plain"', '[1, 2, 3]',
+    '{"k": "v"}', '[{"a": 1}, {"b": [2, 3]}]',
+    '{"s": "with space", "n": 7, "l": [true, null]}',
+]
+
+
+def gen_wave14_query():
+    """Wave-14 shapes (round 11): the round-10 grammar additions —
+    combined ``* EXCLUDE(...) REPLACE(...)`` star options (q135,
+    65802bd), in-parens IGNORE/RESPECT NULLS on every navigable window
+    function (q139, af27d6a), ``read_parquet(..., filename=true)``
+    (1106fb0), ``json()`` minify (cd462d0), and the q136-q138 TPC-H
+    join/correlation shapes (CASE-sum over join, correlated EXISTS /
+    NOT EXISTS). Unique-key ORDER BY everywhere a row set could
+    otherwise tie-arbitrate differently across engines."""
+    r = rng.random()
+    if r < 0.22:
+        # star options: EXCLUDE / REPLACE / both, bare and qualified
+        t = rng.choice(["orders", "customer", "part", "supplier"])
+        k = KEY_COLS[t]
+        n = rng.choice(NUM_COLS[t])
+        s = rng.choice(STR_COLS[t])
+        ex = rng.choice([s, n, f"{s}, {n}"])
+        rep = f"round({n} * {rng.choice(['0.5', '2.5', '1.1'])}, 2) AS {n}"
+        star = rng.choice(["*", f"{t}.*", "a.*"])
+        frm = f"{t} a" if star == "a.*" else t
+        opts = rng.choice(
+            [f"EXCLUDE ({ex})", f"REPLACE ({rep})"]
+            + ([f"EXCLUDE ({s}) REPLACE ({rep})"] if s not in ex else [])
+        )
+        return (
+            f"SELECT {star} {opts} FROM {frm}"
+            f" ORDER BY {k} LIMIT {rng.randint(5, 30)}"
+        )
+    if r < 0.45:
+        # in-parens IGNORE/RESPECT NULLS over a NULL-injected series
+        t = rng.choice(["orders", "customer", "part", "supplier"])
+        k, g, n = KEY_COLS[t], rng.choice(STR_COLS[t]), rng.choice(NUM_COLS[t])
+        m = rng.randint(2, 5)
+        v = f"CASE WHEN CAST({k} AS INTEGER) % {m} = 0 THEN NULL" \
+            f" ELSE round({n}, 2) END"
+        mod = rng.choice(["IGNORE NULLS", "IGNORE NULLS", "RESPECT NULLS"])
+        fn = rng.choice([
+            f"lag({v}, 1 {mod})",
+            f"lead({v}, 1 {mod})",
+            f"first_value({v} {mod})",
+            f"last_value({v} {mod})",
+            f"nth_value({v}, 2 {mod})",
+        ])
+        return (
+            f"SELECT {k} AS k, {fn} OVER"
+            f" (PARTITION BY {g} ORDER BY {k}) AS w"
+            f" FROM {t} ORDER BY k LIMIT {rng.randint(20, 80)}"
+        )
+    if r < 0.60:
+        # filename=true: the path column must group/extract identically
+        t = rng.choice(["orders", "part", "supplier", "customer"])
+        k = KEY_COLS[t]
+        base = f"regexp_extract(filename, '[^/]+$', 0)"
+        return rng.choice([
+            f"SELECT {base} AS f, CAST(count(*) AS BIGINT) AS n"
+            f" FROM read_parquet('{_fuzz_sf()}/{t}.parquet',"
+            f" filename=true) GROUP BY f ORDER BY f",
+            f"SELECT {k} AS k, {base} AS f"
+            f" FROM read_parquet('{_fuzz_sf()}/{t}.parquet',"
+            f" filename=true) ORDER BY k LIMIT {rng.randint(3, 12)}",
+        ])
+    if r < 0.74:
+        # json() minify: constants and built strings; key order and
+        # value lexemes must survive the round-trip on both engines
+        vals = rng.sample(_W14_JSON_VALUES, rng.randint(1, 3))
+        items = ", ".join(
+            f"json('  {{ \"k{i}\" :  {v} }}  ') AS j{i}"
+            for i, v in enumerate(vals)
+        )
+        if rng.random() < 0.4:
+            t = rng.choice(["orders", "supplier"])
+            k = KEY_COLS[t]
+            return (
+                f"SELECT {k} AS k, json('{{\" id \": ' ||"
+                f" CAST({k} AS VARCHAR) || ', \"t\" : [ 1 ,2 ] }}') AS j"
+                f" FROM {t} ORDER BY {k} LIMIT {rng.randint(3, 10)}"
+            )
+        return f"SELECT {items}"
+    # TPC-H q136-q138 family: CASE-sum over join / correlated
+    # (NOT) EXISTS, varied predicates
+    kind = rng.random()
+    if kind < 0.4:
+        days = rng.choice([30, 60, 90])
+        pri = rng.choice(["'1-URGENT', '2-HIGH'", "'5-LOW'"])
+        return (
+            "SELECT l_returnflag,"
+            f" CAST(sum(CASE WHEN o_orderpriority IN ({pri})"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS hi,"
+            f" CAST(sum(CASE WHEN o_orderpriority NOT IN ({pri})"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS lo"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            f" WHERE l_shipdate > o_orderdate + INTERVAL {days} DAY"
+            " GROUP BY l_returnflag ORDER BY l_returnflag"
+        )
+    if kind < 0.7:
+        q = rng.randint(20, 45)
+        neg = rng.choice(["", "NOT "])
+        return (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n"
+            f" FROM orders WHERE {neg}EXISTS ("
+            "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey"
+            f" AND l_quantity > {q})"
+            " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        )
+    st = rng.choice(["'F'", "'O'"])
+    return (
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait"
+        " FROM supplier"
+        " JOIN lineitem l1 ON s_suppkey = l1.l_suppkey"
+        " JOIN orders ON o_orderkey = l1.l_orderkey"
+        f" WHERE o_orderstatus = {st}"
+        " AND EXISTS (SELECT 1 FROM lineitem l2"
+        " WHERE l2.l_orderkey = l1.l_orderkey"
+        " AND l2.l_suppkey <> l1.l_suppkey)"
+        " AND NOT EXISTS (SELECT 1 FROM lineitem l3"
+        " WHERE l3.l_orderkey = l1.l_orderkey"
+        " AND l3.l_suppkey <> l1.l_suppkey"
+        " AND l3.l_shipdate > l1.l_shipdate)"
+        " GROUP BY s_name ORDER BY s_name"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:

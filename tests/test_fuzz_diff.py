@@ -169,3 +169,20 @@ def test_fuzz_wave13_agg_modifiers(loaded_engine, fuzz_duck, fuzz_mod):
         d = fuzz_duck.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert fuzz_mod.rows_match(d, s), q
+
+
+def test_fuzz_wave14_round10_grammar(loaded_engine, fuzz_duck, fuzz_mod):
+    """Round-11 wave over the round-10 grammar additions: combined
+    * EXCLUDE(...) REPLACE(...) star options, in-parens IGNORE/RESPECT
+    NULLS across lag/lead/first/last/nth_value, read_parquet(...,
+    filename=true) path grouping/extraction, json() minify lexeme
+    preservation, and the q136-q138 TPC-H join/correlation shapes —
+    40 seeded queries, engine vs DuckDB row sets (hunt: 200 more over
+    seeds 14101-14102, clean; every query DuckDB-valid, so no silent
+    double-error skips)."""
+    fuzz_mod.reseed(14000)
+    for _ in range(40):
+        q = fuzz_mod.gen_wave14_query()
+        d = fuzz_duck.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert fuzz_mod.rows_match(d, s), q
