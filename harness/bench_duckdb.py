@@ -59,12 +59,36 @@ SQL_ROWS = {
 # identical fetch protocol, so the 2x discipline that governs q1-q13
 # covers the op rows too. Set SPARK_GRAFT_BENCH_OPS=0 to skip (e.g. on
 # a box where the sf10 md5-minhash replay is impractical).
+#
+# op_dedup_minhash protocol note: on the Spark side the banded
+# signature table is persisted (_persist_small) and Spark's
+# CacheManager reuses it across bench.py's timed runs — so that row
+# measures the LSH candidate JOIN over an at-rest signature store, not
+# signature construction (r10's sf10 sitting: 0.66 s for 500 k docs,
+# impossible for the md5 loop — caught in round 11). For a like-for-
+# like pair, the DuckDB side materializes the same banded CTE into a
+# TEMP TABLE untimed and times the join over it; the ONE-TIME
+# signature-build cost is reported separately as op_minhash_sigbuild
+# (Spark's twin numbers live in BASELINE.md §9: 27.5 s md5-UDF /
+# 6.25 s xxhash64-JVM at 500 k docs).
 OP_ROWS = {
     "op_dedup_minhash": "op_dedup_minhash_lsh",
     "op_text_profile": "op_text_profile",
     "op_similarity_topk": "op_similarity_topk",
     "op_asof_join": "op_asof_join",
 }
+
+
+def _minhash_split(oracle_sql: str) -> tuple[str, str]:
+    """Split ORACLE_MINHASH_LSH into (sig-store CTAS, timed join)."""
+    ctes, final = oracle_sql.rsplit("SELECT DISTINCT", 1)
+    setup = (
+        "CREATE OR REPLACE TEMP TABLE r11_banded AS "
+        + ctes
+        + "SELECT * FROM banded"
+    )
+    timed = "SELECT DISTINCT" + final.replace("banded", "r11_banded")
+    return setup, timed
 
 
 def main() -> None:
@@ -87,6 +111,13 @@ def main() -> None:
         if bench_ops
         else {}
     )
+    sigbuild = None
+    if bench_ops:
+        setup, timed = _minhash_split(op_rows["op_dedup_minhash"])
+        t0 = time.perf_counter()
+        con.execute(setup)
+        sigbuild = round(time.perf_counter() - t0, 4)
+        op_rows["op_dedup_minhash"] = timed
     for key, qname in SQL_ROWS.items():
         con.execute(workload.ENGINE_SQL[qname][0]).fetchdf()
     con.execute("SUMMARIZE orders").fetchdf()
@@ -119,6 +150,8 @@ def main() -> None:
         key: round(best[key], 4)
         for key in list(SQL_ROWS) + ["q10_summarize"] + list(op_rows)
     }
+    if sigbuild is not None:
+        results["op_minhash_sigbuild"] = sigbuild
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1].lstrip("_")
     try:
@@ -129,7 +162,14 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "duckdb_headline_queries_total_latency",
-                "value": round(sum(results.values()), 4),
+                "value": round(
+                    sum(
+                        v
+                        for k, v in results.items()
+                        if k != "op_minhash_sigbuild"
+                    ),
+                    4,
+                ),
                 "unit": "sec",
                 "queries": results,
                 "sf": sf_val,
