@@ -27,15 +27,36 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    prefilter_right: bool = True,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right_ts <= left_ts`` (direction='backward'; 'forward' mirrors).
 
     Output: all left columns + right's non-key payload columns
     (null when no match) — matching DuckDB ``ASOF LEFT JOIN``.
+
+    ``prefilter_right`` (default on) semi-joins the right side on the
+    left's DISTINCT key domain before the union-window. This recovers
+    the join-key constraint inference DuckDB's optimizer applies to a
+    native ASOF JOIN (a filter on the left key implies the same filter
+    on the right key), which the union formulation otherwise loses:
+    right rows whose key never occurs on the left cannot match, so
+    dropping them is result-neutral, and when the left key domain is
+    selective it prunes the window's shuffle by orders of magnitude
+    (the sf10 bench row: 10 M events -> ~33 k for 500 users; AQE
+    broadcasts the tiny distinct-key build at runtime, so the filter
+    is map-side — no extra shuffle of the right side). When the left
+    domain covers most right keys the semi-join prunes nothing and AQE
+    falls back to a shuffle semi-join — one extra exchange of the
+    right side; pass ``prefilter_right=False`` for that full-domain
+    shape.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if prefilter_right:
+        right = right.join(
+            left.select(F.col(key)).distinct(), on=key, how="left_semi"
+        )
     payload = [c for c in right.columns if c not in (key, right_ts)]
 
     lhs = left.select(

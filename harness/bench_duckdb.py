@@ -69,8 +69,8 @@ SQL_ROWS = {
 # like pair, the DuckDB side materializes the same banded CTE into a
 # TEMP TABLE untimed and times the join over it; the ONE-TIME
 # signature-build cost is reported separately as op_minhash_sigbuild
-# (Spark's twin numbers live in BASELINE.md §9: 27.5 s md5-UDF /
-# 6.25 s xxhash64-JVM at 500 k docs).
+# (Spark's twin numbers live in BASELINE.md §9: 25.9 s md5-UDF /
+# 2.88 s xxhash64-JVM at 500 k docs, 32 partitions).
 OP_ROWS = {
     "op_dedup_minhash": "op_dedup_minhash_lsh",
     "op_text_profile": "op_text_profile",
