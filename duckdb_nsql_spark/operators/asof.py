@@ -53,6 +53,15 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    # A NULL join key never matches under SQL equality (DuckDB ASOF ON
+    # l.k = r.k gives NULL-keyed left rows a NULL payload), but the
+    # union-window formulation would otherwise group NULL-keyed rows of
+    # BOTH sides into one window partition and carry right values into
+    # left rows — caught by the round-11 NULL-key parity test. Dropping
+    # NULL-keyed right rows is always result-neutral and restores the
+    # equality semantics on the prefilter_right=False path too (the
+    # semi-join was already dropping them on the default path).
+    right = right.filter(F.col(key).isNotNull())
     if prefilter_right:
         right = right.join(
             left.select(F.col(key)).distinct(), on=key, how="left_semi"

@@ -209,9 +209,8 @@ def minhash_bands_jvm(
         "doc_id",
         F.concat_ws(
             " ",
-            "w",
-            F.lead("w", 1).over(win),
-            F.lead("w", 2).over(win),
+            F.col("w"),
+            *[F.lead("w", i).over(win) for i in range(1, SHINGLE_WORDS)],
         ).alias("s"),
         "pos",
         "nw",

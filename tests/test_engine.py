@@ -2036,3 +2036,45 @@ def test_read_parquet_filename_column(loaded_engine, tmp_path):
     assert len(rows) == 1
     assert rows[0]["filename"] == p
     assert rows[0]["n"] == 25
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """DuckDB ASOF ON l.k = r.k: a NULL key matches nothing (SQL
+    equality) — NULL-keyed left rows keep a NULL payload. The
+    union-window formulation must not carry NULL-keyed right values
+    into NULL-keyed left rows (round-11 find: the prefilter_right=False
+    path did exactly that), under BOTH prefilter modes."""
+    import duckdb
+
+    from duckdb_nsql_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(None, 10, "L1"), (1, 10, "L2"), (None, 20, "L3")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 1.5), (1, 5, 2.5), (None, 15, 3.5)],
+        "k int, ts int, v double",
+    )
+    d = duckdb.connect()
+    d.execute("CREATE TABLE l (k int, ts int, tag varchar)")
+    d.execute("INSERT INTO l VALUES (NULL,10,'L1'),(1,10,'L2'),(NULL,20,'L3')")
+    d.execute("CREATE TABLE r (k int, ts int, v double)")
+    d.execute("INSERT INTO r VALUES (NULL,5,1.5),(1,5,2.5),(NULL,15,3.5)")
+    want = sorted(
+        d.execute(
+            "SELECT l.k, l.ts, l.tag, r.v FROM l ASOF LEFT JOIN r"
+            " ON l.k = r.k AND r.ts <= l.ts"
+        ).fetchall(),
+        key=str,
+    )
+    for pf in (True, False):
+        out = asof.asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            prefilter_right=pf,
+        )
+        got = sorted(
+            [tuple(r) for r in out.select("k", "ts", "tag", "v").collect()],
+            key=str,
+        )
+        assert got == want, (pf, got, want)
