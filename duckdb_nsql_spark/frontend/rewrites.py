@@ -159,6 +159,41 @@ def pass_strip_semicolon(tokens: list[Token]) -> list[Token]:
     return tokens
 
 
+_TRAILING_COMMA_NEXT = {
+    "FROM", "WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
+    "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+}
+
+
+def pass_trailing_commas(tokens: list[Token]) -> list[Token]:
+    """DuckDB's friendly-SQL trailing commas -> plain lists.
+
+    DuckDB tolerates a dangling comma at the end of comma-separated
+    lists — the SELECT list before the next clause keyword
+    (``SELECT a, b, FROM t``), GROUP BY before ORDER, list/struct
+    literals (``[1, 2, ]``, ``{'x': 1, }``), VALUES rows, IN lists,
+    CTE and CREATE column lists — all probed against DuckDB 1.0.
+    Spark's parser rejects every one of them, so drop a comma whose
+    next significant token is a closing bracket or a clause keyword.
+    Slightly MORE permissive than DuckDB (which still rejects
+    ``fn(arg,)``, ``OVER (PARTITION BY x, ORDER ...)`` and a comma at
+    end-of-input — the last stays rejected here too): removing the
+    comma there accepts SQL DuckDB would reject, which cannot change
+    the result of any statement DuckDB accepts."""
+    out: list[Token] = []
+    for i, t in enumerate(tokens):
+        if t.kind == PUNCT and t.text == ",":
+            j = next_sig(tokens, i)
+            if j < len(tokens):
+                nxt = tokens[j]
+                if nxt.kind == PUNCT and nxt.text in ")]}":
+                    continue
+                if nxt.kind == IDENT and nxt.upper in _TRAILING_COMMA_NEXT:
+                    continue
+        out.append(t)
+    return out
+
+
 def pass_quoted_idents(tokens: list[Token]) -> list[Token]:
     """Double-quoted identifiers and single-quoted aliases -> backticks."""
     out: list[Token] = []
@@ -5871,6 +5906,80 @@ def pass_dynamic_interval(tokens: list[Token]) -> list[Token]:
     return out
 
 
+_YM_INTERVAL_WORDS = {
+    "YEAR", "YEARS", "YR", "YRS", "MONTH", "MONTHS", "MON", "MONS",
+}
+_DT_INTERVAL_WORDS = {
+    "DAY", "DAYS", "WEEK", "WEEKS", "HOUR", "HOURS", "HR", "HRS",
+    "MINUTE", "MINUTES", "MIN", "MINS", "SECOND", "SECONDS", "SEC",
+    "SECS", "MILLISECOND", "MILLISECONDS", "MICROSECOND",
+    "MICROSECONDS",
+}
+
+
+def _split_interval_families(s: str) -> Optional[tuple[str, str]]:
+    """'1 month 2 days' -> ('1 month', '2 days'); None unless the string
+    is a plain (quantity unit)+ list mixing BOTH unit families."""
+    parts = s.split()
+    if len(parts) < 4 or len(parts) % 2:
+        return None
+    ym: list[str] = []
+    dt: list[str] = []
+    for q, u in zip(parts[::2], parts[1::2]):
+        try:
+            float(q)
+        except ValueError:
+            return None
+        fam = (
+            ym if u.upper() in _YM_INTERVAL_WORDS
+            else dt if u.upper() in _DT_INTERVAL_WORDS
+            else None
+        )
+        if fam is None:
+            return None
+        fam.append(f"{q} {u}")
+    if not ym or not dt:
+        return None
+    return " ".join(ym), " ".join(dt)
+
+
+def pass_mixed_interval_literal(tokens: list[Token]) -> list[Token]:
+    """DuckDB's INTERVAL holds (months, days, micros) in one value, so
+    ``ts + INTERVAL '1 month 2 days'`` is legal; Spark's ANSI intervals
+    are year-month XOR day-time and reject the mixed literal. In a
+    ``+``/``-`` context, split the literal at the family boundary and
+    distribute the operator: ``x + ym + dt`` / ``x - ym - dt`` —
+    left-associative, so the value and DuckDB's apply-months-then-days
+    order are both preserved (2024-03-31 + '1 month 2 days' = Apr 30 +
+    2 days = May 2 on both engines). Non-arithmetic mixed literals
+    (bare SELECT items, comparisons) stay untouched — Spark's error is
+    the honest answer there (no Spark type holds the mixed value)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "INTERVAL":
+            s_i = next_sig(out, i)
+            if s_i < len(out) and out[s_i].kind == STRING:
+                split = _split_interval_families(out[s_i].text[1:-1])
+                op_i = prev_sig(out, i)
+                if (
+                    split is not None
+                    and op_i >= 0
+                    and out[op_i].kind == OP
+                    and out[op_i].text in ("+", "-")
+                ):
+                    ym, dt = split
+                    new = tokenize(
+                        f"INTERVAL '{ym}' {out[op_i].text} INTERVAL '{dt}'"
+                    )
+                    out = out[:i] + new + out[s_i + 1 :]
+                    i += len(new)
+                    continue
+        i += 1
+    return out
+
+
 def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
     """DuckDB ``DATE +/- INTERVAL`` yields a TIMESTAMP (even for day
     intervals); Spark keeps DATE. Wrap the left operand of a ``+ INTERVAL``
@@ -5911,10 +6020,15 @@ def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
                 elif (
                     k >= 0
                     and out[k].kind == IDENT
-                    and out[k].upper in ("DATE", "TIMESTAMP", "TIMESTAMPTZ", "TIME")
+                    and out[k].upper
+                    in ("DATE", "TIMESTAMP", "TIMESTAMPTZ", "TIME", "INTERVAL")
                     and out[lstart].kind == STRING
                 ):
-                    lstart = k  # typed literal: DATE '2024-01-31'
+                    # typed literal: DATE '2024-01-31'; including INTERVAL
+                    # makes the interval-left skip below fire for string-
+                    # form chains (x + INTERVAL '1 month' + INTERVAL '2
+                    # days' — the mixed-literal split emits these)
+                    lstart = k
                 else:
                     break
             from .tokenizer import _KEYWORDS
@@ -7295,6 +7409,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = tokenize(sql)
     tokens = pass_escape_backslashes(tokens)
     tokens = pass_strip_semicolon(tokens)
+    tokens = pass_trailing_commas(tokens)
     tokens = pass_quoted_idents(tokens)
     tokens = pass_distinct_on(tokens)
     tokens = pass_quantified_comparisons(tokens)
@@ -7337,6 +7452,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_caret_power(tokens, resolver)
     tokens = pass_regex_operators(tokens)
     tokens = pass_dynamic_interval(tokens)
+    tokens = pass_mixed_interval_literal(tokens)
     tokens = pass_date_interval_arith(tokens)
     tokens = pass_function_renames(tokens, resolver)
     return render(tokens)

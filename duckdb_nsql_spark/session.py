@@ -768,10 +768,14 @@ class DuckSparkSession:
         self._parallelism_mode = "big"
         self._big_stmt_confs: Optional[dict[str, str]] = None
         self._threads_overridden = False
-        # CREATE MACRO name -> (params, body expression text)
+        # CREATE MACRO name -> (positional params, body expression text)
         self._macros: dict[str, tuple[list[str], str]] = {}
         # CREATE MACRO name(...) AS TABLE <query> -> (params, body query)
         self._table_macros: dict[str, tuple[list[str], str]] = {}
+        # name -> {param: default expr text} for `p := default` params
+        # (DuckDB: positional params are positional-only, defaulted
+        # params are NAMED-only — one namespace across both macro kinds)
+        self._macro_defaults: dict[str, dict[str, str]] = {}
         self._macro_epoch: int = 0
         # statement-plan cache: (sql, catalog_epoch, settings, macro_epoch)
         # -> analyzed DataFrame. The Spark analogue of DuckDB's ~1ms
@@ -2346,6 +2350,7 @@ class DuckSparkSession:
 
     def _rewrite_query(self, sql: str, validate_only: bool = False) -> str:
         tokens = tokenize(sql)
+        tokens = self._expand_describe_relations(tokens)
         tokens = self._expand_table_functions(tokens)
         tokens = self._tablesample_to_using(tokens)
         if not validate_only:
@@ -2369,6 +2374,42 @@ class DuckSparkSession:
         tokens = tokenize(text)
         out = _pass_order_by_nulls(tokens, order)
         return render(out)
+
+    def _expand_describe_relations(
+        self, tokens: list[Token]
+    ) -> list[Token]:
+        """DuckDB treats DESCRIBE / SUMMARIZE as relations — ``SELECT
+        column_name FROM (DESCRIBE SELECT ...)`` is a normal derived
+        table (round-11 probe find). Execute the introspection
+        statement through its own handler and substitute a registered
+        view of its result; the rest of the statement sees an ordinary
+        relation. Both produce small bounded outputs (one row per
+        column), so the materialization is driver-trivial at any data
+        scale."""
+        i = 0
+        while i < len(tokens):
+            t = tokens[i]
+            if t.kind == PUNCT and t.text == "(":
+                j = next_sig(tokens, i)
+                if (
+                    j < len(tokens)
+                    and tokens[j].kind == IDENT
+                    and tokens[j].upper in ("DESCRIBE", "DESC", "SUMMARIZE")
+                ):
+                    # DESC could be ORDER BY's keyword — only in an
+                    # opening-paren + statement position is it DESCRIBE
+                    c = match_forward(tokens, i, "(", ")")
+                    if c < len(tokens):
+                        inner = render(tokens[i + 1 : c]).strip()
+                        df = self._execute_one(inner)
+                        if df is not None:
+                            view = self._fresh_view(df)
+                            repl = tokenize(f"(SELECT * FROM {view})")
+                            tokens = tokens[:i] + repl + tokens[c + 1 :]
+                            i += len(repl)
+                            continue
+            i += 1
+        return tokens
 
     def _expand_table_functions(self, tokens: list[Token]) -> list[Token]:
         """read_csv_auto('p', columns={..}) / read_parquet / 'file.csv' as a
@@ -4020,24 +4061,46 @@ class DuckSparkSession:
         """CREATE [OR REPLACE] MACRO name(params) AS <expr> — DuckDB scalar
         macros, expanded inline at parse time (exactly DuckDB's own model:
         a macro is a stored expression template, not a runtime function).
-        Table macros (``AS TABLE``) and parameter defaults are rejected
-        loudly rather than mis-executed."""
+        ``p := <default>`` parameters follow DuckDB's rules: they must
+        come after the positional ones and can only be supplied BY NAME
+        at the call site (tests/test_engine.py pins the call grammar)."""
         name = tokens[sig[j]].text.strip('"`').lower()
         j += 1
         if j >= len(sig) or tokens[sig[j]].text != "(":
             raise ValueError("CREATE MACRO requires a parameter list")
         c = match_forward(tokens, sig[j], "(", ")")
         params: list[str] = []
+        defaults: dict[str, str] = {}
         for lo, hi in split_args(tokens, sig[j] + 1, c):
-            ps = [tk for tk in tokens[lo:hi] if tk.kind not in (WS, COMMENT)]
+            ps = [
+                (k, tokens[k])
+                for k in range(lo, hi)
+                if tokens[k].kind not in (WS, COMMENT)
+            ]
             if not ps:
                 continue
-            if len(ps) != 1 or ps[0].kind not in (IDENT, QIDENT):
-                raise ValueError(
-                    "only simple positional macro parameters are supported "
-                    "(no := defaults)"
-                )
-            params.append(ps[0].text.strip('"').lower())
+            if len(ps) == 1 and ps[0][1].kind in (IDENT, QIDENT):
+                if defaults:
+                    raise ValueError(
+                        "positional macro parameters must precede "
+                        ":= defaulted ones"
+                    )
+                params.append(ps[0][1].text.strip('"').lower())
+                continue
+            if (
+                len(ps) >= 3
+                and ps[0][1].kind in (IDENT, QIDENT)
+                and ps[1][1].kind == PUNCT and ps[1][1].text == ":"
+                and ps[2][1].kind == OP and ps[2][1].text == "="
+            ):
+                dtext = render(tokens[ps[2][0] + 1 : hi]).strip()
+                if dtext:
+                    defaults[ps[0][1].text.strip('"').lower()] = dtext
+                    continue
+            raise ValueError(
+                "macro parameters must be simple names or "
+                "name := <default expression>"
+            )
         k = next_sig(tokens, c)
         if k >= len(tokens) or not tokens[k].is_kw("AS"):
             raise ValueError("CREATE MACRO ... AS <expression>")
@@ -4052,12 +4115,14 @@ class DuckSparkSession:
                     f"Catalog Error: macro {name!r} already exists"
                 )
             self._table_macros[name] = (params, body)
+            self._macro_defaults[name] = defaults
             self._macro_epoch += 1
             return None
         body = render(tokens[k + 1 :]).strip().rstrip(";").strip()
         if name in self._macros and not or_replace:
             raise ValueError(f"Catalog Error: macro {name!r} already exists")
         self._macros[name] = (params, body)
+        self._macro_defaults[name] = defaults
         self._macro_epoch += 1
         return None
 
@@ -4095,6 +4160,7 @@ class DuckSparkSession:
     def _drop_macro(self, name: str, if_exists: bool) -> None:
         found = self._macros.pop(name.lower(), None) is not None
         found = self._table_macros.pop(name.lower(), None) is not None or found
+        self._macro_defaults.pop(name.lower(), None)
         if not found and not if_exists:
             raise KeyError(f"Catalog Error: Macro with name {name} does not exist!")
         self._macro_epoch += 1
@@ -4146,23 +4212,57 @@ class DuckSparkSession:
                         and tokens[jx].text == "("
                     ):
                         c = match_forward(tokens, jx, "(", ")")
+                        mname = t.text.lower()
                         params, body = (
-                            self._macros[t.text.lower()]
+                            self._macros[mname]
                             if is_scalar
-                            else self._table_macros[t.text.lower()]
+                            else self._table_macros[mname]
                         )
-                        args = [
-                            render(tokens[lo:hi]).strip()
-                            for lo, hi in split_args(tokens, jx + 1, c)
-                        ]
-                        if args == [""]:
-                            args = []
+                        defaults = self._macro_defaults.get(mname, {})
+                        args: list[str] = []
+                        named: dict[str, str] = {}
+                        for lo, hi in split_args(tokens, jx + 1, c):
+                            ks = [
+                                k
+                                for k in range(lo, hi)
+                                if tokens[k].kind not in (WS, COMMENT)
+                            ]
+                            if (
+                                len(ks) >= 3
+                                and tokens[ks[0]].kind in (IDENT, QIDENT)
+                                and tokens[ks[1]].kind == PUNCT
+                                and tokens[ks[1]].text == ":"
+                                and tokens[ks[2]].kind == OP
+                                and tokens[ks[2]].text == "="
+                            ):
+                                named[
+                                    tokens[ks[0]].text.strip('"').lower()
+                                ] = render(tokens[ks[2] + 1 : hi]).strip()
+                                continue
+                            txt = render(tokens[lo:hi]).strip()
+                            if txt:
+                                args.append(txt)
+                        # DuckDB rules: positional params are positional-
+                        # only (exact count), defaulted params named-only
                         if len(args) != len(params):
                             raise ValueError(
                                 f"macro {t.text} expects {len(params)} "
-                                f"argument(s), got {len(args)}"
+                                f"positional argument(s), got {len(args)}"
                             )
-                        sub = _substitute_macro_params(body, params, args)
+                        bad = set(named) - set(defaults)
+                        if bad:
+                            raise ValueError(
+                                f"Binder Error: Macro {t.text} does not "
+                                f"have default parameter "
+                                f"{sorted(bad)[0]}!"
+                            )
+                        full_params = params + list(defaults)
+                        full_args = args + [
+                            named.get(p, defaults[p]) for p in defaults
+                        ]
+                        sub = _substitute_macro_params(
+                            body, full_params, full_args
+                        )
                         out.append(Token(PUNCT, "("))
                         out.extend(tokenize(sub))
                         out.append(Token(PUNCT, ")"))

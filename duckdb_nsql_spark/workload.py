@@ -2137,6 +2137,70 @@ _sql(
     """,
 )
 
+_sql(
+    "q140_trailing_commas",
+    # DuckDB friendly-SQL trailing commas (select list before FROM,
+    # GROUP BY before ORDER, IN lists, list literals) — round-11 probe
+    # find; pass_trailing_commas drops the dangling comma wherever the
+    # next significant token is a closer or clause keyword.
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS s,
+           [10, 20, ][2] AS mark2,
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O',)
+    GROUP BY o_orderstatus,
+    ORDER BY o_orderstatus
+    """,
+)
+
+_sql(
+    "q141_mixed_interval",
+    # DuckDB's single INTERVAL type mixes month and day components in
+    # one literal; Spark's ANSI intervals are ym XOR dt. Round-11 probe
+    # find: pass_mixed_interval_literal splits the literal at the
+    # family boundary and distributes the +/- operator (value-preserving
+    # left-assoc order; month applied before day like DuckDB).
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL '1 month 10 days' AS due,
+           o_orderdate - INTERVAL '2 months 3 days' AS lookback
+    FROM orders WHERE o_custkey <= 100
+    ORDER BY o_orderkey LIMIT 50
+    """,
+)
+
+_sql(
+    "q142_macro_defaults",
+    # DuckDB macro `p := default` parameters (round-11 probe find):
+    # positional params stay positional-only, defaulted params are
+    # named-only — both pinned to DuckDB's binder behavior. Table-macro
+    # form covered by the same machinery (one defaults namespace).
+    """
+    CREATE OR REPLACE MACRO price_band(p, width := 50000) AS
+        CAST(p / width AS INTEGER);
+    SELECT price_band(o_totalprice) AS band,
+           price_band(o_totalprice, width := 100000) AS wide_band,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY band, wide_band ORDER BY band, wide_band
+    """,
+)
+
+_sql(
+    "q143_describe_relation",
+    # DuckDB treats DESCRIBE as a relation usable in FROM (round-11
+    # probe find): _expand_describe_relations executes the
+    # introspection and substitutes its (bounded, one-row-per-column)
+    # result as a derived table.
+    """
+    SELECT column_name, column_type
+    FROM (DESCRIBE SELECT o_orderkey, o_totalprice, o_orderdate
+          FROM orders)
+    ORDER BY column_name
+    """,
+)
+
 # TPC-H shapes q9/q12/q21 adapted to the driver schema (no partsupp /
 # shipmode / receiptdate columns in the testdata; the join/correlation
 # structure — the part the optimizer sees — is preserved exactly).
@@ -7107,6 +7171,10 @@ _REWITNESS_START = 43
 # frozen window or declared here.
 _POST_FREEZE_R11: tuple[str, ...] = (
     "op_dedup_minhash_xxhash",
+    "q140_trailing_commas",
+    "q141_mixed_interval",
+    "q142_macro_defaults",
+    "q143_describe_relation",
 )
 
 

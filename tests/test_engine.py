@@ -2078,3 +2078,53 @@ def test_asof_join_null_keys_never_match(spark):
             key=str,
         )
         assert got == want, (pf, got, want)
+
+
+def test_macro_default_parameters(engine):
+    """DuckDB `p := default` macro parameters (round-11 probe find):
+    defaults fill when omitted, named overrides apply, positional
+    params stay positional-only and defaulted ones named-only — the
+    exact binder rules DuckDB 1.0 enforces (probed)."""
+    import pytest
+
+    engine.execute("CREATE MACRO fxd(a, b := 10) AS a + b")
+    assert engine.execute("SELECT fxd(1) AS v").collect()[0][0] == 11
+    assert engine.execute("SELECT fxd(1, b := 2) AS v").collect()[0][0] == 3
+    for bad in ("SELECT fxd(1, 2)", "SELECT fxd(a := 1)", "SELECT fxd()"):
+        with pytest.raises(ValueError):
+            engine.execute(bad)
+    engine.execute(
+        "CREATE MACRO ftd(n := 2) AS TABLE SELECT range AS v FROM range(n)"
+    )
+    assert engine.execute("SELECT count(*) AS c FROM ftd()").collect()[0][0] == 2
+    assert (
+        engine.execute("SELECT count(*) AS c FROM ftd(n := 4)").collect()[0][0]
+        == 4
+    )
+    # DROP clears the defaults namespace too (no stale defaults on
+    # re-creation with a different signature)
+    engine.execute("DROP MACRO fxd")
+    engine.execute("CREATE MACRO fxd(a) AS a * 100")
+    assert engine.execute("SELECT fxd(2) AS v").collect()[0][0] == 200
+
+
+def test_describe_and_summarize_as_relations(loaded_engine):
+    """DuckDB DESCRIBE/SUMMARIZE in FROM position (round-11 probe find):
+    the introspection result is an ordinary derived table."""
+    cols = [
+        r[0]
+        for r in loaded_engine.execute(
+            "SELECT column_name FROM (DESCRIBE SELECT o_orderkey,"
+            " o_totalprice FROM orders) ORDER BY column_name"
+        ).collect()
+    ]
+    assert cols == ["o_orderkey", "o_totalprice"]
+    n = loaded_engine.execute(
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM (SUMMARIZE nation)"
+    ).collect()[0][0]
+    assert n == 3  # one row per nation column
+    # ORDER BY (expr) DESC is untouched by the relation expansion
+    rows = loaded_engine.execute(
+        "SELECT n_nationkey FROM nation ORDER BY (n_nationkey) DESC LIMIT 2"
+    ).collect()
+    assert [r[0] for r in rows] == [24, 23]

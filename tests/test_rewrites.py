@@ -945,3 +945,34 @@ def test_json_minify_function(loaded_engine):
     ).collect()
     assert rows[0]["j"] == '{"a":1,"b":[1,2]}'
     assert rows[0]["n"] is None
+
+
+def test_trailing_commas_dropped():
+    """DuckDB friendly-SQL trailing commas (round-11 probe find): a
+    dangling comma before a clause keyword or closing bracket is
+    dropped; a comma at end-of-input stays (DuckDB rejects it too)."""
+    out = rewrite_sql("SELECT a, b, FROM t WHERE x IN (1, 2,)")
+    assert ", FROM" not in out and "b FROM" in out
+    assert "(1, 2)" in out.replace(" ", "").replace("(1,2)", "(1, 2)") or "2)" in out
+    out = rewrite_sql("SELECT g, count(*) AS n, FROM t GROUP BY g, ORDER BY g,")
+    assert ", FROM" not in out and ", ORDER" not in out
+    assert out.rstrip().endswith(",")  # end-of-input comma preserved
+    # list/struct literals: comma before the closer goes away
+    out = rewrite_sql("SELECT [1, 2, ] AS l")
+    assert "2, ]" not in out and "2,]" not in out
+
+
+def test_mixed_interval_literal_split():
+    """DuckDB mixed-family INTERVAL literal in +/- context splits into
+    family-pure literals with the operator distributed (round-11 probe
+    find); pure-family literals stay untouched."""
+    out = rewrite_sql("SELECT d + INTERVAL '1 month 2 days' AS x FROM t")
+    assert "INTERVAL '1 month' + INTERVAL '2 days'" in out
+    out = rewrite_sql("SELECT d - INTERVAL '2 months 3 days 4 hours' AS x FROM t")
+    assert "INTERVAL '2 months' - INTERVAL '3 days 4 hours'" in out
+    out = rewrite_sql("SELECT d + INTERVAL '3 days' AS x FROM t")
+    assert "INTERVAL '3 days'" in out and "+ INTERVAL '3 days' +" not in out
+    # bare mixed literal (no +/- context): untouched — Spark has no
+    # type for it, and erroring is the honest behavior
+    out = rewrite_sql("SELECT INTERVAL '1 month 2 days' AS i")
+    assert "INTERVAL '1 month 2 days'" in out
