@@ -4110,17 +4110,27 @@ class DuckSparkSession:
             # position (``FROM topn(3)``), expanded inline like scalar
             # macros but wrapped as a derived relation
             body = render(tokens[b + 1 :]).strip().rstrip(";").strip()
-            if name in self._table_macros and not or_replace:
+            # ONE macro namespace across scalar and table forms (DuckDB):
+            # OR REPLACE must evict a same-named macro of the OTHER kind
+            # too, or the stale entry keeps winning expansion (wave-15
+            # fuzz find: a scalar fz15m4 shadowed its table replacement)
+            if (
+                name in self._table_macros or name in self._macros
+            ) and not or_replace:
                 raise ValueError(
                     f"Catalog Error: macro {name!r} already exists"
                 )
+            self._macros.pop(name, None)
             self._table_macros[name] = (params, body)
             self._macro_defaults[name] = defaults
             self._macro_epoch += 1
             return None
         body = render(tokens[k + 1 :]).strip().rstrip(";").strip()
-        if name in self._macros and not or_replace:
+        if (
+            name in self._macros or name in self._table_macros
+        ) and not or_replace:
             raise ValueError(f"Catalog Error: macro {name!r} already exists")
+        self._table_macros.pop(name, None)
         self._macros[name] = (params, body)
         self._macro_defaults[name] = defaults
         self._macro_epoch += 1

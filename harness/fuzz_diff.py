@@ -934,6 +934,75 @@ def gen_wave14_query():
     )
 
 
+def gen_wave15_query():
+    """Wave-15 shapes (round 11, same-round insurance over the probe
+    finds): trailing commas sprinkled across clause positions, mixed-
+    family INTERVAL arithmetic (+/-, SELECT and WHERE), macro
+    ``p := default`` create+call (scalar and table forms, named
+    overrides), and DESCRIBE-as-relation with downstream filters."""
+    r = rng.random()
+    if r < 0.28:
+        t = rng.choice(["orders", "customer", "part", "supplier"])
+        k, g, n = KEY_COLS[t], rng.choice(STR_COLS[t]), rng.choice(NUM_COLS[t])
+        tc = lambda: rng.choice([",", ""])  # noqa: E731
+        return (
+            f"SELECT {g} AS g, CAST(count(*) AS BIGINT) AS cnt,"
+            f" round(sum({n}), 1) AS s{tc()}"
+            f" FROM {t} WHERE substr({g}, 1, 1) IN ('A', 'B', 'C', 'M',"
+            f" 'P'{tc()}) GROUP BY {g}{tc()} ORDER BY g"
+        )
+    if r < 0.55:
+        months = rng.randint(1, 11)
+        days = rng.randint(1, 27)
+        hours = rng.choice(["", f" {rng.randint(1, 23)} hours"])
+        op = rng.choice(["+", "-"])
+        iv = f"INTERVAL '{months} months {days} days{hours}'"
+        if rng.random() < 0.5:
+            return (
+                f"SELECT o_orderkey, o_orderdate {op} {iv} AS d"
+                f" FROM orders ORDER BY o_orderkey"
+                f" LIMIT {rng.randint(5, 40)}"
+            )
+        return (
+            f"SELECT CAST(count(*) AS BIGINT) AS n FROM orders"
+            f" WHERE o_orderdate {op} {iv} >"
+            f" DATE '1995-{rng.randint(1, 12):02d}-15'"
+        )
+    if r < 0.80:
+        t = rng.choice(["orders", "supplier", "part"])
+        k, n = KEY_COLS[t], rng.choice(NUM_COLS[t])
+        w = rng.choice([10, 100, 1000])
+        ov = rng.choice(["", f", w := {rng.choice([7, 50, 500])}"])
+        mname = f"fz15m{rng.randint(0, 9)}"
+        if rng.random() < 0.5:
+            return (
+                f"CREATE OR REPLACE MACRO {mname}(x, w := {w}) AS"
+                f" CAST(x / w AS INTEGER);"
+                f" SELECT {mname}({n}{ov}) AS b,"
+                f" CAST(count(*) AS BIGINT) AS cnt"
+                f" FROM {t} GROUP BY b ORDER BY b"
+            )
+        m = rng.randint(2, 5)
+        return (
+            f"CREATE OR REPLACE MACRO {mname}(r := 0) AS TABLE"
+            f" SELECT {k} AS kk, {n} AS vv FROM {t}"
+            f" WHERE CAST({k} AS INTEGER) % {m} = r;"
+            f" SELECT CAST(count(*) AS BIGINT) AS cnt,"
+            f" round(sum(vv), 1) AS sv"
+            f" FROM {mname}(r := {rng.randint(0, m - 1)})"
+        )
+    t = rng.choice(["orders", "customer", "part", "supplier", "lineitem"])
+    inner = rng.choice([
+        t,
+        f"SELECT {KEY_COLS[t]}, {rng.choice(NUM_COLS[t])} FROM {t}",
+    ])
+    return (
+        f"SELECT column_name, column_type FROM (DESCRIBE {inner})"
+        f" WHERE column_type LIKE '%I%' OR column_name LIKE '%_%'"
+        f" ORDER BY column_name"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:

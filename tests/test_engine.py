@@ -2128,3 +2128,24 @@ def test_describe_and_summarize_as_relations(loaded_engine):
         "SELECT n_nationkey FROM nation ORDER BY (n_nationkey) DESC LIMIT 2"
     ).collect()
     assert [r[0] for r in rows] == [24, 23]
+
+
+def test_macro_or_replace_crosses_kinds(engine):
+    """Wave-15 fuzz find: macros live in ONE namespace — CREATE OR
+    REPLACE must evict a same-named macro of the other kind, and plain
+    CREATE must refuse it."""
+    import pytest
+
+    engine.execute("CREATE MACRO mk1(x) AS x + 1")
+    engine.execute(
+        "CREATE OR REPLACE MACRO mk1(r := 1) AS TABLE"
+        " SELECT range AS v FROM range(r)"
+    )
+    assert (
+        engine.execute("SELECT count(*) AS c FROM mk1(r := 3)").collect()[0][0]
+        == 3
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute("CREATE MACRO mk1(y) AS y * 2")
+    engine.execute("CREATE OR REPLACE MACRO mk1(y) AS y * 2")
+    assert engine.execute("SELECT mk1(4) AS v").collect()[0][0] == 8

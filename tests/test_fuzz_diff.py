@@ -186,3 +186,20 @@ def test_fuzz_wave14_round10_grammar(loaded_engine, fuzz_duck, fuzz_mod):
         d = fuzz_duck.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert fuzz_mod.rows_match(d, s), q
+
+
+def test_fuzz_wave15_round11_grammar(loaded_engine, fuzz_duck, fuzz_mod):
+    """Same-round insurance over the round-11 probe finds: trailing
+    commas across clause positions, mixed-family INTERVAL arithmetic,
+    macro := defaults (scalar + table create/call, named overrides),
+    DESCRIBE-as-relation — 40 seeded queries (hunt: 300 more over
+    seeds 15101-15103; the FIRST pass caught a real bug — CREATE OR
+    REPLACE MACRO did not replace across the scalar/table kind
+    boundary, so a stale scalar entry shadowed its table replacement —
+    fixed in _create_macro, clean after)."""
+    fuzz_mod.reseed(15000)
+    for _ in range(40):
+        q = fuzz_mod.gen_wave15_query()
+        d = fuzz_duck.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert fuzz_mod.rows_match(d, s), q
