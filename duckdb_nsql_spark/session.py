@@ -4664,6 +4664,10 @@ class DuckSparkSession:
             src = self._query("SELECT " + ", ".join(parts))
             cols = None
         else:
+            if re.search(r"\bDEFAULT\b", src_text, re.IGNORECASE):
+                src_text = self._replace_default_keywords(
+                    src_text, target, cols, defaults
+                )
             src_sql = self._expand_union_values_for_insert(
                 src_text, target, cols
             )
@@ -4836,6 +4840,76 @@ class DuckSparkSession:
                 pieces.append(t.text)
             out[lowered.get(col.lower(), col)] = "".join(pieces)
         return out
+
+    def _replace_default_keywords(
+        self,
+        src_text: str,
+        target: DataFrame,
+        cols: Optional[list[str]],
+        defaults: Optional[dict[str, str]],
+    ) -> str:
+        """``INSERT INTO t VALUES (DEFAULT, 2)`` — a bare DEFAULT keyword
+        in a VALUES cell takes the column's declared default (NULL when
+        none is declared), exactly DuckDB's per-cell form of the
+        DEFAULT VALUES statement (round-11 probe find). Only the VALUES
+        source form supports it; anything else passes through."""
+        toks = tokenize(src_text)
+        sig0 = next_sig(toks, -1)
+        if sig0 >= len(toks) or not toks[sig0].is_kw("VALUES"):
+            return src_text
+        tfields = target.schema.fields
+        if cols is not None:
+            by_name = {f.name.lower(): f for f in tfields}
+            pos_fields = [by_name.get(c.lower()) for c in cols]
+        else:
+            pos_fields = list(tfields)
+        out = list(toks)
+        k = next_sig(out, sig0)
+        while k < len(out) and out[k].kind == PUNCT and out[k].text == "(":
+            # replace DEFAULT cells one at a time, re-splitting after
+            # each replacement (token spans shift)
+            while True:
+                c = match_forward(out, k, "(", ")")
+                hit = None
+                for idx, (lo, hi) in enumerate(split_args(out, k + 1, c)):
+                    cell = [
+                        tk
+                        for tk in out[lo:hi]
+                        if tk.kind not in (WS, COMMENT)
+                    ]
+                    if (
+                        len(cell) == 1
+                        and cell[0].kind == IDENT
+                        and cell[0].upper == "DEFAULT"
+                    ):
+                        hit = (idx, lo, hi)
+                        break
+                if hit is None:
+                    break
+                idx, lo, hi = hit
+                f = pos_fields[idx] if idx < len(pos_fields) else None
+                d = (
+                    (defaults or {}).get(f.name.lower())
+                    if f is not None
+                    else None
+                )
+                repl = (
+                    f"({d})"
+                    if d
+                    else (
+                        f"CAST(NULL AS {f.dataType.simpleString()})"
+                        if f is not None
+                        else "NULL"
+                    )
+                )
+                out = out[:lo] + tokenize(repl) + out[hi:]
+            c = match_forward(out, k, "(", ")")
+            k = next_sig(out, c)
+            if k < len(out) and out[k].kind == PUNCT and out[k].text == ",":
+                k = next_sig(out, k)
+            else:
+                break
+        return render(out)
 
     def _expand_union_values_for_insert(
         self, src_sql: str, target: DataFrame, cols: Optional[list[str]]

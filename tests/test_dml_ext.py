@@ -746,3 +746,29 @@ def test_export_csv_mixed_manifest_real_duckdb_import(engine, sf_dir, tmp_path):
     assert n == engine.execute("SELECT count(*) FROM nation").collect()[0][0]
     dim = con.execute("SELECT len(embedding) FROM embeddings LIMIT 1").fetchone()[0]
     assert dim == 64
+
+
+def test_insert_default_keyword_in_values(engine):
+    """Per-cell DEFAULT in VALUES rows (round-11 probe find): takes the
+    declared column default, NULL when none; works positionally, with
+    column subsets, and mixed across rows — DuckDB-identical."""
+    import duckdb
+
+    d = duckdb.connect()
+    stmts = [
+        "CREATE TABLE dvk (a INTEGER DEFAULT 5, b INTEGER,"
+        " c VARCHAR DEFAULT 'x')",
+        "INSERT INTO dvk VALUES (DEFAULT, 1, DEFAULT)",
+        "INSERT INTO dvk VALUES (9, 2, DEFAULT), (DEFAULT, 3, 'y')",
+        "INSERT INTO dvk (c, b) VALUES (DEFAULT, 4)",
+        "INSERT INTO dvk (b) VALUES (5)",
+    ]
+    for q in stmts:
+        d.execute(q)
+        engine.execute(q)
+    want = d.execute("SELECT * FROM dvk ORDER BY b").fetchall()
+    got = [
+        tuple(r)
+        for r in engine.execute("SELECT * FROM dvk ORDER BY b").collect()
+    ]
+    assert list(map(str, want)) == list(map(str, got))
