@@ -7160,15 +7160,19 @@ _WINDOW_R10: tuple[str, ...] = (
 _REWITNESS_START = 43
 
 # READY-MADE DRAFT for the round-12 window (next round's builder:
-# verify against CORRECTNESS_r11.json, then promote to _WINDOW_R12).
-# _POST_FREEZE_R11 (below) leads — entries registered after _WINDOW_R11
-# froze, never driver-witnessed; the re-witness tail is the stalest
-# block, which after round 11 is the remaining round-6-witnessed SQL run
-# starting at q43_* plus the round-7-witnessed block (take the first
-# entries of `_registry_order()[50:]` from the round-11 tree until 50
-# slots fill). tests/test_window_ledger.py enforces the ≤6-round
-# staleness bound and that every never-witnessed entry is either in the
-# frozen window or declared here.
+# verify against CORRECTNESS_r11.json, then promote to _WINDOW_R12,
+# bump CURRENT_ROUND in tests/test_window_ledger.py, and declare any
+# post-freeze additions in a new _POST_FREEZE_R12).
+# _POST_FREEZE_R11 leads — entries registered after _WINDOW_R11 froze,
+# never driver-witnessed; the re-witness tail is the stalest block
+# (the remaining round-6/7-witnessed run from q43). Computed from the
+# round-11 tree (= _POST_FREEZE_R11 + _registry_order()[50:][:45]):
+#   op_dedup_minhash_xxhash, q140_trailing_commas, q141_mixed_interval,
+#   q142_macro_defaults, q143_describe_relation,
+#   then q43_exact_stats .. q87_list_comprehension in numeric order.
+# tests/test_window_ledger.py enforces the ≤6-round staleness bound and
+# that every never-witnessed entry is either in the frozen window or
+# declared post-freeze.
 _POST_FREEZE_R11: tuple[str, ...] = (
     "op_dedup_minhash_xxhash",
     "q140_trailing_commas",
