@@ -1211,15 +1211,66 @@ def pass_columns_regex(tokens: list[Token], resolver: Resolver) -> list[Token]:
         c = match_forward(tokens, o, "(", ")")
         k = next_sig(tokens, o)
         lam = None
+        star_matched: Optional[list[str]] = None
         if tokens[k].kind == OP and tokens[k].text == "*":
-            # COLUMNS(* [EXCLUDE ...]) — drop the wrapper; the star
-            # (and its EXCLUDE/REPLACE modifiers) are handled by the
-            # dedicated star passes
-            tokens = (
-                tokens[:i] + _trim(tokens[o + 1 : c]) + tokens[c + 1 :]
+            # COLUMNS(* [EXCLUDE ...]): bare -> drop the wrapper (the
+            # star passes handle the modifiers); FUNCTION-WRAPPED ->
+            # expand per column like the regex form — min(COLUMNS(*))
+            # is one min PER column in DuckDB (round-11 probe find; the
+            # old unconditional unwrap produced min(a, b, c) arity
+            # errors)
+            p0 = prev_sig(tokens, i)
+            q0 = next_sig(tokens, c)
+            f0 = (
+                prev_sig(tokens, p0)
+                if p0 >= 0
+                and tokens[p0].kind == PUNCT
+                and tokens[p0].text == "("
+                else -1
             )
-            continue
-        if tokens[k].kind != STRING:
+            fn_wrapped = (
+                f0 >= 0
+                and tokens[f0].kind == IDENT
+                and not tokens[f0].is_kw("SELECT", "WHERE", "AND", "OR", "BY")
+                and q0 < len(tokens)
+                and tokens[q0].kind == PUNCT
+                and tokens[q0].text == ")"
+            )
+            if not fn_wrapped:
+                tokens = (
+                    tokens[:i] + _trim(tokens[o + 1 : c]) + tokens[c + 1 :]
+                )
+                continue
+            if cols is None:
+                raise ValueError(
+                    "COLUMNS(...) requires a resolvable single-table "
+                    "FROM clause"
+                )
+            excl: set[str] = set()
+            e = next_sig(tokens, k)
+            # pass_exclude_to_except runs earlier and has usually
+            # already rewritten EXCLUDE -> EXCEPT inside the call
+            if (
+                e < c
+                and tokens[e].kind == IDENT
+                and tokens[e].upper in ("EXCLUDE", "EXCEPT")
+            ):
+                eo = next_sig(tokens, e)
+                if eo < c and tokens[eo].text == "(":
+                    ec = match_forward(tokens, eo, "(", ")")
+                    excl = {
+                        tk.text.strip('"').lower()
+                        for tk in tokens[eo + 1 : ec]
+                        if tk.kind in (IDENT, QIDENT)
+                    }
+                elif eo < c and tokens[eo].kind in (IDENT, QIDENT):
+                    excl = {tokens[eo].text.strip('"').lower()}
+            star_matched = [
+                col for col in cols if col.lower() not in excl
+            ]
+            if not star_matched:
+                raise ValueError("COLUMNS(* EXCLUDE ...) matched no columns")
+        elif tokens[k].kind != STRING:
             lam = _parse_columns_lambda(tokens, k, c)
             if lam is None:
                 i += 1
@@ -1228,7 +1279,9 @@ def pass_columns_regex(tokens: list[Token], resolver: Resolver) -> list[Token]:
             raise ValueError(
                 "COLUMNS(...) requires a resolvable single-table FROM clause"
             )
-        if lam is not None:
+        if star_matched is not None:
+            matched = star_matched
+        elif lam is not None:
             matched = [col for col in cols if lam(col)]
             if not matched:
                 raise ValueError("COLUMNS(lambda) matched no columns")
@@ -5281,6 +5334,50 @@ _GENERATOR_FNS = ("EXPLODE", "EXPLODE_OUTER", "POSEXPLODE", "INLINE",
                   "UNNEST")
 
 
+def pass_guard_lateral_limit(tokens: list[Token]) -> list[Token]:
+    """Spark 4.1's decorrelate-limit path SILENTLY returns an empty
+    result for a LATERAL derived table whose body carries a top-level
+    LIMIT (probed: correct per-key rows without the LIMIT, [] with it;
+    scalar-position correlated subqueries with LIMIT decorrelate
+    CORRECTLY, so the conf cannot be disabled globally). A silent empty
+    is the worst failure mode — raise loudly with the working rewrite
+    instead. Round-11 probe find."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == IDENT and t.upper == "LATERAL":
+            o = next_sig(tokens, i)
+            if (
+                o < len(tokens)
+                and tokens[o].kind == PUNCT
+                and tokens[o].text == "("
+            ):
+                c = match_forward(tokens, o, "(", ")")
+                depth = 0
+                for k in range(o + 1, min(c, len(tokens))):
+                    tk = tokens[k]
+                    if tk.kind == PUNCT and tk.text in "([{":
+                        depth += 1
+                    elif tk.kind == PUNCT and tk.text in ")]}":
+                        depth -= 1
+                    elif (
+                        depth == 0
+                        and tk.kind == IDENT
+                        and tk.upper == "LIMIT"
+                    ):
+                        raise NotImplementedError(
+                            "LATERAL subqueries with LIMIT are not "
+                            "supported: Spark's decorrelation silently "
+                            "returns empty results for this shape. "
+                            "Rewrite as a derived table with "
+                            "row_number() OVER (PARTITION BY <join key> "
+                            "ORDER BY ...) and filter rn <= n, then "
+                            "join on the key."
+                        )
+        i += 1
+    return tokens
+
+
 def pass_lateral_generators(tokens: list[Token]) -> list[Token]:
     """A generator table function after a comma in a FROM list —
     ``FROM g, unnest([x, x+1]) AS u(e)`` — may reference the preceding
@@ -7415,6 +7512,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_quantified_comparisons(tokens)
     tokens = pass_strip_materialized(tokens)
     tokens = pass_unnest_in_expr(tokens)
+    tokens = pass_guard_lateral_limit(tokens)
     tokens = pass_lateral_generators(tokens)
     tokens = pass_filter_where(tokens)
     tokens = pass_ignore_nulls_inside(tokens)

@@ -2201,6 +2201,19 @@ _sql(
     """,
 )
 
+_sql(
+    "q144_columns_star_agg",
+    # Function-wrapped COLUMNS(* [EXCLUDE ...]) expands to one call PER
+    # column (round-11 probe find: the old unconditional star unwrap
+    # produced min(a, b, c) arity errors). EXCLUDE arrives as EXCEPT
+    # from the earlier star pass; both spellings accepted.
+    """
+    SELECT min(COLUMNS(* EXCLUDE (o_orderstatus, o_orderpriority,
+                                  o_orderdate)))
+    FROM orders
+    """,
+)
+
 # TPC-H shapes q9/q12/q21 adapted to the driver schema (no partsupp /
 # shipmode / receiptdate columns in the testdata; the join/correlation
 # structure — the part the optimizer sees — is preserved exactly).
@@ -7179,6 +7192,7 @@ _POST_FREEZE_R11: tuple[str, ...] = (
     "q141_mixed_interval",
     "q142_macro_defaults",
     "q143_describe_relation",
+    "q144_columns_star_agg",
 )
 
 

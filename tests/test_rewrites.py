@@ -976,3 +976,40 @@ def test_mixed_interval_literal_split():
     # type for it, and erroring is the honest behavior
     out = rewrite_sql("SELECT INTERVAL '1 month 2 days' AS i")
     assert "INTERVAL '1 month 2 days'" in out
+
+
+def test_columns_star_wrapped_expands_per_column(loaded_engine):
+    """min(COLUMNS(*)) / min(COLUMNS(* EXCLUDE ...)) expand to one
+    aggregate per column like DuckDB (round-11 probe find)."""
+    row = loaded_engine.execute(
+        "SELECT min(COLUMNS(* EXCLUDE (n_name))) FROM nation"
+    ).collect()[0]
+    assert len(row) == 2  # n_nationkey, n_regionkey
+    row = loaded_engine.execute("SELECT max(COLUMNS(*)) FROM nation").collect()[0]
+    assert len(row) == 3
+
+
+def test_lateral_limit_guard_is_loud(loaded_engine):
+    """Correlated LATERAL + LIMIT silently returns EMPTY on Spark 4.1's
+    decorrelate-limit path — the engine must raise loudly instead
+    (round-11 probe find); LATERAL without LIMIT and scalar-position
+    correlated LIMIT keep working."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="LATERAL.*LIMIT"):
+        loaded_engine.execute(
+            "SELECT n.n_name, o.o_orderkey FROM nation n, LATERAL"
+            " (SELECT o_orderkey FROM orders WHERE o_custkey ="
+            " n.n_nationkey ORDER BY o_orderkey LIMIT 2) o"
+        )
+    n = loaded_engine.execute(
+        "SELECT count(*) AS n FROM nation n, LATERAL (SELECT o_orderkey"
+        " FROM orders WHERE o_custkey = n.n_nationkey) o"
+    ).collect()[0][0]
+    assert n > 0
+    first = loaded_engine.execute(
+        "SELECT c_custkey, (SELECT o_orderkey FROM orders WHERE"
+        " o_custkey = c_custkey ORDER BY o_orderdate, o_orderkey LIMIT 1)"
+        " AS fo FROM customer WHERE c_custkey <= 3 ORDER BY c_custkey"
+    ).collect()
+    assert len(first) == 4 and all(r[1] is not None for r in first)
