@@ -159,6 +159,89 @@ def pass_strip_semicolon(tokens: list[Token]) -> list[Token]:
     return tokens
 
 
+_DOLLAR_TAG = re.compile(r"\$([A-Za-z_]\w*)?\$")
+
+
+def pass_dollar_strings(tokens: list[Token]) -> list[Token]:
+    """PostgreSQL/DuckDB dollar-quoted strings ($$...$$ / $tag$...$tag$)
+    -> standard single-quoted literals (content verbatim, quotes
+    doubled). The tokenizer lexed them losslessly as one STRING token;
+    normalizing here (FIRST in the pipeline) lets every later pass —
+    including pass_escape_backslashes — treat them like any other
+    string. Round-11 probe find."""
+    out: list[Token] = []
+    for t in tokens:
+        if t.kind == STRING and t.text.startswith("$"):
+            m = _DOLLAR_TAG.match(t.text)
+            tag = m.group(0)
+            inner = t.text[len(tag) : -len(tag)]
+            out.append(Token(STRING, "'" + inner.replace("'", "''") + "'"))
+        else:
+            out.append(t)
+    return out
+
+
+def pass_underscore_numbers(tokens: list[Token]) -> list[Token]:
+    """DuckDB numeric literals with digit-group underscores
+    (``1_000_000``, ``1.000_1``) — the tokenizer lexes them as NUMBER +
+    adjacent IDENT of the form (_digits)+; merge and strip the
+    underscores (Spark has no such literals). Adjacency is required
+    (no whitespace token between), so ``1 _x`` stays an identifier.
+    Round-11 probe find."""
+    out: list[Token] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if (
+            t.kind == NUMBER
+            and i + 1 < len(tokens)
+            and tokens[i + 1].kind == IDENT
+            and re.fullmatch(r"(?:_\d+)+", tokens[i + 1].text)
+        ):
+            out.append(
+                Token(NUMBER, t.text + tokens[i + 1].text.replace("_", ""))
+            )
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def pass_offset_before_limit(tokens: list[Token]) -> list[Token]:
+    """DuckDB accepts ``OFFSET n LIMIT m`` in either order; Spark only
+    parses ``LIMIT m OFFSET n``. Swap the adjacent clause pair.
+    Round-11 probe find."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "OFFSET":
+            a = next_sig(out, i)
+            if a < len(out) and out[a].kind == NUMBER:
+                b = next_sig(out, a)
+                if b < len(out) and out[b].is_kw("LIMIT"):
+                    c = next_sig(out, b)
+                    end = c
+                    if c < len(out) and out[c].kind == NUMBER:
+                        d = next_sig(out, c)
+                        if d < len(out) and (
+                            out[d].is_kw("PERCENT")
+                            or (out[d].kind == OP and out[d].text == "%")
+                        ):
+                            end = d
+                        new = (
+                            out[b : end + 1]
+                            + [_ws()]
+                            + _trim(out[i : a + 1])
+                        )
+                        out = out[:i] + new + out[end + 1 :]
+                        i += len(new)
+                        continue
+        i += 1
+    return out
+
+
 _TRAILING_COMMA_NEXT = {
     "FROM", "WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
     "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT",
@@ -7504,9 +7587,12 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     """Run all passes over a DuckDB-dialect statement -> Spark SQL text."""
     resolver = resolver or NullResolver()
     tokens = tokenize(sql)
+    tokens = pass_dollar_strings(tokens)
+    tokens = pass_underscore_numbers(tokens)
     tokens = pass_escape_backslashes(tokens)
     tokens = pass_strip_semicolon(tokens)
     tokens = pass_trailing_commas(tokens)
+    tokens = pass_offset_before_limit(tokens)
     tokens = pass_quoted_idents(tokens)
     tokens = pass_distinct_on(tokens)
     tokens = pass_quantified_comparisons(tokens)

@@ -57,11 +57,30 @@ class Token:
         return self.text.upper()
 
 
+# Dollar-quoted string opener: $$ or $tag$ (PostgreSQL/DuckDB form).
+# $1-style prepared-statement params deliberately do NOT match (digit
+# tags are invalid), so they keep lexing as PUNCT '$' + NUMBER.
+_DOLLAR_OPEN = re.compile(r"\$([A-Za-z_]\w*)?\$")
+
+
 def tokenize(sql: str) -> list[Token]:
     tokens: list[Token] = []
     pos = 0
     n = len(sql)
     while pos < n:
+        if sql[pos] == "$":
+            # dollar-quoted string: one lossless STRING token (content
+            # may hold quotes and semicolons — statement splitting and
+            # every pass must see it as opaque); normalization to a
+            # standard quoted literal happens in pass_dollar_strings
+            mo = _DOLLAR_OPEN.match(sql, pos)
+            if mo is not None:
+                tag = mo.group(0)
+                end = sql.find(tag, mo.end())
+                if end != -1:
+                    tokens.append(Token(STRING, sql[pos : end + len(tag)]))
+                    pos = end + len(tag)
+                    continue
         m = _TOKEN_RE.match(sql, pos)
         if m is None:
             # unknown byte: pass through as punct so we never lose text

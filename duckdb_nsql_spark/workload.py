@@ -2214,6 +2214,21 @@ _sql(
     """,
 )
 
+_sql(
+    "q145_lexical_forms",
+    # Round-11 lexical probe finds in one statement: dollar-quoted
+    # strings (lossless single token through statement splitting, then
+    # normalized), digit-group underscores in numeric literals, and
+    # OFFSET-before-LIMIT clause order.
+    """
+    SELECT o_orderkey,
+           $$priority: 'high'$$ AS tag,
+           o_totalprice < 1_000_000 AS affordable
+    FROM orders
+    ORDER BY o_orderkey OFFSET 5 LIMIT 20
+    """,
+)
+
 # TPC-H shapes q9/q12/q21 adapted to the driver schema (no partsupp /
 # shipmode / receiptdate columns in the testdata; the join/correlation
 # structure — the part the optimizer sees — is preserved exactly).
@@ -7193,6 +7208,7 @@ _POST_FREEZE_R11: tuple[str, ...] = (
     "q142_macro_defaults",
     "q143_describe_relation",
     "q144_columns_star_agg",
+    "q145_lexical_forms",
 )
 
 

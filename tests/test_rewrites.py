@@ -1013,3 +1013,19 @@ def test_lateral_limit_guard_is_loud(loaded_engine):
         " AS fo FROM customer WHERE c_custkey <= 3 ORDER BY c_custkey"
     ).collect()
     assert len(first) == 4 and all(r[1] is not None for r in first)
+
+
+def test_lexical_forms_round11():
+    """Dollar-quoted strings normalize to single-quoted literals (tag
+    and tagless; quotes doubled), numeric underscores strip, and
+    OFFSET-before-LIMIT swaps to Spark's order. $1 params unaffected."""
+    out = rewrite_sql("SELECT $$it's x$$ AS s")
+    assert "'it''s x'" in out
+    out = rewrite_sql("SELECT $t$a $$ b; c$t$ AS s")
+    assert "'a $$ b; c'" in out
+    out = rewrite_sql("SELECT 1_000_000 + 1.000_5 AS n")
+    assert "1000000" in out and "1.0005" in out
+    out = rewrite_sql("SELECT a FROM t ORDER BY a OFFSET 3 LIMIT 2")
+    assert "LIMIT 2 OFFSET 3" in out
+    out = rewrite_sql("SELECT a FROM t WHERE x = $1")
+    assert "$1" in out  # prepared-statement params keep their spelling
