@@ -1397,6 +1397,11 @@ class DuckSparkSession:
             base = self._query(pm.group(1))
             k = int(base.count() * float(pm.group(2)) / 100.0)
             return base.limit(k), False  # count is build-time data
+        if re.search(r"\bLIMIT\s+\d+(?:\.\d+)?\s*(?:%|PERCENT\b)", sql, re.IGNORECASE):
+            expanded, changed = self._expand_percent_limits(sql)
+            if changed:
+                df, _ = self._query_impl(expanded)
+                return df, False  # embedded count is build-time data
         piv = self._inline_pivot_subqueries(sql)
         if piv != sql:
             # pivot-value discovery ran at plan time (build-time data,
@@ -2347,6 +2352,51 @@ class DuckSparkSession:
                 continue
             i += 1
         return out
+
+    def _expand_percent_limits(self, sql: str) -> tuple[str, bool]:
+        """``LIMIT p%`` / ``LIMIT p PERCENT`` in SUBQUERY position (the
+        top-level tail form has its own fast path): compute the body's
+        row count at plan time — the same information DuckDB's ordered
+        materialization has for free — and substitute the literal k.
+        Round-11 probe find (only the statement-tail % spelling was
+        handled)."""
+        changed = False
+        while True:
+            toks = tokenize(sql)
+            found = None
+            for i, t in enumerate(toks):
+                if t.kind == IDENT and t.upper == "LIMIT":
+                    a = next_sig(toks, i)
+                    if a < len(toks) and toks[a].kind == NUMBER:
+                        b = next_sig(toks, a)
+                        if b < len(toks) and (
+                            (toks[b].kind == OP and toks[b].text == "%")
+                            or toks[b].is_kw("PERCENT")
+                        ):
+                            found = (i, a, b)
+                            break
+            if found is None:
+                return sql, changed
+            i, a, b = found
+            # enclosing subquery opener (whole statement when top-level)
+            depth = 0
+            open_idx = None
+            for j in range(i - 1, -1, -1):
+                tk = toks[j]
+                if tk.kind == PUNCT and tk.text in ")]}":
+                    depth += 1
+                elif tk.kind == PUNCT and tk.text in "([{":
+                    if depth == 0:
+                        open_idx = j
+                        break
+                    depth -= 1
+            body = render(
+                toks[(open_idx + 1 if open_idx is not None else 0) : i]
+            )
+            n = self._query(body).count()
+            k = int(n * float(toks[a].text) / 100.0)
+            sql = render(toks[:i]) + f"LIMIT {k}" + render(toks[b + 1 :])
+            changed = True
 
     def _rewrite_query(self, sql: str, validate_only: bool = False) -> str:
         tokens = tokenize(sql)

@@ -2229,6 +2229,19 @@ _sql(
     """,
 )
 
+_sql(
+    "q146_percent_limit_subquery",
+    # LIMIT p% / LIMIT p PERCENT inside a subquery (round-11 probe
+    # find: only the statement-tail % spelling was handled). The body
+    # count is computed at plan time — build-time data, never cached.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS total
+    FROM (SELECT o_totalprice FROM orders
+          ORDER BY o_orderkey LIMIT 20 PERCENT) t
+    """,
+)
+
 # TPC-H shapes q9/q12/q21 adapted to the driver schema (no partsupp /
 # shipmode / receiptdate columns in the testdata; the join/correlation
 # structure — the part the optimizer sees — is preserved exactly).
@@ -7209,6 +7222,7 @@ _POST_FREEZE_R11: tuple[str, ...] = (
     "q143_describe_relation",
     "q144_columns_star_agg",
     "q145_lexical_forms",
+    "q146_percent_limit_subquery",
 )
 
 

@@ -2149,3 +2149,27 @@ def test_macro_or_replace_crosses_kinds(engine):
         engine.execute("CREATE MACRO mk1(y) AS y * 2")
     engine.execute("CREATE OR REPLACE MACRO mk1(y) AS y * 2")
     assert engine.execute("SELECT mk1(4) AS v").collect()[0][0] == 8
+
+
+def test_percent_limit_everywhere(loaded_engine):
+    """LIMIT p% / p PERCENT in subquery position and the PERCENT
+    keyword at top level (round-11 probe find); the modulo operator
+    stays untouched."""
+    n = loaded_engine.execute(
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM"
+        " (SELECT * FROM orders LIMIT 10%) t"
+    ).collect()[0][0]
+    total = loaded_engine.execute(
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM orders"
+    ).collect()[0][0]
+    assert n == int(total * 0.10)
+    n2 = loaded_engine.execute(
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM"
+        " (SELECT * FROM orders LIMIT 5 PERCENT) t"
+    ).collect()[0][0]
+    assert n2 == int(total * 0.05)
+    m = loaded_engine.execute(
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM orders"
+        " WHERE CAST(o_orderkey AS INTEGER) % 7 = 0"
+    ).collect()[0][0]
+    assert 0 < m < total
