@@ -6133,7 +6133,17 @@ def pass_mixed_interval_literal(tokens: list[Token]) -> list[Token]:
     order are both preserved (2024-03-31 + '1 month 2 days' = Apr 30 +
     2 days = May 2 on both engines). Non-arithmetic mixed literals
     (bare SELECT items, comparisons) stay untouched — Spark's error is
-    the honest answer there (no Spark type holds the mixed value)."""
+    the honest answer there (no Spark type holds the mixed value).
+
+    A SCALED literal ``x + INTERVAL '1 month 2 days' * 2`` binds the
+    ``*`` tighter than the ``+``, so splitting only the literal would
+    distribute ``+`` over part of the scaled value (a silent wrong
+    result — round-11 advice). Interval scaling is linear, so an
+    integer ``* n`` chain distributes to BOTH halves
+    (``x + ym*n + dt*n``, DuckDB-verified); any other trailing ``*``/
+    ``/`` operand (fractional, column, division — Spark's ym-interval
+    rounding diverges) leaves the literal untouched and Spark's honest
+    mixed-literal error stands."""
     out = list(tokens)
     i = 0
     while i < len(out):
@@ -6149,13 +6159,40 @@ def pass_mixed_interval_literal(tokens: list[Token]) -> list[Token]:
                     and out[op_i].kind == OP
                     and out[op_i].text in ("+", "-")
                 ):
-                    ym, dt = split
-                    new = tokenize(
-                        f"INTERVAL '{ym}' {out[op_i].text} INTERVAL '{dt}'"
-                    )
-                    out = out[:i] + new + out[s_i + 1 :]
-                    i += len(new)
-                    continue
+                    # Consume a trailing scale chain: only integer `* n`
+                    # steps are distributable; any other */ operand
+                    # disqualifies the whole rewrite.
+                    chain = ""
+                    end = s_i
+                    ok = True
+                    j = next_sig(out, s_i)
+                    while (
+                        j < len(out)
+                        and out[j].kind == OP
+                        and out[j].text in ("*", "/")
+                    ):
+                        k = next_sig(out, j)
+                        if (
+                            out[j].text == "*"
+                            and k < len(out)
+                            and out[k].kind == NUMBER
+                            and re.fullmatch(r"\d+", out[k].text)
+                        ):
+                            chain += f" * {out[k].text}"
+                            end = k
+                            j = next_sig(out, k)
+                        else:
+                            ok = False
+                            break
+                    if ok:
+                        ym, dt = split
+                        new = tokenize(
+                            f"INTERVAL '{ym}'{chain} {out[op_i].text} "
+                            f"INTERVAL '{dt}'{chain}"
+                        )
+                        out = out[:i] + new + out[end + 1 :]
+                        i += len(new)
+                        continue
         i += 1
     return out
 
@@ -6188,6 +6225,15 @@ def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
             while True:
                 k = prev_sig(out, lstart)
                 if k >= 0 and out[k].kind == OP and out[k].text == "::":
+                    lstart = primary_start(out, k)
+                elif k >= 0 and out[k].kind == OP and out[k].text in ("*", "/"):
+                    # multiplicative chain: the left operand of the +/-
+                    # is the whole product (x * 2 + INTERVAL ..) — keep
+                    # walking so a scaled-interval left side
+                    # (INTERVAL '1 month' * 2 + INTERVAL '2 days' * 2,
+                    # emitted by the mixed-literal split) reaches the
+                    # interval-left skip below instead of casting the
+                    # bare scale factor to TIMESTAMP
                     lstart = primary_start(out, k)
                 elif (
                     k >= 0

@@ -160,7 +160,7 @@ def minhash_bands_jvm(
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """JVM-side twin of :func:`minhash_bands_udf` — the 100 TB
-    deployment path (``hash='xxhash64'``). Returns (doc_id, bands).
+    deployment path (``hash_mode='xxhash64'``). Returns (doc_id, bands).
 
     The classic single-hash MinHash construction (Broder; the scheme
     MLlib's MinHashLSH uses): one ``xxhash64`` per shingle, permutation
@@ -245,7 +245,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
-    hash: str = "md5",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) via banded minhash LSH.
 
@@ -255,13 +255,13 @@ def minhash_lsh_candidates(
     pathological bucket (mass-duplicated boilerplate) is exactly the AQE
     skew-join case. No O(n²) stage anywhere.
 
-    ``hash`` picks the signature backend: ``'md5'`` (default) runs the
-    Arrow-batched hashlib UDF whose bytes DuckDB replays exactly — the
-    cross-engine-verifiable mode; ``'xxhash64'`` runs the all-JVM
-    :func:`minhash_bands_expr` — the 100 TB throughput mode, where the
+    ``hash_mode`` picks the signature backend: ``'md5'`` (default) runs
+    the Arrow-batched hashlib UDF whose bytes DuckDB replays exactly —
+    the cross-engine-verifiable mode; ``'xxhash64'`` runs the all-JVM
+    :func:`minhash_bands_jvm` — the 100 TB throughput mode, where the
     per-document perm×shingle Python loop would be the ceiling.
     """
-    if hash == "md5":
+    if hash_mode == "md5":
         # The signature UDF is the dominant cost (perm x shingle md5 in
         # Python); a single-file corpus scans as row-group-count tasks
         # (often < cores), leaving most workers idle through the whole
@@ -278,12 +278,14 @@ def minhash_lsh_candidates(
             F.col(id_col).alias("doc_id"),
             bands_fn(normalize_text(F.col(text_col))).alias("bands"),
         )
-    elif hash == "xxhash64":
+    elif hash_mode == "xxhash64":
         with_bands = minhash_bands_jvm(
             df, text_col, id_col, num_perm, bands
         )
     else:
-        raise ValueError(f"unknown hash mode {hash!r} (md5 | xxhash64)")
+        raise ValueError(
+            f"unknown hash mode {hash_mode!r} (md5 | xxhash64)"
+        )
     banded = _persist_small(
         with_bands.select(
             "doc_id", F.posexplode("bands").alias("band", "bandsig")

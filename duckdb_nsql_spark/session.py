@@ -1060,7 +1060,16 @@ class DuckSparkSession:
         collected through Spark's OWN parquet read, so the rebuilt
         LocalRelation is bit-identical to what the scan would produce —
         no Python-side re-interpretation of parquet types. Non-scalar
-        columns (arrays, structs, binary) keep the distributed scan."""
+        columns (arrays, structs, binary) keep the distributed scan.
+
+        SNAPSHOT SEMANTICS (round-12 advice note): unlike the lazy scan
+        it replaces, the LocalRelation is collected ONCE at
+        registration — later external changes to the backing parquet
+        file are not seen until the table is re-registered (calling
+        register_parquet_dir again re-collects). That is correct for
+        the immutable bench/test data this engine reads; in-session
+        DML never goes through this path (INSERT/UPDATE/ALTER replace
+        the registered DataFrame itself, so mutations stay visible)."""
         if not all(
             isinstance(f.dataType, self._LOCALIZABLE_TYPES)
             for f in df.schema.fields

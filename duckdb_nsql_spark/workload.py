@@ -2788,14 +2788,14 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-JVM minhash banding (hash='xxhash64') — the 100 TB throughput
+    """All-JVM minhash banding (hash_mode='xxhash64') — the 100 TB throughput
     mode of op_dedup_minhash_lsh. Deterministic, but xxhash64 has no
     DuckDB twin, so the driver records the weaker rows-only check; the
     md5 entry stays the hash-exact cross-engine witness, and the two
     modes are pinned pair-identical on clear duplicate structure by
     tests/test_pipeline_ops.py."""
     return dedup.minhash_lsh_candidates(
-        _docs(spark, sf_dir), hash="xxhash64"
+        _docs(spark, sf_dir), hash_mode="xxhash64"
     ).orderBy("id_a", "id_b")
 
 
@@ -7066,18 +7066,81 @@ OPERATORS: dict[str, tuple[Callable, Optional[str]]] = {
 # ---------------------------------------------------------------------------
 
 
-# Round-11 driver window: a full 50-entry STATIC literal, updated once
+# Round-12 driver window: a full 50-entry STATIC literal, updated once
 # per round by hand — no rotation state, no reading evaluator artifacts
-# at import time. Round 11 leads with the 8 entries registered after
-# _WINDOW_R10 froze (never driver-witnessed: the round-10 second-sitting
-# additions q135-q139 + op_doc_retrieval_embed / op_layout_recommendation
-# / op_compaction_audit), then re-witnesses the stalest block — the
-# round-6-witnessed SQL run q02..q42 (42 entries). 8 + 42 = exactly the
-# driver's 50-entry window; after round 11 the union is 256/256 (zero
-# self-certified entries) and nothing is staler than round 6 (5 rounds).
-# Everything outside the window is re-proven every round by
-# tests/test_oracle_parity.py at the driver's sf0.01;
-# tests/test_window_ledger.py enforces the staleness bound.
+# at import time. Round 12 leads with the 8 entries registered after
+# _WINDOW_R11 froze (never driver-witnessed: the round-11 late additions
+# q140-q146 + op_dedup_minhash_xxhash — the round's flagship JVM-hash
+# scale seam), then re-witnesses the stalest block — the
+# round-7-witnessed SQL run q43..q84 (42 entries). 8 + 42 = exactly the
+# driver's 50-entry window; after round 12 the union is 264/264 (zero
+# self-certified entries, modulo entries registered this round and
+# declared in _POST_FREEZE_R12). Everything outside the window is
+# re-proven every round by tests/test_oracle_parity.py at the driver's
+# sf0.01; tests/test_window_ledger.py enforces the staleness bound.
+_WINDOW_R12: tuple[str, ...] = (
+    # registered after _WINDOW_R11 froze — never driver-witnessed
+    "op_dedup_minhash_xxhash",
+    "q140_trailing_commas",
+    "q141_mixed_interval",
+    "q142_macro_defaults",
+    "q143_describe_relation",
+    "q144_columns_star_agg",
+    "q145_lexical_forms",
+    "q146_percent_limit_subquery",
+    # stalest re-witnesses: the round-7-witnessed SQL block q43..q84
+    # (exactly _POST_FREEZE_R11 + the round-11 tree's
+    # _registry_order()[50:][:42], as the round-11 draft prescribed)
+    "q43_exact_stats",
+    "q44_recursive_cte",
+    "q45_arg_max_min",
+    "q46_unnest_words",
+    "q47_series_gaps",
+    "q48_date_part_dayname",
+    "q49_string_agg_ordered",
+    "q50_distinct_on",
+    "q51_regexp_replace_first",
+    "q52_quantiles_exact",
+    "q53_math_string_batch",
+    "q54_bit_bool_aggs",
+    "q55_array_agg",
+    "q56_range_series",
+    "q57_time_bucket",
+    "q58_union_by_name",
+    "q59_outer_joins",
+    "q60_semi_anti_joins",
+    "q61_full_outer",
+    "q62_try_cast_nullif",
+    "q63_interval_arith",
+    "q64_struct_functions",
+    "q65_window_frames",
+    "q66_lateral_where_alias",
+    "q67_is_distinct_from",
+    "q68_rank_distribution",
+    "q69_string_pad_repeat",
+    "q70_bitwise",
+    "q71_hash_digests",
+    "q72_map_ops",
+    "q73_regex_operators",
+    "q74_power_operator",
+    "q75_trim_char_sets",
+    "q76_math_edge_functions",
+    "q77_first_last_ordered",
+    "q78_moment_aggs",
+    "q79_list_function_batch",
+    "q80_string_distances",
+    "q81_date_conventions",
+    "q82_format_typeof_bar",
+    "q83_python_aggs",
+    "q84_create_macro",
+)
+
+# Entries registered AFTER _WINDOW_R12 froze (never driver-witnessed;
+# they lead the _WINDOW_R13 draft per tests/test_window_ledger.py).
+_POST_FREEZE_R12: tuple[str, ...] = ()
+
+# Round-11 window kept for the staleness ledger (tests/test_window_ledger):
+# these earned driver rows in CORRECTNESS_r11.json.
 _WINDOW_R11: tuple[str, ...] = (
     # registered after _WINDOW_R10 froze — never driver-witnessed
     # (three of them are round-10 flagship closures: embed retrieval =
@@ -7196,24 +7259,24 @@ _WINDOW_R10: tuple[str, ...] = (
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
-# q02..q42 are in the round-11 window, so the stalest SQL outside it
-# starts at q43 — the tail runs in numeric order from there and wraps.
-_REWITNESS_START = 43
+# q43..q84 are in the round-12 window, so the stalest SQL outside it
+# starts at q85 — the tail runs in numeric order from there and wraps
+# (q02..q42, round-11-witnessed, come last).
+_REWITNESS_START = 85
 
-# READY-MADE DRAFT for the round-12 window (next round's builder:
-# verify against CORRECTNESS_r11.json, then promote to _WINDOW_R12,
+# READY-MADE DRAFT for the round-13 window (next round's builder:
+# verify against CORRECTNESS_r12.json, then promote to _WINDOW_R13,
 # bump CURRENT_ROUND in tests/test_window_ledger.py, and declare any
-# post-freeze additions in a new _POST_FREEZE_R12).
-# _POST_FREEZE_R11 leads — entries registered after _WINDOW_R11 froze,
-# never driver-witnessed; the re-witness tail is the stalest block
-# (the remaining round-6/7-witnessed run from q43). Computed from the
-# round-11 tree (= _POST_FREEZE_R11 + _registry_order()[50:][:45]):
-#   op_dedup_minhash_xxhash, q140_trailing_commas, q141_mixed_interval,
-#   q142_macro_defaults, q143_describe_relation,
-#   then q43_exact_stats .. q87_list_comprehension in numeric order.
+# post-freeze additions in a new _POST_FREEZE_R13).
+# _POST_FREEZE_R12 leads (entries registered after _WINDOW_R12 froze,
+# never driver-witnessed), then the stalest re-witness block — the
+# remaining round-7-witnessed run from q85 (= this tree's
+# _registry_order()[50:], truncated to fill 50 slots).
 # tests/test_window_ledger.py enforces the ≤6-round staleness bound and
 # that every never-witnessed entry is either in the frozen window or
 # declared post-freeze.
+
+# Round-11 post-freeze declarations (history; these lead _WINDOW_R12).
 _POST_FREEZE_R11: tuple[str, ...] = (
     "op_dedup_minhash_xxhash",
     "q140_trailing_commas",
@@ -7234,17 +7297,17 @@ def _registry_order() -> list[str]:
     nondeterministic (it sniffed evaluator artifacts) and self-defeating
     (verified entries rotated out of the window, so a regression could
     hide for a round). The order is now a hand-maintained static literal:
-    the driver's 50-entry window (`_WINDOW_R11`) leads with the entries
+    the driver's 50-entry window (`_WINDOW_R12`) leads with the entries
     that have never earned a driver correctness row, then re-witnesses
     by staleness (oldest driver row first); the remainder is every
     other entry in numeric registration order ROTATED to start at
-    _REWITNESS_START (q43: the oldest SQL block left after the r11
-    window is the round-6-witnessed tail, which starts there). Entries
+    _REWITNESS_START (q85: the oldest SQL block left after the r12
+    window is the round-7-witnessed tail, which starts there). Entries
     outside the window are re-proven every round by
     tests/test_oracle_parity.py, which runs the SAME engine-vs-DuckDB
     compare at the driver's sf0.01.
     """
-    head = list(_WINDOW_R11)
+    head = list(_WINDOW_R12)
     head_set = set(head)
 
     def qnum(n: str) -> int:

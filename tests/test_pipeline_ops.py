@@ -864,7 +864,7 @@ def test_minhash_xxhash_mode_matches_md5_on_clear_structure(spark):
     def pairset(mode):
         return {
             (r["id_a"], r["id_b"])
-            for r in dedup.minhash_lsh_candidates(docs, hash=mode).collect()
+            for r in dedup.minhash_lsh_candidates(docs, hash_mode=mode).collect()
         }
 
     md5_pairs = pairset("md5")
@@ -881,11 +881,11 @@ def test_minhash_xxhash_mode_matches_md5_on_clear_structure(spark):
 def test_minhash_xxhash_mode_is_all_jvm(docs):
     # the scale mode must not schedule Python workers: no pythonUDF /
     # ArrowEvalPython in the executed plan
-    df = dedup.minhash_lsh_candidates(docs, hash="xxhash64")
+    df = dedup.minhash_lsh_candidates(docs, hash_mode="xxhash64")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "pythonUDF" not in plan, plan
 
 
 def test_minhash_unknown_hash_mode_rejected(docs):
     with pytest.raises(ValueError, match="md5 | xxhash64"):
-        dedup.minhash_lsh_candidates(docs, hash="sha1")
+        dedup.minhash_lsh_candidates(docs, hash_mode="sha1")

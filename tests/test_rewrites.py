@@ -978,6 +978,38 @@ def test_mixed_interval_literal_split():
     assert "INTERVAL '1 month 2 days'" in out
 
 
+def test_mixed_interval_scaled_literal():
+    """A scaled mixed literal ``x + INTERVAL '...' * n`` must distribute
+    the integer scale chain to BOTH halves (interval scaling is linear),
+    never split around it (round-12 advice: the old split applied the
+    ``* n`` to only the day-time half — silent wrong result). Fractional,
+    division, and column scales stay untouched (Spark's honest error)."""
+    out = rewrite_sql("SELECT d + INTERVAL '1 month 2 days' * 2 AS x FROM t")
+    assert "INTERVAL '1 month' * 2 + INTERVAL '2 days' * 2" in out
+    out = rewrite_sql("SELECT d - INTERVAL '1 month 2 days' * 2 * 3 AS x FROM t")
+    assert "INTERVAL '1 month' * 2 * 3 - INTERVAL '2 days' * 2 * 3" in out
+    # disqualifying scales: literal left whole (no partial distribution)
+    for tail in ("* 2.5", "/ 2", "* n", "* 2 / 3"):
+        out = rewrite_sql(
+            f"SELECT d + INTERVAL '1 month 2 days' {tail} AS x FROM t"
+        )
+        assert "INTERVAL '1 month 2 days'" in out, tail
+
+
+def test_mixed_interval_scaled_matches_duckdb(loaded_engine):
+    """The round-12 advice repro: DuckDB 2024-03-19, the old rewrite
+    2024-02-19."""
+    import duckdb
+
+    sql = (
+        "SELECT CAST(DATE '2024-01-15' + INTERVAL '1 month 2 days' * 2"
+        " AS DATE) AS d"
+    )
+    got = loaded_engine.execute(sql).collect()[0]["d"]
+    want = duckdb.sql(sql).fetchone()[0]
+    assert str(got) == str(want) == "2024-03-19"
+
+
 def test_columns_star_wrapped_expands_per_column(loaded_engine):
     """min(COLUMNS(*)) / min(COLUMNS(* EXCLUDE ...)) expand to one
     aggregate per column like DuckDB (round-11 probe find)."""
