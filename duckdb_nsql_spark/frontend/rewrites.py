@@ -5417,28 +5417,184 @@ _GENERATOR_FNS = ("EXPLODE", "EXPLODE_OUTER", "POSEXPLODE", "INLINE",
                   "UNNEST")
 
 
-def pass_guard_lateral_limit(tokens: list[Token]) -> list[Token]:
-    """Spark 4.1's decorrelate-limit path SILENTLY returns an empty
-    result for a LATERAL derived table whose body carries a top-level
-    LIMIT (probed: correct per-key rows without the LIMIT, [] with it;
-    scalar-position correlated subqueries with LIMIT decorrelate
-    CORRECTLY, so the conf cannot be disabled globally). A silent empty
-    is the worst failure mode — raise loudly with the working rewrite
-    instead. Round-11 probe find."""
-    i = 0
-    while i < len(tokens):
-        t = tokens[i]
-        if t.kind == IDENT and t.upper == "LATERAL":
-            o = next_sig(tokens, i)
+_LATERAL_LIMIT_GUARD_MSG = (
+    "LATERAL subqueries with LIMIT over this body shape are not "
+    "supported (DISTINCT / set operations / GROUP BY ALL / non-integer "
+    "LIMIT): Spark's decorrelation silently returns empty results for "
+    "LATERAL ... LIMIT, and the automatic row_number() rewrite cannot "
+    "express this body. Rewrite manually as a derived table with "
+    "row_number() OVER (PARTITION BY <join key> ORDER BY ...) filtered "
+    "to rn <= n, joined on the key."
+)
+
+_OB_TRAILERS = {"ASC", "DESC", "NULLS", "FIRST", "LAST"}
+
+
+def _rewrite_lateral_limit_body(body: list[Token]) -> list[Token]:
+    """Rewrite a LATERAL body carrying a top-level LIMIT into the
+    row_number() form Spark decorrelates correctly; raise the narrow
+    guard for shapes the rewrite cannot express."""
+    sel_i = next_sig(body, -1)
+    if not (
+        sel_i < len(body)
+        and body[sel_i].kind == IDENT
+        and body[sel_i].upper == "SELECT"
+    ):
+        raise NotImplementedError(_LATERAL_LIMIT_GUARD_MSG)
+    n1 = next_sig(body, sel_i)
+    if (
+        n1 < len(body)
+        and body[n1].kind == IDENT
+        and body[n1].upper == "DISTINCT"
+    ):
+        raise NotImplementedError(_LATERAL_LIMIT_GUARD_MSG)
+    from_i = ob_i = limit_i = offset_i = None
+    depth = 0
+    prev_u = ""
+    for k, tk in enumerate(body):
+        if tk.kind == PUNCT and tk.text in "([{":
+            depth += 1
+        elif tk.kind == PUNCT and tk.text in ")]}":
+            depth -= 1
+        elif depth == 0 and tk.kind == IDENT:
+            u = tk.upper
+            if u == "FROM" and from_i is None:
+                from_i = k
+            elif u == "ORDER" and from_i is not None:
+                ob_i = k
+            elif u == "LIMIT":
+                limit_i = k
+            elif u == "OFFSET":
+                offset_i = k
+            elif u in ("UNION", "INTERSECT"):
+                raise NotImplementedError(_LATERAL_LIMIT_GUARD_MSG)
+            elif u == "EXCEPT":
+                p = prev_sig(body, k)
+                if not (p >= 0 and body[p].text == "*"):
+                    raise NotImplementedError(_LATERAL_LIMIT_GUARD_MSG)
+            elif u == "ALL" and prev_u == "BY":
+                # GROUP BY ALL would absorb the injected window column
+                # into the grouping keys
+                raise NotImplementedError(_LATERAL_LIMIT_GUARD_MSG)
+            prev_u = u
+    if from_i is None or limit_i is None:
+        raise NotImplementedError(_LATERAL_LIMIT_GUARD_MSG)
+    tail_start = min(
+        x for x in (ob_i, limit_i, offset_i) if x is not None
+    )
+
+    def _clause_value(start: int) -> str:
+        stops = [
+            x for x in (ob_i, limit_i, offset_i)
+            if x is not None and x > start
+        ]
+        end = min(stops) if stops else len(body)
+        return render(_trim(body[start + 1 : end]))
+
+    def _int_or_guard(txt: str) -> int:
+        try:
+            return int(txt)
+        except ValueError:
+            raise NotImplementedError(_LATERAL_LIMIT_GUARD_MSG) from None
+
+    n = _int_or_guard(_clause_value(limit_i))
+    m = _int_or_guard(_clause_value(offset_i)) if offset_i is not None else 0
+    if ob_i is not None:
+        # strip the BY keyword from the rendered span
+        ob_txt = _clause_value(ob_i)
+        ob_txt = re.sub(r"(?is)^\s*BY\b", "", ob_txt).strip()
+        # substitute select-list aliases (ORDER BY prefers output names,
+        # the Postgres/DuckDB rule) — the OVER clause cannot see them
+        alias_map: dict[str, str] = {}
+        sel_span = _trim(body[sel_i + 1 : from_i])
+        for lo, hi in split_args(sel_span, 0, len(sel_span)):
+            item = sel_span[lo:hi]
+            sig = [tk for tk in item if tk.kind not in (WS, COMMENT)]
             if (
-                o < len(tokens)
-                and tokens[o].kind == PUNCT
-                and tokens[o].text == "("
+                len(sig) >= 3
+                and sig[-2].kind == IDENT
+                and sig[-2].upper == "AS"
+                and sig[-1].kind in (IDENT, QIDENT)
             ):
-                c = match_forward(tokens, o, "(", ")")
+                alias_map[sig[-1].text.strip('"').upper()] = render(
+                    _trim(item[: item.index(sig[-2])])
+                )
+        if alias_map:
+            parts = []
+            ob_toks = tokenize(ob_txt)
+            for lo, hi in split_args(ob_toks, 0, len(ob_toks)):
+                item = ob_toks[lo:hi]
+                sig = [tk for tk in item if tk.kind not in (WS, COMMENT)]
+                core = list(sig)
+                trail = []
+                while (
+                    len(core) > 1
+                    and core[-1].kind == IDENT
+                    and core[-1].upper in _OB_TRAILERS
+                ):
+                    trail.insert(0, core.pop().text)
+                if (
+                    len(core) == 1
+                    and core[0].kind == IDENT
+                    and core[0].upper in alias_map
+                ):
+                    parts.append(
+                        " ".join([alias_map[core[0].upper]] + trail)
+                    )
+                else:
+                    parts.append(render(_trim(item)))
+            ob_txt = ", ".join(parts)
+    else:
+        ob_txt = "1"  # no ORDER BY: any n rows, like DuckDB
+    cond = (
+        f"__lat_rn > {m} AND __lat_rn <= {m + n}"
+        if offset_i is not None
+        else f"__lat_rn <= {n}"
+    )
+    pre = render(_trim(body[:from_i]))
+    rest = render(_trim(body[from_i:tail_start]))
+    return tokenize(
+        f"SELECT * EXCEPT (__lat_rn) FROM ({pre}, "
+        f"row_number() OVER (ORDER BY {ob_txt}) AS __lat_rn {rest}) "
+        f"WHERE {cond}"
+    )
+
+
+def pass_lateral_limit(tokens: list[Token]) -> list[Token]:
+    """Spark 4.1's decorrelate-limit path SILENTLY returns an empty
+    result for a correlated LATERAL derived table whose body carries a
+    top-level LIMIT (probed round 11: correct per-key rows without the
+    LIMIT, [] with it; scalar-position correlated subqueries with LIMIT
+    decorrelate CORRECTLY, so the conf cannot be disabled globally).
+
+    Round 12: rewrite the body to the row_number() form the old guard's
+    error message prescribed — ``SELECT * EXCEPT (__lat_rn) FROM
+    (<select list>, row_number() OVER (ORDER BY <order list|1>) AS
+    __lat_rn <from..>) WHERE __lat_rn <= n`` (OFFSET m shifts the rn
+    range). Spark's DecorrelateInnerQuery adds the correlation keys to
+    the window partition, so per-outer-row top-n comes out exactly like
+    DuckDB (probed: values identical at sf0.001). The rewrite is
+    applied to EVERY lateral-limit body, correlated or not — it is
+    semantically identical for the uncorrelated case, and classifying
+    correlation from tokens alone risks the silent-empty on unqualified
+    outer references. Shapes the rewrite cannot express (DISTINCT,
+    set ops, GROUP BY ALL, non-integer LIMIT) keep the loud guard."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "LATERAL":
+            o = next_sig(out, i)
+            if (
+                o < len(out)
+                and out[o].kind == PUNCT
+                and out[o].text == "("
+            ):
+                c = match_forward(out, o, "(", ")")
+                body = out[o + 1 : c]
                 depth = 0
-                for k in range(o + 1, min(c, len(tokens))):
-                    tk = tokens[k]
+                has_limit = False
+                for tk in body:
                     if tk.kind == PUNCT and tk.text in "([{":
                         depth += 1
                     elif tk.kind == PUNCT and tk.text in ")]}":
@@ -5448,17 +5604,17 @@ def pass_guard_lateral_limit(tokens: list[Token]) -> list[Token]:
                         and tk.kind == IDENT
                         and tk.upper == "LIMIT"
                     ):
-                        raise NotImplementedError(
-                            "LATERAL subqueries with LIMIT are not "
-                            "supported: Spark's decorrelation silently "
-                            "returns empty results for this shape. "
-                            "Rewrite as a derived table with "
-                            "row_number() OVER (PARTITION BY <join key> "
-                            "ORDER BY ...) and filter rn <= n, then "
-                            "join on the key."
-                        )
+                        has_limit = True
+                        break
+                if has_limit:
+                    new_body = _rewrite_lateral_limit_body(body)
+                    out = out[: o + 1] + new_body + out[c:]
+                    # rescan from inside the rewritten body so nested
+                    # lateral-limit shapes are also handled
+                    i = o + 1
+                    continue
         i += 1
-    return tokens
+    return out
 
 
 def pass_lateral_generators(tokens: list[Token]) -> list[Token]:
@@ -7644,7 +7800,6 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_quantified_comparisons(tokens)
     tokens = pass_strip_materialized(tokens)
     tokens = pass_unnest_in_expr(tokens)
-    tokens = pass_guard_lateral_limit(tokens)
     tokens = pass_lateral_generators(tokens)
     tokens = pass_filter_where(tokens)
     tokens = pass_ignore_nulls_inside(tokens)
@@ -7653,6 +7808,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_strip_agg_order(tokens)
     tokens = pass_at_abs(tokens)
     tokens = pass_from_first_subquery(tokens)
+    tokens = pass_lateral_limit(tokens)
     tokens = pass_window_exclude(tokens)
     tokens = pass_windowed_median(tokens, resolver)
     tokens = pass_alias_of_item(tokens)

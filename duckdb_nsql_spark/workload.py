@@ -2242,6 +2242,46 @@ _sql(
     """,
 )
 
+_sql(
+    "q147_lateral_limit",
+    # Correlated LATERAL + top-level LIMIT (round-12: the row_number()
+    # rewrite the round-11 guard prescribed — Spark's decorrelate-limit
+    # silently returns empty for the raw shape; pass_lateral_limit
+    # rewrites the body to a rank filter Spark decorrelates correctly,
+    # adding the correlation key to the window partition). Covers both
+    # directions (top-2 ascending, top-1 by price descending w/ OFFSET).
+    """
+    SELECT n.n_name, top2.o_orderkey, nxt.o_orderkey AS second_priciest
+    FROM nation n,
+         LATERAL (SELECT o_orderkey FROM orders
+                  WHERE o_custkey = n.n_nationkey
+                  ORDER BY o_orderkey LIMIT 2) top2,
+         LATERAL (SELECT o_orderkey FROM orders
+                  WHERE o_custkey = n.n_nationkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 1 OFFSET 1) nxt
+    ORDER BY n.n_name, top2.o_orderkey
+    """,
+)
+
+_sql(
+    "q148_scaled_mixed_interval",
+    # Scaled mixed-family INTERVAL literal (round-12 advice fix): the
+    # integer '* n' chain distributes to BOTH family halves (interval
+    # scaling is linear); the old split applied the scale to only the
+    # day-time half — a silent wrong result.
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL '1 month 2 days' * 2 AS DATE)
+               AS due,
+           CAST(o_orderdate - INTERVAL '2 months 1 day' * 3 AS DATE)
+               AS lookback
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 50
+    """,
+)
+
 # TPC-H shapes q9/q12/q21 adapted to the driver schema (no partsupp /
 # shipmode / receiptdate columns in the testdata; the join/correlation
 # structure — the part the optimizer sees — is preserved exactly).
@@ -7137,7 +7177,10 @@ _WINDOW_R12: tuple[str, ...] = (
 
 # Entries registered AFTER _WINDOW_R12 froze (never driver-witnessed;
 # they lead the _WINDOW_R13 draft per tests/test_window_ledger.py).
-_POST_FREEZE_R12: tuple[str, ...] = ()
+_POST_FREEZE_R12: tuple[str, ...] = (
+    "q147_lateral_limit",
+    "q148_scaled_mixed_interval",
+)
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):
 # these earned driver rows in CORRECTNESS_r11.json.
