@@ -435,3 +435,33 @@ def test_funnel_steps_reuse_user_partitioning(spark, sf_dir):
     # count rollups and are free
     n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert n_hash <= 6, plan
+
+
+def test_minhash_lsh_store_join_exchange_free(spark, sf_dir):
+    """The persisted minhash signature store is bucketed on the LSH
+    band key (round-12): the candidate self-join must plan with NO
+    exchange on (band, bandsig) — the only exchange above the cached
+    scans carries the tiny distinct over candidate pairs. The at-scale
+    analogue of a signature table bucketed by band key at rest."""
+    from duckdb_nsql_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_candidates(docs)
+    try:
+        plan = plan_of(pairs)
+        assert "InMemoryTableScan" in plan
+        # executed section above the cached scans: split off the cached
+        # relation's own (build-once, untimed) child plan
+        executed = plan.split("InMemoryRelation", 1)[0]
+        import re
+
+        hash_exchanges = re.findall(
+            r"Arguments: hashpartitioning\(([^)]*)\)", executed
+        )
+        for args in hash_exchanges:
+            assert "band" not in args, plan  # join key never re-shuffled
+        joins = [l for l in executed.splitlines() if "ShuffledHashJoin" in l]
+        assert joins, plan
+    finally:
+        # drop the cached store so later tests see a cold CacheManager
+        spark.catalog.clearCache()
