@@ -46,15 +46,18 @@ def recommend_layout(
     salt_ratio: float = 8.0,
     salt_min_share: float = 0.001,
     cluster_min_rows: int = 10_000_000,
+    cluster_min_keys: int = 10_000,
 ) -> DataFrame:
     """Turn key-skew measurements into an EXECUTABLE layout call —
     the decision procedure behind the q13 CLUSTER BY mitigation and the
     salted-join path, so the 100 TB choice is derived from data, not
-    prose. Applies to JOIN keys and GROUP BY keys alike: a table
-    bucketed at rest on its hot grouping key aggregates exchange-free
-    (the scan reports HashPartitioning(key), which satisfies the
-    aggregate's ClusteredDistribution — the q3/B3 1.5 M-group shape
-    loses its only exchange), the same way it deletes a join's shuffle.
+    prose. Applies to JOIN keys, GROUP BY keys, and WINDOW PARTITION BY
+    keys alike: a table bucketed at rest on its hot key runs
+    exchange-free (the scan reports HashPartitioning(key), which
+    satisfies the aggregate's/window's ClusteredDistribution — the
+    q3/B3 1.5 M-group shape loses its only exchange, and a
+    running-sum window over 1.5 M customers measured 1.65 -> 0.86 s at
+    sf10), the same way it deletes a join's shuffle.
     Input rows are :func:`join_key_report` output; adds:
 
     - ``skew_ratio`` = top1_share × n_keys: the hottest key's multiple
@@ -67,19 +70,31 @@ def recommend_layout(
         at 100 TB, 0.1% of the table in one key is a fat reducer
         regardless of ratio). Route through salted_join /
         salted_aggregate, or rely on AQE skew-join for SMJ plans.
-      * ``cluster`` — distribution is uniform and the table is
-        fact-scale (n_rows ≥ ``cluster_min_rows``): pre-clustering at
-        rest on this key (CLUSTER BY ... INTO n BUCKETS) deletes the
-        join exchange on every subsequent join AND the shuffle of any
-        GROUP BY on the key — the q13 fact⋈fact mitigation and the
-        q3 hot-grouping-key one. The 10 M default matches the MEASURED
-        join crossover
+      * ``cluster`` — distribution is uniform, the table is
+        fact-scale (n_rows ≥ ``cluster_min_rows``), AND the key is
+        high-cardinality (n_keys ≥ ``cluster_min_keys``):
+        pre-clustering at rest on this key (CLUSTER BY ... INTO n
+        BUCKETS) deletes the join exchange on every subsequent join AND
+        the shuffle of any GROUP BY or WINDOW PARTITION BY on the key —
+        the q13 fact⋈fact mitigation, the q3 hot-grouping-key one, and
+        the high-NDV window one. The 10 M row default matches the
+        MEASURED join crossover
         (BASELINE §8: the bucketed read costs more than the deleted
         exchange saves at 600 k and 6 M rows — 0.64 vs 0.38 s, 1.24 vs
         1.09 s — and wins at 60 M: 2.24 vs 3.06 s); below it, the plain
         shuffle or a broadcast is the faster plan on measured data.
-      * ``none`` — small table: broadcast it or let a plain shuffle
-        handle it; neither salting nor a bucketed layout pays.
+        The key-cardinality floor is the round-12 q12 finding: a
+        LOW-cardinality key leaves buckets empty and serializes the
+        operator — the 25-nation window topk over a table bucketed on
+        the 25-value key measured 1.96 s vs 0.39 s plain at sf10 (5×
+        WORSE), while the 1.5 M-customer running-sum window measured
+        0.86 s vs 1.65 s (1.9× better). Clustering needs n_keys far
+        above any sane bucket count to balance; 10 k is a conservative
+        floor.
+      * ``none`` — small table or low-cardinality key: broadcast it or
+        let a plain shuffle (with map-side WindowGroupLimit / partial
+        aggregation) handle it; neither salting nor a bucketed layout
+        pays.
 
     A pure projection over the (tiny) report — no data-sized work.
     """
@@ -89,7 +104,11 @@ def recommend_layout(
             (skewr >= salt_ratio) & (F.col("top1_share") >= salt_min_share),
             F.lit("salt"),
         )
-        .when(F.col("n_rows") >= cluster_min_rows, F.lit("cluster"))
+        .when(
+            (F.col("n_rows") >= cluster_min_rows)
+            & (F.col("n_keys") >= cluster_min_keys),
+            F.lit("cluster"),
+        )
         .otherwise(F.lit("none"))
     )
     return report.select(

@@ -163,10 +163,24 @@ def test_layout_recommendation_drives_agg_cluster_choice(engine, sf_dir):
     small = sk.recommend_layout(rep).collect()[0]
     assert small["recommendation"] == "none"  # sub-crossover scale
     assert small["skew_ratio"] < 8.0  # uniform: salting never applies
+    # simulate the sf10 bench point: rows AND key cardinality both scale
+    # (o_custkey NDV grows with the customer table)
     scaled = sk.recommend_layout(
         rep.withColumn("n_rows", F.col("n_rows") * 10_000)
+        .withColumn("n_keys", F.col("n_keys") * 1_000)
+        .withColumn("top1_share", F.col("top1_share") / 1_000)
     ).collect()[0]
     assert scaled["recommendation"] == "cluster"  # the sf10+ decision
+    # LOW-cardinality key at fact scale stays 'none' (round-12 q12
+    # finding: 25-key window bucketing measured 5x WORSE at sf10 — a
+    # bucketed layout with fewer keys than buckets serializes the
+    # operator)
+    lowcard = sk.recommend_layout(
+        rep.withColumn("n_rows", F.col("n_rows") * 10_000)
+        .withColumn("n_keys", F.lit(25))
+        .withColumn("top1_share", F.lit(1.0 / 25))
+    ).collect()[0]
+    assert lowcard["recommendation"] == "none"
 
     # execute the recommendation through the engine's CLUSTER BY seam
     engine.execute(
