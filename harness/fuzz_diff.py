@@ -1003,6 +1003,112 @@ def gen_wave15_query():
     )
 
 
+def gen_wave16_query():
+    """Wave-16 shapes (round 12): dollar-quoted strings interacting
+    with macros and $$-containing payloads, percent-LIMIT under CTEs
+    and set operations (q146 landed after the round-11 soak), plus the
+    round-12 grammar — correlated LATERAL + LIMIT/OFFSET (q147's
+    row_number rewrite) and scaled mixed-family INTERVAL literals
+    (q148's distribution fix). Deterministic: every percent-LIMIT /
+    lateral-LIMIT orders by a unique key before cutting."""
+    r = rng.random()
+    if r < 0.22:
+        # dollar quoting: macros built from $$ strings, payloads
+        # containing $$ / quotes, tagged forms
+        t = rng.choice(["orders", "customer", "supplier", "part"])
+        s = rng.choice(STR_COLS[t])
+        mname = f"fz16m{rng.randint(0, 9)}"
+        pick = rng.random()
+        if pick < 0.4:
+            tag = rng.choice(["$$it's $1 fine$$", "$q$a $$ b; 'c'$q$"])
+            return (
+                f"CREATE OR REPLACE MACRO {mname}(x) AS"
+                f" concat(x, {tag});"
+                f" SELECT {mname}({s}) AS m, CAST(count(*) AS BIGINT)"
+                f" AS n FROM {t} GROUP BY m ORDER BY m"
+            )
+        if pick < 0.7:
+            return (
+                f"SELECT {s} AS g, CAST(count(*) AS BIGINT) AS n"
+                f" FROM {t} WHERE {s} <> $x${rng.randint(0, 99)}$$;$x$"
+                f" GROUP BY g ORDER BY g"
+            )
+        return (
+            f"SELECT concat($$<$$, {s}, $tag$>'$$'<$tag$) AS w"
+            f" FROM {t} ORDER BY {KEY_COLS[t]}"
+            f" OFFSET {rng.randint(0, 5)} LIMIT {rng.randint(3, 20)}"
+        )
+    if r < 0.45:
+        # percent LIMIT under CTEs / set ops / subqueries
+        t = rng.choice(["orders", "customer", "part", "supplier"])
+        k, n = KEY_COLS[t], rng.choice(NUM_COLS[t])
+        p = rng.choice([5, 10, 20, 35])
+        spell = rng.choice([f"{p}%", f"{p} PERCENT"])
+        pick = rng.random()
+        if pick < 0.4:
+            return (
+                f"WITH c AS (SELECT {k} AS kk, {n} AS v FROM {t}"
+                f" ORDER BY {k} LIMIT {spell})"
+                f" SELECT CAST(count(*) AS BIGINT) AS cnt,"
+                f" round(sum(v), 1) AS s FROM c"
+            )
+        if pick < 0.7:
+            q = rng.choice([25, 50])
+            return (
+                f"SELECT kk FROM (SELECT {k} AS kk FROM {t}"
+                f" ORDER BY {k} LIMIT {spell})"
+                f" UNION ALL"
+                f" SELECT {k} AS kk FROM {t} ORDER BY kk DESC"
+                f" LIMIT {q}"
+            )
+        return (
+            f"SELECT CAST(count(*) AS BIGINT) AS cnt FROM"
+            f" (SELECT {k} FROM {t} ORDER BY {k} DESC LIMIT {spell})"
+        )
+    if r < 0.75:
+        # correlated LATERAL + LIMIT/OFFSET through the row_number
+        # rewrite; small outer domains keep it cheap
+        t = rng.choice(["orders", "customer"])
+        k, g = KEY_COLS[t], rng.choice(STR_COLS[t])
+        lim = rng.randint(1, 3)
+        off = rng.choice(["", f" OFFSET {rng.randint(1, 2)}"])
+        direction = rng.choice(["", " DESC"])
+        if rng.random() < 0.5:
+            return (
+                f"SELECT d.g, l.v FROM"
+                f" (SELECT DISTINCT {g} AS g FROM {t}) d,"
+                f" LATERAL (SELECT {k} AS v FROM {t}"
+                f" WHERE {g} = d.g ORDER BY {k}{direction}"
+                f" LIMIT {lim}{off}) l ORDER BY 1, 2"
+            )
+        return (
+            f"SELECT d.g, l.v FROM"
+            f" (SELECT DISTINCT {g} AS g FROM {t}) d"
+            f" LEFT JOIN LATERAL (SELECT {k} AS v FROM {t}"
+            f" WHERE {g} = d.g AND {k} % {rng.randint(2, 9)} = 0"
+            f" ORDER BY {k}{direction} LIMIT {lim}) l ON true"
+            f" ORDER BY 1, 2"
+        )
+    # scaled mixed-family INTERVAL literals (integer chains distribute;
+    # the engine must match DuckDB's months-then-days application)
+    months = rng.randint(1, 11)
+    days = rng.randint(1, 27)
+    hours = rng.choice(["", f" {rng.randint(1, 23)} hours"])
+    op = rng.choice(["+", "-"])
+    scale = rng.choice(["* 2", "* 3", "* 2 * 2", f"* {rng.randint(1, 5)}"])
+    iv = f"INTERVAL '{months} months {days} days{hours}' {scale}"
+    if rng.random() < 0.5:
+        return (
+            f"SELECT o_orderkey, o_orderdate {op} {iv} AS d"
+            f" FROM orders ORDER BY o_orderkey LIMIT {rng.randint(5, 40)}"
+        )
+    return (
+        f"SELECT CAST(count(*) AS BIGINT) AS n FROM orders"
+        f" WHERE o_orderdate {op} {iv} >"
+        f" DATE '199{rng.randint(5, 8)}-{rng.randint(1, 12):02d}-15'"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:

@@ -203,3 +203,18 @@ def test_fuzz_wave15_round11_grammar(loaded_engine, fuzz_duck, fuzz_mod):
         d = fuzz_duck.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert fuzz_mod.rows_match(d, s), q
+
+
+def test_fuzz_wave16_round12_grammar(loaded_engine, fuzz_duck, fuzz_mod):
+    """Same-round insurance over the round-12 grammar: dollar-quoted
+    strings through macros / $$-payloads / tagged forms, percent-LIMIT
+    under CTEs and set ops (q146 landed after the round-11 soak),
+    correlated LATERAL + LIMIT/OFFSET via the row_number rewrite
+    (q147), and scaled mixed-family INTERVAL literals (q148) — 40
+    seeded queries (hunt: 200 more over seeds 16101-16102)."""
+    fuzz_mod.reseed(16000)
+    for _ in range(40):
+        q = fuzz_mod.gen_wave16_query()
+        d = fuzz_duck.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert fuzz_mod.rows_match(d, s), q
