@@ -70,9 +70,31 @@ class Resolver(Protocol):
         """Member list for an ENUM type name or enum-typed column."""
         ...
 
+    def column_nesting(self, name: str) -> Optional[tuple[int, str]]:
+        """(list_depth, leaf) for a column: array<array<int>> ->
+        (2, 'scalar'); array<struct<..>> -> (1, 'struct');
+        struct -> (0, 'struct'). None when unknown."""
+        ...
+
+    def column_struct_leaves(
+        self, name: str
+    ) -> Optional[list[tuple[str, str]]]:
+        """Flattened (dotted_path, leaf_field_name) pairs for the
+        struct at the column's list-leaf (or the column itself when it
+        is a struct). None when not struct-leaved/unknown."""
+        ...
+
 
 class NullResolver:
     def column_kind(self, name: str) -> Optional[str]:
+        return None
+
+    def column_nesting(self, name: str) -> Optional[tuple[int, str]]:
+        return None
+
+    def column_struct_leaves(
+        self, name: str
+    ) -> Optional[list[tuple[str, str]]]:
         return None
 
     def enum_values(self, name: str) -> Optional[list[str]]:
@@ -4109,6 +4131,329 @@ _STRUCT_FUNCS = frozenset(
     "NAMED_STRUCT STRUCT STRUCT_PACK ROW STRUCT_INSERT".split()
 )
 
+# expression-position functions that return a depth-1 list of scalars
+# (for unnest(x, recursive := ...) type derivation)
+_DEPTH1_LIST_FNS = frozenset(
+    "STRING_SPLIT SPLIT STR_SPLIT STRING_TO_ARRAY REGEXP_SPLIT_TO_ARRAY"
+    " STRING_SPLIT_REGEX SEQUENCE GENERATE_SERIES RANGE".split()
+)
+
+
+def _unnest_descriptor(
+    toks: list[Token], resolver: Resolver
+) -> tuple[int, str, Optional[list[Token]]]:
+    """Type descriptor of an unnest argument span (trimmed tokens):
+    (list_depth, leaf, struct_span) — leaf in {'scalar', 'struct',
+    'unknown'}; struct_span is a representative named_struct(...) token
+    span when lexically available (literal leaf-key discovery), else
+    None (column leaves resolve via column_struct_leaves). Runs AFTER
+    pass_struct_literals/pass_array_literals, so literals arrive as
+    named_struct(...) / array(...)."""
+    sig_idx = [
+        i for i, t in enumerate(toks) if t.kind not in (WS, COMMENT)
+    ]
+    if not sig_idx:
+        return (0, "unknown", None)
+    h = sig_idx[0]
+    head = toks[h]
+    if head.kind == PUNCT and head.text in "[{":
+        # raw DuckDB literal forms (this runs BEFORE the literal passes)
+        closer = "]" if head.text == "[" else "}"
+        c = match_forward(toks, h, head.text, closer)
+        if c == len(toks) - 1 or all(
+            t.kind in (WS, COMMENT) for t in toks[c + 1 :]
+        ):
+            if head.text == "{":
+                return (0, "struct", toks[h : c + 1])
+            spans = split_args(toks, h + 1, c)
+            if not spans or not _trim(toks[spans[0][0] : spans[0][1]]):
+                return (1, "scalar", None)
+            d, leaf, s = _unnest_descriptor(
+                _trim(toks[spans[0][0] : spans[0][1]]), resolver
+            )
+            return (d + 1, leaf, s)
+    if (
+        head.kind == IDENT
+        and len(sig_idx) >= 2
+        and toks[sig_idx[1]].kind == PUNCT
+        and toks[sig_idx[1]].text == "("
+    ):
+        o = sig_idx[1]
+        c = match_forward(toks, o, "(", ")")
+        if c == len(toks) - 1 or all(
+            t.kind in (WS, COMMENT) for t in toks[c + 1 :]
+        ):
+            u = head.upper
+            if u == "ARRAY":
+                spans = split_args(toks, o + 1, c)
+                if not spans:
+                    return (1, "scalar", None)
+                d, leaf, s = _unnest_descriptor(
+                    _trim(toks[spans[0][0] : spans[0][1]]), resolver
+                )
+                return (d + 1, leaf, s)
+            if u in _STRUCT_FUNCS:
+                return (0, "struct", toks[h : c + 1])
+            if u in _DEPTH1_LIST_FNS:
+                return (1, "scalar", None)
+            if u == "FLATTEN":
+                spans = split_args(toks, o + 1, c)
+                if spans:
+                    d, leaf, s = _unnest_descriptor(
+                        _trim(toks[spans[0][0] : spans[0][1]]), resolver
+                    )
+                    return (max(d - 1, 0), leaf, s)
+            return (0, "unknown", None)
+    # dotted column reference
+    name = None
+    for i in sig_idx:
+        tk = toks[i]
+        if tk.kind == IDENT:
+            name = tk.text
+        elif tk.kind in (QIDENT, BIDENT):
+            name = tk.text[1:-1]
+        elif tk.kind == PUNCT and tk.text == ".":
+            continue
+        else:
+            name = None
+            break
+    if name is not None:
+        nest = resolver.column_nesting(name.lower())
+        if nest is not None:
+            return (nest[0], nest[1], None)
+    # scalar literal / arithmetic-over-literals span ('1', '-2', '1+2',
+    # 'x * 3' is NOT here — idents bailed above): a safe scalar leaf
+    if all(
+        toks[i].kind in (NUMBER, STRING, OP)
+        or (toks[i].kind == PUNCT and toks[i].text in "()")
+        or (
+            toks[i].kind == IDENT
+            and toks[i].upper in ("TRUE", "FALSE", "NULL")
+        )
+        for i in sig_idx
+    ):
+        return (0, "scalar", None)
+    return (0, "unknown", None)
+
+
+def _struct_leaves_from_span(
+    toks: list[Token], budget: Optional[int], prefix: str = ""
+) -> list[tuple[str, str]]:
+    """(dotted_path, leaf_key) pairs of a struct-literal span — raw
+    ``{'k': v, ...}`` or ``named_struct('k', v, ...)`` — recursing into
+    nested struct values while ``budget`` (None = unlimited) allows
+    further flattening levels."""
+    sig_idx = [i for i, t in enumerate(toks) if t.kind not in (WS, COMMENT)]
+    pairs: list[tuple[list[Token], list[Token]]] = []
+    if toks[sig_idx[0]].kind == PUNCT and toks[sig_idx[0]].text == "{":
+        h = sig_idx[0]
+        c = match_forward(toks, h, "{", "}")
+        for lo, hi in split_args(toks, h + 1, c):
+            item = _trim(toks[lo:hi])
+            # split at the depth-0 ':' between key and value
+            depth = 0
+            ci = None
+            for j, tk in enumerate(item):
+                if tk.kind == PUNCT and tk.text in "([{":
+                    depth += 1
+                elif tk.kind == PUNCT and tk.text in ")]}":
+                    depth -= 1
+                elif depth == 0 and tk.kind == PUNCT and tk.text == ":":
+                    ci = j
+                    break
+            if ci is None:
+                raise NotImplementedError(
+                    "unnest(recursive := ...): malformed struct literal"
+                )
+            pairs.append((_trim(item[:ci]), _trim(item[ci + 1 :])))
+    else:
+        o = sig_idx[1]
+        c = match_forward(toks, o, "(", ")")
+        spans = split_args(toks, o + 1, c)
+        for k in range(0, len(spans) - 1, 2):
+            pairs.append((
+                _trim(toks[spans[k][0] : spans[k][1]]),
+                _trim(toks[spans[k + 1][0] : spans[k + 1][1]]),
+            ))
+    leaves: list[tuple[str, str]] = []
+    for key_toks, val_toks in pairs:
+        if len(key_toks) != 1 or key_toks[0].kind != STRING:
+            raise NotImplementedError(
+                "unnest(recursive := ...): struct literal with "
+                "non-literal field names is not supported"
+            )
+        key = key_toks[0].text[1:-1]
+        path = f"{prefix}{key}" if not prefix else f"{prefix}.{key}"
+        vd, vleaf, vspan = _unnest_descriptor(val_toks, NullResolver())
+        if (
+            vleaf == "struct"
+            and vd == 0
+            and vspan is not None
+            and (budget is None or budget > 1)
+        ):
+            leaves.extend(
+                _struct_leaves_from_span(
+                    vspan,
+                    None if budget is None else budget - 1,
+                    path,
+                )
+            )
+        else:
+            leaves.append((path, key))
+    return leaves
+
+
+def _unnest_named_args_sql(
+    arg_txt: str,
+    budget: Optional[int],
+    d: int,
+    leaf: str,
+    struct_span: Optional[list[Token]],
+    resolver: Resolver,
+    col_name: Optional[str],
+) -> str:
+    """Spark SQL for unnest(arg, recursive := true / max_depth := B):
+    flatten^(a-1) collapses list levels, explode/inline emits rows;
+    struct leaves with remaining budget expand to columns (nested
+    structs re-projected to their leaf fields — DuckDB names output
+    columns by LEAF key). ``budget`` None = recursive (unlimited)."""
+    a = d if budget is None else min(budget, d)
+    fl = lambda k, t: "flatten(" * k + t + ")" * k  # noqa: E731
+    if leaf == "struct" and (budget is None or budget > d):
+        sb = None if budget is None else budget - d
+        leaves: Optional[list[tuple[str, str]]] = None
+        if struct_span is not None:
+            leaves = _struct_leaves_from_span(struct_span, sb)
+        elif col_name is not None:
+            leaves = resolver.column_struct_leaves(col_name.lower())
+            if leaves is not None and sb is not None:
+                # finite budget: clamp paths to sb levels, leaf name =
+                # last path element kept
+                clamped = []
+                for path, _k in leaves:
+                    parts = path.split(".")[:sb]
+                    clamped.append((".".join(parts), parts[-1]))
+                leaves = list(dict.fromkeys(clamped))
+        if leaves is None:
+            raise NotImplementedError(
+                "unnest(recursive := / max_depth :=) over a struct of "
+                "unknown shape — name the column or use a struct "
+                "literal"
+            )
+        flat = all("." not in p for p, _ in leaves)
+        if d == 0:
+            if flat:
+                return f"inline(array({arg_txt}))"
+            fields = ", ".join(
+                f"'{k}', ({arg_txt}).{p}" for p, k in leaves
+            )
+            return f"inline(array(named_struct({fields})))"
+        if flat:
+            return f"inline({fl(d - 1, arg_txt)})"
+        fields = ", ".join(f"'{k}', __us.{p}" for p, k in leaves)
+        return (
+            f"inline(transform({fl(d - 1, arg_txt)}, "
+            f"__us -> named_struct({fields})))"
+        )
+    if a < 1:
+        raise ValueError("Binder Error: UNNEST cannot have a max depth of 0")
+    return f"explode({fl(a - 1, arg_txt)})"
+
+
+def pass_unnest_named_args(
+    tokens: list[Token], resolver: Optional[Resolver] = None
+) -> list[Token]:
+    """``unnest(x, recursive := b / max_depth := N)`` — DuckDB's
+    type-driven recursive flatten (round-12; the round-11 logged probe
+    gap). The budget counts unnest applications: list levels first
+    (``flatten`` collapses one level each), then struct-leaf expansion
+    into columns (nested structs re-projected to LEAF field names, the
+    DuckDB column-naming rule); DuckDB clamps past the actual depth.
+
+    Runs BEFORE pass_unnest_in_expr so the scalar-leaf reduction
+    (``unnest(flatten^(a-1)(x))`` — still a plain one-arg unnest) keeps
+    the surrounding-expression transform-wrap machinery working; struct
+    expansions emit inline()/transform() directly (a multi-column
+    expansion has no scalar context to wrap). Raw ``[..]``/``{..}``
+    literal forms are typed lexically; columns resolve through
+    ``resolver.column_nesting`` (the full Spark DataType walk)."""
+    resolver = resolver or NullResolver()
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "UNNEST":
+            n = next_sig(out, i)
+            if n < len(out) and out[n].kind == PUNCT and out[n].text == "(":
+                c = match_forward(out, n, "(", ")")
+                spans = split_args(out, n + 1, c)
+                m = None
+                if len(spans) == 2:
+                    m = re.match(
+                        r"(?is)^\s*(recursive|max_depth)\s*:=\s*(.+?)\s*$",
+                        render(_trim(out[spans[1][0] : spans[1][1]])),
+                    )
+                if m:
+                    kind_, val = m.group(1).lower(), m.group(2)
+                    if kind_ == "recursive":
+                        budget = None if val.lower() == "true" else 1
+                    else:
+                        try:
+                            budget = int(val)
+                        except ValueError:
+                            raise NotImplementedError(
+                                "unnest(max_depth := ...) needs an"
+                                " integer literal"
+                            ) from None
+                    arg_toks = _trim(out[spans[0][0] : spans[0][1]])
+                    d, leaf, sspan = _unnest_descriptor(arg_toks, resolver)
+                    nm = None
+                    for tk in arg_toks:
+                        if tk.kind == IDENT:
+                            nm = tk.text
+                        elif tk.kind in (QIDENT, BIDENT):
+                            nm = tk.text[1:-1]
+                        elif tk.kind == PUNCT and tk.text == ".":
+                            continue
+                        elif tk.kind not in (WS, COMMENT):
+                            nm = None
+                            break
+                    a_txt = render(arg_toks)
+                    if leaf == "unknown" and budget != 1:
+                        raise NotImplementedError(
+                            "unnest(recursive := / max_depth :=) needs"
+                            " a list/struct of derivable shape"
+                            " (literal, depth-1 list function, or"
+                            f" catalog column); cannot type: {a_txt}"
+                        )
+                    if (
+                        leaf == "unknown"
+                        or leaf == "scalar"
+                        or (budget is not None and budget <= d)
+                    ):
+                        # reduces to a plain one-arg unnest — keep the
+                        # unnest spelling for the downstream machinery
+                        a = d if budget is None else min(max(budget, 0), d)
+                        if leaf == "unknown":
+                            a = 1
+                        if a < 1:
+                            raise ValueError(
+                                "Binder Error: UNNEST cannot have a max"
+                                " depth of 0"
+                            )
+                        inner = "flatten(" * (a - 1) + a_txt + ")" * (a - 1)
+                        txt = f"unnest({inner})"
+                    else:
+                        txt = _unnest_named_args_sql(
+                            a_txt, budget, d, leaf, sspan, resolver, nm
+                        )
+                    new_toks = tokenize(txt)
+                    out = out[:i] + new_toks + out[c + 1 :]
+                    i += 1  # rescan inside (nested unnests), skip IDENT
+                    continue
+        i += 1
+    return out
+
 
 def _span_is_struct(tokens: list[Token], lo: int, hi: int, resolver: Resolver) -> bool:
     """Best-effort: does tokens[lo:hi] evaluate to a struct?"""
@@ -7584,6 +7929,8 @@ def _pass_function_renames_impl(
                     # one-element array works for ANY struct expression
                     c = match_forward(out, n, "(", ")")
                     spans = split_args(out, n + 1, c)
+                    # (named-arg forms — recursive := / max_depth := —
+                    # were already reduced by pass_unnest_named_args)
                     if len(spans) == 1 and _span_is_struct(
                         out, spans[0][0], spans[0][1], resolver
                     ):
@@ -7799,6 +8146,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_distinct_on(tokens)
     tokens = pass_quantified_comparisons(tokens)
     tokens = pass_strip_materialized(tokens)
+    tokens = pass_unnest_named_args(tokens, resolver)
     tokens = pass_unnest_in_expr(tokens)
     tokens = pass_lateral_generators(tokens)
     tokens = pass_filter_where(tokens)

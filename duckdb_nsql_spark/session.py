@@ -607,6 +607,41 @@ class _CatalogResolver:
     def column_timestamp(self, name: str) -> bool:
         return self.session._column_kinds().get(name.lower()) == "timestamp"
 
+    def column_nesting(self, name: str):
+        """(list_depth, leaf) for unnest(recursive:=/max_depth:=) —
+        walks the full Spark DataType, unlike the coarse column_kind."""
+        dt = self.session._column_datatype(name)
+        if dt is None:
+            return None
+        d = 0
+        while isinstance(dt, T.ArrayType):
+            d += 1
+            dt = dt.elementType
+        leaf = "struct" if isinstance(dt, T.StructType) else "scalar"
+        return (d, leaf)
+
+    def column_struct_leaves(self, name: str):
+        dt = self.session._column_datatype(name)
+        if dt is None:
+            return None
+        while isinstance(dt, T.ArrayType):
+            dt = dt.elementType
+        if not isinstance(dt, T.StructType):
+            return None
+
+        leaves: list[tuple[str, str]] = []
+
+        def walk(st: T.StructType, prefix: str) -> None:
+            for f in st.fields:
+                p = f"{prefix}.{f.name}" if prefix else f.name
+                if isinstance(f.dataType, T.StructType):
+                    walk(f.dataType, p)
+                else:
+                    leaves.append((p, f.name))
+
+        walk(dt, "")
+        return leaves
+
     def enum_values(self, name: str) -> Optional[list[str]]:
         """ENUM member list by TYPE name first, then by enum-typed
         COLUMN name (pass_enum_functions resolves either spelling).
@@ -3880,6 +3915,18 @@ class DuckSparkSession:
             ]
             if len(hits) == 1:
                 return hits[0]
+        return None
+
+    def _column_datatype(self, name: str):
+        """Full Spark DataType of an unqualified column name (first
+        table wins on cross-table collisions — same best-effort rule as
+        _column_kinds). Uncached: only the unnest named-arg rewrite
+        asks, and registrations would invalidate a cache anyway."""
+        n = name.lower()
+        for df in self._tables.values():
+            for f in df.schema.fields:
+                if f.name.lower() == n:
+                    return f.dataType
         return None
 
     def _column_kinds(self) -> dict[str, str]:

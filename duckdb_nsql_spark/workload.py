@@ -2265,6 +2265,23 @@ _sql(
 )
 
 _sql(
+    "q149_unnest_recursive",
+    # unnest(recursive := true / max_depth := N) — type-driven flatten
+    # (round-12; pass_unnest_named_args). Nested-list flatten over the
+    # documents word lists plus a struct-leaf expansion, all DuckDB-
+    # oracled verbatim.
+    """
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest([string_split(text, ' '),
+                         string_split(upper(text), ' ')],
+                        recursive := true) AS w
+          FROM documents WHERE doc_id < 50)
+    WHERE length(w) >= 8
+    GROUP BY w ORDER BY n DESC, w LIMIT 25
+    """,
+)
+
+_sql(
     "q148_scaled_mixed_interval",
     # Scaled mixed-family INTERVAL literal (round-12 advice fix): the
     # integer '* n' chain distributes to BOTH family halves (interval
@@ -7180,6 +7197,7 @@ _WINDOW_R12: tuple[str, ...] = (
 _POST_FREEZE_R12: tuple[str, ...] = (
     "q147_lateral_limit",
     "q148_scaled_mixed_interval",
+    "q149_unnest_recursive",
 )
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):

@@ -1105,3 +1105,65 @@ def test_lexical_forms_round11():
     assert "LIMIT 2 OFFSET 3" in out
     out = rewrite_sql("SELECT a FROM t WHERE x = $1")
     assert "$1" in out  # prepared-statement params keep their spelling
+
+
+def test_unnest_named_args_grid(loaded_engine):
+    """unnest(recursive := / max_depth :=) — the round-11 logged probe
+    gap, implemented round 12 as a type-driven flatten
+    (pass_unnest_named_args). Grid pinned against DuckDB over 2-3-level
+    lists, struct leaves (incl. nested structs — DuckDB names output
+    columns by LEAF key), budget clamping, recursive := false, scalar
+    columns, and depth-1 list functions."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    dk = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        dk.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    def canon(v):
+        return str(dict(v.asDict())) if hasattr(v, "asDict") else str(v)
+
+    def rows(rs):
+        return sorted(str(tuple(canon(v) for v in r)) for r in rs)
+
+    grid = [
+        "SELECT unnest([[1,2],[3]], recursive := true) AS u",
+        "SELECT unnest([[1,2],[3]], recursive := false) AS u",
+        "SELECT unnest([[1,2],[3]], max_depth := 2) AS u",
+        "SELECT unnest([[[1,2],[3]],[[4]]], max_depth := 2) AS u",
+        "SELECT unnest([[[1,2],[3]],[[4]]], max_depth := 3) AS u",
+        "SELECT unnest([[[1,2],[3]],[[4]]], recursive := true) AS u",
+        "SELECT unnest([[1,2],[3]], max_depth := 3) AS u",  # clamps
+        "SELECT unnest([1,2], max_depth := 5) AS u",
+        "SELECT unnest([{'a': 1, 'b': 'x'}, {'a': 2, 'b': 'y'}],"
+        " recursive := true)",
+        "SELECT unnest([[{'a':1},{'a':2}]], max_depth := 2) AS u",
+        "SELECT unnest([[{'a':1},{'a':2}]], max_depth := 3)",
+        "SELECT unnest([[{'a':1},{'a':2}]], recursive := true)",
+        "SELECT unnest([{'a':1,'b':{'c':5}}], recursive := true)",
+        "SELECT unnest({'a': 1, 'b': {'c': 2}}, recursive := true)",
+        "SELECT unnest({'a': 1}, max_depth := 2)",
+        "SELECT unnest(string_split('a b c', ' '), recursive := true)"
+        " AS u",
+        "SELECT doc_id, unnest(string_split(text, ' '),"
+        " recursive := true) AS w FROM documents WHERE doc_id < 3"
+        " ORDER BY doc_id, w LIMIT 20",
+        "SELECT vec_id, round(unnest(embedding, recursive := true), 3)"
+        " AS e FROM embeddings WHERE vec_id = 1 ORDER BY e LIMIT 5",
+    ]
+    for q in grid:
+        d = dk.sql(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert rows(d) == rows(s), q
+    # DuckDB's own binder error spelling for depth 0
+    with pytest.raises(ValueError, match="max depth of 0"):
+        loaded_engine.execute("SELECT unnest([[1]], max_depth := 0)")
+    # untypeable shapes stay loud, never silently mis-flattened
+    with pytest.raises(NotImplementedError, match="derivable shape"):
+        loaded_engine.execute(
+            "SELECT unnest((SELECT [1]), recursive := true)"
+        )
