@@ -3644,6 +3644,75 @@ def pass_at_abs(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def pass_at_time_zone(tokens: list[Token]) -> list[Token]:
+    """DuckDB ``x AT TIME ZONE 'z'`` (round-12 probe find). Semantics
+    are direction-dependent: a NAIVE timestamp interprets its wall time
+    IN zone z (→ instant; Spark ``to_utc_timestamp`` with the session
+    pinned to UTC), a TIMESTAMPTZ converts the instant TO wall time in
+    z (→ naive; Spark ``from_utc_timestamp``). The engine stores both
+    as Spark TIMESTAMP, so direction derives from the operand's
+    provenance: a TIMESTAMPTZ literal or an operand this pass already
+    rewrote (chains alternate naive↔aware) flips to from_utc. Left to
+    right, so ``(naive AT a) AT b`` becomes
+    ``from_utc(to_utc(x, a), b)`` exactly like DuckDB's
+    2024-01-15 10:00 AT 'UTC' AT 'America/New_York' = 05:00 naive."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "AT":
+            n1 = next_sig(out, i)
+            n2 = next_sig(out, n1) if n1 < len(out) else len(out)
+            if not (
+                n2 < len(out)
+                and out[n1].kind == IDENT
+                and out[n1].upper == "TIME"
+                and out[n2].kind == IDENT
+                and out[n2].upper == "ZONE"
+            ):
+                i += 1
+                continue
+            z = next_sig(out, n2)
+            if not (z < len(out) and out[z].kind == STRING):
+                i += 1
+                continue
+            op_end = prev_sig(out, i)
+            if op_end < 0:
+                i += 1
+                continue
+            lstart = primary_start(out, i)
+            k = prev_sig(out, lstart)
+            if (
+                k >= 0
+                and out[k].kind == IDENT
+                and out[k].upper in ("TIMESTAMP", "TIMESTAMPTZ", "DATE",
+                                     "TIME")
+                and out[lstart].kind == STRING
+            ):
+                lstart = k
+            operand = _trim(out[lstart : op_end + 1])
+            op_txt = render(operand)
+            first = operand[0]
+            aware = (
+                first.kind == IDENT
+                and first.upper in ("TIMESTAMPTZ", "TO_UTC_TIMESTAMP")
+            ) or (
+                first.kind == PUNCT
+                and first.text == "("
+                and any(
+                    tk.kind == IDENT and tk.upper == "TO_UTC_TIMESTAMP"
+                    for tk in operand[:3]
+                )
+            )
+            fn = "from_utc_timestamp" if aware else "to_utc_timestamp"
+            new = tokenize(f"{fn}({op_txt}, {out[z].text})")
+            out = out[:lstart] + new + out[z + 1 :]
+            i = lstart + 1
+            continue
+        i += 1
+    return out
+
+
 def pass_strip_agg_order(tokens: list[Token]) -> list[Token]:
     """``sum(x ORDER BY y)`` — DuckDB accepts ORDER BY inside every
     aggregate; for order-insensitive ones it's semantically a no-op.
@@ -7290,6 +7359,48 @@ def _pass_function_renames_impl(
                         c = match_forward(out, n, "(", ")")
                         spans = split_args(out, n + 1, c)
                     if len(spans) == 3:
+                        gsig_a = _trim(out[spans[2][0] : spans[2][1]])
+                        if (
+                            gsig_a
+                            and gsig_a[0].kind == IDENT
+                            and gsig_a[0].upper == "ARRAY"
+                        ):
+                            # group-NAME list (round-12 probe find):
+                            # regexp_extract(s, re, ['y','m']) returns a
+                            # struct of the named capture groups, '' on
+                            # no match (Spark's default too)
+                            oa = next_sig(gsig_a, 0)
+                            ca = match_forward(gsig_a, oa, "(", ")")
+                            nspans = split_args(gsig_a, oa + 1, ca)
+                            names = []
+                            for lo, hi in nspans:
+                                ntk = _trim(gsig_a[lo:hi])
+                                if len(ntk) == 1 and ntk[0].kind == STRING:
+                                    names.append(ntk[0].text)
+                                else:
+                                    names = []
+                                    break
+                            if names:
+                                s_txt = render(pass_function_renames(
+                                    _trim(out[spans[0][0] : spans[0][1]]),
+                                    resolver,
+                                ))
+                                p_txt = render(pass_function_renames(
+                                    _trim(out[spans[1][0] : spans[1][1]]),
+                                    resolver,
+                                ))
+                                fields = ", ".join(
+                                    f"{nm}, regexp_extract({s_txt},"
+                                    f" {p_txt}, {gi + 1})"
+                                    for gi, nm in enumerate(names)
+                                )
+                                new_toks = tokenize(
+                                    f"named_struct({fields})"
+                                )
+                                out = out[:i] + new_toks + out[c + 1 :]
+                                i += len(new_toks)
+                                continue
+                    if len(spans) == 3:
                         # DuckDB returns '' for a group index beyond the
                         # pattern's capture-group count; Spark errors.
                         # Statically checkable for literal pattern + idx.
@@ -8155,6 +8266,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_group_by_empty(tokens)
     tokens = pass_strip_agg_order(tokens)
     tokens = pass_at_abs(tokens)
+    tokens = pass_at_time_zone(tokens)
     tokens = pass_from_first_subquery(tokens)
     tokens = pass_lateral_limit(tokens)
     tokens = pass_window_exclude(tokens)

@@ -2265,6 +2265,26 @@ _sql(
 )
 
 _sql(
+    "q150_at_time_zone",
+    # AT TIME ZONE (round-12 probe find): naive -> instant in zone
+    # (to_utc_timestamp), aware -> wall time in zone
+    # (from_utc_timestamp); chains alternate left-to-right
+    # (pass_at_time_zone). Plus regexp_extract with a group-NAME list
+    # -> struct of captures (same probe batch). Values cast back to
+    # naive TIMESTAMP so both engines hash wall-clock instants (the
+    # TIMESTAMPTZ '+00' VARCHAR-render suffix is a documented seam).
+    """
+    SELECT event_id,
+           CAST(ts AT TIME ZONE 'Asia/Tokyo' AS TIMESTAMP) AS tokyo_i,
+           (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
+               AS ny_wall,
+           regexp_extract(event_type, '([a-z]+)_([a-z]+)',
+                          ['head', 'tail']).tail AS etype_tail
+    FROM events WHERE user_id < 5 ORDER BY event_id LIMIT 40
+    """,
+)
+
+_sql(
     "q149_unnest_recursive",
     # unnest(recursive := true / max_depth := N) — type-driven flatten
     # (round-12; pass_unnest_named_args). Nested-list flatten over the
@@ -7198,6 +7218,7 @@ _POST_FREEZE_R12: tuple[str, ...] = (
     "q147_lateral_limit",
     "q148_scaled_mixed_interval",
     "q149_unnest_recursive",
+    "q150_at_time_zone",
 )
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):

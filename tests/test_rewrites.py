@@ -1167,3 +1167,43 @@ def test_unnest_named_args_grid(loaded_engine):
         loaded_engine.execute(
             "SELECT unnest((SELECT [1]), recursive := true)"
         )
+
+
+def test_at_time_zone_and_regex_group_names(loaded_engine):
+    """Round-12 probe finds: x AT TIME ZONE 'z' (naive -> instant via
+    to_utc_timestamp; aware/chained -> wall time via
+    from_utc_timestamp, alternating left-to-right like DuckDB) and
+    regexp_extract(s, re, ['names']) -> struct of captures ('' on no
+    match, both engines)."""
+    import duckdb
+
+    out = rewrite_sql("SELECT ts AT TIME ZONE 'Asia/Tokyo' AS t FROM e")
+    assert "to_utc_timestamp(ts, 'Asia/Tokyo')" in out
+    out = rewrite_sql(
+        "SELECT (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'"
+        " AS t FROM e"
+    )
+    assert (
+        "from_utc_timestamp((to_utc_timestamp(ts, 'UTC')),"
+        " 'America/New_York')" in out
+        or "from_utc_timestamp( (to_utc_timestamp(ts, 'UTC')) ,"
+        " 'America/New_York')" in out
+    )
+    dk = duckdb.connect()
+    dk.execute("SET timezone='UTC'")
+    for q in [
+        "SELECT CAST((TIMESTAMP '2024-01-15 10:00:00' AT TIME ZONE"
+        " 'UTC') AT TIME ZONE 'America/New_York' AS VARCHAR) AS t",
+        "SELECT CAST(TIMESTAMP '2024-01-15 10:00:00' AT TIME ZONE"
+        " 'Asia/Tokyo' AS TIMESTAMP) AS t",
+        "SELECT regexp_extract('2023-05-04', '(\\d+)-(\\d+)',"
+        " ['y', 'm']).y AS y",
+        "SELECT regexp_extract('nomatch', '(\\d+)-(\\d+)',"
+        " ['y', 'm']).m AS m",
+    ]:
+        d = [tuple(map(str, r)) for r in dk.sql(q).fetchall()]
+        s = [
+            tuple(map(str, r))
+            for r in loaded_engine.execute(q).collect()
+        ]
+        assert d == s, q
