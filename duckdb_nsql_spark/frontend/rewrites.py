@@ -1207,6 +1207,59 @@ def _from_table(tokens: list[Token]) -> Optional[str]:
     return None
 
 
+_FROM_ITEM_STOP_KWS = frozenset(
+    "ON WHERE GROUP ORDER LIMIT OFFSET HAVING JOIN LEFT RIGHT INNER"
+    " OUTER FULL CROSS SEMI ANTI ASOF POSITIONAL LATERAL USING UNION"
+    " INTERSECT EXCEPT QUALIFY WINDOW TABLESAMPLE SAMPLE SELECT".split()
+)
+
+
+def _from_alias_map(tokens: list[Token]) -> dict[str, str]:
+    """alias/table-name -> base table name for plain FROM/JOIN items
+    (dotted names keep their last part; derived tables skipped)."""
+    m: dict[str, str] = {}
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == IDENT and t.upper in ("FROM", "JOIN"):
+            j = next_sig(tokens, i)
+            if (
+                j < len(tokens)
+                and tokens[j].kind in (IDENT, QIDENT, BIDENT)
+                and tokens[j].upper not in _FROM_ITEM_STOP_KWS
+                and not tokens[j].is_kw("LATERAL")
+            ):
+                parts = [tokens[j].text.strip('"`')]
+                k = next_sig(tokens, j)
+                while (
+                    k < len(tokens)
+                    and tokens[k].kind == PUNCT
+                    and tokens[k].text == "."
+                ):
+                    j = next_sig(tokens, k)
+                    if j >= len(tokens):
+                        break
+                    parts.append(tokens[j].text.strip('"`'))
+                    k = next_sig(tokens, j)
+                base = parts[-1]
+                m.setdefault(".".join(parts).lower(), base)
+                m.setdefault(base.lower(), base)
+                if (
+                    k < len(tokens)
+                    and tokens[k].kind == IDENT
+                    and tokens[k].upper == "AS"
+                ):
+                    k = next_sig(tokens, k)
+                if (
+                    k < len(tokens)
+                    and tokens[k].kind in (IDENT, QIDENT)
+                    and tokens[k].upper not in _FROM_ITEM_STOP_KWS
+                ):
+                    m[tokens[k].text.strip('"').lower()] = base
+        i += 1
+    return m
+
+
 def _like_to_regex(pat: str) -> str:
     out = []
     for ch in pat:
@@ -1375,12 +1428,63 @@ def pass_columns_regex(tokens: list[Token], resolver: Resolver) -> list[Token]:
             ]
             if not star_matched:
                 raise ValueError("COLUMNS(* EXCLUDE ...) matched no columns")
+        elif tokens[k].kind in (IDENT, QIDENT) and (
+            (k2 := next_sig(tokens, k)) < c
+            and tokens[k2].kind == PUNCT
+            and tokens[k2].text == "."
+            and (k3 := next_sig(tokens, k2)) < c
+            and tokens[k3].kind == OP
+            and tokens[k3].text == "*"
+        ):
+            # COLUMNS(t.*) — qualified star (round-12 probe find):
+            # expand to the aliased table's columns, qualified
+            qual = tokens[k].text.strip('"')
+            base = _from_alias_map(tokens).get(qual.lower(), qual)
+            qcols = resolver.table_columns(base)
+            if qcols is None:
+                raise ValueError(
+                    f"COLUMNS({qual}.*) — cannot resolve table for"
+                    f" alias {qual!r}"
+                )
+            excl = set()
+            e = next_sig(tokens, k3)
+            if (
+                e < c
+                and tokens[e].kind == IDENT
+                and tokens[e].upper in ("EXCLUDE", "EXCEPT")
+            ):
+                eo = next_sig(tokens, e)
+                if eo < c and tokens[eo].text == "(":
+                    ec = match_forward(tokens, eo, "(", ")")
+                    excl = {
+                        tk.text.strip('"').lower()
+                        for tk in tokens[eo + 1 : ec]
+                        if tk.kind in (IDENT, QIDENT)
+                    }
+                elif eo < c and tokens[eo].kind in (IDENT, QIDENT):
+                    excl = {tokens[eo].text.strip('"').lower()}
+            excl.discard(qual.lower())  # qualified t.a excludes only a
+            missing = excl - {col.lower() for col in qcols}
+            if missing:
+                raise ValueError(
+                    f"Binder Error: Column \"{sorted(missing)[0]}\" in"
+                    f" EXCLUDE list not found in {qual}"
+                )
+            star_matched = [
+                f"{qual}.{col}"
+                for col in qcols
+                if col.lower() not in excl
+            ]
+            if not star_matched:
+                raise ValueError(
+                    "COLUMNS(t.* EXCLUDE ...) matched no columns"
+                )
         elif tokens[k].kind != STRING:
             lam = _parse_columns_lambda(tokens, k, c)
             if lam is None:
                 i += 1
                 continue
-        if cols is None:
+        if cols is None and star_matched is None:
             raise ValueError(
                 "COLUMNS(...) requires a resolvable single-table FROM clause"
             )
@@ -1428,7 +1532,12 @@ def pass_columns_regex(tokens: list[Token], resolver: Resolver) -> list[Token]:
             if wrapped:
                 new.extend([_ident(fn), _punct("("), _ident(col), _punct(")")])
                 if top_level:
-                    new.extend([_ws(), _ident("AS"), _ws(), _ident(col)])
+                    # qualified expansions (COLUMNS(t.*)) alias to the
+                    # BARE column name, like DuckDB
+                    new.extend([
+                        _ws(), _ident("AS"), _ws(),
+                        _ident(col.split(".")[-1]),
+                    ])
             else:
                 new.append(_ident(col))
         if wrapped:

@@ -2265,6 +2265,22 @@ _sql(
 )
 
 _sql(
+    "q151_columns_qualified_star",
+    # COLUMNS(t.* [EXCLUDE ...]) — qualified dynamic projection over a
+    # join (round-12 probe find): expands to the aliased table's
+    # columns; fn-wrapped form aliases each expansion to the BARE
+    # column name like DuckDB; EXCLUDE of an unknown column reproduces
+    # DuckDB's binder error.
+    """
+    SELECT COLUMNS(n.* EXCLUDE (n_regionkey)),
+           min(COLUMNS(o.*))
+    FROM nation n JOIN orders o ON o.o_custkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    ORDER BY n.n_nationkey
+    """,
+)
+
+_sql(
     "q150_at_time_zone",
     # AT TIME ZONE (round-12 probe find): naive -> instant in zone
     # (to_utc_timestamp), aware -> wall time in zone
@@ -7219,6 +7235,7 @@ _POST_FREEZE_R12: tuple[str, ...] = (
     "q148_scaled_mixed_interval",
     "q149_unnest_recursive",
     "q150_at_time_zone",
+    "q151_columns_qualified_star",
 )
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):

@@ -1207,3 +1207,25 @@ def test_at_time_zone_and_regex_group_names(loaded_engine):
             for r in loaded_engine.execute(q).collect()
         ]
         assert d == s, q
+
+
+def test_columns_qualified_star(loaded_engine):
+    """COLUMNS(t.* [EXCLUDE ...]) over a join (round-12 probe find):
+    expands to the aliased table's columns qualified; fn-wrapped form
+    aliases each expansion to the BARE column name; EXCLUDE of an
+    unknown column reproduces DuckDB's binder error."""
+    row = loaded_engine.execute(
+        "SELECT COLUMNS(n.*) FROM nation n JOIN orders o ON"
+        " n.n_nationkey = o.o_custkey LIMIT 1"
+    )
+    assert row.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    row = loaded_engine.execute(
+        "SELECT min(COLUMNS(n.* EXCLUDE (n_regionkey))) FROM nation n"
+        " JOIN orders o ON n.n_nationkey = o.o_custkey"
+    )
+    assert row.columns == ["n_nationkey", "n_name"]
+    with pytest.raises(ValueError, match="EXCLUDE list not found"):
+        loaded_engine.execute(
+            "SELECT COLUMNS(n.* EXCLUDE (nope)) FROM nation n JOIN"
+            " orders o ON n.n_nationkey = o.o_custkey"
+        )
