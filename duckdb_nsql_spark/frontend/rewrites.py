@@ -1093,6 +1093,15 @@ def pass_json_arrows(tokens: list[Token]) -> list[Token]:
                 break
             key_tok = tokens[k]
             start = primary_start(tokens, i)
+            # extend over ::-cast chains: x::JSON ->> k must take the
+            # whole cast as the base, not just the type word
+            # (round-12 probe find)
+            while True:
+                p = prev_sig(tokens, start)
+                if p >= 0 and tokens[p].kind == OP and tokens[p].text == "::":
+                    start = primary_start(tokens, p)
+                else:
+                    break
             if _is_lambda_arrow(tokens, start, i):
                 i += 1
                 continue

@@ -30,6 +30,9 @@ def _sql_literal(v, dt: T.DataType) -> str:
         return f"CAST('{v}' AS DOUBLE)"
     if isinstance(v, (int, float)):
         return f"CAST({v!r} AS {ddl})"
+    if isinstance(v, (list, tuple)) and isinstance(dt, T.ArrayType):
+        items = ", ".join(_sql_literal(x, dt.elementType) for x in v)
+        return f"array({items})"
     s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"CAST('{s}' AS {ddl})"
 

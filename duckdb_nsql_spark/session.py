@@ -1168,6 +1168,14 @@ class DuckSparkSession:
         if i >= len(tokens):
             return None
         kw = tokens[i].upper if tokens[i].kind == IDENT else ""
+        if kw == "TABLE":
+            # DuckDB `TABLE name` = SELECT * FROM name (round-12 probe
+            # find: the bare form bypassed the FROM-reference
+            # substitution, so registered tables went unresolved)
+            sql = re.sub(r"(?is)^\s*TABLE\b", "SELECT * FROM", sql, count=1)
+            tokens = tokenize(sql)
+            i = next_sig(tokens, -1)
+            kw = "SELECT"
         handler = {
             "SELECT": self._query,
             "WITH": self._query,
@@ -6777,8 +6785,10 @@ class DuckSparkSession:
 
     def _show(self, sql: str) -> DataFrame:
         s = re.sub(r"\s+", " ", sql).strip().rstrip(";").upper()
-        if s in ("SHOW TABLES", "SHOW ALL TABLES"):
+        if s == "SHOW TABLES":
             return self._tables_df()
+        if s == "SHOW ALL TABLES":
+            return self._all_tables_df()
         if s == "SHOW DATABASES":
             return self._databases_df()
         body = sql.strip().rstrip(";")
@@ -6791,6 +6801,40 @@ class DuckSparkSession:
             self.spark, [(n,) for n in names],
             T.StructType([T.StructField("name", T.StringType())]),
         )
+
+    def _all_tables_df(self) -> DataFrame:
+        """DuckDB ``SHOW ALL TABLES`` shape (round-12 probe find):
+        database, schema, name, column_names, column_types, temporary."""
+        rows = []
+        for key in sorted(self._tables):
+            db, _, name = key.rpartition(".")
+            df = self._tables[key]
+            fixed = self._fixed_arrays.get(key)
+            overrides = self._type_overrides.get(key)
+            rows.append((
+                "memory",
+                db or "main",
+                name,
+                [f.name for f in df.schema.fields],
+                [
+                    introspect._type_name(f, fixed, overrides)
+                    for f in df.schema.fields
+                ],
+                key in self._temp_tables,
+            ))
+        schema = T.StructType([
+            T.StructField("database", T.StringType(), False),
+            T.StructField("schema", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField(
+                "column_names", T.ArrayType(T.StringType()), False
+            ),
+            T.StructField(
+                "column_types", T.ArrayType(T.StringType()), False
+            ),
+            T.StructField("temporary", T.BooleanType(), False),
+        ])
+        return introspect.local_df(self.spark, rows, schema)
 
     def _databases_df(self) -> DataFrame:
         dbs = sorted(self._databases - {"information_schema", "main"})
