@@ -3003,9 +3003,30 @@ class DuckSparkSession:
 
         sig = [k for k, t in enumerate(tokens) if t.kind not in (WS, COMMENT)]
         pos = {k: n for n, k in enumerate(sig)}
+        subq_dfs: dict[str, DataFrame] = {}
 
         def table_ref(span: list[int]):
-            """[name_parts..., optional AS, optional alias] -> (name, alias)."""
+            """[name_parts..., optional AS, optional alias] -> (name, alias).
+
+            A parenthesized side — ``(subquery) [AS] alias`` — executes
+            the subquery through the normal query path and stashes the
+            DataFrame under its alias (round-12: ASOF JOIN over derived
+            tables; DuckDB allows any table expression on either side).
+            Returns (None, alias) for those."""
+            if not span:
+                bad("expected a table reference")
+            first = span[0]
+            if tokens[first].kind == PUNCT and tokens[first].text == "(":
+                close = match_forward(tokens, first, "(", ")")
+                sub_sql = render(tokens[first + 1 : close]).strip()
+                rest = [tokens[k] for k in span if k > close]
+                if rest and rest[0].kind == IDENT and rest[0].upper == "AS":
+                    rest = rest[1:]
+                if len(rest) != 1 or rest[0].kind not in (IDENT, QIDENT):
+                    bad("a derived ASOF side needs `(subquery) [AS] alias`")
+                alias = rest[0].text.strip('"`')
+                subq_dfs[alias.lower()] = self._query(sub_sql)
+                return None, alias
             toks = [tokens[k] for k in span]
             j = 0
             parts = []
@@ -3092,8 +3113,12 @@ class DuckSparkSession:
             else:
                 conjs[-1].append(t)
 
-        left_df = self.table(lname)
-        right_df = self.table(rname)
+        left_df = (
+            subq_dfs[lalias.lower()] if lname is None else self.table(lname)
+        )
+        right_df = (
+            subq_dfs[ralias.lower()] if rname is None else self.table(rname)
+        )
 
         def ref(ts: list[Token]):
             """(side, col) for `alias.col` or a bare unique column name."""

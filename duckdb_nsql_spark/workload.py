@@ -2265,6 +2265,22 @@ _sql(
 )
 
 _sql(
+    "q152_asof_derived",
+    # ASOF JOIN over DERIVED tables on both sides (round-12 probe
+    # find: the SQL handler required plain table names). Each side's
+    # subquery runs through the normal query path; the asof plan
+    # (semi-filtered union window) is unchanged.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(s.value), 2) AS matched_value
+    FROM (SELECT user_id, ts FROM events WHERE user_id < 40) e
+         ASOF JOIN (SELECT user_id AS u, ts AS t, value
+                    FROM events WHERE event_id % 7 = 0) s
+         ON e.user_id = s.u AND e.ts >= s.t
+    """,
+)
+
+_sql(
     "q151_columns_qualified_star",
     # COLUMNS(t.* [EXCLUDE ...]) — qualified dynamic projection over a
     # join (round-12 probe find): expands to the aliased table's
@@ -7236,6 +7252,7 @@ _POST_FREEZE_R12: tuple[str, ...] = (
     "q149_unnest_recursive",
     "q150_at_time_zone",
     "q151_columns_qualified_star",
+    "q152_asof_derived",
 )
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):

@@ -2173,3 +2173,36 @@ def test_percent_limit_everywhere(loaded_engine):
         " WHERE CAST(o_orderkey AS INTEGER) % 7 = 0"
     ).collect()[0][0]
     assert 0 < m < total
+
+
+def test_asof_join_derived_tables(loaded_engine):
+    """ASOF JOIN over derived tables on either side (round-12 probe
+    find: the SQL handler required plain table names) — values pinned
+    vs DuckDB for inner/LEFT and both-sides-derived forms."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    dk = duckdb.connect()
+    dk.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    qs = [
+        "SELECT count(*) AS n FROM events e ASOF LEFT JOIN"
+        " (SELECT user_id AS u, ts AS t, value FROM events"
+        " WHERE event_id % 7 = 0) s ON e.user_id = s.u AND e.ts >= s.t",
+        "SELECT count(*) AS n, round(sum(s.value), 2) AS v FROM events"
+        " e ASOF JOIN (SELECT user_id AS u, ts AS t, value FROM events"
+        " WHERE event_id % 7 = 0) s ON e.user_id = s.u AND e.ts >= s.t",
+        "SELECT count(*) AS n FROM (SELECT user_id, ts FROM events"
+        " WHERE event_id % 3 = 0) a ASOF JOIN (SELECT user_id AS u,"
+        " ts AS t FROM events WHERE event_id % 7 = 0) b"
+        " ON a.user_id = b.u AND a.ts >= b.t",
+    ]
+    for q in qs:
+        d = [tuple(map(str, r)) for r in dk.sql(q).fetchall()]
+        s = [
+            tuple(map(str, r))
+            for r in loaded_engine.execute(q).collect()
+        ]
+        assert d == s, q
