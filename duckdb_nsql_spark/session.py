@@ -827,6 +827,10 @@ class DuckSparkSession:
         self._unmanaged_ref_count: int = 0
         # CREATE TYPE name AS ENUM(...) -> allowed values (lowercase keys)
         self._enum_types: dict[str, list[str]] = {}
+        # CREATE TYPE name AS <any other type> -> definition text
+        # (round-12: DuckDB type aliases; expanded at coldef/cast sites,
+        # like DuckDB's own DESCRIBE rendering)
+        self._alias_types: dict[str, str] = {}
         # table -> column -> allowed enum values (INSERT-time enforcement)
         self._enum_cols: dict[str, dict[str, list[str]]] = {}
         # table -> column -> declared type text (ENUM rendering in
@@ -2464,6 +2468,7 @@ class DuckSparkSession:
             # file-pruned SYSTEM sampling (DuckDB's default method): reads
             # ~n% of the table instead of scanning 100% and discarding
             tokens = self._system_sample_files(tokens)
+        tokens = self._expand_alias_type_casts(tokens)
         # dialect passes see the user's table names (COLUMNS / * REPLACE
         # resolve via the catalog); view-name flattening happens after
         text = rewrites.rewrite_sql(render(tokens), self._resolver)
@@ -4289,7 +4294,20 @@ class DuckSparkSession:
         if k >= len(tokens) or not (
             tokens[k].kind == IDENT and tokens[k].upper == "ENUM"
         ):
-            raise ValueError("only ENUM types are supported by CREATE TYPE")
+            # CREATE TYPE name AS <type> — a type ALIAS (round-12):
+            # store the definition text; coldef/cast sites expand it,
+            # matching DuckDB's own expansion in DESCRIBE
+            ty_txt = render(tokens[k:]).strip().rstrip(";").strip()
+            ty_txt = self._expand_alias_types_text(ty_txt)
+            parse_duckdb_type(ty_txt)  # loud on garbage
+            if (
+                name in self._alias_types or name in self._enum_types
+            ) and not or_replace:
+                raise ValueError(
+                    f"Catalog Error: type {name!r} already exists"
+                )
+            self._alias_types[name] = ty_txt
+            return None
         k = next_sig(tokens, k)
         if k >= len(tokens) or tokens[k].text != "(":
             raise ValueError("ENUM requires a value list")
@@ -4568,6 +4586,7 @@ class DuckSparkSession:
                 ) + ")"
                 self._type_overrides.setdefault(table, {})[col] = rendered
             else:
+                ty_str = self._expand_alias_types_text(ty_str)
                 dt = parse_duckdb_type(ty_str)
                 if re.match(r"^UNION\s*\(", ty_str, re.IGNORECASE):
                     # keep the declared UNION(...) text for DESCRIBE /
@@ -4583,6 +4602,66 @@ class DuckSparkSession:
         if fixed:
             self._fixed_arrays[table] = fixed
         return T.StructType(fields)
+
+    def _expand_alias_types_text(self, ty: str) -> str:
+        """Substitute CREATE TYPE aliases (standalone words, case-
+        insensitive) with their definitions, recursively (bounded)."""
+        if not self._alias_types:
+            return ty
+        for _ in range(10):
+            new = ty
+            for name, defn in self._alias_types.items():
+                new = re.sub(
+                    rf"(?i)\b{re.escape(name)}\b", defn, new
+                )
+            if new == ty:
+                break
+            ty = new
+        return ty
+
+    def _expand_alias_type_casts(self, tokens: list[Token]) -> list[Token]:
+        """Expand alias-type names in CAST positions (after ``::`` or as
+        the type word of CAST/TRY_CAST) before the rewrite pipeline."""
+        if not self._alias_types:
+            return tokens
+        out = list(tokens)
+        i = 0
+        while i < len(out):
+            t = out[i]
+            if (
+                t.kind == IDENT
+                and t.text.lower() in self._alias_types
+            ):
+                p = prev_sig(out, i)
+                cast_pos = p >= 0 and out[p].kind == OP and out[p].text == "::"
+                if not cast_pos and p >= 0 and (
+                    out[p].kind == IDENT and out[p].upper == "AS"
+                ):
+                    # CAST(x AS <alias>) — require a CAST/TRY_CAST call
+                    # enclosing this AS (a select-item alias that merely
+                    # shares the name must stay untouched)
+                    depth = 0
+                    for k in range(p - 1, -1, -1):
+                        tk = out[k]
+                        if tk.kind == PUNCT and tk.text in ")]}":
+                            depth += 1
+                        elif tk.kind == PUNCT and tk.text in "([{":
+                            if depth == 0:
+                                f = prev_sig(out, k)
+                                cast_pos = (
+                                    f >= 0
+                                    and out[f].kind == IDENT
+                                    and out[f].upper in ("CAST", "TRY_CAST")
+                                )
+                                break
+                            depth -= 1
+                if cast_pos:
+                    new = tokenize(self._alias_types[t.text.lower()])
+                    out = out[:i] + new + out[i + 1 :]
+                    i += len(new)
+                    continue
+            i += 1
+        return out
 
     def _enum_values_for_type(self, ty_str: str) -> Optional[list[str]]:
         """Member list when ty_str is an inline ENUM(...) or a CREATE TYPE
@@ -4648,6 +4727,8 @@ class DuckSparkSession:
         if m.group(1).upper() in ("MACRO", "FUNCTION"):
             return self._drop_macro(name, bool(m.group(2)))
         if m.group(1).upper() == "TYPE":
+            if self._alias_types.pop(name.lower(), None) is not None:
+                return None
             if self._enum_types.pop(name.lower(), None) is None and not m.group(2):
                 raise KeyError(
                     f"Catalog Error: Type with name {name} does not exist!"
@@ -5801,7 +5882,8 @@ class DuckSparkSession:
 
     _TXN_STATE = (
         "_table_files", "_fixed_arrays", "_enum_cols", "_type_overrides",
-        "_macros", "_enum_types", "_unique_keys", "_sequences", "_databases",
+        "_macros", "_enum_types", "_alias_types", "_unique_keys",
+        "_sequences", "_databases",
         "_indexes", "_comments", "_defaults", "_notnull_cols", "_checks",
         "_foreign_keys", "_view_defs",
     )

@@ -2265,6 +2265,25 @@ _sql(
 )
 
 _sql(
+    "q153_type_alias",
+    # CREATE TYPE name AS <type> — non-ENUM type ALIASES (round-12
+    # probe find: only ENUM was supported). Definitions expand at
+    # coldef and CAST sites (::alias and CAST(x AS alias)), matching
+    # DuckDB's own expansion in DESCRIBE; a select-item alias sharing
+    # the name stays untouched.
+    """
+    DROP TYPE IF EXISTS point12;
+    CREATE TYPE point12 AS STRUCT(x INTEGER, y INTEGER);
+    CREATE OR REPLACE TABLE pts12 (id INTEGER, p point12);
+    INSERT INTO pts12 VALUES (1, {'x': 3, 'y': 4}),
+                             (2, {'x': -1, 'y': 7});
+    SELECT id, p.x AS px, CAST({'x': id, 'y': 0} AS point12).x AS cx,
+           ({'x': 5, 'y': 6}::point12).y AS cy
+    FROM pts12 ORDER BY id
+    """,
+)
+
+_sql(
     "q152_asof_derived",
     # ASOF JOIN over DERIVED tables on both sides (round-12 probe
     # find: the SQL handler required plain table names). Each side's
@@ -7253,6 +7272,7 @@ _POST_FREEZE_R12: tuple[str, ...] = (
     "q150_at_time_zone",
     "q151_columns_qualified_star",
     "q152_asof_derived",
+    "q153_type_alias",
 )
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):
