@@ -1109,6 +1109,98 @@ def gen_wave16_query():
     )
 
 
+def gen_wave17_query():
+    """Wave-17 shapes (round 12, second sitting): the probe-session
+    grammar — unnest(recursive := / max_depth :=) over literal and
+    column shapes, AT TIME ZONE chains, COLUMNS(t.*) over joins, ASOF
+    JOIN with derived sides, CREATE TYPE aliases through
+    coldef/cast/insert, TABLE statements, ::JSON arrow chains."""
+    r = rng.random()
+    if r < 0.2:
+        # unnest named args over literals / split columns
+        d1 = rng.randint(1, 4)
+        d2 = rng.randint(1, 3)
+        inner = ", ".join(str(rng.randint(0, 9)) for _ in range(d1))
+        inner2 = ", ".join(str(rng.randint(0, 9)) for _ in range(d2))
+        lit = f"[[{inner}], [{inner2}]]"
+        pick = rng.random()
+        if pick < 0.4:
+            arg = rng.choice(["recursive := true", "max_depth := 2",
+                              "max_depth := 3", "recursive := false"])
+            return f"SELECT unnest({lit}, {arg}) AS u ORDER BY 1 NULLS FIRST"
+        if pick < 0.7:
+            t = rng.choice(["documents"])
+            return (
+                f"SELECT w AS u, CAST(count(*) AS BIGINT) AS n FROM"
+                f" (SELECT unnest(string_split(text, ' '),"
+                f" recursive := true) AS w FROM {t}"
+                f" WHERE doc_id < {rng.randint(5, 30)})"
+                f" WHERE length(w) > {rng.randint(2, 6)}"
+                f" GROUP BY w ORDER BY n DESC, w LIMIT 20"
+            )
+        ks = rng.sample(["a", "b", "c"], k=2)
+        return (
+            f"SELECT unnest([{{'{ks[0]}': {rng.randint(0, 9)},"
+            f" '{ks[1]}': {{'z': {rng.randint(0, 9)}}}}}],"
+            f" recursive := true)"
+        )
+    if r < 0.4:
+        # AT TIME ZONE chains over event timestamps
+        z1 = rng.choice(["UTC", "Asia/Tokyo", "America/New_York",
+                         "Europe/Paris"])
+        z2 = rng.choice(["UTC", "Australia/Sydney", "America/Chicago"])
+        form = rng.random()
+        if form < 0.5:
+            return (
+                f"SELECT event_id, CAST(ts AT TIME ZONE '{z1}' AS"
+                f" TIMESTAMP) AS t FROM events WHERE user_id ="
+                f" {rng.randint(0, 40)} ORDER BY event_id LIMIT 20"
+            )
+        return (
+            f"SELECT CAST(count(*) AS BIGINT) AS n FROM events"
+            f" WHERE (ts AT TIME ZONE '{z1}') AT TIME ZONE '{z2}'"
+            f" > TIMESTAMP '2024-0{rng.randint(1, 6)}-15 00:00:00'"
+        )
+    if r < 0.6:
+        # COLUMNS(t.*) over joins, bare + fn-wrapped + EXCLUDE
+        excl = rng.choice(["", " EXCLUDE (n_regionkey)",
+                           " EXCLUDE (n_name)"])
+        if rng.random() < 0.5:
+            return (
+                f"SELECT COLUMNS(n.*{excl}) FROM nation n JOIN orders o"
+                f" ON n.n_nationkey = o.o_custkey"
+                f" ORDER BY ALL LIMIT {rng.randint(5, 25)}"
+            )
+        fn = rng.choice(["min", "max", "count"])
+        return (
+            f"SELECT {fn}(COLUMNS(n.*{excl})) FROM nation n JOIN"
+            f" orders o ON n.n_nationkey = o.o_custkey"
+        )
+    if r < 0.8:
+        # ASOF with derived sides
+        m = rng.randint(3, 9)
+        how = rng.choice(["", " LEFT"])
+        direction = rng.choice([">=", "<="])
+        return (
+            f"SELECT CAST(count(*) AS BIGINT) AS n,"
+            f" CAST(sum(s.value) AS DOUBLE) AS v FROM"
+            f" (SELECT user_id, ts FROM events WHERE user_id <"
+            f" {rng.randint(10, 60)}) e ASOF{how} JOIN"
+            f" (SELECT user_id AS u, ts AS t, value FROM events"
+            f" WHERE event_id % {m} = 0) s"
+            f" ON e.user_id = s.u AND e.ts {direction} s.t"
+        )
+    # type aliases through DDL/DML/cast
+    tn = f"fz17t{rng.randint(0, 9)}"
+    x, y = rng.randint(0, 99), rng.randint(0, 99)
+    return (
+        f"DROP TYPE IF EXISTS {tn};"
+        f" CREATE TYPE {tn} AS STRUCT(x INTEGER, y INTEGER);"
+        f" SELECT ({{'x': {x}, 'y': {y}}}::{tn}).x + "
+        f" CAST({{'x': 1, 'y': 2}} AS {tn}).y AS v"
+    )
+
+
 def gen_query():
     r0 = rng.random()
     if r0 < 0.13:

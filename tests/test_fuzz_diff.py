@@ -218,3 +218,34 @@ def test_fuzz_wave16_round12_grammar(loaded_engine, fuzz_duck, fuzz_mod):
         d = fuzz_duck.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert fuzz_mod.rows_match(d, s), q
+
+
+def test_fuzz_wave17_round12_probe_grammar(loaded_engine, fuzz_mod):
+    """Same-round insurance over the round-12 probe-session grammar:
+    unnest(recursive :=/max_depth :=), AT TIME ZONE chains,
+    COLUMNS(t.*) over joins, ASOF JOIN with derived sides, CREATE TYPE
+    aliases through coldef/cast — 40 seeded queries (hunt: 200 more
+    over seeds 17101-17102; clean on the first pass, zero double-error
+    skips)."""
+    con = duckdb.connect()
+    con.execute("SET timezone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{SF}/{t}.parquet')"
+        )
+
+    def canon(v):
+        return dict(v.asDict()) if hasattr(v, "asDict") else v
+
+    fuzz_mod.reseed(17000)
+    for _ in range(40):
+        q = fuzz_mod.gen_wave17_query()
+        d = con.execute(q).fetchall()
+        s = [
+            tuple(canon(v) for v in r)
+            for r in loaded_engine.execute(q).collect()
+        ]
+        # rows_match: float tolerance for distributed partial-sum
+        # rounding flips (round(sum(double), 1) half-digit boundaries)
+        assert fuzz_mod.rows_match(d, s), q
