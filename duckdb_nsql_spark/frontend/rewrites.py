@@ -3762,6 +3762,150 @@ def pass_at_abs(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def _select_alias_map_at(
+    tokens: list[Token], sel_i: int, depth: int, resolver: Resolver
+) -> dict[str, str]:
+    """alias -> expr text for `expr AS alias` items of the SELECT list
+    starting at sel_i (same-depth scan to FROM). Aliases that shadow a
+    known catalog column are omitted — GROUP BY prefers the input
+    column (the Postgres/DuckDB rule), so substituting would be wrong."""
+    amap: dict[str, str] = {}
+    d = depth
+    j = sel_i + 1
+    item_start = None
+    items: list[tuple[int, int]] = []
+    while j < len(tokens):
+        t = tokens[j]
+        if t.kind == PUNCT and t.text in "([{":
+            d += 1
+        elif t.kind == PUNCT and t.text in ")]}":
+            d -= 1
+            if d < depth:
+                break
+        elif d == depth and t.kind == IDENT and t.upper in (
+            "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+            "QUALIFY", "WINDOW", "UNION", "INTERSECT", "EXCEPT",
+        ):
+            break
+        if t.kind not in (WS, COMMENT):
+            if item_start is None:
+                item_start = j
+            if d == depth and t.kind == PUNCT and t.text == ",":
+                items.append((item_start, j))
+                item_start = None
+        j += 1
+    if item_start is not None:
+        items.append((item_start, j))
+    for lo, hi in items:
+        sig = [tk for tk in tokens[lo:hi] if tk.kind not in (WS, COMMENT)]
+        if (
+            len(sig) >= 3
+            and sig[-2].kind == IDENT
+            and sig[-2].upper == "AS"
+            and sig[-1].kind in (IDENT, QIDENT)
+        ):
+            name = sig[-1].text.strip('"').lower()
+            if resolver.column_kind(name) or resolver.column_numeric(
+                name
+            ) or resolver.column_timestamp(name):
+                continue
+            amap[name] = render(
+                _trim(tokens[lo : lo + tokens[lo:hi].index(sig[-2])])
+            )
+    return amap
+
+
+def pass_grouping_alias_args(
+    tokens: list[Token], resolver: Optional[Resolver] = None
+) -> list[Token]:
+    """Select-list aliases inside CUBE/ROLLUP/GROUPING SETS argument
+    lists and grouping()/grouping_id() calls substitute to their
+    expressions (round-12 probe find): DuckDB binds them, but Spark's
+    grouping_id requires its arguments to be the EXACT grouping
+    expressions — a lateralAliasReference never matches, so
+    ``grouping(a, b)`` over ``CUBE(a, b)`` failed analysis. Only
+    single-identifier arguments that match an alias (and do not shadow
+    a catalog column) substitute; everything else is untouched."""
+    resolver = resolver or NullResolver()
+    out = list(tokens)
+    stack: list[tuple[int, dict[str, str]]] = []
+    depth = 0
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == PUNCT and t.text in "([{":
+            depth += 1
+        elif t.kind == PUNCT and t.text in ")]}":
+            depth -= 1
+            while stack and stack[-1][0] > depth:
+                stack.pop()
+        elif t.kind == IDENT and t.upper == "SELECT":
+            while stack and stack[-1][0] >= depth:
+                stack.pop()
+            stack.append(
+                (depth, _select_alias_map_at(out, i, depth, resolver))
+            )
+        elif (
+            t.kind == IDENT
+            and t.upper in ("CUBE", "ROLLUP", "GROUPING", "GROUPING_ID")
+            and stack
+            and stack[-1][0] == depth
+            and stack[-1][1]
+        ):
+            amap = stack[-1][1]
+            n = next_sig(out, i)
+            sets_form = False
+            if (
+                t.upper == "GROUPING"
+                and n < len(out)
+                and out[n].kind == IDENT
+                and out[n].upper == "SETS"
+            ):
+                sets_form = True
+                n = next_sig(out, n)
+            if n < len(out) and out[n].kind == PUNCT and out[n].text == "(":
+                c = match_forward(out, n, "(", ")")
+
+                def sub_args(lo: int, hi: int) -> None:
+                    for alo, ahi in split_args(out, lo, hi):
+                        sig = [
+                            k for k in range(alo, ahi)
+                            if out[k].kind not in (WS, COMMENT)
+                        ]
+                        if (
+                            len(sig) == 1
+                            and out[sig[0]].kind == IDENT
+                            and out[sig[0]].text.lower() in amap
+                        ):
+                            out[sig[0]] = Token(
+                                IDENT, amap[out[sig[0]].text.lower()]
+                            )
+
+                if sets_form:
+                    # GROUPING SETS ((a, b), (a), ()): recurse into each
+                    # parenthesized group
+                    for glo, ghi in split_args(out, n + 1, c):
+                        sig = [
+                            k for k in range(glo, ghi)
+                            if out[k].kind not in (WS, COMMENT)
+                        ]
+                        if (
+                            sig
+                            and out[sig[0]].kind == PUNCT
+                            and out[sig[0]].text == "("
+                        ):
+                            gc = match_forward(out, sig[0], "(", ")")
+                            sub_args(sig[0] + 1, gc)
+                        else:
+                            sub_args(glo, ghi)
+                else:
+                    sub_args(n + 1, c)
+                i = c + 1
+                continue
+        i += 1
+    return out
+
+
 def pass_at_time_zone(tokens: list[Token]) -> list[Token]:
     """DuckDB ``x AT TIME ZONE 'z'`` (round-12 probe find). Semantics
     are direction-dependent: a NAIVE timestamp interprets its wall time
@@ -8419,4 +8563,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_mixed_interval_literal(tokens)
     tokens = pass_date_interval_arith(tokens)
     tokens = pass_function_renames(tokens, resolver)
+    # LAST: the substituted expression text must match the select item
+    # exactly as Spark will see it (post every other pass)
+    tokens = pass_grouping_alias_args(tokens, resolver)
     return render(tokens)

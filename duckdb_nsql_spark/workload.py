@@ -2265,6 +2265,24 @@ _sql(
 )
 
 _sql(
+    "q154_grouping_alias",
+    # Select-list aliases inside CUBE/GROUPING SETS arg lists and
+    # grouping()/grouping_id() calls (round-12 probe find): DuckDB
+    # binds them; Spark's grouping_id needs the EXACT grouping
+    # expressions, so pass_grouping_alias_args substitutes the alias
+    # definitions (skipping aliases that shadow catalog columns —
+    # GROUP BY prefers the input column, the Postgres/DuckDB rule).
+    """
+    SELECT upper(o_orderstatus) AS st, o_orderpriority AS pri,
+           grouping(st, pri) AS g, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE(st, pri)
+    ORDER BY st NULLS FIRST, pri NULLS FIRST, g
+    LIMIT 40
+    """,
+)
+
+_sql(
     "q153_type_alias",
     # CREATE TYPE name AS <type> — non-ENUM type ALIASES (round-12
     # probe find: only ENUM was supported). Definitions expand at
@@ -7273,6 +7291,7 @@ _POST_FREEZE_R12: tuple[str, ...] = (
     "q151_columns_qualified_star",
     "q152_asof_derived",
     "q153_type_alias",
+    "q154_grouping_alias",
 )
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):
