@@ -4804,6 +4804,7 @@ class DuckSparkSession:
         conflict_mode: Optional[str] = None  # "replace" | "ignore" | "update"
         conflict_cols: Optional[list[str]] = None
         conflict_set: Optional[str] = None
+        conflict_where: Optional[str] = None
         j = 1
         if tokens[sig[j]].is_kw("OR"):
             word = tokens[sig[j + 1]].upper
@@ -4828,9 +4829,8 @@ class DuckSparkSession:
                 and tokens[sig[p + 1]].is_kw("CONFLICT")
             ):
                 clause = render(tokens[i:]).strip().rstrip(";")
-                conflict_mode, conflict_cols, conflict_set = (
-                    self._parse_on_conflict(clause)
-                )
+                (conflict_mode, conflict_cols, conflict_set,
+                 conflict_where) = self._parse_on_conflict(clause)
                 tokens = tokens[:i]
                 sig = sig[:p]
                 break
@@ -4911,7 +4911,7 @@ class DuckSparkSession:
                 )
             return self._apply_conflict_insert(
                 key, target, aligned, conflict_mode, conflict_cols,
-                conflict_set,
+                conflict_set, conflict_where,
             )
         self._register_managed(key, target.unionByName(aligned))
         if returning is not None:
@@ -4942,8 +4942,11 @@ class DuckSparkSession:
 
     def _parse_on_conflict(
         self, clause: str
-    ) -> tuple[str, Optional[list[str]], Optional[str]]:
-        """``ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET <list>``."""
+    ) -> tuple[str, Optional[list[str]], Optional[str], Optional[str]]:
+        """``ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET <list>
+        [WHERE <cond>]`` — the WHERE makes the upsert conditional
+        (round-12 probe find): conflicting rows that fail it keep the
+        EXISTING row, and the incoming row is dropped, like DuckDB."""
         m = re.match(
             r"ON\s+CONFLICT\s*(\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+"
             r"(.*))\s*$",
@@ -4958,8 +4961,21 @@ class DuckSparkSession:
             else None
         )
         if m.group(3).upper() == "NOTHING":
-            return "ignore", cols, None
-        return "update", cols, m.group(4).strip()
+            return "ignore", cols, None, None
+        body = m.group(4).strip()
+        where = None
+        toks = tokenize(body)
+        depth = 0
+        for i, t in enumerate(toks):
+            if t.kind == PUNCT and t.text in "([{":
+                depth += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                depth -= 1
+            elif depth == 0 and t.kind == IDENT and t.upper == "WHERE":
+                where = render(toks[i + 1 :]).strip()
+                body = render(toks[:i]).strip()
+                break
+        return "update", cols, body, where
 
     def _apply_conflict_insert(
         self,
@@ -4969,6 +4985,7 @@ class DuckSparkSession:
         mode: str,
         conflict_cols: Optional[list[str]],
         set_sql: Optional[str],
+        where_sql: Optional[str] = None,
     ) -> DataFrame:
         """INSERT OR REPLACE / OR IGNORE / ON CONFLICT semantics as ONE
         shuffled join pass (no per-row lookups): the conflict key drives a
@@ -5009,11 +5026,23 @@ class DuckSparkSession:
         tcols = [f.name for f in target.schema.fields]
         set_map = self._parse_conflict_set(set_sql, tcols)
         on = " AND ".join(f"__tgt.{k} <=> excluded.{k}" for k in keys)
+        upd_cond = f"excluded.{marker} IS NOT NULL"
+        if where_sql:
+            # conditional upsert: qualify target refs the same way the
+            # SET expressions are (unqualified / tablename. -> __tgt.)
+            cond = self._parse_conflict_set(
+                f"__c = ({where_sql})", tcols + ["__c"]
+            )["__c"]
+            cond = re.sub(
+                rf"(?i)\b{re.escape(key.rpartition('.')[2])}\s*\.",
+                "__tgt.", cond,
+            )
+            upd_cond += f" AND {cond}"
         proj = []
         for c in tcols:
             if c in set_map:
                 proj.append(
-                    f"CASE WHEN excluded.{marker} IS NOT NULL "
+                    f"CASE WHEN {upd_cond} "
                     f"THEN ({set_map[c]}) ELSE __tgt.{c} END AS {c}"
                 )
             else:

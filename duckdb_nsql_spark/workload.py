@@ -2265,6 +2265,24 @@ _sql(
 )
 
 _sql(
+    "q155_conflict_where",
+    # Conditional upsert — ON CONFLICT ... DO UPDATE SET ... WHERE
+    # (round-12 probe find): conflicting rows failing the predicate
+    # keep the EXISTING row and drop the incoming one, like DuckDB.
+    # Scoping: unqualified / tablename. = target row, excluded. =
+    # incoming row.
+    """
+    CREATE OR REPLACE TABLE upsert12 (k INTEGER PRIMARY KEY,
+                                      v INTEGER);
+    INSERT INTO upsert12 VALUES (1, 10), (2, 80), (3, 30);
+    INSERT INTO upsert12 VALUES (1, 99), (2, 99), (4, 40)
+        ON CONFLICT (k) DO UPDATE SET v = excluded.v
+        WHERE upsert12.v < 50;
+    SELECT k, v FROM upsert12 ORDER BY k
+    """,
+)
+
+_sql(
     "q154_grouping_alias",
     # Select-list aliases inside CUBE/GROUPING SETS arg lists and
     # grouping()/grouping_id() calls (round-12 probe find): DuckDB
@@ -7292,6 +7310,7 @@ _POST_FREEZE_R12: tuple[str, ...] = (
     "q152_asof_derived",
     "q153_type_alias",
     "q154_grouping_alias",
+    "q155_conflict_where",
 )
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):

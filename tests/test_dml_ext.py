@@ -772,3 +772,28 @@ def test_insert_default_keyword_in_values(engine):
         for r in engine.execute("SELECT * FROM dvk ORDER BY b").collect()
     ]
     assert list(map(str, want)) == list(map(str, got))
+
+
+def test_on_conflict_do_update_where(engine):
+    """Conditional upsert (round-12 probe find): the DO UPDATE WHERE
+    predicate gates the update per conflicting row — failures keep the
+    existing row and drop the incoming one, DuckDB-pinned. Scoping:
+    unqualified / tablename. = target row, excluded. = incoming."""
+    import duckdb
+
+    dk = duckdb.connect()
+    stmts = [
+        "CREATE TABLE ocw (k INTEGER PRIMARY KEY, v INTEGER)",
+        "INSERT INTO ocw VALUES (1, 10), (2, 80)",
+        "INSERT INTO ocw VALUES (1, 99), (2, 99), (3, 3) ON CONFLICT"
+        " (k) DO UPDATE SET v = excluded.v WHERE ocw.v < 50",
+        "INSERT INTO ocw VALUES (1, 5) ON CONFLICT (k) DO UPDATE SET"
+        " v = excluded.v WHERE v > excluded.v",
+    ]
+    for st in stmts:
+        engine.execute(st)
+        dk.execute(st)
+    q = "SELECT k, v FROM ocw ORDER BY k"
+    assert [tuple(r) for r in engine.execute(q).collect()] == (
+        dk.sql(q).fetchall()
+    )
