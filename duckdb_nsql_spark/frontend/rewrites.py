@@ -5648,13 +5648,40 @@ def pass_ignore_nulls_inside(tokens: list[Token]) -> list[Token]:
     return out
 
 
-def pass_window_exclude(tokens: list[Token]) -> list[Token]:
+def _frame_has_current(spec: str) -> bool:
+    """Does the window frame contain the CURRENT ROW? Statically
+    decidable from the bounds text: it does unless the frame ends
+    before the current row (end bound ... PRECEDING) or starts after
+    it (start bound ... FOLLOWING). No frame clause = the default
+    RANGE UNBOUNDED PRECEDING..CURRENT ROW, which contains it."""
+    m = re.search(
+        r"(?is)\b(?:ROWS|RANGE|GROUPS)\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$",
+        spec,
+    )
+    if m:
+        start_b, end_b = m.group(1).upper(), m.group(2).upper()
+    else:
+        m = re.search(r"(?is)\b(?:ROWS|RANGE|GROUPS)\s+(.+?)\s*$", spec)
+        if not m:
+            return True
+        start_b, end_b = m.group(1).upper(), "CURRENT ROW"
+    return not (
+        start_b.endswith("FOLLOWING") or end_b.endswith("PRECEDING")
+    )
+
+
+def pass_window_exclude(
+    tokens: list[Token], resolver: Optional[Resolver] = None
+) -> list[Token]:
     """DuckDB window-frame ``EXCLUDE CURRENT ROW`` (Spark has no frame
     exclusion): rewrite ``sum/count/avg(x) OVER (spec EXCLUDE CURRENT
     ROW)`` as the framed aggregate minus the current row's contribution
     — same window spec, so Catalyst computes ONE window pass.
     ``EXCLUDE NO OTHERS`` strips to a plain frame; EXCLUDE GROUP/TIES
-    raise loudly (their group semantics have no subtraction form)."""
+    over RANGE frames subtract the peer-group window; over ROWS frames
+    (round-12) they fold a collected frame list JVM-side (peers may lie
+    outside a ROWS frame, so subtraction over-corrects there)."""
+    resolver = resolver or NullResolver()
     out = list(tokens)
     i = 0
     while i < len(out):
@@ -5694,16 +5721,19 @@ def pass_window_exclude(tokens: list[Token]) -> list[Token]:
             raise NotImplementedError(
                 f"window frame EXCLUDE {mode} is not supported"
             )
+        rows_frame = False
         if mode in ("GROUP", "TIES"):
             # peer rows are guaranteed inside the frame only for RANGE
-            # frames (a ROWS/GROUPS frame can cut through the peer group,
-            # and then frame-minus-peers over-subtracts)
+            # frames; a ROWS frame can cut through the peer group, so
+            # frame-minus-peers over-subtracts — those take the
+            # collect_list formulation below (round-12). GROUPS frames
+            # stay loud (DuckDB 1.0 has no GROUPS either).
             fm = re.search(r"\b(ROWS|GROUPS)\b", spec, re.IGNORECASE)
-            if fm:
+            if fm and fm.group(1).upper() == "GROUPS":
                 raise NotImplementedError(
-                    f"EXCLUDE {mode} over a {fm.group(1).upper()} frame "
-                    "is not supported (peer rows may lie outside it)"
+                    f"EXCLUDE {mode} over a GROUPS frame is not supported"
                 )
+            rows_frame = fm is not None
         # locate the aggregate call preceding OVER: `fn ( args ) OVER`
         call_cl = prev_sig(out, i)
         if call_cl < 0 or out[call_cl].text != ")":
@@ -5714,7 +5744,117 @@ def pass_window_exclude(tokens: list[Token]) -> list[Token]:
         fn_i = prev_sig(out, call_op)
         fn = out[fn_i].upper if fn_i >= 0 and out[fn_i].kind == IDENT else ""
         arg = render(_trim(out[call_op + 1 : call_cl])).strip()
+        has_current = _frame_has_current(spec)
+        if not has_current:
+            # DuckDB 1.0 quirk, probed and emulated (round-12): with an
+            # EXCLUDE clause, a frame that does not contain the current
+            # row is EXTENDED to it (end '... PRECEDING' -> CURRENT
+            # ROW; start '... FOLLOWING' -> CURRENT ROW) before the
+            # exclusion applies — e.g. ROWS 4 PRECEDING..2 PRECEDING
+            # EXCLUDE GROUP behaves as ROWS 4 PRECEDING..CURRENT ROW
+            # EXCLUDE GROUP (row-varying results for tied keys prove
+            # the row-based clamp; the SQL standard would make the
+            # exclusion a no-op instead).
+            spec = re.sub(
+                r"(?is)(\bBETWEEN\s+.+?\s+AND\s+).+?PRECEDING\s*$",
+                r"\1CURRENT ROW", spec,
+            )
+            spec = re.sub(
+                r"(?is)(\bBETWEEN\s+).+?FOLLOWING(\s+AND\b)",
+                r"\1CURRENT ROW\2", spec,
+            )
+            has_current = True
         o = f"OVER ({spec})"
+        if mode in ("GROUP", "TIES") and rows_frame:
+            # ROWS frame (round-12): peers may lie OUTSIDE the frame, so
+            # subtraction over-corrects. Collect the frame rows as
+            # (value, order-keys) structs in ONE window pass, drop the
+            # current row's peer group by ORDER BY value equality, and
+            # fold the remainder JVM-side. TIES adds the current row's
+            # own contribution back when the frame contains it
+            # (statically decidable from the bounds).
+            m2 = re.search(
+                r"(?is)\bORDER\s+BY\b(.*?)\bROWS\b", spec
+            )
+            if not m2:
+                raise NotImplementedError(
+                    f"EXCLUDE {mode} over a ROWS frame needs ORDER BY"
+                )
+            keys = []
+            for item in re.split(r",", m2.group(1)):
+                k = re.sub(
+                    r"(?is)\b(ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)\b",
+                    "", item,
+                ).strip()
+                if k:
+                    keys.append(k)
+            varg = "1" if arg == "*" else arg  # count(*): any non-null
+            fields = ", ".join(
+                [f"'v', {varg}"]
+                + [f"'k{j}', {k}" for j, k in enumerate(keys)]
+            )
+            lst = f"collect_list(named_struct({fields})) {o}"
+            peer = " AND ".join(
+                f"(__ws.k{j} <=> ({k}))" for j, k in enumerate(keys)
+            )
+            kept = f"filter({lst}, __ws -> NOT ({peer}))"
+            vals = f"transform({kept}, __ws -> __ws.v)"
+            nn = f"(CASE WHEN ({arg}) IS NOT NULL THEN 1 ELSE 0 END)"
+            cnt = (
+                f"size({kept})" if fn == "COUNT" and arg == "*"
+                else f"size(filter({vals}, __wv -> __wv IS NOT NULL))"
+            )
+            add_back = mode == "TIES"
+            if fn == "COUNT":
+                expanded = f"CAST(({cnt}"
+                if add_back:
+                    expanded += f" + {'1' if arg == '*' else nn}"
+                expanded += ") AS BIGINT)"
+            elif fn in ("MIN", "MAX"):
+                base_fn = "array_min" if fn == "MIN" else "array_max"
+                expanded = f"{base_fn}({vals})"
+                if add_back:
+                    pick = "least" if fn == "MIN" else "greatest"
+                    expanded = f"{pick}({expanded}, {arg})"
+            elif fn in ("SUM", "AVG"):
+                # accumulator type: BIGINT for integer columns (DuckDB
+                # sums integers exactly), DOUBLE otherwise
+                acc = "BIGINT"
+                am = re.fullmatch(r'[\w."]+', arg)
+                if not (
+                    am
+                    and resolver.column_numeric(
+                        arg.split(".")[-1].strip('"').lower()
+                    ) == "int"
+                ):
+                    acc = "DOUBLE"
+                s_ex = (
+                    f"aggregate({vals}, CAST(0 AS {acc}),"
+                    f" (__wa, __wx) -> __wa +"
+                    f" coalesce(CAST(__wx AS {acc}), CAST(0 AS {acc})))"
+                )
+                s_ex = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {s_ex} END)"
+                c_ex = f"({cnt})"
+                if add_back:
+                    s_ex = (
+                        f"(CASE WHEN ({arg}) IS NULL THEN {s_ex}"
+                        f" WHEN {s_ex} IS NULL THEN CAST(({arg}) AS {acc})"
+                        f" ELSE {s_ex} + CAST(({arg}) AS {acc}) END)"
+                    )
+                    c_ex = f"({cnt} + {nn})"
+                expanded = (
+                    s_ex if fn == "SUM"
+                    else f"({s_ex} / nullif(CAST({c_ex} AS DOUBLE), 0))"
+                )
+            else:
+                raise NotImplementedError(
+                    f"EXCLUDE {mode} over a ROWS frame is supported for"
+                    f" sum/count/avg/min/max, not {fn or 'this expression'}"
+                )
+            new_toks = tokenize(expanded)
+            out = out[:fn_i] + new_toks + out[cl + 1 :]
+            i = fn_i + len(new_toks)
+            continue
         if mode in ("GROUP", "TIES"):
             # frame minus the current row's PEER GROUP (+ the current row
             # back for TIES): the peer aggregate rides a second window
@@ -5723,6 +5863,7 @@ def pass_window_exclude(tokens: list[Token]) -> list[Token]:
             base = re.split(r"\bRANGE\b", spec, flags=re.IGNORECASE)[0].strip()
             po = f"OVER ({base} RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
             nn = f"(CASE WHEN ({arg}) IS NOT NULL THEN 1 ELSE 0 END)"
+
             if fn == "COUNT" and arg == "*":
                 grp = f"(count(*) {o} - count(*) {po})"
                 expanded = grp if mode == "GROUP" else f"({grp} + 1)"
@@ -8531,7 +8672,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_at_time_zone(tokens)
     tokens = pass_from_first_subquery(tokens)
     tokens = pass_lateral_limit(tokens)
-    tokens = pass_window_exclude(tokens)
+    tokens = pass_window_exclude(tokens, resolver)
     tokens = pass_windowed_median(tokens, resolver)
     tokens = pass_alias_of_item(tokens)
     tokens = pass_enum_functions(tokens, resolver)

@@ -2265,6 +2265,26 @@ _sql(
 )
 
 _sql(
+    "q156_window_exclude_rows",
+    # EXCLUDE GROUP/TIES over ROWS frames (round-12: collected-frame
+    # fold — peers may lie outside a ROWS frame, so the RANGE
+    # subtraction form over-corrects) + the TIES retain-current rule
+    # and the CURRENT ROW no-op on non-containing frames. Deterministic:
+    # o_orderpriority is constant within each peer group of itself.
+    """
+    SELECT o_orderpriority AS pri,
+           CAST(count(*) OVER (ORDER BY o_orderpriority
+                ROWS BETWEEN 40 PRECEDING AND 40 FOLLOWING
+                EXCLUDE GROUP) AS BIGINT) AS others_near,
+           CAST(count(*) OVER (ORDER BY o_orderpriority
+                ROWS BETWEEN 40 PRECEDING AND 10 PRECEDING
+                EXCLUDE TIES) AS BIGINT) AS trailing_plus_self
+    FROM orders WHERE o_orderkey < 400
+    ORDER BY pri, others_near, trailing_plus_self
+    """,
+)
+
+_sql(
     "q155_conflict_where",
     # Conditional upsert — ON CONFLICT ... DO UPDATE SET ... WHERE
     # (round-12 probe find): conflicting rows failing the predicate
@@ -7311,6 +7331,7 @@ _POST_FREEZE_R12: tuple[str, ...] = (
     "q153_type_alias",
     "q154_grouping_alias",
     "q155_conflict_where",
+    "q156_window_exclude_rows",
 )
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):
