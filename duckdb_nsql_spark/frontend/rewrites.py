@@ -5721,19 +5721,14 @@ def pass_window_exclude(
             raise NotImplementedError(
                 f"window frame EXCLUDE {mode} is not supported"
             )
-        rows_frame = False
-        if mode in ("GROUP", "TIES"):
-            # peer rows are guaranteed inside the frame only for RANGE
-            # frames; a ROWS frame can cut through the peer group, so
-            # frame-minus-peers over-subtracts — those take the
-            # collect_list formulation below (round-12). GROUPS frames
-            # stay loud (DuckDB 1.0 has no GROUPS either).
-            fm = re.search(r"\b(ROWS|GROUPS)\b", spec, re.IGNORECASE)
-            if fm and fm.group(1).upper() == "GROUPS":
-                raise NotImplementedError(
-                    f"EXCLUDE {mode} over a GROUPS frame is not supported"
-                )
-            rows_frame = fm is not None
+        fm = re.search(r"\b(ROWS|RANGE|GROUPS)\b", spec, re.IGNORECASE)
+        frame_kind = fm.group(1).upper() if fm else "RANGE"  # default frame
+        if frame_kind == "GROUPS" and mode in ("GROUP", "TIES"):
+            # GROUPS frames stay loud (DuckDB 1.0 has no GROUPS either)
+            raise NotImplementedError(
+                f"EXCLUDE {mode} over a GROUPS frame is not supported"
+            )
+        rows_frame = frame_kind == "ROWS"
         # locate the aggregate call preceding OVER: `fn ( args ) OVER`
         call_cl = prev_sig(out, i)
         if call_cl < 0 or out[call_cl].text != ")":
@@ -5746,15 +5741,24 @@ def pass_window_exclude(
         arg = render(_trim(out[call_op + 1 : call_cl])).strip()
         has_current = _frame_has_current(spec)
         if not has_current:
-            # DuckDB 1.0 quirk, probed and emulated (round-12): with an
-            # EXCLUDE clause, a frame that does not contain the current
-            # row is EXTENDED to it (end '... PRECEDING' -> CURRENT
-            # ROW; start '... FOLLOWING' -> CURRENT ROW) before the
-            # exclusion applies — e.g. ROWS 4 PRECEDING..2 PRECEDING
-            # EXCLUDE GROUP behaves as ROWS 4 PRECEDING..CURRENT ROW
-            # EXCLUDE GROUP (row-varying results for tied keys prove
-            # the row-based clamp; the SQL standard would make the
-            # exclusion a no-op instead).
+            # DuckDB 1.0 quirk, probed (round-12): with an EXCLUDE
+            # clause, a frame that does not contain the current row is
+            # EXTENDED to it ROW-WISE before the exclusion applies —
+            # e.g. ROWS 4 PRECEDING..2 PRECEDING EXCLUDE GROUP behaves
+            # as ROWS 4 PRECEDING..CURRENT ROW EXCLUDE GROUP
+            # (row-varying results for tied keys prove the row-based
+            # clamp; the SQL standard would make the exclusion a
+            # no-op). Emulated for ROWS frames, where the clamp IS a
+            # bound rewrite; for RANGE frames the extension mixes
+            # value bounds with row bounds (inexpressible in one
+            # window) — loud raise, never a silent divergence.
+            if not rows_frame:
+                raise NotImplementedError(
+                    f"EXCLUDE {mode} over a {frame_kind} frame that does"
+                    " not contain the current row is not supported"
+                    " (DuckDB 1.0 extends such frames row-wise —"
+                    " nonstandard; rewrite with a ROWS frame)"
+                )
             spec = re.sub(
                 r"(?is)(\bBETWEEN\s+.+?\s+AND\s+).+?PRECEDING\s*$",
                 r"\1CURRENT ROW", spec,
@@ -5765,7 +5769,19 @@ def pass_window_exclude(
             )
             has_current = True
         o = f"OVER ({spec})"
-        if mode in ("GROUP", "TIES") and rows_frame:
+        # locate the aggregate call preceding OVER: `fn ( args ) OVER`
+        call_cl = prev_sig(out, i)
+        if call_cl < 0 or out[call_cl].text != ")":
+            raise NotImplementedError(
+                f"EXCLUDE {mode} requires a simple aggregate call"
+            )
+        call_op = _match_backward(out, call_cl)
+        fn_i = prev_sig(out, call_op)
+        fn = out[fn_i].upper if fn_i >= 0 and out[fn_i].kind == IDENT else ""
+        arg = render(_trim(out[call_op + 1 : call_cl])).strip()
+        if mode in ("GROUP", "TIES") and (
+            rows_frame or fn in ("MIN", "MAX")
+        ):
             # ROWS frame (round-12): peers may lie OUTSIDE the frame, so
             # subtraction over-corrects. Collect the frame rows as
             # (value, order-keys) structs in ONE window pass, drop the
@@ -5774,11 +5790,11 @@ def pass_window_exclude(
             # own contribution back when the frame contains it
             # (statically decidable from the bounds).
             m2 = re.search(
-                r"(?is)\bORDER\s+BY\b(.*?)\bROWS\b", spec
+                r"(?is)\bORDER\s+BY\b(.*?)(?:\b(?:ROWS|RANGE)\b|$)", spec
             )
-            if not m2:
+            if not m2 or not m2.group(1).strip():
                 raise NotImplementedError(
-                    f"EXCLUDE {mode} over a ROWS frame needs ORDER BY"
+                    f"EXCLUDE {mode} needs ORDER BY in the window spec"
                 )
             keys = []
             for item in re.split(r",", m2.group(1)):
