@@ -394,11 +394,16 @@ def test_window_exclude_group_ties(spark, ddb):
                 s = [tuple(r) for r in eng.execute(q).collect()]
                 d = ddb.execute(q).fetchall()
                 assert sorted(map(str, s)) == sorted(map(str, d)), e
-    with _pytest.raises(NotImplementedError):
-        eng.execute(
-            "SELECT sum(x) OVER (PARTITION BY p ORDER BY o ROWS BETWEEN"
-            " 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM exw"
-        )
+    # ROWS-frame EXCLUDE GROUP is implemented since round 12 (the
+    # collected-frame fold) — value-pinned instead of raising
+    q = (
+        "SELECT p, o, sum(x) OVER (PARTITION BY p ORDER BY o ROWS"
+        " BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS v"
+        " FROM exw ORDER BY p, o, coalesce(x, -1)"
+    )
+    s = [tuple(r) for r in eng.execute(q).collect()]
+    d = ddb.execute(q).fetchall()
+    assert sorted(map(str, s)) == sorted(map(str, d))
 
 
 def test_function_catalog_sweep_round5(spark, ddb):
