@@ -1302,3 +1302,44 @@ def test_window_exclude_rows_frames(loaded_engine):
             f"SELECT sum(v) OVER (ORDER BY g RANGE BETWEEN 2 PRECEDING"
             f" AND 1 PRECEDING EXCLUDE GROUP) FROM {V}"
         )
+
+
+def test_grouping_alias_scoping(loaded_engine):
+    """pass_grouping_alias_args scopes alias maps per query block: a
+    nested subquery's CUBE must use ITS OWN select aliases, not the
+    outer block's; an alias shadowing a catalog column never
+    substitutes (GROUP BY prefers the input column)."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    dk = duckdb.connect()
+    dk.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    qs = [
+        # nested block: inner CUBE(a) uses the INNER alias
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM ("
+        " SELECT upper(o_orderstatus) AS a, grouping(a) AS g,"
+        " CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY CUBE(a))",
+    ]
+    for q in qs:
+        d = [tuple(map(str, r)) for r in dk.sql(q).fetchall()]
+        s = [
+            tuple(map(str, r))
+            for r in loaded_engine.execute(q).collect()
+        ]
+        assert sorted(d) == sorted(s), q
+    # alias shadowing a real column: the COLUMN binds (DuckDB rule) —
+    # both engines then reject the ungrouped select item, and the pass
+    # must NOT have substituted the alias (which would silently make
+    # the query valid with different semantics)
+    shadow = (
+        "SELECT upper(o_orderpriority) AS o_orderstatus,"
+        " CAST(count(*) AS BIGINT) AS n FROM orders"
+        " GROUP BY ROLLUP(o_orderstatus)"
+    )
+    with pytest.raises(Exception):
+        dk.sql(shadow)
+    with pytest.raises(Exception):
+        loaded_engine.execute(shadow).collect()
