@@ -8167,19 +8167,45 @@ def _pass_function_renames_impl(
                                     ktoks[-1].upper in ("ASC", "DESC"):
                                 desc = ktoks[-1].upper == "DESC"
                                 ktoks = _trim(ktoks[:-1])
+                            v_toks = _trim(out[n + 1 : p])
+                            sig0 = [tk for tk in v_toks
+                                    if tk.kind not in (WS, COMMENT)]
+                            dedup = ""
+                            if sig0 and sig0[0].is_kw("DISTINCT"):
+                                # array_agg(DISTINCT x ORDER BY x):
+                                # DuckDB requires the ORDER key inside
+                                # the DISTINCT expr, so pair-distinct
+                                # over (k, v) structs IS value-distinct
+                                # (round-12 probe find; nulls kept)
+                                dedup = "array_distinct"
+                                v_toks = _trim(v_toks[
+                                    v_toks.index(sig0[0]) + 1 :
+                                ])
                             k_txt = render(pass_function_renames(
                                 list(ktoks), resolver))
                             v_txt = render(pass_function_renames(
-                                _trim(out[n + 1 : p]), resolver))
+                                v_toks, resolver))
+                            coll = (
+                                f"collect_list(struct(({k_txt})"
+                                f" AS k, ({v_txt}) AS v))"
+                            )
+                            if dedup:
+                                coll = f"array_distinct({coll})"
+                            # DuckDB sorts NULL keys LAST in BOTH
+                            # directions; Spark's struct sort puts a
+                            # null field first ascending — sort the
+                            # non-null part, concat the null tail
+                            # (round-12 fix, latent for null ORDER
+                            # keys before)
+                            nn = f"filter({coll}, s -> s.k IS NOT NULL)"
+                            nul = f"filter({coll}, s -> s.k IS NULL)"
                             srt = (
-                                f"sort_array(collect_list(struct(({k_txt}) "
-                                f"AS k, ({v_txt}) AS v)), false)"
-                                if desc else
-                                f"array_sort(collect_list(struct(({k_txt}) "
-                                f"AS k, ({v_txt}) AS v)))"
+                                f"sort_array({nn}, false)"
+                                if desc else f"array_sort({nn})"
                             )
                             new_toks = tokenize(
-                                f"transform({srt}, s -> s.v)"
+                                f"transform(concat({srt}, {nul}),"
+                                f" s -> s.v)"
                             )
                             out = out[:i] + new_toks + out[c + 1 :]
                             i += len(new_toks)

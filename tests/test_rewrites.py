@@ -1343,3 +1343,30 @@ def test_grouping_alias_scoping(loaded_engine):
         dk.sql(shadow)
     with pytest.raises(Exception):
         loaded_engine.execute(shadow).collect()
+
+
+def test_array_agg_distinct_ordered_and_null_keys(loaded_engine):
+    """array_agg/list(DISTINCT x ORDER BY x [DESC]) (round-12 probe
+    find — the ordered path choked on the DISTINCT keyword), plus
+    NULL ORDER keys sorting LAST in both directions like DuckDB
+    (Spark's struct sort put a null field first ascending — latent
+    divergence, fixed with the filter-sort-concat form)."""
+    import duckdb
+
+    dk = duckdb.connect()
+    qs = [
+        "SELECT array_agg(DISTINCT x ORDER BY x) AS l FROM"
+        " (VALUES (2),(1),(2),(NULL)) t(x)",
+        "SELECT array_agg(DISTINCT x ORDER BY x DESC) AS l FROM"
+        " (VALUES (2),(1),(2),(NULL)) t(x)",
+        "SELECT array_agg(v ORDER BY k) AS l FROM"
+        " (VALUES (NULL, 'a'), (2, 'b'), (1, 'c')) t(k, v)",
+        "SELECT array_agg(v ORDER BY k DESC) AS l FROM"
+        " (VALUES (NULL, 'a'), (2, 'b'), (1, 'c')) t(k, v)",
+        "SELECT list(DISTINCT x ORDER BY x) AS l FROM"
+        " (VALUES (2),(1),(2)) t(x)",
+    ]
+    for q in qs:
+        d = dk.sql(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
