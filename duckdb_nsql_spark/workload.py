@@ -2265,6 +2265,26 @@ _sql(
 )
 
 _sql(
+    "q157_array_agg_distinct",
+    # array_agg/list(DISTINCT x ORDER BY x [DESC]) + NULL ORDER keys
+    # sorting LAST in both directions (round-12 probe finds: the
+    # ordered collect path choked on DISTINCT, and Spark's struct sort
+    # put null keys FIRST ascending — both fixed).
+    """
+    SELECT o_orderstatus AS st,
+           to_json(array_agg(DISTINCT o_orderpriority
+                             ORDER BY o_orderpriority)) AS pris,
+           to_json(array_agg(DISTINCT o_orderpriority
+                             ORDER BY o_orderpriority DESC))
+               AS pris_desc,
+           string_agg(DISTINCT o_orderpriority, '|'
+                      ORDER BY o_orderpriority) AS joined
+    FROM orders WHERE o_orderkey < 500
+    GROUP BY o_orderstatus ORDER BY st
+    """,
+)
+
+_sql(
     "q156_window_exclude_rows",
     # EXCLUDE GROUP/TIES over ROWS frames (round-12: collected-frame
     # fold — peers may lie outside a ROWS frame, so the RANGE
@@ -7332,6 +7352,7 @@ _POST_FREEZE_R12: tuple[str, ...] = (
     "q154_grouping_alias",
     "q155_conflict_where",
     "q156_window_exclude_rows",
+    "q157_array_agg_distinct",
 )
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):
