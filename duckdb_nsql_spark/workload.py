@@ -2422,8 +2422,8 @@ _sql(
     FROM (SELECT unnest([string_split(text, ' '),
                          string_split(upper(text), ' ')],
                         recursive := true) AS w
-          FROM documents WHERE doc_id < 50)
-    WHERE length(w) >= 8
+          FROM documents WHERE doc_id < 300)
+    WHERE length(w) >= 6
     GROUP BY w ORDER BY n DESC, w LIMIT 25
     """,
 )
