@@ -92,11 +92,26 @@ def describe_df(
     df: DataFrame,
     fixed: dict | None = None,
     overrides: dict | None = None,
+    notnull: set | None = None,
+    pk: set | None = None,
+    uni: set | None = None,
 ) -> DataFrame:
-    """DuckDB ``DESCRIBE`` shape: column_name, column_type, null, key, default, extra."""
+    """DuckDB ``DESCRIBE`` shape: column_name, column_type, null, key,
+    default, extra. DuckDB reports 'NO' only for DECLARED NOT NULL /
+    PRIMARY KEY columns (round-12 probe: parquet-backed tables and
+    views are all 'YES' regardless of the parquet required flag), so
+    nullability comes from the session's declaration set, never the
+    Spark schema; PRIMARY KEY columns carry key='PRI'."""
+    nn = {c.lower() for c in (notnull or ())}
+    pks = {c.lower() for c in (pk or ())}
+    unis = {c.lower() for c in (uni or ())}
     rows = [
-        (f.name, _type_name(f, fixed, overrides), "YES" if f.nullable else "NO",
-         None, None, None)
+        (f.name, _type_name(f, fixed, overrides),
+         "NO" if f.name.lower() in nn or f.name.lower() in pks
+         else "YES",
+         "PRI" if f.name.lower() in pks
+         else "UNI" if f.name.lower() in unis else None,
+         None, None)
         for f in df.schema.fields
     ]
     schema = T.StructType(
@@ -117,11 +132,18 @@ def table_info_df(
     df: DataFrame,
     fixed: dict | None = None,
     overrides: dict | None = None,
+    notnull: set | None = None,
+    pk: set | None = None,
 ) -> DataFrame:
     """DuckDB ``PRAGMA table_info('t')`` shape (dev.json:252):
-    cid, name, type, notnull, dflt_value, pk."""
+    cid, name, type, notnull, dflt_value, pk. notnull/pk reflect
+    DECLARED constraints only (see describe_df)."""
+    nn = {c.lower() for c in (notnull or ())}
+    pks = {c.lower() for c in (pk or ())}
     rows = [
-        (i, f.name, _type_name(f, fixed, overrides), not f.nullable, None, False)
+        (i, f.name, _type_name(f, fixed, overrides),
+         f.name.lower() in nn or f.name.lower() in pks, None,
+         f.name.lower() in pks)
         for i, f in enumerate(df.schema.fields)
     ]
     schema = T.StructType(

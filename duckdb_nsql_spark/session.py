@@ -850,6 +850,10 @@ class DuckSparkSession:
         self._defaults: dict[str, dict[str, str]] = {}
         # table -> NOT NULL column set / CHECK expression texts
         self._notnull_cols: dict[str, set] = {}
+        # table -> declared PRIMARY KEY column list (DESCRIBE 'PRI' /
+        # table_info pk; _unique_keys[0] alone can't distinguish a PK
+        # from a UNIQUE-only table)
+        self._primary_keys: dict[str, list] = {}
         self._checks: dict[str, list] = {}
         # table -> [(local_cols, parent_table, parent_cols)] FOREIGN KEYs
         self._foreign_keys: dict[str, list] = {}
@@ -4500,6 +4504,7 @@ class DuckSparkSession:
                     keys = self._unique_keys.setdefault(table, [])
                     if km.group(1).upper().startswith("PRIMARY"):
                         keys.insert(0, keycols)
+                        self._primary_keys[table] = keycols
                     else:
                         keys.append(keycols)
                 continue
@@ -4541,6 +4546,7 @@ class DuckSparkSession:
                     )
             if "PRIMARY" in tail_kws:
                 self._unique_keys.setdefault(table, []).insert(0, [col])
+                self._primary_keys[table] = [col]
                 # a PRIMARY KEY column is implicitly NOT NULL (DuckDB)
                 self._notnull_cols.setdefault(table, set()).add(col.lower())
             elif "UNIQUE" in tail_kws:
@@ -5913,7 +5919,8 @@ class DuckSparkSession:
         "_table_files", "_fixed_arrays", "_enum_cols", "_type_overrides",
         "_macros", "_enum_types", "_alias_types", "_unique_keys",
         "_sequences", "_databases",
-        "_indexes", "_comments", "_defaults", "_notnull_cols", "_checks",
+        "_indexes", "_comments", "_defaults", "_notnull_cols",
+        "_primary_keys", "_checks",
         "_foreign_keys", "_view_defs",
     )
 
@@ -6546,6 +6553,10 @@ class DuckSparkSession:
                     overrides=self._type_overrides.get(
                         self._resolve_table_key(arg) or ""
                     ),
+                    notnull=self._notnull_cols.get(
+                        self._resolve_table_key(arg) or ""
+                    ),
+                    pk=self._pk_cols(self._resolve_table_key(arg) or ""),
                 )
             if name == "storage_info":
                 key = self._resolve_table_key(arg)
@@ -6580,6 +6591,10 @@ class DuckSparkSession:
                 overrides=self._type_overrides.get(
                     self._resolve_table_key(arg) or ""
                 ),
+                notnull=self._notnull_cols.get(
+                    self._resolve_table_key(arg) or ""
+                ),
+                pk=self._pk_cols(self._resolve_table_key(arg) or ""),
             )
         if fn == "pragma_show_tables":
             return self._tables_df()
@@ -6917,7 +6932,18 @@ class DuckSparkSession:
             overrides = self._type_overrides.get(key) if key else None
         else:
             df = self._query(body)
-        return introspect.describe_df(self.spark, df, fixed=fixed, overrides=overrides)
+        notnull = pk = None
+        if re.match(r"^[\w.\"`]+$", body):
+            k2 = self._resolve_table_key(body)
+            notnull = self._notnull_cols.get(k2) if k2 else None
+            pk = self._pk_cols(k2) if k2 else None
+            uni = self._uni_cols(k2) if k2 else None
+        else:
+            uni = None
+        return introspect.describe_df(
+            self.spark, df, fixed=fixed, overrides=overrides,
+            notnull=notnull, pk=pk, uni=uni,
+        )
 
     def _show(self, sql: str) -> DataFrame:
         s = re.sub(r"\s+", " ", sql).strip().rstrip(";").upper()
@@ -6937,6 +6963,28 @@ class DuckSparkSession:
             self.spark, [(n,) for n in names],
             T.StructType([T.StructField("name", T.StringType())]),
         )
+
+    def _uni_cols(self, key: str) -> set:
+        """Columns of UNIQUE constraints outside the PK (DESCRIBE
+        'UNI' marker — DuckDB marks every member of a composite
+        UNIQUE too)."""
+        pk = self._pk_cols(key)
+        pkl = self._primary_keys.get(key)
+        out = set()
+        for ks in self._unique_keys.get(key) or []:
+            if pkl is not None and [c.lower() for c in ks] == [
+                c.lower() for c in pkl
+            ]:
+                continue  # the PK entry itself
+            for c in ks:
+                if c.lower() not in pk:
+                    out.add(c.lower())
+        return out
+
+    def _pk_cols(self, key: str) -> set:
+        """Columns of the table's PRIMARY KEY (first _unique_keys entry
+        is the PK by construction; UNIQUE-only sets do not count)."""
+        return {c.lower() for c in self._primary_keys.get(key, ())}
 
     def _all_tables_df(self) -> DataFrame:
         """DuckDB ``SHOW ALL TABLES`` shape (round-12 probe find):

@@ -2206,3 +2206,31 @@ def test_asof_join_derived_tables(loaded_engine):
             for r in loaded_engine.execute(q).collect()
         ]
         assert d == s, q
+
+
+def test_describe_nullability_and_key_markers(engine):
+    """DESCRIBE / PRAGMA table_info constraint rendering matches DuckDB
+    (round-12 probe finds): nullability reflects DECLARED NOT NULL /
+    PRIMARY KEY only (parquet-backed tables and views are all 'YES'
+    regardless of the parquet required flag); PRIMARY KEY columns carry
+    key='PRI' / pk=true, UNIQUE members (incl. composite) 'UNI'."""
+    import duckdb
+
+    dk = duckdb.connect()
+    stmts = [
+        "CREATE TABLE dk1 (a INTEGER NOT NULL, b VARCHAR,"
+        " c INTEGER PRIMARY KEY)",
+        "CREATE TABLE dk2 (a INTEGER, b INTEGER, UNIQUE (a, b))",
+        "CREATE TABLE dk3 (a INTEGER PRIMARY KEY, b INTEGER UNIQUE)",
+        "CREATE TABLE dk4 (a INTEGER, b VARCHAR, PRIMARY KEY (a, b))",
+    ]
+    for st in stmts:
+        engine.execute(st)
+        dk.execute(st)
+    for q in [
+        "DESCRIBE dk1", "DESCRIBE dk2", "DESCRIBE dk3", "DESCRIBE dk4",
+        "PRAGMA table_info('dk1')", "PRAGMA table_info('dk3')",
+    ]:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
