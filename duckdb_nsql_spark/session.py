@@ -5857,6 +5857,7 @@ class DuckSparkSession:
                 f"Catalog Error: Prepared statement \"{name}\" does not exist"
             )
         params: list = []
+        named: dict[str, str] = {}
         if m.group(2) and m.group(2).strip():
             # literal arguments; evaluate each through a 1-row select so
             # expressions (DATE '..', 1+2) work, not just bare literals
@@ -5865,8 +5866,47 @@ class DuckSparkSession:
             toks = _tok(m.group(2))
             for lo, hi in split_args(toks, 0, len(toks)):
                 txt = render(toks[lo:hi]).strip()
-                row = self._query(f"SELECT {txt} AS v").collect()[0]
-                params.append(row[0])
+                nm = re.match(r"(?s)^\s*(\w+)\s*:=\s*(.+)$", txt)
+                if nm:
+                    # named argument (round-12): EXECUTE p(k := expr)
+                    # binds $k in the prepared body — evaluate the
+                    # expression and splice it back as a typed literal
+                    sdf = self._query(f"SELECT {nm.group(2)} AS v")
+                    row = sdf.collect()[0]
+                    named[nm.group(1).lower()] = introspect._sql_literal(
+                        row[0], sdf.schema.fields[0].dataType
+                    )
+                else:
+                    row = self._query(f"SELECT {txt} AS v").collect()[0]
+                    params.append(row[0])
+        if named:
+            if params:
+                raise ValueError(
+                    "Binder Error: EXECUTE cannot mix positional and"
+                    " named arguments"
+                )
+            toks = tokenize(body)
+            out2: list[str] = []
+            k = 0
+            while k < len(toks):
+                if (
+                    toks[k].kind == PUNCT
+                    and toks[k].text == "$"
+                    and k + 1 < len(toks)
+                    and toks[k + 1].kind == IDENT
+                ):
+                    key = toks[k + 1].text.lower()
+                    if key not in named:
+                        raise ValueError(
+                            f"Binder Error: parameter ${key} was not"
+                            " provided"
+                        )
+                    out2.append(named[key])
+                    k += 2
+                    continue
+                out2.append(toks[k].text)
+                k += 1
+            return self.execute("".join(out2))
         return self.execute(body, params or None)
 
     def _deallocate(self, sql: str) -> None:

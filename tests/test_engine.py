@@ -2234,3 +2234,25 @@ def test_describe_nullability_and_key_markers(engine):
         d = dk.execute(q).fetchall()
         s = [tuple(r) for r in engine.execute(q).collect()]
         assert sorted(map(str, d)) == sorted(map(str, s)), q
+
+
+def test_prepare_named_parameters(engine):
+    """EXECUTE p(k := expr) binds $k placeholders (round-12 probe
+    find); order-independent, expressions evaluate, positional $N keeps
+    working, and a missing parameter raises DuckDB's binder error."""
+    import duckdb
+    import pytest
+
+    dk = duckdb.connect()
+    for st in ["PREPARE pn AS SELECT $low + $high AS s"]:
+        engine.execute(st)
+        dk.execute(st)
+    for q in [
+        "EXECUTE pn(low := 1, high := 2)",
+        "EXECUTE pn(high := 10, low := 5 + 1)",
+    ]:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in engine.execute(q).collect()]
+        assert d == s, q
+    with pytest.raises(Exception):
+        engine.execute("EXECUTE pn(low := 1)").collect()
