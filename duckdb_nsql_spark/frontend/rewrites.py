@@ -4975,13 +4975,29 @@ def _convert_fmt_braces(
     casts = list(args)
     ok = True
 
-    def spec_to_directive(spec: str) -> Optional[tuple[str, str]]:
+    def _arg_is_numeric(arg_txt: str) -> bool:
+        t = arg_txt.strip()
+        if re.fullmatch(r"[-+]?\d+(\.\d+)?([eE][-+]?\d+)?", t):
+            return True
+        if re.fullmatch(r'[\w."]+', t):
+            from_resolver = _ACTIVE_RESOLVER[0]
+            if from_resolver is not None:
+                return bool(from_resolver.column_numeric(
+                    t.split(".")[-1].strip('"').lower()
+                ))
+        return False
+
+    def spec_to_directive(
+        spec: str, arg_txt: str
+    ) -> Optional[tuple[str, str]]:
         """fmt spec ('.2f', ',', '05d', ...) -> (printf-directive-tail,
         cast-kind)."""
         m = re.match(r"^([<>^=]?)([-+ ]?)(#?)(0?)(\d*)(,?)(?:\.(\d+))?"
                      r"([bdoxXeEfgGs%]?)$", spec)
-        if not m or m.group(1):  # alignment not expressible in printf
+        if not m or m.group(1) in ("^", "="):
+            # center/pad-after-sign alignment: not expressible in printf
             return None
+        align = m.group(1)
         sign, alt, zero, width, comma, prec, typ = m.groups()[1:]
         if typ == "b":
             return None
@@ -4989,10 +5005,21 @@ def _convert_fmt_braces(
         cast = (
             "bigint" if typ in ("d", "o", "x", "X")
             else "double" if typ in ("e", "E", "f", "g", "G")
-            else ""
+            # %s on a non-string renders Spark internals (a DATE prints
+            # its day count) — cast to STRING, a no-op for strings
+            else "string"
+        )
+        # fmt alignment -> printf: '<' is the '-' flag, '>' the default;
+        # with a width but NO explicit alignment, fmt left-aligns
+        # STRINGS and right-aligns numbers (round-12 probe — the old
+        # '%6s' emission right-aligned strings, a silent divergence)
+        left = align == "<" or (
+            not align and width and typ == "s"
+            and not _arg_is_numeric(arg_txt)
         )
         return (
-            f"%{sign}{alt}{zero}{width}{',' if comma else ''}"
+            f"%{'-' if left else ''}{sign}{alt}{zero}{width}"
+            f"{',' if comma else ''}"
             f"{'.' + prec if prec else ''}{typ}",
             cast,
         )
@@ -5004,7 +5031,9 @@ def _convert_fmt_braces(
         if not m.group(1):
             auto_idx += 1
         spec = m.group(2) or ""
-        conv = spec_to_directive(spec)
+        conv = spec_to_directive(
+            spec, args[idx] if idx < len(args) else ""
+        )
         if conv is None:
             ok = False
             break

@@ -591,9 +591,17 @@ def test_moment_agg_corrections():
 
 def test_format_to_format_string():
     out = rewrite_sql("SELECT format('{} x {}', a, b) FROM t")
-    assert "format_string('%1$s x %2$s', a, b)" in out
+    # %s args cast to STRING (round-12: Spark format_string renders a
+    # DATE's internal day count under %s otherwise)
+    assert (
+        "format_string('%1$s x %2$s', CAST(a AS STRING),"
+        " CAST(b AS STRING))" in out
+    )
     out = rewrite_sql("SELECT format('{1}/{0}', a, b) FROM t")
-    assert "format_string('%2$s/%1$s', a, b)" in out
+    assert (
+        "format_string('%2$s/%1$s', CAST(a AS STRING),"
+        " CAST(b AS STRING))" in out
+    )
     # fmt specs convert to printf directives with numeric casts
     out = rewrite_sql("SELECT format('{:.2f}', a) FROM t")
     assert "format_string('%1$.2f', CAST(a AS DOUBLE))" in out
@@ -1370,3 +1378,25 @@ def test_array_agg_distinct_ordered_and_null_keys(loaded_engine):
         d = dk.sql(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert sorted(map(str, d)) == sorted(map(str, s)), q
+
+
+def test_format_alignment_and_types(loaded_engine):
+    """fmt alignment semantics (round-12 probe finds): width without
+    explicit alignment left-aligns STRINGS and right-aligns numbers
+    (the old '%6s' emission right-aligned strings); explicit < / >
+    translate to the printf '-' flag; %s args cast to STRING (Spark
+    rendered a DATE's internal day count otherwise)."""
+    import duckdb
+
+    dk = duckdb.connect()
+    qs = [
+        "SELECT '[' || format('{:6}', 'ab') || ']' AS s",
+        "SELECT '[' || format('{:6}', 42) || ']' AS s",
+        "SELECT '[' || format('{:>6}', 'ab') || ']' AS s",
+        "SELECT '[' || format('{:<6}', 42) || ']' AS s",
+        "SELECT format('{}', DATE '2024-01-15') AS d",
+    ]
+    for q in qs:
+        d = dk.sql(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert d == s, q
