@@ -1423,6 +1423,160 @@ class DuckSparkSession:
         so every run pays the whole plan (bench.py does)."""
         self._plan_cache.clear()
 
+    # hard ceiling on fixpoint rounds — a non-converging recursion dies
+    # loudly, like DuckDB's own max_recursive_cte_depth style guards
+    RECURSIVE_UNION_MAX_ITERS = 1000
+
+    def _recursive_union_cte(self, sql: str) -> Optional[DataFrame]:
+        """``WITH RECURSIVE name AS (<base> UNION <step>) <final>`` with
+        DEDUPLICATING semantics (round-12: Spark's native UnionLoop only
+        supports UNION ALL). Standard fixpoint evaluation: the working
+        table is the PREVIOUS iteration's NEW rows; each step's output
+        subtracts everything seen so far (set-minus, null-safe); stop
+        when no new rows. Each iteration is one distributed job over the
+        frontier — the shape every distributed transitive-closure /
+        graph-reachability computation takes; the driver only
+        orchestrates. UNION ALL recursion stays on Spark's native
+        UnionLoop (this returns None for it)."""
+        if not re.match(r"(?is)^\s*WITH\s+RECURSIVE\b", sql):
+            return None
+        tokens = tokenize(sql)
+        sig = [k for k, t in enumerate(tokens) if t.kind not in (WS, COMMENT)]
+        # WITH RECURSIVE name [(cols)] AS ( body ) final
+        p = 2  # past WITH RECURSIVE
+        if len(sig) <= p or tokens[sig[p]].kind not in (IDENT, QIDENT):
+            return None
+        name = tokens[sig[p]].text.strip('"`')
+        p += 1
+        cols: Optional[list[str]] = None
+        if (
+            len(sig) > p
+            and tokens[sig[p]].kind == PUNCT
+            and tokens[sig[p]].text == "("
+        ):
+            c = match_forward(tokens, sig[p], "(", ")")
+            cols = [
+                t.text.strip('"`')
+                for t in tokens[sig[p] + 1 : c]
+                if t.kind in (IDENT, QIDENT)
+            ]
+            while p < len(sig) and sig[p] <= c:
+                p += 1
+        if len(sig) <= p or not tokens[sig[p]].is_kw("AS"):
+            return None
+        p += 1
+        if (
+            len(sig) <= p
+            or tokens[sig[p]].kind != PUNCT
+            or tokens[sig[p]].text != "("
+        ):
+            return None
+        bo = sig[p]
+        bc = match_forward(tokens, bo, "(", ")")
+        body = tokens[bo + 1 : bc]
+        final_toks = tokens[bc + 1 :]
+        final_sql = render(final_toks).strip()
+        # trailing CTEs after the recursive one: they see the fixpoint
+        # as a bound table, so re-head them with their own WITH (a later
+        # UNION-recursive CTE falls to Spark's loud native error)
+        if final_sql.startswith(","):
+            final_sql = "WITH RECURSIVE " + final_sql[1:].lstrip()
+        # find the top-level UNION (not ALL/BY NAME) whose RIGHT side
+        # references the cte name — the base/step split
+        depth = 0
+        split = None
+        for k, t in enumerate(body):
+            if t.kind == PUNCT and t.text in "([{":
+                depth += 1
+            elif t.kind == PUNCT and t.text in ")]}":
+                depth -= 1
+            elif depth == 0 and t.kind == IDENT and t.upper == "UNION":
+                n2 = next_sig(body, k)
+                if (
+                    n2 < len(body)
+                    and body[n2].kind == IDENT
+                    and body[n2].upper in ("ALL", "BY")
+                ):
+                    continue
+                right = body[k + 1 :]
+                if any(
+                    tk.kind in (IDENT, QIDENT)
+                    and tk.text.strip('"`').lower() == name.lower()
+                    for tk in right
+                ):
+                    split = k
+                    break
+        if split is None:
+            return None  # UNION ALL (or non-self-referencing): native
+        base_sql = render(body[:split]).strip()
+        step_sql = render(body[split + 1 :]).strip()
+
+        key = name.lower()
+        had = key in self._tables
+        saved = self._tables.get(key)
+        saved_files = self._table_files.get(key)
+
+        def bind(df: DataFrame) -> None:
+            # full registration (temp view + catalog epoch): spark.sql
+            # resolves the name through the view at analysis time, and
+            # the epoch bump keeps the statement-plan cache from
+            # replaying iteration 1's analyzed step plan every round
+            self.register(key, df)
+
+        try:
+            # localCheckpoint per iteration: acc/new reference each
+            # other (union + set-minus), so without lineage truncation
+            # the logical plan DOUBLES every round — Catalyst analysis
+            # goes exponential by ~iteration 15. Eager checkpoint keeps
+            # each plan a flat scan of materialized partitions (the
+            # standard Spark iterative-algorithm pattern; on a real
+            # cluster swap for checkpoint() on reliable storage).
+            acc = self._query(base_sql).distinct()
+            if cols:
+                acc = acc.toDF(*cols)
+            acc = acc.localCheckpoint()
+            frontier = acc
+            for _ in range(self.RECURSIVE_UNION_MAX_ITERS):
+                bind(frontier)
+                new = self._query(step_sql)
+                if cols:
+                    new = new.toDF(*cols)
+                else:
+                    new = new.toDF(*acc.columns)
+                new = new.distinct().subtract(acc).localCheckpoint()
+                if not new.take(1):
+                    break
+                acc = acc.unionByName(new).localCheckpoint()
+                frontier = new
+            else:
+                raise RuntimeError(
+                    "recursive CTE did not converge within "
+                    f"{self.RECURSIVE_UNION_MAX_ITERS} iterations"
+                )
+            bind(acc)
+            out = self._query(final_sql)
+            if acc.count() <= 100_000:
+                # the fixpoint is driver-iteration bounded and small —
+                # collapse to a LocalRelation so the checkpoint blocks
+                # can be GC-reclaimed (ContextCleaner) immediately
+                out = introspect.local_df(
+                    self.spark,
+                    [tuple(r) for r in out.collect()],
+                    out.schema,
+                )
+            return out
+        finally:
+            if had:
+                self.register(key, saved)
+                if saved_files is not None:
+                    self._table_files[key] = saved_files
+            else:
+                self._tables.pop(key, None)
+                self.spark.catalog.dropTempView(self._view_name(key))
+                self._kind_cache = None
+                self._infoschema_dirty = True
+                self._catalog_epoch += 1
+
     def _query_impl(self, sql: str) -> tuple[DataFrame, bool]:
         if re.search(
             r"\bcurrent_(?:database|catalog)\s*\(\s*\)", sql, re.IGNORECASE
@@ -1445,6 +1599,9 @@ class DuckSparkSession:
                 flags=re.IGNORECASE,
             )
         sql = self._expand_macros(sql)
+        rec = self._recursive_union_cte(sql)
+        if rec is not None:
+            return rec, False  # fixpoint loop is build-time data
         # DuckDB percentage limit: LIMIT p% keeps floor(p/100 * n) rows
         # of the (ordered) result — needs the total, so one count job;
         # the sorted limit(k) is then Spark's top-k

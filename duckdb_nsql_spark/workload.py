@@ -2285,6 +2285,29 @@ _sql(
 )
 
 _sql(
+    "q158_recursive_union",
+    # WITH RECURSIVE ... UNION (deduplicating) — round-12: Spark 4.1's
+    # native UnionLoop only supports UNION ALL, so the engine runs the
+    # fixpoint loop itself (frontier = previous iteration's new rows,
+    # set-minus against the accumulator, localCheckpoint per round so
+    # the plan never doubles). The step cycles k -> (2k+1) mod 21 until
+    # dedup closes the orbit — non-terminating under UNION ALL — and a
+    # trailing CTE + base-table join consume the fixpoint.
+    """
+    WITH RECURSIVE reach(k) AS (
+        SELECT 0
+        UNION
+        SELECT (k * 2 + 1) % 21 FROM reach
+    ), sz AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM reach
+    )
+    SELECT r.k AS k, n.n_name AS n_name, s.n_nodes AS n_nodes
+    FROM reach r JOIN nation n ON n.n_nationkey = r.k CROSS JOIN sz s
+    ORDER BY k
+    """,
+)
+
+_sql(
     "q156_window_exclude_rows",
     # EXCLUDE GROUP/TIES over ROWS frames (round-12: collected-frame
     # fold — peers may lie outside a ROWS frame, so the RANGE
@@ -7353,6 +7376,7 @@ _POST_FREEZE_R12: tuple[str, ...] = (
     "q155_conflict_where",
     "q156_window_exclude_rows",
     "q157_array_agg_distinct",
+    "q158_recursive_union",
 )
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):

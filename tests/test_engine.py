@@ -2256,3 +2256,81 @@ def test_prepare_named_parameters(engine):
         assert d == s, q
     with pytest.raises(Exception):
         engine.execute("EXECUTE pn(low := 1)").collect()
+
+
+def test_recursive_union_cte_matches_duckdb(loaded_engine):
+    """WITH RECURSIVE ... UNION (deduplicating) — round-12: Spark 4.1's
+    native UnionLoop only supports UNION ALL, so the engine runs the
+    standard fixpoint loop itself (frontier = previous iteration's NEW
+    rows, set-minus against everything seen, localCheckpoint per round
+    to keep the plan from doubling). Grid pinned against DuckDB over
+    counters, cycles (non-termination under UNION ALL), graph
+    reachability, column lists, strings, dates, trailing CTEs, and
+    base-table joins; UNION ALL recursion stays native."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    dk = duckdb.connect()
+    dk.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{SF_DIR}/nation.parquet'"
+    )
+    grid = [
+        # multi-step counter
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n + 1 FROM t"
+        " WHERE n < 10) SELECT * FROM t ORDER BY n",
+        # cycle: terminates ONLY because UNION deduplicates
+        "WITH RECURSIVE r(x) AS (SELECT 0 UNION SELECT (x + 3) % 7"
+        " FROM r) SELECT * FROM r ORDER BY x",
+        # graph reachability over an edge list with a cycle
+        "WITH RECURSIVE reach(node) AS (SELECT 1 UNION SELECT e.dst"
+        " FROM reach JOIN (SELECT 1 AS src, 2 AS dst UNION ALL"
+        " SELECT 2, 3 UNION ALL SELECT 3, 1 UNION ALL SELECT 3, 4) e"
+        " ON e.src = reach.node) SELECT * FROM reach ORDER BY node",
+        # column list renames both branches
+        "WITH RECURSIVE f(a, b) AS (SELECT 0, 1 UNION SELECT b, a + b"
+        " FROM f WHERE b < 100) SELECT a, b FROM f ORDER BY a",
+        # strings grow until the guard
+        "WITH RECURSIVE r AS (SELECT 'a' AS x UNION SELECT x || 'b'"
+        " FROM r WHERE length(x) < 4) SELECT * FROM r ORDER BY x",
+        # trailing CTE sees the fixpoint as a table
+        "WITH RECURSIVE seq(n) AS (SELECT 1 UNION SELECT n + 1 FROM"
+        " seq WHERE n < 5), doubled AS (SELECT n * 2 AS d FROM seq)"
+        " SELECT * FROM doubled ORDER BY d",
+        # UNION ALL recursion: Spark-native UnionLoop path
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1"
+        " FROM t WHERE n < 6) SELECT CAST(sum(n) AS BIGINT) AS s FROM t",
+        # WITH RECURSIVE spelled but not self-referencing
+        "WITH RECURSIVE t AS (SELECT 42 AS v UNION SELECT 43)"
+        " SELECT * FROM t ORDER BY v",
+        # aggregate over the fixpoint
+        "WITH RECURSIVE seq(n) AS (SELECT 1 UNION SELECT n + 1 FROM"
+        " seq WHERE n < 12) SELECT CAST(count(*) AS BIGINT) AS c,"
+        " CAST(sum(n) AS BIGINT) AS s FROM seq",
+        # join a registered base table in the final query
+        "WITH RECURSIVE seq(k) AS (SELECT 0 UNION SELECT k + 1 FROM"
+        " seq WHERE k < 4) SELECT s.k, n.n_name FROM seq s JOIN nation"
+        " n ON n.n_regionkey = s.k ORDER BY s.k, n.n_name",
+        # date spine
+        "WITH RECURSIVE d(dt) AS (SELECT DATE '2024-01-01' UNION"
+        " SELECT dt + INTERVAL 7 DAY FROM d WHERE dt <"
+        " DATE '2024-02-15') SELECT CAST(dt AS DATE) AS dt FROM d"
+        " ORDER BY dt",
+    ]
+    for q in grid:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
+    # the CTE name shadows a registered table DURING the statement and
+    # the table comes back after
+    q = (
+        "WITH RECURSIVE nation(n) AS (SELECT 1 UNION SELECT n + 1"
+        " FROM nation WHERE n < 3) SELECT * FROM nation ORDER BY n"
+    )
+    assert [tuple(r) for r in loaded_engine.execute(q).collect()] == [
+        (1,), (2,), (3,)
+    ]
+    n_after = loaded_engine.execute(
+        "SELECT CAST(count(*) AS BIGINT) AS c FROM nation"
+    ).collect()[0][0]
+    assert n_after == 25
