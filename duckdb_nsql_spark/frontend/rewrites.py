@@ -819,9 +819,19 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
                 )
                 and len(sig_base) > 1
                 and sig_base[1].kind == PUNCT
-                and sig_base[1].text == "("
+                # MAP {...} brace literal (round-12: was only the
+                # call form, so (MAP {'k': v})['k'] fell to scalar)
+                and sig_base[1].text in ("(", "{")
             ):
                 kind = "map"
+            elif (
+                sig_base[0].kind == PUNCT
+                and sig_base[0].text == "("
+                and len(sig_base) > 1
+                and sig_base[1].kind == IDENT
+                and sig_base[1].upper == "MAP"
+            ):
+                kind = "map"  # parenthesized: (MAP {...})['k']
         if kind is None and base_name is not None:
             kind = resolver.column_kind(base_name)
 
@@ -3762,6 +3772,36 @@ def pass_at_abs(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def pass_postfix_factorial(tokens: list[Token]) -> list[Token]:
+    """DuckDB's postfix ``x!`` factorial -> ``factorial(x)``. A ``!`` is
+    postfix when a primary ends right before it and no operand follows
+    that could make it binary (``!=`` lexes as one token; ``!~`` is
+    claimed by pass_regex_operators, which runs earlier)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if (
+            t.kind == OP
+            and t.text == "!"
+            and _is_binary_left(out, i)
+        ):
+            n = next_sig(out, i)
+            if n < len(out) and out[n].kind == OP and out[n].text == "~":
+                i += 1
+                continue
+            p = prev_sig(out, i)
+            ls = _primary_start(out, p)
+            if ls is not None:
+                v_txt = render(out[ls : p + 1])
+                new = tokenize(f"factorial({v_txt})")
+                out = out[:ls] + new + out[i + 1 :]
+                i = ls + len(new)
+                continue
+        i += 1
+    return out
+
+
 def _select_alias_map_at(
     tokens: list[Token], sel_i: int, depth: int, resolver: Resolver
 ) -> dict[str, str]:
@@ -5455,10 +5495,14 @@ def pass_regex_operators(tokens: list[Token]) -> list[Token]:
                 if ni is not None:
                     out, i = out2, ni
                     continue
-        if (
-            t.kind == IDENT
-            and t.upper == "SIMILAR"
-            and _is_binary_left(out, i)
+        if t.kind == IDENT and t.upper == "SIMILAR" and (
+            _is_binary_left(out, i)
+            # NOT SIMILAR TO: the NOT stays put, yielding x NOT RLIKE p
+            or (
+                (pn := prev_sig(out, i)) >= 0
+                and out[pn].is_kw("NOT")
+                and _is_binary_left(out, pn)
+            )
         ):
             n = next_sig(out, i)
             if n < len(out) and out[n].kind == IDENT and out[n].upper == "TO":
@@ -6017,6 +6061,156 @@ _COLLATION_MAP = {
     "NOACCENT": "UNICODE_AI",    # accent-insensitive
     "NFC": "UNICODE",            # normalized comparison
 }
+
+
+def pass_unnest_zip(
+    tokens: list[Token], resolver: Optional["Resolver"] = None
+) -> list[Token]:
+    """Multiple ``unnest(...)`` items in one select list ZIP positionally
+    in DuckDB (pad with NULL to the longest list); Spark 4.1 runs each
+    explode as its own generator and silently CROSS-PRODUCTS them
+    (round-12 probe find). Fold every unnest-bearing item into ONE
+    generator: ``inline(arrays_zip(a1, ..., ak)) AS (n1, ..., nk)`` for
+    bare items, or a transform-struct when items wrap the unnest in an
+    expression (DuckDB zips those too — ``unnest(a) + 1, unnest(b)``).
+    Scalar items keep their positions (the zip lands at the FIRST
+    unnest's slot); a scalar BETWEEN two unnest items would reorder
+    output columns, so that shape raises instead of silently moving.
+    Unaliased zipped items get DuckDB-style derived names (the rendered
+    item text)."""
+    out = list(tokens)
+    sig = [i for i, t in enumerate(out) if t.kind not in (WS, COMMENT)]
+    if not sig or not out[sig[0]].is_kw("SELECT"):
+        return out
+    start = sig[1] if len(sig) > 1 else len(out)
+    if start < len(out) and out[start].is_kw("DISTINCT", "ALL"):
+        start = next_sig(out, start)
+    depth = 0
+    end = len(out)
+    for i in range(start, len(out)):
+        t = out[i]
+        if t.text in "([{":
+            depth += 1
+        elif t.text in ")]}":
+            depth -= 1
+        elif depth == 0 and t.kind == IDENT and t.upper in (
+            "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "WINDOW", "HAVING",
+            "QUALIFY", "UNION", "INTERSECT", "EXCEPT",
+        ):
+            end = i
+            break
+    items: list[tuple[int, int]] = []
+    lo = start
+    depth = 0
+    for i in range(start, end):
+        t = out[i]
+        if t.text in "([{":
+            depth += 1
+        elif t.text in ")]}":
+            depth -= 1
+        elif depth == 0 and t.kind == PUNCT and t.text == ",":
+            items.append((lo, i))
+            lo = i + 1
+    items.append((lo, end))
+
+    # classify each item: None = no unnest, else (pre, arr, post, name)
+    parsed: list[Optional[tuple[str, str, str, str]]] = []
+    n_unnest = 0
+    for lo, hi in items:
+        span = out[lo:hi]
+        ssig = [k for k, tk in enumerate(span) if tk.kind not in (WS, COMMENT)]
+        un = [
+            k for k in ssig
+            if span[k].kind == IDENT and span[k].upper == "UNNEST"
+            and (nx := next_sig(span, k)) < len(span)
+            and span[nx].text == "("
+        ]
+        if not un:
+            parsed.append(None)
+            continue
+        if len(un) > 1:
+            raise NotImplementedError(
+                "multiple unnest() calls inside ONE select item are not"
+                " supported (DuckDB zips select-list unnests; split them"
+                " into separate items)"
+            )
+        u = un[0]
+        op = next_sig(span, u)
+        c = match_forward(span, op, "(", ")")
+        arg_spans = split_args(span, op + 1, c)
+        if len(arg_spans) != 1 or (
+            resolver is not None
+            and _span_is_struct(span, arg_spans[0][0], arg_spans[0][1],
+                                resolver)
+        ):
+            # struct unnest (1-row field expansion) / exotic arg shapes:
+            # leave to the rename branch — those are not row generators
+            parsed.append(None)
+            continue
+        alias = ""
+        body_hi = len(span)
+        if (
+            len(ssig) >= 2
+            and span[ssig[-2]].is_kw("AS")
+            and span[ssig[-1]].kind in (IDENT, QIDENT)
+        ):
+            alias = span[ssig[-1]].text
+            body_hi = ssig[-2]
+        elif (
+            ssig
+            and span[ssig[-1]].kind in (IDENT, QIDENT)
+            and ssig[-1] > c
+            and prev_sig(span, ssig[-1]) == c
+        ):
+            alias = span[ssig[-1]].text
+            body_hi = ssig[-1]
+        arr = render(_trim(span[op + 1 : c])).strip()
+        pre = render(span[:u]).strip()
+        post = render(span[c + 1 : body_hi]).strip()
+        if not alias:
+            alias = "`" + render(
+                _trim(span[:body_hi])
+            ).strip().replace("`", "") + "`"
+        elif alias.startswith('"'):
+            alias = "`" + alias.strip('"').replace("`", "") + "`"
+        parsed.append((pre, arr, post, alias))
+        n_unnest += 1
+    if n_unnest < 2:
+        return out
+    un_idx = [i for i, p in enumerate(parsed) if p is not None]
+    if un_idx[-1] - un_idx[0] + 1 != len(un_idx):
+        raise NotImplementedError(
+            "a non-unnest select item between two unnest() items would"
+            " change the output column order under zip semantics; move"
+            " scalar items before or after the unnest group"
+        )
+    zipped = [p for p in parsed if p is not None]
+    arrs = ", ".join(p[1] for p in zipped)
+    if all(not p[0] and not p[2] for p in zipped):
+        names = ", ".join(p[3] for p in zipped)
+        zip_item = f"inline(arrays_zip({arrs})) AS ({names})"
+    else:
+        fields = ", ".join(
+            f"{p[0]} __z.`{j}` {p[2]} AS {p[3]}"
+            for j, p in enumerate(zipped)
+        )
+        zip_item = (
+            f"inline(transform(arrays_zip({arrs}),"
+            f" __z -> struct({fields})))"
+        )
+    new_items: list[str] = []
+    emitted = False
+    for (lo, hi), p in zip(items, parsed):
+        if p is None:
+            new_items.append(render(out[lo:hi]).strip())
+        elif not emitted:
+            new_items.append(zip_item)
+            emitted = True
+    return (
+        out[:start]
+        + tokenize(" " + ", ".join(new_items) + " ")
+        + out[end:]
+    )
 
 
 def pass_unnest_in_expr(tokens: list[Token]) -> list[Token]:
@@ -8144,6 +8338,28 @@ def _pass_function_renames_impl(
                     # (ASC -> array_sort = nulls last; DESC -> sort_array
                     # false = desc nulls last, both DuckDB's default order)
                     c = match_forward(out, n, "(", ")")
+                    # a trailing FILTER clause must ride on the INNER
+                    # collect_list aggregate — the transform/sort wrap
+                    # this branch emits is not an aggregate call and
+                    # Spark rejects FILTER on it (round-12 probe find)
+                    c_end = c
+                    filt = ""
+                    fn_ = next_sig(out, c)
+                    if (
+                        fn_ < len(out)
+                        and out[fn_].kind == IDENT
+                        and out[fn_].upper == "FILTER"
+                    ):
+                        fo = next_sig(out, fn_)
+                        if fo < len(out) and out[fo].text == "(":
+                            fc = match_forward(out, fo, "(", ")")
+                            cond = render(_trim(out[fo + 1 : fc])).strip()
+                            if cond.upper().startswith("WHERE"):
+                                cond = cond[5:].strip()
+                            cond = render(pass_function_renames(
+                                tokenize(cond), resolver))
+                            filt = f" FILTER (WHERE {cond})"
+                            c_end = fc
                     depth = 0
                     p = None
                     for k in range(n + 1, c):
@@ -8172,12 +8388,12 @@ def _pass_function_renames_impl(
                             _trim(list(arg_toks)), resolver))
                         return tokenize(
                             f"transform(collect_list({dis}struct(({a_txt})"
-                            f" AS v)), s -> s.v)"
+                            f" AS v)){filt}, s -> s.v)"
                         )
 
                     if p is None:
                         new_toks = _null_keeping_collect(out[n + 1 : c])
-                        out = out[:i] + new_toks + out[c + 1 :]
+                        out = out[:i] + new_toks + out[c_end + 1 :]
                         i += len(new_toks)
                         continue
                     else:
@@ -8187,7 +8403,7 @@ def _pass_function_renames_impl(
                         ) else None
                         if ktoks is None:
                             new_toks = _null_keeping_collect(out[n + 1 : p])
-                            out = out[:i] + new_toks + out[c + 1 :]
+                            out = out[:i] + new_toks + out[c_end + 1 :]
                             i += len(new_toks)
                             continue
                         else:
@@ -8216,7 +8432,7 @@ def _pass_function_renames_impl(
                                 v_toks, resolver))
                             coll = (
                                 f"collect_list(struct(({k_txt})"
-                                f" AS k, ({v_txt}) AS v))"
+                                f" AS k, ({v_txt}) AS v)){filt}"
                             )
                             if dedup:
                                 coll = f"array_distinct({coll})"
@@ -8236,7 +8452,7 @@ def _pass_function_renames_impl(
                                 f"transform(concat({srt}, {nul}),"
                                 f" s -> s.v)"
                             )
-                            out = out[:i] + new_toks + out[c + 1 :]
+                            out = out[:i] + new_toks + out[c_end + 1 :]
                             i += len(new_toks)
                             continue
                 elif up in ("FIRST", "LAST", "ANY_VALUE"):
@@ -8732,6 +8948,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_quantified_comparisons(tokens)
     tokens = pass_strip_materialized(tokens)
     tokens = pass_unnest_named_args(tokens, resolver)
+    tokens = pass_unnest_zip(tokens, resolver)
     tokens = pass_unnest_in_expr(tokens)
     tokens = pass_lateral_generators(tokens)
     tokens = pass_filter_where(tokens)
@@ -8771,6 +8988,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_cast_type_names(tokens)
     tokens = pass_caret_power(tokens, resolver)
     tokens = pass_regex_operators(tokens)
+    tokens = pass_postfix_factorial(tokens)
     tokens = pass_dynamic_interval(tokens)
     tokens = pass_mixed_interval_literal(tokens)
     tokens = pass_date_interval_arith(tokens)

@@ -1400,3 +1400,81 @@ def test_format_alignment_and_types(loaded_engine):
         d = dk.sql(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert d == s, q
+
+
+def test_unnest_zip_matches_duckdb(loaded_engine):
+    """Multiple unnest() items in one select list ZIP positionally with
+    NULL padding in DuckDB; Spark 4.1 silently cross-products its
+    generators (round-12 probe find — a silent wrong result). The zip
+    pass folds them into one inline(arrays_zip(...)) generator, with a
+    transform-struct when items wrap the unnest in an expression.
+    Column-order-changing shapes raise instead of silently moving."""
+    import duckdb
+
+    import pytest
+
+    from tests.conftest import SF_DIR
+
+    dk = duckdb.connect()
+    dk.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    grid = [
+        "SELECT unnest([1,2,3]) AS a, unnest(['x','y']) AS b",
+        "SELECT unnest([1,2]) AS a, unnest([10,20,30]) AS b,"
+        " unnest(['p','q','r','s']) AS c",
+        "SELECT 7 AS s, unnest([1,2]) AS u1, unnest([10,20,30]) AS u2",
+        "SELECT unnest([1,2]) AS u1, unnest([10,20,30]) AS u2, 't' AS t",
+        "SELECT unnest([1,2]) + 1 AS a, unnest([10,20,30]) AS b",
+        "SELECT unnest([1,2]) AS a, length(unnest(['xx','yyy'])) AS b",
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w,"
+        " unnest(string_split(text, ' ')) AS w2 FROM documents"
+        " WHERE doc_id = 1",
+    ]
+    for q in grid:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
+    with pytest.raises(NotImplementedError, match="column order"):
+        loaded_engine.execute(
+            "SELECT unnest([1,2]) AS a, 5 AS mid, unnest([3,4]) AS b"
+        )
+    with pytest.raises(NotImplementedError, match="ONE select item"):
+        loaded_engine.execute(
+            "SELECT unnest([1,2]) + unnest([3,4]) AS a, unnest([5,6]) AS b"
+        )
+
+
+def test_probe9_operator_fixes_match_duckdb(loaded_engine):
+    """Round-12 probe-batch-9 finds: NOT SIMILAR TO (the NOT defeated
+    the binary-left check), postfix factorial x!, FILTER clauses on the
+    list/array_agg null-keeping rewrite (must ride the inner
+    collect_list — Spark rejects FILTER on the transform wrap), and
+    MAP {...} brace-literal subscripts returning the value LIST."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    dk = duckdb.connect()
+    dk.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{SF_DIR}/nation.parquet'"
+    )
+    grid = [
+        "SELECT 'abc' SIMILAR TO 'a.c' AS m,"
+        " 'abc' NOT SIMILAR TO 'z.*' AS n",
+        "SELECT n_name FROM nation WHERE n_name NOT SIMILAR TO"
+        " '.*[13579]' ORDER BY n_name",
+        "SELECT 5! AS f, (3 + 2)! AS g, 5 != 4 AS ne",
+        "SELECT list(x) FILTER (x > 1) AS l"
+        " FROM (SELECT unnest([1,2,3]) AS x)",
+        "SELECT array_agg(x) FILTER (WHERE x <> 2) AS l"
+        " FROM (SELECT unnest([1,2,3]) AS x)",
+        "SELECT array_agg(x ORDER BY x DESC) FILTER (x > 0) AS l"
+        " FROM (SELECT unnest([3,1,2,-5]) AS x)",
+        "SELECT (MAP {'k1': 5})['k1'] AS hit,"
+        " (MAP {'k1': 5})['zz'] AS miss",
+    ]
+    for q in grid:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
