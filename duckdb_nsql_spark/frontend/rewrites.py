@@ -1888,6 +1888,43 @@ def pass_cast_composite_types(tokens: list[Token]) -> list[Token]:
     return tokens
 
 
+def pass_tz_type_spellings(tokens: list[Token]) -> list[Token]:
+    """``TIMESTAMPTZ`` / ``TIMESTAMP WITH TIME ZONE`` -> ``TIMESTAMP``
+    in literal and cast positions (round-12 probe find). Safe because
+    the session zone is pinned UTC and Spark's TIMESTAMP literal/cast
+    already absorbs a ``+hh[:mm]`` offset into the instant, exactly
+    DuckDB's TIMESTAMPTZ semantics; pass_at_time_zone reads the
+    ORIGINAL spelling for aware/naive provenance and runs earlier."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper in ("TIMESTAMP", "TIME"):
+            n1 = next_sig(out, i)
+            if n1 < len(out) and out[n1].is_kw("WITH"):
+                n2 = next_sig(out, n1)
+                n3 = next_sig(out, n2) if n2 < len(out) else len(out)
+                if (
+                    n3 < len(out)
+                    and out[n2].is_kw("TIME")
+                    and out[n3].is_kw("ZONE")
+                ):
+                    del out[i + 1 : n3 + 1]
+        elif t.kind == IDENT and t.upper == "TIMESTAMPTZ":
+            n = next_sig(out, i)
+            p = prev_sig(out, i)
+            if (n < len(out) and out[n].kind == STRING) or (
+                p >= 0
+                and (
+                    out[p].is_kw("AS")
+                    or (out[p].kind == OP and out[p].text == "::")
+                )
+            ):
+                out[i] = _ident("TIMESTAMP")
+        i += 1
+    return out
+
+
 def pass_cast_type_names(tokens: list[Token]) -> list[Token]:
     """Bare ``VARCHAR``/``TEXT`` in cast position -> ``STRING`` (Spark
     requires a length for VARCHAR; DuckDB's is unbounded)."""
@@ -8985,6 +9022,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_qualify(tokens)
     tokens = pass_using_sample(tokens)
     tokens = pass_int_cast_rounds(tokens)
+    tokens = pass_tz_type_spellings(tokens)
     tokens = pass_cast_type_names(tokens)
     tokens = pass_caret_power(tokens, resolver)
     tokens = pass_regex_operators(tokens)

@@ -4758,6 +4758,15 @@ class DuckSparkSession:
                                       flags=re.IGNORECASE)
                     rendered = re.sub(r"\s*,\s*", ", ", rendered)
                     self._type_overrides.setdefault(table, {})[col] = rendered
+                elif re.fullmatch(
+                    r"TIMESTAMPTZ|TIMESTAMP\s+WITH\s+TIME\s+ZONE",
+                    ty_str, re.IGNORECASE,
+                ):
+                    # stored as a plain (UTC-pinned) TIMESTAMP; DESCRIBE
+                    # keeps DuckDB's declared spelling
+                    self._type_overrides.setdefault(table, {})[col] = (
+                        "TIMESTAMP WITH TIME ZONE"
+                    )
             fl = fixed_array_length(ty_str)
             if fl:
                 fixed[col] = fl

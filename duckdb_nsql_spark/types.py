@@ -46,6 +46,7 @@ _SIMPLE = {
     "TIMESTAMP": T.TimestampType(),
     "DATETIME": T.TimestampType(),
     "TIMESTAMPTZ": T.TimestampType(),
+    "TIMESTAMP WITH TIME ZONE": T.TimestampType(),
     # Spark 4.1 TIME (µs precision) — requires spark.sql.timeType.enabled,
     # set in session.RUNTIME_CONFS
     "TIME": T.TimeType(),

@@ -2334,3 +2334,50 @@ def test_recursive_union_cte_matches_duckdb(loaded_engine):
         "SELECT CAST(count(*) AS BIGINT) AS c FROM nation"
     ).collect()[0][0]
     assert n_after == 25
+
+
+def test_timestamptz_spellings_match_duckdb(engine):
+    """TIMESTAMPTZ / TIMESTAMP WITH TIME ZONE (round-12 probe find):
+    literals, casts, coldefs. The session zone is pinned UTC and
+    Spark's TIMESTAMP literal/cast absorbs +hh[:mm] offsets into the
+    instant — exactly DuckDB's TIMESTAMPTZ semantics — so the spelling
+    normalizes to TIMESTAMP (pass_tz_type_spellings); DESCRIBE keeps
+    the declared 'TIMESTAMP WITH TIME ZONE' text."""
+    import duckdb
+
+    dk = duckdb.connect()
+
+    def norm(rows):
+        return sorted(
+            str(tuple(
+                v.replace(tzinfo=None) if getattr(v, "tzinfo", None) else v
+                for v in r
+            ))
+            for r in rows
+        )
+
+    for st in [
+        "CREATE TABLE tz (id INTEGER, ts TIMESTAMPTZ,"
+        " t2 TIMESTAMP WITH TIME ZONE)",
+        "INSERT INTO tz VALUES (1, TIMESTAMPTZ '2024-06-01 10:00:00+02',"
+        " TIMESTAMP '2024-01-01 00:00:00')",
+    ]:
+        dk.execute(st)
+        engine.execute(st)
+    for q in [
+        "SELECT TIMESTAMPTZ '2024-06-01 10:00:00+02' AS t",
+        "SELECT '2024-06-01 10:00:00+02'::TIMESTAMPTZ AS t",
+        "SELECT TIMESTAMP WITH TIME ZONE '2024-06-01 10:00:00+02' AS t",
+        "SELECT CAST('2024-06-01 10:00:00+02' AS TIMESTAMP WITH TIME"
+        " ZONE) AS t",
+        "SELECT timezone('America/New_York', TIMESTAMP"
+        " '2024-01-01 10:00:00') = TIMESTAMPTZ '2024-01-01 15:00:00+00'"
+        " AS eq",
+        "SELECT TIMESTAMPTZ '2024-06-01 10:00:00+02' AT TIME ZONE"
+        " 'America/New_York' AS wall",
+        "SELECT id, ts, t2 FROM tz",
+        "DESCRIBE tz",
+    ]:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in engine.execute(q).collect()]
+        assert norm(d) == norm(s), q
