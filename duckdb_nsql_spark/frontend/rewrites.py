@@ -6100,26 +6100,14 @@ _COLLATION_MAP = {
 }
 
 
-def pass_unnest_zip(
-    tokens: list[Token], resolver: Optional["Resolver"] = None
-) -> list[Token]:
-    """Multiple ``unnest(...)`` items in one select list ZIP positionally
-    in DuckDB (pad with NULL to the longest list); Spark 4.1 runs each
-    explode as its own generator and silently CROSS-PRODUCTS them
-    (round-12 probe find). Fold every unnest-bearing item into ONE
-    generator: ``inline(arrays_zip(a1, ..., ak)) AS (n1, ..., nk)`` for
-    bare items, or a transform-struct when items wrap the unnest in an
-    expression (DuckDB zips those too — ``unnest(a) + 1, unnest(b)``).
-    Scalar items keep their positions (the zip lands at the FIRST
-    unnest's slot); a scalar BETWEEN two unnest items would reorder
-    output columns, so that shape raises instead of silently moving.
-    Unaliased zipped items get DuckDB-style derived names (the rendered
-    item text)."""
-    out = list(tokens)
-    sig = [i for i, t in enumerate(out) if t.kind not in (WS, COMMENT)]
-    if not sig or not out[sig[0]].is_kw("SELECT"):
-        return out
-    start = sig[1] if len(sig) > 1 else len(out)
+def _zip_one_select_block(
+    out: list, sel: int, resolver: Optional["Resolver"]
+) -> Optional[list]:
+    """Apply unnest-zip to the select block whose SELECT token sits at
+    ``sel``; returns the new token list or None if unchanged. Item
+    scans skip parenthesized subqueries — an ``(SELECT unnest(...))``
+    inside an item is that subquery's generator, not this block's."""
+    start = next_sig(out, sel)
     if start < len(out) and out[start].is_kw("DISTINCT", "ALL"):
         start = next_sig(out, start)
     depth = 0
@@ -6130,6 +6118,9 @@ def pass_unnest_zip(
             depth += 1
         elif t.text in ")]}":
             depth -= 1
+            if depth < 0:
+                end = i
+                break
         elif depth == 0 and t.kind == IDENT and t.upper in (
             "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "WINDOW", "HAVING",
             "QUALIFY", "UNION", "INTERSECT", "EXCEPT",
@@ -6150,18 +6141,34 @@ def pass_unnest_zip(
             lo = i + 1
     items.append((lo, end))
 
+    def _item_unnests(span: list) -> list[int]:
+        """Positions of UNNEST( calls in the item, skipping any
+        parenthesized subquery (its unnests belong to that block)."""
+        hits: list[int] = []
+        k = 0
+        while k < len(span):
+            tk = span[k]
+            if tk.kind == PUNCT and tk.text == "(":
+                n2 = next_sig(span, k)
+                if n2 < len(span) and span[n2].is_kw(
+                    "SELECT", "WITH", "FROM", "VALUES"
+                ):
+                    k = match_forward(span, k, "(", ")") + 1
+                    continue
+            elif tk.kind == IDENT and tk.upper == "UNNEST":
+                n2 = next_sig(span, k)
+                if n2 < len(span) and span[n2].text == "(":
+                    hits.append(k)
+            k += 1
+        return hits
+
     # classify each item: None = no unnest, else (pre, arr, post, name)
     parsed: list[Optional[tuple[str, str, str, str]]] = []
     n_unnest = 0
     for lo, hi in items:
         span = out[lo:hi]
         ssig = [k for k, tk in enumerate(span) if tk.kind not in (WS, COMMENT)]
-        un = [
-            k for k in ssig
-            if span[k].kind == IDENT and span[k].upper == "UNNEST"
-            and (nx := next_sig(span, k)) < len(span)
-            and span[nx].text == "("
-        ]
+        un = _item_unnests(span)
         if not un:
             parsed.append(None)
             continue
@@ -6213,7 +6220,7 @@ def pass_unnest_zip(
         parsed.append((pre, arr, post, alias))
         n_unnest += 1
     if n_unnest < 2:
-        return out
+        return None
     un_idx = [i for i, p in enumerate(parsed) if p is not None]
     if un_idx[-1] - un_idx[0] + 1 != len(un_idx):
         raise NotImplementedError(
@@ -6248,6 +6255,35 @@ def pass_unnest_zip(
         + tokenize(" " + ", ".join(new_items) + " ")
         + out[end:]
     )
+
+
+def pass_unnest_zip(
+    tokens: list[Token], resolver: Optional["Resolver"] = None
+) -> list[Token]:
+    """Multiple ``unnest(...)`` items in one select list ZIP positionally
+    in DuckDB (pad with NULL to the longest list); Spark 4.1 runs each
+    explode as its own generator and silently CROSS-PRODUCTS them
+    (round-12 probe find). Fold every unnest-bearing item into ONE
+    generator: ``inline(arrays_zip(a1, ..., ak)) AS (n1, ..., nk)`` for
+    bare items, or a transform-struct when items wrap the unnest in an
+    expression (DuckDB zips those too — ``unnest(a) + 1, unnest(b)``).
+    Applies to EVERY select block (subqueries included), processed
+    right-to-left so inner blocks fold before outer ones scan. Scalar
+    items keep their positions (the zip lands at the FIRST unnest's
+    slot); a scalar BETWEEN two unnest items would reorder output
+    columns, so that shape raises instead of silently moving. Unaliased
+    zipped items get DuckDB-style derived names (the rendered item
+    text)."""
+    out = list(tokens)
+    sels = [
+        i for i, t in enumerate(out)
+        if t.kind == IDENT and t.upper == "SELECT"
+    ]
+    for sel in reversed(sels):
+        changed = _zip_one_select_block(out, sel, resolver)
+        if changed is not None:
+            out = changed
+    return out
 
 
 def pass_unnest_in_expr(tokens: list[Token]) -> list[Token]:
@@ -7459,6 +7495,41 @@ def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
     i = 0
     while i < len(out):
         t = out[i]
+        if t.kind == IDENT and t.upper == "TIME":
+            # DATE + TIME -> TIMESTAMP (round-12 probe find): Spark has
+            # no date+time operator; spell the time as a day-time
+            # interval offset from midnight (native, value-identical)
+            ls = next_sig(out, i)
+            op_i = prev_sig(out, i)
+            if (
+                ls < len(out)
+                and out[ls].kind == STRING
+                and op_i >= 0
+                and out[op_i].kind == OP
+                and out[op_i].text == "+"
+            ):
+                dstart = primary_start(out, op_i)
+                k = prev_sig(out, dstart)
+                if (
+                    k >= 0
+                    and out[k].kind == IDENT
+                    and out[k].upper == "DATE"
+                    and out[dstart].kind == STRING
+                ):
+                    dstart = k
+                dexpr = _trim(out[dstart:op_i])
+                if dexpr and not (
+                    dexpr[0].kind == IDENT
+                    and dexpr[0].upper in ("TIME", "INTERVAL")
+                ):
+                    lit = out[ls].text
+                    new = tokenize(
+                        f"CAST({render(dexpr)} AS TIMESTAMP)"
+                        f" + (TIME {lit} - TIME '00:00:00')"
+                    )
+                    out = out[:dstart] + new + out[ls + 1 :]
+                    i = dstart + len(new)
+                    continue
         if t.kind == IDENT and t.upper == "INTERVAL":
             op_i = prev_sig(out, i)
             if not (
@@ -7523,6 +7594,20 @@ def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
                 len(lexpr) == 1
                 and lexpr[0].kind == IDENT
                 and lexpr[0].upper.rstrip("S") in _INTERVAL_UNIT_WORDS
+            ):
+                i += 1
+                continue
+            # TIME operands: Spark's TIME + INTERVAL is native and yields
+            # TIME like DuckDB (round-12 probe find — the TIMESTAMP cast
+            # here fails loudly on TIME). Detect literal / ::TIME /
+            # CAST(.. AS TIME) / make_time shapes.
+            l_txt = render(lexpr).strip()
+            if (
+                (lexpr[0].is_kw("TIME")
+                 and any(tk.kind == STRING for tk in lexpr))
+                or lexpr[0].upper == "MAKE_TIME"
+                or re.search(r"(?is)::\s*TIME\s*$", l_txt)
+                or re.search(r"(?is)\bAS\s+TIME\s*\)\s*$", l_txt)
             ):
                 i += 1
                 continue

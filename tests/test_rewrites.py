@@ -1478,3 +1478,34 @@ def test_probe9_operator_fixes_match_duckdb(loaded_engine):
         d = dk.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert sorted(map(str, d)) == sorted(map(str, s)), q
+
+
+def test_unnest_zip_in_subqueries_and_time_arith(loaded_engine):
+    """Round-12 follow-up finds: the unnest-zip fold applies to EVERY
+    select block (a subquery with two unnests cross-producted before —
+    silent wrong row count), TIME + INTERVAL stays on Spark's native
+    TIME arithmetic (the TIMESTAMP cast in the date-arith pass fails
+    loudly on TIME, and the native path wraps midnight like DuckDB),
+    and DATE + TIME composes a TIMESTAMP via a midnight-offset
+    interval."""
+    import duckdb
+
+    dk = duckdb.connect()
+    grid = [
+        "SELECT x, f FROM (SELECT unnest([1,2,3,4]) AS x,"
+        " unnest(['a','b']) AS f) t ORDER BY x",
+        "SELECT x, first_value(y IGNORE NULLS) OVER (ORDER BY x ROWS"
+        " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f FROM"
+        " (SELECT unnest([1,2,3,4]) AS x, unnest([NULL, 'a', NULL,"
+        " 'b']) AS y) ORDER BY x",
+        "SELECT TIME '10:30:00' + INTERVAL 90 MINUTE AS t",
+        "SELECT TIME '23:00:00' + INTERVAL 30 MINUTE AS t",  # wraps
+        "SELECT DATE '2024-01-01' + TIME '10:30:00' AS dt",
+        "SELECT make_time(10, 30, 0) + INTERVAL 1 HOUR AS t",
+        "SELECT '11:00:00'::TIME + INTERVAL 15 MINUTE AS t",
+        "SELECT DATE '2024-01-01' + INTERVAL 1 DAY AS d",  # still ts
+    ]
+    for q in grid:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
