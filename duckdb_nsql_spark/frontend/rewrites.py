@@ -8508,9 +8508,17 @@ def _pass_function_renames_impl(
                             ])
                         a_txt = render(pass_function_renames(
                             _trim(list(arg_toks)), resolver))
-                        return tokenize(
+                        # DuckDB list()/array_agg() over ZERO rows is
+                        # NULL, Spark's collect_list is [] — an empty
+                        # input only arises via FILTER / empty scans
+                        # (round-12 probe find)
+                        core = (
                             f"transform(collect_list({dis}struct(({a_txt})"
                             f" AS v)){filt}, s -> s.v)"
+                        )
+                        return tokenize(
+                            f"(CASE WHEN size({core}) = 0 THEN NULL"
+                            f" ELSE {core} END)"
                         )
 
                     if p is None:
@@ -8570,9 +8578,13 @@ def _pass_function_renames_impl(
                                 f"sort_array({nn}, false)"
                                 if desc else f"array_sort({nn})"
                             )
-                            new_toks = tokenize(
+                            core = (
                                 f"transform(concat({srt}, {nul}),"
                                 f" s -> s.v)"
+                            )
+                            new_toks = tokenize(
+                                f"(CASE WHEN size({core}) = 0 THEN NULL"
+                                f" ELSE {core} END)"
                             )
                             out = out[:i] + new_toks + out[c_end + 1 :]
                             i += len(new_toks)

@@ -2308,6 +2308,56 @@ _sql(
 )
 
 _sql(
+    "q159_unnest_zip",
+    # Multiple select-list unnests ZIP positionally with NULL padding
+    # (round-12: Spark cross-products its generators — the zip pass
+    # folds them into one inline(arrays_zip(...)) per select block).
+    """
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+    FROM documents WHERE doc_id < 5
+    ORDER BY doc_id, pos
+    """,
+)
+
+_sql(
+    "q160_timestamptz_time_arith",
+    # TIMESTAMPTZ literal/cast spellings (normalize to TIMESTAMP under
+    # the UTC-pinned session), DATE + TIME composition, and native
+    # TIME + INTERVAL (round-12; midnight wrap still raises loudly —
+    # Spark DATETIME_OVERFLOW — documented divergence).
+    """
+    SELECT o_orderkey,
+           CAST(TIMESTAMPTZ '2024-06-01 10:00:00+02' AS TIMESTAMP)
+               AS tz_instant,
+           CAST(o_orderdate + INTERVAL 1 DAY AS TIMESTAMP) AS next_day,
+           CAST(DATE '2024-01-01' + TIME '10:30:00' AS TIMESTAMP)
+               AS composed,
+           CAST(TIME '10:00:00' + INTERVAL 90 MINUTE AS VARCHAR)
+               AS plus90
+    FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey
+    """,
+)
+
+_sql(
+    "q161_scalar_surface_r12",
+    # Round-12 probe-batch scalar surface: postfix factorial, SIMILAR
+    # TO / NOT SIMILAR TO (full-match regex), and FILTER on the
+    # null-keeping list() rewrite incl. DuckDB's NULL (not []) result
+    # for an empty filtered group.
+    """
+    SELECT n_name,
+           CAST((n_nationkey % 6)! AS BIGINT) AS fact,
+           n_name SIMILAR TO 'NATION_[0-9]+' AS sim,
+           n_name NOT SIMILAR TO '.*[02468]' AS odd_tail,
+           to_json(list(n_regionkey ORDER BY n_regionkey)
+                   FILTER (n_regionkey > 1)) AS big_regions
+    FROM nation GROUP BY n_name, n_nationkey ORDER BY n_name
+    """,
+)
+
+_sql(
     "q156_window_exclude_rows",
     # EXCLUDE GROUP/TIES over ROWS frames (round-12: collected-frame
     # fold — peers may lie outside a ROWS frame, so the RANGE
@@ -7377,6 +7427,9 @@ _POST_FREEZE_R12: tuple[str, ...] = (
     "q156_window_exclude_rows",
     "q157_array_agg_distinct",
     "q158_recursive_union",
+    "q159_unnest_zip",
+    "q160_timestamptz_time_arith",
+    "q161_scalar_surface_r12",
 )
 
 # Round-11 window kept for the staleness ledger (tests/test_window_ledger):

@@ -1509,3 +1509,25 @@ def test_unnest_zip_in_subqueries_and_time_arith(loaded_engine):
         d = dk.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert sorted(map(str, d)) == sorted(map(str, s)), q
+
+
+def test_empty_list_agg_is_null_like_duckdb(loaded_engine):
+    """list()/array_agg() over ZERO rows is NULL in DuckDB, [] from
+    Spark's collect_list (round-12 probe find — reachable via FILTER
+    clauses and empty scans; plain GROUP BY groups are never empty)."""
+    import duckdb
+
+    dk = duckdb.connect()
+    grid = [
+        "SELECT list(x) FILTER (x > 99) AS l"
+        " FROM (SELECT unnest([1,2]) AS x)",
+        "SELECT array_agg(x ORDER BY x) FILTER (x > 99) AS l"
+        " FROM (SELECT unnest([1,2]) AS x)",
+        "SELECT list(x) AS l FROM (SELECT 1 AS x WHERE false)",
+        # non-empty stays non-null, NULL elements kept
+        "SELECT list(x) AS l FROM (SELECT unnest([1, NULL, 2]) AS x)",
+    ]
+    for q in grid:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
