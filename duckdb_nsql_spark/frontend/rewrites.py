@@ -1851,6 +1851,20 @@ def pass_cast_composite_types(tokens: list[Token]) -> list[Token]:
             return None
         return tokenize(spark_ty)
 
+    def json_parse_ddl(start: int, end: int) -> Optional[str]:
+        """Spark DDL text when tokens[start:end] is a composite type a
+        STRING literal can JSON-parse into (DuckDB semantics: CAST of a
+        VARCHAR to STRUCT/LIST parses the text as JSON; MAP casts are
+        rejected by DuckDB itself)."""
+        txt = render(tokens[start:end]).strip()
+        head = txt.split("(")[0].split("[")[0].strip().upper()
+        if "[" not in txt and head != "STRUCT":
+            return None
+        try:
+            return parse_duckdb_type(txt).simpleString()
+        except Exception:  # noqa: BLE001
+            return None
+
     i = 0
     while i < len(tokens):
         t = tokens[i]
@@ -1858,6 +1872,22 @@ def pass_cast_composite_types(tokens: list[Token]) -> list[Token]:
             start = next_sig(tokens, i)
             end = type_span_end(start)
             if end is not None:
+                lit = prev_sig(tokens, i)
+                ddl = json_parse_ddl(start, end)
+                if (
+                    ddl is not None
+                    and lit >= 0
+                    and tokens[lit].kind == STRING
+                ):
+                    # '<json>'::STRUCT(...)/T[] parses the literal
+                    # (round-12 probe find; Spark's string->struct cast
+                    # has no JSON semantics)
+                    new = tokenize(
+                        f"from_json({tokens[lit].text}, '{ddl}')"
+                    )
+                    tokens = tokens[:lit] + new + tokens[end:]
+                    i = lit + len(new)
+                    continue
                 new = maybe_rewrite(start, end)
                 if new is not None:
                     tokens = tokens[:start] + new + tokens[end:]
@@ -1879,6 +1909,19 @@ def pass_cast_composite_types(tokens: list[Token]) -> list[Token]:
                         as_i = k
                 if as_i is not None:
                     start = next_sig(tokens, as_i)
+                    operand = _trim(tokens[o + 1 : as_i])
+                    ddl = json_parse_ddl(start, c)
+                    if (
+                        ddl is not None
+                        and len(operand) == 1
+                        and operand[0].kind == STRING
+                    ):
+                        new = tokenize(
+                            f"from_json({operand[0].text}, '{ddl}')"
+                        )
+                        tokens = tokens[:i] + new + tokens[c + 1 :]
+                        i = i + len(new)
+                        continue
                     new = maybe_rewrite(start, c)
                     if new is not None:
                         tokens = tokens[:start] + new + tokens[c:]
@@ -1886,6 +1929,77 @@ def pass_cast_composite_types(tokens: list[Token]) -> list[Token]:
                         continue
         i += 1
     return tokens
+
+
+_RANK_FAMILY_FNS = (
+    "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "PERCENT_RANK",
+    "CUME_DIST", "LAG", "LEAD", "NTH_VALUE", "FIRST_VALUE", "LAST_VALUE",
+)
+
+
+def pass_orderless_rank_windows(tokens: list[Token]) -> list[Token]:
+    """DuckDB permits rank-family window functions over an ORDER-BY-less
+    window (arbitrary order); Spark requires an ordering. Inject
+    ``ORDER BY monotonically_increasing_id()`` — the same
+    implementation-defined order DuckDB provides (round-12 probe
+    find)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == IDENT and t.upper == "OVER":
+            o = next_sig(out, i)
+            if o >= len(out) or out[o].text != "(":
+                i += 1
+                continue
+            c = match_forward(out, o, "(", ")")
+            depth = 0
+            has_order = False
+            for k in range(o + 1, c):
+                tk = out[k]
+                if tk.kind == PUNCT and tk.text in "([{":
+                    depth += 1
+                elif tk.kind == PUNCT and tk.text in ")]}":
+                    depth -= 1
+                elif depth == 0 and tk.kind == IDENT and tk.upper == "ORDER":
+                    has_order = True
+                    break
+            if has_order:
+                i = c + 1
+                continue
+            # the call this OVER belongs to: ...fn ( args ) OVER (
+            p = prev_sig(out, i)
+            if p < 0 or out[p].text != ")":
+                i += 1
+                continue
+            depth = 0
+            fo = None
+            for k in range(p, -1, -1):
+                tk = out[k]
+                if tk.kind == PUNCT and tk.text == ")":
+                    depth += 1
+                elif tk.kind == PUNCT and tk.text == "(":
+                    depth -= 1
+                    if depth == 0:
+                        fo = k
+                        break
+            fn = prev_sig(out, fo) if fo is not None else -1
+            if (
+                fn >= 0
+                and out[fn].kind == IDENT
+                and out[fn].upper in _RANK_FAMILY_FNS
+            ):
+                inj = tokenize(
+                    (" " if c > o + 1 else "")
+                    + "ORDER BY monotonically_increasing_id()"
+                )
+                out[c:c] = inj
+                i = c + len(inj) + 1
+                continue
+            i = c + 1
+            continue
+        i += 1
+    return out
 
 
 def pass_tz_type_spellings(tokens: list[Token]) -> list[Token]:
@@ -9119,6 +9233,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_qualify(tokens)
     tokens = pass_using_sample(tokens)
     tokens = pass_int_cast_rounds(tokens)
+    tokens = pass_orderless_rank_windows(tokens)
     tokens = pass_tz_type_spellings(tokens)
     tokens = pass_cast_type_names(tokens)
     tokens = pass_caret_power(tokens, resolver)

@@ -405,7 +405,10 @@ def test_round2_function_renames():
     # (Spark's percentile_disc always returns DOUBLE)
     assert "element_at(array_sort(collect_list(x))" in out
     out = rewrite_sql("SELECT array_agg(x), list(x) FROM t")
-    assert out.count("collect_list") == 2
+    # each list agg renders collect_list twice: the round-12 empty->NULL
+    # CASE wrap repeats the collect expression (Catalyst dedupes the
+    # aggregate itself)
+    assert out.count("collect_list") == 4 and out.count("CASE WHEN") == 2
     out = rewrite_sql("SELECT epoch(ts), epoch_ms(ts) FROM t")
     # epoch casts through TIMESTAMP so TIMESTAMP_NTZ parquet columns work
     assert "unix_micros(CAST(ts AS TIMESTAMP)) / 1e6" in out
@@ -1531,3 +1534,44 @@ def test_empty_list_agg_is_null_like_duckdb(loaded_engine):
         d = dk.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert sorted(map(str, d)) == sorted(map(str, s)), q
+
+
+def test_json_casts_and_orderless_rank_windows(loaded_engine):
+    """Round-12 probe-batch-12 finds: CAST of a STRING literal to
+    STRUCT(...)/T[] parses the text as JSON in DuckDB (Spark's
+    string->struct cast has no JSON semantics -> from_json), and
+    rank-family window functions run over ORDER-BY-less windows
+    (arbitrary order; Spark requires an ordering -> inject
+    monotonically_increasing_id())."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    dk = duckdb.connect()
+    dk.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{SF_DIR}/nation.parquet'"
+    )
+
+    def canon(rows):
+        def cv(v):
+            if hasattr(v, "asDict"):
+                return str(dict(v.asDict()))
+            return str(v)
+        return sorted(str(tuple(cv(x) for x in r)) for r in rows)
+
+    grid = [
+        'SELECT CAST(\'{"a": 1, "b": "x"}\' AS STRUCT(a INTEGER,'
+        " b VARCHAR)) AS s",
+        "SELECT CAST('[1,2,3]' AS INTEGER[]) AS a",
+        'SELECT \'{"a": [1,2]}\'::STRUCT(a INTEGER[]) AS s',
+        "SELECT ([1,2])::BIGINT[] AS a",  # non-literal casts unchanged
+        "SELECT count(*) AS c FROM (SELECT row_number() OVER () AS rn"
+        " FROM nation) WHERE rn <= 5",
+        "SELECT count(*) AS c FROM (SELECT row_number() OVER"
+        " (PARTITION BY n_regionkey) AS rn FROM nation) WHERE rn = 1",
+        "SELECT count(*) OVER () AS c FROM nation LIMIT 1",
+    ]
+    for q in grid:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert canon(d) == canon(s), q
