@@ -4633,6 +4633,14 @@ def _span_is_array(tokens: list[Token], lo: int, hi: int, resolver: Resolver) ->
         return True
     if sig[0].kind == IDENT and sig[0].upper in _ARRAY_FUNCS:
         return True
+    if sig[0].kind == IDENT and sig[0].upper == "FROM_JSON":
+        # array-shaped only when its schema literal says so (the
+        # JSON-parsing composite-cast rewrite emits these)
+        return any(
+            tk.kind == STRING and tk.text.lstrip("'\" ").lower()
+            .startswith("array<")
+            for tk in sig
+        )
     # dotted column chain -> resolver on the last identifier
     name = None
     for tk in sig:

@@ -1368,3 +1368,119 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def gen_wave18_query():
+    """Wave-18 shapes (round 12, sixth sitting): deduplicating
+    WITH RECURSIVE fixpoints, multi-unnest zip (bare + expression
+    items), SIMILAR TO / postfix factorial, TIME + INTERVAL and
+    DATE + TIME arithmetic, TIMESTAMPTZ literal spellings, JSON-parsing
+    string->composite casts, orderless rank windows, and FILTER on the
+    null-keeping list() rewrite (empty -> NULL)."""
+    r = rng.random()
+    if r < 0.15:
+        # recursive UNION fixpoint: counter or modular cycle
+        if rng.random() < 0.5:
+            a, s, b = rng.randint(0, 3), rng.randint(1, 3), rng.randint(8, 25)
+            return (
+                f"WITH RECURSIVE t(n) AS (SELECT {a} UNION SELECT"
+                f" n + {s} FROM t WHERE n < {b})"
+                f" SELECT CAST(count(*) AS BIGINT) AS c,"
+                f" CAST(sum(n) AS BIGINT) AS s FROM t"
+            )
+        m = rng.choice([7, 11, 13, 21])
+        k = rng.randint(2, 5)
+        return (
+            f"WITH RECURSIVE r(x) AS (SELECT 0 UNION SELECT"
+            f" (x * {k} + 1) % {m} FROM r)"
+            f" SELECT * FROM r ORDER BY x"
+        )
+    if r < 0.3:
+        # multi-unnest zip, lengths differ -> NULL padding
+        n1, n2 = rng.randint(1, 5), rng.randint(1, 5)
+        l1 = ", ".join(str(rng.randint(0, 9)) for _ in range(n1))
+        l2 = ", ".join(f"'{rng.choice('abcde')}'" for _ in range(n2))
+        if rng.random() < 0.5:
+            return (
+                f"SELECT unnest([{l1}]) AS a, unnest([{l2}]) AS b"
+                f" ORDER BY ALL NULLS FIRST"
+            )
+        k = rng.randint(1, 9)
+        return (
+            f"SELECT unnest([{l1}]) + {k} AS a, unnest([{l2}]) AS b"
+            f" ORDER BY ALL NULLS FIRST"
+        )
+    if r < 0.45:
+        # SIMILAR TO / factorial over orders
+        pat = rng.choice(
+            ["[0-9]-URGENT", ".*URGENT.*", "[1-3].*", ".*H", "NOT.*"]
+        )
+        neg = rng.choice(["", "NOT "])
+        m = rng.randint(3, 7)
+        return (
+            f"SELECT CAST(count(*) AS BIGINT) AS c,"
+            f" CAST(sum(((o_orderkey % {m})::INTEGER)!) AS BIGINT) AS f"
+            f" FROM orders WHERE o_orderpriority {neg}SIMILAR TO '{pat}'"
+        )
+    if r < 0.6:
+        # TIME / TIMESTAMPTZ arithmetic (wrap-free minutes)
+        h = rng.randint(0, 20)
+        mi = rng.randint(0, 59)
+        add = rng.randint(1, (22 - h) * 60)
+        form = rng.random()
+        if form < 0.4:
+            return (
+                f"SELECT CAST(TIME '{h:02d}:{mi:02d}:00' +"
+                f" INTERVAL {add} MINUTE AS VARCHAR) AS t"
+            )
+        if form < 0.7:
+            d = rng.randint(1, 28)
+            return (
+                f"SELECT CAST(DATE '2024-03-{d:02d}' +"
+                f" TIME '{h:02d}:{mi:02d}:00' AS TIMESTAMP) AS dt"
+            )
+        off = rng.choice(["+02", "-05", "+00", "+09:30"])
+        return (
+            f"SELECT CAST(TIMESTAMPTZ '2024-06-01 {h:02d}:{mi:02d}:00"
+            f"{off}' AS TIMESTAMP) AS t"
+        )
+    if r < 0.75:
+        # JSON-parsing composite casts
+        x, y = rng.randint(0, 99), rng.randint(0, 99)
+        if rng.random() < 0.5:
+            return (
+                f"SELECT CAST('{{\"a\": {x}, \"b\": \"s{y}\"}}' AS"
+                f" STRUCT(a INTEGER, b VARCHAR)) AS s,"
+                f" ('{{\"a\": {y}}}'::STRUCT(a INTEGER)).a + {x} AS v"
+            )
+        vals = ", ".join(str(rng.randint(0, 9)) for _ in range(rng.randint(1, 5)))
+        return (
+            f"SELECT CAST('[{vals}]' AS INTEGER[]) AS a,"
+            f" len(CAST('[{vals}]' AS INTEGER[])) AS n"
+        )
+    if r < 0.9:
+        # orderless rank windows: deterministic counts only
+        t, part = rng.choice([
+            ("nation", "n_regionkey"), ("orders", "o_orderstatus"),
+            ("orders", "o_orderpriority"),
+        ])
+        k = rng.randint(1, 4)
+        fn = rng.choice(["row_number()", "rank() "])
+        # rank() without ORDER BY ties everything at 1; row_number is a
+        # per-partition counter — both deterministic under count()
+        return (
+            f"SELECT CAST(count(*) AS BIGINT) AS c FROM"
+            f" (SELECT row_number() OVER (PARTITION BY {part}) AS rn"
+            f" FROM {t}) WHERE rn <= {k}"
+        )
+    # FILTER on list()/array_agg (empty group -> NULL)
+    m = rng.randint(2, 9)
+    rr = rng.randint(0, m - 1)
+    n = rng.randint(5, 60)
+    return (
+        f"SELECT o_orderstatus AS g,"
+        f" to_json(list(o_orderkey ORDER BY o_orderkey)"
+        f" FILTER (o_orderkey % {m} = {rr})) AS l"
+        f" FROM orders WHERE o_orderkey < {n}"
+        f" GROUP BY g ORDER BY g"
+    )

@@ -249,3 +249,34 @@ def test_fuzz_wave17_round12_probe_grammar(loaded_engine, fuzz_mod):
         # rows_match: float tolerance for distributed partial-sum
         # rounding flips (round(sum(double), 1) half-digit boundaries)
         assert fuzz_mod.rows_match(d, s), q
+
+
+def test_fuzz_wave18_round12_sixth_sitting(loaded_engine, fuzz_mod):
+    """Same-sitting insurance over the sixth-sitting grammar:
+    deduplicating WITH RECURSIVE fixpoints, multi-unnest zip, SIMILAR
+    TO / postfix factorial, TIME + INTERVAL / DATE + TIME /
+    TIMESTAMPTZ spellings, JSON-parsing composite casts, orderless
+    rank windows, FILTER on list() (empty -> NULL) — 40 seeded
+    queries (hunt: 200 more over seeds 18101-18102, clean, zero
+    duck-rejects; the pinned pass caught len(from_json(...)) routing
+    to length() instead of size())."""
+    con = duckdb.connect()
+    con.execute("SET timezone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{SF}/{t}.parquet')"
+        )
+
+    def canon(v):
+        return dict(v.asDict()) if hasattr(v, "asDict") else v
+
+    fuzz_mod.reseed(18000)
+    for _ in range(40):
+        q = fuzz_mod.gen_wave18_query()
+        d = con.execute(q).fetchall()
+        s = [
+            tuple(canon(v) for v in r)
+            for r in loaded_engine.execute(q).collect()
+        ]
+        assert fuzz_mod.rows_match(d, s), q
