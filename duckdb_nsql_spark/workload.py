@@ -7561,10 +7561,10 @@ _REWITNESS_START = 85
 # verify against CORRECTNESS_r12.json, then promote to _WINDOW_R13,
 # bump CURRENT_ROUND in tests/test_window_ledger.py, and declare any
 # post-freeze additions in a new _POST_FREEZE_R13).
-# _POST_FREEZE_R12 leads (the 10 round-12 entries q147-q156, never
+# _POST_FREEZE_R12 leads (the 15 round-12 entries q147-q161, never
 # driver-witnessed), then the stalest re-witness block — the remaining
 # round-7-witnessed run q85_union_type .. q124_pivot_statement in
-# numeric order (= this tree's _registry_order()[50:][:40]).
+# numeric order (as many as fit the 50-entry window after the 15).
 # tests/test_window_ledger.py enforces the ≤6-round staleness bound and
 # that every never-witnessed entry is either in the frozen window or
 # declared post-freeze.
