@@ -5087,7 +5087,9 @@ class DuckSparkSession:
             )
         self._register_managed(key, target.unionByName(aligned))
         if returning is not None:
-            return self._returning_result(aligned, returning)
+            return self._returning_result(
+                aligned, returning, name.split(".")[-1]
+            )
         # DuckDB reports the inserted row count; keep it lazy — a count job
         # per INSERT serializes bulk-load loops, and callers that ignore the
         # result (the common case) should pay zero jobs
@@ -5108,9 +5110,16 @@ class DuckSparkSession:
                 return render(tokens[:i]), clause or "*"
         return sql, None
 
-    def _returning_result(self, rows: DataFrame, clause: str) -> DataFrame:
+    def _returning_result(
+        self, rows: DataFrame, clause: str, alias: Optional[str] = None
+    ) -> DataFrame:
+        """Evaluate a RETURNING clause over the touched rows. ``alias``
+        re-binds the target table's bare name so qualified references
+        (``RETURNING t.k``) resolve like DuckDB's (round-12 probe
+        find via DELETE..USING)."""
         view = self._fresh_view(rows)
-        return self._query(f"SELECT {clause} FROM {view}")
+        tail = f' AS "{alias}"' if alias else ""
+        return self._query(f"SELECT {clause} FROM {view}{tail}")
 
     def _parse_on_conflict(
         self, clause: str
@@ -5793,7 +5802,9 @@ class DuckSparkSession:
                 )
             else:
                 touched = new
-            return self._returning_result(touched, returning)
+            return self._returning_result(
+                touched, returning, name.split(".")[-1]
+            )
         return self._count_df(-1)
 
     def _update_via_sql(
@@ -5851,7 +5862,7 @@ class DuckSparkSession:
             touched = self._query(
                 f"SELECT {', '.join(parts)} FROM {view} AS \"{alias}\"{flt}"
             )
-            return self._returning_result(touched, returning)
+            return self._returning_result(touched, returning, alias)
         return self._count_df(-1)
 
     def _update_from(
@@ -5929,7 +5940,9 @@ class DuckSparkSession:
         self._register_managed(key, new)
         if returning is not None:
             touched = joined.filter(F.col("__matched").isNotNull()).select(*exprs)
-            return self._returning_result(touched, returning)
+            return self._returning_result(
+                touched, returning, name.split(".")[-1]
+            )
         return self._count_df(-1)
 
     def _delete(self, sql: str) -> DataFrame:
@@ -5969,7 +5982,7 @@ class DuckSparkSession:
             self._enforce_fk_delete(key, deleted)
             self._register_managed(key, new)
             if returning is not None:
-                return self._returning_result(deleted, returning)
+                return self._returning_result(deleted, returning, alias)
             return self._count_df(-1)
         m = re.match(
             r"\s*DELETE\s+FROM\s+([\w.\"`]+)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
@@ -5990,7 +6003,9 @@ class DuckSparkSession:
         self._enforce_fk_delete(key, deleted)
         self._register_managed(key, new)
         if returning is not None:
-            return self._returning_result(deleted, returning)
+            return self._returning_result(
+                deleted, returning, m.group(1).strip('"`').split(".")[-1]
+            )
         return self._count_df(-1)
 
     def _prepare(self, sql: str) -> None:

@@ -797,3 +797,33 @@ def test_on_conflict_do_update_where(engine):
     assert [tuple(r) for r in engine.execute(q).collect()] == (
         dk.sql(q).fetchall()
     )
+
+
+def test_qualified_returning_matches_duckdb(engine):
+    """RETURNING clauses bind the target table's bare name for
+    qualified references (round-12 probe find via DELETE..USING:
+    ``RETURNING t.k`` died unresolved because the touched-rows view
+    lost the alias)."""
+    import duckdb
+
+    dk = duckdb.connect()
+    for st in [
+        "CREATE TABLE t4 (k INTEGER, v INTEGER)",
+        "CREATE TABLE t5 (k INTEGER)",
+        "INSERT INTO t4 VALUES (1, 10), (2, 20), (3, 30)",
+        "INSERT INTO t5 VALUES (2)",
+    ]:
+        dk.execute(st)
+        engine.execute(st)
+    for q in [
+        "DELETE FROM t4 USING t5 WHERE t4.k = t5.k RETURNING t4.k, t4.v",
+        "UPDATE t4 SET v = v + 1 WHERE k = 1 RETURNING t4.k, t4.v",
+        "INSERT INTO t4 VALUES (9, 90) RETURNING t4.k, t4.v * 2 AS d",
+        "UPDATE t4 SET v = t5.k FROM t5 WHERE t4.k = 3"
+        " RETURNING t4.k, t4.v",
+        "DELETE FROM t4 WHERE k = 9 RETURNING t4.v",
+        "SELECT * FROM t4 ORDER BY k",
+    ]:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
