@@ -7604,6 +7604,67 @@ def pass_mixed_interval_literal(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def _interval_chain_end(out: list[Token], i: int) -> Optional[int]:
+    """Exclusive end of a ``+/- INTERVAL ...`` additive chain whose
+    first INTERVAL keyword sits at ``i``. Handles the string form
+    (INTERVAL '1 month 2 days'), the unit form (INTERVAL 90 MINUTE),
+    an optional ``* <num>`` / ``/ <num>`` scale, and further chained
+    ``+/- INTERVAL`` terms. None when the shape is anything else."""
+    j = i
+    while True:
+        n1 = next_sig(out, j)
+        if n1 >= len(out):
+            return None
+        if out[n1].kind == STRING:
+            j = n1
+            nu = next_sig(out, j)
+            if (
+                nu < len(out)
+                and out[nu].kind == IDENT
+                and out[nu].upper.rstrip("S") in _INTERVAL_UNIT_WORDS
+            ):
+                j = nu  # INTERVAL '90' MINUTE spelling
+        elif out[n1].kind == NUMBER:
+            n2 = next_sig(out, n1)
+            if (
+                n2 >= len(out)
+                or out[n2].kind != IDENT
+                or out[n2].upper.rstrip("S") not in _INTERVAL_UNIT_WORDS
+            ):
+                return None
+            j = n2
+        else:
+            return None
+        # optional scale factor
+        n3 = next_sig(out, j)
+        if (
+            n3 < len(out)
+            and out[n3].kind == OP
+            and out[n3].text in ("*", "/")
+        ):
+            n4 = next_sig(out, n3)
+            if n4 < len(out) and out[n4].kind == NUMBER:
+                j = n4
+            else:
+                return None
+            n3 = next_sig(out, j)
+        # chained +/- INTERVAL term?
+        if (
+            n3 < len(out)
+            and out[n3].kind == OP
+            and out[n3].text in ("+", "-")
+        ):
+            n5 = next_sig(out, n3)
+            if (
+                n5 < len(out)
+                and out[n5].kind == IDENT
+                and out[n5].upper == "INTERVAL"
+            ):
+                j = n5
+                continue
+        return j + 1
+
+
 def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
     """DuckDB ``DATE +/- INTERVAL`` yields a TIMESTAMP (even for day
     intervals); Spark keeps DATE. Wrap the left operand of a ``+ INTERVAL``
@@ -7719,18 +7780,34 @@ def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
             ):
                 i += 1
                 continue
-            # TIME operands: Spark's TIME + INTERVAL is native and yields
-            # TIME like DuckDB (round-12 probe find — the TIMESTAMP cast
-            # here fails loudly on TIME). Detect literal / ::TIME /
-            # CAST(.. AS TIME) / make_time shapes.
+            # TIME operands (round-12 probe finds): Spark's native
+            # TIME + INTERVAL raises DATETIME_OVERFLOW past midnight
+            # where DuckDB WRAPS — anchor the time on an epoch
+            # TIMESTAMP, run the interval arithmetic there (days carry
+            # freely), and take the time-of-day back. Detect literal /
+            # ::TIME / CAST(.. AS TIME) / make_time / to_time shapes;
+            # unparseable interval chains keep the native operator
+            # (loud overflow, never silent).
             l_txt = render(lexpr).strip()
             if (
                 (lexpr[0].is_kw("TIME")
                  and any(tk.kind == STRING for tk in lexpr))
-                or lexpr[0].upper == "MAKE_TIME"
+                or lexpr[0].upper in ("MAKE_TIME", "TO_TIME")
                 or re.search(r"(?is)::\s*TIME\s*$", l_txt)
                 or re.search(r"(?is)\bAS\s+TIME\s*\)\s*$", l_txt)
             ):
+                ch_end = _interval_chain_end(out, i)
+                if ch_end is not None:
+                    chain = render(out[op_i:ch_end]).strip()
+                    new = tokenize(
+                        f"to_time(date_format(TIMESTAMP"
+                        f" '1970-01-01 00:00:00' + ({l_txt} -"
+                        f" TIME '00:00:00') {chain},"
+                        f" 'HH:mm:ss.SSSSSS'))"
+                    )
+                    out = out[:lstart] + new + out[ch_end:]
+                    i = lstart + len(new)
+                    continue
                 i += 1
                 continue
             new = (

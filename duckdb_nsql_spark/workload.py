@@ -2325,8 +2325,8 @@ _sql(
     "q160_timestamptz_time_arith",
     # TIMESTAMPTZ literal/cast spellings (normalize to TIMESTAMP under
     # the UTC-pinned session), DATE + TIME composition, and native
-    # TIME + INTERVAL (round-12; midnight wrap still raises loudly —
-    # Spark DATETIME_OVERFLOW — documented divergence).
+    # TIME + INTERVAL incl. the midnight WRAP via the epoch-anchor
+    # rewrite (round-12; was a documented loud divergence).
     """
     SELECT o_orderkey,
            CAST(TIMESTAMPTZ '2024-06-01 10:00:00+02' AS TIMESTAMP)
@@ -2335,7 +2335,9 @@ _sql(
            CAST(DATE '2024-01-01' + TIME '10:30:00' AS TIMESTAMP)
                AS composed,
            CAST(TIME '10:00:00' + INTERVAL 90 MINUTE AS VARCHAR)
-               AS plus90
+               AS plus90,
+           CAST(TIME '23:00:00' + INTERVAL 90 MINUTE AS VARCHAR)
+               AS wrapped
     FROM orders WHERE o_orderkey < 10 ORDER BY o_orderkey
     """,
 )

@@ -1502,7 +1502,16 @@ def test_unnest_zip_in_subqueries_and_time_arith(loaded_engine):
         " (SELECT unnest([1,2,3,4]) AS x, unnest([NULL, 'a', NULL,"
         " 'b']) AS y) ORDER BY x",
         "SELECT TIME '10:30:00' + INTERVAL 90 MINUTE AS t",
-        "SELECT TIME '23:00:00' + INTERVAL 30 MINUTE AS t",  # wraps
+        "SELECT TIME '23:00:00' + INTERVAL 30 MINUTE AS t",
+        # midnight WRAP cases — DuckDB wraps, Spark's native TIME op
+        # raises; the epoch-anchor rewrite reproduces the wrap
+        "SELECT TIME '23:00:00' + INTERVAL 90 MINUTE AS t",
+        "SELECT TIME '00:30:00' - INTERVAL 60 MINUTE AS t",
+        "SELECT TIME '23:00:00' + INTERVAL '1 hour 45 minutes' AS t",
+        "SELECT TIME '22:00:00' + INTERVAL 1 HOUR + INTERVAL 90 MINUTE"
+        " AS t",
+        "SELECT TIME '23:00:00' + INTERVAL 30 MINUTE * 4 AS t",
+        "SELECT TIME '12:00:00.123456' + INTERVAL 1 MICROSECOND AS t",
         "SELECT DATE '2024-01-01' + TIME '10:30:00' AS dt",
         "SELECT make_time(10, 30, 0) + INTERVAL 1 HOUR AS t",
         "SELECT '11:00:00'::TIME + INTERVAL 15 MINUTE AS t",
