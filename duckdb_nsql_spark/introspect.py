@@ -963,3 +963,122 @@ def pragma_database_size_df(spark: SparkSession, session) -> DataFrame:
             T.StructField("memory_limit", T.StringType()),
         ]),
     )
+
+
+def duckdb_schemas_df(spark: SparkSession, session) -> DataFrame:
+    """``FROM duckdb_schemas()`` — DuckDB's 8-column shape: the three
+    built-in schemas per catalog (main / information_schema /
+    pg_catalog) over memory+attached+system+temp. oids are synthetic
+    (DuckDB's are allocation-order artifacts, not stable values)."""
+    dbs = [("memory", 1000)]
+    for db in sorted(getattr(session, "_databases", set())):
+        if db in ("memory", "main", "information_schema", "temp", "system"):
+            continue
+        if not any(k.startswith(db + ".") for k in session._tables):
+            continue
+        dbs.append((db, 2000 + len(dbs) * 100))
+    dbs += [("system", 0), ("temp", 3000)]
+    rows = []
+    oid = 1
+    for db, db_oid in dbs:
+        for sch in ("information_schema", "main", "pg_catalog"):
+            rows.append((oid, db, db_oid, sch, None, None, True, None))
+            oid += 1
+    return local_df(
+        spark, rows,
+        T.StructType([
+            T.StructField("oid", T.LongType()),
+            T.StructField("database_name", T.StringType()),
+            T.StructField("database_oid", T.LongType()),
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("comment", T.StringType()),
+            T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("internal", T.BooleanType()),
+            T.StructField("sql", T.StringType()),
+        ]),
+    )
+
+
+def duckdb_functions_df(spark: SparkSession, session) -> DataFrame:
+    """``FROM duckdb_functions()`` — the engine's callable surface:
+    Spark's built-in registry as scalar/aggregate rows plus the
+    session's macros (macro_definition carried). Column shape mirrors
+    DuckDB's; oids are synthetic, typed metadata the engine does not
+    track is NULL."""
+    rows = []
+    oid = 1
+    for f in spark.catalog.listFunctions():
+        rows.append((
+            "system", 0, "main", f.name, "scalar", f.description,
+            None, None, None, None, None, None, None, False, True,
+            oid, None, None,
+        ))
+        oid += 1
+    for kind in ("_macros", "_table_macros"):
+        for name, body in sorted(getattr(session, kind, {}).items()):
+            params, text = (
+                body if isinstance(body, tuple) and len(body) == 2
+                else (None, str(body))
+            )
+            rows.append((
+                "memory", 1000, "main", name,
+                "macro" if kind == "_macros" else "table_macro",
+                None, None, None, None, list(params or []), None, None,
+                str(text), False, False, oid, None, None,
+            ))
+            oid += 1
+    return local_df(
+        spark, rows,
+        T.StructType([
+            T.StructField("database_name", T.StringType()),
+            T.StructField("database_oid", T.LongType()),
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("function_name", T.StringType()),
+            T.StructField("function_type", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("comment", T.StringType()),
+            T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("return_type", T.StringType()),
+            T.StructField("parameters", T.ArrayType(T.StringType())),
+            T.StructField("parameter_types", T.ArrayType(T.StringType())),
+            T.StructField("varargs", T.StringType()),
+            T.StructField("macro_definition", T.StringType()),
+            T.StructField("has_side_effects", T.BooleanType()),
+            T.StructField("internal", T.BooleanType()),
+            T.StructField("function_oid", T.LongType()),
+            T.StructField("example", T.StringType()),
+            T.StructField("stability", T.StringType()),
+        ]),
+    )
+
+
+def parquet_file_metadata_df(spark: SparkSession, path: str) -> DataFrame:
+    """``FROM parquet_file_metadata('f.parquet')`` — one row per file:
+    footer facts via pyarrow (zero Spark jobs), DuckDB's 7-column
+    shape."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    files = sorted(globmod.glob(path)) if any(
+        ch in path for ch in "*?["
+    ) else [path]
+    rows = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows.append((
+            f, md.created_by, md.num_rows, md.num_row_groups,
+            int(float(md.format_version)), None, None,
+        ))
+    return local_df(
+        spark, rows,
+        T.StructType([
+            T.StructField("file_name", T.StringType()),
+            T.StructField("created_by", T.StringType()),
+            T.StructField("num_rows", T.LongType()),
+            T.StructField("num_row_groups", T.LongType()),
+            T.StructField("format_version", T.LongType()),
+            T.StructField("encryption_algorithm", T.StringType()),
+            T.StructField("footer_signing_key_metadata", T.StringType()),
+        ]),
+    )

@@ -236,6 +236,7 @@ def read_file_table(
     skip = int(opts.pop("skip", 0) or 0)
     names = opts.pop("names", None)
     all_varchar = bool(opts.pop("all_varchar", False))
+    types_over = opts.pop("types", None)
     if skip:
         # DuckDB skip=N drops N physical lines before parsing. Spark's
         # csv reader has no such option; trim into a driver-side spool
@@ -263,16 +264,49 @@ def read_file_table(
     if not all_varchar:
         reader = reader.option("inferSchema", "true")
     df = reader.csv(path)
-    if names:
-        keep = list(names) + list(df.columns[len(names):])
-        df = df.toDF(*keep)
-    elif not header:
-        # headerless reads name columns column0..columnN in DuckDB;
-        # Spark's default is _c0.._cN
-        df = df.toDF(*[
-            f"column{c[2:]}" if re.fullmatch(r"_c\d+", c) else c
-            for c in df.columns
-        ])
+
+    def _final_names(cols: list[str]) -> list[str]:
+        if names:
+            return list(names) + list(cols[len(names):])
+        if not header:
+            # headerless reads name columns column0..columnN in DuckDB;
+            # Spark's default is _c0.._cN
+            return [
+                f"column{c[2:]}" if re.fullmatch(r"_c\d+", c) else c
+                for c in cols
+            ]
+        return list(cols)
+
+    if types_over:
+        # read_csv(types={'col': 'TYPE', ...} | ['TYPE', ...]) — DuckDB
+        # per-column overrides. RE-READ with an explicit schema rather
+        # than casting the inferred frame: a VARCHAR override must keep
+        # the file's lexical form ('01' stays '01').
+        from pyspark.sql import types as T
+
+        from .types import parse_duckdb_type
+
+        raw_cols = list(df.columns)
+        finals = _final_names(raw_cols)
+        if isinstance(types_over, dict):
+            lower = {k.lower(): v for k, v in types_over.items()}
+            picked = [lower.get(fn.lower()) for fn in finals]
+        else:
+            picked = list(types_over) + [None] * (
+                len(raw_cols) - len(types_over)
+            )
+        fields = [
+            T.StructField(
+                rc,
+                parse_duckdb_type(ty) if ty else f.dataType,
+                True,
+            )
+            for rc, ty, f in zip(raw_cols, picked, df.schema.fields)
+        ]
+        df = reader.option("inferSchema", "false").schema(
+            T.StructType(fields)
+        ).csv(path)
+    df = df.toDF(*_final_names(list(df.columns)))
     return df
 
 

@@ -2758,8 +2758,10 @@ class DuckSparkSession:
                     continue
             if t.kind == IDENT and t.upper in (
                 "GLOB", "PARQUET_SCHEMA", "PARQUET_METADATA",
+                "PARQUET_FILE_METADATA",
                 "DUCKDB_SETTINGS", "DUCKDB_TABLES", "DUCKDB_COLUMNS",
                 "DUCKDB_VIEWS", "DUCKDB_DATABASES", "DUCKDB_CONSTRAINTS",
+                "DUCKDB_SCHEMAS", "DUCKDB_FUNCTIONS",
                 "PRAGMA_DATABASE_SIZE",
             ):
                 # introspection table functions: driver-built relations
@@ -2788,7 +2790,8 @@ class DuckSparkSession:
                         if arg_sig else None
                     )
                     fn = t.upper
-                    if fn in ("GLOB", "PARQUET_SCHEMA", "PARQUET_METADATA"):
+                    if fn in ("GLOB", "PARQUET_SCHEMA", "PARQUET_METADATA",
+                              "PARQUET_FILE_METADATA"):
                         if arg is None:
                             raise ValueError(f"{fn} requires a path argument")
                         if not allow_ext:
@@ -2803,6 +2806,14 @@ class DuckSparkSession:
                         df = introspect.parquet_schema_df(self.spark, arg)
                     elif fn == "PARQUET_METADATA":
                         df = introspect.parquet_metadata_df(self.spark, arg)
+                    elif fn == "PARQUET_FILE_METADATA":
+                        df = introspect.parquet_file_metadata_df(
+                            self.spark, arg
+                        )
+                    elif fn == "DUCKDB_SCHEMAS":
+                        df = introspect.duckdb_schemas_df(self.spark, self)
+                    elif fn == "DUCKDB_FUNCTIONS":
+                        df = introspect.duckdb_functions_df(self.spark, self)
                     elif fn == "DUCKDB_SETTINGS":
                         df = introspect.duckdb_settings_df(
                             self.spark, self.settings
@@ -2897,6 +2908,26 @@ class DuckSparkSession:
                         csv_opts["nullValue"] = strs[0]
                 elif key == "ALL_VARCHAR":
                     csv_opts["all_varchar"] = sig[2].upper in ("TRUE", "1")
+                elif key in ("TYPES", "DTYPES", "COLUMN_TYPES"):
+                    # {'col': 'TYPE', ...} dict or ['TYPE', ...] list of
+                    # per-column overrides (round-12 probe find: the
+                    # dict form was silently ignored)
+                    body = sig[2:]
+                    if body and body[0].text == "{":
+                        strs = [
+                            tk.text[1:-1].replace("''", "'")
+                            for tk in body
+                            if tk.kind == STRING
+                        ]
+                        csv_opts["types"] = dict(
+                            zip(strs[0::2], strs[1::2])
+                        )
+                    elif body and body[0].text == "[":
+                        csv_opts["types"] = [
+                            tk.text[1:-1].replace("''", "'")
+                            for tk in body
+                            if tk.kind == STRING
+                        ]
                 elif key == "NAMES":
                     csv_opts["names"] = [
                         tk.text[1:-1].replace("''", "'")

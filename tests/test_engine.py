@@ -2381,3 +2381,47 @@ def test_timestamptz_spellings_match_duckdb(engine):
         d = dk.execute(q).fetchall()
         s = [tuple(r) for r in engine.execute(q).collect()]
         assert norm(d) == norm(s), q
+
+
+def test_csv_types_and_catalog_fns(engine):
+    """Round-12 probe-batch-14 finds: read_csv(types={'col': 'TYPE'} |
+    [...]) per-column overrides (re-read with an explicit schema so a
+    VARCHAR override keeps the file's lexical form), plus the
+    duckdb_schemas() / duckdb_functions() / parquet_file_metadata()
+    table functions."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    with open("/tmp/csv_types_t.csv", "w") as f:
+        f.write("01,x\n2,y\n")
+    dk = duckdb.connect()
+    grid = [
+        "SELECT typeof(a) AS t, a FROM read_csv('/tmp/csv_types_t.csv',"
+        " header=false, names=['a','b'], types={'a': 'VARCHAR'})"
+        " ORDER BY a",
+        "SELECT typeof(b) AS t FROM read_csv('/tmp/csv_types_t.csv',"
+        " header=false, names=['a','b'], types=['VARCHAR','VARCHAR'])"
+        " LIMIT 1",
+        "SELECT num_rows, num_row_groups, format_version FROM"
+        f" parquet_file_metadata('{SF_DIR}/nation.parquet')",
+        "SELECT schema_name FROM duckdb_schemas() WHERE database_name"
+        " = 'memory' ORDER BY schema_name",
+    ]
+    for q in grid:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
+    # duckdb_functions(): engine's own callable surface — shape checks
+    engine.execute("CREATE MACRO _cat_fn_probe(x) AS x + 1")
+    rows = engine.execute(
+        "SELECT function_name, function_type, macro_definition FROM"
+        " duckdb_functions() WHERE function_name = '_cat_fn_probe'"
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("_cat_fn_probe", "macro", "x + 1")
+    ]
+    n = engine.execute(
+        "SELECT count(*) AS c FROM duckdb_functions()"
+    ).collect()[0][0]
+    assert n > 100
