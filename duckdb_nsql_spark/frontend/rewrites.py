@@ -7306,7 +7306,7 @@ def pass_windowed_median(
     i = 0
     while i < len(out):
         t = out[i]
-        if not (t.kind == IDENT and t.upper == "MEDIAN"):
+        if not (t.kind == IDENT and t.upper in ("MEDIAN", "MODE")):
             i += 1
             continue
         op = next_sig(out, i)
@@ -7326,6 +7326,25 @@ def pass_windowed_median(
         arg_toks = _trim(out[op + 1 : cl])
         arg = render(arg_toks).strip()
         spec = render(out[sop : scl + 1])
+        if t.upper == "MODE":
+            # mode(x) OVER w — Spark's native window mode breaks ties
+            # arbitrarily; DuckDB returns the FIRST-encountered value
+            # in frame order (probed, round-12). Rank the frame's
+            # distinct values by (count desc, first position):
+            # array_distinct preserves first-occurrence order and the
+            # repeated window collect is computed once by Catalyst.
+            cl_txt = f"collect_list({arg}) OVER {spec}"
+            expanded = (
+                f"element_at(array_sort(transform("
+                f"array_distinct({cl_txt}),"
+                f" v -> struct(-size(filter({cl_txt}, y -> y <=> v))"
+                f" AS c, array_position({cl_txt}, v) AS p,"
+                f" v AS v))), 1).v"
+            )
+            new_toks = tokenize(expanded)
+            out = out[:i] + new_toks + out[scl + 1 :]
+            i += len(new_toks)
+            continue
         s = f"array_sort(collect_list({arg}) OVER {spec})"
         # single bare column -> let the catalog decide discrete vs
         # interpolated; unknown/complex expressions keep the numeric
@@ -8653,6 +8672,51 @@ def _pass_function_renames_impl(
                     out = out[:i] + new_toks + out[c + 1 :]
                     i += len(new_toks)
                     continue
+                elif up == "COUNT":
+                    # count(DISTINCT x) OVER w: Spark rejects DISTINCT
+                    # window aggregates — emulate with the frame's
+                    # collected values (collect_list drops NULLs, which
+                    # IS count distinct's NULL rule). Other DISTINCT
+                    # window aggregates keep Spark's loud error.
+                    c = match_forward(out, n, "(", ")")
+                    isig = [
+                        k for k in range(n + 1, c)
+                        if out[k].kind not in (WS, COMMENT)
+                    ]
+                    ov = next_sig(out, c)
+                    if (
+                        isig
+                        and out[isig[0]].is_kw("DISTINCT")
+                        and ov < len(out)
+                        and out[ov].kind == IDENT
+                        and out[ov].upper == "OVER"
+                        and len(split_args(out, n + 1, c)) == 1
+                    ):
+                        arg = render(pass_function_renames(
+                            _trim(out[isig[0] + 1 : c]), resolver))
+                        wo = next_sig(out, ov)
+                        if wo < len(out) and out[wo].text == "(":
+                            wc = match_forward(out, wo, "(", ")")
+                            w_txt = render(pass_function_renames(
+                                out[wo : wc + 1], resolver))
+                            w_end = wc
+                        elif (
+                            wo < len(out)
+                            and out[wo].kind in (IDENT, QIDENT)
+                        ):
+                            w_txt = out[wo].text
+                            w_end = wo
+                        else:
+                            i += 1
+                            continue
+                        new_toks = tokenize(
+                            f"CAST(size(array_distinct("
+                            f"collect_list({arg})"
+                            f" OVER {w_txt})) AS BIGINT)"
+                        )
+                        out = out[:i] + new_toks + out[w_end + 1 :]
+                        i += len(new_toks)
+                        continue
                 elif up in ("ARRAY_AGG", "LIST"):
                     # array_agg(x ORDER BY k [DESC]) — Spark's collect_list
                     # takes no ordering; spell as a sorted struct collect
@@ -8681,6 +8745,30 @@ def _pass_function_renames_impl(
                                 tokenize(cond), resolver))
                             filt = f" FILTER (WHERE {cond})"
                             c_end = fc
+                    # a following OVER clause also rides the inner
+                    # collect_list — the transform/CASE wrap is not a
+                    # window function (round-12: list(x) OVER w died at
+                    # the parser)
+                    ov = next_sig(out, c_end)
+                    if (
+                        ov < len(out)
+                        and out[ov].kind == IDENT
+                        and out[ov].upper == "OVER"
+                    ):
+                        wo = next_sig(out, ov)
+                        if wo < len(out) and out[wo].text == "(":
+                            wc = match_forward(out, wo, "(", ")")
+                            filt += " OVER " + render(
+                                pass_function_renames(
+                                    out[wo : wc + 1], resolver)
+                            )
+                            c_end = wc
+                        elif (
+                            wo < len(out)
+                            and out[wo].kind in (IDENT, QIDENT)
+                        ):
+                            filt += f" OVER {out[wo].text}"
+                            c_end = wo
                     depth = 0
                     p = None
                     for k in range(n + 1, c):
