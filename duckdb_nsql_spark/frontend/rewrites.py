@@ -5193,9 +5193,17 @@ def _convert_fmt_braces(
         cast-kind)."""
         m = re.match(r"^([<>^=]?)([-+ ]?)(#?)(0?)(\d*)(,?)(?:\.(\d+))?"
                      r"([bdoxXeEfgGs%]?)$", spec)
-        if not m or m.group(1) in ("^", "="):
-            # center/pad-after-sign alignment: not expressible in printf
+        if not m or m.group(1) == "=":
+            # pad-after-sign alignment: not expressible in printf
             return None
+        if m.group(1) == "^":
+            # center alignment: no printf directive — pad the ARG into
+            # a centered string expression and emit plain %s
+            width = m.group(5)
+            typ = m.group(8)
+            if not width or typ not in ("", "s", "d"):
+                return None
+            return ("%s", f"center:{width}:{typ or 's'}")
         align = m.group(1)
         sign, alt, zero, width, comma, prec, typ = m.groups()[1:]
         if typ == "b":
@@ -5240,7 +5248,23 @@ def _convert_fmt_braces(
         # positional printf: %<idx+1>$<directive-without-%>
         out.append(f"%{idx + 1}$" + tail[1:])
         if cast and idx < len(casts):
-            casts[idx] = f"CAST({args[idx]} AS {cast.upper()})"
+            if cast.startswith("center:"):
+                _, w, typ = cast.split(":")
+                inner = (
+                    f"CAST(CAST({args[idx]} AS BIGINT) AS STRING)"
+                    if typ == "d"
+                    else f"CAST({args[idx]} AS STRING)"
+                )
+                # fmt centers with the extra space on the RIGHT; lpad/
+                # rpad truncate below the current length, so clamp
+                casts[idx] = (
+                    f"rpad(lpad({inner}, CAST(greatest(length({inner}),"
+                    f" length({inner}) + ({w} - length({inner})) div 2)"
+                    f" AS INT), ' '), CAST(greatest({w},"
+                    f" length({inner})) AS INT), ' ')"
+                )
+            else:
+                casts[idx] = f"CAST({args[idx]} AS {cast.upper()})"
     if not ok:
         return None
     out.append(fmt[pos:].replace("%", "%%"))
@@ -8672,12 +8696,13 @@ def _pass_function_renames_impl(
                     out = out[:i] + new_toks + out[c + 1 :]
                     i += len(new_toks)
                     continue
-                elif up == "COUNT":
-                    # count(DISTINCT x) OVER w: Spark rejects DISTINCT
-                    # window aggregates — emulate with the frame's
-                    # collected values (collect_list drops NULLs, which
-                    # IS count distinct's NULL rule). Other DISTINCT
-                    # window aggregates keep Spark's loud error.
+                elif up in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+                    # DISTINCT window aggregates: Spark rejects them —
+                    # emulate with the frame's collected values
+                    # (collect_list drops NULLs, which IS the DISTINCT
+                    # aggregate NULL rule). min/max just drop the
+                    # redundant DISTINCT; other DISTINCT window
+                    # aggregates keep Spark's loud error.
                     c = match_forward(out, n, "(", ")")
                     isig = [
                         k for k in range(n + 1, c)
@@ -8692,8 +8717,12 @@ def _pass_function_renames_impl(
                         and out[ov].upper == "OVER"
                         and len(split_args(out, n + 1, c)) == 1
                     ):
+                        if up in ("MIN", "MAX"):
+                            del out[isig[0]]
+                            continue
+                        arg_toks = _trim(out[isig[0] + 1 : c])
                         arg = render(pass_function_renames(
-                            _trim(out[isig[0] + 1 : c]), resolver))
+                            list(arg_toks), resolver))
                         wo = next_sig(out, ov)
                         if wo < len(out) and out[wo].text == "(":
                             wc = match_forward(out, wo, "(", ")")
@@ -8709,11 +8738,42 @@ def _pass_function_renames_impl(
                         else:
                             i += 1
                             continue
-                        new_toks = tokenize(
-                            f"CAST(size(array_distinct("
-                            f"collect_list({arg})"
-                            f" OVER {w_txt})) AS BIGINT)"
+                        ad = (
+                            f"array_distinct(collect_list({arg})"
+                            f" OVER {w_txt})"
                         )
+                        if up == "COUNT":
+                            expanded = (
+                                f"CAST(size({ad}) AS BIGINT)"
+                            )
+                        else:
+                            # accumulator type: exact for int-typed
+                            # single columns, DOUBLE otherwise
+                            acc = "DOUBLE"
+                            asig = [tk for tk in arg_toks
+                                    if tk.kind not in (WS, COMMENT)]
+                            if (
+                                len(asig) == 1
+                                and asig[0].kind in (IDENT, QIDENT)
+                                and resolver.column_numeric(
+                                    asig[0].text.strip('"`').lower()
+                                ) == "int"
+                            ):
+                                acc = "BIGINT"
+                            sm = (
+                                f"aggregate({ad}, CAST(0 AS {acc}),"
+                                f" (a, y) -> a + y)"
+                            )
+                            if up == "AVG":
+                                sm = (
+                                    f"(CAST({sm} AS DOUBLE)"
+                                    f" / size({ad}))"
+                                )
+                            expanded = (
+                                f"(CASE WHEN size({ad}) = 0 THEN NULL"
+                                f" ELSE {sm} END)"
+                            )
+                        new_toks = tokenize(expanded)
                         out = out[:i] + new_toks + out[w_end + 1 :]
                         i += len(new_toks)
                         continue

@@ -1625,3 +1625,48 @@ def test_windowed_list_count_distinct_mode(loaded_engine):
         d = dk.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert sorted(map(str, d)) == sorted(map(str, s)), q
+
+
+def test_distinct_window_aggs_and_format_center(loaded_engine):
+    """Round-12 probe-batch-16 finds: sum/avg(DISTINCT) OVER emulate
+    Spark's unsupported DISTINCT window via an aggregate() fold over
+    the frame's array_distinct'd collect (BIGINT accumulator for
+    int-typed columns, DOUBLE otherwise; empty -> NULL), min/max just
+    drop the redundant DISTINCT, and fmt '^' center alignment pads via
+    a clamped lpad/rpad expression (extra space on the right, like
+    fmt)."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    dk = duckdb.connect()
+    dk.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{SF_DIR}/nation.parquet'"
+    )
+    grid = [
+        "SELECT n_nationkey, CAST(sum(DISTINCT n_regionkey) OVER"
+        " (ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " CURRENT ROW) AS BIGINT) AS sd FROM nation ORDER BY"
+        " n_nationkey LIMIT 6",
+        "SELECT n_nationkey, round(avg(DISTINCT n_regionkey) OVER"
+        " (ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " CURRENT ROW), 4) AS ad FROM nation ORDER BY n_nationkey"
+        " LIMIT 6",
+        "SELECT n_nationkey, min(DISTINCT n_regionkey) OVER (ORDER BY"
+        " n_nationkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mn,"
+        " max(DISTINCT n_name) OVER w AS mx FROM nation WINDOW w AS"
+        " (PARTITION BY n_regionkey) ORDER BY n_nationkey LIMIT 6",
+        "SELECT round(sum(DISTINCT n_regionkey / 2.0) OVER (ORDER BY"
+        " n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+        " ROW), 3) AS sd FROM nation ORDER BY sd NULLS FIRST LIMIT 4",
+        "SELECT CAST(sum(DISTINCT n_regionkey) AS BIGINT) AS s,"
+        " round(avg(DISTINCT n_regionkey), 3) AS a FROM nation",
+        "SELECT format('{:>8}', 'ab') || '|' AS r, format('{:<8}',"
+        " 'ab') || '|' AS l, format('{:^8}', 'ab') || '|' AS c",
+        "SELECT format('{:^7}', 'abc') || '|' AS odd, format('{:^7d}',"
+        " 42) || '|' AS num, format('{:^3}', 'abcdef') AS clamp",
+    ]
+    for q in grid:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
