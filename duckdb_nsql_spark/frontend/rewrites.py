@@ -6246,6 +6246,30 @@ _COLLATION_MAP = {
 }
 
 
+def _item_unnests(span: list) -> list[int]:
+    """Positions of top-level UNNEST( calls in a select item, skipping
+    any parenthesized subquery (its unnests belong to that block — a
+    ``x IN (SELECT unnest(...))`` item must NOT be rewritten as a
+    generator item, round-12 probe find via ``= ANY``)."""
+    hits: list[int] = []
+    k = 0
+    while k < len(span):
+        tk = span[k]
+        if tk.kind == PUNCT and tk.text == "(":
+            n2 = next_sig(span, k)
+            if n2 < len(span) and span[n2].is_kw(
+                "SELECT", "WITH", "FROM", "VALUES"
+            ):
+                k = match_forward(span, k, "(", ")") + 1
+                continue
+        elif tk.kind == IDENT and tk.upper == "UNNEST":
+            n2 = next_sig(span, k)
+            if n2 < len(span) and span[n2].text == "(":
+                hits.append(k)
+        k += 1
+    return hits
+
+
 def _zip_one_select_block(
     out: list, sel: int, resolver: Optional["Resolver"]
 ) -> Optional[list]:
@@ -6286,27 +6310,6 @@ def _zip_one_select_block(
             items.append((lo, i))
             lo = i + 1
     items.append((lo, end))
-
-    def _item_unnests(span: list) -> list[int]:
-        """Positions of UNNEST( calls in the item, skipping any
-        parenthesized subquery (its unnests belong to that block)."""
-        hits: list[int] = []
-        k = 0
-        while k < len(span):
-            tk = span[k]
-            if tk.kind == PUNCT and tk.text == "(":
-                n2 = next_sig(span, k)
-                if n2 < len(span) and span[n2].is_kw(
-                    "SELECT", "WITH", "FROM", "VALUES"
-                ):
-                    k = match_forward(span, k, "(", ")") + 1
-                    continue
-            elif tk.kind == IDENT and tk.upper == "UNNEST":
-                n2 = next_sig(span, k)
-                if n2 < len(span) and span[n2].text == "(":
-                    hits.append(k)
-            k += 1
-        return hits
 
     # classify each item: None = no unnest, else (pre, arr, post, name)
     parsed: list[Optional[tuple[str, str, str, str]]] = []
@@ -6479,10 +6482,7 @@ def pass_unnest_in_expr(tokens: list[Token]) -> list[Token]:
     for lo, hi in items:
         span = out[lo:hi]
         ssig = [k for k, tk in enumerate(span) if tk.kind not in (WS, COMMENT)]
-        un = [
-            k for k in ssig
-            if span[k].kind == IDENT and span[k].upper == "UNNEST"
-        ]
+        un = _item_unnests(span)
         if len(un) != 1:
             new_items.append(render(span))
             continue

@@ -5783,14 +5783,51 @@ class DuckSparkSession:
         assignments: dict[str, str] = {}
         for frag in _split_top_commas(m.group(2)):
             col, _, expr = frag.partition("=")
-            assignments[col.strip().strip('"`').lower()] = rewrites.rewrite_sql(
-                expr.strip(), self._resolver
+            col = col.strip()
+            expr = expr.strip()
+            tm = re.fullmatch(r"\((.*)\)", col, re.DOTALL)
+            if tm is not None:
+                # tuple assignment SET (a, b) = (e1, e2) — expand to
+                # per-column assignments (round-12 probe find: the
+                # unexpanded '(a, b)' key matched no column and the
+                # UPDATE silently no-opped)
+                cols_t = [
+                    c.strip().strip('"`').lower()
+                    for c in _split_top_commas(tm.group(1))
+                ]
+                em = re.fullmatch(r"\((.*)\)", expr, re.DOTALL)
+                exprs_t = (
+                    _split_top_commas(em.group(1)) if em is not None
+                    else None
+                )
+                if exprs_t is None or len(exprs_t) != len(cols_t):
+                    raise NotImplementedError(
+                        "UPDATE SET tuple assignment needs a matching"
+                        f" parenthesized value list: {frag[:60]}"
+                    )
+                for ct, et in zip(cols_t, exprs_t):
+                    assignments[ct] = rewrites.rewrite_sql(
+                        et.strip(), self._resolver
+                    )
+                continue
+            assignments[col.strip('"`').lower()] = rewrites.rewrite_sql(
+                expr, self._resolver
             )
         pred = (
             rewrites.rewrite_sql(m.group(3).strip(), self._resolver)
             if m.group(3)
             else None
         )
+        unknown = set(assignments) - {
+            f.name.lower() for f in df.schema.fields
+        }
+        if unknown:
+            # DuckDB's binder error; a silently-dropped assignment is a
+            # silent no-op UPDATE (round-12 tuple-assignment find)
+            raise KeyError(
+                "Binder Error: Referenced update column "
+                f"{sorted(unknown)[0].split('.')[0]} not found in table!"
+            )
         exprs = []
         for f in df.schema.fields:
             if f.name.lower() in assignments:

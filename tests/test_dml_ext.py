@@ -827,3 +827,51 @@ def test_qualified_returning_matches_duckdb(engine):
         d = dk.execute(q).fetchall()
         s = [tuple(r) for r in engine.execute(q).collect()]
         assert sorted(map(str, d)) == sorted(map(str, s)), q
+
+
+def test_tuple_assignment_and_unknown_column(engine):
+    """UPDATE SET (a, b) = (e1, e2) tuple assignment expands per
+    column (round-12 probe find: the unexpanded key silently no-opped
+    the UPDATE), and an unknown/qualified SET column raises DuckDB's
+    binder error instead of silently dropping the assignment."""
+    import duckdb
+
+    import pytest
+
+    dk = duckdb.connect()
+    for st in [
+        "CREATE TABLE tu (a INTEGER, b INTEGER, c VARCHAR)",
+        "INSERT INTO tu VALUES (1, 2, 'x')",
+    ]:
+        dk.execute(st)
+        engine.execute(st)
+    for q in [
+        "UPDATE tu SET (a, b) = (10, 20) RETURNING a, b, c",
+        "UPDATE tu SET (b, c) = (b + 1, 'y') WHERE a = 10"
+        " RETURNING a, b, c",
+        "SELECT * FROM tu",
+    ]:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
+    with pytest.raises(KeyError, match="Referenced update column"):
+        engine.execute("UPDATE tu SET zz = 1")
+    with pytest.raises(KeyError, match="Referenced update column"):
+        engine.execute("UPDATE tu SET tu.a = 5")
+
+
+def test_any_over_unnest_subquery(loaded_engine):
+    """x = ANY (SELECT unnest(...)) — the unnest-in-expr rewrite must
+    skip parenthesized subqueries (round-12: the IN-rewritten item was
+    itself turned into a generator, a silent misparse)."""
+    import duckdb
+
+    dk = duckdb.connect()
+    for q in [
+        "SELECT 3 = ANY (SELECT unnest([1,2,3])) AS a,"
+        " 5 > ALL (SELECT unnest([1,2,3])) AS b",
+        "SELECT 0 = ANY (SELECT unnest([1,2])) AS no",
+    ]:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert d == s, q
