@@ -1117,7 +1117,18 @@ def pass_json_arrows(tokens: list[Token]) -> list[Token]:
                 continue
             base = _trim(tokens[start:i])
             if key_tok.kind == STRING:
-                path = "$." + _str_value(key_tok)
+                kv = _str_value(key_tok)
+                # a key that IS a JSON path ('$.a.b[1]', '/a/b' JSON
+                # Pointer) passes through; bare keys get the $. prefix
+                # (round-12 probe find: '$.' was double-prefixed)
+                if kv.startswith("$"):
+                    path = kv
+                elif kv.startswith("/"):
+                    path = "$"
+                    for seg in kv.strip("/").split("/"):
+                        path += f"[{seg}]" if seg.isdigit() else f".{seg}"
+                else:
+                    path = "$." + kv
             elif key_tok.kind == NUMBER:
                 path = f"$[{key_tok.text}]"
             else:

@@ -1670,3 +1670,29 @@ def test_distinct_window_aggs_and_format_center(loaded_engine):
         d = dk.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert sorted(map(str, d)) == sorted(map(str, s)), q
+
+
+def test_json_arrow_path_forms(engine):
+    """JSON arrows with path-form keys (round-12 probe find: a
+    '$....' key was double-prefixed to '$.$....' and silently returned
+    NULL). JSONPath keys pass through verbatim; JSON Pointer keys
+    ('/a/b/0') convert with numeric segments as array indices."""
+    import duckdb
+
+    dk = duckdb.connect()
+    for st in [
+        "CREATE TABLE ja (j JSON)",
+        'INSERT INTO ja VALUES (\'{"a": {"b": [1, 2]}}\'),'
+        ' (\'{"a": {"b": [3]}}\')',
+    ]:
+        dk.execute(st)
+        engine.execute(st)
+    for q in [
+        "SELECT j->'a'->'b'->>0 AS f, j->>'$.a.b[1]' AS snd FROM ja",
+        "SELECT j->'$.a.b' AS arr FROM ja",
+        "SELECT j->>'/a/b/0' AS ptr FROM ja",
+        "SELECT j->>'a' IS NULL AS missing_ok FROM ja",
+    ]:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
