@@ -2013,6 +2013,34 @@ def pass_orderless_rank_windows(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def pass_fractional_interval_trunc(tokens: list[Token]) -> list[Token]:
+    """``INTERVAL '1.5' DAY`` — DuckDB TRUNCATES the fraction for every
+    unit above SECOND (probed: '1.5' DAY = 1 day, '2.25' HOUR = 2
+    hours; SECOND keeps fractions); Spark raises INVALID_FRACTION.
+    Truncate toward zero at rewrite time."""
+    out = list(tokens)
+    for i, t in enumerate(out):
+        if t.kind != IDENT or t.upper != "INTERVAL":
+            continue
+        n1 = next_sig(out, i)
+        if n1 >= len(out) or out[n1].kind != STRING:
+            continue
+        n2 = next_sig(out, n1)
+        if (
+            n2 >= len(out)
+            or out[n2].kind != IDENT
+            or out[n2].upper.rstrip("S") not in _INTERVAL_UNIT_WORDS
+            or out[n2].upper.rstrip("S") in (
+                "SECOND", "MILLISECOND", "MICROSECOND",
+            )
+        ):
+            continue
+        val = _str_value(out[n1]).strip()
+        if re.fullmatch(r"[-+]?\d+\.\d+", val):
+            out[n1] = _sql_str(str(int(float(val))))
+    return out
+
+
 def pass_tz_type_spellings(tokens: list[Token]) -> list[Token]:
     """``TIMESTAMPTZ`` / ``TIMESTAMP WITH TIME ZONE`` -> ``TIMESTAMP``
     in literal and cast positions (round-12 probe find). Safe because
@@ -5796,7 +5824,15 @@ def pass_caret_power(
                 ) == "decimal"
 
             def _span_decimalish(span: list[Token]) -> bool:
-                has_dec = any(
+                # an explicit DECIMAL cast taints the span too —
+                # CAST(x AS DECIMAL(10,2)) / 3 must go DOUBLE like
+                # DuckDB (round-12 probe find; other casts still
+                # disqualify, they decide their own type)
+                dec_cast = re.search(
+                    r"(?is)(?:\bAS\s+|::\s*)(?:DECIMAL|NUMERIC)\b",
+                    render(span),
+                ) is not None
+                has_dec = dec_cast or any(
                     tk.kind == NUMBER
                     and ("." in tk.text or "e" in tk.text.lower())
                     for tk in span
@@ -5809,7 +5845,13 @@ def pass_caret_power(
                     if tk.kind == IDENT and tk.upper in (
                         "INTERVAL", "MAKE_DT_INTERVAL", "MAKE_YM_INTERVAL",
                         "TO_DAYS", "TO_HOURS", "TO_MINUTES", "TO_SECONDS",
-                        "AGE", "CAST",
+                        "AGE",
+                    ):
+                        return False
+                    if (
+                        tk.kind == IDENT
+                        and tk.upper == "CAST"
+                        and not dec_cast
                     ):
                         return False
                 return True
@@ -5822,6 +5864,21 @@ def pass_caret_power(
                 )
             else:
                 rend = _primary_end(out, nx) if nx < len(out) else None
+                # extend over ::-cast chains ('1.5'::DECIMAL(3,1))
+                while rend is not None:
+                    k2 = next_sig(out, rend)
+                    if (
+                        k2 < len(out)
+                        and out[k2].kind == OP
+                        and out[k2].text == "::"
+                    ):
+                        k3 = next_sig(out, k2)
+                        rend = (
+                            _primary_end(out, k3)
+                            if k3 < len(out) else None
+                        )
+                    else:
+                        break
                 if rend is not None and rend >= nx and _span_decimalish(
                     out[nx : rend + 1]
                 ):
@@ -5835,6 +5892,17 @@ def pass_caret_power(
                 i += len(repl) - 1  # the '/' shifted right
             else:
                 lstart = _primary_start(out, p) if p >= 0 else None
+                # extend over ::-cast chains on the left too
+                while lstart is not None:
+                    k2 = prev_sig(out, lstart)
+                    if (
+                        k2 >= 0
+                        and out[k2].kind == OP
+                        and out[k2].text == "::"
+                    ):
+                        lstart = _primary_start(out, prev_sig(out, k2))
+                    else:
+                        break
                 if lstart is not None and lstart <= p and _span_decimalish(
                     out[lstart : p + 1]
                 ):
@@ -9478,6 +9546,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_using_sample(tokens)
     tokens = pass_int_cast_rounds(tokens)
     tokens = pass_orderless_rank_windows(tokens)
+    tokens = pass_fractional_interval_trunc(tokens)
     tokens = pass_tz_type_spellings(tokens)
     tokens = pass_cast_type_names(tokens)
     tokens = pass_caret_power(tokens, resolver)

@@ -1696,3 +1696,30 @@ def test_json_arrow_path_forms(engine):
         d = dk.execute(q).fetchall()
         s = [tuple(r) for r in engine.execute(q).collect()]
         assert sorted(map(str, d)) == sorted(map(str, s)), q
+
+
+def test_decimal_cast_division_and_fractional_intervals(loaded_engine):
+    """Round-12 probe-batch-19 finds: '/' over an EXPLICIT DECIMAL cast
+    goes DOUBLE like DuckDB (the span check only knew literals and
+    catalog columns; :: chains now extend the operand span), and
+    fractional interval literals above SECOND truncate toward zero
+    ('1.5' DAY = 1 day — probed; Spark raised INVALID_FRACTION)."""
+    import duckdb
+
+    dk = duckdb.connect()
+    grid = [
+        "SELECT CAST(1 AS DECIMAL(10,2)) / 3 AS d",
+        "SELECT '1.5'::DECIMAL(3,1) / 2 AS d",
+        "SELECT 2 / '1.5'::DECIMAL(3,1) AS rdiv",
+        "SELECT TIMESTAMP '2024-03-01 00:00:00' + INTERVAL '1.5' DAY"
+        " AS i",
+        "SELECT INTERVAL '2.25' HOUR AS i",
+        "SELECT INTERVAL '-1.7' MINUTE AS i",
+        "SELECT INTERVAL '0.5' SECOND AS i",
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1.5' HOUR"
+        " AS t",
+    ]
+    for q in grid:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert sorted(map(str, d)) == sorted(map(str, s)), q
