@@ -759,6 +759,47 @@ def pass_blob_literals(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def _select_alias_kinds(tokens: list[Token], resolver) -> dict[str, str]:
+    """alias -> 'array' for ``<array-expr> AS alias`` select items
+    anywhere in the statement (round-12 probe find: a derived-table
+    LIST alias subscripted in the OUTER query fell back to string
+    substring). Heuristic on the token just before AS: a ``]`` closes a
+    list literal/subscripted slice; a ``)`` whose call head is an
+    array-producing function."""
+    kinds: dict[str, str] = {}
+    for i, t in enumerate(tokens):
+        if not t.is_kw("AS"):
+            continue
+        a = next_sig(tokens, i)
+        if a >= len(tokens) or tokens[a].kind not in (IDENT, QIDENT):
+            continue
+        p = prev_sig(tokens, i)
+        if p < 0 or tokens[p].kind != PUNCT:
+            continue
+        is_arr = False
+        if tokens[p].text == "]":
+            is_arr = True
+        elif tokens[p].text == ")":
+            depth = 0
+            for k in range(p, -1, -1):
+                tk = tokens[k]
+                if tk.kind == PUNCT and tk.text == ")":
+                    depth += 1
+                elif tk.kind == PUNCT and tk.text == "(":
+                    depth -= 1
+                    if depth == 0:
+                        h = prev_sig(tokens, k)
+                        is_arr = (
+                            h >= 0
+                            and tokens[h].kind == IDENT
+                            and tokens[h].upper in _ARRAY_FUNCS
+                        )
+                        break
+        if is_arr:
+            kinds[tokens[a].text.strip('"`').lower()] = "array"
+    return kinds
+
+
 def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
     """1-based ``x[i]`` / ``x[a:b]`` on strings and lists.
 
@@ -766,6 +807,7 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
     inclusive, omitted bounds = begin/end. Spark: ``element_at`` (1-based),
     ``substring`` (1-based), ``slice(arr, start, length)``.
     """
+    _alias_kinds = _select_alias_kinds(tokens, resolver)
     i = 0
     while i < len(tokens):
         t = tokens[i]
@@ -834,6 +876,8 @@ def pass_index_slice(tokens: list[Token], resolver: Resolver) -> list[Token]:
                 kind = "map"  # parenthesized: (MAP {...})['k']
         if kind is None and base_name is not None:
             kind = resolver.column_kind(base_name)
+            if kind is None:
+                kind = _alias_kinds.get(base_name.lower())
 
         inner = tokens[i + 1 : close]
         sig_inner = [tk for tk in inner if tk.kind not in (WS, COMMENT)]
@@ -2010,6 +2054,35 @@ def pass_orderless_rank_windows(tokens: list[Token]) -> list[Token]:
             i = c + 1
             continue
         i += 1
+    return out
+
+
+_REGEXP_FN_NAMES = frozenset(
+    "REGEXP_EXTRACT REGEXP_EXTRACT_ALL REGEXP_MATCHES REGEXP_REPLACE"
+    " REGEXP_FULL_MATCH REGEXP_SPLIT_TO_ARRAY STRING_SPLIT_REGEX"
+    " STR_SPLIT_REGEX".split()
+)
+
+
+def pass_python_named_groups(tokens: list[Token]) -> list[Token]:
+    """``(?P<name>...)`` named groups in regexp-function literal
+    patterns — DuckDB's RE2 accepts the Python spelling, Java wants
+    ``(?<name>...)`` (round-12 probe find). Only string literals inside
+    REGEXP_* calls are touched, never data strings."""
+    out = list(tokens)
+    for i, t in enumerate(out):
+        if (
+            t.kind == IDENT
+            and t.upper in _REGEXP_FN_NAMES
+            and (n := next_sig(out, i)) < len(out)
+            and out[n].text == "("
+        ):
+            c = match_forward(out, n, "(", ")")
+            for k in range(n + 1, c):
+                if out[k].kind == STRING and "(?P<" in out[k].text:
+                    out[k] = Token(
+                        STRING, out[k].text.replace("(?P<", "(?<")
+                    )
     return out
 
 
@@ -9546,6 +9619,7 @@ def rewrite_sql(sql: str, resolver: Optional[Resolver] = None) -> str:
     tokens = pass_using_sample(tokens)
     tokens = pass_int_cast_rounds(tokens)
     tokens = pass_orderless_rank_windows(tokens)
+    tokens = pass_python_named_groups(tokens)
     tokens = pass_fractional_interval_trunc(tokens)
     tokens = pass_tz_type_spellings(tokens)
     tokens = pass_cast_type_names(tokens)

@@ -1723,3 +1723,49 @@ def test_decimal_cast_division_and_fractional_intervals(loaded_engine):
         d = dk.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert sorted(map(str, d)) == sorted(map(str, s)), q
+
+
+def test_alias_list_subscripts_and_named_groups(loaded_engine):
+    """Round-12 probe-batch-20 finds: a derived-table LIST alias
+    subscripted in the outer query fell back to STRING substring (the
+    resolver only knew catalog columns — a statement-local alias-kind
+    scan now types '<array-expr> AS l' select aliases), and Python
+    (?P<name>...) named groups in regexp literals convert to Java's
+    (?<name>...) spelling."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    dk = duckdb.connect()
+    dk.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{SF_DIR}/nation.parquet'"
+    )
+    grid = [
+        "SELECT l, CAST(count(*) AS BIGINT) AS c FROM (SELECT"
+        " [n_regionkey % 2] AS l FROM nation) GROUP BY l ORDER BY l[1]",
+        "SELECT DISTINCT [n_regionkey % 2, 1] AS l FROM nation"
+        " ORDER BY l[1]",
+        "SELECT CAST(sum(l[1]) AS BIGINT) AS s FROM (SELECT"
+        " [n_regionkey] AS l FROM nation)",
+        "SELECT CAST(sum(ll[2]) AS BIGINT) AS s FROM (SELECT"
+        " list_append([n_regionkey], 9) AS ll FROM nation)",
+        "SELECT regexp_extract('2024-08-16',"
+        " '(?P<y>\\d+)-(?P<m>\\d+)', ['y', 'm']) AS s",
+        "SELECT regexp_extract('x42', '(?P<n>\\d+)', 1) AS g",
+        "SELECT n_name[2] AS c2, n_name[2:4] AS sl FROM nation"
+        " ORDER BY n_nationkey LIMIT 2",
+    ]
+
+    def canon(rows):
+        return sorted(
+            str(tuple(
+                dict(v.asDict()) if hasattr(v, "asDict") else v
+                for v in r
+            ))
+            for r in rows
+        )
+
+    for q in grid:
+        d = dk.execute(q).fetchall()
+        s = [tuple(r) for r in loaded_engine.execute(q).collect()]
+        assert canon(d) == canon(s), q
