@@ -7504,11 +7504,14 @@ def pass_windowed_median(
         spec = render(out[sop : scl + 1])
         if t.upper == "MODE":
             # mode(x) OVER w — Spark's native window mode breaks ties
-            # arbitrarily; DuckDB returns the FIRST-encountered value
-            # in frame order (probed, round-12). Rank the frame's
-            # distinct values by (count desc, first position):
-            # array_distinct preserves first-occurrence order and the
-            # repeated window collect is computed once by Catalyst.
+            # arbitrarily; this emulation ranks the frame's distinct
+            # values by (count desc, first frame position), which is
+            # deterministic and matches DuckDB whenever a strict
+            # majority exists. On TIES DuckDB's sliding window keeps
+            # the INCUMBENT from earlier frames (history-dependent
+            # incremental state, probed round-12) — that is not
+            # reproducible without replaying its exact add/evict
+            # order, so tie results may differ (both deterministic).
             cl_txt = f"collect_list({arg}) OVER {spec}"
             expanded = (
                 f"element_at(array_sort(transform("

@@ -1484,3 +1484,84 @@ def gen_wave18_query():
         f" FROM orders WHERE o_orderkey < {n}"
         f" GROUP BY g ORDER BY g"
     )
+
+
+def gen_wave19_query():
+    """Wave-19 shapes (round 12, seventh stretch): windowed DISTINCT
+    aggregates and list() OVER, TIME midnight-wrap arithmetic,
+    DECIMAL-cast division, JSON path/pointer arrows, fractional
+    interval truncation, derived list-alias subscripts, qualified
+    RETURNING is DML-tested elsewhere."""
+    r = rng.random()
+    if r < 0.2:
+        # windowed DISTINCT / list collect over orders
+        fn = rng.choice([
+            "CAST(count(DISTINCT o_orderpriority) OVER w AS BIGINT)",
+            "CAST(sum(DISTINCT o_custkey % 50) OVER w AS BIGINT)",
+            "round(avg(DISTINCT o_custkey % 50) OVER w, 4)",
+            "to_json(list(o_orderkey) OVER w)",  # frame order
+            # mode() excluded: ties are history-dependent in DuckDB's
+            # sliding incremental state (incumbent retention) and
+            # unmatched by design — see the mode branch docstring
+        ])
+        n = rng.randint(10, 80)
+        pre = rng.randint(2, 6)
+        return (
+            f"SELECT o_orderkey, {fn} AS v FROM orders"
+            f" WHERE o_orderkey < {n}"
+            f" WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN {pre}"
+            f" PRECEDING AND CURRENT ROW) ORDER BY o_orderkey"
+        )
+    if r < 0.4:
+        # TIME arithmetic incl. wraps
+        h, mi = rng.randint(0, 23), rng.randint(0, 59)
+        add = rng.randint(1, 5000)
+        op = rng.choice(["+", "-"])
+        return (
+            f"SELECT CAST(TIME '{h:02d}:{mi:02d}:00' {op}"
+            f" INTERVAL {add} MINUTE AS VARCHAR) AS t"
+        )
+    if r < 0.55:
+        # DECIMAL-cast division / fractional intervals
+        if rng.random() < 0.5:
+            a = rng.randint(1, 99)
+            p, sc = rng.randint(6, 12), rng.randint(1, 3)
+            d = rng.randint(2, 9)
+            return (
+                f"SELECT round(CAST({a} AS DECIMAL({p},{sc})) / {d}, 6)"
+                f" AS q"
+            )
+        v = f"{rng.randint(1, 5)}.{rng.randint(1, 9)}"
+        unit = rng.choice(["DAY", "HOUR", "MINUTE"])
+        dd = rng.randint(1, 28)
+        return (
+            f"SELECT TIMESTAMP '2024-03-{dd:02d} 06:00:00' +"
+            f" INTERVAL '{v}' {unit} AS t"
+        )
+    if r < 0.7:
+        # JSON arrows in path and pointer form
+        x, y = rng.randint(0, 99), rng.randint(0, 99)
+        j = f'{{"a": {{"b": [{x}, {y}]}}}}'
+        form = rng.choice([
+            "j->>'$.a.b[1]'", "j->>'/a/b/0'", "j->'a'->'b'->>0",
+            "j->>'$.a.b[0]'",
+        ])
+        return f"SELECT {form} AS v FROM (SELECT '{j}'::JSON AS j)"
+    if r < 0.85:
+        # derived list-alias subscripts through aggregation
+        m = rng.randint(2, 9)
+        return (
+            f"SELECT CAST(sum(l[1]) AS BIGINT) AS s,"
+            f" CAST(count(l[2]) AS BIGINT) AS c FROM"
+            f" (SELECT [o_custkey % {m}, o_orderkey % {m}] AS l"
+            f" FROM orders WHERE o_orderkey < {rng.randint(20, 90)})"
+        )
+    # zip unnests inside subqueries feeding windows
+    n1, n2 = rng.randint(2, 5), rng.randint(2, 5)
+    l1 = ", ".join(str(rng.randint(0, 9)) for _ in range(n1))
+    l2 = ", ".join(str(rng.randint(0, 9)) for _ in range(n2))
+    return (
+        f"SELECT x, y, CAST(count(*) OVER (PARTITION BY y) AS BIGINT)"
+        f" AS c FROM (SELECT unnest([{l1}]) AS x, unnest([{l2}]) AS y)"
+        f" ORDER BY ALL NULLS FIRST"
+    )

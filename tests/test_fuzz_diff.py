@@ -280,3 +280,35 @@ def test_fuzz_wave18_round12_sixth_sitting(loaded_engine, fuzz_mod):
             for r in loaded_engine.execute(q).collect()
         ]
         assert fuzz_mod.rows_match(d, s), q
+
+
+def test_fuzz_wave19_round12_late_grammar(loaded_engine, fuzz_mod):
+    """Insurance over the seventh-stretch grammar: windowed DISTINCT
+    aggregates / list() OVER / mode ties, TIME wrap arithmetic,
+    DECIMAL-cast division, JSON path/pointer arrows, fractional
+    interval truncation, derived list-alias subscripts, zip unnests
+    under windows — 40 seeded queries (hunt: 200 more over seeds
+    19201-19202, clean, zero duck-rejects; grammar authoring pinned
+    two oracle facts — DuckDB 1.0 rejects ordered aggregates as
+    window functions, and windowed mode() ties are history-dependent
+    incumbent state, excluded by design)."""
+    con = duckdb.connect()
+    con.execute("SET timezone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{SF}/{t}.parquet')"
+        )
+
+    def canon(v):
+        return dict(v.asDict()) if hasattr(v, "asDict") else v
+
+    fuzz_mod.reseed(19100)
+    for _ in range(40):
+        q = fuzz_mod.gen_wave19_query()
+        d = con.execute(q).fetchall()
+        s = [
+            tuple(canon(v) for v in r)
+            for r in loaded_engine.execute(q).collect()
+        ]
+        assert fuzz_mod.rows_match(d, s), q
