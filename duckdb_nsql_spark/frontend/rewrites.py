@@ -8021,6 +8021,26 @@ def pass_date_interval_arith(tokens: list[Token]) -> list[Token]:
     return out
 
 
+def _is_distinct_window_agg(out: list[Token], n: int) -> bool:
+    """True when the call whose open-paren sits at ``n`` is a one-argument
+    DISTINCT aggregate immediately followed by OVER (the shape Spark
+    rejects and the rename pass emulates via collected frame values)."""
+    c = match_forward(out, n, "(", ")")
+    isig = [
+        k for k in range(n + 1, c)
+        if out[k].kind not in (WS, COMMENT)
+    ]
+    if not (isig and out[isig[0]].is_kw("DISTINCT")):
+        return False
+    ov = next_sig(out, c)
+    return (
+        ov < len(out)
+        and out[ov].kind == IDENT
+        and out[ov].upper == "OVER"
+        and len(split_args(out, n + 1, c)) == 1
+    )
+
+
 def pass_function_renames(tokens: list[Token], resolver: Optional[Resolver] = None) -> list[Token]:
     resolver = resolver or NullResolver()
     _ACTIVE_RESOLVER[0] = resolver  # for schema-aware macro templates
@@ -8851,87 +8871,86 @@ def _pass_function_renames_impl(
                     out = out[:i] + new_toks + out[c + 1 :]
                     i += len(new_toks)
                     continue
-                elif up in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+                elif up in (
+                    "COUNT", "SUM", "AVG", "MIN", "MAX"
+                ) and _is_distinct_window_agg(out, n):
                     # DISTINCT window aggregates: Spark rejects them —
                     # emulate with the frame's collected values
                     # (collect_list drops NULLs, which IS the DISTINCT
                     # aggregate NULL rule). min/max just drop the
                     # redundant DISTINCT; other DISTINCT window
-                    # aggregates keep Spark's loud error.
+                    # aggregates keep Spark's loud error. The guard MUST
+                    # be part of the elif condition itself: avg/min/max
+                    # calls that are NOT distinct-window aggregates fall
+                    # through to their _FN_MACROS_N entries (avg()'s
+                    # always-DOUBLE input cast, 2-arg min/max top-n
+                    # lists) — claiming them here shadowed those.
                     c = match_forward(out, n, "(", ")")
                     isig = [
                         k for k in range(n + 1, c)
                         if out[k].kind not in (WS, COMMENT)
                     ]
                     ov = next_sig(out, c)
-                    if (
-                        isig
-                        and out[isig[0]].is_kw("DISTINCT")
-                        and ov < len(out)
-                        and out[ov].kind == IDENT
-                        and out[ov].upper == "OVER"
-                        and len(split_args(out, n + 1, c)) == 1
-                    ):
-                        if up in ("MIN", "MAX"):
-                            del out[isig[0]]
-                            continue
-                        arg_toks = _trim(out[isig[0] + 1 : c])
-                        arg = render(pass_function_renames(
-                            list(arg_toks), resolver))
-                        wo = next_sig(out, ov)
-                        if wo < len(out) and out[wo].text == "(":
-                            wc = match_forward(out, wo, "(", ")")
-                            w_txt = render(pass_function_renames(
-                                out[wo : wc + 1], resolver))
-                            w_end = wc
-                        elif (
-                            wo < len(out)
-                            and out[wo].kind in (IDENT, QIDENT)
-                        ):
-                            w_txt = out[wo].text
-                            w_end = wo
-                        else:
-                            i += 1
-                            continue
-                        ad = (
-                            f"array_distinct(collect_list({arg})"
-                            f" OVER {w_txt})"
-                        )
-                        if up == "COUNT":
-                            expanded = (
-                                f"CAST(size({ad}) AS BIGINT)"
-                            )
-                        else:
-                            # accumulator type: exact for int-typed
-                            # single columns, DOUBLE otherwise
-                            acc = "DOUBLE"
-                            asig = [tk for tk in arg_toks
-                                    if tk.kind not in (WS, COMMENT)]
-                            if (
-                                len(asig) == 1
-                                and asig[0].kind in (IDENT, QIDENT)
-                                and resolver.column_numeric(
-                                    asig[0].text.strip('"`').lower()
-                                ) == "int"
-                            ):
-                                acc = "BIGINT"
-                            sm = (
-                                f"aggregate({ad}, CAST(0 AS {acc}),"
-                                f" (a, y) -> a + y)"
-                            )
-                            if up == "AVG":
-                                sm = (
-                                    f"(CAST({sm} AS DOUBLE)"
-                                    f" / size({ad}))"
-                                )
-                            expanded = (
-                                f"(CASE WHEN size({ad}) = 0 THEN NULL"
-                                f" ELSE {sm} END)"
-                            )
-                        new_toks = tokenize(expanded)
-                        out = out[:i] + new_toks + out[w_end + 1 :]
-                        i += len(new_toks)
+                    if up in ("MIN", "MAX"):
+                        del out[isig[0]]
                         continue
+                    arg_toks = _trim(out[isig[0] + 1 : c])
+                    arg = render(pass_function_renames(
+                        list(arg_toks), resolver))
+                    wo = next_sig(out, ov)
+                    if wo < len(out) and out[wo].text == "(":
+                        wc = match_forward(out, wo, "(", ")")
+                        w_txt = render(pass_function_renames(
+                            out[wo : wc + 1], resolver))
+                        w_end = wc
+                    elif (
+                        wo < len(out)
+                        and out[wo].kind in (IDENT, QIDENT)
+                    ):
+                        w_txt = out[wo].text
+                        w_end = wo
+                    else:
+                        i += 1
+                        continue
+                    ad = (
+                        f"array_distinct(collect_list({arg})"
+                        f" OVER {w_txt})"
+                    )
+                    if up == "COUNT":
+                        expanded = (
+                            f"CAST(size({ad}) AS BIGINT)"
+                        )
+                    else:
+                        # accumulator type: exact for int-typed
+                        # single columns, DOUBLE otherwise
+                        acc = "DOUBLE"
+                        asig = [tk for tk in arg_toks
+                                if tk.kind not in (WS, COMMENT)]
+                        if (
+                            len(asig) == 1
+                            and asig[0].kind in (IDENT, QIDENT)
+                            and resolver.column_numeric(
+                                asig[0].text.strip('"`').lower()
+                            ) == "int"
+                        ):
+                            acc = "BIGINT"
+                        sm = (
+                            f"aggregate({ad}, CAST(0 AS {acc}),"
+                            f" (a, y) -> a + y)"
+                        )
+                        if up == "AVG":
+                            sm = (
+                                f"(CAST({sm} AS DOUBLE)"
+                                f" / size({ad}))"
+                            )
+                        expanded = (
+                            f"(CASE WHEN size({ad}) = 0 THEN NULL"
+                            f" ELSE {sm} END)"
+                        )
+                    new_toks = tokenize(expanded)
+                    out = out[:i] + new_toks + out[w_end + 1 :]
+                    i += len(new_toks)
+                    continue
                 elif up in ("ARRAY_AGG", "LIST"):
                     # array_agg(x ORDER BY k [DESC]) — Spark's collect_list
                     # takes no ordering; spell as a sorted struct collect
