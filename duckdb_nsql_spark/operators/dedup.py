@@ -124,7 +124,7 @@ def minhash_bands_udf(
     num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS
 ) -> Column:
     """Factory: pandas UDF normalized_text -> array of ``bands`` band-
-    signature md5s.
+    signature md5 DIGESTS (16-byte binary).
 
     The construction (md5 per (permutation, shingle), string-min per
     permutation, md5 over '|'-joined band slices) is byte-identical in
@@ -133,23 +133,31 @@ def minhash_bands_udf(
     Arrow-batched UDF because Spark evaluates higher-order-function
     lambdas interpreted, and the nested perm×shingle loop measured ~100x
     slower as column expressions than as a hashlib loop.
+
+    The OUTER band hash is emitted as raw ``digest()`` bytes — exactly
+    ``unhex()`` of the hex the oracle computes (equality-preserving
+    bijection; the store kept these same 16 bytes via an unhex()
+    projection before round 12's optimization pass folded it away).
+    The INNER per-permutation hashes stay hexdigest strings: they are
+    joined into the band input text, so their spelling is part of the
+    hashed bytes.
     """
     import hashlib
 
     rows = num_perm // bands
 
-    def one(norm: str) -> list[str]:
+    def one(norm: str) -> list[bytes]:
         sh = _py_shingles(norm)
         sig = [
             min(hashlib.md5(f"{p}:{s}".encode()).hexdigest() for s in sh)
             for p in range(num_perm)
         ]
         return [
-            hashlib.md5("|".join(sig[b * rows : (b + 1) * rows]).encode()).hexdigest()
+            hashlib.md5("|".join(sig[b * rows : (b + 1) * rows]).encode()).digest()
             for b in range(bands)
         ]
 
-    @F.pandas_udf("array<string>")
+    @F.pandas_udf("array<binary>")
     def bands_fn(norm: pd.Series) -> pd.Series:
         return norm.map(one)
 
@@ -296,13 +304,27 @@ def minhash_lsh_candidates(
         if df.rdd.getNumPartitions() < spread:
             df = df.repartition(spread)
         bands_fn = minhash_bands_udf(num_perm, bands)
-        with_bands = df.select(
+        # one select: the generator takes the UDF call directly, so the
+        # banded table needs no intermediate projection (every chained
+        # DataFrame op pays an eager Catalyst analysis of the whole
+        # growing plan — round-12 optimization pass; the UDF still
+        # evaluates once, extracted into its own ArrowEvalPython node
+        # below the Generate). The UDF now emits 16-byte digests, so the
+        # former unhex() re-projection is gone too.
+        banded_df = df.select(
             F.col(id_col).alias("doc_id"),
-            bands_fn(normalize_text(F.col(text_col))).alias("bands"),
+            F.posexplode(
+                bands_fn(normalize_text(F.col(text_col)))
+            ).alias("band", "bandsig"),
         )
     elif hash_mode == "xxhash64":
         with_bands = minhash_bands_jvm(
             df, text_col, id_col, num_perm, bands
+        )
+        banded_df = with_bands.select(
+            "doc_id", F.posexplode("bands").alias("band", "bandsig")
+        ).select(
+            "doc_id", "band", F.col("bandsig").cast("long").alias("bandsig")
         )
     else:
         raise ValueError(
@@ -316,20 +338,11 @@ def minhash_lsh_candidates(
     # ordering): measured sf10 per-query 1.26 s -> 0.28 s, pairs
     # identical; remaining cost decomposes to two cache scans + the
     # tiny candidate-pair distinct + the per-statement floor.
-    # The stored band signature is compacted to its native width — an
-    # EQUALITY-PRESERVING bijection, so the candidate set is untouched:
-    # md5 hex (32 chars) -> unhex 16-byte binary; xxhash64 decimal
-    # string -> the original BIGINT.
-    sig = (
-        F.unhex("bandsig") if hash_mode == "md5"
-        else F.col("bandsig").cast("long")
-    ).alias("bandsig")
-    banded = _persist_small(
-        with_bands.select(
-            "doc_id", F.posexplode("bands").alias("band", "bandsig")
-        ).select("doc_id", "band", sig),
-        bucket_by=("band", "bandsig"),
-    )
+    # The stored band signature is its native width — an EQUALITY-
+    # PRESERVING bijection of the oracle's md5 hex, so the candidate
+    # set is untouched: md5 emits 16-byte digests straight from the
+    # UDF; xxhash64's decimal string casts back to the original BIGINT.
+    banded = _persist_small(banded_df, bucket_by=("band", "bandsig"))
     a = banded.alias("a")
     b = banded.alias("b").hint("shuffle_hash")
     return (

@@ -236,9 +236,13 @@ def neardup_stream(
     from ..operators.dedup import minhash_bands_udf
     from ..operators.text import normalize_text
 
+    # the band UDF emits 16-byte digests (round-12 store compaction);
+    # this operator's contract (and its DuckDB oracle) is the lowercase
+    # md5 HEX of the joined signature — re-hex at the boundary
     sig_fn = minhash_bands_udf(16, 1)
     sigd = docs_with_ts.withColumn(
-        "sig", sig_fn(normalize_text(F.col(text_col)))[0]
+        "sig",
+        F.lower(F.hex(sig_fn(normalize_text(F.col(text_col)))[0])),
     )
     return sigd.withWatermark(
         time_col, watermark

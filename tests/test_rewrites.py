@@ -1769,3 +1769,21 @@ def test_alias_list_subscripts_and_named_groups(loaded_engine):
         d = dk.execute(q).fetchall()
         s = [tuple(r) for r in loaded_engine.execute(q).collect()]
         assert canon(d) == canon(s), q
+
+
+def test_round_double_template_caseless_and_null(loaded_engine):
+    """Round-12 optimization: the DuckDB-exact double round() emulation
+    dropped its NULL CASE guard (every factor — signum, abs, floor —
+    already propagates NULL), shrinking the analyzed tree from three
+    copies of the argument to two. Pin the rewrite shape and the NULL
+    behavior the guard used to provide."""
+    text = loaded_engine._rewrite_query(
+        "SELECT round(sum(o_totalprice), 2) AS r FROM orders"
+    )
+    assert "signum" in text and "CASE" not in text.upper()
+    row = loaded_engine.execute(
+        "SELECT round(CAST(NULL AS DOUBLE), 2) AS a,"
+        " round(sum(o_totalprice), 2) AS b"
+        " FROM orders WHERE o_orderkey < 0"
+    ).collect()[0]
+    assert row["a"] is None and row["b"] is None
