@@ -68,23 +68,28 @@ BENCH_QUERIES = {
 }
 SUMMARIZE_KEY = "q10_summarize"  # B10 — routed through the engine directly
 
-# q13 over CLUSTER BY tables: same query as q13_multiway_join but the two
-# fact tables are bucketed-at-rest on the join key (CREATE TABLE ...
-# CLUSTER BY (orderkey) INTO 32 BUCKETS), so the 600k/6M/60M-row
-# lineitem⋈orders exchange disappears (plan-pinned, test_plans.py
-# test_cluster_by_ctas_seam) — the at-rest answer a 100 TB deployment
-# would choose. Setup (the CTAS writes) is untimed, like DuckDB's own
-# at-rest table load. Broadcast threshold stays at the session default:
-# measured at sf10, forcing the 1.5M-row customer dim to broadcast costs
-# ~2.5 s/run of driver collect+build (5.3 s vs 2.7 s total) — the
-# customer⋈orders exchange is the cheaper plan on this box.
+# q13 over CLUSTER BY tables: same query (same result rows) as
+# q13_multiway_join but over bucketed-at-rest fact tables — the at-rest
+# answer a 100 TB deployment would choose. Round 13 extends the seam to
+# the FULL join chain (the r12 verdict's #1): customer_c and orders_c
+# are CO-BUCKETED on the custkey join key, lineitem_c on orderkey, so
+# customer⋈orders plans with ZERO exchange (bucket-to-bucket) and the
+# only data exchange left is the c⋈o output re-keyed to lineitem's
+# buckets. Before (r12 layout: orders_c on o_orderkey, customer
+# unbucketed) the plan shuffled customer AND orders AND the join output
+# — 3 data exchanges; measured at sf10: 2.27-5.7 s -> 2.15-2.31 s, plan
+# Exchange count (data-carrying) 3 -> 1. Setup (the CTAS writes) is
+# untimed, like DuckDB's own at-rest table load. Broadcast threshold
+# stays at the session default: measured at sf10, forcing the 1.5M-row
+# customer dim to broadcast costs ~2.5 s/run of driver collect+build
+# (5.3 s vs 2.7 s total) — the co-bucketed join is the cheaper plan.
 CLUSTERED_KEY = "q13_clustered"
 CLUSTERED_SQL = """
     SELECT r.r_name, n.n_name, count(*) AS n_orders,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
-    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN customer_c c ON c.c_nationkey = n.n_nationkey
     JOIN orders_c o ON o.o_custkey = c.c_custkey
     JOIN lineitem_c l ON l.l_orderkey = o.o_orderkey
     GROUP BY r.r_name, n.n_name
@@ -108,7 +113,11 @@ AGG_CLUSTERED_SQL = """
 
 def _setup_clustered(eng) -> None:
     eng.execute(
-        "CREATE OR REPLACE TABLE orders_c CLUSTER BY (o_orderkey)"
+        "CREATE OR REPLACE TABLE customer_c CLUSTER BY (c_custkey)"
+        " INTO 32 BUCKETS AS SELECT c_custkey, c_nationkey FROM customer"
+    )
+    eng.execute(
+        "CREATE OR REPLACE TABLE orders_c CLUSTER BY (o_custkey)"
         " INTO 32 BUCKETS AS SELECT o_orderkey, o_custkey FROM orders"
     )
     eng.execute(
@@ -190,7 +199,7 @@ def main() -> None:
             best[AGG_CLUSTERED_KEY] = min(
                 best.get(AGG_CLUSTERED_KEY, float("inf")), dt
             )
-    for t in ("orders_c", "lineitem_c", "orders_g"):
+    for t in ("customer_c", "orders_c", "lineitem_c", "orders_g"):
         try:
             eng.execute(f"DROP TABLE IF EXISTS {t}")
         except Exception:  # noqa: BLE001 — cleanup only

@@ -56,6 +56,17 @@ def write_bucketed(
             leftover = os.path.join(local, name.lower())
             if os.path.isdir(leftover):
                 shutil.rmtree(leftover, ignore_errors=True)
+    # ONE file per bucket: repartition on the bucket keys with exactly
+    # n_buckets partitions. HashPartitioning's partition id and the
+    # bucket id are the same expression (pmod(murmur3(keys), n)), so each
+    # write task holds exactly one bucket's rows and emits one file.
+    # Without this, every one of the W upstream tasks writes its own file
+    # per bucket (W x n_buckets files): per-file open cost on every scan,
+    # and Spark drops the per-file sortBy metadata when a bucket has more
+    # than one file — downstream sort-merge joins re-sort both sides.
+    # With it, scans report the bucket sort order and co-bucketed SMJs
+    # plan with ZERO Sort and ZERO Exchange (guide §6 file sizing + §2.4).
+    df = df.repartition(n_buckets, *keys)
     writer = (
         df.write.format("parquet")
         .mode(mode)

@@ -328,6 +328,33 @@ def test_cluster_by_ctas_seam(engine, spark, sf_dir):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 
+def test_bucketed_ctas_writes_one_file_per_bucket(engine, spark, sf_dir):
+    """Round 13: the CLUSTER BY CTAS writer repartitions on the bucket
+    keys so every bucket lands as EXACTLY one file. Without it, each of
+    the W upstream write tasks emits its own file per bucket (W x
+    n_buckets files): per-file open cost on every downstream scan
+    (measured at sf10 on q3_clustered: the 1024-file orders_g store's
+    scan+agg ran 0.46 s vs 0.20 s from the 32-file layout), and
+    Spark drops the sortBy metadata when a bucket has >1 file."""
+    import glob as _glob
+    import os
+
+    engine.register_parquet_dir(sf_dir)
+    engine.execute(
+        "CREATE OR REPLACE TABLE ofb CLUSTER BY (o_custkey) INTO 8 BUCKETS"
+        " AS SELECT o_custkey, o_totalprice FROM orders"
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    local = wh[len("file:"):] if wh.startswith("file:") else wh
+    tbl = next(
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("ddbs_bkt_") and t.name.endswith("_ofb")
+    )
+    files = _glob.glob(os.path.join(local, tbl, "*.parquet"))
+    assert len(files) == 8, sorted(os.path.basename(f) for f in files)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_bloom_decontaminate_plan_shape(spark):
     """The corpus side of Bloom decontamination must stay map-only up to
     the single per-doc aggregate: the bit set arrives via
