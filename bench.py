@@ -53,14 +53,16 @@ BENCH_QUERIES = {
     "q12_window_topk": "q27_window_topk_per_group",     # B12
     "q13_multiway_join": "q06_multiway_join",
     # op-row cache semantics (round-11 protocol note): the minhash
-    # banded-signature table is persisted inside the operator
+    # banded-signature store is persisted inside the operator
     # (_persist_small) and Spark's CacheManager deduplicates by plan, so
     # timed re-runs reuse the at-rest signature store and measure the
-    # LSH candidate JOIN (clear_statement_cache clears SQL plans, not
-    # the dataset cache). The DuckDB pair (harness/bench_duckdb.py)
-    # mirrors this with an untimed TEMP TABLE of the same banded CTE;
-    # the one-time signature-build cost is reported separately there
-    # and in BASELINE.md §9.
+    # LSH candidate generation (round 13: a single scan of the
+    # pre-grouped per-bucket store + pair transform + distinct;
+    # clear_statement_cache clears SQL plans, not the dataset cache).
+    # The DuckDB pair (harness/bench_duckdb.py) mirrors this with an
+    # untimed TEMP TABLE of the same banded CTE; the one-time
+    # signature-build cost is reported separately there and in
+    # BASELINE.md §9.
     "op_dedup_minhash": "op_dedup_minhash_lsh",
     "op_text_profile": "op_text_profile",
     "op_similarity_topk": "op_similarity_topk",

@@ -269,28 +269,18 @@ def minhash_bands_jvm(
     )
 
 
-def minhash_lsh_candidates(
+def _banded_signatures(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = DEFAULT_NUM_PERM,
-    bands: int = DEFAULT_BANDS,
-    hash_mode: str = "md5",
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    hash_mode: str,
 ) -> DataFrame:
-    """Near-dup candidate pairs (id_a < id_b) via banded minhash LSH.
-
-    Plan shape: map (signature) → explode bands → shuffle on band key →
-    self-equi-join inside buckets → distinct. The join key (band index +
-    band hash) is high-cardinality, so the shuffle partitions evenly; a
-    pathological bucket (mass-duplicated boilerplate) is exactly the AQE
-    skew-join case. No O(n²) stage anywhere.
-
-    ``hash_mode`` picks the signature backend: ``'md5'`` (default) runs
-    the Arrow-batched hashlib UDF whose bytes DuckDB replays exactly —
-    the cross-engine-verifiable mode; ``'xxhash64'`` runs the all-JVM
-    :func:`minhash_bands_jvm` — the 100 TB throughput mode, where the
-    per-document perm×shingle Python loop would be the ceiling.
-    """
+    """(doc_id, band, bandsig) rows for the chosen signature backend —
+    the pre-store half of :func:`minhash_lsh_candidates`, split out so
+    its plan shape is pinnable in isolation (tests assert exactly one
+    ArrowEvalPython node and no unhex re-projection)."""
     if hash_mode == "md5":
         # The signature UDF is the dominant cost (perm x shingle md5 in
         # Python); a single-file corpus scans as row-group-count tasks
@@ -311,50 +301,87 @@ def minhash_lsh_candidates(
         # evaluates once, extracted into its own ArrowEvalPython node
         # below the Generate). The UDF now emits 16-byte digests, so the
         # former unhex() re-projection is gone too.
-        banded_df = df.select(
+        return df.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(
                 bands_fn(normalize_text(F.col(text_col)))
             ).alias("band", "bandsig"),
         )
-    elif hash_mode == "xxhash64":
+    if hash_mode == "xxhash64":
         with_bands = minhash_bands_jvm(
             df, text_col, id_col, num_perm, bands
         )
-        banded_df = with_bands.select(
+        return with_bands.select(
             "doc_id", F.posexplode("bands").alias("band", "bandsig")
         ).select(
             "doc_id", "band", F.col("bandsig").cast("long").alias("bandsig")
         )
-    else:
-        raise ValueError(
-            f"unknown hash mode {hash_mode!r} (md5 | xxhash64)"
-        )
-    # The at-rest signature store is BUCKETED by the LSH join key
-    # (round-12: the one weak bench row that was a plan defect, not a
-    # floor residual — the unbucketed store paid a full 2 M-row
-    # exchange per candidate query at sf10). The shuffle_hash hint
-    # skips SortMergeJoin's per-query re-sort (cache does not preserve
-    # ordering): measured sf10 per-query 1.26 s -> 0.28 s, pairs
-    # identical; remaining cost decomposes to two cache scans + the
-    # tiny candidate-pair distinct + the per-statement floor.
+    raise ValueError(f"unknown hash mode {hash_mode!r} (md5 | xxhash64)")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) via banded minhash LSH.
+
+    Plan shape (round 13): map (signature) → explode bands → ONE
+    shuffle grouping each (band, bandsig) bucket into a sorted id
+    array → persist that PRE-GROUPED store → generate the in-bucket
+    pairs with array transforms → distinct. Replaces the round-12
+    bucketed-store SELF-JOIN: the pair set is identical (all (i, j)
+    with ids[i] < ids[j] inside a bucket IS the join's a.doc_id <
+    b.doc_id condition), but each candidate query now reads the store
+    ONCE and builds no hash relation — measured at sf10 (2 M banded
+    rows): 0.32 s → 0.20 s per candidate query, pairs byte-identical.
+    The grouped store is also ~bands× smaller than the exploded one.
+
+    Skew note: a mass-duplicated boilerplate bucket of k docs becomes
+    one k-element array row (8k bytes — memory-safe far beyond any real
+    duplicate-group size) whose transform emits the same k(k-1)/2 pairs
+    the self-join's skew bucket produced; the quadratic OUTPUT is
+    inherent to LSH candidates, not to this store shape.
+
+    ``hash_mode`` picks the signature backend: ``'md5'`` (default) runs
+    the Arrow-batched hashlib UDF whose bytes DuckDB replays exactly —
+    the cross-engine-verifiable mode; ``'xxhash64'`` runs the all-JVM
+    :func:`minhash_bands_jvm` — the 100 TB throughput mode, where the
+    per-document perm×shingle Python loop would be the ceiling.
+    """
+    banded_df = _banded_signatures(
+        df, text_col, id_col, num_perm, bands, hash_mode
+    )
+    # The at-rest signature store is PRE-GROUPED by the LSH bucket key:
+    # one row per (band, bandsig) with the sorted member-id array,
+    # buckets of one dropped (they can never pair). The groupBy is the
+    # store build's single exchange — the round-12 bucketed layout paid
+    # the same shuffle but kept the exploded rows, so every candidate
+    # query re-read the store twice and re-built a hash relation.
     # The stored band signature is its native width — an EQUALITY-
     # PRESERVING bijection of the oracle's md5 hex, so the candidate
     # set is untouched: md5 emits 16-byte digests straight from the
     # UDF; xxhash64's decimal string casts back to the original BIGINT.
-    banded = _persist_small(banded_df, bucket_by=("band", "bandsig"))
-    a = banded.alias("a")
-    b = banded.alias("b").hint("shuffle_hash")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bandsig") == F.col("b.bandsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    grouped = (
+        banded_df.groupBy("band", "bandsig")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    store = _persist_small(grouped)
+    # all in-bucket pairs (ids sorted, so struct order IS id_a < id_b)
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ids, (x, i) -> transform("
+                "slice(ids, i + 2, size(ids)),"
+                " y -> struct(x AS id_a, y AS id_b)))"
+            )
+        )
+    ).alias("p")
+    return store.select(pair).select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(

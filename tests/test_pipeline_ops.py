@@ -947,13 +947,18 @@ def test_minhash_band_digest_is_unhex_of_oracle_hex(spark):
 
 
 def test_minhash_md5_banded_plan_single_projection(docs):
-    """Round-12 optimization: the md5 banded store builds in ONE select
-    (generator over the UDF call; digest-width signatures need no unhex
-    re-projection), so the analyzed store plan contains exactly one
-    ArrowEvalPython node and no unhex call."""
-    pairs = dedup.minhash_lsh_candidates(docs)
-    try:
-        plan = pairs._jdf.queryExecution().optimizedPlan().toString()
-        assert "unhex" not in plan.lower()
-    finally:
-        docs.sparkSession.catalog.clearCache()
+    """Round-12 optimization (assertion tightened per round-12 advice):
+    the md5 banded signature table builds in ONE select — the generator
+    takes the UDF call directly and digest-width signatures need no
+    unhex re-projection — so its OWN pre-persistence physical plan
+    contains exactly one ArrowEvalPython node and no unhex call."""
+    import re
+
+    banded = dedup._banded_signatures(docs, "text", "doc_id", 16, 4, "md5")
+    plan = banded._sc._jvm.PythonSQLUtils.explainString(
+        banded._jdf.queryExecution(), "formatted"
+    )
+    # one numbered operator entry == one ArrowEvalPython node
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "unhex" not in plan.lower(), plan

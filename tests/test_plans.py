@@ -464,31 +464,27 @@ def test_funnel_steps_reuse_user_partitioning(spark, sf_dir):
     assert n_hash <= 6, plan
 
 
-def test_minhash_lsh_store_join_exchange_free(spark, sf_dir):
-    """The persisted minhash signature store is bucketed on the LSH
-    band key (round-12): the candidate self-join must plan with NO
-    exchange on (band, bandsig) — the only exchange above the cached
-    scans carries the tiny distinct over candidate pairs. The at-scale
-    analogue of a signature table bucketed by band key at rest."""
+def test_minhash_lsh_pregrouped_store_single_scan(spark, sf_dir):
+    """Round 13: the persisted minhash store is PRE-GROUPED by LSH
+    bucket key (band, bandsig -> sorted id array), so a candidate query
+    reads the cached store exactly ONCE, contains NO join at all, and
+    its only data exchange above the cached scan is the candidate-pair
+    distinct. (Round 12's bucketed store was read twice per query
+    through a self-join.)"""
     from duckdb_nsql_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = dedup.minhash_lsh_candidates(docs)
     try:
         plan = plan_of(pairs)
-        assert "InMemoryTableScan" in plan
-        # executed section above the cached scans: split off the cached
-        # relation's own (build-once, untimed) child plan
+        # plan-TREE section above the cached relation: the candidate
+        # query's own operators (the cached child plan below the
+        # InMemoryRelation is the build-once, untimed store)
         executed = plan.split("InMemoryRelation", 1)[0]
-        import re
-
-        hash_exchanges = re.findall(
-            r"Arguments: hashpartitioning\(([^)]*)\)", executed
-        )
-        for args in hash_exchanges:
-            assert "band" not in args, plan  # join key never re-shuffled
-        joins = [l for l in executed.splitlines() if "ShuffledHashJoin" in l]
-        assert joins, plan
+        assert executed.count("InMemoryTableScan") == 1, plan
+        assert "Join" not in executed, plan
+        # exactly one exchange: the candidate-pair distinct
+        assert executed.count("Exchange") == 1, plan
     finally:
         # drop the cached store so later tests see a cold CacheManager
         spark.catalog.clearCache()
