@@ -7414,8 +7414,81 @@ _WINDOW_R12: tuple[str, ...] = (
     "q84_create_macro",
 )
 
-# Entries registered AFTER _WINDOW_R12 froze (never driver-witnessed;
-# they lead the _WINDOW_R13 draft per tests/test_window_ledger.py).
+# Round-13 driver window (the frozen literal the round-13 driver runs;
+# tests/test_window_ledger.py CURRENT_ROUND = 13). Composition, in
+# priority order mandated by the round-12 verdict and the staleness
+# ledger:
+#   1. The two rows whose internals round 12's optimizer changed but
+#      which were NOT in the r12 driver sample (hash-exact re-witness):
+#      op_dedup_minhash_lsh (store slimmed r12, PRE-GROUPED r13) and
+#      op_stream_neardup (boundary re-hex r12).
+#   2. The 15 never-driver-witnessed round-12 registrations (q147-q161,
+#      declared in _POST_FREEZE_R12) — first-witness priority.
+#   3. The 18 round-6-witnessed entries (they would breach the 6-round
+#      staleness bound after round 13).
+#   4. The 12 round-7-witnessed entries (at the bound after round 13).
+#   5. Three rows this round's optimizer touches, stalest first:
+#      op_bucketed_join (r8 row; one-file-per-bucket writer),
+#      op_dedup_clusters and op_dedup_threshold_sweep (r9/r10 rows;
+#      consume the pre-grouped minhash candidate store).
+# 2 + 15 + 18 + 12 + 3 = 50. Verified against CORRECTNESS_r01..r12:
+# no dupes, and no entry outside this window is >6 rounds stale after
+# round 13 lands.
+_WINDOW_R13: tuple[str, ...] = (
+    "op_dedup_minhash_lsh",
+    "op_stream_neardup",
+    "q147_lateral_limit",
+    "q148_scaled_mixed_interval",
+    "q149_unnest_recursive",
+    "q150_at_time_zone",
+    "q151_columns_qualified_star",
+    "q152_asof_derived",
+    "q153_type_alias",
+    "q154_grouping_alias",
+    "q155_conflict_where",
+    "q156_window_exclude_rows",
+    "q157_array_agg_distinct",
+    "q158_recursive_union",
+    "q159_unnest_zip",
+    "q160_timestamptz_time_arith",
+    "q161_scalar_surface_r12",
+    "op_dedup_paragraph",
+    "op_dsir_select",
+    "op_embedding_quantize",
+    "op_multimodal_frame_sample",
+    "op_similarity_batch",
+    "op_skew_salted_join",
+    "op_stream_decontaminate",
+    "op_stream_doc_profile",
+    "op_stream_upsert",
+    "op_stream_warehouse_sink",
+    "op_token_histogram",
+    "q107_tpch_q12",
+    "q113_pg_operators",
+    "q115_from_json",
+    "q116_enum_battery",
+    "q88_upsert_on_conflict",
+    "q90_merge_upsert",
+    "q91_window_exclude_median",
+    "op_dedup_simhash",
+    "op_text_quality_lang",
+    "q114_array_spellings",
+    "q117_tpch_q2_min_cost_supplier",
+    "q118_tpch_q9_profit",
+    "q119_tpch_q11_important_stock",
+    "q120_tpch_q16_parts_supplier",
+    "q121_tpch_q20_promotion",
+    "q122_tpch_q21_waiting_orders",
+    "q123_tpch_q12_full_predicate",
+    "q124_pivot_statement",
+    "q125_unpivot_statement",
+    "op_bucketed_join",
+    "op_dedup_clusters",
+    "op_dedup_threshold_sweep",
+)
+
+# Entries registered AFTER _WINDOW_R12 froze (all 15 now lead
+# _WINDOW_R13 per the ledger; kept for the staleness history).
 _POST_FREEZE_R12: tuple[str, ...] = (
     "q147_lateral_limit",
     "q148_scaled_mixed_interval",
@@ -7554,22 +7627,14 @@ _WINDOW_R10: tuple[str, ...] = (
 )
 
 # First numeric query id of the re-witness rotation (see _registry_order):
-# q43..q84 are in the round-12 window, so the stalest SQL outside it
-# starts at q85 — the tail runs in numeric order from there and wraps
-# (q02..q42, round-11-witnessed, come last).
-_REWITNESS_START = 85
+# the stalest SQL outside the round-13 window is the round-8-witnessed
+# q126/q127 pair — the tail runs in numeric order from there and wraps.
+_REWITNESS_START = 126
 
-# READY-MADE DRAFT for the round-13 window (next round's builder:
-# verify against CORRECTNESS_r12.json, then promote to _WINDOW_R13,
-# bump CURRENT_ROUND in tests/test_window_ledger.py, and declare any
-# post-freeze additions in a new _POST_FREEZE_R13).
-# _POST_FREEZE_R12 leads (the 15 round-12 entries q147-q161, never
-# driver-witnessed), then the stalest re-witness block — the remaining
-# round-7-witnessed run q85_union_type .. q124_pivot_statement in
-# numeric order (as many as fit the 50-entry window after the 15).
-# tests/test_window_ledger.py enforces the ≤6-round staleness bound and
-# that every never-witnessed entry is either in the frozen window or
-# declared post-freeze.
+# Round-14 draft (if a further round happens): nothing is post-freeze
+# and nothing would be >6 rounds stale until round 15 (the round-8
+# block q126/q127 + op rows). Lead with whatever rows round 14's
+# changes touch, then re-witness q126 onward by staleness.
 
 # Round-11 post-freeze declarations (history; these lead _WINDOW_R12).
 _POST_FREEZE_R11: tuple[str, ...] = (
@@ -7602,7 +7667,7 @@ def _registry_order() -> list[str]:
     tests/test_oracle_parity.py, which runs the SAME engine-vs-DuckDB
     compare at the driver's sf0.01.
     """
-    head = list(_WINDOW_R12)
+    head = list(_WINDOW_R13)
     head_set = set(head)
 
     def qnum(n: str) -> int:

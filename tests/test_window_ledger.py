@@ -21,7 +21,7 @@ from pathlib import Path
 import duckdb_nsql_spark.workload as w
 
 REPO = Path(__file__).resolve().parent.parent
-CURRENT_ROUND = 12  # bump when freezing the next _WINDOW_R{N}
+CURRENT_ROUND = 13  # bump when freezing the next _WINDOW_R{N}
 MAX_STALENESS = 6
 
 
