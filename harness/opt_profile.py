@@ -5,7 +5,11 @@ headline bench query at $SPARK_GRAFT_SF_DIR.
 For each bench row, after one untimed warm-up pass, measures (best-of-N):
   rewrite   - engine frontend rewrite only (_rewrite_query; no Spark jobs
               except plan-time counts such as percent-LIMIT)
-  build     - execute() up to an analyzed DataFrame (no action)
+  build     - execute() up to an analyzed DataFrame (no action). NOTE:
+              build SUBSUMES rewrite (the statement cache is cleared
+              first, so execute() re-runs the frontend rewrite before
+              Catalyst analysis) — the two components overlap by the
+              rewrite time rather than partitioning the total.
   fetch     - toPandas() on the built DataFrame (Arrow full fetch)
   total     - clear_statement_cache + execute + toPandas (the bench.py
               protocol, end to end)
